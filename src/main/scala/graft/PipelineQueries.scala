@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operators (SURVEY.md §7.6 / north-star) as
+  * verifiable queries: deduplication, similarity search, text
+  * analysis. Queries whose algorithm DuckDB can replicate exactly
+  * carry an oracle; LSH/hash-seeded ops (xxhash64 has no DuckDB
+  * equivalent) are declared without one → the driver's rows-only
+  * check applies, and their correctness is asserted in ScalaTest
+  * against the exact-algorithm counterparts instead.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact deduplication (hash-groupBy) ----
+    "dedup_exact_groups" -> ((s, d) =>
+      Dedup.exactDupGroups(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("text_md5"))),
+
+    "dedup_exact_keep_first" -> ((s, d) =>
+      Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // ---- exact n-gram Jaccard near-dup pairs (inverted index) ----
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleWidth = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- MinHash+LSH near-dup pairs (verified; no oracle: seeded xxhash) ----
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
+          numHashes = 64, bands = 16, shingleWidth = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- SimHash near-dup pairs (no oracle: seeded xxhash) ----
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- brute-force exact ANN: top-1 cosine neighbor for every vector ----
+    "sim_topk_bruteforce" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e, k = 1)
+        .select(col("query_id"), col("id").as("nn_id"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ---- exact cosine near-dup pairs (broadcast self-join) ----
+    "sim_cosine_pairs" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .filter(Similarity.cosine(col("va"), col("vb")) >= 0.5)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- LSH-bucketed ANN (scale path; recall checked in ScalaTest) ----
+    "sim_topk_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.lshTopK(e, e, k = 1, dim = 64, numPlanes = 6, tables = 8)
+        .select(col("query_id"), col("rank"), col("id").as("nn_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- text analysis: token counts + quality signals ----
+    "text_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+          length(col("text")).as("n_chars_computed"),
+          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"))
+        .orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // ---- language ID heuristic ----
+    "text_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // ---- document fingerprinting (no oracle: xxhash-based) ----
+    "text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          size(TextAnalysis.winnowingFingerprints(col("text"))).as("n_winnow"))
+        .orderBy(col("doc_id")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact_groups" ->
+      """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         FROM documents GROUP BY md5(text) ORDER BY text_md5""",
+    "dedup_exact_keep_first" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+         ORDER BY doc_id""",
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3
+               THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+               ELSE list_transform(range(0, len(string_split_regex(trim(text), '\s+')) - 2),
+                 i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i+1, i+3), ' '))
+             END) AS sh
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+         FROM d a JOIN d b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh)) > 0
+           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5
+         ORDER BY id_a, id_b""",
+    "sim_topk_bruteforce" ->
+      """SELECT a.vec_id AS query_id,
+           (SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> a.vec_id
+            ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
+            LIMIT 1) AS nn_id
+         FROM embeddings a ORDER BY query_id""",
+    "sim_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+         ORDER BY id_a, id_b""",
+    "text_stats" ->
+      """SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish,
+           length(text) AS n_chars_computed,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> t IN ('the','a','an','of','to','and','in','is','it','for','on','with'))) AS DOUBLE) /
+             CAST(NULLIF(len(string_split_regex(trim(text), '\s+')), 0) AS DOUBLE) AS stopword_ratio,
+           CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE) /
+             CAST(NULLIF(len(string_split_regex(trim(text), '\s+')), 0) AS DOUBLE) AS mean_token_len
+         FROM documents ORDER BY doc_id""",
+    "text_lang_id" ->
+      """WITH s AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               t -> t IN ('the','a','of','to','and','is','in','it'))) AS s_en,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               t -> t IN ('der','die','das','und','ist','ein','nicht','mit'))) AS s_de,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               t -> t IN ('el','la','de','y','es','que','un','una'))) AS s_es,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               t -> t IN ('le','la','les','et','est','que','une','dans'))) AS s_fr
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+         FROM s ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,504 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.functions.ColumnOps._
+import graft.operators.Frames
+
+/** SURVEY.md §2 operator inventory, expressed as verifiable queries
+  * over the driver's synthetic tables, each with a DuckDB-equivalent
+  * oracle. Conventions for exact hash-parity with the oracle:
+  *
+  *  - Every query ends in a TOTAL ORDER (unique sort key) so row
+  *    order is identical in both engines. Catalyst's EliminateSorts
+  *    removes the sort under count()-style benchmarks, so it costs
+  *    nothing where ordering is unobservable.
+  *  - Cross-row float sums are quantized per-row to integer cents
+  *    (floor(x*100+0.5)) and summed as exact longs: addition is
+  *    order-independent, so both engines produce bit-identical
+  *    results. Per-row double arithmetic (same IEEE op tree) is
+  *    already deterministic.
+  *  - Timestamps in output are formatted to strings (parquet
+  *    physical-type drift between engines is not our problem then).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Exact cross-row sum of a double expression: quantize per-row to
+    * integer cents with floor(x*100+0.5) — the same IEEE multiply/add/
+    * floor in both engines — then sum exactly as longs. (Summing via
+    * DECIMAL is NOT portable: Spark casts double→decimal through the
+    * shortest string repr, DuckDB through the exact binary expansion,
+    * and the 10th-decimal roundings disagree often enough to drift a
+    * 60k-row sum.)
+    */
+  private def dsum(c: Column): Column =
+    sum(floor(c * lit(100.0) + lit(0.5))).cast(DoubleType) / lit(100.0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- flagship aggregation (bench headline) ----
+    "q1_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- P1/P5/P7 projection + alias ----
+    "q_select_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice").as("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("price"))),
+
+    // ---- P2 with_columns + X12 arithmetic ----
+    "q_with_columns" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+        .withColumn("disc_price", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .withColumn("flagged", col("l_discount") + lit(0.01) > lit(0.05))
+        .drop("l_extendedprice", "l_discount")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("disc_price"), col("flagged"))),
+
+    // ---- P3/P4 drop + rename ----
+    "q_rename_drop" -> ((s, d) =>
+      t(s, d, "customer")
+        .withColumnRenamed("c_name", "name")
+        .drop("c_acctbal", "c_nationkey")
+        .orderBy(col("c_custkey"))),
+
+    // ---- P6 bulk prefix rename ----
+    "q_prefix_columns" -> ((s, d) =>
+      Frames.prefixColumns(t(s, d, "region"), "wd_").orderBy(col("wd_r_regionkey"))),
+
+    // ---- F1/F7/F8 filter with boolean algebra ----
+    "q_filter_bool" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter((col("l_returnflag") === "R" || col("l_linestatus") =!= "F") &&
+          !(col("l_quantity") < 10))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_linestatus"), col("l_quantity"))),
+
+    // ---- F2/F3 null handling (nulls synthesized via nullif) ----
+    "q_filter_nulls" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("prio", nullif(col("o_orderpriority"), lit("1-URGENT")))
+        .select(col("o_orderkey"), col("prio"))
+        .na.drop()
+        .orderBy(col("o_orderkey"))),
+
+    // ---- F4 is_unique via window count ----
+    "q_is_unique" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("u", isUniqueOver(col("o_custkey")))
+        .filter(col("u"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))),
+
+    // ---- F5 is_in broadcast set ----
+    "q_isin" -> ((s, d) =>
+      t(s, d, "nation")
+        .filter(isInSet(col("n_name"), Seq("NATION_1", "NATION_3", "NATION_5", "NO_SUCH")))
+        .orderBy(col("n_nationkey"))),
+
+    // ---- F6 closed-left between ----
+    "q_between_left" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(betweenLeft(col("l_quantity"), lit(10.0), lit(20.0)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // ---- J1 left equi-join, coalesced same-name key ----
+    "q_join_left" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cust = t(s, d, "customer").withColumnRenamed("c_custkey", "o_custkey")
+        .select(col("o_custkey"), col("c_name"), col("c_mktsegment"))
+      orders.join(cust, Seq("o_custkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- J2 left equi-join, different key names, right key dropped ----
+    "q_join_left_keys" -> ((s, d) => {
+      val sup = t(s, d, "supplier")
+      val nat = t(s, d, "nation")
+      sup.join(nat, sup("s_nationkey") === nat("n_nationkey"), "left")
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- left_semi (EXISTS idiom) ----
+    "q_join_semi" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val orders = t(s, d, "orders").withColumnRenamed("o_custkey", "c_custkey")
+      cust.join(orders.select("c_custkey"), Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- left_anti (NOT EXISTS idiom) ----
+    "q_join_anti" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val orders = t(s, d, "orders").withColumnRenamed("o_custkey", "c_custkey")
+      cust.join(orders.select("c_custkey"), Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- reference idiom: left join then filter right-null (wd_tmdb.py:241) ----
+    "q_anti_via_left_join" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val orders = t(s, d, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+      Frames.uniqueFirst(orders, Seq("c_custkey"), Seq(col("o_orderkey")))
+        .join(cust, Seq("c_custkey"), "right")
+        .filter(col("o_orderkey").isNull)
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- A1 unique(subset, maintain_order) as explicit-order first-row ----
+    "q_unique_first" -> ((s, d) =>
+      Frames.uniqueFirst(t(s, d, "lineitem"), Seq("l_orderkey"),
+          Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_extendedprice")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .orderBy(col("l_orderkey"))),
+
+    // ---- A2 unique(keep="none") ----
+    "q_unique_keep_none" -> ((s, d) =>
+      Frames.uniqueKeepNone(t(s, d, "lineitem"), Seq("l_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .orderBy(col("l_orderkey"))),
+
+    // ---- O-S1 + O-L1 sort + limit (top-n) ----
+    "q_sort_limit" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // ---- U1 name-aligned vertical concat ----
+    "q_union_by_name" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey").as("id"), col("c_name").as("name"), lit("customer").as("kind"))
+      val sup = t(s, d, "supplier").select(lit("supplier").as("kind"), col("s_name").as("name"), col("s_suppkey").as("id"))
+      Frames.concatFrames(Seq(c, sup)).orderBy(col("kind"), col("id"))
+    }),
+
+    // ---- N1 explode ----
+    "q_explode_split" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("word"))
+        .orderBy(col("p_partkey"), col("word"))),
+
+    // ---- N3/N4 struct build + deep field access ----
+    "q_struct_field" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("o", struct(col("o_custkey").as("cust"),
+          struct(col("o_totalprice").as("price"), col("o_orderstatus").as("status")).as("inner")))
+        .select(col("o_orderkey"), col("o.cust").as("cust"),
+          col("o.inner.price").as("price"), col("o").getField("inner").getField("status").as("status"))
+        .orderBy(col("o_orderkey"))),
+
+    // ---- N5/N6 array build, first element, join ----
+    "q_array_ops" -> ((s, d) =>
+      t(s, d, "nation")
+        .withColumn("arr", array(col("n_name"), col("n_nationkey").cast(StringType)))
+        .select(col("n_nationkey"), listFirst(col("arr")).as("first_el"),
+          size(col("arr")).as("n"), array_join(col("arr"), ",").as("joined"))
+        .orderBy(col("n_nationkey"))),
+
+    // ---- C1 when/then/otherwise ----
+    "q_when_case" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 300000, lit("big"))
+            .when(col("o_totalprice") > 100000, lit("mid"))
+            .otherwise(lit("small")).as("bucket"))
+        .orderBy(col("o_orderkey"))),
+
+    // ---- X1 regex extract (null on no-match) + X7 lenient cast ----
+    "q_regex_extract" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          castLenient(extractFirst(col("c_name"), "#(\\d+)"), LongType).as("name_num"),
+          extractFirst(col("c_name"), "(zzz\\d+)").as("no_match"))
+        .orderBy(col("c_custkey"))),
+
+    // ---- X2 regex extract_all ----
+    "q_regex_extract_all" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), array_join(extractAll(col("text"), "\\b[a-z]{4}\\b"), "|").as("words4"))
+        .orderBy(col("doc_id"))),
+
+    // ---- X3 replace FIRST match only ----
+    "q_replace_first" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), replaceFirst(col("text"), "the", "THE").as("replaced"))
+        .orderBy(col("doc_id"))),
+
+    // ---- X4 JSON decode with declared schema ----
+    "q_json_decode" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).getField("k").as("k"))
+        .orderBy(col("event_id"))),
+
+    // ---- X5 null-propagating format ----
+    "q_format_nullprop" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          fmt("order-{} prio-{}", col("o_orderkey"), nullif(col("o_orderpriority"), lit("1-URGENT"))).as("msg"))
+        .orderBy(col("o_orderkey"))),
+
+    // ---- X6 ISO-8601 strptime to date ----
+    "q_strptime_date" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("iso", date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .select(col("o_orderkey"), strptimeDate(col("iso")).cast(StringType).as("parsed"))
+        .orderBy(col("o_orderkey"))),
+
+    // ---- X7 lenient cast: success and failure paths ----
+    "q_cast_lenient" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          castLenient(substring(col("o_orderpriority"), 1, 1), LongType).as("prio_num"),
+          castLenient(col("o_orderstatus"), IntegerType).as("bad_cast"))
+        .orderBy(col("o_orderkey"))),
+
+    // ---- X8 round (half away from zero in both engines) ----
+    "q_round_half" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 0).as("rounded"),
+          round(col("o_totalprice"), -2).as("rounded_h"))
+        .orderBy(col("o_orderkey"))),
+
+    // ---- X9/X10 date parts + truncation, string-rendered ----
+    "q_date_trunc" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          date_format(date_trunc("second", col("ts")), "yyyy-MM-dd HH:mm:ss").as("ts_sec"),
+          col("ts").cast(DateType).cast(StringType).as("ts_date"))
+        .orderBy(col("event_id"))),
+
+    // ---- aggregation: min/max/count/count-distinct ----
+    "q_agg_stats" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+          count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_v"))
+        .orderBy(col("event_type"))),
+
+    // ---- group-by + having ----
+    "q_group_having" -> ((s, d) =>
+      t(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"))
+        .filter(col("n") > 10)
+        .orderBy(col("c_nationkey"))),
+
+    // ---- window: running sum (decimal-exact) ----
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))).over(w)
+            .cast(DoubleType) / lit(100.0)).as("running"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- window: top-k per group ----
+    "q_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      t(s, d, "lineitem")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("l_returnflag"), col("rk"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_returnflag"), col("rk"))
+    }),
+
+    // ---- events: tumbling-window aggregation (batch form) ----
+    "q_events_tumbling" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+        .orderBy(col("hour"), col("event_type")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(floor((l_quantity) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+         CAST(SUM(CAST(floor((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+         CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
+         CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_charge,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_select_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice AS price
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, price""",
+    "q_with_columns" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1 - l_discount) AS disc_price,
+         l_discount + 0.01 > 0.05 AS flagged
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_price, flagged""",
+    "q_rename_drop" ->
+      """SELECT c_custkey, c_name AS name, c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+    "q_prefix_columns" ->
+      """SELECT r_regionkey AS wd_r_regionkey, r_name AS wd_r_name
+         FROM region ORDER BY wd_r_regionkey""",
+    "q_filter_bool" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity
+         FROM lineitem
+         WHERE (l_returnflag = 'R' OR l_linestatus <> 'F') AND NOT (l_quantity < 10)
+         ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity""",
+    "q_filter_nulls" ->
+      """SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio
+         FROM orders WHERE NULLIF(o_orderpriority, '1-URGENT') IS NOT NULL
+         ORDER BY o_orderkey""",
+    "q_is_unique" ->
+      """SELECT o_orderkey, o_custkey FROM (
+           SELECT o_orderkey, o_custkey, COUNT(*) OVER (PARTITION BY o_custkey) AS c
+           FROM orders) WHERE c = 1 ORDER BY o_orderkey""",
+    "q_isin" ->
+      """SELECT * FROM nation WHERE n_name IN ('NATION_1','NATION_3','NATION_5','NO_SUCH')
+         ORDER BY n_nationkey""",
+    "q_between_left" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+         FROM lineitem WHERE l_quantity >= 10.0 AND l_quantity < 20.0
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
+    "q_join_left" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "q_join_left_keys" ->
+      """SELECT s_suppkey, s_name, n_name
+         FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY s_suppkey""",
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_anti_via_left_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         LEFT JOIN (SELECT o_custkey, MIN(o_orderkey) AS o_orderkey FROM orders GROUP BY o_custkey) o
+           ON c_custkey = o.o_custkey
+         WHERE o.o_orderkey IS NULL ORDER BY c_custkey""",
+    "q_unique_first" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM (
+           SELECT l_orderkey, l_linenumber, l_partkey,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+           FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""",
+    "q_unique_keep_none" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM (
+           SELECT l_orderkey, l_linenumber, l_partkey,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS c
+           FROM lineitem) WHERE c = 1 ORDER BY l_orderkey""",
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
+    "q_union_by_name" ->
+      """SELECT * FROM (
+           SELECT c_custkey AS id, c_name AS name, 'customer' AS kind FROM customer
+           UNION ALL
+           SELECT s_suppkey AS id, s_name AS name, 'supplier' AS kind FROM supplier)
+         ORDER BY kind, id""",
+    "q_explode_split" ->
+      """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+         FROM part ORDER BY p_partkey, word""",
+    "q_struct_field" ->
+      """SELECT o_orderkey, o_custkey AS cust, o_totalprice AS price, o_orderstatus AS status
+         FROM orders ORDER BY o_orderkey""",
+    "q_array_ops" ->
+      """SELECT n_nationkey, [n_name, CAST(n_nationkey AS VARCHAR)][1] AS first_el,
+         len([n_name, CAST(n_nationkey AS VARCHAR)]) AS n,
+         array_to_string([n_name, CAST(n_nationkey AS VARCHAR)], ',') AS joined
+         FROM nation ORDER BY n_nationkey""",
+    "q_when_case" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_totalprice > 300000 THEN 'big'
+              WHEN o_totalprice > 100000 THEN 'mid'
+              ELSE 'small' END AS bucket
+         FROM orders ORDER BY o_orderkey""",
+    "q_regex_extract" ->
+      """SELECT c_custkey,
+         TRY_CAST(NULLIF(regexp_extract(c_name, '#(\d+)', 1), '') AS BIGINT) AS name_num,
+         NULLIF(regexp_extract(c_name, '(zzz\d+)', 1), '') AS no_match
+         FROM customer ORDER BY c_custkey""",
+    "q_regex_extract_all" ->
+      """SELECT doc_id, COALESCE(array_to_string(regexp_extract_all(text, '\b[a-z]{4}\b'), '|'), '') AS words4
+         FROM documents ORDER BY doc_id""",
+    "q_replace_first" ->
+      """SELECT doc_id, regexp_replace(text, 'the', 'THE') AS replaced
+         FROM documents ORDER BY doc_id""",
+    "q_json_decode" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events ORDER BY event_id""",
+    "q_format_nullprop" ->
+      """SELECT o_orderkey,
+         'order-' || o_orderkey || ' prio-' || NULLIF(o_orderpriority, '1-URGENT') AS msg
+         FROM orders ORDER BY o_orderkey""",
+    "q_strptime_date" ->
+      """SELECT o_orderkey,
+         CAST(CAST(TRY_CAST(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS TIMESTAMP) AS DATE) AS VARCHAR) AS parsed
+         FROM orders ORDER BY o_orderkey""",
+    "q_cast_lenient" ->
+      """SELECT o_orderkey,
+         TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+         TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast
+         FROM orders ORDER BY o_orderkey""",
+    "q_round_half" ->
+      """SELECT o_orderkey, round(o_totalprice, 0) AS rounded, round(o_totalprice, -2) AS rounded_h
+         FROM orders ORDER BY o_orderkey""",
+    "q_date_trunc" ->
+      """SELECT event_id,
+         strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_sec,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS ts_date
+         FROM events ORDER BY event_id""",
+    "q_agg_stats" ->
+      """SELECT event_type, MIN(value) AS min_v, MAX(value) AS max_v,
+         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+         CAST(SUM(CAST(floor((value) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_v
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_group_having" ->
+      """SELECT c_nationkey, COUNT(*) AS n,
+         CAST(SUM(CAST(floor((c_acctbal) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS bal
+         FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 10
+         ORDER BY c_nationkey""",
+    "q_window_running" ->
+      """SELECT o_orderkey, o_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running
+         FROM orders ORDER BY o_orderkey""",
+    "q_topk_per_group" ->
+      """SELECT l_returnflag, rk, l_orderkey, l_linenumber, l_extendedprice FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity) AS rk
+           FROM lineitem) WHERE rk <= 3 ORDER BY l_returnflag, rk""",
+    "q_events_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+         COUNT(*) AS n, CAST(SUM(CAST(floor((value) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_v
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+  )
+}

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale posture (100 TB): signatures (MinHash, SimHash) are computed
+  * per-row with higher-order functions over token arrays — NO shuffle
+  * until the candidate-pair join, which shuffles only (id, bucket)
+  * pairs, never full documents. Verification joins ship compact hash
+  * arrays, not text.
+  *
+  * Exact-duplicate removal is a single hash-groupBy (map-side partial
+  * aggregation on md5/xxhash of the text).
+  */
+object Dedup {
+
+  /** 31-bit Mersenne prime: universal-hash modulus. Products
+    * a*x (a,x < 2^31) stay < 2^62 — safe under ANSI overflow checks.
+    */
+  private val P31 = 2147483647L
+
+  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word w-shingles joined with single spaces; whole text as one
+    * shingle when shorter than w tokens.
+    */
+  def shingles(text: Column, w: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < w, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - w),
+        i => array_join(slice(toks, i + 1, lit(w)), " ")))
+  }
+
+  /** Distinct 64-bit shingle hashes — the compact set representation
+    * used for signatures and exact-Jaccard verification. Full 64-bit
+    * width so set Jaccard over hashes equals Jaccard over the shingle
+    * strings (collision odds ~2^-64 per pair).
+    */
+  def shingleHashes(text: Column, w: Int): Column =
+    array_distinct(transform(shingles(text, w), s => xxhash64(s)))
+
+  /** MinHash signature (array<long> of length numHashes) computed
+    * entirely per-row: sig_j = min over shingles of (a_j*x+b_j) mod P
+    * with x the shingle hash folded to 31 bits (keeps a*x+b < 2^62 —
+    * ANSI-overflow-safe). No shuffle, no UDF — pure Catalyst
+    * higher-order functions.
+    */
+  def minhashSignature(shingleHashes: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val params = hashParams(numHashes, seed)
+    array(params.map { case (a, b) =>
+      array_min(transform(shingleHashes, x => pmod(pmod(x, lit(P31)) * a + b, lit(P31))))
+    }: _*)
+  }
+
+  /** LSH band buckets: array of (band, bucketHash) structs; two docs
+    * sharing any band bucket are candidate near-duplicates.
+    */
+  def lshBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+    }: _*)
+
+  /** Exact-duplicate groups: one row per distinct text hash with the
+    * surviving (minimum) id and the duplicate count. Single
+    * hash-aggregation; partial aggregation makes it map-mostly.
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact dedup: keep the first row (by idCol) per exact text. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Frames.uniqueFirst(df, Seq(textCol), Seq(col(idCol)))
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * Plan shape (scale-reviewed):
+    *  1. per-row: shingle hashes -> signature -> band buckets (no shuffle)
+    *  2. explode buckets, self-join on (band, bucket) — shuffles only
+    *     (id, band, bucket); candidate pairs deduped
+    *  3. join pairs back to shingle-hash arrays (compact), compute
+    *     exact Jaccard via array_intersect/array_union, filter >= threshold
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int = 64, bands: Int = 16,
+                          shingleWidth: Int = 3, threshold: Double = 0.8,
+                          seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    // Persist the compact signature table: it is consumed three times
+    // (bucket explode + both sides of the verification join), and
+    // without a materialization barrier Catalyst's
+    // InferFiltersFromGenerate pushes a size(bk)>0 filter containing
+    // the ENTIRE signature expression tree into the scan, re-running
+    // the 64-hash pipeline per row in interpreted mode. State is
+    // linear in the corpus (id + hash set + sig + 16 buckets/doc) and
+    // spills to disk — the standard LSH-dedup shape.
+    val base = df.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleWidth).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+      .withColumn("bk", lshBuckets(col("sig"), bands, r))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val buckets = base.select(col("id"), explode(col("bk")).as("b"))
+      .select(col("id"), col("b.band"), col("b.bucket"))
+
+    val cands = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    val sets = base.select(col("id"), col("sh"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 63-bit SimHash over tokens, computed per-row (bit 63 left clear
+    * so the power-of-two sum stays within signed long under ANSI).
+    */
+  def simhash(text: Column): Column = {
+    val hs = transform(tokens(text), t => xxhash64(t))
+    (0 until 63).map { i =>
+      val bitBalance = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(bitBalance > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-duplicate pairs with Hamming distance <= maxDist.
+    * Pigeonhole banding: split 63 bits into (maxDist+1) bands; pairs
+    * within maxDist must agree on at least one whole band — join per
+    * band, then verify with bit_count(xor).
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int = 3): DataFrame = {
+    val nBands = maxDist + 1
+    val width = 63 / nBands
+    // Persist: consumed by both sides of the band self-join; avoids
+    // recomputing the 63-bit aggregation pipeline (see minhash note).
+    val base = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("id"), col("sig"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1)).as("key"))
+      }: _*)).as("b"))
+      .select(col("id"), col("sig"), col("b.band"), col("b.key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Exact n-gram-Jaccard similar pairs via an inverted shingle index
+    * (no LSH approximation): explode distinct shingle hashes, join on
+    * shingle, count shared shingles per pair, Jaccard from set sizes.
+    * Shuffles (shingleHash, id) pairs — linear in corpus shingle
+    * count, never quadratic in documents.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleWidth: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleWidth).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val inv = sets.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
+    inv.as("x").join(inv.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", col("shared").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("shared")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

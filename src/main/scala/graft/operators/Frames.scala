@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.slf4j.LoggerFactory
+
+/** Frame-level operators (SURVEY.md §2.6-2.8, §2.2).
+  *
+  * All operators stay declarative (DataFrame plans) so Catalyst
+  * prunes/pushes through them; nothing here collects to the driver
+  * except the explicitly-eager guardrail ops that the reference also
+  * materializes for (limit-with-warning, RDF sink).
+  */
+object Frames {
+
+  private val log = LoggerFactory.getLogger(getClass)
+
+  /** Bulk-rename all columns with a prefix (Polars
+    * `pl.all().name.prefix(...)`, wd_opencritic.py:96,138,180).
+    */
+  def prefixColumns(df: DataFrame, prefix: String): DataFrame =
+    df.select(df.columns.map(c => col(c).as(prefix + c)).toSeq: _*)
+
+  /** Name-aligned vertical concat (Polars `pl.concat`,
+    * wd_tmdb.py:235-237,395-404). unionByName, not positional union.
+    */
+  def concatFrames(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_ unionByName _)
+
+  /** Keep the first row per key under an explicit ordering (Polars
+    * `unique(subset, maintain_order=True)`, wd_tmdb.py:231,317).
+    * Polars' "input order" is made explicit via `order` columns —
+    * at cluster scale input order is not stable, so the caller names
+    * the tiebreak. Single shuffle on `keys`.
+    */
+  def uniqueFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Drop EVERY row whose key appears more than once (Polars
+    * `unique(key, keep="none")`, wd_opencritic.py:86).
+    */
+  def uniqueKeepNone(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("__cnt") === 1)
+      .drop("__cnt")
+  }
+
+  /** Exact-n pseudo-random sample, seeded (Polars `sample(n, seed)`,
+    * polars_utils.py:59-76). Deterministic given the seed: orders by
+    * a seeded hash of the whole row, not `rand()` (which is
+    * per-partition-indexed and so changes with partitioning).
+    */
+  def sampleExact(df: DataFrame, n: Int, seed: Long): DataFrame = {
+    val key = xxhash64(lit(seed) +: df.columns.map(col).toSeq: _*)
+    df.orderBy(key).limit(n)
+  }
+
+  /** Soft row cap: if over `n`, log a warning and either sample n or
+    * head n (polars_utils.py:83-100 `limit` + LimitWarning). Eager
+    * count, same as the reference's len() check.
+    */
+  def limitWithWarning(df: DataFrame, n: Int = 250, sample: Boolean = true,
+                       seed: Long = 42L): DataFrame = {
+    val total = df.count()
+    if (total <= n) df
+    else {
+      log.warn(s"LimitWarning: result has $total rows, capping to $n" +
+        (if (sample) " (sampled)" else ""))
+      if (sample) sampleExact(df, n, seed) else df.limit(n)
+    }
+  }
+
+  /** RDF statement sink (polars_utils.py:106-123
+    * `print_rdf_statements`): assert single-string-column schema,
+    * apply the soft cap, print each statement. Driver-side by design
+    * — the cap bounds the collect at 250 rows.
+    */
+  def printRdfStatements(df: DataFrame, limit: Int = 250, sample: Boolean = true,
+                         out: java.io.PrintStream = System.out): Unit = {
+    require(df.columns.sameElements(Array("rdf_statement")) &&
+      df.schema.head.dataType == org.apache.spark.sql.types.StringType,
+      s"print_rdf_statements expects schema {rdf_statement: string}, got ${df.schema}")
+    limitWithWarning(df, limit, sample).collect()
+      .foreach(r => out.println(r.getString(0)))
+  }
+
+  /** Scale-path RDF sink: same schema contract, but writes a text
+    * file per partition instead of collecting (100 TB posture).
+    */
+  def writeRdfStatements(df: DataFrame, path: String): Unit = {
+    require(df.columns.sameElements(Array("rdf_statement")),
+      s"writeRdfStatements expects {rdf_statement}, got ${df.schema}")
+    df.write.mode("overwrite").text(path)
+  }
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor / similarity search over an
+  * `array<float>` embedding column.
+  *
+  * Scale posture: the query side is assumed small (broadcastable);
+  * the corpus side streams. Brute force is the exact baseline
+  * (broadcast-nested-loop, no corpus shuffle except the final
+  * per-query top-k reduction); the LSH variant prunes candidates by
+  * random-hyperplane bucket so the join touches a fraction of the
+  * corpus.
+  */
+object Similarity {
+
+  /** float -> double, element-wise; double math keeps cosine
+    * deterministic and avoids float accumulation error.
+    */
+  def asDouble(v: Column): Column = transform(v, _.cast(DoubleType))
+
+  /** Sequential-fold dot product via zip_with + aggregate (codegen-
+    * free HOFs, but per-row and shuffle-free).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null when either vector has zero norm.
+    * Native fused-loop Catalyst expression (codegen) — see
+    * [[graft.functions.CosineSimilarity]].
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.NativeFunctions.cosineSim(a, b)
+
+  /** Higher-order-function formulation of cosine — kept as the
+    * reference implementation the native expression is tested
+    * against (identical element-order math).
+    */
+  def cosineHof(a: Column, b: Column): Column = {
+    val ad = asDouble(a); val bd = asDouble(b)
+    dot(ad, bd) / nullif(l2Norm(ad) * l2Norm(bd), lit(0.0))
+  }
+
+  /** Exact brute-force top-k: for every row of `queries`, the k
+    * nearest corpus rows by cosine. `queries` is broadcast — corpus
+    * never shuffles until the per-query top-k (rows out of the join
+    * are already only (query_id, id, cos)).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+    val joined = c.join(q,
+      if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+    val scored = joined.select(col("query_id"), col("id"),
+      cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cos"))
+  }
+
+  /** Random-hyperplane sign bits (deterministic, seeded): the
+    * classic cosine-LSH signature. Returns a long bucket id of
+    * `numPlanes` bits (<= 62).
+    */
+  def hyperplaneBucket(v: Column, dim: Int, numPlanes: Int, seed: Long = 42L): Column = {
+    require(numPlanes <= 62)
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    val vd = asDouble(v)
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = aggregate(zip_with(vd, typedLit(p.toSeq), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Multi-table LSH ANN (OR-amplification): `tables` independent
+    * hyperplane signatures of `numPlanes` bits each; a corpus row is
+    * a candidate if it shares ANY table's bucket with the query.
+    * Optional multi-probe additionally flips each signature bit once
+    * (numPlanes extra probes per table).
+    *
+    * Scale shape: equi-join keyed by (table, bucket) — the corpus is
+    * touched ~tables/2^numPlanes per probe, never scanned per query.
+    * Candidates are deduped BEFORE cosine scoring so each pair is
+    * scored once. Recall < 1 by construction; exactness is
+    * bruteForceTopK's job (recall asserted in ScalaTest).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              numPlanes: Int = 6, tables: Int = 8, multiProbe: Boolean = false,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              seed: Long = 42L): DataFrame = {
+    def buckets(v: Column): Column = array((0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        hyperplaneBucket(v, dim, numPlanes, seed + t * 7919).as("b"))
+    }: _*)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
+        explode(buckets(col(vecCol))).as("tb"))
+      .select(col("id"), col("cv"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(buckets(col(vecCol))).as("tb"))
+      .select(col("query_id"), col("qv"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val q =
+      if (multiProbe)
+        qb.select(col("query_id"), col("qv"), col("t"),
+          explode(array(lit(0L) +: (0 until numPlanes).map(i => lit(1L << i)): _*)).as("m"))
+          .select(col("query_id"), col("qv"), col("t"), col("b").bitwiseXOR(col("m")).as("b"))
+      else qb
+    val cands = c.join(q, Seq("t", "b"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("id"), col("cv"))
+      .dropDuplicates("query_id", "id")
+    val scored = cands.select(col("query_id"), col("id"),
+      cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs over one corpus: bucket by
+    * hyperplane signature, pair within bucket, verify cosine >=
+    * threshold. The same LSH-candidate shape as Dedup.minhash — both
+    * shuffle (bucket, id) only.
+    */
+  def cosineNearDupPairs(df: DataFrame, dim: Int, threshold: Double,
+                         numPlanes: Int = 8, idCol: String = "vec_id",
+                         vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hyperplaneBucket(col(vecCol), dim, numPlanes, seed).as("bucket"))
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        cosine(col("x.v"), col("y.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines: token
+  * counting, quality scoring, language identification, document
+  * fingerprinting. All pure per-row Column expressions — no UDFs, no
+  * shuffles; they vectorize through whole-stage codegen (plain
+  * functions) or per-row HOF eval (aggregate/transform).
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-token count: letter runs, digit runs, and single
+    * non-alphanumeric marks counted separately (a cheap proxy for
+    * byte-pair tokenizer output length).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Ratio of punctuation characters to total characters (null-safe
+    * on empty text).
+    */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", "")).cast(DoubleType) /
+      nullif(length(text), lit(0)).cast(DoubleType)
+
+  /** Ratio of uppercase letters to letters. */
+  def upperRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Z]", "")).cast(DoubleType) /
+      nullif(length(regexp_replace(text, "[^A-Za-z]", "")), lit(0)).cast(DoubleType)
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "for", "on", "with")
+
+  /** Fraction of tokens that are stopwords — a standard quality
+    * signal (too low = keyword spam, too high = boilerplate).
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    size(filter(tokens(text), t => t.isin(stopwords: _*))).cast(DoubleType) /
+      nullif(size(tokens(text)), lit(0)).cast(DoubleType)
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
+      nullif(size(tokens(text)), lit(0)).cast(DoubleType)
+
+  /** Composite quality score in [0,1]: length sweet-spot, stopword
+    * presence, low punctuation noise. Deterministic arithmetic only.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast(DoubleType)
+    val lenScore = least(n / lit(50.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val punctPenalty = least(coalesce(punctRatio(text), lit(0.0)) * lit(2.0), lit(1.0))
+    round((lenScore * lit(0.5) + stopScore * lit(0.4)) * (lit(1.0) - punctPenalty * lit(0.5)) + lit(0.1), 4)
+  }
+
+  /** Language marker words for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny — this is a heuristic operator, not
+    * a model.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "in", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "es" -> Seq("el", "la", "de", "y", "es", "que", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "une", "dans"))
+
+  /** Per-language marker-hit count. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isin(markers: _*)))
+
+  /** Heuristic language ID: argmax of marker-hit counts, 'und'
+    * (undetermined) when no marker hits at all. Ties break in
+    * LangMarkers declaration order (en first) — deterministic.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => (lang, langScore(text, ms)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  private val FpMod = 1000000007L  // prime modulus keeps the rolling product < 2^62 (ANSI-safe)
+  private val FpBase = 1000003L
+
+  /** Polynomial rolling-hash fingerprint of the whole token stream.
+    * Order-sensitive (unlike MinHash): re-ordered documents get
+    * different fingerprints.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * FpBase + pmod(xxhash64(t), lit(FpMod)), lit(FpMod)))
+
+  /** Winnowing-style fingerprint set: min shingle-hash per sliding
+    * window of `window` shingles, distinct. Robust to local edits;
+    * the standard document-fingerprinting scheme.
+    */
+  def winnowingFingerprints(text: Column, shingleWidth: Int = 4, window: Int = 4): Column = {
+    val hs = transform(Dedup.shingles(text, shingleWidth), s => xxhash64(s))
+    sort_array(array_distinct(
+      when(size(hs) <= window, array(array_min(hs)))
+        .otherwise(transform(sequence(lit(0), size(hs) - window),
+          i => array_min(slice(hs, i + 1, lit(window)))))))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingles: w-grams over tokens; short text collapses to one shingle") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("s"))
+    assert(df.collect().map(_.getSeq[String](0)).toSeq ===
+      Seq(Seq("a b c", "b c d"), Seq("a b")))
+  }
+
+  test("exactDedup keeps lowest id per identical text") {
+    val df = Seq((3L, "same"), (1L, "same"), (2L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "doc_id", "text")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
+  test("minhash LSH finds planted near-duplicates and matches exact jaccard") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tomorrow")
+    val other = "completely different words entirely unrelated content goes here now"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(df, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleWidth = 3, threshold = 0.3)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    // exact jaccard of the planted pair: only the final shingle
+    // differs -> 10 shared / 12 union
+    assert(math.abs(got.head._3 - 10.0 / 12.0) < 1e-12)
+  }
+
+  test("minhash on the synthetic corpus agrees with exact ngram-jaccard pairs") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 64, 16, 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step makes LSH ⊆ exact; banding at j>=0.5 with
+    // b=16,r=4 catches >99.9% — on this corpus expect full recall
+    assert(lsh.subsetOf(exact))
+    assert(lsh === exact, s"LSH missed ${exact -- lsh}")
+  }
+
+  test("simhash: identical texts hash identically, near-dups are close") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+                 (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+                 (3L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(3L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) < 20)
+    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxDist = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)))
+  }
+}

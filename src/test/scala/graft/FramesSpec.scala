@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Frames
+
+class FramesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("prefixColumns renames every column") {
+    val df = Seq((1, "a")).toDF("x", "y")
+    assert(Frames.prefixColumns(df, "p_").columns.toSeq === Seq("p_x", "p_y"))
+  }
+
+  test("concatFrames aligns by name, not position") {
+    val a = Seq((1, "a")).toDF("n", "s")
+    val b = Seq(("b", 2)).toDF("s", "n")
+    val out = Frames.concatFrames(Seq(a, b)).orderBy("n")
+    assert(out.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "a"), (2, "b")))
+  }
+
+  test("uniqueFirst keeps first row per key by explicit order") {
+    val df = Seq(("k", 2, "second"), ("k", 1, "first"), ("j", 9, "only")).toDF("k", "ord", "v")
+    val out = Frames.uniqueFirst(df, Seq("k"), Seq(col("ord"))).orderBy("k")
+    assert(out.select("v").collect().map(_.getString(0)).toSeq === Seq("only", "first"))
+  }
+
+  test("uniqueKeepNone drops every row of duplicated keys (keep='none')") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    val out = Frames.uniqueKeepNone(df, Seq("k"))
+    assert(out.select("v").collect().map(_.getInt(0)).toSeq === Seq(3))
+  }
+
+  test("sampleExact returns exactly n rows, deterministic for a seed") {
+    val df = (1 to 100).toDF("n")
+    val s1 = Frames.sampleExact(df, 10, seed = 7L).collect().map(_.getInt(0)).toSeq
+    val s2 = Frames.sampleExact(df, 10, seed = 7L).collect().map(_.getInt(0)).toSeq
+    val s3 = Frames.sampleExact(df, 10, seed = 8L).collect().map(_.getInt(0)).toSeq
+    assert(s1.size === 10); assert(s1 === s2); assert(s1 !== s3)
+  }
+
+  test("limitWithWarning passes small frames through, caps large ones") {
+    val small = (1 to 5).toDF("n")
+    assert(Frames.limitWithWarning(small, 10).count() === 5)
+    val big = (1 to 100).toDF("n")
+    assert(Frames.limitWithWarning(big, 10).count() === 10)
+  }
+
+  test("printRdfStatements asserts the sink schema contract") {
+    val good = Seq("wd:Q1 wdt:P1 \"x\" .").toDF("rdf_statement")
+    val bout = new java.io.ByteArrayOutputStream()
+    Frames.printRdfStatements(good, out = new java.io.PrintStream(bout))
+    assert(bout.toString.trim === "wd:Q1 wdt:P1 \"x\" .")
+    val bad = Seq(1).toDF("x")
+    intercept[IllegalArgumentException] { Frames.printRdfStatements(bad) }
+  }
+}

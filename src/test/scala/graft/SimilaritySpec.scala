@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native cosine expression matches the HOF reference formulation") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings").limit(50)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val both = a.join(b, col("ia") < col("ib"))
+      .select(Similarity.cosine(col("va"), col("vb")).as("native"),
+              Similarity.cosineHof(col("va"), col("vb")).as("hof"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("cosine of a vector with itself is 1; zero vector is null") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)),
+                 (Seq(1.0f, 0.0f), Seq(0.0f, 0.0f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings").limit(30)
+    val out = Similarity.bruteForceTopK(e, e.limit(5), k = 3)
+    val byQuery = out.collect().groupBy(_.getLong(0))
+    assert(byQuery.size === 5)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3))
+      val cos = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("lshTopK achieves reasonable top-1 recall vs brute force") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val exact = Similarity.bruteForceTopK(e, e, k = 1)
+      .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Similarity.lshTopK(e, e, k = 1, dim = 64, numPlanes = 6, tables = 8)
+      .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (q, nn) => approx.get(q).contains(nn) }
+    val recall = hits.toDouble / exact.size
+    assert(recall > 0.3, s"top-1 recall $recall too low")
+  }
+
+  test("hyperplaneBucket is deterministic for a seed") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings").limit(20)
+    val b1 = e.select(Similarity.hyperplaneBucket(col("embedding"), 64, 8).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    val b2 = e.select(Similarity.hyperplaneBucket(col("embedding"), 64, 8).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(b1 === b2)
+  }
+}

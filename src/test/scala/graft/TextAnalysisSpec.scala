@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokenCount counts whitespace tokens") {
+    val df = Seq("one two  three", " padded ").toDF("t")
+      .select(TextAnalysis.tokenCount(col("t")).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(3, 1))
+  }
+
+  test("bpeishTokenCount splits letter runs, digits, and marks") {
+    val df = Seq("hello world42!").toDF("t")
+      .select(TextAnalysis.bpeishTokenCount(col("t")).as("n"))
+    // hello, world, 42, ! -> 4
+    assert(df.head().getInt(0) === 4)
+  }
+
+  test("stopwordRatio and punctRatio compute expected fractions") {
+    val df = Seq("the cat sat on a mat.").toDF("t").select(
+      TextAnalysis.stopwordRatio(col("t")).as("sw"),
+      TextAnalysis.punctRatio(col("t")).as("p"))
+    val r = df.head()
+    // tokens: the cat sat on a mat. -> 6 tokens, stopwords: the, on, a = 3
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-12)
+    assert(r.getDouble(1) > 0.0)
+  }
+
+  test("langId detects marker-heavy languages, 'und' without markers") {
+    val df = Seq("the cat is in the house and it is fine",
+                 "der hund ist nicht mit der katze und das ist gut",
+                 "el perro es un animal y la casa es grande",
+                 "xyzzy qwerty").toDF("t")
+      .select(TextAnalysis.langId(col("t")).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("en", "de", "es", "und"))
+  }
+
+  test("fingerprint is order-sensitive; winnowing survives local edits") {
+    val df = Seq(("a b c d e f g h", 1L), ("b a c d e f g h", 2L)).toDF("t", "id")
+      .select(TextAnalysis.fingerprint(col("t")).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) !== fps(1))
+
+    val w = Seq("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12",
+                "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 CHANGED").toDF("t")
+      .select(TextAnalysis.winnowingFingerprints(col("t")).as("w"))
+    val sets = w.collect().map(_.getSeq[Long](0).toSet)
+    assert((sets(0) intersect sets(1)).nonEmpty)
+  }
+
+  test("qualityScore is within [0, 1.1] and higher for natural text") {
+    val df = Seq("the quick brown fox jumps over the lazy dog and it is a fine " +
+        "day for running in the park with friends enjoying it all the end of it",
+        "spam").toDF("t")
+      .select(TextAnalysis.qualityScore(col("t")).as("q"))
+    val qs = df.collect().map(_.getDouble(0))
+    assert(qs.forall(q => q >= 0.0 && q <= 1.1))
+    assert(qs(0) > qs(1))
+  }
+}
