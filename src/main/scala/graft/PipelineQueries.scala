@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
 
 /** Training-data-pipeline operators (SURVEY.md §7.6 / north-star) as
   * verifiable queries: deduplication, similarity search, text
@@ -97,6 +98,15 @@ object PipelineQueries {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // ---- gap-based sessionization (batch twin of the streaming op) ----
+    "events_sessionize" -> ((s, d) =>
+      EventStreams.sessionizeBatch(t(s, d, "events"), gapSeconds = 1800)
+        .select(col("user_id"), col("session_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_id"))),
+
     // ---- document fingerprinting (no oracle: xxhash-based) ----
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
@@ -107,6 +117,27 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_sessionize" ->
+      """WITH w AS (
+           SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         b AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+           FROM w),
+         s AS (
+           SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM b)
+         SELECT user_id, session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events
+         FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
     "dedup_exact_groups" ->
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          FROM documents GROUP BY md5(text) ORDER BY text_md5""",

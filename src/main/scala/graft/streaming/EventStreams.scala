@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Each operator exists in BOTH forms where meaningful:
+  *  - batch (DataFrame over the parquet table) — oracle-verifiable
+  *  - Structured Streaming (readStream → watermark → stateful op) —
+  *    the scale path for continuous ingestion.
+  * The streaming aggregations are keyed exactly like their batch
+  * twins, so correctness of the streaming path is asserted against
+  * the batch result in tests (same input, same output).
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long,
+                           sum_value: Double)
+
+  /** Open-session state for the streaming sessionizer. */
+  final case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+
+  /** Tumbling (or sliding, when `slide` differs) event-time window
+    * aggregation. Streaming form: add a watermark upstream; this is
+    * the classic `groupBy(window(...))` incremental aggregation.
+    */
+  def windowedAgg(events: DataFrame, windowLen: String,
+                  slide: Option[String] = None): DataFrame =
+    events.groupBy(
+        window(col("ts"), windowLen, slide.getOrElse(windowLen)).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_v"))
+
+  /** Streaming twin of [[windowedAgg]] with an event-time watermark
+    * bounding state.
+    */
+  def streamingWindowedAgg(events: DataFrame, windowLen: String,
+                           watermark: String): DataFrame =
+    windowedAgg(events.withWatermark("ts", watermark), windowLen)
+
+  /** Batch gap-based sessionization: a new session starts when the
+    * gap to the previous event of the same user exceeds `gapSeconds`.
+    * Two shuffle-free passes over a single user-keyed sort: lag +
+    * running sum of session-break flags — the standard windowed
+    * formulation, SQL-expressible for the DuckDB oracle.
+    */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withBreaks = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withBreaks.groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Streaming sessionization via flatMapGroupsWithState with
+    * processing-time timeout: state per user is the open session;
+    * events beyond the gap close it and emit. The custom-state
+    * counterpart of [[sessionizeBatch]] (SURVEY.md §7.6).
+    */
+  def sessionizeStream(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[OpenSession], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[List[OpenSession]]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var sessions = state.getOption.getOrElse(Nil)
+          val closed = List.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            sessions match {
+              case open :: rest if t - open.end <= gapSeconds * 1000 =>
+                sessions = open.copy(end = t, n = open.n + 1, sum = open.sum + e.value) :: rest
+              case open :: rest =>
+                closed += Session(userId, new java.sql.Timestamp(open.start),
+                  new java.sql.Timestamp(open.end), open.n, open.sum)
+                sessions = OpenSession(t, t, 1, e.value) :: rest
+              case Nil =>
+                sessions = OpenSession(t, t, 1, e.value) :: Nil
+            }
+          }
+          state.update(sessions)
+          closed.result().iterator
+      }
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+import graft.util.Actions
+
+class MultimodalActionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("decodeMedia: schema contract, null blobs, oversize guard, determinism") {
+    val df = Seq(
+      (1L, Some("img-bytes-aaaa".getBytes("UTF-8")), "png"),
+      (2L, None: Option[Array[Byte]], "png"),
+      (3L, Some(Array.fill[Byte](128)(7)), "wav")
+    ).toDF("media_id", "bytes", "format")
+    val out = Multimodal.decodeMedia(df, "bytes", "format")
+    assert(out.schema("decoded").dataType.simpleString === Multimodal.DecodedType.simpleString)
+    val rows = out.orderBy("media_id").collect()
+    assert(rows(1).isNullAt(3))                       // null blob -> null decode
+    val d1 = rows(0).getStruct(3)
+    assert(d1.getStruct(0).getString(0) === "png")    // meta.format
+    assert(d1.getSeq[Float](1).length === 16)         // feature dim
+    // deterministic: same bytes -> same features
+    val again = Multimodal.decodeMedia(df, "bytes", "format")
+      .orderBy("media_id").collect()(0).getStruct(3).getSeq[Float](1)
+    assert(again === d1.getSeq[Float](1))
+    // oversize guard
+    val big = Multimodal.decodeMedia(df, "bytes", "format", maxBytes = 64)
+      .orderBy("media_id").collect()
+    assert(big(2).isNullAt(3) && !big(0).isNullAt(3))
+  }
+
+  test("decoded features flow into the Similarity operators") {
+    val df = Seq(
+      (1L, "aaaa".getBytes("UTF-8"), "png"),
+      (2L, "aaaa".getBytes("UTF-8"), "png"),
+      (3L, "zzzz-different".getBytes("UTF-8"), "png")
+    ).toDF("vec_id", "bytes", "format")
+    val feats = Multimodal.decodeMedia(df, "bytes", "format")
+      .select(col("vec_id"), col("decoded.features").as("embedding"))
+    val pairs = feats.as("a").join(feats.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.operators.Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-9)  // identical bytes -> identical vecs
+    assert(pairs((1L, 3L)) < 0.99)
+  }
+
+  test("sampleFrameIndices: even spread, short videos untouched") {
+    val df = Seq(100, 3, 0).toDF("n")
+      .select(Multimodal.sampleFrameIndices(col("n"), 4).as("idx"))
+    val rows = df.collect().map(_.getSeq[Int](0))
+    assert(rows(0) === Seq(0, 25, 50, 75))
+    assert(rows(1) === Seq(0, 1, 2))
+    assert(rows(2) === Seq(0))
+  }
+
+  test("logGroup fences and refuses nesting; warn records categories") {
+    var ran = false
+    Actions.logGroup("g1") { ran = true }
+    assert(ran)
+    intercept[IllegalStateException] {
+      Actions.logGroup("outer") { Actions.logGroup("inner") { } }
+    }
+    Actions.warn("too slow", Actions.SlowQueryWarning)
+    assert(Actions.recentWarnings().exists(w =>
+      w.category === "SlowQueryWarning" && w.message === "too slow"))
+  }
+}

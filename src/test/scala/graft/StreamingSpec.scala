@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def events = Tables.table(spark, TestSpark.sfDir, "events")
+
+  test("batch windowedAgg totals match a flat aggregation") {
+    val windowed = EventStreams.windowedAgg(events, "1 hour")
+    val total = windowed.agg(sum("n")).head().getLong(0)
+    assert(total === events.count())
+  }
+
+  test("streaming windowed agg over the same data matches batch (memory sink)") {
+    // stream the events table through a file source: rewrite to a temp
+    // dir (micro-timestamps) so readStream sees the same rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    events.select("event_id", "ts", "user_id", "event_type", "value").coalesce(2)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.streamingWindowedAgg(stream, "1 hour", watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("winagg").start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits windows the watermark has passed; with
+      // a finite file source everything except the tail is final
+      val streamed = spark.sql("select * from winagg")
+        .select("window_start", "event_type", "n")
+        .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      val batch = EventStreams.windowedAgg(events, "1 hour")
+        .select("window_start", "event_type", "n")
+        .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed.nonEmpty)
+      streamed.foreach { case (k, n) => assert(batch(k) === n, s"window $k") }
+    } finally q.stop()
+  }
+
+  test("batch sessionization: gap splits sessions, counts preserved") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 7L), (2L, "2024-01-01 00:10:00", 7L),
+      (3L, "2024-01-01 02:00:00", 7L), (4L, "2024-01-01 00:00:00", 8L)
+    ).map { case (id, ts, u) => (id, java.sql.Timestamp.valueOf(ts), u, "t", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStreams.sessionizeBatch(df, gapSeconds = 1800)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq ===
+      Seq((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
+  }
+
+  test("streaming sessionization (flatMapGroupsWithState) closes sessions on gap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    Seq(
+      (1L, "2024-01-01 00:00:00", 7L), (2L, "2024-01-01 00:10:00", 7L),
+      (3L, "2024-01-01 02:00:00", 7L)
+    ).map { case (id, ts, u) => (id, java.sql.Timestamp.valueOf(ts), u, "t", 2.5) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionizeStream(stream, gapSeconds = 1800)
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val closed = spark.sql("select * from sessions").as[EventStreams.Session].collect()
+      // the 2-event session is closed by the 02:00 event; the open one stays in state
+      assert(closed.length === 1)
+      assert(closed.head.n_events === 2 && closed.head.sum_value === 5.0)
+    } finally q.stop()
+  }
+}
