@@ -329,6 +329,17 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("rk"))
     }),
 
+    // ---- O-L3 seeded exact sample (deterministic in-engine; no
+    //      cross-engine oracle -> rows-only check, asserted in tests) ----
+    "q_sample_seeded" -> ((s, d) =>
+      Frames.sampleExact(t(s, d, "orders").select(col("o_orderkey")), 100, seed = 42L)
+        .orderBy(col("o_orderkey"))),
+
+    // ---- O-L2 soft cap with sampling (LimitWarning) ----
+    "q_limit_warning" -> ((s, d) =>
+      Frames.limitWithWarning(t(s, d, "orders").select(col("o_orderkey")), n = 250)
+        .orderBy(col("o_orderkey"))),
+
     // ---- events: tumbling-window aggregation (batch form) ----
     "q_events_tumbling" -> ((s, d) =>
       t(s, d, "events")

@@ -8,4 +8,13 @@ object NativeFunctions {
   def cosineSim(a: Column, b: Column): Column =
     GraftSqlShims.column(
       CosineSimilarity(GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
+
+  /** Single-pass 63-bit SimHash over an array<string> token column. */
+  def simhash(tokens: Column): Column =
+    GraftSqlShims.column(SimHash(GraftSqlShims.expression(tokens)))
+
+  /** Single-pass MinHash signature over an array<long> hash column. */
+  def minhashSignature(hashes: Column, numHashes: Int, seed: Long = 42L): Column =
+    GraftSqlShims.column(
+      MinHashSignature(GraftSqlShims.expression(hashes), numHashes, seed))
 }

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass sketch expressions.
+  *
+  * Both sketches are also expressible with Catalyst higher-order
+  * functions (see Dedup.simhashHof / minhashSignatureHof, kept as the
+  * tested reference semantics), but the HOF formulations evaluate one
+  * interpreted lambda per (element × hash) — 63-64 passes over every
+  * token array per row. These expressions make ONE pass over the
+  * backing ArrayData with primitive accumulators: at 100 TB the
+  * signature computation is the dominant map-side cost of
+  * dedup, so constant factors here matter.
+  *
+  * Hash parity: token hashing uses XxHash64Function with Spark's
+  * default seed 42 — bit-identical to `functions.xxhash64(col)` — so
+  * native and HOF formulations produce identical sketches.
+  */
+object SketchExpressions {
+  val XxSeed = 42L
+  val P31 = 2147483647L // Mersenne prime 2^31-1, universal-hash modulus
+}
+
+/** 63-bit SimHash over an array<string> of tokens (bit 63 clear so
+  * the sum of powers stays in a signed long).
+  */
+case class SimHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import SketchExpressions._
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val balance = new Array[Int](63)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, XxSeed)
+        var b = 0
+        while (b < 63) {
+          if (((h >>> b) & 1L) == 1L) balance(b) += 1 else balance(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 63) {
+      if (balance(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature over an array<long> of (64-bit) element hashes:
+  * sig_j = min over elements of (a_j * fold31(x) + b_j) mod P31,
+  * identical math to the HOF formulation in Dedup.minhashSignature.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  import SketchExpressions._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val params: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getLong(i)
+        // pmod(x, P31): fold the 64-bit hash into [0, P31)
+        val m = x % P31
+        val x31 = if (m < 0) m + P31 else m
+        var j = 0
+        while (j < numHashes) {
+          val (a, b) = params(j)
+          val h = (a * x31 + b) % P31  // a,x31 < 2^31 so a*x31+b < 2^62
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (n == 0) null else new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -55,7 +55,14 @@ object Dedup {
     * ANSI-overflow-safe). No shuffle, no UDF — pure Catalyst
     * higher-order functions.
     */
-  def minhashSignature(shingleHashes: Column, numHashes: Int, seed: Long = 42L): Column = {
+  def minhashSignature(shingleHashes: Column, numHashes: Int, seed: Long = 42L): Column =
+    graft.functions.NativeFunctions.minhashSignature(shingleHashes, numHashes, seed)
+
+  /** HOF reference formulation of the MinHash signature — identical
+    * math, one interpreted pass per hash function; the native
+    * expression is tested against it.
+    */
+  def minhashSignatureHof(shingleHashes: Column, numHashes: Int, seed: Long = 42L): Column = {
     val params = hashParams(numHashes, seed)
     array(params.map { case (a, b) =>
       array_min(transform(shingleHashes, x => pmod(pmod(x, lit(P31)) * a + b, lit(P31))))
@@ -137,7 +144,13 @@ object Dedup {
   /** 63-bit SimHash over tokens, computed per-row (bit 63 left clear
     * so the power-of-two sum stays within signed long under ANSI).
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.functions.NativeFunctions.simhash(tokens(text))
+
+  /** HOF reference formulation of SimHash — 63 interpreted aggregate
+    * passes; the native expression is tested against it.
+    */
+  def simhashHof(text: Column): Column = {
     val hs = transform(tokens(text), t => xxhash64(t))
     (0 until 63).map { i =>
       val bitBalance = aggregate(hs, lit(0L), (acc, h) =>

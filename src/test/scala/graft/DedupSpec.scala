@@ -59,4 +59,23 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 3L)))
   }
+
+  test("native SimHash expression matches the HOF formulation on the corpus") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents").limit(100)
+    val both = docs.select(
+      Dedup.simhash(col("text")).as("native"),
+      Dedup.simhashHof(col("text")).as("hof"))
+    both.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("native MinHashSignature expression matches the HOF formulation") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents").limit(100)
+    val base = docs.select(Dedup.shingleHashes(col("text"), 3).as("sh"))
+    val both = base.select(
+      Dedup.minhashSignature(col("sh"), 64).as("native"),
+      Dedup.minhashSignatureHof(col("sh"), 64).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
 }

@@ -39,6 +39,8 @@ class HttpStub {
     ("tv", 615L) -> true, ("tv", 9999L) -> false,
     ("person", 7L) -> true, ("person", 8888L) -> false)
 
+  val fileFixtures = TrieMap.empty[String, Array[Byte]]
+
   var blocklistExtract: String =
     "Blocked items include Q5 and Q42 plus Q100 for reasons."
 
@@ -90,6 +92,13 @@ class HttpStub {
         val exists = existsFixtures.getOrElse((parts(0), parts(1).toLong), false)
         if (exists) respond(ex, 200, s"""{"id":${parts(1)}}""")
         else respond(ex, 404, """{"status_code":34,"status_message":"not found"}""")
+      case p if p.startsWith("/files/") =>
+        fileFixtures.get(p.stripPrefix("/files/")) match {
+          case Some(bytes) =>
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes); ex.close()
+          case None => respond(ex, 404, "no such file")
+        }
       case "/w/api.php" =>
         respond(ex, 200,
           s"""{"query":{"pages":{"${Wikidata103442925}":{"extract":"$blocklistExtract"}}}}""")

@@ -68,4 +68,21 @@ class SparqlWikidataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0)).toSeq ===
       Seq(true, true, false, null))
   }
+
+  test("HttpParquet: fetch-once remote index scan with pushdown-capable local read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hp").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(dir)
+    val part = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
+    stub.fileFixtures.put("idx.parquet", java.nio.file.Files.readAllBytes(part.toPath))
+    val url = s"${stub.base}/files/idx.parquet"
+    val before = stub.requestCount.get()
+    val df = graft.sources.HttpParquet.read(spark, url, refresh = true)
+    assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    graft.sources.HttpParquet.read(spark, url).count()  // cache hit, no refetch
+    assert(stub.requestCount.get() - before === 1)
+    intercept[IllegalArgumentException] {
+      graft.sources.HttpParquet.read(spark, s"${stub.base}/files/missing.parquet", refresh = true)
+    }
+  }
 }
