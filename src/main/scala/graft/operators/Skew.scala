@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers for the 100 TB posture.
+  *
+  * AQE's skew-join handling (on by default) covers sort-merge joins;
+  * salting is the explicit tool for aggregate skew and for joins
+  * whose hot keys are known or measurable. Both helpers keep the
+  * transformation declarative so Catalyst still prunes/pushes around
+  * them.
+  */
+object Skew {
+
+  /** Salted equi-join: the skewed (large, hot-keyed) left side gets a
+    * random salt in [0, saltFactor); the right side is exploded
+    * saltFactor ways so every (key, salt) pair finds its match. Hot
+    * keys then spread over saltFactor reducers instead of one.
+    * Right side grows saltFactor× — use for dimension-ish right
+    * sides, or pre-filter to the known-hot keys.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 1, "saltFactor must be > 1")
+    val saltedLeft = left.withColumn("__salt",
+      (rand(seed = 42L) * saltFactor).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+
+  /** Two-phase (partial + final) aggregation with an explicit salt —
+    * for the rare aggregate whose combiner state is large enough that
+    * one hot key overwhelms a single reducer even with map-side
+    * partial aggregation. `partialAggs` must be re-aggregatable
+    * (sum/count/min/max style).
+    */
+  def saltedAgg(df: DataFrame, key: String, saltFactor: Int,
+                partialAggs: Seq[(String, Column)],
+                finalAggs: Seq[(String, Column => Column)]): DataFrame = {
+    val salted = df.withColumn("__salt", (rand(seed = 42L) * saltFactor).cast("int"))
+    val partial = salted.groupBy(col(key), col("__salt"))
+      .agg(partialAggs.head._2.as(partialAggs.head._1),
+        partialAggs.tail.map { case (n, c) => c.as(n) }: _*)
+    partial.groupBy(col(key))
+      .agg(finalAggs.head._2(col(finalAggs.head._1)).as(finalAggs.head._1),
+        finalAggs.tail.map { case (n, f) => f(col(n)).as(n) }: _*)
+  }
+
+  /** Top-N heavy keys with counts — the measurement step before
+    * deciding to salt. One pass, partial-aggregated.
+    */
+  def hotKeys(df: DataFrame, key: String, topN: Int = 20): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(key))
+      .limit(topN)
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skew
+
+class EntrySkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("driver t1 smoke: entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query analyzes (schema known without execution)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val schema = fn(spark, TestSpark.sfDir).schema
+      assert(schema.nonEmpty, s"$name has empty schema")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  test("saltedJoin matches plain join results") {
+    val left = (1 to 1000).map(i => (if (i < 900) "hot" else s"k$i", i)).toDF("k", "v")
+    val right = Seq(("hot", "H"), ("k950", "A")).toDF("k", "tag")
+    val plain = left.join(right, Seq("k")).agg(count(lit(1)), sum("v")).head()
+    val salted = Skew.saltedJoin(left, right, "k", saltFactor = 8)
+      .agg(count(lit(1)), sum("v")).head()
+    assert(plain === salted)
+  }
+
+  test("saltedAgg two-phase sums equal direct aggregation") {
+    val df = (1 to 5000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i.toLong))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedAgg(df, "k", saltFactor = 8,
+      partialAggs = Seq("s" -> sum(col("v")), "n" -> count(lit(1))),
+      finalAggs = Seq("s" -> ((c: org.apache.spark.sql.Column) => sum(c)),
+        "n" -> ((c: org.apache.spark.sql.Column) => sum(c))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(direct === salted)
+  }
+
+  test("hotKeys surfaces the heavy hitter first") {
+    val df = (1 to 100).map(i => if (i < 80) "hot" else s"k$i").toDF("k")
+    val top = Skew.hotKeys(df, "k", 3).collect()
+    assert(top.head.getString(0) === "hot" && top.head.getLong(1) === 79L)
+  }
+}
