@@ -17,4 +17,10 @@ object NativeFunctions {
   def minhashSignature(hashes: Column, numHashes: Int, seed: Long = 42L): Column =
     GraftSqlShims.column(
       MinHashSignature(GraftSqlShims.expression(hashes), numHashes, seed))
+
+  /** One-pass LSH bucket array (tables longs) for an array<float>. */
+  def hyperplaneBuckets(v: Column, dim: Int, numPlanes: Int, tables: Int,
+                        seed: Long = 42L): Column =
+    GraftSqlShims.column(
+      HyperplaneBuckets(GraftSqlShims.expression(v), dim, numPlanes, tables, seed))
 }

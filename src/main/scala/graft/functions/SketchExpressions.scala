@@ -111,3 +111,68 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** All LSH table buckets in one pass: for `tables` independent
+  * hyperplane sets of `numPlanes` Gaussian planes each (seeded
+  * exactly like Similarity.hyperplaneBucket: table t uses
+  * seed + t*7919), computes every projection in a single loop over
+  * the vector and packs sign bits into a long per table.
+  * Replaces tables x numPlanes interpreted HOF dot products per row.
+  */
+case class HyperplaneBuckets(child: Expression, dim: Int, numPlanes: Int,
+                             tables: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "hyperplane_buckets"
+
+  // [tables*numPlanes][dim], plane (t,p) at index t*numPlanes+p
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val out = new Array[Array[Double]](tables * numPlanes)
+    var t = 0
+    while (t < tables) {
+      val rnd = new scala.util.Random(seed + t * 7919)
+      var p = 0
+      while (p < numPlanes) {
+        out(t * numPlanes + p) = Array.fill(dim)(rnd.nextGaussian())
+        p += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val nPlanes = tables * numPlanes
+    val proj = new Array[Double](nPlanes)
+    var i = 0
+    while (i < n) {
+      val x = arr.getFloat(i).toDouble
+      var p = 0
+      while (p < nPlanes) {
+        proj(p) += x * planes(p)(i)
+        p += 1
+      }
+      i += 1
+    }
+    val buckets = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var b = 0L
+      var p = 0
+      while (p < numPlanes) {
+        if (proj(t * numPlanes + p) >= 0) b |= (1L << p)
+        p += 1
+      }
+      buckets(t) = b
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

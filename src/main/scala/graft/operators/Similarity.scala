@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Approximate-nearest-neighbor / similarity search over an
   * `array<float>` embedding column.
@@ -60,12 +61,27 @@ object Similarity {
       if (excludeSelf) col("id") =!= col("query_id") else lit(true))
     val scored = joined.select(col("query_id"), col("id"),
       cosine(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id"), col("cos"))
+    topKPerKey(scored, k)
   }
+
+  /** Per-query top-k reduction. k=1 goes through max_by-style partial
+    * aggregation (map-side combine: each task reduces its slice to
+    * one row per query before the shuffle); k>1 uses the row_number
+    * window (full shuffle of scored pairs — the general case).
+    * Tie-break matches the window form: highest cos, then lowest id.
+    */
+  private def topKPerKey(scored: DataFrame, k: Int): DataFrame =
+    if (k == 1) {
+      scored.groupBy(col("query_id"))
+        .agg(max(struct(col("cos"), (-col("id")).as("nid"))).as("m"))
+        .select(col("query_id"), lit(1).as("rank"),
+          (-col("m.nid")).as("id"), col("m.cos").as("cos"))
+    } else {
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("id"), col("cos"))
+    }
 
   /** Random-hyperplane sign bits (deterministic, seeded): the
     * classic cosine-LSH signature. Returns a long bucket id of
@@ -99,32 +115,39 @@ object Similarity {
               numPlanes: Int = 6, tables: Int = 8, multiProbe: Boolean = false,
               idCol: String = "vec_id", vecCol: String = "embedding",
               seed: Long = 42L): DataFrame = {
-    def buckets(v: Column): Column = array((0 until tables).map { t =>
-      struct(lit(t).as("t"),
-        hyperplaneBucket(v, dim, numPlanes, seed + t * 7919).as("b"))
-    }: _*)
+    // native one-pass bucket computation; bit-parity with
+    // hyperplaneBucket(seed + t*7919) asserted in SimilaritySpec
+    def buckets(v: Column): Column = {
+      val bs = graft.functions.NativeFunctions.hyperplaneBuckets(
+        v, dim, numPlanes, tables, seed)
+      transform(bs, (b, t) => struct(t.cast(IntegerType).as("t"), b.as("b")))
+    }
+    // persist both bucket tables: InferFiltersFromGenerate otherwise
+    // clones the (tables x planes) projection pipeline into scan-level
+    // filters and re-runs it per row interpreted (same pathology as
+    // the MinHash signature tables — see Dedup)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
         explode(buckets(col(vecCol))).as("tb"))
       .select(col("id"), col("cv"), col("tb.t").as("t"), col("tb.b").as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(buckets(col(vecCol))).as("tb"))
       .select(col("query_id"), col("qv"), col("tb.t").as("t"), col("tb.b").as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val q =
       if (multiProbe)
         qb.select(col("query_id"), col("qv"), col("t"),
           explode(array(lit(0L) +: (0 until numPlanes).map(i => lit(1L << i)): _*)).as("m"))
           .select(col("query_id"), col("qv"), col("t"), col("b").bitwiseXOR(col("m")).as("b"))
       else qb
-    val cands = c.join(q, Seq("t", "b"))
+    // score BEFORE dedup: cosine per candidate-occurrence is cheap
+    // (native fused loop) while dropDuplicates over rows carrying two
+    // 64-float vectors shuffles ~50x more bytes than (q, id, cos)
+    val scored = c.join(q, Seq("t", "b"))
       .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("id"), col("cv"))
+      .select(col("query_id"), col("id"), cosine(col("qv"), col("cv")).as("cos"))
       .dropDuplicates("query_id", "id")
-    val scored = cands.select(col("query_id"), col("id"),
-      cosine(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id"), col("cos"))
+    topKPerKey(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs over one corpus: bucket by

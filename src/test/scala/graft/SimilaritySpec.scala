@@ -60,4 +60,17 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(b1 === b2)
   }
+
+  test("native HyperplaneBuckets match per-table hyperplaneBucket HOF") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings").limit(30)
+    val native = e.select(col("vec_id"),
+      graft.functions.NativeFunctions.hyperplaneBuckets(col("embedding"), 64, 6, 4).as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    (0 until 4).foreach { t =>
+      val hof = e.select(col("vec_id"),
+        Similarity.hyperplaneBucket(col("embedding"), 64, 6, 42L + t * 7919).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      hof.foreach { case (id, b) => assert(native(id)(t) === b, s"table $t id $id") }
+    }
+  }
 }
