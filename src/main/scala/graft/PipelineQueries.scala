@@ -76,6 +76,15 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- IVF ANN (coarse-quantizer scale path; recall in ScalaTest) ----
+    "sim_topk_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = Similarity.trainIvfCentroids(e, nCentroids = 16, dim = 64, iterations = 1)
+      Similarity.ivfTopK(e, e, k = 1, cents, nProbe = 4)
+        .select(col("query_id"), col("id").as("nn_id"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- text analysis: token counts + quality signals ----
     "text_stats" -> ((s, d) =>
       t(s, d, "documents")

@@ -187,11 +187,14 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Exact n-gram-Jaccard similar pairs via an inverted shingle index
-    * (no LSH approximation): explode distinct shingle hashes, join on
-    * shingle, count shared shingles per pair, Jaccard from set sizes.
-    * Shuffles (shingleHash, id) pairs — linear in corpus shingle
-    * count, never quadratic in documents.
+  /** Exact n-gram-Jaccard similar pairs via an inverted shingle index:
+    * explode distinct shingle hashes, join on shingle, count shared
+    * shingles per pair via aggregation (no per-pair set
+    * materialization), Jaccard from set sizes. Shuffles
+    * (shingleHash, id) pairs — linear in corpus shingle count, never
+    * quadratic in documents. Preferred when shingles are widely
+    * shared (small vocabularies): the shared count falls out of the
+    * join aggregate for free.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleWidth: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -203,6 +206,39 @@ object Dedup {
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.n").as("n_a"), col("y.n").as("n_b"))
       .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", col("shared").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("shared")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram-Jaccard via a PREFIX-FILTERED index (Bayardo/Xiao
+    * position prefix): with shingle sets sorted by a global order,
+    * any pair with Jaccard >= t shares an element within each set's
+    * first n - ceil(t*n) + 1 elements, so only prefixes are indexed
+    * and joined, then candidates verified on the full hash sets.
+    * Same results as [[ngramJaccardPairs]] (asserted in tests);
+    * preferred at high t over large vocabularies where prefix
+    * collisions are rare — candidate count shrinks ~(1-t)^2 while
+    * the count-based variant must join the full index.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                              shingleWidth: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+        sort_array(shingleHashes(col(textCol), shingleWidth)).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast(IntegerType)
+    val inv = sets.select(col("id"),
+      explode(slice(col("sh"), lit(1), greatest(prefixLen, lit(1)))).as("h"))
+    val cands = inv.as("x").join(inv.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("shared").cast(DoubleType) /
         (col("n_a") + col("n_b") - col("shared")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)

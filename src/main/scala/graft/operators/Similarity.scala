@@ -166,4 +166,79 @@ object Similarity {
         cosine(col("x.v"), col("y.v")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** IVF (inverted-file) coarse quantizer: deterministic seeded
+    * sample of the corpus as initial centroids, refined with
+    * `iterations` Lloyd steps computed distributively (assignment is
+    * a broadcast-centroid argmax; the new centroid mean is a
+    * (cell, position) aggregation — shuffles n x dim scalars, never
+    * gathers vectors to one node). Centroids (small: nCentroids x
+    * dim) are collected to the driver for broadcasting into search.
+    */
+  def trainIvfCentroids(corpus: DataFrame, nCentroids: Int, dim: Int,
+                        iterations: Int = 1, idCol: String = "vec_id",
+                        vecCol: String = "embedding", seed: Long = 42L): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var centroids: Array[Array[Float]] = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(lit(seed), col("id")))
+      .limit(nCentroids)
+      .collect().map(_.getSeq[Float](1).toArray)
+    var it = 0
+    while (it < iterations) {
+      val cdf = broadcast(centroids.zipWithIndex
+        .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "cv"))
+      val assigned = corpus.select(col(vecCol).as("v"))
+        .join(cdf)
+        .select(col("v"), col("cell"), cosine(col("v"), col("cv")).as("cos"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("cos"), (-col("cell")).as("nc"))).as("m"))
+        .select(col("v"), (-col("m.nc")).cast("int").as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("mx"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("mx")))).as("ps"))
+        .select(col("cell"), transform(col("ps"), p => p.getField("mx").cast("float")).as("cv"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF ANN search: assign corpus rows to their nearest centroid
+    * cell once; each query probes its `nProbe` nearest cells and
+    * scores only those members. Equi-join on cell id — the corpus is
+    * touched ~nProbe/nCentroids per query batch. Recall grows with
+    * nProbe; exactness is bruteForceTopK's job.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroids: Array[Array[Float]], nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "cv"))
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("cvv"))
+      .join(cdf)
+      .select(col("id"), col("cvv"), col("cell"), cosine(col("cvv"), col("cv")).as("cos"))
+      .groupBy(col("id"), col("cvv"))
+      .agg(max(struct(col("cos"), (-col("cell")).as("nc"))).as("m"))
+      .select(col("id"), col("cvv"), (-col("m.nc")).cast("int").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(cdf)
+      .select(col("query_id"), col("qv"), col("cell"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cell"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = assigned.join(qProbes, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), cosine(col("qv"), col("cvv")).as("cos"))
+    topKPerKey(scored, k)
+  }
 }

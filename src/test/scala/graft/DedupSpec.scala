@@ -35,6 +35,14 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(got.head._3 - 10.0 / 12.0) < 1e-12)
   }
 
+  test("prefix-filtered jaccard equals the count-based exact variant") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    assert(key(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)) ===
+      key(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)))
+  }
+
   test("minhash on the synthetic corpus agrees with exact ngram-jaccard pairs") {
     val docs = Tables.table(spark, TestSpark.sfDir, "documents")
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)

@@ -51,4 +51,26 @@ class EntrySkewSpec extends AnyFunSuite {
     val top = Skew.hotKeys(df, "k", 3).collect()
     assert(top.head.getString(0) === "hot" && top.head.getLong(1) === 79L)
   }
+
+  test("bucketed tables join without a shuffle Exchange") {
+    import graft.operators.Bucketing
+    val o = Tables.table(spark, TestSpark.sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val li = Tables.table(spark, TestSpark.sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity").withColumnRenamed("l_orderkey", "o_orderkey")
+    Bucketing.writeBucketed(o, "b_orders", "o_orderkey", 4, Seq("o_orderkey"))
+    Bucketing.writeBucketed(li, "b_lineitem", "o_orderkey", 4, Seq("o_orderkey"))
+    // broadcast disabled: only bucket co-location can avoid the
+    // shuffle, so this asserts the real payoff (SMJ, no Exchange)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+      assert(Bucketing.isShuffleFree(joined),
+        "bucketed join should plan without Exchange:\n" + joined.queryExecution.executedPlan)
+      assert(joined.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+      // results match the plain join; the un-bucketed join DOES shuffle
+      assert(joined.count() === o.join(li, Seq("o_orderkey")).count())
+      assert(!Bucketing.isShuffleFree(o.join(li, Seq("o_orderkey"))))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }

@@ -73,4 +73,16 @@ class SimilaritySpec extends AnyFunSuite {
       hof.foreach { case (id, b) => assert(native(id)(t) === b, s"table $t id $id") }
     }
   }
+
+  test("IVF: train centroids, probe search, decent recall vs brute force") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.trainIvfCentroids(e, nCentroids = 16, dim = 64, iterations = 1)
+    assert(cents.length === 16 && cents.forall(_.length === 64))
+    val exact = Similarity.bruteForceTopK(e, e, k = 1)
+      .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(e, e, k = 1, cents, nProbe = 4)
+      .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = exact.count { case (q, nn) => ivf.get(q).contains(nn) }.toDouble / exact.size
+    assert(recall > 0.5, s"IVF top-1 recall $recall too low")
+  }
 }
