@@ -1,23 +1,55 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+
+/** Per-round benchmark main: times every SparkEntry query at
+  * SPARK_GRAFT_SF_DIR, one JSON line to stdout.
+  *
+  * Each query runs under a wall-clock budget (default 120 s,
+  * SPARK_GRAFT_QUERY_TIMEOUT_SEC to override): on timeout the
+  * query's Spark jobs are cancelled via its job group and the query
+  * records -1 — one pathological plan cannot eat the whole round.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "120").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val pool = Executors.newSingleThreadExecutor()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val task = pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try fn(spark, sfDir).count()
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      val ok =
+        try { task.get(timeoutSec, TimeUnit.SECONDS); true }
+        catch {
+          case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            task.cancel(true)
+            System.err.println(s"[bench] $name timed out after ${timeoutSec}s")
+            false
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    pool.shutdownNow()
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
