@@ -23,4 +23,12 @@ object NativeFunctions {
                         seed: Long = 42L): Column =
     GraftSqlShims.column(
       HyperplaneBuckets(GraftSqlShims.expression(v), dim, numPlanes, tables, seed))
+
+  /** Bounded top-k aggregate column: array<struct<cos,id>> of the k
+    * best (score desc, id asc) pairs; partial-aggregation friendly.
+    */
+  def topkPairs(score: Column, id: Column, k: Int): Column =
+    GraftSqlShims.column(
+      TopKPairs(GraftSqlShims.expression(score), GraftSqlShims.expression(id), k)
+        .toAggregateExpression())
 }

@@ -64,11 +64,14 @@ object Similarity {
     topKPerKey(scored, k)
   }
 
-  /** Per-query top-k reduction. k=1 goes through max_by-style partial
-    * aggregation (map-side combine: each task reduces its slice to
-    * one row per query before the shuffle); k>1 uses the row_number
-    * window (full shuffle of scored pairs — the general case).
-    * Tie-break matches the window form: highest cos, then lowest id.
+  /** Per-query top-k reduction, always via partial aggregation (each
+    * map task reduces its slice to <= k rows per query BEFORE the
+    * shuffle — n_queries x k rows move instead of every scored pair):
+    * k=1 through declarative max(struct) (codegen), k>1 through the
+    * custom bounded-heap [[graft.functions.TopKPairs]]
+    * TypedImperativeAggregate. Tie-break matches the row_number
+    * window formulation (highest cos, then lowest id) — equality
+    * with the window path asserted in SimilaritySpec.
     */
   private def topKPerKey(scored: DataFrame, k: Int): DataFrame =
     if (k == 1) {
@@ -77,11 +80,22 @@ object Similarity {
         .select(col("query_id"), lit(1).as("rank"),
           (-col("m.nid")).as("id"), col("m.cos").as("cos"))
     } else {
-      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("rank"), col("id"), col("cos"))
+      scored.groupBy(col("query_id"))
+        .agg(graft.functions.NativeFunctions.topkPairs(col("cos"), col("id"), k).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")).as(Seq("r0", "p")))
+        .select(col("query_id"), (col("r0") + 1).cast(IntegerType).as("rank"),
+          col("p.id").as("id"), col("p.cos").as("cos"))
     }
+
+  /** row_number-window formulation of per-query top-k — the reference
+    * semantics the aggregate path is tested against.
+    */
+  def topKPerKeyWindow(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cos"))
+  }
 
   /** Random-hyperplane sign bits (deterministic, seeded): the
     * classic cosine-LSH signature. Returns a long bucket id of

@@ -85,4 +85,19 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = exact.count { case (q, nn) => ivf.get(q).contains(nn) }.toDouble / exact.size
     assert(recall > 0.5, s"IVF top-1 recall $recall too low")
   }
+
+  test("bounded-heap top-k aggregate equals the window formulation (k=3)") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val q = e.limit(40)
+    val scored = e.select(col("vec_id").as("id"), col("embedding").as("cv"))
+      .join(broadcast(q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), Similarity.cosine(col("qv"), col("cv")).as("cos"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaAgg = key(Similarity.bruteForceTopK(e, q, k = 3))
+    val viaWindow = key(Similarity.topKPerKeyWindow(scored, 3))
+    assert(viaAgg === viaWindow)
+    assert(viaAgg.size === 40 * 3)
+  }
 }
