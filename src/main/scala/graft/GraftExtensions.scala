@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, MinHashSignature, SimHash}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions so `spark.sql` users get them too:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * spark.sql("SELECT cosine_similarity(a.embedding, b.embedding) ...")
+  * }}}
+  *
+  * (Also loadable via spark.sql.extensions=graft.GraftExtensions.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+    require(args.length == n,
+      s"$name requires $n argument(s), got ${args.length}")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity",
+        "cosine_similarity(a, b) - cosine similarity of two float arrays"),
+      (args: Seq[Expression]) => {
+        arity("cosine_similarity", 2, args); CosineSimilarity(args(0), args(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("simhash"),
+      info("simhash", "simhash(tokens) - 63-bit SimHash of a string array"),
+      (args: Seq[Expression]) => { arity("simhash", 1, args); SimHash(args.head) }))
+    e.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(hashes, k, seed) - k-wide MinHash signature of a long array"),
+      (args: Seq[Expression]) => {
+        arity("minhash_signature", 3, args)
+        MinHashSignature(args(0),
+        args(1).eval().asInstanceOf[Int],
+        args(2).eval() match { case l: Long => l; case i: Int => i.toLong })
+      }))
+  }
+}

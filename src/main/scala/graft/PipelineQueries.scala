@@ -107,6 +107,14 @@ object PipelineQueries {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // ---- sliding-window aggregation (rows-only; overlapping
+    //      windows are asserted against tumbling totals in tests) ----
+    "events_sliding_window" -> ((s, d) =>
+      EventStreams.windowedAgg(t(s, d, "events"), "2 hours", Some("1 hour"))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("event_type"), col("n"))
+        .orderBy(col("ws"), col("event_type"))),
+
     // ---- gap-based sessionization (batch twin of the streaming op) ----
     "events_sessionize" -> ((s, d) =>
       EventStreams.sessionizeBatch(t(s, d, "events"), gapSeconds = 1800)

@@ -41,6 +41,12 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows double-count each event exactly windowLen/slide times") {
+    val sliding = EventStreams.windowedAgg(events, "2 hours", Some("1 hour"))
+    val total = sliding.agg(sum("n")).head().getLong(0)
+    assert(total === 2 * events.count())  // every event falls in exactly 2 windows
+  }
+
   test("batch sessionization: gap splits sessions, counts preserved") {
     val df = Seq(
       (1L, "2024-01-01 00:00:00", 7L), (2L, "2024-01-01 00:10:00", 7L),
