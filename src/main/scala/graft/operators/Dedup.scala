@@ -202,7 +202,13 @@ object Dedup {
         shingleHashes(col(textCol), shingleWidth).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val inv = sets.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
-    inv.as("x").join(inv.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+    // size-ratio pruning (exact): jaccard >= t forces
+    // t*max(|A|,|B|) <= min(|A|,|B|), so mismatched-size pairs are
+    // dropped inside the join before the pair aggregation
+    inv.as("x").join(inv.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id") &&
+          col("x.n") * threshold <= col("y.n") &&
+          col("y.n") * threshold <= col("x.n"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.n").as("n_a"), col("y.n").as("n_b"))
       .agg(count(lit(1)).as("shared"))
