@@ -85,6 +85,17 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     }),
 
+    // ---- approximate sketch aggregates (HLL++ distinct, quantile
+    //      digest): algorithms differ from DuckDB's -> rows-only;
+    //      error bounds vs exact values asserted in ScalaTest ----
+    "q_approx_sketches" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
+        .orderBy(col("event_type"))),
+
     // ---- text analysis: token counts + quality signals ----
     "text_stats" -> ((s, d) =>
       t(s, d, "documents")

@@ -10,6 +10,19 @@ class StreamingSpec extends AnyFunSuite {
 
   private def events = Tables.table(spark, TestSpark.sfDir, "events")
 
+  test("approx sketches stay within error bounds of exact values") {
+    import org.apache.spark.sql.functions._
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("q_approx_sketches")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e < 0.1, s"$k: approx $a vs exact $e")
+    }
+  }
+
   test("batch windowedAgg totals match a flat aggregation") {
     val windowed = EventStreams.windowedAgg(events, "1 hour")
     val total = windowed.agg(sum("n")).head().getLong(0)
