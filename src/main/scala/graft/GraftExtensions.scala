@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{GraftSqlShims, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -14,9 +14,15 @@ import graft.functions.{CosineSimilarity, MinHashSignature, SimHash}
   * spark.sql("SELECT cosine_similarity(a.embedding, b.embedding) ...")
   * }}}
   *
-  * (Also loadable via spark.sql.extensions=graft.GraftExtensions.)
+  * (Also loadable via spark.sql.extensions=graft.GraftExtensions, or
+  * into an already-built session with GraftExtensions.install(spark).)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(e.injectFunction)
+}
+
+object GraftExtensions {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
@@ -25,27 +31,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     require(args.length == n,
       s"$name requires $n argument(s), got ${args.length}")
 
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("cosine_similarity"),
+  /** (identifier, info, builder) triples — the shape both
+    * SparkSessionExtensions.injectFunction and
+    * FunctionRegistry.registerFunction accept.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity",
         "cosine_similarity(a, b) - cosine similarity of two float arrays"),
       (args: Seq[Expression]) => {
         arity("cosine_similarity", 2, args); CosineSimilarity(args(0), args(1))
-      }))
-    e.injectFunction((
-      FunctionIdentifier("simhash"),
+      }),
+    (FunctionIdentifier("simhash"),
       info("simhash", "simhash(tokens) - 63-bit SimHash of a string array"),
-      (args: Seq[Expression]) => { arity("simhash", 1, args); SimHash(args.head) }))
-    e.injectFunction((
-      FunctionIdentifier("minhash_signature"),
+      (args: Seq[Expression]) => { arity("simhash", 1, args); SimHash(args.head) }),
+    (FunctionIdentifier("minhash_signature"),
       info("minhash_signature",
-        "minhash_signature(hashes, k, seed) - k-wide MinHash signature of a long array"),
+        "minhash_signature(hashes, k, seed) - k-wide MinHash signature of a " +
+          "long array; NULL when the array is empty or all-null"),
       (args: Seq[Expression]) => {
         arity("minhash_signature", 3, args)
         MinHashSignature(args(0),
-        args(1).eval().asInstanceOf[Int],
-        args(2).eval() match { case l: Long => l; case i: Int => i.toLong })
+          args(1).eval().asInstanceOf[Int],
+          args(2).eval() match { case l: Long => l; case i: Int => i.toLong })
       }))
+
+  /** Register into an existing session (shell / shared test session) —
+    * same triples the builder-time extension injects.
+    */
+  def install(spark: SparkSession): Unit = {
+    val reg = GraftSqlShims.functionRegistry(spark)
+    functions.foreach { case (id, fnInfo, builder) =>
+      reg.registerFunction(id, fnInfo, builder)
+    }
   }
 }

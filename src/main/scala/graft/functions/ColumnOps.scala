@@ -29,9 +29,11 @@ object ColumnOps {
   /** Replace FIRST regex match only (Polars `str.replace`,
     * wd_opencritic.py:88-90). Spark `regexp_replace` replaces all;
     * the capture-the-rest trick replaces only the first occurrence.
+    * (?s) makes the leading .*? cross newlines so the first match
+    * anywhere in a multi-line value is found, matching Polars.
     */
   def replaceFirst(c: Column, pattern: String, replacement: String): Column =
-    regexp_replace(c, s"^(.*?)$pattern", s"$$1$replacement")
+    regexp_replace(c, s"(?s)^(.*?)$pattern", s"$$1$replacement")
 
   /** Null-propagating printf-ish template (Polars `pl.format`,
     * wd_tmdb.py:218-224 etc.). `{}` placeholders; ANY null argument

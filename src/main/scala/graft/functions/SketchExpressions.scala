@@ -68,7 +68,13 @@ case class SimHash(child: Expression)
 
 /** MinHash signature over an array<long> of (64-bit) element hashes:
   * sig_j = min over elements of (a_j * fold31(x) + b_j) mod P31,
-  * identical math to the HOF formulation in Dedup.minhashSignature.
+  * identical math to the HOF formulation in Dedup.minhashSignatureHof
+  * for any array with at least one non-null element. Documented
+  * divergence on degenerate input (unreachable via shingleHashes but
+  * exposed through the SQL-registered `minhash_signature`): an empty
+  * array or an all-null array yields NULL here, where the HOF twin
+  * yields an array of numHashes nulls (array_min over no values).
+  * NULL is the saner contract for "no signature computable".
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
@@ -88,9 +94,11 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val sig = Array.fill(numHashes)(Long.MaxValue)
+    var seen = 0
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
+        seen += 1
         val x = arr.getLong(i)
         // pmod(x, P31): fold the 64-bit hash into [0, P31)
         val m = x % P31
@@ -105,7 +113,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
       }
       i += 1
     }
-    if (n == 0) null else new GenericArrayData(sig)
+    if (seen == 0) null else new GenericArrayData(sig)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

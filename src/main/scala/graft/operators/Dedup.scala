@@ -204,11 +204,14 @@ object Dedup {
     val inv = sets.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
     // size-ratio pruning (exact): jaccard >= t forces
     // t*max(|A|,|B|) <= min(|A|,|B|), so mismatched-size pairs are
-    // dropped inside the join before the pair aggregation
+    // dropped inside the join before the pair aggregation. The 1e-9
+    // slack absorbs binary-representation error of t (e.g. 10*0.3 =
+    // 3.0000000000000004) so boundary pairs whose true Jaccard equals
+    // t are never pruned; the final jaccard >= t filter stays exact.
     inv.as("x").join(inv.as("y"),
         col("x.h") === col("y.h") && col("x.id") < col("y.id") &&
-          col("x.n") * threshold <= col("y.n") &&
-          col("y.n") * threshold <= col("x.n"))
+          col("x.n") * threshold <= col("y.n") + 1e-9 &&
+          col("y.n") * threshold <= col("x.n") + 1e-9)
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.n").as("n_a"), col("y.n").as("n_b"))
       .agg(count(lit(1)).as("shared"))

@@ -79,6 +79,14 @@ object Multimodal {
     val outSchema = schema.add(StructField(outputCol, DecodedType))
     df.mapPartitions { rows =>
       codec.open()
+      // close() must fire even when a downstream limit/take abandons
+      // the iterator before it drains — the task-completion listener
+      // guarantees exactly one close per task; the closed flag keeps
+      // the fast drained path from double-closing.
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; codec.close() }
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeOnce())
       val it = rows.map { row =>
         val bytes = if (row.isNullAt(bytesIdx)) null else row.getAs[Array[Byte]](bytesIdx)
         val fmt = if (row.isNullAt(formatIdx)) null else row.getString(formatIdx)
@@ -91,7 +99,7 @@ object Multimodal {
         Row.fromSeq(row.toSeq :+ decoded)
       }
       new scala.collection.AbstractIterator[Row] {
-        def hasNext: Boolean = { val h = it.hasNext; if (!h) codec.close(); h }
+        def hasNext: Boolean = { val h = it.hasNext; if (!h) closeOnce(); h }
         def next(): Row = it.next()
       }
     }(Encoders.row(outSchema))

@@ -13,16 +13,32 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types for which salting is output-equivalent to the plain
+    * join: unmatched RIGHT rows never survive these, so exploding the
+    * right side saltFactor ways cannot duplicate output. right/full
+    * outer would emit each unmatched right row once per salt.
+    */
+  private val SaltSafeJoinTypes =
+    Set("inner", "cross", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+
   /** Salted equi-join: the skewed (large, hot-keyed) left side gets a
     * random salt in [0, saltFactor); the right side is exploded
     * saltFactor ways so every (key, salt) pair finds its match. Hot
     * keys then spread over saltFactor reducers instead of one.
     * Right side grows saltFactor× — use for dimension-ish right
     * sides, or pre-filter to the known-hot keys.
+    *
+    * Restricted to inner/left-flavored join types: for right or full
+    * outer joins the exploded right side would surface unmatched
+    * right rows saltFactor times (salt the other side instead).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 1, "saltFactor must be > 1")
+    require(SaltSafeJoinTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched right rows " +
+        s"saltFactor times; supported: inner/cross/left/left_semi/left_anti")
     val saltedLeft = left.withColumn("__salt",
       (rand(seed = 42L) * saltFactor).cast("int"))
     val saltedRight = right.withColumn("__salt",

@@ -33,6 +33,12 @@ class ColumnOpsSpec extends AnyFunSuite {
     assert(df.head().getString(0) === "a_bXc")
   }
 
+  test("replaceFirst finds the first match after a newline (DOTALL)") {
+    val df = Seq("line1\nliXne2\nliXne3").toDF("s")
+      .select(replaceFirst(col("s"), "X", "_").as("r"))
+    assert(df.head().getString(0) === "line1\nli_ne2\nliXne3")
+  }
+
   test("betweenLeft is closed-left open-right") {
     val df = Seq(9, 10, 19, 20).toDF("n")
       .select(betweenLeft(col("n"), lit(10), lit(20)).as("b"))

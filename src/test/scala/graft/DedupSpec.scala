@@ -86,4 +86,27 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getSeq[Long](0) === r.getSeq[Long](1))
     }
   }
+
+  test("MinHashSignature yields NULL on empty and all-null hash arrays") {
+    import graft.functions.NativeFunctions
+    val rows = Seq((Seq.empty[Option[Long]], Seq[Option[Long]](None),
+        Seq[Option[Long]](None, Some(7L))))
+      .toDF("empty", "allnull", "mixed")
+      .select(
+        NativeFunctions.minhashSignature(col("empty"), 16).as("e"),
+        NativeFunctions.minhashSignature(col("allnull"), 16).as("a"),
+        NativeFunctions.minhashSignature(col("mixed"), 16).as("m"))
+      .head()
+    assert(rows.isNullAt(0) && rows.isNullAt(1) && !rows.isNullAt(2))
+  }
+
+  test("size-ratio pruning keeps boundary pairs at inexact thresholds (t=0.3)") {
+    // |A|=10 distinct 1-shingles, |B|=3 with B subset of A: Jaccard = 3/10 = t
+    // exactly; 10*0.3 rounds up in binary, so a biased prune would drop it.
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "a b c")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      shingleWidth = 1, threshold = 0.3).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getDouble(2) === 0.3)
+  }
 }

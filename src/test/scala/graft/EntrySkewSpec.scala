@@ -33,6 +33,27 @@ class EntrySkewSpec extends AnyFunSuite {
     assert(plain === salted)
   }
 
+  test("saltedJoin matches plain left join (unmatched left rows kept once)") {
+    val left = (1 to 200).map(i => (if (i < 150) "hot" else s"k$i", i)).toDF("k", "v")
+    val right = Seq(("hot", "H")).toDF("k", "tag")
+    val plain = left.join(right, Seq("k"), "left")
+      .agg(count(lit(1)), sum("v"), count("tag")).head()
+    val salted = Skew.saltedJoin(left, right, "k", saltFactor = 4, joinType = "left")
+      .agg(count(lit(1)), sum("v"), count("tag")).head()
+    assert(plain === salted)
+  }
+
+  test("saltedJoin refuses right/full outer (would duplicate unmatched right rows)") {
+    val l = Seq(("a", 1)).toDF("k", "v")
+    val r = Seq(("a", "x"), ("b", "y")).toDF("k", "tag")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(l, r, "k", saltFactor = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(l, r, "k", saltFactor = 4, joinType = "full_outer")
+    }
+  }
+
   test("saltedAgg two-phase sums equal direct aggregation") {
     val df = (1 to 5000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i.toLong))
       .toDF("k", "v")

@@ -1,32 +1,41 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 class ExtensionsSpec extends AnyFunSuite {
 
   test("GraftExtensions registers the native expressions for SQL") {
-    // fresh session with extensions on the shared context
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    try {
-      val cos = spark.sql(
-        "SELECT cosine_similarity(array(1.0f, 2.0f), array(1.0f, 2.0f)) AS c")
-        .head().getDouble(0)
-      assert(math.abs(cos - 1.0) < 1e-12)
+    // newSession(): isolated sessionState on the shared context, so
+    // registrations don't leak into other suites and this works no
+    // matter which suite built the context first.
+    val spark = TestSpark.spark.newSession()
+    GraftExtensions.install(spark)
 
-      val sh = spark.sql(
-        "SELECT simhash(array('a','b','c')) AS s, simhash(array('a','b','c')) AS s2")
-        .head()
-      assert(sh.getLong(0) === sh.getLong(1))
+    val cos = spark.sql(
+      "SELECT cosine_similarity(array(1.0f, 2.0f), array(1.0f, 2.0f)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
 
-      val mh = spark.sql(
-        "SELECT size(minhash_signature(array(1L, 2L, 3L), 16, 42L)) AS n")
-        .head().getInt(0)
-      assert(mh === 16)
-    } finally spark.stop()
+    val sh = spark.sql(
+      "SELECT simhash(array('a','b','c')) AS s, simhash(array('a','b','c')) AS s2")
+      .head()
+    assert(sh.getLong(0) === sh.getLong(1))
+
+    val mh = spark.sql(
+      "SELECT size(minhash_signature(array(1L, 2L, 3L), 16, 42L)) AS n")
+      .head().getInt(0)
+    assert(mh === 16)
+
+    // degenerate inputs: NULL signature (documented divergence from
+    // the HOF twin, which yields an array of nulls)
+    val degenerate = spark.sql(
+      "SELECT minhash_signature(array(), 16, 42L) AS e, " +
+        "minhash_signature(array(CAST(NULL AS BIGINT)), 16, 42L) AS a")
+      .head()
+    assert(degenerate.isNullAt(0) && degenerate.isNullAt(1))
+
+    // the builder-time class form wires the same triples
+    assert(GraftExtensions.functions.map(_._1.funcName).toSet ===
+      Set("cosine_similarity", "simhash", "minhash_signature"))
   }
 }

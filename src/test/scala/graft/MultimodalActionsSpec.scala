@@ -32,6 +32,21 @@ class MultimodalActionsSpec extends AnyFunSuite {
     assert(big(2).isNullAt(3) && !big(0).isNullAt(3))
   }
 
+  test("codec close() fires even when a limit abandons the iterator early") {
+    MultimodalActionsSpec.opens.set(0)
+    MultimodalActionsSpec.closes.set(0)
+    val df = (1 to 64).map(i => (i.toLong, s"bytes-$i".getBytes("UTF-8"), "png"))
+      .toDF("media_id", "bytes", "format")
+      .repartition(2)
+    val out = Multimodal.decodeMedia(df, "bytes", "format",
+      codec = new MultimodalActionsSpec.CountingCodec)
+    // limit(1) stops consuming the partition iterator before it drains
+    assert(out.limit(1).collect().length === 1)
+    assert(MultimodalActionsSpec.opens.get() > 0)
+    assert(MultimodalActionsSpec.closes.get() === MultimodalActionsSpec.opens.get(),
+      s"opens=${MultimodalActionsSpec.opens.get()} closes=${MultimodalActionsSpec.closes.get()}")
+  }
+
   test("decoded features flow into the Similarity operators") {
     val df = Seq(
       (1L, "aaaa".getBytes("UTF-8"), "png"),
@@ -67,5 +82,20 @@ class MultimodalActionsSpec extends AnyFunSuite {
     Actions.warn("too slow", Actions.SlowQueryWarning)
     assert(Actions.recentWarnings().exists(w =>
       w.category === "SlowQueryWarning" && w.message === "too slow"))
+  }
+}
+
+object MultimodalActionsSpec {
+  // static counters: tasks run in the same JVM under local[*], so the
+  // serialized codec copies still bump the shared atomics
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  class CountingCodec extends Multimodal.MediaCodec {
+    private val stub = new Multimodal.DeterministicStubCodec(16)
+    override def open(): Unit = opens.incrementAndGet()
+    override def close(): Unit = closes.incrementAndGet()
+    override def decode(bytes: Array[Byte], format: String): (org.apache.spark.sql.Row, Array[Float]) =
+      stub.decode(bytes, format)
   }
 }
