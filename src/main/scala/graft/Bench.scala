@@ -22,8 +22,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Untimed warm-up: JIT/codegen compilation, parquet footer reads
+    // and FS metadata are one-time session costs — without this the
+    // first timed query absorbs them all (~3 s of noise at sf0.1).
+    spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
+    Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
+      .foreach { tbl =>
+        try Tables.table(spark, sfDir, tbl).limit(1).collect()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $tbl skipped: ${e.getMessage}") }
+      }
+
+    // Local iteration aid: SPARK_GRAFT_ONLY=q1,q2 times a subset
+    // (driver leaves it unset -> full run).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+
     val pool = Executors.newSingleThreadExecutor()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val task = pool.submit(new java.util.concurrent.Callable[Long] {
         override def call(): Long = {

@@ -31,7 +31,14 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
-    // ---- exact n-gram Jaccard near-dup pairs (inverted index) ----
+    // ---- exact n-gram Jaccard near-dup pairs. Inverted-index
+    //      count-based variant: on this corpus's tiny vocabulary the
+    //      per-pair shared-count falls out of the join aggregation,
+    //      beating both prefix-filtered variants (whose per-candidate
+    //      array_intersect verification dominates when every shingle
+    //      is common). All three variants are result-equal
+    //      (DedupSpec); df-ordered prefix is the scale path for
+    //      realistic Zipfian vocabularies. ----
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
           shingleWidth = 3, threshold = 0.5)

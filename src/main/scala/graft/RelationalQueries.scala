@@ -317,15 +317,23 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
-    // ---- window: top-k per group ----
+    // ---- top-k per group: bounded-heap aggregate (map-side partial
+    //      top-3 per task; the row_number window equivalent sorts the
+    //      whole table on as many reducers as there are groups — 3
+    //      here. Equality with the window form asserted in
+    //      FramesSpec.) ----
     "q_topk_per_group" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val ord = struct((-col("l_extendedprice")).as("np"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val payload = struct(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       t(s, d, "lineitem")
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("l_returnflag"), col("rk"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.NativeFunctions.topkRows(ord, payload, 3).as("tk"))
+        .select(col("l_returnflag"), posexplode(col("tk")).as(Seq("r0", "p")))
+        .select(col("l_returnflag"), (col("r0") + 1).cast(IntegerType).as("rk"),
+          col("p.payload.l_orderkey").as("l_orderkey"),
+          col("p.payload.l_linenumber").as("l_linenumber"),
+          col("p.payload.l_extendedprice").as("l_extendedprice"))
         .orderBy(col("l_returnflag"), col("rk"))
     }),
 

@@ -9,6 +9,10 @@ object NativeFunctions {
     GraftSqlShims.column(
       CosineSimilarity(GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
 
+  /** Distinct xxhash64 w-shingle hashes of a token array, one pass. */
+  def shingleHashes(tokens: Column, w: Int): Column =
+    GraftSqlShims.column(ShingleHashes(GraftSqlShims.expression(tokens), w))
+
   /** Single-pass 63-bit SimHash over an array<string> token column. */
   def simhash(tokens: Column): Column =
     GraftSqlShims.column(SimHash(GraftSqlShims.expression(tokens)))
@@ -24,11 +28,27 @@ object NativeFunctions {
     GraftSqlShims.column(
       HyperplaneBuckets(GraftSqlShims.expression(v), dim, numPlanes, tables, seed))
 
+  /** The nProbe nearest centroid cells by cosine, best-first —
+    * map-only IVF assignment/probing.
+    */
+  def nearestCells(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
+    GraftSqlShims.column(
+      NearestCells(GraftSqlShims.expression(v), centroids, nProbe))
+
   /** Bounded top-k aggregate column: array<struct<cos,id>> of the k
     * best (score desc, id asc) pairs; partial-aggregation friendly.
     */
   def topkPairs(score: Column, id: Column, k: Int): Column =
     GraftSqlShims.column(
       TopKPairs(GraftSqlShims.expression(score), GraftSqlShims.expression(id), k)
+        .toAggregateExpression())
+
+  /** Generic bounded top-k aggregate: the k smallest rows by `ord`
+    * (negate a field for descending), payload carried alongside;
+    * array<struct<ord,payload>> sorted ascending by ord.
+    */
+  def topkRows(ord: Column, payload: Column, k: Int): Column =
+    GraftSqlShims.column(
+      TopKRows(GraftSqlShims.expression(ord), GraftSqlShims.expression(payload), k)
         .toAggregateExpression())
 }

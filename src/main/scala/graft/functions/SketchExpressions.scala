@@ -26,6 +26,57 @@ object SketchExpressions {
   val P31 = 2147483647L // Mersenne prime 2^31-1, universal-hash modulus
 }
 
+/** Distinct 64-bit hashes of word w-shingles over an array<string>
+  * of tokens, in one pass: each window of w tokens is joined with
+  * single spaces and xxhash64'd (seed 42 — bit-identical to
+  * `xxhash64(array_join(slice(...), " "))`), deduplicated preserving
+  * first occurrence (array_distinct semantics). Shorter-than-w token
+  * arrays yield one whole-text shingle, matching the HOF twin
+  * Dedup.shingleHashesHof it is tested against. The HOF formulation
+  * builds every shingle through four interpreted lambdas per row —
+  * the dominant map-side cost of every shingle-based dedup.
+  */
+case class ShingleHashes(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  import SketchExpressions._
+
+  require(w >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val nShingles = if (n < w) 1 else n - w + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var s = 0
+    while (s < nShingles) {
+      val parts: Array[UTF8String] =
+        if (n < w) toks else java.util.Arrays.copyOfRange(toks, s, s + w)
+      val joined = UTF8String.concatWs(sep, parts: _*)
+      seen.add(XxHash64Function.hash(joined, StringType, XxSeed))
+      s += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 63-bit SimHash over an array<string> of tokens (bit 63 clear so
   * the sum of powers stays in a signed long).
   */

@@ -44,9 +44,18 @@ object Dedup {
   /** Distinct 64-bit shingle hashes — the compact set representation
     * used for signatures and exact-Jaccard verification. Full 64-bit
     * width so set Jaccard over hashes equals Jaccard over the shingle
-    * strings (collision odds ~2^-64 per pair).
+    * strings (collision odds ~2^-64 per pair). Native one-pass
+    * expression; hash/order parity with [[shingleHashesHof]] is
+    * asserted in DedupSpec.
     */
   def shingleHashes(text: Column, w: Int): Column =
+    graft.functions.NativeFunctions.shingleHashes(tokens(text), w)
+
+  /** HOF reference formulation of [[shingleHashes]] — identical
+    * hashes and first-occurrence order, four interpreted lambdas per
+    * row.
+    */
+  def shingleHashesHof(text: Column, w: Int): Column =
     array_distinct(transform(shingles(text, w), s => xxhash64(s)))
 
   /** MinHash signature (array<long> of length numHashes) computed
@@ -183,8 +192,11 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-      .distinct()
+      // verify BEFORE the dedup shuffle: hamming is computed join-side
+      // from the sigs already in hand, so far-apart candidate pairs
+      // (the vast majority) never reach the distinct() exchange
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Exact n-gram-Jaccard similar pairs via an inverted shingle index:
@@ -217,6 +229,52 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard", col("shared").cast(DoubleType) /
         (col("n_a") + col("n_b") - col("shared")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram-Jaccard via a DOCUMENT-FREQUENCY-ordered prefix
+    * index. Same prefix-filter theorem as [[ngramJaccardPairsPrefix]]
+    * (any total order over shingles works), but sets are sorted by
+    * ascending global document frequency, so each prefix holds a
+    * document's RAREST shingles. Hot shingles — the quadratic
+    * pair-generators of the inverted-index variant on small-vocabulary
+    * corpora — are pushed out of prefixes and never joined on unless
+    * a document consists almost entirely of them. Costs two extra
+    * linear shuffles (df count, per-doc re-sort) to make the
+    * candidate join sub-quadratic; exactness is preserved because
+    * candidates are verified on the full hash sets.
+    */
+  def ngramJaccardPairsDfOrdered(df: DataFrame, idCol: String, textCol: String,
+                                 shingleWidth: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleWidth).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exploded = sets.select(col("id"), explode(col("sh")).as("h"))
+    val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // re-sort each doc's shingles by (df asc, h asc) — a consistent
+    // global order with the rarest shingles first
+    val ordered = exploded.join(dfreq, Seq("h"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("oh"))
+      .select(col("id"), transform(col("oh"), o => o.getField("h")).as("osh"),
+        size(col("oh")).as("n"))
+    // prefix length n - ceil(t*n) + 1; the 1e-9 slack keeps binary
+    // representation error of t from shrinking the prefix by one
+    // (over-long prefixes only add candidates, never lose pairs)
+    val prefixLen = greatest(
+      (col("n") - ceil(col("n") * threshold - 1e-9) + 1).cast(IntegerType), lit(1))
+    val inv = ordered.select(col("id"), explode(slice(col("osh"), lit(1), prefixLen)).as("h"))
+    val cands = inv.as("x").join(inv.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("shared").cast(DoubleType) /
+        (size(col("sh_a")) + size(col("sh_b")) - col("shared")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

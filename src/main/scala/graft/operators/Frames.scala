@@ -32,9 +32,28 @@ object Frames {
     * `unique(subset, maintain_order=True)`, wd_tmdb.py:231,317).
     * Polars' "input order" is made explicit via `order` columns —
     * at cluster scale input order is not stable, so the caller names
-    * the tiebreak. Single shuffle on `keys`.
+    * the tiebreak; `order` is ASCENDING lexicographic and should be
+    * total within a key group for determinism.
+    *
+    * min_by(payload, struct(order)) aggregation rather than a
+    * row_number window: hash-aggregate with map-side partials (each
+    * task keeps one row per key before the shuffle) instead of
+    * shuffling every row and sorting whole key partitions.
     */
   def uniqueFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains)
+    if (payload.isEmpty) df.distinct()
+    else df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(payload.map(col).toSeq: _*), struct(order: _*)).as("__m"))
+      .select(df.columns.map(c =>
+        if (keys.contains(c)) col(c) else col("__m").getField(c).as(c)).toSeq: _*)
+  }
+
+  /** Window formulation of [[uniqueFirst]] — reference semantics the
+    * aggregate path is tested against; also accepts non-ascending
+    * sort Columns.
+    */
+  def uniqueFirstWindow(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -45,10 +64,21 @@ object Frames {
     * `unique(key, keep="none")`, wd_opencritic.py:86).
     */
   def uniqueKeepNone(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-    df.withColumn("__cnt", count(lit(1)).over(w))
-      .filter(col("__cnt") === 1)
-      .drop("__cnt")
+    val payload = df.columns.filterNot(keys.contains)
+    if (payload.isEmpty)
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") === 1).drop("__n")
+    else
+      // single hash-aggregate with map-side partials, not a window
+      // count (which shuffles every row then sorts key partitions);
+      // first() is deterministic here because surviving groups have
+      // exactly one row
+      df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n"),
+          first(struct(payload.map(col).toSeq: _*)).as("__m"))
+        .filter(col("__n") === 1)
+        .select(df.columns.map(c =>
+          if (keys.contains(c)) col(c) else col("__m").getField(c).as(c)).toSeq: _*)
   }
 
   /** Exact-n pseudo-random sample, seeded (Polars `sample(n, seed)`,

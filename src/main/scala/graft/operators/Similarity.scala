@@ -201,14 +201,12 @@ object Similarity {
       .collect().map(_.getSeq[Float](1).toArray)
     var it = 0
     while (it < iterations) {
-      val cdf = broadcast(centroids.zipWithIndex
-        .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "cv"))
-      val assigned = corpus.select(col(vecCol).as("v"))
-        .join(cdf)
-        .select(col("v"), col("cell"), cosine(col("v"), col("cv")).as("cos"))
-        .groupBy(col("v"))
-        .agg(max(struct(col("cos"), (-col("cell")).as("nc"))).as("m"))
-        .select(col("v"), (-col("m.nc")).cast("int").as("cell"))
+      // map-only assignment: nearest cell per row via the native
+      // single-pass expression (no corpus x centroid join, no
+      // vector-keyed aggregation)
+      val assigned = corpus.select(col(vecCol).as("v"),
+        element_at(graft.functions.NativeFunctions.nearestCells(
+          col(vecCol), centroids, 1), 1).as("cell"))
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
@@ -232,24 +230,15 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroids: Array[Array[Float]], nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cdf = broadcast(centroids.zipWithIndex
-      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "cv"))
-    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("cvv"))
-      .join(cdf)
-      .select(col("id"), col("cvv"), col("cell"), cosine(col("cvv"), col("cv")).as("cos"))
-      .groupBy(col("id"), col("cvv"))
-      .agg(max(struct(col("cos"), (-col("cell")).as("nc"))).as("m"))
-      .select(col("id"), col("cvv"), (-col("m.nc")).cast("int").as("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .join(cdf)
-      .select(col("query_id"), col("qv"), col("cell"), cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cell"))))
-      .filter(col("rk") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
+    import graft.functions.NativeFunctions.nearestCells
+    // both sides are map-only expressions: cell assignment (nProbe=1)
+    // and query probe cells (top-nProbe) come from the same native
+    // single-pass ranking — the only shuffle left is the cell equi-join
+    // and the per-query top-k reduction
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("cvv"),
+      element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cell"))
+    val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(nearestCells(col(vecCol), centroids, nProbe)).as("cell"))
     val scored = assigned.join(qProbes, Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"), cosine(col("qv"), col("cvv")).as("cos"))

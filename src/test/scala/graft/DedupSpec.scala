@@ -43,6 +43,19 @@ class DedupSpec extends AnyFunSuite {
       key(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)))
   }
 
+  test("df-ordered prefix jaccard equals the count-based exact variant") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    assert(key(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)) ===
+      key(Dedup.ngramJaccardPairsDfOrdered(docs, "doc_id", "text", 3, 0.5)))
+    // boundary threshold exactness carries over to the prefix-length
+    // computation (10*0.3 rounds up in binary)
+    val boundary = Seq((1L, "a b c d e f g h i j"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(key(Dedup.ngramJaccardPairsDfOrdered(boundary, "doc_id", "text", 1, 0.3)) ===
+      Set((1L, 2L, math.round(0.3 * 1e9))))
+  }
+
   test("minhash on the synthetic corpus agrees with exact ngram-jaccard pairs") {
     val docs = Tables.table(spark, TestSpark.sfDir, "documents")
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
@@ -66,6 +79,16 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxDist = 0)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 3L)))
+  }
+
+  test("native ShingleHashes matches the HOF formulation (values AND order)") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents").limit(100)
+      .select(col("text"))
+      .union(Seq("", "one", "one two", "a  b\tc   d").toDF("text"))
+    val both = docs.select(
+      Dedup.shingleHashes(col("text"), 3).as("native"),
+      Dedup.shingleHashesHof(col("text"), 3).as("hof"))
+    both.collect().foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
   test("native SimHash expression matches the HOF formulation on the corpus") {

@@ -27,6 +27,38 @@ class FramesSpec extends AnyFunSuite {
     assert(out.select("v").collect().map(_.getString(0)).toSeq === Seq("only", "first"))
   }
 
+  test("uniqueFirst (min_by aggregate) equals the window formulation on lineitem") {
+    val li = Tables.table(spark, TestSpark.sfDir, "lineitem")
+    val order = Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      col("l_quantity"), col("l_extendedprice"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(key(Frames.uniqueFirst(li, Seq("l_orderkey"), order)) ===
+      key(Frames.uniqueFirstWindow(li, Seq("l_orderkey"), order)))
+  }
+
+  test("topkRows bounded-heap aggregate equals the row_number window form") {
+    val li = Tables.table(spark, TestSpark.sfDir, "lineitem")
+    val ord = struct((-col("l_extendedprice")).as("np"), col("l_orderkey"),
+      col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val agg = li.groupBy(col("l_returnflag"))
+      .agg(graft.functions.NativeFunctions.topkRows(ord,
+        struct(col("l_orderkey"), col("l_linenumber")), 5).as("tk"))
+      .select(col("l_returnflag"), posexplode(col("tk")).as(Seq("r0", "p")))
+      .select(col("l_returnflag"), (col("r0") + 1).cast("long").as("rk"),
+        col("p.payload.l_orderkey").as("l_orderkey"),
+        col("p.payload.l_linenumber").as("l_linenumber"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val win = li.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("l_returnflag"), col("rk").cast("long"), col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(agg === win)
+  }
+
   test("uniqueKeepNone drops every row of duplicated keys (keep='none')") {
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
     val out = Frames.uniqueKeepNone(df, Seq("k"))
