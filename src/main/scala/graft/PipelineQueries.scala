@@ -114,9 +114,13 @@ object PipelineQueries {
           TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"))
         .orderBy(col("doc_id"))),
 
+    // quantized to integer 1e-4 steps: floor is bit-stable across
+    // engines where double round() tie behavior is not
     "text_quality" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .select(col("doc_id"),
+          floor(TextAnalysis.qualityScoreRaw(col("text")) * lit(10000.0) + lit(0.5))
+            .cast(LongType).as("quality_q4"))
         .orderBy(col("doc_id"))),
 
     // ---- language ID heuristic ----
@@ -142,12 +146,16 @@ object PipelineQueries {
           col("n_events"))
         .orderBy(col("user_id"), col("session_id"))),
 
-    // ---- document fingerprinting (no oracle: xxhash-based) ----
+    // ---- document fingerprinting: portable code-point polynomial
+    //      hashes (whole-text rolling fp + winnowing count), exactly
+    //      reproduced by the DuckDB oracle via list folds. The
+    //      xxhash-based fingerprint/winnowing variants stay in
+    //      TextAnalysis (ScalaTest-verified). ----
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
-          TextAnalysis.fingerprint(col("text")).as("fp"),
-          size(TextAnalysis.winnowingFingerprints(col("text"))).as("n_winnow"))
+          TextAnalysis.polyFingerprint(col("text")).as("fp"),
+          size(TextAnalysis.winnowingFingerprintsPoly(col("text"))).as("n_winnow"))
         .orderBy(col("doc_id")))
   )
 
@@ -219,6 +227,58 @@ object PipelineQueries {
            CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE) /
              CAST(NULLIF(len(string_split_regex(trim(text), '\s+')), 0) AS DOUBLE) AS mean_token_len
          FROM documents ORDER BY doc_id""",
+    "events_sliding_window" ->
+      """WITH e AS (
+           SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+         w AS (
+           SELECT event_type,
+             unnest([es // 3600 * 3600, es // 3600 * 3600 - 3600]) AS wss
+           FROM e)
+         SELECT strftime(make_timestamp(wss * 1000000), '%Y-%m-%d %H:%M:%S') AS ws,
+           event_type, COUNT(*) AS n
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_quality" ->
+      """WITH q AS (
+           SELECT doc_id,
+             least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0) AS len_score,
+             least((CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                 t -> t IN ('the','a','an','of','to','and','in','is','it','for','on','with'))) AS DOUBLE) /
+               CAST(NULLIF(len(string_split_regex(trim(text), '\s+')), 0) AS DOUBLE)) * 5.0, 1.0) AS stop_score,
+             least(coalesce(CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) /
+               CAST(NULLIF(length(text), 0) AS DOUBLE), 0.0) * 2.0, 1.0) AS punct_penalty
+           FROM documents)
+         SELECT doc_id,
+           CAST(floor(((len_score * 0.5 + stop_score * 0.4) * (1.0 - punct_penalty * 0.5) + 0.1)
+             * 10000.0 + 0.5) AS BIGINT) AS quality_q4
+         FROM q ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks, text FROM documents),
+         sh AS (
+           SELECT doc_id, text,
+             CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 3),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 4), ' '))
+             END AS shingles
+           FROM t),
+         h AS (
+           SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007) AS fp,
+             list_transform(shingles,
+               s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 1000003 + b) % 1000000007)) AS hs
+           FROM sh)
+         SELECT doc_id, fp,
+           CASE WHEN len(hs) <= 4 THEN 1
+             ELSE len(list_distinct(list_transform(range(0, len(hs) - 3),
+               i -> list_min(list_slice(hs, i + 1, i + 4)))))
+           END AS n_winnow
+         FROM h ORDER BY doc_id""",
     "text_lang_id" ->
       """WITH s AS (
            SELECT doc_id,

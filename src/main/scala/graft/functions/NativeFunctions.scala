@@ -9,6 +9,10 @@ object NativeFunctions {
     GraftSqlShims.column(
       CosineSimilarity(GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
 
+  /** Portable code-point polynomial rolling hash of a string. */
+  def polyFingerprint(text: Column): Column =
+    GraftSqlShims.column(PolyFingerprint(GraftSqlShims.expression(text)))
+
   /** Distinct xxhash64 w-shingle hashes of a token array, one pass. */
   def shingleHashes(tokens: Column, w: Int): Column =
     GraftSqlShims.column(ShingleHashes(GraftSqlShims.expression(tokens), w))

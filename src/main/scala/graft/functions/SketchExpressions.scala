@@ -26,6 +26,39 @@ object SketchExpressions {
   val P31 = 2147483647L // Mersenne prime 2^31-1, universal-hash modulus
 }
 
+/** Cross-engine-portable polynomial rolling hash of a string's code
+  * points: acc = (acc * 1000003 + codePoint) mod 1000000007, acc0 = 0.
+  * One pass, no per-row allocation beyond the code-point iterator.
+  * Unlike the xxhash-based sketches this is reproducible in ANY SQL
+  * engine with list folds (the DuckDB oracle computes it with
+  * list_reduce over unicode()), so fingerprint queries get a real
+  * hash-match oracle instead of a rows-only check. Products stay
+  * < 2^62: acc < 1e9+7, base 1e6+3, code point < 0x110000.
+  */
+case class PolyFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "poly_fingerprint"
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 1000003L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct 64-bit hashes of word w-shingles over an array<string>
   * of tokens, in one pass: each window of w tokens is joined with
   * single spaces and xxhash64'd (seed 42 — bit-identical to

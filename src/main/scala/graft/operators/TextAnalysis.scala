@@ -51,16 +51,24 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
       nullif(size(tokens(text)), lit(0)).cast(DoubleType)
 
-  /** Composite quality score in [0,1]: length sweet-spot, stopword
-    * presence, low punctuation noise. Deterministic arithmetic only.
+  /** Unrounded composite quality score in ~[0,1]: length sweet-spot,
+    * stopword presence, low punctuation noise. Pure IEEE-double
+    * arithmetic in a fixed operation order, so any engine repeating
+    * the formula bit-matches (the DuckDB oracle does).
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScoreRaw(text: Column): Column = {
     val n = tokenCount(text).cast(DoubleType)
     val lenScore = least(n / lit(50.0), lit(1.0))
     val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
     val punctPenalty = least(coalesce(punctRatio(text), lit(0.0)) * lit(2.0), lit(1.0))
-    round((lenScore * lit(0.5) + stopScore * lit(0.4)) * (lit(1.0) - punctPenalty * lit(0.5)) + lit(0.1), 4)
+    (lenScore * lit(0.5) + stopScore * lit(0.4)) * (lit(1.0) - punctPenalty * lit(0.5)) + lit(0.1)
   }
+
+  /** [[qualityScoreRaw]] rounded to 4 decimals (HALF_UP — engines
+    * differ on double rounding ties, so oracle queries quantize the
+    * raw score with floor instead of using this).
+    */
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 4)
 
   /** Language marker words for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny — this is a heuristic operator, not
@@ -99,15 +107,31 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * FpBase + pmod(xxhash64(t), lit(FpMod)), lit(FpMod)))
 
+  /** Portable order-sensitive document fingerprint: the code-point
+    * polynomial rolling hash over the whole text (native single-pass
+    * expression; reproducible in the DuckDB oracle via list_reduce).
+    */
+  def polyFingerprint(text: Column): Column =
+    graft.functions.NativeFunctions.polyFingerprint(text)
+
   /** Winnowing-style fingerprint set: min shingle-hash per sliding
     * window of `window` shingles, distinct. Robust to local edits;
     * the standard document-fingerprinting scheme.
     */
-  def winnowingFingerprints(text: Column, shingleWidth: Int = 4, window: Int = 4): Column = {
-    val hs = transform(Dedup.shingles(text, shingleWidth), s => xxhash64(s))
+  def winnowingFingerprints(text: Column, shingleWidth: Int = 4, window: Int = 4): Column =
+    winnowingOver(transform(Dedup.shingles(text, shingleWidth), s => xxhash64(s)), window)
+
+  /** [[winnowingFingerprints]] with the portable polynomial shingle
+    * hash instead of xxhash64 — same selection scheme, oracle-
+    * reproducible values.
+    */
+  def winnowingFingerprintsPoly(text: Column, shingleWidth: Int = 4, window: Int = 4): Column =
+    winnowingOver(transform(Dedup.shingles(text, shingleWidth),
+      s => graft.functions.NativeFunctions.polyFingerprint(s)), window)
+
+  private def winnowingOver(hs: Column, window: Int): Column =
     sort_array(array_distinct(
       when(size(hs) <= window, array(array_min(hs)))
         .otherwise(transform(sequence(lit(0), size(hs) - window),
           i => array_min(slice(hs, i + 1, lit(window)))))))
-  }
 }

@@ -53,6 +53,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert((sets(0) intersect sets(1)).nonEmpty)
   }
 
+  test("polyFingerprint matches the portable code-point recurrence") {
+    // acc = (acc*1000003 + cp) % 1000000007 over "ab c" = 232211428
+    // (same value the DuckDB oracle's list_reduce computes)
+    val rows = Seq("ab c", "", "ab d").toDF("t")
+      .select(TextAnalysis.polyFingerprint(col("t")).as("fp")).collect()
+    assert(rows(0).getLong(0) === 232211428L)
+    assert(rows(1).getLong(0) === 0L)
+    assert(rows(2).getLong(0) !== rows(0).getLong(0))
+
+    val w = Seq("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12",
+                "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 CHANGED").toDF("t")
+      .select(TextAnalysis.winnowingFingerprintsPoly(col("t")).as("w"))
+    val sets = w.collect().map(_.getSeq[Long](0).toSet)
+    assert((sets(0) intersect sets(1)).nonEmpty)
+  }
+
   test("qualityScore is within [0, 1.1] and higher for natural text") {
     val df = Seq("the quick brown fox jumps over the lazy dog and it is a fine " +
         "day for running in the park with friends enjoying it all the end of it",
