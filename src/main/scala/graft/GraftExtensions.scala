@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftSqlShims, SparkSession, SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinHashSignature, SimHash}
+import graft.functions.{CosineSimilarity, MinHashSignature, PolyFingerprint, ShingleHashes, SimHash}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users get them too:
@@ -54,6 +54,20 @@ object GraftExtensions {
         MinHashSignature(args(0),
           args(1).eval().asInstanceOf[Int],
           args(2).eval() match { case l: Long => l; case i: Int => i.toLong })
+      }),
+    (FunctionIdentifier("poly_fingerprint"),
+      info("poly_fingerprint",
+        "poly_fingerprint(text) - portable code-point polynomial rolling hash " +
+          "(acc*1000003+cp mod 1000000007)"),
+      (args: Seq[Expression]) => {
+        arity("poly_fingerprint", 1, args); PolyFingerprint(args.head)
+      }),
+    (FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(tokens, w) - distinct xxhash64 hashes of word w-shingles"),
+      (args: Seq[Expression]) => {
+        arity("shingle_hashes", 2, args)
+        ShingleHashes(args(0), args(1).eval().asInstanceOf[Int])
       }))
 
   /** Register into an existing session (shell / shared test session) —

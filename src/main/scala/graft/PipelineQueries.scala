@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Frames, Similarity, Temporal, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline operators (SURVEY.md §7.6 / north-star) as
@@ -137,6 +137,51 @@ object PipelineQueries {
           col("event_type"), col("n"))
         .orderBy(col("ws"), col("event_type"))),
 
+    // ---- as-of join: each purchase matched to the user's latest
+    //      click at-or-before it (backward inclusive). Right side
+    //      deduped per (user, ts) so ties are deterministic; DuckDB's
+    //      native ASOF JOIN is the oracle. ----
+    "q_asof_clicks" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = Frames.uniqueFirst(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id")),
+        Seq("user_id", "click_ts"), Seq(col("click_id")))
+      Temporal.asofJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_ts"),
+          col("click_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+        .orderBy(col("event_id"), col("user_id"))
+    }),
+
+    // ---- interval-containment (range) join: every event matched to
+    //      its session's interval via hour-bucketed equi-join ----
+    "events_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val sessions = EventStreams.sessionizeBatch(ev, gapSeconds = 1800)
+        .select(col("user_id"), col("session_id"),
+          col("session_start"), col("session_end"))
+      Temporal.rangeJoinBucketed(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        sessions, Seq("user_id"), "ts", "session_start", "session_end")
+        .select(col("event_id"), col("user_id"), col("session_id"))
+        .orderBy(col("event_id"), col("user_id"), col("session_id"))
+    }),
+
+    // ---- near-dup clustering: connected components over the exact
+    //      jaccard pair graph; canonical = min doc_id per cluster ----
+    "dedup_cluster_canonical" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleWidth = 3, threshold = 0.5)
+      Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("component").as("canonical_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- gap-based sessionization (batch twin of the streaming op) ----
     "events_sessionize" -> ((s, d) =>
       EventStreams.sessionizeBatch(t(s, d, "events"), gapSeconds = 1800)
@@ -160,6 +205,66 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_asof_clicks" ->
+      """WITH p AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, ts AS click_ts, MIN(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+           c.click_id,
+           strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+         ORDER BY p.event_id, p.user_id""",
+    "events_range_join" ->
+      """WITH w AS (
+           SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         b AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+           FROM w),
+         s AS (
+           SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM b),
+         sess AS (
+           SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+           FROM s GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, sess.session_id
+         FROM events e JOIN sess
+           ON e.user_id = sess.user_id
+           AND e.ts BETWEEN sess.session_start AND sess.session_end
+         ORDER BY e.event_id, e.user_id, sess.session_id""",
+    "dedup_cluster_canonical" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3
+               THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+               ELSE list_transform(range(0, len(string_split_regex(trim(text), '\s+')) - 2),
+                 i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i+1, i+3), ' '))
+             END) AS sh
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh)) > 0
+             AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5),
+         e AS (
+           SELECT id_a AS src, id_b AS dst FROM p
+           UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r2.id, e.dst FROM reach r2 JOIN e ON e.src = r2.r)
+         SELECT id AS doc_id, MIN(r) AS canonical_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
     "events_sessionize" ->
       """WITH w AS (
            SELECT user_id, ts, event_id,

@@ -343,6 +343,15 @@ object RelationalQueries {
       Frames.sampleExact(t(s, d, "orders").select(col("o_orderkey")), 100, seed = 42L)
         .orderBy(col("o_orderkey"))),
 
+    // ---- deterministic stratified sample (per-status fractions via
+    //      multiplicative id hash — reproducible under any
+    //      partitioning, pure map-side filter) ----
+    "q_stratified_sample" -> ((s, d) =>
+      Frames.stratifiedSampleDeterministic(t(s, d, "orders"), "o_orderstatus",
+          Map("F" -> 0.10, "O" -> 0.05), "o_orderkey", defaultFraction = 0.20)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))),
+
     // ---- O-L2 soft cap with sampling (LimitWarning) ----
     "q_limit_warning" -> ((s, d) =>
       Frames.limitWithWarning(t(s, d, "orders").select(col("o_orderkey")), n = 250)
@@ -357,6 +366,11 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stratified_sample" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE ((o_orderkey * 1000003) % 1000000007) % 10000 <
+           (CASE o_orderstatus WHEN 'F' THEN 1000 WHEN 'O' THEN 500 ELSE 2000 END)
+         ORDER BY o_orderkey""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(floor((l_quantity) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,

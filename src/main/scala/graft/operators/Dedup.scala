@@ -233,6 +233,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over near-duplicate pairs by iterative
+    * min-label propagation: every vertex starts labeled with its own
+    * id; each round every vertex takes the minimum label among itself
+    * and its neighbors; convergence when no label changes. The
+    * component label is the minimum vertex id — i.e. the canonical
+    * document of a near-dup cluster.
+    *
+    * Scale: each round is one (src-keyed) shuffle join + one
+    * aggregation; rounds needed = graph diameter (near-dup graphs are
+    * shallow — chains of edits — so single digits; maxIter guards
+    * pathological chains). Convergence is detected from sum(label),
+    * which strictly decreases until fixpoint — one cheap scalar agg
+    * per round, no row-wise diff join. For adversarial long-chain
+    * graphs the large-star/small-star variant halves rounds; not
+    * needed for dedup-shaped graphs.
+    *
+    * @param vertices one column `id` (every doc, so singletons label
+    *                 themselves)
+    * @param edges    columns `id_a`, `id_b` (undirected pairs)
+    * @return (id, component) — component = min id reachable
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col("id"), col("id").as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prevSum = labels.agg(sum(col("component"))).head().getLong(0)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val prop = und.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("component")).as("nbr"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSum = next.agg(sum(col("component"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      it += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** Near-dup-cluster dedup: keep one (minimum-id) document per
+    * connected component of the near-duplicate pair graph.
+    */
+  def dedupByNearDup(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(df.select(col(idCol).as("id")), pairs)
+    df.join(comp.filter(col("id") === col("component")).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** Exact n-gram-Jaccard via a DOCUMENT-FREQUENCY-ordered prefix
     * index. Same prefix-filter theorem as [[ngramJaccardPairsPrefix]]
     * (any total order over shingles works), but sets are sorted by

@@ -91,6 +91,24 @@ object Frames {
     df.orderBy(key).limit(n)
   }
 
+  /** Deterministic stratified sample: per-stratum keep fractions via
+    * a multiplicative hash of a (unique) integer id column — the same
+    * rows survive under any partitioning or engine, so the sample is
+    * reproducible AND oracle-checkable (unlike rand()/sampleBy, which
+    * depend on partition indexes). Pure map-side filter: no shuffle,
+    * pushes down to the scan. Fractions are basis points of 1e4;
+    * strata absent from the map keep `defaultFraction`.
+    */
+  def stratifiedSampleDeterministic(df: DataFrame, strataCol: String,
+                                    fractions: Map[String, Double], idCol: String,
+                                    defaultFraction: Double = 0.0): DataFrame = {
+    val bucket = pmod(col(idCol).cast("long") * lit(1000003L), lit(1000000007L)) % 10000L
+    val bp = fractions.foldLeft(lit((defaultFraction * 10000).toLong): Column) {
+      case (acc, (k, f)) => when(col(strataCol) === k, lit((f * 10000).toLong)).otherwise(acc)
+    }
+    df.filter(bucket < bp)
+  }
+
   /** Soft row cap: if over `n`, log a warning and either sample n or
     * head n (polars_utils.py:83-100 `limit` + LimitWarning). Eager
     * count, same as the reference's len() check.

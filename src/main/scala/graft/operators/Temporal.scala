@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal join operators: as-of (nearest-earlier/later match) and
+  * interval containment (range join).
+  *
+  * Scale posture: both avoid the naive per-row subquery / theta-join
+  * formulations. The as-of join is the union-merge shape — ONE
+  * shuffle on the join keys, one sort, a running last_value — i.e.
+  * exactly what a dedicated merge-as-of operator does physically.
+  * The range join buckets intervals so containment becomes an
+  * equi-join, turning an O(n x m) BroadcastNestedLoop into a shuffle
+  * join on (key, bucket).
+  */
+object Temporal {
+
+  /** As-of join: for every left row, the single right row with the
+    * greatest `rightTime` <= `leftTime` (direction "backward", the
+    * default) or smallest `rightTime` >= `leftTime` ("forward"),
+    * matching within `keys`. Right columns come back null-prefixed
+    * by nothing — caller renames; unmatched left rows keep nulls
+    * (left-outer semantics). `tolerance` (seconds, optional) voids
+    * matches further than the given gap.
+    *
+    * Right rows must be unique per (keys, rightTime) — dedup first
+    * (e.g. Frames.uniqueFirst) or matches among equal timestamps are
+    * tie-broken arbitrarily.
+    *
+    * Implementation: tag + union + per-key sort; the right payload is
+    * carried forward with last_value(ignoreNulls) over the running
+    * window. At equal timestamps the right row sorts BEFORE the left
+    * row, so matches are inclusive (>= / <=) in both directions.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               direction: String = "backward",
+               toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(Set("backward", "forward").contains(direction),
+      s"asofJoin: direction must be backward|forward, got $direction")
+    val leftPayload = left.columns.filterNot(c => keys.contains(c))
+    val rightPayload = right.columns.filterNot(c => keys.contains(c))
+    val overlap = leftPayload.toSet intersect rightPayload.toSet
+    require(overlap.isEmpty,
+      s"asofJoin: overlapping non-key columns $overlap — rename before joining")
+
+    val l = left.select(
+      (keys.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side") :+
+        struct(leftPayload.map(col).toSeq: _*).as("__lp") :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          right.select(rightPayload.map(col).toSeq: _*).schema.fields)).as("__rp")): _*)
+    val r = right.select(
+      (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__side") :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          left.select(leftPayload.map(col).toSeq: _*).schema.fields)).as("__lp") :+
+        struct(rightPayload.map(col).toSeq: _*).as("__rp")): _*)
+
+    val ordered =
+      if (direction == "backward")
+        Window.partitionBy(keys.map(col): _*).orderBy(col("__t").asc, col("__side").asc)
+      else
+        Window.partitionBy(keys.map(col): _*).orderBy(col("__t").desc, col("__side").asc)
+    val w = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = l.unionByName(r)
+      .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val withTol = toleranceSeconds.fold(matched) { tol =>
+      val gap =
+        if (direction == "backward")
+          unix_timestamp(col("__t")) - unix_timestamp(col("__m").getField(rightTime))
+        else
+          unix_timestamp(col("__m").getField(rightTime)) - unix_timestamp(col("__t"))
+      matched.withColumn("__m", when(gap <= tol, col("__m")))
+    }
+
+    withTol.select(
+      (keys.map(col) ++
+        leftPayload.map(c => col("__lp").getField(c).as(c)) ++
+        rightPayload.map(c => col("__m").getField(c).as(c))): _*)
+  }
+
+  /** Interval-containment join: left rows (point `timeCol`) matched
+    * to right rows (interval [startCol, endCol], inclusive both ends)
+    * sharing `keys`. Buckets of `bucketSeconds` turn containment into
+    * an equi-join on (keys, bucket): each interval is exploded into
+    * the buckets it covers (intervals >> bucketSeconds multiply —
+    * size the bucket near the typical interval length), each point
+    * maps to exactly one bucket, and the exact BETWEEN filter runs
+    * on the equi-join's output. No nested-loop join, no per-key
+    * cross product.
+    */
+  def rangeJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        timeCol: String, startCol: String, endCol: String,
+                        bucketSeconds: Long = 3600L): DataFrame = {
+    val overlap = left.columns.toSet intersect right.columns.toSet -- keys
+    require(overlap.isEmpty,
+      s"rangeJoinBucketed: overlapping non-key columns $overlap — rename first")
+    val b = lit(bucketSeconds)
+    val lb = left.withColumn("__bucket", floor(unix_timestamp(col(timeCol)) / b))
+    val rb = right.withColumn("__bucket",
+      explode(sequence(floor(unix_timestamp(col(startCol)) / b),
+        floor(unix_timestamp(col(endCol)) / b))))
+    lb.join(rb, keys :+ "__bucket")
+      .filter(col(timeCol) >= col(startCol) && col(timeCol) <= col(endCol))
+      .drop("__bucket")
+  }
+}

@@ -34,8 +34,15 @@ class ExtensionsSpec extends AnyFunSuite {
       .head()
     assert(degenerate.isNullAt(0) && degenerate.isNullAt(1))
 
+    val fp = spark.sql("SELECT poly_fingerprint('ab c') AS fp").head().getLong(0)
+    assert(fp === 232211428L)
+    val shn = spark.sql(
+      "SELECT size(shingle_hashes(array('a','b','c','d'), 3)) AS n").head().getInt(0)
+    assert(shn === 2)
+
     // the builder-time class form wires the same triples
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ===
-      Set("cosine_similarity", "simhash", "minhash_signature"))
+      Set("cosine_similarity", "simhash", "minhash_signature",
+        "poly_fingerprint", "shingle_hashes"))
   }
 }

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Frames, Temporal}
+
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin backward picks the latest right row at-or-before, per key") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 08:30:00")),
+      (3L, 10L, ts("2024-01-01 07:00:00")),  // before any right row
+      (4L, 11L, ts("2024-01-01 10:00:00"))   // key with no right rows
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00"), 100L),
+      (10L, ts("2024-01-01 09:30:00"), 101L),
+      (10L, ts("2024-01-01 10:00:00"), 102L)  // equal ts: inclusive
+    ).toDF("user_id", "click_ts", "click_id")
+    val out = Temporal.asofJoin(left, right, Seq("user_id"), "ts", "click_ts")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(out === Array((1L, 102L), (2L, 100L), (3L, -1L), (4L, -1L)))
+  }
+
+  test("asofJoin forward mirrors backward; tolerance voids distant matches") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts("2024-01-01 11:00:00"), 200L))
+      .toDF("user_id", "click_ts", "click_id")
+    val fwd = Temporal.asofJoin(left, right, Seq("user_id"), "ts", "click_ts",
+      direction = "forward").collect()
+    assert(fwd.head.getLong(4) === 200L)
+    val tight = Temporal.asofJoin(left, right, Seq("user_id"), "ts", "click_ts",
+      direction = "forward", toleranceSeconds = Some(1800L)).collect()
+    assert(tight.head.isNullAt(4))
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(left, right, Seq("user_id"), "ts", "click_ts", direction = "nearest")
+    }
+  }
+
+  test("asofJoin equals the per-row max-subquery formulation on real events") {
+    val ev = Tables.table(spark, TestSpark.sfDir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = Frames.uniqueFirst(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id")),
+      Seq("user_id", "click_ts"), Seq(col("click_id")))
+    val got = Temporal.asofJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+      .select("event_id", "click_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // naive reference: join all earlier clicks, keep the latest
+    val naive = purchases.as("p")
+      .join(clicks.as("c"),
+        col("p.user_id") === col("c.user_id") && col("p.ts") >= col("c.click_ts"), "left")
+      .groupBy(col("p.event_id").as("event_id"))
+      .agg(max(struct(col("c.click_ts"), col("c.click_id"))).as("m"))
+      .select(col("event_id"), col("m.click_id"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === naive)
+  }
+
+  test("rangeJoinBucketed equals the BETWEEN theta-join") {
+    val points = Seq(
+      (1L, 5L, ts("2024-01-01 10:30:00")),
+      (2L, 5L, ts("2024-01-01 13:00:00")),
+      (3L, 6L, ts("2024-01-01 10:30:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val intervals = Seq(
+      (5L, 100L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (5L, 101L, ts("2024-01-01 12:59:00"), ts("2024-01-01 14:00:00"))
+    ).toDF("user_id", "session_id", "session_start", "session_end")
+    val got = Temporal.rangeJoinBucketed(points, intervals, Seq("user_id"),
+      "ts", "session_start", "session_end")
+      .select("event_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals, Seq("user_id"))
+      .filter(col("ts") >= col("session_start") && col("ts") <= col("session_end"))
+      .select("event_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
+    assert(got === Set((1L, 100L), (2L, 101L)))
+  }
+
+  test("connectedComponents labels every vertex with its cluster minimum") {
+    val vertices = (1L to 8L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 6L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L))
+  }
+
+  test("dedupByNearDup keeps exactly one doc per near-dup cluster") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (9L, "z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByNearDup(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 9L))
+  }
+
+  test("stratifiedSampleDeterministic is partitioning-invariant and per-stratum sized") {
+    val df = (1L to 20000L).map(i => (i, if (i % 3 == 0) "F" else "O")).toDF("id", "k")
+    val frac = Map("F" -> 0.10, "O" -> 0.02)
+    val s1 = Frames.stratifiedSampleDeterministic(df, "k", frac, "id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Frames.stratifiedSampleDeterministic(df.repartition(13), "k", frac, "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)
+    val byK = Frames.stratifiedSampleDeterministic(df, "k", frac, "id")
+      .groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byK("F") / 6666.0 - 0.10) < 0.02)
+    assert(math.abs(byK("O") / 13334.0 - 0.02) < 0.01)
+  }
+}
