@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Frames, Temporal}
+
+/** Physical-plan shape assertions: the scale properties the operators
+  * are designed around (pushdown, pruning, broadcast, partial
+  * aggregation, shuffle counts) asserted against executedPlan, so a
+  * regression that silently de-optimizes a plan fails CI — not just a
+  * benchmark.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("filters and projections push down into the parquet scan") {
+    val df = Tables.table(spark, TestSpark.sfDir, "orders")
+      .filter(col("o_totalprice") > 1000.0)
+      .select("o_orderkey", "o_totalprice")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,1000.0)]"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("small dimension joins broadcast (no shuffle of the fact side)") {
+    val sup = Tables.table(spark, TestSpark.sfDir, "supplier")
+    val nat = Tables.table(spark, TestSpark.sfDir, "nation")
+    val p = plan(sup.join(nat, sup("s_nationkey") === nat("n_nationkey"), "left"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
+  }
+
+  test("uniqueFirst and topkRows aggregate with map-side partials") {
+    val li = Tables.table(spark, TestSpark.sfDir, "lineitem")
+    val uf = plan(Frames.uniqueFirst(li, Seq("l_orderkey"), Seq(col("l_linenumber"))))
+    // partial min_by before the exchange, final after — exactly one shuffle
+    assert(uf.contains("partial_min_by") || uf.contains("partial_minby") ||
+      countOccurrences(uf, "min_by") >= 2, s"no partial min_by:\n$uf")
+    assert(countOccurrences(uf, "Exchange") === 1, s"expected 1 shuffle:\n$uf")
+
+    val tk = plan(li.groupBy(col("l_returnflag"))
+      .agg(graft.functions.NativeFunctions.topkRows(
+        struct((-col("l_extendedprice")).as("np")),
+        struct(col("l_orderkey")), 3).as("tk")))
+    assert(tk.contains("partial_topk_rows"), s"no partial top-k aggregation:\n$tk")
+    assert(countOccurrences(tk, "Exchange") === 1, s"expected 1 shuffle:\n$tk")
+  }
+
+  test("asofJoin is the single-shuffle merge shape") {
+    val left = Seq((1L, 10L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 7L))
+      .toDF("user_id", "click_ts", "click_id")
+    val p = plan(Temporal.asofJoin(left, right, Seq("user_id"), "ts", "click_ts"))
+    // one exchange for the union'd per-key sort; no join operator at all
+    assert(countOccurrences(p, "Exchange") === 1, s"expected 1 shuffle:\n$p")
+    assert(!p.contains("Join"), s"as-of should not plan a join:\n$p")
+  }
+
+  test("native cosine stays inside a whole-stage codegen span") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
+    // exchange-free plan: no AdaptiveSparkPlan wrapper, so codegen
+    // spans are visible pre-execution
+    val df = e.select(
+      graft.operators.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+    val p = plan(df)
+    // "*(1)" is the whole-stage-codegen span marker in simpleString
+    assert(p.contains("*(1) Project [cosine_similarity"),
+      s"native cosine not in a codegen span:\n$p")
+  }
+
+  test("stratified sample is a pure scan-level filter (no shuffle, no agg)") {
+    val p = plan(Frames.stratifiedSampleDeterministic(
+      Tables.table(spark, TestSpark.sfDir, "orders"),
+      "o_orderstatus", Map("F" -> 0.1), "o_orderkey"))
+    assert(countOccurrences(p, "Exchange") === 0, s"sample must not shuffle:\n$p")
+    assert(!p.contains("Aggregate"), s"sample must not aggregate:\n$p")
+  }
+}
