@@ -343,6 +343,50 @@ object RelationalQueries {
       Frames.sampleExact(t(s, d, "orders").select(col("o_orderkey")), 100, seed = 42L)
         .orderBy(col("o_orderkey"))),
 
+    // ---- rollup: hierarchical subtotals (extension beyond the
+    //      reference's flat aggregation; labels coalesced so null
+    //      ordering never differs between engines) ----
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rf"), col("ls"))),
+
+    // ---- pivot: fixed value list so the schema is known without a
+    //      driver-side distinct pass (the values-free overload runs an
+    //      eager collect — never at 100 TB) ----
+    "q_pivot_status" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority"))),
+
+    // ---- window-function suite: rank family over a tie-bearing
+    //      order (deterministic under ties), sequence family over a
+    //      total order (lag/lead/ntile need one) ----
+    "q_window_suite" -> ((s, d) => {
+      val ties = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      val total = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          rank().over(ties).as("rk"),
+          dense_rank().over(ties).as("drk"),
+          percent_rank().over(ties).as("pr"),
+          ntile(4).over(total).as("quartile"),
+          lag(col("o_totalprice"), 1).over(total).as("prev_price"),
+          lead(col("o_orderkey"), 1).over(total).as("next_key"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- deterministic stratified sample (per-status fractions via
     //      multiplicative id hash — reproducible under any
     //      partitioning, pure map-side filter) ----
@@ -366,6 +410,27 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+           CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_window_suite" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS rk,
+           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS drk,
+           percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS pr,
+           ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile,
+           lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS prev_price,
+           lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS next_key
+         FROM orders ORDER BY o_orderkey""",
     "q_stratified_sample" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE ((o_orderkey * 1000003) % 1000000007) % 10000 <
