@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Frames, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Dedup, Embeddings, Frames, Similarity, Temporal, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline operators (SURVEY.md §7.6 / north-star) as
@@ -91,6 +91,29 @@ object PipelineQueries {
         .select(col("query_id"), col("id").as("nn_id"))
         .orderBy(col("query_id"))
     }),
+
+    // ---- embedding ops: norms (sequential IEEE fold — identical in
+    //      the oracle's list_reduce), exact quantized mean-pool
+    //      centroids, int8 quantization ----
+    "q_embed_norms" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .withColumn("sum_sq", aggregate(Embeddings.asDouble(col("embedding")),
+          lit(0.0), (acc, x) => acc + x * x))
+        .select(col("vec_id"), col("sum_sq"), sqrt(col("sum_sq")).as("norm"),
+          size(col("embedding")).as("dim"))
+        .orderBy(col("vec_id"))),
+
+    "q_embed_centroids" -> ((s, d) =>
+      Embeddings.meanPoolQuantized(t(s, d, "embeddings"), "label", "embedding")
+        .orderBy(col("label"), col("pos"))),
+
+    "q_embed_quant" -> ((s, d) =>
+      Embeddings.quantizeInt8(t(s, d, "embeddings"), "embedding")
+        .select(col("vec_id"),
+          floor(col("scale") * lit(1000000.0) + lit(0.5)).cast(LongType).as("scale_q6"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c.cast(LongType)).as("sum_codes"),
+          size(filter(col("codes"), c => abs(c) === 127)).as("n_sat"))
+        .orderBy(col("vec_id"))),
 
     // ---- approximate sketch aggregates (HLL++ distinct, quantile
     //      digest): algorithms differ from DuckDB's -> rows-only;
@@ -205,6 +228,48 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_embed_norms" ->
+      """SELECT vec_id,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(embedding, x -> CAST(x AS DOUBLE))),
+             (a, b) -> a + b * b) AS sum_sq,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(embedding, x -> CAST(x AS DOUBLE))),
+             (a, b) -> a + b * b)) AS norm,
+           len(embedding) AS dim
+         FROM embeddings ORDER BY vec_id""",
+    "q_embed_centroids" ->
+      """WITH ex AS (
+           SELECT label, u.pos AS pos, CAST(u.x AS DOUBLE) AS x
+           FROM embeddings,
+             unnest(list_transform(range(0, len(embedding)),
+               i -> {'pos': i, 'x': embedding[i + 1]})) AS r(u))
+         SELECT label, pos,
+           SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sum_q6,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) /
+             CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS centroid
+         FROM ex GROUP BY label, pos ORDER BY label, pos""",
+    "q_embed_quant" ->
+      """WITH s AS (
+           SELECT vec_id,
+             127.0 / NULLIF(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (
+           SELECT vec_id, scale,
+             list_transform(v, x ->
+               CASE WHEN scale IS NULL THEN 0
+                 ELSE CAST(greatest(-127, least(127,
+                   CAST(floor(x * scale + 0.5) AS BIGINT))) AS INTEGER) END) AS codes
+           FROM s)
+         SELECT vec_id,
+           CAST(floor(scale * 1000000.0 + 0.5) AS BIGINT) AS scale_q6,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(codes, c -> CAST(c AS BIGINT))), (a, b) -> a + b) AS sum_codes,
+           len(list_filter(codes, c -> abs(c) = 127)) AS n_sat
+         FROM q ORDER BY vec_id""",
     "q_asof_clicks" ->
       """WITH p AS (
            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
