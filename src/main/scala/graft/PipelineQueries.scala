@@ -115,6 +115,19 @@ object PipelineQueries {
           size(filter(col("codes"), c => abs(c) === 127)).as("n_sat"))
         .orderBy(col("vec_id"))),
 
+    // ---- exact percentiles (interpolated), quantized to 1e-6 so the
+    //      engines' interpolation op-order difference cannot surface;
+    //      the approximate twin is q_approx_sketches ----
+    "q_exact_percentiles" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.5, 0.9, 0.99))").as("ps"))
+        .select(col("event_type"),
+          floor(element_at(col("ps"), 1) * lit(1000000.0) + lit(0.5)).cast(LongType).as("p50_q6"),
+          floor(element_at(col("ps"), 2) * lit(1000000.0) + lit(0.5)).cast(LongType).as("p90_q6"),
+          floor(element_at(col("ps"), 3) * lit(1000000.0) + lit(0.5)).cast(LongType).as("p99_q6"))
+        .orderBy(col("event_type"))),
+
     // ---- approximate sketch aggregates (HLL++ distinct, quantile
     //      digest): algorithms differ from DuckDB's -> rows-only;
     //      error bounds vs exact values asserted in ScalaTest ----
@@ -228,6 +241,12 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_exact_percentiles" ->
+      """SELECT event_type,
+           CAST(floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) AS BIGINT) AS p50_q6,
+           CAST(floor(quantile_cont(value, 0.9) * 1000000.0 + 0.5) AS BIGINT) AS p90_q6,
+           CAST(floor(quantile_cont(value, 0.99) * 1000000.0 + 0.5) AS BIGINT) AS p99_q6
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_embed_norms" ->
       """SELECT vec_id,
            list_reduce(list_prepend(CAST(0 AS DOUBLE),

@@ -55,6 +55,37 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // ---- spark.sql surface: the same engine drives ANSI SQL text
+    //      directly (3-way join + cents-exact aggregation; Catalyst
+    //      plans it identically to the DataFrame form) ----
+    "q3_shipping_priority" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_orderkey,
+             CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+             CAST(o_orderdate AS STRING) AS o_orderdate, o_orderpriority
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE c_mktsegment = 'BUILDING' AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+           GROUP BY l_orderkey, o_orderdate, o_orderpriority
+           ORDER BY revenue DESC, l_orderkey
+           LIMIT 100""")
+    }),
+
+    // ---- corpus heavy hitters: global top-k tokens. TakeOrdered
+    //      (orderBy+limit) after a map-partial count aggregation —
+    //      each executor ships only its local top candidates ----
+    "q_top_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)),
+
     // ---- P1/P5/P7 projection + alias ----
     "q_select_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -410,6 +441,22 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+           CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING' AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey
+         LIMIT 100""",
+    "q_top_tokens" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
+         SELECT token, COUNT(*) AS n FROM toks WHERE token <> ''
+         GROUP BY token ORDER BY n DESC, token LIMIT 20""",
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
            CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,

@@ -69,6 +69,17 @@ object EventStreams {
         count(lit(1)).as("n_events"))
   }
 
+  /** Streaming exact dedup: first event per `keys` wins, late
+    * duplicates beyond the watermark are dropped along with their
+    * state (dropDuplicatesWithinWatermark bounds state by event
+    * time — the streaming twin of Dedup.exactDedup, where "first" is
+    * arrival order rather than an explicit sort).
+    */
+  def streamingExactDedup(events: DataFrame, watermark: String,
+                          keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Streaming sessionization via flatMapGroupsWithState with
     * processing-time timeout: state per user is the open session;
     * events beyond the gap close it and emit. The custom-state

@@ -72,6 +72,28 @@ class StreamingSpec extends AnyFunSuite {
       Seq((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("streaming exact dedup drops duplicate keys within the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "k1"), (2L, "2024-01-01 00:01:00", 7L, "k1"),
+      (3L, "2024-01-01 00:02:00", 7L, "k2"), (4L, "2024-01-01 00:03:00", 8L, "k1")
+    ).map { case (id, ts, u, k) => (id, java.sql.Timestamp.valueOf(ts), u, k, 1.0) }
+      .toDF("event_id", "ts", "user_id", "dedup_key", "value")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.streamingExactDedup(stream, "1 hour", Seq("user_id", "dedup_key"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      q.processAllAvailable()
+      val keys = spark.sql("select user_id, dedup_key from dedup")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // duplicate (7,k1) suppressed; one row per distinct key pair
+      assert(spark.sql("select * from dedup").count() === 3)
+      assert(keys === Set((7L, "k1"), (7L, "k2"), (8L, "k1")))
+    } finally q.stop()
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) closes sessions on gap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     Seq(
