@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Writes `explain("formatted")` output for the headline queries to
+  * PLANS.md — the reviewable record that each operator's physical
+  * plan is the one we WANT at scale (pushdown reaching scans,
+  * broadcasts where a side is small, partial aggregation before
+  * exchanges, no accidental nested-loop joins). PlanShapeSpec asserts
+  * the load-bearing properties; this file is the human-readable
+  * audit. Regenerate: `sbt "runMain graft.PlanDump"`.
+  */
+object PlanDump {
+
+  /** (query, what the plan must show and why it scales) */
+  val Headline: Seq[(String, String)] = Seq(
+    "q1_pricing_summary" ->
+      ("Scan-adjacent filter (`PushedFilters` on l_shipdate) and a two-phase " +
+        "HashAggregate: partial before the single Exchange, final after — the " +
+        "canonical map-combine shape. At 100 TB only (flag, status, partial sums) " +
+        "cross the wire."),
+    "q3_shipping_priority" ->
+      ("SQL-text form. c_mktsegment filter pushed to the customer scan; " +
+        "customer (small side) broadcast into orders⨝lineitem; TakeOrdered " +
+        "replaces a global sort for the LIMIT 100."),
+    "q_topk_per_group" ->
+      ("Bounded-heap `partial_topk_rows` runs per map task, so the Exchange " +
+        "carries ≤ k rows per group instead of the whole table; a row_number " +
+        "window here would sort everything on 3 reducers (one per return flag)."),
+    "q_unique_first" ->
+      ("`partial_min_by` + final min_by: dedup-keep-first as a hash aggregate " +
+        "with map-side partials — one shuffle of one row per key, no " +
+        "whole-partition window sort."),
+    "dedup_minhash_lsh" ->
+      ("Signature pipeline (shingle hashes → minhash → band buckets) is " +
+        "map-only native expressions over the cached signature table (the " +
+        "InMemoryRelation); the self-join shuffles only (id, band, bucket); " +
+        "verification joins ship compact hash arrays, never text."),
+    "sim_topk_ivf" ->
+      ("IVF search: nearest_cells is a per-row projection on both sides (no " +
+        "centroid join, no vector-keyed aggregation), the equi-join on `cell` " +
+        "touches ~nProbe/nCentroids of the corpus, and the per-query top-k is " +
+        "a partial max(struct) aggregate."),
+    "q_asof_clicks" ->
+      ("As-of join via union+merge: one Exchange (hash by user), one per-key " +
+        "sort, a running last_value — no Join node anywhere. The naive form is " +
+        "a per-row subquery; the theta-join form explodes on hot users."),
+    "events_range_join" ->
+      ("Interval containment as an equi-join on (user, hour-bucket) + exact " +
+        "BETWEEN filter on its output (broadcast at this SF, shuffle join at " +
+        "scale); without bucketing Spark plans a BroadcastNestedLoopJoin that " +
+        "is quadratic per user."),
+    "q_stratified_sample" ->
+      ("Pure scan+Filter plan: the multiplicative-hash predicate evaluates " +
+        "row-local, so sampling 100 TB is an embarrassingly parallel scan with " +
+        "zero shuffle."))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val out = sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "PLANS.md")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-plans")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sb = new StringBuilder
+    sb.append("# PLANS — physical-plan audit of the headline operators\n\n")
+    sb.append("`explain(\"formatted\")` for each headline query (sfDir=" + sfDir + "),\n")
+    sb.append("with the property that makes the plan scale. Load-bearing shapes are\n")
+    sb.append("regression-asserted in `PlanShapeSpec`; regenerate this file with\n")
+    sb.append("`sbt \"runMain graft.PlanDump\"`.\n")
+    Headline.foreach { case (name, why) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      sb.append(s"\n## $name\n\n$why\n\n```\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).trim)
+      sb.append("\n```\n")
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      sb.toString.getBytes("UTF-8"))
+    println(s"[plans] wrote $out")
+    spark.stop()
+  }
+}
