@@ -418,6 +418,32 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- skew mitigation, oracle-locked: a salted join/agg must be
+    //      output-identical to its plain form (the salt only spreads
+    //      hot keys over more reducers) ----
+    "q_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.operators.Skew.saltedJoin(li, ord, "l_orderkey", saltFactor = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q_salted_agg" -> ((s, d) =>
+      graft.operators.Skew.saltedAgg(
+          t(s, d, "lineitem")
+            .select(col("l_returnflag"),
+              floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast(LongType).as("q100")),
+          "l_returnflag", saltFactor = 8,
+          partialAggs = Seq("sum_q100" -> sum(col("q100")), "n" -> count(lit(1))),
+          finalAggs = Seq("sum_q100" -> ((c: Column) => sum(c)),
+            "n" -> ((c: Column) => sum(c))))
+        .select(col("l_returnflag"),
+          (col("sum_q100").cast(DoubleType) / lit(100.0)).as("sum_qty"), col("n"))
+        .orderBy(col("l_returnflag"))),
+
     // ---- deterministic stratified sample (per-status fractions via
     //      multiplicative id hash — reproducible under any
     //      partitioning, pure map-side filter) ----
@@ -478,6 +504,17 @@ object RelationalQueries {
            lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS prev_price,
            lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS next_key
          FROM orders ORDER BY o_orderkey""",
+    "q_salted_join" ->
+      """SELECT o_orderstatus,
+           CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+           COUNT(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_stratified_sample" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE ((o_orderkey * 1000003) % 1000000007) % 10000 <
