@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftSqlShims, SparkSession, SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinHashSignature, PolyFingerprint, ShingleHashes, SimHash}
+import graft.functions.{CosineSimilarity, MinHashSignature, PolyFingerprint, ShingleHashes, SimHash, TopKRows}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users get them too:
@@ -68,6 +68,17 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("shingle_hashes", 2, args)
         ShingleHashes(args(0), args(1).eval().asInstanceOf[Int])
+      }),
+    (FunctionIdentifier("topk_rows"),
+      info("topk_rows",
+        "topk_rows(ord, payload, k) - aggregate: k smallest rows by ord " +
+          "(negate a field for descending) as array<struct<ord,payload>>, " +
+          "best first; bounded-heap partial aggregation"),
+      (args: Seq[Expression]) => {
+        arity("topk_rows", 3, args)
+        // returning the AggregateFunction: the analyzer wraps it in an
+        // AggregateExpression during function resolution
+        TopKRows(args(0), args(1), args(2).eval().asInstanceOf[Int])
       }))
 
   /** Register into an existing session (shell / shared test session) —

@@ -115,6 +115,23 @@ object PipelineQueries {
           size(filter(col("codes"), c => abs(c) === 127)).as("n_sat"))
         .orderBy(col("vec_id"))),
 
+    // ---- the flagship composed curation plan: exact dedup → quality
+    //      gate → per-language stratified sample, one declarative
+    //      DAG (what a training-data pipeline actually runs). Every
+    //      stage is individually oracle-checked elsewhere; this locks
+    //      the composition. ----
+    "q_curation_pipeline" -> ((s, d) => {
+      val deduped = Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")
+      val scored = deduped.withColumn("quality_q4",
+        floor(TextAnalysis.qualityScoreRaw(col("text")) * lit(10000.0) + lit(0.5))
+          .cast(LongType))
+      val gated = scored.filter(col("quality_q4") >= 5000L)
+      Frames.stratifiedSampleDeterministic(gated, "lang",
+          Map("en" -> 0.5), "doc_id", defaultFraction = 0.25)
+        .select(col("doc_id"), col("lang"), col("quality_q4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- exact percentiles (interpolated), quantized to 1e-6 so the
     //      engines' interpolation op-order difference cannot surface;
     //      the approximate twin is q_approx_sketches ----
@@ -241,6 +258,29 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_curation_pipeline" ->
+      """WITH dedup AS (
+           SELECT * FROM documents
+           WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)),
+         q AS (
+           SELECT doc_id, lang,
+             least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0) AS len_score,
+             least((CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                 t -> t IN ('the','a','an','of','to','and','in','is','it','for','on','with'))) AS DOUBLE) /
+               CAST(NULLIF(len(string_split_regex(trim(text), '\s+')), 0) AS DOUBLE)) * 5.0, 1.0) AS stop_score,
+             least(coalesce(CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) /
+               CAST(NULLIF(length(text), 0) AS DOUBLE), 0.0) * 2.0, 1.0) AS punct_penalty
+           FROM dedup),
+         scored AS (
+           SELECT doc_id, lang,
+             CAST(floor(((len_score * 0.5 + stop_score * 0.4) * (1.0 - punct_penalty * 0.5) + 0.1)
+               * 10000.0 + 0.5) AS BIGINT) AS quality_q4
+           FROM q)
+         SELECT doc_id, lang, quality_q4 FROM scored
+         WHERE quality_q4 >= 5000
+           AND ((doc_id * 1000003) % 1000000007) % 10000 <
+             (CASE lang WHEN 'en' THEN 5000 ELSE 2500 END)
+         ORDER BY doc_id""",
     "q_exact_percentiles" ->
       """SELECT event_type,
            CAST(floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) AS BIGINT) AS p50_q6,

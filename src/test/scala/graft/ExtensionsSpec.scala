@@ -40,9 +40,18 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT size(shingle_hashes(array('a','b','c','d'), 3)) AS n").head().getInt(0)
     assert(shn === 2)
 
+    // aggregate registration: analyzer wraps the AggregateFunction
+    val tk = spark.sql(
+      """SELECT g, topk_rows(v, v * 10, 2) AS tk
+        |FROM VALUES (1, 5L), (1, 3L), (1, 9L), (2, 1L) AS t(g, v)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val row1 = tk(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(row1.map(r => (r.getLong(0), r.getLong(1))) === Seq((3L, 30L), (5L, 50L)))
+    assert(tk(1).getSeq[org.apache.spark.sql.Row](1).length === 1)
+
     // the builder-time class form wires the same triples
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ===
       Set("cosine_similarity", "simhash", "minhash_signature",
-        "poly_fingerprint", "shingle_hashes"))
+        "poly_fingerprint", "shingle_hashes", "topk_rows"))
   }
 }
