@@ -231,6 +231,11 @@ object Dedup {
         (col("n_a") + col("n_b") - col("shared")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      // the pair set is tiny (near-dup pairs only) and consumed by
+      // several downstream ops (clustering, dedup) — persisting lets
+      // CacheManager substitute it into any later plan containing the
+      // same subtree, so pairs are computed once per session
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Connected components over near-duplicate pairs by iterative

@@ -72,4 +72,28 @@ object Skew {
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(key))
       .limit(topN)
+
+  /** Two-path salted join — the production skew pattern: measure the
+    * hot keys (one cheap aggregate), salt ONLY the rows carrying
+    * them, and run the cold majority through a plain equi-join. The
+    * right side is exploded saltFactor ways only for the hot keys, so
+    * the blow-up is bounded by |hotKeys| x saltFactor rows instead of
+    * |right| x saltFactor. Output-equal to a plain join (asserted in
+    * tests); same join-type restriction as [[saltedJoin]].
+    */
+  def saltedJoinHotKeys(left: DataFrame, right: DataFrame, key: String,
+                        saltFactor: Int, topN: Int = 20,
+                        joinType: String = "inner"): DataFrame = {
+    val hot = hotKeys(left, key, topN).select(col(key)).collect().map(_.get(0))
+    if (hot.isEmpty) left.join(right, Seq(key), joinType)
+    else {
+      val isHot = col(key).isin(hot: _*)
+      // the cold path keeps the full right side: right rows with hot
+      // keys simply find no cold-left partner in an equi-join
+      val coldJoin = left.filter(!isHot).join(right, Seq(key), joinType)
+      val hotJoin = saltedJoin(left.filter(isHot), right.filter(isHot),
+        key, saltFactor, joinType)
+      coldJoin.unionByName(hotJoin)
+    }
+  }
 }

@@ -54,6 +54,21 @@ class EntrySkewSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoinHotKeys (two-path) matches the plain join") {
+    val left = (1 to 2000).map(i =>
+      (if (i < 1500) "hot" else if (i < 1800) "warm" else s"k$i", i)).toDF("k", "v")
+    val right = Seq(("hot", "H"), ("warm", "W"), ("k1900", "C")).toDF("k", "tag")
+    val plain = left.join(right, Seq("k")).agg(count(lit(1)), sum("v"), count("tag")).head()
+    val two = Skew.saltedJoinHotKeys(left, right, "k", saltFactor = 4, topN = 2)
+      .agg(count(lit(1)), sum("v"), count("tag")).head()
+    assert(plain === two)
+    // left-join flavor: unmatched cold keys survive exactly once
+    val plainL = left.join(right, Seq("k"), "left").agg(count(lit(1)), count("tag")).head()
+    val twoL = Skew.saltedJoinHotKeys(left, right, "k", saltFactor = 4, topN = 2,
+      joinType = "left").agg(count(lit(1)), count("tag")).head()
+    assert(plainL === twoL)
+  }
+
   test("saltedAgg two-phase sums equal direct aggregation") {
     val df = (1 to 5000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i.toLong))
       .toDF("k", "v")
