@@ -47,7 +47,11 @@ object Bench {
       val task = pool.submit(new java.util.concurrent.Callable[Long] {
         override def call(): Long = {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          try fn(spark, sfDir).count()
+          // materialize the FULL result (every projected column, the
+          // declared ordering) — df.count() would let Catalyst prune
+          // computed columns and drop sorts, timing a different query
+          // than Verify writes
+          try fn(spark, sfDir).queryExecution.toRdd.count()
           finally spark.sparkContext.clearJobGroup()
         }
       })

@@ -56,18 +56,25 @@ object PipelineQueries {
       Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // ---- brute-force exact ANN: top-1 cosine neighbor for every vector ----
+    // ---- brute-force exact ANN: top-1 cosine neighbor for every
+    //      vector. The streamed corpus side is repartitioned to the
+    //      session parallelism: the test fixture is one small parquet
+    //      file (1-2 scan splits), which would serialize the O(n²)
+    //      cosine work; a real 100 TB corpus has natural scan
+    //      parallelism and skips this. ----
     "sim_topk_bruteforce" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      Similarity.bruteForceTopK(e, e, k = 1)
+      Similarity.bruteForceTopK(e.repartition(s.sparkContext.defaultParallelism), e, k = 1)
         .select(col("query_id"), col("id").as("nn_id"))
         .orderBy(col("query_id"))
     }),
 
-    // ---- exact cosine near-dup pairs (broadcast self-join) ----
+    // ---- exact cosine near-dup pairs (broadcast self-join; streamed
+    //      side spread as above) ----
     "sim_cosine_pairs" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val a = e.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(broadcast(b), col("id_a") < col("id_b"))
         .filter(Similarity.cosine(col("va"), col("vb")) >= 0.5)

@@ -425,7 +425,7 @@ object RelationalQueries {
       val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
       val ord = t(s, d, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
-      graft.operators.Skew.saltedJoin(li, ord, "l_orderkey", saltFactor = 8)
+      graft.operators.Skew.saltedJoin(li, ord, "l_orderkey", saltFactor = 4)
         .groupBy(col("o_orderstatus"))
         .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus"))

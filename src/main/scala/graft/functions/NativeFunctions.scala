@@ -9,6 +9,23 @@ object NativeFunctions {
     GraftSqlShims.column(
       CosineSimilarity(GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
 
+  /** Count of code points from a literal char set, one pass. */
+  def charSetCount(text: Column, chars: String): Column =
+    GraftSqlShims.column(CharSetCount(GraftSqlShims.expression(text), chars))
+
+  /** Count of regex matches without materializing the match array. */
+  def regexpCount(text: Column, pattern: String): Column =
+    GraftSqlShims.column(RegexpCount(GraftSqlShims.expression(text), pattern))
+
+  /** One-pass token stats struct(n_tokens, n_stop, sum_len). */
+  def tokenStats(tokens: Column, stopwords: Seq[String]): Column =
+    GraftSqlShims.column(TokenStats(GraftSqlShims.expression(tokens), stopwords))
+
+  /** One-pass winnowing fingerprints over poly-hashed w-shingles. */
+  def polyWinnowFingerprints(tokens: Column, w: Int, window: Int): Column =
+    GraftSqlShims.column(
+      PolyWinnowFingerprints(GraftSqlShims.expression(tokens), w, window))
+
   /** Portable code-point polynomial rolling hash of a string. */
   def polyFingerprint(text: Column): Column =
     GraftSqlShims.column(PolyFingerprint(GraftSqlShims.expression(text)))

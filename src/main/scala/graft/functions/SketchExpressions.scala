@@ -110,6 +110,240 @@ case class ShingleHashes(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Count of code points belonging to a literal character set — the
+  * `length(regexp_replace(text, "[^set]", ""))` idiom without
+  * materializing the stripped copy of every document. Counts equal
+  * that idiom because length() counts code points.
+  */
+case class CharSetCount(child: Expression, chars: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "charset_count"
+
+  @transient private lazy val set: java.util.HashSet[Integer] = {
+    val s = new java.util.HashSet[Integer]()
+    var i = 0
+    while (i < chars.length) {
+      val cp = chars.codePointAt(i)
+      s.add(cp)
+      i += Character.charCount(cp)
+    }
+    s
+  }
+
+  def count(u: UTF8String): Int = {
+    val s = u.toString
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (set.contains(cp)) n += 1
+      i += Character.charCount(cp)
+    }
+    n
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Integer.valueOf(count(v.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("charSetCount", this, classOf[CharSetCount].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $self.count($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of regex matches, without materializing them: the
+  * `size(regexp_extract_all(...))` idiom allocates a UTF8String per
+  * match plus the array; counting BPE-ish sub-tokens over a corpus
+  * only needs the matcher loop. Same java.util.regex engine as
+  * Spark's regexp functions, so counts are identical.
+  */
+case class RegexpCount(child: Expression, pattern: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "regexp_count"
+
+  @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
+
+  def count(s: UTF8String): Int = {
+    val m = compiled.matcher(s.toString)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Integer.valueOf(count(v.asInstanceOf[UTF8String]))
+
+  // real codegen so the projection keeps whole-stage codegen (see
+  // TokenStats)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("regexpCount", this, classOf[RegexpCount].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $self.count($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-pass token statistics over an array<string>: token count,
+  * stopword hits, and summed character lengths as a single struct —
+  * replaces three interpreted HOF passes (size + filter/isin +
+  * aggregate) per row in the text-quality pipeline. Length = numChars,
+  * matching `functions.length`; stopword match is exact UTF8String
+  * equality, matching `isin`.
+  */
+case class TokenStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("sum_len", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_stats"
+
+  // real doGenCode (not CodegenFallback): a fallback expression would
+  // kick the whole projection out of whole-stage codegen, losing
+  // common-subexpression elimination of the (expensive) split child
+  // shared across the text metrics
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    var nStop = 0
+    var sumLen = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        if (stopSet.contains(t)) nStop += 1
+        sumLen += t.numChars()
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, nStop, sumLen)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("tokenStats", this, classOf[TokenStats].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $self.compute($arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprints over the portable polynomial shingle hash,
+  * in ONE pass: w-token shingles are poly-hashed (same recurrence as
+  * [[PolyFingerprint]] over the space-joined shingle string), a
+  * sliding window of `window` hashes keeps each window's minimum, and
+  * the distinct minima come back sorted ascending — semantics
+  * identical to TextAnalysis.winnowingFingerprintsPoly's HOF
+  * formulation (asserted in tests) and to the DuckDB oracle. The HOF
+  * pipeline evaluates ~3 interpreted lambdas per (shingle x window)
+  * — minutes at sf0.1; this is linear with primitive ops.
+  */
+case class PolyWinnowFingerprints(child: Expression, w: Int, window: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(w >= 1 && window >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "poly_winnow_fingerprints"
+
+  private def polyHash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 1000003L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val m = if (n < w) 1 else n - w + 1
+    val hs = new Array[Long](m)
+    val sb = new java.lang.StringBuilder
+    var s = 0
+    while (s < m) {
+      sb.setLength(0)
+      val end = if (n < w) n else s + w
+      var j = s
+      if (n < w) { j = 0 }
+      var first = true
+      while (j < end) {
+        if (!first) sb.append(' ')
+        sb.append(toks(j))
+        first = false
+        j += 1
+      }
+      hs(s) = polyHash(sb.toString)
+      s += 1
+    }
+    val mins = new java.util.TreeSet[java.lang.Long]()
+    if (m <= window) {
+      var mn = Long.MaxValue
+      var k = 0
+      while (k < m) { if (hs(k) < mn) mn = hs(k); k += 1 }
+      mins.add(mn)
+    } else {
+      // sliding-window min via the standard monotonic deque
+      val deque = new java.util.ArrayDeque[Int]()
+      var k = 0
+      while (k < m) {
+        while (!deque.isEmpty && hs(deque.peekLast()) >= hs(k)) deque.pollLast()
+        deque.addLast(k)
+        if (deque.peekFirst() <= k - window) deque.pollFirst()
+        if (k >= window - 1) mins.add(hs(deque.peekFirst()))
+        k += 1
+      }
+    }
+    val out = new Array[Long](mins.size)
+    val it = mins.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 63-bit SimHash over an array<string> of tokens (bit 63 clear so
   * the sum of powers stays in a signed long).
   */

@@ -19,15 +19,27 @@ object TextAnalysis {
 
   /** BPE-ish sub-token count: letter runs, digit runs, and single
     * non-alphanumeric marks counted separately (a cheap proxy for
-    * byte-pair tokenizer output length).
+    * byte-pair tokenizer output length). Native match COUNT — the
+    * extract_all idiom (kept as the HOF twin) allocates every match
+    * just to take the array's size.
     */
   def bpeishTokenCount(text: Column): Column =
+    graft.functions.NativeFunctions.regexpCount(lower(text), "[a-z]+|[0-9]+|[^a-z0-9\\s]")
+
+  /** extract_all formulation of [[bpeishTokenCount]] (parity-tested). */
+  def bpeishTokenCountHof(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
   /** Ratio of punctuation characters to total characters (null-safe
-    * on empty text).
+    * on empty text). Native one-pass counter — the regexp_replace
+    * twin below builds a stripped copy of every document.
     */
   def punctRatio(text: Column): Column =
+    graft.functions.NativeFunctions.charSetCount(text, ".,;:!?'\"()[]-").cast(DoubleType) /
+      nullif(length(text), lit(0)).cast(DoubleType)
+
+  /** regexp_replace formulation of [[punctRatio]] (parity-tested). */
+  def punctRatioHof(text: Column): Column =
     length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", "")).cast(DoubleType) /
       nullif(length(text), lit(0)).cast(DoubleType)
 
@@ -39,15 +51,36 @@ object TextAnalysis {
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "to", "and", "in", "is", "it", "for", "on", "with")
 
+  /** One-pass native token statistics (count, stopword hits, summed
+    * lengths) — the HOF formulations below cost one interpreted
+    * lambda per token per metric.
+    */
+  def tokenStats(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    graft.functions.NativeFunctions.tokenStats(tokens(text), stopwords)
+
   /** Fraction of tokens that are stopwords — a standard quality
     * signal (too low = keyword spam, too high = boilerplate).
     */
-  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val ts = tokenStats(text, stopwords)
+    ts.getField("n_stop").cast(DoubleType) /
+      nullif(ts.getField("n_tokens"), lit(0)).cast(DoubleType)
+  }
+
+  /** HOF reference formulation of [[stopwordRatio]] (parity-tested). */
+  def stopwordRatioHof(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
     size(filter(tokens(text), t => t.isin(stopwords: _*))).cast(DoubleType) /
       nullif(size(tokens(text)), lit(0)).cast(DoubleType)
 
   /** Mean token length. */
-  def meanTokenLen(text: Column): Column =
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokenStats(text, Nil)
+    ts.getField("sum_len").cast(DoubleType) /
+      nullif(ts.getField("n_tokens"), lit(0)).cast(DoubleType)
+  }
+
+  /** HOF reference formulation of [[meanTokenLen]] (parity-tested). */
+  def meanTokenLenHof(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
       nullif(size(tokens(text)), lit(0)).cast(DoubleType)
 
@@ -123,9 +156,15 @@ object TextAnalysis {
 
   /** [[winnowingFingerprints]] with the portable polynomial shingle
     * hash instead of xxhash64 — same selection scheme, oracle-
-    * reproducible values.
+    * reproducible values. Native one-pass expression; the HOF twin
+    * below is the tested reference semantics (the HOF pipeline costs
+    * ~3 interpreted lambdas per shingle-window — minutes at sf0.1).
     */
   def winnowingFingerprintsPoly(text: Column, shingleWidth: Int = 4, window: Int = 4): Column =
+    graft.functions.NativeFunctions.polyWinnowFingerprints(tokens(text), shingleWidth, window)
+
+  /** HOF reference formulation of [[winnowingFingerprintsPoly]]. */
+  def winnowingFingerprintsPolyHof(text: Column, shingleWidth: Int = 4, window: Int = 4): Column =
     winnowingOver(transform(Dedup.shingles(text, shingleWidth),
       s => graft.functions.NativeFunctions.polyFingerprint(s)), window)
 

@@ -69,6 +69,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert((sets(0) intersect sets(1)).nonEmpty)
   }
 
+  test("native punctRatio matches the regexp_replace formulation") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents").limit(150)
+      .select(col("text"))
+      .union(Seq("", "a.b,c!", "no punct here", "[](),-;:!?'\"").toDF("text"))
+    docs.select(
+      TextAnalysis.punctRatio(col("text")).as("n"),
+      TextAnalysis.punctRatioHof(col("text")).as("h"))
+      .collect().foreach { r =>
+        assert(r.isNullAt(0) === r.isNullAt(1))
+        if (!r.isNullAt(0)) assert(r.getDouble(0) === r.getDouble(1))
+      }
+  }
+
+  test("native regexpCount matches size(regexp_extract_all)") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents").limit(150)
+      .select(col("text"))
+      .union(Seq("", "a1!  b2?", "...").toDF("text"))
+    val both = docs.select(
+      TextAnalysis.bpeishTokenCount(col("text")).as("n"),
+      TextAnalysis.bpeishTokenCountHof(col("text")).as("h"))
+    both.collect().foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
+  test("native tokenStats matches the HOF stopword-ratio and mean-length") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents").limit(150)
+      .select(col("text"))
+      .union(Seq("", "the", "x y the of zz").toDF("text"))
+    val both = docs.select(
+      TextAnalysis.stopwordRatio(col("text")).as("sr_n"),
+      TextAnalysis.stopwordRatioHof(col("text")).as("sr_h"),
+      TextAnalysis.meanTokenLen(col("text")).as("ml_n"),
+      TextAnalysis.meanTokenLenHof(col("text")).as("ml_h"))
+    both.collect().foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(r.getDouble(2) === r.getDouble(3))
+    }
+  }
+
+  test("native poly winnowing matches the HOF formulation (values AND order)") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents").limit(150)
+      .select(col("text"))
+      .union(Seq("", "one", "one two three", "a b c d e f").toDF("text"))
+    val both = docs.select(
+      TextAnalysis.winnowingFingerprintsPoly(col("text")).as("native"),
+      TextAnalysis.winnowingFingerprintsPolyHof(col("text")).as("hof"))
+    both.collect().foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("qualityScore is within [0, 1.1] and higher for natural text") {
     val df = Seq("the quick brown fox jumps over the lazy dog and it is a fine " +
         "day for running in the park with friends enjoying it all the end of it",
