@@ -218,6 +218,37 @@ object RelationalQueries {
         .limit(50)
         .select(col("o_orderkey"), col("o_totalprice"))),
 
+    // ---- full outer join (beyond the reference's left-only surface) ----
+    "q_join_full" -> ((s, d) => {
+      val bigCust = t(s, d, "customer").filter(col("c_custkey") > 400)
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      val firstOrders = Frames.uniqueFirst(
+        t(s, d, "orders").select(col("o_custkey").as("custkey"), col("o_orderkey")),
+        Seq("custkey"), Seq(col("o_orderkey")))
+      bigCust.join(firstOrders, Seq("custkey"), "full_outer")
+        .orderBy(col("custkey"), col("c_name"), col("o_orderkey"))
+    }),
+
+    // ---- set ops: intersect / except (distinct semantics) ----
+    "q_intersect_except" -> ((s, d) => {
+      val custNations = t(s, d, "customer").select(col("c_nationkey").as("nk")).distinct()
+      val suppNations = t(s, d, "supplier").select(col("s_nationkey").as("nk")).distinct()
+      custNations.intersect(suppNations).withColumn("op", lit("both"))
+        .unionByName(custNations.except(suppNations).withColumn("op", lit("cust_only")))
+        .orderBy(col("op"), col("nk"))
+    }),
+
+    // ---- deterministic train/val/test split: multiplicative id hash
+    //      into contiguous bucket ranges — reproducible under any
+    //      partitioning, map-side only, and every row lands in
+    //      exactly one split ----
+    "q_train_val_split" -> ((s, d) =>
+      Frames.hashSplit(t(s, d, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("split"))),
+
     // ---- U1 name-aligned vertical concat ----
     "q_union_by_name" -> ((s, d) => {
       val c = t(s, d, "customer").select(col("c_custkey").as("id"), col("c_name").as("name"), lit("customer").as("kind"))
@@ -504,6 +535,32 @@ object RelationalQueries {
            lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS prev_price,
            lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS next_key
          FROM orders ORDER BY o_orderkey""",
+    "q_join_full" ->
+      """WITH bc AS (
+           SELECT c_custkey AS custkey, c_name FROM customer WHERE c_custkey > 400),
+         fo AS (
+           SELECT o_custkey AS custkey, MIN(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1)
+         SELECT COALESCE(bc.custkey, fo.custkey) AS custkey, bc.c_name, fo.o_orderkey
+         FROM bc FULL OUTER JOIN fo ON bc.custkey = fo.custkey
+         ORDER BY custkey, c_name NULLS FIRST, o_orderkey NULLS FIRST""",
+    "q_intersect_except" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+         SELECT nk, 'both' AS op FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+         UNION ALL
+         SELECT nk, 'cust_only' AS op FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+         ORDER BY op, nk""",
+    "q_train_val_split" ->
+      """WITH s AS (
+           SELECT doc_id,
+             CASE WHEN b < 8000 THEN 'train'
+                  WHEN b < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+             ((doc_id * 1000003) % 1000000007) % 10000 AS b FROM documents))
+         SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id
+         FROM s GROUP BY split ORDER BY split""",
     "q_salted_join" ->
       """SELECT o_orderstatus,
            CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,

@@ -109,6 +109,27 @@ object Frames {
     df.filter(bucket < bp)
   }
 
+  /** Deterministic train/val/test split: the multiplicative id hash
+    * maps each row to a basis-point bucket, and splits own contiguous
+    * [lo, hi) ranges — every row lands in exactly one split, the
+    * assignment is partitioning- and engine-independent (same hash as
+    * [[stratifiedSampleDeterministic]]), and the filter is map-side
+    * only.
+    */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+                outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val bucket = pmod(col(idCol).cast("long") * lit(1000003L), lit(1000000007L)) % 10000L
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * 10000) }
+    val assigned = splits.zip(bounds.zip(bounds.tail))
+      .foldLeft(lit(null).cast("string")) {
+        case (acc, ((name, _), (lo, hi))) =>
+          when(bucket >= lo && bucket < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn(outCol, assigned)
+  }
+
   /** Soft row cap: if over `n`, log a warning and either sample n or
     * head n (polars_utils.py:83-100 `limit` + LimitWarning). Eager
     * count, same as the reference's len() check.
