@@ -51,9 +51,12 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
-    // ---- SimHash near-dup pairs (no oracle: seeded xxhash) ----
+    // ---- SimHash near-dup pairs (no oracle: seeded xxhash).
+    //      maxDist=3 (the operator default): tight banding keeps the
+    //      pigeonhole bands wide (15 bits), so candidate collisions —
+    //      and the output — stay near-dup-sized ----
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 8)
+      Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- brute-force exact ANN: top-1 cosine neighbor for every

@@ -72,6 +72,26 @@ class StreamingSpec extends AnyFunSuite {
       Seq((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("stream-static join enriches events against a dimension table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    Seq((1L, "2024-01-01 00:00:00", 7L), (2L, "2024-01-01 00:01:00", 9L))
+      .map { case (id, ts, u) => (id, java.sql.Timestamp.valueOf(ts), u, "t", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val users = Seq((7L, "alpha"), (8L, "beta")).toDF("user_id", "cohort")
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .join(users, Seq("user_id"), "left")  // stream-static join: no state, no watermark
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("enriched").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("select event_id, cohort from enriched")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+      assert(rows === Map(1L -> "alpha", 2L -> null))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops duplicate keys within the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
     Seq(
