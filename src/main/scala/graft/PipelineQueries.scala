@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Embeddings, Frames, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Dedup, Embeddings, Frames, Similarity, Temporal, TextAnalysis, TextClean}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline operators (SURVEY.md §7.6 / north-star) as
@@ -184,6 +184,17 @@ object PipelineQueries {
         .select(col("doc_id"),
           floor(TextAnalysis.qualityScoreRaw(col("text")) * lit(10000.0) + lit(0.5))
             .cast(LongType).as("quality_q4"))
+        .orderBy(col("doc_id"))),
+
+    // ---- text cleaning: markup strip, PII redaction, whitespace
+    //      normalization (RE2-safe patterns — the oracle replays the
+    //      identical pipeline) ----
+    "text_clean" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextClean.cleaned(col("text")).as("cleaned"),
+          floor(coalesce(TextClean.shrinkRatio(col("text")), lit(0.0)) * lit(1000000.0)
+            + lit(0.5)).cast(LongType).as("shrink_q6"))
         .orderBy(col("doc_id"))),
 
     // ---- language ID heuristic ----
@@ -518,6 +529,22 @@ object PipelineQueries {
                i -> list_min(list_slice(hs, i + 1, i + 4)))))
            END AS n_winnow
          FROM h ORDER BY doc_id""",
+    "text_clean" ->
+      """WITH c AS (
+           SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text,
+               '<[^>]+>', ' ', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\d{6,}', '<NUM>', 'g'),
+               '[\x00-\x1f\x7f]', '', 'g'),
+               '\s+', ' ', 'g')) AS cleaned
+           FROM documents)
+         SELECT doc_id, cleaned,
+           CAST(floor(coalesce(
+             CAST(length(text) - length(cleaned) AS DOUBLE) /
+               CAST(NULLIF(length(text), 0) AS DOUBLE), 0.0) * 1000000.0 + 0.5) AS BIGINT) AS shrink_q6
+         FROM c ORDER BY doc_id""",
     "text_lang_id" ->
       """WITH s AS (
            SELECT doc_id,

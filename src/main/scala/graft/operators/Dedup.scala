@@ -238,6 +238,16 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** MinHash Jaccard ESTIMATE from two signatures: the fraction of
+    * agreeing components — E[estimate] = true Jaccard, stderr ≈
+    * 1/sqrt(numHashes). The cheap pre-filter when exact verification
+    * (array_intersect over full hash sets) is too expensive per
+    * candidate; accuracy vs exact asserted in DedupSpec.
+    */
+  def minhashJaccardEstimate(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast(DoubleType) /
+      size(sigA).cast(DoubleType)
+
   /** Connected components over near-duplicate pairs by iterative
     * min-label propagation: every vertex starts labeled with its own
     * id; each round every vertex takes the minimum label among itself
