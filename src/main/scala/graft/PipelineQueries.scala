@@ -197,6 +197,14 @@ object PipelineQueries {
             + lit(0.5)).cast(LongType).as("shrink_q6"))
         .orderBy(col("doc_id"))),
 
+    // ---- repetition / boilerplate signals (Gopher-style filters) ----
+    "text_repetition" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.dupLineFraction(col("text")).as("dup_line_frac"),
+          TextAnalysis.maxTokenFreqRatio(col("text")).as("max_tok_frac"))
+        .orderBy(col("doc_id"))),
+
     // ---- language ID heuristic ----
     "text_lang_id" -> ((s, d) =>
       t(s, d, "documents")
@@ -529,6 +537,19 @@ object PipelineQueries {
                i -> list_min(list_slice(hs, i + 1, i + 4)))))
            END AS n_winnow
          FROM h ORDER BY doc_id""",
+    "text_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) /
+             CAST(NULLIF(len(lines), 0) AS DOUBLE) AS dup_line_frac,
+           CAST(list_max(list_transform(list_distinct(toks),
+             t2 -> len(list_filter(toks, x -> x = t2)))) AS DOUBLE) /
+             CAST(NULLIF(len(toks), 0) AS DOUBLE) AS max_tok_frac
+         FROM t ORDER BY doc_id""",
     "text_clean" ->
       """WITH c AS (
            SELECT doc_id, text,

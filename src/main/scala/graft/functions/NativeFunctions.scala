@@ -17,6 +17,10 @@ object NativeFunctions {
   def regexpCount(text: Column, pattern: String): Column =
     GraftSqlShims.column(RegexpCount(GraftSqlShims.expression(text), pattern))
 
+  /** Highest single-token occurrence count, one hashmap pass. */
+  def maxTokenFreq(tokens: Column): Column =
+    GraftSqlShims.column(MaxTokenFreq(GraftSqlShims.expression(tokens)))
+
   /** One-pass token stats struct(n_tokens, n_stop, sum_len). */
   def tokenStats(tokens: Column, stopwords: Seq[String]): Column =
     GraftSqlShims.column(TokenStats(GraftSqlShims.expression(tokens), stopwords))

@@ -26,6 +26,51 @@ object SketchExpressions {
   val P31 = 2147483647L // Mersenne prime 2^31-1, universal-hash modulus
 }
 
+/** Highest occurrence count of any single token in an array<string>
+  * — the numerator of the max-token-frequency repetition signal
+  * (Gopher-style quality filtering). One hashmap pass; the SQL-
+  * expressible twin (max over distinct tokens of a filtered count)
+  * is quadratic per document, fine for the oracle, wrong for 100 TB.
+  */
+case class MaxTokenFreq(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "max_token_freq"
+
+  def compute(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        val c = counts.merge(t, 1, (a, b) => a + b)
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Integer.valueOf(compute(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("maxTokenFreq", this, classOf[MaxTokenFreq].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $self.compute($arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Cross-engine-portable polynomial rolling hash of a string's code
   * points: acc = (acc * 1000003 + codePoint) mod 1000000007, acc0 = 0.
   * One pass, no per-row allocation beyond the code-point iterator.

@@ -129,6 +129,22 @@ object TextAnalysis {
     }
   }
 
+  /** Gopher-style repetition signals: fraction of duplicate lines and
+    * the most-frequent-token share — high values mark boilerplate /
+    * template spam. Both SQL-expressible for the oracle; the token
+    * share uses a native one-pass counter ([[graft.functions.MaxTokenFreq]]).
+    */
+  def dupLineFraction(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    (size(lines) - size(array_distinct(lines))).cast(DoubleType) /
+      nullif(size(lines), lit(0)).cast(DoubleType)
+  }
+
+  /** Most-frequent single token's share of all tokens. */
+  def maxTokenFreqRatio(text: Column): Column =
+    graft.functions.NativeFunctions.maxTokenFreq(tokens(text)).cast(DoubleType) /
+      nullif(size(tokens(text)), lit(0)).cast(DoubleType)
+
   private val FpMod = 1000000007L  // prime modulus keeps the rolling product < 2^62 (ANSI-safe)
   private val FpBase = 1000003L
 

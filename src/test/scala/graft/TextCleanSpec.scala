@@ -32,6 +32,21 @@ class TextCleanSpec extends AnyFunSuite {
     assert(rows(2).getDouble(0) > 0.5)
   }
 
+  test("repetition signals flag duplicated lines and token spam") {
+    val rows = Seq(
+      "line one\nline two\nline one\nline three",
+      "spam spam spam spam ham",
+      "all distinct tokens here"
+    ).toDF("t").select(
+      graft.operators.TextAnalysis.dupLineFraction(col("t")).as("dl"),
+      graft.operators.TextAnalysis.maxTokenFreqRatio(col("t")).as("mt"))
+      .collect()
+    assert(rows(0).getDouble(0) === 0.25)          // 1 dup of 4 lines
+    assert(rows(1).getDouble(1) === 0.8)           // 4/5 spam
+    assert(rows(2).getDouble(0) === 0.0)
+    assert(rows(2).getDouble(1) === 0.25)          // 1/4
+  }
+
   test("minhashJaccardEstimate tracks exact jaccard within sketch error") {
     val docs = Tables.table(spark, TestSpark.sfDir, "documents")
     val sets = docs.select(col("doc_id").as("id"),
