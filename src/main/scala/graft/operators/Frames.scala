@@ -109,6 +109,20 @@ object Frames {
     df.filter(bucket < bp)
   }
 
+  /** Partitioned parquet sink — the standard sharded-output shape for
+    * pipeline stages: directory-partitioned by low-cardinality
+    * columns (consumers prune partitions at the scan), file sizes
+    * bounded by maxRecordsPerFile so downstream tasks stay uniform.
+    */
+  def writePartitionedParquet(df: DataFrame, path: String,
+                              partitionCols: Seq[String],
+                              maxRecordsPerFile: Long = 1000000L): Unit =
+    df.write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+
   /** Deterministic train/val/test split: the multiplicative id hash
     * maps each row to a basis-point bucket, and splits own contiguous
     * [lo, hi) ranges — every row lands in exactly one split, the

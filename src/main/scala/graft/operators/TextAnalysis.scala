@@ -145,6 +145,16 @@ object TextAnalysis {
     graft.functions.NativeFunctions.maxTokenFreq(tokens(text)).cast(DoubleType) /
       nullif(size(tokens(text)), lit(0)).cast(DoubleType)
 
+  /** Most-frequent word n-gram's share of all n-grams (Gopher's
+    * top-n-gram repetition filter; n=2..4 typical). Same one-pass
+    * counter over the shingle strings.
+    */
+  def maxNgramFreqRatio(text: Column, n: Int): Column = {
+    val sh = Dedup.shingles(text, n)
+    graft.functions.NativeFunctions.maxTokenFreq(sh).cast(DoubleType) /
+      nullif(size(sh), lit(0)).cast(DoubleType)
+  }
+
   private val FpMod = 1000000007L  // prime modulus keeps the rolling product < 2^62 (ANSI-safe)
   private val FpBase = 1000003L
 

@@ -47,6 +47,29 @@ class TextCleanSpec extends AnyFunSuite {
     assert(rows(2).getDouble(1) === 0.25)          // 1/4
   }
 
+  test("maxNgramFreqRatio flags repeated phrases") {
+    val rows = Seq(
+      "buy now buy now buy now buy now",
+      "every bigram here is quite different truly"
+    ).toDF("t").select(
+      graft.operators.TextAnalysis.maxNgramFreqRatio(col("t"), 2).as("r")).collect()
+    // "buy now"/"now buy" repeat heavily in the spam text
+    assert(rows(0).getDouble(0) > 0.5)
+    assert(rows(1).getDouble(0) < 0.2)
+  }
+
+  test("writePartitionedParquet prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/out"
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.operators.Frames.writePartitionedParquet(docs, dir, Seq("lang"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === docs.count())
+    // partition pruning: the lang filter becomes a PartitionFilter, not a data filter
+    val p = back.filter(col("lang") === "en").queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), s"no partition pruning:\n$p")
+  }
+
   test("minhashJaccardEstimate tracks exact jaccard within sketch error") {
     val docs = Tables.table(spark, TestSpark.sfDir, "documents")
     val sets = docs.select(col("doc_id").as("id"),
