@@ -273,6 +273,25 @@ object PipelineQueries {
           col("n_events"))
         .orderBy(col("user_id"), col("session_id"))),
 
+    // ---- multimodal plumbing as a declared query (rows-only: the
+    //      deterministic stub codec has no cross-engine oracle; the
+    //      schema/lifecycle contract is ScalaTest-verified). Blobs
+    //      are derived from document text so the fixture needs no
+    //      binary files; the decode path, partition lifecycle, and
+    //      feature plumbing are the real ones. ----
+    "multimodal_features" -> ((s, d) => {
+      val blobs = t(s, d, "documents")
+        .select(col("doc_id"),
+          encode(substring(col("text"), 1, 256), "UTF-8").as("bytes"),
+          lit("txt").as("format"))
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format")
+        .select(col("doc_id"),
+          col("decoded.meta.format").as("fmt"),
+          col("decoded.meta.duration_ms").as("n_bytes"),
+          size(col("decoded.features")).as("dim"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- document fingerprinting: portable code-point polynomial
     //      hashes (whole-text rolling fp + winnowing count), exactly
     //      reproduced by the DuckDB oracle via list folds. The
