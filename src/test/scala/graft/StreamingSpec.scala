@@ -72,6 +72,34 @@ class StreamingSpec extends AnyFunSuite {
       Seq((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("watermark drops data arriving later than the lateness bound") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    def write(batch: Int, rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, ts) => (id, java.sql.Timestamp.valueOf(ts), 7L, "t", 1.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(1, Seq((1L, "2024-01-01 00:10:00")))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStreams.streamingWindowedAgg(stream, "1 hour", watermark = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("late").start()
+    try {
+      q.processAllAvailable()
+      // advance event time far past the first window + watermark,
+      // then deliver a straggler INSIDE the long-closed first window
+      write(2, Seq((2L, "2024-01-01 05:00:00")))
+      q.processAllAvailable()
+      write(3, Seq((3L, "2024-01-01 00:20:00")))   // > 30 min late
+      q.processAllAvailable()
+      val n = spark.sql("select sum(n) from late where event_type = 't'")
+        .head().getLong(0)
+      // the straggler was dropped: only events 1 and 2 are counted in
+      // emitted (finalized) windows
+      assert(n <= 2, s"late row leaked into finalized windows (n=$n)")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events against a dimension table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
     Seq((1L, "2024-01-01 00:00:00", 7L), (2L, "2024-01-01 00:01:00", 9L))
