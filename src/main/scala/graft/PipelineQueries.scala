@@ -326,7 +326,7 @@ object PipelineQueries {
            FROM q)
          SELECT doc_id, lang, quality_q4 FROM scored
          WHERE quality_q4 >= 5000
-           AND ((doc_id * 1000003) % 1000000007) % 10000 <
+           AND ((((doc_id % 1000000007) * 1000003 % 1000000007) * 999983) % 1000000007) % 10000 <
              (CASE lang WHEN 'en' THEN 5000 ELSE 2500 END)
          ORDER BY doc_id""",
     "q_exact_percentiles" ->

@@ -558,7 +558,8 @@ object RelationalQueries {
                   WHEN b < 9000 THEN 'val'
                   ELSE 'test' END AS split
            FROM (SELECT doc_id,
-             ((doc_id * 1000003) % 1000000007) % 10000 AS b FROM documents))
+             ((((doc_id % 1000000007) * 1000003 % 1000000007) * 999983) % 1000000007) % 10000 AS b
+             FROM documents))
          SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id
          FROM s GROUP BY split ORDER BY split""",
     "q_salted_join" ->
@@ -574,7 +575,7 @@ object RelationalQueries {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_stratified_sample" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
-         WHERE ((o_orderkey * 1000003) % 1000000007) % 10000 <
+         WHERE ((((o_orderkey % 1000000007) * 1000003 % 1000000007) * 999983) % 1000000007) % 10000 <
            (CASE o_orderstatus WHEN 'F' THEN 1000 WHEN 'O' THEN 500 ELSE 2000 END)
          ORDER BY o_orderkey""",
     "q1_pricing_summary" ->

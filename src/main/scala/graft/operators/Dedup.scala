@@ -276,7 +276,13 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = vertices.select(col("id"), col("id").as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var prevSum = labels.agg(sum(col("component"))).head().getLong(0)
+    // sum(component) is null on an empty vertex set — treat as
+    // already-converged instead of NPEing
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long = {
+      val r = df.agg(sum(col("component"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum(labels)
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
@@ -286,7 +292,7 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = next.agg(sum(col("component"))).head().getLong(0)
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
       converged = nextSum == prevSum

@@ -99,14 +99,23 @@ object Frames {
     * pushes down to the scan. Fractions are basis points of 1e4;
     * strata absent from the map keep `defaultFraction`.
     */
+  /** Basis-point bucket from an id: two multiplicative rounds mod a
+    * prime — one round leaves sequential ids stride-patterned (the
+    * first product stays below the modulus for small ids), two rounds
+    * mix to near-uniform. Portable to any SQL engine; products stay
+    * < 2^62 under ANSI.
+    */
+  private[operators] def hashBucket(id: Column): Column =
+    pmod(pmod(pmod(id.cast("long"), lit(1000000007L)) * lit(1000003L), lit(1000000007L))
+      * lit(999983L), lit(1000000007L)) % 10000L
+
   def stratifiedSampleDeterministic(df: DataFrame, strataCol: String,
                                     fractions: Map[String, Double], idCol: String,
                                     defaultFraction: Double = 0.0): DataFrame = {
-    val bucket = pmod(col(idCol).cast("long") * lit(1000003L), lit(1000000007L)) % 10000L
     val bp = fractions.foldLeft(lit((defaultFraction * 10000).toLong): Column) {
       case (acc, (k, f)) => when(col(strataCol) === k, lit((f * 10000).toLong)).otherwise(acc)
     }
-    df.filter(bucket < bp)
+    df.filter(hashBucket(col(idCol)) < bp)
   }
 
   /** Partitioned parquet sink — the standard sharded-output shape for
@@ -134,7 +143,7 @@ object Frames {
                 outCol: String = "split"): DataFrame = {
     require(splits.nonEmpty, "at least one split")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
-    val bucket = pmod(col(idCol).cast("long") * lit(1000003L), lit(1000000007L)) % 10000L
+    val bucket = hashBucket(col(idCol))
     val bounds = splits.scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * 10000) }
     val assigned = splits.zip(bounds.zip(bounds.tail))
       .foldLeft(lit(null).cast("string")) {

@@ -81,4 +81,64 @@ class PropertySpec extends AnyFunSuite {
       assert(out.length === n && out.distinct.length === n)
     }
   }
+
+  test("hashSplit: every row lands in exactly one split, fractions within tolerance") {
+    forAll(Gen.chooseNum(1, 8), cases = 4) { k =>
+      val fracs = (1 to k).map(i => s"s$i" -> 1.0 / k)
+      val df = (1L to 4000L).toDF("id")
+      val out = graft.operators.Frames.hashSplit(df, "id", fracs)
+      assert(out.filter(col("split").isNull).count() === 0)
+      assert(out.count() === 4000)
+      val counts = out.groupBy("split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts.values.sum === 4000L)
+      counts.values.foreach(c =>
+        assert(math.abs(c.toDouble / 4000 - 1.0 / k) < 0.03, s"k=$k counts=$counts"))
+    }
+  }
+
+  test("asofJoin backward equals the naive latest-at-or-before subquery on random data") {
+    val gen = for {
+      lefts <- Gen.listOfN(30, Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 1000L)))
+      rights <- Gen.listOfN(20, Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 1000L)))
+    } yield (lefts, rights)
+    forAll(gen, cases = 5) { case (lefts, rights) =>
+      val l = lefts.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+        .toDF("event_id", "k", "ts")
+      val r = rights.map { case (k, t) => (k, new java.sql.Timestamp(t * 1000)) }
+        .distinct.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+        .toDF("k", "rts", "rid")
+      val got = graft.operators.Temporal.asofJoin(l, r, Seq("k"), "ts", "rts")
+        .select("event_id", "rid").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+      val naive = l.as("l").join(r.as("r"),
+          col("l.k") === col("r.k") && col("l.ts") >= col("r.rts"), "left")
+        .groupBy(col("l.event_id").as("event_id"))
+        .agg(max(struct(col("r.rts"), col("r.rid"))).as("m"))
+        .select(col("event_id"), col("m.rid")).collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+      assert(got === naive)
+    }
+  }
+
+  test("topkRows equals sort-take on random groups for any k") {
+    forAll(Gen.chooseNum(1, 6), cases = 4) { k =>
+      val rows = (0 until 300).map(i =>
+        ((i * 2654435761L % 7).toString, (i * 40503L % 1000).toDouble, i.toLong))
+      val df = rows.toDF("g", "score", "id")
+      val agg = df.groupBy(col("g"))
+        .agg(graft.functions.NativeFunctions.topkRows(
+          struct((-col("score")).as("ns"), col("id")), struct(col("id")), k).as("tk"))
+        .select(col("g"), explode(col("tk")).as("p"))
+        .select(col("g"), col("p.payload.id").as("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // .toSeq first: Map#flatMap over tuple results would rebuild a
+      // Map and silently keep one entry per group
+      val naive = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._2, r._3)).take(k).map(r => (g, r._3))
+      }.toSet
+      assert(agg === naive)
+    }
+  }
 }
