@@ -38,8 +38,12 @@ object Bench {
     // (driver leaves it unset -> full run).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // name-sorted: Map iteration order is hash-arbitrary, which made
+    // run order — and which dedup query pays the shared signature
+    // cache's materialization — differ between runs
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
+      .toSeq.sortBy(_._1)
 
     val pool = Executors.newSingleThreadExecutor()
     val results = selected.map { case (name, fn) =>
@@ -72,7 +76,7 @@ object Bench {
     pool.shutdownNow()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
