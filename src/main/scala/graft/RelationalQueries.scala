@@ -462,6 +462,17 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ---- bloom-prefiltered semi-join (exact output; the bloom only
+    //      prunes the big side before the shuffle) ----
+    "q_bloom_semi_join" -> ((s, d) => {
+      val hot = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").as("l_orderkey"))
+      graft.operators.Skew.bloomSemiJoin(
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          hot, "l_orderkey", expectedItems = 100000L)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
     "q_salted_agg" -> ((s, d) =>
       graft.operators.Skew.saltedAgg(
           t(s, d, "lineitem")
@@ -568,6 +579,11 @@ object RelationalQueries {
            COUNT(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
     "q_salted_agg" ->
       """SELECT l_returnflag,
            CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,

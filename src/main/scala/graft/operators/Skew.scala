@@ -65,6 +65,26 @@ object Skew {
         finalAggs.tail.map { case (n, f) => f(col(n)).as(n) }: _*)
   }
 
+  /** Bloom-prefiltered semi-join: build a Bloom filter over the small
+    * side's keys (driver-collected, broadcast — millions of keys fit
+    * in MBs), drop big-side rows that cannot match BEFORE the
+    * shuffle, then run the exact left_semi join on the survivors.
+    * Output-identical to the plain semi-join (false positives only
+    * pass the pre-filter, never the join); the win is shuffle volume
+    * ∝ matching keys + fpp instead of the whole big side. The same
+    * shape Spark's runtime row-level filtering applies to shuffle
+    * joins, here as an explicit operator usable on any plan.
+    */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame, key: String,
+                    expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = org.apache.spark.sql.functions.udf(
+      (v: Long) => bc.value.mightContainLong(v))
+    big.filter(col(key).isNotNull && mightContain(col(key)))
+      .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
+
   /** Top-N heavy keys with counts — the measurement step before
     * deciding to salt. One pass, partial-aggregated.
     */

@@ -69,6 +69,16 @@ class EntrySkewSpec extends AnyFunSuite {
     assert(plainL === twoL)
   }
 
+  test("bloomSemiJoin equals the plain semi-join") {
+    val big = (1L to 5000L).map(i => (i % 97, i)).toDF("k", "v")
+    val small = Seq(3L, 11L, 96L).toDF("k")
+    val plain = big.join(small, Seq("k"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = Skew.bloomSemiJoin(big, small, "k", expectedItems = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain === bloom)
+  }
+
   test("saltedAgg two-phase sums equal direct aggregation") {
     val df = (1 to 5000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i.toLong))
       .toDF("k", "v")
