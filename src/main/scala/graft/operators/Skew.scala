@@ -104,10 +104,15 @@ object Skew {
   def saltedJoinHotKeys(left: DataFrame, right: DataFrame, key: String,
                         saltFactor: Int, topN: Int = 20,
                         joinType: String = "inner"): DataFrame = {
-    val hot = hotKeys(left, key, topN).select(col(key)).collect().map(_.get(0))
+    val hot = hotKeys(left, key, topN).select(col(key)).collect()
+      .map(_.get(0)).filter(_ != null)
     if (hot.isEmpty) left.join(right, Seq(key), joinType)
     else {
-      val isHot = col(key).isin(hot: _*)
+      // null-safe hot test: isin(null) is NULL, which would make BOTH
+      // path filters reject null-key left rows — under a left join
+      // those rows must survive (on the cold path; null never
+      // equi-matches, so cold is also where they belong)
+      val isHot = coalesce(col(key).isin(hot: _*), lit(false))
       // the cold path keeps the full right side: right rows with hot
       // keys simply find no cold-left partner in an equi-join
       val coldJoin = left.filter(!isHot).join(right, Seq(key), joinType)

@@ -51,11 +51,17 @@ object Temporal {
         struct(leftPayload.map(col).toSeq: _*).as("__lp") :+
         lit(null).cast(org.apache.spark.sql.types.StructType(
           right.select(rightPayload.map(col).toSeq: _*).schema.fields)).as("__rp")): _*)
-    val r = right.select(
-      (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__side") :+
-        lit(null).cast(org.apache.spark.sql.types.StructType(
-          left.select(leftPayload.map(col).toSeq: _*).schema.fields)).as("__lp") :+
-        struct(rightPayload.map(col).toSeq: _*).as("__rp")): _*)
+    val r = right
+      // SQL equality semantics: a null join key matches nothing. The
+      // window partition WOULD group null-key rows from both sides
+      // together, so null-key right rows must be dropped up front
+      // (null-key left rows stay and get the left-outer null fill).
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__side") :+
+          lit(null).cast(org.apache.spark.sql.types.StructType(
+            left.select(leftPayload.map(col).toSeq: _*).schema.fields)).as("__lp") :+
+          struct(rightPayload.map(col).toSeq: _*).as("__rp")): _*)
 
     val ordered =
       if (direction == "backward")

@@ -69,6 +69,17 @@ class EntrySkewSpec extends AnyFunSuite {
     assert(plainL === twoL)
   }
 
+  test("saltedJoinHotKeys keeps null-key left rows under a left join") {
+    val left = (Seq.fill(50)("hot") ++ Seq("k1", null, null)).zipWithIndex
+      .map { case (k, i) => (k, i) }.toDF("k", "v")
+    val right = Seq(("hot", "H")).toDF("k", "tag")
+    val plain = left.join(right, Seq("k"), "left")
+      .agg(count(lit(1)), count("tag")).head()
+    val two = Skew.saltedJoinHotKeys(left, right, "k", saltFactor = 4, topN = 1,
+      joinType = "left").agg(count(lit(1)), count("tag")).head()
+    assert(plain === two)
+  }
+
   test("bloomSemiJoin equals the plain semi-join") {
     val big = (1L to 5000L).map(i => (i % 97, i)).toDF("k", "v")
     val small = Seq(3L, 11L, 96L).toDF("k")

@@ -43,6 +43,22 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin: null-key rows never match (SQL equality semantics)") {
+    val left = Seq(
+      (1L, Some(10L), ts("2024-01-01 10:00:00")),
+      (2L, None: Option[Long], ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Some(10L), ts("2024-01-01 09:00:00"), 100L),
+      (None: Option[Long], ts("2024-01-01 09:30:00"), 999L)
+    ).toDF("user_id", "click_ts", "click_id")
+    val out = Temporal.asofJoin(left, right, Seq("user_id"), "ts", "click_ts")
+      .orderBy("event_id").collect()
+    assert(out(0).getLong(4) === 100L)     // normal match
+    assert(out(1).isNullAt(4))             // null-key left row: kept, unmatched
+    assert(out.length === 2)
+  }
+
   test("asofJoin equals the per-row max-subquery formulation on real events") {
     val ev = Tables.table(spark, TestSpark.sfDir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
