@@ -144,7 +144,11 @@ object Frames {
     require(splits.nonEmpty, "at least one split")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
     val bucket = hashBucket(col(idCol))
+    // the LAST bound is pinned to 10000: cumulative per-fraction
+    // rounding can land short (e.g. thirds -> 3333+3333+3333 = 9999),
+    // which would leave bucket 9999 split-less
     val bounds = splits.scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * 10000) }
+      .toIndexedSeq.updated(splits.length, 10000L)
     val assigned = splits.zip(bounds.zip(bounds.tail))
       .foldLeft(lit(null).cast("string")) {
         case (acc, ((name, _), (lo, hi))) =>

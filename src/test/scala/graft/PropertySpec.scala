@@ -85,15 +85,18 @@ class PropertySpec extends AnyFunSuite {
   test("hashSplit: every row lands in exactly one split, fractions within tolerance") {
     forAll(Gen.chooseNum(1, 8), cases = 4) { k =>
       val fracs = (1 to k).map(i => s"s$i" -> 1.0 / k)
-      val df = (1L to 4000L).toDF("id")
+      // 40k sequential ids: at 1/10000 bucket granularity this hits
+      // every bucket, so a short final bound (the thirds-rounding bug:
+      // 3x3333 = 9999) would surface as a null split
+      val df = (1L to 40000L).toDF("id")
       val out = graft.operators.Frames.hashSplit(df, "id", fracs)
       assert(out.filter(col("split").isNull).count() === 0)
-      assert(out.count() === 4000)
+      assert(out.count() === 40000)
       val counts = out.groupBy("split").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(counts.values.sum === 4000L)
+      assert(counts.values.sum === 40000L)
       counts.values.foreach(c =>
-        assert(math.abs(c.toDouble / 4000 - 1.0 / k) < 0.03, s"k=$k counts=$counts"))
+        assert(math.abs(c.toDouble / 40000 - 1.0 / k) < 0.03, s"k=$k counts=$counts"))
     }
   }
 
