@@ -77,11 +77,21 @@ object Skew {
     */
   def bloomSemiJoin(big: DataFrame, small: DataFrame, key: String,
                     expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.functions.udf
+    import org.apache.spark.sql.types._
     val bf = small.stat.bloomFilter(key, expectedItems, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = org.apache.spark.sql.functions.udf(
-      (v: Long) => bc.value.mightContainLong(v))
-    big.filter(col(key).isNotNull && mightContain(col(key)))
+    // stat.bloomFilter only supports integral and string keys — match
+    // its hashing exactly on the probe side
+    val mightContain = big.schema(key).dataType match {
+      case StringType => udf((v: String) => bc.value.mightContainString(v))
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((v: Long) => bc.value.mightContainLong(v))
+      case t => throw new IllegalArgumentException(
+        s"bloomSemiJoin: unsupported key type $t (integral or string only)")
+    }
+    big.filter(col(key).isNotNull && mightContain(col(key).cast(
+        if (big.schema(key).dataType == StringType) StringType else LongType)))
       .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
   }
 

@@ -88,6 +88,19 @@ class EntrySkewSpec extends AnyFunSuite {
     val bloom = Skew.bloomSemiJoin(big, small, "k", expectedItems = 100L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(plain === bloom)
+
+    // string keys go through mightContainString
+    val bigS = (1 to 500).map(i => (s"k${i % 37}", i)).toDF("k", "v")
+    val smallS = Seq("k3", "k11").toDF("k")
+    val plainS = bigS.join(smallS, Seq("k"), "left_semi").count()
+    val bloomS = Skew.bloomSemiJoin(bigS, smallS, "k", expectedItems = 100L).count()
+    assert(plainS === bloomS)
+
+    // unsupported key type rejected (stat.bloomFilter itself refuses
+    // doubles at analysis time; our own guard covers any that slip)
+    intercept[Exception] {
+      Skew.bloomSemiJoin(Seq(1.5).toDF("k"), Seq(1.5).toDF("k"), "k")
+    }
   }
 
   test("saltedAgg two-phase sums equal direct aggregation") {
