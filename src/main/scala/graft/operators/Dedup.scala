@@ -274,7 +274,11 @@ object Dedup {
     val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = vertices.select(col("id"), col("id").as("component"))
+    // iterate ONLY over vertices with degree > 0: singletons are their
+    // own components and never change, so they sit out the loop — in a
+    // near-dup graph the active set is a small fraction of the corpus
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // sum(component) is null on an empty vertex set — treat as
     // already-converged instead of NPEing
@@ -300,7 +304,10 @@ object Dedup {
       it += 1
     }
     und.unpersist()
-    labels
+    // singletons rejoin with themselves as the component
+    vertices.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Near-dup-cluster dedup: keep one (minimum-id) document per
