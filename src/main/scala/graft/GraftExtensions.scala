@@ -4,7 +4,9 @@ import org.apache.spark.sql.{GraftSqlShims, SparkSession, SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinHashSignature, PolyFingerprint, ShingleHashes, SimHash, TopKRows}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{CharSetCount, CosineSimilarity, MaxTokenFreq, MinHashSignature, PolyFingerprint, RegexpCount, ShingleHashes, SimHash, TopKRows}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users get them too:
@@ -68,6 +70,27 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("shingle_hashes", 2, args)
         ShingleHashes(args(0), args(1).eval().asInstanceOf[Int])
+      }),
+    (FunctionIdentifier("regexp_count_graft"),
+      info("regexp_count_graft",
+        "regexp_count_graft(text, pattern) - count of regex matches without " +
+          "materializing them"),
+      (args: Seq[Expression]) => {
+        arity("regexp_count_graft", 2, args)
+        RegexpCount(args(0), args(1).eval().asInstanceOf[UTF8String].toString)
+      }),
+    (FunctionIdentifier("charset_count"),
+      info("charset_count",
+        "charset_count(text, chars) - count of code points from a literal set"),
+      (args: Seq[Expression]) => {
+        arity("charset_count", 2, args)
+        CharSetCount(args(0), args(1).eval().asInstanceOf[UTF8String].toString)
+      }),
+    (FunctionIdentifier("max_token_freq"),
+      info("max_token_freq",
+        "max_token_freq(tokens) - highest single-token occurrence count"),
+      (args: Seq[Expression]) => {
+        arity("max_token_freq", 1, args); MaxTokenFreq(args.head)
       }),
     (FunctionIdentifier("topk_rows"),
       info("topk_rows",

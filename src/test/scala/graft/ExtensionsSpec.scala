@@ -49,9 +49,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row1.map(r => (r.getLong(0), r.getLong(1))) === Seq((3L, 30L), (5L, 50L)))
     assert(tk(1).getSeq[org.apache.spark.sql.Row](1).length === 1)
 
+    assert(spark.sql("SELECT regexp_count_graft('a1 b2 c', '[a-z][0-9]') AS n")
+      .head().getInt(0) === 2)
+    assert(spark.sql("SELECT charset_count('a.b,c', '.,') AS n")
+      .head().getInt(0) === 2)
+    assert(spark.sql("SELECT max_token_freq(array('x','y','x')) AS n")
+      .head().getInt(0) === 2)
+
     // the builder-time class form wires the same triples
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ===
       Set("cosine_similarity", "simhash", "minhash_signature",
-        "poly_fingerprint", "shingle_hashes", "topk_rows"))
+        "poly_fingerprint", "shingle_hashes", "topk_rows",
+        "regexp_count_graft", "charset_count", "max_token_freq"))
   }
 }
