@@ -142,6 +142,45 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- fixed-edge histogram: manual bucketing expression (floor
+    //      of the scaled value, clamped) — identical IEEE arithmetic
+    //      in the oracle, single partial-aggregated groupBy ----
+    "q_histogram" -> ((s, d) => {
+      val bucket = least(greatest(
+        floor(col("value") / lit(50.0)).cast(LongType), lit(0L)), lit(9L))
+      t(s, d, "events")
+        .groupBy(col("event_type"), bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // ---- sessionized funnel: of sessions containing a click, the
+    //      share that also purchase at-or-after the first click
+    //      (sessionize → conditional aggregation; all exact) ----
+    "events_funnel" -> ((s, d) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(
+          byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(
+          min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+          max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+        .filter(col("first_click").isNotNull)
+        .select(col("user_id"), col("session_id"),
+          (col("last_purchase").isNotNull &&
+            col("last_purchase") >= col("first_click")).as("converted"))
+        .groupBy(col("converted")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("converted"))
+    }),
+
     // ---- exact percentiles (interpolated), quantized to 1e-6 so the
     //      engines' interpolation op-order difference cannot surface;
     //      the approximate twin is q_approx_sketches ----
@@ -329,6 +368,37 @@ object PipelineQueries {
            AND ((((doc_id % 1000000007) * 1000003 % 1000000007) * 999983) % 1000000007) % 10000 <
              (CASE lang WHEN 'en' THEN 5000 ELSE 2500 END)
          ORDER BY doc_id""",
+    "q_histogram" ->
+      """SELECT event_type,
+           least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bucket,
+           COUNT(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""",
+    "events_funnel" ->
+      """WITH w AS (
+           SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         b AS (
+           SELECT user_id, ts, event_type,
+             CASE WHEN prev_ts IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+           FROM w),
+         s AS (
+           SELECT user_id, ts, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM b),
+         agg AS (
+           SELECT user_id, session_id,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+           FROM s GROUP BY 1, 2)
+         SELECT (last_purchase IS NOT NULL AND last_purchase >= first_click) AS converted,
+           COUNT(*) AS n_sessions
+         FROM agg WHERE first_click IS NOT NULL
+         GROUP BY 1 ORDER BY converted""",
     "q_exact_percentiles" ->
       """SELECT event_type,
            CAST(floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) AS BIGINT) AS p50_q6,
