@@ -269,8 +269,34 @@ object Dedup {
     * @param edges    columns `id_a`, `id_b` (undirected pairs)
     * @return (id, component) — component = min id reachable
     */
+  /** Edge-count threshold below which the component labels are
+    * computed with a driver-side union-find instead of iterative
+    * distributed label propagation. Near-dup edge sets are tiny
+    * relative to their corpus (pairs above a high Jaccard threshold);
+    * when they fit comfortably on the driver, one collect + one
+    * broadcast join replaces diameter-many shuffle rounds — the same
+    * small-graph shortcut production CC implementations take. 5M
+    * edges ~ 80 MB collected: well inside any driver heap.
+    */
+  private val DriverCcMaxEdges = 5000000L
+
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 20): DataFrame = {
+    val idsAreLong =
+      vertices.schema("id").dataType == LongType &&
+        edges.schema("id_a").dataType == LongType &&
+        edges.schema("id_b").dataType == LongType
+    if (idsAreLong && edges.count() <= DriverCcMaxEdges)
+      connectedComponentsDriver(vertices, edges)
+    else connectedComponentsPropagation(vertices, edges, maxIter)
+  }
+
+  /** Distributed min-label-propagation path of [[connectedComponents]]
+    * (public for direct use on graphs known to be large, and for the
+    * equality assertion against the union-find path in tests).
+    */
+  def connectedComponentsPropagation(vertices: DataFrame, edges: DataFrame,
+                                     maxIter: Int = 20): DataFrame = {
     val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -292,10 +318,17 @@ object Dedup {
     while (it < maxIter && !converged) {
       val prop = und.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("component")).as("nbr"))
+      // localCheckpoint (eager), not persist: each round's plan embeds
+      // the previous round's — without truncation the logical plan
+      // doubles per iteration and Catalyst re-analysis dominates past
+      // ~10 rounds (a 40-edge chain graph took minutes in planning
+      // alone). Checkpointing rebases the round on a LogicalRDD leaf,
+      // keeping every iteration's plan — and its optimization time —
+      // constant-size.
       val next = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
@@ -307,6 +340,39 @@ object Dedup {
     // singletons rejoin with themselves as the component
     vertices.select(col("id"))
       .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Small-graph path: collect the edge list, path-compressing
+    * union-find on the driver (union by minimum root so the component
+    * label is the minimum member id — identical semantics to the
+    * propagation path), broadcast-join labels back onto the vertex
+    * set. Output-equal to the distributed path (asserted in
+    * DedupSpec).
+    */
+  private def connectedComponentsDriver(vertices: DataFrame,
+                                        edges: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+    val parent = new scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { // union by min root: min id stays the label
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val labels = parent.keys.toArray.map(v => (v, find(v))).toSeq.toDF("id", "component")
+    vertices.select(col("id"))
+      .join(broadcast(labels), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 

@@ -112,6 +112,22 @@ class TemporalSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L))
   }
 
+  test("connectedComponents union-find path equals label propagation") {
+    val rnd = new scala.util.Random(7)
+    val vertices = (1L to 400L).toDF("id")
+    // random sparse graph + a long chain (stresses multi-round propagation)
+    val edges = (Seq.fill(120)((rnd.nextInt(400) + 1L, rnd.nextInt(400) + 1L)) ++
+      (300L until 340L).map(i => (i, i + 1)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = Dedup.connectedComponentsPropagation(vertices, edges, maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === slow)
+  }
+
   test("dedupByNearDup keeps exactly one doc per near-dup cluster") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (9L, "z")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
