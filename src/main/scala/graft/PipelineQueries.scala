@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -341,6 +342,73 @@ object PipelineQueries {
         .select(col("doc_id"),
           TextAnalysis.polyFingerprint(col("text")).as("fp"),
           size(TextAnalysis.winnowingFingerprintsPoly(col("text"))).as("n_winnow"))
+        .orderBy(col("doc_id"))),
+
+    // ---- time-series gap fill: dense per-type daily grid (sequence
+    //      over the global day span, exploded) left-joined onto the
+    //      sparse daily aggregate, missing days zero-filled. The grid
+    //      side is (types x days) — tiny — so the join broadcasts. ----
+    "events_gapfill" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day")))
+      grid.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // ---- event-sequence transition counts (first-order Markov
+    //      matrix): lag(event_type) per user over time order, then a
+    //      plain pair aggregation ----
+    "events_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prev_type"), col("event_type"))
+    }),
+
+    // ---- corpus-weighted term ranking: top-3 tokens per document by
+    //      tf x (N/df). The score is one exact IEEE division of
+    //      integers (no transcendentals), so ranking and value are
+    //      bit-identical cross-engine; ties break on token. ----
+    "text_top_terms" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, Seq("token")).crossJoin(nDocs)
+        .withColumn("score",
+          col("tf").cast(DoubleType) * col("n_docs") / col("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("token"), col("score"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // ---- character-distribution Gini impurity: a transcendental-free
+    //      diversity score (1 - sum(c^2)/n^2 over per-char counts) —
+    //      integer arithmetic until one final exact division, so the
+    //      oracle hash-matches without quantization ----
+    "text_char_gini" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((lit(1.0) -
+          sum(col("c") * col("c")).cast(DoubleType) /
+            (sum(col("c")) * sum(col("c"))).cast(DoubleType)).as("char_gini"))
         .orderBy(col("doc_id")))
   )
 
@@ -673,6 +741,47 @@ object PipelineQueries {
                 WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
                 WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
                 ELSE 'fr' END AS lang_pred
-         FROM s ORDER BY doc_id"""
+         FROM s ORDER BY doc_id""",
+    "events_gapfill" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+         daily AS (SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+         grid AS (
+           SELECT t.event_type, unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS day
+           FROM (SELECT DISTINCT event_type FROM ev) t,
+                (SELECT min(day) AS d0, max(day) AS d1 FROM ev) b)
+         SELECT g.event_type, g.day, COALESCE(d.n, 0) AS n
+         FROM grid g LEFT JOIN daily d USING (event_type, day)
+         ORDER BY g.event_type, g.day""",
+    "events_transitions" ->
+      """WITH l AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events)
+         SELECT prev_type, event_type, COUNT(*) AS n FROM l
+         WHERE prev_type IS NOT NULL
+         GROUP BY prev_type, event_type ORDER BY prev_type, event_type""",
+    "text_top_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2),
+         dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.token, CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.df AS score
+           FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, token, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+           FROM scored)
+         SELECT doc_id, rk, token, score FROM ranked WHERE rk <= 3
+         ORDER BY doc_id, rk""",
+    "text_char_gini" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+         cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2)
+         SELECT doc_id,
+           1.0 - CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE) AS char_gini
+         FROM cnt GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -40,7 +40,10 @@ object RelationalQueries {
   private def dsum(c: Column): Column =
     sum(floor(c * lit(100.0) + lit(0.5))).cast(DoubleType) / lit(100.0)
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ extensionQueries
+
+  private lazy val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship aggregation (bench headline) ----
     "q1_pricing_summary" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -508,6 +511,107 @@ object RelationalQueries {
         .orderBy(col("hour"), col("event_type")))
   )
 
+  /** Round-2 widening of the SQL surface: reshaping (unpivot/cube),
+    * time-frame windows, forward fill, robust (median/MAD) outlier
+    * stats, and edit-distance fuzzy matching. Grouped separately only
+    * to keep the base map readable.
+    */
+  private lazy val extensionQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- melt wide metric columns into (metric, value) rows —
+    //      map-only reshape (each input row emits 4 output rows, no
+    //      shuffle until the presentation sort) ----
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        // (l_orderkey, l_linenumber) is NOT unique in this corpus —
+        // value joins the sort for a total order
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"), col("value"))),
+
+    // ---- cube: all 2^k grouping-set subtotals in one pass (partial
+    //      aggregation expands each input row into its grouping sets
+    //      map-side; one shuffle on the expanded keys) ----
+    "q_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rf"), col("ls"))),
+
+    // ---- time-based RANGE frame: trailing 1-hour sum per user. The
+    //      frame is defined on the ORDER BY value (epoch seconds), not
+    //      row position — Spark and DuckDB agree that RANGE includes
+    //      all peers of the boundary values. Cents-quantized sum. ----
+    "q_window_range" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
+        .rangeBetween(-3600L, 0L)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("tsec"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("cents"))
+        .withColumn("trail_1h_cents", sum(col("cents")).over(w))
+        .select(col("event_id"), col("user_id"), col("trail_1h_cents"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- forward fill: carry the last non-null observation forward
+    //      per key (last(ignoreNulls) over an unbounded-preceding ROWS
+    //      frame — the standard sparse->dense time-series densify) ----
+    "q_fill_forward" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("purchase_v",
+          when(col("event_type") === "purchase", col("value")))
+        .withColumn("last_purchase_v",
+          last(col("purchase_v"), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("last_purchase_v"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- robust outlier stats per group, entirely in the exact
+    //      cents-integer domain: median and MAD interpolate between
+    //      integers (dyadic fractions — bit-identical cross-engine),
+    //      so the 3-MAD outlier comparison is exact, never a float
+    //      boundary coin-flip ----
+    "q_mad_outliers" -> ((s, d) => {
+      val cents = t(s, d, "orders")
+        .select(col("o_orderpriority"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      val med = cents.groupBy(col("o_orderpriority"))
+        .agg(percentile(col("pc"), lit(0.5)).as("med_c"))
+      val adev = cents.join(med, Seq("o_orderpriority"))
+        .withColumn("adev_c", abs(col("pc") - col("med_c")))
+      val mad = adev.groupBy(col("o_orderpriority"))
+        .agg(percentile(col("adev_c"), lit(0.5)).as("mad_c"))
+      adev.join(mad, Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(max(col("med_c")).as("med_c"), max(col("mad_c")).as("mad_c"),
+          count(when(col("adev_c") > lit(3.0) * col("mad_c"), lit(1))).as("n_outliers"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- fuzzy matching: blocked levenshtein self-join over the
+    //      distinct name vocabulary. Blocking key (first token) bounds
+    //      the candidate pairs; the quadratic edit-distance work runs
+    //      on vocabulary size, never corpus size ----
+    "q_fuzzy_pairs" -> ((s, d) => {
+      val names = t(s, d, "part").select(col("p_name")).distinct()
+        .select(col("p_name"), split(col("p_name"), " ").getItem(0).as("blk"))
+      names.as("x").join(names.as("y"),
+          col("x.blk") === col("y.blk") && col("x.p_name") < col("y.p_name"))
+        .select(col("x.p_name").as("name_a"), col("y.p_name").as("name_b"),
+          levenshtein(col("x.p_name"), col("y.p_name")).as("dist"))
+        .filter(col("dist") <= 4)
+        .orderBy(col("name_a"), col("name_b"))
+    })
+  )
+
   val oracleSql: Map[String, String] = Map(
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
@@ -755,6 +859,55 @@ object RelationalQueries {
     "q_events_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
          COUNT(*) AS n, CAST(SUM(CAST(floor((value) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_v
-         FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+         ORDER BY l_orderkey, l_linenumber, metric, value""",
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+           CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+           SUM(cents) OVER (PARTITION BY user_id ORDER BY tsec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS trail_1h_cents
+         FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events)
+         ORDER BY event_id""",
+    "q_fill_forward" ->
+      """SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_v
+         FROM events ORDER BY event_id""",
+    "q_mad_outliers" ->
+      """WITH cents AS (
+           SELECT o_orderpriority, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS pc
+           FROM orders),
+         med AS (
+           SELECT o_orderpriority, quantile_cont(pc, 0.5) AS med_c FROM cents GROUP BY 1),
+         adev AS (
+           SELECT c.o_orderpriority, abs(c.pc - m.med_c) AS adev_c
+           FROM cents c JOIN med m USING (o_orderpriority)),
+         mad AS (
+           SELECT o_orderpriority, quantile_cont(adev_c, 0.5) AS mad_c FROM adev GROUP BY 1)
+         SELECT a.o_orderpriority, max(m.med_c) AS med_c, max(d.mad_c) AS mad_c,
+           COUNT(*) FILTER (a.adev_c > 3.0 * d.mad_c) AS n_outliers, COUNT(*) AS n
+         FROM adev a JOIN med m USING (o_orderpriority) JOIN mad d USING (o_orderpriority)
+         GROUP BY a.o_orderpriority ORDER BY a.o_orderpriority""",
+    "q_fuzzy_pairs" ->
+      """WITH names AS (
+           SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS blk FROM part)
+         SELECT x.p_name AS name_a, y.p_name AS name_b,
+           levenshtein(x.p_name, y.p_name) AS dist
+         FROM names x JOIN names y ON x.blk = y.blk AND x.p_name < y.p_name
+         WHERE levenshtein(x.p_name, y.p_name) <= 4
+         ORDER BY name_a, name_b"""
   )
 }
