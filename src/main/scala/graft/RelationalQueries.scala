@@ -596,6 +596,46 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- explicit GROUPING SETS with grouping_id: the general form
+    //      rollup/cube specialize; gid disambiguates a real NULL group
+    //      key from a subtotal marker ----
+    "q_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+             grouping_id(l_returnflag, l_linestatus) AS gid,
+             COUNT(*) AS n
+           FROM lineitem_gs
+           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+           ORDER BY rf, ls, gid""")
+    }),
+
+    // ---- Pearson correlation from exact integer moment sums:
+    //      integer-quantized values (quantity is integral; price to
+    //      whole dollars so sum(y^2) stays far from long overflow even
+    //      at sf100), five exact long sums per group, one fixed double
+    //      op tree at the end (sqrt is IEEE-correctly-rounded, so the
+    //      tree is bit-stable). The built-in corr() accumulates
+    //      doubles in partition order (nondeterministic across
+    //      engines AND runs); this formulation is deterministic at any
+    //      parallelism ----
+    "q_corr_exact" -> ((s, d) => {
+      val c = t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_quantity") + lit(0.5)).cast(LongType).as("x"),
+          floor(col("l_extendedprice") + lit(0.5)).cast(LongType).as("y"))
+      c.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("l_returnflag"),
+          ((col("n").cast(DoubleType) * col("sxy") - col("sx").cast(DoubleType) * col("sy")) /
+            sqrt(col("n").cast(DoubleType) * col("sxx") - col("sx").cast(DoubleType) * col("sx")) /
+            sqrt(col("n").cast(DoubleType) * col("syy") - col("sy").cast(DoubleType) * col("sy")))
+            .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- fuzzy matching: blocked levenshtein self-join over the
     //      distinct name vocabulary. Blocking key (first token) bounds
     //      the candidate pairs; the quadratic edit-distance work runs
@@ -901,6 +941,28 @@ object RelationalQueries {
            COUNT(*) FILTER (a.adev_c > 3.0 * d.mad_c) AS n_outliers, COUNT(*) AS n
          FROM adev a JOIN med m USING (o_orderpriority) JOIN mad d USING (o_orderpriority)
          GROUP BY a.o_orderpriority ORDER BY a.o_orderpriority""",
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+           grouping(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY rf, ls, gid""",
+    "q_corr_exact" ->
+      """WITH c AS (
+           SELECT l_returnflag,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+           FROM lineitem),
+         m AS (
+           SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+           FROM c GROUP BY l_returnflag)
+         SELECT l_returnflag,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             / sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) AS corr_qty_price
+         FROM m ORDER BY l_returnflag""",
     "q_fuzzy_pairs" ->
       """WITH names AS (
            SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS blk FROM part)

@@ -80,6 +80,47 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Batch form of the view→purchase attribution join: each purchase
+    * matches the same user's views in the preceding `windowSeconds`.
+    * An equi-join on user plus a time-band predicate — the exact
+    * semantics the streaming twin below computes incrementally.
+    */
+  def attributionJoinBatch(views: DataFrame, purchases: DataFrame,
+                           windowSeconds: Long): DataFrame =
+    purchases.select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .join(views.select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts")),
+        Seq("user_id"))
+      .filter(col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"interval $windowSeconds seconds"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        col("purchase_ts"), col("view_ts"))
+
+  /** Stream-stream interval join: two watermarked streams joined on
+    * user with an event-time band. Watermarks + the time-range
+    * predicate let Spark bound both join states (views older than the
+    * band fall out of state; purchases emit once their band closes) —
+    * the canonical streaming attribution shape. Output equality with
+    * [[attributionJoinBatch]] on the same input is asserted in
+    * StreamingSpec.
+    */
+  def attributionJoinStream(views: DataFrame, purchases: DataFrame,
+                            windowSeconds: Long, watermark: String): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(v,
+      p("user_id") === v("user_id") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"interval $windowSeconds seconds"))
+      .select(p("user_id"), col("purchase_id"), col("view_id"),
+        col("purchase_ts"), col("view_ts"))
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState with
     * processing-time timeout: state per user is the open session;
     * events beyond the gap close it and emit. The custom-state

@@ -142,6 +142,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch attribution join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    val sample = events.filter(col("user_id") <= 20)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    sample.coalesce(2).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val views = stored.filter(col("event_type") === "view")
+    val purchases = stored.filter(col("event_type") === "purchase")
+
+    val schema = stored.schema
+    val vStream = spark.readStream.schema(schema).parquet(dir)
+      .filter(col("event_type") === "view")
+    val pStream = spark.readStream.schema(schema).parquet(dir)
+      .filter(col("event_type") === "purchase")
+    val q = EventStreams.attributionJoinStream(vStream, pStream,
+        windowSeconds = 3600, watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("select purchase_id, view_id from ssj")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = EventStreams.attributionJoinBatch(views, purchases, 3600)
+        .select("purchase_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty)
+      // a finite source closes every band, so append-mode output is complete
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) closes sessions on gap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     Seq(
