@@ -53,7 +53,31 @@ object PlanDump {
     "q_stratified_sample" ->
       ("Pure scan+Filter plan: the multiplicative-hash predicate evaluates " +
         "row-local, so sampling 100 TB is an embarrassingly parallel scan with " +
-        "zero shuffle."))
+        "zero shuffle."),
+    "q_cube" ->
+      ("Expand (4 grouping-set projections per input row) feeding a two-phase " +
+        "HashAggregate: subtotal rows are combined map-side BEFORE the single " +
+        "Exchange — the wire carries one partial row per (grouping set x key), " +
+        "never 4x the input."),
+    "q_window_range" ->
+      ("One hash Exchange on user_id, one per-partition sort, one Window with a " +
+        "RANGE frame — the running-frame scan is O(n) per partition via the " +
+        "sliding frame bound, no self-join, no per-row rescans."),
+    "q_mad_outliers" ->
+      ("The per-group median/MAD tables are group-cardinality-sized, so both " +
+        "rejoin the cents table as BroadcastHashJoins: the 100 TB fact side " +
+        "streams through twice with zero fact-side shuffles; only the tiny " +
+        "percentile aggregations exchange."),
+    "events_gapfill" ->
+      ("The dense grid side is (types x days) rows built from one 1-row bounds " +
+        "aggregate — broadcast into the left join against the sparse daily " +
+        "aggregate; the events table is scanned once for the aggregate, once " +
+        "for bounds (both map-combined)."),
+    "text_top_terms" ->
+      ("tf and df are both partial-aggregated before their exchanges; the " +
+        "1-row corpus count and the token df table join back via broadcast; " +
+        "the final top-3 window partitions by doc_id — per-doc state is the " +
+        "token list, never the corpus."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -86,4 +86,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOccurrences(p, "Exchange") === 0, s"sample must not shuffle:\n$p")
     assert(!p.contains("Aggregate"), s"sample must not aggregate:\n$p")
   }
+
+  test("cube expands grouping sets BEFORE the partial aggregate (map-side combine)") {
+    val p = plan(SparkEntry.queries("q_cube")(spark, TestSpark.sfDir))
+    assert(p.contains("Expand"), s"expected Expand for grouping sets:\n$p")
+    assert(p.contains("partial_sum"), s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("MAD outlier stats rejoin the fact side via broadcast, never sort-merge") {
+    val p = plan(SparkEntry.queries("q_mad_outliers")(spark, TestSpark.sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast rejoins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"per-group stats must broadcast:\n$p")
+  }
+
+  test("range-frame window is one exchange + one sort, no self-join") {
+    val p = plan(SparkEntry.queries("q_window_range")(spark, TestSpark.sfDir))
+    assert(p.contains("Window"), s"expected Window node:\n$p")
+    assert(!p.contains("Join"), s"RANGE frame must not join:\n$p")
+  }
 }
