@@ -596,6 +596,18 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- explode variants: posexplode_outer keeps rows whose array
+    //      is empty/null (with null pos+value) and emits the element
+    //      index — the lossless flatten for downstream re-nesting.
+    //      NULLS FIRST is pinned explicitly: Spark and DuckDB default
+    //      opposite null orders ----
+    "q_explode_variants" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          filter(split(trim(col("text")), "\\s+"), t => length(t) >= 9).as("long_toks"))
+        .select(col("doc_id"), posexplode_outer(col("long_toks")).as(Seq("pos", "token")))
+        .orderBy(col("doc_id"), col("pos").asc_nulls_first)),
+
     // ---- explicit GROUPING SETS with grouping_id: the general form
     //      rollup/cube specialize; gid disambiguates a real NULL group
     //      key from a subtotal marker ----
@@ -941,6 +953,18 @@ object RelationalQueries {
            COUNT(*) FILTER (a.adev_c > 3.0 * d.mad_c) AS n_outliers, COUNT(*) AS n
          FROM adev a JOIN med m USING (o_orderpriority) JOIN mad d USING (o_orderpriority)
          GROUP BY a.o_orderpriority ORDER BY a.o_orderpriority""",
+    "q_explode_variants" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) >= 9) AS l
+           FROM documents)
+         SELECT doc_id, u.pos, u.token FROM d,
+           LATERAL (SELECT unnest(
+             CASE WHEN l IS NULL OR len(l) = 0
+               THEN [struct_pack(pos := CAST(NULL AS INTEGER), token := CAST(NULL AS VARCHAR))]
+               ELSE list_transform(l, (x, i) -> struct_pack(pos := CAST(i - 1 AS INTEGER), token := x))
+             END) AS u) s
+         ORDER BY doc_id, u.pos NULLS FIRST""",
     "q_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
            grouping(l_returnflag, l_linestatus) AS gid,

@@ -88,4 +88,30 @@ class FramesSpec extends AnyFunSuite {
     val bad = Seq(1).toDF("x")
     intercept[IllegalArgumentException] { Frames.printRdfStatements(bad) }
   }
+
+  test("JSONL sink/source roundtrip preserves rows and schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val src = Tables.table(spark, TestSpark.sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    src.coalesce(2).write.mode("overwrite").json(dir)
+    // explicit schema on read: at 100 TB schema inference is a full
+    // extra pass over the data — always declare
+    val back = spark.read.schema(src.schema).json(dir)
+    assert(back.schema === src.schema)
+    assert(back.count() === src.count())
+    val a = src.orderBy("o_orderkey").collect().map(_.toSeq)
+    val b = back.orderBy("o_orderkey").collect().map(_.toSeq)
+    assert(a === b)
+  }
+
+  test("CSV sink/source roundtrip with header and explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val src = Tables.table(spark, TestSpark.sfDir, "nation")
+    src.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.schema(src.schema).option("header", "true").csv(dir)
+    assert(back.schema === src.schema)
+    val a = src.orderBy(src.columns.map(col): _*).collect().map(_.toSeq)
+    val b = back.orderBy(back.columns.map(col): _*).collect().map(_.toSeq)
+    assert(a === b)
+  }
 }
