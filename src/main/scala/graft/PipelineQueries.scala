@@ -397,6 +397,62 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // ---- context chunking: overlapping token windows (64 tokens,
+    //      stride 32) per document — the standard pretraining prep
+    //      reshape. Pure per-row HOFs (sequence/slice/array_join) +
+    //      posexplode: map-only until the presentation sort ----
+    "text_chunks" -> ((s, d) => {
+      val win = 64; val stride = 32
+      val toks = split(trim(col("text")), "\\s+")
+      t(s, d, "documents")
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), size(col("t")).as("n"),
+          posexplode(transform(
+            sequence(lit(0), size(col("t")) - 1, lit(stride)),
+            st => struct(st.as("chunk_start"),
+              least(lit(win), size(col("t")) - st).as("n_chunk_tokens"),
+              array_join(slice(col("t"), st + 1, lit(win)), " ").as("chunk_text"))))
+            .as(Seq("chunk_idx", "c")))
+        .select(col("doc_id"), col("chunk_idx"),
+          col("c.chunk_start").as("chunk_start"),
+          col("c.n_chunk_tokens").as("n_chunk_tokens"),
+          col("c.chunk_text").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // ---- linear interpolation over a gap-filled daily series: missing
+    //      days get prev + (next-prev) * elapsed/gap between their
+    //      nearest known neighbors (cents-exact endpoints; one double
+    //      op tree per row). The forward/backward scans are two
+    //      window passes — no self-join ----
+    "events_interpolate" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("event_type") === "purchase")
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("cents"))
+      val daily = ev.groupBy(col("day")).agg(sum(col("cents")).as("v"))
+      // thin the series to every-3rd day so there ARE gaps to fill
+      val sparse = daily.filter(dayofmonth(col("day")) % 3 === 0)
+      val grid = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val series = grid.join(sparse, Seq("day"), "left")
+      val wAll = Window.orderBy(col("day"))
+      val back = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      series
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+        .withColumn("pd", last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+        .withColumn("nd", first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(fwd))
+        .withColumn("interp_cents",
+          when(col("v").isNotNull, col("v").cast(DoubleType))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("nv") - col("pv")).cast(DoubleType) *
+                datediff(col("day"), col("pd")) / datediff(col("nd"), col("pd")))
+            .otherwise(coalesce(col("pv"), col("nv")).cast(DoubleType)))
+        .select(col("day"), col("v").as("observed_cents"), col("interp_cents"))
+        .orderBy(col("day"))
+    }),
+
     // ---- character-distribution Gini impurity: a transcendental-free
     //      diversity score (1 - sum(c^2)/n^2 over per-char counts) —
     //      integer arithmetic until one final exact division, so the
@@ -776,6 +832,48 @@ object PipelineQueries {
            FROM scored)
          SELECT doc_id, rk, token, score FROM ranked WHERE rk <= 3
          ORDER BY doc_id, rk""",
+    "text_chunks" ->
+      """WITH d AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         c AS (
+           SELECT doc_id, unnest(list_transform(range(0, len(t), 32),
+             (st, i) -> struct_pack(
+               chunk_idx := CAST(i - 1 AS INTEGER),
+               chunk_start := CAST(st AS INTEGER),
+               n_chunk_tokens := CAST(least(64, len(t) - st) AS INTEGER),
+               chunk_text := array_to_string(list_slice(t, st + 1, st + 64), ' ')))) AS u
+           FROM d)
+         SELECT doc_id, u.chunk_idx AS chunk_idx, u.chunk_start AS chunk_start,
+                u.n_chunk_tokens AS n_chunk_tokens, u.chunk_text AS chunk_text
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "events_interpolate" ->
+      """WITH ev AS (
+           SELECT CAST(ts AS DATE) AS day, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         daily AS (SELECT day, SUM(cents) AS v FROM ev GROUP BY day),
+         sparse AS (SELECT * FROM daily WHERE dayofmonth(day) % 3 = 0),
+         grid AS (
+           SELECT unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS day
+           FROM (SELECT min(day) AS d0, max(day) AS d1 FROM ev) b),
+         series AS (
+           SELECT g.day, s.v FROM grid g LEFT JOIN sparse s USING (day)),
+         scanned AS (
+           SELECT day, v,
+             last_value(v IGNORE NULLS) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(v IGNORE NULLS) OVER (ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+           FROM series)
+         SELECT day, v AS observed_cents,
+           CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  pv + CAST(nv - pv AS DOUBLE) * datediff('day', pd, day) / datediff('day', pd, nd)
+                ELSE CAST(COALESCE(pv, nv) AS DOUBLE) END AS interp_cents
+         FROM scanned ORDER BY day""",
     "text_char_gini" ->
       """WITH ch AS (
            SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
