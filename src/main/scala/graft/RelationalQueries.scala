@@ -596,6 +596,14 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- weighted sample (rows-only: seeded-xxhash keys have no
+    //      DuckDB twin; determinism/bias asserted in FramesSpec) ----
+    "q_sample_weighted" -> ((s, d) =>
+      Frames.weightedSampleDeterministic(
+          t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          n = 100, weightCol = "o_totalprice", idCol = "o_orderkey")
+        .orderBy(col("o_orderkey"))),
+
     // ---- explode variants: posexplode_outer keeps rows whose array
     //      is empty/null (with null pos+value) and emits the element
     //      index — the lossless flatten for downstream re-nesting.

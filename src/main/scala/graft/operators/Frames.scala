@@ -118,6 +118,31 @@ object Frames {
     df.filter(hashBucket(col(idCol)) < bp)
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis-
+    * Spirakis A-ES): each row gets the key u^(1/w) with u a seeded
+    * hash-uniform in (0,1]; the n largest keys are the sample.
+    * Inclusion probability is proportional to weight; the hash makes
+    * it reproducible under any partitioning. The top-n is a
+    * TakeOrdered (per-partition heap of n, then a driver merge) — no
+    * global sort, no shuffle of the losers. Quality-weighted corpus
+    * subsampling is the training-pipeline use.
+    */
+  def weightedSampleDeterministic(df: DataFrame, n: Int, weightCol: String,
+                                  idCol: String, seed: Long = 42L): DataFrame = {
+    // u in (0,1]: fold the hash into 2^40 buckets, shift to 1..2^40
+    val m = 1L << 40
+    val u = (pmod(xxhash64(lit(seed), col(idCol)), lit(m)) + lit(1L)).cast("double") /
+      lit(m.toDouble)
+    // ln(u)/w is the standard overflow-safe form of u^(1/w) ranking
+    // (monotone-equivalent); avoids pow() underflow at tiny weights
+    val key = org.apache.spark.sql.functions.log(u) / col(weightCol)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__wk", key)
+      .orderBy(col("__wk").desc, col(idCol))
+      .limit(n)
+      .drop("__wk")
+  }
+
   /** Partitioned parquet sink — the standard sharded-output shape for
     * pipeline stages: directory-partitioned by low-cardinality
     * columns (consumers prune partitions at the scan), file sizes

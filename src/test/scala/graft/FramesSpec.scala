@@ -89,6 +89,19 @@ class FramesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Frames.printRdfStatements(bad) }
   }
 
+  test("weightedSampleDeterministic: partitioning-invariant, weight-biased, exact n") {
+    val df = (1L to 1000L).map(i => (i, if (i <= 20) 1000.0 else 0.01))
+      .toDF("id", "w")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Frames.weightedSampleDeterministic(d, 20, "w", "id")
+        .select("id").collect().map(_.getLong(0)).toSet
+    val a = ids(df.repartition(1))
+    val b = ids(df.repartition(7))
+    assert(a === b, "same sample under any partitioning")
+    assert(a.size === 20)
+    assert(a.count(_ <= 20L) >= 18, s"heavy weights must dominate: $a")
+  }
+
   test("JSONL sink/source roundtrip preserves rows and schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
     val src = Tables.table(spark, TestSpark.sfDir, "orders")
