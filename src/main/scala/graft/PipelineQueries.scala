@@ -397,6 +397,53 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // ---- decontamination: flag eval-split documents sharing any word
+    //      8-gram with the train split. Shingle STRINGS join directly
+    //      (portable; at 100 TB the same plan runs over shingle
+    //      hashes — semantics identical, bytes-on-wire smaller). The
+    //      distinct (eval_shingle x train) match collapses before the
+    //      per-doc count, so hot boilerplate 8-grams cannot explode
+    //      the aggregation ----
+    "dedup_contamination" -> ((s, d) => {
+      val w = 8
+      def grams(df: DataFrame) = df
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), w)).as("g"))
+        .distinct()
+      val docs = t(s, d, "documents")
+      val evalG = grams(docs.filter(col("doc_id") % 100 === 0))
+      val trainG = grams(docs.filter(col("doc_id") % 100 =!= 0))
+        .select(col("g")).distinct()
+      val hits = evalG.join(trainG, Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_8grams"))
+      docs.filter(col("doc_id") % 100 === 0).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared_8grams"), lit(0L)).as("n_shared_8grams"),
+          (coalesce(col("n_shared_8grams"), lit(0L)) > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-key EWMA: a recursive metric no SQL window expresses —
+    //      computed as a sequential HOF fold over the key's
+    //      time-ordered values (alpha = 0.5 is exactly representable,
+    //      and both engines fold the identical op sequence, so the
+    //      result is bit-stable). State per key is its event list:
+    //      fine for bounded per-key history; beyond that the
+    //      streaming sessionizer shape (flatMapGroupsWithState) is
+    //      the scale path ----
+    "events_ewma" -> ((s, d) => {
+      val ordered = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+          .as("evs"))
+      ordered.select(col("user_id"), size(col("evs")).cast(LongType).as("n_events"),
+          aggregate(col("evs"), lit(Double.NaN),
+            (acc, e) => when(isnan(acc), e.getField("value"))
+              .otherwise(acc * lit(0.5) + e.getField("value") * lit(0.5)))
+            .as("ewma_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- context chunking: overlapping token windows (64 tokens,
     //      stride 32) per document — the standard pretraining prep
     //      reshape. Pure per-row HOFs (sequence/slice/array_join) +
@@ -832,6 +879,32 @@ object PipelineQueries {
            FROM scored)
          SELECT doc_id, rk, token, score FROM ranked WHERE rk <= 3
          ORDER BY doc_id, rk""",
+    "dedup_contamination" ->
+      """WITH d AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+             ELSE list_transform(range(1, len(t) - 6),
+               i -> array_to_string(list_slice(t, i, i + 7), ' ')) END AS gs
+           FROM d),
+         g AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM sh)),
+         evalg AS (SELECT * FROM g WHERE doc_id % 100 = 0),
+         traing AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 <> 0),
+         hits AS (
+           SELECT e.doc_id, COUNT(*) AS n FROM evalg e
+           JOIN traing t ON t.g = e.g GROUP BY e.doc_id)
+         SELECT d2.doc_id, COALESCE(h.n, 0) AS n_shared_8grams,
+           COALESCE(h.n, 0) > 0 AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 100 = 0) d2
+         LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
+    "events_ewma" ->
+      """WITH per AS (
+           SELECT user_id, COUNT(*) AS n_events,
+             list(value ORDER BY ts, event_id) AS vs
+           FROM events GROUP BY user_id)
+         SELECT user_id, n_events,
+           list_reduce(vs, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma_value
+         FROM per ORDER BY user_id""",
     "text_chunks" ->
       """WITH d AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
