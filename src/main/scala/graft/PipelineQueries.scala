@@ -406,11 +406,16 @@ object PipelineQueries {
     //      the aggregation ----
     "dedup_contamination" -> ((s, d) => {
       val w = 8
-      def grams(df: DataFrame) = df
-        .select(col("doc_id"), explode(Dedup.shingles(col("text"), w)).as("g"))
-        .distinct()
+      // native one-pass distinct shingle strings: the HOF formulation
+      // (transform+array_join+slice per window) was the dominant
+      // map-side cost; in-row dedup also shrinks the explode
+      def grams(df: DataFrame) = df.select(col("doc_id"),
+        explode(graft.functions.NativeFunctions.shingleStrings(
+          Dedup.tokens(col("text")), w)).as("g"))
       val docs = t(s, d, "documents")
       val evalG = grams(docs.filter(col("doc_id") % 100 === 0))
+      // train side never needs per-doc attribution — one global
+      // distinct over bare grams, not a (doc, gram) dedup first
       val trainG = grams(docs.filter(col("doc_id") % 100 =!= 0))
         .select(col("g")).distinct()
       val hits = evalG.join(trainG, Seq("g"), "left_semi")

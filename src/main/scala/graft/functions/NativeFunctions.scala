@@ -38,6 +38,10 @@ object NativeFunctions {
   def shingleHashes(tokens: Column, w: Int): Column =
     GraftSqlShims.column(ShingleHashes(GraftSqlShims.expression(tokens), w))
 
+  /** Distinct w-shingle strings of a token array, one pass. */
+  def shingleStrings(tokens: Column, w: Int): Column =
+    GraftSqlShims.column(ShingleStrings(GraftSqlShims.expression(tokens), w))
+
   /** Single-pass 63-bit SimHash over an array<string> token column. */
   def simhash(tokens: Column): Column =
     GraftSqlShims.column(SimHash(GraftSqlShims.expression(tokens)))

@@ -155,6 +155,51 @@ case class ShingleHashes(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Distinct word w-shingle STRINGS over an array<string> of tokens,
+  * one pass, first-occurrence order — the string-keyed sibling of
+  * [[ShingleHashes]] for operators whose join keys must stay portable
+  * (e.g. cross-engine decontamination). Shorter-than-w arrays yield
+  * the whole text as one shingle.
+  */
+case class ShingleStrings(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(w >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_strings"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val nShingles = if (n < w) 1 else n - w + 1
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var s = 0
+    while (s < nShingles) {
+      val parts: Array[UTF8String] =
+        if (n < w) toks else java.util.Arrays.copyOfRange(toks, s, s + w)
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      s += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Count of code points belonging to a literal character set — the
   * `length(regexp_replace(text, "[^set]", ""))` idiom without
   * materializing the stripped copy of every document. Counts equal

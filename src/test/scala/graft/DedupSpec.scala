@@ -91,6 +91,16 @@ class DedupSpec extends AnyFunSuite {
     both.collect().foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("native ShingleStrings matches array_distinct over the HOF shingles") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents").limit(100)
+      .select(col("text"))
+      .union(Seq("", "one", "one two", "a  b\tc   d").toDF("text"))
+    val both = docs.select(
+      graft.functions.NativeFunctions.shingleStrings(Dedup.tokens(col("text")), 3).as("native"),
+      array_distinct(Dedup.shingles(col("text"), 3)).as("hof"))
+    both.collect().foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("native SimHash expression matches the HOF formulation on the corpus") {
     val docs = Tables.table(spark, TestSpark.sfDir, "documents").limit(100)
     val both = docs.select(
