@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CharSetCount, CosineSimilarity, MaxTokenFreq, MinHashSignature, PolyFingerprint, RegexpCount, ShingleHashes, SimHash, TopKRows}
+import graft.functions.{CharSetCount, CosineSimilarity, MaxTokenFreq, MinHashSignature, PolyFingerprint, RegexpCount, ShingleHashes, ShingleStrings, SimHash, TopKRows}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users get them too:
@@ -70,6 +70,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("shingle_hashes", 2, args)
         ShingleHashes(args(0), args(1).eval().asInstanceOf[Int])
+      }),
+    (FunctionIdentifier("shingle_strings"),
+      info("shingle_strings",
+        "shingle_strings(tokens, w) - distinct word w-shingle strings, " +
+          "first-occurrence order"),
+      (args: Seq[Expression]) => {
+        arity("shingle_strings", 2, args)
+        ShingleStrings(args(0), args(1).eval().asInstanceOf[Int])
       }),
     (FunctionIdentifier("regexp_count_graft"),
       info("regexp_count_graft",

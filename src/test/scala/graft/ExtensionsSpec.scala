@@ -53,13 +53,15 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getInt(0) === 2)
     assert(spark.sql("SELECT charset_count('a.b,c', '.,') AS n")
       .head().getInt(0) === 2)
+    assert(spark.sql("SELECT shingle_strings(array('a','b','c'), 2) AS s")
+      .head().getSeq[String](0) === Seq("a b", "b c"))
     assert(spark.sql("SELECT max_token_freq(array('x','y','x')) AS n")
       .head().getInt(0) === 2)
 
     // the builder-time class form wires the same triples
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ===
       Set("cosine_similarity", "simhash", "minhash_signature",
-        "poly_fingerprint", "shingle_hashes", "topk_rows",
+        "poly_fingerprint", "shingle_hashes", "shingle_strings", "topk_rows",
         "regexp_count_graft", "charset_count", "max_token_freq"))
   }
 }
