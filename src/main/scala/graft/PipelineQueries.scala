@@ -94,10 +94,14 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // ---- IVF ANN (coarse-quantizer scale path; recall in ScalaTest) ----
+    // ---- IVF ANN (coarse-quantizer scale path; recall in ScalaTest).
+    //      Cell count follows the sqrt sizing law — fixed cells make
+    //      self-ANN quadratic (measured 4.3x slower at 10x corpus in
+    //      ScaleSmoke/SCALE.md) ----
     "sim_topk_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val cents = Similarity.trainIvfCentroids(e, nCentroids = 16, dim = 64, iterations = 1)
+      val cents = Similarity.trainIvfCentroids(e,
+        nCentroids = Similarity.suggestedCentroids(e.count()), dim = 64, iterations = 1)
       Similarity.ivfTopK(e, e, k = 1, cents, nProbe = 4)
         .select(col("query_id"), col("id").as("nn_id"))
         .orderBy(col("query_id"))

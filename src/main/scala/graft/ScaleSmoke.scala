@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Scale-behavior smoke: replicates the sf0.1 corpus K-fold (ids
+  * offset per replica so replicas are near-duplicates of each other —
+  * the worst case for dedup operators) and times the heavy operators
+  * at 1x and Kx. The point is the RATIO: an operator whose runtime
+  * grows ~linearly in corpus size survives a 1000-executor scale-up;
+  * quadratic growth shows up immediately as ratio >> K.
+  *
+  * Usage: sbt "runMain graft.ScaleSmoke [K]"   (default K=10)
+  * Results are recorded in SCALE.md.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
+
+    val docs1 = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).cache()
+    val n1 = docs1.count()
+    // K replicas with disjoint id ranges; each replica's text gets a
+    // distinct marker token appended so replicas are NEAR-duplicates
+    // (jaccard just under 1), not exact ones — keeps pair counts
+    // near-dup-shaped instead of exploding into K-cliques of identity
+    val offset = 1000000L
+    val docsK = (0 until k).map { r =>
+      docs1.select((col("doc_id") + lit(r * offset)).as("doc_id"),
+        concat(col("text"), lit(s" replica$r marker$r")).as("text"))
+    }.reduce(_ unionByName _).repartition(32).cache()
+    val nK = docsK.count()
+
+    val emb1 = Tables.table(spark, sfDir, "embeddings").cache()
+    val e1 = emb1.count()
+    val embK = (0 until k).map { r =>
+      emb1.select((col("vec_id") + lit(r * offset)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _).repartition(32).cache()
+    val eK = embK.count()
+
+    def time(name: String)(f: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-28s ${s}%8.2f s  ($rows rows)")
+      (name, s, rows)
+    }
+
+    println(s"[scale] corpus: $n1 docs -> $nK docs (${k}x); $e1 -> $eK embeddings")
+
+    val results = Seq(
+      time("minhash_lsh_1x") {
+        Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 64, 16, 3, 0.5)
+          .queryExecution.toRdd.count() },
+      time(s"minhash_lsh_${k}x") {
+        Dedup.minhashNearDupPairs(docsK, "doc_id", "text", 64, 16, 3, 0.5)
+          .queryExecution.toRdd.count() },
+      time("simhash_1x") {
+        Dedup.simhashNearDupPairs(docs1, "doc_id", "text", 3)
+          .queryExecution.toRdd.count() },
+      time(s"simhash_${k}x") {
+        Dedup.simhashNearDupPairs(docsK, "doc_id", "text", 3)
+          .queryExecution.toRdd.count() },
+      time("exact_dedup_1x") {
+        Dedup.exactDupGroups(docs1, "doc_id", "text")
+          .queryExecution.toRdd.count() },
+      time(s"exact_dedup_${k}x") {
+        Dedup.exactDupGroups(docsK, "doc_id", "text")
+          .queryExecution.toRdd.count() },
+      time("ivf_topk_1x") {
+        val c = Similarity.trainIvfCentroids(emb1, Similarity.suggestedCentroids(e1), 64, 1)
+        Similarity.ivfTopK(emb1, emb1, 1, c, 4).queryExecution.toRdd.count() },
+      time(s"ivf_topk_${k}x") {
+        val c = Similarity.trainIvfCentroids(embK, Similarity.suggestedCentroids(eK), 64, 1)
+        Similarity.ivfTopK(embK, embK, 1, c, 4).queryExecution.toRdd.count() },
+      time(s"ivf_fixed16_${k}x") {
+        val c = Similarity.trainIvfCentroids(embK, 16, 64, 1)
+        Similarity.ivfTopK(embK, embK, 1, c, 4).queryExecution.toRdd.count() },
+      time("lsh_topk_1x") {
+        Similarity.lshTopK(emb1, emb1, 1, 64,
+          numPlanes = Similarity.suggestedPlanes(e1)).queryExecution.toRdd.count() },
+      time(s"lsh_topk_${k}x") {
+        Similarity.lshTopK(embK, embK, 1, 64,
+          numPlanes = Similarity.suggestedPlanes(eK)).queryExecution.toRdd.count() }
+    )
+
+    println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
+    val byName = results.map { case (n, s, _) => n -> s }.toMap
+    Seq("minhash_lsh", "simhash", "exact_dedup", "ivf_topk", "lsh_topk").foreach { base =>
+      for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
+        println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
+    }
+    for (a <- byName.get(s"ivf_topk_${k}x"); b <- byName.get(s"ivf_fixed16_${k}x"))
+      println(f"[scale]   ivf fixed-16 cells is ${b / a}%.1fx slower than sqrt-scaled cells at ${k}x")
+    spark.stop()
+  }
+}

@@ -181,6 +181,22 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** IVF sizing law: cells ∝ sqrt(corpus) keeps (members per cell) x
+    * (queries probing it) — and so candidate-join volume — linear in
+    * corpus size. A fixed cell count makes self-ANN quadratic: 10x
+    * data at 16 cells measured 20x runtime in ScaleSmoke; sqrt-scaled
+    * cells restore ~linear growth.
+    */
+  def suggestedCentroids(corpusSize: Long): Int =
+    math.max(16, math.ceil(math.sqrt(corpusSize.toDouble)).toInt)
+
+  /** LSH sizing law: planes ∝ log2(corpus) keeps expected bucket
+    * occupancy — and the per-bucket self-join — constant per row.
+    */
+  def suggestedPlanes(corpusSize: Long, targetPerBucket: Int = 32): Int =
+    math.min(24, math.max(4,
+      math.ceil(math.log(corpusSize.toDouble / targetPerBucket) / math.log(2.0)).toInt))
+
   /** IVF (inverted-file) coarse quantizer: deterministic seeded
     * sample of the corpus as initial centroids, refined with
     * `iterations` Lloyd steps computed distributively (assignment is
