@@ -596,6 +596,18 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- CDC upsert: latest-wins apply of an update set onto a base
+    //      table (anti-join + union — the merge-into shape) ----
+    "q_upsert" -> ((s, d) => {
+      val base = t(s, d, "orders")
+      val updates = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * lit(2.0))
+        .withColumn("o_orderstatus", lit("U"))
+      Frames.upsert(base, updates, "o_orderkey")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- weighted sample (rows-only: seeded-xxhash keys have no
     //      DuckDB twin; determinism/bias asserted in FramesSpec) ----
     "q_sample_weighted" -> ((s, d) =>
@@ -961,6 +973,15 @@ object RelationalQueries {
            COUNT(*) FILTER (a.adev_c > 3.0 * d.mad_c) AS n_outliers, COUNT(*) AS n
          FROM adev a JOIN med m USING (o_orderpriority) JOIN mad d USING (o_orderpriority)
          GROUP BY a.o_orderpriority ORDER BY a.o_orderpriority""",
+    "q_upsert" ->
+      """WITH updates AS (
+           SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2.0 AS o_totalprice
+           FROM orders WHERE o_orderkey % 7 = 0)
+         SELECT o_orderkey, o_orderstatus, o_totalprice FROM updates
+         UNION ALL
+         SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM orders b
+         WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = b.o_orderkey)
+         ORDER BY o_orderkey""",
     "q_explode_variants" ->
       """WITH d AS (
            SELECT doc_id,

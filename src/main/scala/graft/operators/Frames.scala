@@ -118,6 +118,17 @@ object Frames {
     df.filter(hashBucket(col(idCol)) < bp)
   }
 
+  /** CDC-style upsert: apply `updates` onto `base` by key — updated
+    * rows replace their base rows, new keys append. One anti-join
+    * (the update key set broadcasts when small, shuffles when not)
+    * plus a union: the merge-into shape without a table format.
+    * Assumes `updates` has at most one row per key (enforce upstream
+    * with uniqueFirst for latest-wins CDC streams).
+    */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(col(key)), Seq(key), "left_anti"))
+
   /** Deterministic weighted sample WITHOUT replacement (Efraimidis-
     * Spirakis A-ES): each row gets the key u^(1/w) with u a seeded
     * hash-uniform in (0,1]; the n largest keys are the sample.

@@ -104,4 +104,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"expected Window node:\n$p")
     assert(!p.contains("Join"), s"RANGE frame must not join:\n$p")
   }
+
+  test("join strategy hints override the planner's default choice") {
+    val o = Tables.table(spark, TestSpark.sfDir, "orders")
+    val li = Tables.table(spark, TestSpark.sfDir, "lineitem")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    // default at this size: broadcast; the merge hint forces sort-merge
+    val merged = plan(o.hint("merge").join(li, Seq("o_orderkey")))
+    assert(merged.contains("SortMergeJoin"), s"merge hint ignored:\n$merged")
+    val shuffled = plan(o.hint("shuffle_hash").join(li, Seq("o_orderkey")))
+    assert(shuffled.contains("ShuffledHashJoin"), s"shuffle_hash hint ignored:\n$shuffled")
+  }
 }

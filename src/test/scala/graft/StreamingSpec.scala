@@ -142,6 +142,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch sink writes every micro-batch exactly once") {
+    val src = java.nio.file.Files.createTempDirectory("graft-fbsrc").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-fbout").toString
+    val sample = events.limit(1000)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    sample.coalesce(2).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema).parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val back = spark.read.parquet(out)
+      assert(back.count() === sample.count())
+      assert(back.select("event_id").distinct().count() ===
+        sample.select("event_id").distinct().count())
+    } finally q.stop()
+  }
+
+  test("typed Aggregator (WeightedMean) matches the declarative formulation") {
+    import graft.functions.TypedAgg
+    val ds = events.limit(5000)
+      .select(col("value").as("value"), (col("user_id") % 5 + 1).cast("double").as("weight"))
+      .as[TypedAgg.Weighted]
+    val typed = ds.select(TypedAgg.WeightedMean.toColumn).head()
+    val decl = events.limit(5000)
+      .select(col("value"), (col("user_id") % 5 + 1).cast("double").as("w"))
+      .agg(sum(col("value") * col("w")) / sum(col("w"))).head().getDouble(0)
+    assert(math.abs(typed - decl) < 1e-9)
+  }
+
   test("stream-stream interval join matches the batch attribution join") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ssj").toString
     val sample = events.filter(col("user_id") <= 20)
