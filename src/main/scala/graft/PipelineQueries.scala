@@ -249,10 +249,11 @@ object PipelineQueries {
           TextAnalysis.maxTokenFreqRatio(col("text")).as("max_tok_frac"))
         .orderBy(col("doc_id"))),
 
-    // ---- language ID heuristic ----
+    // ---- language ID heuristic (native one-pass; HOF twin asserted
+    //      identical in TextAnalysisSpec) ----
     "text_lang_id" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .select(col("doc_id"), TextAnalysis.langIdFused(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
     // ---- sliding-window aggregation (rows-only; overlapping

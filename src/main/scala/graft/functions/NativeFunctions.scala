@@ -42,6 +42,10 @@ object NativeFunctions {
   def shingleStrings(tokens: Column, w: Int): Column =
     GraftSqlShims.column(ShingleStrings(GraftSqlShims.expression(tokens), w))
 
+  /** One-pass heuristic language ID (argmax of marker-word hits). */
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    GraftSqlShims.column(LangIdHeuristic(GraftSqlShims.expression(text), markers))
+
   /** Single-pass 63-bit SimHash over an array<string> token column. */
   def simhash(tokens: Column): Column =
     GraftSqlShims.column(SimHash(GraftSqlShims.expression(tokens)))

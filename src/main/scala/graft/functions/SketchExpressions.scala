@@ -155,6 +155,69 @@ case class ShingleHashes(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** One-pass heuristic language ID over raw text: lowercases,
+  * whitespace-tokenizes, counts marker-word hits per language, and
+  * returns the argmax (ties break in declaration order, 'und' when
+  * nothing hits). Semantics identical to the HOF formulation
+  * `TextAnalysis.langId` (asserted in TextAnalysisSpec) — but that
+  * tree evaluates its interpreted filter/isin lambdas once per
+  * language per comparison (~24 token-array passes per row); this is
+  * one pass.
+  */
+case class LangIdHeuristic(child: Expression,
+                           markers: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lang_id"
+
+  @transient private lazy val langNames: Array[UTF8String] =
+    markers.map(m => UTF8String.fromString(m._1)).toArray
+
+  @transient private lazy val markerSets: Array[java.util.HashSet[String]] =
+    markers.map { case (_, ws) =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      s
+    }.toArray
+
+  // Java regex \s exactly — NOT Character.isWhitespace, which also
+  // claims U+001C..1F and would tokenize differently from the HOF twin
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString.toLowerCase
+    val counts = new Array[Int](markerSets.length)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(text.charAt(i))) i += 1
+      if (i > start) {
+        val tok = text.substring(start, i)
+        var l = 0
+        while (l < markerSets.length) {
+          if (markerSets(l).contains(tok)) counts(l) += 1
+          l += 1
+        }
+      }
+    }
+    var best = 0
+    var l = 1
+    while (l < counts.length) {
+      if (counts(l) > counts(best)) best = l
+      l += 1
+    }
+    if (counts(best) == 0) UTF8String.fromString("und") else langNames(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct word w-shingle STRINGS over an array<string> of tokens,
   * one pass, first-occurrence order — the string-keyed sibling of
   * [[ShingleHashes]] for operators whose join keys must stay portable

@@ -117,6 +117,15 @@ object TextAnalysis {
   def langScore(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(lower(text)), t => t.isin(markers: _*)))
 
+  /** One-pass native form of [[langId]] — the declared text_lang_id
+    * query uses this; the HOF form below is the reference semantics
+    * it is asserted identical to. The HOF tree re-evaluates each
+    * language's interpreted filter/isin score in every argmax
+    * comparison (~24 token-array passes per row).
+    */
+  def langIdFused(text: Column): Column =
+    graft.functions.NativeFunctions.langId(text, LangMarkers)
+
   /** Heuristic language ID: argmax of marker-hit counts, 'und'
     * (undetermined) when no marker hits at all. Ties break in
     * LangMarkers declaration order (en first) — deterministic.

@@ -40,6 +40,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).toSeq === Seq("en", "de", "es", "und"))
   }
 
+  test("native langIdFused equals the HOF langId on corpus + edge cases") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("text"))
+      .union(Seq("", "   ", "THE Der el le", "the the der der",
+        "mixed the und la dans").toDF("text"))
+    val both = docs.select(
+      TextAnalysis.langIdFused(col("text")).as("native"),
+      TextAnalysis.langId(col("text")).as("hof"))
+    both.collect().foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
   test("fingerprint is order-sensitive; winnowing survives local edits") {
     val df = Seq(("a b c d e f g h", 1L), ("b a c d e f g h", 2L)).toDF("t", "id")
       .select(TextAnalysis.fingerprint(col("t")).as("fp"))
