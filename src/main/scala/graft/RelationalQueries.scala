@@ -405,7 +405,8 @@ object RelationalQueries {
     // ---- O-L3 seeded exact sample (deterministic in-engine; no
     //      cross-engine oracle -> rows-only check, asserted in tests) ----
     "q_sample_seeded" -> ((s, d) =>
-      Frames.sampleExact(t(s, d, "orders").select(col("o_orderkey")), 100, seed = 42L)
+      Frames.sampleExactPortable(t(s, d, "orders").select(col("o_orderkey")),
+          100, seed = 42L, idCol = "o_orderkey")
         .orderBy(col("o_orderkey"))),
 
     // ---- rollup: hierarchical subtotals (extension beyond the
@@ -973,6 +974,21 @@ object RelationalQueries {
            COUNT(*) FILTER (a.adev_c > 3.0 * d.mad_c) AS n_outliers, COUNT(*) AS n
          FROM adev a JOIN med m USING (o_orderpriority) JOIN mad d USING (o_orderpriority)
          GROUP BY a.o_orderpriority ORDER BY a.o_orderpriority""",
+    "q_sample_seeded" ->
+      """SELECT o_orderkey FROM (
+           SELECT o_orderkey FROM orders
+           ORDER BY ((((o_orderkey + 42) % 1000000007) * 1000003) % 1000000007 * 999983)
+             % 1000000007, o_orderkey
+           LIMIT 100)
+         ORDER BY o_orderkey""",
+    "q_sample_weighted" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_totalprice > 0
+           ORDER BY ln((((((o_orderkey + 42) % 1000000007) * 1000003) % 1000000007 * 999983)
+             % 1000000007 + 1) / 1000000007.0) / o_totalprice DESC, o_orderkey
+           LIMIT 100)
+         ORDER BY o_orderkey""",
     "q_upsert" ->
       """WITH updates AS (
            SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2.0 AS o_totalprice

@@ -109,6 +109,24 @@ object Frames {
     pmod(pmod(pmod(id.cast("long"), lit(1000000007L)) * lit(1000003L), lit(1000000007L))
       * lit(999983L), lit(1000000007L)) % 10000L
 
+  /** Seeded variant of [[hashBucket]]'s mixer, full [0, P) range:
+    * pure integer arithmetic (products < 2^62), so any ANSI SQL
+    * engine replays it bit-for-bit — the property that lets seeded
+    * samples be oracle-checked instead of trusted.
+    */
+  private[graft] val HashP = 1000000007L
+  def portableHash(id: Column, seed: Long): Column =
+    pmod(pmod(pmod(id.cast("long") + lit(seed), lit(HashP)) * lit(1000003L), lit(HashP))
+      * lit(999983L), lit(HashP))
+
+  /** Exact-n seeded sample ordered by a portable hash of a unique id
+    * column — same contract as [[sampleExact]] but reproducible in
+    * any SQL engine (xxhash64 is Spark-only). The id tie-break makes
+    * the cut deterministic even under hash collisions.
+    */
+  def sampleExactPortable(df: DataFrame, n: Int, seed: Long, idCol: String): DataFrame =
+    df.orderBy(portableHash(col(idCol), seed), col(idCol)).limit(n)
+
   def stratifiedSampleDeterministic(df: DataFrame, strataCol: String,
                                     fractions: Map[String, Double], idCol: String,
                                     defaultFraction: Double = 0.0): DataFrame = {
@@ -140,10 +158,10 @@ object Frames {
     */
   def weightedSampleDeterministic(df: DataFrame, n: Int, weightCol: String,
                                   idCol: String, seed: Long = 42L): DataFrame = {
-    // u in (0,1]: fold the hash into 2^40 buckets, shift to 1..2^40
-    val m = 1L << 40
-    val u = (pmod(xxhash64(lit(seed), col(idCol)), lit(m)) + lit(1L)).cast("double") /
-      lit(m.toDouble)
+    // u in (0,1]: the portable hash shifted to 1..P — engine-portable
+    // (the former xxhash64 key made this op Spark-only and its sample
+    // uncheckable against the oracle)
+    val u = (portableHash(col(idCol), seed) + lit(1L)).cast("double") / lit(HashP.toDouble)
     // ln(u)/w is the standard overflow-safe form of u^(1/w) ranking
     // (monotone-equivalent); avoids pow() underflow at tiny weights
     val key = org.apache.spark.sql.functions.log(u) / col(weightCol)
