@@ -45,10 +45,15 @@ object PipelineQueries {
           shingleWidth = 3, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // ---- MinHash+LSH near-dup pairs (verified; no oracle: seeded xxhash) ----
+    // ---- MinHash+LSH near-dup pairs, portable hash family: the
+    //      DuckDB oracle replays shingling, the 64-hash signature,
+    //      banding and the exact-Jaccard verification via list folds
+    //      — the full LSH pipeline is hash-matched, not just
+    //      row-counted ----
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
-          numHashes = 64, bands = 16, shingleWidth = 3, threshold = 0.5)
+          numHashes = 64, bands = 16, shingleWidth = 3, threshold = 0.5,
+          portable = true)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -733,6 +738,43 @@ object PipelineQueries {
            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
              CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5
          ORDER BY id_a, id_b""",
+    "dedup_minhash_lsh" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         hs AS (
+           SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007))) AS sh
+           FROM t),
+         sg AS (
+           SELECT doc_id, sh,
+             list_transform(range(0, 64), j ->
+               list_min(list_transform(sh, x ->
+                 (((j + 1) * 1000003 + 12345) % 2147483647 * x
+                   + ((j + 1) * 999983 + 54321) % 2147483647) % 2147483647))) AS sig
+           FROM hs),
+         bk AS (
+           SELECT doc_id, b.band AS band,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_slice(sig, b.band * 4 + 1, b.band * 4 + 4)),
+               (a, x) -> (a * 1000003 + x) % 1000000007) AS bucket
+           FROM sg, (SELECT unnest(range(0, 16)) AS band) b),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bk x JOIN bk y
+             ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         v AS (
+           SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+           FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b)
+         SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
     "sim_topk_bruteforce" ->
       """SELECT a.vec_id AS query_id,
            (SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> a.vec_id

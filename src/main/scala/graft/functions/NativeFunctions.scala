@@ -38,6 +38,10 @@ object NativeFunctions {
   def shingleHashes(tokens: Column, w: Int): Column =
     GraftSqlShims.column(ShingleHashes(GraftSqlShims.expression(tokens), w))
 
+  /** Distinct portable polynomial w-shingle hashes, one pass. */
+  def polyShingleHashes(tokens: Column, w: Int): Column =
+    GraftSqlShims.column(PolyShingleHashes(GraftSqlShims.expression(tokens), w))
+
   /** Distinct w-shingle strings of a token array, one pass. */
   def shingleStrings(tokens: Column, w: Int): Column =
     GraftSqlShims.column(ShingleStrings(GraftSqlShims.expression(tokens), w))
@@ -51,9 +55,10 @@ object NativeFunctions {
     GraftSqlShims.column(SimHash(GraftSqlShims.expression(tokens)))
 
   /** Single-pass MinHash signature over an array<long> hash column. */
-  def minhashSignature(hashes: Column, numHashes: Int, seed: Long = 42L): Column =
+  def minhashSignature(hashes: Column, numHashes: Int, seed: Long = 42L,
+                       portable: Boolean = false): Column =
     GraftSqlShims.column(
-      MinHashSignature(GraftSqlShims.expression(hashes), numHashes, seed))
+      MinHashSignature(GraftSqlShims.expression(hashes), numHashes, seed, portable))
 
   /** One-pass LSH bucket array (tables longs) for an array<float>. */
   def hyperplaneBuckets(v: Column, dim: Int, numPlanes: Int, tables: Int,

@@ -537,6 +537,65 @@ case class SimHash(child: Expression)
     copy(child = newChild)
 }
 
+/** [[ShingleHashes]] with the portable code-point polynomial hash
+  * (PolyFingerprint's loop) in place of xxhash64: distinct hashes of
+  * the space-joined w-shingles, first-occurrence order, one pass.
+  * Values lie in [0, 1e9+7) — below the minhash modulus P31, so any
+  * SQL engine replays shingling, minhashing and banding exactly
+  * (list folds over unicode code points — see the DuckDB oracle for
+  * dedup_minhash_lsh).
+  */
+case class PolyShingleHashes(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(w >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "poly_shingle_hashes"
+
+  private def polyHash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 1000003L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val nShingles = if (n < w) 1 else n - w + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var s = 0
+    while (s < nShingles) {
+      val parts: Array[UTF8String] =
+        if (n < w) toks else java.util.Arrays.copyOfRange(toks, s, s + w)
+      seen.add(polyHash(UTF8String.concatWs(sep, parts: _*).toString))
+      s += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** MinHash signature over an array<long> of (64-bit) element hashes:
   * sig_j = min over elements of (a_j * fold31(x) + b_j) mod P31,
   * identical math to the HOF formulation in Dedup.minhashSignatureHof
@@ -547,7 +606,8 @@ case class SimHash(child: Expression)
   * yields an array of numHashes nulls (array_min over no values).
   * NULL is the saner contract for "no signature computable".
   */
-case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long,
+                            portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   import SketchExpressions._
 
@@ -555,7 +615,17 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
 
-  @transient private lazy val params: Array[(Long, Long)] = {
+  @transient private lazy val params: Array[(Long, Long)] =
+    if (portable)
+      // Closed-form (a_j, b_j) any SQL engine can recompute — the
+      // oracle-checkable hash family (seed is ignored; the family is
+      // fixed by construction). Values stay < P31 and a_j is nonzero.
+      Array.tabulate(numHashes)(j =>
+        (((j + 1).toLong * 1000003L + 12345L) % P31,
+          ((j + 1).toLong * 999983L + 54321L) % P31))
+    else paramsSeeded
+
+  @transient private lazy val paramsSeeded: Array[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
       rnd.nextInt(Int.MaxValue).toLong))

@@ -87,6 +87,19 @@ object Dedup {
         xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
     }: _*)
 
+  /** [[lshBuckets]] with a portable polynomial fold in place of
+    * xxhash64: bucket_b = fold((acc,x) -> (acc*1000003 + x) mod 1e9+7)
+    * over the band's signature slice. With sig values < 2^31 the
+    * product stays < 2^51 — any SQL engine replays it exactly (use
+    * with the portable minhash family, whose values fit).
+    */
+  def lshBucketsPoly(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        aggregate(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(0L),
+          (acc, x) => (acc * lit(1000003L) + x) % lit(1000000007L)).as("bucket"))
+    }: _*)
+
   /** Exact-duplicate groups: one row per distinct text hash with the
     * surviving (minimum) id and the duplicate count. Single
     * hash-aggregation; partial aggregation makes it map-mostly.
@@ -113,7 +126,7 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           numHashes: Int = 64, bands: Int = 16,
                           shingleWidth: Int = 3, threshold: Double = 0.8,
-                          seed: Long = 42L): DataFrame = {
+                          seed: Long = 42L, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     // Persist the compact signature table: it is consumed three times
@@ -124,10 +137,15 @@ object Dedup {
     // the 64-hash pipeline per row in interpreted mode. State is
     // linear in the corpus (id + hash set + sig + 16 buckets/doc) and
     // spills to disk — the standard LSH-dedup shape.
-    val base = df.select(col(idCol).as("id"),
-        shingleHashes(col(textCol), shingleWidth).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
-      .withColumn("bk", lshBuckets(col("sig"), bands, r))
+    val sh =
+      if (portable)
+        graft.functions.NativeFunctions.polyShingleHashes(tokens(col(textCol)), shingleWidth)
+      else shingleHashes(col(textCol), shingleWidth)
+    val base = df.select(col(idCol).as("id"), sh.as("sh"))
+      .withColumn("sig",
+        graft.functions.NativeFunctions.minhashSignature(col("sh"), numHashes, seed, portable))
+      .withColumn("bk",
+        if (portable) lshBucketsPoly(col("sig"), bands, r) else lshBuckets(col("sig"), bands, r))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val buckets = base.select(col("id"), explode(col("bk")).as("b"))

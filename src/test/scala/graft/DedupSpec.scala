@@ -68,6 +68,19 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exact, s"LSH missed ${exact -- lsh}")
   }
 
+  test("portable minhash agrees with exact ngram-jaccard pairs and values") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    val exact = key(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5))
+    val portable = key(Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      64, 16, 3, 0.5, portable = true))
+    // poly hashes are distinct per shingle on this corpus, so the
+    // verified jaccard VALUES must equal the exact n-gram ones, not
+    // just the pair set
+    assert(portable === exact, s"portable minhash diverged: missed ${exact -- portable}")
+  }
+
   test("simhash: identical texts hash identically, near-dups are close") {
     val df = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
                  (2L, "alpha beta gamma delta epsilon zeta eta iota"),
