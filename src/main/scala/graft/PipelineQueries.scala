@@ -91,10 +91,14 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- LSH-bucketed ANN (scale path; recall checked in ScalaTest) ----
+    // ---- LSH-bucketed ANN (scale path; recall checked in ScalaTest).
+    //      Portable Rademacher planes over quantized entries: the
+    //      oracle recomputes every bucket, candidate set and cosine
+    //      ranking — the ANN pipeline is hash-matched end to end ----
     "sim_topk_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      Similarity.lshTopK(e, e, k = 1, dim = 64, numPlanes = 6, tables = 8)
+      Similarity.lshTopK(e, e, k = 1, dim = 64, numPlanes = 6, tables = 8,
+          portable = true)
         .select(col("query_id"), col("rank"), col("id").as("nn_id"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -781,6 +785,35 @@ object PipelineQueries {
             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
             LIMIT 1) AS nn_id
          FROM embeddings a ORDER BY query_id""",
+    "sim_topk_lsh" ->
+      """WITH v AS (
+           SELECT vec_id, embedding,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+           FROM embeddings),
+         tb AS (
+           SELECT vec_id, tt.t AS t,
+             list_sum(list_transform(range(0, 6), p -> CASE WHEN
+               list_sum(list_transform(range(0, 64), i ->
+                 CASE WHEN ((((tt.t * 7919 + p) * 1000003 + i * 999983) % 1000000007)
+                     * 1000003) % 1000000007 % 2 = 0
+                   THEN q[CAST(i + 1 AS INTEGER)]
+                   ELSE -q[CAST(i + 1 AS INTEGER)] END)) >= 0
+               THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)) AS b
+           FROM v, (SELECT unnest(range(0, 8)) AS t) tt),
+         cand AS (
+           SELECT DISTINCT cq.vec_id AS query_id, cc.vec_id AS id
+           FROM tb cq JOIN tb cc
+             ON cq.t = cc.t AND cq.b = cc.b AND cc.vec_id <> cq.vec_id),
+         ranked AS (
+           SELECT c.query_id, c.id,
+             ROW_NUMBER() OVER (PARTITION BY c.query_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, c.id) AS rk
+           FROM cand c
+           JOIN embeddings qe ON qe.vec_id = c.query_id
+           JOIN embeddings ce ON ce.vec_id = c.id)
+         SELECT query_id, CAST(1 AS INTEGER) AS rank, id AS nn_id
+         FROM ranked WHERE rk = 1 ORDER BY query_id, rank""",
     "sim_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -60,6 +60,13 @@ object NativeFunctions {
     GraftSqlShims.column(
       MinHashSignature(GraftSqlShims.expression(hashes), numHashes, seed, portable))
 
+  /** Portable (+/-1-plane, integer-exact) LSH buckets — see
+    * [[graft.functions.RademacherBuckets]].
+    */
+  def rademacherBuckets(v: Column, dim: Int, numPlanes: Int, tables: Int): Column =
+    GraftSqlShims.column(
+      RademacherBuckets(GraftSqlShims.expression(v), dim, numPlanes, tables))
+
   /** One-pass LSH bucket array (tables longs) for an array<float>. */
   def hyperplaneBuckets(v: Column, dim: Int, numPlanes: Int, tables: Int,
                         seed: Long = 42L): Column =

@@ -668,6 +668,82 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long,
   * the vector and packs sign bits into a long per table.
   * Replaces tables x numPlanes interpreted HOF dot products per row.
   */
+/** [[HyperplaneBuckets]] with a portable Rademacher (+/-1) plane
+  * family over 2^20-quantized vector entries: plane (t,p) entry i has
+  * sign + iff ((t*7919+p)*1000003 + i*999983) mod 1e9+7, remixed by
+  * *1000003 mod 1e9+7, is even; the projection is the exact integer
+  * sum of signed floor(x_i * 2^20) values. No floats anywhere in the
+  * bucket decision, so any SQL engine computes identical buckets —
+  * making LSH ANN candidate generation oracle-checkable. Recall vs
+  * the Gaussian family is equivalent (signed random projections; the
+  * cosine-LSH guarantee needs symmetry, not normality).
+  */
+case class RademacherBuckets(child: Expression, dim: Int, numPlanes: Int,
+                             tables: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rademacher_buckets"
+
+  // signs(t*numPlanes+p)(i) in {+1,-1}
+  @transient private lazy val signs: Array[Array[Int]] = {
+    val out = new Array[Array[Int]](tables * numPlanes)
+    var t = 0
+    while (t < tables) {
+      var p = 0
+      while (p < numPlanes) {
+        val row = new Array[Int](dim)
+        var i = 0
+        while (i < dim) {
+          val h0 = ((t.toLong * 7919L + p) * 1000003L + i.toLong * 999983L) % 1000000007L
+          val h1 = h0 * 1000003L % 1000000007L
+          row(i) = if (h1 % 2 == 0) 1 else -1
+          i += 1
+        }
+        out(t * numPlanes + p) = row
+        p += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val nPlanes = tables * numPlanes
+    val proj = new Array[Long](nPlanes)
+    var i = 0
+    while (i < n) {
+      // exact in both engines: float -> double is exact, floor is exact
+      val q = math.floor(arr.getFloat(i).toDouble * 1048576.0).toLong
+      var p = 0
+      while (p < nPlanes) {
+        proj(p) += (if (signs(p)(i) > 0) q else -q)
+        p += 1
+      }
+      i += 1
+    }
+    val buckets = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var b = 0L
+      var p = 0
+      while (p < numPlanes) {
+        if (proj(t * numPlanes + p) >= 0) b |= (1L << p)
+        p += 1
+      }
+      buckets(t) = b
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class HyperplaneBuckets(child: Expression, dim: Int, numPlanes: Int,
                              tables: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {

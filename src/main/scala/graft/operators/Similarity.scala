@@ -125,15 +125,25 @@ object Similarity {
     * scored once. Recall < 1 by construction; exactness is
     * bruteForceTopK's job (recall asserted in ScalaTest).
     */
+  /** `portable = true` swaps the Gaussian planes for the Rademacher
+    * (+/-1) family over 2^20-quantized entries: the bucket decision is
+    * exact integer arithmetic, so an external SQL oracle reproduces
+    * the candidate sets bit-for-bit (recall equivalence asserted in
+    * SimilaritySpec; signed random projections need symmetry, not
+    * normality).
+    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               numPlanes: Int = 6, tables: Int = 8, multiProbe: Boolean = false,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, portable: Boolean = false): DataFrame = {
     // native one-pass bucket computation; bit-parity with
     // hyperplaneBucket(seed + t*7919) asserted in SimilaritySpec
     def buckets(v: Column): Column = {
-      val bs = graft.functions.NativeFunctions.hyperplaneBuckets(
-        v, dim, numPlanes, tables, seed)
+      val bs =
+        if (portable)
+          graft.functions.NativeFunctions.rademacherBuckets(v, dim, numPlanes, tables)
+        else graft.functions.NativeFunctions.hyperplaneBuckets(
+          v, dim, numPlanes, tables, seed)
       transform(bs, (b, t) => struct(t.cast(IntegerType).as("t"), b.as("b")))
     }
     // persist both bucket tables: InferFiltersFromGenerate otherwise

@@ -50,6 +50,14 @@ class SimilaritySpec extends AnyFunSuite {
     val hits = exact.count { case (q, nn) => approx.get(q).contains(nn) }
     val recall = hits.toDouble / exact.size
     assert(recall > 0.3, s"top-1 recall $recall too low")
+    // the portable Rademacher family must hold equivalent recall —
+    // signed random projections need sign symmetry, not normality
+    val portable = Similarity.lshTopK(e, e, k = 1, dim = 64, numPlanes = 6,
+        tables = 8, portable = true)
+      .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pRecall = exact.count { case (q, nn) =>
+      portable.get(q).contains(nn) }.toDouble / exact.size
+    assert(pRecall > 0.3, s"portable top-1 recall $pRecall too low")
   }
 
   test("hyperplaneBucket is deterministic for a seed") {
