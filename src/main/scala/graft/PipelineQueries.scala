@@ -57,12 +57,14 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
-    // ---- SimHash near-dup pairs (no oracle: seeded xxhash).
-    //      maxDist=3 (the operator default): tight banding keeps the
-    //      pigeonhole bands wide (15 bits), so candidate collisions —
-    //      and the output — stay near-dup-sized ----
+    // ---- SimHash near-dup pairs, portable token hashes: the oracle
+    //      recomputes per-bit votes, signatures, pigeonhole bands and
+    //      Hamming distances. maxDist=3 (the operator default): tight
+    //      banding keeps the pigeonhole bands wide (15 bits), so
+    //      candidate collisions — and the output — stay near-dup-sized ----
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
+      Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 3,
+          portable = true)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- brute-force exact ANN: top-1 cosine neighbor for every
@@ -785,6 +787,37 @@ object PipelineQueries {
             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
             LIMIT 1) AS nn_id
          FROM embeddings a ORDER BY query_id""",
+    "dedup_simhash" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         h AS (
+           SELECT doc_id,
+             list_transform(toks, tok ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_filter(string_split(tok, ''), c -> c <> ''),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 1000003 + b) % 1000000007) * 1073741824
+               + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_filter(string_split(tok, ''), c -> c <> ''),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 1000033 + b) % 1000000007)) AS hs
+           FROM t),
+         sg AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 63), b -> CASE WHEN
+               list_sum(list_transform(hs, hv ->
+                 CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+           FROM h),
+         bd AS (
+           SELECT doc_id, sig, bb.b AS band, (sig >> (bb.b * 15)) & 32767 AS key
+           FROM sg, (SELECT unnest(range(0, 4)) AS b) bb)
+         SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+           CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+         FROM bd x JOIN bd y
+           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.sig, y.sig)) <= 3
+         ORDER BY id_a, id_b""",
     "sim_topk_lsh" ->
       """WITH v AS (
            SELECT vec_id, embedding,

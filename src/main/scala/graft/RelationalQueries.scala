@@ -501,7 +501,8 @@ object RelationalQueries {
 
     // ---- O-L2 soft cap with sampling (LimitWarning) ----
     "q_limit_warning" -> ((s, d) =>
-      Frames.limitWithWarning(t(s, d, "orders").select(col("o_orderkey")), n = 250)
+      Frames.limitWithWarning(t(s, d, "orders").select(col("o_orderkey")), n = 250,
+          idCol = Some("o_orderkey"))
         .orderBy(col("o_orderkey"))),
 
     // ---- events: tumbling-window aggregation (batch form) ----
@@ -974,6 +975,13 @@ object RelationalQueries {
            COUNT(*) FILTER (a.adev_c > 3.0 * d.mad_c) AS n_outliers, COUNT(*) AS n
          FROM adev a JOIN med m USING (o_orderpriority) JOIN mad d USING (o_orderpriority)
          GROUP BY a.o_orderpriority ORDER BY a.o_orderpriority""",
+    "q_limit_warning" ->
+      """SELECT o_orderkey FROM (
+           SELECT o_orderkey FROM orders
+           ORDER BY ((((o_orderkey + 42) % 1000000007) * 1000003) % 1000000007 * 999983)
+             % 1000000007, o_orderkey
+           LIMIT 250)
+         ORDER BY o_orderkey""",
     "q_sample_seeded" ->
       """SELECT o_orderkey FROM (
            SELECT o_orderkey FROM orders

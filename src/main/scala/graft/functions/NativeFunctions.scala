@@ -51,8 +51,8 @@ object NativeFunctions {
     GraftSqlShims.column(LangIdHeuristic(GraftSqlShims.expression(text), markers))
 
   /** Single-pass 63-bit SimHash over an array<string> token column. */
-  def simhash(tokens: Column): Column =
-    GraftSqlShims.column(SimHash(GraftSqlShims.expression(tokens)))
+  def simhash(tokens: Column, portable: Boolean = false): Column =
+    GraftSqlShims.column(SimHash(GraftSqlShims.expression(tokens), portable))
 
   /** Single-pass MinHash signature over an array<long> hash column. */
   def minhashSignature(hashes: Column, numHashes: Int, seed: Long = 42L,

@@ -500,13 +500,31 @@ case class PolyWinnowFingerprints(child: Expression, w: Int, window: Int)
 /** 63-bit SimHash over an array<string> of tokens (bit 63 clear so
   * the sum of powers stays in a signed long).
   */
-case class SimHash(child: Expression)
+/** When `portable`, each token hashes to poly1(t) * 2^30 + poly2(t)
+  * (code-point polynomial folds with multipliers 1000003 / 1000033,
+  * both mod 1e9+7) instead of xxhash64 — ~60 populated bits, every
+  * step integer-exact, so an external SQL engine recomputes the
+  * per-bit votes, the signature, and Hamming distances verbatim.
+  */
+case class SimHash(child: Expression, portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   import SketchExpressions._
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "simhash"
+
+  private def polyHash(s: String, mult: Long): Long = {
+    var acc = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      acc = (acc * mult + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -515,7 +533,11 @@ case class SimHash(child: Expression)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, XxSeed)
+        val h =
+          if (portable) {
+            val s = arr.getUTF8String(i).toString
+            polyHash(s, 1000003L) * 1073741824L + polyHash(s, 1000033L)
+          } else XxHash64Function.hash(arr.getUTF8String(i), StringType, XxSeed)
         var b = 0
         while (b < 63) {
           if (((h >>> b) & 1L) == 1L) balance(b) += 1 else balance(b) -= 1

@@ -171,8 +171,8 @@ object Dedup {
   /** 63-bit SimHash over tokens, computed per-row (bit 63 left clear
     * so the power-of-two sum stays within signed long under ANSI).
     */
-  def simhash(text: Column): Column =
-    graft.functions.NativeFunctions.simhash(tokens(text))
+  def simhash(text: Column, portable: Boolean = false): Column =
+    graft.functions.NativeFunctions.simhash(tokens(text), portable)
 
   /** HOF reference formulation of SimHash — 63 interpreted aggregate
     * passes; the native expression is tested against it.
@@ -192,12 +192,12 @@ object Dedup {
     * band, then verify with bit_count(xor).
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxDist: Int = 3): DataFrame = {
+                          maxDist: Int = 3, portable: Boolean = false): DataFrame = {
     val nBands = maxDist + 1
     val width = 63 / nBands
     // Persist: consumed by both sides of the band self-join; avoids
     // recomputing the 63-bit aggregation pipeline (see minhash note).
-    val base = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val base = df.select(col(idCol).as("id"), simhash(col(textCol), portable).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("id"), col("sig"),
       explode(array((0 until nBands).map { b =>

@@ -216,13 +216,18 @@ object Frames {
     * count, same as the reference's len() check.
     */
   def limitWithWarning(df: DataFrame, n: Int = 250, sample: Boolean = true,
-                       seed: Long = 42L): DataFrame = {
+                       seed: Long = 42L, idCol: Option[String] = None): DataFrame = {
     val total = df.count()
     if (total <= n) df
     else {
       log.warn(s"LimitWarning: result has $total rows, capping to $n" +
         (if (sample) " (sampled)" else ""))
-      if (sample) sampleExact(df, n, seed) else df.limit(n)
+      if (sample) idCol match {
+        // with a unique id the sample key is the portable hash, so an
+        // external oracle reproduces the sampled rows
+        case Some(id) => sampleExactPortable(df, n, seed, id)
+        case None => sampleExact(df, n, seed)
+      } else df.limit(n)
     }
   }
 
