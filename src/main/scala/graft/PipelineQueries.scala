@@ -109,11 +109,15 @@ object PipelineQueries {
     //      Cell count follows the sqrt sizing law — fixed cells make
     //      self-ANN quadratic (measured 4.3x slower at 10x corpus in
     //      ScaleSmoke/SCALE.md) ----
+    //      Portable training (hash init + exact integer mean updates)
+    //      lets the oracle retrain the identical centroids and replay
+    //      assignment, probing and ranking — k-means included ----
     "sim_topk_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val cents = Similarity.trainIvfCentroids(e,
-        nCentroids = Similarity.suggestedCentroids(e.count()), dim = 64, iterations = 1)
-      Similarity.ivfTopK(e, e, k = 1, cents, nProbe = 4)
+        nCentroids = Similarity.suggestedCentroids(e.count()), dim = 64, iterations = 1,
+        portable = true)
+      Similarity.ivfTopK(e, e, k = 1, cents, nProbe = 4, portable = true)
         .select(col("query_id"), col("id").as("nn_id"))
         .orderBy(col("query_id"))
     }),
@@ -787,6 +791,16 @@ object PipelineQueries {
             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
             LIMIT 1) AS nn_id
          FROM embeddings a ORDER BY query_id""",
+    "multimodal_features" ->
+      """SELECT doc_id,
+           CASE WHEN octet_length(encode(substr(text, 1, 256))) = 0
+             THEN NULL ELSE 'txt' END AS fmt,
+           CASE WHEN octet_length(encode(substr(text, 1, 256))) = 0
+             THEN NULL
+             ELSE CAST(octet_length(encode(substr(text, 1, 256))) AS BIGINT) END AS n_bytes,
+           CASE WHEN octet_length(encode(substr(text, 1, 256))) = 0
+             THEN NULL ELSE CAST(16 AS INTEGER) END AS dim
+         FROM documents ORDER BY doc_id""",
     "dedup_simhash" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -847,6 +861,56 @@ object PipelineQueries {
            JOIN embeddings ce ON ce.vec_id = c.id)
          SELECT query_id, CAST(1 AS INTEGER) AS rank, id AS nn_id
          FROM ranked WHERE rk = 1 ORDER BY query_id, rank""",
+    "sim_topk_ivf" ->
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+         init AS (
+           SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY
+               ((((vec_id + 42) % 1000000007) * 1000003) % 1000000007 * 999983)
+                 % 1000000007, vec_id) - 1 AS cell
+           FROM embeddings
+           QUALIFY cell < (SELECT greatest(16, CAST(ceil(sqrt(cnt)) AS BIGINT)) FROM n)),
+         a0 AS (
+           SELECT e.vec_id, i.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, i.embedding) DESC, i.cell) AS rk
+           FROM embeddings e CROSS JOIN init i),
+         a1 AS (SELECT vec_id, cell FROM a0 WHERE rk = 1),
+         q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+           FROM embeddings),
+         mp AS (
+           SELECT a1.cell, p.pos,
+             CAST(floor(CAST(sum(p.qx) AS DOUBLE) / count(*)) AS BIGINT) AS mq
+           FROM a1 JOIN q USING (vec_id),
+             LATERAL (SELECT unnest(qv) AS qx, generate_subscripts(qv, 1) AS pos) p
+           GROUP BY a1.cell, p.pos),
+         upd AS (
+           SELECT cell, list_transform(array_agg(mq ORDER BY pos),
+             m -> CAST(m / 1048576.0 AS FLOAT)) AS cv
+           FROM mp GROUP BY cell),
+         cents AS (
+           SELECT i.cell, COALESCE(u.cv, i.embedding) AS cv
+           FROM init i LEFT JOIN upd u USING (cell)),
+         a2 AS (
+           SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cell) AS rk
+           FROM embeddings e CROSS JOIN cents c),
+         assign AS (SELECT vec_id AS id, cell FROM a2 WHERE rk = 1),
+         probes AS (SELECT vec_id AS query_id, cell FROM a2 WHERE rk <= 4),
+         cand AS (
+           SELECT p.query_id, a.id FROM probes p JOIN assign a USING (cell)
+           WHERE a.id <> p.query_id),
+         ranked AS (
+           SELECT c.query_id, c.id,
+             ROW_NUMBER() OVER (PARTITION BY c.query_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, c.id) AS rk
+           FROM cand c
+           JOIN embeddings qe ON qe.vec_id = c.query_id
+           JOIN embeddings ce ON ce.vec_id = c.id)
+         SELECT query_id, id AS nn_id FROM ranked WHERE rk = 1 ORDER BY query_id""",
     "sim_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -76,9 +76,10 @@ object NativeFunctions {
   /** The nProbe nearest centroid cells by cosine, best-first —
     * map-only IVF assignment/probing.
     */
-  def nearestCells(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
+  def nearestCells(v: Column, centroids: Array[Array[Float]], nProbe: Int,
+                   portable: Boolean = false): Column =
     GraftSqlShims.column(
-      NearestCells(GraftSqlShims.expression(v), centroids, nProbe))
+      NearestCells(GraftSqlShims.expression(v), centroids, nProbe, portable))
 
   /** Bounded top-k aggregate column: array<struct<cos,id>> of the k
     * best (score desc, id asc) pairs; partial-aggregation friendly.

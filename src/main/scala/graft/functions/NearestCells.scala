@@ -20,8 +20,17 @@ import org.apache.spark.sql.types._
   * shipped once per task): nCentroids ~ sqrt(corpus) stays in the
   * low MBs even at large scale.
   */
+/** When `portable`, each cell is scored with the exact op sequence
+  * of [[CosineSimilarity]] — dot / (sqrt(|v|^2) * sqrt(|c|^2)), all
+  * double accumulation in index order — so an external engine's
+  * cosine function (e.g. DuckDB list_cosine_similarity, already
+  * bit-matched against CosineSimilarity) reproduces the cell ranking.
+  * The default mode multiplies by a precomputed reciprocal norm
+  * instead (one multiply per cell rather than a divide + sqrt), which
+  * is order-equivalent mathematically but not bit-identical.
+  */
 case class NearestCells(child: Expression, centroids: Array[Array[Float]],
-                        nProbe: Int)
+                        nProbe: Int, portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   require(nProbe >= 1 && nProbe <= centroids.length,
@@ -36,6 +45,12 @@ case class NearestCells(child: Expression, centroids: Array[Array[Float]],
     while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
     val n = math.sqrt(s)
     if (n == 0.0) 0.0 else 1.0 / n
+  }
+
+  @transient private lazy val normsSq: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
+    s
   }
 
   override def nullSafeEval(v: Any): Any = {
@@ -55,9 +70,23 @@ case class NearestCells(child: Expression, centroids: Array[Array[Float]],
       i += 1
     }
     // rank by cosine = proj * invNorm(c) (the query's own norm is a
-    // positive constant across cells, so it cannot change the order)
-    var c = 0
-    while (c < nc) { proj(c) *= invNorms(c); c += 1 }
+    // positive constant across cells, so it cannot change the order);
+    // portable mode divides by sqrt(nv)*sqrt(nc) like CosineSimilarity
+    if (portable) {
+      var nv = 0.0
+      var i2 = 0
+      while (i2 < n) { val x = arr.getFloat(i2).toDouble; nv += x * x; i2 += 1 }
+      val sv = math.sqrt(nv)
+      var c = 0
+      while (c < nc) {
+        val denom = sv * math.sqrt(normsSq(c))
+        proj(c) = if (denom == 0.0) 0.0 else proj(c) / denom
+        c += 1
+      }
+    } else {
+      var c = 0
+      while (c < nc) { proj(c) *= invNorms(c); c += 1 }
+    }
     val out = new Array[Int](nProbe)
     val taken = new Array[Boolean](nc)
     var p = 0

@@ -215,14 +215,27 @@ object Similarity {
     * gathers vectors to one node). Centroids (small: nCentroids x
     * dim) are collected to the driver for broadcasting into search.
     */
+  /** `portable = true` makes training oracle-reproducible: init picks
+    * rows by the portable id hash (not xxhash64), and the mean update
+    * runs in the exact integer domain — entries quantize to
+    * floor(x * 2^20) longs, per-(cell,pos) means are
+    * floor(sum / count), and the centroid entry is mean / 2^20 cast
+    * to float (a dyadic rational well inside float precision, so both
+    * engines hold the identical value). Summation order cannot matter
+    * in integers — the one spot cross-row float accumulation would
+    * diverge between engines.
+    */
   def trainIvfCentroids(corpus: DataFrame, nCentroids: Int, dim: Int,
                         iterations: Int = 1, idCol: String = "vec_id",
-                        vecCol: String = "embedding", seed: Long = 42L): Array[Array[Float]] = {
+                        vecCol: String = "embedding", seed: Long = 42L,
+                        portable: Boolean = false): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     var centroids: Array[Array[Float]] = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .orderBy(xxhash64(lit(seed), col("id")))
+      .orderBy(
+        (if (portable) Frames.portableHash(col("id"), seed) else xxhash64(lit(seed), col("id"))),
+        col("id"))
       .limit(nCentroids)
       .collect().map(_.getSeq[Float](1).toArray)
     var it = 0
@@ -232,14 +245,26 @@ object Similarity {
       // vector-keyed aggregation)
       val assigned = corpus.select(col(vecCol).as("v"),
         element_at(graft.functions.NativeFunctions.nearestCells(
-          col(vecCol), centroids, 1), 1).as("cell"))
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x")).as("mx"))
-        .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("mx")))).as("ps"))
-        .select(col("cell"), transform(col("ps"), p => p.getField("mx").cast("float")).as("cv"))
+          col(vecCol), centroids, 1, portable), 1).as("cell"))
+      val means =
+        (if (portable)
+          assigned
+            .select(col("cell"), posexplode(transform(col("v"),
+              x => floor(x.cast("double") * lit(1048576.0)).cast("long"))).as(Seq("pos", "qx")))
+            .groupBy(col("cell"), col("pos"))
+            .agg(floor(sum(col("qx")).cast("double") / count(lit(1))).cast("long").as("mq"))
+            .groupBy(col("cell"))
+            .agg(sort_array(collect_list(struct(col("pos"), col("mq")))).as("ps"))
+            .select(col("cell"), transform(col("ps"),
+              p => (p.getField("mq").cast("double") / lit(1048576.0)).cast("float")).as("cv"))
+        else
+          assigned
+            .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+            .groupBy(col("cell"), col("pos"))
+            .agg(avg(col("x")).as("mx"))
+            .groupBy(col("cell"))
+            .agg(sort_array(collect_list(struct(col("pos"), col("mx")))).as("ps"))
+            .select(col("cell"), transform(col("ps"), p => p.getField("mx").cast("float")).as("cv")))
         .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
       it += 1
@@ -255,16 +280,17 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroids: Array[Array[Float]], nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              portable: Boolean = false): DataFrame = {
     import graft.functions.NativeFunctions.nearestCells
     // both sides are map-only expressions: cell assignment (nProbe=1)
     // and query probe cells (top-nProbe) come from the same native
     // single-pass ranking — the only shuffle left is the cell equi-join
     // and the per-query top-k reduction
     val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("cvv"),
-      element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cell"))
+      element_at(nearestCells(col(vecCol), centroids, 1, portable), 1).as("cell"))
     val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(nearestCells(col(vecCol), centroids, nProbe)).as("cell"))
+        explode(nearestCells(col(vecCol), centroids, nProbe, portable)).as("cell"))
     val scored = assigned.join(qProbes, Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"), cosine(col("qv"), col("cvv")).as("cos"))

@@ -92,6 +92,14 @@ class SimilaritySpec extends AnyFunSuite {
       .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val recall = exact.count { case (q, nn) => ivf.get(q).contains(nn) }.toDouble / exact.size
     assert(recall > 0.5, s"IVF top-1 recall $recall too low")
+    // portable training (hash init + integer mean updates) must hold
+    // equivalent recall — quantization moves centroids < 2^-20 per entry
+    val pc = Similarity.trainIvfCentroids(e, 16, dim = 64, iterations = 1, portable = true)
+    val pIvf = Similarity.ivfTopK(e, e, k = 1, pc, nProbe = 4, portable = true)
+      .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pRecall = exact.count { case (q, nn) =>
+      pIvf.get(q).contains(nn) }.toDouble / exact.size
+    assert(pRecall > 0.5, s"portable IVF top-1 recall $pRecall too low")
   }
 
   test("bounded-heap top-k aggregate equals the window formulation (k=3)") {
