@@ -57,6 +57,14 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- C4-style corpus-wide line dedup: each exact line survives
+    //      only at its first (id, pos) occurrence; docs reassembled.
+    //      Empty lines exempt ----
+    "dedup_lines" -> ((s, d) =>
+      Dedup.lineDedup(t(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("clean_text"), col("n_kept"), col("n_lines"))
+        .orderBy(col("doc_id"))),
+
     // ---- SimHash near-dup pairs, portable token hashes: the oracle
     //      recomputes per-bit votes, signatures, pigeonhole bands and
     //      Hamming distances. maxDist=3 (the operator default): tight
@@ -801,6 +809,25 @@ object PipelineQueries {
            CASE WHEN octet_length(encode(substr(text, 1, 256))) = 0
              THEN NULL ELSE CAST(16 AS INTEGER) END AS dim
          FROM documents ORDER BY doc_id""",
+    "dedup_lines" ->
+      """WITH l AS (
+           SELECT doc_id, u.pos, u.line FROM documents,
+             LATERAL (SELECT unnest(string_split(text, chr(10))) AS line,
+                             generate_subscripts(string_split(text, chr(10)), 1) AS pos) u),
+         k AS (
+           SELECT doc_id, pos, line,
+             CASE WHEN length(line) < 1 THEN 1
+               ELSE ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) END AS rk
+           FROM l),
+         r AS (
+           SELECT doc_id,
+             array_to_string(array_agg(line ORDER BY pos), chr(10)) AS clean_text,
+             count(*) AS n_kept
+           FROM k WHERE rk = 1 GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines
+         FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""",
     "dedup_simhash" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

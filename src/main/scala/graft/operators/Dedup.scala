@@ -112,6 +112,51 @@ object Dedup {
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     Frames.uniqueFirst(df, Seq(textCol), Seq(col(idCol)))
 
+  /** C4-style line-level exact dedup across the whole corpus: every
+    * exact line survives only at its globally-first occurrence
+    * (ascending id, then line position); later occurrences are
+    * dropped and documents reassembled from their surviving lines in
+    * order. Lines shorter than `minChars` (default: empty lines) are
+    * exempt and always kept — deduping "" across a corpus would strip
+    * every blank separator after the first document.
+    *
+    * Scale shape: posexplode lines (map-only), key by md5 so the
+    * first-occurrence aggregate and the winners join shuffle a fixed
+    * 32-char key + (id, pos) instead of line text; one hash-aggregate
+    * (map-side partial min), one equi-join, one per-doc re-aggregate.
+    * Everything is linear in corpus lines — never quadratic, and the
+    * only full-text shuffle is the final per-doc regroup, the same
+    * volume as the input.
+    *
+    * Output: (id, clean_text, n_kept, n_lines) for every input row —
+    * docs whose every line lost dedup come back with empty text.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minChars: Int = 1): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val keyed = lines.withColumn("exempt", length(col("line")) < minChars)
+    val cands = keyed.filter(!col("exempt"))
+      .withColumn("h", md5(col("line")))
+    val first = cands.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+    val winners = cands.join(first, Seq("h"))
+      .filter(col("id") === col("f.id") && col("pos") === col("f.pos"))
+      .select(col("id"), col("pos"), col("line"))
+    val kept = keyed.filter(col("exempt")).select(col("id"), col("pos"), col("line"))
+      .unionByName(winners)
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("line")))),
+          p => p.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), "\n", -1)).cast(LongType).as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("n_lines"))
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * Plan shape (scale-reviewed):

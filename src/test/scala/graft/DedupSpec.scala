@@ -68,6 +68,21 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exact, s"LSH missed ${exact -- lsh}")
   }
 
+  test("lineDedup keeps first occurrence per exact line, exempts blanks") {
+    val df = Seq(
+      (1L, "alpha\n\nshared line\nunique one"),
+      (2L, "shared line\n\nbeta"),
+      (3L, "shared line")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 owns every one of its lines (first occurrence of "shared line")
+    assert(out(1L) === (("alpha\n\nshared line\nunique one", 4L, 4L)))
+    // doc 2 loses "shared line" but keeps its blank (exempt) + "beta"
+    assert(out(2L) === (("\nbeta", 2L, 3L)))
+    // doc 3 was only the duplicated line -> empty
+    assert(out(3L) === (("", 0L, 1L)))
+  }
+
   test("portable minhash agrees with exact ngram-jaccard pairs and values") {
     val docs = Tables.table(spark, TestSpark.sfDir, "documents")
     def key(df: org.apache.spark.sql.DataFrame) = df.select("id_a", "id_b", "jaccard")
