@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CharSetCount, CosineSimilarity, MaxTokenFreq, MinHashSignature, PolyFingerprint, RegexpCount, ShingleHashes, ShingleStrings, SimHash, TopKRows}
+import graft.functions.{CharSetCount, CosineSimilarity, MaxTokenFreq, MinHashSignature, PolyFingerprint, PolyShingleHashes, RegexpCount, ShingleHashes, ShingleStrings, SimHash, TopKRows}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users get them too:
@@ -70,6 +70,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("shingle_hashes", 2, args)
         ShingleHashes(args(0), args(1).eval().asInstanceOf[Int])
+      }),
+    (FunctionIdentifier("poly_shingle_hashes"),
+      info("poly_shingle_hashes",
+        "poly_shingle_hashes(tokens, w) - distinct portable polynomial hashes " +
+          "of word w-shingles (oracle-replayable; see poly_fingerprint)"),
+      (args: Seq[Expression]) => {
+        arity("poly_shingle_hashes", 2, args)
+        PolyShingleHashes(args(0), args(1).eval().asInstanceOf[Int])
       }),
     (FunctionIdentifier("shingle_strings"),
       info("shingle_strings",

@@ -57,6 +57,20 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- token-budget sequence packing (concatenate-then-chunk
+    //      pretraining batch assembly): which 512-token training
+    //      sequence each doc starts in, at what offset, spanning how
+    //      many. bucketSize=128 so the two-level prefix sum crosses
+    //      bucket boundaries even at sf0.001 ----
+    "q_pack_sequences" -> ((s, d) =>
+      Frames.packSequences(
+          t(s, d, "documents").select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 512, bucketSize = 128)
+        .select(col("id").as("doc_id"), col("n"), col("start"),
+          col("seq_id"), col("seq_offset"), col("n_seqs"))
+        .orderBy(col("doc_id"))),
+
     // ---- C4-style corpus-wide line dedup: each exact line survives
     //      only at its first (id, pos) occurrence; docs reassembled.
     //      Empty lines exempt ----
@@ -809,6 +823,21 @@ object PipelineQueries {
            CASE WHEN octet_length(encode(substr(text, 1, 256))) = 0
              THEN NULL ELSE CAST(16 AS INTEGER) END AS dim
          FROM documents ORDER BY doc_id""",
+    "q_pack_sequences" ->
+      """WITH tc AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS start
+           FROM tc)
+         SELECT doc_id, n, start,
+           start // 512 AS seq_id, start % 512 AS seq_offset,
+           CASE WHEN n = 0 THEN 0
+             ELSE (start + n - 1) // 512 - start // 512 + 1 END AS n_seqs
+         FROM c ORDER BY doc_id""",
     "dedup_lines" ->
       """WITH l AS (
            SELECT doc_id, u.pos, u.line FROM documents,

@@ -193,6 +193,45 @@ object Frames {
     * [[stratifiedSampleDeterministic]]), and the filter is map-side
     * only.
     */
+  /** Token-budget sequence packing — the concatenate-then-chunk
+    * assembly GPT-style pretraining uses: documents are laid out as
+    * one token stream in ascending id order and cut every `budget`
+    * tokens; each doc learns which training sequence its first token
+    * lands in (`seq_id`), where (`seq_offset`), and how many
+    * sequences it straddles (`n_seqs`).
+    *
+    * Scale shape: the global prefix sum is two-level — a window
+    * partitioned by coarse id bucket (parallel, ~bucketSize rows
+    * each) plus a tiny per-bucket-totals cumsum broadcast back. A
+    * single un-partitioned window would drag the whole corpus
+    * through one task; this shape keeps every shuffle bounded and is
+    * asserted equal to the single-window formulation in tests.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    budget: Long, bucketSize: Long = 1L << 20): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val b = df.select(col(idCol).as("id"), col(tokenCol).cast("long").as("n"))
+      .withColumn("bucket", floor(col("id") / bucketSize).cast("long"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
+    val local = b.withColumn("local_cum", sum(col("n")).over(w))
+    val totals = b.groupBy(col("bucket")).agg(sum(col("n")).as("tot"))
+    // one row per bucket — the un-partitioned window is over a
+    // frame that is already tiny
+    val wb = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("prev", coalesce(sum(col("tot")).over(wb), lit(0L)))
+      .select(col("bucket"), col("prev"))
+    local.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("start", col("prev") + col("local_cum") - col("n"))
+      .select(col("id"), col("n"), col("start"),
+        floor(col("start") / budget).cast("long").as("seq_id"),
+        (col("start") % budget).as("seq_offset"),
+        when(col("n") === 0, lit(0L)).otherwise(
+          floor((col("start") + col("n") - 1) / budget).cast("long") -
+            floor(col("start") / budget).cast("long") + 1L).as("n_seqs"))
+  }
+
   def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
                 outCol: String = "split"): DataFrame = {
     require(splits.nonEmpty, "at least one split")

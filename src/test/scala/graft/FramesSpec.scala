@@ -89,6 +89,25 @@ class FramesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Frames.printRdfStatements(bad) }
   }
 
+  test("packSequences: two-level prefix sum equals single-window, invariants hold") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).map(i => (i, (i * 37 % 90))).toDF("id", "n_tok")
+    val packed = Frames.packSequences(df, "id", "n_tok", budget = 100, bucketSize = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // single un-partitioned window reference
+    val w = Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, 0)
+    val ref = df.withColumn("start", sum(col("n_tok")).over(w) - col("n_tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    ref.foreach { case (id, start) =>
+      val (n, s, seqId, off, nSeqs) = packed(id)
+      assert(s === start, s"start mismatch for $id")
+      assert(seqId === start / 100 && off === start % 100)
+      if (n == 0) assert(nSeqs === 0)
+      else assert(nSeqs === (start + n - 1) / 100 - start / 100 + 1)
+    }
+  }
+
   test("weightedSampleDeterministic: partitioning-invariant, weight-biased, exact n") {
     val df = (1L to 1000L).map(i => (i, if (i <= 20) 1000.0 else 0.01))
       .toDF("id", "w")
