@@ -93,12 +93,27 @@ object ScaleSmoke {
           numPlanes = Similarity.suggestedPlanes(e1)).queryExecution.toRdd.count() },
       time(s"lsh_topk_${k}x") {
         Similarity.lshTopK(embK, embK, 1, 64,
-          numPlanes = Similarity.suggestedPlanes(eK)).queryExecution.toRdd.count() }
+          numPlanes = Similarity.suggestedPlanes(eK)).queryExecution.toRdd.count() },
+      time("line_dedup_1x") {
+        Dedup.lineDedup(docs1, "doc_id", "text").queryExecution.toRdd.count() },
+      time(s"line_dedup_${k}x") {
+        Dedup.lineDedup(docsK, "doc_id", "text").queryExecution.toRdd.count() },
+      time("pack_sequences_1x") {
+        graft.operators.Frames.packSequences(
+          docs1.select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("nt")),
+          "doc_id", "nt", budget = 512, bucketSize = 1024)
+          .queryExecution.toRdd.count() },
+      time(s"pack_sequences_${k}x") {
+        graft.operators.Frames.packSequences(
+          docsK.select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("nt")),
+          "doc_id", "nt", budget = 512, bucketSize = 1024)
+          .queryExecution.toRdd.count() }
     )
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
     val byName = results.map { case (n, s, _) => n -> s }.toMap
-    Seq("minhash_lsh", "simhash", "exact_dedup", "ivf_topk", "lsh_topk").foreach { base =>
+    Seq("minhash_lsh", "simhash", "exact_dedup", "ivf_topk", "lsh_topk",
+        "line_dedup", "pack_sequences").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }
