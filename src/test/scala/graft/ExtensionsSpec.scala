@@ -39,6 +39,10 @@ class ExtensionsSpec extends AnyFunSuite {
     val shn = spark.sql(
       "SELECT size(shingle_hashes(array('a','b','c','d'), 3)) AS n").head().getInt(0)
     assert(shn === 2)
+    // portable twin: hash of "a b" = poly fold over its code points
+    assert(spark.sql("SELECT poly_shingle_hashes(array('a','b'), 2) AS s")
+      .head().getSeq[Long](0) ===
+      Seq(spark.sql("SELECT poly_fingerprint('a b') AS fp").head().getLong(0)))
 
     // aggregate registration: analyzer wraps the AggregateFunction
     val tk = spark.sql(
@@ -61,7 +65,8 @@ class ExtensionsSpec extends AnyFunSuite {
     // the builder-time class form wires the same triples
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ===
       Set("cosine_similarity", "simhash", "minhash_signature",
-        "poly_fingerprint", "shingle_hashes", "shingle_strings", "topk_rows",
+        "poly_fingerprint", "shingle_hashes", "poly_shingle_hashes",
+        "shingle_strings", "topk_rows",
         "regexp_count_graft", "charset_count", "max_token_freq"))
   }
 }
