@@ -105,6 +105,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"RANGE frame must not join:\n$p")
   }
 
+  test("packSequences: heavy window hash-partitions by bucket; totals broadcast back") {
+    val df = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), length(col("text")).as("nt"))
+    val p = plan(Frames.packSequences(df, "doc_id", "nt", budget = 512, bucketSize = 128))
+    // the per-row window must be parallel (hash exchange on bucket),
+    // never a corpus-wide single-partition sort
+    assert(p.contains("hashpartitioning(bucket"), s"bucket window not partitioned:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bucket offsets must broadcast:\n$p")
+    // exactly one SinglePartition exchange: the tiny bucket-totals cumsum
+    assert(countOccurrences(p, "SinglePartition") == 1,
+      s"expected exactly the totals cumsum on a single partition:\n$p")
+  }
+
+  test("lineDedup: first-occurrence aggregate has map-side partials, no window") {
+    val df = Tables.table(spark, TestSpark.sfDir, "documents")
+    val p = plan(graft.operators.Dedup.lineDedup(df, "doc_id", "text"))
+    // min(struct(id,pos)) per line hash must partial-aggregate
+    // (partial_min before the exchange), and nothing may sort the
+    // whole exploded corpus in one task
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"first-occurrence min not partially aggregated:\n$p")
+    assert(!p.contains("SinglePartition"), s"unexpected global exchange:\n$p")
+  }
+
   test("join strategy hints override the planner's default choice") {
     val o = Tables.table(spark, TestSpark.sfDir, "orders")
     val li = Tables.table(spark, TestSpark.sfDir, "lineitem")
