@@ -105,6 +105,40 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Resize/transcode plumbing: binary media in, binary media out
+    * with the target dimensions in typed metadata. The pixel work is
+    * the codec's; the stub deterministically folds the source bytes
+    * to `min(len, width*height)` bytes so schema, null handling and
+    * partition lifecycle are real and testable. Runs where the bytes
+    * are (mapPartitions, no shuffle); oversized blobs pass through
+    * as null like [[decodeMedia]].
+    */
+  def resizeMedia(df: DataFrame, bytesCol: String, formatCol: String,
+                  width: Int, height: Int, maxBytes: Int = 64 << 20,
+                  outputCol: String = "resized"): DataFrame = {
+    require(width > 0 && height > 0, "target dims must be positive")
+    val schema = df.schema
+    val bytesIdx = schema.fieldIndex(bytesCol)
+    val formatIdx = schema.fieldIndex(formatCol)
+    val outType = StructType(Seq(
+      StructField("bytes", BinaryType), StructField("meta", MediaMetaType)))
+    val outSchema = schema.add(StructField(outputCol, outType))
+    val cap = math.min(width.toLong * height, Int.MaxValue.toLong).toInt
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = if (row.isNullAt(bytesIdx)) null else row.getAs[Array[Byte]](bytesIdx)
+        val fmt = if (row.isNullAt(formatIdx)) null else row.getString(formatIdx)
+        val out: Row =
+          if (bytes == null || bytes.isEmpty || bytes.length > maxBytes) null
+          else {
+            val resized = java.util.Arrays.copyOf(bytes, math.min(bytes.length, cap))
+            Row(resized, Row(fmt, width, height, 1, resized.length.toLong))
+          }
+        Row.fromSeq(row.toSeq :+ out)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Evenly sample `n` frame indices out of a frame count — the
     * pure-plan part of video frame sampling (the per-frame decode
     * itself goes through [[decodeMedia]]).

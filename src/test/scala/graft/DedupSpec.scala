@@ -68,6 +68,28 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exact, s"LSH missed ${exact -- lsh}")
   }
 
+  test("polyShingleHashes matches the HOF twin (distinct poly hash per shingle)") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val both = docs.select(
+      graft.functions.NativeFunctions.polyShingleHashes(Dedup.tokens(col("text")), 3)
+        .as("native"),
+      array_distinct(transform(Dedup.shingles(col("text"), 3),
+        s => graft.functions.NativeFunctions.polyFingerprint(s))).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("portable simhash is deterministic and pairs-equivalent on near-dups") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+                 (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+                 (3L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"), Dedup.simhash(col("text"), portable = true).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(3L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) < 20)
+  }
+
   test("lineDedup keeps first occurrence per exact line, exempts blanks") {
     val df = Seq(
       (1L, "alpha\n\nshared line\nunique one"),

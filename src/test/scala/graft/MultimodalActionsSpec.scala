@@ -32,6 +32,22 @@ class MultimodalActionsSpec extends AnyFunSuite {
     assert(big(2).isNullAt(3) && !big(0).isNullAt(3))
   }
 
+  test("resizeMedia: target dims in meta, byte cap, null passthrough") {
+    val df = Seq(
+      (1L, Some(Array.fill[Byte](500)(3)), "png"),
+      (2L, None: Option[Array[Byte]], "png"),
+      (3L, Some(Array.fill[Byte](8)(9)), "png")
+    ).toDF("media_id", "bytes", "format")
+    val rows = Multimodal.resizeMedia(df, "bytes", "format", width = 10, height = 10)
+      .orderBy("media_id").collect()
+    val r1 = rows(0).getStruct(3)
+    assert(r1.getAs[Array[Byte]](0).length === 100)   // capped at w*h
+    val m1 = r1.getStruct(1)
+    assert(m1.getInt(1) === 10 && m1.getInt(2) === 10 && m1.getLong(4) === 100L)
+    assert(rows(1).isNullAt(3))                       // null blob passes through
+    assert(rows(2).getStruct(3).getAs[Array[Byte]](0).length === 8) // short stays
+  }
+
   test("codec close() fires even when a limit abandons the iterator early") {
     MultimodalActionsSpec.opens.set(0)
     MultimodalActionsSpec.closes.set(0)
