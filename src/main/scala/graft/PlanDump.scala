@@ -77,7 +77,17 @@ object PlanDump {
       ("tf and df are both partial-aggregated before their exchanges; the " +
         "1-row corpus count and the token df table join back via broadcast; " +
         "the final top-3 window partitions by doc_id — per-doc state is the " +
-        "token list, never the corpus."))
+        "token list, never the corpus."),
+    "dedup_lines" ->
+      ("Line explode is map-only; the first-occurrence min(struct(id,pos)) " +
+        "per line hash partial-aggregates before its Exchange, winners join " +
+        "back by the md5 key, and the per-doc regroup is the only full-text " +
+        "shuffle — linear in corpus lines, no window, no SinglePartition."),
+    "q_pack_sequences" ->
+      ("Two-level prefix sum: the heavy window hash-partitions by id bucket " +
+        "(parallel), the bucket-totals cumsum is the only SinglePartition " +
+        "exchange and sees one row per bucket, and offsets broadcast back — " +
+        "a single global window here would pull the corpus through one task."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
