@@ -16,6 +16,9 @@ run / fork := true
 // breaks line-oriented JSON parsing. StdoutOutput passes the child's
 // stdout/stderr through verbatim.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress the trailing "[success] Total time" line so the
+// JSON stays the LAST stdout line (robust to last-line parsers too).
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
