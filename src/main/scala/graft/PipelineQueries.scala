@@ -57,6 +57,18 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- cross-corpus near-dup pairs (the daily-ingest shape): the
+    //      doc_id%5==0 slice plays today's delta, the rest the
+    //      historical corpus; pairs only BETWEEN the sides ----
+    "dedup_minhash_cross" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.minhashNearDupPairsCross(
+          docs.filter(col("doc_id") % 5 === 0), docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", numHashes = 64, bands = 16, shingleWidth = 3,
+          threshold = 0.5, portable = true)
+        .orderBy(col("delta_id"), col("corpus_id"))
+    }),
+
     // ---- token-budget sequence packing (concatenate-then-chunk
     //      pretraining batch assembly): which 512-token training
     //      sequence each doc starts in, at what offset, spanning how
@@ -813,6 +825,47 @@ object PipelineQueries {
             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
             LIMIT 1) AS nn_id
          FROM embeddings a ORDER BY query_id""",
+    "dedup_minhash_cross" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+             doc_id % 5 = 0 AS is_delta
+           FROM documents),
+         hs AS (
+           SELECT doc_id, is_delta, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007))) AS sh
+           FROM t),
+         sg AS (
+           SELECT doc_id, is_delta, sh,
+             list_transform(range(0, 64), j ->
+               list_min(list_transform(sh, x ->
+                 (((j + 1) * 1000003 + 12345) % 2147483647 * x
+                   + ((j + 1) * 999983 + 54321) % 2147483647) % 2147483647))) AS sig
+           FROM hs),
+         bk AS (
+           SELECT doc_id, is_delta, b.band AS band,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_slice(sig, b.band * 4 + 1, b.band * 4 + 4)),
+               (a, x) -> (a * 1000003 + x) % 1000000007) AS bucket
+           FROM sg, (SELECT unnest(range(0, 16)) AS band) b),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS delta_id, y.doc_id AS corpus_id
+           FROM bk x JOIN bk y
+             ON x.band = y.band AND x.bucket = y.bucket
+             AND x.is_delta AND NOT y.is_delta),
+         v AS (
+           SELECT c.delta_id, c.corpus_id,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+           FROM cand c JOIN hs a ON a.doc_id = c.delta_id JOIN hs b ON b.doc_id = c.corpus_id)
+         SELECT delta_id, corpus_id, jaccard FROM v
+         WHERE jaccard >= 0.5 ORDER BY delta_id, corpus_id""",
     "multimodal_features" ->
       """SELECT doc_id,
            CASE WHEN octet_length(encode(substr(text, 1, 256))) = 0

@@ -213,6 +213,86 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-corpus MinHash+LSH near-dup pairs: candidates BETWEEN a
+    * delta and a reference corpus (never within either side) — the
+    * daily-ingest shape: is anything in today's crawl a near-dup of
+    * the historical corpus? Same signature/band machinery and the
+    * same scale posture as [[minhashNearDupPairs]]; the bucket join
+    * keys (band, bucket) across the two signature tables, so the
+    * reference corpus is touched ~|delta buckets| / |bucket space|,
+    * never rescanned per delta row.
+    *
+    * Returns (delta_id, corpus_id, jaccard), jaccard >= threshold.
+    */
+  def minhashNearDupPairsCross(delta: DataFrame, corpus: DataFrame,
+                               idCol: String, textCol: String,
+                               numHashes: Int = 64, bands: Int = 16,
+                               shingleWidth: Int = 3, threshold: Double = 0.8,
+                               seed: Long = 42L, portable: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    def sigTable(df: DataFrame): DataFrame = {
+      val sh =
+        if (portable)
+          graft.functions.NativeFunctions.polyShingleHashes(tokens(col(textCol)), shingleWidth)
+        else shingleHashes(col(textCol), shingleWidth)
+      df.select(col(idCol).as("id"), sh.as("sh"))
+        .withColumn("sig",
+          graft.functions.NativeFunctions.minhashSignature(col("sh"), numHashes, seed, portable))
+        .withColumn("bk",
+          if (portable) lshBucketsPoly(col("sig"), bands, r)
+          else lshBuckets(col("sig"), bands, r))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val db = sigTable(delta)
+    val cb = sigTable(corpus)
+    def buckets(base: DataFrame): DataFrame =
+      base.select(col("id"), explode(col("bk")).as("b"))
+        .select(col("id"), col("b.band"), col("b.bucket"))
+    val cands = buckets(db).as("x").join(buckets(cb).as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.id").as("delta_id"), col("y.id").as("corpus_id"))
+      .distinct()
+    cands
+      .join(db.select(col("id").as("delta_id"), col("sh").as("sh_a")), Seq("delta_id"))
+      .join(cb.select(col("id").as("corpus_id"), col("sh").as("sh_b")), Seq("corpus_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("delta_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /** Incremental dedup — the production daily-ingest operator: keep
+    * only delta rows that are neither exact nor near duplicates of
+    * the reference corpus, nor of an earlier (lower-id) delta row.
+    * Four stages, each linear-shuffle:
+    *  1. exact-vs-corpus: anti-join on text md5;
+    *  2. exact-within-delta: keep first id per text;
+    *  3. near-vs-corpus: [[minhashNearDupPairsCross]] anti-join;
+    *  4. near-within-delta: drop the HIGHER id of every near-dup pair
+    *     (pairwise suppression — for non-clique chains this can drop
+    *     more than clustering-canonical would keep; the conservative
+    *     choice for training data).
+    */
+  def incrementalDedup(delta: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String,
+                       numHashes: Int = 64, bands: Int = 16,
+                       shingleWidth: Int = 3, threshold: Double = 0.8,
+                       seed: Long = 42L, portable: Boolean = false): DataFrame = {
+    val ch = corpus.select(md5(col(textCol)).as("__h")).distinct()
+    val d1 = delta.withColumn("__h", md5(col(textCol)))
+      .join(ch, Seq("__h"), "left_anti").drop("__h")
+    val d2 = exactDedup(d1, idCol, textCol)
+    val nearCorpus = minhashNearDupPairsCross(d2, corpus, idCol, textCol,
+      numHashes, bands, shingleWidth, threshold, seed, portable)
+    val d3 = d2.join(nearCorpus.select(col("delta_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    val selfPairs = minhashNearDupPairs(d3, idCol, textCol,
+      numHashes, bands, shingleWidth, threshold, seed, portable)
+    d3.join(selfPairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+
   /** 63-bit SimHash over tokens, computed per-row (bit 63 left clear
     * so the power-of-two sum stays within signed long under ANSI).
     */

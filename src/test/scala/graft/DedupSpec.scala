@@ -68,6 +68,29 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exact, s"LSH missed ${exact -- lsh}")
   }
 
+  test("incrementalDedup drops exact/near dups vs corpus and within delta") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different historical content nothing like the rest here")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),  // exact vs corpus
+      (11L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near vs corpus
+      (12L, "a genuinely novel document with entirely fresh words in this delta"),
+      (13L, "a genuinely novel document with entirely fresh words in this delta"),   // exact within delta
+      (14L, "a genuinely novel document with entirely fresh words in that delta"),   // near within delta
+      (15L, "another unrelated survivor speaking about absolutely nothing shared")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(delta, corpus, "doc_id", "text",
+      threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(12L, 15L))
+    // cross pairs alone: only between-side pairs, none within
+    val cross = Dedup.minhashNearDupPairsCross(delta, corpus, "doc_id", "text",
+      threshold = 0.5)
+    val pairs = cross.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 1L), (11L, 1L)))
+  }
+
   test("polyShingleHashes matches the HOF twin (distinct poly hash per shingle)") {
     val docs = Tables.table(spark, TestSpark.sfDir, "documents")
     val both = docs.select(
