@@ -57,6 +57,21 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- near-dup dedup keeping the best-QUALITY doc per cluster
+    //      (curation-grade survivor choice; argmax aggregate, no
+    //      window) ----
+    "dedup_cluster_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = docs.withColumn("quality_q4",
+        floor(TextAnalysis.qualityScoreRaw(col("text")) * lit(10000.0) + lit(0.5))
+          .cast(LongType))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleWidth = 3, threshold = 0.5)
+      Dedup.dedupByNearDupPreferring(scored, "doc_id", pairs, "quality_q4")
+        .select(col("doc_id"), col("quality_q4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- cross-corpus near-dup pairs (the daily-ingest shape): the
     //      doc_id%5==0 slice plays today's delta, the rest the
     //      historical corpus; pairs only BETWEEN the sides ----
@@ -825,6 +840,49 @@ object PipelineQueries {
             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
             LIMIT 1) AS nn_id
          FROM embeddings a ORDER BY query_id""",
+    "dedup_cluster_best" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3
+               THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+               ELSE list_transform(range(0, len(string_split_regex(trim(text), '\s+')) - 2),
+                 i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i+1, i+3), ' '))
+             END) AS sh
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh)) > 0
+             AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5),
+         e AS (
+           SELECT id_a AS src, id_b AS dst FROM p
+           UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r2.id, e.dst FROM reach r2 JOIN e ON e.src = r2.r),
+         comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+         q AS (
+           SELECT doc_id,
+             least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0) AS len_score,
+             least((CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                 t -> t IN ('the','a','an','of','to','and','in','is','it','for','on','with'))) AS DOUBLE) /
+               CAST(NULLIF(len(string_split_regex(trim(text), '\s+')), 0) AS DOUBLE)) * 5.0, 1.0) AS stop_score,
+             least(coalesce(CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) /
+               CAST(NULLIF(length(text), 0) AS DOUBLE), 0.0) * 2.0, 1.0) AS punct_penalty
+           FROM documents),
+         scored AS (
+           SELECT doc_id,
+             CAST(floor(((len_score * 0.5 + stop_score * 0.4) * (1.0 - punct_penalty * 0.5) + 0.1)
+               * 10000.0 + 0.5) AS BIGINT) AS quality_q4
+           FROM q),
+         best AS (
+           SELECT c.doc_id, s.quality_q4,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+               ORDER BY s.quality_q4 DESC, c.doc_id) AS rk
+           FROM comp c JOIN scored s USING (doc_id))
+         SELECT doc_id, quality_q4 FROM best WHERE rk = 1 ORDER BY doc_id""",
     "dedup_minhash_cross" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,

@@ -528,6 +528,24 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** [[dedupByNearDup]] keeping the BEST-scored row per near-dup
+    * cluster instead of the lowest id (ties -> lower id) — the
+    * curation-grade choice: when a crawl holds five near-copies, keep
+    * the highest-quality one. The per-component argmax is a
+    * max(struct(score, -id)) hash aggregate: map-side partials, one
+    * component-keyed shuffle, no window sort.
+    */
+  def dedupByNearDupPreferring(df: DataFrame, idCol: String, pairs: DataFrame,
+                               scoreCol: String): DataFrame = {
+    val comp = connectedComponents(df.select(col(idCol).as("id")), pairs)
+    val winners = df.select(col(idCol), col(scoreCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol))
+      .groupBy(col("component"))
+      .agg(max(struct(col(scoreCol), (-col(idCol)).as("nid"))).as("m"))
+      .select((-col("m.nid")).as(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** Exact n-gram-Jaccard via a DOCUMENT-FREQUENCY-ordered prefix
     * index. Same prefix-filter theorem as [[ngramJaccardPairsPrefix]]
     * (any total order over shingles works), but sets are sorted by

@@ -68,6 +68,22 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exact, s"LSH missed ${exact -- lsh}")
   }
 
+  test("dedupByNearDupPreferring keeps the best-scored doc per cluster") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today", 10L),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow", 90L),
+      (3L, "an unrelated standalone document about something else entirely", 50L)
+    ).toDF("doc_id", "text", "score")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5)
+    val kept = Dedup.dedupByNearDupPreferring(df, "doc_id", pairs, "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // cluster {1,2}: doc 2 wins on score (min-id canonical would keep 1)
+    assert(kept === Set(2L, 3L))
+    val keptMin = Dedup.dedupByNearDup(df, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptMin === Set(1L, 3L))
+  }
+
   test("incrementalDedup drops exact/near dups vs corpus and within delta") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
