@@ -264,14 +264,29 @@ object PipelineQueries {
         .orderBy(col("event_type"))),
 
     // ---- approximate sketch aggregates (HLL++ distinct, quantile
-    //      digest): algorithms differ from DuckDB's -> rows-only;
-    //      error bounds vs exact values asserted in ScalaTest ----
+    //      digest) in PROPERTY form: the sketch values themselves are
+    //      engine-internal, so the query emits the exact aggregates
+    //      (oracle-verified) plus booleans asserting each sketch
+    //      landed inside its published error bound — the oracle pins
+    //      those to TRUE, so a sketch drifting out of bounds is a
+    //      hash mismatch, not an untested warning ----
     "q_approx_sketches" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
-          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("au"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"),
+          expr("percentile(value, 0.45)").as("lo45"),
+          expr("percentile(value, 0.55)").as("hi55"))
+        .select(col("event_type"), col("exact_users"),
+          // default HLL++ rsd is 0.05 — ONE standard deviation, not a
+          // hard cap (measured 5-7% on 1500-distinct groups at
+          // sf0.1); the asserted envelope is 3 sigma
+          (abs(col("au") - col("exact_users")).cast(DoubleType) /
+            col("exact_users") <= 0.15).as("hll_within_3sigma"),
+          (col("ap50") >= col("lo45") && col("ap50") <= col("hi55"))
+            .as("p50_within_rank_bounds"))
         .orderBy(col("event_type"))),
 
     // ---- text analysis: token counts + quality signals ----
@@ -840,6 +855,10 @@ object PipelineQueries {
             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
             LIMIT 1) AS nn_id
          FROM embeddings a ORDER BY query_id""",
+    "q_approx_sketches" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_within_3sigma, TRUE AS p50_within_rank_bounds
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "dedup_cluster_best" ->
       """WITH RECURSIVE d AS (
            SELECT doc_id, list_distinct(
