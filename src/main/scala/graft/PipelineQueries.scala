@@ -57,6 +57,14 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- corpus unigram log-prob (perplexity-proxy quality): rare-
+    //      token documents score low. ln quantized per token to
+    //      integer microbits, summed as longs (portable) ----
+    "text_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(t(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tok"), col("sum_lp_micro"))
+        .orderBy(col("doc_id"))),
+
     // ---- near-dup dedup keeping the best-QUALITY doc per cluster
     //      (curation-grade survivor choice; argmax aggregate, no
     //      window) ----
@@ -855,6 +863,17 @@ object PipelineQueries {
             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
             LIMIT 1) AS nn_id
          FROM embeddings a ORDER BY query_id""",
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         uni AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+         tot AS (SELECT COUNT(*) AS total FROM toks)
+         SELECT t.doc_id, COUNT(*) AS n_tok,
+           SUM(CAST(floor(ln(CAST(u.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+             * 1000000.0) AS BIGINT)) AS sum_lp_micro
+         FROM toks t JOIN uni u USING (tok) CROSS JOIN tot
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     "q_approx_sketches" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
            TRUE AS hll_within_3sigma, TRUE AS p50_within_rank_bounds

@@ -208,4 +208,37 @@ object TextAnalysis {
       when(size(hs) <= window, array(array_min(hs)))
         .otherwise(transform(sequence(lit(0), size(hs) - window),
           i => array_min(slice(hs, i + 1, lit(window)))))))
+
+  /** Corpus unigram log-probability per document — the classic
+    * perplexity-proxy quality signal: tokens that are rare in the
+    * corpus drag a document's mean log-prob down (gibberish, boiler-
+    * plate explosions, wrong-language text all score low).
+    *
+    * Scale shape: one explode (map-only), one vocab-sized unigram
+    * aggregate (map-side partials), the corpus total as a 1-row
+    * aggregate joined back by broadcast, one token->count equi-join
+    * (vocab side is Zipf-small — broadcastable far beyond test
+    * scale), one per-doc re-aggregate. Everything linear.
+    *
+    * Float policy: ln(p) is quantized per TOKEN to integer
+    * microbits — floor(ln(cnt/total) * 1e6) — and documents sum
+    * longs, so cross-row accumulation order cannot change the
+    * result and an external oracle reproduces it exactly.
+    *
+    * Returns (id, n_tok, sum_lp_micro); mean log-prob =
+    * sum_lp_micro / n_tok / 1e6.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(uni, Seq("tok"))
+      .join(broadcast(total))
+      .withColumn("lp_micro",
+        floor(log(col("cnt").cast(DoubleType) / col("total").cast(DoubleType))
+          * lit(1000000.0)).cast(LongType))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lp_micro")).as("sum_lp_micro"))
+  }
 }
