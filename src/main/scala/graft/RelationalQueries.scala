@@ -976,25 +976,33 @@ object RelationalQueries {
          FROM adev a JOIN med m USING (o_orderpriority) JOIN mad d USING (o_orderpriority)
          GROUP BY a.o_orderpriority ORDER BY a.o_orderpriority""",
     "q_limit_warning" ->
-      """SELECT o_orderkey FROM (
-           SELECT o_orderkey FROM orders
-           ORDER BY ((((o_orderkey + 42) % 1000000007) * 1000003) % 1000000007 * 999983)
-             % 1000000007, o_orderkey
-           LIMIT 250)
+      """WITH h AS (
+           SELECT o_orderkey,
+             ((((o_orderkey + 42) % 1000000007) * ((o_orderkey + 42) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+           FROM orders)
+         SELECT o_orderkey FROM (
+           SELECT o_orderkey FROM h ORDER BY (v * v) % 1000000007, o_orderkey LIMIT 250)
          ORDER BY o_orderkey""",
     "q_sample_seeded" ->
-      """SELECT o_orderkey FROM (
-           SELECT o_orderkey FROM orders
-           ORDER BY ((((o_orderkey + 42) % 1000000007) * 1000003) % 1000000007 * 999983)
-             % 1000000007, o_orderkey
-           LIMIT 100)
+      """WITH h AS (
+           SELECT o_orderkey,
+             ((((o_orderkey + 42) % 1000000007) * ((o_orderkey + 42) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+           FROM orders)
+         SELECT o_orderkey FROM (
+           SELECT o_orderkey FROM h ORDER BY (v * v) % 1000000007, o_orderkey LIMIT 100)
          ORDER BY o_orderkey""",
     "q_sample_weighted" ->
-      """SELECT o_orderkey, o_totalprice FROM (
-           SELECT o_orderkey, o_totalprice FROM orders
-           WHERE o_totalprice > 0
-           ORDER BY ln((((((o_orderkey + 42) % 1000000007) * 1000003) % 1000000007 * 999983)
-             % 1000000007 + 1) / 1000000007.0) / o_totalprice DESC, o_orderkey
+      """WITH h AS (
+           SELECT o_orderkey, o_totalprice,
+             ((((o_orderkey + 42) % 1000000007) * ((o_orderkey + 42) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+           FROM orders WHERE o_totalprice > 0)
+         SELECT o_orderkey, o_totalprice FROM (
+           SELECT o_orderkey, o_totalprice FROM h
+           ORDER BY ln(((v * v) % 1000000007 + 1) / 1000000007.0) / o_totalprice DESC,
+             o_orderkey
            LIMIT 100)
          ORDER BY o_orderkey""",
     "q_upsert" ->

@@ -46,6 +46,10 @@ object Verify {
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several operators persist intermediates the returned plan still
+      // references; left alone they accumulate across the ~100-query
+      // dump and squeeze execution memory (same pathology Bench clears)
+      spark.sharedState.cacheManager.clearCache()
     }
     pool.shutdownNow()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

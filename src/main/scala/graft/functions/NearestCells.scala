@@ -40,17 +40,15 @@ case class NearestCells(child: Expression, centroids: Array[Array[Float]],
   override def nullable: Boolean = true
   override def prettyName: String = "nearest_cells"
 
-  @transient private lazy val invNorms: Array[Double] = centroids.map { c =>
-    var s = 0.0; var i = 0
-    while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
-    val n = math.sqrt(s)
-    if (n == 0.0) 0.0 else 1.0 / n
-  }
-
   @transient private lazy val normsSq: Array[Double] = centroids.map { c =>
     var s = 0.0; var i = 0
     while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
     s
+  }
+
+  @transient private lazy val invNorms: Array[Double] = normsSq.map { s =>
+    val n = math.sqrt(s)
+    if (n == 0.0) 0.0 else 1.0 / n
   }
 
   override def nullSafeEval(v: Any): Any = {

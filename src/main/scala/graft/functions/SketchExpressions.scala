@@ -24,6 +24,42 @@ import org.apache.spark.unsafe.types.UTF8String
 object SketchExpressions {
   val XxSeed = 42L
   val P31 = 2147483647L // Mersenne prime 2^31-1, universal-hash modulus
+
+  /** THE portable code-point polynomial fold — (acc*mult + cp) mod
+    * 1e9+7 over the string's code points. Every oracle-replayable
+    * hash in this file (PolyFingerprint, PolyShingleHashes, portable
+    * SimHash) must route through this one implementation so they can
+    * never drift apart bit-wise.
+    */
+  def polyFold(s: String, mult: Long): Long = {
+    var acc = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      acc = (acc * mult + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** [[polyFold]] maintaining two accumulators in one pass — the
+    * portable SimHash token hash poly1*2^30 + poly2 without walking
+    * the string twice.
+    */
+  def polyFold2(s: String, mult1: Long, mult2: Long): Long = {
+    var a1 = 0L
+    var a2 = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      a1 = (a1 * mult1 + cp) % 1000000007L
+      a2 = (a2 * mult2 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    a1 * 1073741824L + a2
+  }
 }
 
 /** Highest occurrence count of any single token in an array<string>
@@ -87,18 +123,9 @@ case class PolyFingerprint(child: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "poly_fingerprint"
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    var acc = 0L
-    var i = 0
-    val n = s.length
-    while (i < n) {
-      val cp = s.codePointAt(i)
-      acc = (acc * 1000003L + cp) % 1000000007L
-      i += Character.charCount(cp)
-    }
-    java.lang.Long.valueOf(acc)
-  }
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(
+      SketchExpressions.polyFold(v.asInstanceOf[UTF8String].toString, 1000003L))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -514,18 +541,6 @@ case class SimHash(child: Expression, portable: Boolean = false)
   override def nullable: Boolean = true
   override def prettyName: String = "simhash"
 
-  private def polyHash(s: String, mult: Long): Long = {
-    var acc = 0L
-    var i = 0
-    val n = s.length
-    while (i < n) {
-      val cp = s.codePointAt(i)
-      acc = (acc * mult + cp) % 1000000007L
-      i += Character.charCount(cp)
-    }
-    acc
-  }
-
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -534,10 +549,9 @@ case class SimHash(child: Expression, portable: Boolean = false)
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val h =
-          if (portable) {
-            val s = arr.getUTF8String(i).toString
-            polyHash(s, 1000003L) * 1073741824L + polyHash(s, 1000033L)
-          } else XxHash64Function.hash(arr.getUTF8String(i), StringType, XxSeed)
+          if (portable)
+            SketchExpressions.polyFold2(arr.getUTF8String(i).toString, 1000003L, 1000033L)
+          else XxHash64Function.hash(arr.getUTF8String(i), StringType, XxSeed)
         var b = 0
         while (b < 63) {
           if (((h >>> b) & 1L) == 1L) balance(b) += 1 else balance(b) -= 1
@@ -576,18 +590,6 @@ case class PolyShingleHashes(child: Expression, w: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "poly_shingle_hashes"
 
-  private def polyHash(s: String): Long = {
-    var acc = 0L
-    var i = 0
-    val n = s.length
-    while (i < n) {
-      val cp = s.codePointAt(i)
-      acc = (acc * 1000003L + cp) % 1000000007L
-      i += Character.charCount(cp)
-    }
-    acc
-  }
-
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -604,7 +606,8 @@ case class PolyShingleHashes(child: Expression, w: Int)
     while (s < nShingles) {
       val parts: Array[UTF8String] =
         if (n < w) toks else java.util.Arrays.copyOfRange(toks, s, s + w)
-      seen.add(polyHash(UTF8String.concatWs(sep, parts: _*).toString))
+      seen.add(SketchExpressions.polyFold(
+        UTF8String.concatWs(sep, parts: _*).toString, 1000003L))
       s += 1
     }
     val out = new Array[Long](seen.size)

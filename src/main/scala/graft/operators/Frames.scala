@@ -109,15 +109,22 @@ object Frames {
     pmod(pmod(pmod(id.cast("long"), lit(1000000007L)) * lit(1000003L), lit(1000000007L))
       * lit(999983L), lit(1000000007L)) % 10000L
 
-  /** Seeded variant of [[hashBucket]]'s mixer, full [0, P) range:
-    * pure integer arithmetic (products < 2^62), so any ANSI SQL
-    * engine replays it bit-for-bit — the property that lets seeded
-    * samples be oracle-checked instead of trusted.
+  /** Seeded portable hash, full [0, P) range: pure integer
+    * arithmetic (products < 2^62), so any ANSI SQL engine replays it
+    * bit-for-bit — the property that lets seeded samples be
+    * oracle-checked instead of trusted. Mixing uses two QUADRATIC
+    * rounds (squarings mod P): an affine map in id is
+    * lattice-structured by the three-distance theorem — its "sample"
+    * is near-evenly spaced over contiguous ids and its uniform
+    * correlates linearly with id (the same structural weakness that
+    * collapsed the affine Rademacher planes — see RademacherBuckets).
     */
   private[graft] val HashP = 1000000007L
-  def portableHash(id: Column, seed: Long): Column =
-    pmod(pmod(pmod(id.cast("long") + lit(seed), lit(HashP)) * lit(1000003L), lit(HashP))
-      * lit(999983L), lit(HashP))
+  def portableHash(id: Column, seed: Long): Column = {
+    val h1 = pmod(id.cast("long") + lit(seed), lit(HashP))
+    val h2 = pmod(pmod(h1 * h1, lit(HashP)) * lit(1000003L) + lit(54321L), lit(HashP))
+    pmod(h2 * h2, lit(HashP))
+  }
 
   /** Exact-n seeded sample ordered by a portable hash of a unique id
     * column — same contract as [[sampleExact]] but reproducible in
