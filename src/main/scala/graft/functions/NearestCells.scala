@@ -31,7 +31,7 @@ import org.apache.spark.sql.types._
   */
 case class NearestCells(child: Expression, centroids: Array[Array[Float]],
                         nProbe: Int, portable: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(nProbe >= 1 && nProbe <= centroids.length,
     s"nProbe must be in [1, ${centroids.length}]")
@@ -51,8 +51,7 @@ case class NearestCells(child: Expression, centroids: Array[Array[Float]],
     if (n == 0.0) 0.0 else 1.0 / n
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val nc = centroids.length
     val proj = new Array[Double](nc)
     val n = arr.numElements()
@@ -101,6 +100,16 @@ case class NearestCells(child: Expression, centroids: Array[Array[Float]],
       p += 1
     }
     new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -117,15 +117,25 @@ case class MaxTokenFreq(child: Expression)
   * < 2^62: acc < 1e9+7, base 1e6+3, code point < 0x110000.
   */
 case class PolyFingerprint(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "poly_fingerprint"
 
+  def compute(s: UTF8String): Long =
+    SketchExpressions.polyFold(s.toString, 1000003L)
+
   override def nullSafeEval(v: Any): Any =
-    java.lang.Long.valueOf(
-      SketchExpressions.polyFold(v.asInstanceOf[UTF8String].toString, 1000003L))
+    java.lang.Long.valueOf(compute(v.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("polyFp", this, classOf[PolyFingerprint].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -142,7 +152,7 @@ case class PolyFingerprint(child: Expression)
   * the dominant map-side cost of every shingle-based dedup.
   */
 case class ShingleHashes(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import SketchExpressions._
 
   require(w >= 1, "shingle width must be >= 1")
@@ -151,8 +161,7 @@ case class ShingleHashes(child: Expression, w: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "shingle_hashes"
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val toks = new Array[UTF8String](n)
     var i = 0
@@ -178,6 +187,16 @@ case class ShingleHashes(child: Expression, w: Int)
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -193,7 +212,7 @@ case class ShingleHashes(child: Expression, w: Int)
   */
 case class LangIdHeuristic(child: Expression,
                            markers: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -214,8 +233,8 @@ case class LangIdHeuristic(child: Expression,
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  override def nullSafeEval(v: Any): Any = {
-    val text = v.asInstanceOf[UTF8String].toString.toLowerCase
+  def compute(u: UTF8String): UTF8String = {
+    val text = u.toString.toLowerCase
     val counts = new Array[Int](markerSets.length)
     var i = 0
     val n = text.length
@@ -241,6 +260,16 @@ case class LangIdHeuristic(child: Expression,
     if (counts(best) == 0) UTF8String.fromString("und") else langNames(best)
   }
 
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("langId", this, classOf[LangIdHeuristic].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -252,7 +281,7 @@ case class LangIdHeuristic(child: Expression,
   * the whole text as one shingle.
   */
 case class ShingleStrings(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(w >= 1, "shingle width must be >= 1")
 
@@ -260,8 +289,7 @@ case class ShingleStrings(child: Expression, w: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "shingle_strings"
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val toks = new Array[UTF8String](n)
     var i = 0
@@ -284,6 +312,16 @@ case class ShingleStrings(child: Expression, w: Int)
     var j = 0
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("shingleStrings", this, classOf[ShingleStrings].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -447,7 +485,7 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
   * — minutes at sf0.1; this is linear with primitive ops.
   */
 case class PolyWinnowFingerprints(child: Expression, w: Int, window: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(w >= 1 && window >= 1)
 
@@ -455,20 +493,7 @@ case class PolyWinnowFingerprints(child: Expression, w: Int, window: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "poly_winnow_fingerprints"
 
-  private def polyHash(s: String): Long = {
-    var acc = 0L
-    var i = 0
-    val n = s.length
-    while (i < n) {
-      val cp = s.codePointAt(i)
-      acc = (acc * 1000003L + cp) % 1000000007L
-      i += Character.charCount(cp)
-    }
-    acc
-  }
-
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val toks = new Array[String](n)
     var i = 0
@@ -492,7 +517,7 @@ case class PolyWinnowFingerprints(child: Expression, w: Int, window: Int)
         first = false
         j += 1
       }
-      hs(s) = polyHash(sb.toString)
+      hs(s) = SketchExpressions.polyFold(sb.toString, 1000003L)
       s += 1
     }
     val mins = new java.util.TreeSet[java.lang.Long]()
@@ -520,6 +545,16 @@ case class PolyWinnowFingerprints(child: Expression, w: Int, window: Int)
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("polyWinnow", this, classOf[PolyWinnowFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -534,15 +569,14 @@ case class PolyWinnowFingerprints(child: Expression, w: Int, window: Int)
   * per-bit votes, the signature, and Hamming distances verbatim.
   */
 case class SimHash(child: Expression, portable: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import SketchExpressions._
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "simhash"
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val balance = new Array[Int](63)
     var i = 0
@@ -566,7 +600,18 @@ case class SimHash(child: Expression, portable: Boolean = false)
       if (balance(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(compute(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("simhash", this, classOf[SimHash].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -582,7 +627,7 @@ case class SimHash(child: Expression, portable: Boolean = false)
   * dedup_minhash_lsh).
   */
 case class PolyShingleHashes(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(w >= 1, "shingle width must be >= 1")
 
@@ -590,8 +635,7 @@ case class PolyShingleHashes(child: Expression, w: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "poly_shingle_hashes"
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val toks = new Array[UTF8String](n)
     var i = 0
@@ -617,6 +661,17 @@ case class PolyShingleHashes(child: Expression, w: Int)
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("polyShingles", this, classOf[PolyShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
+  }
+
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -633,7 +688,7 @@ case class PolyShingleHashes(child: Expression, w: Int)
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long,
                             portable: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import SketchExpressions._
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -656,8 +711,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long,
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var seen = 0
@@ -680,6 +734,18 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long,
       i += 1
     }
     if (seen == 0) null else new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""${ev.value} = $self.compute($in);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -712,7 +778,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long,
   */
 case class RademacherBuckets(child: Expression, dim: Int, numPlanes: Int,
                              tables: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -743,8 +809,7 @@ case class RademacherBuckets(child: Expression, dim: Int, numPlanes: Int,
     out
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = math.min(arr.numElements(), dim)
     val nPlanes = tables * numPlanes
     val proj = new Array[Long](nPlanes)
@@ -774,13 +839,23 @@ case class RademacherBuckets(child: Expression, dim: Int, numPlanes: Int,
     new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
   }
 
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("rademacher", this, classOf[RademacherBuckets].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 case class HyperplaneBuckets(child: Expression, dim: Int, numPlanes: Int,
                              tables: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -802,8 +877,7 @@ case class HyperplaneBuckets(child: Expression, dim: Int, numPlanes: Int,
     out
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = math.min(arr.numElements(), dim)
     val nPlanes = tables * numPlanes
     val proj = new Array[Double](nPlanes)
@@ -830,6 +904,16 @@ case class HyperplaneBuckets(child: Expression, dim: Int, numPlanes: Int,
       t += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("hyperplanes", this, classOf[HyperplaneBuckets].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

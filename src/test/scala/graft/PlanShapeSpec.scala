@@ -105,6 +105,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"RANGE frame must not join:\n$p")
   }
 
+  test("sketch expressions generate code (no fallback Project outside codegen)") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val df = docs.select(
+      graft.operators.Dedup.simhash(col("text"), portable = true).as("sh"),
+      graft.functions.NativeFunctions.polyShingleHashes(
+        graft.operators.Dedup.tokens(col("text")), 3).as("psh"),
+      graft.functions.NativeFunctions.polyFingerprint(col("text")).as("fp"),
+      graft.functions.NativeFunctions.minhashSignature(
+        graft.operators.Dedup.shingleHashes(col("text"), 3), 16).as("sig"))
+    val p = df.queryExecution.executedPlan.toString
+    // a CodegenFallback expression forces the projection out of
+    // whole-stage codegen; with real doGenCode the scan+project fuse
+    // into one span ("*(1) Project ... *(1) ColumnarToRow")
+    assert(p.contains("*(1) Project"), s"sketch projection fell out of codegen:\n$p")
+  }
+
   test("packSequences: heavy window hash-partitions by bucket; totals broadcast back") {
     val df = Tables.table(spark, TestSpark.sfDir, "documents")
       .select(col("doc_id"), length(col("text")).as("nt"))
