@@ -98,6 +98,14 @@ object ScaleSmoke {
         Dedup.lineDedup(docs1, "doc_id", "text").queryExecution.toRdd.count() },
       time(s"line_dedup_${k}x") {
         Dedup.lineDedup(docsK, "doc_id", "text").queryExecution.toRdd.count() },
+      time("cross_dedup_1x") {
+        Dedup.minhashNearDupPairsCross(
+          docs1.filter(col("doc_id") % 5 === 0), docs1.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", 64, 16, 3, 0.5).queryExecution.toRdd.count() },
+      time(s"cross_dedup_${k}x") {
+        Dedup.minhashNearDupPairsCross(
+          docsK.filter(col("doc_id") % 5 === 0), docsK.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", 64, 16, 3, 0.5).queryExecution.toRdd.count() },
       time("pack_sequences_1x") {
         graft.operators.Frames.packSequences(
           docs1.select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("nt")),
@@ -113,7 +121,7 @@ object ScaleSmoke {
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
     val byName = results.map { case (n, s, _) => n -> s }.toMap
     Seq("minhash_lsh", "simhash", "exact_dedup", "ivf_topk", "lsh_topk",
-        "line_dedup", "pack_sequences").foreach { base =>
+        "line_dedup", "cross_dedup", "pack_sequences").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

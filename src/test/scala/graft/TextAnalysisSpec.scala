@@ -137,4 +137,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(qs.forall(q => q >= 0.0 && q <= 1.1))
     assert(qs(0) > qs(1))
   }
+
+  test("unigramLogProb: common-token docs score higher than rare-token docs") {
+    // "alpha beta" appear in every doc; doc 3 is all hapaxes
+    val df = Seq(
+      (1L, "alpha beta alpha beta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "unique singleton oddity rarity")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.values.forall(_._1 == 4L))              // 4 tokens each
+    val mean = out.map { case (id, (n, s)) => id -> s.toDouble / n }
+    assert(mean(1L) > mean(2L) && mean(2L) > mean(3L))
+    // exact arithmetic: corpus has alpha=3, beta=3, four hapaxes, 12
+    // tokens total -> doc1 = 4*floor(ln(3/12)*1e6), doc3 = 4*floor(ln(1/12)*1e6)
+    val lp = (c: Long) => math.floor(math.log(c.toDouble / 12.0) * 1e6).toLong
+    assert(out(1L)._2 === 4 * lp(3))
+    assert(out(3L)._2 === 4 * lp(1))
+  }
 }
