@@ -80,6 +80,28 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming twin of Dedup.lineDedup's suppression stage: explode
+    * each arriving document into (id, pos, line) rows and emit only
+    * lines whose exact text has not been seen within the watermark —
+    * "first" is arrival order, and line-dedup state is bounded by
+    * event time exactly like [[streamingExactDedup]]'s. Blank lines
+    * (length < minChars) are exempt and always pass. Downstream can
+    * regroup surviving lines per doc in a foreachBatch sink; the
+    * unbounded-corpus reassembly itself is a batch concern
+    * (Dedup.lineDedup).
+    */
+  def streamingLineDedup(docs: DataFrame, watermark: String,
+                         idCol: String, textCol: String, tsCol: String = "ts",
+                         minChars: Int = 1): DataFrame = {
+    val lines = docs.withWatermark(tsCol, watermark)
+      .select(col(idCol).as("id"), col(tsCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val exempt = lines.filter(length(col("line")) < minChars)
+    val deduped = lines.filter(length(col("line")) >= minChars)
+      .dropDuplicatesWithinWatermark(Seq("line"))
+    exempt.unionByName(deduped)
+  }
+
   /** Batch form of the view→purchase attribution join: each purchase
     * matches the same user's views in the preceding `windowSeconds`.
     * An equi-join on user plus a time-band predicate — the exact

@@ -142,6 +142,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming line dedup suppresses repeated lines, exempts blanks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-linededup").toString
+    Seq(
+      (1L, "2024-01-01 00:00:00", "alpha\n\nshared line\nunique one"),
+      (2L, "2024-01-01 00:01:00", "shared line\n\nbeta")
+    ).map { case (id, ts, t) => (id, java.sql.Timestamp.valueOf(ts), t) }
+      .toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.streamingLineDedup(stream, "1 hour", "doc_id", "text")
+      .writeStream.outputMode("append").format("memory").queryName("linededup").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("select id, pos, line from linededup")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      // "shared line" survives once (first arrival, doc 1); both
+      // blanks are exempt and pass; everything else unique
+      val shared = rows.filter(_._3 == "shared line")
+      assert(shared.size === 1 && shared.head._1 === 1L)
+      assert(rows.count(_._3 == "") === 2)
+      assert(rows.map(_._3).count(_ == "beta") === 1)
+      assert(rows.size === 6)
+    } finally q.stop()
+  }
+
   test("foreachBatch sink writes every micro-batch exactly once") {
     val src = java.nio.file.Files.createTempDirectory("graft-fbsrc").toString
     val out = java.nio.file.Files.createTempDirectory("graft-fbout").toString
