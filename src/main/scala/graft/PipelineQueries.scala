@@ -57,6 +57,14 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- MOSS-style winnowing-fingerprint near-dup candidates:
+    //      local-overlap detection (a shared paragraph surfaces even
+    //      when whole-doc Jaccard is low) ----
+    "dedup_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowingNearDupPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleWidth = 4, window = 4, minShared = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- corpus unigram log-prob (perplexity-proxy quality): rare-
     //      token documents score low. ln quantized per token to
     //      integer microbits, summed as longs (portable) ----
@@ -872,6 +880,35 @@ object PipelineQueries {
             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
             LIMIT 1) AS nn_id
          FROM embeddings a ORDER BY query_id""",
+    "dedup_winnow_pairs" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 3),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 4), ' '))
+             END AS shingles
+           FROM t),
+         h AS (
+           SELECT doc_id,
+             list_transform(shingles,
+               s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 1000003 + b) % 1000000007)) AS hs
+           FROM sh),
+         wf AS (
+           SELECT doc_id,
+             CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+               ELSE list_distinct(list_transform(range(0, len(hs) - 3),
+                 i -> list_min(list_slice(hs, i + 1, i + 4))))
+             END AS fps
+           FROM h),
+         e AS (SELECT doc_id, unnest(fps) AS fp FROM wf)
+         SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared_fps
+         FROM e x JOIN e y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b""",
     "text_unigram_logprob" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok

@@ -293,6 +293,31 @@ object Dedup {
     d3.join(selfPairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 
+  /** MOSS-style near-dup candidate pairs via shared winnowing
+    * fingerprints: each doc keeps only its window-minimum shingle
+    * hashes (a guaranteed-coverage sample of ~1/window of the
+    * shingles), pairs sharing >= minShared fingerprints surface. The
+    * winnowing guarantee — any match of `w + window - 1` consecutive
+    * tokens shares at least one fingerprint — is what plagiarism /
+    * boilerplate detectors (MOSS) rely on; vs MinHash this catches
+    * LOCAL overlap (one shared paragraph) that whole-set Jaccard
+    * dilutes away. Shuffle volume is (fingerprint, id) pairs —
+    * ~1/window of shingle volume, never text.
+    */
+  def winnowingNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleWidth: Int = 4, window: Int = 4,
+                            minShared: Int = 2): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+        explode(graft.operators.TextAnalysis.winnowingFingerprintsPoly(
+          col(textCol), shingleWidth, window)).as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** 63-bit SimHash over tokens, computed per-row (bit 63 left clear
     * so the power-of-two sum stays within signed long under ANSI).
     */
