@@ -51,9 +51,17 @@ object ScaleSmoke {
     val eK = embK.count()
 
     def time(name: String)(f: => Long): (String, Double, Long) = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       val rows = f
       val s = (System.nanoTime() - t0) / 1e9
+      // drop operator-INTERNAL persists (LSH signature / fingerprint
+      // tables, both sides of the cross-dedup) so they don't occupy
+      // executor memory while later blocks are timed — only the four
+      // corpus caches made before any timing stay resident throughout
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(blocking = false))
       println(f"[scale] $name%-28s ${s}%8.2f s  ($rows rows)")
       (name, s, rows)
     }

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -31,7 +30,7 @@ import org.apache.spark.sql.types._
   */
 case class NearestCells(child: Expression, centroids: Array[Array[Float]],
                         nProbe: Int, portable: Boolean = false)
-    extends UnaryExpression {
+    extends UnaryExpression with SelfComputeCodegen {
 
   require(nProbe >= 1 && nProbe <= centroids.length,
     s"nProbe must be in [1, ${centroids.length}]")
@@ -103,14 +102,6 @@ case class NearestCells(child: Expression, centroids: Array[Array[Float]],
   }
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val self = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
-    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
-  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -69,7 +68,7 @@ object SketchExpressions {
   * is quadratic per document, fine for the oracle, wrong for 100 TB.
   */
 case class MaxTokenFreq(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with SelfComputeCodegen {
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
@@ -95,14 +94,6 @@ case class MaxTokenFreq(child: Expression)
   override def nullSafeEval(v: Any): Any =
     java.lang.Integer.valueOf(compute(v.asInstanceOf[ArrayData]))
 
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val self = ctx.addReferenceObj("maxTokenFreq", this, classOf[MaxTokenFreq].getName)
-    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $self.compute($arr);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -117,7 +108,7 @@ case class MaxTokenFreq(child: Expression)
   * < 2^62: acc < 1e9+7, base 1e6+3, code point < 0x110000.
   */
 case class PolyFingerprint(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with SelfComputeCodegen {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -128,14 +119,6 @@ case class PolyFingerprint(child: Expression)
 
   override def nullSafeEval(v: Any): Any =
     java.lang.Long.valueOf(compute(v.asInstanceOf[UTF8String]))
-
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val self = ctx.addReferenceObj("polyFp", this, classOf[PolyFingerprint].getName)
-    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
-  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -152,7 +135,7 @@ case class PolyFingerprint(child: Expression)
   * the dominant map-side cost of every shingle-based dedup.
   */
 case class ShingleHashes(child: Expression, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with SelfComputeCodegen {
   import SketchExpressions._
 
   require(w >= 1, "shingle width must be >= 1")
@@ -189,14 +172,6 @@ case class ShingleHashes(child: Expression, w: Int)
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val self = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
-    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -212,7 +187,7 @@ case class ShingleHashes(child: Expression, w: Int)
   */
 case class LangIdHeuristic(child: Expression,
                            markers: Seq[(String, Seq[String])])
-    extends UnaryExpression {
+    extends UnaryExpression with SelfComputeCodegen {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -262,14 +237,6 @@ case class LangIdHeuristic(child: Expression,
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val self = ctx.addReferenceObj("langId", this, classOf[LangIdHeuristic].getName)
-    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -281,7 +248,7 @@ case class LangIdHeuristic(child: Expression,
   * the whole text as one shingle.
   */
 case class ShingleStrings(child: Expression, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with SelfComputeCodegen {
 
   require(w >= 1, "shingle width must be >= 1")
 
@@ -316,14 +283,6 @@ case class ShingleStrings(child: Expression, w: Int)
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val self = ctx.addReferenceObj("shingleStrings", this, classOf[ShingleStrings].getName)
-    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -334,7 +293,7 @@ case class ShingleStrings(child: Expression, w: Int)
   * that idiom because length() counts code points.
   */
 case class CharSetCount(child: Expression, chars: String)
-    extends UnaryExpression {
+    extends UnaryExpression with SelfComputeCodegen {
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
@@ -351,7 +310,7 @@ case class CharSetCount(child: Expression, chars: String)
     s
   }
 
-  def count(u: UTF8String): Int = {
+  def compute(u: UTF8String): Int = {
     val s = u.toString
     var n = 0
     var i = 0
@@ -364,15 +323,7 @@ case class CharSetCount(child: Expression, chars: String)
   }
 
   override def nullSafeEval(v: Any): Any =
-    java.lang.Integer.valueOf(count(v.asInstanceOf[UTF8String]))
-
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val self = ctx.addReferenceObj("charSetCount", this, classOf[CharSetCount].getName)
-    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $self.count($s);")
-  }
+    java.lang.Integer.valueOf(compute(v.asInstanceOf[UTF8String]))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -385,7 +336,7 @@ case class CharSetCount(child: Expression, chars: String)
   * Spark's regexp functions, so counts are identical.
   */
 case class RegexpCount(child: Expression, pattern: String)
-    extends UnaryExpression {
+    extends UnaryExpression with SelfComputeCodegen {
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
@@ -393,7 +344,7 @@ case class RegexpCount(child: Expression, pattern: String)
 
   @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
 
-  def count(s: UTF8String): Int = {
+  def compute(s: UTF8String): Int = {
     val m = compiled.matcher(s.toString)
     var n = 0
     while (m.find()) n += 1
@@ -401,18 +352,10 @@ case class RegexpCount(child: Expression, pattern: String)
   }
 
   override def nullSafeEval(v: Any): Any =
-    java.lang.Integer.valueOf(count(v.asInstanceOf[UTF8String]))
+    java.lang.Integer.valueOf(compute(v.asInstanceOf[UTF8String]))
 
   // real codegen so the projection keeps whole-stage codegen (see
   // TokenStats)
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val self = ctx.addReferenceObj("regexpCount", this, classOf[RegexpCount].getName)
-    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $self.count($s);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -425,7 +368,7 @@ case class RegexpCount(child: Expression, pattern: String)
   * equality, matching `isin`.
   */
 case class TokenStats(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression {
+    extends UnaryExpression with SelfComputeCodegen {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", IntegerType, nullable = false),
@@ -462,14 +405,6 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val self = ctx.addReferenceObj("tokenStats", this, classOf[TokenStats].getName)
-    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $self.compute($arr);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -485,7 +420,7 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
   * — minutes at sf0.1; this is linear with primitive ops.
   */
 case class PolyWinnowFingerprints(child: Expression, w: Int, window: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with SelfComputeCodegen {
 
   require(w >= 1 && window >= 1)
 
@@ -547,14 +482,6 @@ case class PolyWinnowFingerprints(child: Expression, w: Int, window: Int)
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val self = ctx.addReferenceObj("polyWinnow", this, classOf[PolyWinnowFingerprints].getName)
-    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -569,7 +496,7 @@ case class PolyWinnowFingerprints(child: Expression, w: Int, window: Int)
   * per-bit votes, the signature, and Hamming distances verbatim.
   */
 case class SimHash(child: Expression, portable: Boolean = false)
-    extends UnaryExpression {
+    extends UnaryExpression with SelfComputeCodegen {
   import SketchExpressions._
 
   override def dataType: DataType = LongType
@@ -606,14 +533,6 @@ case class SimHash(child: Expression, portable: Boolean = false)
   override def nullSafeEval(v: Any): Any =
     java.lang.Long.valueOf(compute(v.asInstanceOf[ArrayData]))
 
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val self = ctx.addReferenceObj("simhash", this, classOf[SimHash].getName)
-    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -627,7 +546,7 @@ case class SimHash(child: Expression, portable: Boolean = false)
   * dedup_minhash_lsh).
   */
 case class PolyShingleHashes(child: Expression, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with SelfComputeCodegen {
 
   require(w >= 1, "shingle width must be >= 1")
 
@@ -663,15 +582,6 @@ case class PolyShingleHashes(child: Expression, w: Int)
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val self = ctx.addReferenceObj("polyShingles", this, classOf[PolyShingleHashes].getName)
-    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
-  }
-
-
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -688,7 +598,7 @@ case class PolyShingleHashes(child: Expression, w: Int)
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long,
                             portable: Boolean = false)
-    extends UnaryExpression {
+    extends UnaryExpression with SelfComputeCodegen {
   import SketchExpressions._
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -738,15 +648,8 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long,
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val self = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSignature].getName)
-    nullSafeCodeGen(ctx, ev, in =>
-      s"""${ev.value} = $self.compute($in);
-         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
-  }
+  // compute returns null on empty / all-null input
+  override protected def computeMayReturnNull: Boolean = true
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -778,7 +681,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long,
   */
 case class RademacherBuckets(child: Expression, dim: Int, numPlanes: Int,
                              tables: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with SelfComputeCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -841,21 +744,13 @@ case class RademacherBuckets(child: Expression, dim: Int, numPlanes: Int,
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val self = ctx.addReferenceObj("rademacher", this, classOf[RademacherBuckets].getName)
-    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 case class HyperplaneBuckets(child: Expression, dim: Int, numPlanes: Int,
                              tables: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with SelfComputeCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -907,14 +802,6 @@ case class HyperplaneBuckets(child: Expression, dim: Int, numPlanes: Int,
   }
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val self = ctx.addReferenceObj("hyperplanes", this, classOf[HyperplaneBuckets].getName)
-    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.compute($in);")
-  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -106,19 +106,44 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("sketch expressions generate code (no fallback Project outside codegen)") {
+    // EVERY native SelfComputeCodegen expression in one projection: a
+    // single CodegenFallback regression anywhere forces the whole
+    // Project out of whole-stage codegen and this assertion fails
+    import graft.functions.NativeFunctions._
+    val toks = graft.operators.Dedup.tokens(col("text"))
     val docs = Tables.table(spark, TestSpark.sfDir, "documents")
     val df = docs.select(
       graft.operators.Dedup.simhash(col("text"), portable = true).as("sh"),
-      graft.functions.NativeFunctions.polyShingleHashes(
-        graft.operators.Dedup.tokens(col("text")), 3).as("psh"),
-      graft.functions.NativeFunctions.polyFingerprint(col("text")).as("fp"),
-      graft.functions.NativeFunctions.minhashSignature(
-        graft.operators.Dedup.shingleHashes(col("text"), 3), 16).as("sig"))
+      polyShingleHashes(toks, 3).as("psh"),
+      polyFingerprint(col("text")).as("fp"),
+      minhashSignature(graft.operators.Dedup.shingleHashes(col("text"), 3), 16).as("sig"),
+      shingleHashes(toks, 3).as("shh"),
+      shingleStrings(toks, 3).as("shs"),
+      polyWinnowFingerprints(toks, 4, 4).as("wfp"),
+      langId(col("text"), graft.operators.TextAnalysis.LangMarkers).as("lang"),
+      maxTokenFreq(toks).as("mtf"),
+      tokenStats(toks, Seq("the", "a")).as("ts"),
+      charSetCount(col("text"), ".,;").as("punct"),
+      regexpCount(col("text"), "[A-Za-z]+").as("words"))
     val p = df.queryExecution.executedPlan.toString
     // a CodegenFallback expression forces the projection out of
     // whole-stage codegen; with real doGenCode the scan+project fuse
     // into one span ("*(1) Project ... *(1) ColumnarToRow")
     assert(p.contains("*(1) Project"), s"sketch projection fell out of codegen:\n$p")
+  }
+
+  test("vector expressions generate code (buckets / nearest cells stay in codegen)") {
+    import graft.functions.NativeFunctions._
+    val cents = Array(Array.fill(64)(0.1f), Array.fill(64)(-0.2f),
+      Array.tabulate(64)(i => if (i % 2 == 0) 0.3f else -0.3f))
+    val emb = Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val df = emb.select(
+      rademacherBuckets(col("embedding"), 64, 6, 4).as("rb"),
+      hyperplaneBuckets(col("embedding"), 64, 6, 4).as("hb"),
+      nearestCells(col("embedding"), cents, 2).as("cells"),
+      cosineSim(col("embedding"), col("embedding")).as("self_sim"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), s"vector projection fell out of codegen:\n$p")
   }
 
   test("packSequences: heavy window hash-partitions by bucket; totals broadcast back") {

@@ -158,10 +158,13 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val rows = spark.sql("select id, pos, line from linededup")
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
-      // "shared line" survives once (first arrival, doc 1); both
-      // blanks are exempt and pass; everything else unique
+      // "shared line" survives exactly once; both docs land in one
+      // micro-batch, and dropDuplicatesWithinWatermark makes no
+      // first-by-id promise WITHIN a batch, so which doc's copy wins
+      // is not asserted. Both blanks are exempt and pass; everything
+      // else unique
       val shared = rows.filter(_._3 == "shared line")
-      assert(shared.size === 1 && shared.head._1 === 1L)
+      assert(shared.size === 1 && Set(1L, 2L).contains(shared.head._1))
       assert(rows.count(_._3 == "") === 2)
       assert(rows.map(_._3).count(_ == "beta") === 1)
       assert(rows.size === 6)

@@ -149,7 +149,7 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.values.forall(_._1 == 4L))              // 4 tokens each
     val mean = out.map { case (id, (n, s)) => id -> s.toDouble / n }
     assert(mean(1L) > mean(2L) && mean(2L) > mean(3L))
-    // exact arithmetic: corpus has alpha=3, beta=3, four hapaxes, 12
+    // exact arithmetic: corpus has alpha=3, beta=3, six hapaxes, 12
     // tokens total -> doc1 = 4*floor(ln(3/12)*1e6), doc3 = 4*floor(ln(1/12)*1e6)
     val lp = (c: Long) => math.floor(math.log(c.toDouble / 12.0) * 1e6).toLong
     assert(out(1L)._2 === 4 * lp(3))
