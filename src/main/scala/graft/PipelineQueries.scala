@@ -158,6 +158,26 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- embedding-cosine near-dup DEDUP: pairs above the cosine
+    //      threshold -> connected components -> keep each cluster's
+    //      canonical member. Exact pairs here (oracle-checkable, the
+    //      broadcast self-join); at corpus scale swap the pair stage
+    //      for Similarity.cosineNearDupPairs (hyperplane-LSH
+    //      candidates, same output columns — recall asserted in
+    //      SimilaritySpec) ----
+    "dedup_embedding" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val a = e.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val pairs = a.join(broadcast(b), col("id_a") < col("id_b"))
+        .filter(Similarity.cosine(col("va"), col("vb")) >= 0.3)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dedupByNearDup(e, "vec_id", pairs)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- LSH-bucketed ANN (scale path; recall checked in ScalaTest).
     //      Portable Rademacher planes over quantized entries: the
     //      oracle recomputes every bucket, candidate set and cosine
@@ -1177,6 +1197,22 @@ object PipelineQueries {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
          ORDER BY id_a, id_b""",
+    "dedup_embedding" ->
+      """WITH RECURSIVE p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3),
+         e AS (
+           SELECT id_a AS src, id_b AS dst FROM p
+           UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT r2.id, e.dst FROM reach r2 JOIN e ON e.src = r2.r),
+         canon AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id)
+         SELECT m.vec_id, m.label FROM embeddings m
+         JOIN canon c ON c.id = m.vec_id AND c.canonical = m.vec_id
+         ORDER BY m.vec_id""",
     "text_stats" ->
       """SELECT doc_id,
            len(string_split_regex(trim(text), '\s+')) AS n_tokens,

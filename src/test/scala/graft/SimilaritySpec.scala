@@ -60,6 +60,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pRecall > 0.3, s"portable top-1 recall $pRecall too low")
   }
 
+  test("cosineNearDupPairs (LSH candidates) is a verified subset of exact pairs") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDupPairs(e, dim = 64, threshold = 0.6,
+        numPlanes = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted pair is cosine-verified, so LSH output ⊆ exact
+    assert(lsh.subsetOf(exact), s"unverified pairs: ${lsh -- exact}")
+    // and a 4-plane single table must still surface a usable fraction
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size > 0.2,
+      s"recall ${lsh.size}/${exact.size} too low")
+  }
+
   test("hyperplaneBucket is deterministic for a seed") {
     val e = Tables.table(spark, TestSpark.sfDir, "embeddings").limit(20)
     val b1 = e.select(Similarity.hyperplaneBucket(col("embedding"), 64, 8).as("b"))
