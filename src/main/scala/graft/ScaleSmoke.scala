@@ -50,6 +50,21 @@ object ScaleSmoke {
     }.reduce(_ unionByName _).repartition(32).cache()
     val eK = embK.count()
 
+    // embed_neardup needs replicas that are NOT near-dups of each
+    // other (exact copies would form K-cliques: output — and so any
+    // timing — quadratic in K by construction, not by operator).
+    // Circularly rotating each replica's vector keeps every
+    // within-replica cosine identical (rotation is an isometry) while
+    // cross-replica pairs go near-orthogonal: pair count grows
+    // exactly K-fold, the shape a linear operator must track.
+    def rotated(e: org.apache.spark.sql.Column, r: Int): org.apache.spark.sql.Column =
+      if (r == 0) e else concat(slice(e, r + 1, 64 - r), slice(e, 1, r))
+    val embKr = (0 until k).map { r =>
+      emb1.select((col("vec_id") + lit(r * offset)).as("vec_id"),
+        rotated(col("embedding"), r).as("embedding"), col("label"))
+    }.reduce(_ unionByName _).repartition(32).cache()
+    embKr.count()
+
     def time(name: String)(f: => Long): (String, Double, Long) = {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
@@ -114,6 +129,12 @@ object ScaleSmoke {
         Dedup.minhashNearDupPairsCross(
           docsK.filter(col("doc_id") % 5 === 0), docsK.filter(col("doc_id") % 5 =!= 0),
           "doc_id", "text", 64, 16, 3, 0.5).queryExecution.toRdd.count() },
+      time("embed_neardup_1x") {
+        Similarity.cosineNearDupPairs(emb1, 64, 0.35,
+          numPlanes = Similarity.suggestedPlanes(e1)).queryExecution.toRdd.count() },
+      time(s"embed_neardup_${k}x") {
+        Similarity.cosineNearDupPairs(embKr, 64, 0.35,
+          numPlanes = Similarity.suggestedPlanes(eK)).queryExecution.toRdd.count() },
       time("pack_sequences_1x") {
         graft.operators.Frames.packSequences(
           docs1.select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("nt")),
@@ -129,7 +150,7 @@ object ScaleSmoke {
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
     val byName = results.map { case (n, s, _) => n -> s }.toMap
     Seq("minhash_lsh", "simhash", "exact_dedup", "ivf_topk", "lsh_topk",
-        "line_dedup", "cross_dedup", "pack_sequences").foreach { base =>
+        "line_dedup", "cross_dedup", "embed_neardup", "pack_sequences").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }
