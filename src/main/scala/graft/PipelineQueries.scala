@@ -247,6 +247,36 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- domain mixing: rebalance the corpus to a target language
+    //      recipe (en 0.4 / fr 0.3 / zh 0.3). Keep-rates are computed
+    //      IN-PLAN from the actual counts — the limiting domain stays
+    //      whole, the rest thin to match — and the per-row keep test
+    //      is the portable multiplicative id hash, so the oracle
+    //      recomputes the rates and replays the selection exactly ----
+    "q_domain_mix" -> ((s, d) =>
+      Frames.domainMix(t(s, d, "documents"), "lang", "doc_id",
+          Map("en" -> 0.4, "fr" -> 0.3, "zh" -> 0.3))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // ---- per-domain token-budget curation: keep each language's
+    //      best-quality documents until a 2,000-token budget is
+    //      spent (quality desc, doc_id tiebreak; running total
+    //      inclusive — the "best N tokens per source" selection step
+    //      between scoring and training) ----
+    "q_token_budget" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens",
+          size(TextAnalysis.tokens(col("text"))).cast(LongType))
+        .withColumn("quality_q4",
+          floor(TextAnalysis.qualityScoreRaw(col("text")) * lit(10000.0) + lit(0.5))
+            .cast(LongType))
+      Frames.tokenBudgetCuration(docs, "lang", "doc_id", col("n_tokens"),
+          col("quality_q4"), budget = 2000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_q4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- fixed-edge histogram: manual bucketing expression (floor
     //      of the scaled value, clamped) — identical IEEE arithmetic
     //      in the oracle, single partial-aggregated groupBy ----
@@ -673,6 +703,42 @@ object PipelineQueries {
            AND ((((doc_id % 1000000007) * 1000003 % 1000000007) * 999983) % 1000000007) % 10000 <
              (CASE lang WHEN 'en' THEN 5000 ELSE 2500 END)
          ORDER BY doc_id""",
+    "q_domain_mix" ->
+      """WITH c AS (
+           SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+             CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+                       WHEN 'fr' THEN CAST(0.3 AS DOUBLE)
+                       WHEN 'zh' THEN CAST(0.3 AS DOUBLE) END AS w
+           FROM documents WHERE lang IN ('en', 'fr', 'zh') GROUP BY lang),
+         m AS (SELECT MIN(n / w) AS cmin FROM c),
+         r AS (SELECT lang, CAST(floor(CAST(10000.0 AS DOUBLE) * cmin * w / n) AS BIGINT) AS bp
+               FROM c, m)
+         SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+         WHERE ((((d.doc_id % 1000000007) * 1000003 % 1000000007) * 999983) % 1000000007) % 10000 < r.bp
+         ORDER BY d.doc_id""",
+    "q_token_budget" ->
+      """WITH q AS (
+           SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0) AS len_score,
+             least((CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                 t -> t IN ('the','a','an','of','to','and','in','is','it','for','on','with'))) AS DOUBLE) /
+               CAST(NULLIF(len(string_split_regex(trim(text), '\s+')), 0) AS DOUBLE)) * 5.0, 1.0) AS stop_score,
+             least(coalesce(CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) /
+               CAST(NULLIF(length(text), 0) AS DOUBLE), 0.0) * 2.0, 1.0) AS punct_penalty
+           FROM documents),
+         scored AS (
+           SELECT doc_id, lang, n_tokens,
+             CAST(floor(((len_score * 0.5 + stop_score * 0.4) * (1.0 - punct_penalty * 0.5) + 0.1)
+               * 10000.0 + 0.5) AS BIGINT) AS quality_q4
+           FROM q),
+         cum AS (
+           SELECT doc_id, lang, n_tokens, quality_q4,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality_q4 DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           FROM scored)
+         SELECT doc_id, lang, n_tokens, quality_q4 FROM cum
+         WHERE c <= 2000 ORDER BY doc_id""",
     "q_histogram" ->
       """SELECT event_type,
            least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bucket,

@@ -143,6 +143,73 @@ object Frames {
     df.filter(hashBucket(col(idCol)) < bp)
   }
 
+  /** Rebalance a corpus toward target per-domain proportions by
+    * deterministic downsampling — the domain-mixing step of a
+    * training-data pipeline (web/books/code mixed to a recipe). The
+    * keep-rate per domain is computed IN-PLAN from the actual
+    * counts: the limiting domain (smallest count/weight ratio) is
+    * kept whole and every other domain is thinned to match, so the
+    * output follows `weights` as closely as the data allows with no
+    * domain oversampled. Domains absent from `weights` are dropped.
+    *
+    * Scale shape: one map-side-combined count per domain (rows ∝
+    * #domains), a broadcast join of the tiny rate table, then a
+    * map-side hash filter — the corpus itself never shuffles.
+    * Determinism: the per-row keep test is the multiplicative id
+    * hash (same family as [[stratifiedSampleDeterministic]]), so the
+    * selection is partitioning- and engine-independent; the rate
+    * arithmetic is plain IEEE doubles in a fixed operation order,
+    * which any SQL engine replays bit-for-bit.
+    */
+  def domainMix(df: DataFrame, domainCol: String, idCol: String,
+                weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "domainMix: weights must be positive")
+    val wcol = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, wt)) => when(col(domainCol) === k, lit(wt)).otherwise(acc)
+    }
+    val counts = df.filter(col(domainCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(domainCol)).agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", wcol)
+    // the limiting domain: the largest feasible output keeps it whole
+    val cmin = counts.agg(min(col("__n") / col("__w")).as("__cmin"))
+    val rates = counts.crossJoin(cmin)
+      .select(col(domainCol),
+        floor(lit(10000.0) * col("__cmin") * col("__w") / col("__n"))
+          .cast("long").as("__bp"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(hashBucket(col(idCol)) < col("__bp"))
+      .drop("__bp")
+  }
+
+  /** Per-domain token-budget curation: order each domain's documents
+    * by a quality score (best first) and keep documents until the
+    * domain's token budget is spent — the "take the best N tokens
+    * per source" selection step between quality scoring and
+    * training. A document is kept iff the running token total
+    * through it (inclusive) stays within `budget`; ties in quality
+    * break on ascending id so the cut is total and deterministic.
+    *
+    * Scale shape: the running total is a per-domain window — one
+    * shuffle on the domain key, sort by (quality desc, id) within.
+    * Training mixes have dozens-to-thousands of domains, each
+    * bounded by its budget's doc count; for a pathological single
+    * hot domain, pre-thin with [[domainMix]] or salt the window into
+    * quality-quantile sub-ranges (same two-level prefix-sum shape as
+    * [[packSequences]]).
+    */
+  def tokenBudgetCuration(df: DataFrame, domainCol: String, idCol: String,
+                          tokenCol: Column, qualityCol: Column,
+                          budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(qualityCol.desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(tokenCol.cast("long")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** CDC-style upsert: apply `updates` onto `base` by key — updated
     * rows replace their base rows, new keys append. One anti-join
     * (the update key set broadcasts when small, shuffles when not)

@@ -136,6 +136,53 @@ class FramesSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("domainMix: limiting domain kept whole, mix tracks targets, partitioning-invariant") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val weights = Map("en" -> 0.4, "fr" -> 0.3, "zh" -> 0.3)
+    val out = Frames.domainMix(docs, "lang", "doc_id", weights)
+    val mix = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val in = docs.filter(col("lang").isin(weights.keys.toSeq: _*))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // dropped domains never appear
+    assert(mix.keySet.subsetOf(weights.keySet))
+    // the limiting domain (min n/w) survives whole
+    val limiting = weights.keys.minBy(k => in(k) / weights(k))
+    assert(mix(limiting) === in(limiting))
+    // output proportions within hash-granularity tolerance of targets
+    val total = mix.values.sum.toDouble
+    weights.foreach { case (k, w) =>
+      assert(math.abs(mix(k) / total - w) < 0.1, s"$k: ${mix(k) / total} vs $w") }
+    // deterministic under a different partitioning
+    val re = Frames.domainMix(docs.repartition(13), "lang", "doc_id", weights)
+    assert(re.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("tokenBudgetCuration: budget respected, best-quality docs selected first") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .withColumn("n_tokens", size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long"))
+      .withColumn("q", length(col("text")).cast("long"))
+    val budget = 1500L
+    val out = Frames.tokenBudgetCuration(docs, "lang", "doc_id",
+      col("n_tokens"), col("q"), budget)
+    // per-domain kept token totals stay within budget
+    out.groupBy("lang").agg(sum("n_tokens").as("t")).collect()
+      .foreach(r => assert(r.getLong(1) <= budget, s"${r.getString(0)} over budget"))
+    // selection is the quality-ordered prefix: every kept doc sorts
+    // strictly before every dropped doc of its domain
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val byDomain = docs.select("lang", "doc_id", "q").collect()
+      .groupBy(_.getString(0))
+    byDomain.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (-r.getLong(2), r.getLong(1))).map(_.getLong(1))
+      val keptIdx = sorted.zipWithIndex.filter { case (id, _) => kept(id) }.map(_._2)
+      if (keptIdx.nonEmpty)
+        assert(keptIdx.toSeq === (0 until keptIdx.length), "kept set is not a prefix")
+    }
+  }
+
   test("CSV sink/source roundtrip with header and explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
     val src = Tables.table(spark, TestSpark.sfDir, "nation")
