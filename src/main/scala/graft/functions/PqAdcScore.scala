@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native asymmetric-distance-computation (ADC) score for product
+  * quantization: given a corpus row's PQ codes (`array<int>`, one
+  * code per subspace) and a query's precomputed lookup table
+  * (`array<bigint>`, `m * ksub` entries — the exact integer partial
+  * dot of the query's j-th quantized subvector with every codeword
+  * of subspace j at index `j * ksub + code`), returns the total
+  * approximate dot product `sum_j tab[j * ksub + codes[j]]`.
+  *
+  * This is the PQ search kernel: scoring a candidate costs m table
+  * lookups and adds — no per-pair vector math, no allocation — and
+  * the operands are an m-byte code row and a table that lives once
+  * per query. Stays inside whole-stage codegen. Integer domain end
+  * to end (entries quantized to floor(x * 2^20)), so products stay
+  * exact and any SQL engine replays the identical ranking.
+  *
+  * Null on malformed input (a code outside [0, ksub) or a table not
+  * covering it) rather than an exception — ANSI-safe.
+  */
+case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+
+  require(ksub > 0, "ksub must be positive")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_score"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val tab = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var s = 0L
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      val idx = j * ksub + c
+      if (c < 0 || c >= ksub || idx >= tab.numElements()) return null
+      s += tab.getLong(idx)
+      j += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val idx = ctx.freshName("idx")
+      val s = ctx.freshName("s")
+      val bad = ctx.freshName("bad")
+      s"""
+         |final int $m = $a.numElements();
+         |long $s = 0L;
+         |boolean $bad = false;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  final int $c = $a.getInt($j);
+         |  final int $idx = $j * $ksub + $c;
+         |  if ($c < 0 || $c >= $ksub || $idx >= $b.numElements()) { $bad = true; break; }
+         |  $s += $b.getLong($idx);
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

