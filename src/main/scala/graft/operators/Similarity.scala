@@ -293,12 +293,60 @@ object Similarity {
                        portable: Boolean = false): Array[Array[Array[Float]]] = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into m $m subspaces")
     val dsub = dim / m
-    (0 until m).map { j =>
-      val sub = corpus.select(col(idCol).as("vec_id"),
-        slice(col(vecCol), j * dsub + 1, dsub).as("embedding"))
-      trainIvfCentroids(sub, ksub, dsub, iterations, "vec_id", "embedding",
-        seed, portable)
-    }.toArray
+    // All m subspaces train in ONE init collect + ONE Lloyd
+    // aggregation per iteration (j is just another grouping column),
+    // not m sequential trainings — m x fewer driver-blocking jobs.
+    // Output is element-identical to per-subspace trainIvfCentroids:
+    // the init sample orders by the id hash (same rows, sliced), and
+    // the mean update groups by (j, cell, pos) with the same
+    // arithmetic (the portable path's integer means make this exact,
+    // which the sim_topk_pq oracle relies on).
+    val initRows: Array[Array[Float]] = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(
+        (if (portable) Frames.portableHash(col("id"), seed) else xxhash64(lit(seed), col("id"))),
+        col("id"))
+      .limit(ksub)
+      .collect().map(_.getSeq[Float](1).toArray)
+    var codebooks: Array[Array[Array[Float]]] =
+      Array.tabulate(m)(j => initRows.map(r => r.slice(j * dsub, (j + 1) * dsub)))
+    var it = 0
+    while (it < iterations) {
+      val subCols = (0 until m).map { j =>
+        val sv = slice(col(vecCol), j * dsub + 1, dsub)
+        struct(lit(j).as("j"),
+          element_at(graft.functions.NativeFunctions.nearestCells(
+            sv, codebooks(j), 1, portable), 1).as("cell"),
+          sv.as("sv"))
+      }
+      val assigned = corpus.select(explode(array(subCols: _*)).as("s"))
+        .select(col("s.j").as("j"), col("s.cell").as("cell"), col("s.sv").as("sv"))
+      val means =
+        (if (portable)
+          assigned
+            .select(col("j"), col("cell"), posexplode(transform(col("sv"),
+              x => floor(x.cast("double") * lit(1048576.0)).cast("long"))).as(Seq("pos", "qx")))
+            .groupBy(col("j"), col("cell"), col("pos"))
+            .agg(floor(sum(col("qx")).cast("double") / count(lit(1))).cast("long").as("mq"))
+            .groupBy(col("j"), col("cell"))
+            .agg(sort_array(collect_list(struct(col("pos"), col("mq")))).as("ps"))
+            .select(col("j"), col("cell"), transform(col("ps"),
+              p => (p.getField("mq").cast("double") / lit(1048576.0)).cast("float")).as("cv"))
+        else
+          assigned
+            .select(col("j"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+            .groupBy(col("j"), col("cell"), col("pos"))
+            .agg(avg(col("x")).as("mx"))
+            .groupBy(col("j"), col("cell"))
+            .agg(sort_array(collect_list(struct(col("pos"), col("mx")))).as("ps"))
+            .select(col("j"), col("cell"),
+              transform(col("ps"), p => p.getField("mx").cast("float")).as("cv")))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray).toMap
+      codebooks = Array.tabulate(m)(j =>
+        codebooks(j).indices.map(c => means.getOrElse((j, c), codebooks(j)(c))).toArray)
+      it += 1
+    }
+    codebooks
   }
 
   /** PQ-encode: each row's vector becomes `m` codes — per subspace,
