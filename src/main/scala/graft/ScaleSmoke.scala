@@ -135,6 +135,18 @@ object ScaleSmoke {
       time(s"embed_neardup_${k}x") {
         Similarity.cosineNearDupPairs(embKr, 64, 0.35,
           numPlanes = Similarity.suggestedPlanes(eK)).queryExecution.toRdd.count() },
+      time("ivf_pq_topk_1x") {
+        val coarse = Similarity.trainIvfCentroids(emb1, Similarity.suggestedCentroids(e1), 64)
+        val cbs = Similarity.trainPqCodebooks(emb1, 8, 16, 64)
+        Similarity.ivfPqTopK(emb1, emb1, 1, coarse, cbs, nProbe = 4,
+          shortlist = Similarity.suggestedShortlist(e1, 1))
+          .queryExecution.toRdd.count() },
+      time(s"ivf_pq_topk_${k}x") {
+        val coarse = Similarity.trainIvfCentroids(embKr, Similarity.suggestedCentroids(eK), 64)
+        val cbs = Similarity.trainPqCodebooks(embKr, 8, 16, 64)
+        Similarity.ivfPqTopK(embKr, embKr, 1, coarse, cbs, nProbe = 4,
+          shortlist = Similarity.suggestedShortlist(eK, 1))
+          .queryExecution.toRdd.count() },
       time("pack_sequences_1x") {
         graft.operators.Frames.packSequences(
           docs1.select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("nt")),
@@ -150,7 +162,8 @@ object ScaleSmoke {
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
     val byName = results.map { case (n, s, _) => n -> s }.toMap
     Seq("minhash_lsh", "simhash", "exact_dedup", "ivf_topk", "lsh_topk",
-        "line_dedup", "cross_dedup", "embed_neardup", "pack_sequences").foreach { base =>
+        "line_dedup", "cross_dedup", "embed_neardup", "ivf_pq_topk",
+        "pack_sequences").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

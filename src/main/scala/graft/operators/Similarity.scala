@@ -354,17 +354,21 @@ object Similarity {
     * IVF assignment uses. Map-only (no shuffle); output is
     * (id, codes array<int>).
     */
-  def pqEncode(df: DataFrame, codebooks: Array[Array[Array[Float]]],
-               idCol: String = "vec_id", vecCol: String = "embedding",
-               portable: Boolean = false): DataFrame = {
+  private def pqCodesExpr(codebooks: Array[Array[Array[Float]]], vecCol: String,
+                          portable: Boolean): Column = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
-    val codes = array((0 until m).map { j =>
+    array((0 until m).map { j =>
       element_at(graft.functions.NativeFunctions.nearestCells(
         slice(col(vecCol), j * dsub + 1, dsub), codebooks(j), 1, portable), 1)
     }: _*)
-    df.select(col(idCol).as("id"), codes.as("codes"))
   }
+
+  def pqEncode(df: DataFrame, codebooks: Array[Array[Array[Float]]],
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               portable: Boolean = false): DataFrame =
+    df.select(col(idCol).as("id"),
+      pqCodesExpr(codebooks, vecCol, portable).as("codes"))
 
   /** PQ ANN search via asymmetric distance computation: the corpus
     * is scored in code space (m table lookups per candidate — the
@@ -385,30 +389,42 @@ object Similarity {
     * with IVF: assign codes within coarse cells and probe as in
     * [[ivfTopK]].
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-             codebooks: Array[Array[Array[Float]]],
-             idCol: String = "vec_id", vecCol: String = "embedding",
-             excludeSelf: Boolean = true, portable: Boolean = false): DataFrame = {
-    val m = codebooks.length
-    val ksub = codebooks(0).length
-    val dsub = codebooks(0)(0).length
-    // flat quantized codebook literal: entry j*ksub+c = codeword as
-    // floor(x * 2^20) longs (dyadic-exact for trained centroids)
+  /** Quantized flat codebook (entry j*ksub+c = codeword as
+    * floor(x * 2^20) longs — dyadic-exact for trained centroids) and
+    * per-entry squared norms.
+    */
+  private def quantizedCodebook(codebooks: Array[Array[Array[Float]]])
+      : (Seq[Seq[Long]], Seq[Long]) = {
     val cbQ: Seq[Seq[Long]] = codebooks.flatMap(_.map(_.map(x =>
       math.floor(x.toDouble * 1048576.0).toLong).toSeq)).toSeq
-    // per-entry squared norm of the quantized codeword — lets each
-    // corpus row carry its reconstructed norm2 as one exact long
-    val nsqQ: Seq[Long] = cbQ.map(_.map(x => x * x).sum)
-    val codes = pqEncode(corpus, codebooks, idCol, vecCol, portable)
+    (cbQ, cbQ.map(_.map(x => x * x).sum))
+  }
+
+  /** Corpus side of ADC: (id, codes, nsq) — codes map-only, nsq the
+    * exact reconstructed norm2 from the quantized codebook.
+    */
+  private def pqCodesWithNorm(corpus: DataFrame, codebooks: Array[Array[Array[Float]]],
+                              nsqQ: Seq[Long], idCol: String, vecCol: String,
+                              portable: Boolean): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    pqEncode(corpus, codebooks, idCol, vecCol, portable)
       .withColumn("nsq", aggregate(
         zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
           (c, j) => get(typedLit(nsqQ), j * ksub + c)),
         lit(0L), (acc, v) => acc + v))
+  }
+
+  /** Query side of ADC: (query_id, tab) — the m*ksub exact integer
+    * partial dots of the quantized query subvectors with every
+    * codeword. HOFs are fine here (one row per query, not per pair).
+    */
+  private def pqQueryTab(queries: DataFrame, cbQ: Seq[Seq[Long]],
+                         m: Int, ksub: Int, dsub: Int,
+                         idCol: String, vecCol: String): DataFrame = {
     val qq = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol),
         x => floor(x.cast(DoubleType) * lit(1048576.0)).cast(LongType)).as("qv"))
-    // per-query ADC table: m*ksub exact integer partial dots — HOFs
-    // are fine here (one row per query, not per pair)
     val subIdx = (i: Column) => ((i - pmod(i, lit(ksub))) / lit(ksub)).cast(IntegerType)
     val tab = transform(sequence(lit(0), lit(m * ksub - 1)), i =>
       aggregate(
@@ -417,19 +433,81 @@ object Similarity {
           get(typedLit(cbQ), i),
           (a, b) => a * b),
         lit(0L), (acc, v) => acc + v))
-    val qtab = qq.select(col("query_id"), tab.as("tab"))
-    // approximate cosine = int_dot(q, recon) / ||recon|| — the
-    // query's own norm is constant per query and cannot change its
-    // ranking. Both operands are exact integers identical in any
-    // engine, so the IEEE divide/sqrt is bit-portable.
+    qq.select(col("query_id"), tab.as("tab"))
+  }
+
+  /** Approximate cosine = int_dot(q, recon) / ||recon|| — the query's
+    * own norm is constant per query and cannot change its ranking.
+    * Both operands are exact integers identical in any engine, so
+    * the IEEE divide/sqrt is bit-portable.
+    */
+  private def adcCosine(ksub: Int): Column =
+    graft.functions.NativeFunctions.pqAdcScore(col("codes"), col("tab"), ksub)
+      .cast(DoubleType) / sqrt(col("nsq").cast(DoubleType))
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             codebooks: Array[Array[Array[Float]]],
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             excludeSelf: Boolean = true, portable: Boolean = false): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val (cbQ, nsqQ) = quantizedCodebook(codebooks)
+    val codes = pqCodesWithNorm(corpus, codebooks, nsqQ, idCol, vecCol, portable)
+    val qtab = pqQueryTab(queries, cbQ, m, ksub, dsub, idCol, vecCol)
     val scored = codes.filter(col("nsq") > 0L)
       .join(broadcast(qtab),
         if (excludeSelf) col("id") =!= col("query_id") else lit(true))
-      .select(col("query_id"), col("id"),
-        (graft.functions.NativeFunctions.pqAdcScore(col("codes"), col("tab"), ksub)
-          .cast(DoubleType) / sqrt(col("nsq").cast(DoubleType))).as("cos"))
+      .select(col("query_id"), col("id"), adcCosine(ksub).as("cos"))
     topKPerKey(scored, k)
       .withColumnRenamed("cos", "score")
+  }
+
+  /** IVF-PQ (the FAISS IVFADC shape — the PQ scale path): coarse
+    * centroids prune the candidate set (each query probes its
+    * `nProbe` nearest cells), ADC scores only the members of probed
+    * cells, and the exact re-rank touches only the shortlist.
+    * Corpus-side state per row is one cell id + m codes; the
+    * candidate join volume follows the IVF sizing law (sqrt-scaled
+    * cells keep it linear in corpus size) while scoring stays in
+    * code space. Self-ANN with brute ADC ([[pqTopK]]) is quadratic
+    * in corpus size by construction — THIS is the composition that
+    * survives 100 TB.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                coarse: Array[Array[Float]], codebooks: Array[Array[Array[Float]]],
+                nProbe: Int, shortlist: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                excludeSelf: Boolean = true, portable: Boolean = false): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    import graft.functions.NativeFunctions.nearestCells
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val (cbQ, nsqQ) = quantizedCodebook(codebooks)
+    val codes = corpus.select(col(idCol).as("id"),
+        pqCodesExpr(codebooks, vecCol, portable).as("codes"),
+        element_at(nearestCells(col(vecCol), coarse, 1, portable), 1).as("cell"))
+      .withColumn("nsq", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (c, j) => get(typedLit(nsqQ), j * ksub + c)),
+        lit(0L), (acc, v) => acc + v))
+    val qtab = pqQueryTab(queries, cbQ, m, ksub, dsub, idCol, vecCol)
+      .join(queries.select(col(idCol).as("query_id"),
+        explode(nearestCells(col(vecCol), coarse, nProbe, portable)).as("cell")),
+        Seq("query_id"))
+    val short = topKPerKey(
+      codes.filter(col("nsq") > 0L)
+        .join(broadcast(qtab), Seq("cell"))
+        .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+        .select(col("query_id"), col("id"), adcCosine(ksub).as("cos")),
+      shortlist).select(col("query_id"), col("id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+    val scored = short.join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("id"))
+      .select(col("query_id"), col("id"), cosine(col("qv"), col("cv")).as("cos"))
+    topKPerKey(scored, k)
   }
 
   /** PQ shortlist sizing law: the ADC score orders candidates only

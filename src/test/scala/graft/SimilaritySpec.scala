@@ -146,6 +146,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.5, s"PQ reranked top-1 recall $recall too low")
   }
 
+  test("IVF-PQ composition: probed-cell ADC + re-rank holds reasonable recall") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val n = e.count()
+    val coarse = Similarity.trainIvfCentroids(e, Similarity.suggestedCentroids(n), dim = 64)
+    val cbs = Similarity.trainPqCodebooks(e, m = 8, ksub = 16, dim = 64)
+    val exact = Similarity.bruteForceTopK(e, e, k = 1)
+      .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Similarity.ivfPqTopK(e, e, k = 1, coarse, cbs,
+        nProbe = 4, shortlist = Similarity.suggestedShortlist(n, 1))
+      .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === exact.size)
+    val recall = exact.count { case (q, nn) => out.get(q).contains(nn) }.toDouble / exact.size
+    // recall = (probe recall) x (shortlist recall): both prune
+    assert(recall > 0.35, s"IVF-PQ top-1 recall $recall too low")
+  }
+
   test("PqAdcScore sums table lookups; null on out-of-range code") {
     import graft.functions.NativeFunctions.pqAdcScore
     // m=2, ksub=2: tab = [j0c0, j0c1, j1c0, j1c1]
