@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CharSetCount, CosineSimilarity, MaxTokenFreq, MinHashSignature, PolyFingerprint, PolyShingleHashes, RegexpCount, ShingleHashes, ShingleStrings, SimHash, TopKRows}
+import graft.functions.{CharSetCount, CosineSimilarity, MaxTokenFreq, MinHashSignature, PolyFingerprint, PolyShingleHashes, PqAdcScore, RegexpCount, ShingleHashes, ShingleStrings, SimHash, TopKRows}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users get them too:
@@ -107,6 +107,15 @@ object GraftExtensions {
         "max_token_freq(tokens) - highest single-token occurrence count"),
       (args: Seq[Expression]) => {
         arity("max_token_freq", 1, args); MaxTokenFreq(args.head)
+      }),
+    (FunctionIdentifier("pq_adc_score"),
+      info("pq_adc_score",
+        "pq_adc_score(codes, tab, ksub) - product-quantization ADC score: " +
+          "sum over subspaces j of tab[j*ksub + codes[j]]; NULL on a code " +
+          "outside [0, ksub) or a table too short"),
+      (args: Seq[Expression]) => {
+        arity("pq_adc_score", 3, args)
+        PqAdcScore(args(0), args(1), args(2).eval().asInstanceOf[Int])
       }),
     (FunctionIdentifier("topk_rows"),
       info("topk_rows",

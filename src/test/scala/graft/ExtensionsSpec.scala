@@ -62,11 +62,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT max_token_freq(array('x','y','x')) AS n")
       .head().getInt(0) === 2)
 
+    // PQ ADC kernel: m=2, ksub=2 -> tab[0*2+0] + tab[1*2+1]
+    assert(spark.sql(
+      "SELECT pq_adc_score(array(0, 1), array(10L, 20L, 30L, 40L), 2) AS s")
+      .head().getLong(0) === 50L)
+    assert(spark.sql(
+      "SELECT pq_adc_score(array(2, 0), array(10L, 20L, 30L, 40L), 2) AS s")
+      .head().isNullAt(0))
+
     // the builder-time class form wires the same triples
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ===
       Set("cosine_similarity", "simhash", "minhash_signature",
         "poly_fingerprint", "shingle_hashes", "poly_shingle_hashes",
-        "shingle_strings", "topk_rows",
+        "shingle_strings", "topk_rows", "pq_adc_score",
         "regexp_count_graft", "charset_count", "max_token_freq"))
   }
 }
