@@ -87,7 +87,14 @@ object PlanDump {
       ("Two-level prefix sum: the heavy window hash-partitions by id bucket " +
         "(parallel), the bucket-totals cumsum is the only SinglePartition " +
         "exchange and sees one row per bucket, and offsets broadcast back — " +
-        "a single global window here would pull the corpus through one task."))
+        "a single global window here would pull the corpus through one task."),
+    "sim_topk_pq" ->
+      ("PQ ADC search: codes + reconstructed norms are map-only projections " +
+        "over the corpus scan; the per-query lookup tables broadcast (queries " +
+        "x m*ksub longs); candidate scoring is the native pq_adc_score " +
+        "table-lookup kernel inside the join; the shortlist is a partial " +
+        "topk_pairs aggregate (≤ shortlist rows per query cross the wire) and " +
+        "only shortlist survivors see full vectors in the exact re-rank."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

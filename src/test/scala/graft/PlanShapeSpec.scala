@@ -170,6 +170,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), s"unexpected global exchange:\n$p")
   }
 
+  test("PQ ADC: query tables broadcast, native score kernel in-join, partial top-k shortlist") {
+    import graft.operators.Similarity
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val cbs = Similarity.trainPqCodebooks(e, m = 8, ksub = 16, dim = 64)
+    val p = plan(Similarity.pqTopK(e, e, k = 2, cbs))
+    // query tables are the broadcast side — the corpus code rows never shuffle
+    assert(p.contains("Broadcast"), s"query ADC tables not broadcast:\n$p")
+    assert(p.contains("pq_adc_score"), s"native ADC kernel missing:\n$p")
+    // per-query shortlist reduces map-side before the one exchange
+    assert(p.contains("partial_topk_pairs") || countOccurrences(p, "topk_pairs") >= 2,
+      s"no partial top-k aggregation:\n$p")
+  }
+
   test("join strategy hints override the planner's default choice") {
     val o = Tables.table(spark, TestSpark.sfDir, "orders")
     val li = Tables.table(spark, TestSpark.sfDir, "lineitem")
