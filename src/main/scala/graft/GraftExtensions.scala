@@ -115,7 +115,14 @@ object GraftExtensions {
           "outside [0, ksub) or a table too short"),
       (args: Seq[Expression]) => {
         arity("pq_adc_score", 3, args)
-        PqAdcScore(args(0), args(1), args(2).eval().asInstanceOf[Int])
+        require(args(2).foldable, "pq_adc_score: ksub must be an integer literal")
+        val ksub = args(2).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"pq_adc_score: ksub must be an integer literal, got $other")
+        }
+        PqAdcScore(args(0), args(1), ksub)
       }),
     (FunctionIdentifier("topk_rows"),
       info("topk_rows",

@@ -727,7 +727,9 @@ object PipelineQueries {
                        WHEN 'zh' THEN CAST(0.3 AS DOUBLE) END AS w
            FROM documents WHERE lang IN ('en', 'fr', 'zh') GROUP BY lang),
          m AS (SELECT MIN(n / w) AS cmin FROM c),
-         r AS (SELECT lang, CAST(floor(CAST(10000.0 AS DOUBLE) * cmin * w / n) AS BIGINT) AS bp
+         r AS (SELECT lang,
+                 CASE WHEN n / w = cmin THEN 10000
+                      ELSE CAST(floor(CAST(10000.0 AS DOUBLE) * cmin * w / n) AS BIGINT) END AS bp
                FROM c, m)
          SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
          WHERE ((((d.doc_id % 1000000007) * 1000003 % 1000000007) * 999983) % 1000000007) % 10000 < r.bp

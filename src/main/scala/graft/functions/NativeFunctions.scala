@@ -81,14 +81,14 @@ object NativeFunctions {
     GraftSqlShims.column(
       NearestCells(GraftSqlShims.expression(v), centroids, nProbe, portable))
 
-  /** Bounded top-k aggregate column: array<struct<cos,id>> of the k
-    * best (score desc, id asc) pairs; partial-aggregation friendly.
-    */
   /** PQ asymmetric-distance score: sum of per-subspace table lookups. */
   def pqAdcScore(codes: Column, tab: Column, ksub: Int): Column =
     GraftSqlShims.column(
       PqAdcScore(GraftSqlShims.expression(codes), GraftSqlShims.expression(tab), ksub))
 
+  /** Bounded top-k aggregate column: array<struct<cos,id>> of the k
+    * best (score desc, id asc) pairs; partial-aggregation friendly.
+    */
   def topkPairs(score: Column, id: Column, k: Int): Column =
     GraftSqlShims.column(
       TopKPairs(GraftSqlShims.expression(score), GraftSqlShims.expression(id), k)

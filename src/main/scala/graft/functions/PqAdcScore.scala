@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -20,13 +21,27 @@ import org.apache.spark.sql.types._
   * to end (entries quantized to floor(x * 2^20)), so products stay
   * exact and any SQL engine replays the identical ranking.
   *
-  * Null on malformed input (a code outside [0, ksub) or a table not
-  * covering it) rather than an exception — ANSI-safe.
+  * Null on malformed input (a null element, a code outside
+  * [0, ksub), or a table not covering it) rather than an exception —
+  * ANSI-safe. Declared input types make the analyzer insert casts
+  * (e.g. an `array<int>` table literal) instead of letting raw
+  * ArrayData reads misinterpret element widths.
   */
 case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
     extends BinaryExpression {
 
   require(ksub > 0, "ksub must be positive")
+
+  // strict declared types: raw ArrayData accessors read fixed element
+  // widths, so a silently-accepted array<int> table would return
+  // garbage (UnsafeArrayData) or throw (GenericArrayData) at runtime
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int> codes, array<bigint> tab), got ($l, $r)")
+    }
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -39,9 +54,11 @@ case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
     var s = 0L
     var j = 0
     while (j < m) {
+      if (codes.isNullAt(j)) return null
       val c = codes.getInt(j)
       val idx = j * ksub + c
       if (c < 0 || c >= ksub || idx >= tab.numElements()) return null
+      if (tab.isNullAt(idx)) return null
       s += tab.getLong(idx)
       j += 1
     }
@@ -61,9 +78,11 @@ case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
          |long $s = 0L;
          |boolean $bad = false;
          |for (int $j = 0; $j < $m; $j++) {
+         |  if ($a.isNullAt($j)) { $bad = true; break; }
          |  final int $c = $a.getInt($j);
          |  final int $idx = $j * $ksub + $c;
-         |  if ($c < 0 || $c >= $ksub || $idx >= $b.numElements()) { $bad = true; break; }
+         |  if ($c < 0 || $c >= $ksub || $idx >= $b.numElements()
+         |      || $b.isNullAt($idx)) { $bad = true; break; }
          |  $s += $b.getLong($idx);
          |}
          |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }

@@ -173,10 +173,16 @@ object Frames {
       .withColumn("__w", wcol)
     // the limiting domain: the largest feasible output keeps it whole
     val cmin = counts.agg(min(col("__n") / col("__w")).as("__cmin"))
+    // the argmin domain gets bp = 10000 by exact double equality with
+    // the min (not via the product formula: floor(10000*(n/w)*w/n)
+    // IEEE-rounds to 9999 for ~9% of (n, w) pairs, silently dropping
+    // the domain documented as kept whole). The oracle replays the
+    // same equality on the same doubles.
     val rates = counts.crossJoin(cmin)
       .select(col(domainCol),
-        floor(lit(10000.0) * col("__cmin") * col("__w") / col("__n"))
-          .cast("long").as("__bp"))
+        when(col("__n") / col("__w") === col("__cmin"), lit(10000L))
+          .otherwise(floor(lit(10000.0) * col("__cmin") * col("__w") / col("__n"))
+            .cast("long")).as("__bp"))
     df.join(broadcast(rates), Seq(domainCol))
       .filter(hashBucket(col(idCol)) < col("__bp"))
       .drop("__bp")

@@ -349,11 +349,6 @@ object Similarity {
     codebooks
   }
 
-  /** PQ-encode: each row's vector becomes `m` codes — per subspace,
-    * the nearest codeword by the same native single-pass ranking the
-    * IVF assignment uses. Map-only (no shuffle); output is
-    * (id, codes array<int>).
-    */
   private def pqCodesExpr(codebooks: Array[Array[Array[Float]]], vecCol: String,
                           portable: Boolean): Column = {
     val m = codebooks.length
@@ -364,31 +359,17 @@ object Similarity {
     }: _*)
   }
 
+  /** PQ-encode: each row's vector becomes `m` codes — per subspace,
+    * the nearest codeword by the same native single-pass ranking the
+    * IVF assignment uses. Map-only (no shuffle); output is
+    * (id, codes array<int>).
+    */
   def pqEncode(df: DataFrame, codebooks: Array[Array[Array[Float]]],
                idCol: String = "vec_id", vecCol: String = "embedding",
                portable: Boolean = false): DataFrame =
     df.select(col(idCol).as("id"),
       pqCodesExpr(codebooks, vecCol, portable).as("codes"))
 
-  /** PQ ANN search via asymmetric distance computation: the corpus
-    * is scored in code space (m table lookups per candidate — the
-    * native [[graft.functions.PqAdcScore]] kernel) against a
-    * per-query lookup table of exact integer partial dot products
-    * (query subvectors and codewords quantized to floor(x * 2^20);
-    * entry j*ksub+c = quantized-dot(query_j, codeword_{j,c})). The
-    * approximate score is the integer dot of the query with the
-    * reconstructed corpus vector — ranking is exact-arithmetic, so
-    * an external SQL engine replays it bit-for-bit.
-    *
-    * Scale shape: codes are computed map-only and are ~30x smaller
-    * than the vectors they replace; queries (with their 8*16-entry
-    * tables) broadcast; the only shuffle is the per-query top-k
-    * partial-aggregate reduction. Recall < 1 by quantization;
-    * asserted against bruteForceTopK in SimilaritySpec. For corpora
-    * where even the code table is too big to scan per query, compose
-    * with IVF: assign codes within coarse cells and probe as in
-    * [[ivfTopK]].
-    */
   /** Quantized flat codebook (entry j*ksub+c = codeword as
     * floor(x * 2^20) longs — dyadic-exact for trained centroids) and
     * per-entry squared norms.
@@ -400,19 +381,37 @@ object Similarity {
     (cbQ, cbQ.map(_.map(x => x * x).sum))
   }
 
-  /** Corpus side of ADC: (id, codes, nsq) — codes map-only, nsq the
-    * exact reconstructed norm2 from the quantized codebook.
+  /** Corpus side of ADC: (id, codes, [extra...], nsq) — codes
+    * map-only, nsq the exact reconstructed norm2 from the quantized
+    * codebook. `extra` lets a caller keep more vector-derived
+    * columns (e.g. the IVF coarse cell) from the same projection.
     */
   private def pqCodesWithNorm(corpus: DataFrame, codebooks: Array[Array[Array[Float]]],
                               nsqQ: Seq[Long], idCol: String, vecCol: String,
-                              portable: Boolean): DataFrame = {
+                              portable: Boolean, extra: Seq[Column] = Nil): DataFrame = {
     val m = codebooks.length
     val ksub = codebooks(0).length
-    pqEncode(corpus, codebooks, idCol, vecCol, portable)
+    corpus.select(Seq(col(idCol).as("id"),
+        pqCodesExpr(codebooks, vecCol, portable).as("codes")) ++ extra: _*)
       .withColumn("nsq", aggregate(
         zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
           (c, j) => get(typedLit(nsqQ), j * ksub + c)),
         lit(0L), (acc, v) => acc + v))
+  }
+
+  /** Exact-cosine re-rank of a (query_id, id) shortlist: full
+    * vectors are fetched for ONLY the shortlist rows (queries
+    * broadcast; the corpus side is an equi-join on id), re-scored
+    * with the native cosine and reduced to the final top-k.
+    */
+  private def exactRerank(short: DataFrame, corpus: DataFrame, queries: DataFrame,
+                          k: Int, idCol: String, vecCol: String): DataFrame = {
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+    val scored = short.join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("id"))
+      .select(col("query_id"), col("id"), cosine(col("qv"), col("cv")).as("cos"))
+    topKPerKey(scored, k)
   }
 
   /** Query side of ADC: (query_id, tab) — the m*ksub exact integer
@@ -445,6 +444,26 @@ object Similarity {
     graft.functions.NativeFunctions.pqAdcScore(col("codes"), col("tab"), ksub)
       .cast(DoubleType) / sqrt(col("nsq").cast(DoubleType))
 
+  /** PQ ANN search via asymmetric distance computation: the corpus
+    * is scored in code space (m table lookups per candidate — the
+    * native [[graft.functions.PqAdcScore]] kernel) against a
+    * per-query lookup table of exact integer partial dot products
+    * (query subvectors and codewords quantized to floor(x * 2^20);
+    * entry j*ksub+c = quantized-dot(query_j, codeword_{j,c})). The
+    * approximate score is the integer dot of the query with the
+    * reconstructed corpus vector over its reconstructed norm —
+    * ranking is exact-arithmetic, so an external SQL engine replays
+    * it bit-for-bit. Returns (query_id, rank, id, cos) like the
+    * sibling top-k operators; `cos` here is the ADC approximation.
+    *
+    * Scale shape: codes are computed map-only and are ~30x smaller
+    * than the vectors they replace; queries (with their m*ksub-entry
+    * tables) broadcast; the only shuffle is the per-query top-k
+    * partial-aggregate reduction. Recall < 1 by quantization;
+    * asserted against bruteForceTopK in SimilaritySpec. Self-ANN
+    * with brute ADC stays quadratic — compose with IVF
+    * ([[ivfPqTopK]]) for the corpus-scale path.
+    */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              codebooks: Array[Array[Array[Float]]],
              idCol: String = "vec_id", vecCol: String = "embedding",
@@ -460,7 +479,6 @@ object Similarity {
         if (excludeSelf) col("id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("id"), adcCosine(ksub).as("cos"))
     topKPerKey(scored, k)
-      .withColumnRenamed("cos", "score")
   }
 
   /** IVF-PQ (the FAISS IVFADC shape — the PQ scale path): coarse
@@ -485,29 +503,22 @@ object Similarity {
     val ksub = codebooks(0).length
     val dsub = codebooks(0)(0).length
     val (cbQ, nsqQ) = quantizedCodebook(codebooks)
-    val codes = corpus.select(col(idCol).as("id"),
-        pqCodesExpr(codebooks, vecCol, portable).as("codes"),
-        element_at(nearestCells(col(vecCol), coarse, 1, portable), 1).as("cell"))
-      .withColumn("nsq", aggregate(
-        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-          (c, j) => get(typedLit(nsqQ), j * ksub + c)),
-        lit(0L), (acc, v) => acc + v))
+    val codes = pqCodesWithNorm(corpus, codebooks, nsqQ, idCol, vecCol, portable,
+      extra = Seq(element_at(nearestCells(col(vecCol), coarse, 1, portable), 1).as("cell")))
+    // probes (query_id, cell) and tables (query_id, tab) broadcast
+    // SEPARATELY: joining the m*ksub-long table onto the exploded
+    // probe rows first would ship it nProbe times per query
+    val probes = queries.select(col(idCol).as("query_id"),
+      explode(nearestCells(col(vecCol), coarse, nProbe, portable)).as("cell"))
     val qtab = pqQueryTab(queries, cbQ, m, ksub, dsub, idCol, vecCol)
-      .join(queries.select(col(idCol).as("query_id"),
-        explode(nearestCells(col(vecCol), coarse, nProbe, portable)).as("cell")),
-        Seq("query_id"))
     val short = topKPerKey(
       codes.filter(col("nsq") > 0L)
-        .join(broadcast(qtab), Seq("cell"))
+        .join(broadcast(probes), Seq("cell"))
         .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+        .join(broadcast(qtab), Seq("query_id"))
         .select(col("query_id"), col("id"), adcCosine(ksub).as("cos")),
       shortlist).select(col("query_id"), col("id"))
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
-    val scored = short.join(broadcast(qv), Seq("query_id"))
-      .join(cv, Seq("id"))
-      .select(col("query_id"), col("id"), cosine(col("qv"), col("cv")).as("cos"))
-    topKPerKey(scored, k)
+    exactRerank(short, corpus, queries, k, idCol, vecCol)
   }
 
   /** PQ shortlist sizing law: the ADC score orders candidates only
@@ -536,12 +547,7 @@ object Similarity {
     val short = pqTopK(corpus, queries, shortlist, codebooks, idCol, vecCol,
         excludeSelf, portable)
       .select(col("query_id"), col("id"))
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
-    val scored = short.join(broadcast(qv), Seq("query_id"))
-      .join(cv, Seq("id"))
-      .select(col("query_id"), col("id"), cosine(col("qv"), col("cv")).as("cos"))
-    topKPerKey(scored, k)
+    exactRerank(short, corpus, queries, k, idCol, vecCol)
   }
 
   /** IVF ANN search: assign corpus rows to their nearest centroid
