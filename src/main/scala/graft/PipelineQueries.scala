@@ -73,6 +73,21 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_tok"), col("sum_lp_micro"))
         .orderBy(col("doc_id"))),
 
+    // ---- DSIR-style importance log-weights: hashed-bigram bucket
+    //      distributions (portable poly hash mod 1024), target =
+    //      src0 docs, raw = the rest; per-occurrence quantized
+    //      ln(p_target/p_raw) summed as longs — the data-selection
+    //      score that tilts a crawl toward a target domain ----
+    "text_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.dsirLogWeights(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", shingleWidth = 2, buckets = 1024)
+        .select(col("id").as("doc_id"), col("n_grams"), col("sum_lr_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- near-dup dedup keeping the best-QUALITY doc per cluster
     //      (curation-grade survivor choice; argmax aggregate, no
     //      window) ----
@@ -1013,6 +1028,40 @@ object PipelineQueries {
          SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared_fps
          FROM e x JOIN e y ON x.fp = y.fp AND x.doc_id < y.doc_id
          GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b""",
+    "text_dsir_weights" ->
+      """WITH t AS (
+           SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, source,
+             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 1),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))
+             END AS gs
+           FROM t),
+         occ AS (
+           SELECT doc_id, source,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(u.g, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007) % 1024 AS b
+           FROM sh, LATERAL (SELECT unnest(gs) AS g) u),
+         ct AS (SELECT b, COUNT(*) AS ct FROM occ WHERE source = 'src0' GROUP BY b),
+         cr AS (SELECT b, COUNT(*) AS cr FROM occ WHERE source <> 'src0' GROUP BY b),
+         tt AS (SELECT COUNT(*) AS tt FROM occ WHERE source = 'src0'),
+         tr AS (SELECT COUNT(*) AS tr FROM occ WHERE source <> 'src0'),
+         ratio AS (
+           SELECT r.b,
+             CAST(floor(ln(
+               CAST((COALESCE(ct.ct, 0) + 1) * (tr.tr + 1024) AS DOUBLE) /
+               CAST((COALESCE(cr.cr, 0) + 1) * (tt.tt + 1024) AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS lr_micro
+           FROM (SELECT unnest(range(0, 1024)) AS b) r
+           LEFT JOIN ct USING (b) LEFT JOIN cr USING (b), tt, tr)
+         SELECT o.doc_id, COUNT(*) AS n_grams, SUM(r.lr_micro) AS sum_lr_micro
+         FROM occ o JOIN ratio r USING (b)
+         WHERE o.source <> 'src0'
+         GROUP BY o.doc_id ORDER BY o.doc_id""",
     "text_unigram_logprob" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok

@@ -228,6 +228,58 @@ object TextAnalysis {
     * Returns (id, n_tok, sum_lp_micro); mean log-prob =
     * sum_lp_micro / n_tok / 1e6.
     */
+  /** DSIR-style hashed n-gram importance log-weights: score each raw
+    * document by how much its n-gram distribution looks like a
+    * TARGET corpus — the data-selection step that tilts a web-scale
+    * crawl toward a quality domain before training. Features are
+    * occurrence counts over `buckets` hashed n-gram buckets
+    * (portable polynomial shingle hash mod buckets); the weight is
+    * log w(doc) = sum over the doc's n-gram occurrences of
+    * ln(p_target[b] / p_raw[b]), with Laplace (+1) smoothing.
+    * Feed the (exponentiated) weights to
+    * [[Frames.weightedSampleDeterministic]] to resample, or keep the
+    * top fraction by mean log-weight.
+    *
+    * Scale shape: both corpora explode to (id, bucket) occurrences
+    * map-only; the bucket count tables are `buckets` rows (map-side
+    * combined, then broadcast); the only raw-corpus shuffle is the
+    * per-doc re-aggregate. The log-ratio is quantized per OCCURRENCE
+    * to integer microbits and documents sum longs — accumulation
+    * order cannot change the result, so an external oracle replays
+    * it exactly (same policy as [[unigramLogProb]]).
+    *
+    * Returns (id, n_grams, sum_lr_micro) for raw docs; mean log
+    * importance = sum_lr_micro / n_grams / 1e6.
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, shingleWidth: Int = 2,
+                     buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def occ(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        explode(Dedup.shingles(col(textCol), shingleWidth)).as("g"))
+      .select(col("id"),
+        pmod(graft.functions.NativeFunctions.polyFingerprint(col("g")),
+          lit(buckets.toLong)).as("b"))
+    val rawOcc = occ(raw)
+    val tgtOcc = occ(target)
+    val ct = tgtOcc.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val cr = rawOcc.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tt = tgtOcc.agg(count(lit(1)).as("tt"))
+    val tr = rawOcc.agg(count(lit(1)).as("tr"))
+    val all = raw.sparkSession.range(buckets).select(col("id").as("b"))
+    val ratio = all.join(ct, Seq("b"), "left").join(cr, Seq("b"), "left")
+      .crossJoin(tt).crossJoin(tr)
+      .select(col("b"),
+        floor(log(
+          ((coalesce(col("ct"), lit(0L)) + 1L) * (col("tr") + buckets)).cast(DoubleType) /
+          ((coalesce(col("cr"), lit(0L)) + 1L) * (col("tt") + buckets)).cast(DoubleType))
+          * lit(1000000.0)).cast(LongType).as("lr_micro"))
+    rawOcc.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr_micro")).as("sum_lr_micro"))
+  }
+
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("tok"))

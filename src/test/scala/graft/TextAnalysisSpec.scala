@@ -155,4 +155,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L)._2 === 4 * lp(3))
     assert(out(3L)._2 === 4 * lp(1))
   }
+
+  test("dsirLogWeights: target-like raw docs outscore off-target docs; partition-invariant") {
+    import graft.operators.TextAnalysis
+    val target = Seq(
+      (100L, "alpha beta gamma alpha beta"),
+      (101L, "beta gamma alpha beta gamma")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma alpha beta"),   // looks like the target
+      (2L, "zulu yankee xray whiskey victor") // off-target
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirLogWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2).toDouble / r.getLong(1)).toMap
+    assert(out.size === 2)
+    assert(out(1L) > out(2L),
+      s"target-like doc should outscore off-target: $out")
+    // deterministic under a different partitioning
+    val re = TextAnalysis.dsirLogWeights(raw.repartition(7), target.repartition(3),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2).toDouble / r.getLong(1)).toMap
+    assert(re === out)
+  }
 }
