@@ -73,6 +73,15 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_tok"), col("sum_lp_micro"))
         .orderBy(col("doc_id"))),
 
+    // ---- per-window top-k heavy hitters (batch twin of the
+    //      streaming flatMapGroupsWithState operator; the streaming
+    //      path is asserted equal in StreamingSpec) ----
+    "events_window_topk" -> ((s, d) =>
+      EventStreams.topKPerWindowBatch(t(s, d, "events"), windowSeconds = 3600, k = 3)
+        .select(unix_millis(col("window_start")).as("win_ms"),
+          col("rank"), col("event_type"), col("n"))
+        .orderBy(col("win_ms"), col("rank"))),
+
     // ---- DSIR-style importance log-weights: hashed-bigram bucket
     //      distributions (portable poly hash mod 1024), target =
     //      src0 docs, raw = the rest; per-occurrence quantized
@@ -1028,6 +1037,17 @@ object PipelineQueries {
          SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared_fps
          FROM e x JOIN e y ON x.fp = y.fp AND x.doc_id < y.doc_id
          GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b""",
+    "events_window_topk" ->
+      """WITH c AS (
+           SELECT CAST(floor(CAST(epoch_ms(ts) AS DOUBLE) / 3600000.0) AS BIGINT) * 3600000 AS win_ms,
+                  event_type, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT win_ms, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY win_ms ORDER BY n DESC, event_type) AS rank
+           FROM c)
+         SELECT win_ms, rank, event_type, n FROM r WHERE rank <= 3
+         ORDER BY win_ms, rank""",
     "text_dsir_weights" ->
       """WITH t AS (
            SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks

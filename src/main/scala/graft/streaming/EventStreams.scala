@@ -143,6 +143,69 @@ object EventStreams {
         col("purchase_ts"), col("view_ts"))
   }
 
+  final case class WindowTopK(window_start: java.sql.Timestamp, rank: Int,
+                              event_type: String, n: Long)
+
+  /** Streaming per-window top-k heavy hitters: which event types
+    * dominate each tumbling window, emitted EXACTLY ONCE per window
+    * when the watermark passes its end. One stateful operator
+    * (Spark restricts chaining arbitrary stateful ops): events key
+    * by window start, per-key state is the (event_type -> count)
+    * map updated incrementally per micro-batch, and the event-time
+    * timeout fires the ranked emission — no complete-mode sink, no
+    * per-batch re-ranking.
+    *
+    * State per open window is one counter per distinct type — fine
+    * for bounded vocabularies (event types, status codes, language
+    * tags). For unbounded keys swap the map for a bounded
+    * space-saving sketch; the emission contract stays the same.
+    * Ties rank lexicographically (deterministic replay).
+    */
+  def topKPerWindowStream(events: Dataset[Event], windowSeconds: Long, k: Int,
+                          watermark: String = "10 seconds"): Dataset[WindowTopK] = {
+    import events.sparkSession.implicits._
+    val winMs = windowSeconds * 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.ts.getTime / winMs) * winMs)
+      .flatMapGroupsWithState[Map[String, Long], WindowTopK](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (winStart: Long, rows: Iterator[Event], state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.getOption.getOrElse(Map.empty[String, Long])
+            state.remove()
+            counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k).zipWithIndex.map {
+              case ((t, n), i) =>
+                WindowTopK(new java.sql.Timestamp(winStart), i + 1, t, n)
+            }.iterator
+          } else {
+            val counts = rows.foldLeft(state.getOption.getOrElse(Map.empty[String, Long])) {
+              (m, e) => m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+            }
+            state.update(counts)
+            state.setTimeoutTimestamp(winStart + winMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Batch twin of [[topKPerWindowStream]] — the reference semantics
+    * the streaming path is tested against.
+    */
+  def topKPerWindowBatch(events: DataFrame, windowSeconds: Long, k: Int): DataFrame = {
+    val winMs = windowSeconds * 1000L
+    val counts = events
+      .groupBy((floor(unix_millis(col("ts")) / winMs) * winMs).as("win_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win_ms")).orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(timestamp_millis(col("win_ms").cast("long")).as("window_start"),
+        col("rank"), col("event_type"), col("n"))
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState with
     * processing-time timeout: state per user is the open session;
     * events beyond the gap close it and emit. The custom-state

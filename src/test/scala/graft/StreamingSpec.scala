@@ -235,6 +235,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming per-window top-k matches the batch twin for closed windows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wtopk").toString
+    // window 0: a x3, b x2, c x1; window 1: b x2, c x1; the 02:00
+    // event advances the watermark far past both windows' ends
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:01", "a"), (2L, "2024-01-01 00:00:02", "a"),
+      (3L, "2024-01-01 00:00:03", "a"), (4L, "2024-01-01 00:00:04", "b"),
+      (5L, "2024-01-01 00:00:05", "b"), (6L, "2024-01-01 00:00:06", "c"),
+      (7L, "2024-01-01 00:01:01", "b"), (8L, "2024-01-01 00:01:02", "b"),
+      (9L, "2024-01-01 00:01:03", "c"),
+      (10L, "2024-01-01 02:00:00", "zz")
+    ).map { case (id, ts, t) => (id, java.sql.Timestamp.valueOf(ts), 1L, t, 1.0) }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .as[EventStreams.Event]
+    val q = EventStreams.topKPerWindowStream(stream, windowSeconds = 60, k = 2)
+      .writeStream.outputMode("append").format("memory").queryName("wtopk").start()
+    try {
+      q.processAllAvailable()
+      // a second empty pull lets the timeout for already-passed
+      // watermarks fire in a fresh micro-batch
+      q.processAllAvailable()
+      val streamed = spark.sql("select * from wtopk")
+        .as[EventStreams.WindowTopK].collect()
+        .map(r => (r.window_start.getTime, r.rank, r.event_type, r.n)).toSet
+      val closed = streamed.map(_._1)
+      assert(closed.contains(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime))
+      assert(closed.contains(java.sql.Timestamp.valueOf("2024-01-01 00:01:00").getTime))
+      val batch = EventStreams.topKPerWindowBatch(
+          spark.read.parquet(dir), windowSeconds = 60, k = 2)
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getString(2), r.getLong(3)))
+        .filter(t => closed.contains(t._1)).toSet
+      assert(streamed === batch)
+      // ranked content: window 0 top-2 is a(3), b(2)
+      val w0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      assert(streamed.filter(_._1 == w0) ===
+        Set((w0, 1, "a", 3L), (w0, 2, "b", 2L)))
+    } finally q.stop()
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) closes sessions on gap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     Seq(
