@@ -108,6 +108,11 @@ object Bench {
       // query's own caching inside its measurement while restoring
       // isolation between queries.
       spark.sharedState.cacheManager.clearCache()
+      // settle the heap OUTSIDE the timer: without this, GC debt from
+      // a heavy query (dropped caches, codegen churn) is collected
+      // during the NEXT query's timed section — measured 2-3x
+      // inflation of cheap queries late in the 100+-query run
+      System.gc()
       name -> (if (ok) elapsed else -1.0)
     }
     pool.shutdownNow()

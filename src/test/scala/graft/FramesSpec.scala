@@ -183,6 +183,23 @@ class FramesSpec extends AnyFunSuite {
     }
   }
 
+  test("ORC sink/source roundtrip preserves rows, schema, and pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val src = Tables.table(spark, TestSpark.sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    src.coalesce(2).write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(src.schema).orc(dir)
+    assert(back.schema === src.schema)
+    val a = src.orderBy("o_orderkey").collect().map(_.toSeq)
+    val b = back.orderBy("o_orderkey").collect().map(_.toSeq)
+    assert(a === b)
+    // predicate pushdown reaches the ORC scan like parquet
+    val p = back.filter(col("o_totalprice") > 1000.0)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(o_totalprice,1000.0)"),
+      s"ORC filter not pushed:\n$p")
+  }
+
   test("CSV sink/source roundtrip with header and explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
     val src = Tables.table(spark, TestSpark.sfDir, "nation")
