@@ -81,6 +81,12 @@ object NativeFunctions {
     GraftSqlShims.column(
       NearestCells(GraftSqlShims.expression(v), centroids, nProbe, portable))
 
+  /** PQ ADC lookup table for one query: m*ksub exact integer partial
+    * dots of the quantized query subvectors with every codeword.
+    */
+  def pqAdcTable(qv: Column, codebook: Array[Array[Long]], ksub: Int): Column =
+    GraftSqlShims.column(PqAdcTable(GraftSqlShims.expression(qv), codebook, ksub))
+
   /** PQ asymmetric-distance score: sum of per-subspace table lookups. */
   def pqAdcScore(codes: Column, tab: Column, ksub: Int): Column =
     GraftSqlShims.column(

@@ -73,6 +73,11 @@ case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
       val idx = ctx.freshName("idx")
       val s = ctx.freshName("s")
       val bad = ctx.freshName("bad")
+      // NOTE: no generated line may BEGIN with "||" — the code-block
+      // margin stripping in Spark's codegen treats a leading '|' as a
+      // margin char and silently deletes it, producing uncompilable
+      // Java that demotes the whole stage to interpreted execution
+      // (caught by the fallback-is-fatal PlanShapeSpec test)
       s"""
          |final int $m = $a.numElements();
          |long $s = 0L;
@@ -81,8 +86,8 @@ case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
          |  if ($a.isNullAt($j)) { $bad = true; break; }
          |  final int $c = $a.getInt($j);
          |  final int $idx = $j * $ksub + $c;
-         |  if ($c < 0 || $c >= $ksub || $idx >= $b.numElements()
-         |      || $b.isNullAt($idx)) { $bad = true; break; }
+         |  if ($c < 0 || $c >= $ksub || $idx >= $b.numElements() ||
+         |      $b.isNullAt($idx)) { $bad = true; break; }
          |  $s += $b.getLong($idx);
          |}
          |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }

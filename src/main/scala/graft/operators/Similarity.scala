@@ -416,11 +416,26 @@ object Similarity {
 
   /** Query side of ADC: (query_id, tab) — the m*ksub exact integer
     * partial dots of the quantized query subvectors with every
-    * codeword. HOFs are fine here (one row per query, not per pair).
+    * codeword, via the fused native [[graft.functions.PqAdcTable]]
+    * builder (its HOF twin is kept below for the parity test; the
+    * interpreted chain measured ~0.7 ms per query row — longer than
+    * scoring the candidates the table feeds).
     */
-  private def pqQueryTab(queries: DataFrame, cbQ: Seq[Seq[Long]],
-                         m: Int, ksub: Int, dsub: Int,
-                         idCol: String, vecCol: String): DataFrame = {
+  private[graft] def pqQueryTab(queries: DataFrame, cbQ: Seq[Seq[Long]],
+                                m: Int, ksub: Int, dsub: Int,
+                                idCol: String, vecCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"),
+      graft.functions.NativeFunctions.pqAdcTable(
+        transform(col(vecCol),
+          x => floor(x.cast(DoubleType) * lit(1048576.0)).cast(LongType)),
+        cbQ.map(_.toArray).toArray, ksub).as("tab"))
+
+  /** HOF reference formulation of [[pqQueryTab]]'s table — the
+    * semantics the native builder is asserted identical to.
+    */
+  private[graft] def pqQueryTabHof(queries: DataFrame, cbQ: Seq[Seq[Long]],
+                                   m: Int, ksub: Int, dsub: Int,
+                                   idCol: String, vecCol: String): DataFrame = {
     val qq = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol),
         x => floor(x.cast(DoubleType) * lit(1048576.0)).cast(LongType)).as("qv"))

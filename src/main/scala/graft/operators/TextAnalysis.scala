@@ -261,12 +261,16 @@ object TextAnalysis {
       .select(col("id"),
         pmod(graft.functions.NativeFunctions.polyFingerprint(col("g")),
           lit(buckets.toLong)).as("b"))
-    val rawOcc = occ(raw)
-    val tgtOcc = occ(target)
-    val ct = tgtOcc.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    // the raw occurrence stream feeds BOTH the bucket histogram and
+    // the final per-doc join — persist so the shingle explode (the
+    // dominant map cost) runs once per corpus, not once per consumer
+    val rawOcc = occ(raw).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ct = occ(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
     val cr = rawOcc.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tt = tgtOcc.agg(count(lit(1)).as("tt"))
-    val tr = rawOcc.agg(count(lit(1)).as("tr"))
+    // totals fall out of the bucket histograms (sum over <= `buckets`
+    // rows) — no extra pass over either corpus
+    val tt = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
+    val tr = cr.agg(coalesce(sum(col("cr")), lit(0L)).as("tr"))
     val all = raw.sparkSession.range(buckets).select(col("id").as("b"))
     val ratio = all.join(ct, Seq("b"), "left").join(cr, Seq("b"), "left")
       .crossJoin(tt).crossJoin(tr)

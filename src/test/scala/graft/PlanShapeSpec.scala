@@ -183,6 +183,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no partial top-k aggregation:\n$p")
   }
 
+  test("PQ pipeline executes with codegen fallback disabled (generated code compiles)") {
+    // a codegen COMPILE error (e.g. malformed generated Java from a
+    // native expression) normally demotes the stage to interpreted
+    // execution silently — a 2-3x slowdown with no functional signal.
+    // With fallback off, the same bug fails loudly here.
+    import graft.operators.Similarity
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val cbs = Similarity.trainPqCodebooks(e, m = 8, ksub = 16, dim = 64, portable = true)
+    val old = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = Similarity.pqTopKReranked(e, e, k = 1, cbs, shortlist = 8,
+        portable = true).queryExecution.toRdd.count()
+      assert(n > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", old)
+  }
+
   test("join strategy hints override the planner's default choice") {
     val o = Tables.table(spark, TestSpark.sfDir, "orders")
     val li = Tables.table(spark, TestSpark.sfDir, "lineitem")
