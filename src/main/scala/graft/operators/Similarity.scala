@@ -374,7 +374,7 @@ object Similarity {
     * floor(x * 2^20) longs — dyadic-exact for trained centroids) and
     * per-entry squared norms.
     */
-  private def quantizedCodebook(codebooks: Array[Array[Array[Float]]])
+  private[graft] def quantizedCodebook(codebooks: Array[Array[Array[Float]]])
       : (Seq[Seq[Long]], Seq[Long]) = {
     val cbQ: Seq[Seq[Long]] = codebooks.flatMap(_.map(_.map(x =>
       math.floor(x.toDouble * 1048576.0).toLong).toSeq)).toSeq
@@ -422,8 +422,7 @@ object Similarity {
     * scoring the candidates the table feeds).
     */
   private[graft] def pqQueryTab(queries: DataFrame, cbQ: Seq[Seq[Long]],
-                                m: Int, ksub: Int, dsub: Int,
-                                idCol: String, vecCol: String): DataFrame =
+                                ksub: Int, idCol: String, vecCol: String): DataFrame =
     queries.select(col(idCol).as("query_id"),
       graft.functions.NativeFunctions.pqAdcTable(
         transform(col(vecCol),
@@ -488,7 +487,7 @@ object Similarity {
     val dsub = codebooks(0)(0).length
     val (cbQ, nsqQ) = quantizedCodebook(codebooks)
     val codes = pqCodesWithNorm(corpus, codebooks, nsqQ, idCol, vecCol, portable)
-    val qtab = pqQueryTab(queries, cbQ, m, ksub, dsub, idCol, vecCol)
+    val qtab = pqQueryTab(queries, cbQ, ksub, idCol, vecCol)
     val scored = codes.filter(col("nsq") > 0L)
       .join(broadcast(qtab),
         if (excludeSelf) col("id") =!= col("query_id") else lit(true))
@@ -525,7 +524,7 @@ object Similarity {
     // probe rows first would ship it nProbe times per query
     val probes = queries.select(col(idCol).as("query_id"),
       explode(nearestCells(col(vecCol), coarse, nProbe, portable)).as("cell"))
-    val qtab = pqQueryTab(queries, cbQ, m, ksub, dsub, idCol, vecCol)
+    val qtab = pqQueryTab(queries, cbQ, ksub, idCol, vecCol)
     val short = topKPerKey(
       codes.filter(col("nsq") > 0L)
         .join(broadcast(probes), Seq("cell"))

@@ -165,11 +165,10 @@ class SimilaritySpec extends AnyFunSuite {
   test("native PqAdcTable matches the HOF table formulation") {
     val e = Tables.table(spark, TestSpark.sfDir, "embeddings").limit(30)
     val cbs = Similarity.trainPqCodebooks(e, m = 8, ksub = 16, dim = 64, portable = true)
-    val cbQ: Seq[Seq[Long]] = cbs.flatMap(_.map(_.map(x =>
-      math.floor(x.toDouble * 1048576.0).toLong).toSeq)).toSeq
+    val (cbQ, _) = Similarity.quantizedCodebook(cbs)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
-    val native = rows(Similarity.pqQueryTab(e, cbQ, 8, 16, 8, "vec_id", "embedding"))
+    val native = rows(Similarity.pqQueryTab(e, cbQ, 16, "vec_id", "embedding"))
     val hof = rows(Similarity.pqQueryTabHof(e, cbQ, 8, 16, 8, "vec_id", "embedding"))
     assert(native.nonEmpty)
     assert(native === hof)
