@@ -144,4 +144,48 @@ class PropertySpec extends AnyFunSuite {
       assert(agg === naive)
     }
   }
+
+  test("PqAdcScore equals the manual table-lookup sum for any valid codes") {
+    val ksub = 8
+    val m = 5
+    val gen = for {
+      codes <- Gen.listOfN(m, Gen.chooseNum(0, ksub - 1))
+      tab <- Gen.listOfN(m * ksub, Gen.chooseNum(-1000000L, 1000000L))
+    } yield (codes, tab)
+    forAll(gen) { case (codes, tab) =>
+      val expected = codes.zipWithIndex.map { case (c, j) => tab(j * ksub + c) }.sum
+      val got = Seq((codes, tab)).toDF("codes", "tab")
+        .select(graft.functions.NativeFunctions.pqAdcScore(
+          col("codes"), col("tab"), ksub).as("s"))
+        .head().getLong(0)
+      assert(got === expected)
+    }
+  }
+
+  test("domainMix: output mix never exceeds target proportion by more than hash granularity") {
+    val gen = for {
+      wa <- Gen.chooseNum(1, 9)
+      wb <- Gen.chooseNum(1, 9)
+    } yield (wa / 10.0, wb / 10.0)
+    forAll(gen, cases = 4) { case (wa, wb) =>
+      val df = (1L to 400L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+        .toDF("id", "dom")
+      val weights = Map("a" -> wa, "b" -> wb)
+      val out = graft.operators.Frames.domainMix(df, "dom", "id", weights)
+        .groupBy("dom").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val in = df.groupBy("dom").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the limiting domain survives whole
+      val limiting = weights.keys.minBy(k => in(k) / weights(k))
+      assert(out(limiting) === in(limiting))
+      // nothing is oversampled and proportions track targets loosely
+      out.foreach { case (k, n) => assert(n <= in(k)) }
+      val total = out.values.sum.toDouble
+      weights.foreach { case (k, w) =>
+        val share = out.getOrElse(k, 0L) / total
+        assert(share <= w / (wa + wb) + 0.15, s"$k over target: $share vs ${w / (wa + wb)}")
+      }
+    }
+  }
 }
