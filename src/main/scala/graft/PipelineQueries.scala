@@ -82,6 +82,19 @@ object PipelineQueries {
           col("rank"), col("event_type"), col("n"))
         .orderBy(col("win_ms"), col("rank"))),
 
+    // ---- distributed BPE tokenizer training: 6 merge rounds learned
+    //      from the token vocabulary (pair counting = one aggregate
+    //      per round; merge = literal replace). Exact counts and
+    //      total tie-breaks — the oracle replays every round ----
+    "text_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.trainBpeMerges(t(s, d, "documents"), "text", merges = 6)
+        .zipWithIndex.map { case ((pair, n), i) =>
+          (i + 1, pair.replace("\u001F", " "), n) }
+        .toDF("rank", "pair", "n")
+        .orderBy(col("rank"))
+    }),
+
     // ---- DSIR-style importance log-weights: hashed-bigram bucket
     //      distributions (portable poly hash mod 1024), target =
     //      src0 docs, raw = the rest; per-occurrence quantized
@@ -719,7 +732,36 @@ object PipelineQueries {
         .orderBy(col("doc_id")))
   )
 
+  /** DuckDB replay of [[TextAnalysis.trainBpeMerges]]: `rounds`
+    * chained CTE blocks, each = pair counts over the current
+    * vocabulary, argmax (count desc, pair asc), literal merge.
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    val init =
+      """WITH v0 AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+             array_to_string(list_filter(string_split(w, ''), c -> c <> ''), chr(31)) AS syms
+           FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+           WHERE w <> '' GROUP BY w)"""
+    val roundCtes = (0 until rounds).map { r =>
+      s""",
+         s$r AS (SELECT cnt, string_split(syms, chr(31)) AS ss FROM v$r),
+         e$r AS (SELECT cnt, unnest(CASE WHEN len(ss) > 1
+             THEN list_transform(range(1, len(ss)), i -> ss[i] || chr(31) || ss[i+1])
+             ELSE []::VARCHAR[] END) AS p FROM s$r),
+         p$r AS (SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM e$r GROUP BY p),
+         m$r AS (SELECT p, n FROM p$r ORDER BY n DESC, p LIMIT 1),
+         v${r + 1} AS (SELECT cnt, replace(syms, (SELECT p FROM m$r),
+             replace((SELECT p FROM m$r), chr(31), '')) AS syms FROM v$r)"""
+    }.mkString
+    val sel = (0 until rounds).map { r =>
+      s"SELECT ${r + 1} AS rank, replace((SELECT p FROM m$r), chr(31), ' ') AS pair, (SELECT n FROM m$r) AS n"
+    }.mkString("\n UNION ALL ")
+    s"$init$roundCtes\n $sel ORDER BY rank"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "text_bpe_merges" -> bpeOracleSql(6),
     "q_curation_pipeline" ->
       """WITH dedup AS (
            SELECT * FROM documents

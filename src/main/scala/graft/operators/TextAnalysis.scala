@@ -284,6 +284,72 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_grams"), sum(col("lr_micro")).as("sum_lr_micro"))
   }
 
+  /** Distributed BPE tokenizer training: learn `merges` byte-pair
+    * merges from the corpus, the classic word-frequency formulation
+    * (Sennrich et al.) — train on the DISTINCT token vocabulary
+    * weighted by occurrence count, never the raw corpus. Each round
+    * counts adjacent symbol pairs across the vocabulary (one
+    * map-side-combined aggregate), picks the most frequent
+    * (count desc, pair asc — total and engine-portable), and merges
+    * it everywhere (a literal left-to-right string replace,
+    * map-only). Symbols live as a unit-separator-joined string so
+    * the merge is one replace, not an array rebuild.
+    *
+    * Scale shape: vocabulary ∝ distinct tokens (Zipf-small relative
+    * to the corpus); per round one aggregate over ~|vocab| x
+    * avg-token-len pair rows and one driver collect of a single
+    * row. The merge list (the trained tokenizer) is driver-sized by
+    * construction. Exact integer counts and literal string ops
+    * throughout — an external SQL engine replays every round
+    * bit-for-bit.
+    *
+    * Returns the merge list in training order:
+    * (pair-with-separator, summed count at merge time).
+    */
+  def trainBpeMerges(df: DataFrame, textCol: String, merges: Int): Seq[(String, Long)] = {
+    require(merges > 0, "merges must be positive")
+    val sep = "\u001F"
+    var vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // per-code-point symbols joined by the separator; (?!^) splits
+      // between every pair of chars (BMP) but ALSO matches the end
+      // boundary, leaving a trailing "" element — filter it exactly
+      // like the oracle's list_filter(string_split(w, ''), c <> '')
+      .select(col("cnt"),
+        array_join(filter(split(col("w"), "(?!^)"), c => c =!= ""), sep).as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = Seq.newBuilder[(String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < merges && !exhausted) {
+      val ss = split(col("syms"), java.util.regex.Pattern.quote(sep))
+      val top = vocab
+        .select(col("cnt"),
+          explode(when(size(ss) > 1,
+            transform(sequence(lit(0), size(ss) - 2),
+              i => concat(element_at(ss, i + 1), lit(sep), element_at(ss, i + 2))))
+            .otherwise(array().cast("array<string>"))).as("p"))
+        .groupBy(col("p")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("p"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        out += ((pair, top(0).getLong(1)))
+        val next = vocab
+          .withColumn("syms", replace(col("syms"), lit(pair), lit(pair.replace(sep, ""))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        vocab.unpersist(blocking = false)
+        vocab = next
+      }
+      r += 1
+    }
+    vocab.unpersist(blocking = false)
+    out.result()
+  }
+
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("tok"))

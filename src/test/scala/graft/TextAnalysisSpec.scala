@@ -156,6 +156,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L)._2 === 4 * lp(1))
   }
 
+  test("trainBpeMerges learns the classic low/lower/lowest merges in order") {
+    import graft.operators.TextAnalysis
+    val sep = "\u001F"
+    // vocab: low x3, lower x1, lowest x1 -> pair counts:
+    // (l,o)=5 (o,w)=5 (w,e)=2 (e,r)=1 (e,s)=1 (s,t)=1
+    val df = Seq("low lower lowest", "low low").toDF("text")
+    val merges = TextAnalysis.trainBpeMerges(df, "text", merges = 4)
+    assert(merges.map { case (p, n) => (p.replace(sep, " "), n) } === Seq(
+      ("l o", 5L),      // ties with (o,w) at 5; pair-asc tie-break
+      ("lo w", 5L),     // after merge, (lo,w) appears 5 times
+      ("low e", 2L),    // lower + lowest
+      ("lowe r", 1L)))  // three singletons tie; lexicographic
+  }
+
+  test("trainBpeMerges stops early when no pairs remain") {
+    import graft.operators.TextAnalysis
+    val df = Seq("a b a").toDF("text")  // single-char tokens only
+    assert(TextAnalysis.trainBpeMerges(df, "text", merges = 3) === Seq.empty)
+  }
+
   test("dsirLogWeights: target-like raw docs outscore off-target docs; partition-invariant") {
     import graft.operators.TextAnalysis
     val target = Seq(
