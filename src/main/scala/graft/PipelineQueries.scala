@@ -95,6 +95,17 @@ object PipelineQueries {
         .orderBy(col("rank"))
     }),
 
+    // ---- BPE encode: per-doc token counts after applying the 6
+    //      learned merges (train + apply, both oracle-replayed) ----
+    "text_bpe_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = TextAnalysis.trainBpeMerges(docs, "text", merges = 6).map(_._1)
+      docs.select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_words"),
+          TextAnalysis.bpeTokenCount(col("text"), merges).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- DSIR-style importance log-weights: hashed-bigram bucket
     //      distributions (portable poly hash mod 1024), target =
     //      src0 docs, raw = the rest; per-occurrence quantized
@@ -732,11 +743,13 @@ object PipelineQueries {
         .orderBy(col("doc_id")))
   )
 
-  /** DuckDB replay of [[TextAnalysis.trainBpeMerges]]: `rounds`
-    * chained CTE blocks, each = pair counts over the current
-    * vocabulary, argmax (count desc, pair asc), literal merge.
+  /** Shared DuckDB replay of [[TextAnalysis.trainBpeMerges]]'s
+    * training loop: `rounds` chained CTE blocks, each = pair counts
+    * over the current vocabulary, argmax (count desc, pair asc),
+    * literal merge. Ends with v`rounds` (the merged vocabulary) and
+    * m0..m`rounds-1` (the chosen merges) in scope.
     */
-  private def bpeOracleSql(rounds: Int): String = {
+  private def bpeTrainCtes(rounds: Int): String = {
     val init =
       """WITH v0 AS (
            SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -754,14 +767,39 @@ object PipelineQueries {
          v${r + 1} AS (SELECT cnt, replace(syms, (SELECT p FROM m$r),
              replace((SELECT p FROM m$r), chr(31), '')) AS syms FROM v$r)"""
     }.mkString
+    init + roundCtes
+  }
+
+  /** The learned merge list as rows. */
+  private def bpeOracleSql(rounds: Int): String = {
     val sel = (0 until rounds).map { r =>
       s"SELECT ${r + 1} AS rank, replace((SELECT p FROM m$r), chr(31), ' ') AS pair, (SELECT n FROM m$r) AS n"
     }.mkString("\n UNION ALL ")
-    s"$init$roundCtes\n $sel ORDER BY rank"
+    s"${bpeTrainCtes(rounds)}\n $sel ORDER BY rank"
+  }
+
+  /** Per-document BPE token counts after applying the learned merges
+    * (the encode side): each word's symbols fold through the same
+    * `rounds` literal replaces the training chose.
+    */
+  private def bpeTokensOracleSql(rounds: Int): String = {
+    val segExpr = (0 until rounds).foldLeft("syms") { (acc, r) =>
+      s"replace($acc, (SELECT p FROM m$r), replace((SELECT p FROM m$r), chr(31), ''))"
+    }
+    s"""${bpeTrainCtes(rounds)},
+       tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+       base AS (SELECT doc_id,
+         array_to_string(list_filter(string_split(w, ''), c -> c <> ''), chr(31)) AS syms
+         FROM tok),
+       segd AS (SELECT doc_id, $segExpr AS seg FROM base)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(CASE WHEN seg = '' THEN 0 ELSE len(string_split(seg, chr(31))) END) AS BIGINT) AS n_bpe
+       FROM segd GROUP BY doc_id ORDER BY doc_id"""
   }
 
   val oracleSql: Map[String, String] = Map(
     "text_bpe_merges" -> bpeOracleSql(6),
+    "text_bpe_tokens" -> bpeTokensOracleSql(6),
     "q_curation_pipeline" ->
       """WITH dedup AS (
            SELECT * FROM documents

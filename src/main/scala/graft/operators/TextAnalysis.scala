@@ -350,6 +350,36 @@ object TextAnalysis {
     out.result()
   }
 
+  /** Apply a learned BPE merge list ([[trainBpeMerges]] output order
+    * matters) to a text column: per whitespace token, symbols start
+    * as characters and each merge replaces its pair everywhere
+    * (literal, left-to-right — the same semantics training used).
+    * Returns the per-token symbol strings (separator-joined) as an
+    * array — `size`/`split` them for token counts or vocabulary ids.
+    * Pure map-side column expression; the merge list is a driver-held
+    * literal (tokenizers are KBs even at 100k merges).
+    */
+  def bpeSegment(text: Column, merges: Seq[String]): Column = {
+    val sep = "\u001F"
+    transform(tokens(text), w => {
+      val init = array_join(filter(split(w, "(?!^)"), c => c =!= ""), sep)
+      merges.foldLeft(init) { (acc, pair) =>
+        replace(acc, lit(pair), lit(pair.replace(sep, "")))
+      }
+    })
+  }
+
+  /** BPE token count after applying `merges`: total symbols across
+    * the document's words.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[String]): Column = {
+    val sep = "\u001F"
+    aggregate(bpeSegment(text, merges),
+      lit(0L),
+      (acc, s) => acc + when(s === "", lit(0L))
+        .otherwise(size(split(s, java.util.regex.Pattern.quote(sep))).cast("long")))
+  }
+
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("tok"))

@@ -170,6 +170,16 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("lowe r", 1L)))  // three singletons tie; lexicographic
   }
 
+  test("bpeTokenCount applies learned merges (encode side)") {
+    import graft.operators.TextAnalysis
+    val df = Seq("low lower lowest", "low low").toDF("text")
+    val merges = TextAnalysis.trainBpeMerges(df, "text", merges = 4).map(_._1)
+    val counts = df.select(TextAnalysis.bpeTokenCount(col("text"), merges).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    // low -> [low]; lower -> [lower]; lowest -> [lowe, s, t]
+    assert(counts === Seq(1L + 1L + 3L, 2L))
+  }
+
   test("trainBpeMerges stops early when no pairs remain") {
     import graft.operators.TextAnalysis
     val df = Seq("a b a").toDF("text")  // single-char tokens only
