@@ -320,10 +320,18 @@ object TextAnalysis {
         array_join(filter(split(col("w"), "(?!^)"), c => c =!= ""), sep).as("syms"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = Seq.newBuilder[(String, Long)]
+    var applied = List.empty[String]  // training order, reversed
     var r = 0
     var exhausted = false
     while (r < merges && !exhausted) {
-      val ss = split(col("syms"), java.util.regex.Pattern.quote(sep))
+      // round r's vocabulary = the base vocab with the merges so far
+      // folded into the expression (replace chains are cheap on short
+      // symbol strings) — one aggregate job per round, no per-round
+      // persist/materialize cycle
+      val symsCol = applied.reverse.foldLeft(col("syms")) { (acc, p) =>
+        replace(acc, lit(p), lit(p.replace(sep, "")))
+      }
+      val ss = split(symsCol, java.util.regex.Pattern.quote(sep))
       val top = vocab
         .select(col("cnt"),
           explode(when(size(ss) > 1,
@@ -337,12 +345,7 @@ object TextAnalysis {
       else {
         val pair = top(0).getString(0)
         out += ((pair, top(0).getLong(1)))
-        val next = vocab
-          .withColumn("syms", replace(col("syms"), lit(pair), lit(pair.replace(sep, ""))))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        vocab.unpersist(blocking = false)
-        vocab = next
+        applied = pair :: applied
       }
       r += 1
     }
