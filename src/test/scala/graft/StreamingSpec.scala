@@ -278,6 +278,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization state survives a checkpointed restart (exactly-once emission)") {
+    val in = java.nio.file.Files.createTempDirectory("graft-ckpt-in").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    // the memory sink does not support checkpoint recovery — a file
+    // sink does, and is also the shape a real pipeline restarts with
+    val out = java.nio.file.Files.createTempDirectory("graft-ckpt-out").toString
+    def write(rows: Seq[(Long, String)], part: String): Unit =
+      rows.map { case (id, ts) => (id, java.sql.Timestamp.valueOf(ts), 7L, "t", 1.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+    // batch 1: an open 2-event session
+    write(Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:10:00")), "a")
+    val schema = spark.read.parquet(in).schema
+    def start() = EventStreams.sessionizeStream(
+        spark.readStream.schema(schema).parquet(in).as[EventStreams.Event],
+        gapSeconds = 1800)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // nothing closed yet; the open session lives in the state store
+    // batch 2 arrives while the query is DOWN; the restart must
+    // recover the open session from the checkpoint and close it with
+    // batch-1's timestamps
+    write(Seq((3L, "2024-01-01 02:00:00")), "b")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val closed = spark.read.schema(
+          org.apache.spark.sql.Encoders.product[EventStreams.Session].schema)
+        .parquet(out).as[EventStreams.Session].collect()
+      assert(closed.length === 1)
+      assert(closed.head.session_start === java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      assert(closed.head.n_events === 2)
+    } finally q2.stop()
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) closes sessions on gap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     Seq(
