@@ -27,7 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      /* arguments */ "", /* examples */ "", /* note */ "", /* group */ "misc_funcs",
+      /* since */ "1.0.0", /* deprecated */ "", /* source */ "built-in")
 
   private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
     require(args.length == n,

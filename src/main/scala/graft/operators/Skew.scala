@@ -115,7 +115,7 @@ object Skew {
                         saltFactor: Int, topN: Int = 20,
                         joinType: String = "inner"): DataFrame = {
     val hot = hotKeys(left, key, topN).select(col(key)).collect()
-      .map(_.get(0)).filter(_ != null)
+      .map(_.get(0)).filter(_ != null).toIndexedSeq
     if (hot.isEmpty) left.join(right, Seq(key), joinType)
     else {
       // null-safe hot test: isin(null) is NULL, which would make BOTH
