@@ -749,51 +749,62 @@ object PipelineQueries {
     * literal merge. Ends with v`rounds` (the merged vocabulary) and
     * m0..m`rounds-1` (the chosen merges) in scope.
     */
+  /** The framed-merge replace: sep+a+sep+sep+b+sep -> sep+ab+sep
+    * (whole-symbol match — see TextAnalysis's BPE framing note);
+    * no-op via an unmatchable needle when round `r` was exhausted.
+    */
+  private def bpeMergeExpr(acc: String, r: Int): String =
+    s"""replace($acc,
+        COALESCE(chr(31) || replace((SELECT p FROM m$r), chr(31), chr(31) || chr(31)) || chr(31), chr(30)),
+        COALESCE(chr(31) || replace((SELECT p FROM m$r), chr(31), '') || chr(31), ''))"""
+
   private def bpeTrainCtes(rounds: Int): String = {
     val init =
       """WITH v0 AS (
            SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
-             array_to_string(list_filter(string_split(w, ''), c -> c <> ''), chr(31)) AS syms
+             chr(31) || array_to_string(list_filter(string_split(w, ''), c -> c <> ''),
+               chr(31) || chr(31)) || chr(31) AS syms
            FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
-           WHERE w <> '' GROUP BY w)"""
+           WHERE w <> '' AND strpos(w, chr(31)) = 0 GROUP BY w)"""
     val roundCtes = (0 until rounds).map { r =>
       s""",
-         s$r AS (SELECT cnt, string_split(syms, chr(31)) AS ss FROM v$r),
+         s$r AS (SELECT cnt, list_filter(string_split(syms, chr(31)), x -> x <> '') AS ss FROM v$r),
          e$r AS (SELECT cnt, unnest(CASE WHEN len(ss) > 1
              THEN list_transform(range(1, len(ss)), i -> ss[i] || chr(31) || ss[i+1])
              ELSE []::VARCHAR[] END) AS p FROM s$r),
          p$r AS (SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM e$r GROUP BY p),
          m$r AS (SELECT p, n FROM p$r ORDER BY n DESC, p LIMIT 1),
-         v${r + 1} AS (SELECT cnt, replace(syms, (SELECT p FROM m$r),
-             replace((SELECT p FROM m$r), chr(31), '')) AS syms FROM v$r)"""
+         v${r + 1} AS (SELECT cnt, ${bpeMergeExpr("syms", r)} AS syms FROM v$r)"""
     }.mkString
     init + roundCtes
   }
 
-  /** The learned merge list as rows. */
+  /** The learned merge list as rows (exhausted rounds emit nothing —
+    * matches trainBpeMerges' early stop).
+    */
   private def bpeOracleSql(rounds: Int): String = {
     val sel = (0 until rounds).map { r =>
       s"SELECT ${r + 1} AS rank, replace((SELECT p FROM m$r), chr(31), ' ') AS pair, (SELECT n FROM m$r) AS n"
     }.mkString("\n UNION ALL ")
-    s"${bpeTrainCtes(rounds)}\n $sel ORDER BY rank"
+    s"""${bpeTrainCtes(rounds)}
+       SELECT rank, pair, n FROM ($sel) WHERE pair IS NOT NULL ORDER BY rank"""
   }
 
   /** Per-document BPE token counts after applying the learned merges
     * (the encode side): each word's symbols fold through the same
-    * `rounds` literal replaces the training chose.
+    * `rounds` whole-symbol replaces the training chose.
     */
   private def bpeTokensOracleSql(rounds: Int): String = {
-    val segExpr = (0 until rounds).foldLeft("syms") { (acc, r) =>
-      s"replace($acc, (SELECT p FROM m$r), replace((SELECT p FROM m$r), chr(31), ''))"
-    }
+    val segExpr = (0 until rounds).foldLeft("syms")(bpeMergeExpr)
     s"""${bpeTrainCtes(rounds)},
        tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
        base AS (SELECT doc_id,
-         array_to_string(list_filter(string_split(w, ''), c -> c <> ''), chr(31)) AS syms
+         chr(31) || array_to_string(list_filter(string_split(w, ''), c -> c <> ''),
+           chr(31) || chr(31)) || chr(31) AS syms
          FROM tok),
        segd AS (SELECT doc_id, $segExpr AS seg FROM base)
        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-         CAST(SUM(CASE WHEN seg = '' THEN 0 ELSE len(string_split(seg, chr(31))) END) AS BIGINT) AS n_bpe
+         CAST(SUM(len(list_filter(string_split(seg, chr(31)), x -> x <> ''))) AS BIGINT) AS n_bpe
        FROM segd GROUP BY doc_id ORDER BY doc_id"""
   }
 

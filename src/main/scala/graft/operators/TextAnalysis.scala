@@ -263,9 +263,18 @@ object TextAnalysis {
           lit(buckets.toLong)).as("b"))
     // the raw occurrence stream feeds BOTH the bucket histogram and
     // the final per-doc join — persist so the shingle explode (the
-    // dominant map cost) runs once per corpus, not once per consumer
+    // dominant map cost) runs once per corpus, not once per consumer.
+    // Both persists stay referenced by the returned plan, so (as with
+    // Dedup's signature tables) they cannot be unpersisted here;
+    // CacheManager also substitutes them into later plans sharing the
+    // subtree. Callers running many corpora through a long session
+    // should clearCache() between batches.
     val rawOcc = occ(raw).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the target histogram is read twice (ratio join + tt total) —
+    // at most `buckets` rows, but computing it is a full explode of
+    // the target corpus; persist keeps that one-pass
     val ct = occ(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cr = rawOcc.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     // totals fall out of the bucket histograms (sum over <= `buckets`
     // rows) — no extra pass over either corpus
@@ -284,6 +293,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_grams"), sum(col("lr_micro")).as("sum_lr_micro"))
   }
 
+  // ---- BPE internals ----
+  // Symbol framing: every symbol is wrapped sep+symbol+sep, so TWO
+  // separators stand between adjacent symbols and one guards each
+  // word boundary. A merge is then the literal replace of
+  // sep+a+sep+sep+b+sep with sep+ab+sep, which can only match WHOLE
+  // adjacent symbols: with single-sep framing the pattern "l<sep>o"
+  // also matches INSIDE [al, o] (boundary-crossing merge), and
+  // adjacent pair occurrences share their boundary sep so runs
+  // under-merge ("a a a a" merged (a,a) must give [aa, aa]).
+  // Symbols recover as the non-empty sep-split parts.
+  private val BpeSep = "\u001F"
+  private def bpeCharSyms(w: Column): Column =
+    concat(lit(BpeSep),
+      // (?!^) splits between every pair of chars (BMP) but ALSO
+      // matches the end boundary, leaving a trailing "" element —
+      // filter it exactly like the oracle's
+      // list_filter(string_split(w, ''), c <> '')
+      array_join(filter(split(w, "(?!^)"), c => c =!= ""), BpeSep + BpeSep),
+      lit(BpeSep))
+  private def bpeSymbols(syms: Column): Column =
+    filter(split(syms, java.util.regex.Pattern.quote(BpeSep)), x => x =!= "")
+  private def bpeApplyMerge(syms: Column, pair: String): Column =
+    replace(syms,
+      lit(BpeSep + pair.replace(BpeSep, BpeSep + BpeSep) + BpeSep),
+      lit(BpeSep + pair.replace(BpeSep, "") + BpeSep))
+
   /** Distributed BPE tokenizer training: learn `merges` byte-pair
     * merges from the corpus, the classic word-frequency formulation
     * (Sennrich et al.) — train on the DISTINCT token vocabulary
@@ -291,9 +326,10 @@ object TextAnalysis {
     * counts adjacent symbol pairs across the vocabulary (one
     * map-side-combined aggregate), picks the most frequent
     * (count desc, pair asc — total and engine-portable), and merges
-    * it everywhere (a literal left-to-right string replace,
-    * map-only). Symbols live as a unit-separator-joined string so
-    * the merge is one replace, not an array rebuild.
+    * it everywhere (a literal left-to-right whole-symbol replace,
+    * map-only — see the framing note above). Tokens containing the
+    * separator itself are excluded from training (they would corrupt
+    * symbol framing).
     *
     * Scale shape: vocabulary ∝ distinct tokens (Zipf-small relative
     * to the corpus); per round one aggregate over ~|vocab| x
@@ -308,16 +344,10 @@ object TextAnalysis {
     */
   def trainBpeMerges(df: DataFrame, textCol: String, merges: Int): Seq[(String, Long)] = {
     require(merges > 0, "merges must be positive")
-    val sep = "\u001F"
-    var vocab = df.select(explode(tokens(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
+    val vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains(BpeSep))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      // per-code-point symbols joined by the separator; (?!^) splits
-      // between every pair of chars (BMP) but ALSO matches the end
-      // boundary, leaving a trailing "" element — filter it exactly
-      // like the oracle's list_filter(string_split(w, ''), c <> '')
-      .select(col("cnt"),
-        array_join(filter(split(col("w"), "(?!^)"), c => c =!= ""), sep).as("syms"))
+      .select(col("cnt"), bpeCharSyms(col("w")).as("syms"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = Seq.newBuilder[(String, Long)]
     var applied = List.empty[String]  // training order, reversed
@@ -328,15 +358,13 @@ object TextAnalysis {
       // folded into the expression (replace chains are cheap on short
       // symbol strings) — one aggregate job per round, no per-round
       // persist/materialize cycle
-      val symsCol = applied.reverse.foldLeft(col("syms")) { (acc, p) =>
-        replace(acc, lit(p), lit(p.replace(sep, "")))
-      }
-      val ss = split(symsCol, java.util.regex.Pattern.quote(sep))
+      val symsCol = applied.reverse.foldLeft(col("syms"))(bpeApplyMerge)
+      val ss = bpeSymbols(symsCol)
       val top = vocab
         .select(col("cnt"),
           explode(when(size(ss) > 1,
             transform(sequence(lit(0), size(ss) - 2),
-              i => concat(element_at(ss, i + 1), lit(sep), element_at(ss, i + 2))))
+              i => concat(element_at(ss, i + 1), lit(BpeSep), element_at(ss, i + 2))))
             .otherwise(array().cast("array<string>"))).as("p"))
         .groupBy(col("p")).agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("p"))
@@ -355,33 +383,24 @@ object TextAnalysis {
 
   /** Apply a learned BPE merge list ([[trainBpeMerges]] output order
     * matters) to a text column: per whitespace token, symbols start
-    * as characters and each merge replaces its pair everywhere
-    * (literal, left-to-right — the same semantics training used).
-    * Returns the per-token symbol strings (separator-joined) as an
-    * array — `size`/`split` them for token counts or vocabulary ids.
+    * as characters and each merge replaces its whole-symbol pair
+    * everywhere (the same framing and semantics training used).
+    * Returns the per-token framed symbol strings as an array — use
+    * [[bpeTokenCount]] or split on the separator for symbol lists.
     * Pure map-side column expression; the merge list is a driver-held
     * literal (tokenizers are KBs even at 100k merges).
     */
-  def bpeSegment(text: Column, merges: Seq[String]): Column = {
-    val sep = "\u001F"
-    transform(tokens(text), w => {
-      val init = array_join(filter(split(w, "(?!^)"), c => c =!= ""), sep)
-      merges.foldLeft(init) { (acc, pair) =>
-        replace(acc, lit(pair), lit(pair.replace(sep, "")))
-      }
-    })
-  }
+  def bpeSegment(text: Column, merges: Seq[String]): Column =
+    transform(tokens(text), w =>
+      merges.foldLeft(bpeCharSyms(w))(bpeApplyMerge))
 
   /** BPE token count after applying `merges`: total symbols across
     * the document's words.
     */
-  def bpeTokenCount(text: Column, merges: Seq[String]): Column = {
-    val sep = "\u001F"
+  def bpeTokenCount(text: Column, merges: Seq[String]): Column =
     aggregate(bpeSegment(text, merges),
       lit(0L),
-      (acc, s) => acc + when(s === "", lit(0L))
-        .otherwise(size(split(s, java.util.regex.Pattern.quote(sep))).cast("long")))
-  }
+      (acc, s) => acc + size(bpeSymbols(s)).cast("long"))
 
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),

@@ -167,7 +167,10 @@ object EventStreams {
     val winMs = windowSeconds * 1000L
     events
       .withWatermark("ts", watermark)
-      .groupByKey(e => (e.ts.getTime / winMs) * winMs)
+      // floorDiv, not /: long division truncates toward zero, which
+      // would put pre-epoch events in the WRONG window (the batch
+      // twin floors — asserted equal in StreamingSpec)
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, winMs) * winMs)
       .flatMapGroupsWithState[Map[String, Long], WindowTopK](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (winStart: Long, rows: Iterator[Event], state: GroupState[Map[String, Long]]) =>

@@ -284,12 +284,12 @@ class StreamingSpec extends AnyFunSuite {
     // the memory sink does not support checkpoint recovery — a file
     // sink does, and is also the shape a real pipeline restarts with
     val out = java.nio.file.Files.createTempDirectory("graft-ckpt-out").toString
-    def write(rows: Seq[(Long, String)], part: String): Unit =
+    def write(rows: Seq[(Long, String)]): Unit =
       rows.map { case (id, ts) => (id, java.sql.Timestamp.valueOf(ts), 7L, "t", 1.0) }
         .toDF("event_id", "ts", "user_id", "event_type", "value")
         .coalesce(1).write.mode("append").parquet(in)
     // batch 1: an open 2-event session
-    write(Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:10:00")), "a")
+    write(Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:10:00")))
     val schema = spark.read.parquet(in).schema
     def start() = EventStreams.sessionizeStream(
         spark.readStream.schema(schema).parquet(in).as[EventStreams.Event],
@@ -302,7 +302,7 @@ class StreamingSpec extends AnyFunSuite {
     // batch 2 arrives while the query is DOWN; the restart must
     // recover the open session from the checkpoint and close it with
     // batch-1's timestamps
-    write(Seq((3L, "2024-01-01 02:00:00")), "b")
+    write(Seq((3L, "2024-01-01 02:00:00")))
     val q2 = start()
     try {
       q2.processAllAvailable()

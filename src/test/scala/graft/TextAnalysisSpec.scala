@@ -180,6 +180,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(counts === Seq(1L + 1L + 3L, 2L))
   }
 
+  test("BPE merges match whole symbols only — no boundary-crossing rewrites") {
+    import graft.operators.TextAnalysis
+    val sep = "\u001F"
+    // force merge order (a,l) then (l,o): "al" x20 drives round 1,
+    // "lo" x10 drives round 2. In "alo" (= [al, o] after round 1) the
+    // substring l<sep>o exists ACROSS the symbol boundary; a naive
+    // single-sep replace would fuse it into [alo]
+    val df = Seq((("al " * 20) + ("lo " * 10) + "alo").trim).toDF("text")
+    val merges = TextAnalysis.trainBpeMerges(df, "text", merges = 2)
+    assert(merges.map(_._1.replace(sep, " ")) === Seq("a l", "l o"))
+    val segs = df.select(TextAnalysis.bpeSegment(col("text"), merges.map(_._1)).as("s"))
+      .head().getSeq[String](0)
+    val aloSyms = segs.last.split(java.util.regex.Pattern.quote(sep)).filter(_.nonEmpty).toSeq
+    assert(aloSyms === Seq("al", "o"), s"boundary-crossing merge corrupted 'alo': $aloSyms")
+  }
+
   test("trainBpeMerges stops early when no pairs remain") {
     import graft.operators.TextAnalysis
     val df = Seq("a b a").toDF("text")  // single-char tokens only
