@@ -29,8 +29,32 @@ for name in sorted(glob.glob(f"{outdir}/*/")):
         skipped.append((q, n))
         continue
     try:
-        exp = con.execute(oracle[q]).fetchdf()
-        got = con.execute(f"SELECT * FROM '{name}/*.parquet'").fetchdf()
+        # arrow-level TYPE check first: DuckDB SUM(BIGINT) returns HUGEINT
+        # (decimal128 in arrow) while Spark writes int64 — values compare
+        # equal in pandas but a typed hasher diverges. Catch that class here.
+        def tclass(t):
+            import pyarrow.types as pt
+            if pt.is_integer(t): return "int"
+            if pt.is_floating(t): return "float"
+            if pt.is_decimal(t): return "decimal"
+            if pt.is_string(t) or pt.is_large_string(t): return "str"
+            if pt.is_boolean(t): return "bool"
+            if pt.is_date(t): return "date"
+            if pt.is_timestamp(t): return "timestamp"
+            if pt.is_list(t) or pt.is_large_list(t): return "list"
+            return str(t)
+        ea = con.execute(oracle[q]).arrow()
+        ga = con.execute(f"SELECT * FROM '{name}/*.parquet'").arrow()
+        et = {f.name: tclass(f.type) for f in ea.schema}
+        gt = {f.name: tclass(f.type) for f in ga.schema}
+        tmis = [(c, gt.get(c), et.get(c)) for c in sorted(set(et) | set(gt))
+                if et.get(c) != gt.get(c)]
+        if tmis:
+            fails.append((q, "TYPE-MISMATCH " + ", ".join(
+                f"{c}: got {g} != exp {e}" for c, g, e in tmis)))
+            continue
+        exp = ea.to_pandas()
+        got = ga.to_pandas()
         exp = exp[sorted(exp.columns)]
         got = got[sorted(got.columns)]
         if list(exp.columns) != list(got.columns):

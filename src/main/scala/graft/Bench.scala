@@ -116,16 +116,27 @@ object Bench {
       name -> (if (ok) elapsed else -1.0)
     }
     pool.shutdownNow()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // belt and braces: the line on stdout for the driver, plus a file
-    // copy in case any log line trails it
+    // full per-query map -> BENCH_SELF.json only. The 113-query map in
+    // one stdout line overflowed the driver's tail capture in round 2
+    // ("parsed": null — the round lost its official number), so stdout
+    // gets a COMPACT line: the total plus a fixed headline subset.
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
-      (json + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    val headline = Seq("q1_pricing_summary", "q3_shipping_priority",
+      "dedup_minhash_lsh", "sim_topk_ivf", "text_bpe_tokens",
+      "q_window_suite", "events_sessionize", "q_curation_pipeline")
+    val resultMap = results.toMap
+    val hq = headline.flatMap(n => resultMap.get(n).map(v => "\"" + n + "\":" + fmt(v)))
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)}}"""
     spark.stop()
-    println(json)
+    // LAST line on stdout, nothing after it
+    println(compact)
   }
 }

@@ -123,13 +123,15 @@ object PipelineQueries {
 
     // ---- near-dup dedup keeping the best-QUALITY doc per cluster
     //      (curation-grade survivor choice; argmax aggregate, no
-    //      window) ----
+    //      window). Pair generation uses the df-ordered prefix index:
+    //      result-equal to the plain inverted-index variant (asserted
+    //      in DedupSpec) but sub-quadratic under hot shingles ----
     "dedup_cluster_best" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val scored = docs.withColumn("quality_q4",
         floor(TextAnalysis.qualityScoreRaw(col("text")) * lit(10000.0) + lit(0.5))
           .cast(LongType))
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      val pairs = Dedup.ngramJaccardPairsDfOrdered(docs, "doc_id", "text",
         shingleWidth = 3, threshold = 0.5)
       Dedup.dedupByNearDupPreferring(scored, "doc_id", pairs, "quality_q4")
         .select(col("doc_id"), col("quality_q4"))
@@ -555,6 +557,44 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- REAL image decode, oracle-checked end to end: BMP bytes
+    //      are synthesized in-plan from id-indexed formulas, parsed
+    //      by the pure-JVM codec (bottom-up rows, BGR order, stride
+    //      padding all undone), and the oracle predicts the decoded
+    //      dims/corner-pixel/sums from the formulas alone — a parser
+    //      bug in any of the three layout rules fails the hash ----
+    "multimodal_decode_bmp" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "bmp")
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+          new graft.operators.Multimodal.PureJvmCodec())
+        .select(col("id").as("doc_id"),
+          col("decoded.meta.width").cast(LongType).as("width"),
+          col("decoded.meta.height").cast(LongType).as("height"),
+          element_at(col("decoded.features"), 3).cast(LongType).as("r00"),
+          element_at(col("decoded.features"), 4).cast(LongType).as("g00"),
+          element_at(col("decoded.features"), 5).cast(LongType).as("b00"),
+          element_at(col("decoded.features"), 6).cast(LongType).as("sum_rgb"),
+          element_at(col("decoded.features"), 7).cast(LongType).as("max_chan"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- REAL audio decode (RIFF/WAVE chunk walk, PCM-16 LE
+    //      samples): same synth-then-parse-then-predict scheme ----
+    "multimodal_decode_wav" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "wav")
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+          new graft.operators.Multimodal.PureJvmCodec())
+        .select(col("id").as("doc_id"),
+          col("decoded.meta.duration_ms").as("dur_ms"),
+          element_at(col("decoded.features"), 3).cast(LongType).as("n_samples"),
+          element_at(col("decoded.features"), 4).cast(LongType).as("s_first"),
+          element_at(col("decoded.features"), 5).cast(LongType).as("s_last"),
+          element_at(col("decoded.features"), 6).cast(LongType).as("sum_abs"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- document fingerprinting: portable code-point polynomial
     //      hashes (whole-text rolling fp + winnowing count), exactly
     //      reproduced by the DuckDB oracle via list folds. The
@@ -926,7 +966,7 @@ object PipelineQueries {
              unnest(list_transform(range(0, len(embedding)),
                i -> {'pos': i, 'x': embedding[i + 1]})) AS r(u))
          SELECT label, pos,
-           SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sum_q6,
+           CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q6,
            COUNT(*) AS n,
            CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) /
              CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS centroid
@@ -1169,7 +1209,8 @@ object PipelineQueries {
                * 1000000.0) AS BIGINT) AS lr_micro
            FROM (SELECT unnest(range(0, 1024)) AS b) r
            LEFT JOIN ct USING (b) LEFT JOIN cr USING (b), tt, tr)
-         SELECT o.doc_id, COUNT(*) AS n_grams, SUM(r.lr_micro) AS sum_lr_micro
+         SELECT o.doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(r.lr_micro) AS BIGINT) AS sum_lr_micro
          FROM occ o JOIN ratio r USING (b)
          WHERE o.source <> 'src0'
          GROUP BY o.doc_id ORDER BY o.doc_id""",
@@ -1180,8 +1221,8 @@ object PipelineQueries {
          uni AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
          tot AS (SELECT COUNT(*) AS total FROM toks)
          SELECT t.doc_id, COUNT(*) AS n_tok,
-           SUM(CAST(floor(ln(CAST(u.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
-             * 1000000.0) AS BIGINT)) AS sum_lp_micro
+           CAST(SUM(CAST(floor(ln(CAST(u.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+             * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_lp_micro
          FROM toks t JOIN uni u USING (tok) CROSS JOIN tot
          GROUP BY t.doc_id ORDER BY t.doc_id""",
     "q_approx_sketches" ->
@@ -1273,6 +1314,37 @@ object PipelineQueries {
            FROM cand c JOIN hs a ON a.doc_id = c.delta_id JOIN hs b ON b.doc_id = c.corpus_id)
          SELECT delta_id, corpus_id, jaccard FROM v
          WHERE jaccard >= 0.5 ORDER BY delta_id, corpus_id""",
+    "multimodal_decode_bmp" ->
+      """WITH p AS (
+           SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+           FROM documents),
+         f AS (
+           SELECT doc_id, w, h,
+             list_transform(range(0, w * h * 3),
+               k -> (doc_id * 31 + k * 7) % 256) AS px
+           FROM p)
+         SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(px[1] AS BIGINT) AS r00,
+           CAST(px[2] AS BIGINT) AS g00,
+           CAST(px[3] AS BIGINT) AS b00,
+           CAST(list_sum(px) AS BIGINT) AS sum_rgb,
+           CAST(list_max(px) AS BIGINT) AS max_chan
+         FROM f ORDER BY doc_id""",
+    "multimodal_decode_wav" ->
+      """WITH p AS (
+           SELECT doc_id, 32 + doc_id % 96 AS n FROM documents),
+         s AS (
+           SELECT doc_id, n,
+             list_transform(range(0, n),
+               i -> (doc_id * 7919 + i * 2503) % 65536 - 32768) AS smp
+           FROM p)
+         SELECT doc_id,
+           CAST(n * 1000 // 8000 AS BIGINT) AS dur_ms,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(smp[1] AS BIGINT) AS s_first,
+           CAST(smp[n] AS BIGINT) AS s_last,
+           CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS sum_abs
+         FROM s ORDER BY doc_id""",
     "multimodal_features" ->
       """SELECT doc_id,
            CASE WHEN octet_length(encode(substr(text, 1, 256))) = 0
@@ -1290,8 +1362,8 @@ object PipelineQueries {
            FROM documents),
          c AS (
            SELECT doc_id, n,
-             SUM(n) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS start
+             CAST(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS start
            FROM tc)
          SELECT doc_id, n, start,
            start // 512 AS seq_id, start % 512 AS seq_offset,
@@ -1731,7 +1803,7 @@ object PipelineQueries {
       """WITH ev AS (
            SELECT CAST(ts AS DATE) AS day, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
            FROM events WHERE event_type = 'purchase'),
-         daily AS (SELECT day, SUM(cents) AS v FROM ev GROUP BY day),
+         daily AS (SELECT day, CAST(SUM(cents) AS BIGINT) AS v FROM ev GROUP BY day),
          sparse AS (SELECT * FROM daily WHERE dayofmonth(day) % 3 = 0),
          grid AS (
            SELECT unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS day

@@ -579,18 +579,20 @@ object RelationalQueries {
     //      cents-integer domain: median and MAD interpolate between
     //      integers (dyadic fractions — bit-identical cross-engine),
     //      so the 3-MAD outlier comparison is exact, never a float
-    //      boundary coin-flip ----
+    //      boundary coin-flip. Medians come from the rank-offset
+    //      selection operator (sort + middle rows), NOT Spark's exact
+    //      `percentile`, whose per-group value-map buffer is a memory
+    //      hazard at 100 TB value domains; group-sized med/mad frames
+    //      are broadcast back ----
     "q_mad_outliers" -> ((s, d) => {
       val cents = t(s, d, "orders")
         .select(col("o_orderpriority"),
           floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
-      val med = cents.groupBy(col("o_orderpriority"))
-        .agg(percentile(col("pc"), lit(0.5)).as("med_c"))
-      val adev = cents.join(med, Seq("o_orderpriority"))
+      val med = Frames.exactMedianByGroup(cents, "o_orderpriority", "pc", "med_c")
+      val adev = cents.join(broadcast(med), Seq("o_orderpriority"))
         .withColumn("adev_c", abs(col("pc") - col("med_c")))
-      val mad = adev.groupBy(col("o_orderpriority"))
-        .agg(percentile(col("adev_c"), lit(0.5)).as("mad_c"))
-      adev.join(mad, Seq("o_orderpriority"))
+      val mad = Frames.exactMedianByGroup(adev, "o_orderpriority", "adev_c", "mad_c")
+      adev.join(broadcast(mad), Seq("o_orderpriority"))
         .groupBy(col("o_orderpriority"))
         .agg(max(col("med_c")).as("med_c"), max(col("mad_c")).as("mad_c"),
           count(when(col("adev_c") > lit(3.0) * col("mad_c"), lit(1))).as("n_outliers"),
@@ -949,8 +951,8 @@ object RelationalQueries {
          ORDER BY rf, ls""",
     "q_window_range" ->
       """SELECT event_id, user_id,
-           SUM(cents) OVER (PARTITION BY user_id ORDER BY tsec
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS trail_1h_cents
+           CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY tsec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_1h_cents
          FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events)
          ORDER BY event_id""",

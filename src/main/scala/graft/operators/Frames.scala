@@ -312,6 +312,38 @@ object Frames {
             floor(col("start") / budget).cast("long") + 1L).as("n_seqs"))
   }
 
+  /** Exact per-group median by rank-offset selection: rank each value
+    * inside its group, keep only the one (odd n) or two (even n)
+    * middle rows, and average them — the same linear interpolation
+    * `percentile(0.5)` / DuckDB `quantile_cont(0.5)` defines, and
+    * bit-identical to both for exactly-representable inputs
+    * (integers, dyadic fractions), since the mean of two exact
+    * doubles ≤ 2^52 is exact.
+    *
+    * Scale shape: ONE shuffle (the per-group window sort, which
+    * spills to disk like any sort) and a ≤2-rows-per-group aggregate.
+    * Spark's exact `percentile` instead buffers a value->count map
+    * per group in the aggregation buffer — a memory hazard once a
+    * group's value DOMAIN outgrows executor heap, which a 100 TB
+    * corpus with high-cardinality values will do.
+    */
+  def exactMedianByGroup(df: DataFrame, keyCol: String, valCol: String,
+                         outCol: String = "median"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
+    val wc = Window.partitionBy(col(keyCol))
+    df.select(col(keyCol), col(valCol))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wc))
+      // odd n: both picks are the middle row; even n: rows n/2, n/2+1.
+      // Column./ is DOUBLE division — floor back to the integer ranks
+      // (exact: halves of a long count are exactly representable)
+      .filter(col("__rk") === floor((col("__n") + 1L) / 2L).cast("long") ||
+        col("__rk") === floor(col("__n") / 2L).cast("long") + 1L)
+      .groupBy(col(keyCol))
+      .agg((sum(col(valCol)).cast("double") / count(lit(1)).cast("double"))
+        .as(outCol))
+  }
+
   def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
                 outCol: String = "split"): DataFrame = {
     require(splits.nonEmpty, "at least one split")

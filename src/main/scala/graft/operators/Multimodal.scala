@@ -65,6 +65,293 @@ object Multimodal {
     }
   }
 
+  /** Real pure-JVM decoder for the formats that need no external
+    * library — BMP (24-bit uncompressed), PPM (P6 binary), WAV (PCM
+    * 16-bit) — with the deterministic stub as fallback for everything
+    * else. Width/height/duration and the feature vector come from the
+    * ACTUAL decoded payload: BMP rows are stored bottom-up with
+    * 4-byte stride padding and BGR channel order, and the parser
+    * undoes all three (the corner-pixel features in the oracle-checked
+    * decode queries fail if any is mishandled).
+    *
+    * Image features (7): [width, height, r00, g00, b00, sum_rgb,
+    * max_chan] — top-left pixel RGB plus whole-image channel sum/max.
+    * Audio features (7): [channels, sample_rate, n_samples, s_first,
+    * s_last, sum_abs, zero_crossings].
+    * Sums stay < 2^24 for fixture-sized media so the float features
+    * are integer-exact; production embeddings replace this extractor,
+    * the parsing does not change.
+    */
+  final class PureJvmCodec(fallback: MediaCodec = new DeterministicStubCodec())
+      extends MediaCodec {
+    override def open(): Unit = fallback.open()
+    override def close(): Unit = fallback.close()
+
+    private def leInt(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    private def leShort(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+    private def imageFeatures(fmt: String, w: Int, h: Int,
+                              rgb: (Int, Int) => (Int, Int, Int),
+                              nBytes: Long): (Row, Array[Float]) = {
+      var sum = 0L
+      var maxC = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = rgb(x, y)
+          sum += r + g + b
+          if (r > maxC) maxC = r
+          if (g > maxC) maxC = g
+          if (b > maxC) maxC = b
+          x += 1
+        }
+        y += 1
+      }
+      val (r0, g0, b0) = if (w > 0 && h > 0) rgb(0, 0) else (0, 0, 0)
+      val meta = Row(fmt, w, h, 1, nBytes)
+      (meta, Array[Float](w.toFloat, h.toFloat, r0.toFloat, g0.toFloat,
+        b0.toFloat, sum.toFloat, maxC.toFloat))
+    }
+
+    /** 24bpp uncompressed BITMAPINFOHEADER BMP; null on anything else. */
+    private def decodeBmp(b: Array[Byte]): (Row, Array[Float]) = {
+      if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+      val dataOff = leInt(b, 10)
+      val w = leInt(b, 18)
+      val hRaw = leInt(b, 22)
+      val bottomUp = hRaw > 0
+      val h = math.abs(hRaw)
+      val bpp = leShort(b, 28)
+      val compression = leInt(b, 30)
+      if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return null
+      val stride = ((w * 3 + 3) / 4) * 4
+      if (dataOff < 0 || dataOff.toLong + stride.toLong * h > b.length) return null
+      def rgb(x: Int, y: Int): (Int, Int, Int) = {
+        val srcRow = if (bottomUp) h - 1 - y else y
+        val o = dataOff + srcRow * stride + x * 3
+        // stored B,G,R
+        ((b(o + 2) & 0xFF), (b(o + 1) & 0xFF), (b(o) & 0xFF))
+      }
+      imageFeatures("bmp", w, h, rgb, b.length.toLong)
+    }
+
+    /** P6 binary PPM, maxval 255; null on anything else. */
+    private def decodePpm(b: Array[Byte]): (Row, Array[Float]) = {
+      if (b.length < 9 || b(0) != 'P' || b(1) != '6') return null
+      // header = three whitespace-separated ints after "P6", then ONE
+      // whitespace byte before the pixel payload ('#' comments allowed)
+      var pos = 2
+      val vals = new Array[Int](3)
+      var vi = 0
+      while (vi < 3) {
+        while (pos < b.length &&
+          (b(pos) == ' ' || b(pos) == '\n' || b(pos) == '\r' || b(pos) == '\t')) {
+          pos += 1
+          if (pos < b.length && b(pos) == '#') {
+            while (pos < b.length && b(pos) != '\n') pos += 1
+          }
+        }
+        var v = 0
+        var any = false
+        while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+          v = v * 10 + (b(pos) - '0'); pos += 1; any = true
+        }
+        if (!any) return null
+        vals(vi) = v
+        vi += 1
+      }
+      pos += 1 // the single whitespace after maxval
+      val (w, h, maxv) = (vals(0), vals(1), vals(2))
+      if (w <= 0 || h <= 0 || maxv != 255) return null
+      if (pos.toLong + 3L * w * h > b.length) return null
+      val dataOff = pos
+      def rgb(x: Int, y: Int): (Int, Int, Int) = {
+        val o = dataOff + (y * w + x) * 3
+        ((b(o) & 0xFF), (b(o + 1) & 0xFF), (b(o + 2) & 0xFF))
+      }
+      imageFeatures("ppm", w, h, rgb, b.length.toLong)
+    }
+
+    /** RIFF/WAVE, PCM (format 1), 16-bit; null on anything else. */
+    private def decodeWav(b: Array[Byte]): (Row, Array[Float]) = {
+      if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F'
+        || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
+      var pos = 12
+      var channels = 0
+      var rate = 0
+      var bits = 0
+      var dataOff = -1
+      var dataLen = 0
+      while (pos + 8 <= b.length) {
+        val id = new String(b, pos, 4, "US-ASCII")
+        val len = leInt(b, pos + 4)
+        if (len < 0 || pos + 8 + len > b.length) return null
+        if (id == "fmt ") {
+          if (len < 16 || leShort(b, pos + 8) != 1) return null // PCM only
+          channels = leShort(b, pos + 10)
+          rate = leInt(b, pos + 12)
+          bits = leShort(b, pos + 22)
+        } else if (id == "data") {
+          dataOff = pos + 8
+          dataLen = len
+        }
+        pos += 8 + len + (len & 1) // RIFF chunks are word-aligned
+      }
+      if (channels <= 0 || rate <= 0 || bits != 16 || dataOff < 0) return null
+      val n = dataLen / 2
+      var sumAbs = 0L
+      var zc = 0
+      var prevSign = 0
+      var i = 0
+      var first = 0
+      var last = 0
+      while (i < n) {
+        val s = leShort(b, dataOff + i * 2).toShort.toInt
+        if (i == 0) first = s
+        last = s
+        sumAbs += math.abs(s)
+        val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+        if (i > 0 && sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+        if (sign != 0) prevSign = sign
+        i += 1
+      }
+      val durationMs = if (rate > 0) n.toLong * 1000L / channels / rate else 0L
+      val meta = Row("wav", 0, 0, 1, durationMs)
+      (meta, Array[Float](channels.toFloat, rate.toFloat, (n / channels).toFloat,
+        first.toFloat, last.toFloat, sumAbs.toFloat, zc.toFloat))
+    }
+
+    override def decode(bytes: Array[Byte], format: String): (Row, Array[Float]) = {
+      if (bytes == null || bytes.isEmpty) return null
+      val fmt = if (format == null) "" else format.toLowerCase
+      fmt match {
+        case "bmp" => decodeBmp(bytes)
+        case "ppm" => decodePpm(bytes)
+        case "wav" => decodeWav(bytes)
+        case _     => fallback.decode(bytes, format)
+      }
+    }
+  }
+
+  // ---- fixture builders: the inverse of the parsers, used by the
+  // oracle-checked decode queries and tests to synthesize REAL media
+  // bytes in-plan (no binary files in the container). Kept here so
+  // builder and parser agree on one definition of the formats. ----
+
+  /** 24bpp bottom-up BMP. `pix(k)` supplies channel k of the image in
+    * TOP-DOWN row-major RGB order (k in [0, w*h*3)); the builder
+    * reorders to the on-disk bottom-up BGR layout with stride padding.
+    */
+  def buildBmp(w: Int, h: Int, pix: Int => Int): Array[Byte] = {
+    require(w > 0 && h > 0, "dims must be positive")
+    val stride = ((w * 3 + 3) / 4) * 4
+    val dataSize = stride * h
+    val out = new Array[Byte](54 + dataSize)
+    def putLeInt(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte; out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def putLeShort(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLeInt(2, out.length); putLeInt(10, 54)
+    putLeInt(14, 40); putLeInt(18, w); putLeInt(22, h)
+    putLeShort(26, 1); putLeShort(28, 24); putLeInt(30, 0); putLeInt(34, dataSize)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val k = (y * w + x) * 3
+        val o = 54 + (h - 1 - y) * stride + x * 3
+        out(o + 2) = (pix(k) & 0xFF).toByte     // R
+        out(o + 1) = (pix(k + 1) & 0xFF).toByte // G
+        out(o) = (pix(k + 2) & 0xFF).toByte     // B
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** P6 PPM, maxval 255; `pix(k)` as in [[buildBmp]] (PPM is already
+    * top-down RGB, no padding).
+    */
+  def buildPpm(w: Int, h: Int, pix: Int => Int): Array[Byte] = {
+    require(w > 0 && h > 0, "dims must be positive")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var k = 0
+    while (k < w * h * 3) { out(header.length + k) = (pix(k) & 0xFF).toByte; k += 1 }
+    out
+  }
+
+  /** Mono PCM-16 WAV at `rate` Hz; `sample(i)` in [-32768, 32767]. */
+  def buildWav(rate: Int, n: Int, sample: Int => Int): Array[Byte] = {
+    require(rate > 0 && n >= 0, "rate must be positive")
+    val dataLen = n * 2
+    val out = new Array[Byte](44 + dataLen)
+    def putLeInt(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte; out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def putLeShort(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+    putLeInt(4, 36 + dataLen)
+    "WAVE".getBytes("US-ASCII").copyToArray(out, 8)
+    "fmt ".getBytes("US-ASCII").copyToArray(out, 12)
+    putLeInt(16, 16); putLeShort(20, 1); putLeShort(22, 1)
+    putLeInt(24, rate); putLeInt(28, rate * 2); putLeShort(32, 2); putLeShort(34, 16)
+    "data".getBytes("US-ASCII").copyToArray(out, 36)
+    putLeInt(40, dataLen)
+    var i = 0
+    while (i < n) { putLeShort(44 + i * 2, sample(i) & 0xFFFF); i += 1 }
+    out
+  }
+
+  /** Deterministic media fixtures from an id column: REAL BMP/PPM/WAV
+    * bytes whose dimensions, pixels and samples follow documented
+    * id-indexed formulas, so an external engine can predict what a
+    * correct decoder must extract without parsing the format itself:
+    *
+    *   image:  w = 4 + id%13, h = 3 + id%11,
+    *           channel k (top-down row-major RGB) = (id*31 + k*7) % 256
+    *   audio:  mono 8 kHz PCM-16, n = 32 + id%96 samples,
+    *           sample i = (id*7919 + i*2503) % 65536 - 32768
+    *
+    * The decode queries pair this with [[PureJvmCodec]]: bytes are
+    * built, round-tripped through the actual parser, and the oracle
+    * recomputes the same features from the formulas — a wrong stride,
+    * row order or channel order fails the hash.
+    */
+  def synthMediaBlobs(df: DataFrame, idCol: String, format: String): DataFrame = {
+    val outSchema = StructType(Seq(StructField("id", LongType),
+      StructField("bytes", BinaryType), StructField("format", StringType)))
+    df.select(col(idCol).cast(LongType).as("id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = format match {
+          case "bmp" => buildBmp((4 + id % 13).toInt, (3 + id % 11).toInt,
+            k => ((id * 31L + k * 7L) % 256L).toInt)
+          case "ppm" => buildPpm((4 + id % 13).toInt, (3 + id % 11).toInt,
+            k => ((id * 31L + k * 7L) % 256L).toInt)
+          case "wav" => buildWav(8000, (32 + id % 96).toInt,
+            i => (((id * 7919L + i * 2503L) % 65536L) - 32768L).toInt)
+          case other => throw new IllegalArgumentException(
+            s"synthMediaBlobs: unknown format $other")
+        }
+        Row(id, bytes, format)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Decode + feature-extract a binary column into a `decoded` struct
     * column. Null or oversized blobs yield null (never fail the
     * task); per-partition open/close brackets the codec lifecycle.

@@ -281,12 +281,19 @@ object TextAnalysis {
     val tt = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
     val tr = cr.agg(coalesce(sum(col("cr")), lit(0L)).as("tr"))
     val all = raw.sparkSession.range(buckets).select(col("id").as("b"))
+    // each factor is cast to double BEFORE the multiply: web-scale
+    // corpora put tr/tt near 1e13 and the Long*Long product would
+    // silently wrap (throw under ANSI). Exact-representable factors
+    // (< 2^53) make double*double bit-identical to the integer
+    // product, so the quantized oracle replay is unchanged.
     val ratio = all.join(ct, Seq("b"), "left").join(cr, Seq("b"), "left")
       .crossJoin(tt).crossJoin(tr)
       .select(col("b"),
         floor(log(
-          ((coalesce(col("ct"), lit(0L)) + 1L) * (col("tr") + buckets)).cast(DoubleType) /
-          ((coalesce(col("cr"), lit(0L)) + 1L) * (col("tt") + buckets)).cast(DoubleType))
+          ((coalesce(col("ct"), lit(0L)) + 1L).cast(DoubleType) *
+            (col("tr") + buckets).cast(DoubleType)) /
+          ((coalesce(col("cr"), lit(0L)) + 1L).cast(DoubleType) *
+            (col("tt") + buckets).cast(DoubleType)))
           * lit(1000000.0)).cast(LongType).as("lr_micro"))
     rawOcc.join(broadcast(ratio), Seq("b"))
       .groupBy(col("id"))
@@ -306,11 +313,14 @@ object TextAnalysis {
   private val BpeSep = "\u001F"
   private def bpeCharSyms(w: Column): Column =
     concat(lit(BpeSep),
-      // (?!^) splits between every pair of chars (BMP) but ALSO
+      // (?!^) splits between every pair of CODE POINTS but ALSO
       // matches the end boundary, leaving a trailing "" element —
       // filter it exactly like the oracle's
-      // list_filter(string_split(w, ''), c <> '')
-      array_join(filter(split(w, "(?!^)"), c => c =!= ""), BpeSep + BpeSep),
+      // list_filter(string_split(w, ''), c <> ''). The lookbehind
+      // guard keeps surrogate PAIRS whole: without it a non-BMP char
+      // (emoji, CJK-ext) becomes two lone-surrogate symbols.
+      array_join(filter(split(w, "(?!^)(?<![\uD800-\uDBFF])"), c => c =!= ""),
+        BpeSep + BpeSep),
       lit(BpeSep))
   private def bpeSymbols(syms: Column): Column =
     filter(split(syms, java.util.regex.Pattern.quote(BpeSep)), x => x =!= "")
@@ -402,12 +412,37 @@ object TextAnalysis {
       lit(0L),
       (acc, s) => acc + size(bpeSymbols(s)).cast("long"))
 
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Corpus unigram log-probability per document (perplexity-proxy
+    * quality score). The raw token stream is NEVER shuffled by token:
+    * joining per-occurrence tokens on the vocab key would land every
+    * occurrence of "the" on one reducer (Zipf skew — the classic
+    * 100 TB scale-killer). Instead the vocab histogram (Zipf-small:
+    * distinct tokens, not occurrences) is measured once at plan
+    * build; if it fits a broadcast (`vocabBroadcastMax`) the join is
+    * map-side, so the only shuffles are the two map-side-combined
+    * aggregates (vocab count, per-doc sum). Oversized vocabularies
+    * fall back to [[Skew.saltedJoin]], which spreads each hot token
+    * over `saltFactor` reducers. `total` is derived from the
+    * histogram (sum over vocab-sized rows) — no second corpus scan.
+    *
+    * Plan-build cost: one eager vocab count (materializes the persist
+    * the returned plan reuses). The persist stays referenced by the
+    * plan, so callers batching many corpora should clearCache()
+    * between batches (same policy as [[dsirLogWeights]]).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     vocabBroadcastMax: Long = 8000000L,
+                     saltFactor: Int = 16): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("tok"))
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("total"))
-    toks.join(uni, Seq("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocabSize = uni.count()
+    val total = uni.agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
+    val joined =
+      if (vocabSize <= vocabBroadcastMax) toks.join(broadcast(uni), Seq("tok"))
+      else Skew.saltedJoin(toks, uni, "tok", saltFactor)
+    joined
       .join(broadcast(total))
       .withColumn("lp_micro",
         floor(log(col("cnt").cast(DoubleType) / col("total").cast(DoubleType))

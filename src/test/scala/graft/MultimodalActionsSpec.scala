@@ -32,6 +32,64 @@ class MultimodalActionsSpec extends AnyFunSuite {
     assert(big(2).isNullAt(3) && !big(0).isNullAt(3))
   }
 
+  test("PureJvmCodec: BMP round-trip undoes bottom-up rows, BGR order and stride padding") {
+    // 5x3: row bytes 15, stride 16 — the padding byte is exercised
+    val (w, h) = (5, 3)
+    def pix(k: Int): Int = (k * 11 + 3) % 256
+    val bytes = Multimodal.buildBmp(w, h, pix)
+    val codec = new Multimodal.PureJvmCodec()
+    val (meta, feats) = codec.decode(bytes, "bmp")
+    assert(meta.getString(0) === "bmp")
+    assert(meta.getInt(1) === w && meta.getInt(2) === h)
+    assert(feats(0) === w.toFloat && feats(1) === h.toFloat)
+    // top-left pixel is k=0,1,2 in top-down RGB order — wrong row
+    // order or channel order lands on different bytes
+    assert(feats(2) === pix(0).toFloat)
+    assert(feats(3) === pix(1).toFloat)
+    assert(feats(4) === pix(2).toFloat)
+    val expSum = (0 until w * h * 3).map(pix).sum
+    assert(feats(5) === expSum.toFloat)
+    assert(feats(6) === (0 until w * h * 3).map(pix).max.toFloat)
+  }
+
+  test("PureJvmCodec: PPM decodes to the same features as the equivalent BMP") {
+    def pix(k: Int): Int = (k * 7 + 40) % 256
+    val codec = new Multimodal.PureJvmCodec()
+    val (mB, fB) = codec.decode(Multimodal.buildBmp(6, 4, pix), "bmp")
+    val (mP, fP) = codec.decode(Multimodal.buildPpm(6, 4, pix), "ppm")
+    assert(mB.getString(0) === "bmp" && mP.getString(0) === "ppm")
+    assert(fB.toSeq === fP.toSeq)
+  }
+
+  test("PureJvmCodec: WAV round-trip — samples, duration, zero-skipping crossings") {
+    // signs: + - 0 0 - + : crossings at (+,-) and (-,+) with the zeros
+    // skipped but sign carried across them
+    val samples = Array(1000, -2000, 0, 0, -1, 32767)
+    val codec = new Multimodal.PureJvmCodec()
+    val (meta, f) = codec.decode(
+      Multimodal.buildWav(8000, samples.length, samples(_)), "wav")
+    assert(meta.getString(0) === "wav")
+    assert(meta.getLong(4) === samples.length * 1000L / 8000L) // duration_ms
+    assert(f(0) === 1f && f(1) === 8000f && f(2) === samples.length.toFloat)
+    assert(f(3) === 1000f && f(4) === 32767f)
+    assert(f(5) === samples.map(math.abs).sum.toFloat)
+    assert(f(6) === 2f)
+  }
+
+  test("PureJvmCodec: malformed media decodes to null; unknown formats hit the stub") {
+    val codec = new Multimodal.PureJvmCodec()
+    val good = Multimodal.buildBmp(4, 4, _ => 1)
+    assert(codec.decode(good.take(30), "bmp") === null)         // truncated
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    assert(codec.decode(badMagic, "bmp") === null)
+    val bpp8 = good.clone(); bpp8(28) = 8                       // unsupported depth
+    assert(codec.decode(bpp8, "bmp") === null)
+    assert(codec.decode("nonsense".getBytes, "wav") === null)
+    assert(codec.decode("P5 2 2 255 ".getBytes, "ppm") === null) // P5 != P6
+    val viaStub = codec.decode("opaque".getBytes, "mp4")
+    assert(viaStub != null && viaStub._2.length === 16)          // stub dim
+  }
+
   test("resizeMedia: target dims in meta, byte cap, null passthrough") {
     val df = Seq(
       (1L, Some(Array.fill[Byte](500)(3)), "png"),
