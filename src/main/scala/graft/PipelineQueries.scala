@@ -384,15 +384,17 @@ object PipelineQueries {
 
     // ---- exact percentiles (interpolated), quantized to 1e-6 so the
     //      engines' interpolation op-order difference cannot surface;
-    //      the approximate twin is q_approx_sketches ----
+    //      the approximate twin is q_approx_sketches. Rank-offset
+    //      selection (sort + bracketing rows), NOT the value-buffering
+    //      `percentile` aggregate — same scale rationale as
+    //      Frames.exactMedianByGroup ----
     "q_exact_percentiles" -> ((s, d) =>
-      t(s, d, "events")
-        .groupBy(col("event_type"))
-        .agg(expr("percentile(value, array(0.5, 0.9, 0.99))").as("ps"))
+      Frames.exactQuantilesByGroup(t(s, d, "events"), "event_type", "value",
+          Seq(0.5, 0.9, 0.99))
         .select(col("event_type"),
-          floor(element_at(col("ps"), 1) * lit(1000000.0) + lit(0.5)).cast(LongType).as("p50_q6"),
-          floor(element_at(col("ps"), 2) * lit(1000000.0) + lit(0.5)).cast(LongType).as("p90_q6"),
-          floor(element_at(col("ps"), 3) * lit(1000000.0) + lit(0.5)).cast(LongType).as("p99_q6"))
+          floor(col("p0") * lit(1000000.0) + lit(0.5)).cast(LongType).as("p50_q6"),
+          floor(col("p1") * lit(1000000.0) + lit(0.5)).cast(LongType).as("p90_q6"),
+          floor(col("p2") * lit(1000000.0) + lit(0.5)).cast(LongType).as("p99_q6"))
         .orderBy(col("event_type"))),
 
     // ---- approximate sketch aggregates (HLL++ distinct, quantile

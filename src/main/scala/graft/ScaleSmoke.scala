@@ -147,6 +147,22 @@ object ScaleSmoke {
         Similarity.ivfPqTopK(embKr, embKr, 1, coarse, cbs, nProbe = 4,
           shortlist = Similarity.suggestedShortlist(eK, 1))
           .queryExecution.toRdd.count() },
+      time("winnow_pairs_1x") {
+        Dedup.winnowingNearDupPairs(docs1, "doc_id", "text", 4, 4, 2)
+          .queryExecution.toRdd.count() },
+      time(s"winnow_pairs_${k}x") {
+        Dedup.winnowingNearDupPairs(docsK, "doc_id", "text", 4, 4, 2)
+          .queryExecution.toRdd.count() },
+      time("jaccard_dford_1x") {
+        Dedup.ngramJaccardPairsDfOrdered(docs1, "doc_id", "text", 3, 0.5)
+          .queryExecution.toRdd.count() },
+      time(s"jaccard_dford_${k}x") {
+        // replicas are near-dups of each other: every shingle's df is
+        // multiplied K-fold and cross-replica pairs are real near-dups
+        // — the hot-shingle adversarial case the df-ordered prefix
+        // index exists for
+        Dedup.ngramJaccardPairsDfOrdered(docsK, "doc_id", "text", 3, 0.5)
+          .queryExecution.toRdd.count() },
       time("pack_sequences_1x") {
         graft.operators.Frames.packSequences(
           docs1.select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("nt")),
@@ -163,7 +179,7 @@ object ScaleSmoke {
     val byName = results.map { case (n, s, _) => n -> s }.toMap
     Seq("minhash_lsh", "simhash", "exact_dedup", "ivf_topk", "lsh_topk",
         "line_dedup", "cross_dedup", "embed_neardup", "ivf_pq_topk",
-        "pack_sequences").foreach { base =>
+        "winnow_pairs", "jaccard_dford", "pack_sequences").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

@@ -108,4 +108,10 @@ object NativeFunctions {
     GraftSqlShims.column(
       TopKRows(GraftSqlShims.expression(ord), GraftSqlShims.expression(payload), k)
         .toAggregateExpression())
+
+  /** Single-pass BPE segmentation of one word under a learned merge
+    * list; returns the framed symbol string.
+    */
+  def bpeSegmentWord(word: Column, merges: Seq[String]): Column =
+    GraftSqlShims.column(BpeSegmentWord(GraftSqlShims.expression(word), merges))
 }

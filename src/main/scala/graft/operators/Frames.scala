@@ -344,6 +344,45 @@ object Frames {
         .as(outCol))
   }
 
+  /** Exact per-group interpolated quantiles by the same rank-offset
+    * selection as [[exactMedianByGroup]], generalized: for each
+    * requested p the 0-based position is p*(n-1); the two bracketing
+    * ranks are kept and interpolated lo + (hi-lo)*frac — the
+    * `percentile`/`quantile_cont` definition — without ever buffering
+    * a group's values in an aggregation buffer. One window sort (the
+    * only corpus-sized shuffle, disk-spillable) + a ≤2|ps|-rows-per-
+    * group aggregate.
+    */
+  def exactQuantilesByGroup(df: DataFrame, keyCol: String, valCol: String,
+                            ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "quantiles must be in [0, 1]")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
+    val wc = Window.partitionBy(col(keyCol))
+    val ranked = df.select(col(keyCol), col(valCol))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wc))
+    def pos(p: Double): Column = (col("__n") - 1L).cast("double") * lit(p)
+    def lo(p: Double): Column = floor(pos(p)).cast("long") + 1L
+    def hi(p: Double): Column = least(lo(p) + 1L, col("__n"))
+    val keep = ps.map(p => col("__rk") === lo(p) || col("__rk") === hi(p))
+      .reduce(_ || _)
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) => Seq(
+      max(when(col("__rk") === lo(p), col(valCol))).as(s"__lo$i"),
+      max(when(col("__rk") === hi(p), col(valCol))).as(s"__hi$i")) } :+
+      max(col("__n")).as("__n")
+    val outs = ps.zipWithIndex.map { case (p, i) =>
+      val fpos = (col("__n") - 1L).cast("double") * lit(p)
+      val frac = fpos - floor(fpos)
+      (col(s"__lo$i").cast("double") +
+        (col(s"__hi$i").cast("double") - col(s"__lo$i").cast("double")) * frac)
+        .as(s"p$i") }
+    ranked.filter(keep)
+      .groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(keyCol) +: outs: _*)
+  }
+
   def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
                 outCol: String = "split"): DataFrame = {
     require(splits.nonEmpty, "at least one split")

@@ -393,14 +393,30 @@ object TextAnalysis {
 
   /** Apply a learned BPE merge list ([[trainBpeMerges]] output order
     * matters) to a text column: per whitespace token, symbols start
-    * as characters and each merge replaces its whole-symbol pair
-    * everywhere (the same framing and semantics training used).
-    * Returns the per-token framed symbol strings as an array — use
-    * [[bpeTokenCount]] or split on the separator for symbol lists.
-    * Pure map-side column expression; the merge list is a driver-held
-    * literal (tokenizers are KBs even at 100k merges).
+    * as code points and merges apply with the training-order replay
+    * semantics. Returns the per-token framed symbol strings as an
+    * array — use [[bpeTokenCount]] or split on the separator for
+    * symbol lists.
+    *
+    * Implementation is the single-pass native expression
+    * [[graft.functions.BpeSegmentWord]] (one rank-map encode loop per
+    * word): per-word cost is independent of merge-list size, so
+    * production-scale tokenizers (100k merges) work — the old
+    * one-replace-expression-per-merge chain (kept as
+    * [[bpeSegmentReplace]], equality asserted in TextAnalysisSpec)
+    * rebuilt the framed string per merge and broke expression
+    * analysis past a few hundred merges.
     */
   def bpeSegment(text: Column, merges: Seq[String]): Column =
+    transform(tokens(text), w =>
+      graft.functions.NativeFunctions.bpeSegmentWord(w, merges))
+
+  /** The literal-replace-chain formulation of [[bpeSegment]]: one
+    * whole-symbol framed replace per merge, exactly the op sequence
+    * the DuckDB oracle replays. Reference semantics for tests; use
+    * [[bpeSegment]] (same output, one pass) everywhere else.
+    */
+  def bpeSegmentReplace(text: Column, merges: Seq[String]): Column =
     transform(tokens(text), w =>
       merges.foldLeft(bpeCharSyms(w))(bpeApplyMerge))
 

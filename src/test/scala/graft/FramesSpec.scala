@@ -200,6 +200,36 @@ class FramesSpec extends AnyFunSuite {
       s"ORC filter not pushed:\n$p")
   }
 
+  test("exactMedianByGroup / exactQuantilesByGroup equal the percentile aggregate") {
+    import graft.operators.Frames
+    val orders = Tables.table(spark, TestSpark.sfDir, "orders")
+      .select(col("o_orderpriority").as("k"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("v"))
+    // median: rank-offset vs percentile(0.5), exact doubles both ways
+    val med = Frames.exactMedianByGroup(orders, "k", "v", "m")
+    val ref = orders.groupBy(col("k")).agg(percentile(col("v"), lit(0.5)).as("m"))
+    assert(med.orderBy("k").collect().map(_.toSeq).toSeq ===
+      ref.orderBy("k").collect().map(_.toSeq).toSeq)
+    // odd/even group sizes and duplicate values interpolate correctly
+    val tiny = Seq(("a", 1L), ("a", 3L), ("a", 3L), ("a", 10L),
+      ("b", 5L), ("b", 6L), ("b", 7L)).toDF("k", "v")
+    val tm = Frames.exactMedianByGroup(tiny, "k", "v", "m")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(tm.toSeq === Seq(("a", 3.0), ("b", 6.0)))
+    // multi-quantile vs the native aggregate, within the 1e-6 quantum
+    val qs = Frames.exactQuantilesByGroup(orders, "k", "v", Seq(0.5, 0.9, 0.99))
+      .orderBy("k").collect()
+    val refq = orders.groupBy(col("k"))
+      .agg(expr("percentile(v, array(0.5, 0.9, 0.99))").as("ps"))
+      .orderBy("k").collect()
+    qs.zip(refq).foreach { case (a, b) =>
+      val got = Seq(a.getDouble(1), a.getDouble(2), a.getDouble(3))
+      val exp = b.getSeq[Double](1)
+      got.zip(exp).foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-6, s"quantile diverged: $g vs $e") }
+    }
+  }
+
   test("CSV sink/source roundtrip with header and explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
     val src = Tables.table(spark, TestSpark.sfDir, "nation")

@@ -99,6 +99,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"per-group stats must broadcast:\n$p")
   }
 
+  test("DSIR: per-bucket ratio joins the occurrence stream via broadcast") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val p = plan(graft.operators.TextAnalysis.dsirLogWeights(
+      docs.filter(col("source") =!= "src0"), docs.filter(col("source") === "src0"),
+      "doc_id", "text"))
+    // the 1024-bucket ratio table must come back to the raw occurrence
+    // stream as a broadcast — a sort-merge here shuffles the whole
+    // exploded corpus by bucket (1024 reducers for 100 TB of shingles)
+    assert(p.contains("BroadcastHashJoin"), s"ratio join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"occurrence stream must not SMJ:\n$p")
+  }
+
+  test("unigramLogProb: token stream is never shuffled by token (vocab broadcasts)") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val p = plan(graft.operators.TextAnalysis.unigramLogProb(docs, "doc_id", "text"))
+    // Zipf guard: joining per-occurrence tokens on the vocab key
+    // sort-merge-style lands every "the" on one reducer; the vocab
+    // histogram (distinct tokens) must broadcast instead
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token stream shuffled by token:\n$p")
+  }
+
   test("range-frame window is one exchange + one sort, no self-join") {
     val p = plan(SparkEntry.queries("q_window_range")(spark, TestSpark.sfDir))
     assert(p.contains("Window"), s"expected Window node:\n$p")

@@ -196,6 +196,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(aloSyms === Seq("al", "o"), s"boundary-crossing merge corrupted 'alo': $aloSyms")
   }
 
+  test("native bpeSegment equals the literal-replace chain on real documents") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.table(TestSpark.spark, TestSpark.sfDir, "documents")
+    val merges = TextAnalysis.trainBpeMerges(docs, "text", merges = 6).map(_._1)
+    val both = docs.select(col("doc_id"),
+        TextAnalysis.bpeSegment(col("text"), merges).as("native"),
+        TextAnalysis.bpeSegmentReplace(col("text"), merges).as("chain"))
+      .filter(not(col("native") <=> col("chain")))
+    assert(both.count() === 0L, "native/replace-chain BPE segmentation diverged")
+    // adversarial micro-cases: repeated chars (non-overlap), a merge
+    // whose output is a later merge's input, empty text
+    val tricky = Seq("aaaa", "abab ab a b", "", "a").toDF("text")
+    val m2 = TextAnalysis.trainBpeMerges(tricky, "text", merges = 3).map(_._1)
+    val diff = tricky.select(
+        TextAnalysis.bpeSegment(col("text"), m2).as("n"),
+        TextAnalysis.bpeSegmentReplace(col("text"), m2).as("c"))
+      .filter(not(col("n") <=> col("c")))
+    assert(diff.count() === 0L)
+  }
+
   test("trainBpeMerges stops early when no pairs remain") {
     import graft.operators.TextAnalysis
     val df = Seq("a b a").toDF("text")  // single-char tokens only
