@@ -121,6 +121,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- CCNet-style perplexity bucketing: per-language head/middle/
+    //      tail terciles of the mean-token-logprob score, cutoffs from
+    //      a bounded score histogram (never a corpus sort) ----
+    "text_ppl_buckets" -> ((s, d) =>
+      TextAnalysis.perplexityBuckets(t(s, d, "documents"), "doc_id", "text", "lang")
+        .select(col("id").as("doc_id"), col("lang"), col("score_q"), col("bucket"))
+        .orderBy(col("doc_id"))),
+
+    // ---- SemDeDup-shaped semantic dedup: portable IVF clustering,
+    //      all-pairs cosine only within a cell, connected components,
+    //      keep each cluster's canonical member. The oracle retrains
+    //      the identical centroids and replays assignment, within-cell
+    //      pairs and the closure ----
+    "dedup_semantic" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = Similarity.trainIvfCentroids(e,
+        nCentroids = Similarity.suggestedCentroids(e.count()), dim = 64,
+        iterations = 1, portable = true)
+      val pairs = Similarity.semanticDedupPairs(e, "vec_id", "embedding",
+        cents, threshold = 0.3, portable = true)
+      Dedup.dedupByNearDup(e, "vec_id", pairs)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- near-dup dedup keeping the best-QUALITY doc per cluster
     //      (curation-grade survivor choice; argmax aggregate, no
     //      window). Pair generation uses the df-ordered prefix index:
@@ -1600,6 +1625,98 @@ object PipelineQueries {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
          ORDER BY id_a, id_b""",
+    "text_ppl_buckets" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         uni AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+         tot AS (SELECT COUNT(*) AS total FROM toks),
+         sc AS (
+           SELECT t.doc_id, COUNT(*) AS n_tok,
+             CAST(SUM(CAST(floor(ln(CAST(u.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS slp
+           FROM toks t JOIN uni u USING (tok) CROSS JOIN tot
+           GROUP BY t.doc_id),
+         sq AS (
+           SELECT d.doc_id, d.lang,
+             CAST(floor(CAST(s.slp AS DOUBLE) / CAST(s.n_tok AS DOUBLE)) AS BIGINT) AS score_q
+           FROM documents d JOIN sc s USING (doc_id) WHERE s.n_tok > 0),
+         hist AS (SELECT lang, score_q, COUNT(*) AS c FROM sq GROUP BY 1, 2),
+         cm AS (
+           SELECT lang, score_q, c,
+             SUM(c) OVER (PARTITION BY lang ORDER BY score_q) AS cum
+           FROM hist),
+         t2 AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY lang),
+         cuts AS (
+           SELECT cm.lang,
+             MIN(CASE WHEN cm.cum >= CAST(floor((t2.n + 2) / 3.0) AS BIGINT)
+               THEN cm.score_q END) AS c1,
+             MIN(CASE WHEN cm.cum >= CAST(floor((t2.n * 2 + 2) / 3.0) AS BIGINT)
+               THEN cm.score_q END) AS c2
+           FROM cm JOIN t2 USING (lang) GROUP BY cm.lang)
+         SELECT s.doc_id, s.lang, s.score_q,
+           CASE WHEN s.score_q <= c.c1 THEN 'tail'
+                WHEN s.score_q <= c.c2 THEN 'middle'
+                ELSE 'head' END AS bucket
+         FROM sq s JOIN cuts c USING (lang) ORDER BY s.doc_id""",
+    "dedup_semantic" ->
+      """WITH RECURSIVE n AS (SELECT count(*) AS cnt FROM embeddings),
+         hx AS (
+           SELECT vec_id, embedding,
+             ((((vec_id + 42) % 1000000007) * ((vec_id + 42) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+           FROM embeddings),
+         init AS (
+           SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY (v * v) % 1000000007, vec_id) - 1 AS cell
+           FROM hx
+           QUALIFY cell < (SELECT greatest(16, CAST(ceil(sqrt(cnt)) AS BIGINT)) FROM n)),
+         a0 AS (
+           SELECT e.vec_id, i.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, i.embedding) DESC, i.cell) AS rk
+           FROM embeddings e CROSS JOIN init i),
+         a1 AS (SELECT vec_id, cell FROM a0 WHERE rk = 1),
+         q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+           FROM embeddings),
+         mp AS (
+           SELECT a1.cell, p.pos,
+             CAST(floor(CAST(sum(p.qx) AS DOUBLE) / count(*)) AS BIGINT) AS mq
+           FROM a1 JOIN q USING (vec_id),
+             LATERAL (SELECT unnest(qv) AS qx, generate_subscripts(qv, 1) AS pos) p
+           GROUP BY a1.cell, p.pos),
+         upd AS (
+           SELECT cell, list_transform(array_agg(mq ORDER BY pos),
+             m -> CAST(m / 1048576.0 AS FLOAT)) AS cv
+           FROM mp GROUP BY cell),
+         cents AS (
+           SELECT i.cell, COALESCE(u.cv, i.embedding) AS cv
+           FROM init i LEFT JOIN upd u USING (cell)),
+         a2 AS (
+           SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cell) AS rk
+           FROM embeddings e CROSS JOIN cents c),
+         assign AS (SELECT vec_id, cell FROM a2 WHERE rk = 1),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
+           JOIN embeddings a ON a.vec_id = x.vec_id
+           JOIN embeddings b ON b.vec_id = y.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3),
+         e2 AS (
+           SELECT id_a AS src, id_b AS dst FROM p
+           UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT r2.id, e2.dst FROM reach r2 JOIN e2 ON e2.src = r2.r),
+         canon AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id)
+         SELECT m.vec_id, m.label FROM embeddings m
+         JOIN canon c ON c.id = m.vec_id AND c.canonical = m.vec_id
+         ORDER BY m.vec_id""",
     "dedup_embedding" ->
       """WITH RECURSIVE p AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b

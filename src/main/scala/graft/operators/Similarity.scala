@@ -191,6 +191,37 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-shaped semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the IVF coarse
+    * quantizer, then run the all-pairs cosine test only WITHIN each
+    * cell — the quadratic pair join is bounded by (cell size)², and
+    * with sqrt-scaled cells (the [[suggestedCentroids]] law) expected
+    * cell size is sqrt(n), keeping total candidate volume ~linear.
+    * Cross-cell near-dups are missed by construction — that is the
+    * SemDeDup trade (the paper dedups within k-means clusters for
+    * exactly this bound); raise recall with more Lloyd iterations or
+    * fewer cells, or use [[cosineNearDupPairs]]'s hyperplane buckets
+    * for an orthogonal candidate generator.
+    *
+    * With `portable = true` centroids from [[trainIvfCentroids]]
+    * (portable mode) make the whole pipeline — training, assignment,
+    * within-cell pairs — replayable by an external engine; the
+    * declared `dedup_semantic` query is hash-checked end to end.
+    */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: Array[Array[Float]], threshold: Double,
+                         portable: Boolean = false): DataFrame = {
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      element_at(graft.functions.NativeFunctions.nearestCells(
+        col(vecCol), centroids, 1, portable), 1).as("cell"))
+    assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        cosine(col("x.v"), col("y.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** IVF sizing law: cells ∝ sqrt(corpus) keeps (members per cell) x
     * (queries probing it) — and so candidate-join volume — linear in
     * corpus size. A fixed cell count makes self-ANN quadratic: 10x

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /** Text-analysis operators for training-data pipelines: token
@@ -262,20 +263,24 @@ object TextAnalysis {
         pmod(graft.functions.NativeFunctions.polyFingerprint(col("g")),
           lit(buckets.toLong)).as("b"))
     // the raw occurrence stream feeds BOTH the bucket histogram and
-    // the final per-doc join — persist so the shingle explode (the
-    // dominant map cost) runs once per corpus, not once per consumer.
-    // Both persists stay referenced by the returned plan, so (as with
-    // Dedup's signature tables) they cannot be unpersisted here;
-    // CacheManager also substitutes them into later plans sharing the
-    // subtree. Callers running many corpora through a long session
-    // should clearCache() between batches.
-    val rawOcc = occ(raw).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the final per-doc join. Pre-aggregate it to (id, bucket, k)
+    // counts FIRST (map-side combined): the persisted footprint and
+    // the ratio-join volume drop from per-occurrence rows to at most
+    // `buckets` rows per document, and every downstream aggregate
+    // re-derives exactly (n_grams = Σk, sum_lr = Σ lr*k). The persist
+    // stays referenced by the returned plan, so (as with Dedup's
+    // signature tables) it cannot be unpersisted here; CacheManager
+    // also substitutes it into later plans sharing the subtree.
+    // Callers running many corpora through a long session should
+    // clearCache() between batches.
+    val rawOcc = occ(raw).groupBy(col("id"), col("b")).agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the target histogram is read twice (ratio join + tt total) —
     // at most `buckets` rows, but computing it is a full explode of
     // the target corpus; persist keeps that one-pass
     val ct = occ(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cr = rawOcc.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val cr = rawOcc.groupBy(col("b")).agg(sum(col("k")).as("cr"))
     // totals fall out of the bucket histograms (sum over <= `buckets`
     // rows) — no extra pass over either corpus
     val tt = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
@@ -297,7 +302,8 @@ object TextAnalysis {
           * lit(1000000.0)).cast(LongType).as("lr_micro"))
     rawOcc.join(broadcast(ratio), Seq("b"))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("lr_micro")).as("sum_lr_micro"))
+      .agg(sum(col("k")).as("n_grams"),
+        sum(col("lr_micro") * col("k")).as("sum_lr_micro"))
   }
 
   // ---- BPE internals ----
@@ -427,6 +433,48 @@ object TextAnalysis {
     aggregate(bpeSegment(text, merges),
       lit(0L),
       (acc, s) => acc + size(bpeSymbols(s)).cast("long"))
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): score each document by its mean per-token
+    * corpus log-probability (the [[unigramLogProb]] perplexity proxy,
+    * quantized to integer microbits — portable), then split each
+    * LANGUAGE into head/middle/tail terciles. The tercile cutoffs are
+    * computed from a per-language HISTOGRAM of quantized scores
+    * (bounded rows: languages × distinct scores), never by sorting
+    * the corpus — the window that ranks the histogram is
+    * histogram-sized, so the shape survives 100 TB. Boundary ties
+    * share a bucket (cutoffs are score values, not row ranks), which
+    * is what makes the output engine-replayable.
+    *
+    * Returns (id, lang, score_q, bucket); docs with zero tokens are
+    * dropped (no defined score).
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        langCol: String): DataFrame = {
+    val scored = unigramLogProb(df, idCol, textCol).filter(col("n_tok") > 0L)
+    val langs = df.select(col(idCol).as("id"), col(langCol).as("lang"))
+    val sc = scored.join(langs, Seq("id"))
+      .withColumn("score_q",
+        floor(col("sum_lp_micro").cast(DoubleType) / col("n_tok").cast(DoubleType))
+          .cast(LongType))
+    val hist = sc.groupBy(col("lang"), col("score_q")).agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col("lang")).orderBy(col("score_q"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(wcum))
+    val tot = hist.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    // ceil(n/3) and ceil(2n/3) rank targets; the cutoff is the
+    // smallest score whose cumulative count reaches the target
+    def k(mult: Int) =
+      floor((col("n") * mult + lit(2L)).cast(DoubleType) / lit(3.0)).cast(LongType)
+    val cuts = cum.join(tot, Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(min(when(col("cum") >= k(1), col("score_q"))).as("c1"),
+        min(when(col("cum") >= k(2), col("score_q"))).as("c2"))
+    sc.join(broadcast(cuts), Seq("lang"))
+      .select(col("id"), col("lang"), col("score_q"),
+        when(col("score_q") <= col("c1"), lit("tail"))
+          .when(col("score_q") <= col("c2"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
 
   /** Corpus unigram log-probability per document (perplexity-proxy
     * quality score). The raw token stream is NEVER shuffled by token:

