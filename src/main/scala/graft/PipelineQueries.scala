@@ -121,6 +121,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- exact duplicated-substring spans (Lee et al. 2022 shape):
+    //      maximal token regions covered by corpus-duplicated 8-token
+    //      windows, merged per doc by gaps-and-islands ----
+    "dedup_substring_spans" -> ((s, d) =>
+      Dedup.duplicatedSpans(t(s, d, "documents"), "doc_id", "text", minLen = 8)
+        .select(col("id").as("doc_id"), col("span_start"), col("span_len"))
+        .orderBy(col("doc_id"), col("span_start"))),
+
     // ---- CCNet-style perplexity bucketing: per-language head/middle/
     //      tail terciles of the mean-token-logprob score, cutoffs from
     //      a bounded score histogram (never a corpus sort) ----
@@ -1625,6 +1633,28 @@ object PipelineQueries {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
          ORDER BY id_a, id_b""",
+    "dedup_substring_spans" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+         p AS (
+           SELECT doc_id, u.pos,
+             md5(array_to_string(list_slice(t.ts, u.pos + 1, u.pos + 8), chr(1))) AS h
+           FROM t, LATERAL (
+             SELECT unnest(range(0, greatest(len(ts) - 7, 0))) AS pos) u),
+         d AS (SELECT h FROM p GROUP BY h HAVING COUNT(*) > 1),
+         k AS (SELECT p.doc_id, p.pos FROM p JOIN d USING (h)),
+         b AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+               THEN 1 ELSE 0 END AS brk
+           FROM k),
+         i AS (
+           SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM b)
+         SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len
+         FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""",
     "text_ppl_buckets" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok

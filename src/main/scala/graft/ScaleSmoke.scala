@@ -147,6 +147,12 @@ object ScaleSmoke {
         Similarity.ivfPqTopK(embKr, embKr, 1, coarse, cbs, nProbe = 4,
           shortlist = Similarity.suggestedShortlist(eK, 1))
           .queryExecution.toRdd.count() },
+      time("dup_spans_1x") {
+        Dedup.duplicatedSpans(docs1, "doc_id", "text", 8)
+          .queryExecution.toRdd.count() },
+      time(s"dup_spans_${k}x") {
+        Dedup.duplicatedSpans(docsK, "doc_id", "text", 8)
+          .queryExecution.toRdd.count() },
       time("winnow_pairs_1x") {
         Dedup.winnowingNearDupPairs(docs1, "doc_id", "text", 4, 4, 2)
           .queryExecution.toRdd.count() },
@@ -179,7 +185,7 @@ object ScaleSmoke {
     val byName = results.map { case (n, s, _) => n -> s }.toMap
     Seq("minhash_lsh", "simhash", "exact_dedup", "ivf_topk", "lsh_topk",
         "line_dedup", "cross_dedup", "embed_neardup", "ivf_pq_topk",
-        "winnow_pairs", "jaccard_dford", "pack_sequences").foreach { base =>
+        "dup_spans", "winnow_pairs", "jaccard_dford", "pack_sequences").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

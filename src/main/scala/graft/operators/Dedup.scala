@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
@@ -155,6 +156,57 @@ object Dedup {
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("n_lines"))
+  }
+
+  /** Exact duplicated-SUBSTRING spans — the within/cross-document
+    * repeated-passage detector of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499),
+    * re-expressed with token anchors instead of a suffix array: a
+    * token region is covered iff some corpus-duplicated `minLen`-token
+    * window starts inside it, and maximal covered regions are exactly
+    * the duplicated runs of length >= minLen. Pipeline:
+    *
+    *  1. per doc, one md5 anchor per token position (the minLen-token
+    *     window starting there) — map-only, linear in corpus tokens;
+    *  2. anchors occurring more than once anywhere (same doc counts)
+    *     — one hash aggregate, then a left_semi join keeps the
+    *     duplicated positions (semi: a million-fold-duplicated
+    *     boilerplate anchor cannot multiply rows);
+    *  3. per doc, gaps-and-islands over kept positions (window
+    *     ordered by position, break when the next window no longer
+    *     overlaps/touches) merges anchors into maximal spans.
+    *
+    * Returns (id, span_start, span_len) per maximal duplicated span,
+    * positions 0-based in whitespace tokens. Docs with no duplicated
+    * span emit no rows. Used for contamination audits and as the cut
+    * list for span-level dedup (remove, not drop-the-doc).
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      minLen: Int = 8): DataFrame = {
+    require(minLen >= 1, "minLen must be positive")
+    val pos = df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("ts"))
+      .select(col("id"), posexplode(
+        when(size(col("ts")) >= minLen,
+          transform(sequence(lit(0), size(col("ts")) - minLen),
+            i => md5(array_join(slice(col("ts"), i + 1, lit(minLen)), "\u0001"))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "h")))
+    val dup = pos.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1L).select(col("h"))
+    val kept = pos.join(dup, Seq("h"), "left_semi").select(col("id"), col("pos"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    kept
+      // window [pos, pos+minLen) merges with the previous one unless
+      // it starts past the previous end (first row: lag is null, the
+      // comparison is null, otherwise-0 starts island 0)
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(w) + minLen, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).cast(LongType).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + minLen).cast(LongType).as("span_len"))
+      .select(col("id"), col("span_start"), col("span_len"))
   }
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.

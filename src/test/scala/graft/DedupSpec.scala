@@ -231,4 +231,23 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.length === 1)
     assert(pairs.head.getDouble(2) === 0.3)
   }
+
+  test("duplicatedSpans finds maximal shared passages, not whole docs") {
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ") // 10 shared tokens
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"$shared epsilon zeta eta theta iota kappa"),
+      (3L, "totally unrelated words only here and nothing repeats at all")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", minLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the shared run is tokens [2,12) in doc 1 and [0,10) in doc 2:
+    // anchors at 2,3,4 and 0,1,2 merge into one 10-token span each;
+    // doc 3 has no duplicated 8-window and emits nothing
+    assert(spans === Set((1L, 2L, 10L), (2L, 0L, 10L)))
+    // below minLen nothing anchors: a 7-token shared run is invisible
+    val short7 = (1 to 7).map(i => s"s$i").mkString(" ")
+    val docs2 = Seq((1L, s"a b $short7 c"), (2L, s"$short7 x y z w v u t")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(docs2, "doc_id", "text", minLen = 8).count() === 0L)
+  }
 }
