@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CharSetCount, CosineSimilarity, MaxTokenFreq, MinHashSignature, PolyFingerprint, PolyShingleHashes, PqAdcScore, RegexpCount, ShingleHashes, ShingleStrings, SimHash, TopKRows}
+import graft.functions.{BpeSegmentWord, CharSetCount, CosineSimilarity, MaxTokenFreq, MinHashSignature, PolyFingerprint, PolyShingleHashes, PqAdcScore, RegexpCount, ShingleHashes, ShingleStrings, SimHash, TopKRows}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users get them too:
@@ -125,6 +125,23 @@ object GraftExtensions {
             s"pq_adc_score: ksub must be an integer literal, got $other")
         }
         PqAdcScore(args(0), args(1), ksub)
+      }),
+    (FunctionIdentifier("bpe_segment_word"),
+      info("bpe_segment_word",
+        "bpe_segment_word(word, merges) - framed BPE symbol string after " +
+          "applying a learned merge list (array<string> literal of " +
+          "sep-joined pairs, training order)"),
+      (args: Seq[Expression]) => {
+        arity("bpe_segment_word", 2, args)
+        require(args(1).foldable, "bpe_segment_word: merges must be a literal array")
+        val merges = args(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toObjectArray(org.apache.spark.sql.types.StringType)
+              .map(_.asInstanceOf[UTF8String].toString).toSeq
+          case other => throw new IllegalArgumentException(
+            s"bpe_segment_word: merges must be an array literal, got $other")
+        }
+        BpeSegmentWord(args(0), merges)
       }),
     (FunctionIdentifier("topk_rows"),
       info("topk_rows",

@@ -121,6 +121,45 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the round-3 flagship composition — a modern pretraining
+    //      curation DAG: Gopher rule gate -> CCNet perplexity bucket
+    //      (drop the tail) -> duplicated-span coverage cap (<= 30% of
+    //      tokens) -> exact dedup keep-first. Every stage is an
+    //      individually oracle-checked operator; this locks the
+    //      composition. ----
+    "q_curation_v2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val gated = docs.select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.gopherSignals(col("text")).as("g"))
+        .filter(col("g.pass"))
+      val ppl = TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang")
+        .select(col("id").as("doc_id"), col("bucket"))
+      val spanCover = Dedup.duplicatedSpans(docs, "doc_id", "text", minLen = 8)
+        .select(col("id").as("doc_id"), col("span_len"))
+        .groupBy(col("doc_id")).agg(sum(col("span_len")).as("dup_tokens"))
+      val kept = gated.join(ppl, Seq("doc_id"))
+        .filter(col("bucket") =!= "tail")
+        .join(spanCover, Seq("doc_id"), "left")
+        .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+        .filter(col("dup_tokens") * 10L <= col("g.n_words") * 3L)
+      Dedup.exactDedup(kept, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("bucket"),
+          col("g.n_words").as("n_words"), col("dup_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Gopher-style quality rule set: exact integer signals +
+    //      cross-multiplied threshold tests, replayed verbatim by the
+    //      oracle (no float boundaries anywhere) ----
+    "text_gopher_rules" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.gopherSignals(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words"), col("g.wlen_q4"),
+          col("g.n_symbol"), col("g.n_lines"), col("g.n_bullet_lines"),
+          col("g.n_ellipsis_lines"), col("g.n_alpha_words"),
+          col("g.n_stop_distinct"), col("g.pass"))
+        .orderBy(col("doc_id"))),
+
     // ---- exact duplicated-substring spans (Lee et al. 2022 shape):
     //      maximal token regions covered by corpus-duplicated 8-token
     //      windows, merged per doc by gaps-and-islands ----
@@ -1633,6 +1672,158 @@ object PipelineQueries {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
          ORDER BY id_a, id_b""",
+    "q_curation_v2" ->
+      """WITH gr AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+               w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_len,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+             CAST(floor(CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE)
+               / 3.0) AS BIGINT) AS n_ell_occ,
+             string_split(text, chr(10)) AS lines,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         gs AS (
+           SELECT doc_id, n_words,
+             CASE WHEN n_words > 0
+               THEN CAST(floor(CAST(sum_len * 10000 AS DOUBLE) /
+                 CAST(n_words AS DOUBLE)) AS BIGINT) ELSE 0 END AS wlen_q4,
+             n_hash + n_ell_occ AS n_symbol,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+               l -> substr(ltrim(l), 1, 1) IN ('-', '*', chr(8226)))) AS BIGINT)
+               AS n_bullet_lines,
+             CAST(len(list_filter(lines,
+               l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), chr(8230))))
+               AS BIGINT) AS n_ellipsis_lines,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+               AS BIGINT) AS n_alpha_words,
+             CAST(len(list_intersect(list_distinct(toks),
+               ['the','a','an','of','to','and','in','is','it','for','on','with']))
+               AS BIGINT) AS n_stop_distinct
+           FROM gr),
+         gpass AS (
+           SELECT doc_id, n_words FROM gs
+           WHERE n_words >= 50 AND n_words <= 100000 AND
+             wlen_q4 >= 30000 AND wlen_q4 <= 100000 AND
+             n_symbol * 10 <= n_words AND
+             n_bullet_lines * 10 <= n_lines * 9 AND
+             n_ellipsis_lines * 10 <= n_lines * 3 AND
+             n_alpha_words * 10 >= n_words * 8 AND
+             n_stop_distinct >= 2),
+         ptoks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         uni AS (SELECT tok, COUNT(*) AS cnt FROM ptoks GROUP BY tok),
+         tot AS (SELECT COUNT(*) AS total FROM ptoks),
+         psc AS (
+           SELECT t.doc_id, COUNT(*) AS n_tok,
+             CAST(SUM(CAST(floor(ln(CAST(u.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS slp
+           FROM ptoks t JOIN uni u USING (tok) CROSS JOIN tot
+           GROUP BY t.doc_id),
+         sq AS (
+           SELECT d.doc_id, d.lang,
+             CAST(floor(CAST(s2.slp AS DOUBLE) / CAST(s2.n_tok AS DOUBLE)) AS BIGINT) AS score_q
+           FROM documents d JOIN psc s2 USING (doc_id) WHERE s2.n_tok > 0),
+         hist AS (SELECT lang, score_q, COUNT(*) AS c FROM sq GROUP BY 1, 2),
+         cm AS (
+           SELECT lang, score_q, c,
+             SUM(c) OVER (PARTITION BY lang ORDER BY score_q) AS cum
+           FROM hist),
+         t2 AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY lang),
+         cuts AS (
+           SELECT cm.lang,
+             MIN(CASE WHEN cm.cum >= CAST(floor((t2.n + 2) / 3.0) AS BIGINT)
+               THEN cm.score_q END) AS c1,
+             MIN(CASE WHEN cm.cum >= CAST(floor((t2.n * 2 + 2) / 3.0) AS BIGINT)
+               THEN cm.score_q END) AS c2
+           FROM cm JOIN t2 USING (lang) GROUP BY cm.lang),
+         pbuck AS (
+           SELECT s3.doc_id, s3.lang,
+             CASE WHEN s3.score_q <= c.c1 THEN 'tail'
+                  WHEN s3.score_q <= c.c2 THEN 'middle'
+                  ELSE 'head' END AS bucket
+           FROM sq s3 JOIN cuts c USING (lang)),
+         st AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+         sp AS (
+           SELECT doc_id, u.pos,
+             md5(array_to_string(list_slice(st.ts, u.pos + 1, u.pos + 8), chr(1))) AS h
+           FROM st, LATERAL (
+             SELECT unnest(range(0, greatest(len(ts) - 7, 0))) AS pos) u),
+         sd AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) > 1),
+         sk AS (SELECT sp.doc_id, sp.pos FROM sp JOIN sd USING (h)),
+         sb AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+               THEN 1 ELSE 0 END AS brk
+           FROM sk),
+         si AS (
+           SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM sb),
+         spans AS (
+           SELECT doc_id, CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len
+           FROM si GROUP BY doc_id, island),
+         cover AS (
+           SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS dup_tokens
+           FROM spans GROUP BY doc_id),
+         keep0 AS (
+           SELECT g.doc_id, pb.lang, d.text, g.n_words, pb.bucket,
+             COALESCE(cv.dup_tokens, 0) AS dup_tokens
+           FROM gpass g
+           JOIN documents d USING (doc_id)
+           JOIN pbuck pb USING (doc_id)
+           LEFT JOIN cover cv USING (doc_id)
+           WHERE pb.bucket <> 'tail'
+             AND COALESCE(cv.dup_tokens, 0) * 10 <= g.n_words * 3),
+         firsts AS (SELECT text, MIN(doc_id) AS keep_id FROM keep0 GROUP BY text)
+         SELECT k.doc_id, k.lang, k.bucket, k.n_words, k.dup_tokens
+         FROM keep0 k JOIN firsts f ON f.text = k.text AND f.keep_id = k.doc_id
+         ORDER BY k.doc_id""",
+    "text_gopher_rules" ->
+      """WITH g AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+               w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_len,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+             CAST(floor(CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE)
+               / 3.0) AS BIGINT) AS n_ell_occ,
+             string_split(text, chr(10)) AS lines,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, n_words,
+             CASE WHEN n_words > 0
+               THEN CAST(floor(CAST(sum_len * 10000 AS DOUBLE) /
+                 CAST(n_words AS DOUBLE)) AS BIGINT) ELSE 0 END AS wlen_q4,
+             n_hash + n_ell_occ AS n_symbol,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+               l -> substr(ltrim(l), 1, 1) IN ('-', '*', chr(8226)))) AS BIGINT)
+               AS n_bullet_lines,
+             CAST(len(list_filter(lines,
+               l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), chr(8230))))
+               AS BIGINT) AS n_ellipsis_lines,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+               AS BIGINT) AS n_alpha_words,
+             CAST(len(list_intersect(list_distinct(toks),
+               ['the','a','an','of','to','and','in','is','it','for','on','with']))
+               AS BIGINT) AS n_stop_distinct
+           FROM g)
+         SELECT doc_id, n_words, wlen_q4, n_symbol, n_lines, n_bullet_lines,
+           n_ellipsis_lines, n_alpha_words, n_stop_distinct,
+           (n_words >= 50 AND n_words <= 100000 AND
+            wlen_q4 >= 30000 AND wlen_q4 <= 100000 AND
+            n_symbol * 10 <= n_words AND
+            n_bullet_lines * 10 <= n_lines * 9 AND
+            n_ellipsis_lines * 10 <= n_lines * 3 AND
+            n_alpha_words * 10 >= n_words * 8 AND
+            n_stop_distinct >= 2) AS pass
+         FROM s ORDER BY doc_id""",
     "dedup_substring_spans" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),

@@ -434,6 +434,60 @@ object TextAnalysis {
       lit(0L),
       (acc, s) => acc + size(bpeSymbols(s)).cast("long"))
 
+  /** Gopher-style document quality rules (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1), as one map-only struct of exact integer
+    * signals plus the composed pass flag. Every signal is an integer
+    * count and every threshold test an integer comparison (ratios are
+    * cross-multiplied), so an external engine replays the whole rule
+    * set bit-for-bit — no float boundary coin-flips. Signals:
+    *
+    *  - n_words, wlen_q4 (mean word length × 1e4, floored)
+    *  - n_symbol ('#' chars + non-overlapping "..." occurrences)
+    *  - n_lines, n_bullet_lines (ltrim starts - * •),
+    *    n_ellipsis_lines (rtrim ends "..." or "…")
+    *  - n_alpha_words (words containing a [A-Za-z] char)
+    *  - n_stop_distinct (distinct stopwords present)
+    *
+    * pass = words in [minWords, maxWords] ∧ mean wlen in [3, 10] ∧
+    * symbols ≤ 10% of words ∧ bullets ≤ 90% of lines ∧ ellipsis
+    * lines ≤ 30% ∧ alpha words ≥ 80% ∧ ≥ 2 distinct stopwords.
+    */
+  def gopherSignals(text: Column, minWords: Long = 50L,
+                    maxWords: Long = 100000L,
+                    stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast(LongType)
+    val sumLen = aggregate(toks, lit(0L), (a, w) => a + length(w).cast(LongType))
+    val wlenQ4 = when(nWords > 0L,
+      floor((sumLen * 10000L).cast(DoubleType) / nWords.cast(DoubleType))
+        .cast(LongType)).otherwise(lit(0L))
+    val nHash = (length(text) - length(replace(text, lit("#"), lit("")))).cast(LongType)
+    val nEllOcc = floor(
+      (length(text) - length(replace(text, lit("..."), lit("")))).cast(DoubleType)
+        / lit(3.0)).cast(LongType)
+    val nSymbol = nHash + nEllOcc
+    val lines = split(text, "\n", -1)
+    val nLines = size(lines).cast(LongType)
+    val nBullet = size(filter(lines,
+      l => substring(ltrim(l), 1, 1).isin("-", "*", "\u2022"))).cast(LongType)
+    val nEllLines = size(filter(lines,
+      l => rtrim(l).endsWith("...") || rtrim(l).endsWith("\u2026"))).cast(LongType)
+    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast(LongType)
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(stopwords.map(lit): _*))).cast(LongType)
+    val pass = nWords >= minWords && nWords <= maxWords &&
+      wlenQ4 >= 30000L && wlenQ4 <= 100000L &&
+      nSymbol * 10L <= nWords &&
+      nBullet * 10L <= nLines * 9L &&
+      nEllLines * 10L <= nLines * 3L &&
+      nAlpha * 10L >= nWords * 8L &&
+      nStop >= 2L
+    struct(nWords.as("n_words"), wlenQ4.as("wlen_q4"), nSymbol.as("n_symbol"),
+      nLines.as("n_lines"), nBullet.as("n_bullet_lines"),
+      nEllLines.as("n_ellipsis_lines"), nAlpha.as("n_alpha_words"),
+      nStop.as("n_stop_distinct"), pass.as("pass"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
     * arXiv:1911.00359): score each document by its mean per-token
     * corpus log-probability (the [[unigramLogProb]] perplexity proxy,

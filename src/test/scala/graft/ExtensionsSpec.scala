@@ -70,11 +70,21 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT pq_adc_score(array(2, 0), array(10L, 20L, 30L, 40L), 2) AS s")
       .head().isNullAt(0))
 
+    // BPE segmentation: merge (l,o) then (lo,w) -> "low" = [low],
+    // "lower" = [low, e, r]
+    val sep = "\u001F"
+    val seg = spark.sql(
+      s"SELECT bpe_segment_word('lower', array('l${sep}o', 'lo${sep}w')) AS s")
+      .head().getString(0)
+    assert(seg.split(java.util.regex.Pattern.quote(sep)).filter(_.nonEmpty).toSeq ===
+      Seq("low", "e", "r"))
+
     // the builder-time class form wires the same triples
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ===
       Set("cosine_similarity", "simhash", "minhash_signature",
         "poly_fingerprint", "shingle_hashes", "poly_shingle_hashes",
         "shingle_strings", "topk_rows", "pq_adc_score",
-        "regexp_count_graft", "charset_count", "max_token_freq"))
+        "regexp_count_graft", "charset_count", "max_token_freq",
+        "bpe_segment_word"))
   }
 }

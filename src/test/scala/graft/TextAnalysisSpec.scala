@@ -222,6 +222,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.trainBpeMerges(df, "text", merges = 3) === Seq.empty)
   }
 
+  test("gopherSignals: counts and composed pass on crafted edge docs") {
+    import graft.operators.TextAnalysis
+    val good = (("the and " + "words ") * 20).trim            // 60 words, stopwords, alpha
+    val bullets = "- a\n- b\n- c\n* d\n" + ("x " * 60).trim   // 4 bullet lines
+    val symbols = ("## ### " * 30).trim                        // all-# words
+    val df = Seq((1L, good), (2L, bullets), (3L, symbols)).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.gopherSignals(col("text")).as("g"))
+      .orderBy("doc_id").collect()
+    val g1 = out(0).getStruct(1)
+    assert(g1.getAs[Long]("n_words") === 60L)
+    assert(g1.getAs[Long]("n_stop_distinct") === 2L)
+    assert(g1.getAs[Boolean]("pass"))
+    val g2 = out(1).getStruct(1)
+    assert(g2.getAs[Long]("n_bullet_lines") === 4L)
+    assert(!g2.getAs[Boolean]("pass"))                         // no stopwords
+    val g3 = out(2).getStruct(1)
+    assert(g3.getAs[Long]("n_symbol") === 150L)                // 30*(2+3) hashes
+    assert(!g3.getAs[Boolean]("pass"))                         // symbol ratio + alpha
+  }
+
   test("perplexityBuckets: per-language terciles, monotone by score, partition-invariant") {
     import graft.operators.TextAnalysis
     val docs = Tables.table(TestSpark.spark, TestSpark.sfDir, "documents")
