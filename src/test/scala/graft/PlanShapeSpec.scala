@@ -121,6 +121,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"token stream shuffled by token:\n$p")
   }
 
+  test("perplexityBuckets: tercile cutoffs broadcast back to the scored stream") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val p = plan(graft.operators.TextAnalysis.perplexityBuckets(
+      docs, "doc_id", "text", "lang"))
+    // the cutoffs frame is languages-sized — joining it any other way
+    // would shuffle the scored corpus by language (hot-language skew)
+    assert(p.contains("BroadcastHashJoin"), s"cutoff join must broadcast:\n$p")
+  }
+
+  test("duplicatedSpans: duplicated-anchor filter is a semi-join (no row multiplication)") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val p = plan(graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text", 8))
+    // a plain inner join against the dup-anchor table would multiply
+    // each position by its duplicate count — boilerplate repeated a
+    // million times would explode the row count
+    assert(p.contains("LeftSemi"), s"anchor filter must be a semi-join:\n$p")
+  }
+
   test("range-frame window is one exchange + one sort, no self-join") {
     val p = plan(SparkEntry.queries("q_window_range")(spark, TestSpark.sfDir))
     assert(p.contains("Window"), s"expected Window node:\n$p")

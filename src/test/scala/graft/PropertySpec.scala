@@ -188,4 +188,43 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("duplicatedSpans equals a brute-force reference on random tiny-vocab corpora") {
+    val minLen = 3
+    // tiny vocab forces duplicated windows; varying doc lengths cover
+    // the below-minLen and exact-minLen edges
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      nDocs <- Gen.choose(4, 12)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(0, 24)
+        toks <- Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAll(corpusGen, cases = 6) { corpus =>
+      // brute force: count every window across the corpus, keep
+      // positions whose window repeats, merge overlapping/touching
+      val windows = corpus.flatMap { case (id, text) =>
+        val ts = text.trim.split("\\s+").toSeq
+        if (ts.length >= minLen)
+          (0 to ts.length - minLen).map(p => (id, p, ts.slice(p, p + minLen).mkString("")))
+        else Seq.empty
+      }
+      val counts = windows.groupBy(_._3).view.mapValues(_.size).toMap
+      val expected = windows.filter(w => counts(w._3) > 1)
+        .groupBy(_._1).flatMap { case (id, ws) =>
+          val ps = ws.map(_._2).sorted
+          val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+          ps.foreach { p =>
+            spans.lastOption match {
+              case Some((s0, last)) if p <= last + minLen => spans(spans.length - 1) = (s0, p)
+              case _ => spans += ((p, p))
+            }
+          }
+          spans.map { case (s0, last) => (id, s0.toLong, (last - s0 + minLen).toLong) }
+        }.toSet
+      val got = Dedup.duplicatedSpans(corpus.toDF("doc_id", "text"), "doc_id", "text", minLen)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected, s"corpus: $corpus")
+    }
+  }
 }
