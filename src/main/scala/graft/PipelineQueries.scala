@@ -168,6 +168,15 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("span_start"), col("span_len"))
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // ---- span-level CUT dedup: every duplicated passage survives
+    //      only at its globally-first occurrence; later copies are
+    //      removed from the text, not the doc ----
+    "dedup_span_cut" -> ((s, d) =>
+      Dedup.spanDedup(t(s, d, "documents"), "doc_id", "text", minLen = 8)
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("n_kept"), col("n_cut"))
+        .orderBy(col("doc_id"))),
+
     // ---- CCNet-style perplexity bucketing: per-language head/middle/
     //      tail terciles of the mean-token-logprob score, cutoffs from
     //      a bounded score histogram (never a corpus sort) ----
@@ -1824,6 +1833,52 @@ object PipelineQueries {
             n_alpha_words * 10 >= n_words * 8 AND
             n_stop_distinct >= 2) AS pass
          FROM s ORDER BY doc_id""",
+    "dedup_span_cut" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+         p AS (
+           SELECT doc_id, u.pos,
+             md5(array_to_string(list_slice(t.ts, u.pos + 1, u.pos + 8), chr(1))) AS h
+           FROM t, LATERAL (
+             SELECT unnest(range(0, greatest(len(ts) - 7, 0))) AS pos) u),
+         pw AS (
+           SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY h) AS c,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+           FROM p),
+         k AS (SELECT doc_id, pos, (rn = 1) AS is_win FROM pw WHERE c > 1),
+         b AS (
+           SELECT doc_id, pos, is_win,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+               THEN 1 ELSE 0 END AS brk
+           FROM k),
+         i AS (
+           SELECT doc_id, pos, is_win,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM b),
+         spans AS (
+           SELECT doc_id, MIN(pos) AS s0, MAX(pos) + 8 AS s1,
+             MAX(CASE WHEN is_win THEN 1 ELSE 0 END) AS kw
+           FROM i GROUP BY doc_id, island),
+         cuts AS (SELECT doc_id, s0, s1 FROM spans WHERE kw = 0),
+         tok AS (
+           SELECT doc_id, u.tpos, u.tok FROM t,
+             LATERAL (SELECT unnest(ts) AS tok,
+               generate_subscripts(ts, 1) - 1 AS tpos) u),
+         surv AS (
+           SELECT tk.doc_id, tk.tpos, tk.tok FROM tok tk
+           WHERE NOT EXISTS (SELECT 1 FROM cuts c
+             WHERE c.doc_id = tk.doc_id AND tk.tpos >= c.s0 AND tk.tpos < c.s1)),
+         rb AS (
+           SELECT doc_id,
+             array_to_string(array_agg(tok ORDER BY tpos), ' ') AS clean_text,
+             COUNT(*) AS n_kept
+           FROM surv GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(rb.clean_text, '') AS clean_text,
+           CAST(COALESCE(rb.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(string_split_regex(trim(d.text), '\s+'))
+             - COALESCE(rb.n_kept, 0) AS BIGINT) AS n_cut
+         FROM documents d LEFT JOIN rb USING (doc_id) ORDER BY d.doc_id""",
     "dedup_substring_spans" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),

@@ -209,6 +209,76 @@ object Dedup {
       .select(col("id"), col("span_start"), col("span_len"))
   }
 
+  /** Span-level dedup — the CUT step that [[duplicatedSpans]] is the
+    * detector for (Lee et al. 2022 remove-the-substring, not
+    * drop-the-doc): every maximal duplicated span is removed from the
+    * corpus EXCEPT its globally-first occurrence. "First" is decided
+    * per anchor window — the minimum (id, pos) occurrence of each
+    * duplicated window wins — and a span survives iff it contains at
+    * least one winning anchor, so the earliest copy of a repeated
+    * passage keeps its text and every later copy is cut. All rules
+    * are integer/min comparisons — an external engine replays the
+    * whole cut decision exactly.
+    *
+    * Returns (id, clean_text, n_kept, n_cut): the document rebuilt
+    * from surviving tokens (whitespace-normalized, like lineDedup's
+    * rebuild), with kept/cut token counts. Same scale shape as the
+    * detector plus one winners join keyed by the md5 anchor (one row
+    * per position — no multiplication) and a final per-doc regroup,
+    * the same volume as the input.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                minLen: Int = 8): DataFrame = {
+    require(minLen >= 1, "minLen must be positive")
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("tpos", "tok")))
+    val pos = df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("ts"))
+      .select(col("id"), posexplode(
+        when(size(col("ts")) >= minLen,
+          transform(sequence(lit(0), size(col("ts")) - minLen),
+            i => md5(array_join(slice(col("ts"), i + 1, lit(minLen)), "\u0001"))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "h")))
+    // per duplicated anchor: the globally-first (id, pos) occurrence
+    val firsts = pos.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"), min(struct(col("id"), col("pos"))).as("w"))
+      .filter(col("c") > 1L)
+      .select(col("h"), col("w"))
+    val kept = pos.join(firsts, Seq("h"))
+      .select(col("id"), col("pos"),
+        (col("id") === col("w.id") && col("pos") === col("w.pos")).as("is_win"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val spans = kept
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(w) + minLen, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + minLen).as("span_end"),  // exclusive
+        max(col("is_win")).as("keep_span"))
+    val cuts = spans.filter(!col("keep_span"))
+      .select(col("id"), col("span_start"), col("span_end"))
+    // a token survives unless a cut span of its doc covers it
+    val cut = toks.join(cuts,
+        toks("id") === cuts("id") &&
+          col("tpos") >= col("span_start") && col("tpos") < col("span_end"),
+        "left_semi")
+      .select(col("id"), col("tpos"))
+    val survivors = toks.join(cut, Seq("id", "tpos"), "left_anti")
+    val rebuilt = survivors.groupBy(col("id"))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("tpos"), col("tok")))),
+          p => p.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id"),
+        size(TextAnalysis.tokens(col(textCol))).cast(LongType).as("n_total"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_cut"))
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * Plan shape (scale-reviewed):

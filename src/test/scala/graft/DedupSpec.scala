@@ -250,4 +250,22 @@ class DedupSpec extends AnyFunSuite {
     val docs2 = Seq((1L, s"a b $short7 c"), (2L, s"$short7 x y z w v u t")).toDF("doc_id", "text")
     assert(Dedup.duplicatedSpans(docs2, "doc_id", "text", minLen = 8).count() === 0L)
   }
+
+  test("spanDedup keeps the globally-first copy of a passage, cuts later ones") {
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"$shared epsilon zeta eta theta iota kappa"),
+      (3L, "nothing here repeats anywhere in this corpus at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", minLen = 8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // doc 1 is the first occurrence -> untouched
+    assert(out(0) === ((1L, s"alpha beta $shared gamma delta", 14L, 0L)))
+    // doc 2's copy is cut; its unique tail survives
+    assert(out(1) === ((2L, "epsilon zeta eta theta iota kappa", 6L, 10L)))
+    // doc 3 untouched
+    assert(out(2)._4 === 0L && out(2)._2.startsWith("nothing"))
+  }
 }
