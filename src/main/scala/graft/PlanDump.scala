@@ -94,7 +94,25 @@ object PlanDump {
         "x m*ksub longs); candidate scoring is the native pq_adc_score " +
         "table-lookup kernel inside the join; the shortlist is a partial " +
         "topk_pairs aggregate (≤ shortlist rows per query cross the wire) and " +
-        "only shortlist survivors see full vectors in the exact re-rank."))
+        "only shortlist survivors see full vectors in the exact re-rank."),
+    "dedup_substring_spans" ->
+      ("Anchor windows are a map-only explode (md5 of each 8-token slice); " +
+        "the duplicated-anchor aggregate partial-combines before its " +
+        "Exchange; positions come back through a LeftSemi join on the md5 " +
+        "key (a million-fold-duplicated boilerplate anchor cannot multiply " +
+        "rows); the gaps-and-islands merge windows by doc id — per-doc " +
+        "state only, never corpus-wide."),
+    "dedup_span_cut" ->
+      ("The cut decision reuses the detector's shapes (semi-join gated " +
+        "anchors, per-doc islands) plus a winners join keyed by the anchor " +
+        "md5 (one row per position) and a LeftAnti of tokens against the " +
+        "cut ranges; the only full-text shuffle is the per-doc rebuild — " +
+        "the same volume as the input, like dedup_lines."),
+    "text_ppl_buckets" ->
+      ("The vocab histogram broadcasts into the token stream (never a " +
+        "token-keyed shuffle — Zipf skew), the tercile scan windows over the " +
+        "languages x distinct-scores HISTOGRAM (bounded rows, not the " +
+        "corpus), and the cutoff table broadcasts back to the scored docs."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
