@@ -587,6 +587,24 @@ object PipelineQueries {
         .orderBy(col("event_id"), col("user_id"))
     }),
 
+    // ---- nearest-strategy as-of join (Polars join_asof
+    //      strategy='nearest'): smallest absolute microsecond gap,
+    //      ties to the backward match; one shuffle + one sort ----
+    "q_asof_nearest" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = Frames.uniqueFirst(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id")),
+        Seq("user_id", "click_ts"), Seq(col("click_id")))
+      Temporal.asofJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+          direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+        .orderBy(col("event_id"), col("user_id"))
+    }),
+
     // ---- interval-containment (range) join: every event matched to
     //      its session's interval via hour-bucketed equi-join ----
     "events_range_join" -> ((s, d) => {
@@ -1074,6 +1092,23 @@ object PipelineQueries {
              list_transform(codes, c -> CAST(c AS BIGINT))), (a, b) -> a + b) AS sum_codes,
            len(list_filter(codes, c -> abs(c) = 127)) AS n_sat
          FROM q ORDER BY vec_id""",
+    "q_asof_nearest" ->
+      """WITH p AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, ts AS cts, MIN(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         j AS (
+           SELECT p.event_id, c.click_id, c.cts,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY
+               abs(epoch_us(p.ts) - epoch_us(c.cts)),
+               CASE WHEN epoch_us(c.cts) <= epoch_us(p.ts) THEN 0 ELSE 1 END) AS rk
+           FROM p JOIN c USING (user_id))
+         SELECT p.event_id, p.user_id, j.click_id,
+           strftime(j.cts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+         FROM p LEFT JOIN (SELECT event_id, click_id, cts FROM j WHERE rk = 1) j
+           USING (event_id)
+         ORDER BY p.event_id, p.user_id""",
     "q_asof_clicks" ->
       """WITH p AS (
            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -19,27 +19,34 @@ object Temporal {
 
   /** As-of join: for every left row, the single right row with the
     * greatest `rightTime` <= `leftTime` (direction "backward", the
-    * default) or smallest `rightTime` >= `leftTime` ("forward"),
-    * matching within `keys`. Right columns come back null-prefixed
-    * by nothing — caller renames; unmatched left rows keep nulls
-    * (left-outer semantics). `tolerance` (seconds, optional) voids
-    * matches further than the given gap.
+    * default), smallest `rightTime` >= `leftTime` ("forward"), or
+    * smallest absolute time gap ("nearest" — exact microsecond gaps,
+    * ties to the backward match), matching within `keys`. Right
+    * columns come back null-prefixed by nothing — caller renames;
+    * unmatched left rows keep nulls (left-outer semantics).
+    * `tolerance` (seconds, optional) voids matches further than the
+    * given gap (applied per direction before the nearest choice).
     *
     * Right rows must be unique per (keys, rightTime) — dedup first
     * (e.g. Frames.uniqueFirst) or matches among equal timestamps are
-    * tie-broken arbitrarily.
+    * tie-broken arbitrarily. The three strategies mirror Polars
+    * `join_asof(strategy=backward|forward|nearest)`.
     *
     * Implementation: tag + union + per-key sort; the right payload is
     * carried forward with last_value(ignoreNulls) over the running
     * window. At equal timestamps the right row sorts BEFORE the left
-    * row, so matches are inclusive (>= / <=) in both directions.
+    * row, so matches are inclusive (>= / <=) in both directions
+    * ("nearest" needs no forward inclusivity: an equal-time match has
+    * backward gap zero and always wins). "nearest" still costs ONE
+    * shuffle and ONE sort — both window frames share the ascending
+    * (time, side) order.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
                direction: String = "backward",
                toleranceSeconds: Option[Long] = None): DataFrame = {
-    require(Set("backward", "forward").contains(direction),
-      s"asofJoin: direction must be backward|forward, got $direction")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"asofJoin: direction must be backward|forward|nearest, got $direction")
     val leftPayload = left.columns.filterNot(c => keys.contains(c))
     val rightPayload = right.columns.filterNot(c => keys.contains(c))
     val overlap = leftPayload.toSet intersect rightPayload.toSet
@@ -63,24 +70,48 @@ object Temporal {
             left.select(leftPayload.map(col).toSeq: _*).schema.fields)).as("__lp") :+
           struct(rightPayload.map(col).toSeq: _*).as("__rp")): _*)
 
-    val ordered =
-      if (direction == "backward")
-        Window.partitionBy(keys.map(col): _*).orderBy(col("__t").asc, col("__side").asc)
-      else
-        Window.partitionBy(keys.map(col): _*).orderBy(col("__t").desc, col("__side").asc)
-    val w = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val matched = l.unionByName(r)
-      .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-
-    val withTol = toleranceSeconds.fold(matched) { tol =>
-      val gap =
+    val withTol = if (direction == "nearest") {
+      val asc = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("__t").asc, col("__side").asc)
+      val wb = asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the frame includes the current (left) row, whose __rp is null —
+      // ignoreNulls skips it, so no off-by-one is needed
+      val wf = asc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val both = l.unionByName(r)
+        .withColumn("__mb", last(col("__rp"), ignoreNulls = true).over(wb))
+        .withColumn("__mf", first(col("__rp"), ignoreNulls = true).over(wf))
+        .filter(col("__side") === 1)
+      val gb = unix_micros(col("__t")) -
+        unix_micros(col("__mb").getField(rightTime))
+      val gf = unix_micros(col("__mf").getField(rightTime)) -
+        unix_micros(col("__t"))
+      val bOk = toleranceSeconds.fold(col("__mb").isNotNull)(tol =>
+        col("__mb").isNotNull && gb <= tol * 1000000L)
+      val fOk = toleranceSeconds.fold(col("__mf").isNotNull)(tol =>
+        col("__mf").isNotNull && gf <= tol * 1000000L)
+      both.withColumn("__m",
+          when(bOk && (!fOk || gb <= gf), col("__mb"))
+            .when(fOk, col("__mf")))
+    } else {
+      val ordered =
         if (direction == "backward")
-          unix_timestamp(col("__t")) - unix_timestamp(col("__m").getField(rightTime))
+          Window.partitionBy(keys.map(col): _*).orderBy(col("__t").asc, col("__side").asc)
         else
-          unix_timestamp(col("__m").getField(rightTime)) - unix_timestamp(col("__t"))
-      matched.withColumn("__m", when(gap <= tol, col("__m")))
+          Window.partitionBy(keys.map(col): _*).orderBy(col("__t").desc, col("__side").asc)
+      val w = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+      val matched = l.unionByName(r)
+        .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
+        .filter(col("__side") === 1)
+
+      toleranceSeconds.fold(matched) { tol =>
+        val gap =
+          if (direction == "backward")
+            unix_timestamp(col("__t")) - unix_timestamp(col("__m").getField(rightTime))
+          else
+            unix_timestamp(col("__m").getField(rightTime)) - unix_timestamp(col("__t"))
+        matched.withColumn("__m", when(gap <= tol, col("__m")))
+      }
     }
 
     withTol.select(

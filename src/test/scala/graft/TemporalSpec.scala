@@ -38,9 +38,32 @@ class TemporalSpec extends AnyFunSuite {
     val tight = Temporal.asofJoin(left, right, Seq("user_id"), "ts", "click_ts",
       direction = "forward", toleranceSeconds = Some(1800L)).collect()
     assert(tight.head.isNullAt(4))
-    intercept[IllegalArgumentException] {
-      Temporal.asofJoin(left, right, Seq("user_id"), "ts", "click_ts", direction = "nearest")
-    }
+  }
+
+  test("asofJoin nearest: smallest absolute gap, ties to backward, per-side tolerance") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),  // back 30m vs fwd 20m -> fwd
+      (2L, 10L, ts("2024-01-01 09:40:00")),  // back 10m vs fwd 40m -> back
+      (3L, 10L, ts("2024-01-01 09:55:00")),  // equidistant 25m -> backward wins
+      (4L, 10L, ts("2024-01-01 08:00:00")),  // only forward exists
+      (5L, 11L, ts("2024-01-01 10:00:00"))   // no right rows
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 100L),
+      (10L, ts("2024-01-01 10:20:00"), 101L)
+    ).toDF("user_id", "click_ts", "click_id")
+    val out = Temporal.asofJoin(left, right, Seq("user_id"), "ts", "click_ts",
+        direction = "nearest")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(out === Array((1L, 101L), (2L, 100L), (3L, 100L), (4L, 100L), (5L, -1L)))
+    // tolerance voids each side independently: 15m keeps nothing for
+    // event 1 (both gaps > 15m) but keeps event 2's 10m backward match
+    val tol = Temporal.asofJoin(left, right, Seq("user_id"), "ts", "click_ts",
+        direction = "nearest", toleranceSeconds = Some(900L))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(tol === Array((1L, -1L), (2L, 100L), (3L, -1L), (4L, -1L), (5L, -1L)))
   }
 
   test("asofJoin: null-key rows never match (SQL equality semantics)") {
