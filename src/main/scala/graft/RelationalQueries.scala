@@ -600,6 +600,20 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- per-group winsorization: clamp to interpolated [p01, p99].
+    //      The oracle replays the rank-offset interpolation op-for-op
+    //      rather than using quantile_cont: DuckDB's interpolation
+    //      order diverges from lo+(hi-lo)*frac by 1 ulp on real data
+    //      (measured), and clamped outputs carry the cutoff verbatim ----
+    "q_winsorize" -> ((s, d) => {
+      val cents = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      Frames.winsorizeByGroup(cents, "o_orderpriority", "pc", 0.01, 0.99)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("pc"), col("pc_w"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- CDC upsert: latest-wins apply of an update set onto a base
     //      table (anti-join + union — the merge-into shape) ----
     "q_upsert" -> ((s, d) => {
@@ -962,6 +976,37 @@ object RelationalQueries {
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_v
          FROM events ORDER BY event_id""",
+    "q_winsorize" ->
+      """WITH c AS (
+           SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS pc FROM orders),
+         r AS (
+           SELECT o_orderpriority, pc,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY pc) AS rk,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM c),
+         q AS (
+           SELECT o_orderpriority,
+             MAX(CASE WHEN rk = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.01) AS BIGINT) + 1
+               THEN CAST(pc AS DOUBLE) END) AS lo0,
+             MAX(CASE WHEN rk = least(CAST(floor(CAST(n - 1 AS DOUBLE) * 0.01) AS BIGINT) + 2, n)
+               THEN CAST(pc AS DOUBLE) END) AS lo1,
+             MAX(CASE WHEN rk = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1
+               THEN CAST(pc AS DOUBLE) END) AS hi0,
+             MAX(CASE WHEN rk = least(CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 2, n)
+               THEN CAST(pc AS DOUBLE) END) AS hi1,
+             MAX(n) AS nn
+           FROM r GROUP BY 1),
+         q2 AS (
+           SELECT o_orderpriority,
+             lo0 + (lo1 - lo0) *
+               (CAST(nn - 1 AS DOUBLE) * 0.01 - floor(CAST(nn - 1 AS DOUBLE) * 0.01)) AS lo,
+             hi0 + (hi1 - hi0) *
+               (CAST(nn - 1 AS DOUBLE) * 0.99 - floor(CAST(nn - 1 AS DOUBLE) * 0.99)) AS hi
+           FROM q)
+         SELECT c.o_orderkey, c.o_orderpriority, c.pc,
+           greatest(q2.lo, least(q2.hi, CAST(c.pc AS DOUBLE))) AS pc_w
+         FROM c JOIN q2 USING (o_orderpriority) ORDER BY c.o_orderkey""",
     "q_mad_outliers" ->
       """WITH cents AS (
            SELECT o_orderpriority, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS pc

@@ -383,6 +383,26 @@ object Frames {
       .select(col(keyCol) +: outs: _*)
   }
 
+  /** Per-group winsorization: clamp a value column to its group's
+    * [pLo, pHi] interpolated percentiles — the standard outlier
+    * treatment that keeps rows (unlike a MAD filter) while bounding
+    * tail influence. Percentiles come from [[exactQuantilesByGroup]]
+    * (rank-offset selection, no value-buffering aggregate) and the
+    * group-sized cutoff frame broadcasts back, so the fact side
+    * streams through with zero extra shuffles. Adds `<valCol>_w`
+    * (double: cutoffs interpolate between values).
+    */
+  def winsorizeByGroup(df: DataFrame, keyCol: String, valCol: String,
+                       pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val cuts = exactQuantilesByGroup(df, keyCol, valCol, Seq(pLo, pHi))
+      .select(col(keyCol), col("p0").as("__lo"), col("p1").as("__hi"))
+    df.join(broadcast(cuts), Seq(keyCol))
+      .withColumn(s"${valCol}_w",
+        greatest(col("__lo"), least(col("__hi"), col(valCol).cast("double"))))
+      .drop("__lo", "__hi")
+  }
+
   def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
                 outCol: String = "split"): DataFrame = {
     require(splits.nonEmpty, "at least one split")

@@ -230,6 +230,20 @@ class FramesSpec extends AnyFunSuite {
     }
   }
 
+  test("winsorizeByGroup clamps tails to cutoffs, leaves the middle untouched") {
+    import graft.operators.Frames
+    val df = ((1L to 100L).map(i => ("g", i)) :+ (("g", 100000L))).toDF("k", "v")
+    val out = Frames.winsorizeByGroup(df, "k", "v", 0.05, 0.95)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // middle values unchanged
+    assert(out(50L) === 50.0)
+    // the outlier is pulled down to the p95 cutoff, not dropped
+    assert(out(100000L) < 100000.0 && out(100000L) > 90.0)
+    // nothing exceeds the cutoffs
+    val vals = out.values
+    assert(vals.max === out(100000L) && vals.min >= out(1L))
+  }
+
   test("CSV sink/source roundtrip with header and explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
     val src = Tables.table(spark, TestSpark.sfDir, "nation")
