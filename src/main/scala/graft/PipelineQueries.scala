@@ -309,6 +309,17 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- hard-negative mining (contrastive training): top-2 most
+    //      similar DIFFERENT-label vectors per query; exact broadcast
+    //      baseline (IVF scale path recall-tested in ScalaTest) ----
+    "sim_hard_negatives" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.hardNegativesBruteForce(
+          e.repartition(s.sparkContext.defaultParallelism), "label", k = 2)
+        .select(col("query_id"), col("rank"), col("id").as("neg_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- LSH-bucketed ANN (scale path; recall checked in ScalaTest).
     //      Portable Rademacher planes over quantized entries: the
     //      oracle recomputes every bucket, candidate set and cosine
@@ -1573,6 +1584,19 @@ object PipelineQueries {
            JOIN embeddings ce ON ce.vec_id = c.id)
          SELECT query_id, CAST(1 AS INTEGER) AS rank, id AS nn_id
          FROM ranked WHERE rk = 1 ORDER BY query_id, rank""",
+    "sim_hard_negatives" ->
+      """WITH s AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS id,
+             list_cosine_similarity(a.embedding, b.embedding) AS cos
+           FROM embeddings a JOIN embeddings b
+             ON b.vec_id <> a.vec_id AND b.label <> a.label),
+         r AS (
+           SELECT query_id, id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, id) AS rank
+           FROM s)
+         SELECT query_id, rank, id AS neg_id FROM r WHERE rank <= 2
+         ORDER BY query_id, rank""",
     "sim_topk_ivf" ->
       """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
          hx AS (

@@ -64,6 +64,55 @@ object Similarity {
     topKPerKey(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for every vector,
+    * the k most-similar vectors with a DIFFERENT label (the negatives
+    * that are hardest to separate — the pairs a contrastive loss
+    * learns most from). Exact baseline: broadcast self-join with
+    * self/same-label exclusion, per-query bounded-heap top-k. Label
+    * comparison is SQL null-unsafe (null-label rows never match) —
+    * matches the declared oracle. Quadratic by construction; the
+    * scale path is [[hardNegativesIvf]].
+    */
+  def hardNegativesBruteForce(df: DataFrame, labelCol: String, k: Int,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    val q = df.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("qlab"))
+    val c = broadcast(df.select(col(idCol).as("id"), col(vecCol).as("cv"),
+      col(labelCol).as("clab")))
+    val scored = q.join(c,
+        col("id") =!= col("query_id") && col("clab") =!= col("qlab"))
+      .select(col("query_id"), col("id"), cosine(col("qv"), col("cv")).as("cos"))
+    topKPerKey(scored, k)
+  }
+
+  /** IVF scale path for hard-negative mining: probe `nProbe` coarse
+    * cells per query, score only same-cell different-label candidates
+    * (each corpus row lives in exactly one cell, so no candidate
+    * dedup is needed), bounded-heap top-k. Candidate volume follows
+    * the IVF sizing law (~corpus x nProbe / cells); recall vs the
+    * exact baseline is asserted in SimilaritySpec. Raise nProbe when
+    * labels are strongly clustered (a query's own cell may then hold
+    * mostly same-label rows).
+    */
+  def hardNegativesIvf(df: DataFrame, labelCol: String, k: Int,
+                       centroids: Array[Array[Float]], nProbe: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       portable: Boolean = false): DataFrame = {
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("cv"),
+      col(labelCol).as("clab"),
+      element_at(graft.functions.NativeFunctions.nearestCells(
+        col(vecCol), centroids, 1, portable), 1).as("cell"))
+    val probes = df.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("qlab"),
+      explode(graft.functions.NativeFunctions.nearestCells(
+        col(vecCol), centroids, nProbe, portable)).as("cell"))
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("id") =!= col("query_id") && col("clab") =!= col("qlab"))
+      .select(col("query_id"), col("id"), cosine(col("qv"), col("cv")).as("cos"))
+    topKPerKey(scored, k)
+  }
+
   /** Per-query top-k reduction, always via partial aggregation (each
     * map task reduces its slice to <= k rows per query BEFORE the
     * shuffle — n_queries x k rows move instead of every scored pair):

@@ -102,6 +102,24 @@ class SimilaritySpec extends AnyFunSuite {
       s"within-cell pairs missed: ${sameCellExact -- sem}")
   }
 
+  test("hardNegatives: IVF path is a different-label subset with decent recall vs exact") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val labels = e.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.get(r.fieldIndex("label"))).toMap
+    val exact = Similarity.hardNegativesBruteForce(e, "label", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every exact negative really has a different label than its query
+    exact.foreach { case (q, n) => assert(labels(q) != labels(n), s"$q -> $n") }
+    val cents = Similarity.trainIvfCentroids(e,
+      Similarity.suggestedCentroids(e.count()), 64, 1)
+    val ivf = Similarity.hardNegativesIvf(e, "label", k = 1, cents, nProbe = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    ivf.foreach { case (q, n) => assert(labels(q) != labels(n)) }
+    val hits = exact.count { case (q, n) => ivf.get(q).contains(n) }
+    assert(hits.toDouble / exact.size > 0.5,
+      s"IVF hard-negative recall too low: $hits/${exact.size}")
+  }
+
   test("hyperplaneBucket is deterministic for a seed") {
     val e = Tables.table(spark, TestSpark.sfDir, "embeddings").limit(20)
     val b1 = e.select(Similarity.hyperplaneBucket(col("embedding"), 64, 8).as("b"))
