@@ -147,6 +147,20 @@ object ScaleSmoke {
         Similarity.ivfPqTopK(embKr, embKr, 1, coarse, cbs, nProbe = 4,
           shortlist = Similarity.suggestedShortlist(eK, 1))
           .queryExecution.toRdd.count() },
+      time("sem_dedup_1x") {
+        val c = Similarity.trainIvfCentroids(emb1, Similarity.suggestedCentroids(e1), 64, 1)
+        Similarity.semanticDedupPairs(emb1, "vec_id", "embedding", c, 0.35)
+          .queryExecution.toRdd.count() },
+      time(s"sem_dedup_${k}x") {
+        val c = Similarity.trainIvfCentroids(embKr, Similarity.suggestedCentroids(eK), 64, 1)
+        Similarity.semanticDedupPairs(embKr, "vec_id", "embedding", c, 0.35)
+          .queryExecution.toRdd.count() },
+      time("span_cut_1x") {
+        Dedup.spanDedup(docs1, "doc_id", "text", 8)
+          .queryExecution.toRdd.count() },
+      time(s"span_cut_${k}x") {
+        Dedup.spanDedup(docsK, "doc_id", "text", 8)
+          .queryExecution.toRdd.count() },
       time("dup_spans_1x") {
         Dedup.duplicatedSpans(docs1, "doc_id", "text", 8)
           .queryExecution.toRdd.count() },
@@ -185,7 +199,8 @@ object ScaleSmoke {
     val byName = results.map { case (n, s, _) => n -> s }.toMap
     Seq("minhash_lsh", "simhash", "exact_dedup", "ivf_topk", "lsh_topk",
         "line_dedup", "cross_dedup", "embed_neardup", "ivf_pq_topk",
-        "dup_spans", "winnow_pairs", "jaccard_dford", "pack_sequences").foreach { base =>
+        "sem_dedup", "span_cut", "dup_spans", "winnow_pairs", "jaccard_dford",
+        "pack_sequences").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }
