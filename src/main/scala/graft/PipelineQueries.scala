@@ -121,6 +121,15 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- deterministic shuffle-shard: reproducible (shard, pos)
+    //      training order from the seeded portable hash — identical
+    //      on any engine/partitioning (epoch ordering for trainers) ----
+    "q_shuffle_shards" -> ((s, d) =>
+      Frames.deterministicShuffle(
+          t(s, d, "documents").select(col("doc_id")), "doc_id", nShards = 8, seed = 42L)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))),
+
     // ---- the round-3 flagship composition — a modern pretraining
     //      curation DAG: Gopher rule gate -> CCNet perplexity bucket
     //      (drop the tail) -> duplicated-span coverage cap (<= 30% of
@@ -1740,6 +1749,20 @@ object PipelineQueries {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
          ORDER BY id_a, id_b""",
+    "q_shuffle_shards" ->
+      """WITH h AS (
+           SELECT doc_id,
+             ((((doc_id + 42) % 1000000007) * ((doc_id + 42) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+           FROM documents),
+         s AS (
+           SELECT doc_id, (v * v) % 1000000007 AS hh FROM h),
+         r AS (
+           SELECT doc_id, CAST(hh % 8 AS INTEGER) AS shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) - 1
+               AS BIGINT) AS pos
+           FROM s)
+         SELECT doc_id, shard, pos FROM r ORDER BY doc_id""",
     "q_curation_v2" ->
       """WITH gr AS (
            SELECT doc_id,

@@ -403,6 +403,27 @@ object Frames {
       .drop("__lo", "__hi")
   }
 
+  /** Deterministic shuffle-shard for reproducible training order:
+    * every row gets a (shard, pos) from a seeded portable hash of its
+    * id — the same corpus, seed and shard count always yield the same
+    * global order, on any engine and any partitioning. shard =
+    * hash mod nShards; pos = rank within the shard by (hash, id).
+    *
+    * Scale shape: one shuffle keyed by shard, per-shard window sort
+    * (parallel across shards — size nShards to your trainer's data
+    * parallelism, NOT 1). Resharding is a re-run with a different
+    * nShards; re-seeding gives an independent epoch order.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, nShards: Int,
+                           seed: Long = 42L): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", portableHash(col(idCol), seed))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
+
   def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
                 outCol: String = "split"): DataFrame = {
     require(splits.nonEmpty, "at least one split")

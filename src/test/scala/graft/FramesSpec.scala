@@ -230,6 +230,27 @@ class FramesSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministicShuffle: partitioning-invariant, dense per-shard positions") {
+    import graft.operators.Frames
+    val df = (1L to 2000L).toDF("id")
+    val a = Frames.deterministicShuffle(df, "id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Frames.deterministicShuffle(df.repartition(13), "id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a === b)
+    // positions are dense 0..n_shard-1 within every shard
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).toSeq.sorted === (0L until rows.size).toSeq, s"shard $shard")
+    }
+    // shards are roughly balanced (multiplicative hash, 2000/8 = 250)
+    val sizes = a.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.values.min > 150 && sizes.values.max < 350, sizes.toMap.toString)
+    // a different seed produces a different order
+    val c = Frames.deterministicShuffle(df, "id", nShards = 8, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(c !== a)
+  }
+
   test("winsorizeByGroup clamps tails to cutoffs, leaves the middle untouched") {
     import graft.operators.Frames
     val df = ((1L to 100L).map(i => ("g", i)) :+ (("g", 100000L))).toDF("k", "v")
