@@ -130,6 +130,26 @@ object PipelineQueries {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("doc_id"))),
 
+    // ---- epoch assembly: deterministic shuffle THEN token-budget
+    //      sequence packing in shuffled order — the reproducible
+    //      "which 512-token training sequence does each doc land in
+    //      this epoch" pipeline ----
+    "q_epoch_pack" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val shuffled = Frames.deterministicShuffle(
+          docs.select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens")),
+          "doc_id", nShards = 8, seed = 42L)
+        .withColumn("ord", col("shard").cast(LongType) * lit(1000000L) + col("pos"))
+      val packed = Frames.packSequences(shuffled, "ord", "n_tokens",
+        budget = 512, bucketSize = 128)
+      packed.join(shuffled.select(col("ord"), col("doc_id")),
+          packed("id") === col("ord"))
+        .select(col("doc_id"), col("id").as("ord"), col("n"), col("start"),
+          col("seq_id"), col("seq_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- the round-3 flagship composition — a modern pretraining
     //      curation DAG: Gopher rule gate -> CCNet perplexity bucket
     //      (drop the tail) -> duplicated-span coverage cap (<= 30% of
@@ -1763,6 +1783,30 @@ object PipelineQueries {
                AS BIGINT) AS pos
            FROM s)
          SELECT doc_id, shard, pos FROM r ORDER BY doc_id""",
+    "q_epoch_pack" ->
+      """WITH h AS (
+           SELECT doc_id,
+             ((((doc_id + 42) % 1000000007) * ((doc_id + 42) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+           FROM documents),
+         s2 AS (SELECT doc_id, (v * v) % 1000000007 AS hh FROM h),
+         r AS (
+           SELECT doc_id, hh % 8 AS shard,
+             ROW_NUMBER() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) - 1 AS pos
+           FROM s2),
+         o AS (SELECT doc_id, CAST(shard * 1000000 + pos AS BIGINT) AS ord FROM r),
+         tc AS (
+           SELECT o.doc_id, o.ord,
+             CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n
+           FROM o JOIN documents d USING (doc_id)),
+         c AS (
+           SELECT doc_id, ord, n,
+             CAST(SUM(n) OVER (ORDER BY ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS start
+           FROM tc)
+         SELECT doc_id, ord, n, start,
+           start // 512 AS seq_id, start % 512 AS seq_offset
+         FROM c ORDER BY doc_id""",
     "q_curation_v2" ->
       """WITH gr AS (
            SELECT doc_id,
