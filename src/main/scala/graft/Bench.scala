@@ -116,7 +116,11 @@ object Bench {
       name -> (if (ok) elapsed else -1.0)
     }
     pool.shutdownNow()
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f interpolator is locale-sensitive — a comma
+    // decimal separator (de_DE etc.) would make the JSON unparseable
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -233,16 +233,20 @@ object PipelineQueries {
 
     // ---- near-dup dedup keeping the best-QUALITY doc per cluster
     //      (curation-grade survivor choice; argmax aggregate, no
-    //      window). Pair generation uses the df-ordered prefix index:
-    //      result-equal to the plain inverted-index variant (asserted
-    //      in DedupSpec) but sub-quadratic under hot shingles ----
+    //      window). Pair DISCOVERY is MinHash-LSH banding — the
+    //      100 TB play (SCALE.md): candidates only from band-bucket
+    //      collisions, exact Jaccard verified on that bounded set,
+    //      never all-pairs (exact-pair discovery measured 61-155x at
+    //      20x corpus). Portable hash family so the DuckDB oracle
+    //      replays discovery AND verification bit-exactly ----
     "dedup_cluster_best" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val scored = docs.withColumn("quality_q4",
         floor(TextAnalysis.qualityScoreRaw(col("text")) * lit(10000.0) + lit(0.5))
           .cast(LongType))
-      val pairs = Dedup.ngramJaccardPairsDfOrdered(docs, "doc_id", "text",
-        shingleWidth = 3, threshold = 0.5)
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleWidth = 3, threshold = 0.5,
+        portable = true)
       Dedup.dedupByNearDupPreferring(scored, "doc_id", pairs, "quality_q4")
         .select(col("doc_id"), col("quality_q4"))
         .orderBy(col("doc_id"))
@@ -345,6 +349,24 @@ object PipelineQueries {
       val e = t(s, d, "embeddings")
       Similarity.hardNegativesBruteForce(
           e.repartition(s.sparkContext.defaultParallelism), "label", k = 2)
+        .select(col("query_id"), col("rank"), col("id").as("neg_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- hard-negative mining, IVF scale path: same contract as
+    //      sim_hard_negatives but candidates come only from nProbe
+    //      coarse cells (~corpus x nProbe / cells scored pairs — the
+    //      100 TB shape; the exact query above is the quadratic
+    //      baseline). Portable centroid training (hash init + integer
+    //      mean updates) lets the oracle retrain identical centroids
+    //      and replay assignment, probing, label filter and ranking ----
+    "sim_hard_negatives_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = Similarity.trainIvfCentroids(e,
+        nCentroids = Similarity.suggestedCentroids(e.count()), dim = 64,
+        iterations = 1, portable = true)
+      Similarity.hardNegativesIvf(e, "label", k = 2, cents, nProbe = 4,
+          portable = true)
         .select(col("query_id"), col("rank"), col("id").as("neg_id"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1389,20 +1411,41 @@ object PipelineQueries {
            TRUE AS p99_within_rank_bounds
          FROM events GROUP BY event_type ORDER BY event_type""",
     "dedup_cluster_best" ->
-      """WITH RECURSIVE d AS (
-           SELECT doc_id, list_distinct(
-             CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3
-               THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
-               ELSE list_transform(range(0, len(string_split_regex(trim(text), '\s+')) - 2),
-                 i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i+1, i+3), ' '))
-             END) AS sh
-           FROM documents),
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         hs AS (
+           SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007))) AS sh
+           FROM t),
+         sg AS (
+           SELECT doc_id, sh,
+             list_transform(range(0, 64), j ->
+               list_min(list_transform(sh, x ->
+                 (((j + 1) * 1000003 + 12345) % 2147483647 * x
+                   + ((j + 1) * 999983 + 54321) % 2147483647) % 2147483647))) AS sig
+           FROM hs),
+         bk AS (
+           SELECT doc_id, b.band AS band,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_slice(sig, b.band * 4 + 1, b.band * 4 + 4)),
+               (a, x) -> (a * 1000003 + x) % 1000000007) AS bucket
+           FROM sg, (SELECT unnest(range(0, 16)) AS band) b),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bk x JOIN bk y
+             ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
          p AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM d a JOIN d b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.sh, b.sh)) > 0
-             AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5),
+           SELECT c.id_a, c.id_b
+           FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5),
          e AS (
            SELECT id_a AS src, id_b AS dst FROM p
            UNION ALL SELECT id_b, id_a FROM p),
@@ -1625,6 +1668,61 @@ object PipelineQueries {
                ORDER BY cos DESC, id) AS rank
            FROM s)
          SELECT query_id, rank, id AS neg_id FROM r WHERE rank <= 2
+         ORDER BY query_id, rank""",
+    "sim_hard_negatives_ivf" ->
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+         hx AS (
+           SELECT vec_id, embedding,
+             ((((vec_id + 42) % 1000000007) * ((vec_id + 42) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+           FROM embeddings),
+         init AS (
+           SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY (v * v) % 1000000007, vec_id) - 1 AS cell
+           FROM hx
+           QUALIFY cell < (SELECT greatest(16, CAST(ceil(sqrt(cnt)) AS BIGINT)) FROM n)),
+         a0 AS (
+           SELECT e.vec_id, i.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, i.embedding) DESC, i.cell) AS rk
+           FROM embeddings e CROSS JOIN init i),
+         a1 AS (SELECT vec_id, cell FROM a0 WHERE rk = 1),
+         q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+           FROM embeddings),
+         mp AS (
+           SELECT a1.cell, p.pos,
+             CAST(floor(CAST(sum(p.qx) AS DOUBLE) / count(*)) AS BIGINT) AS mq
+           FROM a1 JOIN q USING (vec_id),
+             LATERAL (SELECT unnest(qv) AS qx, generate_subscripts(qv, 1) AS pos) p
+           GROUP BY a1.cell, p.pos),
+         upd AS (
+           SELECT cell, list_transform(array_agg(mq ORDER BY pos),
+             m -> CAST(m / 1048576.0 AS FLOAT)) AS cv
+           FROM mp GROUP BY cell),
+         cents AS (
+           SELECT i.cell, COALESCE(u.cv, i.embedding) AS cv
+           FROM init i LEFT JOIN upd u USING (cell)),
+         a2 AS (
+           SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cell) AS rk
+           FROM embeddings e CROSS JOIN cents c),
+         assign AS (SELECT vec_id AS id, cell FROM a2 WHERE rk = 1),
+         probes AS (SELECT vec_id AS query_id, cell FROM a2 WHERE rk <= 4),
+         cand AS (
+           SELECT DISTINCT p.query_id, a.id FROM probes p JOIN assign a USING (cell)
+           WHERE a.id <> p.query_id),
+         ranked AS (
+           SELECT c.query_id, c.id,
+             ROW_NUMBER() OVER (PARTITION BY c.query_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, c.id) AS rank
+           FROM cand c
+           JOIN embeddings qe ON qe.vec_id = c.query_id
+           JOIN embeddings ce ON ce.vec_id = c.id
+           WHERE ce.label <> qe.label)
+         SELECT query_id, rank, id AS neg_id FROM ranked WHERE rank <= 2
          ORDER BY query_id, rank""",
     "sim_topk_ivf" ->
       """WITH n AS (SELECT count(*) AS cnt FROM embeddings),

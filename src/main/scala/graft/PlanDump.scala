@@ -67,7 +67,12 @@ object PlanDump {
       ("The per-group median/MAD tables are group-cardinality-sized, so both " +
         "rejoin the cents table as BroadcastHashJoins: the 100 TB fact side " +
         "streams through twice with zero fact-side shuffles; only the tiny " +
-        "percentile aggregations exchange."),
+        "percentile aggregations exchange. Inside each median: the rank " +
+        "window partitions by (group, value-bucket) — approx-percentile " +
+        "cutpoints split every group into ~32 parallel sort cells, so a " +
+        "5-group corpus sorts in ~160 tasks, not 5 (the cutpoint aggregate " +
+        "is one tiny sketch; its accuracy affects bucket balance, never " +
+        "rank correctness)."),
     "events_gapfill" ->
       ("The dense grid side is (types x days) rows built from one 1-row bounds " +
         "aggregate — broadcast into the left join against the sparse daily " +
@@ -112,7 +117,50 @@ object PlanDump {
       ("The vocab histogram broadcasts into the token stream (never a " +
         "token-keyed shuffle — Zipf skew), the tercile scan windows over the " +
         "languages x distinct-scores HISTOGRAM (bounded rows, not the " +
-        "corpus), and the cutoff table broadcasts back to the scored docs."))
+        "corpus), and the cutoff table broadcasts back to the scored docs."),
+    "q_winsorize" ->
+      ("Per-group exact p1/p99 via the bucket-parallel rank: cutpoints from " +
+        "one approx-percentile sketch broadcast into the scan, the corpus " +
+        "shuffles ONCE keyed by (group, bucket) — ~32 parallel sort cells " +
+        "per group instead of one whole-group task — cell offsets (groups x " +
+        "buckets rows) broadcast back, and the two bracketing ranks per " +
+        "quantile aggregate to a group-sized clamp table that broadcast-" +
+        "rejoins the fact side. No single-task-per-group sort anywhere."),
+    "q_asof_nearest" ->
+      ("Nearest-direction as-of join runs the SAME union+merge shape as " +
+        "backward/forward: one Exchange (hash by user), one per-key sort, " +
+        "a running last_value for the backward candidate and a lead() for " +
+        "the forward one, then a row-local argmin of the two microsecond " +
+        "gaps — still no Join node, no theta-join explosion on hot keys."),
+    "sim_hard_negatives" ->
+      ("The exact baseline: label-filtered pairs via a broadcast cross of " +
+        "the query side against the corpus, native cosine inside the join, " +
+        "and a partial top-k aggregate so only k rows per query cross the " +
+        "wire. Deliberately quadratic by contract — the IVF scale path " +
+        "(sim_hard_negatives_ivf) probes nProbe cells so candidates are " +
+        "~corpus x nProbe / cells; same plan family as sim_topk_ivf."),
+    "q_epoch_pack" ->
+      ("Epoch assembly = deterministic shuffle-shard composed with sequence " +
+        "packing: the seeded portable hash assigns shards map-side, the " +
+        "per-shard window sorts run in parallel across shards, and the " +
+        "packer's two-level prefix sum keeps its only SinglePartition " +
+        "exchange at one row per bucket (the bucket-totals frame), with " +
+        "offsets broadcast back to the token stream."),
+    "q_curation_v2" ->
+      ("The flagship composition (Gopher gate -> ppl-bucket drop -> span-" +
+        "coverage cap -> exact dedup): three full-corpus map-only scoring " +
+        "passes joined on doc_id — Gopher signals are a per-row struct, the " +
+        "ppl cutoffs broadcast back, span coverage reuses the semi-join-" +
+        "gated anchor shape — then one exact-dedup hash aggregate. Cost is " +
+        "genuinely three scans; every join is broadcast or doc_id-keyed."),
+    "text_dsir_weights" ->
+      ("Round-4 reshape: per-doc bucket histograms are run-length-encoded " +
+        "IN-ROW (sort_array + index HOFs, all codegen) so the corpus never " +
+        "shuffles at all — round 3's groupBy(id, bucket) pre-aggregation " +
+        "re-shuffled the per-occurrence stream (docs are row-local, so " +
+        "map-side combine bought nothing) and cost 42% wall time. The " +
+        "bucket ratio table (<= buckets rows) broadcasts back into the " +
+        "cached cell stream."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

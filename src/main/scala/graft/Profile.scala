@@ -17,10 +17,14 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
-    for (name <- names; i <- 1 to 3) {
+    // runs 1-3 drop the cache first (Bench's conditions: codegen-warm
+    // after run1, cache-cold); runs 4-5 keep it (steady-state)
+    for (name <- names; i <- 1 to 5) {
+      if (i <= 3) spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-      println(f"[profile] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      val mode = if (i <= 3) "cache-cold" else "cache-warm"
+      println(f"[profile] $name run$i ($mode): ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
     }
     spark.stop()
   }

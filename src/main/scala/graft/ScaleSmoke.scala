@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Frames, Similarity, Temporal, TextAnalysis}
 
 /** Scale-behavior smoke: replicates the sf0.1 corpus K-fold (ids
   * offset per replica so replicas are near-duplicates of each other —
@@ -29,7 +29,7 @@ object ScaleSmoke {
     spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
 
     val docs1 = Tables.table(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text")).cache()
+      .select(col("doc_id"), col("lang"), col("text")).cache()
     val n1 = docs1.count()
     // K replicas with disjoint id ranges; each replica's text gets a
     // distinct marker token appended so replicas are NEAR-duplicates
@@ -37,10 +37,23 @@ object ScaleSmoke {
     // near-dup-shaped instead of exploding into K-cliques of identity
     val offset = 1000000L
     val docsK = (0 until k).map { r =>
-      docs1.select((col("doc_id") + lit(r * offset)).as("doc_id"),
+      docs1.select((col("doc_id") + lit(r * offset)).as("doc_id"), col("lang"),
         concat(col("text"), lit(s" replica$r marker$r")).as("text"))
     }.reduce(_ unionByName _).repartition(32).cache()
     val nK = docsK.count()
+
+    // events replicas: disjoint USER ranges, so per-key series sizes
+    // stay constant and only key count grows — the honest linear
+    // shape for the keyed temporal operators
+    val ev1 = Tables.table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts")).cache()
+    val v1 = ev1.count()
+    val evK = (0 until k).map { r =>
+      ev1.select((col("event_id") + lit(r * offset)).as("event_id"),
+        (col("user_id") + lit(r * offset)).as("user_id"),
+        col("event_type"), col("ts"))
+    }.reduce(_ unionByName _).repartition(32).cache()
+    evK.count()
 
     val emb1 = Tables.table(spark, sfDir, "embeddings").cache()
     val e1 = emb1.count()
@@ -64,6 +77,25 @@ object ScaleSmoke {
         rotated(col("embedding"), r).as("embedding"), col("label"))
     }.reduce(_ unionByName _).repartition(32).cache()
     embKr.count()
+
+    // the q_curation_v2 composition (Gopher gate -> ppl-bucket drop ->
+    // span-coverage cap -> exact dedup), parameterized by corpus
+    def curationV2(docs: DataFrame): DataFrame = {
+      val gated = docs.select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.gopherSignals(col("text")).as("g"))
+        .filter(col("g.pass"))
+      val ppl = TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang")
+        .select(col("id").as("doc_id"), col("bucket"))
+      val spanCover = Dedup.duplicatedSpans(docs, "doc_id", "text", minLen = 8)
+        .select(col("id").as("doc_id"), col("span_len"))
+        .groupBy(col("doc_id")).agg(sum(col("span_len")).as("dup_tokens"))
+      val kept = gated.join(ppl, Seq("doc_id"))
+        .filter(col("bucket") =!= "tail")
+        .join(spanCover, Seq("doc_id"), "left")
+        .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+        .filter(col("dup_tokens") * 10L <= col("g.n_words") * 3L)
+      Dedup.exactDedup(kept, "doc_id", "text")
+    }
 
     def time(name: String)(f: => Long): (String, Double, Long) = {
       val before = spark.sparkContext.getPersistentRDDs.keySet
@@ -192,7 +224,70 @@ object ScaleSmoke {
         graft.operators.Frames.packSequences(
           docsK.select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("nt")),
           "doc_id", "nt", budget = 512, bucketSize = 1024)
-          .queryExecution.toRdd.count() }
+          .queryExecution.toRdd.count() },
+      // re-composed flagship: MinHash-LSH discovery -> bounded exact-
+      // Jaccard verify -> best-quality survivor per component (the
+      // documented 100 TB play; exact-pair discovery measured 61-155x
+      // at 20x before the re-composition)
+      time("cluster_best_1x") {
+        val scored = docs1.withColumn("q", length(col("text")).cast("long"))
+        val pairs = Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 64, 16, 3, 0.5)
+        Dedup.dedupByNearDupPreferring(scored, "doc_id", pairs, "q")
+          .queryExecution.toRdd.count() },
+      time(s"cluster_best_${k}x") {
+        val scored = docsK.withColumn("q", length(col("text")).cast("long"))
+        val pairs = Dedup.minhashNearDupPairs(docsK, "doc_id", "text", 64, 16, 3, 0.5)
+        Dedup.dedupByNearDupPreferring(scored, "doc_id", pairs, "q")
+          .queryExecution.toRdd.count() },
+      // 5 groups TOTAL: the adversarial low-cardinality case for
+      // per-group quantiles — the bucket-parallel rank keeps ~32
+      // sort tasks per group instead of one task per group
+      time("winsorize5_1x") {
+        Frames.winsorizeByGroup(docs1.select((col("doc_id") % 5).as("grp"),
+            length(col("text")).cast("long").as("v")), "grp", "v", 0.01, 0.99)
+          .queryExecution.toRdd.count() },
+      time(s"winsorize5_${k}x") {
+        Frames.winsorizeByGroup(docsK.select((col("doc_id") % 5).as("grp"),
+            length(col("text")).cast("long").as("v")), "grp", "v", 0.01, 0.99)
+          .queryExecution.toRdd.count() },
+      time("hard_neg_ivf_1x") {
+        val c = Similarity.trainIvfCentroids(emb1, Similarity.suggestedCentroids(e1), 64, 1)
+        Similarity.hardNegativesIvf(emb1, "label", 2, c, 4)
+          .queryExecution.toRdd.count() },
+      time(s"hard_neg_ivf_${k}x") {
+        val c = Similarity.trainIvfCentroids(embKr, Similarity.suggestedCentroids(eK), 64, 1)
+        Similarity.hardNegativesIvf(embKr, "label", 2, c, 4)
+          .queryExecution.toRdd.count() },
+      time("epoch_pack_1x") {
+        val sh = Frames.deterministicShuffle(docs1.select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("nt")), "doc_id", 8)
+          .withColumn("ord", col("shard").cast("long") * lit(1000000L) + col("pos"))
+        Frames.packSequences(sh, "ord", "nt", budget = 512, bucketSize = 1024)
+          .queryExecution.toRdd.count() },
+      time(s"epoch_pack_${k}x") {
+        val sh = Frames.deterministicShuffle(docsK.select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("nt")), "doc_id", 8)
+          .withColumn("ord", col("shard").cast("long") * lit(1000000L) + col("pos"))
+        Frames.packSequences(sh, "ord", "nt", budget = 512, bucketSize = 1024)
+          .queryExecution.toRdd.count() },
+      time("asof_nearest_1x") {
+        val purch = ev1.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = Frames.uniqueFirst(ev1.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id")),
+          Seq("user_id", "click_ts"), Seq(col("click_id")))
+        Temporal.asofJoin(purch, clicks, Seq("user_id"), "ts", "click_ts",
+          direction = "nearest").queryExecution.toRdd.count() },
+      time(s"asof_nearest_${k}x") {
+        val purch = evK.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = Frames.uniqueFirst(evK.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id")),
+          Seq("user_id", "click_ts"), Seq(col("click_id")))
+        Temporal.asofJoin(purch, clicks, Seq("user_id"), "ts", "click_ts",
+          direction = "nearest").queryExecution.toRdd.count() },
+      time("curation_v2_1x") { curationV2(docs1).queryExecution.toRdd.count() },
+      time(s"curation_v2_${k}x") { curationV2(docsK).queryExecution.toRdd.count() }
     )
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
@@ -200,7 +295,8 @@ object ScaleSmoke {
     Seq("minhash_lsh", "simhash", "exact_dedup", "ivf_topk", "lsh_topk",
         "line_dedup", "cross_dedup", "embed_neardup", "ivf_pq_topk",
         "sem_dedup", "span_cut", "dup_spans", "winnow_pairs", "jaccard_dford",
-        "pack_sequences").foreach { base =>
+        "pack_sequences", "cluster_best", "winsorize5", "hard_neg_ivf",
+        "epoch_pack", "asof_nearest", "curation_v2").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

@@ -312,28 +312,88 @@ object Frames {
             floor(col("start") / budget).cast("long") + 1L).as("n_seqs"))
   }
 
+  /** Exact global rank of every (group, value) row WITHOUT routing a
+    * whole group through one task's sort. Shape:
+    *
+    *  1. `approx_percentile` cutpoints over the value domain (one tiny
+    *     agg; accuracy only affects bucket BALANCE, never rank
+    *     correctness);
+    *  2. each row gets a bucket = #cutpoints <= value — a pure
+    *     function of the value, so deterministic under recompute
+    *     (no `spark_partition_id`), monotone in the value;
+    *  3. per-(group, bucket) counts -> cumulative offsets per group
+    *     (a groups×buckets-sized frame — a window over it is tiny);
+    *  4. rank = offset + row_number within (group, bucket).
+    *
+    * The single corpus-sized shuffle is keyed by (group, bucket): a
+    * 5-group corpus sorts in 5×`buckets` parallel tasks instead of 5.
+    * NULL values are dropped (the `percentile`/`quantile_cont`
+    * null-skipping definition — counting them would shift every rank
+    * and could select a null). Degenerate case: a single repeated
+    * value collapses to one bucket — the same bounded-by-duplicates
+    * hazard every exact-rank method has.
+    */
+  private[graft] def globalRankByGroup(df: DataFrame, keyCol: String,
+                                       valCol: String,
+                                       buckets: Int = 32): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val vals = df.select(col(keyCol), col(valCol))
+      .filter(col(valCol).isNotNull)
+      .withColumn("__vd", col(valCol).cast("double"))
+    val bucketed = if (buckets == 1) vals.withColumn("__b", lit(0)) else {
+      val cutsRow = vals.agg(percentile_approx(col("__vd"),
+        array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*),
+        lit(10000)).as("__cuts"))
+      vals.crossJoin(broadcast(cutsRow))
+        .withColumn("__b", aggregate(col("__cuts"), lit(0),
+          (acc, c) => acc + when(col("__vd") >= c, 1).otherwise(0)))
+        .drop("__cuts")
+    }
+    // ONE (key, bucket)-keyed shuffle and ONE sort produce BOTH the
+    // local rank and the cell size (two window functions over the
+    // same partition spec — no second exchange). The staged stream is
+    // persisted because two consumers need it (the tiny cell/offset
+    // extraction and the rank join) and re-deriving it would redo the
+    // scan + shuffle + sort; slim linear state, spills to disk, stays
+    // referenced by the returned plan so it cannot be unpersisted
+    // here (same policy as the LSH signature tables).
+    val wCell = Window.partitionBy(col(keyCol), col("__b"))
+    val staged = bucketed
+      .withColumn("__lrk", row_number().over(wCell.orderBy(col(valCol))).cast("long"))
+      .withColumn("__cn", count(lit(1)).over(wCell))
+      .drop("__vd")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = staged.filter(col("__lrk") === 1L)
+      .select(col(keyCol), col("__b"), col("__cn"))
+    val wOff = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cells
+      .withColumn("__off", coalesce(sum(col("__cn")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__cn")).over(Window.partitionBy(col(keyCol))))
+      .select(col(keyCol), col("__b"), col("__off"), col("__n"))
+    staged.join(broadcast(offs), Seq(keyCol, "__b"))
+      .select(col(keyCol), col(valCol),
+        (col("__off") + col("__lrk")).as("__rk"), col("__n"))
+  }
+
   /** Exact per-group median by rank-offset selection: rank each value
-    * inside its group, keep only the one (odd n) or two (even n)
-    * middle rows, and average them — the same linear interpolation
-    * `percentile(0.5)` / DuckDB `quantile_cont(0.5)` defines, and
-    * bit-identical to both for exactly-representable inputs
-    * (integers, dyadic fractions), since the mean of two exact
+    * inside its group ([[globalRankByGroup]] — bucket-parallel, no
+    * single-task-per-group sort), keep only the one (odd n) or two
+    * (even n) middle rows, and average them — the same linear
+    * interpolation `percentile(0.5)` / DuckDB `quantile_cont(0.5)`
+    * defines, and bit-identical to both for exactly-representable
+    * inputs (integers, dyadic fractions), since the mean of two exact
     * doubles ≤ 2^52 is exact.
     *
-    * Scale shape: ONE shuffle (the per-group window sort, which
-    * spills to disk like any sort) and a ≤2-rows-per-group aggregate.
     * Spark's exact `percentile` instead buffers a value->count map
     * per group in the aggregation buffer — a memory hazard once a
     * group's value DOMAIN outgrows executor heap, which a 100 TB
-    * corpus with high-cardinality values will do.
+    * corpus with high-cardinality values will do. NULL values are
+    * skipped, like `percentile`.
     */
   def exactMedianByGroup(df: DataFrame, keyCol: String, valCol: String,
                          outCol: String = "median"): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
-    val wc = Window.partitionBy(col(keyCol))
-    df.select(col(keyCol), col(valCol))
-      .withColumn("__rk", row_number().over(w).cast("long"))
-      .withColumn("__n", count(lit(1)).over(wc))
+    globalRankByGroup(df, keyCol, valCol)
       // odd n: both picks are the middle row; even n: rows n/2, n/2+1.
       // Column./ is DOUBLE division — floor back to the integer ranks
       // (exact: halves of a long count are exactly representable)
@@ -349,19 +409,15 @@ object Frames {
     * requested p the 0-based position is p*(n-1); the two bracketing
     * ranks are kept and interpolated lo + (hi-lo)*frac — the
     * `percentile`/`quantile_cont` definition — without ever buffering
-    * a group's values in an aggregation buffer. One window sort (the
-    * only corpus-sized shuffle, disk-spillable) + a ≤2|ps|-rows-per-
-    * group aggregate.
+    * a group's values in an aggregation buffer. Ranking is the
+    * bucket-parallel [[globalRankByGroup]] (one corpus-sized shuffle
+    * keyed by (group, bucket)) + a ≤2|ps|-rows-per-group aggregate.
     */
   def exactQuantilesByGroup(df: DataFrame, keyCol: String, valCol: String,
                             ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "quantiles must be in [0, 1]")
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
-    val wc = Window.partitionBy(col(keyCol))
-    val ranked = df.select(col(keyCol), col(valCol))
-      .withColumn("__rk", row_number().over(w).cast("long"))
-      .withColumn("__n", count(lit(1)).over(wc))
+    val ranked = globalRankByGroup(df, keyCol, valCol)
     def pos(p: Double): Column = (col("__n") - 1L).cast("double") * lit(p)
     def lo(p: Double): Column = floor(pos(p)).cast("long") + 1L
     def hi(p: Double): Column = least(lo(p) + 1L, col("__n"))

@@ -124,12 +124,17 @@ object Multimodal {
       val w = leInt(b, 18)
       val hRaw = leInt(b, 22)
       val bottomUp = hRaw > 0
+      // math.abs(Int.MinValue) is still negative — reject explicitly
+      if (hRaw == Int.MinValue) return null
       val h = math.abs(hRaw)
       val bpp = leShort(b, 28)
       val compression = leInt(b, 30)
       if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return null
-      val stride = ((w * 3 + 3) / 4) * 4
-      if (dataOff < 0 || dataOff.toLong + stride.toLong * h > b.length) return null
+      // stride in Long: w near 2^31/3 overflows Int and would produce a
+      // negative stride that slips past the bounds guard below
+      val strideL = ((w.toLong * 3 + 3) / 4) * 4
+      if (dataOff < 0 || dataOff.toLong + strideL * h > b.length) return null
+      val stride = strideL.toInt
       def rgb(x: Int, y: Int): (Int, Int, Int) = {
         val srcRow = if (bottomUp) h - 1 - y else y
         val o = dataOff + srcRow * stride + x * 3
@@ -228,11 +233,17 @@ object Multimodal {
     override def decode(bytes: Array[Byte], format: String): (Row, Array[Float]) = {
       if (bytes == null || bytes.isEmpty) return null
       val fmt = if (format == null) "" else format.toLowerCase
-      fmt match {
-        case "bmp" => decodeBmp(bytes)
-        case "ppm" => decodePpm(bytes)
-        case "wav" => decodeWav(bytes)
-        case _     => fallback.decode(bytes, format)
+      // corpus bytes are untrusted: any parser slip (crafted header fields
+      // that evade the bounds guards) must degrade to null, not fail the task
+      try {
+        fmt match {
+          case "bmp" => decodeBmp(bytes)
+          case "ppm" => decodePpm(bytes)
+          case "wav" => decodeWav(bytes)
+          case _     => fallback.decode(bytes, format)
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => null
       }
     }
   }

@@ -105,12 +105,15 @@ object Temporal {
         .filter(col("__side") === 1)
 
       toleranceSeconds.fold(matched) { tol =>
+        // microsecond gaps, like the "nearest" branch: unix_timestamp
+        // truncates sub-second parts, which would admit gap = tol+0.4s
+        // under backward but reject it under nearest
         val gap =
           if (direction == "backward")
-            unix_timestamp(col("__t")) - unix_timestamp(col("__m").getField(rightTime))
+            unix_micros(col("__t")) - unix_micros(col("__m").getField(rightTime))
           else
-            unix_timestamp(col("__m").getField(rightTime)) - unix_timestamp(col("__t"))
-        matched.withColumn("__m", when(gap <= tol, col("__m")))
+            unix_micros(col("__m").getField(rightTime)) - unix_micros(col("__t"))
+        matched.withColumn("__m", when(gap <= tol * 1000000L, col("__m")))
       }
     }
 

@@ -256,29 +256,49 @@ object TextAnalysis {
                      textCol: String, shingleWidth: Int = 2,
                      buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    def occ(df: DataFrame) = df
-      .select(col(idCol).as("id"),
-        explode(Dedup.shingles(col(textCol), shingleWidth)).as("g"))
-      .select(col("id"),
-        pmod(graft.functions.NativeFunctions.polyFingerprint(col("g")),
-          lit(buckets.toLong)).as("b"))
-    // the raw occurrence stream feeds BOTH the bucket histogram and
-    // the final per-doc join. Pre-aggregate it to (id, bucket, k)
-    // counts FIRST (map-side combined): the persisted footprint and
-    // the ratio-join volume drop from per-occurrence rows to at most
-    // `buckets` rows per document, and every downstream aggregate
-    // re-derives exactly (n_grams = Σk, sum_lr = Σ lr*k). The persist
-    // stays referenced by the returned plan, so (as with Dedup's
-    // signature tables) it cannot be unpersisted here; CacheManager
-    // also substitutes it into later plans sharing the subtree.
-    // Callers running many corpora through a long session should
-    // clearCache() between batches.
-    val rawOcc = occ(raw).groupBy(col("id"), col("b")).agg(count(lit(1)).as("k"))
+    // Per-document (bucket, count) cells computed IN-ROW: sort the
+    // doc's bucket ids, mark run starts with an index-aware
+    // transform+filter, and run-length-encode (cell k = next run
+    // start - this run start). All codegen'd HOFs — the corpus
+    // explodes to compact cells with ZERO shuffles. This is the
+    // critical shape: round 3 pre-aggregated the same cells with
+    // groupBy(id, bucket), which re-shuffled the whole per-occurrence
+    // stream (docs are row-local, so map-side combine bought nothing)
+    // and regressed the bench 4.3 -> 6.2 s; round 2 persisted raw
+    // occurrences (map-only but per-occurrence footprint). The RLE
+    // form keeps both: map-only AND at most `buckets` cells per doc.
+    def cells(df: DataFrame) = {
+      val bs = sort_array(transform(Dedup.shingles(col(textCol), shingleWidth),
+        g => pmod(graft.functions.NativeFunctions.polyFingerprint(g),
+          lit(buckets.toLong))))
+      df.select(col(idCol).as("id"), bs.as("bs"))
+        // run starts: position 0, or value differs from the previous
+        // element (try_element_at is 1-based, so index i reads i-1)
+        .select(col("id"), col("bs"),
+          filter(transform(col("bs"), (x, i) => struct(x.as("b"), i.as("i"))),
+            p => p.getField("i") === 0 ||
+              try_element_at(col("bs"), p.getField("i")) =!= p.getField("b"))
+            .as("st"))
+        .select(col("id"), explode(transform(col("st"), (p, j) =>
+          struct(p.getField("b").as("b"),
+            (coalesce(try_element_at(col("st"), j + lit(2)).getField("i"),
+              size(col("bs"))) - p.getField("i")).cast(LongType).as("k"))))
+          .as("c"))
+        .select(col("id"), col("c.b").as("b"), col("c.k").as("k"))
+    }
+    // The cell stream feeds BOTH the bucket histogram and the final
+    // per-doc join (n_grams = Σk, sum_lr = Σ lr*k re-derive exactly).
+    // The persist stays referenced by the returned plan, so (as with
+    // Dedup's signature tables) it cannot be unpersisted here;
+    // CacheManager also substitutes it into later plans sharing the
+    // subtree. Callers running many corpora through a long session
+    // should clearCache() between batches.
+    val rawOcc = cells(raw)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the target histogram is read twice (ratio join + tt total) —
-    // at most `buckets` rows, but computing it is a full explode of
+    // at most `buckets` rows, but computing it is a full pass over
     // the target corpus; persist keeps that one-pass
-    val ct = occ(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val ct = cells(target).groupBy(col("b")).agg(sum(col("k")).as("ct"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cr = rawOcc.groupBy(col("b")).agg(sum(col("k")).as("cr"))
     // totals fall out of the bucket histograms (sum over <= `buckets`

@@ -18,6 +18,24 @@ class PlanShapeSpec extends AnyFunSuite {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  // WindowExec collector that also descends into persisted subtrees:
+  // operators with an internal .persist (globalRankByGroup, LSH
+  // signatures) hide their corpus-sized windows inside an
+  // InMemoryRelation, which plain plan.collect does not traverse
+  private def allWindows(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val here = p.collect { case w: WindowExec => w }
+    // both wrappers are LEAF nodes to collect: descend explicitly
+    val nested = p.collect {
+      case s: InMemoryTableScanExec => s.relation.cachedPlan
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+    }
+    here ++ nested.distinct.flatMap(allWindows)
+  }
+
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 
@@ -238,6 +256,58 @@ class PlanShapeSpec extends AnyFunSuite {
         portable = true).queryExecution.toRdd.count()
       assert(n > 0)
     } finally spark.conf.set("spark.sql.codegen.fallback", old)
+  }
+
+  test("per-group quantiles rank in (group, bucket) cells — no whole-group sort") {
+    // the scale hazard: Window.partitionBy(key) on a low-cardinality
+    // key routes each ENTIRE group through one task. globalRankByGroup
+    // must (a) rank the corpus in (key, bucket) cells and (b) key-only
+    // windows may consume only the cells AGGREGATE (groups x buckets
+    // rows), never the corpus stream.
+    val df = Tables.table(spark, TestSpark.sfDir, "orders")
+      .select((col("o_orderkey") % 3).as("k"), col("o_totalprice").as("v"))
+    val q = Frames.exactQuantilesByGroup(df, "k", "v", Seq(0.25, 0.75))
+    val wins = allWindows(q.queryExecution.sparkPlan)
+    assert(wins.exists(_.partitionSpec.size == 2),
+      s"corpus rank should partition by (key, bucket):\n${plan(q)}")
+    wins.filter(_.partitionSpec.size < 2).foreach { w =>
+      // bounded inputs: the one-row-per-cell extraction (__lrk = 1) of
+      // the staged rank stream — visible either as a FilterExec or as
+      // a predicate pushed into the InMemoryTableScan
+      assert(w.child.toString.contains("__lrk"),
+        s"a key-only window consumes a non-bounded stream:\n$w")
+    }
+  }
+
+  test("every declared query's unpartitioned windows are on the bounded allowlist") {
+    // An unpartitioned Window moves ALL its input through one task.
+    // Each allowlisted site below is a DOCUMENTED bounded window (the
+    // input is a small aggregate, never the corpus); any new global
+    // window in any declared query fails here until it is justified
+    // and added with a comment.
+    val allow: Map[String, Int] = Map(
+      // packSequences bucket-totals prefix sum: input is ONE row per
+      // bucket (<= n/bucketSize rows; PLANS.md "sequence packing"),
+      // never the token stream
+      "q_pack_sequences" -> 1,
+      // the same packSequences bucket-totals window inside the epoch
+      // assembly composition
+      "q_epoch_pack" -> 1,
+      // forward + backward scans (and the gap-filled grid rank) over
+      // the DAILY aggregate series: one row per calendar day — bounded
+      // by the time span, not the corpus (events collapse in the
+      // groupBy(day) BEFORE any window)
+      "events_interpolate" -> 3)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val wins = allWindows(fn(spark, TestSpark.sfDir).queryExecution.sparkPlan)
+          .filter(_.partitionSpec.isEmpty)
+        if (wins.size > allow.getOrElse(name, 0))
+          Seq(s"$name: ${wins.size} global windows (allowed ${allow.getOrElse(name, 0)})")
+        else Nil
+    }
+    assert(offenders.isEmpty,
+      s"unallowlisted global windows:\n${offenders.mkString("\n")}")
   }
 
   test("join strategy hints override the planner's default choice") {
