@@ -237,15 +237,22 @@ object PipelineQueries {
     //      100 TB play (SCALE.md): candidates only from band-bucket
     //      collisions, exact Jaccard verified on that bounded set,
     //      never all-pairs (exact-pair discovery measured 61-155x at
-    //      20x corpus). Portable hash family so the DuckDB oracle
-    //      replays discovery AND verification bit-exactly ----
+    //      20x corpus). bands=32/r=2, NOT 16/4: the S-curve midpoint
+    //      (1/32)^(1/2) ≈ 0.18 sits well BELOW the Jaccard threshold
+    //      0.5, so true pairs at threshold similarity are discovered
+    //      with probability 1-(1-0.5^2)^32 ≈ 0.9998 (16/4's midpoint
+    //      was exactly 0.5 — only ~64% recall at the decision
+    //      boundary, a loss the oracle could not surface because it
+    //      replays the same hash family). Portable hash family so the
+    //      DuckDB oracle replays discovery AND verification
+    //      bit-exactly ----
     "dedup_cluster_best" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val scored = docs.withColumn("quality_q4",
         floor(TextAnalysis.qualityScoreRaw(col("text")) * lit(10000.0) + lit(0.5))
           .cast(LongType))
       val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
-        numHashes = 64, bands = 16, shingleWidth = 3, threshold = 0.5,
+        numHashes = 64, bands = 32, shingleWidth = 3, threshold = 0.5,
         portable = true)
       Dedup.dedupByNearDupPreferring(scored, "doc_id", pairs, "quality_q4")
         .select(col("doc_id"), col("quality_q4"))
@@ -1434,9 +1441,9 @@ object PipelineQueries {
          bk AS (
            SELECT doc_id, b.band AS band,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_slice(sig, b.band * 4 + 1, b.band * 4 + 4)),
+               list_slice(sig, b.band * 2 + 1, b.band * 2 + 2)),
                (a, x) -> (a * 1000003 + x) % 1000000007) AS bucket
-           FROM sg, (SELECT unnest(range(0, 16)) AS band) b),
+           FROM sg, (SELECT unnest(range(0, 32)) AS band) b),
          cand AS (
            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
            FROM bk x JOIN bk y

@@ -588,7 +588,13 @@ object RelationalQueries {
       val cents = t(s, d, "orders")
         .select(col("o_orderpriority"),
           floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      // the median frame is GROUPS-sized (5 rows here) but costs a
+      // full rank pipeline to produce, and the MAD stage consumes
+      // `adev` three times (cutpoints, cells, rank) — persist the
+      // tiny result once instead of re-deriving the pipeline per
+      // consumer (a ≤groups-row persist, not a corpus one)
       val med = Frames.exactMedianByGroup(cents, "o_orderpriority", "pc", "med_c")
+        .persist()
       val adev = cents.join(broadcast(med), Seq("o_orderpriority"))
         .withColumn("adev_c", abs(col("pc") - col("med_c")))
       val mad = Frames.exactMedianByGroup(adev, "o_orderpriority", "adev_c", "mad_c")

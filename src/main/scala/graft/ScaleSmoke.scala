@@ -102,14 +102,24 @@ object ScaleSmoke {
       val t0 = System.nanoTime()
       val rows = f
       val s = (System.nanoTime() - t0) / 1e9
-      // drop operator-INTERNAL persists (LSH signature / fingerprint
-      // tables, both sides of the cross-dedup) so they don't occupy
-      // executor memory while later blocks are timed — only the four
-      // corpus caches made before any timing stay resident throughout
+      // measure, then drop, operator-INTERNAL persists (LSH signature
+      // / fingerprint tables, both sides of the cross-dedup, DSIR
+      // cells) so they don't occupy executor memory while later
+      // blocks are timed — only the four corpus caches made before
+      // any timing stay resident throughout. The reported footprint
+      // is what a caller that never calls clearCache() would leave
+      // resident PER QUERY — the number SCALE.md's clearCache-cadence
+      // guidance is based on.
+      val newInfos = spark.sparkContext.getRDDStorageInfo
+        .filterNot(i => before(i.id))
+      val memMb = newInfos.map(_.memSize).sum / 1e6
+      val diskMb = newInfos.map(_.diskSize).sum / 1e6
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => before(id) }
         .values.foreach(_.unpersist(blocking = false))
-      println(f"[scale] $name%-28s ${s}%8.2f s  ($rows rows)")
+      val cached = if (newInfos.isEmpty) "" else
+        f"  [internal persists: ${newInfos.length}%d rdds, ${memMb}%.1f MB mem + ${diskMb}%.1f MB disk]"
+      println(f"[scale] $name%-28s ${s}%8.2f s  ($rows rows)$cached")
       (name, s, rows)
     }
 
@@ -231,12 +241,12 @@ object ScaleSmoke {
       // at 20x before the re-composition)
       time("cluster_best_1x") {
         val scored = docs1.withColumn("q", length(col("text")).cast("long"))
-        val pairs = Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 64, 16, 3, 0.5)
+        val pairs = Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 64, 32, 3, 0.5)
         Dedup.dedupByNearDupPreferring(scored, "doc_id", pairs, "q")
           .queryExecution.toRdd.count() },
       time(s"cluster_best_${k}x") {
         val scored = docsK.withColumn("q", length(col("text")).cast("long"))
-        val pairs = Dedup.minhashNearDupPairs(docsK, "doc_id", "text", 64, 16, 3, 0.5)
+        val pairs = Dedup.minhashNearDupPairs(docsK, "doc_id", "text", 64, 32, 3, 0.5)
         Dedup.dedupByNearDupPreferring(scored, "doc_id", pairs, "q")
           .queryExecution.toRdd.count() },
       // 5 groups TOTAL: the adversarial low-cardinality case for

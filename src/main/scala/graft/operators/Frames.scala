@@ -316,22 +316,41 @@ object Frames {
     * whole group through one task's sort. Shape:
     *
     *  1. `approx_percentile` cutpoints over the value domain (one tiny
-    *     agg; accuracy only affects bucket BALANCE, never rank
-    *     correctness);
-    *  2. each row gets a bucket = #cutpoints <= value — a pure
-    *     function of the value, so deterministic under recompute
-    *     (no `spark_partition_id`), monotone in the value;
-    *  3. per-(group, bucket) counts -> cumulative offsets per group
-    *     (a groups×buckets-sized frame — a window over it is tiny);
-    *  4. rank = offset + row_number within (group, bucket).
+    *     agg, collected to the driver — ≤ buckets-1 doubles, the same
+    *     KB-sized-collect policy as IVF centroids — and inlined as
+    *     LITERALS, so bucket assignment is a pure codegen'd function
+    *     of the value: deterministic under recompute, no crossJoin,
+    *     no broadcast. Accuracy only affects bucket BALANCE, never
+    *     rank correctness);
+    *  2. each row gets a bucket = #cutpoints <= value — monotone in
+    *     the value;
+    *  3. per-(group, bucket) COUNTS from a map-side-combined
+    *     `groupBy(key, bucket).count()` (a groups×buckets-sized
+    *     frame) -> cumulative offsets per group (windows over that
+    *     tiny aggregate only);
+    *  4. rank = offset + row_number within (group, bucket); the
+    *     offsets frame joins back on (key, bucket) — the rank stream
+    *     is already hash-partitioned on exactly those keys, so the
+    *     big side does not re-shuffle (and the planner is free to
+    *     broadcast the small side; no forced hint, so high-cardinality
+    *     group keys degrade to a shuffle join instead of a driver
+    *     memory hazard).
     *
     * The single corpus-sized shuffle is keyed by (group, bucket): a
     * 5-group corpus sorts in 5×`buckets` parallel tasks instead of 5.
+    * No operator-internal persist: the corpus stream has exactly ONE
+    * consumer (the rank window); cell sizes come from the tiny
+    * aggregate, not a second pass over the staged ranks (round 4
+    * materialized the whole corpus to MEMORY_AND_DISK per invocation
+    * just to read one row per cell back out — at 100 TB that is a
+    * silent full-input spill).
     * NULL values are dropped (the `percentile`/`quantile_cont`
     * null-skipping definition — counting them would shift every rank
-    * and could select a null). Degenerate case: a single repeated
-    * value collapses to one bucket — the same bounded-by-duplicates
-    * hazard every exact-rank method has.
+    * and could select a null); a group whose values are ALL null
+    * therefore vanishes from the output (callers that must keep such
+    * groups left-join, as [[winsorizeByGroup]] does). Degenerate
+    * case: a single repeated value collapses to one bucket — the same
+    * bounded-by-duplicates hazard every exact-rank method has.
     */
   private[graft] def globalRankByGroup(df: DataFrame, keyCol: String,
                                        valCol: String,
@@ -339,39 +358,29 @@ object Frames {
     require(buckets > 0, "buckets must be positive")
     val vals = df.select(col(keyCol), col(valCol))
       .filter(col(valCol).isNotNull)
-      .withColumn("__vd", col(valCol).cast("double"))
-    val bucketed = if (buckets == 1) vals.withColumn("__b", lit(0)) else {
-      val cutsRow = vals.agg(percentile_approx(col("__vd"),
-        array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*),
-        lit(10000)).as("__cuts"))
-      vals.crossJoin(broadcast(cutsRow))
-        .withColumn("__b", aggregate(col("__cuts"), lit(0),
-          (acc, c) => acc + when(col("__vd") >= c, 1).otherwise(0)))
-        .drop("__cuts")
-    }
-    // ONE (key, bucket)-keyed shuffle and ONE sort produce BOTH the
-    // local rank and the cell size (two window functions over the
-    // same partition spec — no second exchange). The staged stream is
-    // persisted because two consumers need it (the tiny cell/offset
-    // extraction and the rank join) and re-deriving it would redo the
-    // scan + shuffle + sort; slim linear state, spills to disk, stays
-    // referenced by the returned plan so it cannot be unpersisted
-    // here (same policy as the LSH signature tables).
-    val wCell = Window.partitionBy(col(keyCol), col("__b"))
-    val staged = bucketed
-      .withColumn("__lrk", row_number().over(wCell.orderBy(col(valCol))).cast("long"))
-      .withColumn("__cn", count(lit(1)).over(wCell))
-      .drop("__vd")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cells = staged.filter(col("__lrk") === 1L)
-      .select(col(keyCol), col("__b"), col("__cn"))
+    val cuts: Seq[Double] =
+      if (buckets == 1) Nil
+      else {
+        val row = vals.agg(percentile_approx(col(valCol).cast("double"),
+          array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*),
+          lit(10000)).as("__cuts")).head()
+        if (row.isNullAt(0)) Nil else row.getSeq[Double](0)
+      }
+    val bucketed = vals.withColumn("__b",
+      cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(col(valCol).cast("double") >= lit(c), 1).otherwise(0) })
+    val cells = bucketed.groupBy(col(keyCol), col("__b"))
+      .agg(count(lit(1)).as("__cn"))
     val wOff = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = cells
       .withColumn("__off", coalesce(sum(col("__cn")).over(wOff), lit(0L)))
       .withColumn("__n", sum(col("__cn")).over(Window.partitionBy(col(keyCol))))
       .select(col(keyCol), col("__b"), col("__off"), col("__n"))
-    staged.join(broadcast(offs), Seq(keyCol, "__b"))
+    val wCell = Window.partitionBy(col(keyCol), col("__b"))
+    bucketed
+      .withColumn("__lrk", row_number().over(wCell.orderBy(col(valCol))).cast("long"))
+      .join(offs, Seq(keyCol, "__b"))
       .select(col(keyCol), col(valCol),
         (col("__off") + col("__lrk")).as("__rk"), col("__n"))
   }
@@ -389,7 +398,10 @@ object Frames {
     * per group in the aggregation buffer — a memory hazard once a
     * group's value DOMAIN outgrows executor heap, which a 100 TB
     * corpus with high-cardinality values will do. NULL values are
-    * skipped, like `percentile`.
+    * skipped, like `percentile` — with one divergence: a group whose
+    * values are ALL null is absent from the output (where
+    * `percentile` yields a NULL row); left-join if such groups must
+    * be kept.
     */
   def exactMedianByGroup(df: DataFrame, keyCol: String, valCol: String,
                          outCol: String = "median"): DataFrame = {
@@ -447,15 +459,24 @@ object Frames {
     * group-sized cutoff frame broadcasts back, so the fact side
     * streams through with zero extra shuffles. Adds `<valCol>_w`
     * (double: cutoffs interpolate between values).
+    *
+    * Keeps EVERY input row: the cutoff join is a LEFT join, so a
+    * group whose values are all null (no cutoffs — quantiles skip
+    * nulls) passes through unclamped instead of being dropped, and a
+    * null value stays null rather than collapsing to a cutoff.
     */
   def winsorizeByGroup(df: DataFrame, keyCol: String, valCol: String,
                        pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
     require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
     val cuts = exactQuantilesByGroup(df, keyCol, valCol, Seq(pLo, pHi))
       .select(col(keyCol), col("p0").as("__lo"), col("p1").as("__hi"))
-    df.join(broadcast(cuts), Seq(keyCol))
+    df.join(broadcast(cuts), Seq(keyCol), "left")
       .withColumn(s"${valCol}_w",
-        greatest(col("__lo"), least(col("__hi"), col(valCol).cast("double"))))
+        // greatest/least skip nulls, so missing cutoffs (all-null
+        // group) degrade to the identity clamp — but a null VALUE
+        // must stay null, not become greatest(__lo, __hi)
+        when(col(valCol).isNotNull,
+          greatest(col("__lo"), least(col("__hi"), col(valCol).cast("double")))))
       .drop("__lo", "__hi")
   }
 

@@ -273,11 +273,19 @@ object TextAnalysis {
           lit(buckets.toLong))))
       df.select(col(idCol).as("id"), bs.as("bs"))
         // run starts: position 0, or value differs from the previous
-        // element (try_element_at is 1-based, so index i reads i-1)
+        // element (try_element_at is 1-based, so index i reads i-1).
+        // The index is clamped to >= 1 STRUCTURALLY: element_at(_, 0)
+        // throws INVALID_INDEX_OF_ZERO even in the try_ variant, and
+        // relying on Or short-circuit to keep the 0 away from the
+        // right disjunct would hang correctness on Catalyst never
+        // reordering it. At i == 0 the clamp reads bs[0] = p.b itself,
+        // so the right disjunct is false and the i === 0 disjunct
+        // decides — same predicate, no 0 index ever constructed.
         .select(col("id"), col("bs"),
           filter(transform(col("bs"), (x, i) => struct(x.as("b"), i.as("i"))),
             p => p.getField("i") === 0 ||
-              try_element_at(col("bs"), p.getField("i")) =!= p.getField("b"))
+              try_element_at(col("bs"), greatest(p.getField("i"), lit(1))) =!=
+                p.getField("b"))
             .as("st"))
         .select(col("id"), explode(transform(col("st"), (p, j) =>
           struct(p.getField("b").as("b"),

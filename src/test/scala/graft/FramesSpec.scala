@@ -265,6 +265,27 @@ class FramesSpec extends AnyFunSuite {
     assert(vals.max === out(100000L) && vals.min >= out(1L))
   }
 
+  test("winsorizeByGroup keeps all-null groups and null values (left-join contract)") {
+    import graft.operators.Frames
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", Some(3L)),
+      ("a", None), ("z", None), ("z", None)).toDF("k", "v")
+    val out = Frames.winsorizeByGroup(df, "k", "v", 0.25, 0.75)
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // every input row survives, including the all-null group's
+    assert(out.length === 6)
+    assert(out.count(_._1 == "z") === 2)
+    // null values stay null — never collapse to a cutoff
+    out.filter(_._2.isEmpty).foreach { r => assert(r._3.isEmpty, r.toString) }
+    // non-null values in the live group are clamped into [p25, p75]
+    val a = out.filter(r => r._1 == "a" && r._2.nonEmpty).map(_._3.get)
+    assert(a.nonEmpty && a.forall(w => w >= 1.0 && w <= 3.0))
+    // the all-null group is ALSO absent from the quantile frame itself
+    val q = Frames.exactMedianByGroup(df, "k", "v", "m").collect()
+    assert(q.map(_.getString(0)).toSeq === Seq("a"))
+  }
+
   test("CSV sink/source roundtrip with header and explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
     val src = Tables.table(spark, TestSpark.sfDir, "nation")

@@ -271,12 +271,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(wins.exists(_.partitionSpec.size == 2),
       s"corpus rank should partition by (key, bucket):\n${plan(q)}")
     wins.filter(_.partitionSpec.size < 2).foreach { w =>
-      // bounded inputs: the one-row-per-cell extraction (__lrk = 1) of
-      // the staged rank stream — visible either as a FilterExec or as
-      // a predicate pushed into the InMemoryTableScan
-      assert(w.child.toString.contains("__lrk"),
+      // bounded inputs: key-only windows may consume only the
+      // groups×buckets cell-count aggregate (__cn), never the corpus
+      // stream — the round-4 shape read cells back out of a persisted
+      // corpus-sized rank stream instead
+      assert(w.child.toString.contains("__cn"),
         s"a key-only window consumes a non-bounded stream:\n$w")
     }
+    // and the rework's point: NO operator-internal persist — the plan
+    // must not contain an InMemoryRelation scan
+    assert(!plan(q).contains("InMemoryTableScan"),
+      s"unexpected operator-internal persist:\n${plan(q)}")
   }
 
   test("every declared query's unpartitioned windows are on the bounded allowlist") {

@@ -66,6 +66,40 @@ class TemporalSpec extends AnyFunSuite {
     assert(tol === Array((1L, -1L), (2L, 100L), (3L, -1L), (4L, -1L), (5L, -1L)))
   }
 
+  test("asofJoin tolerance is microsecond-exact at the sub-second boundary") {
+    // gap = tol + 0.4 s: unix_timestamp-based gaps TRUNCATE the 0.4 s
+    // and would admit the match; the unix_micros comparison must
+    // reject it in ALL THREE directions. gap = tol exactly must be
+    // admitted (inclusive) in all three.
+    val tol = 60L
+    def lf = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    def rightAt(t: String, id: Long) =
+      Seq((10L, java.sql.Timestamp.valueOf(t), id)).toDF("user_id", "click_ts", "click_id")
+    val over = "2024-01-01 09:58:59.6"   // 60.4 s before left
+    val overF = "2024-01-01 10:01:00.4"  // 60.4 s after left
+    val exact = "2024-01-01 09:59:00"    // exactly 60 s before
+    val exactF = "2024-01-01 10:01:00"   // exactly 60 s after
+    for ((dir, t) <- Seq(("backward", over), ("forward", overF),
+                         ("nearest", over), ("nearest", overF))) {
+      val out = Temporal.asofJoin(lf, rightAt(t, 500L), Seq("user_id"),
+        "ts", "click_ts", direction = dir, toleranceSeconds = Some(tol)).collect()
+      assert(out.head.isNullAt(4), s"$dir admitted gap=tol+0.4s ($t)")
+    }
+    for ((dir, t) <- Seq(("backward", exact), ("forward", exactF),
+                         ("nearest", exact), ("nearest", exactF))) {
+      val out = Temporal.asofJoin(lf, rightAt(t, 501L), Seq("user_id"),
+        "ts", "click_ts", direction = dir, toleranceSeconds = Some(tol)).collect()
+      assert(!out.head.isNullAt(4) && out.head.getLong(4) === 501L,
+        s"$dir rejected gap=tol exactly ($t)")
+    }
+    // nearest with BOTH sides out of tolerance yields no match even
+    // though an untoleranced nearest would pick the backward one
+    val both = rightAt(over, 502L).unionByName(rightAt(overF, 503L))
+    val n = Temporal.asofJoin(lf, both, Seq("user_id"), "ts", "click_ts",
+      direction = "nearest", toleranceSeconds = Some(tol)).collect()
+    assert(n.head.isNullAt(4), "nearest admitted an out-of-tolerance side")
+  }
+
   test("asofJoin: null-key rows never match (SQL equality semantics)") {
     val left = Seq(
       (1L, Some(10L), ts("2024-01-01 10:00:00")),
