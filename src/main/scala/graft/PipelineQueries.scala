@@ -950,7 +950,53 @@ object PipelineQueries {
         .agg((lit(1.0) -
           sum(col("c") * col("c")).cast(DoubleType) /
             (sum(col("c")) * sum(col("c"))).cast(DoubleType)).as("char_gini"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ---- Gopher repetition rules (§A1.2): within-doc duplicate
+    //      line/paragraph fractions, top-n-gram char fractions, dup
+    //      5-gram fraction — exact integer signals, map-only. The
+    //      FULL §A1.2 rule set with the composed pass flag;
+    //      text_repetition above keeps the two cheap scalar signals ----
+    "text_gopher_repetition" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionSignals(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_lines"), col("r.dup_line_cnt"),
+          col("r.dup_line_chars"), col("r.line_chars"), col("r.n_paras"),
+          col("r.dup_para_cnt"), col("r.dup_para_chars"), col("r.para_chars"),
+          col("r.top2_chars"), col("r.top3_chars"), col("r.top4_chars"),
+          col("r.n_5grams"), col("r.dup5_occ"), col("r.n_chars"),
+          col("r.pass"))
+        .orderBy(col("doc_id"))),
+
+    // ---- PII redaction: email/IPv4/phone masking + per-category
+    //      counts. The corpus text is augmented with deterministic
+    //      doc_id-derived PII so every row provably exercises all
+    //      three automata (both engines build the identical string) ----
+    "text_pii_redact" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast(StringType), lit("@example.com or 10.0."),
+            pmod(col("doc_id"), lit(256L)).cast(StringType),
+            lit(".7 tel 555-123-4567")).as("txt"))
+        .select(col("doc_id"), TextAnalysis.piiRedact(col("txt")).as("p"))
+        .select(col("doc_id"), col("p.redacted"), col("p.n_emails"),
+          col("p.n_ipv4"), col("p.n_phones"))
+        .orderBy(col("doc_id"))),
+
+    // ---- minimal-cover token chunking (64-token windows, stride
+    //      48): unlike text_chunks above (a window at EVERY stride
+    //      start, so tails shed sub-stride mini-chunks), this is the
+    //      pre-embedding contract — no window starts past n-window,
+    //      ragged last window, every token covered exactly once by
+    //      the non-overlap, >= 1 chunk per non-empty doc ----
+    "text_chunks_cover" -> ((s, d) =>
+      TextAnalysis.chunkByTokens(t(s, d, "documents"), "doc_id", "text",
+          window = 64, stride = 48)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("chunk_text"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id")))
   )
 
   /** Shared DuckDB replay of [[TextAnalysis.trainBpeMerges]]'s
@@ -2459,6 +2505,127 @@ object PipelineQueries {
          cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2)
          SELECT doc_id,
            1.0 - CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE) AS char_gini
-         FROM cnt GROUP BY doc_id ORDER BY doc_id"""
+         FROM cnt GROUP BY doc_id ORDER BY doc_id""",
+    "text_gopher_repetition" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             list_filter(list_transform(string_split(text, chr(10)),
+               l -> trim(l)), l -> l <> '') AS lines,
+             list_filter(list_transform(string_split(text, chr(10) || chr(10)),
+               l -> trim(l)), l -> l <> '') AS paras,
+             list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         piece AS (
+           SELECT doc_id, n_chars,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dup_line_cnt,
+             CAST(COALESCE(list_sum(list_transform(lines, l -> length(l))), 0)
+               - COALESCE(list_sum(list_transform(list_distinct(lines),
+                   l -> length(l))), 0) AS BIGINT) AS dup_line_chars,
+             CAST(COALESCE(list_sum(list_transform(lines, l -> length(l))), 0)
+               AS BIGINT) AS line_chars,
+             CAST(len(paras) AS BIGINT) AS n_paras,
+             CAST(len(paras) - len(list_distinct(paras)) AS BIGINT) AS dup_para_cnt,
+             CAST(COALESCE(list_sum(list_transform(paras, p -> length(p))), 0)
+               - COALESCE(list_sum(list_transform(list_distinct(paras),
+                   p -> length(p))), 0) AS BIGINT) AS dup_para_chars,
+             CAST(COALESCE(list_sum(list_transform(paras, p -> length(p))), 0)
+               AS BIGINT) AS para_chars,
+             ts
+           FROM base),
+         g2 AS (SELECT doc_id, array_to_string(list_slice(ts, u.pos + 1, u.pos + 2), ' ') AS g
+                FROM piece, LATERAL (SELECT unnest(range(0, greatest(len(ts) - 1, 0))) AS pos) u),
+         g3 AS (SELECT doc_id, array_to_string(list_slice(ts, u.pos + 1, u.pos + 3), ' ') AS g
+                FROM piece, LATERAL (SELECT unnest(range(0, greatest(len(ts) - 2, 0))) AS pos) u),
+         g4 AS (SELECT doc_id, array_to_string(list_slice(ts, u.pos + 1, u.pos + 4), ' ') AS g
+                FROM piece, LATERAL (SELECT unnest(range(0, greatest(len(ts) - 3, 0))) AS pos) u),
+         g5 AS (SELECT doc_id, array_to_string(list_slice(ts, u.pos + 1, u.pos + 5), ' ') AS g
+                FROM piece, LATERAL (SELECT unnest(range(0, greatest(len(ts) - 4, 0))) AS pos) u),
+         t2 AS (SELECT doc_id, CAST(c * length(g) AS BIGINT) AS top2_chars FROM (
+                  SELECT doc_id, g, COUNT(*) AS c,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY COUNT(*) DESC, g ASC) AS rn
+                  FROM g2 GROUP BY doc_id, g) WHERE rn = 1),
+         t3 AS (SELECT doc_id, CAST(c * length(g) AS BIGINT) AS top3_chars FROM (
+                  SELECT doc_id, g, COUNT(*) AS c,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY COUNT(*) DESC, g ASC) AS rn
+                  FROM g3 GROUP BY doc_id, g) WHERE rn = 1),
+         t4 AS (SELECT doc_id, CAST(c * length(g) AS BIGINT) AS top4_chars FROM (
+                  SELECT doc_id, g, COUNT(*) AS c,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY COUNT(*) DESC, g ASC) AS rn
+                  FROM g4 GROUP BY doc_id, g) WHERE rn = 1),
+         d5 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_5grams,
+                  CAST(COUNT(*) - COUNT(DISTINCT g) AS BIGINT) AS dup5_occ
+                FROM g5 GROUP BY doc_id),
+         j AS (
+           SELECT p.doc_id, p.n_lines, p.dup_line_cnt, p.dup_line_chars,
+             p.line_chars, p.n_paras, p.dup_para_cnt, p.dup_para_chars,
+             p.para_chars,
+             COALESCE(t2.top2_chars, 0) AS top2_chars,
+             COALESCE(t3.top3_chars, 0) AS top3_chars,
+             COALESCE(t4.top4_chars, 0) AS top4_chars,
+             COALESCE(d5.n_5grams, 0) AS n_5grams,
+             COALESCE(d5.dup5_occ, 0) AS dup5_occ,
+             p.n_chars
+           FROM piece p
+           LEFT JOIN t2 ON t2.doc_id = p.doc_id
+           LEFT JOIN t3 ON t3.doc_id = p.doc_id
+           LEFT JOIN t4 ON t4.doc_id = p.doc_id
+           LEFT JOIN d5 ON d5.doc_id = p.doc_id)
+         SELECT doc_id, n_lines, dup_line_cnt, dup_line_chars, line_chars,
+           n_paras, dup_para_cnt, dup_para_chars, para_chars,
+           top2_chars, top3_chars, top4_chars, n_5grams, dup5_occ, n_chars,
+           (dup_line_cnt * 10 <= n_lines * 3 AND
+            dup_line_chars * 10 <= line_chars * 2 AND
+            dup_para_cnt * 10 <= n_paras * 3 AND
+            dup_para_chars * 10 <= para_chars * 2 AND
+            top2_chars * 10 <= n_chars * 2 AND
+            top3_chars * 100 <= n_chars * 18 AND
+            top4_chars * 100 <= n_chars * 16 AND
+            dup5_occ * 100 <= n_5grams * 15) AS pass
+         FROM j ORDER BY doc_id""",
+    "text_pii_redact" ->
+      """WITH aug AS (
+           SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+             '.7 tel 555-123-4567' AS txt
+           FROM documents),
+         s1 AS (SELECT doc_id, txt,
+             regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1 FROM aug),
+         s2 AS (SELECT doc_id, txt, t1,
+             regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+               '<IP>', 'g') AS t2 FROM s1)
+         SELECT doc_id,
+           regexp_replace(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')
+             AS redacted,
+           CAST(len(regexp_extract_all(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t1,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t2,
+             '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones
+         FROM s2 ORDER BY doc_id""",
+    "text_chunks_cover" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         n AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n
+               FROM tok WHERE len(ts) > 0),
+         c AS (SELECT doc_id, ts, n, u.i AS chunk_id
+               FROM n, LATERAL (SELECT unnest(range(0,
+                 1 + CASE WHEN n <= 64 THEN 0
+                     ELSE CAST(floor((n - 64 + 47) / 48.0) AS BIGINT) END)) AS i) u)
+         SELECT doc_id, chunk_id,
+           array_to_string(list_slice(ts, chunk_id * 48 + 1, chunk_id * 48 + 64),
+             ' ') AS chunk_text,
+           least(64, n - chunk_id * 48) AS n_tokens
+         FROM c ORDER BY doc_id, chunk_id"""
   )
 }

@@ -596,4 +596,194 @@ object TextAnalysis {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tok"), sum(col("lp_micro")).as("sum_lp_micro"))
   }
+
+  // ---- Gopher repetition rules (Rae et al. 2021 §A1.2) ----
+
+  /** Non-empty whitespace tokens (empty docs give [] not [""]). */
+  private def cleanTokens(text: Column): Column =
+    filter(tokens(text), t => t =!= "")
+
+  /** Word n-grams joined by single spaces; empty when the doc has
+    * fewer than `n` tokens. `ts` must be a bound column (not a
+    * recomputed expression) — callers select the token array first.
+    */
+  private def wordGrams(ts: Column, n: Int): Column =
+    filter(
+      transform(ts, (_, i) =>
+        when(i <= size(ts) - n, array_join(slice(ts, i + 1, lit(n)), " "))),
+      g => g.isNotNull)
+
+  /** Count (desc) of the most frequent element, ties to the
+    * lexicographically SMALLEST element — a single sorted fold, no
+    * shuffle: sort the array, run-length scan with a (cur, ck, best,
+    * bk) accumulator; strict `>` keeps the earliest (= smallest) run
+    * on ties, exactly `row_number() over (order by cnt desc, g asc)
+    * = 1` in an external engine. Returns struct(top, topk).
+    */
+  private def topElement(arr: Column): Column =
+    aggregate(sort_array(arr),
+      struct(lit("").as("cur"), lit(0L).as("ck"),
+        lit("").as("best"), lit(0L).as("bk")),
+      (a, x) => {
+        val newRun = x =!= a.getField("cur")
+        val promote = newRun && a.getField("ck") > a.getField("bk")
+        struct(
+          x.as("cur"),
+          when(newRun, lit(1L)).otherwise(a.getField("ck") + 1L).as("ck"),
+          when(promote, a.getField("cur")).otherwise(a.getField("best")).as("best"),
+          when(promote, a.getField("ck")).otherwise(a.getField("bk")).as("bk"))
+      },
+      a => struct(
+        when(a.getField("ck") > a.getField("bk"), a.getField("cur"))
+          .otherwise(a.getField("best")).as("top"),
+        greatest(a.getField("ck"), a.getField("bk")).as("topk")))
+
+  private def sumLen(arr: Column): Column =
+    aggregate(arr, lit(0L), (a, x) => a + length(x).cast(LongType))
+
+  /** Gopher-style WITHIN-document repetition rules (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.2) as one map-only struct of exact integer
+    * signals plus the composed pass flag — the repetition half of the
+    * quality gate ([[gopherSignals]] is the other half; the single
+    * scalar signals [[dupLineFraction]]/[[maxTokenFreqRatio]] remain
+    * as the cheap standalone probes). Semantics,
+    * chosen integer-exact so an external engine replays them
+    * bit-for-bit:
+    *
+    *  - lines / paragraphs are the trimmed non-empty pieces of a
+    *    literal "\n" / "\n\n" split; a duplicate is any occurrence
+    *    BEYOND the first of an identical piece (`size -
+    *    size(array_distinct)`), duplicate chars the trimmed chars of
+    *    those occurrences
+    *  - topN_chars (n = 2,3,4): occurrences × chars of the most
+    *    frequent word n-gram (ties to the smallest gram), vs the
+    *    document's total chars
+    *  - dup5_occ: 5-gram occurrences beyond their gram's first
+    *    (the n=5 representative of Gopher's dup-n-gram family;
+    *    occurrence-fraction, not char-coverage — documented variant)
+    *
+    * pass = dup lines ≤30% ∧ dup line chars ≤20% ∧ dup paras ≤30% ∧
+    * dup para chars ≤20% ∧ top-2-gram ≤20% ∧ top-3-gram ≤18% ∧
+    * top-4-gram ≤16% of chars ∧ dup 5-grams ≤15% — every test a
+    * cross-multiplied integer comparison, no float boundaries.
+    *
+    * Scale shape: pure per-row HOFs over the document's own arrays —
+    * no shuffle, no state; the whole rule set is one narrow map.
+    */
+  def repetitionSignals(text: Column): Column = {
+    def pieces(sep: String) =
+      filter(transform(split(text, sep, -1), l => trim(l)), l => l =!= "")
+    val lines = pieces("\n")
+    val paras = pieces("\n\n")
+    val ts = cleanTokens(text)
+    val nChars = length(text).cast(LongType)
+    def dupCnt(arr: Column) =
+      (size(arr) - size(array_distinct(arr))).cast(LongType)
+    def dupChars(arr: Column) = sumLen(arr) - sumLen(array_distinct(arr))
+    def topChars(n: Int) = {
+      val t = topElement(wordGrams(ts, n))
+      t.getField("topk") * length(t.getField("top")).cast(LongType)
+    }
+    val g5 = wordGrams(ts, 5)
+    val nLines = size(lines).cast(LongType)
+    val nParas = size(paras).cast(LongType)
+    val dLineCnt = dupCnt(lines)
+    val dLineChars = dupChars(lines)
+    val lineChars = sumLen(lines)
+    val dParaCnt = dupCnt(paras)
+    val dParaChars = dupChars(paras)
+    val paraChars = sumLen(paras)
+    val top2 = topChars(2)
+    val top3 = topChars(3)
+    val top4 = topChars(4)
+    val n5 = size(g5).cast(LongType)
+    val d5 = dupCnt(g5)
+    val pass = dLineCnt * 10L <= nLines * 3L &&
+      dLineChars * 10L <= lineChars * 2L &&
+      dParaCnt * 10L <= nParas * 3L &&
+      dParaChars * 10L <= paraChars * 2L &&
+      top2 * 10L <= nChars * 2L &&
+      top3 * 100L <= nChars * 18L &&
+      top4 * 100L <= nChars * 16L &&
+      d5 * 100L <= n5 * 15L
+    struct(nLines.as("n_lines"), dLineCnt.as("dup_line_cnt"),
+      dLineChars.as("dup_line_chars"), lineChars.as("line_chars"),
+      nParas.as("n_paras"), dParaCnt.as("dup_para_cnt"),
+      dParaChars.as("dup_para_chars"), paraChars.as("para_chars"),
+      top2.as("top2_chars"), top3.as("top3_chars"), top4.as("top4_chars"),
+      n5.as("n_5grams"), d5.as("dup5_occ"), nChars.as("n_chars"),
+      pass.as("pass"))
+  }
+
+  // ---- PII redaction ----
+
+  /** ASCII-conservative PII patterns, valid in BOTH Java regex and
+    * RE2 (no lookaround, no backrefs; \d and \b agree between the
+    * engines on ASCII) so an external engine applies the identical
+    * automaton.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Typed PII redaction for web-scale corpora: mask emails, IPv4
+    * addresses, and US-style phone numbers with typed placeholder
+    * tokens, returning the redacted text plus per-category match
+    * counts (the audit signal — redaction rates per source/domain are
+    * a standard corpus health metric). [[TextClean.cleaned]] is the
+    * untyped cousin (one `<NUM>` bucket for all digit runs, no
+    * counts); this is the variant a compliance pipeline reports on. Stages apply in a fixed order
+    * (email → ipv4 → phone), each matching against the PREVIOUS
+    * stage's output, so the three automata compose deterministically
+    * (a dotted phone can never double-count as an IP fragment: the IP
+    * stage saw it first and the placeholders contain no digits).
+    *
+    * Scale shape: three regexp passes per row, map-only, fully
+    * codegen'd — no shuffle, no dictionary state.
+    */
+  def piiRedact(text: Column): Column = {
+    def cnt(c: Column, re: String) =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast(LongType)
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    val afterPhone = regexp_replace(afterIp, PhoneRe, "<PHONE>")
+    struct(afterPhone.as("redacted"),
+      cnt(text, EmailRe).as("n_emails"),
+      cnt(afterEmail, Ipv4Re).as("n_ipv4"),
+      cnt(afterIp, PhoneRe).as("n_phones"))
+  }
+
+  // ---- token-window chunking ----
+
+  /** Overlapping token-window chunking — the standard pre-embedding /
+    * context-packing split: windows of `window` tokens advancing by
+    * `stride` (overlap = window - stride), last window ragged, every
+    * token covered, one chunk minimum per non-empty doc. Emits
+    * (id, chunk_id, chunk_text, n_tokens); chunk k starts at token
+    * k·stride, so `n_chunks = 1 + ceil((n - window) / stride)` for
+    * n > window else 1.
+    *
+    * Scale shape: per-row transform + explode — map-only, no
+    * shuffle; output size is corpus tokens × (window/stride)
+    * overlap factor, carried as chunk rows, never as driver state.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    df.select(col(idCol).as("id"), cleanTokens(col(textCol)).as("ts"))
+      .select(col("id"), col("ts"), size(col("ts")).cast(LongType).as("n"))
+      .filter(col("n") > 0L)
+      .select(col("id"), col("ts"), col("n"),
+        explode(sequence(lit(0L),
+          when(col("n") <= window, lit(0L))
+            // exact integer ceil((n - window) / stride)
+            .otherwise(floor(((col("n") - window) + (stride - 1)) / stride))))
+          .as("chunk_id"))
+      .select(col("id"), col("chunk_id"),
+        array_join(slice(col("ts"), (col("chunk_id") * stride + 1L).cast("int"),
+          lit(window)), " ").as("chunk_text"),
+        least(lit(window.toLong), col("n") - col("chunk_id") * stride)
+          .as("n_tokens"))
+  }
 }

@@ -289,4 +289,92 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2).toDouble / r.getLong(1)).toMap
     assert(re === out)
   }
+
+  test("repetitionSignals counts duplicate lines/paras and top n-grams") {
+    // 4 non-empty lines, "dup line" twice (1 dup occurrence, 8 dup chars);
+    // 2 paragraphs, distinct; top 2-gram "dup line" occurs 2x in the
+    // token stream (len 8 -> 16 chars)
+    val text = "dup line\ndup line\nother text here\nmore words\n\nsecond para"
+    val r = Seq(text).toDF("t")
+      .select(TextAnalysis.repetitionSignals(col("t")).as("r"))
+      .select("r.*").head()
+    assert(r.getAs[Long]("n_lines") === 5)   // 4 from para1 + 1 from para2
+    assert(r.getAs[Long]("dup_line_cnt") === 1)
+    assert(r.getAs[Long]("dup_line_chars") === 8)
+    assert(r.getAs[Long]("n_paras") === 2)
+    assert(r.getAs[Long]("dup_para_cnt") === 0)
+    // tokens: dup line dup line other text here more words second para
+    // "dup line" appears twice; every other 2-gram once -> top2 = 2*8
+    assert(r.getAs[Long]("top2_chars") === 16)
+    // 16/57 chars = 28% in the top 2-gram > the 20% gate
+    assert(!r.getAs[Boolean]("pass"))
+    // a long all-unique doc passes every rule
+    val clean = (1 to 40).map(i => s"unique$i word$i").mkString(" ")
+    val c = Seq(clean).toDF("t")
+      .select(TextAnalysis.repetitionSignals(col("t")).as("r"))
+      .select("r.*").head()
+    assert(c.getAs[Long]("dup_line_cnt") === 0)
+    assert(c.getAs[Long]("dup5_occ") === 0)
+    assert(c.getAs[Boolean]("pass"))
+  }
+
+  test("repetitionSignals flags a pathologically repetitive doc") {
+    val bad = Array.fill(30)("spam spam spam").mkString("\n")
+    val r = Seq(bad).toDF("t")
+      .select(TextAnalysis.repetitionSignals(col("t")).as("r"))
+      .select("r.*").head()
+    assert(r.getAs[Long]("dup_line_cnt") === 29)
+    assert(!r.getAs[Boolean]("pass"))
+    // empty doc: all-zero signals, passes (nothing repeated)
+    val z = Seq("").toDF("t")
+      .select(TextAnalysis.repetitionSignals(col("t")).as("r"))
+      .select("r.*").head()
+    assert(z.getAs[Long]("n_lines") === 0)
+    assert(z.getAs[Long]("top2_chars") === 0)
+    assert(z.getAs[Boolean]("pass"))
+  }
+
+  test("topElement tie-breaks to the lexicographically smallest") {
+    // "a b" and "b a" both occur twice in: a b a b a -> grams
+    // [a b, b a, a b, b a] -> tie at 2, smallest wins in top2_chars
+    val r = Seq("a b a b a").toDF("t")
+      .select(TextAnalysis.repetitionSignals(col("t")).as("r"))
+      .select("r.*").head()
+    // top gram is "a b" (2 occurrences x 3 chars)
+    assert(r.getAs[Long]("top2_chars") === 6)
+  }
+
+  test("piiRedact masks emails, IPv4s, phones and counts them") {
+    val r = Seq("mail bob.smith+x@corp.example.org from 192.168.0.1 " +
+        "or call 555-123-4567 twice 555 987 6543")
+      .toDF("t").select(TextAnalysis.piiRedact(col("t")).as("p"))
+      .select("p.*").head()
+    assert(r.getAs[String]("redacted") ===
+      "mail <EMAIL> from <IP> or call <PHONE> twice <PHONE>")
+    assert(r.getAs[Long]("n_emails") === 1)
+    assert(r.getAs[Long]("n_ipv4") === 1)
+    assert(r.getAs[Long]("n_phones") === 2)
+    // a dotted phone is NOT an IPv4 (needs 4 octets) and redacts as phone
+    val r2 = Seq("call 555.123.4567 now").toDF("t")
+      .select(TextAnalysis.piiRedact(col("t")).as("p")).select("p.*").head()
+    assert(r2.getAs[String]("redacted") === "call <PHONE> now")
+    assert(r2.getAs[Long]("n_ipv4") === 0)
+  }
+
+  test("chunkByTokens covers every token with ragged last window") {
+    val docs = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")),
+                   (2L, "a b c"), (3L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(docs, "doc_id", "text", 64, 48)
+      .orderBy(col("id"), col("chunk_id")).collect()
+    // doc 1: 100 tokens -> chunks at 0 (64 toks) and 48 (52 toks)
+    // doc 2: 1 chunk of 3; doc 3: empty -> no chunks
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq ===
+      Seq((1L, 0L, 64L), (1L, 1L, 52L), (2L, 0L, 3L)))
+    val c1 = out(1).getString(2).split(" ")
+    assert(c1.head === "t49" && c1.last === "t100")
+    // stride == window -> disjoint cover
+    val disjoint = TextAnalysis.chunkByTokens(docs, "doc_id", "text", 50, 50)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(disjoint === 103)
+  }
 }
