@@ -154,13 +154,18 @@ object PlanDump {
         "gated anchor shape — then one exact-dedup hash aggregate. Cost is " +
         "genuinely three scans; every join is broadcast or doc_id-keyed."),
     "text_dsir_weights" ->
-      ("Round-4 reshape: per-doc bucket histograms are run-length-encoded " +
-        "IN-ROW (sort_array + index HOFs, all codegen) so the corpus never " +
-        "shuffles at all — round 3's groupBy(id, bucket) pre-aggregation " +
+      ("Per-doc bucket histograms are computed IN-ROW by the native " +
+        "one-pass ShingleBucketCounts expression (hash every shingle " +
+        "occurrence into a primitive long[buckets], emit non-zero cells " +
+        "ascending) so the corpus never shuffles at all. Design lineage, " +
+        "each step measured: round 3's groupBy(id, bucket) pre-aggregation " +
         "re-shuffled the per-occurrence stream (docs are row-local, so " +
-        "map-side combine bought nothing) and cost 42% wall time. The " +
-        "bucket ratio table (<= buckets rows) broadcasts back into the " +
-        "cached cell stream."))
+        "map-side combine bought nothing, 42% wall time); round 4 " +
+        "run-length-encoded in-row via sort_array + index HOFs (right " +
+        "shape, wrong constant: O(L log L) sort + two struct lambdas + a " +
+        "try_element_at per element); round 5's native fuse profiled " +
+        "3.4x on cache-cold runs (PROFILE.md). The bucket ratio table " +
+        "(<= buckets rows) broadcasts back into the cached cell stream."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -46,6 +46,13 @@ object NativeFunctions {
   def shingleStrings(tokens: Column, w: Int): Column =
     GraftSqlShims.column(ShingleStrings(GraftSqlShims.expression(tokens), w))
 
+  /** Bucket histogram of portable poly w-shingle hashes, one pass:
+    * array<struct<b,k>> ascending by bucket (DSIR feature cells).
+    */
+  def shingleBucketCounts(tokens: Column, w: Int, buckets: Int): Column =
+    GraftSqlShims.column(
+      ShingleBucketCounts(GraftSqlShims.expression(tokens), w, buckets))
+
   /** One-pass heuristic language ID (argmax of marker-word hits). */
   def langId(text: Column, markers: Seq[(String, Seq[String])]): Column =
     GraftSqlShims.column(LangIdHeuristic(GraftSqlShims.expression(text), markers))

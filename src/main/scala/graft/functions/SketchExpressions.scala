@@ -586,6 +586,74 @@ case class PolyShingleHashes(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Per-document bucket histogram of portable polynomial w-shingle
+  * hashes: counts of `polyFold(shingle) mod buckets` over ALL shingle
+  * occurrences (no dedup — this is a histogram, not a set), emitted
+  * as array<struct<b,k>> in ascending bucket order. Bit-identical
+  * cells — values AND order — to the sort_array + run-length-encode
+  * HOF formulation in TextAnalysis (the DSIR feature extraction the
+  * DuckDB oracle replays), but in ONE pass with a primitive
+  * long[buckets] accumulator instead of an O(L log L) sort plus two
+  * struct-building lambdas and a try_element_at per element.
+  * Shorter-than-w docs contribute their single whole-text shingle
+  * (Dedup.shingles semantics). The per-call long[buckets] is a few
+  * KB of TLAB churn per row — noise next to the string hashing it
+  * sits beside, and thread-safe without shared state.
+  */
+case class ShingleBucketCounts(child: Expression, w: Int, buckets: Int)
+    extends UnaryExpression with SelfComputeCodegen {
+
+  require(w >= 1, "shingle width must be >= 1")
+  require(buckets > 0 && buckets <= (1 << 22), "buckets must be in [1, 2^22]")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("b", LongType, nullable = false),
+      StructField("k", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_bucket_counts"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val cnt = new Array[Long](buckets)
+    val nShingles = if (n < w) 1 else n - w + 1
+    var nonzero = 0
+    var s = 0
+    while (s < nShingles) {
+      val parts: Array[UTF8String] =
+        if (n < w) toks else java.util.Arrays.copyOfRange(toks, s, s + w)
+      val h = SketchExpressions.polyFold(
+        UTF8String.concatWs(sep, parts: _*).toString, 1000003L)
+      val b = (h % buckets).toInt // polyFold is non-negative
+      if (cnt(b) == 0L) nonzero += 1
+      cnt(b) += 1L
+      s += 1
+    }
+    val out = new Array[Any](nonzero)
+    var b = 0
+    var j = 0
+    while (b < buckets) {
+      if (cnt(b) != 0L) {
+        out(j) = org.apache.spark.sql.catalyst.InternalRow(b.toLong, cnt(b))
+        j += 1
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** MinHash signature over an array<long> of (64-bit) element hashes:
   * sig_j = min over elements of (a_j * fold31(x) + b_j) mod P31,
   * identical math to the HOF formulation in Dedup.minhashSignatureHof

@@ -256,44 +256,25 @@ object TextAnalysis {
                      textCol: String, shingleWidth: Int = 2,
                      buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    // Per-document (bucket, count) cells computed IN-ROW: sort the
-    // doc's bucket ids, mark run starts with an index-aware
-    // transform+filter, and run-length-encode (cell k = next run
-    // start - this run start). All codegen'd HOFs — the corpus
-    // explodes to compact cells with ZERO shuffles. This is the
-    // critical shape: round 3 pre-aggregated the same cells with
-    // groupBy(id, bucket), which re-shuffled the whole per-occurrence
-    // stream (docs are row-local, so map-side combine bought nothing)
-    // and regressed the bench 4.3 -> 6.2 s; round 2 persisted raw
-    // occurrences (map-only but per-occurrence footprint). The RLE
-    // form keeps both: map-only AND at most `buckets` cells per doc.
-    def cells(df: DataFrame) = {
-      val bs = sort_array(transform(Dedup.shingles(col(textCol), shingleWidth),
-        g => pmod(graft.functions.NativeFunctions.polyFingerprint(g),
-          lit(buckets.toLong))))
-      df.select(col(idCol).as("id"), bs.as("bs"))
-        // run starts: position 0, or value differs from the previous
-        // element (try_element_at is 1-based, so index i reads i-1).
-        // The index is clamped to >= 1 STRUCTURALLY: element_at(_, 0)
-        // throws INVALID_INDEX_OF_ZERO even in the try_ variant, and
-        // relying on Or short-circuit to keep the 0 away from the
-        // right disjunct would hang correctness on Catalyst never
-        // reordering it. At i == 0 the clamp reads bs[0] = p.b itself,
-        // so the right disjunct is false and the i === 0 disjunct
-        // decides — same predicate, no 0 index ever constructed.
-        .select(col("id"), col("bs"),
-          filter(transform(col("bs"), (x, i) => struct(x.as("b"), i.as("i"))),
-            p => p.getField("i") === 0 ||
-              try_element_at(col("bs"), greatest(p.getField("i"), lit(1))) =!=
-                p.getField("b"))
-            .as("st"))
-        .select(col("id"), explode(transform(col("st"), (p, j) =>
-          struct(p.getField("b").as("b"),
-            (coalesce(try_element_at(col("st"), j + lit(2)).getField("i"),
-              size(col("bs"))) - p.getField("i")).cast(LongType).as("k"))))
-          .as("c"))
+    // Per-document (bucket, count) cells computed IN-ROW by the
+    // native one-pass ShingleBucketCounts expression (hash each
+    // shingle occurrence, count into a primitive long[buckets],
+    // emit ascending) — map-only, at most `buckets` cells per doc,
+    // ZERO shuffles. This shape won across four designs: round 2
+    // persisted raw occurrences (map-only but per-occurrence
+    // footprint), round 3 pre-aggregated with groupBy(id, bucket)
+    // (re-shuffled the occurrence stream, 4.3 -> 6.2 s), round 4
+    // run-length-encoded in-row via sort_array + index HOFs (right
+    // shape, but an O(L log L) sort + two struct lambdas + a
+    // try_element_at per element), round 5 fused it into one native
+    // pass (profiled 2.2x cold: PROFILE.md). The HOF twin below is
+    // kept as the reference semantics, asserted bit-identical in
+    // TextAnalysisSpec.
+    def cells(df: DataFrame) =
+      df.select(col(idCol).as("id"),
+          explode(graft.functions.NativeFunctions.shingleBucketCounts(
+            tokens(col(textCol)), shingleWidth, buckets)).as("c"))
         .select(col("id"), col("c.b").as("b"), col("c.k").as("k"))
-    }
     // The cell stream feeds BOTH the bucket histogram and the final
     // per-doc join (n_grams = Σk, sum_lr = Σ lr*k re-derive exactly).
     // The persist stays referenced by the returned plan, so (as with
@@ -332,6 +313,39 @@ object TextAnalysis {
       .groupBy(col("id"))
       .agg(sum(col("k")).as("n_grams"),
         sum(col("lr_micro") * col("k")).as("sum_lr_micro"))
+  }
+
+  /** HOF reference formulation of the DSIR (bucket, count) cells —
+    * sort the doc's shingle-hash buckets, mark run starts with an
+    * index-aware transform+filter, run-length-encode. Kept as the
+    * tested twin of the native [[graft.functions.ShingleBucketCounts]]
+    * path [[dsirLogWeights]] runs on (values AND cell order asserted
+    * identical in TextAnalysisSpec). The try_element_at index is
+    * clamped to >= 1 STRUCTURALLY: element_at(_, 0) throws
+    * INVALID_INDEX_OF_ZERO even in the try_ variant, and relying on
+    * Or short-circuit to keep the 0 away from the right disjunct
+    * would hang correctness on Catalyst never reordering it; at
+    * i == 0 the clamp reads bs[0] = p.b itself, so the right disjunct
+    * is false and the i === 0 disjunct decides.
+    */
+  private[graft] def dsirCellsHof(df: DataFrame, idCol: String, textCol: String,
+                                  shingleWidth: Int, buckets: Int): DataFrame = {
+    val bs = sort_array(transform(Dedup.shingles(col(textCol), shingleWidth),
+      g => pmod(graft.functions.NativeFunctions.polyFingerprint(g),
+        lit(buckets.toLong))))
+    df.select(col(idCol).as("id"), bs.as("bs"))
+      .select(col("id"), col("bs"),
+        filter(transform(col("bs"), (x, i) => struct(x.as("b"), i.as("i"))),
+          p => p.getField("i") === 0 ||
+            try_element_at(col("bs"), greatest(p.getField("i"), lit(1))) =!=
+              p.getField("b"))
+          .as("st"))
+      .select(col("id"), explode(transform(col("st"), (p, j) =>
+        struct(p.getField("b").as("b"),
+          (coalesce(try_element_at(col("st"), j + lit(2)).getField("i"),
+            size(col("bs"))) - p.getField("i")).cast(LongType).as("k"))))
+        .as("c"))
+      .select(col("id"), col("c.b").as("b"), col("c.k").as("k"))
   }
 
   // ---- BPE internals ----

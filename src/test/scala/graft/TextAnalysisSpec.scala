@@ -290,6 +290,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(re === out)
   }
 
+  test("native ShingleBucketCounts cells equal the HOF RLE formulation") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, ""), (9002L, "one"), (9003L, "a b"),
+        (9004L, "x y x y x")).toDF("doc_id", "text"))
+    val native = docs.select(col("doc_id").as("id"),
+        explode(graft.functions.NativeFunctions.shingleBucketCounts(
+          TextAnalysis.tokens(col("text")), 2, 1024)).as("c"))
+      .select(col("id"), col("c.b"), col("c.k"))
+    val hof = TextAnalysis.dsirCellsHof(docs, "doc_id", "text", 2, 1024)
+    // values AND per-doc cell order (both ascending by bucket):
+    // collect with a stable (id, b) sort and compare exactly
+    val n = native.orderBy(col("id"), col("b")).collect().map(_.toSeq)
+    val h = hof.orderBy(col("id"), col("b")).collect().map(_.toSeq)
+    assert(n.length === h.length)
+    assert(n.toSeq === h.toSeq)
+    // occurrence counts, not a set: "x y x y x" -> 4 shingles,
+    // "x y" twice and "y x" twice
+    val counts = native.filter(col("id") === 9004L).collect()
+      .map(_.getLong(2)).sorted.toSeq
+    assert(counts === Seq(2L, 2L))
+  }
+
   test("repetitionSignals counts duplicate lines/paras and top n-grams") {
     // 4 non-empty lines, "dup line" twice (1 dup occurrence, 8 dup chars);
     // 2 paragraphs, distinct; top 2-gram "dup line" occurs 2x in the
