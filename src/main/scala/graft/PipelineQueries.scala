@@ -985,6 +985,19 @@ object PipelineQueries {
           col("p.n_ipv4"), col("p.n_phones"))
         .orderBy(col("doc_id"))),
 
+    // ---- leakage-safe train/val split: near-dup CLUSTERS assigned
+    //      to splits via the portable hash of the cluster canonical,
+    //      so no near-dup pair straddles the eval boundary; oracle
+    //      replays pair graph, closure, and the hash range test ----
+    "dedup_leakage_safe_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleWidth = 3, threshold = 0.5)
+      Dedup.leakageSafeSplit(docs, "doc_id", pairs,
+          Seq("train" -> 0.9, "val" -> 0.1))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- minimal-cover token chunking (64-token windows, stride
     //      48): unlike text_chunks above (a window at EVERY stride
     //      start, so tails shed sub-stride mini-chunks), this is the
@@ -2611,6 +2624,36 @@ object PipelineQueries {
            CAST(len(regexp_extract_all(t2,
              '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones
          FROM s2 ORDER BY doc_id""",
+    "dedup_leakage_safe_split" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3
+               THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+               ELSE list_transform(range(0, len(string_split_regex(trim(text), '\s+')) - 2),
+                 i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i+1, i+3), ' '))
+             END) AS sh
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh)) > 0
+             AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5),
+         e AS (
+           SELECT id_a AS src, id_b AS dst FROM p
+           UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r2.id, e.dst FROM reach r2 JOIN e ON e.src = r2.r),
+         comp AS (
+           SELECT id AS doc_id, MIN(r) AS canonical_id
+           FROM reach GROUP BY id)
+         SELECT doc_id, canonical_id,
+           CASE WHEN ((((canonical_id % 1000000007) * 1000003 % 1000000007)
+                        * 999983) % 1000000007) % 10000 < 9000
+                THEN 'train' ELSE 'val' END AS split
+         FROM comp ORDER BY doc_id""",
     "text_chunks_cover" ->
       """WITH tok AS (
            SELECT doc_id,

@@ -771,4 +771,32 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Leakage-safe train/val(/test) split: assign every near-dup
+    * CLUSTER — not every doc — to a split, so no pair of
+    * near-duplicates ever straddles an evaluation boundary (the
+    * train/test-contamination failure mode a doc-level hash split
+    * cannot prevent: two 0.9-Jaccard copies hash independently and
+    * land on opposite sides ~2·p·(1−p) of the time). Composition of
+    * two green primitives: [[connectedComponents]] over the supplied
+    * near-dup pair graph gives each doc its cluster's canonical
+    * (min) id, then [[Frames.hashSplit]] keyed on the CANONICAL id —
+    * a map-only portable-hash range test, so every member of a
+    * cluster inherits the identical split with no extra join or
+    * shuffle past the components step. Returns (doc_id,
+    * canonical_id, split).
+    *
+    * Scale shape: components is the bounded driver union-find /
+    * propagation hybrid (near-dup edge sets are a small fraction of
+    * the corpus); everything after is map-only. Singleton docs are
+    * their own canonical — their assignment degenerates to the plain
+    * doc-level hash split.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       splits: Seq[(String, Double)]): DataFrame = {
+    val comp = connectedComponents(df.select(col(idCol).as("id")), pairs)
+      .select(col("id").as(idCol), col("component").as("canonical_id"))
+    Frames.hashSplit(comp, "canonical_id", splits)
+      .select(col(idCol), col("canonical_id"), col("split"))
+  }
 }

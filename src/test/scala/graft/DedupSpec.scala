@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Dedup
+import graft.operators.{Dedup, Frames}
 
 class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -267,5 +267,32 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1) === ((2L, "epsilon zeta eta theta iota kappa", 6L, 10L)))
     // doc 3 untouched
     assert(out(2)._4 === 0L && out(2)._2.startsWith("nothing"))
+  }
+
+  test("leakageSafeSplit never lets a near-dup pair straddle the boundary") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleWidth = 3, threshold = 0.5)
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", pairs,
+      Seq("train" -> 0.9, "val" -> 0.1))
+    val splitOf = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val ps = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty, "fixture should contain near-dup pairs")
+    ps.foreach { case (a, b) =>
+      assert(splitOf(a) === splitOf(b), s"pair ($a,$b) straddles the split")
+    }
+    // every doc assigned, both splits populated
+    assert(splitOf.size === docs.count())
+    assert(splitOf.values.toSet === Set("train", "val"))
+    // the doc-level hash split DOES leak on this graph (the failure
+    // mode this operator exists to prevent) — otherwise the test
+    // above is vacuous
+    val docLevel = Frames.hashSplit(docs.select(col("doc_id")), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ps.exists { case (a, b) => docLevel(a) != docLevel(b) },
+      "expected at least one leaking pair under the naive doc-level split")
   }
 }
