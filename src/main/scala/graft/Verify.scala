@@ -26,6 +26,11 @@ object Verify {
     // plan cannot stall the whole correctness dump
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
     val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    // queries that failed to dump: name -> error message. Written to
+    // errors.json so a failure is an explicit artifact the downstream
+    // compare can surface, never a silently-missing key (a round-5
+    // schema regression hid 20 failing queries exactly this way).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => subset.forall(_(name)) }
       .foreach { case (name, fn) =>
@@ -42,9 +47,12 @@ object Verify {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
           task.cancel(true)
+          errors(name) = s"timeout after ${timeoutSec}s"
           System.err.println(s"[verify] $name failed: timeout after ${timeoutSec}s")
         case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val cause = Option(e.getCause).getOrElse(e)
+          errors(name) = s"${cause.getClass.getSimpleName}: ${Option(cause.getMessage).getOrElse("")}"
+          System.err.println(s"[verify] $name failed: ${cause.getMessage}")
       }
       // several operators persist intermediates the returned plan still
       // references; left alone they accumulate across the ~100-query
@@ -68,6 +76,13 @@ object Verify {
       .filter { case (k, _) => subset.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // explicit failure manifest — always written (possibly "{}") so the
+    // driver can distinguish "no failures" from "file never produced"
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size}/${SparkEntry.queries.size} queries FAILED to dump: ${errors.keys.mkString(", ")}")
+    }
     spark.stop()
   }
 }
