@@ -116,6 +116,10 @@ object NativeFunctions {
       TopKRows(GraftSqlShims.expression(ord), GraftSqlShims.expression(payload), k)
         .toAggregateExpression())
 
+  /** One-pass Gopher §A1.2 repetition-signal struct (15 fields). */
+  def repetitionSignals(text: Column): Column =
+    GraftSqlShims.column(RepetitionSignals(GraftSqlShims.expression(text)))
+
   /** Single-pass BPE segmentation of one word under a learned merge
     * list; returns the framed symbol string.
     */

@@ -681,10 +681,27 @@ object TextAnalysis {
     * top-4-gram ≤16% of chars ∧ dup 5-grams ≤15% — every test a
     * cross-multiplied integer comparison, no float boundaries.
     *
-    * Scale shape: pure per-row HOFs over the document's own arrays —
-    * no shuffle, no state; the whole rule set is one narrow map.
+    * Scale shape: the native one-pass
+    * [[graft.functions.RepetitionSignals]] expression — map-only,
+    * no shuffle, hashmap accumulators, O(chars + tokens·gramwidth)
+    * per row, inside WholeStageCodegen. [[repetitionSignalsHof]] is
+    * the kept HOF reference twin (value-identical, asserted in
+    * TextAnalysisSpec) whose captured-expression re-evaluation made
+    * it quadratic per document.
     */
-  def repetitionSignals(text: Column): Column = {
+  def repetitionSignals(text: Column): Column =
+    graft.functions.NativeFunctions.repetitionSignals(text)
+
+  /** HOF reference formulation of [[repetitionSignals]] — the
+    * original Column-algebra build (split/trim/filter pieces, wordGrams
+    * + topElement folds). Quadratic per document: Catalyst HOFs
+    * re-evaluate the captured tokenize chain per array element (the
+    * wordGrams binding contract this very file documents), so it costs
+    * O(tokens²) per gram order — 62.9 s at sf0.1 vs ~1 s native. Kept
+    * private[graft] as the independently-derived semantic oracle the
+    * native expression is differential-tested against.
+    */
+  private[graft] def repetitionSignalsHof(text: Column): Column = {
     def pieces(sep: String) =
       filter(transform(split(text, sep, -1), l => trim(l)), l => l =!= "")
     val lines = pieces("\n")

@@ -105,6 +105,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Aggregate"), s"sample must not aggregate:\n$p")
   }
 
+  test("repetitionSignals plans one codegen'd map over the scan") {
+    // round-6 verdict: the HOF build was the right SHAPE but quadratic
+    // per doc (62.9 s = 28% of the bench). The native rebuild must stay
+    // a single exchange-free Project with the expression inside a
+    // whole-stage-codegen span — this assert pins both.
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val p = plan(docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.repetitionSignals(col("text")).as("r")))
+    assert(countOccurrences(p, "Exchange") === 0, s"map stage must not shuffle:\n$p")
+    assert(p.contains("*(1) Project"), s"not in a codegen span:\n$p")
+    assert(p.contains("repetition_signals"), s"native expression missing:\n$p")
+    // the declared query adds ONLY its output ordering (one range
+    // exchange) — no Generate/Join/Window subtree may creep back in
+    val q = plan(SparkEntry.queries("text_gopher_repetition")(spark, TestSpark.sfDir))
+    assert(countOccurrences(q, "Exchange") === 1, s"expected only the orderBy shuffle:\n$q")
+    assert(!q.contains("Generate") && !q.contains("Join") && !q.contains("Window"),
+      s"unexpected operator in the repetition query:\n$q")
+  }
+
   test("cube expands grouping sets BEFORE the partial aggregate (map-side combine)") {
     val p = plan(SparkEntry.queries("q_cube")(spark, TestSpark.sfDir))
     assert(p.contains("Expand"), s"expected Expand for grouping sets:\n$p")

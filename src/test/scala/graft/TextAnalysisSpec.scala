@@ -367,6 +367,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Long]("top2_chars") === 6)
   }
 
+  test("native repetitionSignals equals the HOF twin on corpus + edge docs") {
+    // edge docs target every divergence risk between the two builds:
+    // space-only trim (tabs survive), \n\n para split vs lone blank
+    // lines, multi-space token gaps, gram-count ties (lexicographic
+    // tie-break), sub-n-token docs, and a non-BMP char (UTF-8 byte
+    // order == code-point order; UTF-16 comparison would misorder it)
+    val edges = Seq("", " ", "\t", "a", "a b", "one two one two one",
+      "x\n\nx\n\nx", "  padded  \n\tpadded\npadded",
+      "b a b a b", "😀 z 😀 z 😀",
+      "l1\nl1\n\nl1\nl2\n\n\nl3", "w1 w2  w3\tw4\nw5")
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("text"))
+      .union(edges.toDF("text"))
+    val both = docs.select(
+      TextAnalysis.repetitionSignals(col("text")).as("n"),
+      TextAnalysis.repetitionSignalsHof(col("text")).as("h"))
+    both.collect().foreach { r =>
+      assert(r.getStruct(0) === r.getStruct(1), s"diverged on: $r")
+    }
+  }
+
   test("piiRedact masks emails, IPv4s, phones and counts them") {
     val r = Seq("mail bob.smith+x@corp.example.org from 192.168.0.1 " +
         "or call 555-123-4567 twice 555 987 6543")
