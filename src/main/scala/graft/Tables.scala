@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * in both eras.
   */
 object Tables {
-  import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
@@ -25,10 +25,14 @@ object Tables {
         case LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
         case TimestampNTZType =>
-          // session tz is UTC in all entrypoints; to_timestamp on NTZ
-          // reinterprets the wall-clock instant in that zone.
+          // session tz is UTC in all entrypoints; the cast reinterprets
+          // the NTZ wall-clock as an instant in that zone.
           raw.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => raw
+        case TimestampType => raw
+        // a NEW dataset era must surface here, loudly, at load time —
+        // not as 20 opaque per-query failures downstream (round 5)
+        case other => throw new IllegalStateException(
+          s"events.ts arrived as $other; teach Tables.table this era explicitly")
       }
     } else s.read.parquet(s"$dir/$name.parquet")
 }
