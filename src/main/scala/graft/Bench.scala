@@ -72,7 +72,7 @@ object Bench {
       .toSeq.sortBy(_._1)
 
     val pool = Executors.newSingleThreadExecutor()
-    val results = selected.map { case (name, fn) =>
+    def timedPass(): Seq[(String, Double)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val task = pool.submit(new java.util.concurrent.Callable[Long] {
         override def call(): Long = {
@@ -115,6 +115,17 @@ object Bench {
       System.gc()
       name -> (if (ok) elapsed else -1.0)
     }
+    // Two back-to-back timed passes (round-4 advice): this host's
+    // full-run totals historically swing ±60%; publishing both totals
+    // in the same artifact shows the within-session spread so a
+    // one-off swing stops reading as a regression. The official
+    // "value" stays pass 1 (comparable with earlier rounds);
+    // SPARK_GRAFT_BENCH_RUNS=1 restores the single-pass budget.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val results = timedPass()
+    val rerunTotals = (2 to nRuns).map { _ =>
+      timedPass().map(_._2).filter(_ >= 0).sum
+    }
     pool.shutdownNow()
     // Locale.ROOT: the f interpolator is locale-sensitive — a comma
     // decimal separator (de_DE etc.) would make the JSON unparseable
@@ -128,7 +139,10 @@ object Bench {
     // one stdout line overflowed the driver's tail capture in round 2
     // ("parsed": null — the round lost its official number), so stdout
     // gets a COMPACT line: the total plus a fixed headline subset.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)}}"""
+    val rerun =
+      if (rerunTotals.isEmpty) ""
+      else s""","totals_rerun":[${rerunTotals.map(fmt).mkString(",")}]"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)}$rerun}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -139,7 +153,7 @@ object Bench {
     val resultMap = results.toMap
     val hq = headline.flatMap(n => resultMap.get(n).map(v => "\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)}}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)}$rerun}"""
     spark.stop()
     // LAST line on stdout, nothing after it
     println(compact)

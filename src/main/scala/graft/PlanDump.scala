@@ -153,6 +153,17 @@ object PlanDump {
         "ppl cutoffs broadcast back, span coverage reuses the semi-join-" +
         "gated anchor shape — then one exact-dedup hash aggregate. Cost is " +
         "genuinely three scans; every join is broadcast or doc_id-keyed."),
+    "text_gopher_repetition" ->
+      ("All 15 Gopher §A1.2 repetition signals (dup line/para counts and " +
+        "chars, top-{2,3,4}-gram char mass, dup-5-gram occurrences, the " +
+        "composed pass flag) are ONE native repetition_signals projection " +
+        "over the documents scan — no Exchange except the output ordering, " +
+        "no Generate, no Window; linear in corpus bytes. Round-7 rebuild: " +
+        "the HOF formulation re-evaluated the captured tokenize chain per " +
+        "array element (Catalyst HOFs don't CSE captured expressions — " +
+        "quadratic per doc, 62.9 s = 28% of the r6 bench); the one-pass " +
+        "hashmap kernel is 0.9 s cache-cold (PROFILE.md), the same cure " +
+        "ShingleBucketCounts applied to DSIR in round 5."),
     "text_dsir_weights" ->
       ("Per-doc bucket histograms are computed IN-ROW by the native " +
         "one-pass ShingleBucketCounts expression (hash every shingle " +

@@ -297,7 +297,33 @@ object ScaleSmoke {
         Temporal.asofJoin(purch, clicks, Seq("user_id"), "ts", "click_ts",
           direction = "nearest").queryExecution.toRdd.count() },
       time("curation_v2_1x") { curationV2(docs1).queryExecution.toRdd.count() },
-      time(s"curation_v2_${k}x") { curationV2(docsK).queryExecution.toRdd.count() }
+      time(s"curation_v2_${k}x") { curationV2(docsK).queryExecution.toRdd.count() },
+      // the three round-5 map-only text ops: shape says linear, but the
+      // gopher query proved shape claims don't bound per-row constants
+      // — so they get measured ratios like every other stateful op
+      // (repetitionSignals is the round-7 native rebuild)
+      time("gopher_repetition_1x") {
+        docs1.select(col("doc_id"),
+          TextAnalysis.repetitionSignals(col("text")).as("r"))
+          .queryExecution.toRdd.count() },
+      time(s"gopher_repetition_${k}x") {
+        docsK.select(col("doc_id"),
+          TextAnalysis.repetitionSignals(col("text")).as("r"))
+          .queryExecution.toRdd.count() },
+      time("pii_redact_1x") {
+        docs1.select(col("doc_id"),
+          TextAnalysis.piiRedact(col("text")).as("p"))
+          .queryExecution.toRdd.count() },
+      time(s"pii_redact_${k}x") {
+        docsK.select(col("doc_id"),
+          TextAnalysis.piiRedact(col("text")).as("p"))
+          .queryExecution.toRdd.count() },
+      time("chunks_cover_1x") {
+        TextAnalysis.chunkByTokens(docs1, "doc_id", "text", 64, 48)
+          .queryExecution.toRdd.count() },
+      time(s"chunks_cover_${k}x") {
+        TextAnalysis.chunkByTokens(docsK, "doc_id", "text", 64, 48)
+          .queryExecution.toRdd.count() }
     )
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
@@ -306,7 +332,8 @@ object ScaleSmoke {
         "line_dedup", "cross_dedup", "embed_neardup", "ivf_pq_topk",
         "sem_dedup", "span_cut", "dup_spans", "winnow_pairs", "jaccard_dford",
         "pack_sequences", "cluster_best", "winsorize5", "hard_neg_ivf",
-        "epoch_pack", "asof_nearest", "curation_v2").foreach { base =>
+        "epoch_pack", "asof_nearest", "curation_v2", "gopher_repetition",
+        "pii_redact", "chunks_cover").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }
