@@ -985,6 +985,18 @@ object PipelineQueries {
           col("p.n_ipv4"), col("p.n_phones"))
         .orderBy(col("doc_id"))),
 
+    // ---- hashed linear quality scorer (FineWeb/fasttext shape):
+    //      token -> portable poly-hash bucket -> broadcast weight
+    //      lookup -> integer sum + threshold. The oracle rebuilds the
+    //      demo weight vector from its closed form and replays the
+    //      whole inference path ----
+    "text_quality_linear" -> ((s, d) =>
+      TextAnalysis.hashedLinearScore(t(s, d, "documents"), "doc_id", "text",
+          TextAnalysis.demoQualityWeights(256))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("score"),
+          col("keep"))
+        .orderBy(col("doc_id"))),
+
     // ---- leakage-safe train/val split: near-dup CLUSTERS assigned
     //      to splits via the portable hash of the cluster canonical,
     //      so no near-dup pair straddles the eval boundary; oracle
@@ -2624,6 +2636,25 @@ object PipelineQueries {
            CAST(len(regexp_extract_all(t2,
              '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones
          FROM s2 ORDER BY doc_id""",
+    "text_quality_linear" ->
+      """WITH w AS (
+           SELECT list_transform(range(0, 256),
+             b -> (b + 1) * 2654435761 % 1000003 - 500001) AS ws),
+         tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         sc AS (
+           SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(list_sum(list_transform(ts,
+               t -> ws[CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(list_filter(string_split(t, ''), c -> c <> ''),
+                        c -> CAST(unicode(c) AS BIGINT))),
+                      (a, b) -> (a * 1000003 + b) % 1000000007) % 256 AS INT) + 1])), 0)
+               AS BIGINT) AS score
+           FROM tok, w)
+         SELECT doc_id, n_tokens, score, score >= 0 AS keep
+         FROM sc ORDER BY doc_id""",
     "dedup_leakage_safe_split" ->
       """WITH RECURSIVE d AS (
            SELECT doc_id, list_distinct(

@@ -784,6 +784,52 @@ object TextAnalysis {
       cnt(afterIp, PhoneRe).as("n_phones"))
   }
 
+  // ---- hashed linear quality scoring ----
+
+  /** Deterministic zero-mean-ish demo weights for
+    * [[hashedLinearScore]]: w(b) = ((b+1)·2654435761) mod 1000003 −
+    * 500001 (Knuth's multiplicative constant). A stand-in for trained
+    * classifier weights with the same replay property: any SQL engine
+    * rebuilds the identical vector from the closed form, so the
+    * oracle can verify the full inference path without shipping a
+    * model artifact.
+    */
+  def demoQualityWeights(d: Int): Array[Long] =
+    Array.tabulate(d)(b => ((b + 1) * 2654435761L) % 1000003L - 500001L)
+
+  /** FineWeb-style hashed linear quality classifier INFERENCE at
+    * corpus scale — the fasttext-shaped scorer labs run over every
+    * candidate document: tokenize, hash each token into one of
+    * `weights.length` feature buckets (portable code-point poly fold,
+    * so the trained-model replay is engine-independent), sum the
+    * bucket weights plus a bias, keep docs scoring ≥ 0. Training is a
+    * model-side concern; this operator is the 100 TB-side half —
+    * given ANY weight vector it scores the corpus in one pass.
+    * Emits (id, n_tokens, score, keep), integer-exact.
+    *
+    * Scale shape: map-only — the weight vector rides along as a plan
+    * literal (KBs), the token array is bound to a materialized column
+    * BEFORE the per-element lambda consumes it (the wordGrams binding
+    * discipline: Catalyst HOFs re-evaluate captured non-attribute
+    * expressions per element), and each element's work is an O(token)
+    * native hash plus an O(1) literal-array lookup. No shuffle, no
+    * state, no driver loop.
+    */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+                        weights: Array[Long], bias: Long = 0L): DataFrame = {
+    require(weights.nonEmpty, "need at least one weight bucket")
+    val d = weights.length
+    df.select(col(idCol).as("id"), cleanTokens(col(textCol)).as("ts"))
+      .select(col("id"), size(col("ts")).cast(LongType).as("n_tokens"),
+        aggregate(
+          transform(col("ts"), tok => element_at(
+            lit(weights),
+            (pmod(graft.functions.NativeFunctions.polyFingerprint(tok),
+              lit(d.toLong)) + 1L).cast("int"))),
+          lit(bias), (acc, w) => acc + w).as("score"))
+      .withColumn("keep", col("score") >= 0L)
+  }
+
   // ---- token-window chunking ----
 
   /** Overlapping token-window chunking — the standard pre-embedding /

@@ -405,6 +405,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("n_ipv4") === 0)
   }
 
+  test("hashedLinearScore equals an independent JVM replay") {
+    import graft.functions.SketchExpressions.polyFold
+    val ws = TextAnalysis.demoQualityWeights(256)
+    // weight vector sanity: closed form, zero-mean-ish, deterministic
+    assert(ws.length === 256 && ws.min < 0L && ws.max > 0L)
+    assert(ws(0) === (2654435761L % 1000003L) - 500001L)
+    val docs = Seq("the quick brown fox", "", "   ", "a a a",
+      "\tweird  spacing\n", "😀 unicode test")
+    def replay(t: String): (Long, Long) = {
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      val score = toks.map(tok => ws((polyFold(tok, 1000003L) % 256L).toInt)).sum
+      (toks.length.toLong, score)
+    }
+    val got = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.hashedLinearScore(got, "doc_id", "text",
+        ws, bias = 0L)
+      .orderBy(col("id")).collect()
+    rows.zip(docs).foreach { case (r, t) =>
+      val (n, s) = replay(t)
+      assert(r.getAs[Long]("n_tokens") === n, s"n_tokens for '$t'")
+      assert(r.getAs[Long]("score") === s, s"score for '$t'")
+      assert(r.getAs[Boolean]("keep") === (s >= 0L))
+    }
+    // a doc stuffed with one known-positive-weight token scores
+    // monotonically higher with each repetition
+    val posTok = "qualitytoken"
+    val w = ws((polyFold(posTok, 1000003L) % 256L).toInt)
+    val rep = Seq((1L, posTok), (2L, s"$posTok $posTok"))
+      .toDF("doc_id", "text")
+    val sc = TextAnalysis.hashedLinearScore(rep, "doc_id", "text", ws)
+      .orderBy(col("id")).collect().map(_.getAs[Long]("score"))
+    assert(sc(1) - sc(0) === w)
+  }
+
   test("chunkByTokens covers every token with ragged last window") {
     val docs = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")),
                    (2L, "a b c"), (3L, "   ")).toDF("doc_id", "text")
