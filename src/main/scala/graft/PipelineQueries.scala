@@ -997,6 +997,15 @@ object PipelineQueries {
           col("keep"))
         .orderBy(col("doc_id"))),
 
+    // ---- per-source corpus health card: docs/tokens/exact-dup
+    //      membership/PII incidence/quality-keep/lang spread per
+    //      source — one fused map pass + the md5 dup-count join +
+    //      one source-sized aggregate ----
+    "text_source_report" -> ((s, d) =>
+      TextAnalysis.sourceHealthReport(t(s, d, "documents"), "doc_id", "text",
+          "source", "lang", TextAnalysis.demoQualityWeights(256))
+        .orderBy(col("source"))),
+
     // ---- leakage-safe train/val split: near-dup CLUSTERS assigned
     //      to splits via the portable hash of the cluster canonical,
     //      so no near-dup pair straddles the eval boundary; oracle
@@ -2655,6 +2664,50 @@ object PipelineQueries {
            FROM tok, w)
          SELECT doc_id, n_tokens, score, score >= 0 AS keep
          FROM sc ORDER BY doc_id""",
+    "text_source_report" ->
+      """WITH w AS (
+           SELECT list_transform(range(0, 256),
+             b -> (b + 1) * 2654435761 % 1000003 - 500001) AS ws),
+         base AS (
+           SELECT doc_id, source, lang, md5(text) AS h,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         s1 AS (SELECT doc_id,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+           FROM documents),
+         s2 AS (SELECT doc_id, ne,
+             len(regexp_extract_all(t1,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+             regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+               '<IP>', 'g') AS t2
+           FROM s1),
+         s3 AS (SELECT doc_id, ne, ni,
+             len(regexp_extract_all(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS np
+           FROM s2),
+         sc AS (
+           SELECT b.doc_id, b.source, b.lang, b.h,
+             CAST(len(b.ts) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(list_sum(list_transform(b.ts,
+               t -> ws[CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(list_filter(string_split(t, ''), c -> c <> ''),
+                        c -> CAST(unicode(c) AS BIGINT))),
+                      (a, b) -> (a * 1000003 + b) % 1000000007) % 256 AS INT) + 1])), 0)
+               AS BIGINT) AS score,
+             (s3.ne + s3.ni + s3.np) > 0 AS has_pii
+           FROM base b JOIN s3 USING (doc_id), w),
+         dup AS (SELECT h, COUNT(*) AS c FROM base GROUP BY h)
+         SELECT sc.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(sc.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(CASE WHEN sc.has_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+           CAST(SUM(CASE WHEN sc.score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_quality,
+           CAST(COUNT(DISTINCT sc.lang) AS BIGINT) AS n_langs
+         FROM sc JOIN dup ON sc.h = dup.h
+         GROUP BY sc.source ORDER BY sc.source""",
     "dedup_leakage_safe_split" ->
       """WITH RECURSIVE d AS (
            SELECT doc_id, list_distinct(

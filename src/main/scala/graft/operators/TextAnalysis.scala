@@ -830,6 +830,50 @@ object TextAnalysis {
       .withColumn("keep", col("score") >= 0L)
   }
 
+  /** Per-source corpus health card — the monitoring table a training
+    * pipeline recomputes every ingest: document and token counts,
+    * exact-duplicate membership (corpus-wide, so cross-source copies
+    * count in BOTH sources), PII incidence, hashed-linear quality
+    * keep counts, and language spread, one row per source. Integer-
+    * exact throughout.
+    *
+    * Scale shape: ONE fused map pass computes every per-doc signal in
+    * the same projection (md5 content hash, bound token array →
+    * n_tokens + linear score, staged PII counts) — no per-signal
+    * joins; then one (hash → count) aggregate with a join back keyed
+    * by the md5 (the exact-dedup shape), and one final partial-
+    * aggregated groupBy(source) whose output is source-cardinality-
+    * sized. Two corpus shuffles total, both keyed and linear.
+    */
+  def sourceHealthReport(df: DataFrame, idCol: String, textCol: String,
+                         sourceCol: String, langCol: String,
+                         weights: Array[Long]): DataFrame = {
+    require(weights.nonEmpty, "need at least one weight bucket")
+    val d = weights.length
+    val perDoc = df.select(col(sourceCol).as("source"), col(langCol).as("lang"),
+        md5(col(textCol)).as("h"), cleanTokens(col(textCol)).as("ts"),
+        piiRedact(col(textCol)).as("p"))
+      .select(col("source"), col("lang"), col("h"),
+        size(col("ts")).cast(LongType).as("n_tokens"),
+        aggregate(
+          transform(col("ts"), tok => element_at(
+            lit(weights),
+            (pmod(graft.functions.NativeFunctions.polyFingerprint(tok),
+              lit(d.toLong)) + 1L).cast("int"))),
+          lit(0L), (acc, w) => acc + w).as("score"),
+        (col("p.n_emails") + col("p.n_ipv4") + col("p.n_phones") > 0L)
+          .as("has_pii"))
+    val dupCounts = perDoc.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    perDoc.join(dupCounts, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("c") > 1L, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_pii_docs"),
+        sum(when(col("score") >= 0L, 1L).otherwise(0L)).as("n_keep_quality"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
   // ---- token-window chunking ----
 
   /** Overlapping token-window chunking — the standard pre-embedding /

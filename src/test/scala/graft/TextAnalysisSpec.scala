@@ -440,6 +440,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(sc(1) - sc(0) === w)
   }
 
+  test("sourceHealthReport counts docs/dups/PII/quality/langs per source") {
+    import graft.functions.SketchExpressions.polyFold
+    val ws = TextAnalysis.demoQualityWeights(256)
+    def score(t: String): Long =
+      t.split("\\s+").filter(_.nonEmpty)
+        .map(tok => ws((polyFold(tok, 1000003L) % 256L).toInt)).sum
+    val docs = Seq(
+      (1L, "shared text", "web", "en"),
+      (2L, "shared text", "books", "en"), // cross-source exact dup: flags BOTH
+      (3L, "unique a", "web", "fr"),
+      (4L, "mail me x@y.com now", "web", "en"),
+      (5L, "", "books", "en"))
+    val r = TextAnalysis.sourceHealthReport(
+        docs.toDF("doc_id", "text", "source", "lang"),
+        "doc_id", "text", "source", "lang", ws)
+      .orderBy(col("source")).collect()
+    assert(r.map(_.getString(0)).toSeq === Seq("books", "web"))
+    val books = r(0); val web = r(1)
+    assert(web.getAs[Long]("n_docs") === 3)
+    assert(web.getAs[Long]("n_tokens") === 8) // 2 + 2 + 4
+    assert(web.getAs[Long]("n_dup_docs") === 1) // doc 1 (dup of books' doc 2)
+    assert(web.getAs[Long]("n_pii_docs") === 1) // the email doc
+    assert(web.getAs[Long]("n_langs") === 2)
+    assert(books.getAs[Long]("n_docs") === 2)
+    assert(books.getAs[Long]("n_tokens") === 2) // empty doc adds 0
+    assert(books.getAs[Long]("n_dup_docs") === 1) // doc 2
+    assert(books.getAs[Long]("n_pii_docs") === 0)
+    assert(books.getAs[Long]("n_langs") === 1)
+    // quality keep counts replay exactly (empty doc scores 0 -> kept)
+    def keeps(ds: Seq[(Long, String, String, String)]) =
+      ds.count(d => score(d._2) >= 0L).toLong
+    assert(web.getAs[Long]("n_keep_quality") ===
+      keeps(docs.filter(_._3 == "web")))
+    assert(books.getAs[Long]("n_keep_quality") ===
+      keeps(docs.filter(_._3 == "books")))
+  }
+
   test("chunkByTokens covers every token with ragged last window") {
     val docs = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")),
                    (2L, "a b c"), (3L, "   ")).toDF("doc_id", "text")
