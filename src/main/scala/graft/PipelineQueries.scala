@@ -407,6 +407,26 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     }),
 
+    // ---- ANN recall@1 report: IVF result vs the exact brute-force
+    //      ground truth — one (query_id, nn_id) equi-join, recall as
+    //      an exact integer micro-fraction. The oracle re-derives
+    //      BOTH sides (the correlated-subquery truth and the full
+    //      portable k-means + probe + rank IVF replay) and must land
+    //      on the identical matched count ----
+    "sim_recall_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val truth = Similarity.bruteForceTopK(
+          e.repartition(s.sparkContext.defaultParallelism), e, k = 1)
+        .select(col("query_id"), col("id").as("nn_id"))
+      val cents = Similarity.trainIvfCentroids(e,
+        nCentroids = Similarity.suggestedCentroids(e.count()), dim = 64,
+        iterations = 1, portable = true)
+      val approx = Similarity.ivfTopK(e, e, k = 1, cents, nProbe = 4,
+          portable = true)
+        .select(col("query_id"), col("id").as("nn_id"))
+      Similarity.recallReport(truth, approx)
+    }),
+
     // ---- product-quantization ANN (ADC shortlist + exact re-rank):
     //      8 subspaces x 16 codewords, portable integer-exact
     //      training, encoding and table-lookup scoring; the sqrt-
@@ -1864,6 +1884,72 @@ object PipelineQueries {
            JOIN embeddings qe ON qe.vec_id = c.query_id
            JOIN embeddings ce ON ce.vec_id = c.id)
          SELECT query_id, id AS nn_id FROM ranked WHERE rk = 1 ORDER BY query_id""",
+    "sim_recall_ivf" ->
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+         hx AS (
+           SELECT vec_id, embedding,
+             ((((vec_id + 42) % 1000000007) * ((vec_id + 42) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+           FROM embeddings),
+         init AS (
+           SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY (v * v) % 1000000007, vec_id) - 1 AS cell
+           FROM hx
+           QUALIFY cell < (SELECT greatest(16, CAST(ceil(sqrt(cnt)) AS BIGINT)) FROM n)),
+         a0 AS (
+           SELECT e.vec_id, i.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, i.embedding) DESC, i.cell) AS rk
+           FROM embeddings e CROSS JOIN init i),
+         a1 AS (SELECT vec_id, cell FROM a0 WHERE rk = 1),
+         q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+           FROM embeddings),
+         mp AS (
+           SELECT a1.cell, p.pos,
+             CAST(floor(CAST(sum(p.qx) AS DOUBLE) / count(*)) AS BIGINT) AS mq
+           FROM a1 JOIN q USING (vec_id),
+             LATERAL (SELECT unnest(qv) AS qx, generate_subscripts(qv, 1) AS pos) p
+           GROUP BY a1.cell, p.pos),
+         upd AS (
+           SELECT cell, list_transform(array_agg(mq ORDER BY pos),
+             m -> CAST(m / 1048576.0 AS FLOAT)) AS cv
+           FROM mp GROUP BY cell),
+         cents AS (
+           SELECT i.cell, COALESCE(u.cv, i.embedding) AS cv
+           FROM init i LEFT JOIN upd u USING (cell)),
+         a2 AS (
+           SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cell) AS rk
+           FROM embeddings e CROSS JOIN cents c),
+         assign AS (SELECT vec_id AS id, cell FROM a2 WHERE rk = 1),
+         probes AS (SELECT vec_id AS query_id, cell FROM a2 WHERE rk <= 4),
+         cand AS (
+           SELECT p.query_id, a.id FROM probes p JOIN assign a USING (cell)
+           WHERE a.id <> p.query_id),
+         ranked AS (
+           SELECT c.query_id, c.id,
+             ROW_NUMBER() OVER (PARTITION BY c.query_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, c.id) AS rk
+           FROM cand c
+           JOIN embeddings qe ON qe.vec_id = c.query_id
+           JOIN embeddings ce ON ce.vec_id = c.id),
+         ivf AS (SELECT query_id, id AS nn_id FROM ranked WHERE rk = 1),
+         bf AS (
+           SELECT a.vec_id AS query_id,
+             (SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> a.vec_id
+              ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
+              LIMIT 1) AS nn_id
+           FROM embeddings a),
+         m AS (SELECT count(*) AS n_matched
+               FROM bf JOIN ivf USING (query_id, nn_id)),
+         tq AS (SELECT count(*) AS n_truth FROM bf)
+         SELECT CAST(tq.n_truth AS BIGINT) AS n_truth,
+           CAST(m.n_matched AS BIGINT) AS n_matched,
+           CAST(m.n_matched * 1000000 // tq.n_truth AS BIGINT) AS recall_micro
+         FROM tq, m""",
     "sim_topk_pq" ->
       """WITH sub AS (
            SELECT e.vec_id, jj.j, list_slice(e.embedding, jj.j*8+1, jj.j*8+8) AS sv

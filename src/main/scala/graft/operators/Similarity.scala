@@ -668,4 +668,22 @@ object Similarity {
       .select(col("query_id"), col("id"), cosine(col("qv"), col("cvv")).as("cos"))
     topKPerKey(scored, k)
   }
+
+  /** ANN recall evaluation harness — the tuning loop every deployed
+    * approximate index needs: given the exact ground-truth neighbor
+    * set (from [[bruteForceTopK]] on a sample) and an approximate
+    * result set (IVF/LSH/PQ), both as (query_id, nn_id) rows, emit
+    * one row (n_truth, n_matched, recall_micro) with recall as an
+    * exact integer micro-fraction (floor-div — no float boundary for
+    * the oracle to diverge on). At 100 TB the truth side is a sampled
+    * query panel; the operator is truth-side-sized: one equi-join on
+    * (query_id, nn_id) and two single-row aggregates.
+    */
+  def recallReport(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val matched = truth.join(approx, Seq("query_id", "nn_id"))
+      .agg(count(lit(1)).as("n_matched"))
+    truth.agg(count(lit(1)).as("n_truth")).crossJoin(matched)
+      .select(col("n_truth"), col("n_matched"),
+        expr("n_matched * 1000000 div n_truth").as("recall_micro"))
+  }
 }

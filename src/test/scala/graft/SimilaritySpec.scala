@@ -246,4 +246,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaAgg === viaWindow)
     assert(viaAgg.size === 40 * 3)
   }
+
+  test("recallReport computes exact integer micro-recall") {
+    val truth = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("query_id", "nn_id")
+    val approx = Seq((1L, 10L), (2L, 99L), (3L, 30L), (4L, 40L))
+      .toDF("query_id", "nn_id")
+    val r = Similarity.recallReport(truth, approx).head()
+    assert(r.getAs[Long]("n_truth") === 4L)
+    assert(r.getAs[Long]("n_matched") === 3L)
+    assert(r.getAs[Long]("recall_micro") === 750000L)
+    // perfect recall against itself
+    val p = Similarity.recallReport(truth, truth).head()
+    assert(p.getAs[Long]("recall_micro") === 1000000L)
+    // the IVF scale path on real embeddings: sane recall band and the
+    // report is truth-side-sized (one row)
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val bf = Similarity.bruteForceTopK(e, e, k = 1)
+      .select(col("query_id"), col("id").as("nn_id"))
+    val cents = Similarity.trainIvfCentroids(e,
+      Similarity.suggestedCentroids(e.count()), 64, 1, portable = true)
+    val ivf = Similarity.ivfTopK(e, e, 1, cents, nProbe = 4, portable = true)
+      .select(col("query_id"), col("id").as("nn_id"))
+    val rep = Similarity.recallReport(bf, ivf).head()
+    assert(rep.getAs[Long]("n_truth") > 0L)
+    assert(rep.getAs[Long]("recall_micro") >= 500000L,
+      s"IVF recall@1 unexpectedly low: $rep")
+  }
 }
