@@ -124,6 +124,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected operator in the repetition query:\n$q")
   }
 
+  test("sourceHealthReport fuses per-doc signals into one map pass") {
+    // design claim (TextAnalysis.sourceHealthReport): md5 + token
+    // array + PII struct computed in ONE projection — per-doc signals
+    // must never fan out into per-signal self-joins. Corpus shuffles:
+    // the md5 dup-count aggregate + its join back, and the final
+    // source aggregate (plus countDistinct's internal expand) — but
+    // exactly ONE scan of documents per side of the md5 join, no
+    // Window, no Generate.
+    val p = plan(SparkEntry.queries("text_source_report")(spark, TestSpark.sfDir))
+    assert(!p.contains("Window") && !p.contains("Generate"),
+      s"unexpected operator in source report:\n$p")
+    assert(countOccurrences(p, "Scan parquet") <= 2,
+      s"per-signal joins re-scanning the corpus:\n$p")
+    assert(p.contains("repetition_signals") === false) // wrong op guard
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"expected partial aggregation:\n$p")
+  }
+
+  test("recallReport is an equi-join plus single-row aggregates") {
+    val truth = Seq((1L, 10L), (2L, 20L)).toDF("query_id", "nn_id")
+    val approx = Seq((1L, 10L)).toDF("query_id", "nn_id")
+    val p = plan(graft.operators.Similarity.recallReport(truth, approx))
+    // the match side is an equi-join (hash or broadcast), never a
+    // nested-loop; the final combine is a 1-row x 1-row cross (free)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join for the match count:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus-sized cartesian in recall report:\n$p")
+  }
+
   test("cube expands grouping sets BEFORE the partial aggregate (map-side combine)") {
     val p = plan(SparkEntry.queries("q_cube")(spark, TestSpark.sfDir))
     assert(p.contains("Expand"), s"expected Expand for grouping sets:\n$p")
