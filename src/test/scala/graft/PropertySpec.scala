@@ -189,6 +189,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sourceHealthReport: per-source rows sum to corpus totals, partition-invariant") {
+    val ws = TextAnalysis.demoQualityWeights(256)
+    forAll(Gen.listOfN(30, asciiText), cases = 4) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, s"src${i % 3}", if (i % 2 == 0) "en" else "fr") }
+        .toDF("doc_id", "text", "source", "lang")
+      val rep = TextAnalysis.sourceHealthReport(docs, "doc_id", "text",
+        "source", "lang", ws)
+      val rows = rep.collect()
+      // the card partitions the corpus: per-source doc counts sum to it
+      assert(rows.map(_.getAs[Long]("n_docs")).sum === texts.length.toLong)
+      // keep + pii + dup counts can never exceed the source's docs
+      rows.foreach { r =>
+        val n = r.getAs[Long]("n_docs")
+        assert(r.getAs[Long]("n_dup_docs") <= n)
+        assert(r.getAs[Long]("n_pii_docs") <= n)
+        assert(r.getAs[Long]("n_keep_quality") <= n)
+        assert(r.getAs[Long]("n_langs") >= 1L)
+      }
+      // partition-invariance: a different physical layout produces the
+      // identical card (no accidental partition-local aggregation)
+      val re = TextAnalysis.sourceHealthReport(docs.repartition(7), "doc_id",
+        "text", "source", "lang", ws)
+      assert(re.orderBy("source").collect().toSeq ===
+        rep.orderBy("source").collect().toSeq)
+    }
+  }
+
   test("duplicatedSpans equals a brute-force reference on random tiny-vocab corpora") {
     val minLen = 3
     // tiny vocab forces duplicated windows; varying doc lengths cover
