@@ -73,6 +73,15 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_tok"), col("sum_lp_micro"))
         .orderBy(col("doc_id"))),
 
+    // ---- bigram LM log-likelihood (Laplace-smoothed p(w2|w1), the
+    //      next LM order up from the unigram score): map-side bigram
+    //      stream from the bound token array, Zipf-small histograms
+    //      broadcast back, floor(ln x 1e6) integer terms ----
+    "text_bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(t(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("sum_lp_micro"))
+        .orderBy(col("doc_id"))),
+
     // ---- per-window top-k heavy hitters (batch twin of the
     //      streaming flatMapGroupsWithState operator; the streaming
     //      path is asserted equal in StreamingSpec) ----
@@ -1512,6 +1521,26 @@ object PipelineQueries {
              * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_lp_micro
          FROM toks t JOIN uni u USING (tok) CROSS JOIN tot
          GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "text_bigram_logprob" ->
+      """WITH ts AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         toks AS (SELECT unnest(ts) AS w1 FROM ts),
+         uni AS (SELECT w1, COUNT(*) AS c1 FROM toks GROUP BY w1),
+         v AS (SELECT COUNT(*) AS vs FROM uni),
+         bg AS (
+           SELECT doc_id, ts[u.i + 1] AS w1, ts[u.i + 2] AS w2
+           FROM ts, LATERAL (SELECT unnest(range(0, greatest(len(ts) - 1, 0))) AS i) u),
+         bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2)
+         SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(floor(ln(CAST(bc.c12 + 1 AS DOUBLE) / CAST(u.c1 + v.vs AS DOUBLE))
+             * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_lp_micro
+         FROM bg b
+         JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+         JOIN uni u ON u.w1 = b.w1
+         CROSS JOIN v
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
     "q_approx_sketches" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
            TRUE AS hll_within_3sigma, TRUE AS p50_within_rank_bounds,

@@ -611,6 +611,65 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tok"), sum(col("lp_micro")).as("sum_lp_micro"))
   }
 
+  /** Corpus bigram log-likelihood per document — the next LM order up
+    * from [[unigramLogProb]] in the CCNet-style quality-scoring
+    * family: add-one (Laplace) smoothed p(w2|w1) = (c12 + 1) /
+    * (c1 + V) over adjacent token pairs, scored as the same
+    * floor(ln·10⁶) integer terms the unigram path uses (each log
+    * argument is an exact integer rational both engines form
+    * identically as doubles). Emits (id, n_bigrams, sum_lp_micro);
+    * docs with fewer than two tokens have no bigrams and no row —
+    * same contract as the unigram path for empty docs.
+    *
+    * Scale shape, same discipline as [[unigramLogProb]]: the bigram
+    * stream is built MAP-SIDE from the bound token array (adjacent
+    * pairs via an index transform — never a positional self-join of
+    * an exploded token stream), both count tables are
+    * distinct-gram-sized (Zipf-small), and each joins back by
+    * broadcast when it fits (`vocabBroadcastMax`) or a salted join
+    * when it does not — the per-occurrence stream is never shuffled
+    * by a token key. Two persists (unigram + bigram histograms) stay
+    * referenced by the returned plan: clearCache() between corpora,
+    * the [[dsirLogWeights]] policy.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    vocabBroadcastMax: Long = 8000000L,
+                    saltFactor: Int = 16): DataFrame = {
+    val ts = df.select(col(idCol).as("id"), cleanTokens(col(textCol)).as("ts"))
+    // adjacent pairs from the BOUND array (ts is a materialized
+    // attribute, so the captured reference in the lambda is an O(1)
+    // read — the wordGrams binding contract)
+    val bgs = ts.select(col("id"),
+        explode(filter(transform(col("ts"), (t, i) =>
+          when(i < size(col("ts")) - 1,
+            struct(t.as("w1"), element_at(col("ts"), i + 2).as("w2")))),
+          p => p.isNotNull)).as("p"))
+      .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val toks = ts.select(explode(col("ts")).as("w1"))
+    val uni = toks.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocabSize = uni.count()
+    val big = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .withColumn("bg", concat_ws(" ", col("w1"), col("w2")))
+      .drop("w1", "w2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBigrams = big.count()
+    val keyed = bgs.withColumn("bg", concat_ws(" ", col("w1"), col("w2")))
+    val withBig =
+      if (nBigrams <= vocabBroadcastMax) keyed.join(broadcast(big), Seq("bg"))
+      else Skew.saltedJoin(keyed, big, "bg", saltFactor)
+    val withUni =
+      if (vocabSize <= vocabBroadcastMax) withBig.join(broadcast(uni), Seq("w1"))
+      else Skew.saltedJoin(withBig, uni, "w1", saltFactor)
+    withUni
+      .withColumn("lp_micro",
+        floor(log((col("c12") + lit(1L)).cast(DoubleType) /
+          (col("c1") + lit(vocabSize)).cast(DoubleType)) * lit(1000000.0))
+          .cast(LongType))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp_micro"))
+  }
+
   // ---- Gopher repetition rules (Rae et al. 2021 §A1.2) ----
 
   /** Non-empty whitespace tokens (empty docs give [] not [""]). */

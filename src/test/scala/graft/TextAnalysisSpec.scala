@@ -405,6 +405,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("n_ipv4") === 0)
   }
 
+  test("bigramLogProb equals an independent JVM replay on a tiny corpus") {
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    // corpus model: uni a:3 b:2 solo:1 (V=3); bigrams (a,b):1 (b,a):2
+    val V = 3L
+    def lp(c12: Long, c1: Long): Long =
+      math.floor(math.log((c12 + 1).toDouble / (c1 + V).toDouble) * 1e6).toLong
+    val expected = Map(
+      1L -> (2L, lp(1, 3) + lp(2, 2)), // (a,b) then (b,a)
+      2L -> (1L, lp(2, 2)))            // (b,a)
+    val rows = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .orderBy(col("id")).collect()
+    // docs 3 (one token) and 4 (empty) have no bigrams -> no row
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    rows.foreach { r =>
+      val (n, s) = expected(r.getLong(0))
+      assert(r.getAs[Long]("n_bigrams") === n)
+      assert(r.getAs[Long]("sum_lp_micro") === s)
+    }
+    // likelihood ordering: a doc made of corpus-frequent bigrams
+    // outscores (per bigram) one made of unseen pairs
+    val corpus = (1 to 20).map(i => (i.toLong, "x y x y x y")) :+ (99L, "q z")
+    val sc = TextAnalysis.bigramLogProb(corpus.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .withColumn("per_bg", col("sum_lp_micro") / col("n_bigrams"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("per_bg")).toMap
+    assert(sc(1L) > sc(99L))
+  }
+
   test("hashedLinearScore equals an independent JVM replay") {
     import graft.functions.SketchExpressions.polyFold
     val ws = TextAnalysis.demoQualityWeights(256)
