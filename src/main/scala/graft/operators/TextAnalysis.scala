@@ -673,7 +673,7 @@ object TextAnalysis {
   // ---- Gopher repetition rules (Rae et al. 2021 §A1.2) ----
 
   /** Non-empty whitespace tokens (empty docs give [] not [""]). */
-  private def cleanTokens(text: Column): Column =
+  private[graft] def cleanTokens(text: Column): Column =
     filter(tokens(text), t => t =!= "")
 
   /** Word n-grams joined by single spaces; empty when the doc has
@@ -874,20 +874,29 @@ object TextAnalysis {
     * native hash plus an O(1) literal-array lookup. No shuffle, no
     * state, no driver loop.
     */
-  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
-                        weights: Array[Long], bias: Long = 0L): DataFrame = {
+  /** The scoring fold shared by [[hashedLinearScore]],
+    * [[sourceHealthReport]] and the streaming twin: `ts` must be a
+    * BOUND column (the wordGrams contract) — every per-element term
+    * is then an O(token) native hash + an O(1) literal-array lookup.
+    */
+  private[graft] def linearScoreExpr(ts: Column, weights: Array[Long],
+                                     bias: Long = 0L): Column = {
     require(weights.nonEmpty, "need at least one weight bucket")
     val d = weights.length
+    aggregate(
+      transform(ts, tok => element_at(
+        lit(weights),
+        (pmod(graft.functions.NativeFunctions.polyFingerprint(tok),
+          lit(d.toLong)) + 1L).cast("int"))),
+      lit(bias), (acc, w) => acc + w)
+  }
+
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+                        weights: Array[Long], bias: Long = 0L): DataFrame =
     df.select(col(idCol).as("id"), cleanTokens(col(textCol)).as("ts"))
       .select(col("id"), size(col("ts")).cast(LongType).as("n_tokens"),
-        aggregate(
-          transform(col("ts"), tok => element_at(
-            lit(weights),
-            (pmod(graft.functions.NativeFunctions.polyFingerprint(tok),
-              lit(d.toLong)) + 1L).cast("int"))),
-          lit(bias), (acc, w) => acc + w).as("score"))
+        linearScoreExpr(col("ts"), weights, bias).as("score"))
       .withColumn("keep", col("score") >= 0L)
-  }
 
   /** Per-source corpus health card — the monitoring table a training
     * pipeline recomputes every ingest: document and token counts,
@@ -907,19 +916,12 @@ object TextAnalysis {
   def sourceHealthReport(df: DataFrame, idCol: String, textCol: String,
                          sourceCol: String, langCol: String,
                          weights: Array[Long]): DataFrame = {
-    require(weights.nonEmpty, "need at least one weight bucket")
-    val d = weights.length
     val perDoc = df.select(col(sourceCol).as("source"), col(langCol).as("lang"),
         md5(col(textCol)).as("h"), cleanTokens(col(textCol)).as("ts"),
         piiRedact(col(textCol)).as("p"))
       .select(col("source"), col("lang"), col("h"),
         size(col("ts")).cast(LongType).as("n_tokens"),
-        aggregate(
-          transform(col("ts"), tok => element_at(
-            lit(weights),
-            (pmod(graft.functions.NativeFunctions.polyFingerprint(tok),
-              lit(d.toLong)) + 1L).cast("int"))),
-          lit(0L), (acc, w) => acc + w).as("score"),
+        linearScoreExpr(col("ts"), weights).as("score"),
         (col("p.n_emails") + col("p.n_ipv4") + col("p.n_phones") > 0L)
           .as("has_pii"))
     val dupCounts = perDoc.groupBy(col("h")).agg(count(lit(1)).as("c"))

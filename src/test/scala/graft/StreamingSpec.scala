@@ -54,6 +54,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming source-health windows match the batch definition exactly") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.DocStreams
+    val ws = TextAnalysis.demoQualityWeights(256)
+    // documents with synthetic event times: one doc a minute, so the
+    // corpus spans many 1-hour windows per source
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * 60000L).as("ts"),
+        col("source"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-docstream").toString
+    docs.coalesce(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val q = DocStreams.sourceHealthWindowed(stream, ws, windowSeconds = 3600,
+        watermarkSeconds = Some(7200))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("srchealth").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.get(0).toString, r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val streamed = spark.sql("select * from srchealth").collect()
+        .map(key).toMap
+      val batch = DocStreams.sourceHealthWindowed(docs, ws, windowSeconds = 3600)
+        .collect().map(key).toMap
+      assert(streamed.nonEmpty)
+      // append mode withholds only windows the watermark hasn't passed;
+      // every emitted window must match the batch run field-for-field
+      streamed.foreach { case (k, v) => assert(batch(k) === v, s"window $k") }
+    } finally q.stop()
+  }
+
   test("sliding windows double-count each event exactly windowLen/slide times") {
     val sliding = EventStreams.windowedAgg(events, "2 hours", Some("1 hour"))
     val total = sliding.agg(sum("n")).head().getLong(0)
