@@ -153,6 +153,15 @@ object PlanDump {
         "ppl cutoffs broadcast back, span coverage reuses the semi-join-" +
         "gated anchor shape — then one exact-dedup hash aggregate. Cost is " +
         "genuinely three scans; every join is broadcast or doc_id-keyed."),
+    "text_bigram_logprob" ->
+      ("Bigram LM scoring under the Zipf discipline: the per-occurrence " +
+        "bigram stream is built map-side from the bound token array (an " +
+        "index transform — never a positional self-join), both count " +
+        "tables are distinct-gram-sized and meet the stream as " +
+        "BroadcastHashJoins (a token-keyed shuffle would land every " +
+        "occurrence of a hot bigram on one reducer), and the per-doc sum " +
+        "partial-aggregates before its exchange. PlanShapeSpec pins the " +
+        "two broadcasts."),
     "text_gopher_repetition" ->
       ("All 15 Gopher §A1.2 repetition signals (dup line/para counts and " +
         "chars, top-{2,3,4}-gram char mass, dup-5-gram occurrences, the " +

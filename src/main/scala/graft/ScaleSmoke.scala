@@ -323,6 +323,27 @@ object ScaleSmoke {
           .queryExecution.toRdd.count() },
       time(s"chunks_cover_${k}x") {
         TextAnalysis.chunkByTokens(docsK, "doc_id", "text", 64, 48)
+          .queryExecution.toRdd.count() },
+      // round-7 stateful text ops: the bigram LM builds two Zipf-small
+      // histograms (the internal-persist pattern), the source report
+      // shuffles by md5 then by source — both need measured ratios
+      time("bigram_logprob_1x") {
+        TextAnalysis.bigramLogProb(docs1, "doc_id", "text")
+          .queryExecution.toRdd.count() },
+      time(s"bigram_logprob_${k}x") {
+        TextAnalysis.bigramLogProb(docsK, "doc_id", "text")
+          .queryExecution.toRdd.count() },
+      time("source_report_1x") {
+        TextAnalysis.sourceHealthReport(
+          docs1.withColumn("source", (col("doc_id") % 20).cast("string")),
+          "doc_id", "text", "source", "lang",
+          TextAnalysis.demoQualityWeights(256))
+          .queryExecution.toRdd.count() },
+      time(s"source_report_${k}x") {
+        TextAnalysis.sourceHealthReport(
+          docsK.withColumn("source", (col("doc_id") % 20).cast("string")),
+          "doc_id", "text", "source", "lang",
+          TextAnalysis.demoQualityWeights(256))
           .queryExecution.toRdd.count() }
     )
 
@@ -333,7 +354,8 @@ object ScaleSmoke {
         "sem_dedup", "span_cut", "dup_spans", "winnow_pairs", "jaccard_dford",
         "pack_sequences", "cluster_best", "winsorize5", "hard_neg_ivf",
         "epoch_pack", "asof_nearest", "curation_v2", "gopher_repetition",
-        "pii_redact", "chunks_cover").foreach { base =>
+        "pii_redact", "chunks_cover", "bigram_logprob",
+        "source_report").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

@@ -154,6 +154,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus-sized cartesian in recall report:\n$p")
   }
 
+  test("bigramLogProb broadcasts its histograms — no token-keyed stream shuffle") {
+    // the Zipf discipline (unigramLogProb's contract, extended): the
+    // per-occurrence bigram stream must meet its count tables via
+    // BROADCAST joins at this vocab size — a SortMergeJoin here would
+    // shuffle every occurrence of a hot bigram onto one reducer
+    val p = plan(graft.operators.TextAnalysis.bigramLogProb(
+      Tables.table(spark, TestSpark.sfDir, "documents"), "doc_id", "text"))
+    assert(countOccurrences(p, "BroadcastHashJoin") === 2,
+      s"expected both histogram joins broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token-keyed shuffle of the occurrence stream:\n$p")
+    // map-side partial aggregation on the per-doc sum
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+  }
+
   test("cube expands grouping sets BEFORE the partial aggregate (map-side combine)") {
     val p = plan(SparkEntry.queries("q_cube")(spark, TestSpark.sfDir))
     assert(p.contains("Expand"), s"expected Expand for grouping sets:\n$p")
