@@ -189,6 +189,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native repetitionSignals equals the HOF twin on generated documents") {
+    // structure-heavy generator: newline runs (line/para splits), tabs
+    // (space-only-trim sensitivity), forced repeats (dup/top-gram
+    // paths), multi-space gaps — the shapes the 15 signals dispatch on
+    val piece: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(5)), Gen.const(" "), Gen.const("\n"),
+      Gen.const("\n\n"), Gen.const("\t"), Gen.const("dup dup dup"),
+      Gen.const("a b a b"))
+    val doc: Gen[String] =
+      Gen.listOfN(25, piece).map(_.mkString(" ").take(400))
+    forAll(Gen.listOfN(12, doc), cases = 6) { docs =>
+      val both = docs.toDF("text").select(
+        TextAnalysis.repetitionSignals(col("text")).as("n"),
+        TextAnalysis.repetitionSignalsHof(col("text")).as("h"))
+      both.collect().foreach { r =>
+        assert(r.getStruct(0) === r.getStruct(1), s"diverged on: $r")
+      }
+    }
+  }
+
   test("sourceHealthReport: per-source rows sum to corpus totals, partition-invariant") {
     val ws = TextAnalysis.demoQualityWeights(256)
     forAll(Gen.listOfN(30, asciiText), cases = 4) { texts =>
