@@ -24,10 +24,23 @@ object Verify {
     def deleteOutput(name: String): Unit = {
       val dir = Paths.get(s"$outDir/$name")
       if (Files.exists(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        val walk = Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
       }
     }
+    // The pool is single-threaded, so a completed no-op barrier proves the
+    // (possibly cancelled) previous callable has actually exited — only
+    // then is it safe to delete its output dir, else a still-cancelling
+    // executor write could recreate files after the walk and make the
+    // on-disk state disagree with errors.json.
+    def awaitQuiescence(): Boolean =
+      try { pool.submit(new Runnable { def run(): Unit = () })
+              .get(30, java.util.concurrent.TimeUnit.SECONDS); true }
+      catch { case _: java.util.concurrent.TimeoutException => false
+              case e: InterruptedException =>
+                Thread.currentThread().interrupt(); false }
     queries.foreach { case (name, fn) =>
       val task = pool.submit(new java.util.concurrent.Callable[Unit] {
         override def call(): Unit = {
@@ -44,6 +57,8 @@ object Verify {
           task.cancel(true)
           errors(name) = s"timeout after ${timeoutSec}s"
           System.err.println(s"[verify] $name failed: ${errors(name)}")
+          if (!awaitQuiescence())
+            System.err.println(s"[verify] $name still cancelling after 30s; output dir may be partially recreated")
           deleteOutput(name)
         case e: Throwable =>
           if (e.isInstanceOf[InterruptedException])

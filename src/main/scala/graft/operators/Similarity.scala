@@ -678,12 +678,21 @@ object Similarity {
     * the oracle to diverge on). At 100 TB the truth side is a sampled
     * query panel; the operator is truth-side-sized: one equi-join on
     * (query_id, nn_id) and two single-row aggregates.
+    *
+    * Contract for an EMPTY ground-truth panel: loud failure, never a
+    * silently-null recall row. Spark's `div` yields NULL on a zero
+    * divisor while DuckDB's `//` errors — without the explicit guard
+    * the two engines disagree exactly when the evaluation is
+    * meaningless. Both sides now raise: here via `raise_error`, the
+    * oracle via its own division-by-zero error.
     */
   def recallReport(truth: DataFrame, approx: DataFrame): DataFrame = {
     val matched = truth.join(approx, Seq("query_id", "nn_id"))
       .agg(count(lit(1)).as("n_matched"))
     truth.agg(count(lit(1)).as("n_truth")).crossJoin(matched)
       .select(col("n_truth"), col("n_matched"),
-        expr("n_matched * 1000000 div n_truth").as("recall_micro"))
+        expr("""CASE WHEN n_truth = 0
+                THEN CAST(raise_error('recallReport: empty ground-truth panel') AS BIGINT)
+                ELSE n_matched * 1000000 div n_truth END""").as("recall_micro"))
   }
 }

@@ -273,4 +273,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rep.getAs[Long]("recall_micro") >= 500000L,
       s"IVF recall@1 unexpectedly low: $rep")
   }
+
+  test("recallReport fails loudly on an empty ground-truth panel") {
+    // contract: an empty sampled query panel must never yield a
+    // silently-null recall row — Spark's div would return NULL where
+    // DuckDB's // errors; the explicit guard makes both engines raise
+    val empty = Seq.empty[(Long, Long)].toDF("query_id", "nn_id")
+    val approx = Seq((1L, 10L)).toDF("query_id", "nn_id")
+    val e = intercept[Exception] {
+      Similarity.recallReport(empty, approx).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("empty ground-truth panel")),
+      s"expected the raise_error contract message, got: $e")
+  }
 }
