@@ -88,6 +88,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("source-health window state survives a checkpointed restart") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.DocStreams
+    val ws = TextAnalysis.demoQualityWeights(256)
+    val in = java.nio.file.Files.createTempDirectory("graft-dh-in").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-dh-ck").toString
+    // memory sink cannot recover from a checkpoint; a file sink can,
+    // and is the shape a real ingest-health pipeline restarts with
+    val out = java.nio.file.Files.createTempDirectory("graft-dh-out").toString
+    def write(rows: Seq[(String, String, String)]): Unit =
+      rows.map { case (ts, src, text) => (java.sql.Timestamp.valueOf(ts), src, text) }
+        .toDF("ts", "source", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+    // batch 1: window W0 = [00:00, 01:00) is OPEN — partial counts for
+    // two sources live only in the state store when the query dies
+    write(Seq(
+      ("2024-01-01 00:05:00", "web", "plain healthy document text with words"),
+      ("2024-01-01 00:20:00", "web", "contact me at leak@example.com today"),
+      ("2024-01-01 00:40:00", "wiki", "a second source in the same window")))
+    val schema = spark.read.parquet(in).schema
+    def start() = DocStreams.sourceHealthWindowed(
+        spark.readStream.schema(schema).parquet(in),
+        ws, windowSeconds = 3600, watermarkSeconds = Some(1800))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(out).isEmpty,
+      "no window should close before the watermark passes W0")
+    // while the query is DOWN: one LATE doc still inside W0 (must merge
+    // into the recovered partial state, not start a fresh count) plus a
+    // doc far enough ahead to push the watermark past W0's end
+    write(Seq(
+      ("2024-01-01 00:55:00", "web", "late arrival still in the first window"),
+      ("2024-01-01 03:00:00", "web", "watermark pusher in a later window")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      q2.processAllAvailable()  // let the advanced watermark close W0
+      val closed = spark.read.parquet(out)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val w0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      // W0/web: 2 docs from before the kill + 1 late doc after restart;
+      // a lost state store would report 1, a non-merging one 2
+      val (nDocs, _, nPii, _) = closed((w0, "web"))
+      assert(nDocs === 3L, s"recovered window must merge pre-kill state: $closed")
+      assert(nPii === 1L)   // the leak@example.com doc counted exactly once
+      assert(closed((w0, "wiki"))._1 === 1L)
+      // exactly-once: the emitted rows equal the batch definition over
+      // the union of both input batches, field for field
+      val batch = DocStreams.sourceHealthWindowed(
+          spark.read.parquet(in), ws, windowSeconds = 3600)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      closed.foreach { case (k, v) => assert(batch(k) === v, s"window $k") }
+    } finally q2.stop()
+  }
+
   test("sliding windows double-count each event exactly windowLen/slide times") {
     val sliding = EventStreams.windowedAgg(events, "2 hours", Some("1 hour"))
     val total = sliding.agg(sum("n")).head().getLong(0)
