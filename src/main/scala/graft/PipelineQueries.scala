@@ -436,6 +436,40 @@ object PipelineQueries {
       Similarity.recallReport(truth, approx)
     }),
 
+    // ---- ANN recall@10 for the LSH index: the cross-index tuning
+    //      comparison a deployed user actually runs (IVF vs LSH vs PQ
+    //      at matched k). Truth is brute-force top-10; the LSH side is
+    //      the identical portable Rademacher-plane replay as
+    //      sim_topk_lsh at k=10, so the oracle re-derives both sides
+    //      and must land on the identical matched count ----
+    "sim_recall_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val truth = Similarity.bruteForceTopK(
+          e.repartition(s.sparkContext.defaultParallelism), e, k = 10)
+        .select(col("query_id"), col("id").as("nn_id"))
+      val approx = Similarity.lshTopK(e, e, k = 10, dim = 64, numPlanes = 6,
+          tables = 8, portable = true)
+        .select(col("query_id"), col("id").as("nn_id"))
+      Similarity.recallReport(truth, approx)
+    }),
+
+    // ---- ANN recall@10 for the PQ index (ADC shortlist + exact
+    //      re-rank): shortlist follows the k-aware sizing law
+    //      (max(4k, 2*sqrt(n))), so the recall row exercises exactly
+    //      the production search shape at k=10 ----
+    "sim_recall_pq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val truth = Similarity.bruteForceTopK(
+          e.repartition(s.sparkContext.defaultParallelism), e, k = 10)
+        .select(col("query_id"), col("id").as("nn_id"))
+      val cbs = Similarity.trainPqCodebooks(e, m = 8, ksub = 16, dim = 64,
+        iterations = 1, portable = true)
+      val approx = Similarity.pqTopKReranked(e, e, k = 10, cbs,
+          shortlist = Similarity.suggestedShortlist(e.count(), 10), portable = true)
+        .select(col("query_id"), col("id").as("nn_id"))
+      Similarity.recallReport(truth, approx)
+    }),
+
     // ---- product-quantization ANN (ADC shortlist + exact re-rank):
     //      8 subspaces x 16 codewords, portable integer-exact
     //      training, encoding and table-lookup scoring; the sqrt-
@@ -1974,6 +2008,151 @@ object PipelineQueries {
            FROM embeddings a),
          m AS (SELECT count(*) AS n_matched
                FROM bf JOIN ivf USING (query_id, nn_id)),
+         tq AS (SELECT count(*) AS n_truth FROM bf)
+         SELECT CAST(tq.n_truth AS BIGINT) AS n_truth,
+           CAST(m.n_matched AS BIGINT) AS n_matched,
+           CAST(m.n_matched * 1000000 // tq.n_truth AS BIGINT) AS recall_micro
+         FROM tq, m""",
+    "sim_recall_lsh" ->
+      """WITH v AS (
+           SELECT vec_id, embedding,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+           FROM embeddings),
+         tb AS (
+           SELECT vec_id, tt.t AS t,
+             list_sum(list_transform(range(0, 6), p -> CASE WHEN
+               list_sum(list_transform(range(0, 64), i ->
+                 CASE WHEN
+                   ((((((tt.t * 6 + p) * 64 + i + 12345) % 1000000007)
+                       * ((tt.t * 6 + p) * 64 + i + 12345)) % 1000000007
+                      * 1000003 + 54321) % 1000000007)
+                   * ((((((tt.t * 6 + p) * 64 + i + 12345) % 1000000007)
+                       * ((tt.t * 6 + p) * 64 + i + 12345)) % 1000000007
+                      * 1000003 + 54321) % 1000000007)
+                   % 1000000007 % 2 = 0
+                   THEN q[CAST(i + 1 AS INTEGER)]
+                   ELSE -q[CAST(i + 1 AS INTEGER)] END)) >= 0
+               THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)) AS b
+           FROM v, (SELECT unnest(range(0, 8)) AS t) tt),
+         cand AS (
+           SELECT DISTINCT cq.vec_id AS query_id, cc.vec_id AS id
+           FROM tb cq JOIN tb cc
+             ON cq.t = cc.t AND cq.b = cc.b AND cc.vec_id <> cq.vec_id),
+         ranked AS (
+           SELECT c.query_id, c.id,
+             ROW_NUMBER() OVER (PARTITION BY c.query_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, c.id) AS rk
+           FROM cand c
+           JOIN embeddings qe ON qe.vec_id = c.query_id
+           JOIN embeddings ce ON ce.vec_id = c.id),
+         lsh AS (SELECT query_id, id AS nn_id FROM ranked WHERE rk <= 10),
+         bf0 AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rk
+           FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+         bf AS (SELECT query_id, nn_id FROM bf0 WHERE rk <= 10),
+         m AS (SELECT count(*) AS n_matched
+               FROM bf JOIN lsh USING (query_id, nn_id)),
+         tq AS (SELECT count(*) AS n_truth FROM bf)
+         SELECT CAST(tq.n_truth AS BIGINT) AS n_truth,
+           CAST(m.n_matched AS BIGINT) AS n_matched,
+           CAST(m.n_matched * 1000000 // tq.n_truth AS BIGINT) AS recall_micro
+         FROM tq, m""",
+    "sim_recall_pq" ->
+      """WITH sub AS (
+           SELECT e.vec_id, jj.j, list_slice(e.embedding, jj.j*8+1, jj.j*8+8) AS sv
+           FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+         hx AS (
+           SELECT vec_id,
+             ((((vec_id + 42) % 1000000007) * ((vec_id + 42) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+           FROM embeddings),
+         init AS (
+           SELECT s.j, s.sv,
+             ROW_NUMBER() OVER (PARTITION BY s.j
+               ORDER BY (h.v * h.v) % 1000000007, s.vec_id) - 1 AS cell
+           FROM sub s JOIN hx h USING (vec_id)
+           QUALIFY cell < 16),
+         a0 AS (
+           SELECT s.vec_id, s.j, i.cell,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+               ORDER BY list_cosine_similarity(s.sv, i.sv) DESC, i.cell) AS rk
+           FROM sub s JOIN init i ON i.j = s.j),
+         a1 AS (SELECT vec_id, j, cell FROM a0 WHERE rk = 1),
+         qsub AS (
+           SELECT vec_id, j, list_transform(sv,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+           FROM sub),
+         mp AS (
+           SELECT a1.j, a1.cell, p.pos,
+             CAST(floor(CAST(sum(p.qx) AS DOUBLE) / count(*)) AS BIGINT) AS mq
+           FROM a1 JOIN qsub USING (vec_id, j),
+             LATERAL (SELECT unnest(qv) AS qx, generate_subscripts(qv, 1) AS pos) p
+           GROUP BY a1.j, a1.cell, p.pos),
+         upd AS (
+           SELECT j, cell, list_transform(array_agg(mq ORDER BY pos),
+             m2 -> CAST(m2 / 1048576.0 AS FLOAT)) AS cv
+           FROM mp GROUP BY j, cell),
+         cents AS (
+           SELECT i.j, i.cell, COALESCE(u.cv, i.sv) AS cv
+           FROM init i LEFT JOIN upd u ON u.j = i.j AND u.cell = i.cell),
+         enc0 AS (
+           SELECT s.vec_id, s.j, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+               ORDER BY list_cosine_similarity(s.sv, c.cv) DESC, c.cell) AS rk
+           FROM sub s JOIN cents c ON c.j = s.j),
+         codes AS (SELECT vec_id, j, cell FROM enc0 WHERE rk = 1),
+         cq AS (
+           SELECT j, cell, list_transform(cv,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS cwq
+           FROM cents),
+         ptab AS (
+           SELECT q.vec_id AS query_id, q.j, c.cell,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 9), i2 -> q.qv[i2] * c.cwq[i2])),
+               (a, b) -> a + b) AS pdot
+           FROM qsub q JOIN cq c ON c.j = q.j),
+         ns AS (
+           SELECT j, cell, list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(cwq, x -> x * x)), (a, b) -> a + b) AS nsq1
+           FROM cq),
+         rn AS (
+           SELECT k.vec_id, sum(n2.nsq1) AS nsq
+           FROM codes k JOIN ns n2 ON n2.j = k.j AND n2.cell = k.cell
+           GROUP BY k.vec_id),
+         scores AS (
+           SELECT p.query_id, k.vec_id AS id, sum(p.pdot) AS dt
+           FROM codes k JOIN ptab p ON p.j = k.j AND p.cell = k.cell
+           WHERE k.vec_id <> p.query_id GROUP BY 1, 2),
+         nsc AS (
+           SELECT s.query_id, s.id,
+             CAST(s.dt AS DOUBLE) / sqrt(CAST(r.nsq AS DOUBLE)) AS score
+           FROM scores s JOIN rn r ON r.vec_id = s.id WHERE r.nsq > 0),
+         shortlist AS (
+           SELECT query_id, id FROM (
+             SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rk
+             FROM nsc)
+           WHERE rk <= (SELECT greatest(40, CAST(ceil(2.0 * sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))
+                        FROM embeddings)),
+         rr AS (
+           SELECT sl.query_id, sl.id,
+             ROW_NUMBER() OVER (PARTITION BY sl.query_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, sl.id) AS rk2
+           FROM shortlist sl
+           JOIN embeddings qe ON qe.vec_id = sl.query_id
+           JOIN embeddings ce ON ce.vec_id = sl.id),
+         pq AS (SELECT query_id, id AS nn_id FROM rr WHERE rk2 <= 10),
+         bf0 AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rk
+           FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+         bf AS (SELECT query_id, nn_id FROM bf0 WHERE rk <= 10),
+         m AS (SELECT count(*) AS n_matched
+               FROM bf JOIN pq USING (query_id, nn_id)),
          tq AS (SELECT count(*) AS n_truth FROM bf)
          SELECT CAST(tq.n_truth AS BIGINT) AS n_truth,
            CAST(m.n_matched AS BIGINT) AS n_matched,
