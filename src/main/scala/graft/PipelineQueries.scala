@@ -1060,6 +1060,26 @@ object PipelineQueries {
           col("keep"))
         .orderBy(col("doc_id"))),
 
+    // ---- trained-weights inference: the full train -> artifact ->
+    //      score loop. Weights are LEARNED from the corpus (per-bucket
+    //      signed occurrence balance against a lang='en' seed label —
+    //      the fasttext-filter bootstrap), materialized as a
+    //      (bucket, weight) model-artifact frame, loaded through the
+    //      same loadWeights path a parquet artifact takes (parquet
+    //      round-trip asserted in TextAnalysisSpec), and bound into
+    //      the one-pass scorer. The oracle retrains the identical
+    //      weights and replays the inference ----
+    "text_quality_trained" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val artifact = TextAnalysis.trainBucketWeights(docs, "text",
+        col("lang") === "en", 256)
+      val ws = TextAnalysis.loadWeights(artifact, 256)
+      TextAnalysis.hashedLinearScore(docs, "doc_id", "text", ws)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("score"),
+          col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- per-source corpus health card: docs/tokens/exact-dup
     //      membership/PII incidence/quality-keep/lang spread per
     //      source — one fused map pass + the md5 dup-count join +
@@ -2958,6 +2978,29 @@ object PipelineQueries {
            FROM tok, w)
          SELECT doc_id, n_tokens, score, score >= 0 AS keep
          FROM sc ORDER BY doc_id""",
+    "text_quality_trained" ->
+      """WITH tok AS (
+           SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         occ AS (
+           SELECT t.doc_id, t.lang,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(u.tok, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007) % 256 AS BIGINT) AS bucket
+           FROM tok t, LATERAL (SELECT unnest(t.ts) AS tok) u),
+         w AS (
+           SELECT bucket,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE -1 END) AS BIGINT) AS weight
+           FROM occ GROUP BY bucket),
+         sc AS (
+           SELECT o.doc_id, CAST(sum(w.weight) AS BIGINT) AS score
+           FROM occ o JOIN w USING (bucket) GROUP BY o.doc_id)
+         SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+           COALESCE(s.score, 0) >= 0 AS keep
+         FROM tok t LEFT JOIN sc s USING (doc_id) ORDER BY t.doc_id""",
     "text_source_report" ->
       """WITH w AS (
            SELECT list_transform(range(0, 256),

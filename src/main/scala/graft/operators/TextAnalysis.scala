@@ -898,6 +898,58 @@ object TextAnalysis {
         linearScoreExpr(col("ts"), weights, bias).as("score"))
       .withColumn("keep", col("score") >= 0L)
 
+  /** One-pass training for the hashed linear scorer: per hash bucket,
+    * the signed occurrence balance Σ(+1 per token occurrence in a
+    * `label`-true doc, −1 otherwise) — the integer-exact numerator of
+    * a naive-Bayes log-odds weight, the classic fasttext-filter
+    * bootstrap (label a seed corpus, train, score everything else).
+    * Emits the model ARTIFACT as a (bucket, weight) frame — d rows —
+    * ready to write to parquet and reload with [[loadWeights]].
+    *
+    * Scale shape: one map pass (token explode → O(token) native hash)
+    * into a d-cardinality groupBy — map-side partials reduce every
+    * task's output to ≤ d rows, so the shuffle moves KBs regardless
+    * of corpus size. No driver state; the label is any Boolean
+    * column expression.
+    */
+  def trainBucketWeights(df: DataFrame, textCol: String, label: Column,
+                         d: Int): DataFrame = {
+    require(d > 0, "need at least one weight bucket")
+    df.select(label.as("y"), explode(cleanTokens(col(textCol))).as("tok"))
+      .select(pmod(graft.functions.NativeFunctions.polyFingerprint(col("tok")),
+          lit(d.toLong)).as("bucket"),
+        when(col("y"), 1L).otherwise(-1L).as("s"))
+      .groupBy(col("bucket")).agg(sum(col("s")).as("weight"))
+  }
+
+  /** Load a trained weight vector from a model-artifact frame
+    * ((bucket, weight) rows, e.g. `spark.read.parquet(modelPath)`) —
+    * the day-one FineWeb-style inference path: the artifact is
+    * KB-sized (d buckets), collected once on the driver and bound
+    * into [[hashedLinearScore]] as a plan literal. Missing buckets
+    * default to weight 0; a null, out-of-range, or duplicate bucket
+    * fails LOUDLY — a malformed artifact must never silently
+    * scramble every score downstream.
+    */
+  def loadWeights(artifact: DataFrame, d: Int, bucketCol: String = "bucket",
+                  weightCol: String = "weight"): Array[Long] = {
+    require(d > 0, "need at least one weight bucket")
+    val rows = artifact
+      .select(col(bucketCol).cast(LongType), col(weightCol).cast(LongType))
+      .collect()
+    val ws = Array.fill(d)(0L)
+    val seen = scala.collection.mutable.Set.empty[Long]
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "model artifact has a null bucket or weight")
+      val b = r.getLong(0)
+      require(b >= 0 && b < d, s"model artifact bucket $b outside [0, $d)")
+      require(seen.add(b), s"model artifact has duplicate bucket $b")
+      ws(b.toInt) = r.getLong(1)
+    }
+    ws
+  }
+
   /** Per-source corpus health card — the monitoring table a training
     * pipeline recomputes every ingest: document and token counts,
     * exact-duplicate membership (corpus-wide, so cross-source copies
