@@ -82,6 +82,16 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_bigrams"), col("sum_lp_micro"))
         .orderBy(col("doc_id"))),
 
+    // ---- interpolated (Jelinek-Mercer) bigram LM, λ = 3/4: the
+    //      CCNet-family smoothing one step up from add-one —
+    //      integer-exact micro-probability mixing (p1m/p2m/pim all
+    //      floor-div), one unigram histogram reused for context AND
+    //      continuation lookups; oracle replays the mix exactly ----
+    "text_bigram_interp" -> ((s, d) =>
+      TextAnalysis.bigramLogProbInterp(t(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("sum_lp_micro"))
+        .orderBy(col("doc_id"))),
+
     // ---- per-window top-k heavy hitters (batch twin of the
     //      streaming flatMapGroupsWithState operator; the streaming
     //      path is asserted equal in StreamingSpec) ----
@@ -1595,6 +1605,31 @@ object PipelineQueries {
          JOIN uni u ON u.w1 = b.w1
          CROSS JOIN v
          GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "text_bigram_interp" ->
+      """WITH ts AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         toks AS (SELECT unnest(ts) AS w1 FROM ts),
+         uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM toks GROUP BY w1),
+         tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS total FROM uni),
+         bg AS (
+           SELECT doc_id, ts[u.i + 1] AS w1, ts[u.i + 2] AS w2
+           FROM ts, LATERAL (SELECT unnest(range(0, greatest(len(ts) - 1, 0))) AS i) u),
+         bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+         sc AS (
+           SELECT b.doc_id,
+             greatest((3 * (bc.c12 * 1000000 // u1.c1)
+               + 1 * (u2.c1 * 1000000 // t.total)) // 4, 1) AS pim
+           FROM bg b
+           JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+           JOIN uni u1 ON u1.w1 = b.w1
+           JOIN uni u2 ON u2.w1 = b.w2
+           CROSS JOIN tot t)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(floor(ln(CAST(pim AS DOUBLE) / 1000000.0)
+             * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_lp_micro
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "q_approx_sketches" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
            TRUE AS hll_within_3sigma, TRUE AS p50_within_rank_bounds,

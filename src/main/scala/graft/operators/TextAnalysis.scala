@@ -670,6 +670,78 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp_micro"))
   }
 
+  /** Interpolated (Jelinek-Mercer) bigram log-likelihood — the
+    * smoothing the CCNet LM family actually uses one step up from
+    * add-one: p(w2|w1) = λ·p_ML(w2|w1) + (1−λ)·p_uni(w2), with
+    * λ = lambdaNum/lambdaDen. Mixing is INTEGER-EXACT in
+    * micro-probability space so the oracle replays it with plain
+    * floor division: p1m = c12·10⁶ div c1, p2m = c2·10⁶ div total,
+    * pim = (λnum·p1m + (λden−λnum)·p2m) div λden, clamped to ≥ 1
+    * (a rare continuation under a huge corpus can floor both terms
+    * to 0; the clamp puts a −6·ln10 floor on the per-bigram term
+    * instead of a −∞). The only float is ln(pim/10⁶) — one exact
+    * small-integer rational, the same portable shape as every LM
+    * sibling. Working in micro space also bounds every intermediate:
+    * terms stay ≤ λden·10⁶ and the pre-division products c12·10⁶ /
+    * c2·10⁶ stay in int64 for any gram under ~9·10¹² occurrences —
+    * no overflow cliff at 100 TB, where mixing raw c12·total
+    * cross-products would blow past 2⁶³.
+    *
+    * Same scale discipline as [[bigramLogProb]]: adjacent pairs
+    * map-side from the bound token array, Zipf-small histograms
+    * broadcast below `vocabBroadcastMax` (salted join above), the
+    * per-occurrence stream never shuffled by a token key; the
+    * unigram histogram is reused for BOTH the c1 (context) and c2
+    * (continuation) lookups and `total` derives from it — one
+    * histogram build, three map-side joins. Emits (id, n_bigrams,
+    * sum_lp_micro); docs with <2 tokens have no row.
+    */
+  def bigramLogProbInterp(df: DataFrame, idCol: String, textCol: String,
+                          lambdaNum: Long = 3L, lambdaDen: Long = 4L,
+                          vocabBroadcastMax: Long = 8000000L,
+                          saltFactor: Int = 16): DataFrame = {
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"need 0 <= lambdaNum <= lambdaDen, got $lambdaNum/$lambdaDen")
+    val ts = df.select(col(idCol).as("id"), cleanTokens(col(textCol)).as("ts"))
+    val bgs = ts.select(col("id"),
+        explode(filter(transform(col("ts"), (t, i) =>
+          when(i < size(col("ts")) - 1,
+            struct(t.as("w1"), element_at(col("ts"), i + 2).as("w2")))),
+          p => p.isNotNull)).as("p"))
+      .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val toks = ts.select(explode(col("ts")).as("w1"))
+    val uni = toks.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocabSize = uni.count()
+    val total = uni.agg(coalesce(sum(col("c1")), lit(0L)).as("total"))
+    val big = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .withColumn("bg", concat_ws(" ", col("w1"), col("w2")))
+      .drop("w1", "w2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBigrams = big.count()
+    val keyed = bgs.withColumn("bg", concat_ws(" ", col("w1"), col("w2")))
+    val withBig =
+      if (nBigrams <= vocabBroadcastMax) keyed.join(broadcast(big), Seq("bg"))
+      else Skew.saltedJoin(keyed, big, "bg", saltFactor)
+    val withC1 =
+      if (vocabSize <= vocabBroadcastMax) withBig.join(broadcast(uni), Seq("w1"))
+      else Skew.saltedJoin(withBig, uni, "w1", saltFactor)
+    val uniW2 = uni.select(col("w1").as("w2"), col("c1").as("c2"))
+    val withC2 =
+      if (vocabSize <= vocabBroadcastMax) withC1.join(broadcast(uniW2), Seq("w2"))
+      else Skew.saltedJoin(withC1, uniW2, "w2", saltFactor)
+    withC2.join(broadcast(total))
+      .withColumn("p1m", expr("c12 * 1000000 div c1"))
+      .withColumn("p2m", expr("c2 * 1000000 div total"))
+      .withColumn("pim", expr(
+        s"greatest(($lambdaNum * p1m + ${lambdaDen - lambdaNum} * p2m) div $lambdaDen, 1)"))
+      .withColumn("lp_micro",
+        floor(log(col("pim").cast(DoubleType) / lit(1000000.0)) * lit(1000000.0))
+          .cast(LongType))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp_micro"))
+  }
+
   // ---- Gopher repetition rules (Rae et al. 2021 §A1.2) ----
 
   /** Non-empty whitespace tokens (empty docs give [] not [""]). */

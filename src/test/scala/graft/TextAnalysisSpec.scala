@@ -434,6 +434,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(sc(1L) > sc(99L))
   }
 
+  test("bigramLogProbInterp equals an independent JVM replay; lambda edges") {
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    // corpus: uni a:3 b:2 solo:1, total=6; bigrams (a,b):1 (b,a):2
+    def lpInterp(c12: Long, c1: Long, c2: Long,
+                 lNum: Long, lDen: Long): Long = {
+      val p1m = c12 * 1000000L / c1
+      val p2m = c2 * 1000000L / 6L
+      val pim = math.max((lNum * p1m + (lDen - lNum) * p2m) / lDen, 1L)
+      math.floor(math.log(pim.toDouble / 1e6) * 1e6).toLong
+    }
+    def run(lNum: Long, lDen: Long) =
+      TextAnalysis.bigramLogProbInterp(docs, "doc_id", "text", lNum, lDen)
+        .orderBy(col("id")).collect()
+        .map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_lp_micro"))).toMap
+    // default-shape λ=3/4
+    val r34 = run(3L, 4L)
+    assert(r34.keySet === Set(1L, 2L))  // <2-token docs: no row
+    assert(r34(1L) === ((2L,
+      lpInterp(1, 3, 2, 3, 4) + lpInterp(2, 2, 3, 3, 4))))
+    assert(r34(2L) === ((1L, lpInterp(2, 2, 3, 3, 4))))
+    // λ=1: pure ML bigram; λ=0: pure unigram continuation
+    assert(run(1L, 1L)(2L)._2 === lpInterp(2, 2, 3, 1, 1))
+    assert(run(0L, 4L)(2L)._2 === lpInterp(2, 2, 3, 0, 4))
+    // the unigram fallback keeps UNSEEN continuations finite: a test
+    // doc whose bigrams never occur in corpus still gets the p2m
+    // term, while rarer continuations score lower than frequent ones
+    val corpus = ((1 to 20).map(i => (i.toLong, "x y x y x y"))
+      :+ (99L, "q z")).toDF("doc_id", "text")
+    val per = TextAnalysis.bigramLogProbInterp(corpus, "doc_id", "text")
+      .withColumn("per_bg", col("sum_lp_micro") / col("n_bigrams"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("per_bg")).toMap
+    assert(per(1L) > per(99L))
+  }
+
   test("hashedLinearScore equals an independent JVM replay") {
     import graft.functions.SketchExpressions.polyFold
     val ws = TextAnalysis.demoQualityWeights(256)
