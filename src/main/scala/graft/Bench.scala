@@ -165,7 +165,7 @@ object Bench {
     val headline = Seq("q1_pricing_summary", "q3_shipping_priority",
       "dedup_minhash_lsh", "sim_topk_ivf", "text_bpe_tokens",
       "q_window_suite", "events_sessionize", "q_curation_pipeline",
-      "q_curation_v2")
+      "q_curation_v2", "q_curation_v3")
     val resultMap = results.toMap
     val hq = headline.flatMap(n => resultMap.get(n).map(v => "\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")

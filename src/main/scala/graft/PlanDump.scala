@@ -173,6 +173,18 @@ object PlanDump {
         "quadratic per doc, 62.9 s = 28% of the r6 bench); the one-pass " +
         "hashmap kernel is 0.9 s cache-cold (PROFILE.md), the same cure " +
         "ShingleBucketCounts applied to DSIR in round 5."),
+    "q_curation_v3" ->
+      ("The round-8 flagship (source health gate -> Gopher rules + " +
+        "repetition -> trained-quality median keep -> LSH near-dup closure " +
+        "feeding BOTH canonical dedup and the leakage-safe split -> " +
+        "deterministic shuffle + sequence packing): every inter-stage join " +
+        "is doc_id-keyed or a broadcast of a bounded side (kept-source " +
+        "list, 256-bucket weight vector as a plan literal, score-histogram " +
+        "cutoff row, pack offsets). The corpus-sized shuffles are exactly " +
+        "the components' own: the md5 dup-count aggregate, the LSH band " +
+        "self-join on (band, bucket), the closure's bounded edge set, and " +
+        "the per-shard pack windows — no new Exchange was introduced by " +
+        "the composition itself."),
     "text_dsir_weights" ->
       ("Per-doc bucket histograms are computed IN-ROW by the native " +
         "one-pass ShingleBucketCounts expression (hash every shingle " +

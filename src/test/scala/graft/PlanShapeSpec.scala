@@ -154,6 +154,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus-sized cartesian in recall report:\n$p")
   }
 
+  test("q_curation_v3 composes through materialization barriers") {
+    // the flagship's stage outputs (passDocs / kept / surv) are
+    // persisted: without the barriers Catalyst re-plans — and
+    // re-executes — the whole gate funnel once per downstream
+    // consumer (first cut: the source-gate subtree appeared six
+    // times, 272 Exchanges). The top-level plan must therefore read
+    // cached stages, and its own joins must all be hash/broadcast
+    // equi-joins on doc_id — composition adds no corpus-sized
+    // nested loop and no new corpus shuffle beyond the components'.
+    val df = SparkEntry.queries("q_curation_v3")(spark, TestSpark.sfDir)
+    val p = plan(df)
+    assert(p.contains("InMemoryTableScan"),
+      s"expected persisted stage barriers in the flagship plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus-sized cartesian in the flagship:\n$p")
+    // rows out: every surviving doc exactly once, train rows packed
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    rows.foreach { r =>
+      if (r.getString(2) == "train") assert(!r.isNullAt(4) && !r.isNullAt(5))
+      else assert(r.isNullAt(4) && r.isNullAt(5))
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("bigramLogProb broadcasts its histograms — no token-keyed stream shuffle") {
     // the Zipf discipline (unigramLogProb's contract, extended): the
     // per-occurrence bigram stream must meet its count tables via
