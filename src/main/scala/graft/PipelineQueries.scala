@@ -21,6 +21,115 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** The round-8 flagship composition, parameterized by corpus so
+    * ScaleSmoke can drive it on replicated data: source health gate ->
+    * Gopher rule + repetition gates -> trained-quality median keep ->
+    * one LSH closure feeding canonical dedup AND the leakage-safe
+    * split -> deterministic shuffle + sequence packing. `raw` needs
+    * (doc_id, source, lang, text). Unordered; the declared query adds
+    * the total order. See the q_curation_v3 oracle for the DuckDB
+    * replay of all five stages.
+    */
+  def curationV3(raw: DataFrame): DataFrame = {
+      val template = "the modern data pipeline gathers raw web documents " +
+        "and filters them with care because quality matters more than " +
+        "volume for training large models so each stage removes noise " +
+        "duplicated passages low information pages and finally packs " +
+        "clean tokens into fixed length sequences ready for the " +
+        "optimizer to consume item "
+      val aug = raw.select(col("doc_id"), col("source"), col("lang"),
+        when(pmod(col("doc_id"), lit(25L)) === 7L,
+            concat(lit(template), col("doc_id").cast(StringType)))
+          .when(col("source").isin("src3", "src7", "src11") &&
+              pmod(col("doc_id"), lit(40L)) < 20L,
+            concat(col("text"), lit(" contact admin@corp-test.org from 10.1.2.3")))
+          .when(col("source").isin("src5", "src13") &&
+              pmod(col("doc_id"), lit(60L)) < 20L,
+            lit("duplicate boilerplate notice please ignore this repeated message"))
+          .otherwise(col("text")).as("text"))
+      // (A) source health gate: the per-source card, filtered
+      val keptSources = TextAnalysis.sourceHealthReport(aug, "doc_id", "text",
+          "source", "lang", TextAnalysis.demoQualityWeights(256))
+        .filter(col("n_dup_docs") * 10L <= col("n_docs") &&
+          col("n_pii_docs") * 10L <= col("n_docs"))
+        .select(col("source"))
+      val gated = aug.join(broadcast(keptSources), Seq("source"))
+      // (B) Gopher rules + repetition gates, one fused map projection.
+      // passDocs and kept are materialization barriers: each is
+      // consumed by several downstream stages (scoring + join here;
+      // LSH discovery, closure vertices and the final projection for
+      // kept) and without the persist Catalyst re-plans — and
+      // re-EXECUTES — the whole upstream funnel per consumer (first
+      // cut of this query: 272 Exchanges, the gate subtree duplicated
+      // six times). State is linear in the POST-gate corpus and
+      // spills to disk — the LSH signature-table policy; the bench/
+      // verify harness clearCache() between queries reclaims it.
+      val passDocs = gated
+        .withColumn("g", TextAnalysis.gopherSignals(col("text")))
+        .withColumn("r", TextAnalysis.repetitionSignals(col("text")))
+        .filter(col("g.pass") && col("r.pass"))
+        .select(col("doc_id"), col("source"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (C) trained quality keep: weights learned from the full
+      // augmented corpus (en seed), scored per doc, kept when the
+      // per-token mean score reaches the corpus MEDIAN — a
+      // scale-free decision boundary (a fixed absolute threshold
+      // shifts with corpus mix; the median is the CCNet-bucket
+      // discipline). score_q = floor(score/n_tokens) is an exact
+      // small rational both engines floor identically; the cutoff
+      // comes from a score-cardinality-sized histogram (the
+      // perplexityBuckets shape — bounded global window over the
+      // aggregate, never a corpus sort).
+      val weights = TextAnalysis.loadWeights(
+        TextAnalysis.trainBucketWeights(aug, "text", col("lang") === "en", 256), 256)
+      val scoredAll = TextAnalysis.hashedLinearScore(passDocs, "doc_id", "text",
+          weights)
+        .filter(col("n_tokens") > 0L)
+        .withColumn("score_q",
+          floor(col("score").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+            .cast(LongType))
+      val qHist = scoredAll.groupBy(col("score_q")).agg(count(lit(1)).as("c"))
+      val qCum = qHist.withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("score_q"))))
+      val qCut = qCum.crossJoin(broadcast(qHist.agg(sum(col("c")).as("n"))))
+        .agg(min(when(col("cum") * 2L >= col("n"), col("score_q"))).as("cut"))
+      val kept = passDocs.join(
+        scoredAll.crossJoin(broadcast(qCut))
+          .filter(col("score_q") >= col("cut"))
+          .select(col("id").as("doc_id"), col("n_tokens")),
+        Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (D) one LSH discovery + closure serves dedup AND split
+      val pairs = Dedup.minhashNearDupPairs(kept, "doc_id", "text",
+        numHashes = 64, bands = 32, shingleWidth = 3, threshold = 0.5,
+        portable = true)
+      val split = Dedup.leakageSafeSplit(kept, "doc_id", pairs,
+        Seq("train" -> 0.9, "val" -> 0.1))
+      val canon = split.filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"), col("split"))
+      // surv feeds both the pack branch and the final projection; the
+      // persist caps it at one evaluation of the closure + joins
+      // (columns only — no text — so state is id-table-sized)
+      val surv = kept.select(col("doc_id"), col("source"), col("n_tokens"))
+        .join(canon, Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (E) pack the train split: deterministic shuffle-shard order,
+      // token-budget prefix-sum packing
+      val shuffled = Frames.deterministicShuffle(
+          surv.filter(col("split") === "train")
+            .select(col("doc_id"), col("n_tokens")),
+          "doc_id", nShards = 8, seed = 42L)
+        .withColumn("ord", col("shard").cast(LongType) * lit(1000000L) + col("pos"))
+      val packed = Frames.packSequences(shuffled, "ord", "n_tokens",
+        budget = 512, bucketSize = 128)
+      val packIdx = packed.join(shuffled.select(col("ord"), col("doc_id")),
+          packed("id") === col("ord"))
+        .select(col("doc_id"), col("seq_id"), col("seq_offset"))
+      surv.join(packIdx, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("split"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact deduplication (hash-groupBy) ----
     "dedup_exact_groups" -> ((s, d) =>
@@ -216,107 +325,8 @@ object PipelineQueries {
     //      both engines build the identical augmented corpus, the
     //      text_pii_redact fixture pattern. Every stage is an
     //      individually-green operator; this locks the composition. ----
-    "q_curation_v3" -> ((s, d) => {
-      val raw = t(s, d, "documents")
-      val template = "the modern data pipeline gathers raw web documents " +
-        "and filters them with care because quality matters more than " +
-        "volume for training large models so each stage removes noise " +
-        "duplicated passages low information pages and finally packs " +
-        "clean tokens into fixed length sequences ready for the " +
-        "optimizer to consume item "
-      val aug = raw.select(col("doc_id"), col("source"), col("lang"),
-        when(pmod(col("doc_id"), lit(25L)) === 7L,
-            concat(lit(template), col("doc_id").cast(StringType)))
-          .when(col("source").isin("src3", "src7", "src11") &&
-              pmod(col("doc_id"), lit(40L)) < 20L,
-            concat(col("text"), lit(" contact admin@corp-test.org from 10.1.2.3")))
-          .when(col("source").isin("src5", "src13") &&
-              pmod(col("doc_id"), lit(60L)) < 20L,
-            lit("duplicate boilerplate notice please ignore this repeated message"))
-          .otherwise(col("text")).as("text"))
-      // (A) source health gate: the per-source card, filtered
-      val keptSources = TextAnalysis.sourceHealthReport(aug, "doc_id", "text",
-          "source", "lang", TextAnalysis.demoQualityWeights(256))
-        .filter(col("n_dup_docs") * 10L <= col("n_docs") &&
-          col("n_pii_docs") * 10L <= col("n_docs"))
-        .select(col("source"))
-      val gated = aug.join(broadcast(keptSources), Seq("source"))
-      // (B) Gopher rules + repetition gates, one fused map projection.
-      // passDocs and kept are materialization barriers: each is
-      // consumed by several downstream stages (scoring + join here;
-      // LSH discovery, closure vertices and the final projection for
-      // kept) and without the persist Catalyst re-plans — and
-      // re-EXECUTES — the whole upstream funnel per consumer (first
-      // cut of this query: 272 Exchanges, the gate subtree duplicated
-      // six times). State is linear in the POST-gate corpus and
-      // spills to disk — the LSH signature-table policy; the bench/
-      // verify harness clearCache() between queries reclaims it.
-      val passDocs = gated
-        .withColumn("g", TextAnalysis.gopherSignals(col("text")))
-        .withColumn("r", TextAnalysis.repetitionSignals(col("text")))
-        .filter(col("g.pass") && col("r.pass"))
-        .select(col("doc_id"), col("source"), col("text"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // (C) trained quality keep: weights learned from the full
-      // augmented corpus (en seed), scored per doc, kept when the
-      // per-token mean score reaches the corpus MEDIAN — a
-      // scale-free decision boundary (a fixed absolute threshold
-      // shifts with corpus mix; the median is the CCNet-bucket
-      // discipline). score_q = floor(score/n_tokens) is an exact
-      // small rational both engines floor identically; the cutoff
-      // comes from a score-cardinality-sized histogram (the
-      // perplexityBuckets shape — bounded global window over the
-      // aggregate, never a corpus sort).
-      val weights = TextAnalysis.loadWeights(
-        TextAnalysis.trainBucketWeights(aug, "text", col("lang") === "en", 256), 256)
-      val scoredAll = TextAnalysis.hashedLinearScore(passDocs, "doc_id", "text",
-          weights)
-        .filter(col("n_tokens") > 0L)
-        .withColumn("score_q",
-          floor(col("score").cast(DoubleType) / col("n_tokens").cast(DoubleType))
-            .cast(LongType))
-      val qHist = scoredAll.groupBy(col("score_q")).agg(count(lit(1)).as("c"))
-      val qCum = qHist.withColumn("cum",
-        sum(col("c")).over(Window.orderBy(col("score_q"))))
-      val qCut = qCum.crossJoin(broadcast(qHist.agg(sum(col("c")).as("n"))))
-        .agg(min(when(col("cum") * 2L >= col("n"), col("score_q"))).as("cut"))
-      val kept = passDocs.join(
-        scoredAll.crossJoin(broadcast(qCut))
-          .filter(col("score_q") >= col("cut"))
-          .select(col("id").as("doc_id"), col("n_tokens")),
-        Seq("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // (D) one LSH discovery + closure serves dedup AND split
-      val pairs = Dedup.minhashNearDupPairs(kept, "doc_id", "text",
-        numHashes = 64, bands = 32, shingleWidth = 3, threshold = 0.5,
-        portable = true)
-      val split = Dedup.leakageSafeSplit(kept, "doc_id", pairs,
-        Seq("train" -> 0.9, "val" -> 0.1))
-      val canon = split.filter(col("doc_id") === col("canonical_id"))
-        .select(col("doc_id"), col("split"))
-      // surv feeds both the pack branch and the final projection; the
-      // persist caps it at one evaluation of the closure + joins
-      // (columns only — no text — so state is id-table-sized)
-      val surv = kept.select(col("doc_id"), col("source"), col("n_tokens"))
-        .join(canon, Seq("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // (E) pack the train split: deterministic shuffle-shard order,
-      // token-budget prefix-sum packing
-      val shuffled = Frames.deterministicShuffle(
-          surv.filter(col("split") === "train")
-            .select(col("doc_id"), col("n_tokens")),
-          "doc_id", nShards = 8, seed = 42L)
-        .withColumn("ord", col("shard").cast(LongType) * lit(1000000L) + col("pos"))
-      val packed = Frames.packSequences(shuffled, "ord", "n_tokens",
-        budget = 512, bucketSize = 128)
-      val packIdx = packed.join(shuffled.select(col("ord"), col("doc_id")),
-          packed("id") === col("ord"))
-        .select(col("doc_id"), col("seq_id"), col("seq_offset"))
-      surv.join(packIdx, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"), col("split"), col("n_tokens"),
-          col("seq_id"), col("seq_offset"))
-        .orderBy(col("doc_id"))
-    }),
+    "q_curation_v3" -> ((s, d) =>
+      curationV3(t(s, d, "documents")).orderBy(col("doc_id"))),
 
     // ---- Gopher-style quality rule set: exact integer signals +
     //      cross-multiplied threshold tests, replayed verbatim by the

@@ -344,6 +344,37 @@ object ScaleSmoke {
           docsK.withColumn("source", (col("doc_id") % 20).cast("string")),
           "doc_id", "text", "source", "lang",
           TextAnalysis.demoQualityWeights(256))
+          .queryExecution.toRdd.count() },
+      // round-8 additions: the interpolated LM (adds one extra
+      // broadcast lookup over the add-one sibling), the full
+      // train->artifact->score loop (training is a token explode into
+      // a 256-bucket aggregate — the shuffle must stay KB-sized), and
+      // the curation_v3 flagship (the whole five-stage composition on
+      // a replicated corpus; its near-dup/template families replicate
+      // with the corpus, so discovery and closure grow with it)
+      time("bigram_interp_1x") {
+        TextAnalysis.bigramLogProbInterp(docs1, "doc_id", "text")
+          .queryExecution.toRdd.count() },
+      time(s"bigram_interp_${k}x") {
+        TextAnalysis.bigramLogProbInterp(docsK, "doc_id", "text")
+          .queryExecution.toRdd.count() },
+      time("quality_trained_1x") {
+        val w = TextAnalysis.loadWeights(
+          TextAnalysis.trainBucketWeights(docs1, "text", col("lang") === "en", 256), 256)
+        TextAnalysis.hashedLinearScore(docs1, "doc_id", "text", w)
+          .queryExecution.toRdd.count() },
+      time(s"quality_trained_${k}x") {
+        val w = TextAnalysis.loadWeights(
+          TextAnalysis.trainBucketWeights(docsK, "text", col("lang") === "en", 256), 256)
+        TextAnalysis.hashedLinearScore(docsK, "doc_id", "text", w)
+          .queryExecution.toRdd.count() },
+      time("curation_v3_1x") {
+        PipelineQueries.curationV3(docs1.withColumn("source",
+            concat(lit("src"), (col("doc_id") % 20).cast("string"))))
+          .queryExecution.toRdd.count() },
+      time(s"curation_v3_${k}x") {
+        PipelineQueries.curationV3(docsK.withColumn("source",
+            concat(lit("src"), (col("doc_id") % 20).cast("string"))))
           .queryExecution.toRdd.count() }
     )
 
@@ -355,7 +386,8 @@ object ScaleSmoke {
         "pack_sequences", "cluster_best", "winsorize5", "hard_neg_ivf",
         "epoch_pack", "asof_nearest", "curation_v2", "gopher_repetition",
         "pii_redact", "chunks_cover", "bigram_logprob",
-        "source_report").foreach { base =>
+        "source_report", "bigram_interp", "quality_trained",
+        "curation_v3").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

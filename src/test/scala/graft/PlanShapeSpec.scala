@@ -392,7 +392,15 @@ class PlanShapeSpec extends AnyFunSuite {
       // the DAILY aggregate series: one row per calendar day — bounded
       // by the time span, not the corpus (events collapse in the
       // groupBy(day) BEFORE any window)
-      "events_interpolate" -> 3)
+      "events_interpolate" -> 3,
+      // the flagship's two documented bounded globals: (1) the median-
+      // cutoff cumsum over the score HISTOGRAM — input is one row per
+      // distinct integer per-token mean, bounded by the weight range,
+      // never the corpus (the perplexityBuckets shape, global because
+      // the cutoff is corpus-wide rather than per-language); (2) the
+      // packSequences bucket-totals prefix sum (one row per bucket),
+      // the same site allowlisted for q_pack_sequences/q_epoch_pack
+      "q_curation_v3" -> 2)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val wins = allWindows(fn(spark, TestSpark.sfDir).queryExecution.sparkPlan)
