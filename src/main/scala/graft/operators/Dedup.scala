@@ -576,9 +576,29 @@ object Dedup {
       vertices.schema("id").dataType == LongType &&
         edges.schema("id_a").dataType == LongType &&
         edges.schema("id_b").dataType == LongType
-    if (idsAreLong && edges.count() <= DriverCcMaxEdges)
-      connectedComponentsDriver(vertices, edges)
-    else connectedComponentsPropagation(vertices, edges, maxIter)
+    if (!idsAreLong)
+      return connectedComponentsPropagation(vertices, edges, maxIter)
+    // The dispatch count and the driver path's collect would each
+    // evaluate the caller's edge pipeline from scratch — for LSH
+    // near-dup pairs that is the whole signature/verify chain, and
+    // the re-evaluation measurably dominated the curation_v3 closure
+    // at 20x (V3Probe: 4.6M-pair pipeline ran twice inside one
+    // closure call). Cache the edge list (two longs per row — MBs
+    // even at the 5M driver cap) for the duration of the dispatch;
+    // both terminal paths consume it eagerly enough to release it:
+    // the driver path collects before returning, the propagation
+    // path copies edges into its own persisted `und` on iteration 0.
+    val cached = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (cached.count() <= DriverCcMaxEdges)
+        connectedComponentsDriver(vertices, cached)
+      else {
+        val out = connectedComponentsPropagation(vertices, cached, maxIter)
+        // materialize und (the propagation loop already counts it)
+        // before the finally releases the raw edge cache
+        out
+      }
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Distributed min-label-propagation path of [[connectedComponents]]
@@ -645,22 +665,49 @@ object Dedup {
     val spark = vertices.sparkSession
     import spark.implicits._
     val es = edges.select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
-    val parent = new scala.collection.mutable.HashMap[Long, Long]()
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      // path compression
-      var c = x
-      while (parent.getOrElse(c, c) != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+    // Primitive open-addressed id interning + int union-find. The
+    // boxed HashMap[Long, Long] formulation measured ~60 s on a
+    // 4.6M-edge near-dup clique graph (V3Probe at 20x) — every find
+    // step boxed its key; this runs the same graph in well under a
+    // second. Capacity is a power of two at load <= 0.5 for the
+    // worst case of 2 distinct ids per edge.
+    val nEdges = es.length
+    val cap = math.max(16, Integer.highestOneBit(nEdges * 4 | 1) * 2)
+    val keys = new Array[Long](cap)
+    val slotUsed = new Array[Boolean](cap)
+    val slotIdx = new Array[Int](cap)
+    val ids = new Array[Long](math.max(1, 2 * nEdges))
+    val parent = new Array[Int](math.max(1, 2 * nEdges))
+    var n = 0
+    def intern(x: Long): Int = {
+      var h = java.lang.Long.hashCode(x * -7046029254386353131L) & (cap - 1)
+      while (true) {
+        if (!slotUsed(h)) {
+          slotUsed(h) = true; keys(h) = x; slotIdx(h) = n
+          ids(n) = x; parent(n) = n; n += 1
+          return n - 1
+        }
+        if (keys(h) == x) return slotIdx(h)
+        h = (h + 1) & (cap - 1)
+      }
+      0 // unreachable
+    }
+    def find(i: Int): Int = {
+      var r = i
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
       r
     }
-    es.foreach { case (a, b) =>
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) { // union by min root: min id stays the label
-        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+    var e = 0
+    while (e < nEdges) {
+      val (a, b) = es(e)
+      val ra = find(intern(a)); val rb = find(intern(b))
+      if (ra != rb) { // union by min ID: the minimum id stays the label
+        if (ids(ra) < ids(rb)) parent(rb) = ra else parent(ra) = rb
       }
+      e += 1
     }
-    val labels = parent.keys.toArray.map(v => (v, find(v))).toSeq.toDF("id", "component")
+    val labels = Array.tabulate(n)(i => (ids(i), ids(find(i)))).toSeq
+      .toDF("id", "component")
     vertices.select(col("id"))
       .join(broadcast(labels), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))

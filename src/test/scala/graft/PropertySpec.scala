@@ -275,4 +275,67 @@ class PropertySpec extends AnyFunSuite {
       assert(got === expected, s"corpus: $corpus")
     }
   }
+
+  test("trainBucketWeights: weight mass balances the labeled occurrence counts") {
+    // invariant: sum over buckets of weight == (token occurrences in
+    // label-true docs) - (occurrences in label-false docs), for ANY
+    // corpus and bucket count — hash collisions move mass between
+    // buckets, never create or destroy it
+    val docGen = for {
+      n <- Gen.choose(1, 12)
+      docs <- Gen.listOfN(n, for {
+        t <- asciiText
+        en <- Gen.oneOf(true, false)
+      } yield (t, en))
+    } yield docs.zipWithIndex.map { case ((t, en), i) => (i.toLong, t, en) }
+    forAll(docGen, cases = 6) { docs =>
+      val df = docs.toDF("doc_id", "text", "is_en")
+      val artifact = TextAnalysis.trainBucketWeights(df, "text", col("is_en"), 32)
+      val totalWeight = artifact.agg(coalesce(sum(col("weight")), lit(0L)))
+        .head().getLong(0)
+      val expected = docs.map { case (_, t, en) =>
+        val k = t.trim.split("\\s+").count(_.nonEmpty).toLong
+        if (en) k else -k
+      }.sum
+      assert(totalWeight === expected, s"docs: $docs")
+      // and scoring is additive in document concatenation: the scorer
+      // is a sum over token occurrences, so score(a ++ " " ++ b) ==
+      // score(a) + score(b) under whitespace tokenization
+      val ws = TextAnalysis.loadWeights(artifact, 32)
+      docs.take(2) match {
+        case Seq((_, a, _), (_, b, _)) =>
+          val scored = TextAnalysis.hashedLinearScore(
+              Seq((0L, a), (1L, b), (2L, a + " " + b)).toDF("doc_id", "text"),
+              "doc_id", "text", ws)
+            .collect().map(r => r.getLong(0) -> r.getAs[Long]("score")).toMap
+          assert(scored(2L) === scored(0L) + scored(1L))
+        case _ => ()
+      }
+    }
+  }
+
+  test("bigramLogProbInterp: the mixing FRACTION determines the result exactly") {
+    // (k·num, k·den) and (num, den) must agree bit-for-bit for any
+    // scaling k: (k·num·p1m + k·(den−num)·p2m) div (k·den) ==
+    // (num·p1m + (den−num)·p2m) div den for nonneg operands —
+    // the operator's contract is the fraction λ, not its
+    // representation. Degenerate fractions hit the pure-ML and
+    // pure-unigram paths through the same mixing expression.
+    val corpusGen = for {
+      n <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(n,
+        Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAll(corpusGen, cases = 4) { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      def run(num: Long, den: Long): Map[Long, (Long, Long)] =
+        TextAnalysis.bigramLogProbInterp(df, "doc_id", "text", num, den)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_lp_micro")))).toMap
+      assert(run(3L, 4L) === run(6L, 8L))
+      assert(run(1L, 1L) === run(5L, 5L))
+      assert(run(0L, 1L) === run(0L, 7L))
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
 }
