@@ -595,6 +595,28 @@ object PipelineQueries {
       Similarity.recallReport(truth, approx)
     }),
 
+    // ---- ANN recall@10 for the COMPOSED IVF-PQ index: with this row
+    //      the tuning matrix is complete — every index family (LSH /
+    //      IVF / PQ / IVF-PQ) has an oracle-replayed recall@k row
+    //      against the same brute-force truth, which is the table a
+    //      deployed user actually reads when picking an index ----
+    "sim_recall_ivfpq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val n = e.count()
+      val truth = Similarity.bruteForceTopK(
+          e.repartition(s.sparkContext.defaultParallelism), e, k = 10)
+        .select(col("query_id"), col("id").as("nn_id"))
+      val coarse = Similarity.trainIvfCentroids(e,
+        nCentroids = Similarity.suggestedCentroids(n), dim = 64,
+        iterations = 1, portable = true)
+      val cbs = Similarity.trainPqCodebooks(e, m = 8, ksub = 16, dim = 64,
+        iterations = 1, portable = true)
+      val approx = Similarity.ivfPqTopK(e, e, k = 10, coarse, cbs, nProbe = 4,
+          shortlist = Similarity.suggestedShortlist(n, 10), portable = true)
+        .select(col("query_id"), col("id").as("nn_id"))
+      Similarity.recallReport(truth, approx)
+    }),
+
     // ---- ANN recall@10 for the PQ index (ADC shortlist + exact
     //      re-rank): shortlist follows the k-aware sizing law
     //      (max(4k, 2*sqrt(n))), so the recall row exercises exactly
@@ -2579,6 +2601,147 @@ object PipelineQueries {
            JOIN embeddings qe ON qe.vec_id = sl.query_id
            JOIN embeddings ce ON ce.vec_id = sl.id)
          SELECT query_id, id AS nn_id FROM rr WHERE rk2 = 1 ORDER BY query_id""",
+    "sim_recall_ivfpq" ->
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+         hx AS (
+           SELECT vec_id, embedding,
+             ((((vec_id + 42) % 1000000007) * ((vec_id + 42) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+           FROM embeddings),
+         init AS (
+           SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY (v * v) % 1000000007, vec_id) - 1 AS cell
+           FROM hx
+           QUALIFY cell < (SELECT greatest(16, CAST(ceil(sqrt(cnt)) AS BIGINT)) FROM n)),
+         a0 AS (
+           SELECT e.vec_id, i.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, i.embedding) DESC, i.cell) AS rk
+           FROM embeddings e CROSS JOIN init i),
+         a1 AS (SELECT vec_id, cell FROM a0 WHERE rk = 1),
+         q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+           FROM embeddings),
+         mp AS (
+           SELECT a1.cell, p.pos,
+             CAST(floor(CAST(sum(p.qx) AS DOUBLE) / count(*)) AS BIGINT) AS mq
+           FROM a1 JOIN q USING (vec_id),
+             LATERAL (SELECT unnest(qv) AS qx, generate_subscripts(qv, 1) AS pos) p
+           GROUP BY a1.cell, p.pos),
+         upd AS (
+           SELECT cell, list_transform(array_agg(mq ORDER BY pos),
+             m -> CAST(m / 1048576.0 AS FLOAT)) AS cv
+           FROM mp GROUP BY cell),
+         cents AS (
+           SELECT i.cell, COALESCE(u.cv, i.embedding) AS cv
+           FROM init i LEFT JOIN upd u USING (cell)),
+         a2 AS (
+           SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cell) AS rk
+           FROM embeddings e CROSS JOIN cents c),
+         assign AS (SELECT vec_id AS id, cell FROM a2 WHERE rk = 1),
+         probes AS (SELECT vec_id AS query_id, cell FROM a2 WHERE rk <= 4),
+         psub AS (
+           SELECT e.vec_id, jj.j, list_slice(e.embedding, jj.j*8+1, jj.j*8+8) AS sv
+           FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+         pinit AS (
+           SELECT s.j, s.sv,
+             ROW_NUMBER() OVER (PARTITION BY s.j
+               ORDER BY (h.v * h.v) % 1000000007, s.vec_id) - 1 AS cell
+           FROM psub s JOIN hx h USING (vec_id)
+           QUALIFY cell < 16),
+         pa0 AS (
+           SELECT s.vec_id, s.j, i.cell,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+               ORDER BY list_cosine_similarity(s.sv, i.sv) DESC, i.cell) AS rk
+           FROM psub s JOIN pinit i ON i.j = s.j),
+         pa1 AS (SELECT vec_id, j, cell FROM pa0 WHERE rk = 1),
+         qsub AS (
+           SELECT vec_id, j, list_transform(sv,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+           FROM psub),
+         pmp AS (
+           SELECT pa1.j, pa1.cell, p.pos,
+             CAST(floor(CAST(sum(p.qx) AS DOUBLE) / count(*)) AS BIGINT) AS mq
+           FROM pa1 JOIN qsub USING (vec_id, j),
+             LATERAL (SELECT unnest(qv) AS qx, generate_subscripts(qv, 1) AS pos) p
+           GROUP BY pa1.j, pa1.cell, p.pos),
+         pupd AS (
+           SELECT j, cell, list_transform(array_agg(mq ORDER BY pos),
+             m2 -> CAST(m2 / 1048576.0 AS FLOAT)) AS cv
+           FROM pmp GROUP BY j, cell),
+         pcents AS (
+           SELECT i.j, i.cell, COALESCE(u.cv, i.sv) AS cv
+           FROM pinit i LEFT JOIN pupd u ON u.j = i.j AND u.cell = i.cell),
+         enc0 AS (
+           SELECT s.vec_id, s.j, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+               ORDER BY list_cosine_similarity(s.sv, c.cv) DESC, c.cell) AS rk
+           FROM psub s JOIN pcents c ON c.j = s.j),
+         codes AS (SELECT vec_id, j, cell FROM enc0 WHERE rk = 1),
+         cq AS (
+           SELECT j, cell, list_transform(cv,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS cwq
+           FROM pcents),
+         ptab AS (
+           SELECT q2.vec_id AS query_id, q2.j, c.cell,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 9), i2 -> q2.qv[i2] * c.cwq[i2])),
+               (a, b) -> a + b) AS pdot
+           FROM qsub q2 JOIN cq c ON c.j = q2.j),
+         ns AS (
+           SELECT j, cell, list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(cwq, x -> x * x)), (a, b) -> a + b) AS nsq1
+           FROM cq),
+         rn AS (
+           SELECT k.vec_id, sum(n2.nsq1) AS nsq
+           FROM codes k JOIN ns n2 ON n2.j = k.j AND n2.cell = k.cell
+           GROUP BY k.vec_id),
+         candpairs AS (
+           SELECT DISTINCT pr.query_id, asg.id
+           FROM probes pr JOIN assign asg USING (cell)
+           WHERE asg.id <> pr.query_id),
+         scores AS (
+           SELECT cp.query_id, cp.id, sum(p.pdot) AS dt
+           FROM candpairs cp
+           JOIN codes k2 ON k2.vec_id = cp.id
+           JOIN ptab p ON p.query_id = cp.query_id
+             AND p.j = k2.j AND p.cell = k2.cell
+           GROUP BY cp.query_id, cp.id),
+         nsc AS (
+           SELECT s.query_id, s.id,
+             CAST(s.dt AS DOUBLE) / sqrt(CAST(r.nsq AS DOUBLE)) AS score
+           FROM scores s JOIN rn r ON r.vec_id = s.id WHERE r.nsq > 0),
+         shortlist AS (
+           SELECT query_id, id FROM (
+             SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rk
+             FROM nsc)
+           WHERE rk <= (SELECT greatest(40, CAST(ceil(2.0 * sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))
+                        FROM embeddings)),
+         rr AS (
+           SELECT sl.query_id, sl.id,
+             ROW_NUMBER() OVER (PARTITION BY sl.query_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, sl.id) AS rk2
+           FROM shortlist sl
+           JOIN embeddings qe ON qe.vec_id = sl.query_id
+           JOIN embeddings ce ON ce.vec_id = sl.id),
+         ivfpq AS (SELECT query_id, id AS nn_id FROM rr WHERE rk2 <= 10),
+         bf0 AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rk
+           FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+         bf AS (SELECT query_id, nn_id FROM bf0 WHERE rk <= 10),
+         m AS (SELECT count(*) AS n_matched
+               FROM bf JOIN ivfpq USING (query_id, nn_id)),
+         tq AS (SELECT count(*) AS n_truth FROM bf)
+         SELECT CAST(tq.n_truth AS BIGINT) AS n_truth,
+           CAST(m.n_matched AS BIGINT) AS n_matched,
+           CAST(m.n_matched * 1000000 // tq.n_truth AS BIGINT) AS recall_micro
+         FROM tq, m""",
     "sim_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
