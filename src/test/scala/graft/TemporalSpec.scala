@@ -185,6 +185,32 @@ class TemporalSpec extends AnyFunSuite {
     assert(fast === slow)
   }
 
+  test("connectedComponents: empty edge set, duplicate edges, dense cliques") {
+    // empty edges: every vertex is its own component (the driver
+    // path's empty labels frame must still coalesce correctly)
+    val vs = (1L to 5L).toDF("id")
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(vs, none)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      (1L to 5L).map(i => i -> i).toMap)
+    // duplicate + reversed edges and two dense cliques (the replica-
+    // corpus shape the primitive union-find was rebuilt for): labels
+    // must be each clique's minimum id, and agree with propagation
+    val cliqueA = for { a <- 10L to 29L; b <- 10L to 29L if a < b } yield (a, b)
+    val cliqueB = for { a <- 50L to 69L; b <- 50L to 69L if a < b } yield (a, b)
+    val edges = (cliqueA ++ cliqueB ++ cliqueA.map(_.swap) ++ cliqueA)
+      .toDF("id_a", "id_b")
+    val verts = ((10L to 29L) ++ (50L to 69L) :+ 99L).toDF("id")
+    val fast = Dedup.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 29L).forall(fast(_) == 10L))
+    assert((50L to 69L).forall(fast(_) == 50L))
+    assert(fast(99L) === 99L)
+    val slow = Dedup.connectedComponentsPropagation(verts, edges, maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === slow)
+  }
+
   test("dedupByNearDup keeps exactly one doc per near-dup cluster") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (9L, "z")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
