@@ -166,6 +166,24 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- LSH banding tuning report: recall AND precision of the RAW
+    //      band-collision candidate stage against the exact n-gram
+    //      Jaccard truth at the target threshold — the S-curve numbers
+    //      a deployed user reads when picking (bands, rowsPerBand),
+    //      invisible from the verified pair output. The oracle
+    //      re-derives BOTH sides (exact inverted-pair truth and the
+    //      full portable shingle→signature→band candidate pipeline)
+    //      and must land on the identical three counts ----
+    "dedup_lsh_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleWidth = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleWidth = 3, portable = true)
+      Dedup.pairEvalReport(truth, cand)
+    }),
+
     // ---- MOSS-style winnowing-fingerprint near-dup candidates:
     //      local-overlap detection (a shared paragraph surfaces even
     //      when whole-doc Jaccard is low) ----
@@ -1668,6 +1686,60 @@ object PipelineQueries {
                CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
            FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b)
          SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "dedup_lsh_eval" ->
+      """WITH td AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3
+               THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+               ELSE list_transform(range(0, len(string_split_regex(trim(text), '\s+')) - 2),
+                 i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i+1, i+3), ' '))
+             END) AS sh
+           FROM documents),
+         tr AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM td a JOIN td b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh)) > 0
+             AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5),
+         t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         hs AS (
+           SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007))) AS sh
+           FROM t),
+         sg AS (
+           SELECT doc_id, sh,
+             list_transform(range(0, 64), j ->
+               list_min(list_transform(sh, x ->
+                 (((j + 1) * 1000003 + 12345) % 2147483647 * x
+                   + ((j + 1) * 999983 + 54321) % 2147483647) % 2147483647))) AS sig
+           FROM hs),
+         bk AS (
+           SELECT doc_id, b.band AS band,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_slice(sig, b.band * 4 + 1, b.band * 4 + 4)),
+               (a, x) -> (a * 1000003 + x) % 1000000007) AS bucket
+           FROM sg, (SELECT unnest(range(0, 16)) AS band) b),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bk x JOIN bk y
+             ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         n AS (
+           SELECT (SELECT count(*) FROM tr) AS n_truth,
+                  (SELECT count(*) FROM cand) AS n_cand,
+                  (SELECT count(*) FROM tr JOIN cand USING (id_a, id_b)) AS n_matched)
+         SELECT n_truth, n_cand, n_matched,
+           n_matched * 1000000 // n_truth AS recall_micro,
+           CASE WHEN n_cand = 0 THEN NULL
+                ELSE n_matched * 1000000 // n_cand END AS precision_micro
+         FROM n""",
     "sim_topk_bruteforce" ->
       """SELECT a.vec_id AS query_id,
            (SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> a.vec_id

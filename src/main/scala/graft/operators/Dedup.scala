@@ -290,40 +290,69 @@ object Dedup {
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
-  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          numHashes: Int = 64, bands: Int = 16,
-                          shingleWidth: Int = 3, threshold: Double = 0.8,
-                          seed: Long = 42L, portable: Boolean = false): DataFrame = {
+  /** The compact per-doc signature table shared by every MinHash
+    * operator: (id, shingle-hash set, signature, band buckets).
+    * PERSISTED deliberately: it is consumed more than once (bucket
+    * explode + verification-join sides), and without a
+    * materialization barrier Catalyst's InferFiltersFromGenerate
+    * pushes a size(bk)>0 filter containing the ENTIRE signature
+    * expression tree into the scan, re-running the 64-hash pipeline
+    * per row in interpreted mode. State is linear in the corpus
+    * (id + hash set + sig + 16 buckets/doc) and spills to disk — the
+    * standard LSH-dedup shape.
+    */
+  private def lshSignatureBase(df: DataFrame, idCol: String, textCol: String,
+                               numHashes: Int, bands: Int, shingleWidth: Int,
+                               seed: Long, portable: Boolean): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    // Persist the compact signature table: it is consumed three times
-    // (bucket explode + both sides of the verification join), and
-    // without a materialization barrier Catalyst's
-    // InferFiltersFromGenerate pushes a size(bk)>0 filter containing
-    // the ENTIRE signature expression tree into the scan, re-running
-    // the 64-hash pipeline per row in interpreted mode. State is
-    // linear in the corpus (id + hash set + sig + 16 buckets/doc) and
-    // spills to disk — the standard LSH-dedup shape.
     val sh =
       if (portable)
         graft.functions.NativeFunctions.polyShingleHashes(tokens(col(textCol)), shingleWidth)
       else shingleHashes(col(textCol), shingleWidth)
-    val base = df.select(col(idCol).as("id"), sh.as("sh"))
+    df.select(col(idCol).as("id"), sh.as("sh"))
       .withColumn("sig",
         graft.functions.NativeFunctions.minhashSignature(col("sh"), numHashes, seed, portable))
       .withColumn("bk",
         if (portable) lshBucketsPoly(col("sig"), bands, r) else lshBuckets(col("sig"), bands, r))
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
 
+  /** Band-collision candidate pairs from a signature base: explode
+    * buckets, self-join on (band, bucket) — shuffles only
+    * (id, band, bucket) — and dedup. Returns (id_a, id_b), id_a < id_b.
+    */
+  private def bandCandidates(base: DataFrame): DataFrame = {
     val buckets = base.select(col("id"), explode(col("bk")).as("b"))
       .select(col("id"), col("b.band"), col("b.bucket"))
-
-    val cands = buckets.as("x").join(buckets.as("y"),
+    buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+  }
 
+  /** Raw LSH band-collision candidate pairs — the PRE-verification
+    * stage of [[minhashNearDupPairs]], exposed for the banding tuning
+    * loop: the (bands, rowsPerBand) S-curve trades candidate recall
+    * against candidate precision, and both are invisible once exact
+    * verification has filtered the output. Feed this and an exact
+    * truth set (e.g. [[ngramJaccardPairs]]) to [[pairEvalReport]].
+    */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 64, bands: Int = 16,
+                            shingleWidth: Int = 3, seed: Long = 42L,
+                            portable: Boolean = false): DataFrame =
+    bandCandidates(lshSignatureBase(df, idCol, textCol, numHashes, bands,
+      shingleWidth, seed, portable))
+
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int = 64, bands: Int = 16,
+                          shingleWidth: Int = 3, threshold: Double = 0.8,
+                          seed: Long = 42L, portable: Boolean = false): DataFrame = {
+    val base = lshSignatureBase(df, idCol, textCol, numHashes, bands,
+      shingleWidth, seed, portable)
+    val cands = bandCandidates(base)
     val sets = base.select(col("id"), col("sh"))
     cands
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -351,21 +380,9 @@ object Dedup {
                                numHashes: Int = 64, bands: Int = 16,
                                shingleWidth: Int = 3, threshold: Double = 0.8,
                                seed: Long = 42L, portable: Boolean = false): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
-    def sigTable(df: DataFrame): DataFrame = {
-      val sh =
-        if (portable)
-          graft.functions.NativeFunctions.polyShingleHashes(tokens(col(textCol)), shingleWidth)
-        else shingleHashes(col(textCol), shingleWidth)
-      df.select(col(idCol).as("id"), sh.as("sh"))
-        .withColumn("sig",
-          graft.functions.NativeFunctions.minhashSignature(col("sh"), numHashes, seed, portable))
-        .withColumn("bk",
-          if (portable) lshBucketsPoly(col("sig"), bands, r)
-          else lshBuckets(col("sig"), bands, r))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    }
+    def sigTable(df: DataFrame): DataFrame =
+      lshSignatureBase(df, idCol, textCol, numHashes, bands, shingleWidth,
+        seed, portable)
     val db = sigTable(delta)
     val cb = sigTable(corpus)
     def buckets(base: DataFrame): DataFrame =
@@ -845,5 +862,42 @@ object Dedup {
       .select(col("id").as(idCol), col("component").as("canonical_id"))
     Frames.hashSplit(comp, "canonical_id", splits)
       .select(col(idCol), col("canonical_id"), col("split"))
+  }
+
+  /** Candidate-stage evaluation for near-dup banding — the dedup-side
+    * analogue of [[Similarity.recallReport]], closing the tuning loop
+    * a deployed LSH user runs: given the exact ground-truth pair set
+    * (e.g. [[ngramJaccardPairs]] at the target threshold) and a
+    * candidate pair set (e.g. [[minhashCandidatePairs]]), both as
+    * (id_a, id_b) rows with id_a < id_b, emit one row (n_truth,
+    * n_cand, n_matched, recall_micro, precision_micro) with both
+    * ratios as exact integer micro-fractions (floor-div — no float
+    * boundary for the oracle to diverge on). Candidate recall is what
+    * the (bands, rowsPerBand) S-curve buys; candidate precision is
+    * what the exact-verification stage pays for — neither is visible
+    * from the verified output alone.
+    *
+    * Contract: an EMPTY ground-truth pair set fails loudly (an
+    * evaluation without positives is meaningless — the
+    * [[Similarity.recallReport]] contract); an empty CANDIDATE set is
+    * a legitimate sweep point (bands too selective) and yields
+    * precision_micro NULL through an explicit CASE both engines
+    * share, with recall_micro 0.
+    *
+    * Scale shape: pair-set-sized, never corpus-sized — one
+    * (id_a, id_b) equi-join plus three single-row aggregates.
+    */
+  def pairEvalReport(truth: DataFrame, cand: DataFrame): DataFrame = {
+    val tN = truth.agg(count(lit(1)).as("n_truth"))
+    val cN = cand.agg(count(lit(1)).as("n_cand"))
+    val m = truth.join(cand, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_matched"))
+    tN.crossJoin(cN).crossJoin(m)
+      .select(col("n_truth"), col("n_cand"), col("n_matched"),
+        expr("""CASE WHEN n_truth = 0
+                THEN CAST(raise_error('pairEvalReport: empty ground-truth pair set') AS BIGINT)
+                ELSE n_matched * 1000000 div n_truth END""").as("recall_micro"),
+        expr("""CASE WHEN n_cand = 0 THEN CAST(NULL AS BIGINT)
+                ELSE n_matched * 1000000 div n_cand END""").as("precision_micro"))
   }
 }

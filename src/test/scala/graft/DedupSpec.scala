@@ -68,6 +68,48 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exact, s"LSH missed ${exact -- lsh}")
   }
 
+  test("pairEvalReport: candidate recall/precision vs exact truth, integer-exact") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b")
+    val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleWidth = 3)
+    val r = Dedup.pairEvalReport(truth, cand).collect().head
+    val (nT, nC, nM) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // independent replay of the set arithmetic
+    val tSet = truth.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val cSet = cand.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(nT === tSet.size.toLong)
+    assert(nC === cSet.size.toLong)
+    assert(nM === (tSet & cSet).size.toLong)
+    assert(nT > 0 && nM > 0, "fixture corpus should have true near-dup pairs")
+    assert(r.getLong(3) === nM * 1000000L / nT)
+    assert(r.getLong(4) === nM * 1000000L / nC)
+    // the candidate stage must surface every pair the VERIFIED
+    // operator emits (verification only filters candidates)
+    val verified = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        64, 16, 3, 0.5)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(verified.subsetOf(cSet))
+  }
+
+  test("pairEvalReport contract: empty truth loud, empty candidates null precision") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val some = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val e = intercept[Exception] {
+      Dedup.pairEvalReport(empty, some).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("empty ground-truth pair set")),
+      s"expected the raise_error contract message, got: $e")
+    val out = Dedup.pairEvalReport(some, empty).collect().head
+    assert(out.getLong(0) === 1L && out.getLong(1) === 0L && out.getLong(2) === 0L)
+    assert(out.getLong(3) === 0L, "recall over an empty candidate set is 0")
+    assert(out.isNullAt(4), "precision over an empty candidate set is NULL")
+  }
+
   test("dedupByNearDupPreferring keeps the best-scored doc per cluster") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today", 10L),
