@@ -1283,6 +1283,24 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- threshold-sweep PR curve for the TRAINED scorer: the
+    //      calibration table between training and deploying a keep
+    //      cutoff — per interior threshold, predicted/true-positive
+    //      counts plus precision/recall/F1 as integer micro-
+    //      fractions. Oracle retrains the weights, rescores, and
+    //      replays the identical threshold grid and counts ----
+    "text_quality_pr_sweep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val artifact = TextAnalysis.trainBucketWeights(docs, "text",
+        col("lang") === "en", 256)
+      val ws = TextAnalysis.loadWeights(artifact, 256)
+      val scored = TextAnalysis.hashedLinearScore(docs, "doc_id", "text", ws)
+        .join(docs.select(col("doc_id").as("id"),
+          (col("lang") === "en").as("label")), Seq("id"))
+      TextAnalysis.scoreThresholdSweep(scored, "score", "label", nCuts = 9)
+        .orderBy(col("threshold"))
+    }),
+
     // ---- per-source corpus health card: docs/tokens/exact-dup
     //      membership/PII incidence/quality-keep/lang spread per
     //      source — one fused map pass + the md5 dup-count join +
@@ -3813,6 +3831,49 @@ object PipelineQueries {
            CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
            COALESCE(s.score, 0) >= 0 AS keep
          FROM tok t LEFT JOIN sc s USING (doc_id) ORDER BY t.doc_id""",
+    "text_quality_pr_sweep" ->
+      """WITH tok AS (
+           SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         occ AS (
+           SELECT t.doc_id, t.lang,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(u.tok, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007) % 256 AS BIGINT) AS bucket
+           FROM tok t, LATERAL (SELECT unnest(t.ts) AS tok) u),
+         w AS (
+           SELECT bucket,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE -1 END) AS BIGINT) AS weight
+           FROM occ GROUP BY bucket),
+         sc AS (
+           SELECT o.doc_id, CAST(sum(w.weight) AS BIGINT) AS score
+           FROM occ o JOIN w USING (bucket) GROUP BY o.doc_id),
+         lab AS (
+           SELECT t.doc_id, CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+             t.lang = 'en' AS y
+           FROM tok t LEFT JOIN sc s USING (doc_id)),
+         b AS (
+           SELECT min(score) AS smin, max(score) AS smax,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+           FROM lab),
+         thr AS (
+           SELECT DISTINCT n_pos, smin + (smax - smin) * k // 10 AS threshold
+           FROM b, (SELECT unnest(range(1, 10)) AS k) ks(k)),
+         agg AS (
+           SELECT threshold, n_pos,
+             CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pred_pos,
+             CAST(sum(CASE WHEN score >= threshold AND y THEN 1 ELSE 0 END) AS BIGINT)
+               AS tp
+           FROM lab, thr GROUP BY threshold, n_pos)
+         SELECT threshold, n_pos, n_pred_pos, tp,
+           CASE WHEN n_pred_pos = 0 THEN NULL
+                ELSE tp * 1000000 // n_pred_pos END AS precision_micro,
+           tp * 1000000 // n_pos AS recall_micro,
+           2 * tp * 1000000 // (n_pred_pos + n_pos) AS f1_micro
+         FROM agg ORDER BY threshold""",
     "text_source_report" ->
       """WITH w AS (
            SELECT list_transform(range(0, 256),

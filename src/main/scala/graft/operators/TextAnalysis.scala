@@ -1022,6 +1022,61 @@ object TextAnalysis {
     ws
   }
 
+  /** Threshold-sweep evaluation for a document quality scorer — the
+    * calibration table a user reads before picking the keep cutoff
+    * (the step between [[trainBucketWeights]] and deploying
+    * [[hashedLinearScore]] at 100 TB): given per-doc (score, label)
+    * rows, emit one row per interior threshold
+    * t_k = smin + (smax−smin)·k div (nCuts+1), k = 1..nCuts, with
+    * predicted-positive / true-positive counts and precision, recall
+    * and F1 as exact integer micro-fractions (floor-div — no float
+    * boundary for the oracle to diverge on).
+    *
+    * Contracts: a panel with NO positive labels fails loudly (every
+    * recall is undefined — the [[Similarity.recallReport]] contract);
+    * a threshold nobody clears is a legitimate sweep point and yields
+    * precision_micro NULL via an explicit CASE both engines share.
+    * Degenerate constant-score panels collapse to one distinct
+    * threshold in both engines (thresholds are deduped before the
+    * sweep).
+    *
+    * Scale shape: one narrow bounds pass (min/max/positive count),
+    * then the corpus crossed with the ≤ nCuts broadcast threshold
+    * rows into a groupBy(threshold) — map-side partials reduce every
+    * task's output to ≤ nCuts rows, so the shuffle moves KBs
+    * regardless of corpus size. No per-score histogram state, so an
+    * adversarial all-distinct score distribution costs nothing.
+    */
+  def scoreThresholdSweep(scored: DataFrame, scoreCol: String = "score",
+                          labelCol: String = "label",
+                          nCuts: Int = 9): DataFrame = {
+    require(nCuts > 0, "need at least one threshold cut")
+    val s = scored.select(col(scoreCol).cast(LongType).as("s"),
+      col(labelCol).cast(BooleanType).as("y"))
+    val bounds = s.agg(min(col("s")).as("smin"), max(col("s")).as("smax"),
+      sum(when(col("y"), 1L).otherwise(0L)).as("np"))
+    val thr = bounds.select(
+        expr("""CASE WHEN np IS NULL OR np = 0
+                THEN CAST(raise_error('scoreThresholdSweep: no positive labels in the panel') AS BIGINT)
+                ELSE np END""").as("n_pos"),
+        col("smin"), col("smax"),
+        explode(sequence(lit(1), lit(nCuts))).as("k"))
+      .select(col("n_pos"),
+        (col("smin") + expr(s"(smax - smin) * k div ${nCuts + 1}"))
+          .as("threshold"))
+      .distinct()
+    s.crossJoin(broadcast(thr))
+      .groupBy(col("threshold"), col("n_pos"))
+      .agg(
+        sum(when(col("s") >= col("threshold"), 1L).otherwise(0L)).as("n_pred_pos"),
+        sum(when(col("s") >= col("threshold") && col("y"), 1L).otherwise(0L)).as("tp"))
+      .select(col("threshold"), col("n_pos"), col("n_pred_pos"), col("tp"),
+        expr("""CASE WHEN n_pred_pos = 0 THEN CAST(NULL AS BIGINT)
+                ELSE tp * 1000000 div n_pred_pos END""").as("precision_micro"),
+        expr("tp * 1000000 div n_pos").as("recall_micro"),
+        expr("2 * tp * 1000000 div (n_pred_pos + n_pos)").as("f1_micro"))
+  }
+
   /** Per-source corpus health card — the monitoring table a training
     * pipeline recomputes every ingest: document and token counts,
     * exact-duplicate membership (corpus-wide, so cross-source copies

@@ -550,6 +550,63 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scored(5L) === 0L)  // empty doc scores the bias exactly
   }
 
+  test("scoreThresholdSweep: PR table matches a plain JVM replay on the corpus") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val artifact = TextAnalysis.trainBucketWeights(docs, "text",
+      col("lang") === "en", 256)
+    val ws = TextAnalysis.loadWeights(artifact, 256)
+    val scored = TextAnalysis.hashedLinearScore(docs, "doc_id", "text", ws)
+      .join(docs.select(col("doc_id").as("id"),
+        (col("lang") === "en").as("label")), Seq("id"))
+    val out = TextAnalysis.scoreThresholdSweep(scored, "score", "label", 9)
+      .orderBy(col("threshold")).collect()
+    // independent replay: collect (score, label), rebuild the grid and
+    // every count in plain Scala
+    val sl = scored.select(col("score"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val (smin, smax) = (sl.map(_._1).min, sl.map(_._1).max)
+    val nPos = sl.count(_._2).toLong
+    assert(nPos > 0, "fixture corpus needs en docs")
+    val thresholds = (1 to 9)
+      .map(k => smin + Math.floorDiv((smax - smin) * k, 10L)).distinct.sorted
+    assert(out.map(_.getLong(0)).toSeq === thresholds)
+    out.foreach { r =>
+      val thr = r.getLong(0)
+      val pred = sl.count(_._1 >= thr).toLong
+      val tp = sl.count(p => p._1 >= thr && p._2).toLong
+      assert(r.getLong(1) === nPos)
+      assert(r.getLong(2) === pred)
+      assert(r.getLong(3) === tp)
+      if (pred == 0) assert(r.isNullAt(4))
+      else assert(r.getLong(4) === tp * 1000000L / pred)
+      assert(r.getLong(5) === tp * 1000000L / nPos)
+      assert(r.getLong(6) === 2L * tp * 1000000L / (pred + nPos))
+    }
+    // recall is monotone non-increasing in the threshold; at the
+    // lowest interior threshold someone must clear the bar
+    val recalls = out.map(_.getLong(5)).toSeq
+    assert(recalls === recalls.sorted.reverse)
+    assert(out.head.getLong(2) > 0)
+  }
+
+  test("scoreThresholdSweep fails loudly when the panel has no positives") {
+    val scored = Seq((1L, false), (-2L, false)).toDF("score", "label")
+    val e = intercept[Exception] {
+      TextAnalysis.scoreThresholdSweep(scored).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("no positive labels")),
+      s"expected the raise_error contract message, got: $e")
+    // constant-score panel: the 9-cut grid collapses to ONE distinct
+    // threshold (smin = smax), not 9 duplicate rows
+    val const = Seq((5L, true), (5L, false), (5L, true)).toDF("score", "label")
+    val rows = TextAnalysis.scoreThresholdSweep(const).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 5L)
+    assert(rows.head.getLong(2) === 3L && rows.head.getLong(3) === 2L)
+  }
+
   test("loadWeights fails loudly on malformed model artifacts") {
     val ok = Seq((0L, 5L), (3L, -2L)).toDF("bucket", "weight")
     val ws = TextAnalysis.loadWeights(ok, 4)
