@@ -219,6 +219,18 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_bigrams"), col("sum_lp_micro"))
         .orderBy(col("doc_id"))),
 
+    // ---- Kneser–Ney bigram LM, D = 3/4: absolute discounting plus
+    //      CONTINUATION unigrams (distinct-predecessor counts over
+    //      distinct-bigram types, not raw frequency) — the smoothing
+    //      deployed LM pipelines actually use. Integer-exact staged
+    //      micro math (term1/λ/pcont all bounded ≤ 10⁶ so no 100 TB
+    //      overflow cliff); oracle replays histogram, follower/
+    //      predecessor counts and the staged formula exactly ----
+    "text_bigram_kn" -> ((s, d) =>
+      TextAnalysis.bigramLogProbKN(t(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("sum_lp_micro"))
+        .orderBy(col("doc_id"))),
+
     // ---- per-window top-k heavy hitters (batch twin of the
     //      streaming flatMapGroupsWithState operator; the streaming
     //      path is asserted equal in StreamingSpec) ----
@@ -1893,6 +1905,37 @@ object PipelineQueries {
            CROSS JOIN tot t)
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            CAST(SUM(CAST(floor(ln(CAST(pim AS DOUBLE) / 1000000.0)
+             * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_lp_micro
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "text_bigram_kn" ->
+      """WITH ts AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         toks AS (SELECT unnest(ts) AS w1 FROM ts),
+         uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM toks GROUP BY w1),
+         bg AS (
+           SELECT doc_id, ts[u.i + 1] AS w1, ts[u.i + 2] AS w2
+           FROM ts, LATERAL (SELECT unnest(range(0, greatest(len(ts) - 1, 0))) AS i) u),
+         bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+         nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM bc),
+         fw AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1fw FROM bc GROUP BY w1),
+         bw AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1bw FROM bc GROUP BY w2),
+         sc AS (
+           SELECT b.doc_id,
+             greatest(
+               greatest((bc.c12 * 1000000 - 750000) // u1.c1, 0)
+                 + (750000 * fw.n1fw // u1.c1)
+                   * (bw.n1bw * 1000000 // nt.ntypes) // 1000000,
+               1) AS pkn
+           FROM bg b
+           JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+           JOIN uni u1 ON u1.w1 = b.w1
+           JOIN fw ON fw.w1 = b.w1
+           JOIN bw ON bw.w2 = b.w2
+           CROSS JOIN nt)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(floor(ln(CAST(pkn AS DOUBLE) / 1000000.0)
              * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_lp_micro
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "q_approx_sketches" ->

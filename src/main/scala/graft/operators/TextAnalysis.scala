@@ -742,6 +742,90 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp_micro"))
   }
 
+  /** Kneser–Ney bigram log-likelihood — the smoothing modern LM
+    * pipelines actually deploy (absolute discounting + CONTINUATION
+    * unigrams): p_KN(w2|w1) = max(c12−D,0)/c1 + D·N1+(w1·)/c1 ·
+    * N1+(·w2)/nTypes, where N1+(w1·)/N1+(·w2) are the distinct
+    * follower/predecessor counts and nTypes the distinct-bigram
+    * count — "how many contexts has w2 completed" rather than "how
+    * often has w2 occurred", the correction that fixes
+    * high-frequency-but-context-bound words ("Francisco" scores low
+    * despite being frequent, because it follows only "San").
+    *
+    * INTEGER-EXACT micro formulation with D = discountNum/discountDen
+    * pre-scaled to D_micro = discountNum·10⁶ div discountDen (exact
+    * for the canonical 3/4), then staged so every intermediate is
+    * bounded regardless of corpus size:
+    *   term1 = greatest((c12·10⁶ − D_micro) div c1, 0)        ≤ 10⁶
+    *   λ_m   = D_micro·N1fw div c1                            < 10⁶
+    *     (N1fw ≤ c1 — each distinct follower occurs ≥ once)
+    *   pcont = N1bw·10⁶ div nTypes                            ≤ 10⁶
+    *   p_KN  = greatest(term1 + λ_m·pcont div 10⁶, 1)
+    * The staging matters at 100 TB: the naive D·N1fw·pcont triple
+    * product overflows int64 for vocabularies past ~10⁹, while every
+    * product above stays ≤ 10¹². The ≥1 clamp is the family's −6·ln10
+    * floor; the only float is ln(p/10⁶), one exact small-integer
+    * rational. Emits (id, n_bigrams, sum_lp_micro); docs with <2
+    * tokens have no row.
+    *
+    * Same scale discipline as [[bigramLogProbInterp]]: adjacent pairs
+    * map-side from the bound token array; the bigram histogram is
+    * built ONCE and reused for c12, the follower counts, the
+    * predecessor counts AND nTypes; all lookup tables are Zipf-small
+    * and broadcast below `vocabBroadcastMax` (salted join above) —
+    * the per-occurrence stream is never shuffled by a token key.
+    */
+  def bigramLogProbKN(df: DataFrame, idCol: String, textCol: String,
+                      discountNum: Long = 3L, discountDen: Long = 4L,
+                      vocabBroadcastMax: Long = 8000000L,
+                      saltFactor: Int = 16): DataFrame = {
+    require(discountDen > 0 && discountNum >= 0 && discountNum <= discountDen,
+      s"need 0 <= discountNum <= discountDen, got $discountNum/$discountDen")
+    val dMicro = discountNum * 1000000L / discountDen
+    val ts = df.select(col(idCol).as("id"), cleanTokens(col(textCol)).as("ts"))
+    val bgs = ts.select(col("id"),
+        explode(filter(transform(col("ts"), (t, i) =>
+          when(i < size(col("ts")) - 1,
+            struct(t.as("w1"), element_at(col("ts"), i + 2).as("w2")))),
+          p => p.isNotNull)).as("p"))
+      .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val toks = ts.select(explode(col("ts")).as("w1"))
+    val uni = toks.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocabSize = uni.count()
+    val bigRaw = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTypes = bigRaw.count()
+    val big = bigRaw.withColumn("bg", concat_ws(" ", col("w1"), col("w2")))
+      .select(col("bg"), col("c12"))
+    val n1fw = bigRaw.groupBy(col("w1")).agg(count(lit(1)).as("n1fw"))
+    val n1bw = bigRaw.select(col("w2")).groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1bw"))
+    val keyed = bgs.withColumn("bg", concat_ws(" ", col("w1"), col("w2")))
+    def maybeBroadcast(stream: DataFrame, table: DataFrame, key: String,
+                       rows: Long): DataFrame =
+      if (rows <= vocabBroadcastMax) stream.join(broadcast(table), Seq(key))
+      else Skew.saltedJoin(stream, table, key, saltFactor)
+    val joined =
+      maybeBroadcast(
+        maybeBroadcast(
+          maybeBroadcast(
+            maybeBroadcast(keyed, big, "bg", nTypes),
+            uni, "w1", vocabSize),
+          n1fw, "w1", vocabSize),
+        n1bw, "w2", vocabSize)
+    joined
+      .withColumn("term1", expr(s"greatest((c12 * 1000000 - $dMicro) div c1, 0)"))
+      .withColumn("lam", expr(s"$dMicro * n1fw div c1"))
+      .withColumn("pcont", expr(s"n1bw * 1000000 div ${nTypes}"))
+      .withColumn("pkn", expr("greatest(term1 + lam * pcont div 1000000, 1)"))
+      .withColumn("lp_micro",
+        floor(log(col("pkn").cast(DoubleType) / lit(1000000.0)) * lit(1000000.0))
+          .cast(LongType))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp_micro"))
+  }
+
   // ---- Gopher repetition rules (Rae et al. 2021 §A1.2) ----
 
   /** Non-empty whitespace tokens (empty docs give [] not [""]). */

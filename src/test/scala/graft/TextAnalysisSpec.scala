@@ -470,6 +470,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(per(1L) > per(99L))
   }
 
+  test("bigramLogProbKN equals an independent JVM replay; continuation property") {
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    // corpus: uni a:3 b:2 solo:1; bc (a,b):1 (b,a):2; nTypes=2;
+    // followers a->1 b->1; predecessors b->1 a->1
+    def lpKN(c12: Long, c1: Long, n1fw: Long, n1bw: Long, nTypes: Long): Long = {
+      val d = 750000L
+      val term1 = math.max((c12 * 1000000L - d) / c1, 0L)
+      val lam = d * n1fw / c1
+      val pcont = n1bw * 1000000L / nTypes
+      val pkn = math.max(term1 + lam * pcont / 1000000L, 1L)
+      math.floor(math.log(pkn.toDouble / 1e6) * 1e6).toLong
+    }
+    val rows = TextAnalysis.bigramLogProbKN(docs, "doc_id", "text")
+      .orderBy(col("id")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_lp_micro"))).toMap
+    assert(rows.keySet === Set(1L, 2L))  // <2-token docs: no row
+    val ab = lpKN(1, 3, 1, 1, 2)
+    val ba = lpKN(2, 2, 1, 1, 2)
+    assert(rows(1L) === ((2L, ab + ba)))
+    assert(rows(2L) === ((1L, ba)))
+    // the Kneser–Ney continuation property: two probe bigrams with
+    // IDENTICAL ML statistics (same c12, same context count) score
+    // differently because 'm' completes four distinct contexts while
+    // 'f' completes two — raw frequency alone cannot separate them
+    val corpus = ((1 to 10).map(i => (i.toLong, "a m b m c m"))
+      ++ (11 to 20).map(i => (i.toLong, "s f s f s f"))
+      ++ Seq((98L, "x m"), (99L, "x f"))).toDF("doc_id", "text")
+    val per = TextAnalysis.bigramLogProbKN(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("sum_lp_micro")).toMap
+    assert(per(98L) > per(99L),
+      s"diverse-context continuation must outscore the bound one: $per")
+  }
+
   test("hashedLinearScore equals an independent JVM replay") {
     import graft.functions.SketchExpressions.polyFold
     val ws = TextAnalysis.demoQualityWeights(256)
