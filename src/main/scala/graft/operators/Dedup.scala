@@ -346,6 +346,26 @@ object Dedup {
     bandCandidates(lshSignatureBase(df, idCol, textCol, numHashes, bands,
       shingleWidth, seed, portable))
 
+  /** Static reference-corpus index for the streaming ingest gate
+    * ([[graft.streaming.DocStreams.nearDupGateStream]]): the corpus
+    * reduced to a (band, bucket, corpus_id) bucket table plus a
+    * (corpus_id, corpus_sh) shingle-set table, both backed by ONE
+    * persisted signature pass. Built once per reference snapshot and
+    * reused across every micro-batch — the stream never recomputes
+    * corpus signatures.
+    */
+  def nearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 64, bands: Int = 16,
+                   shingleWidth: Int = 3, seed: Long = 42L,
+                   portable: Boolean = false): (DataFrame, DataFrame) = {
+    val base = lshSignatureBase(corpus, idCol, textCol, numHashes, bands,
+      shingleWidth, seed, portable)
+    val buckets = base.select(col("id").as("corpus_id"), explode(col("bk")).as("b"))
+      .select(col("b.band"), col("b.bucket"), col("corpus_id"))
+    val sets = base.select(col("id").as("corpus_id"), col("sh").as("corpus_sh"))
+    (buckets, sets)
+  }
+
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           numHashes: Int = 64, bands: Int = 16,
                           shingleWidth: Int = 3, threshold: Double = 0.8,

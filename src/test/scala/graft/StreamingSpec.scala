@@ -147,6 +147,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming near-dup gate matches the batch cross-dedup flag set") {
+    import graft.streaming.DocStreams
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"),
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * 60000L).as("ts"),
+        col("text"))
+    // the dedup_minhash_cross fixture split: %5==0 plays today's
+    // delta, the rest the indexed reference corpus
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate").toString
+    delta.coalesce(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val q = DocStreams.nearDupGateStream(stream, corpus, threshold = 0.5,
+        portable = true, watermarkSeconds = Some(7200))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ndgate").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("select id from ndgate").collect()
+        .map(_.getLong(0))
+      assert(streamed.length === streamed.distinct.length,
+        "gate must emit each flagged id exactly once")
+      // ground truth: the batch cross-dedup operator's flagged deltas
+      val crossIds = graft.operators.Dedup.minhashNearDupPairsCross(
+          delta, corpus, "doc_id", "text", threshold = 0.5, portable = true)
+        .select("delta_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(crossIds.nonEmpty, "fixture must contain cross near-dups")
+      assert(streamed.toSet === crossIds)
+      // one definition, both modes: the SAME gate run as a batch job
+      // lands on the identical flag set
+      val batchTwin = DocStreams.nearDupGateStream(delta, corpus,
+          threshold = 0.5, portable = true)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(batchTwin === crossIds)
+    } finally q.stop()
+  }
+
   test("sliding windows double-count each event exactly windowLen/slide times") {
     val sliding = EventStreams.windowedAgg(events, "2 hours", Some("1 hour"))
     val total = sliding.agg(sum("n")).head().getLong(0)
