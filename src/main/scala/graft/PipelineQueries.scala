@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Embeddings, Frames, Similarity, Temporal, TextAnalysis, TextClean}
+import graft.operators.{Dedup, Embeddings, Frames, Retrieval, Similarity, Temporal, TextAnalysis, TextClean}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline operators (SURVEY.md §7.6 / north-star) as
@@ -1108,6 +1108,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // ---- BM25 lexical retrieval: inverted-index top-10 per probe;
+    //      probes = every 50th doc's first-5 tokens. Per-term scores
+    //      floor to integer micro-units BEFORE the per-doc sum, so
+    //      ranking is exact and order-independent cross-engine ----
+    "text_bm25_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val probes = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(TextAnalysis.cleanTokens(col("text")), 1, 5).as("qterms"))
+      Retrieval.bm25TopK(docs, "doc_id", "text",
+          probes, "query_id", "qterms", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- per-probe retrieval diagnostics over the same BM25 run:
+    //      fill depth, rank-1 score, rank-1/rank-k spread ----
+    "text_bm25_diag" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val probes = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(TextAnalysis.cleanTokens(col("text")), 1, 5).as("qterms"))
+      Retrieval.bm25QueryDiagnostics(
+          Retrieval.bm25TopK(docs, "doc_id", "text",
+            probes, "query_id", "qterms", k = 10))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- decontamination: flag eval-split documents sharing any word
     //      8-gram with the train split. Shingle STRINGS join directly
     //      (portable; at 100 TB the same plan runs over shingle
@@ -1414,7 +1441,62 @@ object PipelineQueries {
        FROM segd GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** Shared CTE chain for the BM25 oracles: tf/dl/stats/dfreq from
+    * the whitespace tokenizer, the every-50th-doc first-5-token
+    * probe panel, per-term micro scores in the exact operation order
+    * [[graft.operators.Retrieval.bm25TopK]] uses (idf ln is the only
+    * transcendental; constants written as the same double-literal
+    * folds), and the rank-cut top-10.
+    */
+  private def bm25OracleCtes: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS token
+         FROM documents),
+       tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+       dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+       qt AS (
+         SELECT DISTINCT doc_id AS query_id,
+           unnest(list_slice(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''), 1, 5)) AS token
+         FROM documents WHERE doc_id % 50 = 0),
+       cand AS (
+         SELECT q.query_id, tf.doc_id, tf.tf, f.df FROM qt q
+         JOIN dfreq f USING (token) JOIN tf ON tf.token = q.token),
+       term AS (
+         SELECT c.query_id, c.doc_id,
+           CAST(floor(
+             ln(1.0 + (CAST(s.n_docs AS DOUBLE) - c.df + 0.5) / (CAST(c.df AS DOUBLE) + 0.5)) *
+             (CAST(c.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+             (CAST(c.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * ((1.0 - CAST(0.75 AS DOUBLE)) +
+               CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE) * s.n_docs / s.total_tokens)) *
+             1000000.0) AS BIGINT) AS ts_micro
+         FROM cand c JOIN dl l USING (doc_id) CROSS JOIN stats s),
+       perdoc AS (
+         SELECT query_id, doc_id, CAST(SUM(ts_micro) AS BIGINT) AS score_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+         FROM term GROUP BY 1, 2),
+       ranked AS (
+         SELECT query_id, doc_id, score_micro, n_terms,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+         FROM perdoc),
+       topk AS (
+         SELECT query_id, rank, doc_id, score_micro, n_terms FROM ranked WHERE rank <= 10)"""
+
   val oracleSql: Map[String, String] = Map(
+    "text_bm25_topk" -> (bm25OracleCtes +
+      "\n SELECT query_id, rank, doc_id, score_micro, n_terms FROM topk ORDER BY query_id, rank"),
+    "text_bm25_diag" -> (bm25OracleCtes +
+      """,
+       diag AS (
+         SELECT query_id, MAX(rank) AS depth,
+           MAX(CASE WHEN rank = 1 THEN score_micro END) AS best_micro,
+           MIN(score_micro) AS worst_micro,
+           MAX(CASE WHEN rank = 1 THEN n_terms END) AS best_n_terms
+         FROM topk GROUP BY query_id)
+       SELECT query_id, depth, best_micro, worst_micro, best_n_terms,
+         best_micro - worst_micro AS spread_micro
+       FROM diag ORDER BY query_id"""),
     "text_bpe_merges" -> bpeOracleSql(6),
     "text_bpe_tokens" -> bpeTokensOracleSql(6),
     "q_curation_pipeline" ->

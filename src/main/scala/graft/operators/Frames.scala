@@ -188,6 +188,49 @@ object Frames {
       .drop("__bp")
   }
 
+  /** Temperature-flattened multi-source sampling — the mT5/mC4
+    * "alpha sampling" shape that up-weights small sources relative
+    * to their raw share, at alpha = 1/2: source weight w_i =
+    * floor(sqrt(n_i)). Unlike [[domainMix]] (caller-fixed target
+    * rates), the mix here is DERIVED from the data, and the
+    * per-source take is EXACT: the budget (`budgetNum/budgetDen` of
+    * total docs) splits as target_i = budget·w_i div Σw, capped at
+    * n_i, and each source keeps precisely its first `take_i`
+    * documents in seeded [[portableHash]] order — not a Bernoulli
+    * rate whose realized count wobbles.
+    *
+    * Every number is integer-exact and portable: sqrt is the one
+    * float op, and IEEE sqrt is correctly rounded, so
+    * floor(sqrt(bigint)) is bit-identical on any engine — the reason
+    * this ships alpha = 1/2 rather than a pow(n, 0.3) whose
+    * last-ulp is library-dependent. Scale shape: counts are one
+    * map-side-combined aggregate, the rate card is source-sized and
+    * broadcast, and the only corpus shuffle is the per-source
+    * hash-order window (same class as [[tokenBudgetCuration]]; for a
+    * pathological hot source, pre-thin or salt the window the same
+    * way).
+    */
+  def temperatureMixSqrt(df: DataFrame, domainCol: String, idCol: String,
+                         budgetNum: Long = 1L, budgetDen: Long = 2L,
+                         seed: Long = 7L): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0, "budget fraction must be positive")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val tot = counts.agg(sum(col("n_docs")).as("total_docs"),
+      sum(col("w")).as("sum_w"))
+    val ratesExact = counts.crossJoin(broadcast(tot))
+      .select(col(domainCol), col("n_docs"), col("w"),
+        least(col("n_docs"),
+          expr(s"(total_docs * $budgetNum div $budgetDen) * w div sum_w"))
+          .as("take"))
+    val win = Window.partitionBy(col(domainCol))
+      .orderBy(portableHash(col(idCol), seed), col(idCol))
+    df.join(broadcast(ratesExact), Seq(domainCol))
+      .withColumn("__rnk", row_number().over(win))
+      .filter(col("__rnk") <= col("take"))
+      .drop("__rnk")
+  }
+
   /** Per-domain token-budget curation: order each domain's documents
     * by a quality score (best first) and keep documents until the
     * domain's token budget is spent — the "take the best N tokens

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Sparse lexical retrieval over the corpus — the BM25 side of a
+  * training-data pipeline (decontamination probes, targeted corpus
+  * audits, "find the documents about X" curation queries) that the
+  * dense ANN stack in [[Similarity]] does not cover.
+  *
+  * Scale shape: classic inverted-index retrieval re-expressed as
+  * joins. The corpus is reduced once to per-(doc, term) frequencies
+  * (one map-side-combined aggregate), the query panel's term list is
+  * broadcast so candidate generation is a map-side hash probe of the
+  * tf table (docs sharing no term with any query are dropped before
+  * anything widens), and the only other corpus-keyed exchange is
+  * attaching per-doc lengths. Nothing is ever queries × docs.
+  *
+  * Portability (the oracle replays every step): scores are fixed to
+  * integer micro-units via the floor(score · 1e6) discipline used by
+  * the LM family. Per-term scores are floored to longs FIRST and the
+  * per-doc total is a sum of longs — order-independent and exact, so
+  * ranking ties are broken on integers, never on float summation
+  * order. The double math inside one term keeps a fixed operation
+  * order (written identically in the DuckDB twin); ln is the only
+  * transcendental, same as the green bigram-LM rows.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k: for each query (a bag of distinct terms),
+    * score every document sharing at least one term and keep the k
+    * best. Output: (query_id, rank, doc_id, score_micro, n_terms)
+    * with rank 1..k dense per query; ties break on ascending doc_id
+    * so the cut is total and engine-independent.
+    *
+    * `queries` needs (qidCol, qtermsCol: array<string>); duplicate
+    * terms within one query are collapsed (set semantics — the
+    * standard bag-of-words probe, and what keeps the candidate join
+    * a set intersection).
+    *
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Robertson/Sparck
+    * Jones with the +1 floor, so idf > 0 always — a term present in
+    * every document still contributes, it just contributes least).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtermsCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.cleanTokens(col(textCol))).as("token"))
+    // (doc, term) frequencies: THE shuffle of this operator; map-side
+    // combine collapses repeats before the exchange
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // per-doc lengths from tf (narrower than re-shuffling raw tokens)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // single-row corpus stats; exact longs so avgdl enters the score
+    // as dl·N/T in one fixed-order double expression, never as a
+    // pre-divided constant two engines could round differently
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // query terms, set semantics; panel-sized -> broadcast both ways
+    val qt = queries.select(col(qidCol).as("query_id"),
+        explode(col(qtermsCol)).as("token"))
+      .distinct()
+    // df restricted to probed terms (tiny), then candidates = one
+    // broadcast hash probe of tf: a doc sharing no term with any
+    // query never leaves the scan
+    val qdf = dfreq.join(broadcast(qt.select(col("token")).distinct()),
+      Seq("token"))
+    val cand = tf.join(broadcast(qt.join(qdf, Seq("token"))), Seq("token"))
+    val scored = cand.join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+      .withColumn("ts_micro",
+        floor(
+          log(lit(1.0) +
+              (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+              (col("df").cast(DoubleType) + lit(0.5))) *
+            (col("tf").cast(DoubleType) * lit(k1 + 1.0)) /
+            (col("tf").cast(DoubleType) +
+              lit(k1) * (lit(1.0 - b) +
+                lit(b) * col("dl").cast(DoubleType) * col("n_docs") /
+                  col("total_tokens"))) *
+            lit(1000000.0)).cast(LongType))
+    val perDoc = scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ts_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col("n_terms"))
+  }
+
+  /** Per-query retrieval diagnostics over a BM25 result: how many of
+    * the probe's terms matched the top-ranked document, the score
+    * spread between rank 1 and rank k (collapse = ambiguous probe),
+    * and the candidate depth actually filled. The tuning card for
+    * probe quality — panel-sized everywhere past the input.
+    */
+  def bm25QueryDiagnostics(topk: DataFrame): DataFrame =
+    topk.groupBy(col("query_id"))
+      .agg(max(col("rank")).as("depth"),
+        max(when(col("rank") === 1, col("score_micro"))).as("best_micro"),
+        min(col("score_micro")).as("worst_micro"),
+        max(when(col("rank") === 1, col("n_terms"))).as("best_n_terms"))
+      .withColumn("spread_micro", col("best_micro") - col("worst_micro"))
+}

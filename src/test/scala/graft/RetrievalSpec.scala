@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Retrieval
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDf = Tables.table(spark, TestSpark.sfDir, "documents")
+
+  /** Independent JVM replay of BM25 from raw strings — plain Scala
+    * maps, no Spark — in the exact floor(term·1e6)-then-sum integer
+    * discipline the operator defines. The differential oracle for
+    * every scored pair, not just the top k.
+    */
+  private def bm25Replay(docs: Seq[(Long, String)],
+                         probes: Seq[(Long, Seq[String])],
+                         k1: Double, b: Double): Map[(Long, Long), (Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").toSeq.filter(_.nonEmpty) }.toMap
+    val tf = toks.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (w, g) => w -> g.size.toLong } }
+    val dl = tf.map { case (id, m) => id -> m.values.sum }
+    val nDocs = dl.size.toLong
+    val total = dl.values.sum
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val out = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    for ((qid, terms) <- probes; term <- terms.distinct;
+         (docId, m) <- tf if m.contains(term)) {
+      val t = m(term).toDouble
+      val idf = math.log(1.0 + (nDocs.toDouble - df(term) + 0.5) / (df(term).toDouble + 0.5))
+      val ts = math.floor(idf * (t * (k1 + 1.0)) /
+        (t + k1 * ((1.0 - b) + b * dl(docId).toDouble * nDocs / total)) * 1000000.0).toLong
+      val (s0, n0) = out.getOrElse((qid, docId), (0L, 0L))
+      out((qid, docId)) = (s0 + ts, n0 + 1)
+    }
+    out.toMap
+  }
+
+  test("bm25TopK matches an independent JVM replay on corpus docs") {
+    val docs = docsDf.limit(80).select("doc_id", "text")
+    val raw = docs.as[(Long, String)].collect().toSeq
+    val probes = raw.filter(_._1 % 10 == 0).map { case (id, t) =>
+      id -> t.trim.split("\\s+").toSeq.filter(_.nonEmpty).take(5) }
+    val probesDf = probes.toDF("query_id", "qterms")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+        probesDf, "query_id", "qterms", k = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    val want = bm25Replay(raw, probes, 1.2, 0.75)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (key, v) => assert(v === want(key), s"pair $key") }
+  }
+
+  test("ranks are dense 1..k, scores non-increasing, ties on doc_id") {
+    val docs = docsDf.select("doc_id", "text")
+    val probes = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(trim(col("text")), "\\s+"), 1, 5).as("qterms"))
+    val rows = Retrieval.bm25TopK(docs, "doc_id", "text",
+        probes, "query_id", "qterms", k = 10)
+      .collect().groupBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    rows.values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to sorted.length))
+      val keys = sorted.map(r => (-r.getLong(3), r.getLong(2))).toSeq
+      assert(keys === keys.sorted, "ordering must be (score desc, doc_id asc)")
+    }
+  }
+
+  test("result is invariant to input partitioning") {
+    val docs = docsDf.limit(120).select("doc_id", "text")
+    val probes = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(trim(col("text")), "\\s+"), 1, 5).as("qterms"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25TopK(d, "doc_id", "text", probes, "query_id", "qterms", k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(run(docs) === run(docs.repartition(13)))
+  }
+
+  test("a document sharing no probe term never appears") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+                   (3L, "alpha zeta")).toDF("doc_id", "text")
+    val probes = Seq((10L, Seq("alpha"))).toDF("query_id", "qterms")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+        probes, "query_id", "qterms", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L, 3L))
+  }
+
+  test("duplicate probe terms collapse to set semantics") {
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha alpha beta")).toDF("doc_id", "text")
+    val once = Seq((10L, Seq("alpha"))).toDF("query_id", "qterms")
+    val twice = Seq((10L, Seq("alpha", "alpha"))).toDF("query_id", "qterms")
+    def run(p: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25TopK(docs, "doc_id", "text", p, "query_id", "qterms", k = 10)
+        .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(run(once) === run(twice))
+  }
+
+  test("idf ordering: rarer terms score higher at equal tf and dl") {
+    // 4 docs; "rare" in one doc, "common" in three; probe doc 1 holds
+    // both with tf=1 and all docs same length -> rare term's
+    // contribution must exceed common's
+    val docs = Seq((1L, "rare common x"), (2L, "common y z"),
+                   (3L, "common p q"), (4L, "a b c")).toDF("doc_id", "text")
+    val pRare = Seq((10L, Seq("rare"))).toDF("query_id", "qterms")
+    val pCommon = Seq((11L, Seq("common"))).toDF("query_id", "qterms")
+    def score1(p: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25TopK(docs, "doc_id", "text", p, "query_id", "qterms", k = 10)
+        .filter(col("doc_id") === 1L).select("score_micro").as[Long].head()
+    assert(score1(pRare) > score1(pCommon))
+  }
+
+  test("bm25QueryDiagnostics summarizes depth, best and spread") {
+    val docs = docsDf.limit(100).select("doc_id", "text")
+    val probes = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(trim(col("text")), "\\s+"), 1, 5).as("qterms"))
+    val topk = Retrieval.bm25TopK(docs, "doc_id", "text",
+      probes, "query_id", "qterms", k = 10)
+    val byQ = topk.collect().groupBy(_.getLong(0))
+    val diag = Retrieval.bm25QueryDiagnostics(topk).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(diag.keySet === byQ.keySet)
+    byQ.foreach { case (q, g) =>
+      val d = diag(q)
+      assert(d.getInt(1) === g.map(_.getInt(1)).max)
+      val best = g.minBy(_.getInt(1))
+      assert(d.getLong(2) === best.getLong(3))
+      assert(d.getLong(5) === best.getLong(3) - g.map(_.getLong(3)).min)
+    }
+  }
+}
