@@ -753,6 +753,21 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // ---- sqrt-temperature source mix (mT5/mC4 alpha sampling at
+    //      alpha = 1/2): weights DERIVED from the data as
+    //      floor(sqrt(n_i)), a half-corpus budget split as
+    //      budget·w_i div Σw, and an EXACT per-source take in seeded
+    //      portable-hash order — every number integer (IEEE sqrt is
+    //      correctly rounded), so the oracle replays weights,
+    //      targets, and the selection itself ----
+    "q_temperature_mix" -> ((s, d) =>
+      Frames.temperatureMixSqrt(
+          t(s, d, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", budgetNum = 1L, budgetDen = 2L, seed = 7L)
+        .select(col("doc_id"), col("source"), col("n_docs"), col("w"),
+          col("take"))
+        .orderBy(col("doc_id"))),
+
     // ---- per-domain token-budget curation: keep each language's
     //      best-quality documents until a 2,000-token budget is
     //      spent (quality desc, doc_id tiebreak; running total
@@ -1537,6 +1552,22 @@ object PipelineQueries {
          SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
          WHERE ((((d.doc_id % 1000000007) * 1000003 % 1000000007) * 999983) % 1000000007) % 10000 < r.bp
          ORDER BY d.doc_id""",
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+         w AS (SELECT source, n_docs, CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w FROM c),
+         t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs, CAST(SUM(w) AS BIGINT) AS sum_w FROM w),
+         r AS (SELECT source, n_docs, w,
+                 least(n_docs, (total_docs * 1 // 2) * w // sum_w) AS take FROM w, t),
+         h AS (SELECT doc_id, source,
+                 ((((doc_id + 7) % 1000000007) * ((doc_id + 7) % 1000000007))
+                   % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+               FROM documents),
+         s2 AS (SELECT doc_id, source, (v * v) % 1000000007 AS hh FROM h),
+         rk AS (SELECT s2.doc_id, s2.source, r.n_docs, r.w, r.take,
+                  ROW_NUMBER() OVER (PARTITION BY s2.source ORDER BY s2.hh, s2.doc_id) AS rnk
+                FROM s2 JOIN r USING (source))
+         SELECT doc_id, source, n_docs, w, take FROM rk WHERE rnk <= take
+         ORDER BY doc_id""",
     "q_token_budget" ->
       """WITH q AS (
            SELECT doc_id, lang,

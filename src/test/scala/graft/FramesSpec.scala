@@ -160,6 +160,38 @@ class FramesSpec extends AnyFunSuite {
       out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("temperatureMixSqrt: exact integer takes, flattened shares, partitioning-invariant") {
+    import spark.implicits._
+    // skewed synthetic corpus: big source 400 docs, small source 16
+    val docs = ((0L until 400L).map(i => (i, "big")) ++
+        (1000L until 1016L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val out = Frames.temperatureMixSqrt(docs, "source", "doc_id",
+      budgetNum = 1L, budgetDen = 2L, seed = 7L)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact integer replay: w = floor(sqrt(n)); take = min(n, (T div 2)*w div sum_w)
+    val n = Map("big" -> 400L, "small" -> 16L)
+    val w = n.map { case (k, v) => k -> math.sqrt(v.toDouble).floor.toLong }
+    val budget = (400L + 16L) / 2
+    val want = n.map { case (k, v) =>
+      k -> math.min(v, budget * w(k) / w.values.sum) }
+    assert(kept === want)
+    // temperature flattening: the small source's keep-RATE exceeds the big one's
+    assert(kept("small").toDouble / n("small") > kept("big").toDouble / n("big"))
+    // and shares move toward each other vs raw proportions
+    assert(kept("small").toDouble / kept.values.sum > n("small").toDouble / n.values.sum)
+    // selection is the same id set under a different partitioning
+    val re = Frames.temperatureMixSqrt(docs.repartition(13), "source", "doc_id",
+      budgetNum = 1L, budgetDen = 2L, seed = 7L)
+    assert(re.select("doc_id").as[Long].collect().toSet ===
+      out.select("doc_id").as[Long].collect().toSet)
+    // output carries the rate card (n_docs, w, take) consistently
+    out.select("source", "n_docs", "w", "take").distinct().collect().foreach { r =>
+      val k = r.getString(0)
+      assert(r.getLong(1) === n(k) && r.getLong(2) === w(k) && r.getLong(3) === want(k))
+    }
+  }
+
   test("tokenBudgetCuration: budget respected, best-quality docs selected first") {
     val docs = Tables.table(spark, TestSpark.sfDir, "documents")
       .withColumn("n_tokens", size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long"))
