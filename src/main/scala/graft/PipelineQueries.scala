@@ -264,6 +264,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- tokenizer fertility card: per-source BPE tokens-per-word
+    //      and chars-per-BPE-token after the 6 learned merges — the
+    //      "how efficiently does this tokenizer encode each source"
+    //      audit (fertility >> 1 flags sources the vocab fits badly).
+    //      Ratios are integer micro-units of exact long sums; zero
+    //      denominators yield NULL by contract (both engines) ----
+    "text_bpe_fertility" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = TextAnalysis.trainBpeMerges(docs, "text", merges = 6).map(_._1)
+      docs.select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_words"),
+          TextAnalysis.bpeTokenCount(col("text"), merges).as("n_bpe"),
+          length(regexp_replace(trim(col("text")), "\\s+", ""))
+            .cast(LongType).as("n_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"),
+          sum(col("n_bpe")).as("sum_bpe"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("fertility_micro",
+          when(col("sum_words") === 0, lit(null))
+            .otherwise(expr("sum_bpe * 1000000 div sum_words")))
+        .withColumn("chars_per_bpe_micro",
+          when(col("sum_bpe") === 0, lit(null))
+            .otherwise(expr("sum_chars * 1000000 div sum_bpe")))
+        .orderBy(col("source"))
+    }),
+
     // ---- DSIR-style importance log-weights: hashed-bigram bucket
     //      distributions (portable poly hash mod 1024), target =
     //      src0 docs, raw = the rest; per-occurrence quantized
@@ -1447,13 +1473,44 @@ object PipelineQueries {
     s"""${bpeTrainCtes(rounds)},
        tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
        base AS (SELECT doc_id,
-         chr(31) || array_to_string(list_filter(string_split(w, ''), c -> c <> ''),
-           chr(31) || chr(31)) || chr(31) AS syms
+         chr(31) || COALESCE(array_to_string(list_filter(string_split(w, ''), c -> c <> ''),
+           chr(31) || chr(31)), '') || chr(31) AS syms
          FROM tok),
        segd AS (SELECT doc_id, $segExpr AS seg FROM base)
        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
          CAST(SUM(len(list_filter(string_split(seg, chr(31)), x -> x <> ''))) AS BIGINT) AS n_bpe
        FROM segd GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** Per-source tokenizer fertility: the encode chain of
+    * [[bpeTokensOracleSql]] aggregated by source, with whitespace-
+    * stripped char counts and integer-micro ratios (NULL on zero
+    * denominators — the contract both engines share).
+    */
+  private def bpeFertilityOracleSql(rounds: Int): String = {
+    val segExpr = (0 until rounds).foldLeft("syms")(bpeMergeExpr)
+    s"""${bpeTrainCtes(rounds)},
+       tok AS (SELECT doc_id, source, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+       base AS (SELECT doc_id, source,
+         chr(31) || COALESCE(array_to_string(list_filter(string_split(w, ''), c -> c <> ''),
+           chr(31) || chr(31)), '') || chr(31) AS syms
+         FROM tok),
+       segd AS (SELECT doc_id, source, $segExpr AS seg FROM base),
+       perdoc AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(len(list_filter(string_split(seg, chr(31)), x -> x <> ''))) AS BIGINT) AS n_bpe
+         FROM segd GROUP BY 1, 2),
+       chars AS (SELECT doc_id,
+         CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT) AS n_chars
+         FROM documents),
+       agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_words) AS BIGINT) AS sum_words,
+         CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe,
+         CAST(SUM(c.n_chars) AS BIGINT) AS sum_chars
+         FROM perdoc p JOIN chars c USING (doc_id) GROUP BY source)
+       SELECT source, n_docs, sum_words, sum_bpe, sum_chars,
+         CASE WHEN sum_words = 0 THEN NULL ELSE sum_bpe * 1000000 // sum_words END AS fertility_micro,
+         CASE WHEN sum_bpe = 0 THEN NULL ELSE sum_chars * 1000000 // sum_bpe END AS chars_per_bpe_micro
+       FROM agg ORDER BY source"""
   }
 
   /** Shared CTE chain for the BM25 oracles: tf/dl/stats/dfreq from
@@ -1514,6 +1571,7 @@ object PipelineQueries {
        FROM diag ORDER BY query_id"""),
     "text_bpe_merges" -> bpeOracleSql(6),
     "text_bpe_tokens" -> bpeTokensOracleSql(6),
+    "text_bpe_fertility" -> bpeFertilityOracleSql(6),
     "q_curation_pipeline" ->
       """WITH dedup AS (
            SELECT * FROM documents

@@ -711,4 +711,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       .agg(sum(col("n_tokens"))).head().getLong(0)
     assert(disjoint === 103)
   }
+
+  test("bpe fertility query: zero BPE-token sources emit NULL ratio, not an error") {
+    import spark.implicits._
+    // a source whose every doc segments to zero BPE tokens (empty
+    // text): the chars-per-bpe ratio must be NULL by contract — the
+    // guarded-div discipline from the recallReport advice class
+    val dir = java.nio.file.Files.createTempDirectory("fertility").toString
+    Seq((0L, "key agg row scan slow fast", "en", "srcA", 26L),
+        (1L, "", "en", "srcB", 0L),
+        (2L, "", "en", "srcB", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_bpe_fertility")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("srcA", "srcB"))
+    // srcA: real ratios, both defined
+    assert(!out("srcA").isNullAt(5) && !out("srcA").isNullAt(6))
+    assert(out("srcA").getLong(3) > 0)
+    // srcB: the empty-string token still counts one word (split
+    // contract) but zero BPE symbols -> fertility 0, chars ratio NULL
+    assert(out("srcB").getLong(2) === 2L && out("srcB").getLong(3) === 0L)
+    assert(out("srcB").getLong(5) === 0L)
+    assert(out("srcB").isNullAt(6))
+  }
 }
