@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Frames, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Dedup, Frames, Retrieval, Similarity, Temporal, TextAnalysis}
 
 /** Scale-behavior smoke: replicates the sf0.1 corpus K-fold (ids
   * offset per replica so replicas are near-duplicates of each other —
@@ -124,6 +124,13 @@ object ScaleSmoke {
     }
 
     println(s"[scale] corpus: $n1 docs -> $nK docs (${k}x); $e1 -> $eK embeddings")
+
+    // fixed probe panel for the BM25 blocks (the 1x corpus's
+    // every-50th doc): a query workload does not grow because the
+    // index did
+    val bm25Probes = docs1.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(TextAnalysis.cleanTokens(col("text")), 1, 5).as("qterms"))
 
     val results = Seq(
       time("minhash_lsh_1x") {
@@ -375,6 +382,43 @@ object ScaleSmoke {
       time(s"curation_v3_${k}x") {
         PipelineQueries.curationV3(docsK.withColumn("source",
             concat(lit("src"), (col("doc_id") % 20).cast("string"))))
+          .queryExecution.toRdd.count() },
+      // round-8 closing additions. BM25: the probe panel is FIXED
+      // (the 1x corpus's every-50th doc) while the corpus grows K-fold
+      // — the deployed shape (a query workload does not grow because
+      // the index did). Index build is linear; each probe term matches
+      // ~K-fold more docs, so candidates grow ~K — linear overall.
+      time("bm25_topk_1x") {
+        Retrieval.bm25TopK(docs1, "doc_id", "text",
+          bm25Probes, "query_id", "qterms", k = 10)
+          .queryExecution.toRdd.count() },
+      time(s"bm25_topk_${k}x") {
+        Retrieval.bm25TopK(docsK, "doc_id", "text",
+          bm25Probes, "query_id", "qterms", k = 10)
+          .queryExecution.toRdd.count() },
+      // temperature mix: count agg + broadcast card + per-source
+      // window; source count held at 20 so per-source series grow K-fold
+      time("temperature_mix_1x") {
+        Frames.temperatureMixSqrt(docs1.withColumn("source",
+            concat(lit("src"), (col("doc_id") % 20).cast("string"))),
+          "source", "doc_id").queryExecution.toRdd.count() },
+      time(s"temperature_mix_${k}x") {
+        Frames.temperatureMixSqrt(docsK.withColumn("source",
+            concat(lit("src"), (col("doc_id") % 20).cast("string"))),
+          "source", "doc_id").queryExecution.toRdd.count() },
+      // tokenizer fertility: 6 vocab-sized training aggregates (vocab
+      // saturates, so training cost flattens) + one linear encode pass
+      time("bpe_fertility_1x") {
+        val m = TextAnalysis.trainBpeMerges(docs1, "text", merges = 6).map(_._1)
+        docs1.select(col("doc_id"),
+            TextAnalysis.bpeTokenCount(col("text"), m).as("n_bpe"))
+          .groupBy(col("doc_id") % 20).agg(sum(col("n_bpe")))
+          .queryExecution.toRdd.count() },
+      time(s"bpe_fertility_${k}x") {
+        val m = TextAnalysis.trainBpeMerges(docsK, "text", merges = 6).map(_._1)
+        docsK.select(col("doc_id"),
+            TextAnalysis.bpeTokenCount(col("text"), m).as("n_bpe"))
+          .groupBy(col("doc_id") % 20).agg(sum(col("n_bpe")))
           .queryExecution.toRdd.count() }
     )
 
@@ -387,7 +431,8 @@ object ScaleSmoke {
         "epoch_pack", "asof_nearest", "curation_v2", "gopher_repetition",
         "pii_redact", "chunks_cover", "bigram_logprob",
         "source_report", "bigram_interp", "quality_trained",
-        "curation_v3").foreach { base =>
+        "curation_v3", "bm25_topk", "temperature_mix",
+        "bpe_fertility").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

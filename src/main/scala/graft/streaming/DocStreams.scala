@@ -127,4 +127,101 @@ object DocStreams {
     if (watermarkSeconds.isDefined) flagged.dropDuplicatesWithinWatermark(Seq("id"))
     else flagged.dropDuplicates(Seq("id"))
   }
+
+  /** Streaming BM25 decontamination gate — the live twin of
+    * [[graft.operators.Retrieval.bm25TopK]]'s retrieval side, turned
+    * into an ingest filter: as documents arrive, score each against a
+    * STATIC probe panel (benchmark eval questions, known-bad seeds)
+    * under BM25 statistics from a STATIC reference corpus, and emit
+    * (id, ts, probe_id, score_micro) for every doc whose best probe
+    * score reaches `minScoreMicro` — exactly once per id. Ties in the
+    * best score break to the smallest probe_id.
+    *
+    * One definition, both modes: on a static frame this is a plain
+    * map + filter; on a stream, pass `watermarkSeconds` so the
+    * exactly-once id suppression uses watermark-bounded state.
+    *
+    * Scale shape: everything the stream touches is MAP-ONLY — the
+    * probe panel's terms, their reference document frequencies, and
+    * the corpus length stats are collected ONCE at plan build (all
+    * KB-sized: an eval panel is tens of probes, not a workload) and
+    * baked into the scoring expression as literals, so each arriving
+    * doc is scored from its own bound token array with zero joins and
+    * zero aggregation state. The only stateful operator is the final
+    * per-id suppression. Scoring is the same fixed-order
+    * floor(term·1e6)-then-sum integer discipline as the batch
+    * operator (term tf from the arriving doc; idf and the dl
+    * normalizer from the reference corpus). For corpus-scale probe
+    * sets use the batch [[graft.operators.Retrieval.bm25TopK]] — a
+    * plan-literal panel is the streaming trade, not a general index.
+    */
+  def bm25GateStream(docs: DataFrame, corpus: DataFrame, probes: DataFrame,
+                     minScoreMicro: Long,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     probeIdCol: String = "probe_id",
+                     probeTermsCol: String = "terms",
+                     k1: Double = 1.2, b: Double = 0.75,
+                     tsCol: String = "ts",
+                     watermarkSeconds: Option[Long] = None): DataFrame = {
+    // plan-build-time reference statistics — all panel/KB-sized
+    val panel: Seq[(Long, Seq[String])] = probes
+      .select(col(probeIdCol).cast(LongType).as("pid"),
+        col(probeTermsCol).as("terms"))
+      .collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[String](1).distinct)
+    require(panel.nonEmpty, "probe panel must be non-empty")
+    require(panel.map(_._1).distinct.size == panel.size,
+      "probe ids must be unique")
+    val probeTerms = panel.flatMap(_._2).distinct
+    val corpusToks = corpus.select(
+      TextAnalysis.cleanTokens(col(textCol)).as("cts"))
+    val statsRow = corpusToks
+      .select(size(col("cts")).cast(LongType).as("dl"))
+      .agg(count(lit(1)), sum(col("dl"))).head()
+    val nDocs = statsRow.getLong(0)
+    require(nDocs > 0, "reference corpus must be non-empty")
+    val totalTokens = statsRow.getLong(1)
+    val dfMap: Map[String, Long] = corpusToks
+      .select(explode(array_distinct(col("cts"))).as("token"))
+      .filter(col("token").isin(probeTerms: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // one term's micro score from the arriving doc's bound token
+    // array; terms the reference never saw contribute 0 (no df -> no
+    // calibrated idf) rather than a made-up weight
+    def termScore(term: String): Column = dfMap.get(term) match {
+      case None => lit(0L)
+      case Some(df) =>
+        val idf = math.log(1.0 +
+          (nDocs.toDouble - df + 0.5) / (df.toDouble + 0.5))
+        val tf = size(filter(col("__ts"), t => t === lit(term)))
+          .cast(DoubleType)
+        floor(lit(idf) * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("__dl") * lit(nDocs.toDouble) /
+              lit(totalTokens.toDouble))) *
+          lit(1000000.0)).cast(LongType)
+    }
+
+    val withWm = watermarkSeconds.fold(docs)(w =>
+      docs.withWatermark(tsCol, s"$w seconds"))
+    val base = withWm.select(col(idCol).as("id"), col(tsCol).as("ts"),
+        TextAnalysis.cleanTokens(col(textCol)).as("__ts"))
+      .withColumn("__dl", size(col("__ts")).cast(DoubleType))
+    // best probe per doc: array_max over (score, -probe_id) structs —
+    // lexicographic struct order gives max score, ties to smallest id
+    val scoreStructs = panel.map { case (pid, terms) =>
+      struct(terms.map(termScore).reduce(_ + _).as("score_micro"),
+        lit(-pid).as("neg_probe"))
+    }
+    val flagged = base
+      .withColumn("__best", array_max(array(scoreStructs: _*)))
+      .select(col("id"), col("ts"),
+        (-col("__best.neg_probe")).as("probe_id"),
+        col("__best.score_micro").as("score_micro"))
+      .filter(col("score_micro") >= minScoreMicro)
+    if (watermarkSeconds.isDefined) flagged.dropDuplicatesWithinWatermark(Seq("id"))
+    else flagged.dropDuplicates(Seq("id"))
+  }
 }

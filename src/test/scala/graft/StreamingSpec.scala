@@ -186,6 +186,79 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming BM25 gate matches its batch twin and a JVM replay") {
+    import graft.streaming.DocStreams
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"),
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * 60000L).as("ts"),
+        col("text"))
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    // probe panel: first-4 tokens of three reference docs
+    val probes = corpus.filter(col("doc_id") % 100 === 1)
+      .limit(3)
+      .select(col("doc_id").as("probe_id"),
+        slice(split(trim(col("text")), "\\s+"), 1, 4).as("terms"))
+    // independent JVM replay of the gate's scoring (same fixed-order
+    // double math from plain Scala), to pick a threshold that splits
+    // the delta AND to check every emitted (probe, score) pair
+    val corpusToks = corpus.select("text").collect()
+      .map(_.getString(0).trim.split("\\s+").toSeq.filter(_.nonEmpty))
+    val nDocs = corpusToks.length.toLong
+    val total = corpusToks.map(_.size.toLong).sum
+    val dfm = corpusToks.flatMap(_.distinct).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val panel = probes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).distinct).toSeq
+    assert(panel.size === 3)
+    def replay(text: String): (Long, Long) = {
+      val ts = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      val dl = ts.size.toDouble
+      val best = panel.map { case (pid, terms) =>
+        val s = terms.map { term =>
+          dfm.get(term).fold(0L) { df =>
+            val idf = math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df.toDouble + 0.5))
+            val tf = ts.count(_ == term).toDouble
+            math.floor(idf * (tf * (1.2 + 1.0)) /
+              (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl * nDocs.toDouble / total.toDouble)) *
+              1000000.0).toLong
+          }
+        }.sum
+        (s, -pid)
+      }.max
+      (-best._2, best._1)
+    }
+    val deltaRows = delta.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val scores = deltaRows.map { case (id, t) => id -> replay(t) }.toMap
+    val cut = scores.values.map(_._2).toSeq.sorted.apply(scores.size / 2)
+    val expect = scores.filter { case (_, (_, s)) => s >= cut }
+    assert(expect.nonEmpty && expect.size < scores.size,
+      "threshold must split the delta")
+    // batch twin
+    val batchGot = DocStreams.bm25GateStream(delta, corpus, probes,
+        minScoreMicro = cut)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(batchGot === expect)
+    // streaming run over the same delta
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25gate").toString
+    delta.coalesce(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val q = DocStreams.bm25GateStream(stream, corpus, probes,
+        minScoreMicro = cut, watermarkSeconds = Some(7200))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bm25gate").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("select id, probe_id, score_micro from bm25gate")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      assert(streamed.length === streamed.map(_._1).distinct.length,
+        "gate must emit each flagged id exactly once")
+      assert(streamed.toMap === expect)
+    } finally q.stop()
+  }
+
   test("sliding windows double-count each event exactly windowLen/slide times") {
     val sliding = EventStreams.windowedAgg(events, "2 hours", Some("1 hour"))
     val total = sliding.agg(sum("n")).head().getLong(0)
