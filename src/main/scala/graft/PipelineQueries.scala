@@ -1163,6 +1163,29 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- the BM25 decontamination gate's BATCH twin as an oracle
+    //      row (the streaming mode itself is not oracle-checkable;
+    //      this pins the scoring semantics both modes share): delta =
+    //      every 5th doc, reference = the rest, probes = first-4
+    //      tokens of every 200th reference doc; flag best-probe
+    //      scores >= 1.3 (micro) — a threshold that splits the delta
+    //      at every sf ----
+    "text_bm25_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val delta = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("ts", timestamp_millis(lit(1700000000000L) +
+          col("doc_id") * 60000L))
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val probes = docs
+        .filter(col("doc_id") % 200 === 1 && col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("probe_id"),
+          slice(TextAnalysis.cleanTokens(col("text")), 1, 4).as("terms"))
+      graft.streaming.DocStreams.bm25GateStream(delta, corpus, probes,
+          minScoreMicro = 1300000L)
+        .select(col("id"), col("probe_id"), col("score_micro"))
+        .orderBy(col("id"))
+    }),
+
     // ---- per-probe retrieval diagnostics over the same BM25 run:
     //      fill depth, rank-1 score, rank-1/rank-k spread ----
     "text_bm25_diag" -> ((s, d) => {
@@ -1556,6 +1579,46 @@ object PipelineQueries {
          SELECT query_id, rank, doc_id, score_micro, n_terms FROM ranked WHERE rank <= 10)"""
 
   val oracleSql: Map[String, String] = Map(
+    "text_bm25_gate" ->
+      """WITH ctoks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
+           FROM documents WHERE doc_id % 5 <> 0),
+         stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(ts)) AS BIGINT) AS total_tokens FROM ctoks),
+         cdf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+           FROM (SELECT DISTINCT doc_id, unnest(ts) AS token FROM ctoks) GROUP BY token),
+         probes AS (
+           SELECT doc_id AS probe_id,
+             list_slice(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''), 1, 4) AS terms
+           FROM documents WHERE doc_id % 200 = 1 AND doc_id % 5 <> 0),
+         pt AS (SELECT DISTINCT probe_id, unnest(terms) AS token FROM probes),
+         dtoks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
+           FROM documents WHERE doc_id % 5 = 0),
+         dterm AS (
+           SELECT d.doc_id, p.probe_id, p.token,
+             CAST(len(list_filter(d.ts, x -> x = p.token)) AS DOUBLE) AS tf,
+             CAST(len(d.ts) AS DOUBLE) AS dl
+           FROM dtoks d CROSS JOIN pt p),
+         term AS (
+           SELECT q.doc_id, q.probe_id,
+             CASE WHEN f.df IS NULL THEN 0
+               ELSE CAST(floor(
+                 ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.df + 0.5) / (CAST(f.df AS DOUBLE) + 0.5)) *
+                 (q.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+                 (q.tf + CAST(1.2 AS DOUBLE) * ((1.0 - CAST(0.75 AS DOUBLE)) +
+                   CAST(0.75 AS DOUBLE) * q.dl * s.n_docs / s.total_tokens)) *
+                 1000000.0) AS BIGINT) END AS ts_micro
+           FROM dterm q LEFT JOIN cdf f USING (token) CROSS JOIN stats s),
+         perprobe AS (
+           SELECT doc_id, probe_id, CAST(SUM(ts_micro) AS BIGINT) AS score_micro
+           FROM term GROUP BY 1, 2),
+         best AS (
+           SELECT doc_id AS id, probe_id, score_micro,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, probe_id) AS rk
+           FROM perprobe)
+         SELECT id, probe_id, score_micro FROM best
+         WHERE rk = 1 AND score_micro >= 1300000 ORDER BY id""",
     "text_bm25_topk" -> (bm25OracleCtes +
       "\n SELECT query_id, rank, doc_id, score_micro, n_terms FROM topk ORDER BY query_id, rank"),
     "text_bm25_diag" -> (bm25OracleCtes +

@@ -185,6 +185,23 @@ object PlanDump {
         "self-join on (band, bucket), the closure's bounded edge set, and " +
         "the per-shard pack windows — no new Exchange was introduced by " +
         "the composition itself."),
+    "text_bm25_topk" ->
+      ("Inverted-index retrieval as joins: the corpus reduces once to " +
+        "(doc, term) frequencies with map-side partials; the probe panel's " +
+        "term table (with its restricted df counts) meets the tf table as a " +
+        "BroadcastHashJoin, so docs sharing no probe term are dropped at " +
+        "the scan side of the candidate gate; the only other corpus-keyed " +
+        "exchange attaches per-doc lengths. Per-term scores floor to longs " +
+        "BEFORE the per-doc sum (order-independent), the top-k window is " +
+        "partitioned by query_id. Never queries x docs."),
+    "q_temperature_mix" ->
+      ("Sqrt-temperature sampling: one map-side-combined count aggregate " +
+        "produces the source-sized rate card (floor(sqrt(n)) weights, " +
+        "integer-division targets), which broadcasts back; the corpus's " +
+        "only shuffle is the per-source seeded-hash-order window that " +
+        "implements the EXACT take. Same window class as " +
+        "tokenBudgetCuration — salt or pre-thin a pathological hot " +
+        "source."),
     "text_dsir_weights" ->
       ("Per-doc bucket histograms are computed IN-ROW by the native " +
         "one-pass ShingleBucketCounts expression (hash every shingle " +

@@ -229,6 +229,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"token stream shuffled by token:\n$p")
   }
 
+  test("bm25TopK: probe gate broadcasts into the tf table, top-k window per query") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val probes = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(trim(col("text")), "\\s+"), 1, 5).as("qterms"))
+    val df = graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+      probes, "query_id", "qterms", k = 10)
+    val p = plan(df)
+    // the candidate gate (panel terms x tf) and the single-row stats
+    // must broadcast; a token-keyed sort-merge join would shuffle the
+    // whole tf table to meet a panel-sized probe list
+    assert(p.contains("BroadcastHashJoin"), s"probe gate must broadcast:\n$p")
+    assert(countOccurrences(p, "SortMergeJoin") <= 1,
+      s"only the doc-length attach may sort-merge:\n$p")
+    // top-k is a per-query window, never a global sort of all candidates
+    val wins = allWindows(df.queryExecution.sparkPlan)
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "top-k window must be partitioned by query_id")
+  }
+
+  test("temperatureMixSqrt: rate card broadcasts; the exact take is one per-source window") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+    val df = Frames.temperatureMixSqrt(docs, "source", "doc_id")
+    val p = plan(df)
+    // the source-sized rate card must broadcast back — a source-keyed
+    // sort-merge join would shuffle the corpus twice (join + window)
+    assert(p.contains("BroadcastHashJoin"), s"rate card must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled to meet the card:\n$p")
+    val wins = allWindows(df.queryExecution.sparkPlan)
+    assert(wins.size === 1 && wins.head.partitionSpec.nonEmpty,
+      "exact take must be exactly one per-source window")
+  }
+
   test("perplexityBuckets: tercile cutoffs broadcast back to the scored stream") {
     val docs = Tables.table(spark, TestSpark.sfDir, "documents")
     val p = plan(graft.operators.TextAnalysis.perplexityBuckets(
