@@ -1163,6 +1163,23 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- MMR diversified re-rank: brute-force top-20 shortlist per
+    //      panel query, then greedy lambda=0.7 relevance-vs-redundancy
+    //      selection of 5 — one bounded fold per query, ties to the
+    //      smallest id; the oracle replays the greedy rounds stage by
+    //      stage (cosine bit-matches list_cosine_similarity) ----
+    "sim_mmr_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val sl = Similarity.bruteForceTopK(emb, queries, k = 20)
+        .select(col("query_id"), col("id"), col("cos").as("rel"))
+      val cands = sl.join(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        Seq("id"))
+      Retrieval.mmrRerank(cands, k = 5, lambda = 0.7)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- the BM25 decontamination gate's BATCH twin as an oracle
     //      row (the streaming mode itself is not oracle-checkable;
     //      this pins the scoring semantics both modes share): delta =
@@ -1536,6 +1553,56 @@ object PipelineQueries {
        FROM agg ORDER BY source"""
   }
 
+  /** MMR greedy selection unrolled to `k` stages (the same unrolling
+    * idiom as the BPE merge rounds): stage i scores every not-yet-
+    * selected candidate as lambda·rel − (1−lambda)·max cosine to the
+    * union of stages 1..i−1, then picks the (mmr desc, id asc)
+    * argmax per query. Shortlist = brute-force top-`n` per panel
+    * query; cosine is DuckDB's list_cosine_similarity, which
+    * bit-matches the native expression.
+    */
+  private def mmrOracleSql(k: Int, n: Int): String = {
+    val lam = "CAST(0.7 AS DOUBLE)"
+    // CAST(... AS DOUBLE[]) everywhere: on FLOAT lists DuckDB
+    // accumulates in float32 (~2e-8 off); on DOUBLE lists it
+    // bit-matches the native expression's float->double loop
+    val init = s"""WITH cand AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS id,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS rel,
+           CAST(b.embedding AS DOUBLE[]) AS vec
+         FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         WHERE a.vec_id % 50 = 0
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= $n)"""
+    val stages = (1 to k).map { i =>
+      if (i == 1)
+        s""",
+         s1 AS (SELECT query_id, id, rel, vec,
+             $lam * rel - (1.0 - $lam) * 0.0 AS mmr FROM cand),
+         pick1 AS (SELECT query_id, id, rel, vec, mmr FROM s1
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, id) = 1)"""
+      else {
+        val prev = (1 until i).map(j =>
+          s"SELECT query_id, id, vec FROM pick$j").mkString(" UNION ALL ")
+        s""",
+         prev$i AS ($prev),
+         s$i AS (SELECT c.query_id, c.id, c.rel, c.vec,
+             $lam * c.rel - (1.0 - $lam) *
+               (SELECT MAX(list_cosine_similarity(c.vec, p.vec)) FROM prev$i p
+                WHERE p.query_id = c.query_id) AS mmr
+           FROM cand c
+           WHERE NOT EXISTS (SELECT 1 FROM prev$i p2
+             WHERE p2.query_id = c.query_id AND p2.id = c.id)),
+         pick$i AS (SELECT query_id, id, rel, vec, mmr FROM s$i
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, id) = 1)"""
+      }
+    }.mkString
+    val sel = (1 to k).map(i =>
+      s"SELECT query_id, $i AS rank, id, rel, mmr FROM pick$i")
+      .mkString("\n UNION ALL ")
+    s"$init$stages\n SELECT query_id, rank, id, rel, mmr FROM ($sel) ORDER BY query_id, rank"
+  }
+
   /** Shared CTE chain for the BM25 oracles: tf/dl/stats/dfreq from
     * the whitespace tokenizer, the every-50th-doc first-5-token
     * probe panel, per-term micro scores in the exact operation order
@@ -1579,6 +1646,7 @@ object PipelineQueries {
          SELECT query_id, rank, doc_id, score_micro, n_terms FROM ranked WHERE rank <= 10)"""
 
   val oracleSql: Map[String, String] = Map(
+    "sim_mmr_rerank" -> mmrOracleSql(5, 20),
     "text_bm25_gate" ->
       """WITH ctoks AS (
            SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts

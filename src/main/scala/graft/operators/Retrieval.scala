@@ -95,6 +95,71 @@ object Retrieval {
         col("score_micro"), col("n_terms"))
   }
 
+  /** Maximal-marginal-relevance re-rank: from each query's candidate
+    * shortlist, greedily select `k` results that trade relevance
+    * against redundancy — pick argmax of
+    * `lambda·rel − (1−lambda)·max_sim_to_already_selected`, ties to
+    * the smallest id. The standard diversity pass between ANN
+    * retrieval and consumption (dedup-aware context selection, "don't
+    * return five near-copies of the same document").
+    *
+    * `cands` needs (query_id, id, rel: double, vec: array<float>) —
+    * a top-N shortlist with vectors attached. Output: (query_id,
+    * rank 1..k, id, rel, mmr).
+    *
+    * Scale shape: greedy selection is inherently sequential IN k, so
+    * it runs where the data is — one shuffle groups each query's
+    * shortlist into an array (N structs; panel-sized output), and the
+    * whole k-round selection is a single bounded fold over that array
+    * (O(k·N·k·dim) per query, all inside codegen-able HOFs — never a
+    * driver loop, never an iterative join). The accumulator holds
+    * VALUES (selected structs), not captured expression chains, so
+    * the HOF re-evaluation trap documented on gopher_repetition does
+    * not apply. Cross-engine: rel and the pairwise sims come from the
+    * native cosine (bit-matches DuckDB's list_cosine_similarity), and
+    * the mixing arithmetic is fixed-order over those — the oracle
+    * replays the greedy rounds stage by stage.
+    */
+  def mmrRerank(cands: DataFrame, k: Int, lambda: Double = 0.7): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val grouped = cands.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("id"), col("rel"), col("vec"))).as("cs"))
+    val emptySel = expr(
+      "cast(array() as array<struct<id:bigint,rel:double,mmr:double,vec:array<float>>>)")
+    val selected = aggregate(
+      sequence(lit(1), lit(k)),
+      struct(emptySel.as("sel"), col("cs").as("rem")),
+      (acc, _) => {
+        val sel = acc.getField("sel")
+        val rem = acc.getField("rem")
+        // score every remaining candidate against the CURRENT selected
+        // set; (mmr, -id) makes array_max a total argmax with ties to
+        // the smallest id
+        val scored = transform(rem, c => struct(
+          (lit(lambda) * c.getField("rel") -
+            lit(1.0 - lambda) * coalesce(
+              array_max(transform(sel, s =>
+                Similarity.cosine(c.getField("vec"), s.getField("vec")))),
+              lit(0.0))).as("mmr"),
+          (-c.getField("id")).as("negid"),
+          c.as("c")))
+        val best = array_max(scored)
+        val bc = best.getField("c")
+        when(size(rem) === 0, acc).otherwise(struct(
+          concat(sel, array(struct(
+            bc.getField("id").as("id"),
+            bc.getField("rel").as("rel"),
+            best.getField("mmr").as("mmr"),
+            bc.getField("vec").as("vec")))).as("sel"),
+          filter(rem, r =>
+            r.getField("id") =!= bc.getField("id")).as("rem")))
+      }).getField("sel")
+    grouped.select(col("query_id"), posexplode(selected).as(Seq("p", "s")))
+      .select(col("query_id"), (col("p") + 1).cast(IntegerType).as("rank"),
+        col("s.id").as("id"), col("s.rel").as("rel"), col("s.mmr").as("mmr"))
+  }
+
   /** Per-query retrieval diagnostics over a BM25 result: how many of
     * the probe's terms matched the top-ranked document, the score
     * spread between rank 1 and rank k (collapse = ambiguous probe),

@@ -117,6 +117,72 @@ class RetrievalSpec extends AnyFunSuite {
     assert(score1(pRare) > score1(pCommon))
   }
 
+  test("mmrRerank matches an independent JVM replay of the greedy rounds") {
+    import graft.operators.Similarity
+    val emb = Tables.table(spark, TestSpark.sfDir, "embeddings").limit(200)
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+    val sl = Similarity.bruteForceTopK(emb, queries, k = 15)
+      .select(col("query_id"), col("id"), col("cos").as("rel"))
+    val cands = sl.join(
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")), Seq("id"))
+    val got = Retrieval.mmrRerank(cands, k = 4, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // plain-Scala replay with the same double ops
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.zip(b).foreach { case (x0, y0) =>
+        val x = x0.toDouble; val y = y0.toDouble
+        dot += x * y; na += x * x; nb += y * y }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val raw = cands.collect().map(r => (r.getLong(1), r.getLong(0),
+      r.getDouble(2), r.getSeq[Float](3)))
+    val want = raw.groupBy(_._1).flatMap { case (q, cs) =>
+      var rem = cs.map(c => (c._2, c._3, c._4)).toList
+      var sel = List.empty[(Long, Double, Double, Seq[Float])]
+      (1 to 4).flatMap { rank =>
+        if (rem.isEmpty) Nil else {
+          val scored = rem.map { case (id, rel, v) =>
+            val maxSim = if (sel.isEmpty) 0.0
+              else sel.map(s => cos(v, s._4)).max
+            (0.7 * rel - (1.0 - 0.7) * maxSim, -id, (id, rel, v))
+          }
+          val best = scored.maxBy(s => (s._1, s._2))
+          sel = sel :+ (best._3._1, best._3._2, best._1, best._3._3)
+          rem = rem.filterNot(_._1 == best._3._1)
+          Seq((q, rank) -> (best._3._1, best._3._2, best._1))
+        }
+      }
+    }
+    assert(got.keySet === want.keySet)
+    got.foreach { case (key, v) => assert(v === want(key), s"at $key") }
+  }
+
+  test("mmrRerank prefers a diverse candidate over a redundant near-copy") {
+    // query-relative: two near-identical high-rel candidates, one
+    // moderately relevant orthogonal candidate. Pure relevance ranks
+    // the twins 1-2; MMR must interleave the diverse one at rank 2.
+    val v1 = Seq(1.0f, 0.0f, 0.0f)
+    val v1b = Seq(0.999f, 0.001f, 0.0f)
+    val v2 = Seq(0.0f, 1.0f, 0.0f)
+    val cands = Seq(
+      (7L, 1L, 0.95, v1), (7L, 2L, 0.94, v1b), (7L, 3L, 0.60, v2))
+      .toDF("query_id", "id", "rel", "vec")
+    val out = Retrieval.mmrRerank(cands, k = 3, lambda = 0.5)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(out === Seq(1L, 3L, 2L))
+  }
+
+  test("mmrRerank handles shortlists smaller than k without nulls") {
+    val cands = Seq((1L, 10L, 0.9, Seq(1.0f, 0.0f)),
+                    (1L, 11L, 0.8, Seq(0.0f, 1.0f)))
+      .toDF("query_id", "id", "rel", "vec")
+    val rows = Retrieval.mmrRerank(cands, k = 5).collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getInt(1)).sorted.toSeq === Seq(1, 2))
+  }
+
   test("bm25QueryDiagnostics summarizes depth, best and spread") {
     val docs = docsDf.limit(100).select("doc_id", "text")
     val probes = docs.filter(col("doc_id") % 25 === 0)
