@@ -727,6 +727,33 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     }),
 
+    // ---- scalar-quantized (int8) ANN: code-space integer cosine
+    //      shortlist (4x cheaper scan than float brute force) + exact
+    //      re-rank — the memory-bandwidth tier between brute force
+    //      and PQ. Every shortlist operand is an exact integer, so
+    //      the oracle replays quantization, the int-dot ranking and
+    //      the re-rank bit-for-bit ----
+    "sim_topk_sq8" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.sqTopK(e.repartition(s.sparkContext.defaultParallelism), e,
+          k = 1, shortlist = Similarity.suggestedShortlist(e.count(), 1))
+        .select(col("query_id"), col("id").as("nn_id"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ---- recall@10 for the SQ8 index vs exact truth — completes the
+    //      recall tuning matrix (IVF / LSH / PQ / IVF-PQ / SQ8) ----
+    "sim_recall_sq8" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val truth = Similarity.bruteForceTopK(
+          e.repartition(s.sparkContext.defaultParallelism), e, k = 10)
+        .select(col("query_id"), col("id").as("nn_id"))
+      val approx = Similarity.sqTopK(e, e, k = 10,
+          shortlist = Similarity.suggestedShortlist(e.count(), 10))
+        .select(col("query_id"), col("id").as("nn_id"))
+      Similarity.recallReport(truth, approx)
+    }),
+
     // ---- embedding ops: norms (sequential IEEE fold — identical in
     //      the oracle's list_reduce), exact quantized mean-pool
     //      centroids, int8 quantization ----
@@ -2072,6 +2099,94 @@ object PipelineQueries {
            CASE WHEN n_cand = 0 THEN NULL
                 ELSE n_matched * 1000000 // n_cand END AS precision_micro
          FROM n""",
+    "sim_topk_sq8" ->
+      """WITH z AS (
+           SELECT vec_id,
+             127.0 / NULLIF(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         cz AS (
+           SELECT vec_id,
+             CASE WHEN scale IS NULL THEN list_transform(v, x -> 0.0)
+               ELSE list_transform(v, x -> CAST(greatest(-127, least(127,
+                 CAST(floor(x * scale + 0.5) AS BIGINT))) AS DOUBLE)) END AS cd
+           FROM z),
+         n AS (SELECT vec_id, cd, list_dot_product(cd, cd) AS nsq FROM cz),
+         sc AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS id,
+             CASE WHEN a.nsq = 0 OR b.nsq = 0 THEN -2.0
+               ELSE list_dot_product(a.cd, b.cd) / sqrt(a.nsq * b.nsq)
+             END AS code_cos
+           FROM n a JOIN n b ON b.vec_id <> a.vec_id),
+         short AS (
+           SELECT query_id, id FROM (
+             SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY code_cos DESC, id) AS rk
+             FROM sc)
+           WHERE rk <= (SELECT greatest(4, CAST(ceil(2.0 *
+             sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) FROM embeddings)),
+         rr AS (
+           SELECT s.query_id, s.id,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC,
+                 s.id) AS rk
+           FROM short s
+           JOIN embeddings qe ON qe.vec_id = s.query_id
+           JOIN embeddings ce ON ce.vec_id = s.id)
+         SELECT query_id, id AS nn_id FROM rr WHERE rk = 1 ORDER BY query_id""",
+    "sim_recall_sq8" ->
+      """WITH z AS (
+           SELECT vec_id,
+             127.0 / NULLIF(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         cz AS (
+           SELECT vec_id,
+             CASE WHEN scale IS NULL THEN list_transform(v, x -> 0.0)
+               ELSE list_transform(v, x -> CAST(greatest(-127, least(127,
+                 CAST(floor(x * scale + 0.5) AS BIGINT))) AS DOUBLE)) END AS cd
+           FROM z),
+         n AS (SELECT vec_id, cd, list_dot_product(cd, cd) AS nsq FROM cz),
+         sc AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS id,
+             CASE WHEN a.nsq = 0 OR b.nsq = 0 THEN -2.0
+               ELSE list_dot_product(a.cd, b.cd) / sqrt(a.nsq * b.nsq)
+             END AS code_cos
+           FROM n a JOIN n b ON b.vec_id <> a.vec_id),
+         short AS (
+           SELECT query_id, id FROM (
+             SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY code_cos DESC, id) AS rk
+             FROM sc)
+           WHERE rk <= (SELECT greatest(40, CAST(ceil(2.0 *
+             sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) FROM embeddings)),
+         rr AS (
+           SELECT s.query_id, s.id,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC,
+                 s.id) AS rk
+           FROM short s
+           JOIN embeddings qe ON qe.vec_id = s.query_id
+           JOIN embeddings ce ON ce.vec_id = s.id),
+         sq AS (SELECT query_id, id AS nn_id FROM rr WHERE rk <= 10),
+         bf0 AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                 b.vec_id) AS rk
+           FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+         bf AS (SELECT query_id, nn_id FROM bf0 WHERE rk <= 10),
+         m AS (SELECT count(*) AS n_matched
+               FROM bf JOIN sq USING (query_id, nn_id)),
+         tq AS (SELECT count(*) AS n_truth FROM bf)
+         SELECT CAST(tq.n_truth AS BIGINT) AS n_truth,
+           CAST(m.n_matched AS BIGINT) AS n_matched,
+           CAST(m.n_matched * 1000000 // tq.n_truth AS BIGINT) AS recall_micro
+         FROM tq, m""",
     "sim_topk_bruteforce" ->
       """SELECT a.vec_id AS query_id,
            (SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> a.vec_id

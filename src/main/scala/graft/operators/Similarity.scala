@@ -669,6 +669,59 @@ object Similarity {
     topKPerKey(scored, k)
   }
 
+  /** Scalar-quantized (int8) ANN: the memory-bandwidth tier between
+    * full-precision brute force and PQ. Corpus AND query vectors are
+    * symmetric-int8 quantized ([[Embeddings.quantizeInt8]] — 4x
+    * smaller than float32, the codes column is what a deployed index
+    * keeps hot); candidates are ranked by CODE-SPACE cosine
+    *   int_dot(q_codes, c_codes) / sqrt(|q_codes|^2 * |c_codes|^2)
+    * — every operand an exact integer (|codes|^2 <= 127^2*dim ~ 2^20,
+    * products < 2^41: no overflow, and the one IEEE divide/sqrt over
+    * integer operands is bit-portable, so an external SQL engine
+    * replays the shortlist ranking exactly). The `shortlist` best
+    * code-space candidates per query are then re-scored with exact
+    * float cosine on the full vectors ([[exactRerank]] — an equi-join
+    * touching only queries x shortlist rows).
+    *
+    * Zero vectors quantize to all-zero codes (null scale); their
+    * code norm is 0 and the guard pins their score to -2.0 (below
+    * any cosine) on both engines instead of NULL/NaN ordering skew.
+    *
+    * Scale shape: quantization is map-only; the scoring join is
+    * broadcast-nested-loop over the CODES (the int8 scan is ~4x
+    * cheaper than the float scan brute force pays, the classic
+    * SQ speedup); the exact re-rank touches a vanishing fraction.
+    * Self-ANN over a whole corpus stays quadratic in candidates by
+    * construction — at corpus scale bound candidates first with IVF
+    * cells (compose like [[ivfPqTopK]]) and keep this as the
+    * within-cell scorer.
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             excludeSelf: Boolean = true): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    def codeNormSq(codes: Column): Column =
+      aggregate(codes, lit(0L), (a, c) =>
+        a + c.cast(LongType) * c.cast(LongType))
+    val c = Embeddings.quantizeInt8(corpus, vecCol)
+      .select(col(idCol).as("id"), col("codes").as("cc"),
+        codeNormSq(col("codes")).as("nc"))
+    val q = broadcast(Embeddings.quantizeInt8(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("codes").as("qc"),
+        codeNormSq(col("codes")).as("nq")))
+    val joined = c.join(q,
+      if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+    val intDot = aggregate(
+      zip_with(col("qc"), col("cc"), (a, b) => a.cast(LongType) * b.cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+    val scored = joined.select(col("query_id"), col("id"),
+      when(col("nq") === 0L || col("nc") === 0L, lit(-2.0))
+        .otherwise(intDot.cast(DoubleType) /
+          sqrt((col("nq") * col("nc")).cast(DoubleType))).as("cos"))
+    val short = topKPerKey(scored, shortlist).select(col("query_id"), col("id"))
+    exactRerank(short, corpus, queries, k, idCol, vecCol)
+  }
+
   /** ANN recall evaluation harness — the tuning loop every deployed
     * approximate index needs: given the exact ground-truth neighbor
     * set (from [[bruteForceTopK]] on a sample) and an approximate

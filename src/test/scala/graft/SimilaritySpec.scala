@@ -60,6 +60,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pRecall > 0.3, s"portable top-1 recall $pRecall too low")
   }
 
+  test("sqTopK: full-corpus shortlist equals brute force exactly; suggested shortlist holds recall") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val n = e.count()
+    val exact = Similarity.bruteForceTopK(e, e, k = 1)
+      .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shortlist = whole corpus -> the exact re-rank sees every candidate,
+    // so SQ8 must reproduce brute force identically (quantization can
+    // only reorder the SHORTLIST, not the exact re-rank)
+    val full = Similarity.sqTopK(e, e, k = 1, shortlist = n.toInt)
+      .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full === exact, "full-shortlist SQ8 must equal brute force")
+    // production shortlist: int8 code-space ranking is a good cosine
+    // proxy, recall stays high
+    val sq = Similarity.sqTopK(e, e, k = 1,
+        shortlist = Similarity.suggestedShortlist(n, 1))
+      .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = exact.count { case (q, nn) => sq.get(q).contains(nn) }.toDouble / exact.size
+    assert(recall > 0.8, s"SQ8 top-1 recall $recall too low")
+  }
+
+  test("sqTopK: zero vectors rank last, never NaN-poison the ordering") {
+    import spark.implicits._
+    val dim = 4
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 0f, 0f)), (4L, Array(-1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.sqTopK(rows, rows, k = 3, shortlist = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // query 1: nearest is 2 (cos~1), then 3/4 below; the zero vector's
+    // guard (-2.0) keeps it out of the shortlist ahead of real negatives
+    val q1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(q1.head === 2L, s"query 1 nn must be 2, got ${q1.toSeq}")
+    assert(!out.exists(r => r._1 == 3L && r._3 == 3L), "self excluded")
+  }
+
   test("cosineNearDupPairs (LSH candidates) is a verified subset of exact pairs") {
     val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
