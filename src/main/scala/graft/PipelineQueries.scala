@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Embeddings, Frames, Retrieval, Similarity, Temporal, TextAnalysis, TextClean}
+import graft.operators.{Dedup, Embeddings, Frames, Layout, Retrieval, Similarity, Temporal, TextAnalysis, TextClean}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline operators (SURVEY.md §7.6 / north-star) as
@@ -313,6 +313,28 @@ object PipelineQueries {
           t(s, d, "documents").select(col("doc_id")), "doc_id", nShards = 8, seed = 42L)
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("doc_id"))),
+
+    // ---- Z-order (Morton) layout clustering: rank-bucket two
+    //      dimensions, interleave their bits, cluster on the key's
+    //      top bits — the lakehouse OPTIMIZE ZORDER shape that makes
+    //      parquet min/max stats prune scans on EITHER dimension.
+    //      Integer-exact end-to-end (long division + shift/mask), so
+    //      the oracle replays the curve bit-for-bit; the per-bucket
+    //      envelope (min/max of both dims) IS the pruning evidence:
+    //      each bucket covers a small rectangle, not a full-range
+    //      stripe ----
+    "q_zorder_layout" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .withColumn("ck", col("o_custkey").cast(LongType))
+        .withColumn("od", datediff(col("o_orderdate").cast(DateType),
+          lit("1970-01-01").cast(DateType)).cast(LongType))
+      Layout.zorderKeyed(o, col("ck"), col("od"), bits = 16, bucketBits = 6)
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
+          min(col("od")).as("min_od"), max(col("od")).as("max_od"))
+        .orderBy(col("zbucket"))
+    }),
 
     // ---- epoch assembly: deterministic shuffle THEN token-budget
     //      sequence packing in shuffled order — the reproducible
@@ -3297,6 +3319,32 @@ object PipelineQueries {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
          ORDER BY id_a, id_b""",
+    "q_zorder_layout" ->
+      """WITH base AS (
+           SELECT o_custkey AS ck,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS od
+           FROM orders),
+         b AS (
+           SELECT min(ck) AS min_a, max(ck) AS max_a,
+                  min(od) AS min_b, max(od) AS max_b
+           FROM base),
+         qz AS (
+           SELECT ck, od,
+             CASE WHEN max_a = min_a THEN 0
+               ELSE ((ck - min_a) * 65535) // (max_a - min_a) END AS qa,
+             CASE WHEN max_b = min_b THEN 0
+               ELSE ((od - min_b) * 65535) // (max_b - min_b) END AS qb
+           FROM base, b),
+         k AS (
+           SELECT ck, od,
+             CAST(list_sum(list_transform(range(0, 16),
+               i -> (((qa >> i) & 1) << (2*i)) + (((qb >> i) & 1) << (2*i+1))))
+             AS BIGINT) AS zkey
+           FROM qz)
+         SELECT zkey >> 26 AS zbucket, count(*) AS n_rows,
+           min(ck) AS min_ck, max(ck) AS max_ck,
+           min(od) AS min_od, max(od) AS max_od
+         FROM k GROUP BY 1 ORDER BY 1""",
     "q_shuffle_shards" ->
       """WITH h AS (
            SELECT doc_id,

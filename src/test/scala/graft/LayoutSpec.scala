@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, LongType}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Layout
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("mortonInterleave2 places a's bits even, b's bits odd") {
+    // a=0b101 (bits 0,2 set -> result bits 0,4), b=0b011 (bits 0,1 -> result bits 1,3)
+    val df = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.mortonInterleave2(col("a"), col("b"), 3).as("z"))
+    assert(df.head().getLong(0) === ((1L << 0) | (1L << 4) | (1L << 1) | (1L << 3)))
+    // identity corners: (0,0) -> 0; all-ones interleaves to all-ones
+    val corners = Seq((0L, 0L), (65535L, 65535L)).toDF("a", "b")
+      .select(Layout.mortonInterleave2(col("a"), col("b"), 16).as("z"))
+      .collect().map(_.getLong(0))
+    assert(corners(0) === 0L)
+    assert(corners(1) === (1L << 32) - 1)
+  }
+
+  test("quantizeLinear maps [min,max] onto [0, 2^bits) monotonically; constant column -> 0") {
+    val df = Seq(10L, 20L, 55L, 100L).toDF("x")
+      .select(Layout.quantizeLinear(col("x"), 10L, 100L, 8).as("q"))
+    val qs = df.collect().map(_.getLong(0))
+    assert(qs(0) === 0L && qs(3) === 255L)
+    assert(qs.sameElements(qs.sorted), "quantization must be monotone")
+    val const = Seq(7L, 7L).toDF("x")
+      .select(Layout.quantizeLinear(col("x"), 7L, 7L, 8).as("q"))
+      .collect().map(_.getLong(0))
+    assert(const.forall(_ === 0L))
+  }
+
+  test("zorderKeyed buckets are small rectangles, not full-range stripes") {
+    val o = Tables.table(spark, TestSpark.sfDir, "orders")
+      .withColumn("ck", col("o_custkey").cast(LongType))
+      .withColumn("od", datediff(col("o_orderdate").cast(DateType),
+        lit("1970-01-01").cast(DateType)).cast(LongType))
+    val keyed = Layout.zorderKeyed(o, col("ck"), col("od"), bits = 16, bucketBits = 6)
+    val g = o.agg(max("ck") - min("ck"), max("od") - min("od")).head()
+    val (spanCk, spanOd) = (g.getLong(0).toDouble, g.getLong(1).toDouble)
+    val env = keyed.groupBy("zbucket")
+      .agg(((max("ck") - min("ck")) / spanCk).as("fck"),
+           ((max("od") - min("od")) / spanOd).as("fod"),
+           count(lit(1)).as("n"))
+      .filter(col("n") >= 5) // tiny buckets trivially have tiny spans
+      .collect()
+    assert(env.length > 10, s"expected many populated buckets, got ${env.length}")
+    val meanFck = env.map(_.getDouble(1)).sum / env.length
+    val meanFod = env.map(_.getDouble(2)).sum / env.length
+    // 6 top bits = 3 bits per dim = an 8x8 grid: each bucket should
+    // cover ~1/8 of EITHER dimension, not a full-range stripe. A
+    // single-column range layout would put ~1.0 on the other dim.
+    assert(meanFck < 0.3, s"custkey envelope fraction $meanFck too wide")
+    assert(meanFod < 0.3, s"orderdate envelope fraction $meanFod too wide")
+  }
+
+  test("writeZOrdered produces files whose min/max footers prune on both dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    try {
+      val o = Tables.table(spark, TestSpark.sfDir, "orders")
+        .withColumn("ck", col("o_custkey").cast(LongType))
+        .withColumn("od", datediff(col("o_orderdate").cast(DateType),
+          lit("1970-01-01").cast(DateType)).cast(LongType))
+      Layout.writeZOrdered(o, dir, col("ck"), col("od"), numFiles = 16)
+      val back = spark.read.parquet(dir)
+      assert(back.count() === o.count(), "clustering must not lose rows")
+      assert(!back.columns.contains("zkey"), "internal key dropped")
+      val g = o.agg(min("ck"), max("ck"), min("od"), max("od")).head()
+      val (spanCk, spanOd) =
+        ((g.getLong(1) - g.getLong(0)).toDouble, (g.getLong(3) - g.getLong(2)).toDouble)
+      val perFile = back
+        .groupBy(input_file_name().as("f"))
+        .agg(((max("ck") - min("ck")) / spanCk).as("fck"),
+             ((max("od") - min("od")) / spanOd).as("fod"))
+        .collect()
+      assert(perFile.length > 4, s"expected several files, got ${perFile.length}")
+      val meanFck = perFile.map(_.getDouble(1)).sum / perFile.length
+      val meanFod = perFile.map(_.getDouble(2)).sum / perFile.length
+      // the whole point: a reader filtering ck (or od) to a point can
+      // prune most files from footer stats alone. Unclustered writes
+      // measure ~1.0 on both.
+      assert(meanFck < 0.5, s"per-file custkey envelope $meanFck too wide")
+      assert(meanFod < 0.5, s"per-file orderdate envelope $meanFod too wide")
+    } finally {
+      val p = java.nio.file.Paths.get(dir)
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+}
