@@ -1479,6 +1479,18 @@ object PipelineQueries {
           "source", "lang", TextAnalysis.demoQualityWeights(256))
         .orderBy(col("source"))),
 
+    // ---- per-source distribution DRIFT: Jensen–Shannon divergence
+    //      of each source's term distribution vs the whole corpus
+    //      over the top-256 terms + a <rest> bucket — integer counts
+    //      end-to-end, per-term micro-quantized contributions summed
+    //      as longs (no cross-row float accumulation); the oracle
+    //      replays histogram, top-K tie-break, zero-fill grid and
+    //      the JS op tree exactly ----
+    "text_source_drift" -> ((s, d) =>
+      TextAnalysis.sourceTermDrift(t(s, d, "documents"), "source", "text",
+          topK = 256)
+        .orderBy(col("source"))),
+
     // ---- leakage-safe train/val split: near-dup CLUSTERS assigned
     //      to splits via the portable hash of the cluster canonical,
     //      so no near-dup pair straddles the eval boundary; oracle
@@ -4382,6 +4394,53 @@ object PipelineQueries {
            tp * 1000000 // n_pos AS recall_micro,
            2 * tp * 1000000 // (n_pred_pos + n_pos) AS f1_micro
          FROM agg ORDER BY threshold""",
+    "text_source_drift" ->
+      """WITH toks AS (
+           SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (
+           SELECT source, term, COUNT(*) AS c_s FROM toks
+           WHERE term <> '' GROUP BY 1, 2),
+         ct AS (SELECT term, CAST(SUM(c_s) AS BIGINT) AS c_c FROM tf GROUP BY 1),
+         top AS (
+           SELECT term, c_c FROM (
+             SELECT term, c_c,
+               ROW_NUMBER() OVER (ORDER BY c_c DESC, term) AS rk
+             FROM ct) WHERE rk <= 256),
+         tot AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s FROM tf GROUP BY 1),
+         nc AS (SELECT CAST(SUM(c_c) AS BIGINT) AS n_c FROM ct),
+         stc AS (SELECT CAST(SUM(c_c) AS BIGINT) AS s_top_c FROM top),
+         grid AS (
+           SELECT t.source, t.n_s, p.term, p.c_c,
+             CAST(COALESCE(tf.c_s, 0) AS BIGINT) AS c_s
+           FROM tot t CROSS JOIN top p
+           LEFT JOIN tf ON tf.source = t.source AND tf.term = p.term),
+         tops AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS top_s
+                  FROM grid GROUP BY 1),
+         rest AS (
+           SELECT t.source, t.n_s, '<rest>' AS term,
+             nc.n_c - stc.s_top_c AS c_c, t.n_s - tops.top_s AS c_s
+           FROM tot t JOIN tops ON tops.source = t.source, nc, stc),
+         allr AS (
+           SELECT source, n_s, term, c_c, c_s FROM grid
+           UNION ALL
+           SELECT source, n_s, term, c_c, c_s FROM rest),
+         js AS (
+           SELECT source, n_s,
+             CAST(floor((
+               (CASE WHEN c_s = 0 THEN 0.0 ELSE
+                 (0.5 * (CAST(c_s AS DOUBLE) / CAST(n_s AS DOUBLE))) *
+                 ln(CAST(2 * c_s * nc.n_c AS DOUBLE) /
+                    CAST(c_s * nc.n_c + c_c * n_s AS DOUBLE)) END)
+             + (CASE WHEN c_c = 0 THEN 0.0 ELSE
+                 (0.5 * (CAST(c_c AS DOUBLE) / CAST(nc.n_c AS DOUBLE))) *
+                 ln(CAST(2 * c_c * n_s AS DOUBLE) /
+                    CAST(c_s * nc.n_c + c_c * n_s AS DOUBLE)) END)
+             ) * 1000000.0) AS BIGINT) AS js_t
+           FROM allr, nc)
+         SELECT source, n_s AS n_tokens, CAST(SUM(js_t) AS BIGINT) AS js_micro
+         FROM js GROUP BY 1, 2 ORDER BY source""",
     "text_source_report" ->
       """WITH w AS (
            SELECT list_transform(range(0, 256),

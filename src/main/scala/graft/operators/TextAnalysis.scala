@@ -1198,6 +1198,84 @@ object TextAnalysis {
         countDistinct(col("lang")).as("n_langs"))
   }
 
+  /** Per-source distribution-drift card: Jensen–Shannon divergence of
+    * each source's term distribution against the whole corpus — the
+    * monitoring signal that catches a crawler change, an encoding
+    * bug, or a source going spammy BEFORE it contaminates a training
+    * mix (corpus snapshots drift; JS is the symmetric, bounded
+    * [0, ln 2] comparison standard practice reaches for).
+    *
+    * The divergence runs over the corpus's `topK` terms plus one
+    * aggregate `<rest>` bucket — the standard bounded-vocabulary
+    * drift formulation: it caps the per-source comparison at K+1
+    * integer count pairs, which is what makes the card both cheap
+    * and replayable. All distributions stay exact integer counts;
+    * every float is derived per ROW from exact integers with a fixed
+    * op tree — per-term contributions are quantized to floor(·1e6)
+    * micro-units and summed as longs, so no cross-row float
+    * accumulation exists anywhere (the one thing that can never be
+    * made engine-portable). Per-term algebra avoids materializing
+    * m = (p+q)/2: p/m = 2·c_s·n_c / (c_s·n_c + c_c·n_s) — an exact
+    * integer ratio (bound: n_s·n_c < 2^53; at genuine 100 TB token
+    * counts run the card on a sampled panel, which is how drift is
+    * monitored in practice anyway).
+    *
+    * Scale shape: ONE corpus-sized shuffle (the (source, term) count
+    * with map-side combine); the corpus histogram re-aggregates the
+    * source histogram (vocab-sized, Zipf-small — never a second
+    * corpus scan); top-K selection is the bounded-heap
+    * [[graft.functions.TopKRows]] aggregate (struct ord = (-count,
+    * term): count desc, term asc — deterministic, no global window
+    * sort); the zero-fill grid is sources × K rows, built from
+    * broadcast-tiny sides only. The per-occurrence token stream is
+    * never shuffled by bare term key.
+    */
+  def sourceTermDrift(df: DataFrame, sourceCol: String, textCol: String,
+                      topK: Int = 256): DataFrame = {
+    import graft.functions.NativeFunctions.topkRows
+    val st = df.select(col(sourceCol).as("source"),
+        explode(cleanTokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ct = st.groupBy(col("term")).agg(sum(col("c_s")).as("c_c"))
+    val top = ct.agg(topkRows(
+        struct((-col("c_c")).as("nc"), col("term").as("t")),
+        struct(col("term"), col("c_c")), topK).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.payload.term").as("term"), col("e.payload.c_c").as("c_c"))
+    val totals = st.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
+    val nc = ct.agg(coalesce(sum(col("c_c")), lit(0L)).as("n_c"))
+    val sTopC = top.agg(coalesce(sum(col("c_c")), lit(0L)).as("s_top_c"))
+    // source counts restricted to top terms: broadcast the K-term
+    // list into the vocab-sized histogram — map-side, output <=
+    // sources x K rows
+    val present = st.join(broadcast(top.select(col("term"))), Seq("term"))
+    val grid = totals.crossJoin(broadcast(top))
+      .join(present, Seq("source", "term"), "left")
+      .withColumn("c_s", coalesce(col("c_s"), lit(0L)))
+    val topS = grid.groupBy(col("source")).agg(sum(col("c_s")).as("top_s"))
+    val rest = totals.join(topS, Seq("source"))
+      .crossJoin(broadcast(nc)).crossJoin(broadcast(sTopC))
+      .select(col("source"), col("n_s"), lit("<rest>").as("term"),
+        (col("n_c") - col("s_top_c")).as("c_c"),
+        (col("n_s") - col("top_s")).as("c_s"))
+    val all = grid.select(col("source"), col("n_s"), col("term"), col("c_c"), col("c_s"))
+      .unionByName(rest)
+      .crossJoin(broadcast(nc))
+    val d = (col("c_s") * col("n_c") + col("c_c") * col("n_s")).cast(DoubleType)
+    val conP = when(col("c_s") === 0L, lit(0.0)).otherwise(
+      (lit(0.5) * (col("c_s").cast(DoubleType) / col("n_s").cast(DoubleType))) *
+        log((lit(2L) * col("c_s") * col("n_c")).cast(DoubleType) / d))
+    val conQ = when(col("c_c") === 0L, lit(0.0)).otherwise(
+      (lit(0.5) * (col("c_c").cast(DoubleType) / col("n_c").cast(DoubleType))) *
+        log((lit(2L) * col("c_c") * col("n_s")).cast(DoubleType) / d))
+    all.withColumn("js_t", floor((conP + conQ) * lit(1000000.0)).cast(LongType))
+      .groupBy(col("source"), col("n_s"))
+      .agg(sum(col("js_t")).as("js_micro"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("js_micro"))
+  }
+
   // ---- token-window chunking ----
 
   /** Overlapping token-window chunking — the standard pre-embedding /

@@ -695,6 +695,54 @@ class TextAnalysisSpec extends AnyFunSuite {
       keeps(docs.filter(_._3 == "books")))
   }
 
+  test("sourceTermDrift: single source diverges zero; disjoint sources diverge hard") {
+    // one source == the corpus: every per-term ratio is exactly 1,
+    // ln 1 = 0, so js_micro is EXACTLY zero (not merely small)
+    val one = Seq((1L, "a b c a", "web"), (2L, "b c d", "web"))
+      .toDF("doc_id", "text", "source")
+    val r1 = TextAnalysis.sourceTermDrift(one, "source", "text").collect()
+    assert(r1.length === 1)
+    assert(r1(0).getAs[Long]("n_tokens") === 7L)
+    assert(r1(0).getAs[Long]("js_micro") === 0L)
+
+    // disjoint vocabularies, equal sizes: JS(source, corpus) per
+    // source is 0.5*ln(4/3) + 0.25*ln(2/3) + 0.25*ln(2) ~ 0.21576
+    val two = Seq((1L, "x x y y", "a"), (2L, "u u v v", "b"))
+      .toDF("doc_id", "text", "source")
+    val r2 = TextAnalysis.sourceTermDrift(two, "source", "text")
+      .orderBy(col("source")).collect()
+    val expected = 0.5 * math.log(4.0 / 3.0) + 0.25 * math.log(2.0 / 3.0) +
+      0.25 * math.log(2.0)
+    r2.foreach { r =>
+      val js = r.getAs[Long]("js_micro").toDouble / 1e6
+      assert(math.abs(js - expected) < 1e-4,
+        s"${r.getString(0)}: js $js vs $expected")
+    }
+
+    // non-negativity on real corpus data + bounded by ln 2
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val rs = TextAnalysis.sourceTermDrift(docs, "source", "text", topK = 64)
+      .collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val js = r.getAs[Long]("js_micro")
+      // sum-of-floors can dip a hair below the true non-negative value
+      assert(js >= -300 && js <= 693148, s"js_micro $js out of [0, ln2] band")
+    }
+  }
+
+  test("sourceTermDrift <rest> bucket closes the distributions exactly") {
+    // topK=1 forces almost everything into <rest>; totals must still
+    // balance: the operator's counts are a true partition of tokens
+    val docs = Seq((1L, "a a b", "s1"), (2L, "a c c c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.sourceTermDrift(docs, "source", "text", topK = 1)
+      .orderBy(col("source")).collect()
+    assert(r.map(_.getAs[Long]("n_tokens")).toSeq === Seq(3L, 4L))
+    // divergence still well-defined and positive (sources differ)
+    assert(r.forall(_.getAs[Long]("js_micro") > 0L))
+  }
+
   test("chunkByTokens covers every token with ragged last window") {
     val docs = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")),
                    (2L, "a b c"), (3L, "   ")).toDF("doc_id", "text")
