@@ -408,6 +408,56 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected operator-internal persist:\n${plan(q)}")
   }
 
+  test("sqTopK: codes broadcast to the corpus scan; only the re-rank fetch may sort-merge") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val df = graft.operators.Similarity.sqTopK(e, e.limit(20), k = 1, shortlist = 8)
+    val p = plan(df)
+    // the int8 query codes are broadcast against the streamed corpus
+    // codes (nested-loop by contract, like brute force — but over 4x
+    // smaller rows); the exact re-rank's corpus-vector fetch is the
+    // one equi-join allowed to shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"SQ8 scoring must broadcast the query side:\n$p")
+    assert(countOccurrences(p, "SortMergeJoin") <= 1,
+      s"only the re-rank vector fetch may sort-merge:\n$p")
+    // shortlist + final top-k are bounded-heap aggregates, not windows
+    val wins = allWindows(df.queryExecution.sparkPlan)
+    assert(wins.forall(_.partitionSpec.nonEmpty), "no global windows in SQ8 search")
+  }
+
+  test("zorderKeyed is map-only: zero exchanges after the one-row stats pass") {
+    val o = Tables.table(spark, TestSpark.sfDir, "orders")
+      .withColumn("ck", col("o_custkey").cast("long"))
+      .withColumn("od", datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long"))
+    val df = graft.operators.Layout.zorderKeyed(o, col("ck"), col("od"))
+    val p = plan(df)
+    // the curve key is shift/mask arithmetic on two literals-scaled
+    // columns: the plan must be a pure scan+project — the write path
+    // adds exactly one range exchange, nothing here may shuffle
+    assert(!p.contains("Exchange"), s"zorder keying must not shuffle:\n$p")
+    // "*(n)" node prefixes mark whole-stage-codegen stages in the
+    // compact plan dump — the key math must not fall back to an
+    // interpreted Project
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("zkey")),
+      s"key math must stay in codegen:\n$p")
+  }
+
+  test("sourceTermDrift: one corpus-keyed shuffle, bounded-heap top-K, broadcast grid") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val df = graft.operators.TextAnalysis.sourceTermDrift(docs, "source", "text", topK = 64)
+    val p = plan(df)
+    // the occurrence stream reduces in a partial (source, term) count
+    // before its one shuffle; top-K terms come from the bounded-heap
+    // aggregate (never a global vocab sort); the zero-fill grid joins
+    // broadcast the K-term side
+    assert(p.contains("partial_count"), s"token count must map-side combine:\n$p")
+    assert(p.contains("topk_rows"), s"top-K must be the bounded-heap aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"K-term grid sides must broadcast:\n$p")
+    val wins = allWindows(df.queryExecution.sparkPlan)
+    assert(wins.isEmpty, "drift card needs no window at all")
+  }
+
   test("every declared query's unpartitioned windows are on the bounded allowlist") {
     // An unpartitioned Window moves ALL its input through one task.
     // Each allowlisted site below is a DOCUMENTED bounded window (the
