@@ -132,6 +132,11 @@ object ScaleSmoke {
       .select(col("doc_id").as("query_id"),
         slice(TextAnalysis.cleanTokens(col("text")), 1, 5).as("qterms"))
 
+    // fixed SQ8 query panel (every-50th 1x embedding) — like the BM25
+    // probes: the query workload does not grow because the corpus did
+    val sq8Queries = emb1.filter(col("vec_id") % 50 === 0).cache()
+    sq8Queries.count()
+
     val results = Seq(
       time("minhash_lsh_1x") {
         Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 64, 16, 3, 0.5)
@@ -419,7 +424,50 @@ object ScaleSmoke {
         docsK.select(col("doc_id"),
             TextAnalysis.bpeTokenCount(col("text"), m).as("n_bpe"))
           .groupBy(col("doc_id") % 20).agg(sum(col("n_bpe")))
-          .queryExecution.toRdd.count() }
+          .queryExecution.toRdd.count() },
+      // SQ8 search: fixed query panel, corpus grows — the int8
+      // broadcast-NL scoring is O(panel x corpus), so linear in K;
+      // the exact re-rank stays panel x shortlist sized
+      time("sq8_topk_1x") {
+        Similarity.sqTopK(emb1, sq8Queries, k = 10,
+            shortlist = Similarity.suggestedShortlist(e1, 10),
+            excludeSelf = false)
+          .queryExecution.toRdd.count() },
+      time(s"sq8_topk_${k}x") {
+        Similarity.sqTopK(embKr, sq8Queries, k = 10,
+            shortlist = Similarity.suggestedShortlist(eK, 10),
+            excludeSelf = false)
+          .queryExecution.toRdd.count() },
+      // Z-order layout: one 4-value stats pass + a map-only key
+      // projection + the bucket-envelope agg — pure scan-bound, the
+      // ratio should track raw data growth
+      time("zorder_layout_1x") {
+        val keyed = graft.operators.Layout.zorderKeyed(
+          ev1.withColumn("uk", col("user_id").cast("long"))
+            .withColumn("tk", unix_timestamp(col("ts")).cast("long")),
+          col("uk"), col("tk"))
+        keyed.groupBy(col("zbucket"))
+          .agg(count(lit(1)), min(col("uk")), max(col("uk")))
+          .queryExecution.toRdd.count() },
+      time(s"zorder_layout_${k}x") {
+        val keyed = graft.operators.Layout.zorderKeyed(
+          evK.withColumn("uk", col("user_id").cast("long"))
+            .withColumn("tk", unix_timestamp(col("ts")).cast("long")),
+          col("uk"), col("tk"))
+        keyed.groupBy(col("zbucket"))
+          .agg(count(lit(1)), min(col("uk")), max(col("uk")))
+          .queryExecution.toRdd.count() },
+      // JS drift card: source count held at 20, per-source token mass
+      // grows K-fold — one corpus-keyed count shuffle + vocab-sized
+      // downstream; linear is the pass bar
+      time("source_drift_1x") {
+        TextAnalysis.sourceTermDrift(docs1.withColumn("source",
+            concat(lit("src"), (col("doc_id") % 20).cast("string"))),
+          "source", "text").queryExecution.toRdd.count() },
+      time(s"source_drift_${k}x") {
+        TextAnalysis.sourceTermDrift(docsK.withColumn("source",
+            concat(lit("src"), (col("doc_id") % 20).cast("string"))),
+          "source", "text").queryExecution.toRdd.count() }
     )
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
@@ -432,7 +480,8 @@ object ScaleSmoke {
         "pii_redact", "chunks_cover", "bigram_logprob",
         "source_report", "bigram_interp", "quality_trained",
         "curation_v3", "bm25_topk", "temperature_mix",
-        "bpe_fertility").foreach { base =>
+        "bpe_fertility", "sq8_topk", "zorder_layout",
+        "source_drift").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

@@ -338,4 +338,68 @@ class PropertySpec extends AnyFunSuite {
       spark.sharedState.cacheManager.clearCache()
     }
   }
+
+  test("mortonInterleave2 round-trips: de-interleaved bits recover both inputs") {
+    import graft.operators.Layout
+    val pairGen = for {
+      a <- Gen.chooseNum(0L, 65535L)
+      b <- Gen.chooseNum(0L, 65535L)
+    } yield (a, b)
+    forAll(Gen.listOfN(64, pairGen), cases = 4) { pairs =>
+      val out = pairs.toDF("a", "b")
+        .select(col("a"), col("b"),
+          Layout.mortonInterleave2(col("a"), col("b"), 16).as("z"))
+        .collect()
+      out.foreach { r =>
+        val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        var (ra, rb) = (0L, 0L)
+        (0 until 16).foreach { i =>
+          ra |= ((z >> (2 * i)) & 1L) << i
+          rb |= ((z >> (2 * i + 1)) & 1L) << i
+        }
+        assert(ra === a && rb === b, s"z=$z failed to round-trip ($a,$b)")
+      }
+    }
+  }
+
+  test("quantizeLinear: in-range, monotone, endpoints exact for random domains") {
+    import graft.operators.Layout
+    val domGen = for {
+      lo <- Gen.chooseNum(-100000L, 100000L)
+      span <- Gen.chooseNum(1L, 2000000L)
+    } yield (lo, lo + span)
+    forAll(domGen, cases = 6) { case (lo, hi) =>
+      val xs = Seq(lo, hi, lo + (hi - lo) / 3, lo + (hi - lo) / 2, hi - 1L)
+        .distinct.sorted
+      val qs = xs.toDF("x")
+        .select(Layout.quantizeLinear(col("x"), lo, hi, 12).as("q"))
+        .collect().map(_.getLong(0))
+      assert(qs.head === 0L, s"min must land on 0 for [$lo,$hi]")
+      assert(qs.last === 4095L, s"max must land on 2^12-1 for [$lo,$hi]")
+      assert(qs.forall(q => q >= 0L && q <= 4095L))
+      // xs sorted -> buckets sorted (monotone mapping)
+      assert(qs.sameElements(qs.sorted), s"non-monotone: ${qs.toSeq}")
+    }
+  }
+
+  test("sourceTermDrift is invariant under input partitioning") {
+    val corpusGen = for {
+      n <- Gen.choose(4, 10)
+      docs <- Gen.listOfN(n, for {
+        words <- Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "zz"))
+        src <- Gen.oneOf("s1", "s2", "s3")
+      } yield (words.mkString(" "), src))
+    } yield docs.zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }
+    forAll(corpusGen, cases = 4) { corpus =>
+      val df = corpus.toDF("doc_id", "text", "source")
+      def run(parts: Int): Map[String, Long] =
+        TextAnalysis.sourceTermDrift(df.repartition(parts), "source", "text",
+            topK = 3)
+          .collect().map(r => r.getString(0) -> r.getAs[Long]("js_micro")).toMap
+      // long sums of per-term floors: partitioning can never move the
+      // result (the property float accumulation would violate)
+      assert(run(1) === run(7))
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
 }
