@@ -214,7 +214,33 @@ object PlanDump {
         "shape, wrong constant: O(L log L) sort + two struct lambdas + a " +
         "try_element_at per element); round 5's native fuse profiled " +
         "3.4x on cache-cold runs (PROFILE.md). The bucket ratio table " +
-        "(<= buckets rows) broadcasts back into the cached cell stream."))
+        "(<= buckets rows) broadcasts back into the cached cell stream."),
+    "sim_topk_sq8" ->
+      ("Scalar-quantized ANN: int8 codes + code-norms are a map-only " +
+        "projection on both sides; the query panel (codes only, 4x " +
+        "smaller than vectors) broadcasts into the streamed corpus " +
+        "scan — the shortlist ranking is exact integer arithmetic " +
+        "reduced by the bounded-heap partial top-k, and the exact " +
+        "re-rank equi-joins full vectors for ONLY query x shortlist " +
+        "rows. At corpus scale the candidate set is bounded first " +
+        "with IVF cells; this plan is the within-cell scorer."),
+    "q_zorder_layout" ->
+      ("Z-order layout: after the one-row min/max stats pass the " +
+        "Morton key is a single codegen'd shift/mask projection — " +
+        "ZERO exchanges before the bucket-envelope aggregate (and the " +
+        "write path adds exactly one range exchange). The per-bucket " +
+        "min/max envelope IS the scan-pruning evidence: each bucket " +
+        "covers a small rectangle of (custkey, orderdate), so parquet " +
+        "footer stats prune on either dimension."),
+    "text_source_drift" ->
+      ("JS drift card: the occurrence stream reduces in ONE partial-" +
+        "combined (source, term) count — its only corpus-keyed " +
+        "shuffle; the corpus histogram re-aggregates the vocab-sized " +
+        "result, top-K terms come from the bounded-heap topk_rows " +
+        "aggregate (no global vocab sort), and the zero-fill grid is " +
+        "sources x K rows built from broadcast joins. Per-term JS " +
+        "contributions floor to integer micros before the long sum — " +
+        "no cross-row float accumulation anywhere."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -722,6 +722,50 @@ object Similarity {
     exactRerank(short, corpus, queries, k, idCol, vecCol)
   }
 
+  /** The composed corpus-scale SQ8 index, IVF-SQ8: coarse-cell
+    * probing bounds the candidate set (~nProbe/cells of the corpus),
+    * int8 code-space cosine ranks it 4x cheaper than float scan, and
+    * only the shortlist sees exact cosine — [[ivfPqTopK]]'s shape
+    * with the SQ scorer in place of ADC. Same exact-integer shortlist
+    * arithmetic as [[sqTopK]], so an external SQL engine replays the
+    * whole chain (portable k-means + cell gate + int-dot rank +
+    * re-rank) bit-for-bit.
+    */
+  def ivfSqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                coarse: Array[Array[Float]], nProbe: Int, shortlist: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                excludeSelf: Boolean = true, portable: Boolean = false): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    import graft.functions.NativeFunctions.nearestCells
+    def codeNormSq(codes: Column): Column =
+      aggregate(codes, lit(0L), (a, c) =>
+        a + c.cast(LongType) * c.cast(LongType))
+    val c = Embeddings.quantizeInt8(corpus, vecCol)
+      .select(col(idCol).as("id"), col("codes").as("cc"),
+        codeNormSq(col("codes")).as("nc"),
+        element_at(nearestCells(col(vecCol), coarse, 1, portable), 1).as("cell"))
+    val probes = queries.select(col(idCol).as("query_id"),
+      explode(nearestCells(col(vecCol), coarse, nProbe, portable)).as("cell"))
+    val qcodes = Embeddings.quantizeInt8(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("codes").as("qc"),
+        codeNormSq(col("codes")).as("nq"))
+    val intDot = aggregate(
+      zip_with(col("qc"), col("cc"), (a, b) => a.cast(LongType) * b.cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+    // probes and codes broadcast SEPARATELY (the ivfPqTopK rule):
+    // attaching the dim-long query codes to the exploded probe rows
+    // first would ship them nProbe times per query
+    val scored = c.join(broadcast(probes), Seq("cell"))
+      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .join(broadcast(qcodes), Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        when(col("nq") === 0L || col("nc") === 0L, lit(-2.0))
+          .otherwise(intDot.cast(DoubleType) /
+            sqrt((col("nq") * col("nc")).cast(DoubleType))).as("cos"))
+    val short = topKPerKey(scored, shortlist).select(col("query_id"), col("id"))
+    exactRerank(short, corpus, queries, k, idCol, vecCol)
+  }
+
   /** ANN recall evaluation harness — the tuning loop every deployed
     * approximate index needs: given the exact ground-truth neighbor
     * set (from [[bruteForceTopK]] on a sample) and an approximate

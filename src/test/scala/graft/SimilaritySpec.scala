@@ -241,6 +241,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.35, s"IVF-PQ top-1 recall $recall too low")
   }
 
+  test("IVF-SQ8 composition: probed-cell int8 ranking + re-rank tracks the IVF gate") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val n = e.count()
+    val coarse = Similarity.trainIvfCentroids(e, Similarity.suggestedCentroids(n), dim = 64)
+    val exact = Similarity.bruteForceTopK(e, e, k = 1)
+      .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sq = Similarity.ivfSqTopK(e, e, k = 1, coarse,
+        nProbe = 4, shortlist = Similarity.suggestedShortlist(n, 1))
+      .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sq.size === exact.size)
+    val recall = exact.count { case (q, nn) => sq.get(q).contains(nn) }.toDouble / exact.size
+    // int8 ranking is a much better cosine proxy than 8-byte ADC:
+    // recall should be essentially the IVF probe gate's own recall
+    val ivf = Similarity.ivfTopK(e, e, k = 1, coarse, nProbe = 4)
+      .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivfRecall = exact.count { case (q, nn) => ivf.get(q).contains(nn) }.toDouble / exact.size
+    assert(recall > 0.35, s"IVF-SQ8 top-1 recall $recall too low")
+    assert(recall >= ivfRecall - 0.05,
+      s"SQ8 shortlist ($recall) must not lose materially vs the exact in-cell scorer ($ivfRecall)")
+  }
+
   test("native PqAdcTable matches the HOF table formulation") {
     val e = Tables.table(spark, TestSpark.sfDir, "embeddings").limit(30)
     val cbs = Similarity.trainPqCodebooks(e, m = 8, ksub = 16, dim = 64, portable = true)
