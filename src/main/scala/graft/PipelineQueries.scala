@@ -770,7 +770,8 @@ object PipelineQueries {
       val truth = Similarity.bruteForceTopK(
           e.repartition(s.sparkContext.defaultParallelism), e, k = 10)
         .select(col("query_id"), col("id").as("nn_id"))
-      val approx = Similarity.sqTopK(e, e, k = 10,
+      val approx = Similarity.sqTopK(
+          e.repartition(s.sparkContext.defaultParallelism), e, k = 10,
           shortlist = Similarity.suggestedShortlist(e.count(), 10))
         .select(col("query_id"), col("id").as("nn_id"))
       Similarity.recallReport(truth, approx)
@@ -2212,7 +2213,7 @@ object PipelineQueries {
          sc AS (
            SELECT c.query_id, c.id,
              CASE WHEN a.nsq = 0 OR b.nsq = 0 THEN -2.0
-               ELSE list_dot_product(a.cd, b.cd) / sqrt(a.nsq * b.nsq)
+               ELSE list_cosine_similarity(a.cd, b.cd)
              END AS code_cos
            FROM cand c
            JOIN nn a ON a.vec_id = c.query_id
@@ -2251,7 +2252,7 @@ object PipelineQueries {
          sc AS (
            SELECT a.vec_id AS query_id, b.vec_id AS id,
              CASE WHEN a.nsq = 0 OR b.nsq = 0 THEN -2.0
-               ELSE list_dot_product(a.cd, b.cd) / sqrt(a.nsq * b.nsq)
+               ELSE list_cosine_similarity(a.cd, b.cd)
              END AS code_cos
            FROM n a JOIN n b ON b.vec_id <> a.vec_id),
          short AS (
@@ -2288,7 +2289,7 @@ object PipelineQueries {
          sc AS (
            SELECT a.vec_id AS query_id, b.vec_id AS id,
              CASE WHEN a.nsq = 0 OR b.nsq = 0 THEN -2.0
-               ELSE list_dot_product(a.cd, b.cd) / sqrt(a.nsq * b.nsq)
+               ELSE list_cosine_similarity(a.cd, b.cd)
              END AS code_cos
            FROM n a JOIN n b ON b.vec_id <> a.vec_id),
          short AS (

@@ -673,12 +673,11 @@ object Similarity {
     * full-precision brute force and PQ. Corpus AND query vectors are
     * symmetric-int8 quantized ([[Embeddings.quantizeInt8]] — 4x
     * smaller than float32, the codes column is what a deployed index
-    * keeps hot); candidates are ranked by CODE-SPACE cosine
-    *   int_dot(q_codes, c_codes) / sqrt(|q_codes|^2 * |c_codes|^2)
-    * — every operand an exact integer (|codes|^2 <= 127^2*dim ~ 2^20,
-    * products < 2^41: no overflow, and the one IEEE divide/sqrt over
-    * integer operands is bit-portable, so an external SQL engine
-    * replays the shortlist ranking exactly). The `shortlist` best
+    * keeps hot); candidates are ranked by CODE-SPACE cosine over the
+    * code arrays through the native codegen'd kernel ([[codeCosine]]
+    * — every elementwise product and partial sum an exact integer in
+    * double, so the fixed op sequence is bit-portable and an external
+    * SQL engine replays the shortlist ranking exactly). The `shortlist` best
     * code-space candidates per query are then re-scored with exact
     * float cosine on the full vectors ([[exactRerank]] — an equi-join
     * touching only queries x shortlist rows).
@@ -711,16 +710,27 @@ object Similarity {
         codeNormSq(col("codes")).as("nq")))
     val joined = c.join(q,
       if (excludeSelf) col("id") =!= col("query_id") else lit(true))
-    val intDot = aggregate(
-      zip_with(col("qc"), col("cc"), (a, b) => a.cast(LongType) * b.cast(LongType)),
-      lit(0L), (acc, x) => acc + x)
     val scored = joined.select(col("query_id"), col("id"),
       when(col("nq") === 0L || col("nc") === 0L, lit(-2.0))
-        .otherwise(intDot.cast(DoubleType) /
-          sqrt((col("nq") * col("nc")).cast(DoubleType))).as("cos"))
+        .otherwise(codeCosine(col("qc"), col("cc"))).as("cos"))
     val short = topKPerKey(scored, shortlist).select(col("query_id"), col("id"))
     exactRerank(short, corpus, queries, k, idCol, vecCol)
   }
+
+  /** Code-space cosine through the native codegen'd kernel: int8
+    * codes cast to float are EXACT (|c| <= 127), every product and
+    * partial sum stays an exact integer in double (dot <= 127²·dim <
+    * 2^53), so the kernel's fixed op sequence produces the same bits
+    * in any engine — DuckDB's list_cosine_similarity replays it
+    * bit-for-bit (the same pairing every exact re-rank relies on).
+    * An earlier formulation used a zip_with/aggregate integer-dot
+    * HOF: semantically identical, but the per-pair lambda interpreter
+    * made the quadratic recall row ~10x slower than this kernel
+    * (PROFILE.md round 8).
+    */
+  private def codeCosine(a: Column, b: Column): Column =
+    graft.functions.NativeFunctions.cosineSim(
+      transform(a, _.cast(FloatType)), transform(b, _.cast(FloatType)))
 
   /** The composed corpus-scale SQ8 index, IVF-SQ8: coarse-cell
     * probing bounds the candidate set (~nProbe/cells of the corpus),
@@ -749,9 +759,6 @@ object Similarity {
     val qcodes = Embeddings.quantizeInt8(queries, vecCol)
       .select(col(idCol).as("query_id"), col("codes").as("qc"),
         codeNormSq(col("codes")).as("nq"))
-    val intDot = aggregate(
-      zip_with(col("qc"), col("cc"), (a, b) => a.cast(LongType) * b.cast(LongType)),
-      lit(0L), (acc, x) => acc + x)
     // probes and codes broadcast SEPARATELY (the ivfPqTopK rule):
     // attaching the dim-long query codes to the exploded probe rows
     // first would ship them nProbe times per query
@@ -760,8 +767,7 @@ object Similarity {
       .join(broadcast(qcodes), Seq("query_id"))
       .select(col("query_id"), col("id"),
         when(col("nq") === 0L || col("nc") === 0L, lit(-2.0))
-          .otherwise(intDot.cast(DoubleType) /
-            sqrt((col("nq") * col("nc")).cast(DoubleType))).as("cos"))
+          .otherwise(codeCosine(col("qc"), col("cc"))).as("cos"))
     val short = topKPerKey(scored, shortlist).select(col("query_id"), col("id"))
     exactRerank(short, corpus, queries, k, idCol, vecCol)
   }
