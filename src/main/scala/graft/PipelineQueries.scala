@@ -1510,6 +1510,18 @@ object PipelineQueries {
           topK = 256)
         .orderBy(col("source"))),
 
+    // ---- snapshot-vs-snapshot drift: one JS number between two
+    //      corpora's term distributions (crawl N vs N+1) — the check
+    //      a corpus-refresh job runs before swapping the training
+    //      mix. Sides here are the even/odd doc_id halves; top-K of
+    //      the combined distribution + <rest>, integer-exact ----
+    "text_snapshot_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.termDriftBetween(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", topK = 256)
+    }),
+
     // ---- leakage-safe train/val split: near-dup CLUSTERS assigned
     //      to splits via the portable hash of the cluster canonical,
     //      so no near-dup pair straddles the eval boundary; oracle
@@ -4496,6 +4508,47 @@ object PipelineQueries {
            tp * 1000000 // n_pos AS recall_micro,
            2 * tp * 1000000 // (n_pred_pos + n_pos) AS f1_micro
          FROM agg ORDER BY threshold""",
+    "text_snapshot_drift" ->
+      """WITH ta AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents WHERE doc_id % 2 = 0),
+         tb AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents WHERE doc_id % 2 = 1),
+         ha AS (SELECT term, COUNT(*) AS c_a FROM ta WHERE term <> '' GROUP BY 1),
+         hb AS (SELECT term, COUNT(*) AS c_b FROM tb WHERE term <> '' GROUP BY 1),
+         bo AS (
+           SELECT term, CAST(COALESCE(c_a, 0) AS BIGINT) AS c_a,
+             CAST(COALESCE(c_b, 0) AS BIGINT) AS c_b
+           FROM ha FULL JOIN hb USING (term)),
+         top AS (
+           SELECT term, c_a, c_b FROM (
+             SELECT term, c_a, c_b,
+               ROW_NUMBER() OVER (ORDER BY (c_a + c_b) DESC, term) AS rk
+             FROM bo) WHERE rk <= 256),
+         tot AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+                        CAST(SUM(c_b) AS BIGINT) AS n_b FROM bo),
+         ts AS (SELECT CAST(SUM(c_a) AS BIGINT) AS t_a,
+                       CAST(SUM(c_b) AS BIGINT) AS t_b FROM top),
+         allr AS (
+           SELECT term, c_a, c_b FROM top
+           UNION ALL
+           SELECT '<rest>', tot.n_a - ts.t_a, tot.n_b - ts.t_b FROM tot, ts),
+         js AS (
+           SELECT CAST(floor((
+             (CASE WHEN c_a = 0 THEN 0.0 ELSE
+               (0.5 * (CAST(c_a AS DOUBLE) / CAST(tot.n_a AS DOUBLE))) *
+               ln(CAST(2 * c_a * tot.n_b AS DOUBLE) /
+                  CAST(c_a * tot.n_b + c_b * tot.n_a AS DOUBLE)) END)
+           + (CASE WHEN c_b = 0 THEN 0.0 ELSE
+               (0.5 * (CAST(c_b AS DOUBLE) / CAST(tot.n_b AS DOUBLE))) *
+               ln(CAST(2 * c_b * tot.n_a AS DOUBLE) /
+                  CAST(c_a * tot.n_b + c_b * tot.n_a AS DOUBLE)) END)
+           ) * 1000000.0) AS BIGINT) AS js_t
+           FROM allr, tot)
+         SELECT tot.n_a AS n_tokens_a, tot.n_b AS n_tokens_b,
+           CAST(SUM(js_t) AS BIGINT) AS js_micro
+         FROM js, tot GROUP BY 1, 2""",
     "text_source_drift" ->
       """WITH toks AS (
            SELECT source,

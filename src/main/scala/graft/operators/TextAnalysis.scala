@@ -1263,17 +1263,78 @@ object TextAnalysis {
     val all = grid.select(col("source"), col("n_s"), col("term"), col("c_c"), col("c_s"))
       .unionByName(rest)
       .crossJoin(broadcast(nc))
-    val d = (col("c_s") * col("n_c") + col("c_c") * col("n_s")).cast(DoubleType)
-    val conP = when(col("c_s") === 0L, lit(0.0)).otherwise(
-      (lit(0.5) * (col("c_s").cast(DoubleType) / col("n_s").cast(DoubleType))) *
-        log((lit(2L) * col("c_s") * col("n_c")).cast(DoubleType) / d))
-    val conQ = when(col("c_c") === 0L, lit(0.0)).otherwise(
-      (lit(0.5) * (col("c_c").cast(DoubleType) / col("n_c").cast(DoubleType))) *
-        log((lit(2L) * col("c_c") * col("n_s")).cast(DoubleType) / d))
-    all.withColumn("js_t", floor((conP + conQ) * lit(1000000.0)).cast(LongType))
+    all.withColumn("js_t",
+        jsMicroTerm(col("c_s"), col("n_s"), col("c_c"), col("n_c")))
       .groupBy(col("source"), col("n_s"))
       .agg(sum(col("js_t")).as("js_micro"))
       .select(col("source"), col("n_s").as("n_tokens"), col("js_micro"))
+  }
+
+  /** One term's Jensen–Shannon contribution between distributions
+    * P = cA/nA and Q = cB/nB, as floor(·1e6) integer micro-units:
+    * 0.5·p·ln(p/m) + 0.5·q·ln(q/m) with m = (p+q)/2 — algebraically
+    * p/m = 2·cA·nB / (cA·nB + cB·nA), so every log argument and
+    * probability is an exact integer ratio with a fixed op tree
+    * (both CASE legs are the zero-count limits). Shared by the
+    * source-vs-corpus card and the snapshot-vs-snapshot comparison.
+    */
+  private def jsMicroTerm(cA: Column, nA: Column, cB: Column, nB: Column): Column = {
+    val d = (cA * nB + cB * nA).cast(DoubleType)
+    val conP = when(cA === 0L, lit(0.0)).otherwise(
+      (lit(0.5) * (cA.cast(DoubleType) / nA.cast(DoubleType))) *
+        log((lit(2L) * cA * nB).cast(DoubleType) / d))
+    val conQ = when(cB === 0L, lit(0.0)).otherwise(
+      (lit(0.5) * (cB.cast(DoubleType) / nB.cast(DoubleType))) *
+        log((lit(2L) * cB * nA).cast(DoubleType) / d))
+    floor((conP + conQ) * lit(1000000.0)).cast(LongType)
+  }
+
+  /** Snapshot-to-snapshot drift: ONE Jensen–Shannon number between
+    * two corpora's term distributions (crawl N vs crawl N+1, before
+    * vs after a pipeline change) — the alert a corpus-refresh job
+    * checks before swapping a training mix to the new snapshot.
+    * Same bounded-vocabulary formulation as [[sourceTermDrift]]:
+    * top-K terms of the COMBINED distribution (count desc, term asc,
+    * bounded-heap selection) plus one `<rest>` bucket; all counts
+    * exact integers, per-term micros summed as longs. Emits one row
+    * (n_tokens_a, n_tokens_b, js_micro).
+    *
+    * Scale shape: one map-side-combined (side, term) count per
+    * corpus (their union is read once), vocab-sized everything
+    * after, no window, no driver state beyond the aggregates.
+    */
+  def termDriftBetween(dfA: DataFrame, dfB: DataFrame, textCol: String,
+                       topK: Int = 256): DataFrame = {
+    import graft.functions.NativeFunctions.topkRows
+    def hist(df: DataFrame, cName: String) =
+      df.select(explode(cleanTokens(lower(col(textCol)))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as(cName))
+    val ha = hist(dfA, "c_a")
+    val hb = hist(dfB, "c_b")
+    val both = ha.join(hb, Seq("term"), "full")
+      .select(col("term"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = both.agg(topkRows(
+        struct((-(col("c_a") + col("c_b"))).as("nc"), col("term").as("t")),
+        struct(col("term"), col("c_a"), col("c_b")), topK).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.payload.term").as("term"), col("e.payload.c_a").as("c_a"),
+        col("e.payload.c_b").as("c_b"))
+    val totals = both.agg(coalesce(sum(col("c_a")), lit(0L)).as("n_a"),
+      coalesce(sum(col("c_b")), lit(0L)).as("n_b"))
+    val topSums = top.agg(coalesce(sum(col("c_a")), lit(0L)).as("t_a"),
+      coalesce(sum(col("c_b")), lit(0L)).as("t_b"))
+    val rest = totals.crossJoin(broadcast(topSums))
+      .select(lit("<rest>").as("term"), (col("n_a") - col("t_a")).as("c_a"),
+        (col("n_b") - col("t_b")).as("c_b"))
+    val all = top.unionByName(rest).crossJoin(broadcast(totals))
+    all.withColumn("js_t",
+        jsMicroTerm(col("c_a"), col("n_a"), col("c_b"), col("n_b")))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("js_t")).as("js_micro"))
+      .select(col("n_a").as("n_tokens_a"), col("n_b").as("n_tokens_b"),
+        col("js_micro"))
   }
 
   // ---- token-window chunking ----

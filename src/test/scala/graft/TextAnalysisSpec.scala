@@ -743,6 +743,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Long]("js_micro") > 0L))
   }
 
+  test("termDriftBetween: identical snapshots diverge exactly zero; disjoint near ln2") {
+    val a = Seq((1L, "a b c a"), (2L, "b c d")).toDF("doc_id", "text")
+    val same = TextAnalysis.termDriftBetween(a, a, "text").collect()
+    assert(same.length === 1)
+    assert(same(0).getAs[Long]("n_tokens_a") === 7L)
+    assert(same(0).getAs[Long]("n_tokens_b") === 7L)
+    assert(same(0).getAs[Long]("js_micro") === 0L)
+
+    // fully disjoint vocabularies: JS(P, Q) = ln 2 exactly in the
+    // continuous limit; sum-of-floors can undershoot by < 1e-6/term
+    val b = Seq((1L, "x y z x"), (2L, "y z w")).toDF("doc_id", "text")
+    val diff = TextAnalysis.termDriftBetween(a, b, "text").collect()
+    val js = diff(0).getAs[Long]("js_micro").toDouble / 1e6
+    assert(math.abs(js - math.log(2.0)) < 1e-4, s"disjoint js $js vs ln2")
+
+    // symmetry: JS(A,B) == JS(B,A) (the micro floors see mirrored
+    // term pairs, so the sums match exactly)
+    val rev = TextAnalysis.termDriftBetween(b, a, "text").collect()
+    assert(rev(0).getAs[Long]("js_micro") === diff(0).getAs[Long]("js_micro"))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("chunkByTokens covers every token with ragged last window") {
     val docs = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")),
                    (2L, "a b c"), (3L, "   ")).toDF("doc_id", "text")
