@@ -1510,6 +1510,24 @@ object PipelineQueries {
           topK = 256)
         .orderBy(col("source"))),
 
+    // ---- windowed drift monitor (batch mode of the streaming twin):
+    //      per 60-second event-time window (doc_id as epoch seconds),
+    //      JS divergence of the window's term distribution vs the
+    //      corpus reference (top-64 + <rest>, plan literals from
+    //      referenceTermStats). ONE stateful aggregation: the native
+    //      array_sum_agg over per-doc count vectors ----
+    "text_drift_windowed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val (terms, counts, total) =
+        TextAnalysis.referenceTermStats(docs, "text", topK = 64)
+      graft.streaming.DocStreams.termDriftWindowed(
+          docs.withColumn("ts", timestamp_seconds(col("doc_id"))),
+          terms, counts, total, windowSeconds = 60L)
+        .select(unix_timestamp(col("window_start")).as("win_start"),
+          col("n_docs"), col("n_tokens"), col("js_micro"))
+        .orderBy(col("win_start"))
+    }),
+
     // ---- snapshot-vs-snapshot drift: one JS number between two
     //      corpora's term distributions (crawl N vs N+1) — the check
     //      a corpus-refresh job runs before swapping the training
@@ -4508,6 +4526,59 @@ object PipelineQueries {
            tp * 1000000 // n_pos AS recall_micro,
            2 * tp * 1000000 // (n_pred_pos + n_pos) AS f1_micro
          FROM agg ORDER BY threshold""",
+    "text_drift_windowed" ->
+      """WITH toks AS (
+           SELECT (doc_id // 60) * 60 AS win,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT term, COUNT(*) AS c FROM toks WHERE term <> '' GROUP BY 1),
+         ref AS (
+           SELECT term, CAST(c AS BIGINT) AS c FROM (
+             SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk
+             FROM tf) WHERE rk <= 64),
+         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_ref FROM tf),
+         reftop AS (SELECT CAST(SUM(c) AS BIGINT) AS t_ref FROM ref),
+         wtok AS (
+           SELECT (doc_id // 60) * 60 AS win,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               t -> t <> '')) AS BIGINT) AS n_tok
+           FROM documents),
+         wd AS (SELECT win, COUNT(*) AS n_docs,
+                  CAST(SUM(n_tok) AS BIGINT) AS n_w
+                FROM wtok GROUP BY 1),
+         wt AS (SELECT win, term, COUNT(*) AS c_w FROM toks
+                WHERE term <> '' GROUP BY 1, 2),
+         grid AS (
+           SELECT w.win, r.term, r.c AS c_ref,
+             CAST(COALESCE(wt.c_w, 0) AS BIGINT) AS c_w
+           FROM (SELECT DISTINCT win FROM wtok) w CROSS JOIN ref r
+           LEFT JOIN wt ON wt.win = w.win AND wt.term = r.term),
+         gridtop AS (SELECT win, CAST(SUM(c_w) AS BIGINT) AS top_w
+                     FROM grid GROUP BY 1),
+         allr AS (
+           SELECT win, c_w, c_ref FROM grid
+           UNION ALL
+           SELECT g.win, wd.n_w - g.top_w, tot.n_ref - reftop.t_ref
+           FROM gridtop g JOIN wd USING (win), tot, reftop),
+         js AS (
+           SELECT a.win,
+             CASE WHEN wd.n_w = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor((
+                 (CASE WHEN a.c_w = 0 THEN 0.0 ELSE
+                   (0.5 * (CAST(a.c_w AS DOUBLE) / CAST(wd.n_w AS DOUBLE))) *
+                   ln(CAST(2 * a.c_w * tot.n_ref AS DOUBLE) /
+                      CAST(a.c_w * tot.n_ref + a.c_ref * wd.n_w AS DOUBLE)) END)
+               + (CASE WHEN a.c_ref = 0 THEN 0.0 ELSE
+                   (0.5 * (CAST(a.c_ref AS DOUBLE) / CAST(tot.n_ref AS DOUBLE))) *
+                   ln(CAST(2 * a.c_ref * wd.n_w AS DOUBLE) /
+                      CAST(a.c_w * tot.n_ref + a.c_ref * wd.n_w AS DOUBLE)) END)
+               ) * 1000000.0) AS BIGINT) END AS js_t
+           FROM allr a JOIN wd USING (win), tot),
+         jsw AS (SELECT win, CAST(SUM(js_t) AS BIGINT) AS js_micro
+                 FROM js GROUP BY 1)
+         SELECT wd.win AS win_start, wd.n_docs, wd.n_w AS n_tokens,
+           CASE WHEN wd.n_w = 0 THEN NULL ELSE jsw.js_micro END AS js_micro
+         FROM wd JOIN jsw USING (win) ORDER BY 1""",
     "text_snapshot_drift" ->
       """WITH ta AS (
            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -116,6 +116,14 @@ object NativeFunctions {
       TopKRows(GraftSqlShims.expression(ord), GraftSqlShims.expression(payload), k)
         .toAggregateExpression())
 
+  /** Element-wise sum of fixed-length long arrays — histogram-vector
+    * aggregation with exactly `len` longs of state per group (ONE
+    * stateful aggregation where an explode would need two).
+    */
+  def arraySum(v: Column, len: Int): Column =
+    GraftSqlShims.column(
+      ArraySum(GraftSqlShims.expression(v), len).toAggregateExpression())
+
   /** One-pass Gopher §A1.2 repetition-signal struct (15 fields). */
   def repetitionSignals(text: Column): Column =
     GraftSqlShims.column(RepetitionSignals(GraftSqlShims.expression(text)))

@@ -1278,7 +1278,7 @@ object TextAnalysis {
     * (both CASE legs are the zero-count limits). Shared by the
     * source-vs-corpus card and the snapshot-vs-snapshot comparison.
     */
-  private def jsMicroTerm(cA: Column, nA: Column, cB: Column, nB: Column): Column = {
+  private[graft] def jsMicroTerm(cA: Column, nA: Column, cB: Column, nB: Column): Column = {
     val d = (cA * nB + cB * nA).cast(DoubleType)
     val conP = when(cA === 0L, lit(0.0)).otherwise(
       (lit(0.5) * (cA.cast(DoubleType) / nA.cast(DoubleType))) *
@@ -1287,6 +1287,31 @@ object TextAnalysis {
       (lit(0.5) * (cB.cast(DoubleType) / nB.cast(DoubleType))) *
         log((lit(2L) * cB * nA).cast(DoubleType) / d))
     floor((conP + conQ) * lit(1000000.0)).cast(LongType)
+  }
+
+  /** Reference term statistics for the streaming drift monitor: the
+    * corpus's `topK` terms (count desc, term asc — the same bounded-
+    * heap selection as the drift cards) with their counts and the
+    * corpus total, COLLECTED (KB-sized: topK strings + longs) so a
+    * stream can score arriving windows against a fixed reference
+    * distribution as plan literals. Returns (terms, counts, total).
+    */
+  def referenceTermStats(df: DataFrame, textCol: String,
+                         topK: Int = 256): (Seq[String], Seq[Long], Long) = {
+    import graft.functions.NativeFunctions.topkRows
+    val ct = df.select(explode(cleanTokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val top = ct.agg(topkRows(
+          struct((-col("c")).as("nc"), col("term").as("t")),
+          struct(col("term"), col("c")), topK).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.payload.term"), col("e.payload.c"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val total = ct.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+      (top.map(_._1).toSeq, top.map(_._2).toSeq, total)
+    } finally ct.unpersist(blocking = false)
   }
 
   /** Snapshot-to-snapshot drift: ONE Jensen–Shannon number between

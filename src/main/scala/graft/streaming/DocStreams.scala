@@ -61,6 +61,71 @@ object DocStreams {
         col("n_keep_quality"))
   }
 
+  /** Windowed distribution-drift monitor — the live twin of the
+    * batch drift cards ([[graft.operators.TextAnalysis.sourceTermDrift]]
+    * / `termDriftBetween`): per event-time window, the Jensen–Shannon
+    * divergence of the window's term distribution against a FIXED
+    * reference distribution (yesterday's corpus, the last accepted
+    * snapshot — from
+    * [[graft.operators.TextAnalysis.referenceTermStats]], plan
+    * literals). This is the alert feed that catches a crawler change
+    * or encoding bug within one ingest window instead of at the next
+    * batch card.
+    *
+    * One definition, both modes. The shape is what makes it stream-
+    * legal AND scale-safe: each doc maps to a (K+1)-vector of
+    * reference-term counts (`<rest>` last) — map-only — and the ONLY
+    * stateful operator is a single windowed [[graft.functions.ArraySum]]
+    * aggregation holding exactly K+1 longs per open window. A
+    * (window, term) explode would need a second stateful aggregation
+    * to reassemble the JS sum, which Structured Streaming restricts
+    * and whose state would be vocabulary-sized. The JS finish is a
+    * map-only zip over the aggregated vector (integer-exact micro
+    * terms, long sums — the batch cards' float policy). Per-doc cost
+    * is O(K · tokens) equality scans; hold K to O(100) for live
+    * monitors (the batch cards own exact full-vocabulary drift).
+    *
+    * Windows whose documents carry zero tokens have no distribution:
+    * js_micro is null (both modes; the declared oracle replays the
+    * CASE).
+    */
+  def termDriftWindowed(docs: DataFrame, refTerms: Seq[String],
+                        refCounts: Seq[Long], refTotal: Long,
+                        windowSeconds: Long = 3600L,
+                        watermarkSeconds: Option[Long] = None,
+                        tsCol: String = "ts", textCol: String = "text"): DataFrame = {
+    require(refTerms.nonEmpty && refTerms.length == refCounts.length,
+      "reference terms/counts must be non-empty and aligned")
+    require(refTotal >= refCounts.sum, "refTotal must cover the term counts")
+    val k = refTerms.length
+    val withWm = watermarkSeconds.fold(docs)(w =>
+      docs.withWatermark(tsCol, s"$w seconds"))
+    val termsLit = typedLit(refTerms)
+    val perDoc = withWm.select(col(tsCol).as("ts"),
+        TextAnalysis.cleanTokens(lower(col(textCol))).as("toks"))
+      .select(col("ts"), size(col("toks")).cast(LongType).as("n_tok"),
+        transform(termsLit, t =>
+          size(filter(col("toks"), x => x === t)).cast(LongType)).as("counts"))
+      .select(col("ts"), col("n_tok"),
+        concat(col("counts"),
+          array(col("n_tok") - aggregate(col("counts"), lit(0L),
+            (a, x) => a + x))).as("vec"))
+    val refRest = refTotal - refCounts.sum
+    val refLit = typedLit(refCounts :+ refRest)
+    val agged = perDoc
+      .groupBy(window(col("ts"), s"$windowSeconds seconds"))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.functions.NativeFunctions.arraySum(col("vec"), k + 1).as("v"))
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        aggregate(col("v"), lit(0L), (a, x) => a + x).as("n_tokens"), col("v"))
+    agged.select(col("window_start"), col("n_docs"), col("n_tokens"),
+      when(col("n_tokens") === 0L, lit(null).cast(LongType))
+        .otherwise(aggregate(
+          zip_with(col("v"), refLit, (c, r) =>
+            TextAnalysis.jsMicroTerm(c, col("n_tokens"), r, lit(refTotal))),
+          lit(0L), (a, x) => a + x)).as("js_micro"))
+  }
+
   /** Streaming near-duplicate ingest gate — the live twin of
     * [[graft.operators.Dedup.minhashNearDupPairsCross]]: as documents
     * arrive, flag every one that is a verified near-duplicate of a

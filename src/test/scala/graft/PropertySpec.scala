@@ -339,6 +339,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("arraySum: element-wise totals on random vectors; loud on bad shapes") {
+    import graft.functions.NativeFunctions.arraySum
+    val vecGen = Gen.listOfN(16, Gen.listOfN(5, Gen.chooseNum(-1000L, 1000L)))
+    forAll(vecGen, cases = 4) { vecs =>
+      val got = vecs.toDF("v").agg(arraySum(col("v"), 5)).head()
+        .getSeq[Long](0)
+      val want = (0 until 5).map(i => vecs.map(_(i)).sum)
+      assert(got === want)
+    }
+    // null ARRAYS are skipped (like sum); per-group state is len longs
+    val withNull = Seq(Some(Seq(1L, 2L)), None, Some(Seq(3L, 4L)))
+      .toDF("v")
+    assert(withNull.agg(arraySum(col("v"), 2)).head().getSeq[Long](0)
+      === Seq(4L, 6L))
+    // length mismatch and null ELEMENTS fail loudly, never corrupt
+    intercept[Exception] {
+      Seq(Seq(1L, 2L)).toDF("v").agg(arraySum(col("v"), 3)).collect()
+    }
+    intercept[Exception] {
+      Seq(Seq[java.lang.Long](1L, null)).toDF("v")
+        .agg(arraySum(col("v"), 2)).collect()
+    }
+  }
+
   test("mortonInterleave2 round-trips: de-interleaved bits recover both inputs") {
     import graft.operators.Layout
     val pairGen = for {

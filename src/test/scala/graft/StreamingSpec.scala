@@ -88,6 +88,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed drift matches the batch definition exactly") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.DocStreams
+    val corpus = Tables.table(spark, TestSpark.sfDir, "documents")
+    val (terms, counts, total) =
+      TextAnalysis.referenceTermStats(corpus, "text", topK = 32)
+    val docs = corpus.select(
+      timestamp_millis(lit(1700000000000L) + col("doc_id") * 60000L).as("ts"),
+      col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-driftstream").toString
+    docs.coalesce(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val q = DocStreams.termDriftWindowed(stream, terms, counts, total,
+        windowSeconds = 3600, watermarkSeconds = Some(7200))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("driftwin").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        r.get(0).toString -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Long.MinValue else r.getLong(3)))
+      val streamed = spark.sql("select * from driftwin").collect().map(key).toMap
+      val batch = DocStreams.termDriftWindowed(docs, terms, counts, total,
+          windowSeconds = 3600)
+        .collect().map(key).toMap
+      assert(streamed.nonEmpty)
+      // the single array_sum_agg state + map-only JS finish must make
+      // streaming and batch agree to the exact integer micro
+      streamed.foreach { case (k, v) => assert(batch(k) === v, s"window $k") }
+      // sanity: a same-corpus reference keeps windows in a low-JS band
+      val jss = batch.values.map(_._3).filter(_ != Long.MinValue)
+      assert(jss.nonEmpty && jss.forall(j => j >= -300L && j <= 693148L))
+    } finally q.stop()
+  }
+
   test("source-health window state survives a checkpointed restart") {
     import graft.operators.TextAnalysis
     import graft.streaming.DocStreams
