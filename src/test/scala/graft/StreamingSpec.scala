@@ -183,6 +183,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("windowed-drift array-sum state survives a checkpointed restart") {
+    import graft.streaming.DocStreams
+    // the drift monitor's window state is the custom ArraySum
+    // aggregate's buffer — this test drives its serialize/deserialize
+    // through a real state-store recovery, the one path no
+    // uninterrupted run exercises
+    val terms = Seq("alpha", "beta")
+    val (counts, total) = (Seq(60L, 30L), 100L) // 10 tokens of <rest>
+    val in = java.nio.file.Files.createTempDirectory("graft-dr-in").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-dr-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-dr-out").toString
+    def write(rows: Seq[(String, String)]): Unit =
+      rows.map { case (ts, text) => (java.sql.Timestamp.valueOf(ts), text) }
+        .toDF("ts", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+    // batch 1: window W0 open — its count VECTOR (alpha=2, beta=1,
+    // rest=1) exists only as serialized ArraySum state at the kill
+    write(Seq(
+      ("2024-01-01 00:05:00", "alpha beta"),
+      ("2024-01-01 00:20:00", "alpha other")))
+    val schema = spark.read.parquet(in).schema
+    def start() = DocStreams.termDriftWindowed(
+        spark.readStream.schema(schema).parquet(in),
+        terms, counts, total, windowSeconds = 3600,
+        watermarkSeconds = Some(1800))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(out).isEmpty,
+      "no window may close before the watermark passes W0")
+    // down: a late W0 doc (must MERGE into the recovered vector) and a
+    // watermark pusher
+    write(Seq(
+      ("2024-01-01 00:50:00", "beta beta gamma"),
+      ("2024-01-01 03:00:00", "alpha")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      q2.processAllAvailable()
+      val closed = spark.read.parquet(out).collect()
+        .map(r => r.getTimestamp(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val w0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val (nDocs, nTokens, js) = closed(w0)
+      assert(nDocs === 3L && nTokens === 7L,
+        s"recovered vector must merge pre-kill counts: $closed")
+      // exact-integer replay of the expected JS over the merged vector
+      // (alpha=2, beta=3, rest=2 [other+gamma] of 7 vs ref 60/30/10 of 100)
+      def term(cW: Long, cR: Long): Long = {
+        val d = (cW * total + cR * nTokens).toDouble
+        val p = if (cW == 0) 0.0
+          else (0.5 * (cW.toDouble / nTokens)) * math.log(2.0 * cW * total / d)
+        val q = if (cR == 0) 0.0
+          else (0.5 * (cR.toDouble / total)) * math.log(2.0 * cR * nTokens / d)
+        math.floor((p + q) * 1e6).toLong
+      }
+      val want = Seq((2L, 60L), (3L, 30L), (2L, 10L)).map { case (a, b) => term(a, b) }.sum
+      assert(js === want, s"JS over the recovered vector: got $js want $want")
+      // exactly-once vs the batch definition over both input batches
+      val batch = DocStreams.termDriftWindowed(spark.read.parquet(in),
+          terms, counts, total, windowSeconds = 3600)
+        .collect().map(r => r.getTimestamp(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      closed.foreach { case (k, v) => assert(batch(k) === v, s"window $k") }
+    } finally q2.stop()
+  }
+
   test("streaming near-dup gate matches the batch cross-dedup flag set") {
     import graft.streaming.DocStreams
     val docs = Tables.table(spark, TestSpark.sfDir, "documents")
