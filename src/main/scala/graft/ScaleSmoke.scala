@@ -137,6 +137,11 @@ object ScaleSmoke {
     val sq8Queries = emb1.filter(col("vec_id") % 50 === 0).cache()
     sq8Queries.count()
 
+    // fixed reference distribution for the windowed drift monitor —
+    // a deployed monitor's reference (yesterday's corpus) does not
+    // grow with today's window volume
+    val driftRef = TextAnalysis.referenceTermStats(docs1, "text", topK = 64)
+
     val results = Seq(
       time("minhash_lsh_1x") {
         Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 64, 16, 3, 0.5)
@@ -467,7 +472,52 @@ object ScaleSmoke {
       time(s"source_drift_${k}x") {
         TextAnalysis.sourceTermDrift(docsK.withColumn("source",
             concat(lit("src"), (col("doc_id") % 20).cast("string"))),
-          "source", "text").queryExecution.toRdd.count() }
+          "source", "text").queryExecution.toRdd.count() },
+      // snapshot drift: each side one map-combined histogram; the
+      // vocab-sized full join is the only post-shuffle work
+      time("snapshot_drift_1x") {
+        TextAnalysis.termDriftBetween(
+          docs1.filter(col("doc_id") % 2 === 0),
+          docs1.filter(col("doc_id") % 2 === 1), "text")
+          .queryExecution.toRdd.count() },
+      time(s"snapshot_drift_${k}x") {
+        TextAnalysis.termDriftBetween(
+          docsK.filter(col("doc_id") % 2 === 0),
+          docsK.filter(col("doc_id") % 2 === 1), "text")
+          .queryExecution.toRdd.count() },
+      // windowed drift monitor (batch mode): per-doc O(K·L) count
+      // vectors, ONE array_sum_agg per window — linear is the bar;
+      // window count held constant so state stays fixed
+      time("drift_windowed_1x") {
+        val (tm, cn, tt) = driftRef
+        graft.streaming.DocStreams.termDriftWindowed(
+            docs1.withColumn("ts",
+              timestamp_seconds(pmod(col("doc_id"), lit(100000L)))),
+            tm, cn, tt, windowSeconds = 3600L)
+          .queryExecution.toRdd.count() },
+      time(s"drift_windowed_${k}x") {
+        val (tm, cn, tt) = driftRef
+        graft.streaming.DocStreams.termDriftWindowed(
+            docsK.withColumn("ts",
+              timestamp_seconds(pmod(col("doc_id"), lit(100000L)))),
+            tm, cn, tt, windowSeconds = 3600L)
+          .queryExecution.toRdd.count() },
+      // IVF-SQ8: the composed production index — cell gate bounds
+      // candidates, int8 kernel ranks, exact re-rank panel-sized
+      time("ivf_sq8_topk_1x") {
+        val cents = Similarity.trainIvfCentroids(emb1,
+          Similarity.suggestedCentroids(e1), dim = 64)
+        Similarity.ivfSqTopK(emb1, sq8Queries, k = 10, cents, nProbe = 4,
+            shortlist = Similarity.suggestedShortlist(e1, 10),
+            excludeSelf = false)
+          .queryExecution.toRdd.count() },
+      time(s"ivf_sq8_topk_${k}x") {
+        val cents = Similarity.trainIvfCentroids(embKr,
+          Similarity.suggestedCentroids(eK), dim = 64)
+        Similarity.ivfSqTopK(embKr, sq8Queries, k = 10, cents, nProbe = 4,
+            shortlist = Similarity.suggestedShortlist(eK, 10),
+            excludeSelf = false)
+          .queryExecution.toRdd.count() }
     )
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
@@ -481,7 +531,8 @@ object ScaleSmoke {
         "source_report", "bigram_interp", "quality_trained",
         "curation_v3", "bm25_topk", "temperature_mix",
         "bpe_fertility", "sq8_topk", "zorder_layout",
-        "source_drift").foreach { base =>
+        "source_drift", "snapshot_drift", "drift_windowed",
+        "ivf_sq8_topk").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

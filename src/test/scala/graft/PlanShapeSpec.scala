@@ -458,6 +458,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(wins.isEmpty, "drift card needs no window at all")
   }
 
+  test("termDriftWindowed: ONE stateful aggregation (array-sum vectors), map-only JS finish") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .withColumn("ts", timestamp_seconds(col("doc_id")))
+    val (terms, counts, total) =
+      graft.operators.TextAnalysis.referenceTermStats(docs, "text", topK = 16)
+    val df = graft.streaming.DocStreams.termDriftWindowed(docs, terms, counts, total,
+      windowSeconds = 60L)
+    val p = plan(df)
+    // the per-doc count vector is map-only; the single windowed
+    // aggregate (the streaming-legal shape) is the ONLY exchange; the
+    // JS finish is a projection over the aggregated vector
+    assert(p.contains("array_sum_agg"), s"must aggregate count vectors:\n$p")
+    assert(countOccurrences(p, "Exchange") <= 2,
+      s"one aggregation exchange (+ at most a partial pair) allowed:\n$p")
+    val wins = allWindows(df.queryExecution.sparkPlan)
+    assert(wins.isEmpty, "no WindowExec anywhere in the drift monitor")
+  }
+
   test("every declared query's unpartitioned windows are on the bounded allowlist") {
     // An unpartitioned Window moves ALL its input through one task.
     // Each allowlisted site below is a DOCUMENTED bounded window (the
