@@ -1231,6 +1231,28 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- hybrid retrieval: BM25 lexical top-10 and dense cosine
+    //      top-10 for the same query panel, merged by reciprocal-rank
+    //      fusion — pure integer arithmetic (10^9 div (60 + rank)),
+    //      no score calibration across systems. The oracle replays
+    //      BOTH runs and the fusion bit-for-bit ----
+    "sim_rrf_hybrid" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val probes = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(TextAnalysis.cleanTokens(col("text")), 1, 5).as("qterms"))
+      val lexical = Retrieval.bm25TopK(docs, "doc_id", "text",
+          probes, "query_id", "qterms", k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id").as("id"))
+      val e = t(s, d, "embeddings")
+      val dense = Similarity.bruteForceTopK(
+          e.repartition(s.sparkContext.defaultParallelism),
+          e.filter(col("vec_id") % 50 === 0), k = 10)
+        .select(col("query_id"), col("rank"), col("id"))
+      Retrieval.rrfFuse(Seq(lexical, dense), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- MMR diversified re-rank: brute-force top-20 shortlist per
     //      panel query, then greedy lambda=0.7 relevance-vs-redundancy
     //      selection of 5 — one bounded fold per query, ties to the
@@ -1799,6 +1821,33 @@ object PipelineQueries {
          WHERE rk = 1 AND score_micro >= 1300000 ORDER BY id""",
     "text_bm25_topk" -> (bm25OracleCtes +
       "\n SELECT query_id, rank, doc_id, score_micro, n_terms FROM topk ORDER BY query_id, rank"),
+    "sim_rrf_hybrid" -> (bm25OracleCtes +
+      """,
+       dense0 AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+               b.vec_id) AS rank
+         FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         WHERE a.vec_id % 50 = 0),
+       dense AS (SELECT query_id, id, rank FROM dense0 WHERE rank <= 10),
+       contrib AS (
+         SELECT query_id, doc_id AS id,
+           CAST(1000000000 // (60 + rank) AS BIGINT) AS c FROM topk
+         UNION ALL
+         SELECT query_id, id,
+           CAST(1000000000 // (60 + rank) AS BIGINT) AS c FROM dense),
+       fused AS (
+         SELECT query_id, id, CAST(SUM(c) AS BIGINT) AS rrf_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+         FROM contrib GROUP BY 1, 2),
+       rk AS (
+         SELECT query_id, id, rrf_micro, n_runs,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY rrf_micro DESC, id) AS rank
+         FROM fused)
+       SELECT query_id, CAST(rank AS INTEGER) AS rank, id, rrf_micro, n_runs
+       FROM rk WHERE rank <= 10 ORDER BY query_id, rank"""),
     "text_bm25_diag" -> (bm25OracleCtes +
       """,
        diag AS (

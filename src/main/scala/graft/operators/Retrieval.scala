@@ -173,4 +173,43 @@ object Retrieval {
         min(col("score_micro")).as("worst_micro"),
         max(when(col("rank") === 1, col("n_terms"))).as("best_n_terms"))
       .withColumn("spread_micro", col("best_micro") - col("worst_micro"))
+
+  /** Reciprocal-rank fusion — the hybrid-retrieval merge step
+    * (Cormack/Clarke/Büttcher 2009): combine ranked runs from
+    * DIFFERENT retrieval systems (BM25 lexical, dense ANN, …) into
+    * one list by summing 1/(k0 + rank) per appearance. Rank-based,
+    * so incomparable score scales (micro-BM25 vs cosine) never need
+    * calibration — which is exactly why production hybrid search
+    * uses RRF as the default merge.
+    *
+    * Each run needs (query_id, rank, id). Contribution is the EXACT
+    * long floor-division 10^9 div (k0 + rank): no float exists
+    * anywhere, so fusion scores, their ties, and the final cut are
+    * bit-identical in any engine. Output: (query_id, rank 1..k, id,
+    * rrf_micro, n_runs) — n_runs telling how many systems surfaced
+    * the hit (the agreement signal).
+    *
+    * Scale shape: inputs are top-k runs, i.e. panel-sized (queries ×
+    * per-run k), so the union + one (query_id, id) aggregate + one
+    * per-query window all operate on panel-sized data; corpus cost
+    * lives in the upstream runs.
+    */
+  def rrfFuse(runs: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "need at least one run")
+    require(k > 0 && k0 >= 0, "k must be positive, k0 non-negative")
+    def intDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast(LongType)
+    val contrib = runs.map(_.select(col("query_id"), col("id"),
+      intDiv(lit(1000000000L), lit(k0.toLong) + col("rank").cast(LongType))
+        .as("c")))
+    val fused = contrib.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("c")).as("rrf_micro"), count(lit(1)).as("n_runs"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"),
+        col("rrf_micro"), col("n_runs"))
+  }
 }

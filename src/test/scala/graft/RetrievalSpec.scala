@@ -202,4 +202,40 @@ class RetrievalSpec extends AnyFunSuite {
       assert(d.getLong(5) === best.getLong(3) - g.map(_.getLong(3)).min)
     }
   }
+
+  test("rrfFuse matches an independent JVM replay; agreement outranks one high rank") {
+    // two runs over one query: doc 7 is rank 3 in BOTH systems; doc 1
+    // is rank 1 lexically only. RRF: 2/(63) > 1/(61) — agreement wins
+    val lex = Seq((100L, 1, 1L), (100L, 2, 5L), (100L, 3, 7L))
+      .toDF("query_id", "rank", "id")
+    val den = Seq((100L, 1, 9L), (100L, 2, 4L), (100L, 3, 7L))
+      .toDF("query_id", "rank", "id")
+    val out = Retrieval.rrfFuse(Seq(lex, den), k = 10)
+      .orderBy(col("rank")).collect()
+    def c(rank: Int): Long = 1000000000L / (60L + rank)
+    // JVM replay of every fused score
+    val want = Map(1L -> c(1), 5L -> c(2), 7L -> (c(3) + c(3)),
+      9L -> c(1), 4L -> c(2))
+    out.foreach { r =>
+      assert(r.getLong(3) === want(r.getLong(2)),
+        s"id ${r.getLong(2)} score mismatch")
+    }
+    assert(out.head.getLong(2) === 7L, "doc ranked by both systems must fuse first")
+    assert(out.head.getLong(4) === 2L, "n_runs must report the agreement")
+    // ties (ids 1 and 9 both contribute c(1)) break on ascending id
+    val tied = out.filter(r => r.getLong(3) === c(1)).map(_.getLong(2))
+    assert(tied.toSeq === Seq(1L, 9L))
+  }
+
+  test("rrfFuse cut is exact: k bounds each query independently") {
+    val run = Seq.tabulate(30)(i => (i % 3).toLong -> (i + 1))
+      .zipWithIndex.map { case ((q, r), i) => (q, r, (100 + i).toLong) }
+      .toDF("query_id", "rank", "id")
+    val out = Retrieval.rrfFuse(Seq(run), k = 4).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.values.foreach(g => assert(g.length === 4))
+    byQ.values.foreach(g =>
+      assert(g.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3, 4)))
+  }
 }
