@@ -38,6 +38,15 @@ object Layout {
     */
   def quantizeLinear(x: Column, minV: Long, maxV: Long, bits: Int): Column = {
     require(bits >= 1 && bits <= 16, "bits must be in [1, 16]")
+    // (x - min) * (2^bits - 1) must stay EXACT through the long
+    // multiply AND the 2^53 double mantissa intDiv relies on: a
+    // millis/nanos-epoch column would silently scramble the curve —
+    // fail at plan build instead (pre-scale such domains to
+    // seconds/days; scan pruning needs rank buckets, not precision)
+    require(maxV < minV || (maxV - minV) <= (1L << 53) / ((1L << bits) - 1),
+      s"quantizeLinear: domain span ${maxV - minV} x (2^$bits-1) exceeds the " +
+        "exact-arithmetic bound (2^53) — pre-scale the dimension " +
+        "(e.g. millis/nanos -> seconds or days)")
     if (maxV == minV) lit(0L)
     else intDiv((x.cast(LongType) - lit(minV)) * lit((1L << bits) - 1),
       lit(maxV - minV))
@@ -54,6 +63,44 @@ object Layout {
       shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
+  }
+
+  /** N-dimensional Morton interleave: result bit (i·n + j) is
+    * dimension j's bit i — the bits of all `n` quantized dimensions
+    * cycle round-robin, so every dimension contributes equally to
+    * every prefix of the key (the property that makes the top bits a
+    * balanced n-D grid). Requires n·bits <= 62. Two dimensions
+    * reduce exactly to [[mortonInterleave2]].
+    */
+  def mortonInterleaveN(dims: Seq[Column], bits: Int): Column = {
+    require(dims.size >= 2, "need at least two dimensions")
+    require(bits >= 1 && dims.size * bits <= 62,
+      s"${dims.size} dims x $bits bits exceeds the 62-bit key budget")
+    val n = dims.size
+    (for { i <- 0 until bits; j <- 0 until n } yield
+      shiftleft(shiftright(dims(j), i).bitwiseAND(lit(1L)), i * n + j)
+    ).reduce(_ bitwiseOR _)
+  }
+
+  /** [[zorderKeyed]] for any number of dimensions: one stats pass for
+    * all min/max pairs, then the map-only N-way interleave. Bucket =
+    * the key's top `bucketBits` bits (a balanced grid of
+    * ~2^(bucketBits/n) cells per dimension).
+    */
+  def zorderKeyedN(df: DataFrame, dims: Seq[Column], bits: Int = 16,
+                   bucketBits: Int = 6,
+                   keyCol: String = "zkey", bucketCol: String = "zbucket"): DataFrame = {
+    val n = dims.size
+    require(n >= 2 && n * bits <= 62, "dims x bits exceeds the 62-bit key budget")
+    require(bucketBits >= 1 && bucketBits <= n * bits, "bucketBits out of range")
+    val aggs = dims.flatMap(d =>
+      Seq(min(d.cast(LongType)), max(d.cast(LongType))))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    val quantized = dims.zipWithIndex.map { case (d, j) =>
+      quantizeLinear(d, bounds.getLong(2 * j), bounds.getLong(2 * j + 1), bits)
+    }
+    df.withColumn(keyCol, mortonInterleaveN(quantized, bits))
+      .withColumn(bucketCol, shiftright(col(keyCol), n * bits - bucketBits))
   }
 
   /** Min/max bounds of two long-valued expressions in one aggregate

@@ -32,6 +32,12 @@ class LayoutSpec extends AnyFunSuite {
       .select(Layout.quantizeLinear(col("x"), 7L, 7L, 8).as("q"))
       .collect().map(_.getLong(0))
     assert(const.forall(_ === 0L))
+    // a millis-epoch-wide span would silently exceed the exact 2^53
+    // arithmetic bound: the guard must fire at plan build
+    val e = intercept[IllegalArgumentException] {
+      Layout.quantizeLinear(col("x"), 0L, 3L * 1000L * 86400L * 365L * 60L, 16)
+    }
+    assert(e.getMessage.contains("pre-scale"))
   }
 
   test("zorderKeyed buckets are small rectangles, not full-range stripes") {
@@ -56,6 +62,33 @@ class LayoutSpec extends AnyFunSuite {
     // single-column range layout would put ~1.0 on the other dim.
     assert(meanFck < 0.3, s"custkey envelope fraction $meanFck too wide")
     assert(meanFod < 0.3, s"orderdate envelope fraction $meanFod too wide")
+  }
+
+  test("zorderKeyedN: 3-D buckets are sub-cubes on every dimension") {
+    val o = Tables.table(spark, TestSpark.sfDir, "orders")
+      .withColumn("ck", col("o_custkey").cast(LongType))
+      .withColumn("od", datediff(col("o_orderdate").cast(DateType),
+        lit("1970-01-01").cast(DateType)).cast(LongType))
+      .withColumn("tp", floor(col("o_totalprice")).cast(LongType))
+    val keyed = Layout.zorderKeyedN(o, Seq(col("ck"), col("od"), col("tp")),
+      bits = 10, bucketBits = 6)
+    val g = o.agg(max("ck") - min("ck"), max("od") - min("od"),
+      max("tp") - min("tp")).head()
+    val spans = (0 until 3).map(i => g.getLong(i).toDouble)
+    val env = keyed.groupBy("zbucket")
+      .agg(((max("ck") - min("ck")) / spans(0)).as("f0"),
+           ((max("od") - min("od")) / spans(1)).as("f1"),
+           ((max("tp") - min("tp")) / spans(2)).as("f2"),
+           count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .collect()
+    assert(env.length > 10, s"expected many populated buckets, got ${env.length}")
+    (1 to 3).foreach { i =>
+      val mean = env.map(_.getDouble(i)).sum / env.length
+      // 6 top bits over 3 dims = 2 bits/dim: each bucket spans ~1/4 of
+      // each dimension — far from a full-range stripe on ANY of them
+      assert(mean < 0.6, s"dim $i envelope fraction $mean too wide")
+    }
   }
 
   test("writeZOrdered produces files whose min/max footers prune on both dimensions") {

@@ -386,6 +386,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mortonInterleaveN round-trips for 3 dimensions and reduces to the 2-D form") {
+    import graft.operators.Layout
+    val tripleGen = Gen.listOfN(3, Gen.chooseNum(0L, 1023L))
+    forAll(Gen.listOfN(32, tripleGen), cases = 3) { triples =>
+      val out = triples.map { case List(a, b, c) => (a, b, c) }
+        .toDF("a", "b", "c")
+        .select(col("a"), col("b"), col("c"),
+          Layout.mortonInterleaveN(Seq(col("a"), col("b"), col("c")), 10).as("z"),
+          Layout.mortonInterleaveN(Seq(col("a"), col("b")), 10).as("z2"),
+          Layout.mortonInterleave2(col("a"), col("b"), 10).as("z2ref"))
+        .collect()
+      out.foreach { r =>
+        val z = r.getLong(3)
+        val rec = (0 until 3).map { j =>
+          (0 until 10).map(i => ((z >> (i * 3 + j)) & 1L) << i).reduce(_ | _)
+        }
+        assert(rec === Seq(r.getLong(0), r.getLong(1), r.getLong(2)),
+          s"3-D round-trip failed for z=$z")
+        assert(r.getLong(4) === r.getLong(5), "N=2 must equal the 2-D form")
+      }
+    }
+  }
+
   test("quantizeLinear: in-range, monotone, endpoints exact for random domains") {
     import graft.operators.Layout
     val domGen = for {
