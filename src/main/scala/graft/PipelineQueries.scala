@@ -795,6 +795,24 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     }),
 
+    // ---- recall@10 for the composed IVF-SQ8 index vs exact truth —
+    //      the sixth and final row of the index tuning matrix
+    //      (IVF / LSH / PQ / IVF-PQ / SQ8 / IVF-SQ8) ----
+    "sim_recall_ivfsq8" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val n = e.count()
+      val truth = Similarity.bruteForceTopK(
+          e.repartition(s.sparkContext.defaultParallelism), e, k = 10)
+        .select(col("query_id"), col("id").as("nn_id"))
+      val cents = Similarity.trainIvfCentroids(e,
+        nCentroids = Similarity.suggestedCentroids(n), dim = 64,
+        iterations = 1, portable = true)
+      val approx = Similarity.ivfSqTopK(e, e, k = 10, cents, nProbe = 4,
+          shortlist = Similarity.suggestedShortlist(n, 10), portable = true)
+        .select(col("query_id"), col("id").as("nn_id"))
+      Similarity.recallReport(truth, approx)
+    }),
+
     // ---- embedding ops: norms (sequential IEEE fold — identical in
     //      the oracle's list_reduce), exact quantized mean-pool
     //      centroids, int8 quantization ----
@@ -2231,6 +2249,103 @@ object PipelineQueries {
            CASE WHEN n_cand = 0 THEN NULL
                 ELSE n_matched * 1000000 // n_cand END AS precision_micro
          FROM n""",
+    "sim_recall_ivfsq8" ->
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+         hx AS (
+           SELECT vec_id, embedding,
+             ((((vec_id + 42) % 1000000007) * ((vec_id + 42) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+           FROM embeddings),
+         init AS (
+           SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY (v * v) % 1000000007, vec_id) - 1 AS cell
+           FROM hx
+           QUALIFY cell < (SELECT greatest(16, CAST(ceil(sqrt(cnt)) AS BIGINT)) FROM n)),
+         a0 AS (
+           SELECT e.vec_id, i.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, i.embedding) DESC, i.cell) AS rk
+           FROM embeddings e CROSS JOIN init i),
+         a1 AS (SELECT vec_id, cell FROM a0 WHERE rk = 1),
+         q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+           FROM embeddings),
+         mp AS (
+           SELECT a1.cell, p.pos,
+             CAST(floor(CAST(sum(p.qx) AS DOUBLE) / count(*)) AS BIGINT) AS mq
+           FROM a1 JOIN q USING (vec_id),
+             LATERAL (SELECT unnest(qv) AS qx, generate_subscripts(qv, 1) AS pos) p
+           GROUP BY a1.cell, p.pos),
+         upd AS (
+           SELECT cell, list_transform(array_agg(mq ORDER BY pos),
+             m -> CAST(m / 1048576.0 AS FLOAT)) AS cv
+           FROM mp GROUP BY cell),
+         cents AS (
+           SELECT i.cell, COALESCE(u.cv, i.embedding) AS cv
+           FROM init i LEFT JOIN upd u USING (cell)),
+         a2 AS (
+           SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cell) AS rk
+           FROM embeddings e CROSS JOIN cents c),
+         assign AS (SELECT vec_id AS id, cell FROM a2 WHERE rk = 1),
+         probes AS (SELECT vec_id AS query_id, cell FROM a2 WHERE rk <= 4),
+         cand AS (
+           SELECT DISTINCT p.query_id, a.id FROM probes p JOIN assign a USING (cell)
+           WHERE a.id <> p.query_id),
+         z AS (
+           SELECT vec_id,
+             127.0 / NULLIF(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         cz AS (
+           SELECT vec_id,
+             CASE WHEN scale IS NULL THEN list_transform(v, x -> 0.0)
+               ELSE list_transform(v, x -> CAST(greatest(-127, least(127,
+                 CAST(floor(x * scale + 0.5) AS BIGINT))) AS DOUBLE)) END AS cd
+           FROM z),
+         nn AS (SELECT vec_id, cd, list_dot_product(cd, cd) AS nsq FROM cz),
+         sc AS (
+           SELECT c.query_id, c.id,
+             CASE WHEN a.nsq = 0 OR b.nsq = 0 THEN -2.0
+               ELSE list_cosine_similarity(a.cd, b.cd)
+             END AS code_cos
+           FROM cand c
+           JOIN nn a ON a.vec_id = c.query_id
+           JOIN nn b ON b.vec_id = c.id),
+         short AS (
+           SELECT query_id, id FROM (
+             SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY code_cos DESC, id) AS rk
+             FROM sc)
+           WHERE rk <= (SELECT greatest(40, CAST(ceil(2.0 *
+             sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) FROM embeddings)),
+         rr AS (
+           SELECT s.query_id, s.id,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC,
+                 s.id) AS rk
+           FROM short s
+           JOIN embeddings qe ON qe.vec_id = s.query_id
+           JOIN embeddings ce ON ce.vec_id = s.id),
+         ivfsq AS (SELECT query_id, id AS nn_id FROM rr WHERE rk <= 10),
+         bf0 AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                 b.vec_id) AS rk
+           FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+         bf AS (SELECT query_id, nn_id FROM bf0 WHERE rk <= 10),
+         m AS (SELECT count(*) AS n_matched
+               FROM bf JOIN ivfsq USING (query_id, nn_id)),
+         tq AS (SELECT count(*) AS n_truth FROM bf)
+         SELECT CAST(tq.n_truth AS BIGINT) AS n_truth,
+           CAST(m.n_matched AS BIGINT) AS n_matched,
+           CAST(m.n_matched * 1000000 // tq.n_truth AS BIGINT) AS recall_micro
+         FROM tq, m""",
     "sim_topk_ivfsq8" ->
       """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
          hx AS (
