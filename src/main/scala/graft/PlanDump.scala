@@ -240,7 +240,23 @@ object PlanDump {
         "aggregate (no global vocab sort), and the zero-fill grid is " +
         "sources x K rows built from broadcast joins. Per-term JS " +
         "contributions floor to integer micros before the long sum — " +
-        "no cross-row float accumulation anywhere."))
+        "no cross-row float accumulation anywhere."),
+    "text_drift_windowed" ->
+      ("Streaming-legal drift monitor (batch mode of the one " +
+        "definition): per-doc reference-term count VECTORS are " +
+        "map-only; the single stateful operator is the windowed " +
+        "array_sum_agg (K+1 longs of state per window — the shape " +
+        "Structured Streaming accepts and a state store can hold at " +
+        "any corpus rate); the JS finish is a projection over the " +
+        "aggregated vector against plan-literal reference counts."),
+    "sim_rrf_hybrid" ->
+      ("Hybrid retrieval: the BM25 run (broadcast probe gate over " +
+        "the tf table) and the dense run (broadcast panel over the " +
+        "corpus scan) execute independently; fusion unions two " +
+        "panel-sized top-k lists, one (query_id, id) aggregate sums " +
+        "exact long 10^9 div (60+rank) contributions, and the final " +
+        "per-query window ranks at most |runs|*k rows per query — " +
+        "corpus cost lives entirely in the upstream runs."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
