@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Embeddings, Frames, Layout, Retrieval, Similarity, Temporal, TextAnalysis, TextClean}
+import graft.operators.{Dedup, Embeddings, Frames, Layout, Quality, Retrieval, Similarity, Temporal, TextAnalysis, TextClean}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline operators (SURVEY.md §7.6 / north-star) as
@@ -313,6 +313,47 @@ object PipelineQueries {
           t(s, d, "documents").select(col("doc_id")), "doc_id", nShards = 8, seed = 42L)
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("doc_id"))),
+
+    // ---- data-quality profiling: one aggregate pass for every
+    //      requested numeric column (counts exact, float stats as
+    //      integer cents), stacked to a column-per-row card ----
+    "q_data_profile" -> ((s, d) =>
+      Quality.profileNumeric(t(s, d, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy(col("column"))),
+
+    // ---- declarative constraint suite: every check is a conditional
+    //      count fused into ONE scan (null predicate = violation, the
+    //      deequ convention); discount_cap is deliberately tight so
+    //      the suite exercises the failing path ----
+    "q_data_quality" -> ((s, d) =>
+      Quality.checkConstraints(t(s, d, "lineitem"), Seq(
+          "quantity_range" -> col("l_quantity").between(1.0, 50.0),
+          "discount_cap" -> (col("l_discount") <= 0.05),
+          "positive_price" -> (col("l_extendedprice") > 0.0),
+          "valid_flag" -> col("l_returnflag").isin("A", "N", "R"),
+          "tax_bounds" -> col("l_tax").between(0.0, 0.08)))
+        .orderBy(col("check"))),
+
+    // ---- structural integrity card: FK orphans (lineitem -> orders)
+    //      and key-uniqueness violations (customer PK), one row ----
+    "q_data_integrity" -> ((s, d) =>
+      Quality.referentialViolations(t(s, d, "lineitem"), "l_orderkey",
+          t(s, d, "orders"), "o_orderkey")
+        .crossJoin(Quality.uniquenessViolations(t(s, d, "customer"),
+          Seq("c_custkey")))),
+
+    // ---- snapshot diff — the corpus-refresh audit: ids added,
+    //      removed, changed (md5 differs) and unchanged between two
+    //      snapshot views of the documents table ----
+    "q_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val a = docs.filter(col("doc_id") % 11 =!= 0)
+      val b = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Quality.snapshotDiff(a, b, "doc_id", "text")
+    }),
 
     // ---- Z-order (Morton) layout clustering: rank-bucket two
     //      dimensions, interleave their bits, cluster on the key's
@@ -3627,6 +3668,84 @@ object PipelineQueries {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
          ORDER BY id_a, id_b""",
+    "q_data_profile" ->
+      """WITH s AS (
+           SELECT 'l_discount' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(CASE WHEN l_discount IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS n_distinct,
+             CAST(MIN(CAST(floor(CAST(l_discount AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+             CAST(MAX(CAST(floor(CAST(l_discount AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents,
+             CAST(SUM(CAST(floor(CAST(l_discount AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS BIGINT),
+             CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+             CAST(MIN(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT),
+             CAST(MAX(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT),
+             CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS BIGINT),
+             CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+             CAST(MIN(CAST(floor(CAST(l_quantity AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT),
+             CAST(MAX(CAST(floor(CAST(l_quantity AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT),
+             CAST(SUM(CAST(floor(CAST(l_quantity AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           FROM lineitem)
+         SELECT * FROM s ORDER BY "column"""",
+    "q_data_quality" ->
+      """WITH c AS (
+           SELECT 'discount_cap' AS "check",
+             CAST(SUM(CASE WHEN COALESCE(l_discount <= 0.05, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+           FROM lineitem
+           UNION ALL
+           SELECT 'positive_price',
+             CAST(SUM(CASE WHEN COALESCE(l_extendedprice > 0.0, FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'quantity_range',
+             CAST(SUM(CASE WHEN COALESCE(l_quantity BETWEEN 1.0 AND 50.0, FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'tax_bounds',
+             CAST(SUM(CASE WHEN COALESCE(l_tax BETWEEN 0.0 AND 0.08, FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'valid_flag',
+             CAST(SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+           FROM lineitem)
+         SELECT "check", n_violations, n_violations = 0 AS pass
+         FROM c ORDER BY "check"""",
+    "q_data_integrity" ->
+      """WITH o AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans
+           FROM lineitem l
+           WHERE l.l_orderkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+         u AS (
+           SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_violations,
+             CAST(COUNT(CASE WHEN c > 1 THEN 1 END) AS BIGINT) AS n_duplicate_keys
+           FROM (SELECT c_custkey, COUNT(*) AS c FROM customer GROUP BY 1))
+         SELECT o.n_orphans, u.n_violations, u.n_duplicate_keys FROM o, u""",
+    "q_snapshot_diff" ->
+      """WITH a AS (
+           SELECT doc_id, COALESCE(text, '') AS text
+           FROM documents WHERE doc_id % 11 <> 0),
+         b AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN COALESCE(text, '') || ' v2'
+               ELSE COALESCE(text, '') END AS text
+           FROM documents WHERE doc_id % 13 <> 0),
+         j AS (
+           SELECT a.text AS ta, b.text AS tb
+           FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+         SELECT
+           CAST(COUNT(CASE WHEN ta IS NULL THEN 1 END) AS BIGINT) AS n_added,
+           CAST(COUNT(CASE WHEN tb IS NULL THEN 1 END) AS BIGINT) AS n_removed,
+           CAST(COUNT(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL AND ta <> tb THEN 1 END) AS BIGINT) AS n_changed,
+           CAST(COUNT(CASE WHEN ta = tb THEN 1 END) AS BIGINT) AS n_unchanged
+         FROM j""",
     "q_zorder_layout" ->
       """WITH base AS (
            SELECT o_custkey AS ck,

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-quality tooling: column profiling, declarative constraint
+  * checks, and snapshot diffing — the validation layer a 100 TB
+  * ingest runs BEFORE data reaches training (the deequ/expectations
+  * shape, re-expressed as plain aggregates so Catalyst fuses the
+  * whole check suite into a single pass wherever possible).
+  *
+  * Everything reports COUNTS as exact longs; float statistics are
+  * quantized with the repo's floor(x·100 + 0.5) integer-cents
+  * discipline so external engines replay the profile bit-for-bit.
+  */
+object Quality {
+
+  /** Per-column profile of numeric columns: row count, null count,
+    * exact distinct count, min/max, and the integer-cents sum. ONE
+    * aggregate pass for all requested columns (count_distinct adds
+    * expand-style partials but stays a single shuffle); emitted as
+    * one row per column via an explicit stack, so the card is
+    * (n_cols) rows regardless of corpus size.
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    def cents(c: Column): Column =
+      floor(c.cast(DoubleType) * lit(100.0) + lit(0.5)).cast(LongType)
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"${c}__n"),
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(cents(col(c))).as(s"${c}__min_cents"),
+        max(cents(col(c))).as(s"${c}__max_cents"),
+        sum(cents(col(c))).as(s"${c}__sum_cents"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // stack the single aggregate row via explode — a union of selects
+    // over the unpersisted aggregate would re-evaluate it (= rescan
+    // the corpus) once per column
+    one.select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"),
+          col(s"${c}__n").as("n_rows"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__distinct").as("n_distinct"),
+          col(s"${c}__min_cents").as("min_cents"),
+          col(s"${c}__max_cents").as("max_cents"),
+          col(s"${c}__sum_cents").as("sum_cents"))
+      }: _*)).as("r"))
+      .select(col("r.column"), col("r.n_rows"), col("r.n_nulls"),
+        col("r.n_distinct"), col("r.min_cents"), col("r.max_cents"),
+        col("r.sum_cents"))
+  }
+
+  /** Declarative row-level constraint suite: each (name, predicate)
+    * counts its violating rows (predicate FALSE or NULL — a null
+    * check result is a violation, not a free pass: the deequ
+    * convention that catches missing data). All checks fuse into ONE
+    * conditional aggregate over one scan; output is one row per
+    * check — (check, n_violations, pass) — so a 50-check suite on
+    * 100 TB still costs a single pass.
+    */
+  def checkConstraints(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    val aggs = checks.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(name)
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // single-row explode, not a union of selects (same rescan trap as
+    // profileNumeric): the whole suite stays one scan + one 1-row stage
+    one.select(explode(array(checks.map { case (name, _) =>
+        struct(lit(name).as("check"),
+          coalesce(col(name), lit(0L)).as("n_violations"))
+      }: _*)).as("r"))
+      .select(col("r.check"), col("r.n_violations"),
+        (col("r.n_violations") === 0L).as("pass"))
+  }
+
+  /** Key-uniqueness violation count: rows beyond the first per key
+    * (0 = the column set is a key). One map-combined aggregate.
+    */
+  def uniquenessViolations(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") - 1L), lit(0L)).as("n_violations"),
+        count(when(col("c") > 1L, 1)).as("n_duplicate_keys"))
+
+  /** Referential-integrity violation count: child rows whose key has
+    * no parent (null child keys excluded — nullable FKs are a
+    * different check). A left-anti join that broadcasts whichever
+    * side the planner finds small; at 100 TB prefer a bloom-filter
+    * pre-gate ([[Skew.bloomSemiJoin]]) when the parent is huge.
+    */
+  def referentialViolations(child: DataFrame, childKey: String,
+                            parent: DataFrame, parentKey: String): DataFrame =
+    child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+
+  /** Snapshot diff — the corpus-refresh audit: given snapshot A and
+    * snapshot B keyed by `idCol`, classify every id as added /
+    * removed / changed / unchanged (changed = both present, md5 of
+    * `payloadCol` differs) and return the four exact counts in one
+    * row. ONE full outer join on the id (both sides pre-reduced to
+    * (id, md5) — fixed-width rows, never full payloads through the
+    * shuffle); the summary aggregate is single-row.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+                   payloadCol: String): DataFrame = {
+    // null payloads hash as '' — presence is signalled by the hash
+    // column's non-nullness after the outer join, so a null payload
+    // must never produce a null hash (it would read as a missing row)
+    def keyed(df: DataFrame, h: String) =
+      df.select(col(idCol).as("id"),
+        md5(coalesce(col(payloadCol).cast(StringType), lit(""))).as(h))
+    val j = keyed(a, "ha").join(keyed(b, "hb"), Seq("id"), "full")
+    j.agg(
+      count(when(col("ha").isNull, 1)).as("n_added"),
+      count(when(col("hb").isNull, 1)).as("n_removed"),
+      count(when(col("ha").isNotNull && col("hb").isNotNull &&
+        col("ha") =!= col("hb"), 1)).as("n_changed"),
+      count(when(col("ha") === col("hb"), 1)).as("n_unchanged"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Quality
+
+class QualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("profileNumeric: exact counts/nulls/distinct and integer-cents stats") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.5), (2.0, null), (2.0, -3.25), (null, 10.5))
+      .toDF("a", "b")
+    val p = Quality.profileNumeric(df, Seq("a", "b"))
+      .orderBy("column").collect()
+    val a = p(0); val b = p(1)
+    assert(a.getString(0) === "a")
+    assert(a.getLong(1) === 4L && a.getLong(2) === 1L && a.getLong(3) === 2L)
+    assert(a.getLong(4) === 100L && a.getLong(5) === 200L && a.getLong(6) === 500L)
+    assert(b.getLong(2) === 1L && b.getLong(3) === 2L)
+    // floor(-3.25*100 + 0.5) = floor(-324.5) = -325 (half-up toward +inf)
+    assert(b.getLong(4) === -325L && b.getLong(5) === 1050L)
+  }
+
+  test("checkConstraints: null predicate is a violation, all checks one pass") {
+    val df = Seq[(java.lang.Double, String)](
+      (1.0, "A"), (99.0, "N"), (null, "R"), (5.0, null))
+      .toDF("q", "f")
+    val r = Quality.checkConstraints(df, Seq(
+        "q_range" -> col("q").between(1.0, 50.0),
+        "f_valid" -> col("f").isin("A", "N", "R")))
+      .orderBy("check").collect()
+    assert(r.map(x => x.getString(0) -> x.getLong(1)).toMap ===
+      Map("f_valid" -> 1L, "q_range" -> 2L)) // null q AND 99.0 violate
+    assert(r.forall(x => x.getBoolean(2) === (x.getLong(1) == 0L)))
+    // empty input: zero violations, pass = true
+    val empty = Quality.checkConstraints(df.filter(lit(false)),
+      Seq("any" -> col("q").isNotNull)).collect()
+    assert(empty.head.getLong(1) === 0L && empty.head.getBoolean(2))
+  }
+
+  test("uniqueness + referential violations count exactly") {
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("k")
+    val parent = Seq(1L, 2L).toDF("p")
+    val fk = Quality.referentialViolations(child, "k", parent, "p").head()
+    assert(fk.getLong(0) === 1L) // only 9L orphans; null excluded
+    val uq = Quality.uniquenessViolations(
+      Seq(1L, 1L, 1L, 2L, 3L).toDF("k"), Seq("k")).head()
+    assert(uq.getLong(0) === 2L && uq.getLong(1) === 1L)
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged exactly; null-safe") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z"),
+      (4L, null: String)).toDF("id", "t")
+    val b = Seq((2L, "y"), (3L, "z2"), (4L, null: String),
+      (5L, "new")).toDF("id", "t")
+    val r = Quality.snapshotDiff(a, b, "id", "t").head()
+    assert(r.getLong(0) === 1L, "added: id 5")
+    assert(r.getLong(1) === 1L, "removed: id 1")
+    assert(r.getLong(2) === 1L, "changed: id 3")
+    // id 2 (same text) and id 4 (null == null payload) are unchanged —
+    // a null payload must NOT read as a missing row
+    assert(r.getLong(3) === 2L, "unchanged: ids 2 and 4")
+  }
+
+  test("constraint suite and profile are ONE scan each (no per-check rescans)") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "lineitem")
+    val suite = Quality.checkConstraints(docs, Seq(
+      "a" -> (col("l_quantity") > 0.0),
+      "b" -> (col("l_discount") <= 0.05),
+      "c" -> col("l_returnflag").isNotNull))
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans(suite) === 1, "a union-of-selects would rescan per check")
+    val prof = Quality.profileNumeric(docs, Seq("l_quantity", "l_discount", "l_tax"))
+    assert(scans(prof) === 1, "profile must not rescan per column")
+  }
+}
