@@ -502,6 +502,32 @@ object ScaleSmoke {
               timestamp_seconds(pmod(col("doc_id"), lit(100000L)))),
             tm, cn, tt, windowSeconds = 3600L)
           .queryExecution.toRdd.count() },
+      // data-quality constraint suite: one fused conditional
+      // aggregate over one scan — must track raw data growth
+      time("data_quality_1x") {
+        graft.operators.Quality.checkConstraints(docs1, Seq(
+            "nonempty" -> (length(col("text")) > 0),
+            "lang_known" -> col("lang").isin("en", "fr", "zh", "de", "es"),
+            "id_positive" -> (col("doc_id") > 0L)))
+          .queryExecution.toRdd.count() },
+      time(s"data_quality_${k}x") {
+        graft.operators.Quality.checkConstraints(docsK, Seq(
+            "nonempty" -> (length(col("text")) > 0),
+            "lang_known" -> col("lang").isin("en", "fr", "zh", "de", "es"),
+            "id_positive" -> (col("doc_id") > 0L)))
+          .queryExecution.toRdd.count() },
+      // snapshot diff: both sides reduce to (id, md5) before the one
+      // full-outer shuffle — fixed-width rows, linear
+      time("snapshot_diff_docs_1x") {
+        graft.operators.Quality.snapshotDiff(
+            docs1.filter(col("doc_id") % 2 === 0),
+            docs1.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+          .queryExecution.toRdd.count() },
+      time(s"snapshot_diff_docs_${k}x") {
+        graft.operators.Quality.snapshotDiff(
+            docsK.filter(col("doc_id") % 2 === 0),
+            docsK.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+          .queryExecution.toRdd.count() },
       // IVF-SQ8: the composed production index — cell gate bounds
       // candidates, int8 kernel ranks, exact re-rank panel-sized
       time("ivf_sq8_topk_1x") {
@@ -532,6 +558,7 @@ object ScaleSmoke {
         "curation_v3", "bm25_topk", "temperature_mix",
         "bpe_fertility", "sq8_topk", "zorder_layout",
         "source_drift", "snapshot_drift", "drift_windowed",
+        "data_quality", "snapshot_diff_docs",
         "ivf_sq8_topk").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
