@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{BpeSegmentWord, CharSetCount, CosineSimilarity, MaxTokenFreq, MinHashSignature, PolyFingerprint, PolyShingleHashes, PqAdcScore, RegexpCount, ShingleHashes, ShingleStrings, SimHash, TopKRows}
+import graft.functions.{ArraySum, BpeSegmentWord, CharSetCount, CosineSimilarity, MaxTokenFreq, MinHashSignature, PolyFingerprint, PolyShingleHashes, PqAdcScore, RegexpCount, ShingleHashes, ShingleStrings, SimHash, TopKRows}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users get them too:
@@ -153,6 +153,15 @@ object GraftExtensions {
         // returning the AggregateFunction: the analyzer wraps it in an
         // AggregateExpression during function resolution
         TopKRows(args(0), args(1), args(2).eval().asInstanceOf[Int])
+      }),
+    (FunctionIdentifier("array_sum_agg"),
+      info("array_sum_agg",
+        "array_sum_agg(v, len) - aggregate: element-wise sum of " +
+          "fixed-length array<long> count vectors (len longs of state " +
+          "per group; loud on length mismatch or null elements)"),
+      (args: Seq[Expression]) => {
+        arity("array_sum_agg", 2, args)
+        ArraySum(args(0), args(1).eval().asInstanceOf[Int])
       }))
 
   /** Register into an existing session (shell / shared test session) —

@@ -79,12 +79,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(seg.split(java.util.regex.Pattern.quote(sep)).filter(_.nonEmpty).toSeq ===
       Seq("low", "e", "r"))
 
+    // element-wise vector-sum aggregate (the drift monitor's state)
+    val vs = spark.sql(
+      "SELECT array_sum_agg(v, 3) AS s FROM VALUES (array(1L, 2L, 3L)), " +
+        "(array(10L, 20L, 30L)) AS t(v)")
+      .head().getSeq[Long](0)
+    assert(vs === Seq(11L, 22L, 33L))
+
     // the builder-time class form wires the same triples
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ===
       Set("cosine_similarity", "simhash", "minhash_signature",
         "poly_fingerprint", "shingle_hashes", "poly_shingle_hashes",
         "shingle_strings", "topk_rows", "pq_adc_score",
         "regexp_count_graft", "charset_count", "max_token_freq",
-        "bpe_segment_word"))
+        "bpe_segment_word", "array_sum_agg"))
   }
 }
