@@ -1579,6 +1579,27 @@ object PipelineQueries {
           "source", "lang", TextAnalysis.demoQualityWeights(256))
         .orderBy(col("source"))),
 
+    // ---- the composed per-source AUDIT card: health counts (dups,
+    //      PII, quality keeps, langs) joined with the JS drift score,
+    //      integer micro rates and explicit pass gates — the one
+    //      table a corpus owner reviews before accepting a source
+    //      into the training mix. The oracle replays BOTH component
+    //      chains and the gates ----
+    "q_corpus_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val health = TextAnalysis.sourceHealthReport(docs, "doc_id", "text",
+        "source", "lang", TextAnalysis.demoQualityWeights(256))
+      val drift = TextAnalysis.sourceTermDrift(docs, "source", "text",
+          topK = 256)
+        .select(col("source"), col("js_micro"))
+      health.join(drift, Seq("source"))
+        .withColumn("dup_rate_micro", expr("n_dup_docs * 1000000 div n_docs"))
+        .withColumn("pii_rate_micro", expr("n_pii_docs * 1000000 div n_docs"))
+        .withColumn("pass", col("dup_rate_micro") < 500000L &&
+          col("pii_rate_micro") < 500000L && col("js_micro") < 300000L)
+        .orderBy(col("source"))
+    }),
+
     // ---- per-source distribution DRIFT: Jensen–Shannon divergence
     //      of each source's term distribution vs the whole corpus
     //      over the top-256 terms + a <rest> bucket — integer counts
@@ -4950,6 +4971,106 @@ object PipelineQueries {
            FROM allr, nc)
          SELECT source, n_s AS n_tokens, CAST(SUM(js_t) AS BIGINT) AS js_micro
          FROM js GROUP BY 1, 2 ORDER BY source""",
+    "q_corpus_audit" ->
+      """WITH w AS (
+           SELECT list_transform(range(0, 256),
+             b -> (b + 1) * 2654435761 % 1000003 - 500001) AS ws),
+         base AS (
+           SELECT doc_id, source, lang, md5(text) AS h,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         s1 AS (SELECT doc_id,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+           FROM documents),
+         s2 AS (SELECT doc_id, ne,
+             len(regexp_extract_all(t1,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+             regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+               '<IP>', 'g') AS t2
+           FROM s1),
+         s3 AS (SELECT doc_id, ne, ni,
+             len(regexp_extract_all(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS np
+           FROM s2),
+         sc AS (
+           SELECT b.doc_id, b.source, b.lang, b.h,
+             CAST(len(b.ts) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(list_sum(list_transform(b.ts,
+               t -> ws[CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(list_filter(string_split(t, ''), c -> c <> ''),
+                        c -> CAST(unicode(c) AS BIGINT))),
+                      (a, b) -> (a * 1000003 + b) % 1000000007) % 256 AS INT) + 1])), 0)
+               AS BIGINT) AS score,
+             (s3.ne + s3.ni + s3.np) > 0 AS has_pii
+           FROM base b JOIN s3 USING (doc_id), w),
+         dup AS (SELECT h, COUNT(*) AS c FROM base GROUP BY h),
+         health AS (
+           SELECT sc.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(sc.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(CASE WHEN sc.has_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+           CAST(SUM(CASE WHEN sc.score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_quality,
+           CAST(COUNT(DISTINCT sc.lang) AS BIGINT) AS n_langs
+         FROM sc JOIN dup ON sc.h = dup.h
+         GROUP BY sc.source),
+         toks AS (
+           SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (
+           SELECT source, term, COUNT(*) AS c_s FROM toks
+           WHERE term <> '' GROUP BY 1, 2),
+         ct AS (SELECT term, CAST(SUM(c_s) AS BIGINT) AS c_c FROM tf GROUP BY 1),
+         top AS (
+           SELECT term, c_c FROM (
+             SELECT term, c_c,
+               ROW_NUMBER() OVER (ORDER BY c_c DESC, term) AS rk
+             FROM ct) WHERE rk <= 256),
+         tot AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s FROM tf GROUP BY 1),
+         nc AS (SELECT CAST(SUM(c_c) AS BIGINT) AS n_c FROM ct),
+         stc AS (SELECT CAST(SUM(c_c) AS BIGINT) AS s_top_c FROM top),
+         grid AS (
+           SELECT t.source, t.n_s, p.term, p.c_c,
+             CAST(COALESCE(tf.c_s, 0) AS BIGINT) AS c_s
+           FROM tot t CROSS JOIN top p
+           LEFT JOIN tf ON tf.source = t.source AND tf.term = p.term),
+         tops AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS top_s
+                  FROM grid GROUP BY 1),
+         rest AS (
+           SELECT t.source, t.n_s, '<rest>' AS term,
+             nc.n_c - stc.s_top_c AS c_c, t.n_s - tops.top_s AS c_s
+           FROM tot t JOIN tops ON tops.source = t.source, nc, stc),
+         allr AS (
+           SELECT source, n_s, term, c_c, c_s FROM grid
+           UNION ALL
+           SELECT source, n_s, term, c_c, c_s FROM rest),
+         js AS (
+           SELECT source, n_s,
+             CAST(floor((
+               (CASE WHEN c_s = 0 THEN 0.0 ELSE
+                 (0.5 * (CAST(c_s AS DOUBLE) / CAST(n_s AS DOUBLE))) *
+                 ln(CAST(2 * c_s * nc.n_c AS DOUBLE) /
+                    CAST(c_s * nc.n_c + c_c * n_s AS DOUBLE)) END)
+             + (CASE WHEN c_c = 0 THEN 0.0 ELSE
+                 (0.5 * (CAST(c_c AS DOUBLE) / CAST(nc.n_c AS DOUBLE))) *
+                 ln(CAST(2 * c_c * n_s AS DOUBLE) /
+                    CAST(c_s * nc.n_c + c_c * n_s AS DOUBLE)) END)
+             ) * 1000000.0) AS BIGINT) AS js_t
+           FROM allr, nc),
+         drift AS (
+           SELECT source, n_s AS n_tokens, CAST(SUM(js_t) AS BIGINT) AS js_micro
+         FROM js GROUP BY 1, 2)
+         SELECT h.source, h.n_docs, h.n_tokens, h.n_dup_docs, h.n_pii_docs,
+           h.n_keep_quality, h.n_langs, dr.js_micro,
+           CAST(h.n_dup_docs * 1000000 // h.n_docs AS BIGINT) AS dup_rate_micro,
+           CAST(h.n_pii_docs * 1000000 // h.n_docs AS BIGINT) AS pii_rate_micro,
+           (h.n_dup_docs * 1000000 // h.n_docs < 500000 AND
+            h.n_pii_docs * 1000000 // h.n_docs < 500000 AND
+            dr.js_micro < 300000) AS pass
+         FROM health h JOIN drift dr USING (source) ORDER BY h.source""",
     "text_source_report" ->
       """WITH w AS (
            SELECT list_transform(range(0, 256),
