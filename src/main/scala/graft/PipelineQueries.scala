@@ -335,6 +335,22 @@ object PipelineQueries {
           "tax_bounds" -> col("l_tax").between(0.0, 0.08)))
         .orderBy(col("check"))),
 
+    // ---- windowed constraint monitoring (batch mode of the
+    //      streaming twin): per 60-second event-time window (doc_id
+    //      as epoch seconds), violation counts per check — quality
+    //      gates on the live feed; streaming equality asserted in
+    //      StreamingSpec ----
+    "q_quality_windowed" -> ((s, d) =>
+      Quality.checkConstraintsWindowed(
+          t(s, d, "documents").withColumn("ts", timestamp_seconds(col("doc_id"))),
+          Seq("nonempty" -> (length(trim(col("text"))) > 0),
+            "lang_known" -> col("lang").isin("en", "fr", "zh", "de", "es"),
+            "short_docs" -> (col("n_chars") <= 500L)),
+          windowSeconds = 60L)
+        .select(unix_timestamp(col("window_start")).as("win_start"),
+          col("check"), col("n_violations"), col("pass"))
+        .orderBy(col("win_start"), col("check"))),
+
     // ---- structural integrity card: FK orphans (lineitem -> orders)
     //      and key-uniqueness violations (customer PK), one row ----
     "q_data_integrity" -> ((s, d) =>
@@ -3738,6 +3754,27 @@ object PipelineQueries {
            FROM lineitem)
          SELECT "check", n_violations, n_violations = 0 AS pass
          FROM c ORDER BY "check"""",
+    "q_quality_windowed" ->
+      """WITH base AS (
+           SELECT (doc_id // 60) * 60 AS win, text, lang, n_chars FROM documents),
+         c AS (
+           SELECT win, 'lang_known' AS "check",
+             CAST(SUM(CASE WHEN COALESCE(lang IN ('en','fr','zh','de','es'), FALSE)
+               THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+           FROM base GROUP BY win
+           UNION ALL
+           SELECT win, 'nonempty',
+             CAST(SUM(CASE WHEN COALESCE(length(trim(text)) > 0, FALSE)
+               THEN 0 ELSE 1 END) AS BIGINT)
+           FROM base GROUP BY win
+           UNION ALL
+           SELECT win, 'short_docs',
+             CAST(SUM(CASE WHEN COALESCE(n_chars <= 500, FALSE)
+               THEN 0 ELSE 1 END) AS BIGINT)
+           FROM base GROUP BY win)
+         SELECT win AS win_start, "check", n_violations,
+           n_violations = 0 AS pass
+         FROM c ORDER BY win_start, "check"""",
     "q_data_integrity" ->
       """WITH o AS (
            SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans

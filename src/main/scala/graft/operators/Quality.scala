@@ -77,6 +77,38 @@ object Quality {
         (col("r.n_violations") === 0L).as("pass"))
   }
 
+  /** Windowed constraint monitoring — [[checkConstraints]] per
+    * event-time window, the live-feed twin: (window_start, check,
+    * n_violations, pass) so a quality regression pages within one
+    * ingest window instead of at the next batch audit. One definition
+    * runs as a batch job or a Structured Streaming query (pass
+    * `watermarkSeconds` on a stream so closed-window state drops);
+    * the ONLY stateful operator is the single windowed conditional
+    * aggregate — checks-many longs of state per open window — and the
+    * per-check stacking is a map-only explode of each closed row.
+    */
+  def checkConstraintsWindowed(df: DataFrame, checks: Seq[(String, Column)],
+                               windowSeconds: Long = 3600L,
+                               watermarkSeconds: Option[Long] = None,
+                               tsCol: String = "ts"): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    require(windowSeconds > 0, "window must be positive")
+    val withWm = watermarkSeconds.fold(df)(w =>
+      df.withWatermark(tsCol, s"$w seconds"))
+    val aggs = checks.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(name)
+    }
+    withWm.groupBy(window(col(tsCol), s"$windowSeconds seconds"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start"),
+        explode(array(checks.map { case (name, _) =>
+          struct(lit(name).as("check"),
+            coalesce(col(name), lit(0L)).as("n_violations"))
+        }: _*)).as("r"))
+      .select(col("window_start"), col("r.check"), col("r.n_violations"),
+        (col("r.n_violations") === 0L).as("pass"))
+  }
+
   /** Key-uniqueness violation count: rows beyond the first per key
     * (0 = the column set is a key). One map-combined aggregate.
     */

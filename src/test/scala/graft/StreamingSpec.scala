@@ -183,6 +183,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming windowed constraint checks match the batch definition exactly") {
+    import graft.operators.Quality
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(timestamp_millis(lit(1700000000000L) + col("doc_id") * 60000L).as("ts"),
+        col("text"), col("lang"))
+    val checks = Seq(
+      "nonempty" -> (length(trim(col("text"))) > 0),
+      "lang_known" -> col("lang").isin("en", "fr", "zh"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-qstream").toString
+    docs.coalesce(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val q = Quality.checkConstraintsWindowed(stream, checks,
+        windowSeconds = 3600, watermarkSeconds = Some(7200))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("qualwin").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.get(0).toString, r.getString(1)) -> ((r.getLong(2), r.getBoolean(3)))
+      val streamed = spark.sql("select * from qualwin").collect().map(key).toMap
+      val batch = Quality.checkConstraintsWindowed(docs, checks,
+          windowSeconds = 3600)
+        .collect().map(key).toMap
+      assert(streamed.nonEmpty)
+      streamed.foreach { case (k, v) => assert(batch(k) === v, s"window $k") }
+    } finally q.stop()
+  }
+
   test("windowed-drift array-sum state survives a checkpointed restart") {
     import graft.streaming.DocStreams
     // the drift monitor's window state is the custom ArraySum
