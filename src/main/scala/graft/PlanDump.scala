@@ -256,7 +256,21 @@ object PlanDump {
         "panel-sized top-k lists, one (query_id, id) aggregate sums " +
         "exact long 10^9 div (60+rank) contributions, and the final " +
         "per-query window ranks at most |runs|*k rows per query — " +
-        "corpus cost lives entirely in the upstream runs."))
+        "corpus cost lives entirely in the upstream runs."),
+    "q_data_quality" ->
+      ("Constraint suite: every check is a conditional sum fused " +
+        "into ONE aggregate over ONE scan (QualitySpec pins a single " +
+        "FileScan) — the per-check stacking explodes the single " +
+        "aggregate row, never re-selects from it (a union of selects " +
+        "over an unpersisted aggregate would rescan the corpus per " +
+        "check). A 50-check suite at 100 TB is still one pass."),
+    "q_corpus_audit" ->
+      ("The per-source accept-gate flagship: the health card (one " +
+        "fused per-doc map pass + md5 dup join) and the JS drift " +
+        "card (one (source,term) count shuffle + bounded-heap top-K) " +
+        "run as siblings and meet in a source-cardinality join; " +
+        "rates and gates are integer micro arithmetic. No new " +
+        "Exchange beyond the components' own."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
