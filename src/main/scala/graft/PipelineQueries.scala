@@ -371,6 +371,14 @@ object PipelineQueries {
       Quality.snapshotDiff(a, b, "doc_id", "text")
     }),
 
+    // ---- shard manifest: deterministic shard assignment + exact
+    //      per-shard row counts and ORDER-INDEPENDENT checksums (sum
+    //      of per-id portable hashes mod p) — the integrity record a
+    //      resumable training loader verifies before consuming ----
+    "q_shard_manifest" -> ((s, d) =>
+      Frames.shardManifest(t(s, d, "documents").select(col("doc_id")),
+        "doc_id", nShards = 8)),
+
     // ---- Z-order (Morton) layout clustering: rank-bucket two
     //      dimensions, interleave their bits, cluster on the key's
     //      top bits — the lakehouse OPTIMIZE ZORDER shape that makes
@@ -3804,6 +3812,23 @@ object PipelineQueries {
            CAST(COUNT(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL AND ta <> tb THEN 1 END) AS BIGINT) AS n_changed,
            CAST(COUNT(CASE WHEN ta = tb THEN 1 END) AS BIGINT) AS n_unchanged
          FROM j""",
+    "q_shard_manifest" ->
+      """WITH h1 AS (
+           SELECT doc_id,
+             ((((doc_id + 42) % 1000000007) * ((doc_id + 42) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v42,
+             ((((doc_id + 43) % 1000000007) * ((doc_id + 43) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v43
+           FROM documents),
+         h AS (
+           SELECT doc_id, (v42 * v42) % 1000000007 AS h42,
+             (v43 * v43) % 1000000007 AS h43
+           FROM h1),
+         s AS (SELECT doc_id, CAST(h42 % 8 AS INTEGER) AS shard, h43 FROM h)
+         SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h43) % 1000000007 AS BIGINT) AS checksum,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         FROM s GROUP BY 1 ORDER BY 1""",
     "q_zorder_layout" ->
       """WITH base AS (
            SELECT o_custkey AS ck,

@@ -544,6 +544,30 @@ object Frames {
       .drop("__h")
   }
 
+  /** Shard manifest — the integrity record a resumable training
+    * loader checks before (and after) consuming shards: per shard,
+    * the exact row count, the ORDER-INDEPENDENT checksum (sum of
+    * per-id portable hashes mod p — commutative, so any read order or
+    * partitioning reproduces it), and the id span. Built on
+    * [[deterministicShuffle]]'s seeded assignment so the manifest is
+    * bit-identical across runs and engines; one map-side-combined
+    * aggregate over the shard assignment, shard-count-sized output.
+    */
+  def shardManifest(df: DataFrame, idCol: String, nShards: Int,
+                    seed: Long = 42L): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    // the same seeded hash+pmod assignment deterministicShuffle uses,
+    // WITHOUT its per-shard position window — a manifest needs counts
+    // and checksums, not ranks, so it stays one map-combined aggregate
+    df.withColumn("shard",
+        pmod(portableHash(col(idCol), seed), lit(nShards.toLong)).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(portableHash(col(idCol), seed + 1)), lit(HashP)).as("checksum"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+      .orderBy(col("shard"))
+  }
+
   def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
                 outCol: String = "split"): DataFrame = {
     require(splits.nonEmpty, "at least one split")

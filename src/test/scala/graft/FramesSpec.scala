@@ -328,4 +328,29 @@ class FramesSpec extends AnyFunSuite {
     val b = back.orderBy(back.columns.map(col): _*).collect().map(_.toSeq)
     assert(a === b)
   }
+
+  test("shardManifest: counts partition the input, checksum is order-independent and tamper-evident") {
+    val df = (1L to 1000L).toDF("id")
+    val m = Frames.shardManifest(df, "id", nShards = 8).collect()
+    assert(m.map(_.getLong(1)).sum === 1000L, "counts must partition the input")
+    assert(m.map(_.getInt(0)).toSeq === m.map(_.getInt(0)).sorted.toSeq)
+    // order/partitioning independence: the checksum is a commutative sum
+    val m2 = Frames.shardManifest(df.repartition(13).orderBy(rand(7)), "id", 8)
+      .collect()
+    assert(m.map(_.toSeq) === m2.map(_.toSeq))
+    // tamper evidence: drop one row -> that shard's count AND checksum move
+    val m3 = Frames.shardManifest(df.filter(col("id") =!= 500L), "id", 8)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val orig = m.map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val changed = orig.keySet.filter(k => orig(k) != m3(k))
+    assert(changed.size === 1, "exactly the shard holding id 500 must change")
+    val k = changed.head
+    assert(m3(k)._1 === orig(k)._1 - 1)
+    assert(m3(k)._2 !== orig(k)._2)
+    // shard assignment matches deterministicShuffle's (same seed family)
+    val viaShuffle = Frames.deterministicShuffle(df, "id", 8)
+      .groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(orig.view.mapValues(_._1).toMap === viaShuffle)
+  }
 }
