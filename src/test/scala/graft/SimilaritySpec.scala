@@ -262,6 +262,24 @@ class SimilaritySpec extends AnyFunSuite {
       s"SQ8 shortlist ($recall) must not lose materially vs the exact in-cell scorer ($ivfRecall)")
   }
 
+  test("recall knob: more probes never hurt — nProbe=8 recall >= nProbe=4 on the corpus") {
+    // the tuning loop's core premise, asserted on real embeddings: the
+    // probe budget monotonically widens the candidate set, so recall
+    // is non-decreasing in nProbe (cells are a fixed partition)
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val coarse = Similarity.trainIvfCentroids(e, Similarity.suggestedCentroids(e.count()), dim = 64)
+    val exact = Similarity.bruteForceTopK(e, e, k = 1)
+      .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recallAt(nProbe: Int): Double = {
+      val out = Similarity.ivfTopK(e, e, k = 1, coarse, nProbe = nProbe)
+        .select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exact.count { case (q, nn) => out.get(q).contains(nn) }.toDouble / exact.size
+    }
+    val (r4, r8) = (recallAt(4), recallAt(8))
+    assert(r8 >= r4, s"recall must be non-decreasing in nProbe: $r4 -> $r8")
+    assert(r8 > r4, s"on this corpus 8 probes should strictly beat 4: $r4 -> $r8")
+  }
+
   test("native PqAdcTable matches the HOF table formulation") {
     val e = Tables.table(spark, TestSpark.sfDir, "embeddings").limit(30)
     val cbs = Similarity.trainPqCodebooks(e, m = 8, ksub = 16, dim = 64, portable = true)
