@@ -314,6 +314,26 @@ object PipelineQueries {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("doc_id"))),
 
+    // ---- 3-dimensional Z-order: the N-way round-robin interleave
+    //      (customer x order-day x price), bucket envelopes as the
+    //      pruning evidence on ALL THREE dims; the oracle replays the
+    //      48-term bit cycle exactly ----
+    "q_zorder3_layout" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .withColumn("ck", col("o_custkey").cast(LongType))
+        .withColumn("od", datediff(col("o_orderdate").cast(DateType),
+          lit("1970-01-01").cast(DateType)).cast(LongType))
+        .withColumn("tp", floor(col("o_totalprice")).cast(LongType))
+      Layout.zorderKeyedN(o, Seq(col("ck"), col("od"), col("tp")),
+          bits = 10, bucketBits = 6)
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
+          min(col("od")).as("min_od"), max(col("od")).as("max_od"),
+          min(col("tp")).as("min_tp"), max(col("tp")).as("max_tp"))
+        .orderBy(col("zbucket"))
+    }),
+
     // ---- data-quality profiling: one aggregate pass for every
     //      requested numeric column (counts exact, float stats as
     //      integer cents), stacked to a column-per-row card ----
@@ -3713,6 +3733,39 @@ object PipelineQueries {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
          ORDER BY id_a, id_b""",
+    "q_zorder3_layout" ->
+      """WITH base AS (
+           SELECT o_custkey AS ck,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS od,
+             CAST(floor(o_totalprice) AS BIGINT) AS tp
+           FROM orders),
+         b AS (
+           SELECT min(ck) AS min_a, max(ck) AS max_a,
+                  min(od) AS min_b, max(od) AS max_b,
+                  min(tp) AS min_c, max(tp) AS max_c
+           FROM base),
+         qz AS (
+           SELECT ck, od, tp,
+             CASE WHEN max_a = min_a THEN 0
+               ELSE ((ck - min_a) * 1023) // (max_a - min_a) END AS qa,
+             CASE WHEN max_b = min_b THEN 0
+               ELSE ((od - min_b) * 1023) // (max_b - min_b) END AS qb,
+             CASE WHEN max_c = min_c THEN 0
+               ELSE ((tp - min_c) * 1023) // (max_c - min_c) END AS qc
+           FROM base, b),
+         k AS (
+           SELECT ck, od, tp,
+             CAST(list_sum(list_transform(range(0, 10),
+               i -> (((qa >> i) & 1) << (3*i))
+                  + (((qb >> i) & 1) << (3*i+1))
+                  + (((qc >> i) & 1) << (3*i+2))))
+             AS BIGINT) AS zkey
+           FROM qz)
+         SELECT zkey >> 24 AS zbucket, count(*) AS n_rows,
+           min(ck) AS min_ck, max(ck) AS max_ck,
+           min(od) AS min_od, max(od) AS max_od,
+           min(tp) AS min_tp, max(tp) AS max_tp
+         FROM k GROUP BY 1 ORDER BY 1""",
     "q_data_profile" ->
       """WITH s AS (
            SELECT 'l_discount' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
