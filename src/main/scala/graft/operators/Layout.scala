@@ -96,6 +96,8 @@ object Layout {
     val aggs = dims.flatMap(d =>
       Seq(min(d.cast(LongType)), max(d.cast(LongType))))
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!bounds.anyNull,
+      "zorder bounds: input is empty or a dimension is all-null — nothing to cluster")
     val quantized = dims.zipWithIndex.map { case (d, j) =>
       quantizeLinear(d, bounds.getLong(2 * j), bounds.getLong(2 * j + 1), bits)
     }
@@ -111,6 +113,8 @@ object Layout {
   def bounds2(df: DataFrame, a: Column, b: Column): (Long, Long, Long, Long) = {
     val r = df.agg(min(a.cast(LongType)), max(a.cast(LongType)),
       min(b.cast(LongType)), max(b.cast(LongType))).head()
+    require(!r.anyNull,
+      "zorder bounds: input is empty or a dimension is all-null — nothing to cluster")
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 

@@ -38,6 +38,12 @@ class LayoutSpec extends AnyFunSuite {
       Layout.quantizeLinear(col("x"), 0L, 3L * 1000L * 86400L * 365L * 60L, 16)
     }
     assert(e.getMessage.contains("pre-scale"))
+    // empty input: loud failure at the stats pass, never an NPE
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.zorderKeyed(empty, col("a"), col("b"))
+    }
+    assert(e2.getMessage.contains("nothing to cluster"))
   }
 
   test("zorderKeyed buckets are small rectangles, not full-range stripes") {
