@@ -1636,11 +1636,16 @@ object PipelineQueries {
       val drift = TextAnalysis.sourceTermDrift(docs, "source", "text",
           topK = 256)
         .select(col("source"), col("js_micro"))
-      health.join(drift, Seq("source"))
+      // LEFT join: a source whose documents all tokenize to zero tokens
+      // has a health row but no drift row — exactly the pathological
+      // source an accept gate must surface, so it stays visible with a
+      // null js_micro that FAILS the gate (coalesce to false)
+      health.join(drift, Seq("source"), "left")
         .withColumn("dup_rate_micro", expr("n_dup_docs * 1000000 div n_docs"))
         .withColumn("pii_rate_micro", expr("n_pii_docs * 1000000 div n_docs"))
         .withColumn("pass", col("dup_rate_micro") < 500000L &&
-          col("pii_rate_micro") < 500000L && col("js_micro") < 300000L)
+          col("pii_rate_micro") < 500000L &&
+          coalesce(col("js_micro") < 300000L, lit(false)))
         .orderBy(col("source"))
     }),
 
@@ -5184,8 +5189,8 @@ object PipelineQueries {
            CAST(h.n_pii_docs * 1000000 // h.n_docs AS BIGINT) AS pii_rate_micro,
            (h.n_dup_docs * 1000000 // h.n_docs < 500000 AND
             h.n_pii_docs * 1000000 // h.n_docs < 500000 AND
-            dr.js_micro < 300000) AS pass
-         FROM health h JOIN drift dr USING (source) ORDER BY h.source""",
+            COALESCE(dr.js_micro < 300000, FALSE)) AS pass
+         FROM health h LEFT JOIN drift dr USING (source) ORDER BY h.source""",
     "text_source_report" ->
       """WITH w AS (
            SELECT list_transform(range(0, 256),

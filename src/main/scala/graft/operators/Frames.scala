@@ -563,7 +563,13 @@ object Frames {
         pmod(portableHash(col(idCol), seed), lit(nShards.toLong)).cast("int"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_rows"),
-        pmod(sum(portableHash(col(idCol), seed + 1)), lit(HashP)).as("checksum"),
+        // sum in Decimal(38,0): each hash is < 2^30 but a LongType sum
+        // wraps at 2^63 (~9e9 rows/shard), diverging from the oracle's
+        // 128-bit HUGEINT sum; decimal matches HUGEINT semantics to 1e38
+        pmod(sum(portableHash(col(idCol), seed + 1)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(HashP).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("checksum"),
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
       .orderBy(col("shard"))
   }

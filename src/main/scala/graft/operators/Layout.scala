@@ -43,7 +43,9 @@ object Layout {
     // millis/nanos-epoch column would silently scramble the curve —
     // fail at plan build instead (pre-scale such domains to
     // seconds/days; scan pruning needs rank buckets, not precision)
-    require(maxV < minV || (maxV - minV) <= (1L << 53) / ((1L << bits) - 1),
+    require(maxV >= minV,
+      s"quantizeLinear: inverted domain [$minV, $maxV] — pass the true min/max")
+    require((maxV - minV) <= (1L << 53) / ((1L << bits) - 1),
       s"quantizeLinear: domain span ${maxV - minV} x (2^$bits-1) exceeds the " +
         "exact-arithmetic bound (2^53) — pre-scale the dimension " +
         "(e.g. millis/nanos -> seconds or days)")

@@ -96,6 +96,11 @@ object DocStreams {
                         tsCol: String = "ts", textCol: String = "text"): DataFrame = {
     require(refTerms.nonEmpty && refTerms.length == refCounts.length,
       "reference terms/counts must be non-empty and aligned")
+    // a duplicated term would double-count matching tokens, driving the
+    // derived <rest> element (n_tok - sum(counts)) negative and silently
+    // corrupting the JS score
+    require(refTerms.distinct.size == refTerms.size,
+      "reference terms must be distinct")
     require(refTotal >= refCounts.sum, "refTotal must cover the term counts")
     val k = refTerms.length
     val withWm = watermarkSeconds.fold(docs)(w =>

@@ -38,6 +38,12 @@ class LayoutSpec extends AnyFunSuite {
       Layout.quantizeLinear(col("x"), 0L, 3L * 1000L * 86400L * 365L * 60L, 16)
     }
     assert(e.getMessage.contains("pre-scale"))
+    // an inverted domain must fail the same loud way, not silently
+    // divide by a negative range into meaningless negative buckets
+    val eInv = intercept[IllegalArgumentException] {
+      Layout.quantizeLinear(col("x"), 100L, 10L, 8)
+    }
+    assert(eInv.getMessage.contains("inverted domain"))
     // empty input: loud failure at the stats pass, never an NPE
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     val e2 = intercept[IllegalArgumentException] {

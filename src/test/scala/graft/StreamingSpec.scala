@@ -122,6 +122,12 @@ class StreamingSpec extends AnyFunSuite {
       val jss = batch.values.map(_._3).filter(_ != Long.MinValue)
       assert(jss.nonEmpty && jss.forall(j => j >= -300L && j <= 693148L))
     } finally q.stop()
+    // a duplicated reference term would double-count matching tokens and
+    // drive the derived <rest> element negative — rejected at plan build
+    val eDup = intercept[IllegalArgumentException] {
+      DocStreams.termDriftWindowed(docs, Seq("a", "a"), Seq(1L, 1L), 10L)
+    }
+    assert(eDup.getMessage.contains("distinct"))
   }
 
   test("source-health window state survives a checkpointed restart") {
