@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Embeddings, Frames, Layout, Quality, Retrieval, Similarity, Temporal, TextAnalysis, TextClean}
+import graft.operators.{Dedup, Embeddings, Frames, IndexStore, Layout, Quality, Retrieval, Similarity, Temporal, TextAnalysis, TextClean}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline operators (SURVEY.md §7.6 / north-star) as
@@ -20,6 +20,15 @@ object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
+
+  /** Artifact cache root for the train-once/serve-many index queries.
+    * Entries are keyed by corpus fingerprint + training params (see
+    * [[IndexStore]]); the `v1` segment versions the TRAINING
+    * algorithm — bump it if k-means/codebook arithmetic ever changes
+    * so stale artifacts can't resurrect old models.
+    */
+  private val artifactDir: String =
+    sys.props("java.io.tmpdir") + "/graft-index-artifacts/v1"
 
   /** The round-8 flagship composition, parameterized by corpus so
     * ScaleSmoke can drive it on replicated data: source health gate ->
@@ -721,6 +730,23 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     }),
 
+    // ---- train-once / serve-many IVF: centroids come from the
+    //      persisted parquet model artifact (trained+saved on first
+    //      run, loaded+REVALIDATED on every run — loud on malformed),
+    //      then the identical probe/rank chain as sim_topk_ivf. Same
+    //      oracle: float32 round-trips parquet bit-exactly, so the
+    //      loaded index must reproduce the inline-trained result
+    //      bit-for-bit ----
+    "sim_topk_ivf_loaded" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = IndexStore.ivfCentroidsCached(e,
+        nCentroids = Similarity.suggestedCentroids(e.count()), dim = 64,
+        baseDir = artifactDir, iterations = 1, portable = true)
+      Similarity.ivfTopK(e, e, k = 1, cents, nProbe = 4, portable = true)
+        .select(col("query_id"), col("id").as("nn_id"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- ANN recall@1 report: IVF result vs the exact brute-force
     //      ground truth — one (query_id, nn_id) equi-join, recall as
     //      an exact integer micro-fraction. The oracle re-derives
@@ -807,6 +833,20 @@ object PipelineQueries {
       val e = t(s, d, "embeddings")
       val cbs = Similarity.trainPqCodebooks(e, m = 8, ksub = 16, dim = 64,
         iterations = 1, portable = true)
+      Similarity.pqTopKReranked(e, e, k = 1, cbs,
+          shortlist = Similarity.suggestedShortlist(e.count(), 1), portable = true)
+        .select(col("query_id"), col("id").as("nn_id"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ---- train-once / serve-many PQ: codebooks from the persisted
+    //      parquet model artifact ([[IndexStore.pqCodebooksCached]]),
+    //      then the identical ADC shortlist + exact re-rank as
+    //      sim_topk_pq — same oracle, bit-for-bit ----
+    "sim_topk_pq_loaded" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cbs = IndexStore.pqCodebooksCached(e, m = 8, ksub = 16, dim = 64,
+        baseDir = artifactDir, iterations = 1, portable = true)
       Similarity.pqTopKReranked(e, e, k = 1, cbs,
           shortlist = Similarity.suggestedShortlist(e.count(), 1), portable = true)
         .select(col("query_id"), col("id").as("nn_id"))
@@ -1906,7 +1946,7 @@ object PipelineQueries {
        topk AS (
          SELECT query_id, rank, doc_id, score_micro, n_terms FROM ranked WHERE rank <= 10)"""
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "sim_mmr_rerank" -> mmrOracleSql(5, 20),
     "text_bm25_gate" ->
       """WITH ctoks AS (
@@ -5282,4 +5322,14 @@ object PipelineQueries {
            least(64, n - chunk_id * 48) AS n_tokens
          FROM c ORDER BY doc_id, chunk_id"""
   )
+
+  /** The train-once/serve-many twins share their parent's oracle: the
+    * loaded artifact must reproduce the inline-trained search
+    * BIT-FOR-BIT (float32 round-trips parquet exactly), so the DuckDB
+    * replay that retrains is the correct ground truth for the loaded
+    * path too — any save/load corruption shows up as a hash mismatch.
+    */
+  val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "sim_topk_ivf_loaded" -> oracleSqlBase("sim_topk_ivf"),
+    "sim_topk_pq_loaded" -> oracleSqlBase("sim_topk_pq"))
 }

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, FloatType, IntegerType}
+
+/** Persisted ANN model artifacts — the train-once / serve-many side
+  * of the similarity stack. Every `Similarity` index needs a small
+  * trained model (IVF coarse centroids: cells × dim floats; PQ
+  * codebooks: m × ksub × dim/m floats); retraining it inline on
+  * every query run is correct but burns the k-means passes a deployed
+  * index pays exactly once (the reference caches source-level fetches
+  * the same way — wikidata.py:26 `@cache`; this is that idiom at
+  * model-artifact scale).
+  *
+  * Discipline (the `TextAnalysis.loadWeights` contract): artifacts
+  * are plain parquet — engine-neutral, schema-checked — and every
+  * load REVALIDATES: exact row count, dense distinct key coverage,
+  * exact vector width, finite float entries. A malformed or stale
+  * artifact fails loudly at plan-build time, never as silently wrong
+  * neighbors. Float32 values round-trip parquet bit-exactly, so a
+  * loaded index reproduces the in-line-trained search bit-for-bit
+  * (the `sim_topk_*_loaded` oracle rows hold the proof).
+  *
+  * Caching key: artifacts live under a caller-supplied base dir at a
+  * path derived from the corpus FINGERPRINT (row count + order-
+  * independent sum of per-row hashes over id AND vector content)
+  * plus all training parameters. Any corpus or hyper-parameter change
+  * misses the cache and retrains; a hit costs one KB-sized parquet
+  * read instead of the Lloyd iteration.
+  */
+object IndexStore {
+
+  /** Order-independent corpus fingerprint over id AND CONTENT
+    * columns: row count + mod-p sum of per-row xxhash64 over all the
+    * named columns — one map-side-combined aggregate; decimal sum so
+    * the checksum is exact at any scale (the shardManifest rule).
+    *
+    * Content must be in the key: two corpora with the same id set but
+    * different vectors (the sf0.001 vs sf0.01 test tables do exactly
+    * this) would otherwise collide and serve each other's models.
+    * This is a CACHE key, not an oracle-replayed value, so the
+    * non-portable xxhash64 (which hashes array columns directly) is
+    * the right tool.
+    */
+  def corpusFingerprint(df: DataFrame, cols: Seq[String]): String = {
+    require(cols.nonEmpty, "fingerprint needs at least one column")
+    val r = df.agg(count(lit(1)).as("n"),
+      pmod(sum(pmod(xxhash64(cols.map(col): _*), lit(Frames.HashP))
+          .cast(DecimalType(38, 0))),
+        lit(Frames.HashP).cast(DecimalType(38, 0))).cast("long").as("h"))
+      .head()
+    s"n${r.getLong(0)}h${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+  }
+
+  /** True when a prior `save*` completed at `path` (parquet commit
+    * marker — a torn write never has one, so a crashed save retrains
+    * instead of loading half an artifact).
+    */
+  def exists(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+
+  // ---------------------------------------------------------------
+  // IVF coarse centroids: rows (cell INT, vec ARRAY<FLOAT>)
+  // ---------------------------------------------------------------
+
+  def saveIvfCentroids(spark: SparkSession, centroids: Array[Array[Float]],
+                       path: String): Unit = {
+    import spark.implicits._
+    require(centroids.nonEmpty, "no centroids to save")
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .coalesce(1) // KB-sized: one file keeps the artifact atomic + cheap to load
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load + revalidate IVF centroids. Loud on: wrong row count, null
+    * or out-of-range or duplicate cell ids, wrong vector width,
+    * non-finite entries.
+    */
+  def loadIvfCentroids(spark: SparkSession, path: String,
+                       nCentroids: Int, dim: Int): Array[Array[Float]] = {
+    require(nCentroids > 0 && dim > 0, "nCentroids and dim must be positive")
+    val rows = spark.read.parquet(path)
+      .select(col("cell").cast(IntegerType), col("vec").cast(
+        org.apache.spark.sql.types.ArrayType(FloatType)))
+      .collect()
+    require(rows.length == nCentroids,
+      s"IVF artifact at $path has ${rows.length} rows, expected $nCentroids")
+    val out = Array.ofDim[Array[Float]](nCentroids)
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"IVF artifact at $path has a null cell or vector")
+      val c = r.getInt(0)
+      require(c >= 0 && c < nCentroids,
+        s"IVF artifact cell $c outside [0, $nCentroids)")
+      require(out(c) == null, s"IVF artifact has duplicate cell $c")
+      val v = r.getSeq[Float](1).toArray
+      require(v.length == dim,
+        s"IVF artifact cell $c has dim ${v.length}, expected $dim")
+      require(v.forall(x => !x.isNaN && !x.isInfinite),
+        s"IVF artifact cell $c has a non-finite entry")
+      out(c) = v
+    }
+    out
+  }
+
+  /** Train-once IVF centroids: load from the fingerprint+params-keyed
+    * artifact when present, else train, save, and RE-LOAD (the served
+    * path is always the validated artifact — a save/load asymmetry
+    * could otherwise hide until the first cache hit).
+    */
+  def ivfCentroidsCached(corpus: DataFrame, nCentroids: Int, dim: Int,
+                         baseDir: String, iterations: Int = 1,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         seed: Long = 42L, portable: Boolean = false): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    val fp = corpusFingerprint(corpus, Seq(idCol, vecCol))
+    val path = s"$baseDir/ivf_${fp}_c${nCentroids}_d${dim}_i${iterations}_s${seed}_p$portable"
+    if (!exists(path))
+      saveIvfCentroids(spark, Similarity.trainIvfCentroids(corpus, nCentroids,
+        dim, iterations, idCol, vecCol, seed, portable), path)
+    loadIvfCentroids(spark, path, nCentroids, dim)
+  }
+
+  // ---------------------------------------------------------------
+  // PQ codebooks: rows (j INT, cell INT, vec ARRAY<FLOAT>)
+  // ---------------------------------------------------------------
+
+  def savePqCodebooks(spark: SparkSession, codebooks: Array[Array[Array[Float]]],
+                      path: String): Unit = {
+    import spark.implicits._
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "no codebooks to save")
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
+    }.toSeq.toDF("j", "cell", "vec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load + revalidate PQ codebooks: m subspaces × ksub codewords ×
+    * dsub floats, same loudness contract as [[loadIvfCentroids]].
+    */
+  def loadPqCodebooks(spark: SparkSession, path: String,
+                      m: Int, ksub: Int, dsub: Int): Array[Array[Array[Float]]] = {
+    require(m > 0 && ksub > 0 && dsub > 0, "m, ksub, dsub must be positive")
+    val rows = spark.read.parquet(path)
+      .select(col("j").cast(IntegerType), col("cell").cast(IntegerType),
+        col("vec").cast(org.apache.spark.sql.types.ArrayType(FloatType)))
+      .collect()
+    require(rows.length == m * ksub,
+      s"PQ artifact at $path has ${rows.length} rows, expected ${m * ksub}")
+    val out = Array.fill[Array[Float]](m, ksub)(null)
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+        s"PQ artifact at $path has a null subspace, cell or vector")
+      val (j, c) = (r.getInt(0), r.getInt(1))
+      require(j >= 0 && j < m, s"PQ artifact subspace $j outside [0, $m)")
+      require(c >= 0 && c < ksub, s"PQ artifact cell $c outside [0, $ksub)")
+      require(out(j)(c) == null, s"PQ artifact has duplicate codeword ($j, $c)")
+      val v = r.getSeq[Float](2).toArray
+      require(v.length == dsub,
+        s"PQ artifact codeword ($j, $c) has dim ${v.length}, expected $dsub")
+      require(v.forall(x => !x.isNaN && !x.isInfinite),
+        s"PQ artifact codeword ($j, $c) has a non-finite entry")
+      out(j)(c) = v
+    }
+    out
+  }
+
+  /** Train-once PQ codebooks — [[ivfCentroidsCached]]'s contract for
+    * the product-quantizer artifact.
+    */
+  def pqCodebooksCached(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
+                        baseDir: String, iterations: Int = 1,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        seed: Long = 42L, portable: Boolean = false): Array[Array[Array[Float]]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m $m subspaces")
+    val spark = corpus.sparkSession
+    val fp = corpusFingerprint(corpus, Seq(idCol, vecCol))
+    val path = s"$baseDir/pq_${fp}_m${m}_k${ksub}_d${dim}_i${iterations}_s${seed}_p$portable"
+    if (!exists(path))
+      savePqCodebooks(spark, Similarity.trainPqCodebooks(corpus, m, ksub, dim,
+        iterations, idCol, vecCol, seed, portable), path)
+    loadPqCodebooks(spark, path, m, ksub, dim / m)
+  }
+}
