@@ -1374,6 +1374,23 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- BM25 against the PERSISTED bucketed inverted index:
+    //      build-once (fingerprint-keyed catalog tables — postings
+    //      with denormalized doc lengths, term stats, corpus stats),
+    //      then a probe that touches ONLY the index tables: no corpus
+    //      scan, no tokenize, no tf shuffle (plan-pinned in
+    //      PlanShapeSpec). Bit-identical to text_bm25_topk by shared
+    //      scoring code — same oracle ----
+    "text_bm25_topk_idx" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val probes = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(TextAnalysis.cleanTokens(col("text")), 1, 5).as("qterms"))
+      val prefix = Retrieval.bm25IndexCached(docs, "doc_id", "text")
+      Retrieval.bm25TopKFromIndex(s, prefix, probes, "query_id", "qterms", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- hybrid retrieval: BM25 lexical top-10 and dense cosine
     //      top-10 for the same query panel, merged by reciprocal-rank
     //      fusion — pure integer arithmetic (10^9 div (60 + rank)),
@@ -5331,5 +5348,6 @@ object PipelineQueries {
     */
   val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "sim_topk_ivf_loaded" -> oracleSqlBase("sim_topk_ivf"),
-    "sim_topk_pq_loaded" -> oracleSqlBase("sim_topk_pq"))
+    "sim_topk_pq_loaded" -> oracleSqlBase("sim_topk_pq"),
+    "text_bm25_topk_idx" -> oracleSqlBase("text_bm25_topk"))
 }

@@ -19,9 +19,12 @@ object Bucketing {
     * in-memory catalog, directory still on disk) otherwise fails the
     * CREATE with LOCATION_ALREADY_EXISTS.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val spark = df.sparkSession
+  /** Drop a managed table AND its warehouse location — a location
+    * left behind by a previous session (table gone from the in-memory
+    * catalog, directory still on disk) otherwise fails the next
+    * CREATE with LOCATION_ALREADY_EXISTS.
+    */
+  def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
     val loc = java.nio.file.Paths.get(warehouse, table)
@@ -30,6 +33,12 @@ object Bucketing {
       java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
+  }
+
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    dropTableAndLocation(spark, table)
     val w = df.write.mode(SaveMode.Overwrite).bucketBy(buckets, key)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
@@ -72,7 +72,18 @@ object Retrieval {
     val qdf = dfreq.join(broadcast(qt.select(col("token")).distinct()),
       Seq("token"))
     val cand = tf.join(broadcast(qt.join(qdf, Seq("token"))), Seq("token"))
-    val scored = cand.join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+    scoreCandidates(cand.join(dl, Seq("doc_id")), stats, k, k1, b)
+  }
+
+  /** Shared BM25 scoring tail over gated candidates — ONE definition
+    * for the inline path and the persisted-index probe path, so the
+    * two are arithmetically identical by construction. `cand` needs
+    * (query_id, doc_id, tf, df, dl); `stats` is the single-row
+    * (n_docs, total_tokens).
+    */
+  private def scoreCandidates(cand: DataFrame, stats: DataFrame,
+                              k: Int, k1: Double, b: Double): DataFrame = {
+    val scored = cand.crossJoin(broadcast(stats))
       .withColumn("ts_micro",
         floor(
           log(lit(1.0) +
@@ -93,6 +104,96 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score_micro"), col("n_terms"))
+  }
+
+  /** Build the PERSISTED BM25 inverted index — the build-once side of
+    * the deployment split [[bm25TopK]] folds into every run. Three
+    * catalog tables under `prefix`:
+    *   - `{prefix}_postings` (token, doc_id, tf, dl) — the posting
+    *     list with the doc length DENORMALIZED into each posting (the
+    *     classic layout: the one corpus-keyed join, postings ⋈
+    *     lengths, is paid here at build time so the probe path never
+    *     shuffles corpus-sized data), bucketed+sorted by token;
+    *   - `{prefix}_termstats` (token, df) — vocab-sized, bucketed by
+    *     token;
+    *   - `{prefix}_stats` — the single row (n_docs, total_tokens).
+    *
+    * Bucketing by token means a future big-PANEL probe (a query set
+    * too large to broadcast) can sort-merge against the postings with
+    * no Exchange on the index side; the broadcast gate in
+    * [[bm25TopKFromIndex]] stays the default for panel-sized probes.
+    */
+  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                     prefix: String, buckets: Int = 32): Unit = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.cleanTokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      Bucketing.writeBucketed(tf.join(dl, Seq("doc_id"))
+          .select(col("token"), col("doc_id"), col("tf"), col("dl")),
+        s"${prefix}_postings", "token", buckets, Seq("token", "doc_id"))
+      Bucketing.writeBucketed(
+        tf.groupBy(col("token")).agg(count(lit(1)).as("df")),
+        s"${prefix}_termstats", "token", buckets, Seq("token"))
+      val spark = docs.sparkSession
+      Bucketing.dropTableAndLocation(spark, s"${prefix}_stats")
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+        .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
+    } finally tf.unpersist(blocking = false)
+  }
+
+  /** BM25 top-k against the PERSISTED index: identical semantics and
+    * bit-identical scores to [[bm25TopK]] (the scoring tail is the
+    * same code), but the probe plan touches ONLY the index tables —
+    * no corpus scan, no tokenize, no tf aggregation, no corpus-keyed
+    * shuffle. Per probe run the work is: broadcast the panel's terms,
+    * hash-probe the postings scan, and reduce candidate-sized data —
+    * the index build's corpus passes are amortized across every
+    * query panel served from it.
+    */
+  def bm25TopKFromIndex(spark: SparkSession, prefix: String,
+                        queries: DataFrame, qidCol: String, qtermsCol: String,
+                        k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val postings = spark.table(s"${prefix}_postings")
+    val termstats = spark.table(s"${prefix}_termstats")
+    val stats = spark.table(s"${prefix}_stats")
+    require(postings.columns.sameElements(Array("token", "doc_id", "tf", "dl")),
+      s"malformed postings table ${prefix}_postings: ${postings.columns.mkString(",")}")
+    require(termstats.columns.sameElements(Array("token", "df")),
+      s"malformed termstats table ${prefix}_termstats: ${termstats.columns.mkString(",")}")
+    require(stats.columns.sameElements(Array("n_docs", "total_tokens")) &&
+      stats.count() == 1,
+      s"malformed stats table ${prefix}_stats — must be the single corpus-stats row")
+    val qt = queries.select(col(qidCol).as("query_id"),
+        explode(col(qtermsCol)).as("token"))
+      .distinct()
+    val qdf = termstats.join(broadcast(qt.select(col("token")).distinct()),
+      Seq("token"))
+    val cand = postings.join(broadcast(qt.join(qdf, Seq("token"))), Seq("token"))
+    scoreCandidates(cand, stats, k, k1, b)
+  }
+
+  /** Build-once gate for the persisted index: returns the table
+    * prefix, building only when the fingerprint-keyed tables are
+    * absent — [[IndexStore.ivfCentroidsCached]]'s train-once contract
+    * at inverted-index scale. The fingerprint covers doc ids AND
+    * text, so any corpus change re-keys (and rebuilds); stale indexes
+    * for dead corpora are dropped by table-name prefix hygiene, not
+    * silently served.
+    */
+  def bm25IndexCached(docs: DataFrame, idCol: String, textCol: String,
+                      buckets: Int = 32): String = {
+    val spark = docs.sparkSession
+    val fp = IndexStore.corpusFingerprint(docs, Seq(idCol, textCol))
+    val prefix = s"bm25_v1_$fp"
+    val have = Seq("postings", "termstats", "stats")
+      .forall(s => spark.catalog.tableExists(s"${prefix}_$s"))
+    if (!have) buildBm25Index(docs, idCol, textCol, prefix, buckets)
+    prefix
   }
 
   /** Maximal-marginal-relevance re-rank: from each query's candidate

@@ -249,6 +249,35 @@ class PlanShapeSpec extends AnyFunSuite {
       "top-k window must be partitioned by query_id")
   }
 
+  test("bm25TopKFromIndex: probe plan touches ONLY the index tables — no corpus scan, no tf shuffle") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    // a LITERAL probe panel — the served shape: the panel arrives from
+    // outside (a decontamination list, an audit query set), so the
+    // probe plan must touch NO corpus file at all
+    val probes = Seq((1L, Seq("the", "data", "pipeline")),
+        (2L, Seq("quality", "tokens"))).toDF("query_id", "qterms")
+    val prefix = graft.operators.Retrieval.bm25IndexCached(docs, "doc_id", "text")
+    val df = graft.operators.Retrieval.bm25TopKFromIndex(spark, prefix,
+      probes, "query_id", "qterms", k = 10)
+    val p = plan(df)
+    // the whole point of the persisted index: the probe never rescans
+    // or re-tokenizes the corpus
+    assert(!p.contains("documents.parquet"),
+      s"probe plan rescans the corpus:\n$p")
+    assert(!p.toLowerCase.contains("explode(cleantokens"),
+      s"probe plan re-tokenizes the corpus:\n$p")
+    // postings meet the panel through the broadcast gate — a
+    // token-keyed sort-merge would shuffle the whole postings table
+    assert(p.contains("BroadcastHashJoin"), s"probe gate must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"index probe must not shuffle any index table:\n$p")
+    // and no aggregation EXCEPT the candidate-sized per-doc sum: the
+    // tf/df/dl/stats aggregates were all paid at build time
+    val aggs = df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs <= 6, s"probe plan re-aggregates index-build work:\n$p")
+  }
+
   test("temperatureMixSqrt: rate card broadcasts; the exact take is one per-source window") {
     val docs = Tables.table(spark, TestSpark.sfDir, "documents")
       .select(col("doc_id"), col("source"))

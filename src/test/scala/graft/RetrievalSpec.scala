@@ -227,6 +227,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(tied.toSeq === Seq(1L, 9L))
   }
 
+  test("persisted-index probe is row-for-row identical to the inline path") {
+    val docs = docsDf
+    val probes = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(graft.operators.TextAnalysis.cleanTokens(col("text")), 1, 5)
+          .as("qterms"))
+    val direct = Retrieval.bm25TopK(docs, "doc_id", "text",
+        probes, "query_id", "qterms", k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+    val prefix = Retrieval.bm25IndexCached(docs, "doc_id", "text")
+    val fromIdx = Retrieval.bm25TopKFromIndex(spark, prefix,
+        probes, "query_id", "qterms", k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(direct.nonEmpty && direct.sameElements(fromIdx),
+      "index probe diverged from the inline path")
+    // second cached call must be a no-op build (same prefix back)
+    assert(Retrieval.bm25IndexCached(docs, "doc_id", "text") === prefix)
+    // malformed index fails loudly, never scores garbage
+    spark.sql(s"DROP TABLE IF EXISTS `${prefix}_stats`")
+    spark.range(2).selectExpr("id AS n_docs", "id AS total_tokens")
+      .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
+    assert(intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKFromIndex(spark, prefix, probes, "query_id", "qterms", 10)
+    }.getMessage.contains("stats"))
+    spark.sql(s"DROP TABLE IF EXISTS `${prefix}_stats`")
+  }
+
   test("rrfFuse cut is exact: k bounds each query independently") {
     val run = Seq.tabulate(30)(i => (i % 3).toLong -> (i + 1))
       .zipWithIndex.map { case ((q, r), i) => (q, r, (100 + i).toLong) }
