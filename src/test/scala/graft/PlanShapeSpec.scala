@@ -278,6 +278,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(aggs <= 6, s"probe plan re-aggregates index-build work:\n$p")
   }
 
+  test("near-dup cluster chain: hash-keyed pair self-join, broadcast canonical mapping") {
+    import graft.operators.Dedup
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleWidth = 3, threshold = 0.5)
+    val pp = plan(pairs)
+    // the inverted-index self-join must meet on the shingle-hash key —
+    // an all-pairs cartesian/BNL over documents is the quadratic
+    // formulation this operator exists to avoid (size-ratio pruning
+    // rides INSIDE the equi-join as a post-condition)
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"),
+      s"pair discovery degenerated to all-pairs:\n$pp")
+    val cc = Dedup.connectedComponents(
+      docs.select(col("doc_id").as("id")), pairs)
+    val cp = plan(cc)
+    // the component mapping is cluster-count-sized: it must broadcast
+    // back onto the vertex set, never shuffle the corpus to meet it
+    assert(cp.contains("BroadcastHashJoin"),
+      s"canonical mapping must broadcast:\n$cp")
+    assert(!cp.contains("SortMergeJoin"),
+      s"corpus shuffled to meet the component mapping:\n$cp")
+  }
+
   test("temperatureMixSqrt: rate card broadcasts; the exact take is one per-source window") {
     val docs = Tables.table(spark, TestSpark.sfDir, "documents")
       .select(col("doc_id"), col("source"))
