@@ -1279,6 +1279,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- REAL compressed-image decode: deterministic PNG fixtures
+    //      (stored-block zlib, so the bytes are a pure function of
+    //      the pixel formula) decoded through the ACTUAL javax.imageio
+    //      reader — header-capped against decompression bombs. PNG is
+    //      lossless, so the oracle predicts the decoded features from
+    //      the same formula the BMP path uses: identical oracle SQL ----
+    "multimodal_decode_png" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "png")
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+          new graft.operators.Multimodal.PureJvmCodec())
+        .select(col("id").as("doc_id"),
+          col("decoded.meta.width").cast(LongType).as("width"),
+          col("decoded.meta.height").cast(LongType).as("height"),
+          element_at(col("decoded.features"), 3).cast(LongType).as("r00"),
+          element_at(col("decoded.features"), 4).cast(LongType).as("g00"),
+          element_at(col("decoded.features"), 5).cast(LongType).as("b00"),
+          element_at(col("decoded.features"), 6).cast(LongType).as("sum_rgb"),
+          element_at(col("decoded.features"), 7).cast(LongType).as("max_chan"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- REAL audio decode (RIFF/WAVE chunk walk, PCM-16 LE
     //      samples): same synth-then-parse-then-predict scheme ----
     "multimodal_decode_wav" -> ((s, d) => {
@@ -5349,5 +5371,8 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "sim_topk_ivf_loaded" -> oracleSqlBase("sim_topk_ivf"),
     "sim_topk_pq_loaded" -> oracleSqlBase("sim_topk_pq"),
-    "text_bm25_topk_idx" -> oracleSqlBase("text_bm25_topk"))
+    "text_bm25_topk_idx" -> oracleSqlBase("text_bm25_topk"),
+    // PNG is lossless and the fixture uses the BMP pixel formula, so a
+    // correct ImageIO decode must land on the identical feature rows
+    "multimodal_decode_png" -> oracleSqlBase("multimodal_decode_bmp"))
 }

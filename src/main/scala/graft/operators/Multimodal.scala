@@ -230,6 +230,55 @@ object Multimodal {
         first.toFloat, last.toFloat, sumAbs.toFloat, zc.toFloat))
     }
 
+    /** Pixel cap for compressed formats: a crafted IHDR/SOF claiming
+      * a billion-pixel canvas must be rejected BEFORE any pixel
+      * buffer is allocated (the decompression-bomb guard — the same
+      * bounds-check discipline the BMP parser applies to its stride).
+      */
+    private val MaxImagePixels = 64L << 20
+
+    /** PNG/JPEG through `javax.imageio` (public JDK, zero new deps).
+      * Hardening for untrusted corpus bytes: (1) the blob's magic
+      * must AGREE with its declared format — ImageIO content-sniffs,
+      * and a mislabeled blob silently decoding as a different format
+      * would skew per-format corpus stats; (2) dimensions are read
+      * from the header via the ImageReader and capped before
+      * `read()` allocates anything; (3) any reader exception (torn
+      * IDAT, bad CRC, truncated entropy stream) degrades to null via
+      * the dispatch's catch. Features are the same 7-element
+      * extractor the uncompressed formats use, from the ACTUAL
+      * decoded pixels — for PNG (lossless) the oracle predicts them
+      * from the fixture formula exactly; JPEG is lossy, so its
+      * verification is meta + roundtrip tests, not formulas.
+      */
+    private def decodeImageIo(b: Array[Byte], fmt: String): (Row, Array[Float]) = {
+      val isPng = b.length >= 8 && (b(0) & 0xFF) == 0x89 &&
+        b(1) == 'P'.toByte && b(2) == 'N'.toByte && b(3) == 'G'.toByte
+      val isJpg = b.length >= 3 && (b(0) & 0xFF) == 0xFF &&
+        (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF
+      if (fmt == "png" && !isPng) return null
+      if ((fmt == "jpg" || fmt == "jpeg") && !isJpg) return null
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) return null
+          val img = reader.read(0)
+          def rgb(x: Int, y: Int): (Int, Int, Int) = {
+            val p = img.getRGB(x, y)
+            ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+          }
+          imageFeatures(fmt, w, h, rgb, b.length.toLong)
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    }
+
     override def decode(bytes: Array[Byte], format: String): (Row, Array[Float]) = {
       if (bytes == null || bytes.isEmpty) return null
       val fmt = if (format == null) "" else format.toLowerCase
@@ -240,6 +289,7 @@ object Multimodal {
           case "bmp" => decodeBmp(bytes)
           case "ppm" => decodePpm(bytes)
           case "wav" => decodeWav(bytes)
+          case "png" | "jpg" | "jpeg" => decodeImageIo(bytes, fmt)
           case _     => fallback.decode(bytes, format)
         }
       } catch {
@@ -302,6 +352,78 @@ object Multimodal {
     out
   }
 
+  /** Minimal deterministic PNG: 8-bit RGB, filter 0 scanlines, one
+    * IDAT whose zlib stream uses STORED deflate blocks — no
+    * compressor involved, so the bytes are a pure function of the
+    * pixels (any inflater, including ImageIO's, reads them), and the
+    * fixture is as deterministic as [[buildBmp]]'s. `pix(k)` supplies
+    * channel k in top-down row-major RGB order.
+    */
+  def buildPng(w: Int, h: Int, pix: Int => Int): Array[Byte] = {
+    require(w > 0 && h > 0, "dims must be positive")
+    val bos = new java.io.ByteArrayOutputStream()
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+      .foreach(bos.write)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      bos.write((len >>> 24) & 0xFF); bos.write((len >>> 16) & 0xFF)
+      bos.write((len >>> 8) & 0xFF); bos.write(len & 0xFF)
+      val tb = typ.getBytes("US-ASCII")
+      bos.write(tb, 0, tb.length)
+      bos.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      val c = crc.getValue
+      bos.write(((c >>> 24) & 0xFF).toInt); bos.write(((c >>> 16) & 0xFF).toInt)
+      bos.write(((c >>> 8) & 0xFF).toInt); bos.write((c & 0xFF).toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    def putBeInt(off: Int, v: Int): Unit = {
+      ihdr(off) = ((v >>> 24) & 0xFF).toByte; ihdr(off + 1) = ((v >>> 16) & 0xFF).toByte
+      ihdr(off + 2) = ((v >>> 8) & 0xFF).toByte; ihdr(off + 3) = (v & 0xFF).toByte
+    }
+    putBeInt(0, w); putBeInt(4, h)
+    ihdr(8) = 8  // bit depth
+    ihdr(9) = 2  // color type: truecolor RGB
+    // ihdr(10..12) = 0: deflate compression, adaptive filter, no interlace
+    chunk("IHDR", ihdr)
+    // raw image stream: per scanline one filter byte (0 = None) + RGB
+    val raw = new Array[Byte](h * (1 + w * 3))
+    var y = 0
+    var off = 0
+    while (y < h) {
+      raw(off) = 0; off += 1
+      var i = 0
+      while (i < w * 3) {
+        raw(off) = (pix(y * w * 3 + i) & 0xFF).toByte
+        off += 1; i += 1
+      }
+      y += 1
+    }
+    // zlib wrapper: header, stored (uncompressed) deflate blocks of
+    // <= 65535 bytes, Adler-32 of the raw stream
+    val z = new java.io.ByteArrayOutputStream()
+    z.write(0x78); z.write(0x01)
+    var p = 0
+    while (p < raw.length) {
+      val n = math.min(65535, raw.length - p)
+      val last = p + n >= raw.length
+      z.write(if (last) 1 else 0)
+      z.write(n & 0xFF); z.write((n >>> 8) & 0xFF)
+      z.write((~n) & 0xFF); z.write(((~n) >>> 8) & 0xFF)
+      z.write(raw, p, n)
+      p += n
+    }
+    val ad = new java.util.zip.Adler32()
+    ad.update(raw)
+    val a = ad.getValue
+    z.write(((a >>> 24) & 0xFF).toInt); z.write(((a >>> 16) & 0xFF).toInt)
+    z.write(((a >>> 8) & 0xFF).toInt); z.write((a & 0xFF).toInt)
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
+
   /** Mono PCM-16 WAV at `rate` Hz; `sample(i)` in [-32768, 32767]. */
   def buildWav(rate: Int, n: Int, sample: Int => Int): Array[Byte] = {
     require(rate > 0 && n >= 0, "rate must be positive")
@@ -352,6 +474,8 @@ object Multimodal {
           case "bmp" => buildBmp((4 + id % 13).toInt, (3 + id % 11).toInt,
             k => ((id * 31L + k * 7L) % 256L).toInt)
           case "ppm" => buildPpm((4 + id % 13).toInt, (3 + id % 11).toInt,
+            k => ((id * 31L + k * 7L) % 256L).toInt)
+          case "png" => buildPng((4 + id % 13).toInt, (3 + id % 11).toInt,
             k => ((id * 31L + k * 7L) % 256L).toInt)
           case "wav" => buildWav(8000, (32 + id % 96).toInt,
             i => (((id * 7919L + i * 2503L) % 65536L) - 32768L).toInt)

@@ -90,6 +90,70 @@ class MultimodalActionsSpec extends AnyFunSuite {
     assert(viaStub != null && viaStub._2.length === 16)          // stub dim
   }
 
+  test("PureJvmCodec: PNG via ImageIO decodes to the same features as the equivalent PPM") {
+    def pix(k: Int): Int = (k * 13 + 21) % 256
+    val codec = new Multimodal.PureJvmCodec()
+    // PNG is lossless: the ImageIO path must land on the byte-exact
+    // pixels the pure-JVM PPM parser reads from the same formula
+    val (mP, fP) = codec.decode(Multimodal.buildPpm(7, 5, pix), "ppm")
+    val (mG, fG) = codec.decode(Multimodal.buildPng(7, 5, pix), "png")
+    assert(mP.getString(0) === "ppm" && mG.getString(0) === "png")
+    assert(mG.getInt(1) === 7 && mG.getInt(2) === 5)
+    assert(fP.toSeq === fG.toSeq)
+    // a scanline long enough to split across two stored zlib blocks
+    // (22000*3+1 > 65535) exercises the multi-block writer
+    val wide = Multimodal.buildPng(22000, 1, k => (k * 3 + 1) % 256)
+    val (mW, fW) = codec.decode(wide, "png")
+    assert(mW.getInt(1) === 22000 && mW.getInt(2) === 1)
+    assert(fW(2) === 1f && fW(3) === 4f && fW(4) === 7f)
+  }
+
+  test("PureJvmCodec: JPEG via ImageIO — real compressed round-trip metadata") {
+    // JPEG is lossy, so the contract is meta + plausible features,
+    // not formula-exact pixels; bytes come from the JDK's own encoder
+    val img = new java.awt.image.BufferedImage(9, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 9)
+      img.setRGB(x, y, ((x * 20) << 16) | ((y * 30) << 8) | 40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val codec = new Multimodal.PureJvmCodec()
+    val (meta, f) = codec.decode(bos.toByteArray, "jpg")
+    assert(meta.getString(0) === "jpg")
+    assert(meta.getInt(1) === 9 && meta.getInt(2) === 6)
+    assert(f(0) === 9f && f(1) === 6f)
+    assert(f.forall(x => x >= 0f && x.isFinite))
+  }
+
+  test("PureJvmCodec: crafted/mislabeled compressed images degrade to null") {
+    val codec = new Multimodal.PureJvmCodec()
+    val good = Multimodal.buildPng(4, 4, _ => 9)
+    // truncated MID-IDAT (into the pixel stream itself — ImageIO
+    // forgives a missing CRC/IEND tail): reader throws, dispatch
+    // degrades to null
+    assert(codec.decode(good.take(good.length - 45), "png") === null)
+    // magic/format disagreement: refuse, never content-sniff into a
+    // different decoder
+    assert(codec.decode(good, "jpg") === null)
+    assert(codec.decode(Multimodal.buildBmp(4, 4, _ => 1), "png") === null)
+    // decompression bomb: IHDR claiming a ~4.3-gigapixel canvas must
+    // be rejected from the HEADER, before any pixel allocation
+    val bomb = good.clone()
+    def putBe(off: Int, v: Int): Unit = {
+      bomb(off) = ((v >>> 24) & 0xFF).toByte; bomb(off + 1) = ((v >>> 16) & 0xFF).toByte
+      bomb(off + 2) = ((v >>> 8) & 0xFF).toByte; bomb(off + 3) = (v & 0xFF).toByte
+    }
+    putBe(16, 65535); putBe(20, 65535) // IHDR width/height at offsets 16/20
+    // fix the IHDR CRC so only the DIMENSIONS are implausible
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 4 + 13)
+    putBe(29, crc.getValue.toInt)
+    val t0 = System.nanoTime()
+    assert(codec.decode(bomb, "png") === null)
+    assert((System.nanoTime() - t0) < 2e9.toLong,
+      "bomb rejection must come from the header, not an attempted decode")
+  }
+
   test("resizeMedia: target dims in meta, byte cap, null passthrough") {
     val df = Seq(
       (1L, Some(Array.fill[Byte](500)(3)), "png"),
