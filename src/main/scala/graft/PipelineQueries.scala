@@ -608,6 +608,22 @@ object PipelineQueries {
           col("seq_id"), col("seq_offset"), col("n_seqs"))
         .orderBy(col("doc_id"))),
 
+    // ---- DOCUMENT-PRESERVING sequence packing (first-fit-decreasing
+    //      bin packing within hash shards): no doc ever spans two
+    //      training sequences; docs longer than the budget are flagged
+    //      seq=-1 instead of silently split. The deterministic
+    //      (tokens DESC, id ASC) placement order makes the greedy fold
+    //      replayable: the oracle unrolls FFD per shard as a recursive
+    //      CTE carrying the open-sequence capacity list and must land
+    //      on the identical (shard, seq) assignment for every doc ----
+    "q_pack_bestfit" -> ((s, d) =>
+      Frames.packSequencesBestFit(
+          t(s, d, "documents").select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 512, nShards = 8)
+        .select(col("id").as("doc_id"), col("n"), col("shard"), col("seq"))
+        .orderBy(col("doc_id"))),
+
     // ---- C4-style corpus-wide line dedup: each exact line survives
     //      only at its first (id, pos) occurrence; docs reassembled.
     //      Empty lines exempt ----
@@ -3041,6 +3057,52 @@ object PipelineQueries {
            CASE WHEN n = 0 THEN 0
              ELSE (start + n - 1) // 512 - start // 512 + 1 END AS n_seqs
          FROM c ORDER BY doc_id""",
+    "q_pack_bestfit" ->
+      """WITH RECURSIVE tc AS (
+           SELECT doc_id AS id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+           FROM documents),
+         h AS (
+           SELECT id, n,
+             ((((id + 7) % 1000000007) * ((id + 7) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+           FROM tc),
+         sh AS (
+           SELECT id, n, CAST((v * v) % 1000000007 % 8 AS INTEGER) AS shard
+           FROM h),
+         ord AS (
+           SELECT id, n, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY shard
+               ORDER BY n DESC, id) AS BIGINT) AS rn
+           FROM sh WHERE n <= 512),
+         ffd AS (
+           SELECT shard, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS id,
+                  CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS seq,
+                  CAST([] AS BIGINT[]) AS rem
+           FROM (SELECT DISTINCT shard FROM ord)
+           UNION ALL
+           SELECT shard, rn, id, n,
+             CASE WHEN pos = 0 THEN CAST(len(rem0) AS BIGINT)
+                  ELSE pos - 1 END AS seq,
+             CASE WHEN pos = 0 THEN list_append(rem0, 512 - n)
+                  ELSE list_concat(list_concat(
+                         rem0[1:CAST(pos - 1 AS INTEGER)],
+                         [rem0[CAST(pos AS INTEGER)] - n]),
+                         rem0[CAST(pos + 1 AS INTEGER):len(rem0)]) END AS rem
+           FROM (
+             SELECT f.shard AS shard, f.rn + 1 AS rn, o.id AS id, o.n AS n,
+                    f.rem AS rem0,
+                    CAST(COALESCE(list_position(
+                      list_transform(f.rem, r -> r >= o.n), true), 0)
+                      AS BIGINT) AS pos
+             FROM ffd f JOIN ord o
+               ON o.shard = f.shard AND o.rn = f.rn + 1))
+         SELECT id AS doc_id, n, shard, seq FROM (
+           SELECT id, n, shard, seq FROM ffd WHERE rn > 0
+           UNION ALL
+           SELECT id, n, shard, CAST(-1 AS BIGINT) AS seq
+           FROM sh WHERE n > 512)
+         ORDER BY doc_id""",
     "dedup_lines" ->
       """WITH l AS (
            SELECT doc_id, u.pos, u.line FROM documents,

@@ -355,6 +355,57 @@ object Frames {
             floor(col("start") / budget).cast("long") + 1L).as("n_seqs"))
   }
 
+  /** Document-preserving sequence packing — first-fit-decreasing bin
+    * packing within hash shards, the OTHER standard pretraining batch
+    * assembly next to [[packSequences]]' concat-then-chunk: no
+    * document ever spans two training sequences. Docs are sharded by
+    * the portable id hash, and within each shard placed in
+    * (tokens DESC, id ASC) order into the FIRST already-open sequence
+    * with enough remaining capacity, else a new sequence opens (the
+    * classic FFD approximation to optimal bin packing — ≤ 11/9·OPT+1
+    * bins). Output: one row per doc with its (shard, seq) assignment;
+    * a doc longer than the budget cannot be packed whole and is
+    * flagged `seq = -1` instead of silently truncated or dropped.
+    *
+    * Scale shape: FFD is inherently sequential, so the parallel unit
+    * is the SHARD — `nShards` independent greedy folds, one task
+    * each, no driver loop and no cross-shard traffic (one hash-
+    * partition shuffle total). Each task buffers only its own shard's
+    * (id, n) pairs — 16 bytes/doc, so ~60 MB per task at a billion
+    * docs over 1k shards; size `nShards` ∝ corpus/docs-per-task. The
+    * greedy fold is deterministic given the (n DESC, id ASC) total
+    * order, which is what makes the whole placement replayable by an
+    * external SQL engine as a per-shard recursive unrolling.
+    */
+  def packSequencesBestFit(df: DataFrame, idCol: String, tokenCol: String,
+                           budget: Long, nShards: Int = 8,
+                           seed: Long = 7L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(nShards > 0, "nShards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sharded = df.select(col(idCol).cast("long").as("id"),
+        col(tokenCol).cast("long").as("n"),
+        pmod(portableHash(col(idCol), seed), lit(nShards.toLong))
+          .cast("int").as("shard"))
+      .as[(Long, Long, Int)]
+    sharded.groupByKey(_._3).flatMapGroups { (shard, it) =>
+      // one shard per task: buffer + sort is the documented memory
+      // bound (16 bytes/doc); the fold itself is the FFD greedy
+      val docs = it.toArray.sortBy { case (id, n, _) => (-n, id) }
+      val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      docs.iterator.map { case (id, n, _) =>
+        if (n > budget) (id, n, shard, -1L)
+        else {
+          var i = 0
+          while (i < rem.length && rem(i) < n) i += 1
+          if (i == rem.length) rem += (budget - n) else rem(i) -= n
+          (id, n, shard, i.toLong)
+        }
+      }
+    }.toDF("id", "n", "shard", "seq")
+  }
+
   /** Exact global rank of every (group, value) row WITHOUT routing a
     * whole group through one task's sort. Shape:
     *

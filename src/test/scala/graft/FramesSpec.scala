@@ -108,6 +108,50 @@ class FramesSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequencesBestFit: doc-preserving, budget-respected, FFD-greedy, deterministic") {
+    // sizes span tiny to oversized (budget 100): id 1..400, n = id*53 % 130
+    val df = (1L to 400L).map(i => (i, i * 53 % 130)).toDF("id", "n_tok")
+    val out = Frames.packSequencesBestFit(df, "id", "n_tok", budget = 100, nShards = 4)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // every doc appears exactly once
+    assert(rows.map(_._1).toSet.size === 400 && rows.length === 400)
+    // oversized docs flagged, never placed; packable docs always placed
+    rows.foreach { case (id, n, _, seq) =>
+      if (n > 100) assert(seq === -1L, s"doc $id oversized but placed")
+      else assert(seq >= 0L, s"doc $id packable but unplaced")
+    }
+    // no sequence over budget; sequence ids dense per shard from 0
+    rows.filter(_._4 >= 0).groupBy(r => (r._3, r._4)).foreach { case ((sh, sq), ds) =>
+      assert(ds.map(_._2).sum <= 100L, s"shard $sh seq $sq over budget")
+    }
+    rows.filter(_._4 >= 0).groupBy(_._3).foreach { case (sh, ds) =>
+      val seqs = ds.map(_._4).toSet
+      assert(seqs === (0L until seqs.size).toSet, s"shard $sh seq ids not dense")
+    }
+    // FFD in-JVM replay: identical placement (determinism + greedy law)
+    val expect = rows.filter(_._2 <= 100).groupBy(_._3).flatMap { case (sh, ds) =>
+      val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      ds.sortBy(d => (-d._2, d._1)).map { case (id, n, _, _) =>
+        var i = 0
+        while (i < rem.length && rem(i) < n) i += 1
+        if (i == rem.length) rem += (100L - n) else rem(i) -= n
+        (id, i.toLong)
+      }.toSeq
+    }.toMap
+    rows.filter(_._2 <= 100).foreach { case (id, _, _, seq) =>
+      assert(seq === expect(id), s"doc $id diverges from the FFD replay")
+    }
+    // partitioning-invariant: same assignment from a different input layout
+    val out2 = Frames.packSequencesBestFit(df.repartition(7), "id", "n_tok",
+        budget = 100, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    rows.foreach { case (id, _, _, seq) => assert(out2(id) === seq) }
+    intercept[IllegalArgumentException] {
+      Frames.packSequencesBestFit(df, "id", "n_tok", budget = 0)
+    }
+  }
+
   test("weightedSampleDeterministic: partitioning-invariant, weight-biased, exact n") {
     val df = (1L to 1000L).map(i => (i, if (i <= 20) 1000.0 else 0.01))
       .toDF("id", "w")
