@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Embeddings, Frames, IndexStore, Layout, Quality, Retrieval, Similarity, Temporal, TextAnalysis, TextClean}
+import graft.operators.{Bloom, Dedup, Embeddings, Frames, IndexStore, Layout, Quality, Retrieval, Similarity, Temporal, TextAnalysis, TextClean}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline operators (SURVEY.md §7.6 / north-star) as
@@ -1533,6 +1533,55 @@ object PipelineQueries {
           coalesce(col("n_shared_8grams"), lit(0L)).as("n_shared_8grams"),
           (coalesce(col("n_shared_8grams"), lit(0L)) > 0).as("contaminated"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- portable Bloom decontamination card: the MAP-ONLY twin of
+    //      dedup_contamination's exact semi-join. Reference = every
+    //      20th doc; its shingle Bloom bits (2^21 bits, k=4) ride the
+    //      plan as a 32 KB literal and the corpus probe is one native
+    //      pass per row — zero shuffles touch the corpus. The flags
+    //      are PROBABILISTIC (false positives by design) yet oracle-
+    //      exact: DuckDB re-derives the reference bit SET and replays
+    //      every shingle's four positions relationally, landing on
+    //      the identical n_hits — false positives included ----
+    "text_bloom_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val words = Bloom.buildBloomWords(docs.filter(col("doc_id") % 20 === 0),
+        "text", mBits = 1 << 21, kHashes = 4, shingleW = 8)
+      Bloom.contaminationCard(docs.filter(col("doc_id") % 20 =!= 0),
+          "doc_id", "text", words, mBits = 1 << 21, kHashes = 4, shingleW = 8)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_hits"),
+          col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Bloom-vs-truth tuning card: the bloom flags against the
+    //      exact distinct-shingle semi-join. n_missed is structurally
+    //      0 (no false negatives — a nonzero value is a portability
+    //      bug); n_false_pos is the mBits/kHashes sizing readout ----
+    "text_bloom_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ref = docs.filter(col("doc_id") % 20 === 0)
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      val words = Bloom.buildBloomWords(ref, "text", mBits = 1 << 21,
+        kHashes = 4, shingleW = 8)
+      Bloom.bloomEval(corpus, ref, "doc_id", "text", words,
+        mBits = 1 << 21, kHashes = 4, shingleW = 8)
+    }),
+
+    // ---- the UNDERSIZED negative control: 2^15 bits saturates and
+    //      false-positives on purpose, proving the oracle replays the
+    //      probabilistic flags — FPs included — bit-for-bit (the
+    //      right-sized row above has no FPs to disagree on). n_missed
+    //      stays structurally 0 at any sizing ----
+    "text_bloom_eval_small" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ref = docs.filter(col("doc_id") % 20 === 0)
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      val words = Bloom.buildBloomWords(ref, "text", mBits = 1 << 15,
+        kHashes = 4, shingleW = 8)
+      Bloom.bloomEval(corpus, ref, "doc_id", "text", words,
+        mBits = 1 << 15, kHashes = 4, shingleW = 8)
     }),
 
     // ---- per-key EWMA: a recursive metric no SQL window expresses —
@@ -4844,6 +4893,144 @@ object PipelineQueries {
            COALESCE(h.n, 0) > 0 AS contaminated
          FROM (SELECT doc_id FROM documents WHERE doc_id % 100 = 0) d2
          LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
+    "text_bloom_decontam" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         hs AS (
+           SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 7),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 8), ' '))
+             END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007))) AS sh
+           FROM t),
+         refpos AS (
+           SELECT DISTINCT
+             ((u.h + i.i * ((u.h * u.h % 1000000007 * 1000003 + 54321) % 1000000007))
+               % 1000000007) % 2097152 AS pos
+           FROM (SELECT unnest(sh) AS h FROM hs WHERE doc_id % 20 = 0) u,
+                (SELECT unnest(range(1, 5)) AS i) i),
+         dp AS (
+           SELECT DISTINCT doc_id, h,
+             ((h + i.i * ((h * h % 1000000007 * 1000003 + 54321) % 1000000007))
+               % 1000000007) % 2097152 AS pos
+           FROM (SELECT doc_id, unnest(sh) AS h FROM hs WHERE doc_id % 20 <> 0) c,
+                (SELECT unnest(range(1, 5)) AS i) i),
+         sm AS (
+           SELECT dp.doc_id, dp.h, count(*) AS n_pos, count(r.pos) AS n_set
+           FROM dp LEFT JOIN refpos r ON r.pos = dp.pos
+           GROUP BY dp.doc_id, dp.h),
+         hit AS (
+           SELECT doc_id,
+             CAST(SUM(CASE WHEN n_set = n_pos THEN 1 ELSE 0 END) AS INTEGER) AS n_hits
+           FROM sm GROUP BY doc_id)
+         SELECT hs.doc_id, CAST(len(hs.sh) AS INTEGER) AS n_shingles,
+           COALESCE(hit.n_hits, 0) AS n_hits,
+           COALESCE(hit.n_hits, 0) > 0 AS contaminated
+         FROM hs LEFT JOIN hit USING (doc_id)
+         WHERE hs.doc_id % 20 <> 0
+         ORDER BY doc_id""",
+    "text_bloom_eval" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         hs AS (
+           SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 7),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 8), ' '))
+             END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007))) AS sh
+           FROM t),
+         refpos AS (
+           SELECT DISTINCT
+             ((u.h + i.i * ((u.h * u.h % 1000000007 * 1000003 + 54321) % 1000000007))
+               % 1000000007) % 2097152 AS pos
+           FROM (SELECT unnest(sh) AS h FROM hs WHERE doc_id % 20 = 0) u,
+                (SELECT unnest(range(1, 5)) AS i) i),
+         dp AS (
+           SELECT DISTINCT doc_id, h,
+             ((h + i.i * ((h * h % 1000000007 * 1000003 + 54321) % 1000000007))
+               % 1000000007) % 2097152 AS pos
+           FROM (SELECT doc_id, unnest(sh) AS h FROM hs WHERE doc_id % 20 <> 0) c,
+                (SELECT unnest(range(1, 5)) AS i) i),
+         sm AS (
+           SELECT dp.doc_id, dp.h, count(*) AS n_pos, count(r.pos) AS n_set
+           FROM dp LEFT JOIN refpos r ON r.pos = dp.pos
+           GROUP BY dp.doc_id, dp.h),
+         flags AS (
+           SELECT hs.doc_id,
+             COALESCE(hit.n_hits, 0) > 0 AS contaminated
+           FROM hs LEFT JOIN (
+             SELECT doc_id,
+               SUM(CASE WHEN n_set = n_pos THEN 1 ELSE 0 END) AS n_hits
+             FROM sm GROUP BY doc_id) hit USING (doc_id)
+           WHERE hs.doc_id % 20 <> 0),
+         truth AS (
+           SELECT DISTINCT c.doc_id
+           FROM (SELECT doc_id, unnest(sh) AS h FROM hs WHERE doc_id % 20 <> 0) c
+           JOIN (SELECT DISTINCT unnest(sh) AS h FROM hs WHERE doc_id % 20 = 0) r
+             USING (h))
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f.contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN tr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN f.contaminated AND tr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN NOT f.contaminated AND tr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+         FROM flags f LEFT JOIN truth tr USING (doc_id)""",
+    "text_bloom_eval_small" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         hs AS (
+           SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 7),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 8), ' '))
+             END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007))) AS sh
+           FROM t),
+         refpos AS (
+           SELECT DISTINCT
+             ((u.h + i.i * ((u.h * u.h % 1000000007 * 1000003 + 54321) % 1000000007))
+               % 1000000007) % 32768 AS pos
+           FROM (SELECT unnest(sh) AS h FROM hs WHERE doc_id % 20 = 0) u,
+                (SELECT unnest(range(1, 5)) AS i) i),
+         dp AS (
+           SELECT DISTINCT doc_id, h,
+             ((h + i.i * ((h * h % 1000000007 * 1000003 + 54321) % 1000000007))
+               % 1000000007) % 32768 AS pos
+           FROM (SELECT doc_id, unnest(sh) AS h FROM hs WHERE doc_id % 20 <> 0) c,
+                (SELECT unnest(range(1, 5)) AS i) i),
+         sm AS (
+           SELECT dp.doc_id, dp.h, count(*) AS n_pos, count(r.pos) AS n_set
+           FROM dp LEFT JOIN refpos r ON r.pos = dp.pos
+           GROUP BY dp.doc_id, dp.h),
+         flags AS (
+           SELECT hs.doc_id,
+             COALESCE(hit.n_hits, 0) > 0 AS contaminated
+           FROM hs LEFT JOIN (
+             SELECT doc_id,
+               SUM(CASE WHEN n_set = n_pos THEN 1 ELSE 0 END) AS n_hits
+             FROM sm GROUP BY doc_id) hit USING (doc_id)
+           WHERE hs.doc_id % 20 <> 0),
+         truth AS (
+           SELECT DISTINCT c.doc_id
+           FROM (SELECT doc_id, unnest(sh) AS h FROM hs WHERE doc_id % 20 <> 0) c
+           JOIN (SELECT DISTINCT unnest(sh) AS h FROM hs WHERE doc_id % 20 = 0) r
+             USING (h))
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f.contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN tr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN f.contaminated AND tr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN NOT f.contaminated AND tr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+         FROM flags f LEFT JOIN truth tr USING (doc_id)""",
     "events_ewma" ->
       """WITH per AS (
            SELECT user_id, COUNT(*) AS n_events,

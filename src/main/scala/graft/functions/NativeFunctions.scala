@@ -42,6 +42,14 @@ object NativeFunctions {
   def polyShingleHashes(tokens: Column, w: Int): Column =
     GraftSqlShims.column(PolyShingleHashes(GraftSqlShims.expression(tokens), w))
 
+  /** Count of shingle hashes whose k Bloom bit positions are all set
+    * in the embedded bit array, one allocation-free pass.
+    */
+  def bloomShingleHits(shingleHashes: Column, words: Array[Long],
+                       mBits: Int, kHashes: Int): Column =
+    GraftSqlShims.column(BloomShingleHits(
+      GraftSqlShims.expression(shingleHashes), words, mBits, kHashes))
+
   /** Distinct w-shingle strings of a token array, one pass. */
   def shingleStrings(tokens: Column, w: Int): Column =
     GraftSqlShims.column(ShingleStrings(GraftSqlShims.expression(tokens), w))

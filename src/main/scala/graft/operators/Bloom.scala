@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.NativeFunctions
+
+/** Portable Bloom-filter decontamination — the MAP-ONLY benchmark-
+  * overlap gate. [[Dedup]]'s `dedup_contamination` flavor answers the
+  * same question ("does this training doc share a w-shingle with the
+  * eval set?") with an exact shingle semi-join: correct, but the
+  * corpus side pays an explode + shuffle per run. At 100 TB the scan
+  * side of a decontamination pass must be join-free: build a Bloom
+  * filter over the REFERENCE set's shingles once (reference panels
+  * are test/benchmark suites — thousands of docs, not the corpus),
+  * ship the bit array with the plan, and probe it per corpus row in a
+  * native one-pass expression. Zero shuffles touch the corpus; the
+  * filter costs mBits/8 bytes (32 KB at 2^21 bits).
+  *
+  * The price is false positives (never negatives). Both engines
+  * replay the SAME bit arithmetic — portable shingle hashes
+  * ([[graft.functions.PolyShingleHashes]]) and the double-squaring
+  * position mixer ([[graft.functions.BloomShingleHits]]) — so the
+  * probabilistic flags themselves are oracle-checkable bit-for-bit,
+  * and [[bloomEval]] measures the FP rate against the exact join
+  * truth (with the no-false-negative guarantee as a hard invariant:
+  * `n_missed` is structurally 0).
+  *
+  * Sizing: fp ≈ (1 - e^(-k·n/m))^k for n reference shingles in m
+  * bits; 10 bits/shingle at k=4 gives ~1.2% — size `mBits` to the
+  * reference panel, not the corpus.
+  */
+object Bloom {
+
+  private val P = 1000000007L
+
+  /** The k bit positions of one shingle hash, as Columns (build side
+    * only — the probe side computes the same sequence natively in
+    * [[graft.functions.BloomShingleHits]]): h1 = h mod p, h2 =
+    * square-mix(h1), pos_i = (h1 + i·h2) mod p mod mBits.
+    */
+  private def posColumns(h: Column, mBits: Int, kHashes: Int): Seq[Column] = {
+    val h1 = pmod(h, lit(P))
+    val h2 = pmod(pmod(h1 * h1, lit(P)) * lit(1000003L) + lit(54321L), lit(P))
+    (1 to kHashes).map(i =>
+      pmod(h1 + lit(i.toLong) * h2, lit(P)) % lit(mBits.toLong))
+  }
+
+  private def checkParams(mBits: Int, kHashes: Int): Unit = {
+    require(mBits >= 64 && mBits % 64 == 0 && mBits <= (1 << 26),
+      s"mBits must be a multiple of 64 in [64, 2^26], got $mBits")
+    require(kHashes >= 1 && kHashes <= 8, s"kHashes must be in [1, 8], got $kHashes")
+  }
+
+  /** Build the bit array over the reference corpus's distinct
+    * w-shingle hashes: explode positions, OR per 64-bit word (one
+    * map-side-combined aggregate over ≤ mBits/64 groups), collect the
+    * packed words. Loud on an empty reference — a silently all-zero
+    * filter would "clear" every doc.
+    */
+  def buildBloomWords(ref: DataFrame, textCol: String, mBits: Int,
+                      kHashes: Int, shingleW: Int): Array[Long] = {
+    checkParams(mBits, kHashes)
+    val sh = ref.select(explode(NativeFunctions.polyShingleHashes(
+      Dedup.tokens(col(textCol)), shingleW)).as("h"))
+    val rows = sh
+      .select(explode(array(posColumns(col("h"), mBits, kHashes): _*)).as("pos"))
+      .select(shiftright(col("pos"), 6).as("w"),
+        call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64L)).cast("int")).as("bit"))
+      .groupBy("w").agg(bit_or(col("bit")).as("bits"))
+      .collect()
+    require(rows.nonEmpty, "bloom build: reference corpus has no shingles")
+    val words = new Array[Long](mBits / 64)
+    rows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  /** Per-doc contamination card, entirely map-only: (id, n_shingles,
+    * n_hits, contaminated). `n_hits` counts the doc's distinct
+    * shingles whose k Bloom bits are all set; `contaminated` is the
+    * gate a curation pipeline filters on.
+    */
+  def contaminationCard(corpus: DataFrame, idCol: String, textCol: String,
+                        words: Array[Long], mBits: Int, kHashes: Int,
+                        shingleW: Int): DataFrame = {
+    checkParams(mBits, kHashes)
+    corpus
+      .select(col(idCol).as("id"),
+        NativeFunctions.polyShingleHashes(
+          Dedup.tokens(col(textCol)), shingleW).as("sh"))
+      .select(col("id"), size(col("sh")).as("n_shingles"),
+        NativeFunctions.bloomShingleHits(col("sh"), words, mBits, kHashes).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** Bloom-vs-truth evaluation card (one row): flags from
+    * [[contaminationCard]] against the exact distinct-shingle
+    * semi-join truth. `n_missed` (truly contaminated but not flagged)
+    * is structurally zero — a Bloom filter has no false negatives —
+    * so a nonzero value is a portability bug, not a tuning problem;
+    * `n_false_pos` is the tuning readout for `mBits`/`kHashes`.
+    * Truth-side cost (the corpus shingle explode + join) is the eval
+    * harness's price, paid here and not in the production gate.
+    */
+  def bloomEval(corpus: DataFrame, ref: DataFrame, idCol: String,
+                textCol: String, words: Array[Long], mBits: Int,
+                kHashes: Int, shingleW: Int): DataFrame = {
+    def docShingles(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(NativeFunctions.polyShingleHashes(
+        Dedup.tokens(col(textCol)), shingleW)).as("h"))
+    val flags = contaminationCard(corpus, idCol, textCol, words, mBits,
+      kHashes, shingleW)
+    val refH = docShingles(ref).select(col("h")).distinct()
+    val truth = docShingles(corpus).join(refH, Seq("h"), "left_semi")
+      .select(col("id")).distinct().withColumn("truly", lit(true))
+    flags.join(truth, Seq("id"), "left").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_flagged"),
+      sum(when(col("truly").isNotNull, 1L).otherwise(0L)).as("n_true"),
+      sum(when(col("contaminated") && col("truly").isNull, 1L).otherwise(0L))
+        .as("n_false_pos"),
+      sum(when(!col("contaminated") && col("truly").isNotNull, 1L).otherwise(0L))
+        .as("n_missed"))
+  }
+}

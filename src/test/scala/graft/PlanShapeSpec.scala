@@ -496,6 +496,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"key math must stay in codegen:\n$p")
   }
 
+  test("bloom contamination probe is map-only: zero exchanges, zero joins, codegen") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val words = graft.operators.Bloom.buildBloomWords(
+      docs.filter(col("doc_id") % 20 === 0), "text", 1 << 15, 4, 8)
+    val df = graft.operators.Bloom.contaminationCard(
+      docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text", words, 1 << 15, 4, 8)
+    val p = plan(df)
+    // the whole point of the bloom gate vs the semi-join flavor: the
+    // corpus-side probe plan is scan+filter+project — the bit array
+    // rides the expression, so nothing shuffles and nothing joins
+    assert(!p.contains("Exchange"), s"bloom probe must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"bloom probe must not join:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("bloom_shingle_hits")),
+      s"probe must stay in codegen:\n$p")
+  }
+
   test("sourceTermDrift: one corpus-keyed shuffle, bounded-heap top-K, broadcast grid") {
     val docs = Tables.table(spark, TestSpark.sfDir, "documents")
     val df = graft.operators.TextAnalysis.sourceTermDrift(docs, "source", "text", topK = 64)
