@@ -1569,6 +1569,42 @@ object PipelineQueries {
         mBits = 1 << 21, kHashes = 4, shingleW = 8)
     }),
 
+    // ---- TWO-TIER exact decontamination — the deployment shape:
+    //      map-only Bloom prefilter, exact shingle semi-join confirm
+    //      over ONLY the flagged sliver. Deliberately run with the
+    //      UNDERSIZED 2^15-bit filter so the prefilter false-
+    //      positives — and the confirm must erase them: the oracle is
+    //      the PLAIN exact truth with zero Bloom arithmetic, proving
+    //      the filter is invisible in the answer at any sizing ----
+    "text_decontam_two_tier" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ref = docs.filter(col("doc_id") % 20 === 0)
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      val words = Bloom.buildBloomWords(ref, "text", mBits = 1 << 15,
+        kHashes = 4, shingleW = 8)
+      Bloom.decontaminateExact(corpus, ref, "doc_id", "text", words,
+          mBits = 1 << 15, kHashes = 4, shingleW = 8)
+        .select(col("id").as("doc_id"), col("n_shared"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- streaming Bloom gate, batch mode (the stream ≡ batch twin
+    //      is StreamingSpec's job): arriving docs probe the reference
+    //      bit array map-only and flagged ids emit exactly once ----
+    "text_bloom_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ref = docs.filter(col("doc_id") % 20 === 0)
+      val delta = docs.filter(col("doc_id") % 20 =!= 0)
+        .withColumn("ts", timestamp_millis(lit(1700000000000L) +
+          col("doc_id") * 60000L))
+      val words = Bloom.buildBloomWords(ref, "text", mBits = 1 << 21,
+        kHashes = 4, shingleW = 8)
+      graft.streaming.DocStreams.bloomGateStream(delta, words,
+          mBits = 1 << 21, kHashes = 4, shingleW = 8)
+        .select(col("id"), col("n_hits"))
+        .orderBy(col("id"))
+    }),
+
     // ---- the UNDERSIZED negative control: 2^15 bits saturates and
     //      false-positives on purpose, proving the oracle replays the
     //      probabilistic flags — FPs included — bit-for-bit (the
@@ -5031,6 +5067,66 @@ object PipelineQueries {
            CAST(SUM(CASE WHEN f.contaminated AND tr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
            CAST(SUM(CASE WHEN NOT f.contaminated AND tr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
          FROM flags f LEFT JOIN truth tr USING (doc_id)""",
+    "text_decontam_two_tier" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         hs AS (
+           SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 7),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 8), ' '))
+             END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007))) AS sh
+           FROM t),
+         refh AS (SELECT DISTINCT unnest(sh) AS h FROM hs WHERE doc_id % 20 = 0),
+         shared AS (
+           SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+           FROM (SELECT doc_id, unnest(sh) AS h FROM hs WHERE doc_id % 20 <> 0) c
+           JOIN refh USING (h) GROUP BY c.doc_id)
+         SELECT hs.doc_id, COALESCE(sr.n_shared, 0) AS n_shared,
+           COALESCE(sr.n_shared, 0) > 0 AS contaminated
+         FROM hs LEFT JOIN shared sr USING (doc_id)
+         WHERE hs.doc_id % 20 <> 0
+         ORDER BY doc_id""",
+    "text_bloom_gate" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         hs AS (
+           SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 7),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 8), ' '))
+             END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007))) AS sh
+           FROM t),
+         refpos AS (
+           SELECT DISTINCT
+             ((u.h + i.i * ((u.h * u.h % 1000000007 * 1000003 + 54321) % 1000000007))
+               % 1000000007) % 2097152 AS pos
+           FROM (SELECT unnest(sh) AS h FROM hs WHERE doc_id % 20 = 0) u,
+                (SELECT unnest(range(1, 5)) AS i) i),
+         dp AS (
+           SELECT DISTINCT doc_id, h,
+             ((h + i.i * ((h * h % 1000000007 * 1000003 + 54321) % 1000000007))
+               % 1000000007) % 2097152 AS pos
+           FROM (SELECT doc_id, unnest(sh) AS h FROM hs WHERE doc_id % 20 <> 0) c,
+                (SELECT unnest(range(1, 5)) AS i) i),
+         sm AS (
+           SELECT dp.doc_id, dp.h, count(*) AS n_pos, count(r.pos) AS n_set
+           FROM dp LEFT JOIN refpos r ON r.pos = dp.pos
+           GROUP BY dp.doc_id, dp.h),
+         hit AS (
+           SELECT doc_id,
+             CAST(SUM(CASE WHEN n_set = n_pos THEN 1 ELSE 0 END) AS INTEGER) AS n_hits
+           FROM sm GROUP BY doc_id)
+         SELECT doc_id AS id, n_hits FROM hit WHERE n_hits > 0
+         ORDER BY id""",
     "events_ewma" ->
       """WITH per AS (
            SELECT user_id, COUNT(*) AS n_events,

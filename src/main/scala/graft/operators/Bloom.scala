@@ -92,6 +92,39 @@ object Bloom {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Two-tier EXACT decontamination — the deployment shape: the
+    * map-only Bloom probe prefilters the corpus, and the exact
+    * distinct-shingle semi-join confirms ONLY the flagged docs. No
+    * false negatives means the prefilter loses nothing, so the result
+    * is bit-identical to running the exact join over the whole corpus
+    * — but the join (the only shuffle that scales with anything)
+    * touches corpus·flag-rate rows instead of the corpus. The oracle
+    * for this operator is the PLAIN exact truth with no Bloom
+    * arithmetic at all: the filter must be invisible in the answer.
+    * Output per corpus doc: (id, n_shared, contaminated) — distinct
+    * shared shingle-hash count against the reference set.
+    */
+  def decontaminateExact(corpus: DataFrame, ref: DataFrame, idCol: String,
+                         textCol: String, words: Array[Long], mBits: Int,
+                         kHashes: Int, shingleW: Int): DataFrame = {
+    def docShingles(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(NativeFunctions.polyShingleHashes(
+        Dedup.tokens(col(textCol)), shingleW)).as("h"))
+    val suspects = contaminationCard(corpus, idCol, textCol, words, mBits,
+        kHashes, shingleW)
+      .filter(col("contaminated")).select(col("id"))
+    val refH = docShingles(ref).select(col("h")).distinct()
+    // shingles re-derive only for the flagged sliver; the big side of
+    // the confirm join is suspects-sized, never corpus-sized
+    val shared = docShingles(corpus.join(
+        suspects.withColumnRenamed("id", idCol), Seq(idCol), "left_semi"))
+      .join(refH, Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    corpus.select(col(idCol).as("id")).join(shared, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Bloom-vs-truth evaluation card (one row): flags from
     * [[contaminationCard]] against the exact distinct-shingle
     * semi-join truth. `n_missed` (truly contaminated but not flagged)

@@ -198,6 +198,45 @@ object DocStreams {
     else flagged.dropDuplicates(Seq("id"))
   }
 
+  /** Streaming Bloom decontamination gate — the live twin of
+    * [[graft.operators.Bloom.contaminationCard]]: as documents
+    * arrive, probe the reference set's shingle Bloom filter and emit
+    * (id, ts, n_hits) for every doc sharing (probabilistically) a
+    * w-shingle with it — exactly once per id.
+    *
+    * One definition, both modes: on a static frame this is a plain
+    * map + filter; on a stream, pass `watermarkSeconds` so the
+    * exactly-once id suppression uses watermark-bounded state.
+    *
+    * The scale story is even cleaner than [[bm25GateStream]]'s: the
+    * bit array is built once ([[graft.operators.Bloom.buildBloomWords]]
+    * — reference-panel-sized, done at plan build) and rides the
+    * native probe expression, so the per-doc work is ONE pass over
+    * its own shingles with zero joins and zero aggregation state; the
+    * only stateful operator is the final per-id suppression. False
+    * positives pass the gate by design — route gated ids through
+    * [[graft.operators.Bloom.decontaminateExact]]'s confirm join in
+    * the periodic batch pass when exactness matters.
+    */
+  def bloomGateStream(docs: DataFrame, words: Array[Long], mBits: Int,
+                      kHashes: Int, shingleW: Int,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      tsCol: String = "ts",
+                      watermarkSeconds: Option[Long] = None): DataFrame = {
+    val withWm = watermarkSeconds.fold(docs)(w =>
+      docs.withWatermark(tsCol, s"$w seconds"))
+    val flagged = withWm
+      .select(col(idCol).as("id"), col(tsCol).as("ts"),
+        graft.functions.NativeFunctions.polyShingleHashes(
+          Dedup.tokens(col(textCol)), shingleW).as("sh"))
+      .select(col("id"), col("ts"),
+        graft.functions.NativeFunctions.bloomShingleHits(
+          col("sh"), words, mBits, kHashes).as("n_hits"))
+      .filter(col("n_hits") > 0)
+    if (watermarkSeconds.isDefined) flagged.dropDuplicatesWithinWatermark(Seq("id"))
+    else flagged.dropDuplicates(Seq("id"))
+  }
+
   /** Streaming BM25 decontamination gate — the live twin of
     * [[graft.operators.Retrieval.bm25TopK]]'s retrieval side, turned
     * into an ingest filter: as documents arrive, score each against a

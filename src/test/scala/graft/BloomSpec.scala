@@ -100,6 +100,25 @@ class BloomSpec extends AnyFunSuite {
     assert(r2.getLong(3) <= r.getLong(3), "bigger filter cannot have more FPs here")
   }
 
+  test("decontaminateExact equals the plain exact truth at ANY filter sizing") {
+    val ref = refDocs.toDF("doc_id", "text")
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val refSh = refDocs.flatMap(d => shingleHashes(d._2)).toSet
+    val truth = corpusDocs.map { case (id, t) =>
+      id -> shingleHashes(t).count(refSh) }.toMap
+    // 64 bits is near-saturated (bloom FPs certain); the confirm join
+    // must erase them — the filter is invisible in the answer
+    for (m <- Seq(64, 1 << 12)) {
+      val words = Bloom.buildBloomWords(ref, "text", m, K, W)
+      val got = Bloom.decontaminateExact(corpus, ref, "doc_id", "text",
+          words, m, K, W)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      corpusDocs.foreach { case (id, _) =>
+        assert(got(id) === ((truth(id).toLong, truth(id) > 0)), s"m=$m doc $id")
+      }
+    }
+  }
+
   test("partitioning-invariant and deterministic") {
     val ref = refDocs.toDF("doc_id", "text")
     val corpus = corpusDocs.toDF("doc_id", "text")

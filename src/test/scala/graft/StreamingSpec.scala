@@ -398,6 +398,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bloom gate: stream == batch twin == JVM replay, exactly once per id") {
+    import graft.streaming.DocStreams
+    import graft.operators.Bloom
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val ref = docs.filter(col("doc_id") % 20 === 0)
+    val delta = docs.filter(col("doc_id") % 20 =!= 0)
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("doc_id") * 60000L))
+      .select("doc_id", "ts", "text")
+    // undersized filter ON PURPOSE: false positives must flow through
+    // the gate identically in both modes
+    val m = 1 << 15
+    val words = Bloom.buildBloomWords(ref, "text", m, 4, 8)
+    // independent JVM replay of build + probe (w=8 shingles)
+    val P = 1000000007L
+    def sh8(text: String): Seq[Long] = {
+      val toks = text.trim.split("\\s+").toSeq
+      val sh = if (toks.length < 8) Seq(toks.mkString(" "))
+        else toks.sliding(8).map(_.mkString(" ")).toSeq
+      sh.map(s => graft.functions.SketchExpressions.polyFold(s, 1000003L)).distinct
+    }
+    def pos(h: Long): Seq[Long] = {
+      val h1 = ((h % P) + P) % P
+      val h2 = (h1 * h1 % P * 1000003L + 54321L) % P
+      (1 to 4).map(i => (h1 + i.toLong * h2) % P % m)
+    }
+    val bits = ref.select("text").collect()
+      .flatMap(r => sh8(r.getString(0)).flatMap(pos)).toSet
+    val expect = delta.select("doc_id", "text").collect().flatMap { r =>
+      val hits = sh8(r.getString(1)).count(h => pos(h).forall(bits.contains))
+      if (hits > 0) Some(r.getLong(0) -> hits) else None
+    }.toMap
+    assert(expect.nonEmpty, "fixture must flag something")
+    // batch twin
+    val batchGot = DocStreams.bloomGateStream(delta, words, m, 4, 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(batchGot === expect)
+    // streaming run over the same delta
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomgate").toString
+    delta.coalesce(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val q = DocStreams.bloomGateStream(stream, words, m, 4, 8,
+        watermarkSeconds = Some(7200))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bloomgate").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("select id, n_hits from bloomgate")
+        .collect().map(r => r.getLong(0) -> r.getInt(1))
+      assert(streamed.length === streamed.map(_._1).distinct.length,
+        "gate must emit each flagged id exactly once")
+      assert(streamed.toMap === expect)
+    } finally q.stop()
+  }
+
   test("sliding windows double-count each event exactly windowLen/slide times") {
     val sliding = EventStreams.windowedAgg(events, "2 hours", Some("1 hour"))
     val total = sliding.agg(sum("n")).head().getLong(0)
