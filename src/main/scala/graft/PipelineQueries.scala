@@ -1375,6 +1375,17 @@ object PipelineQueries {
         .orderBy(col("prev_type"), col("event_type"))
     }),
 
+    // ---- portable count-min sketch heavy-hitters card: the exact
+    //      top-20 terms (the eval side) against their CMS estimates
+    //      from a 4x1024 counter grid. Cell positions come from the
+    //      shared portable mixer, so the oracle rebuilds the exact
+    //      counter table and every min-over-rows estimate, hash
+    //      collisions included; est_n >= exact_n is the CMS law both
+    //      engines must land on ----
+    "text_cms_heavy_hitters" -> ((s, d) =>
+      graft.operators.CountMin.heavyHittersCard(t(s, d, "documents"), "text",
+        depth = 4, width = 1024, topK = 20)),
+
     // ---- corpus-weighted term ranking: top-3 tokens per document by
     //      tf x (N/df). The score is one exact IEEE division of
     //      integers (no transcendentals), so ranking and value are
@@ -4895,6 +4906,40 @@ object PipelineQueries {
          SELECT prev_type, event_type, COUNT(*) AS n FROM l
          WHERE prev_type IS NOT NULL
          GROUP BY prev_type, event_type ORDER BY prev_type, event_type""",
+        "text_cms_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+         h AS (
+           SELECT tok, list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(tok, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007) AS h1
+           FROM toks),
+         hp AS (SELECT tok, h1,
+             (h1 * h1 % 1000000007 * 1000003 + 54321) % 1000000007 AS h2 FROM h),
+         cells AS (
+           SELECT tok, j.j AS j, (h1 + j.j * h2) % 1000000007 % 1024 AS pos
+           FROM hp, (SELECT unnest(range(1, 5)) AS j) j),
+         counters AS (
+           SELECT j, pos, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY j, pos),
+         exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY tok),
+         top AS (SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT 20),
+         th AS (
+           SELECT tok, exact_n, list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(tok, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007) AS h1
+           FROM top),
+         tp AS (SELECT tok, exact_n, h1,
+             (h1 * h1 % 1000000007 * 1000003 + 54321) % 1000000007 AS h2 FROM th),
+         tc AS (
+           SELECT tok, exact_n, j.j AS j, (h1 + j.j * h2) % 1000000007 % 1024 AS pos
+           FROM tp, (SELECT unnest(range(1, 5)) AS j) j),
+         est AS (
+           SELECT tok, exact_n, MIN(COALESCE(c.cnt, 0)) AS est_n
+           FROM tc LEFT JOIN counters c USING (j, pos) GROUP BY tok, exact_n)
+         SELECT tok AS term, exact_n, CAST(est_n AS BIGINT) AS est_n
+         FROM est ORDER BY exact_n DESC, term""",
     "text_top_terms" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.NativeFunctions
+
+/** Portable count-min sketch over a corpus's token stream — the
+  * bounded-state answer to "how often does this term occur?" when the
+  * vocabulary is too hot to shuffle. The counter table is depth×width
+  * cells (4×1024 here = 4 K longs); the occurrence stream reduces
+  * into it through ONE aggregate whose distinct-key space is d·w, so
+  * map-side combine compresses every partition's contribution to d·w
+  * rows before the only shuffle — at 100 TB the wire cost is
+  * partitions·d·w, independent of vocabulary or corpus size. Spark
+  * ships `count_min_sketch` natively, but its murmur-based layout is
+  * not replayable outside the JVM; this one derives cell positions
+  * from the shared portable mixer (h1 = poly-fold, h2 = square-mix,
+  * pos_j = (h1 + j·h2) mod p mod width — [[Bloom]]'s recipe), so an
+  * external SQL engine rebuilds the EXACT counter table and every
+  * estimate, collisions included.
+  *
+  * CMS guarantee: est ≥ true always (counters only over-count on
+  * collisions); est ≤ true + ε·N with probability 1−δ for
+  * ε = e/width, δ = e^−depth. Both sides of that contract are what
+  * [[heavyHittersCard]] measures.
+  */
+object CountMin {
+
+  private val P = 1000000007L
+
+  private def checkParams(depth: Int, width: Int): Unit = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1, 8], got $depth")
+    require(width >= 16 && width <= (1 << 22), s"width must be in [16, 2^22], got $width")
+  }
+
+  /** (j, pos) cells of one token occurrence, j = 1..depth. */
+  private def cells(tok: Column, depth: Int, width: Int): Column = {
+    val h1 = pmod(NativeFunctions.polyFingerprint(tok), lit(P))
+    val h2 = pmod(pmod(h1 * h1, lit(P)) * lit(1000003L) + lit(54321L), lit(P))
+    array((1 to depth).map(j => struct(lit(j).as("j"),
+      (pmod(h1 + lit(j.toLong) * h2, lit(P)) % lit(width.toLong)).as("pos"))): _*)
+  }
+
+  /** The counter table: one row per touched (j, pos) cell with its
+    * occurrence count. ≤ depth·width rows total regardless of corpus
+    * size; the groupBy's key space is the cell grid, so the shuffle
+    * is map-side-combined to grid-sized per partition.
+    */
+  def cmsCounters(docs: DataFrame, textCol: String, depth: Int,
+                  width: Int): DataFrame = {
+    checkParams(depth, width)
+    docs.select(explode(Dedup.tokens(col(textCol))).as("tok"))
+      .select(explode(cells(col("tok"), depth, width)).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.pos").as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimate for each probe term: min over the term's depth
+    * cells — the classic CMS read. `probes` is (term)-rows,
+    * panel-sized; the join against the grid-sized counter table is
+    * broadcast-able from either side.
+    */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, termCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    checkParams(depth, width)
+    probes.select(col(termCol).as("term"),
+        explode(cells(col(termCol), depth, width)).as("c"))
+      .select(col("term"), col("c.j").as("j"), col("c.pos").as("pos"))
+      .join(counters, Seq("j", "pos"), "left")
+      .groupBy(col("term"))
+      // an untouched cell means count 0 — the estimate is 0, not null
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
+  }
+
+  /** Heavy-hitters accuracy card: the exact top-K terms (the EVAL
+    * side — a vocab-keyed aggregate the sketch exists to avoid in
+    * production) against their sketch estimates. Invariant both
+    * engines must agree on: est_n ≥ exact_n for every row, with
+    * equality unless the term's every row collides.
+    */
+  def heavyHittersCard(docs: DataFrame, textCol: String, depth: Int,
+                       width: Int, topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val toks = docs.select(explode(Dedup.tokens(col(textCol))).as("tok"))
+    val counters = cmsCounters(docs, textCol, depth, width)
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok").asc).limit(topK)
+    cmsEstimate(counters, top.select(col("tok")), "tok", depth, width)
+      .join(top.withColumnRenamed("tok", "term"), Seq("term"))
+      .select(col("term"), col("exact_n"), col("est_n"))
+      .orderBy(col("exact_n").desc, col("term").asc)
+  }
+}

@@ -512,6 +512,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"probe must stay in codegen:\n$p")
   }
 
+  test("cmsCounters: one grid-keyed aggregate with map-side partials") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val df = graft.operators.CountMin.cmsCounters(docs, "text", 4, 1024)
+    val p = plan(df)
+    // the whole point of the sketch: the occurrence stream reduces to
+    // <= depth*width rows per partition BEFORE its one shuffle — the
+    // wire cost is grid-sized, not vocab-sized
+    assert(p.contains("partial_count"), s"cell counts must map-side combine:\n$p")
+    assert(countOccurrences(p, "Exchange") === 1, s"expected 1 shuffle:\n$p")
+  }
+
   test("sourceTermDrift: one corpus-keyed shuffle, bounded-heap top-K, broadcast grid") {
     val docs = Tables.table(spark, TestSpark.sfDir, "documents")
     val df = graft.operators.TextAnalysis.sourceTermDrift(docs, "source", "text", topK = 64)
