@@ -624,6 +624,29 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n"), col("shard"), col("seq"))
         .orderBy(col("doc_id"))),
 
+    // ---- packing-efficiency card: the quantified trade between the
+    //      two assembly shapes. concat-then-chunk packs EVERY token
+    //      (docs split at boundaries; waste = only the final
+    //      sequence's tail) vs FFD (docs intact, oversized excluded;
+    //      waste = per-sequence residuals). One row per method:
+    //      (n_seqs, n_tokens packed, padding_tokens) ----
+    "q_pack_efficiency" -> ((s, d) => {
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      val ffd = Frames.packSequencesBestFit(toks, "doc_id", "n_tokens",
+        budget = 512, nShards = 8)
+      val f = ffd.filter(col("seq") >= 0)
+        .agg(countDistinct(col("shard"), col("seq")).as("n_seqs"),
+          sum(col("n")).as("n_tokens"))
+        .select(lit("ffd").as("method"), col("n_seqs"), col("n_tokens"),
+          (col("n_seqs") * lit(512L) - col("n_tokens")).as("padding_tokens"))
+      val c = toks.agg(sum(col("n_tokens")).as("tot"))
+        .select(lit("concat").as("method"),
+          expr("(tot + 511) div 512").as("n_seqs"), col("tot").as("n_tokens"),
+          (expr("(tot + 511) div 512") * lit(512L) - col("tot")).as("padding_tokens"))
+      c.unionByName(f).orderBy(col("method"))
+    }),
+
     // ---- C4-style corpus-wide line dedup: each exact line survives
     //      only at its first (id, pos) occurrence; docs reassembled.
     //      Empty lines exempt ----
@@ -3199,6 +3222,59 @@ object PipelineQueries {
            SELECT id, n, shard, CAST(-1 AS BIGINT) AS seq
            FROM sh WHERE n > 512)
          ORDER BY doc_id""",
+    "q_pack_efficiency" ->
+      """WITH RECURSIVE tc AS (
+           SELECT doc_id AS id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+           FROM documents),
+         h AS (
+           SELECT id, n,
+             ((((id + 7) % 1000000007) * ((id + 7) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+           FROM tc),
+         sh AS (
+           SELECT id, n, CAST((v * v) % 1000000007 % 8 AS INTEGER) AS shard
+           FROM h),
+         ord AS (
+           SELECT id, n, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY shard
+               ORDER BY n DESC, id) AS BIGINT) AS rn
+           FROM sh WHERE n <= 512),
+         ffd AS (
+           SELECT shard, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS id,
+                  CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS seq,
+                  CAST([] AS BIGINT[]) AS rem
+           FROM (SELECT DISTINCT shard FROM ord)
+           UNION ALL
+           SELECT shard, rn, id, n,
+             CASE WHEN pos = 0 THEN CAST(len(rem0) AS BIGINT)
+                  ELSE pos - 1 END AS seq,
+             CASE WHEN pos = 0 THEN list_append(rem0, 512 - n)
+                  ELSE list_concat(list_concat(
+                         rem0[1:CAST(pos - 1 AS INTEGER)],
+                         [rem0[CAST(pos AS INTEGER)] - n]),
+                         rem0[CAST(pos + 1 AS INTEGER):len(rem0)]) END AS rem
+           FROM (
+             SELECT f.shard AS shard, f.rn + 1 AS rn, o.id AS id, o.n AS n,
+                    f.rem AS rem0,
+                    CAST(COALESCE(list_position(
+                      list_transform(f.rem, r -> r >= o.n), true), 0)
+                      AS BIGINT) AS pos
+             FROM ffd f JOIN ord o
+               ON o.shard = f.shard AND o.rn = f.rn + 1)),
+         fstat AS (
+           SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+                   FROM (SELECT DISTINCT shard, seq FROM ffd WHERE rn > 0)) AS n_seqs,
+                  (SELECT CAST(SUM(n) AS BIGINT) FROM ffd WHERE rn > 0) AS n_tokens),
+         cstat AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM tc)
+         SELECT 'concat' AS method, (tot + 511) // 512 AS n_seqs,
+           tot AS n_tokens, ((tot + 511) // 512) * 512 - tot AS padding_tokens
+         FROM cstat
+         UNION ALL
+         SELECT 'ffd' AS method, n_seqs, n_tokens,
+           n_seqs * 512 - n_tokens AS padding_tokens
+         FROM fstat
+         ORDER BY method""",
     "dedup_lines" ->
       """WITH l AS (
            SELECT doc_id, u.pos, u.line FROM documents,
