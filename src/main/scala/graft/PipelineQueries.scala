@@ -1409,6 +1409,15 @@ object PipelineQueries {
       graft.operators.CountMin.heavyHittersCard(t(s, d, "documents"), "text",
         depth = 4, width = 1024, topK = 20)),
 
+    // ---- portable HyperLogLog distinct-count card: exact distinct
+    //      (the eval side) vs the 256-register HLL estimate. Bucket/
+    //      rank from the shared portable mixer; the 2^-rank harmonic
+    //      terms are exact dyadics (order-independent sums), so both
+    //      engines land on the identical register table, branch
+    //      choice and floored estimate ----
+    "text_hll_distinct" -> ((s, d) =>
+      graft.operators.Hll.hllDistinctCard(t(s, d, "documents"), "text", m = 256)),
+
     // ---- corpus-weighted term ranking: top-3 tokens per document by
     //      tf x (N/df). The score is one exact IEEE division of
     //      integers (no transcendentals), so ranking and value are
@@ -5016,6 +5025,35 @@ object PipelineQueries {
            FROM tc LEFT JOIN counters c USING (j, pos) GROUP BY tok, exact_n)
          SELECT tok AS term, exact_n, CAST(est_n AS BIGINT) AS est_n
          FROM est ORDER BY exact_n DESC, term""",
+        "text_hll_distinct" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+         h AS (
+           SELECT tok, list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(tok, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007) AS h1
+           FROM toks),
+         hp AS (SELECT tok, h1,
+             (h1 * h1 % 1000000007 * 1000003 + 54321) % 1000000007 AS h2 FROM h),
+         br AS (
+           SELECT h1 % 256 AS bucket,
+             CASE WHEN h2 = 0 THEN 31
+                  ELSE CAST(bit_count((h2 & (-h2)) - 1) + 1 AS INTEGER) END AS rank
+           FROM hp),
+         regs AS (SELECT bucket, MAX(rank) AS mj FROM br GROUP BY bucket),
+         hit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_regs,
+             SUM(1.0 / (CAST(1 AS BIGINT) << mj)) AS hsum_hit FROM regs),
+         ex AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct FROM toks)
+         SELECT ex.exact_distinct,
+           CAST(256 - n_regs AS BIGINT) AS v_zero,
+           CAST(floor(CASE WHEN (256 - n_regs) > 0 AND
+               (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 /
+                 (hsum_hit + CAST(256 - n_regs AS DOUBLE)) <= 2.5 * 256.0
+             THEN 256.0 * ln(256.0 / CAST(256 - n_regs AS DOUBLE))
+             ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 /
+                 (hsum_hit + CAST(256 - n_regs AS DOUBLE)) END) AS BIGINT) AS est_distinct
+         FROM ex, hit""",
     "text_top_terms" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

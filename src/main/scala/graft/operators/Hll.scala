@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.NativeFunctions
+
+/** Portable HyperLogLog distinct counting — the bounded-state answer
+  * to "how many distinct terms?" when the vocabulary itself is too
+  * hot to shuffle. Spark's `approx_count_distinct` is HLL++ over
+  * xxhash — not replayable outside the JVM; this formulation derives
+  * bucket and rank from the shared portable mixer, so an external SQL
+  * engine rebuilds the register table and the estimate bit-for-bit.
+  *
+  * Per occurrence (map-only): h1 = poly-fold(token) mod p, h2 =
+  * square-mix(h1); bucket = h1 mod m, rank = trailing-zeros(h2) + 1
+  * (h2 = 0 caps at 31). Registers = max rank per bucket — ONE
+  * aggregate whose key space is m, so map-side combine reduces every
+  * partition to ≤ m rows before the only shuffle ([[CountMin]]'s
+  * scale shape, for distinct counting). Estimator: the standard
+  * bias-corrected harmonic mean with linear-counting small-range
+  * correction. Every float op is portable: 2^-rank terms are exact
+  * dyadic rationals summed exactly (m·2^-31 fits 53 bits), the alpha
+  * constant is computed from literals in a fixed op order, and the
+  * only transcendental (the small-range ln) follows the drift
+  * queries' precedent of bit-equal libm ln across engines.
+  */
+object Hll {
+
+  private val P = 1000000007L
+
+  /** One-row card: exact distinct count (the EVAL side — the
+    * vocab-keyed aggregate HLL exists to avoid), the register state
+    * summary, and the HLL estimate. `m` registers = m longs of state.
+    */
+  def hllDistinctCard(docs: DataFrame, textCol: String, m: Int): DataFrame = {
+    require(m >= 16 && m <= (1 << 16) && (m & (m - 1)) == 0,
+      s"m must be a power of two in [16, 2^16], got $m")
+    val toks = docs.select(explode(Dedup.tokens(col(textCol))).as("tok"))
+    val h1 = pmod(NativeFunctions.polyFingerprint(col("tok")), lit(P))
+    val h2 = pmod(pmod(h1 * h1, lit(P)) * lit(1000003L) + lit(54321L), lit(P))
+    val rank = when(h2 === 0L, lit(31))
+      .otherwise(bit_count(h2.bitwiseAND(-h2) - lit(1L)) + lit(1))
+    val regs = toks
+      .select((h1 % lit(m.toLong)).as("bucket"), rank.as("rank"))
+      .groupBy(col("bucket")).agg(max(col("rank")).as("mj"))
+    // 2^-mj as 1/(1<<mj): exact dyadic, no pow() rounding question
+    val hit = regs.agg(count(lit(1)).as("n_regs"),
+      sum(lit(1.0) / call_function("shiftleft", lit(1L), col("mj").cast("int")))
+        .as("hsum_hit"))
+    val exact = toks.agg(countDistinct(col("tok")).as("exact_distinct"))
+    val mD = m.toDouble
+    exact.crossJoin(hit)
+      .select(col("exact_distinct"),
+        (lit(m.toLong) - col("n_regs")).as("v_zero"),
+        {
+          val vZero = lit(m.toLong) - col("n_regs")
+          // untouched buckets contribute 2^0 = 1 each
+          val hsum = col("hsum_hit") + vZero.cast("double")
+          val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(mD))
+          val raw = alpha * lit(mD) * lit(mD) / hsum
+          val est = when(vZero > 0L && raw <= lit(2.5) * lit(mD),
+            lit(mD) * log(lit(mD) / vZero.cast("double"))).otherwise(raw)
+          floor(est).cast("long").as("est_distinct")
+        })
+  }
+}
