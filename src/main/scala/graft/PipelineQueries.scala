@@ -38,8 +38,18 @@ object PipelineQueries {
     * (doc_id, source, lang, text). Unordered; the declared query adds
     * the total order. See the q_curation_v3 oracle for the DuckDB
     * replay of all five stages.
+    *
+    * `weightsArtifactDir`: when set, stage (C)'s quality weights are
+    * a TRAIN-ONCE parquet model artifact (the `IndexStore` serve-many
+    * discipline, keyed by the raw corpus fingerprint so a corpus
+    * change retrains) instead of an inline training pass — the shape
+    * a deployed curation pipeline runs. `loadWeights` revalidates the
+    * loaded frame either way, and integer weights round-trip parquet
+    * exactly, so the served pipeline is bit-identical to the inline
+    * one (q_curation_v3_served shares q_curation_v3's oracle).
     */
-  def curationV3(raw: DataFrame): DataFrame = {
+  def curationV3(raw: DataFrame,
+                 weightsArtifactDir: Option[String] = None): DataFrame = {
       val template = "the modern data pipeline gathers raw web documents " +
         "and filters them with care because quality matters more than " +
         "volume for training large models so each stage removes noise " +
@@ -89,8 +99,20 @@ object PipelineQueries {
       // comes from a score-cardinality-sized histogram (the
       // perplexityBuckets shape — bounded global window over the
       // aggregate, never a corpus sort).
-      val weights = TextAnalysis.loadWeights(
-        TextAnalysis.trainBucketWeights(aug, "text", col("lang") === "en", 256), 256)
+      val weightsFrame = weightsArtifactDir match {
+        case Some(dir) =>
+          val spark = raw.sparkSession
+          val fp = graft.operators.IndexStore.corpusFingerprint(raw,
+            Seq("doc_id", "source", "lang", "text"))
+          val path = s"$dir/qweights_${fp}_d256"
+          if (!graft.operators.IndexStore.exists(path))
+            TextAnalysis.trainBucketWeights(aug, "text", col("lang") === "en", 256)
+              .coalesce(1).write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        case None =>
+          TextAnalysis.trainBucketWeights(aug, "text", col("lang") === "en", 256)
+      }
+      val weights = TextAnalysis.loadWeights(weightsFrame, 256)
       val scoredAll = TextAnalysis.hashedLinearScore(passDocs, "doc_id", "text",
           weights)
         .filter(col("n_tokens") > 0L)
@@ -499,6 +521,16 @@ object PipelineQueries {
     //      individually-green operator; this locks the composition. ----
     "q_curation_v3" -> ((s, d) =>
       curationV3(t(s, d, "documents")).orderBy(col("doc_id"))),
+
+    // ---- the SERVED flagship: identical composition, but stage
+    //      (C)'s quality weights load from the fingerprint-keyed
+    //      parquet model artifact (trained+saved on first run) — the
+    //      deployed train-once/serve-many shape. Same oracle as
+    //      q_curation_v3: integer weights round-trip parquet exactly,
+    //      so served must equal inline bit-for-bit ----
+    "q_curation_v3_served" -> ((s, d) =>
+      curationV3(t(s, d, "documents"), weightsArtifactDir = Some(artifactDir))
+        .orderBy(col("doc_id"))),
 
     // ---- Gopher-style quality rule set: exact integer signals +
     //      cross-multiplied threshold tests, replayed verbatim by the
@@ -5876,6 +5908,7 @@ object PipelineQueries {
     "sim_topk_ivf_loaded" -> oracleSqlBase("sim_topk_ivf"),
     "sim_topk_pq_loaded" -> oracleSqlBase("sim_topk_pq"),
     "text_bm25_topk_idx" -> oracleSqlBase("text_bm25_topk"),
+    "q_curation_v3_served" -> oracleSqlBase("q_curation_v3"),
     // PNG is lossless and the fixture uses the BMP pixel formula, so a
     // correct ImageIO decode must land on the identical feature rows
     "multimodal_decode_png" -> oracleSqlBase("multimodal_decode_bmp"))

@@ -270,7 +270,40 @@ object PlanDump {
         "card (one (source,term) count shuffle + bounded-heap top-K) " +
         "run as siblings and meet in a source-cardinality join; " +
         "rates and gates are integer micro arithmetic. No new " +
-        "Exchange beyond the components' own."))
+        "Exchange beyond the components' own."),
+    "q_pack_bestfit" ->
+      ("Document-preserving FFD packing: one hash-partition Exchange " +
+        "routes each doc to its shard; the greedy fold runs inside " +
+        "MapGroups with no driver loop and no further shuffle — the " +
+        "parallel unit is the shard, sized so a task's (id, n) buffer " +
+        "is tens of MB even at billions of docs."),
+    "text_bloom_decontam" ->
+      ("The join-free decontamination probe: after the reference bit " +
+        "array is built (one word-OR aggregate over the panel), the " +
+        "corpus side is scan → native bloom_shingle_hits projection → " +
+        "filter — ZERO Exchange, ZERO Join (PlanShapeSpec pins it). " +
+        "At 100 TB the gate costs exactly one pass over the corpus's " +
+        "own shingles."),
+    "text_decontam_two_tier" ->
+      ("Bloom prefilter + exact confirm: the corpus-sized side of the " +
+        "confirm semi-join is the FLAGGED sliver (left_semi against " +
+        "the map-only card), so the only shuffle that scales with " +
+        "anything carries corpus·flag-rate rows; the answer is " +
+        "bit-identical to the full exact join by the no-false-negative " +
+        "guarantee."),
+    "text_cms_heavy_hitters" ->
+      ("Count-min sketch: the occurrence stream reduces into the " +
+        "4x1024 counter grid with partial_count BEFORE its one " +
+        "Exchange — wire cost is partitions x grid, independent of " +
+        "vocabulary and corpus size. The exact top-K side (eval " +
+        "harness) is the vocab-keyed aggregate the sketch replaces in " +
+        "production."),
+    "text_hll_distinct" ->
+      ("HyperLogLog: bucket/rank are map-only projections; registers " +
+        "are ONE max aggregate over 256 keys with map-side combine — " +
+        "distinct counting whose shuffle carries at most m rows per " +
+        "partition. The countDistinct beside it is the eval truth, " +
+        "not the scale path."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Frames, Retrieval, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Bloom, CountMin, Dedup, Frames, Hll, Retrieval, Similarity, Temporal, TextAnalysis}
 
 /** Scale-behavior smoke: replicates the sf0.1 corpus K-fold (ids
   * offset per replica so replicas are near-duplicates of each other —
@@ -136,6 +136,11 @@ object ScaleSmoke {
     // probes: the query workload does not grow because the corpus did
     val sq8Queries = emb1.filter(col("vec_id") % 50 === 0).cache()
     sq8Queries.count()
+
+    // fixed Bloom reference panel + bit array (built once — a
+    // benchmark suite does not grow with the training corpus)
+    val bloomRef = docs1.filter(col("doc_id") % 20 === 0)
+    val bloomWords = Bloom.buildBloomWords(bloomRef, "text", 1 << 21, 4, 8)
 
     // fixed reference distribution for the windowed drift monitor —
     // a deployed monitor's reference (yesterday's corpus) does not
@@ -543,6 +548,57 @@ object ScaleSmoke {
         Similarity.ivfSqTopK(embKr, sq8Queries, k = 10, cents, nProbe = 4,
             shortlist = Similarity.suggestedShortlist(eK, 10),
             excludeSelf = false)
+          .queryExecution.toRdd.count() },
+
+      // FFD packing: the per-shard greedy fold is the parallel unit —
+      // 32 shards on 32 cores; the ratio is the one hash-partition
+      // shuffle plus the token-count scan
+      time("pack_bestfit_1x") {
+        Frames.packSequencesBestFit(
+            docs1.select(col("doc_id"),
+              size(TextAnalysis.tokens(col("text"))).as("n")),
+            "doc_id", "n", budget = 512, nShards = 32)
+          .queryExecution.toRdd.count() },
+      time(s"pack_bestfit_${k}x") {
+        Frames.packSequencesBestFit(
+            docsK.select(col("doc_id"),
+              size(TextAnalysis.tokens(col("text"))).as("n")),
+            "doc_id", "n", budget = 512, nShards = 32)
+          .queryExecution.toRdd.count() },
+
+      // Bloom decontamination: the reference panel (and so the bit
+      // array) is FIXED — a benchmark suite does not grow because the
+      // corpus did; the probe is map-only, so the ratio is scan-bound
+      time("bloom_decontam_1x") {
+        Bloom.contaminationCard(docs1, "doc_id", "text", bloomWords,
+            1 << 21, 4, 8)
+          .queryExecution.toRdd.count() },
+      time(s"bloom_decontam_${k}x") {
+        Bloom.contaminationCard(docsK, "doc_id", "text", bloomWords,
+            1 << 21, 4, 8)
+          .queryExecution.toRdd.count() },
+      time("decontam_two_tier_1x") {
+        Bloom.decontaminateExact(docs1, bloomRef, "doc_id", "text",
+            bloomWords, 1 << 21, 4, 8)
+          .queryExecution.toRdd.count() },
+      time(s"decontam_two_tier_${k}x") {
+        Bloom.decontaminateExact(docsK, bloomRef, "doc_id", "text",
+            bloomWords, 1 << 21, 4, 8)
+          .queryExecution.toRdd.count() },
+
+      // CMS / HLL: one grid- (register-) keyed aggregate — state is
+      // corpus-independent, the ratio is token-stream throughput
+      time("cms_heavy_1x") {
+        CountMin.heavyHittersCard(docs1, "text", 4, 1024, 20)
+          .queryExecution.toRdd.count() },
+      time(s"cms_heavy_${k}x") {
+        CountMin.heavyHittersCard(docsK, "text", 4, 1024, 20)
+          .queryExecution.toRdd.count() },
+      time("hll_distinct_1x") {
+        Hll.hllDistinctCard(docs1, "text", 256)
+          .queryExecution.toRdd.count() },
+      time(s"hll_distinct_${k}x") {
+        Hll.hllDistinctCard(docsK, "text", 256)
           .queryExecution.toRdd.count() }
     )
 
@@ -559,7 +615,8 @@ object ScaleSmoke {
         "bpe_fertility", "sq8_topk", "zorder_layout",
         "source_drift", "snapshot_drift", "drift_windowed",
         "data_quality", "snapshot_diff_docs",
-        "ivf_sq8_topk").foreach { base =>
+        "ivf_sq8_topk", "pack_bestfit", "bloom_decontam",
+        "decontam_two_tier", "cms_heavy", "hll_distinct").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

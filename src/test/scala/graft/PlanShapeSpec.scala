@@ -582,7 +582,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // the cutoff is corpus-wide rather than per-language); (2) the
       // packSequences bucket-totals prefix sum (one row per bucket),
       // the same site allowlisted for q_pack_sequences/q_epoch_pack
-      "q_curation_v3" -> 2)
+      "q_curation_v3" -> 2,
+      // the served flagship is the identical composition (stage (C)'s
+      // weights come from the artifact instead of inline training) —
+      // same two bounded windows as q_curation_v3
+      "q_curation_v3_served" -> 2)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val wins = allWindows(fn(spark, TestSpark.sfDir).queryExecution.sparkPlan)
