@@ -295,6 +295,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- served BPE encode: the merge list loads from the
+    //      fingerprint-keyed parquet tokenizer artifact (trained+saved
+    //      on first run, rank-validated at every load) — THE canonical
+    //      train-once artifact; a tokenizer retrained per job would
+    //      silently change every downstream token count. Same oracle
+    //      as text_bpe_tokens: strings round-trip parquet exactly ----
+    "text_bpe_tokens_served" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = IndexStore.bpeMergesCached(docs, "text", nMerges = 6,
+        baseDir = artifactDir)
+      docs.select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_words"),
+          TextAnalysis.bpeTokenCount(col("text"), merges).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- tokenizer fertility card: per-source BPE tokens-per-word
     //      and chars-per-BPE-token after the 6 learned merges — the
     //      "how efficiently does this tokenizer encode each source"
@@ -920,6 +936,25 @@ object PipelineQueries {
         baseDir = artifactDir, iterations = 1, portable = true)
       Similarity.pqTopKReranked(e, e, k = 1, cbs,
           shortlist = Similarity.suggestedShortlist(e.count(), 1), portable = true)
+        .select(col("query_id"), col("id").as("nn_id"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ---- the COMPOSED production index, SERVED: both trained parts
+    //      (coarse centroids AND codebooks) load from their parquet
+    //      model artifacts — the full train-once/serve-many shape of
+    //      the index a deployment actually runs. Same oracle as
+    //      sim_topk_ivfpq, bit-for-bit ----
+    "sim_topk_ivfpq_loaded" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val n = e.count()
+      val coarse = IndexStore.ivfCentroidsCached(e,
+        nCentroids = Similarity.suggestedCentroids(n), dim = 64,
+        baseDir = artifactDir, iterations = 1, portable = true)
+      val cbs = IndexStore.pqCodebooksCached(e, m = 8, ksub = 16, dim = 64,
+        baseDir = artifactDir, iterations = 1, portable = true)
+      Similarity.ivfPqTopK(e, e, k = 1, coarse, cbs, nProbe = 4,
+          shortlist = Similarity.suggestedShortlist(n, 1), portable = true)
         .select(col("query_id"), col("id").as("nn_id"))
         .orderBy(col("query_id"))
     }),
@@ -5909,6 +5944,8 @@ object PipelineQueries {
     "sim_topk_pq_loaded" -> oracleSqlBase("sim_topk_pq"),
     "text_bm25_topk_idx" -> oracleSqlBase("text_bm25_topk"),
     "q_curation_v3_served" -> oracleSqlBase("q_curation_v3"),
+    "sim_topk_ivfpq_loaded" -> oracleSqlBase("sim_topk_ivfpq"),
+    "text_bpe_tokens_served" -> oracleSqlBase("text_bpe_tokens"),
     // PNG is lossless and the fixture uses the BMP pixel formula, so a
     // correct ImageIO decode must land on the identical feature rows
     "multimodal_decode_png" -> oracleSqlBase("multimodal_decode_bmp"))

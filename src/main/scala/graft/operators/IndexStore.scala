@@ -169,6 +169,70 @@ object IndexStore {
     out
   }
 
+  // ---------------------------------------------------------------
+  // BPE tokenizer merges: rows (rank INT, merge STRING, cnt LONG) —
+  // THE canonical training-pipeline artifact (a tokenizer is trained
+  // once and versioned forever; retraining per job would silently
+  // change every token count downstream)
+  // ---------------------------------------------------------------
+
+  def saveBpeMerges(spark: SparkSession, merges: Seq[(String, Long)],
+                    path: String): Unit = {
+    import spark.implicits._
+    require(merges.nonEmpty, "no merges to save")
+    merges.zipWithIndex.map { case ((m, c), r) => (r, m, c) }.toSeq
+      .toDF("rank", "merge", "cnt")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load + revalidate a merge list: dense ranks from 0 in training
+    * order, non-null merges each containing the symbol separator
+    * (a merge without it could never have come from training),
+    * positive counts. Training order is the tokenizer — a permuted
+    * artifact would silently re-segment every word, so order is
+    * reconstructed from the explicit rank column, never file order.
+    */
+  def loadBpeMerges(spark: SparkSession, path: String): Seq[String] = {
+    val rows = spark.read.parquet(path)
+      .select(col("rank").cast(IntegerType), col("merge"), col("cnt").cast("long"))
+      .collect()
+    require(rows.nonEmpty, s"BPE artifact at $path is empty")
+    val out = Array.ofDim[String](rows.length)
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+        s"BPE artifact at $path has a null rank, merge or count")
+      val rank = r.getInt(0)
+      require(rank >= 0 && rank < rows.length,
+        s"BPE artifact rank $rank outside [0, ${rows.length})")
+      require(out(rank) == null, s"BPE artifact has duplicate rank $rank")
+      val m = r.getString(1)
+      require(m.contains(TextAnalysis.BpeSep),
+        s"BPE artifact rank $rank merge lacks the symbol separator")
+      require(r.getLong(2) > 0L, s"BPE artifact rank $rank has count <= 0")
+      out(rank) = m
+    }
+    out.toSeq
+  }
+
+  /** Train-once BPE merges — [[ivfCentroidsCached]]'s contract for
+    * the tokenizer artifact. Note the artifact may hold FEWER than
+    * `nMerges` rows when training exhausts the pair space; the loaded
+    * list is whatever training produced, which is exactly what a
+    * served tokenizer must replay.
+    */
+  def bpeMergesCached(corpus: DataFrame, textCol: String, nMerges: Int,
+                      baseDir: String): Seq[String] = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = corpus.sparkSession
+    val fp = corpusFingerprint(corpus, Seq(textCol))
+    val path = s"$baseDir/bpe_${fp}_m$nMerges"
+    if (!exists(path))
+      saveBpeMerges(spark,
+        TextAnalysis.trainBpeMerges(corpus, textCol, nMerges), path)
+    loadBpeMerges(spark, path)
+  }
+
   /** Train-once PQ codebooks — [[ivfCentroidsCached]]'s contract for
     * the product-quantizer artifact.
     */

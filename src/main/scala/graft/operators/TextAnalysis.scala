@@ -358,7 +358,7 @@ object TextAnalysis {
   // adjacent pair occurrences share their boundary sep so runs
   // under-merge ("a a a a" merged (a,a) must give [aa, aa]).
   // Symbols recover as the non-empty sep-split parts.
-  private val BpeSep = "\u001F"
+  private[operators] val BpeSep = "\u001F"
   private def bpeCharSyms(w: Column): Column =
     concat(lit(BpeSep),
       // (?!^) splits between every pair of CODE POINTS but ALSO

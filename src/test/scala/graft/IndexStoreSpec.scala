@@ -92,6 +92,62 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(fa === fa2)
   }
 
+  test("BPE merge artifact round-trips in training order and serves identical counts") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val trained = graft.operators.TextAnalysis.trainBpeMerges(docs, "text", 6)
+    val path = tmpDir() + "/bpe"
+    IndexStore.saveBpeMerges(spark, trained, path)
+    val loaded = IndexStore.loadBpeMerges(spark, path)
+    assert(loaded === trained.map(_._1), "training order must survive the round trip")
+    // cached path: second call must serve the artifact, not retrain
+    val base = tmpDir()
+    val m1 = IndexStore.bpeMergesCached(docs, "text", 6, base)
+    val m2 = IndexStore.bpeMergesCached(docs, "text", 6, base)
+    assert(m1 === trained.map(_._1) && m2 === m1)
+    // served token counts equal inline-trained counts exactly
+    val inline = docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.bpeTokenCount(col("text"), trained.map(_._1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val served = docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.bpeTokenCount(col("text"), m2).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served === inline)
+  }
+
+  test("malformed BPE artifacts fail loudly at load") {
+    val path = tmpDir() + "/badbpe"
+    def write(rows: Seq[(Int, String, Long)]): Unit =
+      rows.toDF("rank", "merge", "cnt").write.mode("overwrite").parquet(path)
+    val sep = "\u001F"
+    // duplicate rank
+    write(Seq((0, s"a${sep}b", 3L), (0, s"b${sep}c", 2L)))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadBpeMerges(spark, path)
+    }.getMessage.contains("duplicate"))
+    // rank hole (out of range)
+    write(Seq((0, s"a${sep}b", 3L), (5, s"b${sep}c", 2L)))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadBpeMerges(spark, path)
+    }.getMessage.contains("outside"))
+    // merge without the separator (cannot come from training)
+    write(Seq((0, "ab", 3L)))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadBpeMerges(spark, path)
+    }.getMessage.contains("separator"))
+    // non-positive count
+    write(Seq((0, s"a${sep}b", 0L)))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadBpeMerges(spark, path)
+    }.getMessage.contains("count"))
+    // empty artifact
+    spark.emptyDataFrame.select(lit(0).as("rank"), lit("x").as("merge"),
+        lit(1L).as("cnt"))
+      .write.mode("overwrite").parquet(path)
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadBpeMerges(spark, path)
+    }.getMessage.contains("empty"))
+  }
+
   test("malformed artifacts fail loudly at load") {
     val path = tmpDir() + "/bad"
     def write(rows: Seq[(Int, Seq[Float])]): Unit =
