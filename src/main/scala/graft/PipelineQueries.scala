@@ -1679,6 +1679,23 @@ object PipelineQueries {
         mBits = 1 << 21, kHashes = 4, shingleW = 8)
     }),
 
+    // ---- served Bloom gate: the bit array loads from the
+    //      reference-fingerprint-keyed parquet artifact (built+saved
+    //      on first run, length/density-validated at every load) —
+    //      the suite is versioned once, every run serves it. Same
+    //      oracle as text_bloom_decontam: longs round-trip exactly ----
+    "text_bloom_decontam_served" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val words = IndexStore.bloomWordsCached(
+        docs.filter(col("doc_id") % 20 === 0), "text",
+        mBits = 1 << 21, kHashes = 4, shingleW = 8, baseDir = artifactDir)
+      Bloom.contaminationCard(docs.filter(col("doc_id") % 20 =!= 0),
+          "doc_id", "text", words, mBits = 1 << 21, kHashes = 4, shingleW = 8)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_hits"),
+          col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- TWO-TIER exact decontamination — the deployment shape:
     //      map-only Bloom prefilter, exact shingle semi-join confirm
     //      over ONLY the flagged sliver. Deliberately run with the
@@ -5946,6 +5963,7 @@ object PipelineQueries {
     "q_curation_v3_served" -> oracleSqlBase("q_curation_v3"),
     "sim_topk_ivfpq_loaded" -> oracleSqlBase("sim_topk_ivfpq"),
     "text_bpe_tokens_served" -> oracleSqlBase("text_bpe_tokens"),
+    "text_bloom_decontam_served" -> oracleSqlBase("text_bloom_decontam"),
     // PNG is lossless and the fixture uses the BMP pixel formula, so a
     // correct ImageIO decode must land on the identical feature rows
     "multimodal_decode_png" -> oracleSqlBase("multimodal_decode_bmp"))

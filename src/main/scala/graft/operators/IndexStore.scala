@@ -170,6 +170,66 @@ object IndexStore {
   }
 
   // ---------------------------------------------------------------
+  // Bloom decontamination bit arrays: rows (w INT, bits LONG) — the
+  // benchmark suite's shingle filter is built once when the suite is
+  // versioned, then served to every ingest gate and curation run
+  // ---------------------------------------------------------------
+
+  def saveBloomWords(spark: SparkSession, words: Array[Long],
+                     path: String): Unit = {
+    import spark.implicits._
+    require(words.nonEmpty, "no bloom words to save")
+    words.zipWithIndex.map { case (b, w) => (w, b) }.toSeq
+      .toDF("w", "bits")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load + revalidate a Bloom bit array: exactly mBits/64 rows with
+    * dense word indexes and no nulls. A truncated or permuted
+    * artifact would silently clear (or scramble) reference shingles —
+    * exactly the failure a decontamination gate must never eat.
+    */
+  def loadBloomWords(spark: SparkSession, path: String,
+                     mBits: Int): Array[Long] = {
+    require(mBits >= 64 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+    val n = mBits / 64
+    val rows = spark.read.parquet(path)
+      .select(col("w").cast(IntegerType), col("bits").cast("long"))
+      .collect()
+    require(rows.length == n,
+      s"bloom artifact at $path has ${rows.length} words, expected $n")
+    val out = new Array[Long](n)
+    val seen = new Array[Boolean](n)
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"bloom artifact at $path has a null word or bits")
+      val w = r.getInt(0)
+      require(w >= 0 && w < n, s"bloom artifact word $w outside [0, $n)")
+      require(!seen(w), s"bloom artifact has duplicate word $w")
+      seen(w) = true
+      out(w) = r.getLong(1)
+    }
+    out
+  }
+
+  /** Build-once Bloom filter — [[ivfCentroidsCached]]'s contract for
+    * the decontamination bit array, keyed by the REFERENCE corpus
+    * fingerprint and all gate parameters.
+    */
+  def bloomWordsCached(ref: DataFrame, textCol: String, mBits: Int,
+                       kHashes: Int, shingleW: Int,
+                       baseDir: String): Array[Long] = {
+    val spark = ref.sparkSession
+    val fp = corpusFingerprint(ref, Seq(textCol))
+    val path = s"$baseDir/bloom_${fp}_m${mBits}_k${kHashes}_w$shingleW"
+    if (!exists(path))
+      saveBloomWords(spark,
+        Bloom.buildBloomWords(ref, textCol, mBits, kHashes, shingleW), path)
+    loadBloomWords(spark, path, mBits)
+  }
+
+  // ---------------------------------------------------------------
   // BPE tokenizer merges: rows (rank INT, merge STRING, cnt LONG) —
   // THE canonical training-pipeline artifact (a tokenizer is trained
   // once and versioned forever; retraining per job would silently

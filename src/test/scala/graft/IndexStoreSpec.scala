@@ -148,6 +148,35 @@ class IndexStoreSpec extends AnyFunSuite {
     }.getMessage.contains("empty"))
   }
 
+  test("Bloom bit-array artifact round-trips; malformed ones fail loudly") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .filter(col("doc_id") % 20 === 0)
+    val m = 1 << 12
+    val built = graft.operators.Bloom.buildBloomWords(docs, "text", m, 4, 8)
+    val base = tmpDir()
+    val w1 = IndexStore.bloomWordsCached(docs, "text", m, 4, 8, base)
+    val w2 = IndexStore.bloomWordsCached(docs, "text", m, 4, 8, base)
+    assert(w1.toSeq === built.toSeq && w2.toSeq === w1.toSeq)
+    val path = tmpDir() + "/badbloom"
+    def write(rows: Seq[(Int, Long)]): Unit =
+      rows.toDF("w", "bits").write.mode("overwrite").parquet(path)
+    // truncated (wrong word count)
+    write(Seq((0, 5L)))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadBloomWords(spark, path, 128)
+    }.getMessage.contains("words"))
+    // duplicate word index
+    write(Seq((0, 5L), (0, 6L)))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadBloomWords(spark, path, 128)
+    }.getMessage.contains("duplicate"))
+    // out-of-range word index
+    write(Seq((0, 5L), (7, 6L)))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadBloomWords(spark, path, 128)
+    }.getMessage.contains("outside"))
+  }
+
   test("malformed artifacts fail loudly at load") {
     val path = tmpDir() + "/bad"
     def write(rows: Seq[(Int, Seq[Float])]): Unit =
