@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{ArraySum, BpeSegmentWord, CharSetCount, CosineSimilarity, MaxTokenFreq, MinHashSignature, PolyFingerprint, PolyShingleHashes, PqAdcScore, RegexpCount, ShingleHashes, ShingleStrings, SimHash, TopKRows}
+import graft.functions.{ArrayMax, ArraySum, BpeSegmentWord, CharSetCount, CosineSimilarity, MaxTokenFreq, MinHashSignature, PolyFingerprint, PolyShingleHashes, PqAdcScore, RegexpCount, ShingleHashes, ShingleStrings, SimHash, TopKRows}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users get them too:
@@ -162,6 +162,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("array_sum_agg", 2, args)
         ArraySum(args(0), args(1).eval().asInstanceOf[Int])
+      }),
+    (FunctionIdentifier("array_max_agg"),
+      info("array_max_agg",
+        "array_max_agg(v, len) - aggregate: element-wise max of " +
+          "fixed-length array<long> register vectors (len longs of " +
+          "state per group; idempotent, so streaming merges are safe; " +
+          "loud on length mismatch or null elements)"),
+      (args: Seq[Expression]) => {
+        arity("array_max_agg", 2, args)
+        ArrayMax(args(0), args(1).eval().asInstanceOf[Int])
       }))
 
   /** Register into an existing session (shell / shared test session) —

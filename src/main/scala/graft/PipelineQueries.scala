@@ -1974,6 +1974,19 @@ object PipelineQueries {
     //      corpus reference (top-64 + <rest>, plan literals from
     //      referenceTermStats). ONE stateful aggregation: the native
     //      array_sum_agg over per-doc count vectors ----
+    // ---- streaming windowed HLL distinct-term monitor, batch mode
+    //      (stream ≡ batch is StreamingSpec's job): per-doc register
+    //      vectors map-only, ONE windowed array_max_agg, estimator
+    //      finish as a projection. The oracle replays windows,
+    //      registers, branch and floored estimate bit-for-bit ----
+    "text_hll_windowed" -> ((s, d) =>
+      graft.streaming.DocStreams.distinctTermsWindowed(
+          t(s, d, "documents").withColumn("ts", timestamp_seconds(col("doc_id"))),
+          m = 64, windowSeconds = 60L)
+        .select(unix_timestamp(col("window_start")).as("win_start"),
+          col("n_docs"), col("v_zero"), col("est_distinct"))
+        .orderBy(col("win_start"))),
+
     "text_drift_windowed" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val (terms, counts, total) =
@@ -5109,7 +5122,40 @@ object PipelineQueries {
            FROM tc LEFT JOIN counters c USING (j, pos) GROUP BY tok, exact_n)
          SELECT tok AS term, exact_n, CAST(est_n AS BIGINT) AS est_n
          FROM est ORDER BY exact_n DESC, term""",
-        "text_hll_distinct" ->
+            "text_hll_windowed" ->
+      """WITH b AS (
+           SELECT (doc_id // 60) * 60 AS win, doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         occ AS (SELECT win, unnest(toks) AS tok FROM b),
+         h AS (
+           SELECT win, list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(tok, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007) AS h1
+           FROM occ),
+         hp AS (SELECT win, h1,
+             (h1 * h1 % 1000000007 * 1000003 + 54321) % 1000000007 AS h2 FROM h),
+         br AS (
+           SELECT win, h1 % 64 AS bucket,
+             CASE WHEN h2 = 0 THEN 31
+                  ELSE CAST(bit_count((h2 & (-h2)) - 1) + 1 AS INTEGER) END AS rank
+           FROM hp),
+         regs AS (SELECT win, bucket, MAX(rank) AS mj FROM br GROUP BY win, bucket),
+         agg AS (SELECT win, CAST(COUNT(*) AS BIGINT) AS n_regs,
+             SUM(1.0 / (CAST(1 AS BIGINT) << mj)) AS hs FROM regs GROUP BY win),
+         nd AS (SELECT win, CAST(COUNT(*) AS BIGINT) AS n_docs FROM b GROUP BY win)
+         SELECT nd.win AS win_start, nd.n_docs,
+           CAST(64 - a.n_regs AS BIGINT) AS v_zero,
+           CAST(floor(CASE WHEN (64 - a.n_regs) > 0 AND
+               (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 /
+                 (a.hs + CAST(64 - a.n_regs AS DOUBLE)) <= 2.5 * 64.0
+             THEN 64.0 * ln(64.0 / CAST(64 - a.n_regs AS DOUBLE))
+             ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 /
+                 (a.hs + CAST(64 - a.n_regs AS DOUBLE)) END) AS BIGINT) AS est_distinct
+         FROM nd JOIN agg a USING (win)
+         ORDER BY win_start""",
+    "text_hll_distinct" ->
       """WITH toks AS (
            SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
          h AS (

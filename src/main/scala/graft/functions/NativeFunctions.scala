@@ -132,6 +132,20 @@ object NativeFunctions {
     GraftSqlShims.column(
       ArraySum(GraftSqlShims.expression(v), len).toAggregateExpression())
 
+  /** Element-wise max of fixed-length long arrays — HLL register
+    * merging with exactly `len` longs of state per group; idempotent
+    * and commutative, so streaming state merges are safe.
+    */
+  def arrayMax(v: Column, len: Int): Column =
+    GraftSqlShims.column(
+      ArrayMax(GraftSqlShims.expression(v), len).toAggregateExpression())
+
+  /** Per-doc HLL register vector over an array<string> token column
+    * (portable bucket/rank mixer), one pass.
+    */
+  def hllRegisters(tokens: Column, m: Int): Column =
+    GraftSqlShims.column(HllRegisters(GraftSqlShims.expression(tokens), m))
+
   /** One-pass Gopher §A1.2 repetition-signal struct (15 fields). */
   def repetitionSignals(text: Column): Column =
     GraftSqlShims.column(RepetitionSignals(GraftSqlShims.expression(text)))

@@ -131,6 +131,55 @@ object DocStreams {
           lit(0L), (a, x) => a + x)).as("js_micro"))
   }
 
+  /** Streaming windowed HLL distinct-term monitor — "how many
+    * distinct terms arrived this window?", the live cardinality
+    * signal (a crawler stuck on one template collapses it; an
+    * encoding bug explodes it) whose exact form (per-window
+    * countDistinct) needs a vocabulary-keyed second aggregation
+    * Structured Streaming restricts. Shape: per-doc HLL register
+    * vectors are MAP-ONLY (native [[graft.functions.HllRegisters]],
+    * the [[graft.operators.Hll]] portable mixer), and the only
+    * stateful operator is ONE windowed element-wise max (native
+    * [[graft.functions.ArrayMax]] — m longs of state per window; max
+    * is idempotent and commutative, so checkpoint merges and late
+    * data are safe by construction). The estimator finish is a
+    * map-only projection over the aggregated vector — the exact
+    * arithmetic of the batch card, so the declared batch-mode oracle
+    * replays windows, registers, branch choice and floored estimate
+    * bit-for-bit.
+    *
+    * One definition, both modes: static frame → plain windowed agg;
+    * stream → pass `watermarkSeconds`.
+    */
+  def distinctTermsWindowed(docs: DataFrame, m: Int = 256,
+                            windowSeconds: Long = 3600L,
+                            watermarkSeconds: Option[Long] = None,
+                            tsCol: String = "ts",
+                            textCol: String = "text"): DataFrame = {
+    require(m >= 16 && m <= (1 << 16) && (m & (m - 1)) == 0,
+      s"m must be a power of two in [16, 2^16], got $m")
+    val withWm = watermarkSeconds.fold(docs)(w =>
+      docs.withWatermark(tsCol, s"$w seconds"))
+    val perDoc = withWm.select(col(tsCol).as("ts"),
+      graft.functions.NativeFunctions.hllRegisters(
+        graft.operators.Dedup.tokens(col(textCol)), m).as("regs"))
+    val agged = perDoc
+      .groupBy(window(col("ts"), s"$windowSeconds seconds"))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.functions.NativeFunctions.arrayMax(col("regs"), m).as("v"))
+    val mD = m.toDouble
+    val vZero = size(filter(col("v"), x => x === 0L)).cast(LongType)
+    // 2^-rank as 1/(1<<rank): exact dyadics, order-independent sum
+    val hsum = aggregate(col("v"), lit(0.0), (a, r) =>
+      a + lit(1.0) / call_function("shiftleft", lit(1L), r.cast("int")))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(mD))
+    val raw = alpha * lit(mD) * lit(mD) / hsum
+    val est = when(vZero > 0L && raw <= lit(2.5) * lit(mD),
+      lit(mD) * log(lit(mD) / vZero.cast("double"))).otherwise(raw)
+    agged.select(col("window.start").as("window_start"), col("n_docs"),
+      vZero.as("v_zero"), floor(est).cast(LongType).as("est_distinct"))
+  }
+
   /** Streaming near-duplicate ingest gate — the live twin of
     * [[graft.operators.Dedup.minhashNearDupPairsCross]]: as documents
     * arrive, flag every one that is a verified near-duplicate of a

@@ -86,12 +86,19 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getSeq[Long](0)
     assert(vs === Seq(11L, 22L, 33L))
 
+    // element-wise vector-max aggregate (HLL register state)
+    val vm = spark.sql(
+      "SELECT array_max_agg(v, 3) AS s FROM VALUES (array(1L, 20L, 3L)), " +
+        "(array(10L, 2L, 30L)) AS t(v)")
+      .head().getSeq[Long](0)
+    assert(vm === Seq(10L, 20L, 30L))
+
     // the builder-time class form wires the same triples
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ===
       Set("cosine_similarity", "simhash", "minhash_signature",
         "poly_fingerprint", "shingle_hashes", "poly_shingle_hashes",
         "shingle_strings", "topk_rows", "pq_adc_score",
         "regexp_count_graft", "charset_count", "max_token_freq",
-        "bpe_segment_word", "array_sum_agg"))
+        "bpe_segment_word", "array_sum_agg", "array_max_agg"))
   }
 }

@@ -363,6 +363,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("arrayMax: element-wise maxima, idempotent under duplication; loud on bad shapes") {
+    import graft.functions.NativeFunctions.arrayMax
+    val vecGen = Gen.listOfN(16, Gen.listOfN(5, Gen.chooseNum(0L, 1000L)))
+    forAll(vecGen, cases = 4) { vecs =>
+      val got = vecs.toDF("v").agg(arrayMax(col("v"), 5)).head()
+        .getSeq[Long](0)
+      val want = (0 until 5).map(i => vecs.map(_(i)).max)
+      assert(got === want)
+      // idempotence: duplicating every row cannot change a max —
+      // the property that makes streaming state merges safe
+      val doubled = (vecs ++ vecs).toDF("v").agg(arrayMax(col("v"), 5)).head()
+        .getSeq[Long](0)
+      assert(doubled === want)
+    }
+    intercept[Exception] {
+      Seq(Seq(1L, 2L)).toDF("v").agg(arrayMax(col("v"), 3)).collect()
+    }
+    intercept[Exception] {
+      Seq(Seq[java.lang.Long](1L, null)).toDF("v")
+        .agg(arrayMax(col("v"), 2)).collect()
+    }
+  }
+
   test("mortonInterleave2 round-trips: de-interleaved bits recover both inputs") {
     import graft.operators.Layout
     val pairGen = for {

@@ -398,6 +398,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed HLL distinct monitor: stream == batch, accuracy tracks exact") {
+    import graft.streaming.DocStreams
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents").select(
+      timestamp_millis(lit(1700000000000L) + col("doc_id") * 60000L).as("ts"),
+      col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hllwin").toString
+    docs.coalesce(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val q = DocStreams.distinctTermsWindowed(stream, m = 64,
+        windowSeconds = 3600, watermarkSeconds = Some(7200))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hllwin").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        r.get(0).toString -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+      val streamed = spark.sql("select * from hllwin").collect().map(key).toMap
+      val batch = DocStreams.distinctTermsWindowed(docs, m = 64,
+          windowSeconds = 3600)
+        .collect().map(key).toMap
+      // append mode only emits watermark-CLOSED windows, so streamed
+      // is a (nonempty) prefix of the batch window set
+      assert(streamed.nonEmpty)
+      // one idempotent array_max_agg state + map-only estimator must
+      // make streaming and batch agree bit-for-bit
+      streamed.foreach { case (k, v) => assert(batch(k) === v, s"window $k") }
+      // accuracy: per-window estimate within the 5-sigma HLL band of
+      // the exact windowed distinct (the aggregation streaming forbids)
+      val exact = docs.select(
+          window(col("ts"), "3600 seconds")("start").as("w"),
+          explode(graft.operators.Dedup.tokens(col("text"))).as("tok"))
+        .groupBy("w").agg(countDistinct("tok").as("n"))
+        .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+      val sigma = 1.04 / math.sqrt(64.0)
+      batch.foreach { case (w, (_, _, est)) =>
+        val ex = exact(w).toDouble
+        assert(math.abs(est - ex) / ex < 5 * sigma, s"window $w: $est vs $ex")
+      }
+    } finally q.stop()
+  }
+
   test("bloom gate: stream == batch twin == JVM replay, exactly once per id") {
     import graft.streaming.DocStreams
     import graft.operators.Bloom
