@@ -1485,6 +1485,15 @@ object PipelineQueries {
     "text_hll_distinct" -> ((s, d) =>
       graft.operators.Hll.hllDistinctCard(t(s, d, "documents"), "text", m = 256)),
 
+    // ---- per-source vocabulary-richness card: HLL distinct terms
+    //      keyed by source (a template-spam source collapses it) —
+    //      one (source, bucket)-keyed aggregate, groups·m rows total.
+    //      Same bit-exact replay, GROUP BY source ----
+    "text_hll_by_source" -> ((s, d) =>
+      graft.operators.Hll.hllDistinctByGroup(t(s, d, "documents"), "text",
+          "source", m = 64)
+        .orderBy(col("source"))),
+
     // ---- corpus-weighted term ranking: top-3 tokens per document by
     //      tf x (N/df). The score is one exact IEEE division of
     //      integers (no transcendentals), so ranking and value are
@@ -5155,6 +5164,39 @@ object PipelineQueries {
                  (a.hs + CAST(64 - a.n_regs AS DOUBLE)) END) AS BIGINT) AS est_distinct
          FROM nd JOIN agg a USING (win)
          ORDER BY win_start""",
+        "text_hll_by_source" ->
+      """WITH toks AS (
+           SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         h AS (
+           SELECT source, tok, list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(tok, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007) AS h1
+           FROM toks),
+         hp AS (SELECT source, h1,
+             (h1 * h1 % 1000000007 * 1000003 + 54321) % 1000000007 AS h2 FROM h),
+         br AS (
+           SELECT source, h1 % 64 AS bucket,
+             CASE WHEN h2 = 0 THEN 31
+                  ELSE CAST(bit_count((h2 & (-h2)) - 1) + 1 AS INTEGER) END AS rank
+           FROM hp),
+         regs AS (SELECT source, bucket, MAX(rank) AS mj
+                  FROM br GROUP BY source, bucket),
+         agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_regs,
+             SUM(1.0 / (CAST(1 AS BIGINT) << mj)) AS hs FROM regs GROUP BY source),
+         ex AS (SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+                FROM toks GROUP BY source)
+         SELECT ex.source, ex.exact_distinct,
+           CAST(64 - a.n_regs AS BIGINT) AS v_zero,
+           CAST(floor(CASE WHEN (64 - a.n_regs) > 0 AND
+               (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 /
+                 (a.hs + CAST(64 - a.n_regs AS DOUBLE)) <= 2.5 * 64.0
+             THEN 64.0 * ln(64.0 / CAST(64 - a.n_regs AS DOUBLE))
+             ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 /
+                 (a.hs + CAST(64 - a.n_regs AS DOUBLE)) END) AS BIGINT) AS est_distinct
+         FROM ex JOIN agg a USING (source)
+         ORDER BY source""",
     "text_hll_distinct" ->
       """WITH toks AS (
            SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),

@@ -28,13 +28,32 @@ object Hll {
 
   private val P = 1000000007L
 
+  private def checkM(m: Int): Unit =
+    require(m >= 16 && m <= (1 << 16) && (m & (m - 1)) == 0,
+      s"m must be a power of two in [16, 2^16], got $m")
+
+  /** The bias-corrected estimate from (v_zero, hit-register harmonic
+    * sum): alpha·m²/hsum with the linear-counting small-range branch.
+    * Fixed literal op order — both engines fold the identical doubles.
+    */
+  private def estimate(vZero: org.apache.spark.sql.Column,
+                       hsumHit: org.apache.spark.sql.Column,
+                       m: Int): org.apache.spark.sql.Column = {
+    val mD = m.toDouble
+    val hsum = hsumHit + vZero.cast("double")
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(mD))
+    val raw = alpha * lit(mD) * lit(mD) / hsum
+    val est = when(vZero > 0L && raw <= lit(2.5) * lit(mD),
+      lit(mD) * log(lit(mD) / vZero.cast("double"))).otherwise(raw)
+    floor(est).cast("long")
+  }
+
   /** One-row card: exact distinct count (the EVAL side — the
     * vocab-keyed aggregate HLL exists to avoid), the register state
     * summary, and the HLL estimate. `m` registers = m longs of state.
     */
   def hllDistinctCard(docs: DataFrame, textCol: String, m: Int): DataFrame = {
-    require(m >= 16 && m <= (1 << 16) && (m & (m - 1)) == 0,
-      s"m must be a power of two in [16, 2^16], got $m")
+    checkM(m)
     val toks = docs.select(explode(Dedup.tokens(col(textCol))).as("tok"))
     val h1 = pmod(NativeFunctions.polyFingerprint(col("tok")), lit(P))
     val h2 = pmod(pmod(h1 * h1, lit(P)) * lit(1000003L) + lit(54321L), lit(P))
@@ -48,19 +67,38 @@ object Hll {
       sum(lit(1.0) / call_function("shiftleft", lit(1L), col("mj").cast("int")))
         .as("hsum_hit"))
     val exact = toks.agg(countDistinct(col("tok")).as("exact_distinct"))
-    val mD = m.toDouble
+    val vZero = lit(m.toLong) - col("n_regs")
     exact.crossJoin(hit)
-      .select(col("exact_distinct"),
-        (lit(m.toLong) - col("n_regs")).as("v_zero"),
-        {
-          val vZero = lit(m.toLong) - col("n_regs")
-          // untouched buckets contribute 2^0 = 1 each
-          val hsum = col("hsum_hit") + vZero.cast("double")
-          val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(mD))
-          val raw = alpha * lit(mD) * lit(mD) / hsum
-          val est = when(vZero > 0L && raw <= lit(2.5) * lit(mD),
-            lit(mD) * log(lit(mD) / vZero.cast("double"))).otherwise(raw)
-          floor(est).cast("long").as("est_distinct")
-        })
+      .select(col("exact_distinct"), vZero.as("v_zero"),
+        estimate(vZero, col("hsum_hit"), m).as("est_distinct"))
+  }
+
+  /** Per-group distinct-count card: [[hllDistinctCard]] keyed by a
+    * group column — the vocabulary-richness signal per source (a
+    * template-spam source collapses it). ONE aggregate keyed by
+    * (group, bucket) — groups·m rows total — then a group-sized
+    * finish; the exact countDistinct beside it is the eval truth.
+    */
+  def hllDistinctByGroup(docs: DataFrame, textCol: String, groupCol: String,
+                         m: Int): DataFrame = {
+    checkM(m)
+    val toks = docs.select(col(groupCol).as("grp"),
+      explode(Dedup.tokens(col(textCol))).as("tok"))
+    val h1 = pmod(NativeFunctions.polyFingerprint(col("tok")), lit(P))
+    val h2 = pmod(pmod(h1 * h1, lit(P)) * lit(1000003L) + lit(54321L), lit(P))
+    val rank = when(h2 === 0L, lit(31))
+      .otherwise(bit_count(h2.bitwiseAND(-h2) - lit(1L)) + lit(1))
+    val regs = toks
+      .select(col("grp"), (h1 % lit(m.toLong)).as("bucket"), rank.as("rank"))
+      .groupBy(col("grp"), col("bucket")).agg(max(col("rank")).as("mj"))
+    val hit = regs.groupBy(col("grp")).agg(count(lit(1)).as("n_regs"),
+      sum(lit(1.0) / call_function("shiftleft", lit(1L), col("mj").cast("int")))
+        .as("hsum_hit"))
+    val exact = toks.groupBy(col("grp"))
+      .agg(countDistinct(col("tok")).as("exact_distinct"))
+    val vZero = lit(m.toLong) - col("n_regs")
+    exact.join(hit, Seq("grp"))
+      .select(col("grp").as(groupCol), col("exact_distinct"),
+        vZero.as("v_zero"), estimate(vZero, col("hsum_hit"), m).as("est_distinct"))
   }
 }

@@ -61,6 +61,24 @@ class HllSpec extends AnyFunSuite {
       "registers must be idempotent under duplicate occurrences")
   }
 
+  test("hllDistinctByGroup: per-group estimates track per-group vocab sizes") {
+    // group a: 2000 distinct terms; group b: 40 distinct terms
+    val docs = (0 until 20).map { d =>
+      ("a", (0 until 100).map(i => s"rich${d * 100 + i}").mkString(" "))
+    } ++ (0 until 20).map { d =>
+      ("b", (0 until 40).map(i => s"poor$i").mkString(" "))
+    }
+    val out = Hll.hllDistinctByGroup(docs.toDF("source", "text"), "text",
+        "source", 256)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(out("a")._1 === 2000L && out("b")._1 === 40L)
+    val sigma = 1.04 / math.sqrt(256.0)
+    assert(math.abs(out("a")._2 - 2000.0) / 2000.0 < 5 * sigma)
+    assert(math.abs(out("b")._2 - 40.0) / 40.0 < 5 * sigma)
+    // the richness gap the card exists to surface
+    assert(out("a")._2 > 10 * out("b")._2)
+  }
+
   test("guards fail loudly") {
     val df = bigCorpus.toDF("doc_id", "text")
     intercept[IllegalArgumentException] { Hll.hllDistinctCard(df, "text", 100) }
