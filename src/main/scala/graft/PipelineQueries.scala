@@ -1026,6 +1026,25 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     }),
 
+    // ---- the composed SQ8 index, SERVED: coarse centroids load from
+    //      the parquet model artifact. SQ8 itself is model-free —
+    //      per-vector symmetric scales derive from each vector at scan
+    //      time — so the centroids are the ONLY trained part and this
+    //      closes the served-index family (IVF / PQ / IVF-PQ /
+    //      IVF-SQ8 all have train-once twins). Same oracle as
+    //      sim_topk_ivfsq8, bit-for-bit ----
+    "sim_topk_ivfsq8_loaded" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val n = e.count()
+      val cents = IndexStore.ivfCentroidsCached(e,
+        nCentroids = Similarity.suggestedCentroids(n), dim = 64,
+        baseDir = artifactDir, iterations = 1, portable = true)
+      Similarity.ivfSqTopK(e, e, k = 1, cents, nProbe = 4,
+          shortlist = Similarity.suggestedShortlist(n, 1), portable = true)
+        .select(col("query_id"), col("id").as("nn_id"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- recall@10 for the composed IVF-SQ8 index vs exact truth —
     //      the sixth and final row of the index tuning matrix
     //      (IVF / LSH / PQ / IVF-PQ / SQ8 / IVF-SQ8) ----
@@ -1475,6 +1494,37 @@ object PipelineQueries {
     "text_cms_heavy_hitters" -> ((s, d) =>
       graft.operators.CountMin.heavyHittersCard(t(s, d, "documents"), "text",
         depth = 4, width = 1024, topK = 20)),
+
+    // ---- streaming windowed CMS monitor, batch mode (stream ≡ batch
+    //      is StreamingSpec's job): per 60-second event-time window
+    //      (doc_id as epoch seconds) ONE stateful count aggregate
+    //      builds the window's 4x1024 counter grid — ≤ depth·width
+    //      longs of state per window — then cmsEstimateByWindow reads
+    //      per-window estimates for the corpus top-5 panel. exact_n
+    //      rides along so the CMS law (est ≥ exact, per window) is a
+    //      cross-engine invariant; the oracle rebuilds every windowed
+    //      cell count, both hash stages and the min-read exactly ----
+    "text_cms_windowed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val grid = graft.streaming.DocStreams.cmsCountersWindowed(
+          docs.withColumn("ts", timestamp_seconds(col("doc_id"))),
+          depth = 4, width = 1024, windowSeconds = 60L)
+        .withColumn("window_start", unix_timestamp(col("window_start")))
+      val toks = docs.select(expr("doc_id div 60 * 60").as("window_start"),
+        explode(graft.operators.Dedup.tokens(col("text"))).as("tok"))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc).limit(5).select(col("tok"))
+      val est = graft.operators.CountMin.cmsEstimateByWindow(grid, top, "tok",
+        depth = 4, width = 1024)
+      val exactWin = toks.join(top, Seq("tok"))
+        .groupBy(col("window_start"), col("tok"))
+        .agg(count(lit(1)).as("exact_n"))
+        .withColumnRenamed("tok", "term")
+      est.join(exactWin, Seq("window_start", "term"), "left")
+        .select(col("window_start").as("win_start"), col("term"),
+          coalesce(col("exact_n"), lit(0L)).as("exact_n"), col("est_n"))
+        .orderBy(col("win_start"), col("term"))
+    }),
 
     // ---- portable HyperLogLog distinct-count card: exact distinct
     //      (the eval side) vs the 256-register HLL estimate. Bucket/
@@ -5131,6 +5181,53 @@ object PipelineQueries {
            FROM tc LEFT JOIN counters c USING (j, pos) GROUP BY tok, exact_n)
          SELECT tok AS term, exact_n, CAST(est_n AS BIGINT) AS est_n
          FROM est ORDER BY exact_n DESC, term""",
+        "text_cms_windowed" ->
+      """WITH b AS (
+           SELECT (doc_id // 60) * 60 AS win,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         occ AS (SELECT win, unnest(toks) AS tok FROM b),
+         h AS (
+           SELECT win, tok, list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(tok, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007) AS h1
+           FROM occ),
+         hp AS (SELECT win, tok, h1,
+             (h1 * h1 % 1000000007 * 1000003 + 54321) % 1000000007 AS h2 FROM h),
+         cells AS (
+           SELECT win, j.j AS j, (h1 + j.j * h2) % 1000000007 % 1024 AS pos
+           FROM hp, (SELECT unnest(range(1, 5)) AS j) j),
+         counters AS (
+           SELECT win, j, pos, CAST(count(*) AS BIGINT) AS cnt
+           FROM cells GROUP BY win, j, pos),
+         exact AS (SELECT tok, count(*) AS n FROM occ GROUP BY tok),
+         top AS (SELECT tok FROM exact ORDER BY n DESC, tok LIMIT 5),
+         th AS (
+           SELECT tok, list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(tok, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007) AS h1
+           FROM top),
+         tp AS (SELECT tok, h1,
+             (h1 * h1 % 1000000007 * 1000003 + 54321) % 1000000007 AS h2 FROM th),
+         tc AS (
+           SELECT tok, j.j AS j, (h1 + j.j * h2) % 1000000007 % 1024 AS pos
+           FROM tp, (SELECT unnest(range(1, 5)) AS j) j),
+         wins AS (SELECT DISTINCT win FROM counters),
+         est AS (
+           SELECT w.win, tc.tok, MIN(COALESCE(c.cnt, 0)) AS est_n
+           FROM wins w CROSS JOIN tc
+           LEFT JOIN counters c ON c.win = w.win AND c.j = tc.j AND c.pos = tc.pos
+           GROUP BY w.win, tc.tok),
+         ew AS (
+           SELECT win, tok, CAST(count(*) AS BIGINT) AS exact_n
+           FROM occ JOIN top USING (tok) GROUP BY win, tok)
+         SELECT est.win AS win_start, est.tok AS term,
+           COALESCE(ew.exact_n, CAST(0 AS BIGINT)) AS exact_n,
+           CAST(est.est_n AS BIGINT) AS est_n
+         FROM est LEFT JOIN ew ON ew.win = est.win AND ew.tok = est.tok
+         ORDER BY win_start, term""",
             "text_hll_windowed" ->
       """WITH b AS (
            SELECT (doc_id // 60) * 60 AS win, doc_id,
@@ -6050,6 +6147,7 @@ object PipelineQueries {
     "text_bm25_topk_idx" -> oracleSqlBase("text_bm25_topk"),
     "q_curation_v3_served" -> oracleSqlBase("q_curation_v3"),
     "sim_topk_ivfpq_loaded" -> oracleSqlBase("sim_topk_ivfpq"),
+    "sim_topk_ivfsq8_loaded" -> oracleSqlBase("sim_topk_ivfsq8"),
     "text_bpe_tokens_served" -> oracleSqlBase("text_bpe_tokens"),
     "text_bloom_decontam_served" -> oracleSqlBase("text_bloom_decontam"),
     // PNG is lossless and the fixture uses the BMP pixel formula, so a

@@ -28,13 +28,13 @@ object CountMin {
 
   private val P = 1000000007L
 
-  private def checkParams(depth: Int, width: Int): Unit = {
+  private[graft] def checkParams(depth: Int, width: Int): Unit = {
     require(depth >= 1 && depth <= 8, s"depth must be in [1, 8], got $depth")
     require(width >= 16 && width <= (1 << 22), s"width must be in [16, 2^22], got $width")
   }
 
   /** (j, pos) cells of one token occurrence, j = 1..depth. */
-  private def cells(tok: Column, depth: Int, width: Int): Column = {
+  private[graft] def cells(tok: Column, depth: Int, width: Int): Column = {
     val h1 = pmod(NativeFunctions.polyFingerprint(tok), lit(P))
     val h2 = pmod(pmod(h1 * h1, lit(P)) * lit(1000003L) + lit(54321L), lit(P))
     array((1 to depth).map(j => struct(lit(j).as("j"),
@@ -69,6 +69,31 @@ object CountMin {
       .join(counters, Seq("j", "pos"), "left")
       .groupBy(col("term"))
       // an untouched cell means count 0 — the estimate is 0, not null
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
+  }
+
+  /** Per-window point estimates over a WINDOWED counter grid (from
+    * [[graft.streaming.DocStreams.cmsCountersWindowed]]): for every
+    * (event-time window × probe term), the min over the term's depth
+    * cells in THAT window's grid. This is the read side of the
+    * windowed monitor — grids are the compact state a stream
+    * materializes; any term's per-window frequency is answerable
+    * later without re-scanning the corpus. The windows × (panel ·
+    * depth) expansion is bounded on both axes (windows by the time
+    * span, the panel by the caller), and untouched cells read as 0,
+    * never null.
+    */
+  def cmsEstimateByWindow(counters: DataFrame, probes: DataFrame,
+                          termCol: String, depth: Int, width: Int,
+                          windowCol: String = "window_start"): DataFrame = {
+    checkParams(depth, width)
+    val wins = counters.select(col(windowCol)).distinct()
+    val pc = probes.select(col(termCol).as("term"),
+        explode(cells(col(termCol), depth, width)).as("c"))
+      .select(col("term"), col("c.j").as("j"), col("c.pos").as("pos"))
+    wins.crossJoin(broadcast(pc))
+      .join(counters, Seq(windowCol, "j", "pos"), "left")
+      .groupBy(col(windowCol), col("term"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
   }
 

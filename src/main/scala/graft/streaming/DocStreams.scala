@@ -180,6 +180,48 @@ object DocStreams {
       vZero.as("v_zero"), floor(est).cast(LongType).as("est_distinct"))
   }
 
+  /** Streaming windowed count-min grid — the live twin of
+    * [[graft.operators.CountMin.cmsCounters]]: per event-time window,
+    * the depth×width counter grid of the window's token stream. The
+    * grid IS the monitor's state product: a stream materializes one
+    * compact grid per window (≤ depth·width rows, vocabulary- and
+    * volume-independent), and any term's per-window frequency is
+    * answerable later through
+    * [[graft.operators.CountMin.cmsEstimateByWindow]] without
+    * re-scanning the corpus — the "was this spam marker surging at
+    * 3am?" read a live ingest dashboard needs.
+    *
+    * Stream-legal shape: token → (j, pos) cell explosion is
+    * stateless map-side work through the shared portable mixer, and
+    * the ONLY stateful operator is a single windowed count aggregate
+    * keyed by (window, j, pos) — at most depth·width longs of state
+    * per open window, with map-side combine compressing every
+    * partition's contribution to grid size before the one shuffle.
+    * Counts are additive, so late-data merges are exact by
+    * construction. One definition, both modes: static frame → plain
+    * windowed agg (the declared oracle replays every cell count
+    * bit-for-bit); stream → pass `watermarkSeconds`.
+    */
+  def cmsCountersWindowed(docs: DataFrame, depth: Int, width: Int,
+                          windowSeconds: Long = 3600L,
+                          watermarkSeconds: Option[Long] = None,
+                          tsCol: String = "ts",
+                          textCol: String = "text"): DataFrame = {
+    graft.operators.CountMin.checkParams(depth, width)
+    require(windowSeconds > 0, "window must be positive")
+    val withWm = watermarkSeconds.fold(docs)(w =>
+      docs.withWatermark(tsCol, s"$w seconds"))
+    withWm.select(col(tsCol).as("ts"),
+        explode(Dedup.tokens(col(textCol))).as("tok"))
+      .select(col("ts"),
+        explode(graft.operators.CountMin.cells(col("tok"), depth, width)).as("c"))
+      .groupBy(window(col("ts"), s"$windowSeconds seconds"),
+        col("c.j").as("j"), col("c.pos").as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("j"), col("pos"),
+        col("cnt"))
+  }
+
   /** Streaming near-duplicate ingest gate — the live twin of
     * [[graft.operators.Dedup.minhashNearDupPairsCross]]: as documents
     * arrive, flag every one that is a verified near-duplicate of a

@@ -34,6 +34,22 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(a.sameElements(b), "loaded-artifact search diverged from inline-trained")
   }
 
+  test("served IVF-SQ8 search equals inline-trained (centroids are its only model)") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings").limit(300)
+    val n = 16
+    val trained = Similarity.trainIvfCentroids(e, n, dim = 64,
+      iterations = 1, portable = true)
+    val base = tmpDir()
+    val served = IndexStore.ivfCentroidsCached(e, n, 64, base, portable = true)
+    val a = Similarity.ivfSqTopK(e, e, k = 1, trained, nProbe = 4,
+        shortlist = 8, portable = true)
+      .select(col("query_id"), col("id")).orderBy(col("query_id")).collect()
+    val b = Similarity.ivfSqTopK(e, e, k = 1, served, nProbe = 4,
+        shortlist = 8, portable = true)
+      .select(col("query_id"), col("id")).orderBy(col("query_id")).collect()
+    assert(a.sameElements(b), "served IVF-SQ8 diverged from inline-trained")
+  }
+
   test("PQ codebook artifact round-trips bit-for-bit") {
     val e = Tables.table(spark, TestSpark.sfDir, "embeddings").limit(200)
     val cbs = Similarity.trainPqCodebooks(e, m = 8, ksub = 16, dim = 64,

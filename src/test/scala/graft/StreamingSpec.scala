@@ -440,6 +440,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed CMS grid: stream == batch, est >= exact per window") {
+    import graft.streaming.DocStreams
+    import graft.operators.{CountMin, Dedup}
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents").select(
+      timestamp_millis(lit(1700000000000L) + col("doc_id") * 60000L).as("ts"),
+      col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmswin").toString
+    docs.coalesce(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val q = DocStreams.cmsCountersWindowed(stream, depth = 4, width = 256,
+        windowSeconds = 3600, watermarkSeconds = Some(7200))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cmswin").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.get(0).toString, r.getInt(1), r.getLong(2)) -> r.getLong(3)
+      val streamed = spark.sql("select * from cmswin").collect().map(key).toMap
+      val batch = DocStreams.cmsCountersWindowed(docs, depth = 4, width = 256,
+        windowSeconds = 3600).collect().map(key).toMap
+      // append mode only emits watermark-CLOSED windows, so streamed
+      // is a (nonempty) subset of the batch grid; counts are additive
+      // so every emitted cell must agree exactly
+      assert(streamed.nonEmpty)
+      streamed.foreach { case (k, v) => assert(batch(k) === v, s"cell $k") }
+      // the CMS law per window: min-over-depth estimate >= exact count
+      // for every (window, term) of a probe panel
+      val grid = DocStreams.cmsCountersWindowed(docs, depth = 4, width = 256,
+        windowSeconds = 3600)
+      val toks = docs.select(
+        window(col("ts"), "3600 seconds")("start").as("window_start"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc).limit(8).select("tok")
+      val est = CountMin.cmsEstimateByWindow(grid, top, "tok",
+          depth = 4, width = 256)
+        .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2))
+        .toMap
+      val exact = toks.join(top, Seq("tok")).groupBy("window_start", "tok")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(exact.nonEmpty)
+      exact.foreach { case (k, ex) =>
+        assert(est(k) >= ex, s"CMS under-counted $k: ${est(k)} < $ex") }
+    } finally q.stop()
+  }
+
   test("bloom gate: stream == batch twin == JVM replay, exactly once per id") {
     import graft.streaming.DocStreams
     import graft.operators.Bloom
