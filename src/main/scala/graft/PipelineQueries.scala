@@ -664,8 +664,8 @@ object PipelineQueries {
     //      replayable: the oracle unrolls FFD per shard as a recursive
     //      CTE carrying the open-sequence capacity list and must land
     //      on the identical (shard, seq) assignment for every doc ----
-    "q_pack_bestfit" -> ((s, d) =>
-      Frames.packSequencesBestFit(
+    "q_pack_ffd" -> ((s, d) =>
+      Frames.packSequencesFfd(
           t(s, d, "documents").select(col("doc_id"),
             size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
           "doc_id", "n_tokens", budget = 512, nShards = 8)
@@ -681,7 +681,7 @@ object PipelineQueries {
     "q_pack_efficiency" -> ((s, d) => {
       val toks = t(s, d, "documents").select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
-      val ffd = Frames.packSequencesBestFit(toks, "doc_id", "n_tokens",
+      val ffd = Frames.packSequencesFfd(toks, "doc_id", "n_tokens",
         budget = 512, nShards = 8)
       val f = ffd.filter(col("seq") >= 0)
         .agg(countDistinct(col("shard"), col("seq")).as("n_seqs"),
@@ -1543,6 +1543,63 @@ object PipelineQueries {
       graft.operators.Hll.hllDistinctByGroup(t(s, d, "documents"), "text",
           "source", m = 64)
         .orderBy(col("source"))),
+
+    // ---- SERVED CMS heavy-hitters: the counter grid loads from the
+    //      corpus-fingerprint-keyed parquet artifact (built+saved on
+    //      first run, cell-range/dup/count-validated at every load) —
+    //      a monitor's accumulated state survives the job that built
+    //      it. Longs round-trip parquet exactly, so the card shares
+    //      text_cms_heavy_hitters' oracle bit-for-bit ----
+    "text_cms_served" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val grid = IndexStore.cmsGridCached(docs, "text", depth = 4,
+        width = 1024, baseDir = artifactDir)
+      graft.operators.CountMin.heavyHittersCardFrom(grid, docs, "text",
+        depth = 4, width = 1024, topK = 20)
+    }),
+
+    // ---- MERGED CMS heavy-hitters: grids built independently over
+    //      the even-id and odd-id halves of the corpus, then folded
+    //      by per-cell SUM — CMS state is additive, so the merged
+    //      grid must equal the single-pass grid bit-for-bit and the
+    //      split is invisible in the answer (same oracle). This is
+    //      the yesterday's-grid + today's-scan deployment fold ----
+    "text_cms_merged" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ga = graft.operators.CountMin.cmsCounters(
+        docs.filter(col("doc_id") % 2 === 0), "text", depth = 4, width = 1024)
+      val gb = graft.operators.CountMin.cmsCounters(
+        docs.filter(col("doc_id") % 2 =!= 0), "text", depth = 4, width = 1024)
+      graft.operators.CountMin.heavyHittersCardFrom(
+        graft.operators.CountMin.mergeGrids(ga, gb), docs, "text",
+        depth = 4, width = 1024, topK = 20)
+    }),
+
+    // ---- SERVED HLL distinct card: the register table loads from
+    //      the corpus-fingerprint-keyed artifact (bucket-range/dup/
+    //      rank-validated at every load); shares text_hll_distinct's
+    //      oracle — register state round-trips exactly ----
+    "text_hll_served" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val regs = IndexStore.hllRegistersCached(docs, "text", m = 256,
+        baseDir = artifactDir)
+      graft.operators.Hll.cardFromRegisters(docs, "text", regs, m = 256)
+    }),
+
+    // ---- MERGED HLL distinct card: register tables built over the
+    //      even/odd corpus halves, folded by per-bucket MAX — HLL
+    //      merge is idempotent, so the merged registers equal the
+    //      single-pass table bit-for-bit (same oracle as
+    //      text_hll_distinct; the split is invisible) ----
+    "text_hll_merged" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ra = graft.operators.Hll.hllRegisters(
+        docs.filter(col("doc_id") % 2 === 0), "text", m = 256)
+      val rb = graft.operators.Hll.hllRegisters(
+        docs.filter(col("doc_id") % 2 =!= 0), "text", m = 256)
+      graft.operators.Hll.cardFromRegisters(docs, "text",
+        graft.operators.Hll.mergeRegisters(ra, rb), m = 256)
+    }),
 
     // ---- corpus-weighted term ranking: top-3 tokens per document by
     //      tf x (N/df). The score is one exact IEEE division of
@@ -3341,7 +3398,7 @@ object PipelineQueries {
            CASE WHEN n = 0 THEN 0
              ELSE (start + n - 1) // 512 - start // 512 + 1 END AS n_seqs
          FROM c ORDER BY doc_id""",
-    "q_pack_bestfit" ->
+    "q_pack_ffd" ->
       """WITH RECURSIVE tc AS (
            SELECT doc_id AS id,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
@@ -6150,6 +6207,13 @@ object PipelineQueries {
     "sim_topk_ivfsq8_loaded" -> oracleSqlBase("sim_topk_ivfsq8"),
     "text_bpe_tokens_served" -> oracleSqlBase("text_bpe_tokens"),
     "text_bloom_decontam_served" -> oracleSqlBase("text_bloom_decontam"),
+    // sketch state round-trips parquet exactly (longs/ints), and both
+    // merges are exact (CMS cell-sum, HLL bucket-max), so the served
+    // and merged cards must land on the one-shot cards' bytes
+    "text_cms_served" -> oracleSqlBase("text_cms_heavy_hitters"),
+    "text_cms_merged" -> oracleSqlBase("text_cms_heavy_hitters"),
+    "text_hll_served" -> oracleSqlBase("text_hll_distinct"),
+    "text_hll_merged" -> oracleSqlBase("text_hll_distinct"),
     // PNG is lossless and the fixture uses the BMP pixel formula, so a
     // correct ImageIO decode must land on the identical feature rows
     "multimodal_decode_png" -> oracleSqlBase("multimodal_decode_bmp"))

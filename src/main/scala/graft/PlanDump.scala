@@ -271,7 +271,7 @@ object PlanDump {
         "run as siblings and meet in a source-cardinality join; " +
         "rates and gates are integer micro arithmetic. No new " +
         "Exchange beyond the components' own."),
-    "q_pack_bestfit" ->
+    "q_pack_ffd" ->
       ("Document-preserving FFD packing: one hash-partition Exchange " +
         "routes each doc to its shard; the greedy fold runs inside " +
         "MapGroups with no driver loop and no further shuffle — the " +

@@ -553,14 +553,14 @@ object ScaleSmoke {
       // FFD packing: the per-shard greedy fold is the parallel unit —
       // 32 shards on 32 cores; the ratio is the one hash-partition
       // shuffle plus the token-count scan
-      time("pack_bestfit_1x") {
-        Frames.packSequencesBestFit(
+      time("pack_ffd_1x") {
+        Frames.packSequencesFfd(
             docs1.select(col("doc_id"),
               size(TextAnalysis.tokens(col("text"))).as("n")),
             "doc_id", "n", budget = 512, nShards = 32)
           .queryExecution.toRdd.count() },
-      time(s"pack_bestfit_${k}x") {
-        Frames.packSequencesBestFit(
+      time(s"pack_ffd_${k}x") {
+        Frames.packSequencesFfd(
             docsK.select(col("doc_id"),
               size(TextAnalysis.tokens(col("text"))).as("n")),
             "doc_id", "n", budget = 512, nShards = 32)
@@ -615,7 +615,7 @@ object ScaleSmoke {
         "bpe_fertility", "sq8_topk", "zorder_layout",
         "source_drift", "snapshot_drift", "drift_windowed",
         "data_quality", "snapshot_diff_docs",
-        "ivf_sq8_topk", "pack_bestfit", "bloom_decontam",
+        "ivf_sq8_topk", "pack_ffd", "bloom_decontam",
         "decontam_two_tier", "cms_heavy", "hll_distinct").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")

@@ -77,7 +77,10 @@ object Bloom {
   /** Per-doc contamination card, entirely map-only: (id, n_shingles,
     * n_hits, contaminated). `n_hits` counts the doc's distinct
     * shingles whose k Bloom bits are all set; `contaminated` is the
-    * gate a curation pipeline filters on.
+    * gate a curation pipeline filters on. A NULL-text doc has no
+    * shingles BY DEFINITION: it reads (0, 0, false) — it passes the
+    * gate rather than propagating NULL into a downstream
+    * `filter(!contaminated)` that would silently drop it.
     */
   def contaminationCard(corpus: DataFrame, idCol: String, textCol: String,
                         words: Array[Long], mBits: Int, kHashes: Int,
@@ -85,8 +88,10 @@ object Bloom {
     checkParams(mBits, kHashes)
     corpus
       .select(col(idCol).as("id"),
-        NativeFunctions.polyShingleHashes(
-          Dedup.tokens(col(textCol)), shingleW).as("sh"))
+        coalesce(
+          NativeFunctions.polyShingleHashes(
+            Dedup.tokens(col(textCol)), shingleW),
+          array().cast("array<bigint>")).as("sh"))
       .select(col("id"), size(col("sh")).as("n_shingles"),
         NativeFunctions.bloomShingleHits(col("sh"), words, mBits, kHashes).as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)

@@ -97,17 +97,33 @@ object CountMin {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
   }
 
-  /** Heavy-hitters accuracy card: the exact top-K terms (the EVAL
-    * side — a vocab-keyed aggregate the sketch exists to avoid in
-    * production) against their sketch estimates. Invariant both
-    * engines must agree on: est_n ≥ exact_n for every row, with
-    * equality unless the term's every row collides.
+  /** Merge two counter grids by per-cell SUM — CMS counters are pure
+    * additive state, so grids built over a corpus split ANY way
+    * re-merge to the single-pass grid bit-for-bit (the
+    * `text_cms_merged` oracle's claim). This is how a long-lived
+    * monitor folds a day's saved grid into the running total, and
+    * how per-shard grids combine without re-scanning anything.
+    * ≤ 2·depth·width rows in, ≤ depth·width out.
     */
-  def heavyHittersCard(docs: DataFrame, textCol: String, depth: Int,
-                       width: Int, topK: Int): DataFrame = {
+  def mergeGrids(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("j"), col("pos"), col("cnt"))
+      .unionByName(b.select(col("j"), col("pos"), col("cnt")))
+      .groupBy(col("j"), col("pos")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Heavy-hitters accuracy card from a PRE-BUILT counter grid
+    * (served or merged state): the exact top-K terms over `docs` (the
+    * EVAL side — a vocab-keyed aggregate the sketch exists to avoid
+    * in production) against their estimates read from `counters`.
+    * Identical schema to [[heavyHittersCard]], so the served/merged
+    * queries share its oracle. Invariant both engines must agree on:
+    * est_n ≥ exact_n for every row, with equality unless the term's
+    * every row collides.
+    */
+  def heavyHittersCardFrom(counters: DataFrame, docs: DataFrame,
+                           textCol: String, depth: Int, width: Int,
+                           topK: Int): DataFrame = {
     require(topK >= 1, "topK must be positive")
     val toks = docs.select(explode(Dedup.tokens(col(textCol))).as("tok"))
-    val counters = cmsCounters(docs, textCol, depth, width)
     val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("tok").asc).limit(topK)
     cmsEstimate(counters, top.select(col("tok")), "tok", depth, width)
@@ -115,4 +131,12 @@ object CountMin {
       .select(col("term"), col("exact_n"), col("est_n"))
       .orderBy(col("exact_n").desc, col("term").asc)
   }
+
+  /** [[heavyHittersCardFrom]] with the grid built inline over the
+    * same corpus — the one-shot card.
+    */
+  def heavyHittersCard(docs: DataFrame, textCol: String, depth: Int,
+                       width: Int, topK: Int): DataFrame =
+    heavyHittersCardFrom(cmsCounters(docs, textCol, depth, width), docs,
+      textCol, depth, width, topK)
 }

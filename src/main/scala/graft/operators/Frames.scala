@@ -376,15 +376,33 @@ object Frames {
     * greedy fold is deterministic given the (n DESC, id ASC) total
     * order, which is what makes the whole placement replayable by an
     * external SQL engine as a per-shard recursive unrolling.
+    *
+    * Guards: ids must be numeric (the portable hash and the typed
+    * fold both key on the long id) — a non-numeric or null id fails
+    * loudly at the row, not as an opaque encoder NPE. And because
+    * each task BUFFERS its shard, an undersized `nShards` at a large
+    * corpus is an OOM in waiting: any shard exceeding
+    * `maxDocsPerShard` rows aborts with the resize arithmetic in the
+    * message instead of dying in the sort (the HTTP 50k-cap
+    * discipline, polars_requests.py:99).
     */
-  def packSequencesBestFit(df: DataFrame, idCol: String, tokenCol: String,
-                           budget: Long, nShards: Int = 8,
-                           seed: Long = 7L): DataFrame = {
+  def packSequencesFfd(df: DataFrame, idCol: String, tokenCol: String,
+                       budget: Long, nShards: Int = 8,
+                       seed: Long = 7L,
+                       maxDocsPerShard: Long = 4000000L): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(nShards > 0, "nShards must be positive")
+    require(maxDocsPerShard > 0, "maxDocsPerShard must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val sharded = df.select(col(idCol).cast("long").as("id"),
+    // try_cast, not cast: under ANSI a bad id would throw Spark's own
+    // opaque CAST error before the loud per-row message below runs
+    val idL = col(idCol).try_cast("long")
+    val sharded = df.select(
+        when(col(idCol).isNull || idL.isNull,
+          raise_error(concat(lit(s"packSequencesFfd: id column '$idCol' must be numeric and non-null, got: "),
+            coalesce(col(idCol).cast("string"), lit("NULL")))).cast("long"))
+          .otherwise(idL).as("id"),
         col(tokenCol).cast("long").as("n"),
         pmod(portableHash(col(idCol), seed), lit(nShards.toLong))
           .cast("int").as("shard"))
@@ -392,7 +410,18 @@ object Frames {
     sharded.groupByKey(_._3).flatMapGroups { (shard, it) =>
       // one shard per task: buffer + sort is the documented memory
       // bound (16 bytes/doc); the fold itself is the FFD greedy
-      val docs = it.toArray.sortBy { case (id, n, _) => (-n, id) }
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      var over = false
+      while (it.hasNext && !over) {
+        buf += it.next()
+        if (buf.length > maxDocsPerShard) over = true
+      }
+      if (over) throw new IllegalStateException(
+        s"packSequencesFfd: shard $shard exceeds maxDocsPerShard=$maxDocsPerShard " +
+          s"rows with nShards=$nShards — raise nShards to about " +
+          s"ceil(corpusDocs / $maxDocsPerShard) (each task buffers one whole " +
+          "shard; this guard fires before the buffer can OOM the executor)")
+      val docs = buf.toArray.sortBy { case (id, n, _) => (-n, id) }
       val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
       docs.iterator.map { case (id, n, _) =>
         if (n > budget) (id, n, shard, -1L)

@@ -52,20 +52,55 @@ object Hll {
     * vocab-keyed aggregate HLL exists to avoid), the register state
     * summary, and the HLL estimate. `m` registers = m longs of state.
     */
-  def hllDistinctCard(docs: DataFrame, textCol: String, m: Int): DataFrame = {
+  def hllDistinctCard(docs: DataFrame, textCol: String, m: Int): DataFrame =
+    cardFromRegisters(docs, textCol, hllRegisters(docs, textCol, m), m)
+
+  /** The register table over a corpus's token stream: (bucket, mj) —
+    * max trailing-zero rank per bucket, ≤ m rows. ONE aggregate whose
+    * key space is m, map-side-combined; this is the sketch STATE a
+    * long-lived monitor persists
+    * ([[graft.operators.IndexStore.saveHllRegisters]]) and merges
+    * ([[mergeRegisters]]).
+    */
+  def hllRegisters(docs: DataFrame, textCol: String, m: Int): DataFrame = {
     checkM(m)
     val toks = docs.select(explode(Dedup.tokens(col(textCol))).as("tok"))
     val h1 = pmod(NativeFunctions.polyFingerprint(col("tok")), lit(P))
     val h2 = pmod(pmod(h1 * h1, lit(P)) * lit(1000003L) + lit(54321L), lit(P))
     val rank = when(h2 === 0L, lit(31))
       .otherwise(bit_count(h2.bitwiseAND(-h2) - lit(1L)) + lit(1))
-    val regs = toks
-      .select((h1 % lit(m.toLong)).as("bucket"), rank.as("rank"))
+    toks.select((h1 % lit(m.toLong)).as("bucket"), rank.as("rank"))
       .groupBy(col("bucket")).agg(max(col("rank")).as("mj"))
+  }
+
+  /** Merge two register tables by per-bucket max. HLL's merge is
+    * idempotent, commutative and associative, so state built over a
+    * corpus split ANY way re-merges to the single-pass register table
+    * bit-for-bit (the `text_hll_merged` oracle's claim). ≤ 2m rows
+    * in, ≤ m rows out; the union's aggregate key space is m.
+    */
+  def mergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bucket"), col("mj"))
+      .unionByName(b.select(col("bucket"), col("mj")))
+      .groupBy(col("bucket")).agg(max(col("mj")).as("mj"))
+
+  /** One-row card from a PRE-BUILT register table (served or merged
+    * state), with the exact distinct count over `docs` beside it as
+    * the eval truth — identical schema to [[hllDistinctCard]], so the
+    * served/merged queries share its oracle. Degenerate case: an
+    * EMPTY register table (empty corpus) must read v_zero = m,
+    * hsum_hit = 0 → the linear-counting branch gives m·ln(m/m) = 0,
+    * never NULL — hence the coalesces on the empty-relation aggregate.
+    */
+  def cardFromRegisters(docs: DataFrame, textCol: String, regs: DataFrame,
+                        m: Int): DataFrame = {
+    checkM(m)
     // 2^-mj as 1/(1<<mj): exact dyadic, no pow() rounding question
     val hit = regs.agg(count(lit(1)).as("n_regs"),
-      sum(lit(1.0) / call_function("shiftleft", lit(1L), col("mj").cast("int")))
-        .as("hsum_hit"))
+      coalesce(
+        sum(lit(1.0) / call_function("shiftleft", lit(1L), col("mj").cast("int"))),
+        lit(0.0)).as("hsum_hit"))
+    val toks = docs.select(explode(Dedup.tokens(col(textCol))).as("tok"))
     val exact = toks.agg(countDistinct(col("tok")).as("exact_distinct"))
     val vZero = lit(m.toLong) - col("n_regs")
     exact.crossJoin(hit)

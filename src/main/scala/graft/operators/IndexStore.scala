@@ -293,6 +293,123 @@ object IndexStore {
     loadBpeMerges(spark, path)
   }
 
+  // ---------------------------------------------------------------
+  // Sketch state: CMS counter grids (j INT, pos LONG, cnt LONG) and
+  // HLL register tables (bucket LONG, mj INT). This is the state a
+  // long-lived monitor accumulates (DocStreams.cmsCountersWindowed /
+  // distinctTermsWindowed); both merge exactly (CMS by cell-sum, HLL
+  // by bucket-max), so saved state from yesterday folds into today's
+  // scan without re-reading anything. Unlike the centroid artifacts
+  // these stay DataFrames end to end — a grid at width 2^22 is
+  // millions of rows, so validation is ONE aggregate action, never a
+  // driver collect.
+  // ---------------------------------------------------------------
+
+  def saveCmsGrid(grid: DataFrame, path: String): Unit =
+    grid.select(col("j").cast(IntegerType), col("pos").cast("long"),
+        col("cnt").cast("long"))
+      .coalesce(1) // grid-sized (≤ depth·width rows): one file, atomic
+      .write.mode("overwrite").parquet(path)
+
+  /** Load + revalidate a CMS counter grid. Loud on: nulls, j outside
+    * [1, depth], pos outside [0, width), non-positive counts,
+    * duplicate (j, pos) cells, more rows than the grid has cells. A
+    * corrupted grid would silently UNDER-estimate (min-over-rows
+    * reads a clobbered cell) — the one failure CMS's est ≥ exact
+    * contract can never show, hence the loudness.
+    */
+  def loadCmsGrid(spark: SparkSession, path: String, depth: Int,
+                  width: Int): DataFrame = {
+    CountMin.checkParams(depth, width)
+    val grid = spark.read.parquet(path)
+      .select(col("j").cast(IntegerType), col("pos").cast("long"),
+        col("cnt").cast("long"))
+    val c = grid.agg(
+      count(lit(1)).as("n"),
+      count_distinct(col("j"), col("pos")).as("n_cells"),
+      sum(when(col("j").isNull || col("pos").isNull || col("cnt").isNull, 1L)
+        .otherwise(0L)).as("n_null"),
+      min(col("j")).as("j_min"), max(col("j")).as("j_max"),
+      min(col("pos")).as("p_min"), max(col("pos")).as("p_max"),
+      min(col("cnt")).as("c_min")).head()
+    val n = c.getLong(0)
+    require(n > 0, s"CMS artifact at $path is empty")
+    require(c.getLong(2) == 0L, s"CMS artifact at $path has null cells")
+    require(c.getLong(1) == n,
+      s"CMS artifact at $path has duplicate (j, pos) cells (${c.getLong(1)} distinct of $n)")
+    require(n <= depth.toLong * width,
+      s"CMS artifact at $path has $n rows, more than the $depth x $width grid")
+    require(c.getInt(3) >= 1 && c.getInt(4) <= depth,
+      s"CMS artifact at $path has row index outside [1, $depth]")
+    require(c.getLong(5) >= 0L && c.getLong(6) < width,
+      s"CMS artifact at $path has position outside [0, $width)")
+    require(c.getLong(7) > 0L, s"CMS artifact at $path has a count <= 0")
+    grid
+  }
+
+  /** Build-once CMS counter grid — [[ivfCentroidsCached]]'s contract
+    * for sketch state, keyed by corpus fingerprint + grid shape. The
+    * served path is always the validated artifact.
+    */
+  def cmsGridCached(docs: DataFrame, textCol: String, depth: Int, width: Int,
+                    baseDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    val fp = corpusFingerprint(docs, Seq(textCol))
+    val path = s"$baseDir/cms_${fp}_d${depth}_w$width"
+    if (!exists(path))
+      saveCmsGrid(CountMin.cmsCounters(docs, textCol, depth, width), path)
+    loadCmsGrid(spark, path, depth, width)
+  }
+
+  def saveHllRegisters(regs: DataFrame, path: String): Unit =
+    regs.select(col("bucket").cast("long"), col("mj").cast(IntegerType))
+      .coalesce(1) // ≤ m rows
+      .write.mode("overwrite").parquet(path)
+
+  /** Load + revalidate an HLL register table. Loud on: nulls, bucket
+    * outside [0, m), duplicate buckets, rank outside [1, 31], more
+    * rows than registers. A clobbered register would silently skew
+    * the harmonic mean — there is no downstream invariant to catch
+    * it, so the load is where it fails.
+    */
+  def loadHllRegisters(spark: SparkSession, path: String, m: Int): DataFrame = {
+    require(m >= 16 && m <= (1 << 16) && (m & (m - 1)) == 0,
+      s"m must be a power of two in [16, 2^16], got $m")
+    val regs = spark.read.parquet(path)
+      .select(col("bucket").cast("long"), col("mj").cast(IntegerType))
+    val c = regs.agg(
+      count(lit(1)).as("n"),
+      count_distinct(col("bucket")).as("n_buckets"),
+      sum(when(col("bucket").isNull || col("mj").isNull, 1L).otherwise(0L))
+        .as("n_null"),
+      min(col("bucket")).as("b_min"), max(col("bucket")).as("b_max"),
+      min(col("mj")).as("r_min"), max(col("mj")).as("r_max")).head()
+    val n = c.getLong(0)
+    require(n > 0, s"HLL artifact at $path is empty")
+    require(c.getLong(2) == 0L, s"HLL artifact at $path has null registers")
+    require(c.getLong(1) == n,
+      s"HLL artifact at $path has duplicate buckets (${c.getLong(1)} distinct of $n)")
+    require(n <= m.toLong, s"HLL artifact at $path has $n rows, more than $m registers")
+    require(c.getLong(3) >= 0L && c.getLong(4) < m,
+      s"HLL artifact at $path has bucket outside [0, $m)")
+    require(c.getInt(5) >= 1 && c.getInt(6) <= 31,
+      s"HLL artifact at $path has rank outside [1, 31]")
+    regs
+  }
+
+  /** Build-once HLL register table — sketch-state twin of
+    * [[cmsGridCached]], keyed by corpus fingerprint + m.
+    */
+  def hllRegistersCached(docs: DataFrame, textCol: String, m: Int,
+                         baseDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    val fp = corpusFingerprint(docs, Seq(textCol))
+    val path = s"$baseDir/hll_${fp}_m$m"
+    if (!exists(path))
+      saveHllRegisters(Hll.hllRegisters(docs, textCol, m), path)
+    loadHllRegisters(spark, path, m)
+  }
+
   /** Train-once PQ codebooks — [[ivfCentroidsCached]]'s contract for
     * the product-quantizer artifact.
     */

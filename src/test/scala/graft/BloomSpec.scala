@@ -145,4 +145,18 @@ class BloomSpec extends AnyFunSuite {
       Bloom.contaminationCard(ref, "doc_id", "text", new Array[Long](3), M, K, W)
     }
   }
+
+  test("a NULL-text doc reads (0, 0, false) — never NULL through the gate") {
+    val ref = refDocs.toDF("doc_id", "text")
+    val words = Bloom.buildBloomWords(ref, "text", M, K, W)
+    val corpus = (corpusDocs.map { case (id, t) => (id, Option(t)) } :+
+      (99L, None: Option[String])).toDF("doc_id", "text")
+    val card = Bloom.contaminationCard(corpus, "doc_id", "text", words, M, K, W)
+    val r = card.filter(col("id") === 99L).head()
+    assert(!r.anyNull, "null-text row produced NULL card fields")
+    assert(r.getAs[Int]("n_shingles") === 0 && r.getAs[Long]("n_hits") === 0L &&
+      !r.getAs[Boolean]("contaminated"))
+    // a downstream keep-filter retains it instead of silently dropping
+    assert(card.filter(!col("contaminated")).filter(col("id") === 99L).count() === 1L)
+  }
 }

@@ -76,4 +76,24 @@ class CountMinSpec extends AnyFunSuite {
       CountMin.heavyHittersCard(df, "text", 4, 64, topK = 0)
     }
   }
+
+  test("grids merged over any corpus split equal the single-pass grid bit-for-bit") {
+    val df = Tables.table(spark, TestSpark.sfDir, "documents").limit(300)
+    val full = CountMin.cmsCounters(df, "text", 4, 256)
+      .orderBy("j", "pos").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // two different splits — CMS add is associative/commutative, so
+    // the fold must be split-invariant
+    for (k <- Seq(2L, 7L)) {
+      val merged = CountMin.mergeGrids(
+          CountMin.cmsCounters(df.filter(col("doc_id") % k === 0), "text", 4, 256),
+          CountMin.cmsCounters(df.filter(col("doc_id") % k =!= 0), "text", 4, 256))
+        .orderBy("j", "pos").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      assert(merged.toSeq === full.toSeq, s"merge over %$k split diverged")
+    }
+    // merging an empty grid is the identity
+    val empty = CountMin.cmsCounters(df.filter(lit(false)), "text", 4, 256)
+    val id = CountMin.mergeGrids(CountMin.cmsCounters(df, "text", 4, 256), empty)
+      .orderBy("j", "pos").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(id.toSeq === full.toSeq, "empty-grid merge is not the identity")
+  }
 }

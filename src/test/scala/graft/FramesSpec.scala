@@ -108,10 +108,10 @@ class FramesSpec extends AnyFunSuite {
     }
   }
 
-  test("packSequencesBestFit: doc-preserving, budget-respected, FFD-greedy, deterministic") {
+  test("packSequencesFfd: doc-preserving, budget-respected, FFD-greedy, deterministic") {
     // sizes span tiny to oversized (budget 100): id 1..400, n = id*53 % 130
     val df = (1L to 400L).map(i => (i, i * 53 % 130)).toDF("id", "n_tok")
-    val out = Frames.packSequencesBestFit(df, "id", "n_tok", budget = 100, nShards = 4)
+    val out = Frames.packSequencesFfd(df, "id", "n_tok", budget = 100, nShards = 4)
     val rows = out.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
     // every doc appears exactly once
@@ -143,13 +143,38 @@ class FramesSpec extends AnyFunSuite {
       assert(seq === expect(id), s"doc $id diverges from the FFD replay")
     }
     // partitioning-invariant: same assignment from a different input layout
-    val out2 = Frames.packSequencesBestFit(df.repartition(7), "id", "n_tok",
+    val out2 = Frames.packSequencesFfd(df.repartition(7), "id", "n_tok",
         budget = 100, nShards = 4)
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
     rows.foreach { case (id, _, _, seq) => assert(out2(id) === seq) }
     intercept[IllegalArgumentException] {
-      Frames.packSequencesBestFit(df, "id", "n_tok", budget = 0)
+      Frames.packSequencesFfd(df, "id", "n_tok", budget = 0)
     }
+  }
+
+  test("packSequencesFfd: undersized nShards fails loudly before the buffer can OOM") {
+    val df = (1L to 500L).map(i => (i, 10L)).toDF("id", "n_tok")
+    val e = intercept[org.apache.spark.SparkException] {
+      Frames.packSequencesFfd(df, "id", "n_tok", budget = 100, nShards = 2,
+        maxDocsPerShard = 100L).count()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("maxDocsPerShard") && msg.contains("raise nShards"),
+      s"guard message missing sizing guidance: $msg")
+    // correctly-sized shards still pass under the same cap
+    assert(Frames.packSequencesFfd(df, "id", "n_tok", budget = 100,
+      nShards = 8, maxDocsPerShard = 100L).count() === 500L)
+  }
+
+  test("packSequencesFfd: non-numeric id fails loudly, not as a null-field NPE") {
+    val df = Seq(("docA", 10L), ("docB", 20L)).toDF("id", "n_tok")
+    val e = intercept[Exception] {
+      Frames.packSequencesFfd(df, "id", "n_tok", budget = 100).count()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + msgs(t.getCause)
+    assert(msgs(e).contains("must be numeric"),
+      s"expected the loud id-type message, got: ${msgs(e)}")
   }
 
   test("weightedSampleDeterministic: partitioning-invariant, weight-biased, exact n") {

@@ -85,4 +85,30 @@ class HllSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Hll.hllDistinctCard(df, "text", 8) }
     intercept[IllegalArgumentException] { Hll.hllDistinctCard(df, "text", 1 << 17) }
   }
+
+  test("registers merged over any corpus split equal the single-pass table bit-for-bit") {
+    val df = Tables.table(spark, TestSpark.sfDir, "documents").limit(300)
+    val full = Hll.hllRegisters(df, "text", 64)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getInt(1)))
+    for (k <- Seq(2L, 7L)) {
+      val merged = Hll.mergeRegisters(
+          Hll.hllRegisters(df.filter(col("doc_id") % k === 0), "text", 64),
+          Hll.hllRegisters(df.filter(col("doc_id") % k =!= 0), "text", 64))
+        .orderBy("bucket").collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(merged.toSeq === full.toSeq, s"merge over %$k split diverged")
+    }
+    // idempotence: merging a table with itself is the identity (the
+    // property that makes late/replayed state safe)
+    val regs = Hll.hllRegisters(df, "text", 64)
+    val self = Hll.mergeRegisters(regs, regs)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(self.toSeq === full.toSeq, "self-merge is not the identity")
+  }
+
+  test("empty corpus reads (0, m, 0), never NULL") {
+    val df = bigCorpus.toDF("doc_id", "text").filter(lit(false))
+    val r = Hll.hllDistinctCard(df, "text", 64).head()
+    assert(!r.anyNull, "degenerate card has NULLs")
+    assert(r.getLong(0) === 0L && r.getLong(1) === 64L && r.getLong(2) === 0L)
+  }
 }

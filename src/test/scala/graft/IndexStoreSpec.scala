@@ -232,4 +232,109 @@ class IndexStoreSpec extends AnyFunSuite {
       IndexStore.loadPqCodebooks(spark, pqPath, 1, 2, 2)
     }.getMessage.contains("duplicate"))
   }
+
+  test("CMS grid artifact round-trips bit-for-bit and the cached path serves it") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents").limit(200)
+    val built = graft.operators.CountMin.cmsCounters(docs, "text", 4, 256)
+    val base = tmpDir()
+    val g1 = IndexStore.cmsGridCached(docs, "text", 4, 256, base)
+    val g2 = IndexStore.cmsGridCached(docs, "text", 4, 256, base)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("j", "pos").collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val truth = built.select(col("j").cast("int"), col("pos"), col("cnt"))
+    assert(rows(g1) === rows(truth), "served grid diverged from the built one")
+    assert(rows(g2) === rows(g1), "second (cache-hit) load diverged")
+  }
+
+  test("malformed CMS grid artifacts fail loudly at load") {
+    val path = tmpDir() + "/badcms"
+    def write(rows: Seq[(Int, Long, Long)]): Unit =
+      rows.toDF("j", "pos", "cnt").write.mode("overwrite").parquet(path)
+    // duplicate cell
+    write(Seq((1, 0L, 5L), (1, 0L, 6L)))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadCmsGrid(spark, path, 2, 16)
+    }.getMessage.contains("duplicate"))
+    // row index outside [1, depth]
+    write(Seq((0, 0L, 5L)))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadCmsGrid(spark, path, 2, 16)
+    }.getMessage.contains("row index"))
+    write(Seq((3, 0L, 5L)))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadCmsGrid(spark, path, 2, 16)
+    }.getMessage.contains("row index"))
+    // position outside [0, width)
+    write(Seq((1, 16L, 5L)))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadCmsGrid(spark, path, 2, 16)
+    }.getMessage.contains("position"))
+    // non-positive count
+    write(Seq((1, 0L, 0L)))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadCmsGrid(spark, path, 2, 16)
+    }.getMessage.contains("count"))
+    // more rows than cells
+    write((1 to 2).flatMap(j => (0 until 17).map(p => (j, p.toLong, 1L))))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadCmsGrid(spark, path, 2, 16)
+    }.getMessage.toLowerCase.contains("more than"))
+    // empty
+    spark.emptyDataFrame.select(lit(1).as("j"), lit(0L).as("pos"),
+        lit(1L).as("cnt"))
+      .write.mode("overwrite").parquet(path)
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadCmsGrid(spark, path, 2, 16)
+    }.getMessage.contains("empty"))
+  }
+
+  test("HLL register artifact round-trips bit-for-bit and the cached path serves it") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents").limit(200)
+    val built = graft.operators.Hll.hllRegisters(docs, "text", 64)
+    val base = tmpDir()
+    val r1 = IndexStore.hllRegistersCached(docs, "text", 64, base)
+    val r2 = IndexStore.hllRegistersCached(docs, "text", 64, base)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bucket").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val truth = built.select(col("bucket"), col("mj").cast("int"))
+    assert(rows(r1) === rows(truth), "served registers diverged from the built ones")
+    assert(rows(r2) === rows(r1), "second (cache-hit) load diverged")
+  }
+
+  test("malformed HLL register artifacts fail loudly at load") {
+    val path = tmpDir() + "/badhll"
+    def write(rows: Seq[(Long, Int)]): Unit =
+      rows.toDF("bucket", "mj").write.mode("overwrite").parquet(path)
+    // duplicate bucket
+    write(Seq((0L, 3), (0L, 4)))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadHllRegisters(spark, path, 16)
+    }.getMessage.contains("duplicate"))
+    // bucket outside [0, m)
+    write(Seq((16L, 3)))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadHllRegisters(spark, path, 16)
+    }.getMessage.contains("bucket outside"))
+    // rank outside [1, 31]
+    write(Seq((0L, 0)))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadHllRegisters(spark, path, 16)
+    }.getMessage.contains("rank"))
+    write(Seq((0L, 32)))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadHllRegisters(spark, path, 16)
+    }.getMessage.contains("rank"))
+    // more rows than registers
+    write((0 until 17).map(b => (b.toLong, 1)))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadHllRegisters(spark, path, 16)
+    }.getMessage.toLowerCase.contains("more than"))
+    // empty
+    spark.emptyDataFrame.select(lit(0L).as("bucket"), lit(1).as("mj"))
+      .write.mode("overwrite").parquet(path)
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadHllRegisters(spark, path, 16)
+    }.getMessage.contains("empty"))
+  }
 }
