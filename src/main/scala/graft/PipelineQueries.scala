@@ -1655,6 +1655,45 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- BM25 BIG-PANEL probe against the same persisted index: a
+    //      10x denser panel (every 5th doc) served through the
+    //      sort-merge path the token-bucketed postings were written
+    //      for — the panel shuffles BY TOKEN onto the index's bucket
+    //      layout, the postings/termstats side plans with ZERO
+    //      Exchange (pinned in PlanShapeSpec). Same scoring tail as
+    //      bm25TopK, so the oracle is the inline replay with only the
+    //      probe selector changed ----
+    "text_bm25_topk_bigpanel" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val probes = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(TextAnalysis.cleanTokens(col("text")), 1, 5).as("qterms"))
+      val prefix = Retrieval.bm25IndexCached(docs, "doc_id", "text")
+      Retrieval.bm25TopKFromIndexBigPanel(s, prefix, probes,
+          "query_id", "qterms", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- INCREMENTAL index maintenance: the index is built over
+    //      6/7ths of the corpus, then every 7th doc arrives as a
+    //      delta and is FOLDED IN (postings union, termstats df-sum,
+    //      stats component-sum — exact by doc-id disjointness, no
+    //      base re-tokenize) — the daily-append path at 100 TB. The
+    //      probe against the merged index must be bit-identical to
+    //      the full-corpus inline run, so the oracle IS
+    //      text_bm25_topk's: the split is invisible in the answer ----
+    "text_bm25_topk_delta" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = docs.filter(col("doc_id") % 7 =!= 0)
+      val delta = docs.filter(col("doc_id") % 7 === 0)
+      val probes = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(TextAnalysis.cleanTokens(col("text")), 1, 5).as("qterms"))
+      val prefix = Retrieval.bm25AppendCached(base, delta, "doc_id", "text")
+      Retrieval.bm25TopKFromIndex(s, prefix, probes, "query_id", "qterms", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- hybrid retrieval: BM25 lexical top-10 and dense cosine
     //      top-10 for the same query panel, merged by reciprocal-rank
     //      fusion — pure integer arithmetic (10^9 div (60 + rank)),
@@ -2342,6 +2381,14 @@ object PipelineQueries {
        topk AS (
          SELECT query_id, rank, doc_id, score_micro, n_terms FROM ranked WHERE rank <= 10)"""
 
+  /** [[bm25OracleCtes]] with the probe-panel modulus swapped — the
+    * big-panel query probes every 5th doc instead of every 50th, and
+    * the oracle differs ONLY in that selector (the meeting strategy
+    * is invisible in the answer by construction).
+    */
+  private def bm25OracleCtesMod(probeMod: Int): String =
+    bm25OracleCtes.replace("doc_id % 50 = 0", s"doc_id % $probeMod = 0")
+
   private val oracleSqlBase: Map[String, String] = Map(
     "sim_mmr_rerank" -> mmrOracleSql(5, 20),
     "text_bm25_gate" ->
@@ -2385,6 +2432,8 @@ object PipelineQueries {
          SELECT id, probe_id, score_micro FROM best
          WHERE rk = 1 AND score_micro >= 1300000 ORDER BY id""",
     "text_bm25_topk" -> (bm25OracleCtes +
+      "\n SELECT query_id, rank, doc_id, score_micro, n_terms FROM topk ORDER BY query_id, rank"),
+    "text_bm25_topk_bigpanel" -> (bm25OracleCtesMod(5) +
       "\n SELECT query_id, rank, doc_id, score_micro, n_terms FROM topk ORDER BY query_id, rank"),
     "sim_rrf_hybrid" -> (bm25OracleCtes +
       """,
@@ -6202,6 +6251,9 @@ object PipelineQueries {
     "sim_topk_ivf_loaded" -> oracleSqlBase("sim_topk_ivf"),
     "sim_topk_pq_loaded" -> oracleSqlBase("sim_topk_pq"),
     "text_bm25_topk_idx" -> oracleSqlBase("text_bm25_topk"),
+    // the merge is exact by doc-id disjointness, so the delta-built
+    // index must answer identically to the full-corpus inline run
+    "text_bm25_topk_delta" -> oracleSqlBase("text_bm25_topk"),
     "q_curation_v3_served" -> oracleSqlBase("q_curation_v3"),
     "sim_topk_ivfpq_loaded" -> oracleSqlBase("sim_topk_ivfpq"),
     "sim_topk_ivfsq8_loaded" -> oracleSqlBase("sim_topk_ivfsq8"),

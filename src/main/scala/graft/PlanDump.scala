@@ -194,6 +194,26 @@ object PlanDump {
         "exchange attaches per-doc lengths. Per-term scores floor to longs " +
         "BEFORE the per-doc sum (order-independent), the top-k window is " +
         "partitioned by query_id. Never queries x docs."),
+    "text_bm25_topk_bigpanel" ->
+      ("Big-panel probe of the persisted index: the panel's exploded " +
+        "terms shuffle BY TOKEN onto the postings' bucket layout and " +
+        "sort-merge against them — the postings and termstats scans are " +
+        "already hash-distributed by the bucketed write, so the index " +
+        "side of both joins plans with ZERO Exchange (PlanShapeSpec pins " +
+        "it). The data moved per probe is ONE panel-sized shuffle; at a " +
+        "decontamination panel of millions of probes this replaces the " +
+        "broadcast gate, which would ship the panel to every task."),
+    "text_bm25_topk_delta" ->
+      ("Incremental maintenance probe: the index is base + appended " +
+        "delta SEGMENT (postings written delta-sized, termstats df " +
+        "re-summed across segments behind an explicit repartition " +
+        "barrier, stats component-summed) — the probe plan is the " +
+        "broadcast gate over the segment union, and the answer is " +
+        "bit-identical to the full rebuild because tf/dl are per-doc " +
+        "facts and df/stats are sums of disjoint longs. The append " +
+        "itself never re-tokenizes the base: its guard is a map-only " +
+        "Bloom digest probe of the delta ids plus an exact confirm " +
+        "against n_docs-long id tables."),
     "q_temperature_mix" ->
       ("Sqrt-temperature sampling: one map-side-combined count aggregate " +
         "produces the source-sized rate card (floor(sqrt(n)) weights, " +

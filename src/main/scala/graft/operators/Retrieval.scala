@@ -116,15 +116,28 @@ object Retrieval {
     *     shuffles corpus-sized data), bucketed+sorted by token;
     *   - `{prefix}_termstats` (token, df) — vocab-sized, bucketed by
     *     token;
-    *   - `{prefix}_stats` — the single row (n_docs, total_tokens).
+    *   - `{prefix}_stats` — one row: (n_docs, total_tokens) plus the
+    *     audit/layout metadata (lineage, segments, digest params);
+    *   - `{prefix}_ids` (doc_id) and `{prefix}_iddigest` (the doc-id
+    *     Bloom words) — the exact and approximate membership tiers
+    *     [[appendToBm25Index]]'s disjointness guard probes.
     *
-    * Bucketing by token means a future big-PANEL probe (a query set
-    * too large to broadcast) can sort-merge against the postings with
-    * no Exchange on the index side; the broadcast gate in
-    * [[bm25TopKFromIndex]] stays the default for panel-sized probes.
+    * Bucketing by token means a big-PANEL probe (a query set too
+    * large to broadcast) can sort-merge against the postings with no
+    * Exchange on the index side ([[bm25TopKFromIndexBigPanel]]); the
+    * broadcast gate in [[bm25TopKFromIndex]] stays the default for
+    * panel-sized probes.
     */
+  /** Digest floor: 2^20 bits = 128 KB; [[digestSizing]] scales up
+    * from here at ~16 bits/doc (FP ≈ 0.24% at k=4).
+    */
+  val DefaultDigestMBits: Int = 1 << 20
+  val DefaultDigestK: Int = 4
+
   def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
-                     prefix: String, buckets: Int = 32): Unit = {
+                     prefix: String, buckets: Int = 32,
+                     lineage: String = "full",
+                     digestK: Int = DefaultDigestK): Unit = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.cleanTokens(col(textCol))).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token"))
@@ -132,6 +145,7 @@ object Retrieval {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Bucketing.writeBucketed(tf.join(dl, Seq("doc_id"))
           .select(col("token"), col("doc_id"), col("tf"), col("dl")),
         s"${prefix}_postings", "token", buckets, Seq("token", "doc_id"))
@@ -139,10 +153,295 @@ object Retrieval {
         tf.groupBy(col("token")).agg(count(lit(1)).as("df")),
         s"${prefix}_termstats", "token", buckets, Seq("token"))
       val spark = docs.sparkSession
+      val statsRow = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_tokens")).head()
+      val nDocs = statsRow.getLong(0)
+      val mBits = digestSizing(nDocs)
+      writeIdTable(spark, prefix, dl.select(col("doc_id")))
+      writeIdDigest(spark, prefix,
+        Bloom.buildLongKeyBloom(dl, "doc_id", mBits, digestK))
       Bucketing.dropTableAndLocation(spark, s"${prefix}_stats")
-      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+      spark.range(1).select(
+          lit(nDocs).as("n_docs"),
+          lit(statsRow.getLong(1)).as("total_tokens"),
+          lit(lineage).as("lineage"),
+          lit(prefix).as("segments"),
+          lit(mBits).as("digest_mbits"),
+          lit(digestK).as("digest_k"))
         .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
+      dl.unpersist(blocking = false)
     } finally tf.unpersist(blocking = false)
+  }
+
+  /** Digest bit-count for an id set: ~16 bits/doc (FP ≈ 0.24% at
+    * k=4), as a power of two in [2^20, 2^26]. Above the cap (4M+
+    * docs in one segment) the FP rate degrades gracefully — flagged
+    * ids only pay the exact ids-table confirm, never correctness.
+    */
+  private[operators] def digestSizing(nDocs: Long): Int = {
+    var m = DefaultDigestMBits.toLong
+    while (m < 16L * nDocs && m < (1L << 26)) m <<= 1
+    m.toInt
+  }
+
+  /** The exact per-segment id set as a one-column table — the CHEAP
+    * confirm tier of the append guard: n_docs longs instead of a
+    * postings-sized scan when the digest flags Bloom-possible ids.
+    */
+  private def writeIdTable(spark: SparkSession, prefix: String,
+                           ids: DataFrame): Unit = {
+    Bucketing.dropTableAndLocation(spark, s"${prefix}_ids")
+    ids.select(col("doc_id"))
+      .write.mode("overwrite").saveAsTable(s"${prefix}_ids")
+  }
+
+  /** The per-segment doc-id membership digest ([[Bloom.buildLongKeyBloom]]
+    * words) as a tiny catalog table — what lets an append GUARD
+    * against doc re-submission by probing mBits/8 bytes instead of
+    * scanning the base postings.
+    */
+  private def writeIdDigest(spark: SparkSession, prefix: String,
+                            words: Array[Long]): Unit = {
+    import spark.implicits._
+    Bucketing.dropTableAndLocation(spark, s"${prefix}_iddigest")
+    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq
+      .toDF("idx", "word")
+      .coalesce(1)
+      .write.mode("overwrite").saveAsTable(s"${prefix}_iddigest")
+  }
+
+  private def readIdDigest(spark: SparkSession, prefix: String,
+                           mBits: Int): Array[Long] = {
+    val rows = spark.table(s"${prefix}_iddigest").collect()
+    val words = new Array[Long](mBits / 64)
+    val seen = new Array[Boolean](words.length)
+    require(rows.length == words.length,
+      s"id digest ${prefix}_iddigest has ${rows.length} words, expected ${words.length}")
+    rows.foreach { r =>
+      val i = r.getLong(0)
+      require(i >= 0 && i < words.length && !seen(i.toInt),
+        s"id digest ${prefix}_iddigest has duplicate or out-of-range word index $i")
+      seen(i.toInt) = true
+      words(i.toInt) = r.getLong(1)
+    }
+    words
+  }
+
+  /** Incremental index maintenance: fold a DELTA of NEW documents
+    * into an existing index without re-reading the old corpus — the
+    * daily-append path of a 100 TB pipeline, where rebuilding from
+    * scratch re-tokenizes everything ever ingested to index one day's
+    * arrivals. The merge is exact by disjointness: appended doc ids
+    * must not exist in the base (guarded loudly — an "append" of a
+    * known doc would double-count tf), so
+    *   - postings: base ∪ delta (each posting's denormalized dl is a
+    *     per-doc fact, untouched by the merge),
+    *   - termstats: per-token SUM of base df + delta df,
+    *   - stats: component sums of exact longs,
+    * and build(base)+append(delta) is BIT-IDENTICAL to build(full) —
+    * the `text_bm25_topk_delta` oracle's claim. Work scales with the
+    * DELTA (tokenize + tf/df/dl aggregates over new docs only) plus
+    * one pass over base postings/termstats for the compacting
+    * bucketed rewrite — never a corpus re-tokenize. The rewrite IS
+    * the compaction: the merged index is one bucketed layout, not a
+    * pile of delta files, so every probe plan (broadcast gate or
+    * big-panel sort-merge) is unchanged. Lineage lands in the stats
+    * table: `base_lineage+delta_fingerprint`, the audit trail of what
+    * was folded in.
+    */
+  /** Incremental index maintenance, LSM-style: fold a DELTA of NEW
+    * documents into an existing index by writing a new SEGMENT —
+    * delta-sized postings/termstats/digest tables plus a merged
+    * single-row stats — without reading, rewriting, or re-tokenizing
+    * ANYTHING base-sized. The daily-append path of a 100 TB pipeline:
+    * work scales with the day's arrivals, full stop.
+    *
+    * Exactness rests on doc-id disjointness (an "append" of a known
+    * doc would double-count tf), guarded WITHOUT a base scan: each
+    * segment carries a doc-id Bloom digest (mBits/8 bytes), the delta
+    * ids probe the OR of the base digests map-only, and only
+    * Bloom-POSSIBLE ids (false-positive-rate × delta of them, usually
+    * none) pay an exact confirm join against the per-segment id
+    * tables (n_docs longs, never a postings-sized read). No
+    * false negatives → a real re-submission can never slip through.
+    *
+    * The merged index is SEGMENTED (stats.segments lists the parts);
+    * probes compose segments transparently — postings union per
+    * segment, termstats df re-summed — and stay bit-identical to a
+    * full rebuild because tf/dl are per-doc facts and df/stats are
+    * sums of disjoint longs (the `text_bm25_topk_delta` oracle's
+    * claim). Probe cost grows with segment count until
+    * [[compactBm25Index]] folds the parts back into one bucketed
+    * layout (which restores the big-panel zero-Exchange plan) — the
+    * classic append-fast/compact-later split.
+    */
+  def appendToBm25Index(spark: SparkSession, basePrefix: String,
+                        deltaDocs: DataFrame, idCol: String, textCol: String,
+                        newPrefix: String, buckets: Int = 32): Unit = {
+    require(newPrefix != basePrefix,
+      "append must write a NEW index prefix — the base tables feed the merge")
+    val meta = readStatsMeta(spark, basePrefix)
+    require(!meta.segments.contains(newPrefix),
+      s"appendToBm25Index: segment prefix $newPrefix already in $basePrefix")
+    val deltaFp = IndexStore.corpusFingerprint(deltaDocs, Seq(idCol, textCol))
+    val toks = deltaDocs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.cleanTokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // ---- disjointness guard, tier 1: map-only probe of the base
+      //      digests over the DELTA ids — zero base-sized reads ----
+      val baseWords = meta.segments
+        .map(p => readIdDigest(spark, p, meta.digestMBits))
+        .reduce((a, b) => a.zip(b).map { case (x, y) => x | y })
+      val flagged = dl
+        .filter(Bloom.longKeyBloomMayContain(col("doc_id"), baseWords,
+          meta.digestMBits, meta.digestK))
+        .select(col("doc_id"))
+      // ---- tier 2: ONLY Bloom-possible ids (FP-rate x delta of
+      //      them) pay an exact confirm — against the n_docs-long
+      //      per-segment id tables, never the postings ----
+      if (!flagged.isEmpty) {
+        val baseIds = meta.segments
+          .map(p => spark.table(s"${p}_ids"))
+          .reduce(_ unionByName _)
+        val clash = baseIds
+          .join(flagged, Seq("doc_id"), "left_semi")
+          .select(col("doc_id")).limit(1).collect()
+        require(clash.isEmpty,
+          s"appendToBm25Index: delta re-submits doc_id ${clash.headOption.map(_.get(0)).getOrElse("")} " +
+            s"already in $basePrefix — append is for NEW documents; rebuild to replace")
+      }
+      Bucketing.writeBucketed(tf.join(dl, Seq("doc_id"))
+          .select(col("token"), col("doc_id"), col("tf"), col("dl")),
+        s"${newPrefix}_postings", "token", buckets, Seq("token", "doc_id"))
+      Bucketing.writeBucketed(
+        tf.groupBy(col("token")).agg(count(lit(1)).as("df")),
+        s"${newPrefix}_termstats", "token", buckets, Seq("token"))
+      writeIdTable(spark, newPrefix, dl.select(col("doc_id")))
+      writeIdDigest(spark, newPrefix,
+        Bloom.buildLongKeyBloom(dl, "doc_id", meta.digestMBits, meta.digestK))
+      Bucketing.dropTableAndLocation(spark, s"${newPrefix}_stats")
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+        .select(
+          (col("n_docs") + lit(meta.nDocs)).as("n_docs"),
+          (col("total_tokens") + lit(meta.totalTokens)).as("total_tokens"),
+          lit(s"${meta.lineage}+$deltaFp").as("lineage"),
+          lit((meta.segments :+ newPrefix).mkString(",")).as("segments"),
+          lit(meta.digestMBits).as("digest_mbits"),
+          lit(meta.digestK).as("digest_k"))
+        .write.mode("overwrite").saveAsTable(s"${newPrefix}_stats")
+      dl.unpersist(blocking = false)
+    } finally tf.unpersist(blocking = false)
+  }
+
+  /** Compact a segmented index back into ONE bucketed layout — the
+    * amortized pass that pays the base-sized rewrite appends avoid:
+    * postings union rewritten token-bucketed, termstats re-summed,
+    * digests OR-folded, totals carried. Probe results are unchanged
+    * bit-for-bit (per-doc facts and exact sums commute with the
+    * layout); what compaction buys back is plan shape — one postings
+    * scan instead of a per-segment union, and the big-panel
+    * sort-merge path's ZERO index-side Exchange again.
+    */
+  def compactBm25Index(spark: SparkSession, prefix: String,
+                       newPrefix: String, buckets: Int = 32): Unit = {
+    require(newPrefix != prefix,
+      "compaction must write a NEW index prefix")
+    val meta = readStatsMeta(spark, prefix)
+    Bucketing.writeBucketed(
+      meta.segments.map(p => spark.table(s"${p}_postings"))
+        .reduce(_ unionByName _),
+      s"${newPrefix}_postings", "token", buckets, Seq("token", "doc_id"))
+    // repartition before the agg: same-bucketed-union hazard (see
+    // loadIndexTables) — without the explicit barrier the planner
+    // elides the Exchange and writes per-segment partial df rows
+    Bucketing.writeBucketed(
+      meta.segments.map(p => spark.table(s"${p}_termstats"))
+        .reduce(_ unionByName _)
+        .repartition(col("token"))
+        .groupBy(col("token")).agg(sum(col("df")).as("df")),
+      s"${newPrefix}_termstats", "token", buckets, Seq("token"))
+    val mergedIds = meta.segments.map(p => spark.table(s"${p}_ids"))
+      .reduce(_ unionByName _)
+    writeIdTable(spark, newPrefix, mergedIds)
+    // digest RE-SIZED for the merged doc count and rebuilt from the
+    // ids table (n_docs longs — cheap), so a corpus that outgrew the
+    // base sizing gets its FP rate back at every compaction; same
+    // ids + same params => bit-equal to a from-scratch build's digest
+    val mBits = digestSizing(meta.nDocs)
+    writeIdDigest(spark, newPrefix,
+      Bloom.buildLongKeyBloom(spark.table(s"${newPrefix}_ids"), "doc_id",
+        mBits, meta.digestK))
+    Bucketing.dropTableAndLocation(spark, s"${newPrefix}_stats")
+    spark.range(1).select(
+        lit(meta.nDocs).as("n_docs"),
+        lit(meta.totalTokens).as("total_tokens"),
+        lit(s"${meta.lineage}+compact").as("lineage"),
+        lit(newPrefix).as("segments"),
+        lit(mBits).as("digest_mbits"),
+        lit(meta.digestK).as("digest_k"))
+      .write.mode("overwrite").saveAsTable(s"${newPrefix}_stats")
+  }
+
+  /** Build-once gate for the APPENDED index: base index via
+    * [[bm25IndexCached]], then the delta appended as a segment under
+    * a prefix keyed by base fingerprint + delta fingerprint —
+    * re-running with the same corpora serves the segmented index
+    * without re-appending.
+    */
+  def bm25AppendCached(baseDocs: DataFrame, deltaDocs: DataFrame,
+                       idCol: String, textCol: String,
+                       buckets: Int = 32): String = {
+    val spark = baseDocs.sparkSession
+    val basePrefix = bm25IndexCached(baseDocs, idCol, textCol, buckets)
+    val dfp = IndexStore.corpusFingerprint(deltaDocs, Seq(idCol, textCol))
+    val prefix = s"${basePrefix}_plus_$dfp"
+    val have = Seq("postings", "termstats", "stats", "ids", "iddigest")
+      .forall(s => spark.catalog.tableExists(s"${prefix}_$s"))
+    if (!have)
+      appendToBm25Index(spark, basePrefix, deltaDocs, idCol, textCol,
+        prefix, buckets)
+    prefix
+  }
+
+  /** Build-once gate for compaction of `prefix`, keyed by its own
+    * name — serves the compacted layout when it already exists.
+    */
+  def bm25CompactCached(spark: SparkSession, prefix: String,
+                        buckets: Int = 32): String = {
+    val newPrefix = s"${prefix}_c"
+    val have = Seq("postings", "termstats", "stats", "ids", "iddigest")
+      .forall(s => spark.catalog.tableExists(s"${newPrefix}_$s"))
+    if (!have) compactBm25Index(spark, prefix, newPrefix, buckets)
+    newPrefix
+  }
+
+  /** Parsed audit/layout metadata from an index's stats table, with
+    * single-segment defaults for indexes written before the
+    * segmented layout existed.
+    */
+  private case class StatsMeta(nDocs: Long, totalTokens: Long,
+                               lineage: String, segments: Seq[String],
+                               digestMBits: Int, digestK: Int)
+
+  private def readStatsMeta(spark: SparkSession, prefix: String): StatsMeta = {
+    val raw = spark.table(s"${prefix}_stats")
+    require(raw.columns.startsWith(Seq("n_docs", "total_tokens")),
+      s"malformed stats table ${prefix}_stats: ${raw.columns.mkString(",")}")
+    val row = raw.head()
+    def strCol(name: String, dflt: String): String =
+      if (raw.columns.contains(name)) row.getAs[String](name) else dflt
+    def intCol(name: String, dflt: Int): Int =
+      if (raw.columns.contains(name)) row.getAs[Int](name) else dflt
+    StatsMeta(row.getAs[Long]("n_docs"), row.getAs[Long]("total_tokens"),
+      strCol("lineage", "full"),
+      strCol("segments", prefix).split(",").toSeq,
+      intCol("digest_mbits", DefaultDigestMBits),
+      intCol("digest_k", DefaultDigestK))
   }
 
   /** BM25 top-k against the PERSISTED index: identical semantics and
@@ -158,16 +457,7 @@ object Retrieval {
                         queries: DataFrame, qidCol: String, qtermsCol: String,
                         k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, "k must be positive")
-    val postings = spark.table(s"${prefix}_postings")
-    val termstats = spark.table(s"${prefix}_termstats")
-    val stats = spark.table(s"${prefix}_stats")
-    require(postings.columns.sameElements(Array("token", "doc_id", "tf", "dl")),
-      s"malformed postings table ${prefix}_postings: ${postings.columns.mkString(",")}")
-    require(termstats.columns.sameElements(Array("token", "df")),
-      s"malformed termstats table ${prefix}_termstats: ${termstats.columns.mkString(",")}")
-    require(stats.columns.sameElements(Array("n_docs", "total_tokens")) &&
-      stats.count() == 1,
-      s"malformed stats table ${prefix}_stats — must be the single corpus-stats row")
+    val (postings, termstats, stats) = loadIndexTables(spark, prefix)
     val qt = queries.select(col(qidCol).as("query_id"),
         explode(col(qtermsCol)).as("token"))
       .distinct()
@@ -175,6 +465,93 @@ object Retrieval {
       Seq("token"))
     val cand = postings.join(broadcast(qt.join(qdf, Seq("token"))), Seq("token"))
     scoreCandidates(cand, stats, k, k1, b)
+  }
+
+  /** BM25 top-k against the persisted index for a panel TOO LARGE TO
+    * BROADCAST — the big-panel path the token-bucketed index layout
+    * was built for. Bit-identical results to [[bm25TopKFromIndex]]
+    * (same scoring tail, same set semantics); only the MEETING
+    * strategy changes: instead of broadcasting the panel's terms into
+    * a hash probe, the panel is shuffled BY TOKEN to the postings'
+    * bucket layout and sort-merged — the postings and termstats scans
+    * are already hash-distributed by the bucketed write, so the index
+    * side of both joins plans with ZERO Exchange (pinned in
+    * PlanShapeSpec). At 100 TB this is the shape for a
+    * decontamination panel of millions of probes: the data moved is
+    * ONE panel-sized shuffle, never the postings table.
+    *
+    * The `merge` hints are structural, not advisory tuning: they
+    * declare that this entry point must never plan a broadcast (the
+    * panel is big by contract), so AQE cannot flip a test-scale run
+    * back to the panel-sized plan this method exists to avoid.
+    */
+  def bm25TopKFromIndexBigPanel(spark: SparkSession, prefix: String,
+                                queries: DataFrame, qidCol: String,
+                                qtermsCol: String, k: Int, k1: Double = 1.2,
+                                b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    // the sort-merge meet leans on the postings scan's OWN bucket
+    // partitioning; a segmented union cannot provide that (the
+    // same-bucketed-union hazard in loadIndexTables would make the
+    // merge silently drop matches) — compact first, loudly
+    require(readStatsMeta(spark, prefix).segments == Seq(prefix),
+      s"bm25TopKFromIndexBigPanel: $prefix is a segmented index — " +
+        "run compactBm25Index/bm25CompactCached first (the big-panel " +
+        "sort-merge path requires the single bucketed layout)")
+    val (postings, termstats, stats) = loadIndexTables(spark, prefix)
+    val qt = queries.select(col(qidCol).as("query_id"),
+        explode(col(qtermsCol)).as("token"))
+      .distinct()
+    // df attach: panel terms shuffle by token onto termstats' buckets
+    val qdf = termstats.join(qt.select(col("token")).distinct().hint("merge"),
+      Seq("token"))
+    // candidate generation: (query_id, token, df) shuffles by token
+    // onto the postings' buckets; postings side stays in place
+    val cand = postings.join(qt.join(qdf, Seq("token")).hint("merge"),
+      Seq("token"))
+    scoreCandidates(cand, stats, k, k1, b)
+  }
+
+  /** Load + schema-validate the persisted index, composing segments
+    * transparently: postings = per-segment union, termstats = per-
+    * segment df re-sum (exact longs over disjoint doc sets), stats =
+    * the head segment's merged totals. A single-segment (fresh-built
+    * or compacted) index resolves to the plain tables with NO extra
+    * operators, so the zero-Exchange probe plans are untouched. The
+    * stats check is one tiny eager action against a single-row table
+    * — the price of never serving a torn index. */
+  private def loadIndexTables(spark: SparkSession, prefix: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val stats = spark.table(s"${prefix}_stats")
+    require(stats.columns.startsWith(Seq("n_docs", "total_tokens")) &&
+      stats.count() == 1,
+      s"malformed stats table ${prefix}_stats — must be the single corpus-stats row")
+    val meta = readStatsMeta(spark, prefix)
+    val parts = meta.segments.map { p =>
+      val postings = spark.table(s"${p}_postings")
+      val termstats = spark.table(s"${p}_termstats")
+      require(postings.columns.sameElements(Array("token", "doc_id", "tf", "dl")),
+        s"malformed postings table ${p}_postings: ${postings.columns.mkString(",")}")
+      require(termstats.columns.sameElements(Array("token", "df")),
+        s"malformed termstats table ${p}_termstats: ${termstats.columns.mkString(",")}")
+      (postings, termstats)
+    }
+    val postings = parts.map(_._1).reduce(_ unionByName _)
+    // HAZARD (pinned in RetrievalSpec "union of same-bucketed
+    // tables"): a Union of scans bucketed on the SAME key reports a
+    // partitioning that satisfies ClusteredDistribution(key), but the
+    // union CONCATENATES partitions — key k lives in partition i AND
+    // i+32 — so an aggregate on the bucket key planned without an
+    // Exchange returns per-segment partial rows. The explicit
+    // repartition is the correctness barrier (vocab-sized: cheap).
+    val termstats =
+      if (parts.size == 1) parts.head._2
+      else parts.map(_._2).reduce(_ unionByName _)
+        .repartition(col("token"))
+        .groupBy(col("token")).agg(sum(col("df")).as("df"))
+    // the trailing audit/layout columns are metadata — they must
+    // never ride into the scoring crossJoin
+    (postings, termstats, stats.select(col("n_docs"), col("total_tokens")))
   }
 
   /** Build-once gate for the persisted index: returns the table
@@ -190,9 +567,10 @@ object Retrieval {
     val spark = docs.sparkSession
     val fp = IndexStore.corpusFingerprint(docs, Seq(idCol, textCol))
     val prefix = s"bm25_v1_$fp"
-    val have = Seq("postings", "termstats", "stats")
+    val have = Seq("postings", "termstats", "stats", "ids", "iddigest")
       .forall(s => spark.catalog.tableExists(s"${prefix}_$s"))
-    if (!have) buildBm25Index(docs, idCol, textCol, prefix, buckets)
+    if (!have) buildBm25Index(docs, idCol, textCol, prefix, buckets,
+      lineage = fp)
     prefix
   }
 

@@ -278,6 +278,60 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(aggs <= 6, s"probe plan re-aggregates index-build work:\n$p")
   }
 
+  test("bm25TopKFromIndexBigPanel: index side plans with ZERO Exchange — the panel moves, the postings never do") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    // a LITERAL synthesized panel (no file scan), so every file scan
+    // in the probe plan is an index table by construction
+    val probes = spark.range(1, 2000)
+      .select(col("id").as("query_id"),
+        array(concat(lit("tok"), (col("id") % 37).cast("string")),
+          lit("the"), lit("data")).as("qterms"))
+    val prefix = graft.operators.Retrieval.bm25IndexCached(docs, "doc_id", "text")
+    val df = graft.operators.Retrieval.bm25TopKFromIndexBigPanel(spark, prefix,
+      probes, "query_id", "qterms", k = 10)
+    val p = plan(df)
+    assert(!p.contains("documents.parquet"), s"probe plan rescans the corpus:\n$p")
+    // both index joins sort-merge; a broadcast here would mean AQE
+    // flipped the big-panel contract back to a panel-sized plan
+    assert(countOccurrences(p, "SortMergeJoin") >= 2,
+      s"index tables must meet the panel via sort-merge:\n$p")
+    // structural pin: walking DOWN from any Exchange, an index-table
+    // scan reachable without crossing a join means the index itself
+    // was shuffled or broadcast — the exact cost this path avoids.
+    // (Exchanges ABOVE a join move candidate-sized data: allowed.)
+    def root(q: org.apache.spark.sql.DataFrame): SparkPlan =
+      q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case other => other
+      }
+    def isJoin(n: SparkPlan): Boolean = n match {
+      case _: SortMergeJoinExec | _: BroadcastHashJoinExec |
+           _: ShuffledHashJoinExec | _: BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }
+    def reachesIndexScanWithoutJoin(n: SparkPlan): Boolean = n match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("bm25_"))
+      case j if isJoin(j) => false
+      case other => other.children.exists(reachesIndexScanWithoutJoin)
+    }
+    val tree = root(df)
+    val scans = tree.collect {
+      case f: FileSourceScanExec if f.tableIdentifier.exists(_.table.startsWith("bm25_")) => f
+    }
+    assert(scans.size >= 2, s"expected postings+termstats scans in:\n$p")
+    val offending = tree.collect {
+      case e: ShuffleExchangeExec if e.children.exists(reachesIndexScanWithoutJoin) => e
+      case e: BroadcastExchangeExec if e.children.exists(reachesIndexScanWithoutJoin) => e
+    }
+    assert(offending.isEmpty,
+      s"index-table scan shuffled/broadcast before its join:\n${offending.mkString("\n")}\n$p")
+  }
+
   test("near-dup cluster chain: hash-keyed pair self-join, broadcast canonical mapping") {
     import graft.operators.Dedup
     val docs = Tables.table(spark, TestSpark.sfDir, "documents")

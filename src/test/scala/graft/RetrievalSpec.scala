@@ -254,6 +254,135 @@ class RetrievalSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS `${prefix}_stats`")
   }
 
+  test("big-panel sort-merge probe is row-for-row identical to the inline path") {
+    val docs = docsDf
+    // a DENSE panel — the shape this entry point exists for
+    val probes = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(graft.operators.TextAnalysis.cleanTokens(col("text")), 1, 5)
+          .as("qterms"))
+    val direct = Retrieval.bm25TopK(docs, "doc_id", "text",
+        probes, "query_id", "qterms", k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+    val prefix = Retrieval.bm25IndexCached(docs, "doc_id", "text")
+    val big = Retrieval.bm25TopKFromIndexBigPanel(spark, prefix,
+        probes, "query_id", "qterms", k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(direct.nonEmpty && direct.sameElements(big),
+      "big-panel probe diverged from the inline path")
+  }
+
+  test("append(delta) onto build(base), then compaction, equals build(full)") {
+    val docs = docsDf
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val probes = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(graft.operators.TextAnalysis.cleanTokens(col("text")), 1, 5)
+          .as("qterms"))
+    val fullPrefix = Retrieval.bm25IndexCached(docs, "doc_id", "text")
+    val merged = Retrieval.bm25AppendCached(base, delta, "doc_id", "text")
+    // the SEGMENTED probe answers bit-identically to the full-built
+    // index — per-doc facts and exact sums are layout-invariant
+    val fromFull = Retrieval.bm25TopKFromIndex(spark, fullPrefix,
+        probes, "query_id", "qterms", k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+    val fromSeg = Retrieval.bm25TopKFromIndex(spark, merged,
+        probes, "query_id", "qterms", k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(fromFull.nonEmpty && fromFull.sameElements(fromSeg),
+      "segmented probe diverged from the full-built index")
+    // the append itself wrote only DELTA-sized tables (the O(delta)
+    // claim): the new segment's postings cover only delta docs
+    val segIds = spark.table(s"${merged}_postings")
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(segIds.nonEmpty && segIds.forall(_ % 3 == 0),
+      "append wrote base rows — it must write the delta segment only")
+    // compaction folds segments into ONE layout, table-for-table
+    // equal to the full rebuild
+    val compacted = Retrieval.bm25CompactCached(spark, merged)
+    def rows(table: String, order: Seq[String]) =
+      spark.table(table).orderBy(order.map(col): _*).collect().toSeq
+    assert(rows(s"${compacted}_postings", Seq("token", "doc_id")) ===
+      rows(s"${fullPrefix}_postings", Seq("token", "doc_id")),
+      "compacted postings diverge from the full rebuild")
+    assert(rows(s"${compacted}_termstats", Seq("token")) ===
+      rows(s"${fullPrefix}_termstats", Seq("token")),
+      "compacted termstats diverge from the full rebuild")
+    // the OR-folded id digest equals the digest built over all ids —
+    // per-id bit positions are deterministic, so OR commutes
+    assert(rows(s"${compacted}_iddigest", Seq("idx")) ===
+      rows(s"${fullPrefix}_iddigest", Seq("idx")),
+      "OR-folded digest diverges from the full-built digest")
+    val ms = spark.table(s"${compacted}_stats").head()
+    val fs = spark.table(s"${fullPrefix}_stats").head()
+    assert(ms.getAs[Long]("n_docs") === fs.getAs[Long]("n_docs") &&
+      ms.getAs[Long]("total_tokens") === fs.getAs[Long]("total_tokens"))
+    // lineage records the fold and the compaction
+    assert(ms.getAs[String]("lineage").contains("+compact"),
+      s"lineage missing records: ${ms.getAs[String]("lineage")}")
+    // and the compacted probe still answers identically
+    val fromCompact = Retrieval.bm25TopKFromIndex(spark, compacted,
+        probes, "query_id", "qterms", k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(fromFull.sameElements(fromCompact),
+      "compacted probe diverged")
+    // second cached calls serve, never re-merge (same prefixes back)
+    assert(Retrieval.bm25AppendCached(base, delta, "doc_id", "text") === merged)
+    assert(Retrieval.bm25CompactCached(spark, merged) === compacted)
+    // re-submitting ALREADY-INDEXED docs as a delta fails loudly —
+    // a silent double-count is the one corruption the merge math
+    // cannot detect downstream (the digest flags them, the exact
+    // confirm convicts them)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.appendToBm25Index(spark, merged,
+        delta.limit(5), "doc_id", "text", s"${merged}_oops")
+    }
+    assert(e.getMessage.contains("re-submits"), e.getMessage)
+    // and appending in place is refused outright
+    assert(intercept[IllegalArgumentException] {
+      Retrieval.appendToBm25Index(spark, merged, delta, "doc_id", "text", merged)
+    }.getMessage.contains("NEW index prefix"))
+    // the big-panel sort-merge path refuses a segmented index loudly
+    // (its zero-Exchange meet needs the single bucketed layout) and
+    // serves the compacted one
+    assert(intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKFromIndexBigPanel(spark, merged,
+        probes, "query_id", "qterms", k = 10)
+    }.getMessage.contains("compact"))
+    val bigFromCompact = Retrieval.bm25TopKFromIndexBigPanel(spark, compacted,
+        probes, "query_id", "qterms", k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(fromFull.sameElements(bigFromCompact))
+  }
+
+  test("union of same-bucketed tables: aggregates on the bucket key stay exact") {
+    // pins the planner hazard the segment merges guard against: a
+    // Union of two scans bucketed on the same key satisfies the
+    // aggregate's distribution requirement WITHOUT an Exchange, but
+    // union concatenates partitions, so key k lives in two of them —
+    // an unbarriered agg returns per-table partial rows. The segment
+    // merge paths repartition() first; this test fails if that
+    // barrier is ever dropped.
+    import graft.operators.Bucketing
+    val a = (1L to 100L).map(i => (s"k${i % 10}", 1L)).toDF("key", "v")
+    val b = (1L to 50L).map(i => (s"k${i % 10}", 10L)).toDF("key", "v")
+    Bucketing.writeBucketed(a, "ubt_a", "key", 8, Seq("key"))
+    Bucketing.writeBucketed(b, "ubt_b", "key", 8, Seq("key"))
+    val u = spark.table("ubt_a").unionByName(spark.table("ubt_b"))
+    val merged = u.repartition(col("key"))
+      .groupBy(col("key")).agg(sum(col("v")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(merged.size === 10, s"barriered agg returned ${merged.size} rows")
+    assert(merged("k1") === 10L + 50L)
+    // document the hazard itself: the UNBARRIERED agg over this union
+    // may split groups (observed on the current planner); if a Spark
+    // upgrade fixes it, both branches of this assert stay valid
+    // because the barriered result above is the contract
+    val raw = u.groupBy(col("key")).agg(sum(col("v")).as("v")).count()
+    assert(raw >= 10, "aggregate lost groups outright")
+  }
+
   test("rrfFuse cut is exact: k bounds each query independently") {
     val run = Seq.tabulate(30)(i => (i % 3).toLong -> (i + 1))
       .zipWithIndex.map { case ((q, r), i) => (q, r, (100 + i).toLong) }
