@@ -1442,6 +1442,79 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- compressed audio, G.711 mu-law: one companded byte per
+    //      sample, decoded by the public ITU table arithmetic — a
+    //      pure function of the byte, so the oracle replays the
+    //      decode expression over the fixture's byte formula and the
+    //      feature aggregates must match exactly ----
+    "multimodal_decode_mulaw" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "wav_mulaw")
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+          new graft.operators.Multimodal.PureJvmCodec())
+        .select(col("id").as("doc_id"),
+          col("decoded.meta.duration_ms").as("dur_ms"),
+          element_at(col("decoded.features"), 3).cast(LongType).as("n_samples"),
+          element_at(col("decoded.features"), 4).cast(LongType).as("s_first"),
+          element_at(col("decoded.features"), 5).cast(LongType).as("s_last"),
+          element_at(col("decoded.features"), 6).cast(LongType).as("sum_abs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- compressed audio, G.711 A-law: same discipline, xor-0x55
+    //      pre-step and the segment-cased expansion ----
+    "multimodal_decode_alaw" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "wav_alaw")
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+          new graft.operators.Multimodal.PureJvmCodec())
+        .select(col("id").as("doc_id"),
+          col("decoded.meta.duration_ms").as("dur_ms"),
+          element_at(col("decoded.features"), 3).cast(LongType).as("n_samples"),
+          element_at(col("decoded.features"), 4).cast(LongType).as("s_first"),
+          element_at(col("decoded.features"), 5).cast(LongType).as("s_last"),
+          element_at(col("decoded.features"), 6).cast(LongType).as("sum_abs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- compressed audio, IMA ADPCM: a sequential clamped
+    //      predictor fold over 4-bit codes — the oracle unrolls the
+    //      fold as a recursive CTE carrying (predictor, step index,
+    //      running sum|s|) and must land on the identical first/last/
+    //      sum features for every doc ----
+    "multimodal_decode_adpcm" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "wav_adpcm")
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+          new graft.operators.Multimodal.PureJvmCodec())
+        .select(col("id").as("doc_id"),
+          col("decoded.meta.duration_ms").as("dur_ms"),
+          element_at(col("decoded.features"), 3).cast(LongType).as("n_samples"),
+          element_at(col("decoded.features"), 4).cast(LongType).as("s_first"),
+          element_at(col("decoded.features"), 5).cast(LongType).as("s_last"),
+          element_at(col("decoded.features"), 6).cast(LongType).as("sum_abs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- MP3 frame-header metadata: duration/bitrate from walking
+    //      validated Layer III headers behind the ID3v2 tag — no
+    //      sample decode (the cheap audit tier for compressed audio);
+    //      fixture frames are header-deterministic, so every reported
+    //      field is formula-predictable ----
+    "multimodal_decode_mp3" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "mp3")
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+          new graft.operators.Multimodal.PureJvmCodec())
+        .select(col("id").as("doc_id"),
+          col("decoded.meta.duration_ms").as("dur_ms"),
+          element_at(col("decoded.features"), 2).cast(LongType).as("sample_rate"),
+          element_at(col("decoded.features"), 3).cast(LongType).as("n_samples"),
+          element_at(col("decoded.features"), 4).cast(LongType).as("bitrate_kbps"),
+          element_at(col("decoded.features"), 5).cast(LongType).as("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- document fingerprinting: portable code-point polynomial
     //      hashes (whole-text rolling fp + winnowing count), exactly
     //      reproduced by the DuckDB oracle via list folds. The
@@ -3422,6 +3495,103 @@ object PipelineQueries {
            CAST(smp[n] AS BIGINT) AS s_last,
            CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS sum_abs
          FROM s ORDER BY doc_id""",
+    "multimodal_decode_mulaw" ->
+      """WITH p AS (
+           SELECT doc_id, 32 + doc_id % 96 AS n FROM documents),
+         s AS (
+           SELECT doc_id, n,
+             list_transform(range(0, n), i ->
+               CASE WHEN (255 - (doc_id * 131 + i * 29) % 256) >= 128
+                 THEN 132 - ((((255 - (doc_id * 131 + i * 29) % 256) % 16) * 8 + 132)
+                   * (1 << (((255 - (doc_id * 131 + i * 29) % 256) // 16) % 8)))
+                 ELSE ((((255 - (doc_id * 131 + i * 29) % 256) % 16) * 8 + 132)
+                   * (1 << (((255 - (doc_id * 131 + i * 29) % 256) // 16) % 8))) - 132
+               END) AS smp
+           FROM p)
+         SELECT doc_id,
+           CAST(n * 1000 // 8000 AS BIGINT) AS dur_ms,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(smp[1] AS BIGINT) AS s_first,
+           CAST(smp[n] AS BIGINT) AS s_last,
+           CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS sum_abs
+         FROM s ORDER BY doc_id""",
+    "multimodal_decode_alaw" ->
+      """WITH p AS (
+           SELECT doc_id, 32 + doc_id % 96 AS n FROM documents),
+         a AS (
+           SELECT doc_id, n,
+             list_transform(range(0, n),
+               i -> xor((doc_id * 131 + i * 29) % 256, 85)) AS av
+           FROM p),
+         s AS (
+           SELECT doc_id, n,
+             list_transform(av, v ->
+               CASE WHEN v >= 128 THEN 1 ELSE -1 END *
+               CASE (v // 16) % 8
+                 WHEN 0 THEN (v % 16) * 16 + 8
+                 WHEN 1 THEN (v % 16) * 16 + 264
+                 ELSE ((v % 16) * 16 + 264) * (1 << ((v // 16) % 8 - 1))
+               END) AS smp
+           FROM a)
+         SELECT doc_id,
+           CAST(n * 1000 // 8000 AS BIGINT) AS dur_ms,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(smp[1] AS BIGINT) AS s_first,
+           CAST(smp[n] AS BIGINT) AS s_last,
+           CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS sum_abs
+         FROM s ORDER BY doc_id""",
+    "multimodal_decode_adpcm" ->
+      """WITH RECURSIVE p AS (
+           SELECT doc_id,
+             16 + 2 * (doc_id % 8) AS nn,
+             (doc_id * 7919) % 65536 - 32768 AS pred0,
+             doc_id % 89 AS idx0
+           FROM documents),
+         tabs AS (
+           SELECT
+             [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,
+              60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,
+              307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,
+              1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,
+              4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,
+              12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,
+              32767] AS st,
+             [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8] AS adj),
+         r AS (
+           SELECT doc_id, nn, 0 AS i, pred0 AS pred, idx0 AS idx,
+             abs(pred0) AS sabs
+           FROM p
+           UNION ALL
+           SELECT doc_id, nn, i + 1,
+             greatest(-32768, least(32767,
+               pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)) AS pred,
+             greatest(0, least(88, idx + adj[nib + 1])) AS idx,
+             sabs + abs(greatest(-32768, least(32767,
+               pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)))
+           FROM (
+             SELECT r.doc_id, r.nn, r.i, r.pred, r.idx, r.sabs, tabs.adj,
+               (r.doc_id * 13 + r.i * 5) % 16 AS nib,
+               tabs.st[r.idx + 1] // 8
+                 + (((r.doc_id * 13 + r.i * 5) % 16) % 2) * (tabs.st[r.idx + 1] // 4)
+                 + ((((r.doc_id * 13 + r.i * 5) % 16) // 2) % 2) * (tabs.st[r.idx + 1] // 2)
+                 + ((((r.doc_id * 13 + r.i * 5) % 16) // 4) % 2) * tabs.st[r.idx + 1]
+                 AS diff
+             FROM r, tabs WHERE r.i < r.nn) x)
+         SELECT doc_id,
+           CAST((nn + 1) * 1000 // 8000 AS BIGINT) AS dur_ms,
+           CAST(nn + 1 AS BIGINT) AS n_samples,
+           CAST((doc_id * 7919) % 65536 - 32768 AS BIGINT) AS s_first,
+           CAST(pred AS BIGINT) AS s_last,
+           CAST(sabs AS BIGINT) AS sum_abs
+         FROM r WHERE i = nn ORDER BY doc_id""",
+    "multimodal_decode_mp3" ->
+      """SELECT doc_id,
+           CAST((2 + doc_id % 4) * 1152 * 1000 // 44100 AS BIGINT) AS dur_ms,
+           CAST(44100 AS BIGINT) AS sample_rate,
+           CAST((2 + doc_id % 4) * 1152 AS BIGINT) AS n_samples,
+           CAST(128 AS BIGINT) AS bitrate_kbps,
+           CAST(2 + doc_id % 4 AS BIGINT) AS n_frames
+         FROM documents ORDER BY doc_id""",
     "multimodal_features" ->
       """SELECT doc_id,
            CASE WHEN octet_length(encode(substr(text, 1, 256))) = 0

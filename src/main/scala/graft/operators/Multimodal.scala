@@ -182,13 +182,79 @@ object Multimodal {
     }
 
     /** RIFF/WAVE, PCM (format 1), 16-bit; null on anything else. */
+    /** Streaming audio-feature fold shared by every WAV codec path:
+      * (first, last, sum|s|, zero crossings) over the decoded sample
+      * stream — no sample buffer is ever materialized, so decode
+      * memory is O(1) regardless of blob length.
+      */
+    private final class SampleAcc {
+      var n = 0L
+      var first = 0
+      var last = 0
+      var sumAbs = 0L
+      var zc = 0
+      private var prevSign = 0
+      def add(s: Int): Unit = {
+        if (n == 0) first = s
+        last = s
+        sumAbs += math.abs(s)
+        val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+        if (n > 0 && sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+        if (sign != 0) prevSign = sign
+        n += 1
+      }
+    }
+
+    /** G.711 mu-law byte -> 16-bit linear PCM (the public Sun/ITU
+      * reference arithmetic; pure function, so the oracle replays the
+      * same expression over the fixture's byte formula).
+      */
+    private def mulawToLinear(uIn: Int): Int = {
+      val u = ~uIn & 0xFF
+      var t = ((u & 0x0F) << 3) + 0x84
+      t <<= (u & 0x70) >> 4
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+
+    /** G.711 A-law byte -> 16-bit linear PCM (same provenance). */
+    private def alawToLinear(aIn: Int): Int = {
+      val a = aIn ^ 0x55
+      var t = (a & 0x0F) << 4
+      val seg = (a & 0x70) >> 4
+      if (seg == 0) t += 8
+      else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+      if ((a & 0x80) != 0) t else -t
+    }
+
+    private val AdpcmStep: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+      41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+      190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    private val AdpcmIndexAdj: Array[Int] =
+      Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** RIFF/WAVE parser + per-format decoders. Handles audioFormat 1
+      * (16-bit PCM), 6 (A-law), 7 (mu-law) and 0x11 (IMA ADPCM,
+      * mono). Every decoded path feeds the same [[SampleAcc]] fold,
+      * so the feature row is format-independent: (channels, rate,
+      * samples/channel, first, last, sum|s|, zero crossings). ADPCM
+      * with >1 channel degrades to null (interleaved stereo words
+      * are out of scope), as does any structural violation — bad
+      * lengths, truncated blocks, unknown codes.
+      */
     private def decodeWav(b: Array[Byte]): (Row, Array[Float]) = {
       if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F'
         || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
       var pos = 12
+      var audioFormat = 0
       var channels = 0
       var rate = 0
       var bits = 0
+      var blockAlign = 0
       var dataOff = -1
       var dataLen = 0
       while (pos + 8 <= b.length) {
@@ -196,9 +262,11 @@ object Multimodal {
         val len = leInt(b, pos + 4)
         if (len < 0 || pos + 8 + len > b.length) return null
         if (id == "fmt ") {
-          if (len < 16 || leShort(b, pos + 8) != 1) return null // PCM only
+          if (len < 16) return null
+          audioFormat = leShort(b, pos + 8)
           channels = leShort(b, pos + 10)
           rate = leInt(b, pos + 12)
+          blockAlign = leShort(b, pos + 20)
           bits = leShort(b, pos + 22)
         } else if (id == "data") {
           dataOff = pos + 8
@@ -206,28 +274,121 @@ object Multimodal {
         }
         pos += 8 + len + (len & 1) // RIFF chunks are word-aligned
       }
-      if (channels <= 0 || rate <= 0 || bits != 16 || dataOff < 0) return null
-      val n = dataLen / 2
-      var sumAbs = 0L
-      var zc = 0
-      var prevSign = 0
-      var i = 0
-      var first = 0
-      var last = 0
-      while (i < n) {
-        val s = leShort(b, dataOff + i * 2).toShort.toInt
-        if (i == 0) first = s
-        last = s
-        sumAbs += math.abs(s)
-        val sign = if (s > 0) 1 else if (s < 0) -1 else 0
-        if (i > 0 && sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
-        if (sign != 0) prevSign = sign
-        i += 1
+      if (channels <= 0 || rate <= 0 || dataOff < 0) return null
+      val acc = new SampleAcc
+      audioFormat match {
+        case 1 => // 16-bit linear PCM
+          if (bits != 16) return null
+          val n = dataLen / 2
+          var i = 0
+          while (i < n) { acc.add(leShort(b, dataOff + i * 2).toShort.toInt); i += 1 }
+        case 6 | 7 => // G.711 A-law / mu-law: one byte per sample
+          if (bits != 8) return null
+          val dec: Int => Int = if (audioFormat == 6) alawToLinear else mulawToLinear
+          var i = 0
+          while (i < dataLen) { acc.add(dec(b(dataOff + i) & 0xFF)); i += 1 }
+        case 0x11 => // IMA ADPCM, mono blocks of blockAlign bytes
+          if (channels != 1 || blockAlign < 5 || bits != 4) return null
+          var blk = dataOff
+          while (blk + blockAlign <= dataOff + dataLen) {
+            // 4-byte block header: int16 predictor (= sample 0), index
+            var pred = leShort(b, blk).toShort.toInt
+            var idx = b(blk + 2) & 0xFF
+            if (idx > 88) return null
+            acc.add(pred)
+            var i = 0
+            val nNibbles = (blockAlign - 4) * 2
+            while (i < nNibbles) {
+              val byte = b(blk + 4 + (i >> 1)) & 0xFF
+              val nib = if ((i & 1) == 0) byte & 0x0F else (byte >> 4) & 0x0F
+              val step = AdpcmStep(idx)
+              var diff = step >> 3
+              if ((nib & 1) != 0) diff += step >> 2
+              if ((nib & 2) != 0) diff += step >> 1
+              if ((nib & 4) != 0) diff += step
+              pred = if ((nib & 8) != 0) pred - diff else pred + diff
+              if (pred > 32767) pred = 32767
+              if (pred < -32768) pred = -32768
+              idx += AdpcmIndexAdj(nib)
+              if (idx < 0) idx = 0
+              if (idx > 88) idx = 88
+              acc.add(pred)
+              i += 1
+            }
+            blk += blockAlign
+          }
+        case _ => return null
       }
-      val durationMs = if (rate > 0) n.toLong * 1000L / channels / rate else 0L
+      val n = acc.n
+      val durationMs = n * 1000L / channels / rate
       val meta = Row("wav", 0, 0, 1, durationMs)
       (meta, Array[Float](channels.toFloat, rate.toFloat, (n / channels).toFloat,
-        first.toFloat, last.toFloat, sumAbs.toFloat, zc.toFloat))
+        acc.first.toFloat, acc.last.toFloat, acc.sumAbs.toFloat, acc.zc.toFloat))
+    }
+
+    /** MP3 frame-HEADER metadata — duration/bitrate without decoding
+      * a single sample (the cheap corpus-audit tier for compressed
+      * audio): skip a leading ID3v2 tag by its syncsafe length, then
+      * walk consecutive MPEG-1/2/2.5 Layer III frame headers summing
+      * per-frame samples and bytes. Bounded by the blob; any
+      * structural violation (bad sync, reserved bitrate/rate codes,
+      * frame past the end) stops the walk — metadata comes from the
+      * frames actually validated. Features: (channels, rate,
+      * samples, bitrate_kbps_mean, n_frames, 0, 0).
+      */
+    private def decodeMp3Meta(b: Array[Byte]): (Row, Array[Float]) = {
+      var pos = 0
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        val sz = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+          ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+        pos = 10 + sz
+      }
+      val brV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+      val brV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+      val srV1 = Array(44100, 48000, 32000)
+      var nFrames = 0L
+      var samples = 0L
+      var rate = 0
+      var channels = 0
+      var brSum = 0L
+      var ok = pos >= 0
+      while (ok && pos + 4 <= b.length) {
+        val h = ((b(pos) & 0xFF) << 24) | ((b(pos + 1) & 0xFF) << 16) |
+          ((b(pos + 2) & 0xFF) << 8) | (b(pos + 3) & 0xFF)
+        if ((h >>> 21) != 0x7FF) ok = false
+        else {
+          val verBits = (h >> 19) & 3      // 0=2.5, 2=MPEG2, 3=MPEG1
+          val layerBits = (h >> 17) & 3    // 1 = Layer III
+          val brIdx = (h >> 12) & 0xF
+          val srIdx = (h >> 10) & 3
+          val padding = (h >> 9) & 1
+          val mode = (h >> 6) & 3          // 3 = mono
+          if (verBits == 1 || layerBits != 1 || brIdx == 0 || brIdx == 15 ||
+            srIdx == 3) ok = false
+          else {
+            val v1 = verBits == 3
+            val br = (if (v1) brV1 else brV2)(brIdx) // kbit/s
+            val sr = srV1(srIdx) / (verBits match {
+              case 3 => 1; case 2 => 2; case _ => 4 })
+            val spf = if (v1) 1152 else 576
+            val frameLen = spf / 8 * br * 1000 / sr + padding
+            if (frameLen <= 0 || pos + frameLen > b.length) ok = false
+            else {
+              nFrames += 1
+              samples += spf
+              rate = sr
+              channels = if (mode == 3) 1 else 2
+              brSum += br
+              pos += frameLen
+            }
+          }
+        }
+      }
+      if (nFrames == 0 || rate == 0) return null
+      val durationMs = samples * 1000L / rate
+      val meta = Row("mp3", 0, 0, 1, durationMs)
+      (meta, Array[Float](channels.toFloat, rate.toFloat, samples.toFloat,
+        (brSum / nFrames).toFloat, nFrames.toFloat, 0f, 0f))
     }
 
     /** Pixel cap for compressed formats: a crafted IHDR/SOF claiming
@@ -289,6 +450,7 @@ object Multimodal {
           case "bmp" => decodeBmp(bytes)
           case "ppm" => decodePpm(bytes)
           case "wav" => decodeWav(bytes)
+          case "mp3" => decodeMp3Meta(bytes)
           case "png" | "jpg" | "jpeg" => decodeImageIo(bytes, fmt)
           case _     => fallback.decode(bytes, format)
         }
@@ -449,6 +611,107 @@ object Multimodal {
     out
   }
 
+  /** Mono G.711 WAV (audioFormat 6 = A-law, 7 = mu-law): one byte per
+    * sample, `byteAt(i)` supplying the RAW companded byte — the
+    * fixture chooses bytes directly, so the oracle replays the decode
+    * table as arithmetic over the same byte formula (no encoder in
+    * the loop to disagree about rounding).
+    */
+  def buildWavG711(rate: Int, n: Int, aLaw: Boolean,
+                   byteAt: Int => Int): Array[Byte] = {
+    require(rate > 0 && n >= 0, "rate must be positive")
+    val out = new Array[Byte](44 + n)
+    def putLeInt(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte; out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def putLeShort(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+    putLeInt(4, 36 + n)
+    "WAVE".getBytes("US-ASCII").copyToArray(out, 8)
+    "fmt ".getBytes("US-ASCII").copyToArray(out, 12)
+    putLeInt(16, 16); putLeShort(20, if (aLaw) 6 else 7); putLeShort(22, 1)
+    putLeInt(24, rate); putLeInt(28, rate); putLeShort(32, 1); putLeShort(34, 8)
+    "data".getBytes("US-ASCII").copyToArray(out, 36)
+    putLeInt(40, n)
+    var i = 0
+    while (i < n) { out(44 + i) = (byteAt(i) & 0xFF).toByte; i += 1 }
+    out
+  }
+
+  /** Mono IMA-ADPCM WAV (audioFormat 0x11), ONE block: 4-byte header
+    * (predictor = sample 0, step index) + `nNibbles` 4-bit codes from
+    * `nibAt(i)` (low nibble first). The decode is a sequential
+    * clamped fold, so the oracle replays it as a recursive CTE over
+    * the same nibble formula — fixture and parser share this one
+    * definition of the block layout.
+    */
+  def buildWavAdpcm(rate: Int, predictor: Int, index: Int, nNibbles: Int,
+                    nibAt: Int => Int): Array[Byte] = {
+    require(rate > 0 && nNibbles >= 0 && nNibbles % 2 == 0,
+      "rate must be positive, nNibbles even")
+    require(index >= 0 && index <= 88, "step index must be in [0, 88]")
+    val blockAlign = 4 + nNibbles / 2
+    val out = new Array[Byte](44 + blockAlign)
+    def putLeInt(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte; out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def putLeShort(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+    putLeInt(4, 36 + blockAlign)
+    "WAVE".getBytes("US-ASCII").copyToArray(out, 8)
+    "fmt ".getBytes("US-ASCII").copyToArray(out, 12)
+    putLeInt(16, 16); putLeShort(20, 0x11); putLeShort(22, 1)
+    putLeInt(24, rate); putLeInt(28, rate * blockAlign / (nNibbles + 1))
+    putLeShort(32, blockAlign); putLeShort(34, 4)
+    "data".getBytes("US-ASCII").copyToArray(out, 36)
+    putLeInt(40, blockAlign)
+    putLeShort(44, predictor & 0xFFFF)
+    out(46) = index.toByte
+    out(47) = 0
+    var i = 0
+    while (i < nNibbles) {
+      val lo = nibAt(i) & 0x0F
+      val hi = nibAt(i + 1) & 0x0F
+      out(48 + i / 2) = (lo | (hi << 4)).toByte
+      i += 2
+    }
+    out
+  }
+
+  /** Deterministic MP3 fixture: `nFrames` valid MPEG-1 Layer III
+    * frame headers (no padding, zeroed payload — the metadata parser
+    * never reads past the header) behind an ID3v2 tag of `id3Len`
+    * payload bytes. brIdx/srIdx index the public header tables.
+    */
+  def buildMp3(nFrames: Int, brIdx: Int, srIdx: Int,
+               id3Len: Int = 16): Array[Byte] = {
+    require(nFrames >= 0 && brIdx >= 1 && brIdx <= 14 && srIdx >= 0 && srIdx <= 2,
+      "bad mp3 fixture params")
+    val brV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val srV1 = Array(44100, 48000, 32000)
+    val frameLen = 1152 / 8 * brV1(brIdx) * 1000 / srV1(srIdx)
+    val out = new Array[Byte](10 + id3Len + nFrames * frameLen)
+    out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 3; out(4) = 0; out(5) = 0
+    out(6) = ((id3Len >> 21) & 0x7F).toByte; out(7) = ((id3Len >> 14) & 0x7F).toByte
+    out(8) = ((id3Len >> 7) & 0x7F).toByte; out(9) = (id3Len & 0x7F).toByte
+    var f = 0
+    while (f < nFrames) {
+      val off = 10 + id3Len + f * frameLen
+      out(off) = 0xFF.toByte
+      out(off + 1) = 0xFB.toByte                   // MPEG1, Layer III, no CRC
+      out(off + 2) = ((brIdx << 4) | (srIdx << 2)).toByte // no padding
+      out(off + 3) = 0xC0.toByte                   // mono
+      f += 1
+    }
+    out
+  }
+
   /** Deterministic media fixtures from an id column: REAL BMP/PPM/WAV
     * bytes whose dimensions, pixels and samples follow documented
     * id-indexed formulas, so an external engine can predict what a
@@ -479,10 +742,24 @@ object Multimodal {
             k => ((id * 31L + k * 7L) % 256L).toInt)
           case "wav" => buildWav(8000, (32 + id % 96).toInt,
             i => (((id * 7919L + i * 2503L) % 65536L) - 32768L).toInt)
+          case "wav_mulaw" => buildWavG711(8000, (32 + id % 96).toInt,
+            aLaw = false, i => ((id * 131L + i * 29L) % 256L).toInt)
+          case "wav_alaw" => buildWavG711(8000, (32 + id % 96).toInt,
+            aLaw = true, i => ((id * 131L + i * 29L) % 256L).toInt)
+          case "wav_adpcm" => buildWavAdpcm(8000,
+            predictor = (((id * 7919L) % 65536L) - 32768L).toInt,
+            index = (id % 89L).toInt,
+            nNibbles = (16 + 2 * (id % 8L)).toInt,
+            nibAt = i => ((id * 13L + i * 5L) % 16L).toInt)
+          case "mp3" => buildMp3(nFrames = (2 + id % 4L).toInt,
+            brIdx = 9, srIdx = 0)
           case other => throw new IllegalArgumentException(
             s"synthMediaBlobs: unknown format $other")
         }
-        Row(id, bytes, format)
+        // the G.711/ADPCM variants are WAV containers — the decoder
+        // dispatches on the container format, not the synth key
+        val fmtOut = if (format.startsWith("wav")) "wav" else format
+        Row(id, bytes, fmtOut)
       }
     }(Encoders.row(outSchema))
   }

@@ -76,6 +76,94 @@ class MultimodalActionsSpec extends AnyFunSuite {
     assert(f(6) === 2f)
   }
 
+  test("PureJvmCodec: G.711 mu-law and A-law decode to the reference table values") {
+    val codec = new Multimodal.PureJvmCodec()
+    // mu-law spot values from the public Sun/ITU reference arithmetic:
+    // 0xFF -> 0, 0x7F -> -0 (quantizes to 0), 0x00 -> -32124, 0x80 -> 32124
+    val muBytes = Array(0xFF, 0x7F, 0x00, 0x80)
+    val (mMu, fMu) = codec.decode(
+      Multimodal.buildWavG711(8000, muBytes.length, aLaw = false, muBytes(_)), "wav")
+    assert(mMu.getString(0) === "wav")
+    assert(fMu(3) === 0f)                  // first: 0xFF decodes to 0
+    assert(fMu(4) === 32124f)              // last: 0x80 is max positive
+    assert(fMu(5) === (0 + 0 + 32124 + 32124).toFloat)
+    // A-law spot values: 0x55 -> -8 (xor cancels to segment 0),
+    // 0xD5 -> +8, 0x7F -> -848 (segment 2), 0xFF -> +848
+    val aBytes = Array(0x55, 0xD5, 0x7F, 0xFF)
+    val (mA, fA) = codec.decode(
+      Multimodal.buildWavG711(8000, aBytes.length, aLaw = true, aBytes(_)), "wav")
+    assert(mA.getString(0) === "wav")
+    assert(fA(3) === -8f && fA(4) === 848f)
+    assert(fA(5) === (8 + 8 + 848 + 848).toFloat)
+    // duration counts SAMPLES (1/byte), not byte pairs
+    assert(mMu.getLong(4) === muBytes.length * 1000L / 8000L)
+  }
+
+  test("PureJvmCodec: IMA ADPCM decodes the clamped predictor fold; structural violations null") {
+    val codec = new Multimodal.PureJvmCodec()
+    // independent JVM replay of the spec fold
+    def replay(pred0: Int, idx0: Int, nibs: Array[Int]): Array[Int] = {
+      val step = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25,
+        28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+        130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660,
+        4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+        11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+        27086, 29794, 32767)
+      val adj = Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+      var pred = pred0; var idx = idx0
+      pred0 +: nibs.map { nib =>
+        val s = step(idx)
+        var d = s >> 3
+        if ((nib & 1) != 0) d += s >> 2
+        if ((nib & 2) != 0) d += s >> 1
+        if ((nib & 4) != 0) d += s
+        pred = math.max(-32768, math.min(32767, if ((nib & 8) != 0) pred - d else pred + d))
+        idx = math.max(0, math.min(88, idx + adj(nib)))
+        pred
+      }
+    }
+    val nibs = Array.tabulate(16)(i => (i * 7 + 3) % 16)
+    val want = replay(-1200, 30, nibs)
+    val (meta, f) = codec.decode(
+      Multimodal.buildWavAdpcm(8000, -1200, 30, nibs.length, nibs(_)), "wav")
+    assert(meta.getString(0) === "wav")
+    assert(f(2) === (nibs.length + 1).toFloat)     // samples = header + nibbles
+    assert(f(3) === want.head.toFloat && f(4) === want.last.toFloat)
+    assert(f(5) === want.map(math.abs).sum.toFloat)
+    // clamping exercised: saturate upward from near the rail
+    val up = codec.decode(
+      Multimodal.buildWavAdpcm(8000, 32000, 88, 8, _ => 7), "wav")
+    assert(up._2(4) === 32767f, "positive clamp must saturate at 32767")
+    // structural violations: stereo ADPCM, out-of-range step index
+    val mono = Multimodal.buildWavAdpcm(8000, 0, 0, 8, _ => 0)
+    val stereo = mono.clone(); stereo(22) = 2
+    assert(codec.decode(stereo, "wav") === null)
+    val badIdx = mono.clone(); badIdx(46) = 90
+    assert(codec.decode(badIdx, "wav") === null)
+  }
+
+  test("PureJvmCodec: MP3 frame-header metadata walks validated frames only") {
+    val codec = new Multimodal.PureJvmCodec()
+    val b = Multimodal.buildMp3(nFrames = 3, brIdx = 9, srIdx = 0)
+    val (meta, f) = codec.decode(b, "mp3")
+    assert(meta.getString(0) === "mp3")
+    assert(f(1) === 44100f && f(3) === 128f && f(4) === 3f)
+    assert(meta.getLong(4) === 3L * 1152 * 1000 / 44100)
+    // a truncated final frame is not counted — metadata reflects only
+    // frames whose full length fits
+    val truncated = b.take(b.length - 10)
+    val t = codec.decode(truncated, "mp3")
+    assert(t != null && t._2(4) === 2f)
+    // garbage after the ID3 tag -> no validated frame -> null
+    val garbage = b.clone(); garbage(10 + 16) = 0x00
+    assert(codec.decode(garbage, "mp3") === null)
+    // reserved bitrate code (15) rejects the frame
+    val badBr = b.clone(); badBr(10 + 16 + 2) = (15 << 4).toByte
+    assert(codec.decode(badBr, "mp3") === null)
+  }
+
   test("PureJvmCodec: malformed media decodes to null; unknown formats hit the stub") {
     val codec = new Multimodal.PureJvmCodec()
     val good = Multimodal.buildBmp(4, 4, _ => 1)
