@@ -424,4 +424,77 @@ object DocStreams {
     if (watermarkSeconds.isDefined) flagged.dropDuplicatesWithinWatermark(Seq("id"))
     else flagged.dropDuplicates(Seq("id"))
   }
+
+  /** Live BM25 index maintenance — the streaming driver of
+    * [[graft.operators.Retrieval.appendToBm25Index]]'s LSM split:
+    * each micro-batch of NEW documents lands as one delta-sized
+    * segment (O(batch) work, the base is never re-read), and every
+    * `compactEvery` appends the segment chain folds back into one
+    * bucketed layout. Wire it as a foreachBatch sink:
+    *
+    * {{{
+    * val m = new Bm25IndexMaintainer(spark, basePrefix, "doc_id", "text",
+    *   compactEvery = 8)
+    * stream.writeStream.foreachBatch(m.appendBatch _).start()
+    * ...
+    * Retrieval.bm25TopKFromIndex(spark, m.currentPrefix, panel, ...)
+    * }}}
+    *
+    * Exactly-once: segment prefixes are keyed by batchId, and a batch
+    * whose stats table already exists (a foreachBatch retry) is
+    * re-pointed to, not re-appended — the same idempotence the
+    * parquet-sink gates rely on. Recovery after a restart re-derives
+    * the newest prefix from the catalog ([[Bm25IndexMaintainer
+    * .recoverLatestPrefix]]): doc counts are monotone under append
+    * and preserved by compaction, so max n_docs (ties to the
+    * lexicographically last name) IS the chain head.
+    */
+  final class Bm25IndexMaintainer(spark: org.apache.spark.sql.SparkSession,
+                                  basePrefix: String, idCol: String,
+                                  textCol: String, compactEvery: Int = 0,
+                                  buckets: Int = 32) {
+    import graft.operators.Retrieval
+    @volatile var currentPrefix: String =
+      Bm25IndexMaintainer.recoverLatestPrefix(spark, basePrefix)
+    private var appendsSinceCompact = 0
+
+    def appendBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batch.isEmpty) return
+      val segPrefix = s"${basePrefix}_b$batchId"
+      if (spark.catalog.tableExists(s"${segPrefix}_stats")) {
+        currentPrefix = segPrefix // retry of a completed batch: re-point
+      } else {
+        Retrieval.appendToBm25Index(spark, currentPrefix, batch, idCol,
+          textCol, segPrefix, buckets)
+        currentPrefix = segPrefix
+        appendsSinceCompact += 1
+      }
+      if (compactEvery > 0 && appendsSinceCompact >= compactEvery) {
+        val cp = s"${basePrefix}_c$batchId"
+        if (!spark.catalog.tableExists(s"${cp}_stats"))
+          Retrieval.compactBm25Index(spark, currentPrefix, cp, buckets)
+        currentPrefix = cp
+        appendsSinceCompact = 0
+      }
+    }
+  }
+
+  object Bm25IndexMaintainer {
+    /** Newest prefix of a maintenance chain: among the base and its
+      * `_b*`/`_c*` descendants with a stats table, the max n_docs
+      * (ties to the last name) — append-monotone, compaction-stable.
+      */
+    def recoverLatestPrefix(spark: org.apache.spark.sql.SparkSession,
+                            basePrefix: String): String = {
+      val names = spark.catalog.listTables().collect().map(_.name)
+        .filter(n => n == s"${basePrefix}_stats" ||
+          ((n.startsWith(s"${basePrefix}_b") || n.startsWith(s"${basePrefix}_c"))
+            && n.endsWith("_stats")))
+        .map(_.stripSuffix("_stats"))
+      if (names.isEmpty) basePrefix
+      else names.map { p =>
+        (spark.table(s"${p}_stats").head().getAs[Long]("n_docs"), p)
+      }.max._2
+    }
+  }
 }

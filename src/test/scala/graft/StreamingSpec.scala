@@ -683,6 +683,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming BM25 index maintenance: micro-batch appends answer like a full rebuild") {
+    import graft.operators.Retrieval
+    import graft.streaming.DocStreams
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(300).cache()
+    docs.count()
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val arriving = docs.filter(col("doc_id") % 3 =!= 0)
+    // base index built once; the rest of the corpus arrives as a
+    // stream in several micro-batches (one file per trigger)
+    val basePrefix = "smnt_base"
+    // rerun hygiene: a stale chain from a previous run would trip the
+    // idempotence gate into serving old segments
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(basePrefix))
+      .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _))
+    Retrieval.buildBm25Index(base, "doc_id", "text", basePrefix)
+    val src = java.nio.file.Files.createTempDirectory("graft-idxsrc").toString
+    arriving.repartition(4).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val m = new DocStreams.Bm25IndexMaintainer(spark, basePrefix,
+      "doc_id", "text", compactEvery = 2)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.foreachBatch(m.appendBatch _).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(m.currentPrefix !== basePrefix, "stream appended nothing")
+    // the maintained index answers bit-identically to the inline
+    // full-corpus run — segment boundaries (and the mid-stream
+    // compactions) are invisible
+    val probes = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(graft.operators.TextAnalysis.cleanTokens(col("text")), 1, 5)
+          .as("qterms"))
+    val want = Retrieval.bm25TopK(docs, "doc_id", "text",
+        probes, "query_id", "qterms", k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+    val got = Retrieval.bm25TopKFromIndex(spark, m.currentPrefix,
+        probes, "query_id", "qterms", k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(want.nonEmpty && want.sameElements(got),
+      "maintained index diverged from the inline full-corpus run")
+    // recovery re-derives the chain head from the catalog alone
+    assert(DocStreams.Bm25IndexMaintainer.recoverLatestPrefix(spark, basePrefix)
+      === m.currentPrefix)
+    // a retried batch id is re-pointed, never re-appended: replaying
+    // batch 0's data under its id must neither create tables nor
+    // move any stats row
+    val tablesBefore = spark.catalog.listTables().collect().map(_.name).toSet
+    val head = m.currentPrefix
+    m.appendBatch(spark.read.parquet(src).limit(5), 0L)
+    assert(m.currentPrefix === s"${basePrefix}_b0",
+      "retry must re-point at the completed batch's segment")
+    assert(spark.catalog.listTables().collect().map(_.name).toSet === tablesBefore,
+      "retry created tables")
+    assert(DocStreams.Bm25IndexMaintainer.recoverLatestPrefix(spark, basePrefix)
+      === head, "retry moved the recovered chain head")
+  }
+
   test("typed Aggregator (WeightedMean) matches the declarative formulation") {
     import graft.functions.TypedAgg
     val ds = events.limit(5000)
