@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Bloom, Dedup, Embeddings, Frames, IndexStore, Layout, Quality, Retrieval, Similarity, Temporal, TextAnalysis, TextClean}
+import graft.operators.{Bloom, Dedup, Embeddings, Frames, IndexStore, IvfIndex, Layout, Quality, Retrieval, Similarity, Temporal, TextAnalysis, TextClean}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline operators (SURVEY.md §7.6 / north-star) as
@@ -830,6 +830,48 @@ object PipelineQueries {
         nCentroids = Similarity.suggestedCentroids(e.count()), dim = 64,
         baseDir = artifactDir, iterations = 1, portable = true)
       Similarity.ivfTopK(e, e, k = 1, cents, nProbe = 4, portable = true)
+        .select(col("query_id"), col("id").as("nn_id"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ---- PERSISTED IVF assignments: the corpus is assigned to cells
+    //      ONCE and materialized as a cell-partitioned catalog table;
+    //      the probe reads probed-cell partitions instead of
+    //      re-scanning and re-assigning every vector per panel (at
+    //      100 TB the scan is the cost). Same centroids, same scoring
+    //      chain, floats round-trip parquet → same oracle as
+    //      sim_topk_ivf ----
+    "sim_topk_ivf_idx" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = IndexStore.ivfCentroidsCached(e,
+        nCentroids = Similarity.suggestedCentroids(e.count()), dim = 64,
+        baseDir = artifactDir, iterations = 1, portable = true)
+      val prefix = IvfIndex.ivfIndexCached(e, "vec_id", "embedding", cents,
+        portable = true)
+      IvfIndex.ivfTopKFromIndex(s, prefix, e, k = 1, cents, nProbe = 4,
+          portable = true)
+        .select(col("query_id"), col("id").as("nn_id"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ---- INCREMENTAL IVF: centroids train on the 4/5 base corpus
+    //      and FREEZE; every 5th vector arrives later and is assigned
+    //      with the frozen centroids into the same cell-partitioned
+    //      table (assignment rows are per-vector facts — append is
+    //      exact by construction, recall drift is the monitored
+    //      trade). The oracle replays base-subset training + all-row
+    //      assignment ----
+    "sim_topk_ivf_append" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val base = e.filter(col("vec_id") % 5 =!= 0)
+      val delta = e.filter(col("vec_id") % 5 === 0)
+      val cents = Similarity.trainIvfCentroids(base,
+        nCentroids = Similarity.suggestedCentroids(base.count()), dim = 64,
+        iterations = 1, portable = true)
+      val prefix = IvfIndex.ivfAppendCached(base, delta, "vec_id",
+        "embedding", cents, portable = true)
+      IvfIndex.ivfTopKFromIndex(s, prefix, e, k = 1, cents, nProbe = 4,
+          portable = true)
         .select(col("query_id"), col("id").as("nn_id"))
         .orderBy(col("query_id"))
     }),
@@ -2461,6 +2503,16 @@ object PipelineQueries {
     */
   private def bm25OracleCtesMod(probeMod: Int): String =
     bm25OracleCtes.replace("doc_id % 50 = 0", s"doc_id % $probeMod = 0")
+
+  /** Apply literal substitutions to an oracle SQL string, failing
+    * loudly if a target no longer matches — a silent no-op patch
+    * would ship an oracle that tests the WRONG semantics.
+    */
+  private def patched(sql: String, subs: (String, String)*): String =
+    subs.foldLeft(sql) { case (acc, (from, to)) =>
+      require(acc.contains(from), s"oracle patch target missing: $from")
+      acc.replace(from, to)
+    }
 
   private val oracleSqlBase: Map[String, String] = Map(
     "sim_mmr_rerank" -> mmrOracleSql(5, 20),
@@ -6419,6 +6471,17 @@ object PipelineQueries {
     */
   val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "sim_topk_ivf_loaded" -> oracleSqlBase("sim_topk_ivf"),
+    // persisted assignments: same centroids, same chain, floats
+    // round-trip parquet — the index layout is invisible
+    "sim_topk_ivf_idx" -> oracleSqlBase("sim_topk_ivf"),
+    // incremental: training restricted to the 4/5 base corpus (the
+    // frozen-centroid deployment), assignment over ALL rows
+    "sim_topk_ivf_append" -> patched(oracleSqlBase("sim_topk_ivf"),
+      "WITH n AS (SELECT count(*) AS cnt FROM embeddings)," ->
+        ("WITH base AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),\n" +
+          "         n AS (SELECT count(*) AS cnt FROM base),"),
+      "AS v\n           FROM embeddings)," -> "AS v\n           FROM base),",
+      "FROM embeddings e CROSS JOIN init i" -> "FROM base e CROSS JOIN init i"),
     "sim_topk_pq_loaded" -> oracleSqlBase("sim_topk_pq"),
     "text_bm25_topk_idx" -> oracleSqlBase("text_bm25_topk"),
     // the merge is exact by doc-id disjointness, so the delta-built

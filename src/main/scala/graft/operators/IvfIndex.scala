@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.NativeFunctions
+
+/** Persisted IVF vector index — the assignments side of the serve-many
+  * split whose centroid side landed in [[IndexStore.ivfCentroidsCached]].
+  * [[Similarity.ivfTopK]] re-assigns the whole corpus to cells on
+  * every probe call (map-only, but a full corpus scan); at 100 TB the
+  * scan IS the cost, so the deployed shape materializes the
+  * assignment once as a catalog table PARTITIONED BY CELL:
+  *
+  *   - `{prefix}_assign` (id, vec, cell) — cell is the partition
+  *     column, so a probe that touches nProbe of nCells cells reads
+  *     that fraction of the files (partition pruning; the probe join
+  *     broadcasts the panel's probe cells);
+  *   - `{prefix}_ids` / `{prefix}_iddigest` — the exact and
+  *     approximate membership tiers of the append guard (the
+  *     discipline shared with the BM25 index);
+  *   - `{prefix}_stats` — one row: n_vecs, n_cells, lineage, digest
+  *     params.
+  *
+  * Incremental maintenance differs from BM25's segmented LSM because
+  * an assignment row is a PER-VECTOR FACT (no cross-corpus statistics
+  * to re-merge): appending new vectors assigned with the SAME frozen
+  * centroids into the same partitioned table is exact by
+  * construction — probe answers over build(base)+append(delta) are
+  * bit-identical to build(base ∪ delta) with those centroids. What
+  * changes under append is RECALL, not correctness: centroids frozen
+  * at base-training time drift from the grown corpus, which is why
+  * the recall harness ([[Similarity]] eval cards) exists — retrain +
+  * rebuild is a policy decision the lineage chain records, never a
+  * silent side effect.
+  */
+object IvfIndex {
+
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Float]], prefix: String,
+                    portable: Boolean = false,
+                    lineage: String = "full",
+                    digestK: Int = Retrieval.DefaultDigestK): Unit = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val spark = corpus.sparkSession
+    val assigned = assign(corpus, idCol, vecCol, centroids, portable)
+    Bucketing.dropTableAndLocation(spark, s"${prefix}_assign")
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .saveAsTable(s"${prefix}_assign")
+    Retrieval.writeIdTable(spark, prefix,
+      spark.table(s"${prefix}_assign").select(col("id").as("doc_id")))
+    val nVecs = spark.table(s"${prefix}_ids").count()
+    val mBits = Retrieval.digestSizing(nVecs)
+    Retrieval.writeIdDigest(spark, prefix,
+      Bloom.buildLongKeyBloom(spark.table(s"${prefix}_ids"), "doc_id",
+        mBits, digestK))
+    Bucketing.dropTableAndLocation(spark, s"${prefix}_stats")
+    spark.range(1).select(
+        lit(nVecs).as("n_vecs"),
+        lit(centroids.length).as("n_cells"),
+        lit(lineage).as("lineage"),
+        lit(mBits).as("digest_mbits"),
+        lit(digestK).as("digest_k"))
+      .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
+  }
+
+  /** Map-only cell assignment — ONE definition shared by build and
+    * append, so a delta row lands in exactly the cell a full rebuild
+    * with the same centroids would give it.
+    */
+  private def assign(vecs: DataFrame, idCol: String, vecCol: String,
+                     centroids: Array[Array[Float]],
+                     portable: Boolean): DataFrame =
+    vecs.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"),
+      element_at(NativeFunctions.nearestCells(col(vecCol), centroids, 1,
+        portable), 1).as("cell"))
+
+  /** IVF top-k against the PERSISTED assignments: identical scoring
+    * chain to [[Similarity.ivfTopK]] (same native probe ranking, same
+    * cosine, same top-k reduction), but the corpus side is the
+    * cell-partitioned table — the probe plan reads the probed cells'
+    * partitions instead of scanning and re-assigning every vector.
+    * Floats round-trip parquet bit-exactly, so from-index results
+    * equal the inline path row-for-row.
+    */
+  def ivfTopKFromIndex(spark: SparkSession, prefix: String,
+                       queries: DataFrame, k: Int,
+                       centroids: Array[Array[Float]], nProbe: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       portable: Boolean = false): DataFrame = {
+    require(k > 0 && nProbe > 0, "k and nProbe must be positive")
+    val stats = spark.table(s"${prefix}_stats")
+    require(stats.columns.startsWith(Seq("n_vecs", "n_cells")) &&
+      stats.head().getAs[Int]("n_cells") == centroids.length,
+      s"index $prefix was built with a different centroid set")
+    val assigned = spark.table(s"${prefix}_assign")
+    val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(NativeFunctions.nearestCells(col(vecCol), centroids, nProbe,
+        portable)).as("cell"))
+    val scored = assigned.join(qProbes, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        Similarity.cosine(col("qv"), col("vec")).as("cos"))
+    Similarity.topKPerKey(scored, k)
+  }
+
+  /** Append NEW vectors to a persisted IVF index: assign the delta
+    * with the index's FROZEN centroids and land the rows in their
+    * cell partitions — O(delta) work, the base partitions are never
+    * touched. The disjointness guard is the two-tier discipline from
+    * [[Retrieval.appendToBm25Index]]: map-only digest probe over the
+    * delta ids, exact confirm against the n_vecs-long ids table for
+    * the Bloom-possible sliver only. Lineage records the fold.
+    */
+  def appendToIvfIndex(spark: SparkSession, prefix: String,
+                       deltaVecs: DataFrame, idCol: String, vecCol: String,
+                       centroids: Array[Array[Float]],
+                       portable: Boolean = false): Unit = {
+    val stats = spark.table(s"${prefix}_stats")
+    require(stats.columns.startsWith(Seq("n_vecs", "n_cells")),
+      s"malformed stats table ${prefix}_stats")
+    val row = stats.head()
+    require(row.getAs[Int]("n_cells") == centroids.length,
+      s"index $prefix was built with a different centroid set")
+    val mBits = row.getAs[Int]("digest_mbits")
+    val digestK = row.getAs[Int]("digest_k")
+    val deltaFp = IndexStore.corpusFingerprint(deltaVecs, Seq(idCol, vecCol))
+    val assigned = assign(deltaVecs, idCol, vecCol, centroids, portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val words = Retrieval.readIdDigest(spark, prefix, mBits)
+      val flagged = assigned
+        .filter(Bloom.longKeyBloomMayContain(col("id"), words, mBits, digestK))
+        .select(col("id").as("doc_id"))
+      if (!flagged.isEmpty) {
+        val clash = spark.table(s"${prefix}_ids")
+          .join(flagged, Seq("doc_id"), "left_semi")
+          .select(col("doc_id")).limit(1).collect()
+        require(clash.isEmpty,
+          s"appendToIvfIndex: delta re-submits vector id ${clash.headOption.map(_.get(0)).getOrElse("")} " +
+            s"already in $prefix — append is for NEW vectors; rebuild to replace")
+      }
+      assigned.write.mode("append").partitionBy("cell")
+        .saveAsTable(s"${prefix}_assign")
+      assigned.select(col("id").as("doc_id"))
+        .write.mode("append").saveAsTable(s"${prefix}_ids")
+      val nDelta = assigned.count()
+      Retrieval.writeIdDigest(spark, prefix,
+        Bloom.buildLongKeyBloom(spark.table(s"${prefix}_ids"), "doc_id",
+          mBits, digestK))
+      Bucketing.dropTableAndLocation(spark, s"${prefix}_stats")
+      spark.range(1).select(
+          lit(row.getAs[Long]("n_vecs") + nDelta).as("n_vecs"),
+          lit(centroids.length).as("n_cells"),
+          lit(s"${row.getAs[String]("lineage")}+$deltaFp").as("lineage"),
+          lit(mBits).as("digest_mbits"),
+          lit(digestK).as("digest_k"))
+        .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
+    } finally assigned.unpersist(blocking = false)
+  }
+
+  /** Build-once gate keyed by corpus fingerprint + centroid count. */
+  def ivfIndexCached(corpus: DataFrame, idCol: String, vecCol: String,
+                     centroids: Array[Array[Float]],
+                     portable: Boolean = false,
+                     namespace: String = "ivfidx_v1"): String = {
+    val spark = corpus.sparkSession
+    val fp = IndexStore.corpusFingerprint(corpus, Seq(idCol, vecCol))
+    val prefix = s"${namespace}_${fp}_c${centroids.length}"
+    val have = Seq("assign", "ids", "iddigest", "stats")
+      .forall(s => spark.catalog.tableExists(s"${prefix}_$s"))
+    if (!have) buildIvfIndex(corpus, idCol, vecCol, centroids, prefix,
+      portable, lineage = fp)
+    prefix
+  }
+
+  /** Build-once gate for the APPENDED index: because the append
+    * mutates the assignments table in place, the composite lives
+    * under its OWN prefix (base fingerprint + delta fingerprint) —
+    * the base-only index keyed by [[ivfIndexCached]] is never
+    * silently grown. Idempotent: a delta already in the lineage is
+    * not re-appended.
+    */
+  def ivfAppendCached(baseVecs: DataFrame, deltaVecs: DataFrame,
+                      idCol: String, vecCol: String,
+                      centroids: Array[Array[Float]],
+                      portable: Boolean = false): String = {
+    val spark = baseVecs.sparkSession
+    val baseFp = IndexStore.corpusFingerprint(baseVecs, Seq(idCol, vecCol))
+    val deltaFp = IndexStore.corpusFingerprint(deltaVecs, Seq(idCol, vecCol))
+    val prefix = s"ivfidx_v1_${baseFp}_plus_${deltaFp}_c${centroids.length}"
+    val have = Seq("assign", "ids", "iddigest", "stats")
+      .forall(s => spark.catalog.tableExists(s"${prefix}_$s"))
+    if (!have)
+      buildIvfIndex(baseVecs, idCol, vecCol, centroids, prefix,
+        portable, lineage = baseFp)
+    val lineage = spark.table(s"${prefix}_stats").head().getAs[String]("lineage")
+    if (!lineage.contains(deltaFp))
+      appendToIvfIndex(spark, prefix, deltaVecs, idCol, vecCol, centroids,
+        portable)
+    prefix
+  }
+}

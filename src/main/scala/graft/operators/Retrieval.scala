@@ -188,7 +188,7 @@ object Retrieval {
     * confirm tier of the append guard: n_docs longs instead of a
     * postings-sized scan when the digest flags Bloom-possible ids.
     */
-  private def writeIdTable(spark: SparkSession, prefix: String,
+  private[operators] def writeIdTable(spark: SparkSession, prefix: String,
                            ids: DataFrame): Unit = {
     Bucketing.dropTableAndLocation(spark, s"${prefix}_ids")
     ids.select(col("doc_id"))
@@ -200,7 +200,7 @@ object Retrieval {
     * against doc re-submission by probing mBits/8 bytes instead of
     * scanning the base postings.
     */
-  private def writeIdDigest(spark: SparkSession, prefix: String,
+  private[operators] def writeIdDigest(spark: SparkSession, prefix: String,
                             words: Array[Long]): Unit = {
     import spark.implicits._
     Bucketing.dropTableAndLocation(spark, s"${prefix}_iddigest")
@@ -210,7 +210,7 @@ object Retrieval {
       .write.mode("overwrite").saveAsTable(s"${prefix}_iddigest")
   }
 
-  private def readIdDigest(spark: SparkSession, prefix: String,
+  private[operators] def readIdDigest(spark: SparkSession, prefix: String,
                            mBits: Int): Array[Long] = {
     val rows = spark.table(s"${prefix}_iddigest").collect()
     val words = new Array[Long](mBits / 64)

@@ -122,7 +122,7 @@ object Similarity {
     * window formulation (highest cos, then lowest id) — equality
     * with the window path asserted in SimilaritySpec.
     */
-  private def topKPerKey(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def topKPerKey(scored: DataFrame, k: Int): DataFrame =
     if (k == 1) {
       scored.groupBy(col("query_id"))
         .agg(max(struct(col("cos"), (-col("id")).as("nid"))).as("m"))

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Bucketing, IvfIndex, Similarity}
+
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = Tables.table(spark, TestSpark.sfDir, "embeddings")
+
+  private def cleanup(prefix: String): Unit =
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix))
+      .foreach(Bucketing.dropTableAndLocation(spark, _))
+
+  test("from-index probe is row-for-row identical to the inline IVF path") {
+    val e = emb.limit(400).cache(); e.count()
+    val cents = Similarity.trainIvfCentroids(e,
+      nCentroids = 16, dim = 64, iterations = 1)
+    val inline = Similarity.ivfTopK(e, e, k = 3, cents, nProbe = 4)
+      .orderBy(col("query_id"), col("rank")).collect()
+    val prefix = IvfIndex.ivfIndexCached(e, "vec_id", "embedding", cents)
+    val fromIdx = IvfIndex.ivfTopKFromIndex(spark, prefix, e, k = 3, cents,
+        nProbe = 4)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(inline.nonEmpty && inline.sameElements(fromIdx),
+      "index probe diverged from the inline path")
+    // cache hit serves, never rebuilds
+    assert(IvfIndex.ivfIndexCached(e, "vec_id", "embedding", cents) === prefix)
+    // a mismatched centroid set is refused loudly, not scored wrong
+    assert(intercept[IllegalArgumentException] {
+      IvfIndex.ivfTopKFromIndex(spark, prefix, e, k = 3,
+        cents.take(8), nProbe = 4)
+    }.getMessage.contains("different centroid set"))
+  }
+
+  test("append with frozen centroids equals a rebuild with those centroids") {
+    val e = emb.limit(400).cache(); e.count()
+    val base = e.filter(col("vec_id") % 4 =!= 0)
+    val delta = e.filter(col("vec_id") % 4 === 0)
+    val cents = Similarity.trainIvfCentroids(base,
+      nCentroids = 16, dim = 64, iterations = 1)
+    val merged = IvfIndex.ivfAppendCached(base, delta, "vec_id", "embedding", cents)
+    // reference: one-shot build over the FULL set with the SAME
+    // frozen centroids
+    cleanup("ivfref")
+    IvfIndex.buildIvfIndex(e, "vec_id", "embedding", cents, "ivfref")
+    def assignRows(t: String) = spark.table(s"${t}_assign")
+      .select(col("id"), col("cell")).orderBy("id").collect().toSeq
+    assert(assignRows(merged) === assignRows("ivfref"),
+      "appended assignments diverge from the full build")
+    val ms = spark.table(s"${merged}_stats").head()
+    assert(ms.getAs[Long]("n_vecs") ===
+      spark.table("ivfref_stats").head().getAs[Long]("n_vecs"))
+    assert(ms.getAs[String]("lineage").contains("+"),
+      "lineage missing the append record")
+    // probes over the merged index match the rebuild
+    val probes = e.filter(col("vec_id") % 10 === 0)
+    val a = IvfIndex.ivfTopKFromIndex(spark, merged, probes, k = 2, cents)
+      .orderBy(col("query_id"), col("rank")).collect()
+    val b = IvfIndex.ivfTopKFromIndex(spark, "ivfref", probes, k = 2, cents)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(a.nonEmpty && a.sameElements(b))
+    // idempotent: the delta is in the lineage, a second call is a no-op
+    val n1 = spark.table(s"${merged}_stats").head().getAs[Long]("n_vecs")
+    assert(IvfIndex.ivfAppendCached(base, delta, "vec_id", "embedding", cents)
+      === merged)
+    assert(spark.table(s"${merged}_stats").head().getAs[Long]("n_vecs") === n1)
+    // re-submitting known vectors fails loudly (digest flags, ids
+    // table convicts) — never a silent duplicate candidate
+    assert(intercept[IllegalArgumentException] {
+      IvfIndex.appendToIvfIndex(spark, merged, delta.limit(3),
+        "vec_id", "embedding", cents)
+    }.getMessage.contains("re-submits"))
+  }
+
+  test("probe plan prunes to the probed cells' partitions") {
+    val e = emb.limit(400).cache(); e.count()
+    val cents = Similarity.trainIvfCentroids(e,
+      nCentroids = 16, dim = 64, iterations = 1)
+    val prefix = IvfIndex.ivfIndexCached(e, "vec_id", "embedding", cents)
+    // a panel probing FEW cells: one query vector, nProbe=2 of 16
+    val panel = e.filter(col("vec_id") === e.select(min("vec_id")).head().getLong(0))
+    val df = IvfIndex.ivfTopKFromIndex(spark, prefix, panel, k = 2, cents,
+      nProbe = 2)
+    df.collect() // finalize AQE so runtime pruning is visible
+    val p = df.queryExecution.executedPlan.toString
+    // the assignments scan must be partition-filtered on cell —
+    // static or dynamic — never a full-table scan meeting the panel
+    assert(p.contains("dynamicpruning") ||
+      p.contains("PartitionFilters: [isnotnull(cell"),
+      s"assignments scan is not cell-pruned:\n$p")
+  }
+}
