@@ -896,6 +896,31 @@ object PipelineQueries {
       Similarity.recallReport(truth, approx)
     }),
 
+    // ---- recall DRIFT under frozen centroids: the exact same
+    //      recall@1 card, but the index is the base-trained +
+    //      delta-appended deployment (sim_topk_ivf_append's shape).
+    //      Comparing this row against sim_recall_ivf quantifies what
+    //      freezing costs as the corpus grows — the measurement that
+    //      turns "retrain and rebuild?" into a policy decision
+    //      instead of a guess ----
+    "sim_recall_ivf_append" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val base = e.filter(col("vec_id") % 5 =!= 0)
+      val delta = e.filter(col("vec_id") % 5 === 0)
+      val truth = Similarity.bruteForceTopK(
+          e.repartition(s.sparkContext.defaultParallelism), e, k = 1)
+        .select(col("query_id"), col("id").as("nn_id"))
+      val cents = Similarity.trainIvfCentroids(base,
+        nCentroids = Similarity.suggestedCentroids(base.count()), dim = 64,
+        iterations = 1, portable = true)
+      val prefix = IvfIndex.ivfAppendCached(base, delta, "vec_id",
+        "embedding", cents, portable = true)
+      val approx = IvfIndex.ivfTopKFromIndex(s, prefix, e, k = 1, cents,
+          nProbe = 4, portable = true)
+        .select(col("query_id"), col("id").as("nn_id"))
+      Similarity.recallReport(truth, approx)
+    }),
+
     // ---- ANN recall@10 for the LSH index: the cross-index tuning
     //      comparison a deployed user actually runs (IVF vs LSH vs PQ
     //      at matched k). Truth is brute-force top-10; the LSH side is
@@ -6474,6 +6499,13 @@ object PipelineQueries {
     // persisted assignments: same centroids, same chain, floats
     // round-trip parquet — the index layout is invisible
     "sim_topk_ivf_idx" -> oracleSqlBase("sim_topk_ivf"),
+    // the frozen-centroid recall card: same patch as the topk twin
+    "sim_recall_ivf_append" -> patched(oracleSqlBase("sim_recall_ivf"),
+      "WITH n AS (SELECT count(*) AS cnt FROM embeddings)," ->
+        ("WITH base AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),\n" +
+          "         n AS (SELECT count(*) AS cnt FROM base),"),
+      "AS v\n           FROM embeddings)," -> "AS v\n           FROM base),",
+      "FROM embeddings e CROSS JOIN init i" -> "FROM base e CROSS JOIN init i"),
     // incremental: training restricted to the 4/5 base corpus (the
     // frozen-centroid deployment), assignment over ALL rows
     "sim_topk_ivf_append" -> patched(oracleSqlBase("sim_topk_ivf"),

@@ -41,6 +41,20 @@ object PlanDump {
         "centroid join, no vector-keyed aggregation), the equi-join on `cell` " +
         "touches ~nProbe/nCentroids of the corpus, and the per-query top-k is " +
         "a partial max(struct) aggregate."),
+    "sim_topk_ivf_idx" ->
+      ("Persisted IVF assignments: the corpus side is the cell-PARTITIONED " +
+        "catalog table, so the probe reads probed-cell partitions instead of " +
+        "re-scanning and re-assigning every vector per panel (pruning pinned " +
+        "in IvfIndexSpec with a small panel); the scoring chain past the " +
+        "scan is identical to sim_topk_ivf, and floats round-trip parquet, " +
+        "so the results are bit-equal by shared oracle."),
+    "sim_topk_ivf_append" ->
+      ("Incremental IVF: centroids trained on the 4/5 base corpus and " +
+        "FROZEN; the delta's rows were assigned with those centroids and " +
+        "appended into their cell partitions (O(delta) maintenance — an " +
+        "assignment row is a per-vector fact, so append is exact by " +
+        "construction). The probe plan is sim_topk_ivf_idx's; what grows " +
+        "under freezing is recall drift, measured by sim_recall_ivf_append."),
     "q_asof_clicks" ->
       ("As-of join via union+merge: one Exchange (hash by user), one per-key " +
         "sort, a running last_value — no Join node anywhere. The naive form is " +
