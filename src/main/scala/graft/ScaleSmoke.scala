@@ -137,6 +137,13 @@ object ScaleSmoke {
     val sq8Queries = emb1.filter(col("vec_id") % 50 === 0).cache()
     sq8Queries.count()
 
+    // fixed-size delta for the index-append blocks: a day's arrivals
+    // do not grow because the historical index did (ids offset far
+    // outside both corpora so the disjointness guard passes)
+    val fixedDelta = docs1.limit(500)
+      .select((col("doc_id") + 50000000L).as("doc_id"), col("text")).cache()
+    fixedDelta.count()
+
     // fixed Bloom reference panel + bit array (built once — a
     // benchmark suite does not grow with the training corpus)
     val bloomRef = docs1.filter(col("doc_id") % 20 === 0)
@@ -599,7 +606,23 @@ object ScaleSmoke {
           .queryExecution.toRdd.count() },
       time(s"hll_distinct_${k}x") {
         Hll.hllDistinctCard(docsK, "text", 256)
-          .queryExecution.toRdd.count() }
+          .queryExecution.toRdd.count() },
+
+      // index BUILD is corpus-linear by construction; APPENDING a
+      // FIXED delta must be corpus-FLAT (ratio ~1) — the LSM claim:
+      // maintenance scales with the day's arrivals, not with
+      // everything ever ingested. The append writes one delta-sized
+      // segment; its only base-sized touch is the 128 KB id digest.
+      time("bm25_build_1x") {
+        Retrieval.buildBm25Index(docs1, "doc_id", "text", "ss_bm25_1x"); n1 },
+      time(s"bm25_build_${k}x") {
+        Retrieval.buildBm25Index(docsK, "doc_id", "text", s"ss_bm25_${k}x"); nK },
+      time("bm25_append_1x") {
+        Retrieval.appendToBm25Index(spark, "ss_bm25_1x", fixedDelta,
+          "doc_id", "text", "ss_bm25_1x_d"); 500L },
+      time(s"bm25_append_${k}x") {
+        Retrieval.appendToBm25Index(spark, s"ss_bm25_${k}x", fixedDelta,
+          "doc_id", "text", s"ss_bm25_${k}x_d"); 500L }
     )
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
@@ -616,7 +639,8 @@ object ScaleSmoke {
         "source_drift", "snapshot_drift", "drift_windowed",
         "data_quality", "snapshot_diff_docs",
         "ivf_sq8_topk", "pack_ffd", "bloom_decontam",
-        "decontam_two_tier", "cms_heavy", "hll_distinct").foreach { base =>
+        "decontam_two_tier", "cms_heavy", "hll_distinct",
+        "bm25_build", "bm25_append").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }
