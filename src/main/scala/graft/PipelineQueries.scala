@@ -921,6 +921,29 @@ object PipelineQueries {
       Similarity.recallReport(truth, approx)
     }),
 
+    // ---- matryoshka truncation eval: recall@1 when search uses only
+    //      the first 16 / 32 of 64 embedding dimensions (the
+    //      dimension-vs-quality trade of prefix-truncatable
+    //      embeddings — 4x/2x less vector IO and memory if recall
+    //      holds). Both truth and truncated runs are by-contract
+    //      exact brute force; the slice is the only difference, so
+    //      the oracle replays everything with list slices ----
+    "sim_recall_matryoshka" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val par = s.sparkContext.defaultParallelism
+      val truth = Similarity.bruteForceTopK(e.repartition(par), e, k = 1)
+        .select(col("query_id"), col("id").as("nn_id"))
+      Seq(16, 32).map { dim =>
+        val tr = e.select(col("vec_id"),
+          slice(col("embedding"), 1, dim).as("embedding"))
+        val approx = Similarity.bruteForceTopK(tr.repartition(par), tr, k = 1)
+          .select(col("query_id"), col("id").as("nn_id"))
+        Similarity.recallReport(truth, approx)
+          .select(lit(dim).as("dim"), col("n_truth"), col("n_matched"),
+            col("recall_micro"))
+      }.reduce(_ unionByName _).orderBy(col("dim"))
+    }),
+
     // ---- ANN recall@10 for the LSH index: the cross-index tuning
     //      comparison a deployed user actually runs (IVF vs LSH vs PQ
     //      at matched k). Truth is brute-force top-10; the LSH side is
@@ -6499,6 +6522,38 @@ object PipelineQueries {
     // persisted assignments: same centroids, same chain, floats
     // round-trip parquet — the index layout is invisible
     "sim_topk_ivf_idx" -> oracleSqlBase("sim_topk_ivf"),
+    "sim_recall_matryoshka" ->
+      """WITH bf AS (
+           SELECT a.vec_id AS query_id,
+             (SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> a.vec_id
+              ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
+              LIMIT 1) AS nn_id
+           FROM embeddings a),
+         t16 AS (
+           SELECT a.vec_id AS query_id,
+             (SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> a.vec_id
+              ORDER BY list_cosine_similarity(a.embedding[1:16], b.embedding[1:16]) DESC, b.vec_id
+              LIMIT 1) AS nn_id
+           FROM embeddings a),
+         t32 AS (
+           SELECT a.vec_id AS query_id,
+             (SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> a.vec_id
+              ORDER BY list_cosine_similarity(a.embedding[1:32], b.embedding[1:32]) DESC, b.vec_id
+              LIMIT 1) AS nn_id
+           FROM embeddings a),
+         n AS (SELECT count(*) AS c FROM bf),
+         m16 AS (SELECT count(*) AS c FROM bf JOIN t16 USING (query_id, nn_id)),
+         m32 AS (SELECT count(*) AS c FROM bf JOIN t32 USING (query_id, nn_id))
+         SELECT * FROM (
+           SELECT CAST(16 AS INTEGER) AS dim, CAST(n.c AS BIGINT) AS n_truth,
+             CAST(m16.c AS BIGINT) AS n_matched,
+             CAST(m16.c * 1000000 // n.c AS BIGINT) AS recall_micro
+           FROM n, m16
+           UNION ALL
+           SELECT CAST(32 AS INTEGER), CAST(n.c AS BIGINT),
+             CAST(m32.c AS BIGINT), CAST(m32.c * 1000000 // n.c AS BIGINT)
+           FROM n, m32)
+         ORDER BY dim""",
     // the frozen-centroid recall card: same patch as the topk twin
     "sim_recall_ivf_append" -> patched(oracleSqlBase("sim_recall_ivf"),
       "WITH n AS (SELECT count(*) AS cnt FROM embeddings)," ->
