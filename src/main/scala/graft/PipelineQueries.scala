@@ -1857,6 +1857,52 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- CHAMPION-LIST probe: the same panel served from the
+    //      impact-pruned postings (per token keep only the top-64
+    //      postings by floor(tf·10^6/dl), ties to smallest doc_id) —
+    //      the layout that caps per-term probe cost at c candidate
+    //      rows regardless of df, i.e. regardless of corpus size.
+    //      Surviving contributions are bit-identical to the exact
+    //      index's (df/stats untouched); the oracle replays the
+    //      pruning window and the full scoring chain over it ----
+    "text_bm25_topk_champion" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val probes = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(TextAnalysis.cleanTokens(col("text")), 1, 5).as("qterms"))
+      val base = Retrieval.bm25IndexCached(docs, "doc_id", "text")
+      val champ = Retrieval.bm25ChampionCached(s, base, c = 64)
+      Retrieval.bm25TopKFromIndex(s, champ, probes, "query_id", "qterms", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- champion-list recall curve: top-10 agreement between the
+    //      exact index and the champion index at pruning depths
+    //      c = 64 and 256 over the same panel — the
+    //      cost-vs-coverage tuning table (per-term probe cost is
+    //      capped at c, this card is what the cap costs), with BOTH
+    //      runs at each depth and the match counts replayed
+    //      end-to-end by the oracle ----
+    "text_bm25_recall_champion" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val probes = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(TextAnalysis.cleanTokens(col("text")), 1, 5).as("qterms"))
+      val base = Retrieval.bm25IndexCached(docs, "doc_id", "text")
+      val truth = Retrieval.bm25TopKFromIndex(s, base, probes,
+          "query_id", "qterms", k = 10)
+        .select(col("query_id"), col("doc_id").as("nn_id"))
+      Seq(64, 256).map { c =>
+        val champ = Retrieval.bm25ChampionCached(s, base, c = c)
+        val approx = Retrieval.bm25TopKFromIndex(s, champ, probes,
+            "query_id", "qterms", k = 10)
+          .select(col("query_id"), col("doc_id").as("nn_id"))
+        Similarity.recallReport(truth, approx)
+          .select(lit(c).as("c"), col("n_truth"), col("n_matched"),
+            col("recall_micro"))
+      }.reduce(_ unionByName _).orderBy(col("c"))
+    }),
+
     // ---- hybrid retrieval: BM25 lexical top-10 and dense cosine
     //      top-10 for the same query panel, merged by reciprocal-rank
     //      fusion — pure integer arithmetic (10^9 div (60 + rank)),
@@ -2552,6 +2598,59 @@ object PipelineQueries {
   private def bm25OracleCtesMod(probeMod: Int): String =
     bm25OracleCtes.replace("doc_id % 50 = 0", s"doc_id % $probeMod = 0")
 
+  /** Champion-list replay CTEs to append after [[bm25OracleCtes]]: the
+    * per-token impact pruning window (floor(tf·10^6/dl) desc, doc_id
+    * asc, keep `c`) and a second scoring chain over the pruned
+    * postings, all CTE names suffixed with `sfx` so two pruning
+    * depths can coexist in one oracle (the recall curve). `topk`
+    * stays the exact run; `topk$sfx` is the champion run at depth c.
+    */
+  private def bm25ChampionChain(c: Int, sfx: String): String =
+    s""",
+       champ$sfx AS (
+         SELECT doc_id, token, tf FROM (
+           SELECT tf.doc_id, tf.token, tf.tf,
+             ROW_NUMBER() OVER (PARTITION BY tf.token
+               ORDER BY (tf.tf * 1000000) // l.dl DESC, tf.doc_id) AS crk
+           FROM tf JOIN dl l USING (doc_id))
+         WHERE crk <= $c),
+       cand$sfx AS (
+         SELECT q.query_id, ch.doc_id, ch.tf, f.df FROM qt q
+         JOIN dfreq f USING (token) JOIN champ$sfx ch ON ch.token = q.token),
+       term$sfx AS (
+         SELECT c.query_id, c.doc_id,
+           CAST(floor(
+             ln(1.0 + (CAST(s.n_docs AS DOUBLE) - c.df + 0.5) / (CAST(c.df AS DOUBLE) + 0.5)) *
+             (CAST(c.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+             (CAST(c.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * ((1.0 - CAST(0.75 AS DOUBLE)) +
+               CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE) * s.n_docs / s.total_tokens)) *
+             1000000.0) AS BIGINT) AS ts_micro
+         FROM cand$sfx c JOIN dl l USING (doc_id) CROSS JOIN stats s),
+       perdoc$sfx AS (
+         SELECT query_id, doc_id, CAST(SUM(ts_micro) AS BIGINT) AS score_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+         FROM term$sfx GROUP BY 1, 2),
+       ranked$sfx AS (
+         SELECT query_id, doc_id, score_micro, n_terms,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+         FROM perdoc$sfx),
+       topk$sfx AS (
+         SELECT query_id, rank, doc_id, score_micro, n_terms FROM ranked$sfx WHERE rank <= 10)"""
+
+  /** One recall row (c, n_truth, n_matched, recall_micro) comparing
+    * the exact `topk` run against the champion run `topk$sfx`.
+    */
+  private def bm25ChampionRecallRow(c: Int, sfx: String): String =
+    s"""SELECT $c AS c,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM topk) AS n_truth,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM topk t JOIN topk$sfx a
+            ON t.query_id = a.query_id AND t.doc_id = a.doc_id) AS n_matched,
+         ((SELECT CAST(COUNT(*) AS BIGINT)
+           FROM topk t JOIN topk$sfx a
+             ON t.query_id = a.query_id AND t.doc_id = a.doc_id) * 1000000)
+           // (SELECT CAST(COUNT(*) AS BIGINT) FROM topk) AS recall_micro"""
+
   /** Apply literal substitutions to an oracle SQL string, failing
     * loudly if a target no longer matches — a silent no-op patch
     * would ship an oracle that tests the WRONG semantics.
@@ -2608,6 +2707,12 @@ object PipelineQueries {
       "\n SELECT query_id, rank, doc_id, score_micro, n_terms FROM topk ORDER BY query_id, rank"),
     "text_bm25_topk_bigpanel" -> (bm25OracleCtesMod(5) +
       "\n SELECT query_id, rank, doc_id, score_micro, n_terms FROM topk ORDER BY query_id, rank"),
+    "text_bm25_topk_champion" -> (bm25OracleCtes + bm25ChampionChain(64, "2") +
+      "\n SELECT query_id, rank, doc_id, score_micro, n_terms FROM topk2 ORDER BY query_id, rank"),
+    "text_bm25_recall_champion" -> (bm25OracleCtes +
+      bm25ChampionChain(64, "_c64") + bm25ChampionChain(256, "_c256") + "\n" +
+      bm25ChampionRecallRow(64, "_c64") + "\n UNION ALL\n" +
+      bm25ChampionRecallRow(256, "_c256") + "\n ORDER BY c"),
     "sim_rrf_hybrid" -> (bm25OracleCtes +
       """,
        dense0 AS (

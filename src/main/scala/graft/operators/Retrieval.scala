@@ -420,6 +420,68 @@ object Retrieval {
     newPrefix
   }
 
+  /** Champion-list index (impact-ordered posting pruning — the
+    * "champion lists" / top-docs strategy of IR textbooks): derive
+    * from a built index a PRUNED postings layout keeping, per token,
+    * only the `c` postings with the highest impact — the deterministic
+    * integer proxy floor(tf·10^6 / dl) (high term frequency in a
+    * short document), descending, ties to the smallest doc_id. df,
+    * corpus stats, and every surviving posting's (tf, dl) are
+    * UNCHANGED, so a surviving (query, doc, term) contribution is
+    * bit-identical to the exact index's — what champion search trades
+    * is coverage (a doc whose matched terms were all pruned
+    * disappears; one that lost some terms scores lower), which is
+    * exactly what the recall card beside it measures.
+    *
+    * Scale shape: this is the probe-cost CAP the full index cannot
+    * give. Against the full postings a stopword-ish probe term costs
+    * df ≈ N candidate rows; against champion postings it costs ≤ c,
+    * so a panel of P probes with T terms each is bounded by P·T·c
+    * candidate rows NO MATTER how large the corpus grows — the
+    * knob that keeps a 100 TB decontamination sweep's per-term cost
+    * corpus-independent. The pruning window itself shuffles by token
+    * once at build time (on a single-layout index the bucketed scan
+    * already satisfies the window's distribution — no Exchange), and
+    * the output is written back token-bucketed, so both probe plans
+    * (broadcast gate and big-panel sort-merge) serve the champion
+    * prefix unchanged.
+    *
+    * The champion index is a DERIVED, probe-only artifact: it carries
+    * no ids/iddigest tier because appends belong on the base index
+    * (re-derive the champion layout after maintenance — the lineage
+    * records `+champ{c}` so a stale derivation is auditable).
+    */
+  def bm25ChampionCached(spark: SparkSession, basePrefix: String, c: Int,
+                         buckets: Int = 32): String = {
+    require(c > 0, "champion list size c must be positive")
+    val newPrefix = s"${basePrefix}_ch$c"
+    val have = Seq("postings", "termstats", "stats")
+      .forall(s => spark.catalog.tableExists(s"${newPrefix}_$s"))
+    if (!have) {
+      val meta = readStatsMeta(spark, basePrefix)
+      val (postings, termstats, _) = loadIndexTables(spark, basePrefix)
+      val w = Window.partitionBy(col("token"))
+        .orderBy(intDiv(col("tf") * lit(1000000L), col("dl")).desc,
+          col("doc_id"))
+      Bucketing.writeBucketed(
+        postings.withColumn("__crk", row_number().over(w))
+          .filter(col("__crk") <= c).drop("__crk"),
+        s"${newPrefix}_postings", "token", buckets, Seq("token", "doc_id"))
+      Bucketing.writeBucketed(termstats,
+        s"${newPrefix}_termstats", "token", buckets, Seq("token"))
+      Bucketing.dropTableAndLocation(spark, s"${newPrefix}_stats")
+      spark.range(1).select(
+          lit(meta.nDocs).as("n_docs"),
+          lit(meta.totalTokens).as("total_tokens"),
+          lit(s"${meta.lineage}+champ$c").as("lineage"),
+          lit(newPrefix).as("segments"),
+          lit(meta.digestMBits).as("digest_mbits"),
+          lit(meta.digestK).as("digest_k"))
+        .write.mode("overwrite").saveAsTable(s"${newPrefix}_stats")
+    }
+    newPrefix
+  }
+
   /** Parsed audit/layout metadata from an index's stats table, with
     * single-segment defaults for indexes written before the
     * segmented layout existed.
@@ -673,11 +735,16 @@ object Retrieval {
     * per-query window all operate on panel-sized data; corpus cost
     * lives in the upstream runs.
     */
+  /** Exact floor division over non-negative longs — the engine-portable
+    * integer quotient both the RRF contributions and the champion-list
+    * impact ordering are built on (DuckDB's `//`).
+    */
+  private def intDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast(LongType)
+
   def rrfFuse(runs: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
     require(runs.nonEmpty, "need at least one run")
     require(k > 0 && k0 >= 0, "k must be positive, k0 non-negative")
-    def intDiv(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast(LongType)
     val contrib = runs.map(_.select(col("query_id"), col("id"),
       intDiv(lit(1000000000L), lit(k0.toLong) + col("rank").cast(LongType))
         .as("c")))

@@ -383,6 +383,57 @@ class RetrievalSpec extends AnyFunSuite {
     assert(raw >= 10, "aggregate lost groups outright")
   }
 
+  test("champion index: huge c is lossless, small c prunes exactly by impact") {
+    val docs = docsDf.limit(150).select("doc_id", "text")
+    val probes = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(graft.operators.TextAnalysis.cleanTokens(col("text")), 1, 5)
+          .as("qterms"))
+    val base = Retrieval.bm25IndexCached(docs, "doc_id", "text")
+    // c >= any df: pruning keeps everything -> bit-identical probe
+    val lossless = Retrieval.bm25ChampionCached(spark, base, c = 1 << 20)
+    val exact = Retrieval.bm25TopKFromIndex(spark, base, probes,
+        "query_id", "qterms", k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+    val fromLossless = Retrieval.bm25TopKFromIndex(spark, lossless, probes,
+        "query_id", "qterms", k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(exact.nonEmpty && exact.sameElements(fromLossless),
+      "champion index with c >= max df must reproduce the exact probe")
+    // small c: the champion postings are EXACTLY the per-token
+    // impact-top rows of the base postings (JVM replay of the window)
+    val c = 2
+    val champ = Retrieval.bm25ChampionCached(spark, base, c = c)
+    val basePostings = spark.table(s"${base}_postings").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = basePostings.groupBy(_._1).values.flatMap { g =>
+      g.sortBy { case (_, docId, tf, dl) => (-(tf * 1000000L / dl), docId) }
+        .take(c)
+    }.toSet
+    val got = spark.table(s"${champ}_postings").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === want, "champion postings diverge from the impact window replay")
+    // df and corpus stats are untouched by pruning
+    assert(spark.table(s"${champ}_termstats").collect().toSet ===
+      spark.table(s"${base}_termstats").collect().toSet)
+    assert(spark.table(s"${champ}_stats").select("n_docs", "total_tokens")
+      .head() === spark.table(s"${base}_stats")
+      .select("n_docs", "total_tokens").head())
+    // recall card sanity: matched pairs can never exceed the truth panel
+    val truth = Retrieval.bm25TopKFromIndex(spark, base, probes,
+      "query_id", "qterms", k = 10)
+      .select(col("query_id"), col("doc_id").as("nn_id"))
+    val approx = Retrieval.bm25TopKFromIndex(spark, champ, probes,
+      "query_id", "qterms", k = 10)
+      .select(col("query_id"), col("doc_id").as("nn_id"))
+    val rep = graft.operators.Similarity.recallReport(truth, approx).head()
+    assert(rep.getLong(1) <= rep.getLong(0))
+    assert(rep.getLong(2) >= 0L && rep.getLong(2) <= 1000000L)
+    // cached: second call serves the same prefix without a rebuild
+    assert(Retrieval.bm25ChampionCached(spark, base, c = c) === champ)
+  }
+
   test("rrfFuse cut is exact: k bounds each query independently") {
     val run = Seq.tabulate(30)(i => (i % 3).toLong -> (i + 1))
       .zipWithIndex.map { case ((q, r), i) => (q, r, (100 + i).toLong) }
