@@ -116,7 +116,8 @@ object IvfIndex {
   def appendToIvfIndex(spark: SparkSession, prefix: String,
                        deltaVecs: DataFrame, idCol: String, vecCol: String,
                        centroids: Array[Array[Float]],
-                       portable: Boolean = false): Unit = {
+                       portable: Boolean = false,
+                       lineageTag: String = ""): Unit = {
     val stats = spark.table(s"${prefix}_stats")
     require(stats.columns.startsWith(Seq("n_vecs", "n_cells")),
       s"malformed stats table ${prefix}_stats")
@@ -126,6 +127,11 @@ object IvfIndex {
     val mBits = row.getAs[Int]("digest_mbits")
     val digestK = row.getAs[Int]("digest_k")
     val deltaFp = IndexStore.corpusFingerprint(deltaVecs, Seq(idCol, vecCol))
+    // the lineage entry is the fold's ledger record: callers that
+    // manage their own idempotence key (the streaming maintainer's
+    // batchId) tag the fold so a RETRY is detectable by ledger lookup
+    // alone — the content fingerprint stays recorded beside it
+    val entry = if (lineageTag.nonEmpty) s"$lineageTag:$deltaFp" else deltaFp
     val assigned = assign(deltaVecs, idCol, vecCol, centroids, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -153,12 +159,24 @@ object IvfIndex {
       spark.range(1).select(
           lit(row.getAs[Long]("n_vecs") + nDelta).as("n_vecs"),
           lit(centroids.length).as("n_cells"),
-          lit(s"${row.getAs[String]("lineage")}+$deltaFp").as("lineage"),
+          lit(s"${row.getAs[String]("lineage")}+$entry").as("lineage"),
           lit(mBits).as("digest_mbits"),
           lit(digestK).as("digest_k"))
         .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
     } finally assigned.unpersist(blocking = false)
   }
+
+  /** True when the index's lineage already records a fold tagged
+    * `tag` (written via [[appendToIvfIndex]]'s `lineageTag`) — the
+    * ledger read the streaming maintainer's exactly-once rests on:
+    * because IVF appends mutate the table IN PLACE, a retried
+    * micro-batch cannot be detected by a per-batch table prefix the
+    * way the segmented BM25 chain does it; the lineage ledger is the
+    * idempotence record instead.
+    */
+  def lineageHasTag(spark: SparkSession, prefix: String, tag: String): Boolean =
+    spark.table(s"${prefix}_stats").head().getAs[String]("lineage")
+      .split('+').exists(_.startsWith(s"$tag:"))
 
   /** Build-once gate keyed by corpus fingerprint + centroid count. */
   def ivfIndexCached(corpus: DataFrame, idCol: String, vecCol: String,

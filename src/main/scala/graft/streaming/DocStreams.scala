@@ -497,4 +497,63 @@ object DocStreams {
       }.max._2
     }
   }
+
+  /** Live IVF index maintenance — the streaming driver of
+    * [[graft.operators.IvfIndex.appendToIvfIndex]]'s frozen-centroid
+    * append path: each micro-batch of NEW vectors is assigned with
+    * the index's frozen centroids and lands in its cell partitions
+    * (O(batch) work, base partitions untouched). Wire it as a
+    * foreachBatch sink:
+    *
+    * {{{
+    * val m = new IvfIndexMaintainer(spark, prefix, "vec_id",
+    *   "embedding", centroids, portable = true)
+    * stream.writeStream.foreachBatch(m.appendBatch _).start()
+    * ...
+    * IvfIndex.ivfTopKFromIndex(spark, prefix, panel, k, centroids, ...)
+    * }}}
+    *
+    * Exactly-once differs from [[Bm25IndexMaintainer]] BY DESIGN:
+    * BM25 appends write per-batch SEGMENTS (new table prefixes), so a
+    * retry is detected by the segment's existence; IVF appends mutate
+    * the assignments table IN PLACE (an assignment row is a per-vector
+    * fact — there is nothing to re-merge, so segments would buy
+    * nothing), which means retries must be detected from a LEDGER.
+    * That ledger is the stats table's lineage chain: every fold is
+    * tagged `b{batchId}:{content-fingerprint}`, a retried batchId is
+    * recognized and skipped before any write, and restart recovery is
+    * free — the prefix never changes and the ledger IS the recovered
+    * state. Recall drift under the frozen centroids remains the
+    * monitored trade (`sim_recall_ivf_append`), never a silent effect.
+    */
+  final class IvfIndexMaintainer(spark: org.apache.spark.sql.SparkSession,
+                                 prefix: String, idCol: String,
+                                 vecCol: String,
+                                 centroids: Array[Array[Float]],
+                                 portable: Boolean = false) {
+    import graft.operators.IvfIndex
+
+    def appendBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batch.isEmpty) return
+      // HAZARD (the in-place-append twin of the segmented chain's
+      // same-bucketed-union note): foreachBatch hands a DataFrame
+      // bound to a CLONED SparkSession whose relation cache is
+      // separate from the outer session's. An append executed through
+      // the clone invalidates only the clone's cache — the outer
+      // session would keep serving the PRE-APPEND file listing of the
+      // mutated tables. So the whole fold runs under the batch's own
+      // session (ledger read included, or a retry check could miss
+      // fresh ledger entries), and the outer session's cached
+      // relations are explicitly refreshed afterwards. The BM25
+      // maintainer never faces this because its appends create NEW
+      // table names, which no session has cached.
+      val sp = batch.sparkSession
+      val tag = s"b$batchId"
+      if (IvfIndex.lineageHasTag(sp, prefix, tag)) return // retry: done
+      IvfIndex.appendToIvfIndex(sp, prefix, batch, idCol, vecCol,
+        centroids, portable, lineageTag = tag)
+      Seq("assign", "ids", "stats", "iddigest")
+        .foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
+    }
+  }
 }

@@ -742,6 +742,62 @@ class StreamingSpec extends AnyFunSuite {
       === head, "retry moved the recovered chain head")
   }
 
+  test("streaming IVF index maintenance: micro-batch appends answer like a full rebuild") {
+    import graft.operators.{IvfIndex, Similarity}
+    import graft.streaming.DocStreams
+    val emb = Tables.table(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(400).cache()
+    emb.count()
+    val base = emb.filter(col("vec_id") % 3 === 0)
+    val arriving = emb.filter(col("vec_id") % 3 =!= 0)
+    val cents = Similarity.trainIvfCentroids(base, nCentroids = 8, dim = 64,
+      iterations = 1, portable = true)
+    val prefix = "sivf_mnt"
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix))
+      .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _))
+    IvfIndex.buildIvfIndex(base, "vec_id", "embedding", cents, prefix,
+      portable = true)
+    val src = java.nio.file.Files.createTempDirectory("graft-ivfsrc").toString
+    arriving.repartition(3).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val m = new DocStreams.IvfIndexMaintainer(spark, prefix, "vec_id",
+      "embedding", cents, portable = true)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.foreachBatch(m.appendBatch _).start()
+    try q.processAllAvailable() finally q.stop()
+    // the maintained index answers identically to the inline run over
+    // the full corpus with the same frozen centroids — micro-batch
+    // boundaries are invisible (assignment rows are per-vector facts)
+    val want = Similarity.ivfTopK(emb, emb, k = 1, cents, nProbe = 4,
+        portable = true)
+      .select(col("query_id"), col("id"), col("cos"))
+      .orderBy(col("query_id")).collect()
+    val got = IvfIndex.ivfTopKFromIndex(spark, prefix, emb, k = 1, cents,
+        nProbe = 4, portable = true)
+      .select(col("query_id"), col("id"), col("cos"))
+      .orderBy(col("query_id")).collect()
+    assert(want.nonEmpty && want.sameElements(got),
+      "maintained IVF index diverged from the inline full-corpus run")
+    // exactly-once: a retried batchId is recognized from the lineage
+    // ledger and skipped BEFORE any write — stats and row counts hold
+    val statsBefore = spark.table(s"${prefix}_stats").head()
+    val rowsBefore = spark.table(s"${prefix}_assign").count()
+    m.appendBatch(spark.read.parquet(src).limit(7), 0L)
+    assert(spark.table(s"${prefix}_stats").head() === statsBefore,
+      "retry moved the stats row")
+    assert(spark.table(s"${prefix}_assign").count() === rowsBefore,
+      "retry appended rows")
+    // restart recovery is ledger-driven: a FRESH maintainer instance
+    // (no in-memory state) skips the same replayed batch
+    val m2 = new DocStreams.IvfIndexMaintainer(spark, prefix, "vec_id",
+      "embedding", cents, portable = true)
+    m2.appendBatch(spark.read.parquet(src).limit(7), 0L)
+    assert(spark.table(s"${prefix}_assign").count() === rowsBefore,
+      "restarted maintainer re-appended a ledgered batch")
+  }
+
   test("typed Aggregator (WeightedMean) matches the declarative formulation") {
     import graft.functions.TypedAgg
     val ds = events.limit(5000)
