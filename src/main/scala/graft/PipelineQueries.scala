@@ -438,6 +438,23 @@ object PipelineQueries {
       Quality.snapshotDiff(a, b, "doc_id", "text")
     }),
 
+    // ---- SCD Type-2 history: two corpus snapshots folded into
+    //      row-level validity intervals — unchanged rows ride
+    //      through open, changed rows close at v2 with an open
+    //      successor, removed rows close with no successor, added
+    //      rows open at v2. The oracle replays the full-outer fold
+    //      and every interval class ----
+    "q_scd2_history" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val a = docs.filter(col("doc_id") % 11 =!= 0)
+      val b = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val h1 = Quality.scd2Init(a, "doc_id", "text", version = 1L)
+      Quality.scd2Apply(h1, b, "doc_id", "text", version = 2L)
+        .orderBy(col("id"), col("valid_from"))
+    }),
+
     // ---- shard manifest: deterministic shard assignment + exact
     //      per-shard row counts and ORDER-INDEPENDENT checksums (sum
     //      of per-id portable hashes mod p) — the integrity record a
@@ -4829,6 +4846,30 @@ object PipelineQueries {
            CAST(COUNT(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL AND ta <> tb THEN 1 END) AS BIGINT) AS n_changed,
            CAST(COUNT(CASE WHEN ta = tb THEN 1 END) AS BIGINT) AS n_unchanged
          FROM j""",
+    "q_scd2_history" ->
+      """WITH a AS (
+           SELECT doc_id AS id, text AS payload
+           FROM documents WHERE doc_id % 11 <> 0),
+         b AS (
+           SELECT doc_id AS id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS payload
+           FROM documents WHERE doc_id % 13 <> 0),
+         j AS (
+           SELECT COALESCE(a.id, b.id) AS id, a.payload AS pa, b.payload AS pb,
+             a.id IS NOT NULL AS ina, b.id IS NOT NULL AS inb
+           FROM a FULL JOIN b ON a.id = b.id),
+         hist AS (
+           SELECT id, pa AS payload, CAST(1 AS BIGINT) AS valid_from,
+             CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+           FROM j WHERE ina AND inb AND pa IS NOT DISTINCT FROM pb
+           UNION ALL
+           SELECT id, pa, CAST(1 AS BIGINT), CAST(2 AS BIGINT), FALSE
+           FROM j WHERE ina AND (NOT inb OR pa IS DISTINCT FROM pb)
+           UNION ALL
+           SELECT id, pb, CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+           FROM j WHERE inb AND (NOT ina OR pa IS DISTINCT FROM pb))
+         SELECT id, payload, valid_from, valid_to, is_current
+         FROM hist ORDER BY id, valid_from""",
     "q_shard_manifest" ->
       """WITH h1 AS (
            SELECT doc_id,

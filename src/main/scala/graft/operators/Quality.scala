@@ -154,4 +154,88 @@ object Quality {
         col("ha") =!= col("hb"), 1)).as("n_changed"),
       count(when(col("ha") === col("hb"), 1)).as("n_unchanged"))
   }
+
+  /** SCD Type-2 history bootstrap: every row of the first snapshot
+    * becomes an open validity interval `[version, null)` marked
+    * current. Output schema — the contract [[scd2Apply]] folds into —
+    * is (id, payload, valid_from, valid_to, is_current).
+    */
+  def scd2Init(snap: DataFrame, idCol: String, payloadCol: String,
+               version: Long): DataFrame = {
+    requireUniqueIds(snap, idCol, "scd2Init")
+    snap.select(col(idCol).as("id"), col(payloadCol).as("payload"),
+      lit(version).as("valid_from"),
+      lit(null).cast(LongType).as("valid_to"),
+      lit(true).as("is_current"))
+  }
+
+  /** Fold one new snapshot (observed at `version`) into a slowly-
+    * changing-dimension Type-2 history — the lakehouse pattern that
+    * turns periodic full snapshots into queryable row-level validity
+    * intervals ("what did doc X say at version V?"):
+    *
+    *   - unchanged id (payload null-safe-equal): current row rides
+    *     through untouched;
+    *   - changed id: the current row CLOSES (`valid_to = version`,
+    *     no longer current) and a new open row starts at `version`;
+    *   - removed id: the current row closes with no successor;
+    *   - added id: a new open row starts at `version`.
+    *
+    * Scale shape: already-closed history passes through with no join
+    * (in a lakehouse layout that slice is untouched storage — only
+    * the current slice is rewritten per fold); the current slice and
+    * the snapshot meet in ONE full-outer shuffle on id. History grows
+    * append-only, so N folds cost N snapshot-sized joins, never a
+    * re-derivation from all snapshots. Payload comparison is
+    * null-safe (`<=>`) — a null payload is a VALUE, distinct from
+    * the id being absent.
+    *
+    * Snapshot ids must be unique (guarded loudly — a duplicate id
+    * would silently fork an id's timeline); versions must be applied
+    * in increasing order, which the fold checks against the open
+    * rows' `valid_from`.
+    */
+  def scd2Apply(history: DataFrame, snap: DataFrame, idCol: String,
+                payloadCol: String, version: Long): DataFrame = {
+    requireUniqueIds(snap, idCol, "scd2Apply")
+    val cur = history.filter(col("is_current"))
+      .select(col("id"), col("payload"), col("valid_from"),
+        lit(true).as("__cur"))
+    val dead = history.filter(!col("is_current"))
+    val s = snap.select(col(idCol).as("id"),
+      col(payloadCol).as("new_payload"), lit(true).as("__new"))
+    val j = cur.join(s, Seq("id"), "full_outer")
+      .withColumn("__cur", coalesce(col("__cur"), lit(false)))
+      .withColumn("__new", coalesce(col("__new"), lit(false)))
+    // an out-of-order version would write intervals that end before
+    // they start; the guard rides the join projection (no extra pass)
+    val fromChecked = when(col("valid_from") < lit(version), col("valid_from"))
+      .otherwise(raise_error(concat(
+        lit(s"scd2Apply: version $version is not after open valid_from "),
+        col("valid_from"))))
+    val same = col("payload") <=> col("new_payload")
+    val kept = j.filter(col("__cur") && col("__new") && same)
+      .select(col("id"), col("payload"), col("valid_from"),
+        lit(null).cast(LongType).as("valid_to"), lit(true).as("is_current"))
+    val closedNow = j.filter(col("__cur") && (!col("__new") || !same))
+      .select(col("id"), col("payload"), fromChecked.as("valid_from"),
+        lit(version).as("valid_to"), lit(false).as("is_current"))
+    val openedNow = j.filter(col("__new") && (!col("__cur") || !same))
+      .select(col("id"), col("new_payload").as("payload"),
+        lit(version).as("valid_from"),
+        lit(null).cast(LongType).as("valid_to"), lit(true).as("is_current"))
+    dead.unionByName(kept).unionByName(closedNow).unionByName(openedNow)
+  }
+
+  /** Loud snapshot-uniqueness guard: one snapshot-sized aggregate —
+    * the price of never silently forking an id's SCD timeline.
+    */
+  private def requireUniqueIds(snap: DataFrame, idCol: String,
+                               op: String): Unit = {
+    val dup = snap.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"$op: snapshot has duplicate id ${dup.headOption.map(_.get(0)).getOrElse("")} " +
+        "— SCD2 requires one row per id per snapshot")
+  }
 }

@@ -77,4 +77,52 @@ class QualitySpec extends AnyFunSuite {
     val prof = Quality.profileNumeric(docs, Seq("l_quantity", "l_discount", "l_tax"))
     assert(scans(prof) === 1, "profile must not rescan per column")
   }
+
+  test("scd2: every interval class, two folds, null payload is a value") {
+    def snap(rows: Seq[(Long, String)]) = rows.toDF("id", "text")
+    // v1: ids 1..4; v2: 1 unchanged, 2 changed, 3 removed, 5 added
+    val h1 = Quality.scd2Init(snap(Seq(1L -> "a", 2L -> "b", 3L -> "c",
+      4L -> "d")), "id", "text", version = 1L)
+    val h2 = Quality.scd2Apply(h1, snap(Seq(1L -> "a", 2L -> "b2",
+      4L -> "d", 5L -> "e")), "id", "text", version = 2L)
+    def rows(h: org.apache.spark.sql.DataFrame) =
+      h.orderBy("id", "valid_from").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSeq
+    assert(rows(h2) === Seq(
+      (1L, "a", 1L, -1L, true),
+      (2L, "b", 1L, 2L, false), (2L, "b2", 2L, -1L, true),
+      (3L, "c", 1L, 2L, false),
+      (4L, "d", 1L, -1L, true),
+      (5L, "e", 2L, -1L, true)))
+    // second fold: a re-opened id changes AGAIN; a removed id returns
+    val h3 = Quality.scd2Apply(h2, snap(Seq(1L -> "a", 2L -> "b3",
+      3L -> "c", 4L -> "d", 5L -> "e")), "id", "text", version = 5L)
+    assert(rows(h3) === Seq(
+      (1L, "a", 1L, -1L, true),
+      (2L, "b", 1L, 2L, false), (2L, "b2", 2L, 5L, false),
+        (2L, "b3", 5L, -1L, true),
+      (3L, "c", 1L, 2L, false), (3L, "c", 5L, -1L, true),
+      (4L, "d", 1L, -1L, true),
+      (5L, "e", 2L, -1L, true)))
+    // null payload is a VALUE: null -> "x" is a change, null -> null is not
+    val n1 = Quality.scd2Init(
+      Seq[(Long, String)](1L -> null, 2L -> null).toDF("id", "text"),
+      "id", "text", version = 1L)
+    val n2 = Quality.scd2Apply(n1,
+      Seq[(Long, String)](1L -> "x", 2L -> null).toDF("id", "text"),
+      "id", "text", version = 2L)
+    assert(rows(n2) === Seq(
+      (1L, null, 1L, 2L, false), (1L, "x", 2L, -1L, true),
+      (2L, null, 1L, -1L, true)))
+    // duplicate snapshot ids fork a timeline -> loud
+    assert(intercept[IllegalArgumentException] {
+      Quality.scd2Apply(h3, snap(Seq(1L -> "a", 1L -> "a2")), "id", "text", 6L)
+    }.getMessage.contains("duplicate id"))
+    // out-of-order version -> loud (interval would end before it starts)
+    val err = intercept[Exception] {
+      Quality.scd2Apply(h3, snap(Seq(2L -> "b4")), "id", "text", 5L).collect()
+    }
+    assert(err.getMessage.contains("not after"), s"got: ${err.getMessage}")
+  }
 }
