@@ -893,6 +893,17 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     }),
 
+    // ---- greedy k-center coreset: 8 maximally-diverse embedding
+    //      rows by farthest-first selection (seed = min id; then
+    //      argmin of max-cosine-to-selected, ties to smallest id, on
+    //      the micro-floored integer similarity). maxsim_micro is
+    //      the coverage curve. The oracle replays all 7 greedy
+    //      rounds via a recursive CTE carrying the selected-center
+    //      list ----
+    "sim_coreset_kcenter" -> ((s, d) =>
+      Similarity.kCenterCoreset(t(s, d, "embeddings"), k = 8)
+        .orderBy(col("rank"))),
+
     // ---- ANN recall@1 report: IVF result vs the exact brute-force
     //      ground truth — one (query_id, nn_id) equi-join, recall as
     //      an exact integer micro-fraction. The oracle re-derives
@@ -2680,6 +2691,30 @@ object PipelineQueries {
 
   private val oracleSqlBase: Map[String, String] = Map(
     "sim_mmr_rerank" -> mmrOracleSql(5, 20),
+    "sim_coreset_kcenter" ->
+      """WITH RECURSIVE sel AS (
+           SELECT 1 AS rank,
+             (SELECT MIN(vec_id) FROM embeddings) AS id,
+             CAST(NULL AS BIGINT) AS maxsim_micro,
+             [(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+               WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))] AS cents,
+             [(SELECT MIN(vec_id) FROM embeddings)] AS ids
+           UNION ALL
+           SELECT sel.rank + 1, nxt.id, nxt.m,
+             list_append(sel.cents, nxt.emb), list_append(sel.ids, nxt.id)
+           FROM sel CROSS JOIN LATERAL (
+             SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS emb,
+               CAST(floor(list_max(list_transform(sel.cents,
+                 c -> list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c)))
+                 * 1000000.0) AS BIGINT) AS m
+             FROM embeddings e
+             WHERE NOT list_contains(sel.ids, e.vec_id)
+             ORDER BY m ASC, e.vec_id ASC
+             LIMIT 1) nxt
+           WHERE sel.rank < 8
+         )
+         SELECT CAST(rank AS INTEGER) AS rank, id, maxsim_micro
+         FROM sel ORDER BY rank""",
     "text_bm25_gate" ->
       """WITH ctoks AS (
            SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts

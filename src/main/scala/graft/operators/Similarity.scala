@@ -789,6 +789,60 @@ object Similarity {
     * meaningless. Both sides now raise: here via `raise_error`, the
     * oracle via its own division-by-zero error.
     */
+  /** Greedy k-center (Gonzalez farthest-first) coreset selection —
+    * the diversity-first data-selection pass: pick `k` embedding rows
+    * such that every corpus point is close to some pick, by starting
+    * from the smallest id and repeatedly taking the point LEAST
+    * similar to everything selected so far (argmin of max-cosine, ties
+    * to the smallest id — a total, engine-independent order on the
+    * floor(·10^6) integer similarity). The classic 2-approximation to
+    * the k-center cover, and the standard greedy seed for
+    * diversity-aware subset selection over embeddings.
+    *
+    * Output: (rank 1..k, id, maxsim_micro) — maxsim_micro is the
+    * picked point's max cosine (micro-floored) to the picks BEFORE
+    * it; null for the rank-1 seed. maxsim_micro is non-decreasing in
+    * rank — it IS the coverage curve: stopping at the first rank
+    * whose maxsim_micro exceeds a threshold gives the smallest
+    * diverse set at that radius.
+    *
+    * Scale shape: greedy k-center is inherently k SEQUENTIAL rounds;
+    * each round is one fully-distributed scan of the (id, vec)
+    * projection (persisted across rounds) scoring max-cosine against
+    * ≤ k broadcast literal centers, reduced by a TakeOrdered(1) —
+    * never a pairwise join, never corpus × corpus. k is bounded and
+    * small by contract (a selection budget), so the driver loop is k
+    * plan launches, not a per-row loop.
+    */
+  def kCenterCoreset(vecs: DataFrame, k: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val base = vecs.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).as("v")).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed = base.orderBy(col("id")).limit(1).collect()
+      require(seed.nonEmpty, "kCenterCoreset: empty input")
+      var picks = Vector[(Long, Array[Float])](
+        (seed(0).getLong(0), seed(0).getSeq[Float](1).toArray))
+      var out = Vector[(Int, Long, Option[Long])]((1, picks.head._1, None))
+      for (r <- 2 to k if picks.size == r - 1) {
+        val maxSim = array_max(array(picks.map { case (_, c) =>
+          cosine(col("v"), typedLit(c)) }: _*))
+        val next = base.filter(!col("id").isin(picks.map(_._1): _*))
+          .select(col("id"), col("v"),
+            floor(maxSim * lit(1000000.0)).cast(LongType).as("m"))
+          .orderBy(col("m").asc, col("id").asc).limit(1).collect()
+        if (next.nonEmpty) {
+          picks :+= ((next(0).getLong(0), next(0).getSeq[Float](1).toArray))
+          out :+= ((r, next(0).getLong(0), Some(next(0).getLong(2))))
+        }
+      }
+      out.toDF("rank", "id", "maxsim_micro")
+    } finally base.unpersist(blocking = false)
+  }
+
   def recallReport(truth: DataFrame, approx: DataFrame): DataFrame = {
     val matched = truth.join(approx, Seq("query_id", "nn_id"))
       .agg(count(lit(1)).as("n_matched"))

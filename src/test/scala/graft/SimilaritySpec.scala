@@ -363,4 +363,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("empty ground-truth panel")),
       s"expected the raise_error contract message, got: $e")
   }
+
+  test("kCenterCoreset matches a JVM greedy replay; coverage curve non-decreasing") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings").limit(120)
+    val got = Similarity.kCenterCoreset(e, k = 6)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    // independent JVM replay of the greedy farthest-first selection
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var picks = Vector(vecs.head)
+    var want = Vector[(Int, Long, Option[Long])]((1, vecs.head._1, None))
+    for (r <- 2 to 6) {
+      val cand = vecs.filter(v => !picks.exists(_._1 == v._1))
+        .map { case (id, v) =>
+          (id, v, math.floor(picks.map(p => cos(v, p._2)).max * 1e6).toLong) }
+      val best = cand.minBy { case (id, _, m) => (m, id) }
+      picks :+= ((best._1, best._2))
+      want :+= ((r, best._1, Some(best._3)))
+    }
+    assert(got === want, "greedy selection diverged from the JVM replay")
+    // coverage curve: max-similarity of successive picks never decreases
+    val curve = got.flatMap(_._3)
+    assert(curve === curve.sorted, "coverage curve must be non-decreasing")
+    // k > n: selection exhausts the corpus and stops at n rows
+    val tiny = e.limit(3)
+    assert(Similarity.kCenterCoreset(tiny, k = 10).count() === 3L)
+    // empty input is loud
+    assert(intercept[IllegalArgumentException] {
+      Similarity.kCenterCoreset(e.filter(col("vec_id") < 0), k = 2)
+    }.getMessage.contains("empty input"))
+  }
 }
