@@ -1815,6 +1815,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // ---- Zipf slope: least-squares slope of ln(freq) vs ln(rank)
+    //      over the top-64 terms — the "does this corpus still look
+    //      like language" one-number drift card (natural text ≈
+    //      −1000 milli). Integer-milli ln values, exact long moment
+    //      sums, one floor division — replayed end-to-end ----
+    "text_zipf_slope" -> ((s, d) =>
+      TextAnalysis.zipfSlopeCard(t(s, d, "documents"), "text")),
+
     // ---- BM25 lexical retrieval: inverted-index top-10 per probe;
     //      probes = every 50th doc's first-5 tokens. Per-term scores
     //      floor to integer micro-units BEFORE the per-doc sum, so
@@ -2755,6 +2763,26 @@ object PipelineQueries {
            FROM perprobe)
          SELECT id, probe_id, score_micro FROM best
          WHERE rk = 1 AND score_micro >= 1300000 ORDER BY id""",
+    "text_zipf_slope" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS token
+           FROM documents),
+         freq AS (
+           SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+           GROUP BY token ORDER BY freq DESC, token LIMIT 64),
+         xy AS (
+           SELECT
+             CAST(floor(ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000.0) AS BIGINT) AS y
+           FROM freq),
+         m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx
+           FROM xy)
+         SELECT n AS n_terms,
+           CAST(((n*sxy - sx*sy) * 1000) // (n*sxx - sx*sx) AS BIGINT) AS slope_milli
+         FROM m""",
     "text_bm25_topk" -> (bm25OracleCtes +
       "\n SELECT query_id, rank, doc_id, score_micro, n_terms FROM topk ORDER BY query_id, rank"),
     "text_bm25_topk_bigpanel" -> (bm25OracleCtesMod(5) +

@@ -1395,4 +1395,52 @@ object TextAnalysis {
         least(lit(window.toLong), col("n") - col("chunk_id") * stride)
           .as("n_tokens"))
   }
+
+  /** Zipf-slope corpus-health card: least-squares slope of
+    * ln(frequency) against ln(rank) over the `topV` most frequent
+    * terms — natural-language corpora sit near −1; template spam,
+    * boilerplate floods, or tokenizer damage bend the curve, so the
+    * slope is the one-number "does this corpus still look like
+    * language" drift signal.
+    *
+    * Portability: ranks (freq desc, token asc) are total; x =
+    * floor(ln(rank)·10^3) and y = floor(ln(freq)·10^3) are integer
+    * millis (the bigram-LM ln discipline), all moment sums are exact
+    * longs, and the slope is ONE truncating integer division
+    * (num·10^3 div den → slope_milli ≈ −1000 for Zipfian text;
+    * truncation matches DuckDB's integer `//`, which is not floor) —
+    * the milli scale keeps num·10^3 under 2^53 so the division
+    * operands stay exactly representable everywhere.
+    *
+    * Scale shape: one tokenize + one (token) count aggregate (THE
+    * corpus shuffle), a TakeOrdered(topV) cut, then all arithmetic on
+    * topV rows. topV is a bounded constant — the single-partition
+    * rank window is over topV rows, never the vocabulary.
+    */
+  def zipfSlopeCard(docs: DataFrame, textCol: String,
+                    topV: Int = 64): DataFrame = {
+    require(topV >= 2, "need at least 2 ranked terms for a slope")
+    val freq = docs
+      .select(explode(cleanTokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(topV)
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    val xy = freq.withColumn("rank", row_number().over(w).cast(LongType))
+      .select(
+        floor(log(col("rank").cast(DoubleType)) * lit(1000.0))
+          .cast(LongType).as("x"),
+        floor(log(col("freq").cast(DoubleType)) * lit(1000.0))
+          .cast(LongType).as("y"))
+    xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_terms"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) * lit(1000L))
+          .as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      // `div` truncates toward zero on longs, matching DuckDB's
+      // integer `//` (which is NOT floor division: -7 // 2 = -3) —
+      // the sign-safe choice for a negative slope
+      .select(col("n_terms"), expr("num div den").as("slope_milli"))
+  }
 }

@@ -805,4 +805,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out("srcB").getLong(5) === 0L)
     assert(out("srcB").isNullAt(6))
   }
+
+  test("zipfSlopeCard: exact JVM replay; ideal Zipf corpus slopes to -1000") {
+    // exact replay on corpus docs
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents").limit(200)
+      .select("doc_id", "text")
+    val got = TextAnalysis.zipfSlopeCard(docs, "text").head()
+    val freqs = docs.collect()
+      .flatMap(r => Option(r.getString(1)).toSeq
+        .flatMap(_.trim.split("\\s+").filter(_.nonEmpty)))
+      .groupBy(identity).map { case (t, g) => (t, g.length.toLong) }.toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(64)
+    val xy = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (math.floor(math.log((i + 1).toDouble) * 1000.0).toLong,
+        math.floor(math.log(f.toDouble) * 1000.0).toLong) }
+    val n = xy.length.toLong
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    assert(got.getLong(0) === n)
+    assert(got.getLong(1) === (n * sxy - sx * sy) * 1000L / (n * sxx - sx * sx),
+      "slope diverged from the JVM moment replay")
+    // an ideal Zipf corpus (freq proportional to 1/rank) slopes to ~-1000
+    val ideal = (1 to 30).flatMap(i =>
+      Seq.fill(math.max(1, 3000 / i))(s"t${('a' + i).toChar}$i"))
+    val idf = Seq((1L, ideal.mkString(" "))).toDF("doc_id", "text")
+    val slope = TextAnalysis.zipfSlopeCard(idf, "text").head().getLong(1)
+    assert(slope > -1050 && slope < -950, s"ideal Zipf slope was $slope milli")
+    // a flat corpus (every token equally frequent) slopes to ~0
+    val flat = (1 to 30).flatMap(i => Seq.fill(10)(s"u$i"))
+    val fdf = Seq((1L, flat.mkString(" "))).toDF("doc_id", "text")
+    assert(TextAnalysis.zipfSlopeCard(fdf, "text").head().getLong(1) === 0L)
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.zipfSlopeCard(docs, "text", topV = 1)
+    }.getMessage.contains("at least 2"))
+  }
 }
