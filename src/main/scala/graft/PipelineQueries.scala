@@ -1248,6 +1248,19 @@ object PipelineQueries {
           col("take"))
         .orderBy(col("doc_id"))),
 
+    // ---- UniMax capped waterfilling: split a self-scaling token
+    //      budget (95% of the 2-epoch capped supply) as equally as
+    //      possible across sources, small sources binding at their
+    //      epoch cap, the rest waterfilled to one integer level —
+    //      the fairness alternative to temperature sampling. Every
+    //      number integer; the oracle replays ranks, prefix sums,
+    //      the capped prefix and the water level ----
+    "q_unimax_mix" -> ((s, d) =>
+      Frames.unimaxAllocation(t(s, d, "documents"), "source",
+          size(TextAnalysis.cleanTokens(col("text"))).cast(LongType),
+          epochCap = 2L, budgetPermille = 950L)
+        .orderBy(col("source"))),
+
     // ---- per-domain token-budget curation: keep each language's
     //      best-quality documents until a 2,000-token budget is
     //      spent (quality desc, doc_id tiebreak; running total
@@ -2888,6 +2901,39 @@ object PipelineQueries {
                 FROM s2 JOIN r USING (source))
          SELECT doc_id, source, n_docs, w, take FROM rk WHERE rnk <= take
          ORDER BY doc_id""",
+    "q_unimax_mix" ->
+      """WITH sizes AS (
+           SELECT source, CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         caps AS (SELECT source, n_tokens, n_tokens * 2 AS cap FROM sizes),
+         ranked AS (
+           SELECT source, n_tokens, cap,
+             CAST(ROW_NUMBER() OVER (ORDER BY cap ASC, source ASC) AS BIGINT) AS rk,
+             CAST(SUM(cap) OVER (ORDER BY cap ASC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pcap
+           FROM caps),
+         tot AS (SELECT CAST(MAX(rk) AS BIGINT) AS n_src, CAST(SUM(cap) AS BIGINT) AS sum_cap FROM ranked),
+         flagged AS (
+           SELECT r.*, t.n_src, (t.sum_cap * 950) // 1000 AS budget,
+             CASE WHEN r.cap * (t.n_src - r.rk + 1) <= (t.sum_cap * 950) // 1000 - (r.pcap - r.cap)
+               THEN 1 ELSE 0 END AS c
+           FROM ranked r, tot t),
+         pref AS (
+           SELECT *, MIN(c) OVER (ORDER BY rk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS capped
+           FROM flagged),
+         lvl AS (
+           SELECT COALESCE(MAX(CASE WHEN capped THEN rk END), 0) AS kstar,
+             COALESCE(MAX(CASE WHEN capped THEN pcap END), 0) AS pcapk,
+             MAX(budget) AS budget, MAX(n_src) AS n_src
+           FROM pref),
+         wl AS (
+           SELECT CASE WHEN n_src = kstar THEN 9223372036854775807
+             ELSE (budget - pcapk) // (n_src - kstar) END AS w_level
+           FROM lvl)
+         SELECT p.source, p.n_tokens, p.cap,
+           CAST(least(p.cap, w.w_level) AS BIGINT) AS allocated, p.capped
+         FROM pref p, wl w ORDER BY p.source""",
     "q_token_budget" ->
       """WITH q AS (
            SELECT doc_id, lang,

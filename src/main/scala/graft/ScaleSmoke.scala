@@ -622,7 +622,35 @@ object ScaleSmoke {
           "doc_id", "text", "ss_bm25_1x_d"); 500L },
       time(s"bm25_append_${k}x") {
         Retrieval.appendToBm25Index(spark, s"ss_bm25_${k}x", fixedDelta,
-          "doc_id", "text", s"ss_bm25_${k}x_d"); 500L }
+          "doc_id", "text", s"ss_bm25_${k}x_d"); 500L },
+
+      // CHAMPION probe: per-term candidate work is capped at c=64, so
+      // the champion probe must stay corpus-FLAT as every probed
+      // term's df grows K-fold, while the exact probe's candidate
+      // volume grows with df. The derivation itself (one window over
+      // the postings) is corpus-linear, paid once.
+      {
+        Seq("ss_bm25_1x_ch64", s"ss_bm25_${k}x_ch64").foreach { p =>
+          Seq("postings", "termstats", "stats").foreach(s =>
+            graft.operators.Bucketing.dropTableAndLocation(spark, s"${p}_$s"))
+        }
+        time("bm25_champ_derive_1x") {
+          Retrieval.bm25ChampionCached(spark, "ss_bm25_1x", c = 64); n1 }
+      },
+      time(s"bm25_champ_derive_${k}x") {
+        Retrieval.bm25ChampionCached(spark, s"ss_bm25_${k}x", c = 64); nK },
+      time("bm25_probe_exact_1x") {
+        Retrieval.bm25TopKFromIndex(spark, "ss_bm25_1x", bm25Probes,
+          "query_id", "qterms", 10).queryExecution.toRdd.count() },
+      time(s"bm25_probe_exact_${k}x") {
+        Retrieval.bm25TopKFromIndex(spark, s"ss_bm25_${k}x", bm25Probes,
+          "query_id", "qterms", 10).queryExecution.toRdd.count() },
+      time("bm25_probe_champ_1x") {
+        Retrieval.bm25TopKFromIndex(spark, "ss_bm25_1x_ch64", bm25Probes,
+          "query_id", "qterms", 10).queryExecution.toRdd.count() },
+      time(s"bm25_probe_champ_${k}x") {
+        Retrieval.bm25TopKFromIndex(spark, s"ss_bm25_${k}x_ch64", bm25Probes,
+          "query_id", "qterms", 10).queryExecution.toRdd.count() }
     )
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
@@ -640,7 +668,8 @@ object ScaleSmoke {
         "data_quality", "snapshot_diff_docs",
         "ivf_sq8_topk", "pack_ffd", "bloom_decontam",
         "decontam_two_tier", "cms_heavy", "hll_distinct",
-        "bm25_build", "bm25_append").foreach { base =>
+        "bm25_build", "bm25_append", "bm25_champ_derive",
+        "bm25_probe_exact", "bm25_probe_champ").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

@@ -231,6 +231,65 @@ object Frames {
       .drop("__rnk")
   }
 
+  /** UniMax-shape capped waterfilling (Chung et al. 2023): split a
+    * token budget across sources as EQUALLY as possible subject to a
+    * per-source repetition cap of `epochCap` epochs — a source may
+    * contribute at most epochCap × its own tokens, so a tiny source
+    * cannot be over-sampled into memorization while the freed budget
+    * waterfills uniformly over the larger sources. The fairness
+    * alternative to temperature sampling ([[temperatureMixSqrt]]),
+    * completing the mixing family.
+    *
+    * The budget is SELF-SCALING: `(Σcaps · budgetPermille) div 1000`,
+    * so the same permille exercises the same capped/waterfilled mix
+    * at any corpus size. Allocation: sources ascend by (cap, name);
+    * source i binds at its cap iff cap_i·(remaining sources) ≤
+    * remaining budget (prefix-AND makes the capped set a prefix);
+    * the rest all receive the water level
+    * w = (budget − Σ capped caps) div (uncapped count). All integer
+    * arithmetic — the ≤ (uncapped count − 1) tokens of remainder
+    * stay unallocated by floor semantics, never redistributed
+    * nondeterministically.
+    *
+    * Output: one row per source — (source, n_tokens, cap, allocated,
+    * capped). Scale shape: ONE map-side-combined token-count
+    * aggregate is the only corpus pass; everything after operates on
+    * source-cardinality rows (dozens-to-thousands), where the global
+    * rank window is bounded by construction.
+    */
+  def unimaxAllocation(docs: DataFrame, sourceCol: String,
+                       tokenCount: Column, epochCap: Long = 2L,
+                       budgetPermille: Long = 950L): DataFrame = {
+    require(epochCap > 0, "epochCap must be positive")
+    require(budgetPermille > 0, "budgetPermille must be positive")
+    val sizes = docs.groupBy(col(sourceCol).as("source"))
+      .agg(sum(tokenCount.cast("long")).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * lit(epochCap))
+    val w = Window.orderBy(col("cap").asc, col("source").asc)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = sizes
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("pcap", sum(col("cap")).over(cum))
+    val tot = ranked.agg(max(col("rk")).as("n_src"),
+      sum(col("cap")).as("sum_cap"))
+    val flagged = ranked.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"sum_cap * $budgetPermille div 1000"))
+      .withColumn("__c",
+        when(col("cap") * (col("n_src") - col("rk") + 1L) <=
+          col("budget") - (col("pcap") - col("cap")), 1L).otherwise(0L))
+      .withColumn("capped", min(col("__c")).over(cum) === 1L)
+    val level = flagged.groupBy().agg(
+        coalesce(max(when(col("capped"), col("rk"))), lit(0L)).as("kstar"),
+        coalesce(max(when(col("capped"), col("pcap"))), lit(0L)).as("pcapk"),
+        max(col("budget")).as("budget"), max(col("n_src")).as("n_src"))
+      .select(when(col("n_src") === col("kstar"), lit(Long.MaxValue))
+        .otherwise(expr("(budget - pcapk) div (n_src - kstar)"))
+        .as("w_level"))
+    flagged.crossJoin(broadcast(level))
+      .select(col("source"), col("n_tokens"), col("cap"),
+        least(col("cap"), col("w_level")).as("allocated"), col("capped"))
+  }
+
   /** Per-domain token-budget curation: order each domain's documents
     * by a quality score (best first) and keep documents until the
     * domain's token budget is spent — the "take the best N tokens

@@ -422,4 +422,43 @@ class FramesSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(orig.view.mapValues(_._1).toMap === viaShuffle)
   }
+
+  test("unimaxAllocation: JVM waterfilling replay, budget law, regimes") {
+    import graft.operators.Frames
+    // crafted sizes: tiny sources must cap, big ones waterfill
+    val docs = Seq(("a", 10L), ("a", 10L), ("b", 100L), ("c", 500L),
+      ("d", 900L), ("e", 950L)).toDF("source", "n")
+    val out = Frames.unimaxAllocation(docs, "source", col("n"),
+        epochCap = 2L, budgetPermille = 500L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // JVM replay of the waterfilling
+    val sizes = Seq("a" -> 20L, "b" -> 100L, "c" -> 500L, "d" -> 900L,
+      "e" -> 950L)
+    val caps = sizes.map { case (s, n) => (s, n, n * 2L) }
+      .sortBy { case (s, _, c) => (c, s) }
+    val budget = caps.map(_._3).sum * 500L / 1000L
+    var rem = budget; var m = caps.length.toLong; var capping = true
+    var alloc = Map.empty[String, (Long, Boolean)]
+    caps.foreach { case (s, _, c) =>
+      if (capping && c * m <= rem) { alloc += s -> ((c, true)); rem -= c; m -= 1 }
+      else { capping = false; alloc += s -> ((rem / m, false)) }
+    }
+    out.foreach { case (s, n, c, a, capped) =>
+      assert(c === n * 2L)
+      assert((a, capped) === alloc(s), s"source $s")
+    }
+    // budget law: total allocation within (uncapped count) of budget
+    val total = out.map(_._4).sum
+    val uncapped = out.count(!_._5).toLong
+    assert(total <= budget && budget - total < math.max(uncapped, 1L))
+    // no source ever exceeds its cap
+    out.foreach { case (_, _, c, a, _) => assert(a <= c) }
+    // all-capped regime: budget >= capped supply allocates every cap
+    val full = Frames.unimaxAllocation(docs, "source", col("n"),
+        epochCap = 2L, budgetPermille = 1000L)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    full.foreach { case (c, a, capped) => assert(a === c && capped) }
+  }
 }
