@@ -1828,6 +1828,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // ---- PMI collocations: the 20 most frequent adjacent bigrams
+    //      with pointwise mutual information as five integer-exact
+    //      micro-ln terms (no product near 2^53) — collocation
+    //      survival / boilerplate-flood card. Fully replayed ----
+    "text_pmi_collocations" -> ((s, d) =>
+      TextAnalysis.pmiCollocations(t(s, d, "documents"), "text", topN = 20)),
+
     // ---- Zipf slope: least-squares slope of ln(freq) vs ln(rank)
     //      over the top-64 terms — the "does this corpus still look
     //      like language" one-number drift card (natural text ≈
@@ -2776,6 +2783,36 @@ object PipelineQueries {
            FROM perprobe)
          SELECT id, probe_id, score_micro FROM best
          WHERE rk = 1 AND score_micro >= 1300000 ORDER BY id""",
+    "text_pmi_collocations" ->
+      """WITH ts AS (
+           SELECT list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
+           FROM documents),
+         pairs AS (
+           SELECT ts[i] AS w1, ts[i+1] AS w2
+           FROM ts, unnest(range(1, len(ts))) AS r(i)),
+         uni AS (
+           SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT unnest(ts) AS w FROM ts) GROUP BY w),
+         pc AS (
+           SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+           FROM pairs GROUP BY w1, w2),
+         top AS (
+           SELECT w1, w2, n_pair FROM pc
+           ORDER BY n_pair DESC, w1, w2 LIMIT 20),
+         tot AS (
+           SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_tok,
+             (SELECT CAST(SUM(n_pair) AS BIGINT) FROM pc) AS n_pairs_total)
+         SELECT t.w1, t.w2, t.n_pair, a.c AS n_a, b.c AS n_b,
+           CAST(floor(ln(CAST(t.n_pair AS DOUBLE)) * 1000000.0) AS BIGINT)
+             + 2 * CAST(floor(ln(CAST(x.n_tok AS DOUBLE)) * 1000000.0) AS BIGINT)
+             - CAST(floor(ln(CAST(x.n_pairs_total AS DOUBLE)) * 1000000.0) AS BIGINT)
+             - CAST(floor(ln(CAST(a.c AS DOUBLE)) * 1000000.0) AS BIGINT)
+             - CAST(floor(ln(CAST(b.c AS DOUBLE)) * 1000000.0) AS BIGINT) AS pmi_micro
+         FROM top t
+         JOIN uni a ON a.w = t.w1
+         JOIN uni b ON b.w = t.w2
+         CROSS JOIN tot x
+         ORDER BY t.n_pair DESC, t.w1, t.w2""",
     "text_zipf_slope" ->
       """WITH toks AS (
            SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS token

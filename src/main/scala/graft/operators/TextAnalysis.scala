@@ -1396,6 +1396,60 @@ object TextAnalysis {
           .as("n_tokens"))
   }
 
+  /** PMI collocation card: the `topN` most frequent adjacent bigrams
+    * with their pointwise mutual information — the collocation-
+    * extraction signal ("new york" vs "the of") a tokenizer/vocab
+    * evaluation reads to see whether multi-word units survive
+    * tokenization, and a drift card for boilerplate floods (template
+    * spam shows as high-count LOW-PMI pairs).
+    *
+    * PMI = ln(p(ab) / (p(a)·p(b))) decomposed as
+    * μ(c_ab) + 2·μ(N_tok) − μ(N_pair) − μ(c_a) − μ(c_b) where
+    * μ(x) = floor(ln(x)·10^6): each ln is of an exact INTEGER, so
+    * the five micro terms replay bit-for-bit and their integer
+    * combination is order-independent — no product ever risks the
+    * 2^53 double boundary (c_ab·N_tok² would).
+    *
+    * Scale shape: adjacent pairs are map-side from the bound token
+    * array; the (w1, w2) count is THE corpus shuffle (map-side
+    * combined); the top-N cut is a TakeOrdered; unigram counts join
+    * the FIXED topN rows (broadcast of N rows into a vocab-sized
+    * aggregate output — never corpus-sized).
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+                      topN: Int = 20): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val ts = docs.select(cleanTokens(col(textCol)).as("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bgs = ts.select(
+          explode(filter(transform(col("ts"), (t, i) =>
+            when(i < size(col("ts")) - 1,
+              struct(t.as("w1"), element_at(col("ts"), i + 2).as("w2")))),
+            p => p.isNotNull)).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val uni = ts.select(explode(col("ts")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val pairCounts = bgs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_pair"))
+      val top = pairCounts
+        .orderBy(col("n_pair").desc, col("w1"), col("w2")).limit(topN)
+      val totals = uni.agg(sum(col("c")).as("n_tok"))
+        .crossJoin(pairCounts.agg(sum(col("n_pair")).as("n_pairs_total")))
+      def lnMicro(c: Column): Column =
+        floor(log(c.cast(DoubleType)) * lit(1000000.0)).cast(LongType)
+      top
+        .join(uni.select(col("w").as("w1"), col("c").as("n_a")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("n_b")), Seq("w2"))
+        .crossJoin(broadcast(totals))
+        .select(col("w1"), col("w2"), col("n_pair"), col("n_a"), col("n_b"),
+          (lnMicro(col("n_pair")) + lit(2L) * lnMicro(col("n_tok")) -
+            lnMicro(col("n_pairs_total")) - lnMicro(col("n_a")) -
+            lnMicro(col("n_b"))).as("pmi_micro"))
+        .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+    } finally ts.unpersist(blocking = false)
+  }
+
   /** Zipf-slope corpus-health card: least-squares slope of
     * ln(frequency) against ln(rank) over the `topV` most frequent
     * terms — natural-language corpora sit near −1; template spam,

@@ -278,6 +278,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(aggs <= 6, s"probe plan re-aggregates index-build work:\n$p")
   }
 
+  test("champion-index probe keeps the corpus-scan-free broadcast-gate plan") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val probes = Seq((1L, Seq("the", "data", "pipeline")),
+        (2L, Seq("quality", "tokens"))).toDF("query_id", "qterms")
+    val base = graft.operators.Retrieval.bm25IndexCached(docs, "doc_id", "text")
+    val champ = graft.operators.Retrieval.bm25ChampionCached(spark, base, c = 64)
+    val df = graft.operators.Retrieval.bm25TopKFromIndex(spark, champ,
+      probes, "query_id", "qterms", k = 10)
+    val p = plan(df)
+    // the champion prefix is a full index layout, so the served probe
+    // plan is IDENTICAL in shape: no corpus scan, no re-tokenize, the
+    // broadcast candidate gate, no index-side shuffle — only the
+    // postings files are smaller
+    assert(!p.contains("documents.parquet"), s"champion probe rescans the corpus:\n$p")
+    assert(!p.toLowerCase.contains("explode(cleantokens"),
+      s"champion probe re-tokenizes:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"champion gate must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"champion probe must not shuffle any index table:\n$p")
+    // and the plan reads the champion postings, not the base postings
+    assert(p.contains(s"${champ}_postings"),
+      s"probe must scan the champion postings:\n$p")
+    assert(!p.contains(s"${base}_postings"),
+      s"probe must not touch the base postings:\n$p")
+  }
+
   test("bm25TopKFromIndexBigPanel: index side plans with ZERO Exchange — the panel moves, the postings never do") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

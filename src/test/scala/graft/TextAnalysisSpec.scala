@@ -806,6 +806,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out("srcB").isNullAt(6))
   }
 
+  test("pmiCollocations: exact JVM replay; collocations outrank chance pairs") {
+    // crafted corpus: "new york" always adjacent (true collocation);
+    // "the"/"cat" frequent but independently placed
+    val docs = Seq(
+      "new york is big and the cat sat",
+      "the dog saw new york from the hill",
+      "a cat and the bird left new york today",
+      "the cat ran while new york slept"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "text", topN = 50)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // JVM replay
+    val toksPerDoc = docs.collect().map(_.getString(1).trim.split("\\s+")
+      .filter(_.nonEmpty).toSeq)
+    val uni = toksPerDoc.flatten.groupBy(identity)
+      .map { case (w, g) => w -> g.length.toLong }
+    val pairs = toksPerDoc.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).map { case (p, g) => p -> g.length.toLong }
+    val nTok = uni.values.sum; val nPairs = pairs.values.sum
+    def mu(x: Long) = math.floor(math.log(x.toDouble) * 1e6).toLong
+    pairs.foreach { case ((a, b), c) =>
+      val want = (c, uni(a), uni(b),
+        mu(c) + 2 * mu(nTok) - mu(nPairs) - mu(uni(a)) - mu(uni(b)))
+      assert(got((a, b)) === want, s"pair ($a,$b)")
+    }
+    // the true collocation scores far above a chance co-occurrence
+    assert(got(("new", "york"))._4 > got(("the", "cat"))._4 + 500000L,
+      "adjacent-by-construction pair must outrank chance pairs by >0.5 nat")
+    // topN cut is honored and ordered by count
+    val top2 = TextAnalysis.pmiCollocations(docs, "text", topN = 2)
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(top2.length === 2 && top2 === top2.sorted.reverse)
+  }
+
   test("zipfSlopeCard: exact JVM replay; ideal Zipf corpus slopes to -1000") {
     // exact replay on corpus docs
     val docs = Tables.table(spark, TestSpark.sfDir, "documents").limit(200)
