@@ -1261,6 +1261,21 @@ object PipelineQueries {
           epochCap = 2L, budgetPermille = 950L)
         .orderBy(col("source"))),
 
+    // ---- UniMax SELECTION: the allocation realized as a document
+    //      set — per source, keep docs in seeded portable-hash order
+    //      until the allocated token budget is spent (epochCap=1,
+    //      70% budget → capped sources keep everything, waterfilled
+    //      sources cut at the water level). Allocation math AND the
+    //      per-source running-total cut replayed ----
+    "q_unimax_select" -> ((s, d) =>
+      Frames.unimaxSelect(
+          t(s, d, "documents").select(col("doc_id"), col("source"), col("text")),
+          "source", "doc_id",
+          size(TextAnalysis.cleanTokens(col("text"))).cast(LongType),
+          epochCap = 1L, budgetPermille = 700L, seed = 7L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("allocated"))
+        .orderBy(col("doc_id"))),
+
     // ---- per-domain token-budget curation: keep each language's
     //      best-quality documents until a 2,000-token budget is
     //      spent (quality desc, doc_id tiebreak; running total
@@ -2971,6 +2986,52 @@ object PipelineQueries {
          SELECT p.source, p.n_tokens, p.cap,
            CAST(least(p.cap, w.w_level) AS BIGINT) AS allocated, p.capped
          FROM pref p, wl w ORDER BY p.source""",
+    "q_unimax_select" ->
+      """WITH sizes AS (
+           SELECT source, CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         caps AS (SELECT source, n_tokens, n_tokens * 1 AS cap FROM sizes),
+         ranked AS (
+           SELECT source, n_tokens, cap,
+             CAST(ROW_NUMBER() OVER (ORDER BY cap ASC, source ASC) AS BIGINT) AS rk,
+             CAST(SUM(cap) OVER (ORDER BY cap ASC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pcap
+           FROM caps),
+         tot AS (SELECT CAST(MAX(rk) AS BIGINT) AS n_src, CAST(SUM(cap) AS BIGINT) AS sum_cap FROM ranked),
+         flagged AS (
+           SELECT r.*, t.n_src, (t.sum_cap * 700) // 1000 AS budget,
+             CASE WHEN r.cap * (t.n_src - r.rk + 1) <= (t.sum_cap * 700) // 1000 - (r.pcap - r.cap)
+               THEN 1 ELSE 0 END AS c
+           FROM ranked r, tot t),
+         pref AS (
+           SELECT *, MIN(c) OVER (ORDER BY rk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS capped
+           FROM flagged),
+         lvl AS (
+           SELECT COALESCE(MAX(CASE WHEN capped THEN rk END), 0) AS kstar,
+             COALESCE(MAX(CASE WHEN capped THEN pcap END), 0) AS pcapk,
+             MAX(budget) AS budget, MAX(n_src) AS n_src
+           FROM pref),
+         alloc AS (
+           SELECT p.source, CAST(least(p.cap, w.w_level) AS BIGINT) AS allocated
+           FROM pref p, (
+             SELECT CASE WHEN n_src = kstar THEN 9223372036854775807
+               ELSE (budget - pcapk) // (n_src - kstar) END AS w_level
+             FROM lvl) w),
+         d AS (
+           SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+             ((((doc_id + 7) % 1000000007) * ((doc_id + 7) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+           FROM documents),
+         h AS (SELECT doc_id, source, n_tokens, (v * v) % 1000000007 AS hh FROM d),
+         cum AS (
+           SELECT h.doc_id, h.source, h.n_tokens, a.allocated,
+             SUM(h.n_tokens) OVER (PARTITION BY h.source ORDER BY h.hh, h.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           FROM h JOIN alloc a USING (source))
+         SELECT doc_id, source, n_tokens, allocated
+         FROM cum WHERE c <= allocated ORDER BY doc_id""",
     "q_token_budget" ->
       """WITH q AS (
            SELECT doc_id, lang,

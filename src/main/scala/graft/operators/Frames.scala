@@ -290,6 +290,36 @@ object Frames {
         least(col("cap"), col("w_level")).as("allocated"), col("capped"))
   }
 
+  /** Materialize a [[unimaxAllocation]] as an actual document
+    * selection: each source keeps documents in seeded
+    * [[portableHash]] order while its running token total stays
+    * within the source's allocated budget — the deterministic "which
+    * docs actually enter the mix" step after the allocation math.
+    * A capped source's allocation covers its full token supply
+    * (epochCap ≥ 1), so capped sources keep every document and the
+    * repetition factor allocated/n_tokens is realized downstream by
+    * the training loader; waterfilled sources cut at the water level.
+    *
+    * Scale shape: the allocation card is source-sized and broadcast;
+    * the selection is ONE per-source hash-order window (the
+    * [[temperatureMixSqrt]] / [[tokenBudgetCuration]] class).
+    */
+  def unimaxSelect(docs: DataFrame, sourceCol: String, idCol: String,
+                   tokenCount: Column, epochCap: Long = 1L,
+                   budgetPermille: Long = 700L, seed: Long = 7L): DataFrame = {
+    val alloc = unimaxAllocation(docs, sourceCol, tokenCount, epochCap,
+        budgetPermille)
+      .select(col("source").as(sourceCol), col("allocated"))
+    val win = Window.partitionBy(col(sourceCol))
+      .orderBy(portableHash(col(idCol), seed), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("n_tokens", tokenCount.cast("long"))
+      .join(broadcast(alloc), Seq(sourceCol))
+      .withColumn("__cum", sum(col("n_tokens")).over(win))
+      .filter(col("__cum") <= col("allocated"))
+      .drop("__cum")
+  }
+
   /** Per-domain token-budget curation: order each domain's documents
     * by a quality score (best first) and keep documents until the
     * domain's token budget is spent — the "take the best N tokens

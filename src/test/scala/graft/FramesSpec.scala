@@ -461,4 +461,39 @@ class FramesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(2), r.getLong(3), r.getBoolean(4)))
     full.foreach { case (c, a, capped) => assert(a === c && capped) }
   }
+
+  test("unimaxSelect: per-source running totals respect allocations; capped sources keep all") {
+    import graft.operators.Frames
+    val docs = (1L to 40L).map { i =>
+      val src = if (i <= 4) "small" else if (i <= 20) "mid" else "big"
+      (i, src, 50L + (i % 7))
+    }.toDF("id", "source", "n")
+    val out = Frames.unimaxSelect(docs, "source", "id", col("n"),
+        epochCap = 1L, budgetPermille = 600L, seed = 3L)
+      .select(col("id"), col("source"), col("n_tokens"), col("allocated"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val alloc = Frames.unimaxAllocation(docs, "source", col("n"),
+        epochCap = 1L, budgetPermille = 600L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3),
+        r.getBoolean(4))).toMap
+    // per-source kept tokens never exceed the allocation
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.map(_._3).sum <= alloc(src)._2, s"source $src over budget")
+    }
+    // a capped source's allocation covers its full supply -> keeps all
+    alloc.foreach { case (src, (nTok, a, capped)) =>
+      if (capped) {
+        assert(a >= nTok)
+        assert(out.count(_._2 == src) === docs.filter(col("source") === src).count())
+      }
+    }
+    assert(alloc.values.exists(_._3) && alloc.values.exists(!_._3),
+      "fixture must exercise both regimes")
+    // deterministic: same seed -> same selection regardless of partitioning
+    val again = Frames.unimaxSelect(docs.repartition(13), "source", "id",
+        col("n"), epochCap = 1L, budgetPermille = 600L, seed = 3L)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(again === out.map(_._1).sorted.toSeq)
+  }
 }
