@@ -1333,6 +1333,14 @@ object PipelineQueries {
         .orderBy(col("converted"))
     }),
 
+    // ---- cohort retention: users bucketed by first-event week, then
+    //      per (cohort, week offset) the share still active — exact
+    //      integer micro-fractions; offset 0 is the built-in
+    //      retention=10^6 sanity row. Fully replayed ----
+    "events_cohort_retention" -> ((s, d) =>
+      Temporal.cohortRetention(t(s, d, "events"), "user_id", "ts",
+        periodSeconds = 7L * 86400L)),
+
     // ---- exact percentiles (interpolated), quantized to 1e-6 so the
     //      engines' interpolation op-order difference cannot surface;
     //      the approximate twin is q_approx_sketches. Rank-offset
@@ -3060,6 +3068,22 @@ object PipelineQueries {
            least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bucket,
            COUNT(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""",
+    "events_cohort_retention" ->
+      """WITH up AS (
+           SELECT DISTINCT user_id AS actor,
+             CAST(floor(floor(epoch(ts)) / 604800.0) AS BIGINT) AS period
+           FROM events),
+         coh AS (SELECT actor, MIN(period) AS cohort FROM up GROUP BY actor),
+         sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cohort
+           FROM coh GROUP BY cohort),
+         act AS (
+           SELECT c.cohort, up.period - c.cohort AS "offset",
+             CAST(COUNT(*) AS BIGINT) AS n_active
+           FROM up JOIN coh c USING (actor) GROUP BY 1, 2)
+         SELECT a.cohort, a."offset", a.n_active, s.n_cohort,
+           (a.n_active * 1000000) // s.n_cohort AS retention_micro
+         FROM act a JOIN sizes s USING (cohort)
+         ORDER BY a.cohort, a."offset"""",
     "events_funnel" ->
       """WITH w AS (
            SELECT user_id, ts, event_id, event_type,

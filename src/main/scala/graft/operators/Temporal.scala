@@ -148,4 +148,40 @@ object Temporal {
       .filter(col(timeCol) >= col(startCol) && col(timeCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Cohort-retention matrix — the classic engagement analysis: bucket
+    * every actor by the period of their FIRST event (the cohort), then
+    * for each (cohort, period offset) report how many of the cohort's
+    * actors were active — retention as an exact integer
+    * micro-fraction. Offset 0 is the cohort's own period (retention
+    * 10^6 by construction — a built-in sanity row).
+    *
+    * Periods are floor(epoch seconds / periodSeconds) — integer
+    * arithmetic end-to-end, so the matrix replays exactly in any
+    * engine.
+    *
+    * Scale shape: events collapse FIRST to distinct (actor, period) —
+    * the one corpus-sized shuffle, map-side combined; everything after
+    * is actor-sized (cohort = min period per actor, a same-key
+    * aggregate) then (cohort, offset)-sized. No window over the raw
+    * event stream, no per-period rescan.
+    */
+  def cohortRetention(events: DataFrame, actorCol: String, tsCol: String,
+                      periodSeconds: Long = 7L * 86400L): DataFrame = {
+    require(periodSeconds > 0, "periodSeconds must be positive")
+    val up = events.select(col(actorCol).as("actor"),
+        expr(s"floor(unix_timestamp($tsCol) / $periodSeconds)")
+          .cast("long").as("period"))
+      .distinct()
+    val cohort = up.groupBy(col("actor")).agg(min(col("period")).as("cohort"))
+    val sizes = cohort.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_cohort"))
+    up.join(cohort, Seq("actor"))
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("n_active"), col("n_cohort"),
+        expr("n_active * 1000000 div n_cohort").as("retention_micro"))
+      .orderBy(col("cohort"), col("offset"))
+  }
 }

@@ -232,4 +232,29 @@ class TemporalSpec extends AnyFunSuite {
     assert(math.abs(byK("F") / 6666.0 - 0.10) < 0.02)
     assert(math.abs(byK("O") / 13334.0 - 0.02) < 0.01)
   }
+
+  test("cohortRetention: crafted churn matrix is exact; repeats collapse") {
+    import graft.operators.Temporal
+    // period length 100 s; (user, period) pairs with known churn:
+    // cohort 0 = users 1,2,3 — u1 stays 3 periods, u2 two, u3 one;
+    // cohort 1 = user 4, active in periods 1 and 3.
+    // u1 has TWO events in period 0 (must collapse to one active).
+    val evs = Seq(
+      (1L, 5L), (1L, 95L), (1L, 105L), (1L, 210L),
+      (2L, 10L), (2L, 150L),
+      (3L, 20L),
+      (4L, 130L), (4L, 350L)
+    ).map { case (u, s) => (u, new java.sql.Timestamp(s * 1000L)) }
+      .toDF("user_id", "ts")
+    val got = Temporal.cohortRetention(evs, "user_id", "ts",
+        periodSeconds = 100L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      (0L, 0L) -> ((3L, 3L, 1000000L)),
+      (0L, 1L) -> ((2L, 3L, 666666L)),
+      (0L, 2L) -> ((1L, 3L, 333333L)),
+      (1L, 0L) -> ((1L, 1L, 1000000L)),
+      (1L, 2L) -> ((1L, 1L, 1000000L))))
+  }
 }
