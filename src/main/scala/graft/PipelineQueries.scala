@@ -1248,6 +1248,16 @@ object PipelineQueries {
           col("take"))
         .orderBy(col("doc_id"))),
 
+    // ---- length-bucketed batching waste: per 16-token length
+    //      bucket, the padding cost of batching within it vs one
+    //      global batch padded to the corpus max (bucket = -1) —
+    //      the integer-exact "is dynamic batching worth it" card
+    //      beside the packing family ----
+    "q_length_bucket_waste" -> ((s, d) =>
+      Frames.lengthBucketWaste(t(s, d, "documents"),
+        size(TextAnalysis.cleanTokens(col("text"))).cast(LongType),
+        bucketWidth = 16L)),
+
     // ---- UniMax capped waterfilling: split a self-scaling token
     //      budget (95% of the 2-epoch capped supply) as equally as
     //      possible across sources, small sources binding at their
@@ -2961,6 +2971,24 @@ object PipelineQueries {
                 FROM s2 JOIN r USING (source))
          SELECT doc_id, source, n_docs, w, take FROM rk WHERE rnk <= take
          ORDER BY doc_id""",
+    "q_length_bucket_waste" ->
+      """WITH n AS (
+           SELECT CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         b AS (SELECT n_tokens, n_tokens // 16 AS bucket FROM n),
+         per AS (
+           SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+           FROM b GROUP BY bucket
+           UNION ALL
+           SELECT CAST(-1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(n_tokens) AS BIGINT), CAST(MAX(n_tokens) AS BIGINT)
+           FROM b)
+         SELECT bucket, n_docs, sum_tokens, max_tokens,
+           n_docs * max_tokens AS padded,
+           ((n_docs * max_tokens - sum_tokens) * 1000000) // (n_docs * max_tokens) AS waste_micro
+         FROM per ORDER BY bucket""",
     "q_unimax_mix" ->
       """WITH sizes AS (
            SELECT source, CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))) AS BIGINT) AS n_tokens

@@ -231,6 +231,42 @@ object Frames {
       .drop("__rnk")
   }
 
+  /** Length-bucketed batching waste card: bucket documents by token
+    * length (fixed width `bucketWidth` — exact integer division, no
+    * float boundary), and per bucket report the padding cost of
+    * batching within it: padded = n_docs · max_len vs the actual
+    * token sum, waste as an integer micro-fraction. A final
+    * `bucket = -1` row reports the same for ONE global batch padded
+    * to the corpus max — the baseline dynamic batching beats. The
+    * quantified "is length-bucketing worth it" trade beside the
+    * packing cards ([[packSequencesFfd]] removes padding by
+    * concatenation; bucketing keeps document alignment and this card
+    * prices that choice).
+    *
+    * Scale: one tokenize pass, one bucket-keyed aggregate (map-side
+    * combined), one single-row global aggregate — bucket count is
+    * max_len/bucketWidth, bounded.
+    */
+  def lengthBucketWaste(docs: DataFrame, tokenCount: Column,
+                        bucketWidth: Long = 16L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val n = tokenCount.cast("long")
+    val base = docs.select(n.as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
+    def card(grouped: DataFrame): DataFrame = grouped
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        col("max_tokens"), (col("n_docs") * col("max_tokens")).as("padded"))
+      .withColumn("waste_micro",
+        expr("(padded - sum_tokens) * 1000000 div padded"))
+    val perBucket = card(base.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        max(col("n_tokens")).as("max_tokens")))
+    val global = card(base.groupBy(lit(-1L).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        max(col("n_tokens")).as("max_tokens")))
+    perBucket.unionByName(global).orderBy(col("bucket"))
+  }
+
   /** UniMax-shape capped waterfilling (Chung et al. 2023): split a
     * token budget across sources as EQUALLY as possible subject to a
     * per-source repetition cap of `epochCap` epochs — a source may

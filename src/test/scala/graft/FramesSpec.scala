@@ -462,6 +462,27 @@ class FramesSpec extends AnyFunSuite {
     full.foreach { case (c, a, capped) => assert(a === c && capped) }
   }
 
+  test("lengthBucketWaste: exact per-bucket padding math; bucketing beats the global batch") {
+    import graft.operators.Frames
+    val docs = Seq(3L, 5L, 14L, 17L, 20L, 64L).map(n => Tuple1(n))
+      .toDF("n")
+    val out = Frames.lengthBucketWaste(docs, col("n"), bucketWidth = 16L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // bucket 0: lens 3,5,14 -> padded 3*14=42, sum 22, waste 476190
+    assert(out(0L) === ((3L, 22L, 14L, 42L, 476190L)))
+    // bucket 1: lens 17,20 -> padded 40, sum 37, waste 75000
+    assert(out(1L) === ((2L, 37L, 20L, 40L, 75000L)))
+    // bucket 4: len 64 alone -> zero waste
+    assert(out(4L) === ((1L, 64L, 64L, 64L, 0L)))
+    // global: padded 6*64=384, sum 123, waste floor(261/384*1e6)
+    assert(out(-1L) === ((6L, 123L, 64L, 384L, 679687L)))
+    // bucketed waste strictly below the global batch's
+    val bucketWaste = (out(0L)._4 + out(1L)._4 + out(4L)._4 -
+      (out(0L)._2 + out(1L)._2 + out(4L)._2))
+    assert(bucketWaste < out(-1L)._4 - out(-1L)._2)
+  }
+
   test("unimaxSelect: per-source running totals respect allocations; capped sources keep all") {
     import graft.operators.Frames
     val docs = (1L to 40L).map { i =>

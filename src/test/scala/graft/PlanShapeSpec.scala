@@ -666,7 +666,21 @@ class PlanShapeSpec extends AnyFunSuite {
       // the served flagship is the identical composition (stage (C)'s
       // weights come from the artifact instead of inline training) —
       // same two bounded windows as q_curation_v3
-      "q_curation_v3_served" -> 2)
+      "q_curation_v3_served" -> 2,
+      // unimaxAllocation's rank / prefix-sum / prefix-AND windows run
+      // over ONE ROW PER SOURCE (dozens-to-thousands, bounded by
+      // construction — the corpus collapses in the token-count
+      // aggregate BEFORE any window); the plan evaluates the chain
+      // once for the per-source output and once for the water-level
+      // aggregate, hence 2 x 3 sites
+      "q_unimax_mix" -> 6,
+      // the same source-sized allocation chain feeding the selection
+      // (whose own running-total window is per-source PARTITIONED,
+      // not global)
+      "q_unimax_select" -> 3,
+      // the Zipf rank window runs over the top-64 terms AFTER the
+      // TakeOrdered cut — 64 rows by construction
+      "text_zipf_slope" -> 1)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val wins = allWindows(fn(spark, TestSpark.sfDir).queryExecution.sparkPlan)
