@@ -1868,6 +1868,19 @@ object PipelineQueries {
     "text_pmi_collocations" -> ((s, d) =>
       TextAnalysis.pmiCollocations(t(s, d, "documents"), "text", topN = 20)),
 
+    // ---- per-source vocabulary coverage: OOV occurrence rate of
+    //      each source against the global top-16 token head — the
+    //      per-source tail-mass / tokenizer-coverage signal, all
+    //      integer counts + one div ----
+    "text_vocab_coverage" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = docs
+        .select(explode(TextAnalysis.cleanTokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(16)
+      TextAnalysis.vocabCoverage(docs, "source", "text", vocab)
+    }),
+
     // ---- Zipf slope: least-squares slope of ln(freq) vs ln(rank)
     //      over the top-64 terms — the "does this corpus still look
     //      like language" one-number drift card (natural text ≈
@@ -2846,6 +2859,22 @@ object PipelineQueries {
          JOIN uni b ON b.w = t.w2
          CROSS JOIN tot x
          ORDER BY t.n_pair DESC, t.w1, t.w2""",
+    "text_vocab_coverage" ->
+      """WITH toks AS (
+           SELECT source, unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS token
+           FROM documents),
+         vocab AS (
+           SELECT token FROM (
+             SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+             GROUP BY token ORDER BY freq DESC, token LIMIT 16)),
+         probed AS (
+           SELECT t.source, v.token AS hit
+           FROM toks t LEFT JOIN vocab v ON v.token = t.token)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(CASE WHEN hit IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+           (CAST(COUNT(CASE WHEN hit IS NULL THEN 1 END) AS BIGINT) * 1000000)
+             // CAST(COUNT(*) AS BIGINT) AS oov_micro
+         FROM probed GROUP BY source ORDER BY source""",
     "text_zipf_slope" ->
       """WITH toks AS (
            SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS token

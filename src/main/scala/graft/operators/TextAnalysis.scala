@@ -1450,6 +1450,37 @@ object TextAnalysis {
     } finally ts.unpersist(blocking = false)
   }
 
+  /** Per-source vocabulary-coverage card: what fraction of each
+    * source's token OCCURRENCES fall outside a reference vocabulary —
+    * the OOV-rate a tokenizer/vocab evaluation reads (high OOV =
+    * vocab retraining candidate; near-zero OOV on a supposedly rich
+    * source = template spam). `vocab` is one `token` column — a real
+    * tokenizer's vocab, or a corpus-derived head (the card query
+    * feeds the global top-V, making this the per-source tail-mass
+    * signal).
+    *
+    * Integer-exact: occurrence counts are longs, the rate is one
+    * truncating div per source. Scale shape: vocab broadcasts (vocab
+    * ≪ corpus by definition), the probe is a map-side hash lookup on
+    * the exploded tokens, and the per-source rollup is ONE map-side-
+    * combined aggregate — the corpus never shuffles by token.
+    */
+  def vocabCoverage(docs: DataFrame, sourceCol: String, textCol: String,
+                    vocab: DataFrame): DataFrame = {
+    require(vocab.columns.contains("token"),
+      "vocab needs a `token` column")
+    val toks = docs.select(col(sourceCol).as("source"),
+      explode(cleanTokens(col(textCol))).as("token"))
+    toks.join(broadcast(vocab.select(col("token")).distinct()
+        .withColumn("__in", lit(1L))), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, 1)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000 div n_tokens").as("oov_micro"))
+      .orderBy(col("source"))
+  }
+
   /** Zipf-slope corpus-health card: least-squares slope of
     * ln(frequency) against ln(rank) over the `topV` most frequent
     * terms — natural-language corpora sit near −1; template spam,

@@ -434,6 +434,28 @@ class RetrievalSpec extends AnyFunSuite {
     assert(Retrieval.bm25ChampionCached(spark, base, c = c) === champ)
   }
 
+  test("champion index serves the big-panel sort-merge path") {
+    // the champion prefix is a single bucketed layout (segments ==
+    // itself), so the zero-index-Exchange big-panel probe composes
+    // with it — the shape of a 100 TB decontamination sweep with BOTH
+    // r10 levers: panel shuffles by token, per-term work capped at c
+    val docs = docsDf.limit(200).select("doc_id", "text")
+    val probes = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(graft.operators.TextAnalysis.cleanTokens(col("text")), 1, 5)
+          .as("qterms"))
+    val base = Retrieval.bm25IndexCached(docs, "doc_id", "text")
+    val champ = Retrieval.bm25ChampionCached(spark, base, c = 1 << 20)
+    val broadcastPath = Retrieval.bm25TopKFromIndex(spark, champ, probes,
+        "query_id", "qterms", k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+    val bigPanelPath = Retrieval.bm25TopKFromIndexBigPanel(spark, champ,
+        probes, "query_id", "qterms", k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(broadcastPath.nonEmpty && broadcastPath.sameElements(bigPanelPath),
+      "big-panel probe of the champion index diverged from the broadcast gate")
+  }
+
   test("rrfFuse cut is exact: k bounds each query independently") {
     val run = Seq.tabulate(30)(i => (i % 3).toLong -> (i + 1))
       .zipWithIndex.map { case ((q, r), i) => (q, r, (100 + i).toLong) }

@@ -806,6 +806,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out("srcB").isNullAt(6))
   }
 
+  test("vocabCoverage: exact per-source OOV occurrence rates") {
+    val docs = Seq(
+      ("a", "x x y z"),   // 4 occurrences, 1 oov (z)
+      ("a", "x q"),       // q oov
+      ("b", "y y y"),     // all in vocab
+      ("c", "w w w w")    // all oov
+    ).toDF("source", "text")
+    val vocab = Seq("x", "y", "q_not", "unused").toDF("token")
+      .filter(col("token") =!= "q_not").union(Seq("x").toDF("token")) // dup x: distinct inside
+    val out = TextAnalysis.vocabCoverage(docs, "source", "text", vocab)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out("a") === ((6L, 2L, 333333L)))
+    assert(out("b") === ((3L, 0L, 0L)))
+    assert(out("c") === ((4L, 4L, 1000000L)))
+    // vocab missing the token column is loud
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.vocabCoverage(docs, "source", "text",
+        Seq("x").toDF("word"))
+    }.getMessage.contains("token"))
+  }
+
   test("pmiCollocations: exact JVM replay; collocations outrank chance pairs") {
     // crafted corpus: "new york" always adjacent (true collocation);
     // "the"/"cat" frequent but independently placed
