@@ -1343,6 +1343,18 @@ object PipelineQueries {
         .orderBy(col("converted"))
     }),
 
+    // ---- windowed EXACT active actors (batch mode of the streaming
+    //      engagement monitor; one definition both modes — streaming
+    //      chains event-time dedup into the windowed count, the
+    //      multi-stateful shape): distinct users per tumbling day ----
+    "events_active_windowed" -> ((s, d) =>
+      EventStreams.activeActorsWindowed(t(s, d, "events"), "user_id", "1 day")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+          col("n_active"))
+        .orderBy(col("window_start"))),
+
     // ---- cohort retention: users bucketed by first-event week, then
     //      per (cohort, week offset) the share still active — exact
     //      integer micro-fractions; offset 0 is the built-in
@@ -3125,6 +3137,13 @@ object PipelineQueries {
            least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bucket,
            COUNT(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""",
+    "events_active_windowed" ->
+      """WITH up AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+         SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(d + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+         FROM up GROUP BY d ORDER BY window_start""",
     "events_cohort_retention" ->
       """WITH up AS (
            SELECT DISTINCT user_id AS actor,

@@ -80,6 +80,33 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** EXACT active actors per tumbling window — the engagement monitor
+    * twin of the HLL distinct monitor ([[graft.streaming.DocStreams
+    * .distinctTermsWindowed]] trades exactness for m longs of state;
+    * this one is exact because actor cardinality per window is
+    * operationally small next to a vocabulary). One definition, both
+    * modes: batch runs it as a plain dedup + count; streaming chains
+    * TWO stateful operators (event-time dedup on (window, actor) →
+    * windowed count), the Spark-4 multi-stateful shape, with the
+    * watermark bounding both states. State is one row per distinct
+    * (window, actor) inside the watermark horizon — exactly the
+    * quantity being reported, never the raw event stream.
+    */
+  def activeActorsWindowed(events: DataFrame, actorCol: String,
+                           windowLen: String,
+                           watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    val keyed = src.select(window(col("ts"), windowLen).as("w"),
+      col(actorCol).as("actor"))
+    val deduped =
+      if (watermark.isDefined) keyed.dropDuplicates(Seq("w", "actor"))
+      else keyed.distinct()
+    deduped.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("n_active"))
+  }
+
   /** Streaming twin of Dedup.lineDedup's suppression stage: explode
     * each arriving document into (id, pos, line) rows and emit only
     * lines whose exact text has not been seen within the watermark —

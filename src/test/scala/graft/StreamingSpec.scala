@@ -29,6 +29,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(total === events.count())
   }
 
+  test("activeActorsWindowed: streaming multi-stateful chain matches batch exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-actw").toString
+    val sample = events.limit(20000)
+      .select("event_id", "ts", "user_id", "event_type", "value").cache()
+    sample.coalesce(3).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStreams.activeActorsWindowed(stream, "user_id", "1 hour",
+        watermark = Some("2 hours"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("actw").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("select * from actw")
+        .collect().map(r => r.get(0).toString -> r.getLong(2)).toMap
+      val batch = EventStreams.activeActorsWindowed(sample, "user_id", "1 hour")
+        .collect().map(r => r.get(0).toString -> r.getLong(2)).toMap
+      assert(streamed.nonEmpty, "append mode emitted no closed windows")
+      // every closed window's EXACT distinct-actor count matches batch
+      // — dedup state and agg state composed correctly across
+      // micro-batches (an actor spanning batches must count once)
+      streamed.foreach { case (w, n) => assert(batch(w) === n, s"window $w") }
+      // and the batch mode equals a direct groupBy countDistinct
+      val direct = sample
+        .groupBy(window(col("ts"), "1 hour")).agg(countDistinct("user_id"))
+        .collect().map(r => r.getStruct(0).get(0).toString -> r.getLong(1)).toMap
+      assert(batch === direct)
+    } finally q.stop()
+  }
+
   test("streaming windowed agg over the same data matches batch (memory sink)") {
     // stream the events table through a file source: rewrite to a temp
     // dir (micro-timestamps) so readStream sees the same rows
