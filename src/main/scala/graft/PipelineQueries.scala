@@ -455,6 +455,23 @@ object PipelineQueries {
         .orderBy(col("id"), col("valid_from"))
     }),
 
+    // ---- SCD2 point-in-time read: the history folded from two
+    //      snapshots, read back AS OF version 1 — time travel must
+    //      return EXACTLY the v1 snapshot (closed rows visible, v2
+    //      arrivals invisible). The oracle replays the fold and the
+    //      interval filter ----
+    "q_scd2_asof" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val a = docs.filter(col("doc_id") % 11 =!= 0)
+      val b = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val h = Quality.scd2Apply(
+        Quality.scd2Init(a, "doc_id", "text", version = 1L),
+        b, "doc_id", "text", version = 2L)
+      Quality.scd2AsOf(h, version = 1L).orderBy(col("id"))
+    }),
+
     // ---- shard manifest: deterministic shard assignment + exact
     //      per-shard row counts and ORDER-INDEPENDENT checksums (sum
     //      of per-id portable hashes mod p) — the integrity record a
@@ -891,6 +908,21 @@ object PipelineQueries {
           portable = true)
         .select(col("query_id"), col("id").as("nn_id"))
         .orderBy(col("query_id"))
+    }),
+
+    // ---- centroid-prototypicality outliers: the 20 vectors LEAST
+    //      similar to their own nearest trained centroid — the
+    //      embedding-space garbage/off-distribution review list
+    //      (SemDeDup-family signal). Training, assignment and the
+    //      micro-floored score fully replayed ----
+    "sim_centroid_outliers" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = Similarity.trainIvfCentroids(e,
+        nCentroids = Similarity.suggestedCentroids(e.count()), dim = 64,
+        iterations = 1, portable = true)
+      Similarity.centroidPrototypicality(e, cents, portable = true)
+        .orderBy(col("proto_micro").asc, col("id").asc).limit(20)
+        .select(col("id"), col("cell"), col("proto_micro"))
     }),
 
     // ---- greedy k-center coreset: 8 maximally-diverse embedding
@@ -5177,6 +5209,9 @@ object PipelineQueries {
            FROM j WHERE inb AND (NOT ina OR pa IS DISTINCT FROM pb))
          SELECT id, payload, valid_from, valid_to, is_current
          FROM hist ORDER BY id, valid_from""",
+    "q_scd2_asof" ->
+      """SELECT doc_id AS id, text AS payload
+         FROM documents WHERE doc_id % 11 <> 0 ORDER BY id""",
     "q_shard_manifest" ->
       """WITH h1 AS (
            SELECT doc_id,

@@ -227,6 +227,18 @@ object Quality {
     dead.unionByName(kept).unionByName(closedNow).unionByName(openedNow)
   }
 
+  /** Point-in-time read of an SCD Type-2 history: the rows valid AT
+    * `version` — `valid_from <= version < valid_to` (open intervals
+    * never end). The "what did the corpus say at version V" time
+    * travel query the history table exists to answer; map-only (one
+    * filter, no join, no window), so it rides any scan pruning the
+    * history layout provides.
+    */
+  def scd2AsOf(history: DataFrame, version: Long): DataFrame =
+    history.filter(col("valid_from") <= lit(version) &&
+        (col("valid_to").isNull || col("valid_to") > lit(version)))
+      .select(col("id"), col("payload"))
+
   /** Loud snapshot-uniqueness guard: one snapshot-sized aggregate —
     * the price of never silently forking an id's SCD timeline.
     */

@@ -789,6 +789,35 @@ object Similarity {
     * meaningless. Both sides now raise: here via `raise_error`, the
     * oracle via its own division-by-zero error.
     */
+  /** Centroid-prototypicality card (the SemDeDup-family outlier
+    * signal): each vector's cosine to its NEAREST trained centroid,
+    * micro-floored — low scores are embedding-space outliers
+    * (garbage, mislabeled, off-distribution docs), the rows a
+    * curation pass reviews or drops first. Map-only: cell assignment
+    * is the shared native probe (identical to the IVF index's), the
+    * centroid table is centroid-count-sized and broadcast, and the
+    * score is one native cosine per row — no corpus shuffle at all
+    * until a caller ranks the output.
+    */
+  def centroidPrototypicality(vecs: DataFrame,
+                              centroids: Array[Array[Float]],
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              portable: Boolean = false): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cdf = centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toSeq.toDF("cell", "cv")
+    vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+        element_at(graft.functions.NativeFunctions.nearestCells(col(vecCol),
+          centroids, 1, portable), 1).as("cell"))
+      .join(broadcast(cdf), Seq("cell"))
+      .select(col("id"), col("cell"),
+        floor(cosine(col("v"), col("cv")) * lit(1000000.0))
+          .cast(LongType).as("proto_micro"))
+  }
+
   /** Greedy k-center (Gonzalez farthest-first) coreset selection —
     * the diversity-first data-selection pass: pick `k` embedding rows
     * such that every corpus point is close to some pick, by starting
