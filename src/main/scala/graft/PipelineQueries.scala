@@ -2833,6 +2833,61 @@ object PipelineQueries {
          )
          SELECT CAST(rank AS INTEGER) AS rank, id, maxsim_micro
          FROM sel ORDER BY rank""",
+    // Full portable k-means replay (identical CTE chain to sim_topk_ivf),
+    // then each vector's nearest-cell assignment and the DOUBLE-precision
+    // micro-floored cosine to that centroid — the 20 least-prototypical
+    // rows. The DOUBLE[] cast on BOTH sides of the scoring cosine is what
+    // bit-matches graft's native CosineSimilarity (proved by the
+    // sim_coreset_kcenter oracle); the FLOAT-precision cosine in a2 is
+    // only an ORDER key and matches NearestCells' portable mode.
+    "sim_centroid_outliers" ->
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+         hx AS (
+           SELECT vec_id, embedding,
+             ((((vec_id + 42) % 1000000007) * ((vec_id + 42) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+           FROM embeddings),
+         init AS (
+           SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY (v * v) % 1000000007, vec_id) - 1 AS cell
+           FROM hx
+           QUALIFY cell < (SELECT greatest(16, CAST(ceil(sqrt(cnt)) AS BIGINT)) FROM n)),
+         a0 AS (
+           SELECT e.vec_id, i.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, i.embedding) DESC, i.cell) AS rk
+           FROM embeddings e CROSS JOIN init i),
+         a1 AS (SELECT vec_id, cell FROM a0 WHERE rk = 1),
+         q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+           FROM embeddings),
+         mp AS (
+           SELECT a1.cell, p.pos,
+             CAST(floor(CAST(sum(p.qx) AS DOUBLE) / count(*)) AS BIGINT) AS mq
+           FROM a1 JOIN q USING (vec_id),
+             LATERAL (SELECT unnest(qv) AS qx, generate_subscripts(qv, 1) AS pos) p
+           GROUP BY a1.cell, p.pos),
+         upd AS (
+           SELECT cell, list_transform(array_agg(mq ORDER BY pos),
+             m -> CAST(m / 1048576.0 AS FLOAT)) AS cv
+           FROM mp GROUP BY cell),
+         cents AS (
+           SELECT i.cell, COALESCE(u.cv, i.embedding) AS cv
+           FROM init i LEFT JOIN upd u USING (cell)),
+         a2 AS (
+           SELECT e.vec_id, e.embedding, c.cell, c.cv,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cell) AS rk
+           FROM embeddings e CROSS JOIN cents c),
+         scored AS (
+           SELECT vec_id AS id, cell,
+             CAST(floor(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]), CAST(cv AS DOUBLE[])) * 1000000.0)
+               AS BIGINT) AS proto_micro
+           FROM a2 WHERE rk = 1)
+         SELECT id, cell, proto_micro FROM scored
+         ORDER BY proto_micro ASC, id ASC LIMIT 20""",
     "text_bm25_gate" ->
       """WITH ctoks AS (
            SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts

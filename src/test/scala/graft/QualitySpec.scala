@@ -124,5 +124,14 @@ class QualitySpec extends AnyFunSuite {
       Quality.scd2Apply(h3, snap(Seq(2L -> "b4")), "id", "text", 5L).collect()
     }
     assert(err.getMessage.contains("not after"), s"got: ${err.getMessage}")
+    // as-of reads: each version's slice reproduces that snapshot exactly
+    def asOf(v: Long) = Quality.scd2AsOf(h3, v).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(asOf(1L) === Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    assert(asOf(2L) === Seq(1L -> "a", 2L -> "b2", 4L -> "d", 5L -> "e"))
+    assert(asOf(3L) === asOf(2L), "between versions = latest fold before")
+    assert(asOf(5L) === Seq(1L -> "a", 2L -> "b3", 3L -> "c", 4L -> "d",
+      5L -> "e"))
+    assert(asOf(0L).isEmpty, "before the first version nothing is valid")
   }
 }

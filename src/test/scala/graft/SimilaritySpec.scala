@@ -401,4 +401,37 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.kCenterCoreset(e.filter(col("vec_id") < 0), k = 2)
     }.getMessage.contains("empty input"))
   }
+
+  test("centroidPrototypicality matches a JVM nearest-centroid replay") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings").limit(150)
+    val cents = Similarity.trainIvfCentroids(e,
+      nCentroids = 8, dim = 64, iterations = 1, portable = true)
+    val got = Similarity.centroidPrototypicality(e, cents, portable = true)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // independent JVM replay: double-precision cosine to every centroid,
+    // argmax with ties to the smallest cell, micro-floored score
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cd = cents.map(_.map(_.toDouble))
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    assert(got.size === vecs.length, "one output row per input vector")
+    vecs.foreach { case (id, v) =>
+      val sims = cd.map(c => cos(v, c))
+      val best = sims.zipWithIndex.maxBy { case (s, i) => (s, -i) }._2
+      val micro = math.floor(sims(best) * 1e6).toLong
+      assert(got(id) === ((best, micro)), s"vec $id diverged from JVM replay")
+    }
+    // non-portable (reciprocal-norm) mode must agree on tie-free data
+    val fast = Similarity.centroidPrototypicality(e, cents)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(fast === got, "portable and default assignment modes diverged")
+    // empty centroid set is loud
+    assert(intercept[IllegalArgumentException] {
+      Similarity.centroidPrototypicality(e, Array.empty[Array[Float]])
+    }.getMessage.contains("non-empty"))
+  }
 }
