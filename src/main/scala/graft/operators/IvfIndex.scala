@@ -37,6 +37,61 @@ import graft.functions.NativeFunctions
   */
 object IvfIndex {
 
+  /** Order-sensitive FNV-1a fold of every centroid float's raw bits —
+    * the identity of the TRAINED CENTROID SET, stored in the stats
+    * table at build time and required to match at probe/append time.
+    * A same-length but different centroid array would otherwise
+    * silently probe the persisted assignments with the wrong geometry
+    * (cell ids agree, contents don't).
+    */
+  def centroidFingerprint(centroids: Array[Array[Float]]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i); var j = 0
+      while (j < c.length) {
+        val bits = java.lang.Float.floatToIntBits(c(j))
+        var b = 0
+        while (b < 4) {
+          h ^= (bits >>> (8 * b)) & 0xff
+          h *= 0x100000001b3L
+          b += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    h
+  }
+
+  private def requireCentroidsMatch(row: org.apache.spark.sql.Row,
+                                    columns: Array[String], prefix: String,
+                                    centroids: Array[Array[Float]]): Unit = {
+    require(row.getAs[Int]("n_cells") == centroids.length,
+      s"index $prefix was built with a different centroid set " +
+        s"(${row.getAs[Int]("n_cells")} cells != ${centroids.length} passed)")
+    require(columns.contains("centroid_fp") &&
+      row.getAs[Long]("centroid_fp") == centroidFingerprint(centroids),
+      s"index $prefix was built with a DIFFERENT centroid set of the " +
+        "same size (centroid fingerprint mismatch) — probing the " +
+        "persisted assignments with these centroids would be silently wrong")
+  }
+
+  /** Loud torn-append detector: the intent marker exists only between
+    * an append's first mutation and its commit point, so its presence
+    * outside a running fold means a prior append crashed mid-write
+    * and the index tables may disagree (assign appended, digest/stats
+    * stale). Checked before every probe and append.
+    */
+  private def requireNotTorn(spark: SparkSession, prefix: String,
+                             op: String): Unit =
+    require(!spark.catalog.tableExists(s"${prefix}_intent"),
+      s"$op: index $prefix has a pending append intent marker " +
+        s"(${prefix}_intent) — a prior append crashed between its first " +
+        "write and its commit; the assign/ids/digest/stats tables may be " +
+        "torn. Rebuild the index (or restore a consistent snapshot) " +
+        "before serving or appending.")
+
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     centroids: Array[Array[Float]], prefix: String,
                     portable: Boolean = false,
@@ -61,8 +116,11 @@ object IvfIndex {
         lit(centroids.length).as("n_cells"),
         lit(lineage).as("lineage"),
         lit(mBits).as("digest_mbits"),
-        lit(digestK).as("digest_k"))
+        lit(digestK).as("digest_k"),
+        lit(centroidFingerprint(centroids)).as("centroid_fp"))
       .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
+    // a rebuild supersedes whatever torn state the marker recorded
+    Bucketing.dropTableAndLocation(spark, s"${prefix}_intent")
   }
 
   /** Map-only cell assignment — ONE definition shared by build and
@@ -90,10 +148,11 @@ object IvfIndex {
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        portable: Boolean = false): DataFrame = {
     require(k > 0 && nProbe > 0, "k and nProbe must be positive")
+    requireNotTorn(spark, prefix, "ivfTopKFromIndex")
     val stats = spark.table(s"${prefix}_stats")
-    require(stats.columns.startsWith(Seq("n_vecs", "n_cells")) &&
-      stats.head().getAs[Int]("n_cells") == centroids.length,
-      s"index $prefix was built with a different centroid set")
+    require(stats.columns.startsWith(Seq("n_vecs", "n_cells")),
+      s"malformed stats table ${prefix}_stats")
+    requireCentroidsMatch(stats.head(), stats.columns, prefix, centroids)
     val assigned = spark.table(s"${prefix}_assign")
     val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(NativeFunctions.nearestCells(col(vecCol), centroids, nProbe,
@@ -118,12 +177,14 @@ object IvfIndex {
                        centroids: Array[Array[Float]],
                        portable: Boolean = false,
                        lineageTag: String = ""): Unit = {
+    require(!deltaVecs.isEmpty, "appendToIvfIndex: delta is empty — " +
+      "nothing to append (guard upstream, or skip the fold)")
+    requireNotTorn(spark, prefix, "appendToIvfIndex")
     val stats = spark.table(s"${prefix}_stats")
     require(stats.columns.startsWith(Seq("n_vecs", "n_cells")),
       s"malformed stats table ${prefix}_stats")
     val row = stats.head()
-    require(row.getAs[Int]("n_cells") == centroids.length,
-      s"index $prefix was built with a different centroid set")
+    requireCentroidsMatch(row, stats.columns, prefix, centroids)
     val mBits = row.getAs[Int]("digest_mbits")
     val digestK = row.getAs[Int]("digest_k")
     val deltaFp = IndexStore.corpusFingerprint(deltaVecs, Seq(idCol, vecCol))
@@ -147,6 +208,17 @@ object IvfIndex {
           s"appendToIvfIndex: delta re-submits vector id ${clash.headOption.map(_.get(0)).getOrElse("")} " +
             s"already in $prefix — append is for NEW vectors; rebuild to replace")
       }
+      // ---- intent marker: written BEFORE the first mutation, dropped
+      //      only after the stats overwrite (the commit point). The
+      //      fold below is five non-atomic writes; a crash anywhere
+      //      between leaves the marker behind, and every later probe,
+      //      append, or retry fails loudly instead of serving (or
+      //      silently duplicating into) a torn index ----
+      Bucketing.dropTableAndLocation(spark, s"${prefix}_intent")
+      spark.range(1).select(
+          lit(entry).as("entry"),
+          lit(row.getAs[Long]("n_vecs")).as("n_vecs_before"))
+        .write.mode("overwrite").saveAsTable(s"${prefix}_intent")
       assigned.write.mode("append").partitionBy("cell")
         .saveAsTable(s"${prefix}_assign")
       assigned.select(col("id").as("doc_id"))
@@ -161,8 +233,10 @@ object IvfIndex {
           lit(centroids.length).as("n_cells"),
           lit(s"${row.getAs[String]("lineage")}+$entry").as("lineage"),
           lit(mBits).as("digest_mbits"),
-          lit(digestK).as("digest_k"))
+          lit(digestK).as("digest_k"),
+          lit(row.getAs[Long]("centroid_fp")).as("centroid_fp"))
         .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
+      Bucketing.dropTableAndLocation(spark, s"${prefix}_intent") // commit
     } finally assigned.unpersist(blocking = false)
   }
 
@@ -178,11 +252,22 @@ object IvfIndex {
     spark.table(s"${prefix}_stats").head().getAs[String]("lineage")
       .split('+').exists(_.startsWith(s"$tag:"))
 
-  /** Build-once gate keyed by corpus fingerprint + centroid count. */
+  /** Exact lineage-entry membership for a content fingerprint:
+    * entries are '+'-separated, each `fp` or `tag:fp` — compare the
+    * fp component exactly, never a raw substring (a window spanning
+    * another entry, or an fp inside a `tag:fp` token, must not match).
+    */
+  def lineageHasFingerprint(lineage: String, fp: String): Boolean =
+    lineage.split('+').exists(e => e.substring(e.lastIndexOf(':') + 1) == fp)
+
+  /** Build-once gate keyed by corpus fingerprint + centroid count.
+    * (Namespace v2: the stats schema grew the centroid_fp column —
+    * v1 tables from older sessions are never reused.)
+    */
   def ivfIndexCached(corpus: DataFrame, idCol: String, vecCol: String,
                      centroids: Array[Array[Float]],
                      portable: Boolean = false,
-                     namespace: String = "ivfidx_v1"): String = {
+                     namespace: String = "ivfidx_v2"): String = {
     val spark = corpus.sparkSession
     val fp = IndexStore.corpusFingerprint(corpus, Seq(idCol, vecCol))
     val prefix = s"${namespace}_${fp}_c${centroids.length}"
@@ -207,14 +292,14 @@ object IvfIndex {
     val spark = baseVecs.sparkSession
     val baseFp = IndexStore.corpusFingerprint(baseVecs, Seq(idCol, vecCol))
     val deltaFp = IndexStore.corpusFingerprint(deltaVecs, Seq(idCol, vecCol))
-    val prefix = s"ivfidx_v1_${baseFp}_plus_${deltaFp}_c${centroids.length}"
+    val prefix = s"ivfidx_v2_${baseFp}_plus_${deltaFp}_c${centroids.length}"
     val have = Seq("assign", "ids", "iddigest", "stats")
       .forall(s => spark.catalog.tableExists(s"${prefix}_$s"))
     if (!have)
       buildIvfIndex(baseVecs, idCol, vecCol, centroids, prefix,
         portable, lineage = baseFp)
     val lineage = spark.table(s"${prefix}_stats").head().getAs[String]("lineage")
-    if (!lineage.contains(deltaFp))
+    if (!lineageHasFingerprint(lineage, deltaFp))
       appendToIvfIndex(spark, prefix, deltaVecs, idCol, vecCol, centroids,
         portable)
     prefix

@@ -280,6 +280,11 @@ object Retrieval {
                         newPrefix: String, buckets: Int = 32): Unit = {
     require(newPrefix != basePrefix,
       "append must write a NEW index prefix — the base tables feed the merge")
+    // explicit, named guard: an empty delta would otherwise surface as
+    // an opaque "bloom build: key set is empty" from the digest tier
+    // (and a NULL sum(dl) into the merged total_tokens had it not)
+    require(!deltaDocs.isEmpty, "appendToBm25Index: delta is empty — " +
+      "nothing to append (guard upstream, or skip the fold)")
     val meta = readStatsMeta(spark, basePrefix)
     require(!meta.segments.contains(newPrefix),
       s"appendToBm25Index: segment prefix $newPrefix already in $basePrefix")
@@ -481,6 +486,34 @@ object Retrieval {
     }
     newPrefix
   }
+
+  /** True when `championPrefix` was derived from exactly the lineage
+    * `livePrefix` carries now — the staleness audit for the derived
+    * champion artifact. A champion records `{base lineage}+champ{c}`
+    * at derivation time; any later append/compact fold extends the
+    * live lineage, so a prefix-equality check on the lineage chain is
+    * the freshness test (never a table diff).
+    */
+  def championIsFresh(spark: SparkSession, championPrefix: String,
+                      livePrefix: String): Boolean = {
+    val ch = readStatsMeta(spark, championPrefix).lineage
+    val live = readStatsMeta(spark, livePrefix).lineage
+    val i = ch.lastIndexOf('+')
+    i >= 0 && ch.substring(i + 1).startsWith("champ") &&
+      ch.substring(0, i) == live
+  }
+
+  /** Loud form of [[championIsFresh]] — a deployment that appends
+    * daily would otherwise serve yesterday's champion until someone
+    * remembers; the message names the fix.
+    */
+  def requireChampionFresh(spark: SparkSession, championPrefix: String,
+                           livePrefix: String): Unit =
+    require(championIsFresh(spark, championPrefix, livePrefix),
+      s"champion index $championPrefix is STALE: its recorded base " +
+        s"lineage no longer matches the live index $livePrefix — " +
+        s"re-derive it (Retrieval.bm25ChampionCached($livePrefix, c)) " +
+        "after maintenance before serving probes from it")
 
   /** Parsed audit/layout metadata from an index's stats table, with
     * single-segment defaults for indexes written before the

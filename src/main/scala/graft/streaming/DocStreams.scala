@@ -452,10 +452,19 @@ object DocStreams {
   final class Bm25IndexMaintainer(spark: org.apache.spark.sql.SparkSession,
                                   basePrefix: String, idCol: String,
                                   textCol: String, compactEvery: Int = 0,
-                                  buckets: Int = 32) {
+                                  buckets: Int = 32, championC: Int = 0) {
     import graft.operators.Retrieval
     @volatile var currentPrefix: String =
       Bm25IndexMaintainer.recoverLatestPrefix(spark, basePrefix)
+    /** Freshest champion derivation, maintained automatically on every
+      * compaction tick when `championC` > 0. The champion is a DERIVED
+      * artifact — without this hook a deployment that appends daily
+      * serves a stale champion until someone remembers (the lineage
+      * audit [[graft.operators.Retrieval.requireChampionFresh]] would
+      * catch it loudly, but the maintainer's job is to not get there).
+      * None until the first compaction has run.
+      */
+    @volatile var currentChampionPrefix: Option[String] = None
     private var appendsSinceCompact = 0
 
     def appendBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
@@ -475,6 +484,12 @@ object DocStreams {
           Retrieval.compactBm25Index(spark, currentPrefix, cp, buckets)
         currentPrefix = cp
         appendsSinceCompact = 0
+        // champion re-derivation rides the compaction tick: the new
+        // compacted prefix names a new champion prefix, so the cached
+        // gate derives fresh (and a batchId retry finds it idempotent)
+        if (championC > 0)
+          currentChampionPrefix =
+            Some(Retrieval.bm25ChampionCached(spark, cp, championC, buckets))
       }
     }
   }
@@ -486,10 +501,15 @@ object DocStreams {
       */
     def recoverLatestPrefix(spark: org.apache.spark.sql.SparkSession,
                             basePrefix: String): String = {
+      // chain members are EXACTLY _b{batchId} / _c{batchId} — a digit
+      // anchor, not a bare startsWith, because derived artifacts also
+      // live under the base's name (a champion `{base}_ch4_stats`
+      // matches startsWith(`{base}_c`) and has no ids/digest tier, so
+      // recovering onto it would break the next append)
+      val chain = s"^${java.util.regex.Pattern.quote(basePrefix)}_[bc]\\d+_stats$$".r
       val names = spark.catalog.listTables().collect().map(_.name)
         .filter(n => n == s"${basePrefix}_stats" ||
-          ((n.startsWith(s"${basePrefix}_b") || n.startsWith(s"${basePrefix}_c"))
-            && n.endsWith("_stats")))
+          chain.pattern.matcher(n).matches())
         .map(_.stripSuffix("_stats"))
       if (names.isEmpty) basePrefix
       else names.map { p =>

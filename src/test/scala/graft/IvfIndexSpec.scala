@@ -76,6 +76,70 @@ class IvfIndexSpec extends AnyFunSuite {
     }.getMessage.contains("re-submits"))
   }
 
+  test("append hardening: empty delta, torn intent, wrong same-size centroids") {
+    val e = emb.limit(200).cache(); e.count()
+    val cents = Similarity.trainIvfCentroids(e,
+      nCentroids = 8, dim = 64, iterations = 1)
+    cleanup("ivfhard")
+    IvfIndex.buildIvfIndex(e, "vec_id", "embedding", cents, "ivfhard")
+    // empty delta is a NAMED failure, not an opaque bloom-build error
+    assert(intercept[IllegalArgumentException] {
+      IvfIndex.appendToIvfIndex(spark, "ivfhard",
+        e.filter(col("vec_id") < 0), "vec_id", "embedding", cents)
+    }.getMessage.contains("delta is empty"))
+    // a DIFFERENT centroid set of the SAME size is refused by the
+    // fingerprint check — n_cells alone would wave it through and the
+    // probe would score against the wrong geometry silently
+    val wrong = cents.map(_.clone())
+    wrong(0)(0) = wrong(0)(0) + 1.0f
+    assert(intercept[IllegalArgumentException] {
+      IvfIndex.ivfTopKFromIndex(spark, "ivfhard", e.limit(5), k = 1, wrong)
+    }.getMessage.contains("fingerprint mismatch"))
+    assert(intercept[IllegalArgumentException] {
+      IvfIndex.appendToIvfIndex(spark, "ivfhard", e.limit(5),
+        "vec_id", "embedding", wrong)
+    }.getMessage.contains("fingerprint mismatch"))
+    // torn append: a leftover intent marker (crash between first write
+    // and commit) makes probes AND appends fail loudly...
+    spark.range(1).selectExpr("'x' as entry", "0L as n_vecs_before")
+      .write.mode("overwrite").saveAsTable("ivfhard_intent")
+    assert(intercept[IllegalArgumentException] {
+      IvfIndex.ivfTopKFromIndex(spark, "ivfhard", e.limit(5), k = 1, cents)
+    }.getMessage.contains("intent marker"))
+    assert(intercept[IllegalArgumentException] {
+      IvfIndex.appendToIvfIndex(spark, "ivfhard", e.limit(5),
+        "vec_id", "embedding", cents)
+    }.getMessage.contains("intent marker"))
+    // ...and a rebuild (the named fix) clears the torn state
+    IvfIndex.buildIvfIndex(e, "vec_id", "embedding", cents, "ivfhard")
+    assert(IvfIndex.ivfTopKFromIndex(spark, "ivfhard", e.limit(5), k = 1,
+      cents).count() > 0)
+    // a SUCCESSFUL append leaves no marker behind (commit point drops it)
+    val delta = e.limit(20)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    IvfIndex.appendToIvfIndex(spark, "ivfhard", delta,
+      "vec_id", "embedding", cents)
+    assert(!spark.catalog.tableExists("ivfhard_intent"))
+    cleanup("ivfhard")
+  }
+
+  test("lineage fingerprint membership is exact-entry, never substring") {
+    import IvfIndex.lineageHasFingerprint
+    assert(lineageHasFingerprint("abc+def", "def"))
+    assert(lineageHasFingerprint("abc+b7:def", "def"), "tag:fp entry")
+    assert(!lineageHasFingerprint("abc+def", "c+d"),
+      "a window spanning two entries must not match")
+    assert(!lineageHasFingerprint("xabcy", "abc"),
+      "a substring inside an entry must not match")
+    assert(!lineageHasFingerprint("abc+b7:xdef", "def"),
+      "a suffix of a tagged fp must not match")
+    // centroid fingerprint: deterministic, order- and bit-sensitive
+    val a = Array(Array(1.0f, 2.0f), Array(3.0f, 4.0f))
+    val b = Array(Array(3.0f, 4.0f), Array(1.0f, 2.0f))
+    assert(IvfIndex.centroidFingerprint(a) === IvfIndex.centroidFingerprint(a))
+    assert(IvfIndex.centroidFingerprint(a) !== IvfIndex.centroidFingerprint(b))
+  }
+
   test("probe plan prunes to the probed cells' partitions") {
     val e = emb.limit(400).cache(); e.count()
     val cents = Similarity.trainIvfCentroids(e,

@@ -343,6 +343,12 @@ class RetrievalSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Retrieval.appendToBm25Index(spark, merged, delta, "doc_id", "text", merged)
     }.getMessage.contains("NEW index prefix"))
+    // an EMPTY delta is a named failure, not an opaque bloom-build
+    // error (nor a NULL total_tokens in the merged stats)
+    assert(intercept[IllegalArgumentException] {
+      Retrieval.appendToBm25Index(spark, merged,
+        delta.filter(col("doc_id") < 0), "doc_id", "text", s"${merged}_e")
+    }.getMessage.contains("delta is empty"))
     // the big-panel sort-merge path refuses a segmented index loudly
     // (its zero-Exchange meet needs the single bucketed layout) and
     // serves the compacted one

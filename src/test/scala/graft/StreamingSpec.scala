@@ -773,6 +773,62 @@ class StreamingSpec extends AnyFunSuite {
       === head, "retry moved the recovered chain head")
   }
 
+  test("champion re-derivation rides compaction; a stale champion is loud") {
+    import graft.operators.Retrieval
+    import graft.streaming.DocStreams
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(300).cache()
+    docs.count()
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val arriving = docs.filter(col("doc_id") % 3 =!= 0)
+    val basePrefix = "smch_base"
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(basePrefix))
+      .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _))
+    Retrieval.buildBm25Index(base, "doc_id", "text", basePrefix)
+    // a champion derived BEFORE maintenance — the artifact that goes
+    // stale the moment the index grows
+    val chOld = Retrieval.bm25ChampionCached(spark, basePrefix, c = 4)
+    assert(Retrieval.championIsFresh(spark, chOld, basePrefix))
+    val src = java.nio.file.Files.createTempDirectory("graft-chsrc").toString
+    arriving.repartition(4).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val m = new DocStreams.Bm25IndexMaintainer(spark, basePrefix,
+      "doc_id", "text", compactEvery = 2, championC = 4)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.foreachBatch(m.appendBatch _).start()
+    try q.processAllAvailable() finally q.stop()
+    // the compaction tick re-derived the champion automatically, and
+    // the derivation is fresh against the live chain head
+    val chNew = m.currentChampionPrefix.getOrElse(
+      fail("no champion derived — did the stream compact?"))
+    Retrieval.requireChampionFresh(spark, chNew, m.currentPrefix)
+    // the auto-maintained champion answers bit-identically to a
+    // from-scratch derivation over the same chain head
+    val probes = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(graft.operators.TextAnalysis.cleanTokens(col("text")), 1, 5)
+          .as("qterms"))
+    val got = Retrieval.bm25TopKFromIndex(spark, chNew,
+        probes, "query_id", "qterms", k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+    Seq("postings", "termstats", "stats").foreach(s =>
+      graft.operators.Bucketing.dropTableAndLocation(spark, s"${chNew}_$s"))
+    val fresh = Retrieval.bm25ChampionCached(spark, m.currentPrefix, c = 4)
+    assert(fresh === chNew, "cached gate must re-derive under the same name")
+    val want = Retrieval.bm25TopKFromIndex(spark, fresh,
+        probes, "query_id", "qterms", k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(want.nonEmpty && want.sameElements(got),
+      "auto-maintained champion diverged from a fresh derivation")
+    // the pre-maintenance champion is now STALE — and loudly so
+    assert(!Retrieval.championIsFresh(spark, chOld, m.currentPrefix))
+    assert(intercept[IllegalArgumentException] {
+      Retrieval.requireChampionFresh(spark, chOld, m.currentPrefix)
+    }.getMessage.contains("STALE"))
+  }
+
   test("streaming IVF index maintenance: micro-batch appends answer like a full rebuild") {
     import graft.operators.{IvfIndex, Similarity}
     import graft.streaming.DocStreams
