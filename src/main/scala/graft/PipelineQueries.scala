@@ -1723,6 +1723,42 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- FLAC STREAMINFO metadata: rate/channels/bit-depth/total
+    //      samples (→ duration) from the mandatory first metadata
+    //      block — no frame decode; every field formula-predictable
+    //      from the fixture parameters ----
+    "multimodal_decode_flac" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "flac")
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+          new graft.operators.Multimodal.PureJvmCodec())
+        .select(col("id").as("doc_id"),
+          col("decoded.meta.duration_ms").as("dur_ms"),
+          element_at(col("decoded.features"), 1).cast(LongType).as("channels"),
+          element_at(col("decoded.features"), 2).cast(LongType).as("sample_rate"),
+          element_at(col("decoded.features"), 3).cast(LongType).as("n_samples"),
+          element_at(col("decoded.features"), 4).cast(LongType).as("bits"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- OGG Vorbis metadata: channels/rate/nominal bitrate from
+    //      the BOS identification header, duration from the LAST
+    //      page's granule position (total PCM samples) — the
+    //      standard cheap duration estimate, no packet decode ----
+    "multimodal_decode_ogg" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "ogg")
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+          new graft.operators.Multimodal.PureJvmCodec())
+        .select(col("id").as("doc_id"),
+          col("decoded.meta.duration_ms").as("dur_ms"),
+          element_at(col("decoded.features"), 1).cast(LongType).as("channels"),
+          element_at(col("decoded.features"), 2).cast(LongType).as("sample_rate"),
+          element_at(col("decoded.features"), 3).cast(LongType).as("n_samples"),
+          element_at(col("decoded.features"), 4).cast(LongType).as("bitrate_kbps"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- document fingerprinting: portable code-point polynomial
     //      hashes (whole-text rolling fp + winnowing count), exactly
     //      reproduced by the DuckDB oracle via list folds. The
@@ -4207,6 +4243,24 @@ object PipelineQueries {
            CAST((2 + doc_id % 4) * 1152 AS BIGINT) AS n_samples,
            CAST(128 AS BIGINT) AS bitrate_kbps,
            CAST(2 + doc_id % 4 AS BIGINT) AS n_frames
+         FROM documents ORDER BY doc_id""",
+    "multimodal_decode_flac" ->
+      """SELECT doc_id,
+           CAST((1000 + doc_id % 4096) * 1000
+             // (8000 * (1 + doc_id % 3)) AS BIGINT) AS dur_ms,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+           CAST(1000 + doc_id % 4096 AS BIGINT) AS n_samples,
+           CAST(16 AS BIGINT) AS bits
+         FROM documents ORDER BY doc_id""",
+    "multimodal_decode_ogg" ->
+      """SELECT doc_id,
+           CAST((2000 + doc_id % 4096) * 1000
+             // (8000 * (1 + doc_id % 3)) AS BIGINT) AS dur_ms,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+           CAST(2000 + doc_id % 4096 AS BIGINT) AS n_samples,
+           CAST(64 + doc_id % 8 AS BIGINT) AS bitrate_kbps
          FROM documents ORDER BY doc_id""",
     "multimodal_features" ->
       """SELECT doc_id,

@@ -391,6 +391,77 @@ object Multimodal {
         (brSum / nFrames).toFloat, nFrames.toFloat, 0f, 0f))
     }
 
+    /** FLAC STREAMINFO metadata — sample rate / channels / bit depth /
+      * total samples (→ duration) from the mandatory first metadata
+      * block, no frame decode (the corpus-audit tier, same mold as
+      * [[decodeMp3Meta]]). The spec fixes STREAMINFO as the FIRST
+      * block after the fLaC magic with a 34-byte body; anything else
+      * (bad magic, wrong type/length, truncation) is a null, never a
+      * guess. Features: (channels, rate, total_samples,
+      * bits_per_sample, 0, 0, 0).
+      */
+    private def decodeFlacMeta(b: Array[Byte]): (Row, Array[Float]) = {
+      if (b.length < 42 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' ||
+        b(3) != 'C') return null
+      val btype = b(4) & 0x7F
+      val blen = ((b(5) & 0xFF) << 16) | ((b(6) & 0xFF) << 8) | (b(7) & 0xFF)
+      if (btype != 0 || blen != 34) return null
+      val rate = ((b(18) & 0xFF) << 12) | ((b(19) & 0xFF) << 4) |
+        ((b(20) & 0xFF) >>> 4)
+      val channels = ((b(20) >> 1) & 0x7) + 1
+      val bps = (((b(20) & 1) << 4) | ((b(21) & 0xFF) >>> 4)) + 1
+      val total = ((b(21) & 0xFL) << 32) | ((b(22) & 0xFFL) << 24) |
+        ((b(23) & 0xFFL) << 16) | ((b(24) & 0xFFL) << 8) | (b(25) & 0xFFL)
+      if (rate <= 0) return null
+      val durationMs = total * 1000L / rate
+      val meta = Row("flac", 0, 0, 1, durationMs)
+      (meta, Array[Float](channels.toFloat, rate.toFloat, total.toFloat,
+        bps.toFloat, 0f, 0f, 0f))
+    }
+
+    /** OGG Vorbis metadata — channels / rate / nominal bitrate from
+      * the identification header in the first (BOS) page, and
+      * duration from the LAST page's granule position (total PCM
+      * samples by Vorbis convention) found by a reverse capture-
+      * pattern scan — the standard cheap duration estimate, no
+      * packet decode. CRCs are not verified (audit tier reads
+      * headers, it doesn't prove stream integrity). Any structural
+      * violation → null. Features: (channels, rate, granule_samples,
+      * nominal_kbps, 0, 0, 0).
+      */
+    private def decodeOggMeta(b: Array[Byte]): (Row, Array[Float]) = {
+      def isCapture(p: Int): Boolean = p >= 0 && p + 27 <= b.length &&
+        b(p) == 'O' && b(p + 1) == 'g' && b(p + 2) == 'g' &&
+        b(p + 3) == 'S' && b(p + 4) == 0
+      if (!isCapture(0) || (b(5) & 0x02) == 0) return null // first page = BOS
+      val nSeg = b(26) & 0xFF
+      val p = 27 + nSeg
+      if (p + 30 > b.length) return null
+      var payloadLen = 0
+      var i = 0
+      while (i < nSeg) { payloadLen += b(27 + i) & 0xFF; i += 1 }
+      if (payloadLen < 30) return null
+      def le32(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+      if (b(p) != 1 || b(p + 1) != 'v' || b(p + 2) != 'o' || b(p + 3) != 'r' ||
+        b(p + 4) != 'b' || b(p + 5) != 'i' || b(p + 6) != 's') return null
+      if (le32(p + 7) != 0) return null // vorbis_version must be 0
+      val channels = b(p + 11) & 0xFF
+      val rate = le32(p + 12)
+      val nominal = le32(p + 20)
+      if (channels <= 0 || rate <= 0) return null
+      var last = b.length - 27
+      while (last > 0 && !isCapture(last)) last -= 1
+      var granule = 0L
+      i = 0
+      while (i < 8) { granule |= (b(last + 6 + i) & 0xFFL) << (8 * i); i += 1 }
+      if (granule < 0) granule = 0L // -1 granule = "no packets finish here"
+      val durationMs = granule * 1000L / rate
+      val meta = Row("ogg", 0, 0, 1, durationMs)
+      (meta, Array[Float](channels.toFloat, rate.toFloat, granule.toFloat,
+        (nominal / 1000).toFloat, 0f, 0f, 0f))
+    }
+
     /** Pixel cap for compressed formats: a crafted IHDR/SOF claiming
       * a billion-pixel canvas must be rejected BEFORE any pixel
       * buffer is allocated (the decompression-bomb guard — the same
@@ -451,6 +522,8 @@ object Multimodal {
           case "ppm" => decodePpm(bytes)
           case "wav" => decodeWav(bytes)
           case "mp3" => decodeMp3Meta(bytes)
+          case "flac" => decodeFlacMeta(bytes)
+          case "ogg" => decodeOggMeta(bytes)
           case "png" | "jpg" | "jpeg" => decodeImageIo(bytes, fmt)
           case _     => fallback.decode(bytes, format)
         }
@@ -712,6 +785,75 @@ object Multimodal {
     out
   }
 
+  /** Deterministic FLAC fixture: fLaC magic + one last-flagged
+    * STREAMINFO block (the spec's mandatory first block) carrying the
+    * given stream parameters; min/max frame size and MD5 stay zero
+    * ("unknown" per spec) — the metadata parser never reads frames.
+    */
+  def buildFlac(rate: Int, channels: Int, bps: Int,
+                totalSamples: Long, blockSize: Int = 4096): Array[Byte] = {
+    require(rate > 0 && rate < (1 << 20) && channels >= 1 && channels <= 8 &&
+      bps >= 4 && bps <= 32 && totalSamples >= 0 && totalSamples < (1L << 36),
+      "bad flac fixture params")
+    val out = new Array[Byte](42)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    out(4) = 0x80.toByte // last-metadata-block + type 0 (STREAMINFO)
+    out(5) = 0; out(6) = 0; out(7) = 34
+    out(8) = (blockSize >> 8).toByte; out(9) = blockSize.toByte
+    out(10) = (blockSize >> 8).toByte; out(11) = blockSize.toByte
+    out(18) = (rate >> 12).toByte
+    out(19) = ((rate >> 4) & 0xFF).toByte
+    out(20) = (((rate & 0xF) << 4) | ((channels - 1) << 1) |
+      ((bps - 1) >> 4)).toByte
+    out(21) = ((((bps - 1) & 0xF) << 4) | ((totalSamples >> 32) & 0xF).toInt).toByte
+    out(22) = ((totalSamples >> 24) & 0xFF).toByte
+    out(23) = ((totalSamples >> 16) & 0xFF).toByte
+    out(24) = ((totalSamples >> 8) & 0xFF).toByte
+    out(25) = (totalSamples & 0xFF).toByte
+    out
+  }
+
+  /** Deterministic OGG Vorbis fixture: a BOS page carrying the
+    * 30-byte identification header, then an empty EOS page whose
+    * granule position is the stream's total-sample count (the field
+    * duration estimation reads). Page CRCs stay zero — the metadata
+    * parser doesn't verify them.
+    */
+  def buildOgg(rate: Int, channels: Int, nominalBps: Int,
+               totalSamples: Long): Array[Byte] = {
+    require(rate > 0 && channels >= 1 && channels <= 255 &&
+      nominalBps >= 0 && totalSamples >= 0, "bad ogg fixture params")
+    def page(headerType: Int, granule: Long, seq: Int,
+             payload: Array[Byte]): Array[Byte] = {
+      val nSeg = if (payload.isEmpty) 0 else 1
+      require(payload.length < 255, "fixture payload must fit one segment")
+      val out = new Array[Byte](27 + nSeg + payload.length)
+      out(0) = 'O'; out(1) = 'g'; out(2) = 'g'; out(3) = 'S'
+      out(4) = 0 // stream structure version
+      out(5) = headerType.toByte
+      var i = 0
+      while (i < 8) { out(6 + i) = ((granule >> (8 * i)) & 0xFF).toByte; i += 1 }
+      out(14) = 1 // serial number (any constant)
+      i = 0
+      while (i < 4) { out(18 + i) = ((seq >> (8 * i)) & 0xFF).toByte; i += 1 }
+      out(26) = nSeg.toByte
+      if (nSeg == 1) out(27) = payload.length.toByte
+      payload.copyToArray(out, 27 + nSeg)
+      out
+    }
+    val id = new Array[Byte](30)
+    id(0) = 1
+    "vorbis".getBytes("US-ASCII").copyToArray(id, 1)
+    id(11) = channels.toByte
+    var i = 0
+    while (i < 4) { id(12 + i) = ((rate >> (8 * i)) & 0xFF).toByte; i += 1 }
+    i = 0
+    while (i < 4) { id(20 + i) = ((nominalBps >> (8 * i)) & 0xFF).toByte; i += 1 }
+    id(28) = 0xB8.toByte // blocksize_0=2^8, blocksize_1=2^11
+    id(29) = 1           // framing bit
+    page(0x02, 0L, 0, id) ++ page(0x04, totalSamples, 1, Array.emptyByteArray)
+  }
+
   /** Deterministic media fixtures from an id column: REAL BMP/PPM/WAV
     * bytes whose dimensions, pixels and samples follow documented
     * id-indexed formulas, so an external engine can predict what a
@@ -753,6 +895,13 @@ object Multimodal {
             nibAt = i => ((id * 13L + i * 5L) % 16L).toInt)
           case "mp3" => buildMp3(nFrames = (2 + id % 4L).toInt,
             brIdx = 9, srIdx = 0)
+          case "flac" => buildFlac(rate = (8000L * (1 + id % 3)).toInt,
+            channels = (1 + id % 2).toInt, bps = 16,
+            totalSamples = 1000 + id % 4096)
+          case "ogg" => buildOgg(rate = (8000L * (1 + id % 3)).toInt,
+            channels = (1 + id % 2).toInt,
+            nominalBps = (64000L + 1000L * (id % 8)).toInt,
+            totalSamples = 2000 + id % 4096)
           case other => throw new IllegalArgumentException(
             s"synthMediaBlobs: unknown format $other")
         }

@@ -164,6 +164,51 @@ class MultimodalActionsSpec extends AnyFunSuite {
     assert(codec.decode(badBr, "mp3") === null)
   }
 
+  test("PureJvmCodec: FLAC STREAMINFO metadata; structural violations are null") {
+    val codec = new Multimodal.PureJvmCodec()
+    val b = Multimodal.buildFlac(rate = 16000, channels = 2, bps = 16,
+      totalSamples = 5000L)
+    val (meta, f) = codec.decode(b, "flac")
+    assert(meta.getString(0) === "flac")
+    assert(f(0) === 2f && f(1) === 16000f && f(2) === 5000f && f(3) === 16f)
+    assert(meta.getLong(4) === 5000L * 1000 / 16000)
+    // 36-bit total-sample field: the high nibble shares byte 21 with bps
+    val big = Multimodal.buildFlac(44100, 1, 24, (1L << 35) + 7)
+    val (mB, fB) = codec.decode(big, "flac")
+    assert(fB(3) === 24f && mB.getLong(4) === ((1L << 35) + 7) * 1000 / 44100)
+    // truncation, bad magic, non-STREAMINFO first block: all null
+    assert(codec.decode(b.take(41), "flac") === null)
+    val badMagic = b.clone(); badMagic(0) = 'X'
+    assert(codec.decode(badMagic, "flac") === null)
+    val badType = b.clone(); badType(4) = 0x84.toByte // type 4 first
+    assert(codec.decode(badType, "flac") === null)
+  }
+
+  test("PureJvmCodec: OGG Vorbis id header + last-page granule duration") {
+    val codec = new Multimodal.PureJvmCodec()
+    val b = Multimodal.buildOgg(rate = 24000, channels = 1,
+      nominalBps = 66000, totalSamples = 9000L)
+    val (meta, f) = codec.decode(b, "ogg")
+    assert(meta.getString(0) === "ogg")
+    assert(f(0) === 1f && f(1) === 24000f && f(2) === 9000f && f(3) === 66f)
+    assert(meta.getLong(4) === 9000L * 1000 / 24000)
+    // truncated to the BOS page alone: duration falls back to the
+    // first page's granule (0), id fields still served
+    val bosOnly = b.take(b.length - 27)
+    val t = codec.decode(bosOnly, "ogg")
+    assert(t != null && t._1.getLong(4) === 0L && t._2(1) === 24000f)
+    // structural violations: bad capture, non-BOS first page, a
+    // non-vorbis id packet, nonzero vorbis version
+    val badCap = b.clone(); badCap(0) = 'X'
+    assert(codec.decode(badCap, "ogg") === null)
+    val notBos = b.clone(); notBos(5) = 0
+    assert(codec.decode(notBos, "ogg") === null)
+    val notVorbis = b.clone(); notVorbis(29) = 'x'
+    assert(codec.decode(notVorbis, "ogg") === null)
+    val badVer = b.clone(); badVer(35) = 1
+    assert(codec.decode(badVer, "ogg") === null)
+  }
+
   test("PureJvmCodec: malformed media decodes to null; unknown formats hit the stub") {
     val codec = new Multimodal.PureJvmCodec()
     val good = Multimodal.buildBmp(4, 4, _ => 1)
