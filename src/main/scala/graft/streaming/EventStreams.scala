@@ -25,8 +25,13 @@ object EventStreams {
                            session_end: java.sql.Timestamp, n_events: Long,
                            sum_value: Double)
 
-  /** Open-session state for the streaming sessionizer. */
-  final case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+  /** Open-session state for the streaming sessionizer. Timestamps are
+    * kept whole (not epoch millis): the batch twin emits min/max ts at
+    * full parquet precision, and a session-for-session comparison
+    * would otherwise lose the sub-millisecond digits.
+    */
+  final case class OpenSession(start: java.sql.Timestamp,
+                               end: java.sql.Timestamp, n: Long, sum: Double)
 
   /** Tumbling (or sliding, when `slide` differs) event-time window
     * aggregation. Streaming form: add a watermark upstream; this is
@@ -236,31 +241,45 @@ object EventStreams {
         col("rank"), col("event_type"), col("n"))
   }
 
-  /** Streaming sessionization via flatMapGroupsWithState with
-    * processing-time timeout: state per user is the open session;
-    * events beyond the gap close it and emit. The custom-state
-    * counterpart of [[sessionizeBatch]] (SURVEY.md §7.6).
+  /** Streaming sessionization via flatMapGroupsWithState: state per
+    * user is the open session; events beyond the gap close it and
+    * emit. The custom-state counterpart of [[sessionizeBatch]]
+    * (SURVEY.md §7.6), and SEMANTICALLY ALIGNED with it: the gap test
+    * compares SECOND-truncated timestamps (the batch twin's
+    * `unix_timestamp` diff — sub-second event times would otherwise
+    * split sessions the oracle-checked definition keeps together),
+    * session bounds fold as min/max of whole timestamps (full parquet
+    * precision, order-robust within a merged session), and in-batch
+    * processing order is the batch twin's (ts at full precision, ties
+    * to event_id). With chronologically arriving batches the emitted
+    * sessions are session-for-session the batch result minus each
+    * user's final (still-open) session — the StreamingSpec claim.
     */
   def sessionizeStream(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
+    def secs(t: java.sql.Timestamp): Long = Math.floorDiv(t.getTime, 1000L)
+    def le(a: java.sql.Timestamp, b: java.sql.Timestamp): Boolean =
+      a.getTime < b.getTime || (a.getTime == b.getTime && a.getNanos <= b.getNanos)
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[OpenSession], Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[List[OpenSession]]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           var sessions = state.getOption.getOrElse(Nil)
           val closed = List.newBuilder[Session]
           sorted.foreach { e =>
-            val t = e.ts.getTime
             sessions match {
-              case open :: rest if t - open.end <= gapSeconds * 1000 =>
-                sessions = open.copy(end = t, n = open.n + 1, sum = open.sum + e.value) :: rest
+              case open :: rest if secs(e.ts) - secs(open.end) <= gapSeconds =>
+                sessions = open.copy(
+                  start = if (le(open.start, e.ts)) open.start else e.ts,
+                  end = if (le(e.ts, open.end)) open.end else e.ts,
+                  n = open.n + 1, sum = open.sum + e.value) :: rest
               case open :: rest =>
-                closed += Session(userId, new java.sql.Timestamp(open.start),
-                  new java.sql.Timestamp(open.end), open.n, open.sum)
-                sessions = OpenSession(t, t, 1, e.value) :: rest
+                closed += Session(userId, open.start, open.end, open.n, open.sum)
+                sessions = OpenSession(e.ts, e.ts, 1, e.value) :: rest
               case Nil =>
-                sessions = OpenSession(t, t, 1, e.value) :: Nil
+                sessions = OpenSession(e.ts, e.ts, 1, e.value) :: Nil
             }
           }
           state.update(sessions)

@@ -1007,6 +1007,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming sessionization equals the batch sessionizer session-for-session") {
+    val ev = Tables.table(spark, TestSpark.sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).cache()
+    ev.count()
+    // batch truth over the complete table: the oracle-checked
+    // definition (events_sessionize) carries correctness
+    val batch = EventStreams.sessionizeBatch(ev, gapSeconds = 86400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4)))
+    // at end-of-stream each user's LAST session is still open in
+    // state — the stream must emit exactly everything else
+    val lastId = batch.groupBy(_._1).map { case (u, ss) => u -> ss.map(_._2).max }
+    val wantClosed = batch.filter(t => lastId(t._1) != t._2)
+      .map(t => (t._1, t._3, t._4, t._5)).toSet
+    assert(wantClosed.nonEmpty, "test data produced no closeable sessions")
+    // stream the table as FOUR chronological micro-batches (separate
+    // files with strictly increasing mtimes so the file source
+    // processes them in event-time order, like a real ingest)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sessfull").toString
+    val sliced = ev.withColumn("slice",
+      ntile(4).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id")))).cache()
+    var seen = Set.empty[String]
+    val base = new java.io.File(dir).lastModified()
+    for (i <- 1 to 4) {
+      sliced.filter(col("slice") === i).drop("slice")
+        .coalesce(1).write.mode("append").parquet(dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-"))
+      files.filterNot(f => seen(f.getName))
+        .foreach(_.setLastModified(base + i * 60000L))
+      seen ++= files.map(_.getName)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[EventStreams.Event]
+    val q = EventStreams.sessionizeStream(stream, gapSeconds = 86400)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessfull").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+          "select user_id, session_start, session_end, n_events from sessfull")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3))).toSet
+      assert(got === wantClosed,
+        "streamed sessions diverged from the batch sessionizer")
+      // the claim is only interesting if sessions SPAN micro-batches:
+      // some emitted session must straddle a slice boundary
+      val bounds = sliced.groupBy(col("slice")).agg(max(col("ts")).as("m"))
+        .collect().map(_.getTimestamp(1).getTime).sorted.dropRight(1)
+      assert(got.exists { case (_, s, e, _) =>
+        bounds.exists(b => s.getTime <= b && e.getTime > b) },
+        "no emitted session spans a micro-batch boundary")
+    } finally q.stop()
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) closes sessions on gap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     Seq(
