@@ -925,6 +925,30 @@ object PipelineQueries {
         .select(col("id"), col("cell"), col("proto_micro"))
     }),
 
+    // ---- label-margin mislabel suspects: the 20 vectors whose
+    //      cosine to their OWN label centroid most trails the best
+    //      OTHER label centroid (negative margin = sits in another
+    //      class's territory). Centroids via the portable quantized
+    //      mean; margin = difference of floored micro cosines ----
+    "sim_label_margin" -> ((s, d) =>
+      Similarity.labelMargin(t(s, d, "embeddings"), k = 20)),
+
+    // ---- k-anonymity audit: histogram of quasi-identifier
+    //      equivalence-class sizes over (lang, source) — k=1 rows
+    //      are re-identifiable singletons ----
+    "q_kanon_audit" -> ((s, d) =>
+      graft.operators.Quality.kAnonymityAudit(
+        t(s, d, "documents"), Seq("lang", "source")).orderBy(col("k"))),
+
+    // ---- k-anonymity suppression: the release transform — every
+    //      surviving row is hidden among >= kMin-1 others on the
+    //      quasi-identifiers; the class size rides along as k ----
+    "q_kanon_suppress" -> ((s, d) =>
+      graft.operators.Quality.kAnonymitySuppress(
+          t(s, d, "documents"), Seq("lang", "source"), kMin = 3)
+        .select(col("doc_id"), col("lang"), col("source"), col("k"))
+        .orderBy(col("doc_id"))),
+
     // ---- greedy k-center coreset: 8 maximally-diverse embedding
     //      rows by farthest-first selection (seed = min id; then
     //      argmin of max-cosine-to-selected, ties to smallest id, on
@@ -2924,6 +2948,52 @@ object PipelineQueries {
            FROM a2 WHERE rk = 1)
          SELECT id, cell, proto_micro FROM scored
          ORDER BY proto_micro ASC, id ASC LIMIT 20""",
+    // Label centroids replayed via the portable quantized mean (the
+    // q_embed_centroids recipe regrouped into DOUBLE[] per label),
+    // DOUBLE-precision cosines, margin as a difference of floored
+    // micro longs — no float boundary of its own.
+    "sim_label_margin" ->
+      """WITH ex AS (
+           SELECT label, u.pos AS pos, CAST(u.x AS DOUBLE) AS x
+           FROM embeddings,
+             unnest(list_transform(range(0, len(embedding)),
+               i -> {'pos': i, 'x': embedding[i + 1]})) AS r(u)),
+         cm AS (
+           SELECT label, pos,
+             CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) /
+               CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS c
+           FROM ex GROUP BY label, pos),
+         cv AS (
+           SELECT label, array_agg(c ORDER BY pos) AS cent
+           FROM cm GROUP BY label),
+         sims AS (
+           SELECT e.vec_id AS id, e.label AS own_label, c.label AS clabel,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent) AS cos
+           FROM embeddings e CROSS JOIN cv c),
+         agg AS (
+           SELECT id, own_label AS label,
+             CAST(floor(MAX(CASE WHEN clabel = own_label THEN cos END)
+               * 1000000.0) AS BIGINT) AS own_micro,
+             CAST(floor(MAX(CASE WHEN clabel <> own_label THEN cos END)
+               * 1000000.0) AS BIGINT) AS other_micro
+           FROM sims GROUP BY id, own_label)
+         SELECT id, label, own_micro, other_micro,
+           own_micro - other_micro AS margin_micro
+         FROM agg ORDER BY margin_micro ASC, id ASC LIMIT 20""",
+    "q_kanon_audit" ->
+      """WITH c AS (
+           SELECT lang, source, CAST(count(*) AS BIGINT) AS k
+           FROM documents GROUP BY lang, source)
+         SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(k * count(*) AS BIGINT) AS n_rows
+         FROM c GROUP BY k ORDER BY k""",
+    "q_kanon_suppress" ->
+      """WITH c AS (
+           SELECT doc_id, lang, source,
+             CAST(count(*) OVER (PARTITION BY lang, source) AS BIGINT) AS k
+           FROM documents)
+         SELECT doc_id, lang, source, k FROM c
+         WHERE k >= 3 ORDER BY doc_id""",
     "text_bm25_gate" ->
       """WITH ctoks AS (
            SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts

@@ -239,6 +239,43 @@ object Quality {
         (col("valid_to").isNull || col("valid_to") > lit(version)))
       .select(col("id"), col("payload"))
 
+  /** k-anonymity audit — the re-identification risk card a privacy
+    * review reads before a corpus ships: group rows by the
+    * quasi-identifier columns, then histogram the equivalence-class
+    * sizes. A row in a class of size k is hidden among k-1 others;
+    * `k = 1` rows are singletons (unique quasi-identifier
+    * combinations — directly re-identifiable). Output: one row per
+    * distinct class size `k` with the class count and the row count
+    * it covers. Null QI values are VALUES (they group together, as
+    * an attacker would group them).
+    *
+    * Scale: ONE shuffle on the quasi-identifier key (map-side
+    * combined); the histogram re-aggregation is class-count-sized.
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String]): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymityAudit: no quasi-identifier columns")
+    df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_classes"))
+      .select(col("k"), col("n_classes"),
+        (col("k") * col("n_classes")).as("n_rows"))
+  }
+
+  /** k-anonymity suppression — the standard release transform: drop
+    * every row whose quasi-identifier equivalence class is smaller
+    * than `kMin`, so each surviving row is indistinguishable from at
+    * least kMin-1 others on the QI columns. A window count over the
+    * QI partition (one shuffle, NO join, no second scan); the class
+    * size rides along as `k` for the audit trail.
+    */
+  def kAnonymitySuppress(df: DataFrame, qiCols: Seq[String],
+                         kMin: Long): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymitySuppress: no quasi-identifier columns")
+    require(kMin >= 1, "kMin must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols.map(col): _*)
+    df.withColumn("k", count(lit(1)).over(w)).filter(col("k") >= kMin)
+  }
+
   /** Loud snapshot-uniqueness guard: one snapshot-sized aggregate —
     * the price of never silently forking an id's SCD timeline.
     */

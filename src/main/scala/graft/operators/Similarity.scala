@@ -818,6 +818,45 @@ object Similarity {
           .cast(LongType).as("proto_micro"))
   }
 
+  /** Label-margin card (the confident-learning / mislabel-suspect
+    * signal): per vector, cosine to its OWN label's mean-pool
+    * centroid minus the best cosine to any OTHER label's centroid —
+    * a negative margin says the embedding sits closer to another
+    * class's center than its own, the first rows a label-audit pass
+    * reviews. Returns the `k` worst margins.
+    *
+    * Exactness: centroids come from [[Embeddings.meanPoolVectors]]
+    * (integer-quantized sums — the portable cross-row mean), cosines
+    * from the double HOF formulation (bit-identical to DuckDB
+    * `list_cosine_similarity` over DOUBLE[]), and the margin is a
+    * DIFFERENCE OF ALREADY-FLOORED micro longs — no float boundary
+    * of its own.
+    *
+    * Scale shape: the centroid pass is ONE (label, pos) shuffle of
+    * dim×L cells; the scoring pass is MAP-ONLY — L is a bounded
+    * class count by contract, the L centroid literals ride the plan,
+    * and each row evaluates its own-label cosine plus L-1 others.
+    * TakeOrdered(k) finishes it; the corpus never shuffles.
+    */
+  def labelMargin(vecs: DataFrame, k: Int = 20,
+                  labelCol: String = "label", idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val cents = Embeddings.meanPoolVectors(vecs, labelCol, vecCol)
+      .collect().map(r => (r.get(0), r.getSeq[Double](1)))
+    require(cents.length >= 2,
+      "labelMargin needs at least two labels (no 'other' centroid otherwise)")
+    val own = coalesce(cents.map { case (l, c) =>
+      when(col(labelCol) === lit(l), cosineHof(col(vecCol), typedLit(c))) }: _*)
+    val other = greatest(cents.map { case (l, c) =>
+      when(col(labelCol) =!= lit(l), cosineHof(col(vecCol), typedLit(c))) }: _*)
+    vecs.select(col(idCol).as("id"), col(labelCol).as("label"),
+        floor(own * lit(1000000.0)).cast(LongType).as("own_micro"),
+        floor(other * lit(1000000.0)).cast(LongType).as("other_micro"))
+      .withColumn("margin_micro", col("own_micro") - col("other_micro"))
+      .orderBy(col("margin_micro").asc, col("id").asc).limit(k)
+  }
+
   /** Greedy k-center (Gonzalez farthest-first) coreset selection —
     * the diversity-first data-selection pass: pick `k` embedding rows
     * such that every corpus point is close to some pick, by starting

@@ -134,4 +134,30 @@ class QualitySpec extends AnyFunSuite {
       5L -> "e"))
     assert(asOf(0L).isEmpty, "before the first version nothing is valid")
   }
+
+  test("k-anonymity: audit histogram exact; suppression drops small classes") {
+    // classes: (a,x)x3, (a,y)x2, (b,x)x1, (null,x)x2 — null QI is a VALUE
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "x"),
+      (4L, "a", "y"), (5L, "a", "y"),
+      (6L, "b", "x"),
+      (7L, null, "x"), (8L, null, "x")
+    ).toDF("id", "qi1", "qi2")
+    val audit = Quality.kAnonymityAudit(df, Seq("qi1", "qi2"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(audit === Seq((1L, 1L, 1L), (2L, 2L, 4L), (3L, 1L, 3L)))
+    // suppression at kMin=2: the singleton (b,x) row disappears, every
+    // survivor carries its class size
+    val kept = Quality.kAnonymitySuppress(df, Seq("qi1", "qi2"), kMin = 2)
+      .select("id", "k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 2L, 5L -> 2L,
+      7L -> 2L, 8L -> 2L))
+    // kMin=1 keeps everything; empty QI list is loud
+    assert(Quality.kAnonymitySuppress(df, Seq("qi1"), 1).count() === 8L)
+    assert(intercept[IllegalArgumentException] {
+      Quality.kAnonymityAudit(df, Seq.empty)
+    }.getMessage.contains("quasi-identifier"))
+  }
 }

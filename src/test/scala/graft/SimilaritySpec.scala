@@ -434,4 +434,38 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.centroidPrototypicality(e, Array.empty[Array[Float]])
     }.getMessage.contains("non-empty"))
   }
+
+  test("labelMargin matches a JVM replay of quantized centroids and margins") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings").limit(200).cache()
+    val got = Similarity.labelMargin(e, k = 15).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // JVM replay: per-label quantized-mean centroid, double cosines
+    val rows = e.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val cents: Map[Int, Array[Double]] = rows.groupBy(_._2).map { case (l, vs) =>
+      val dim = vs.head._3.length
+      l -> Array.tabulate(dim) { p =>
+        val q = vs.map(v => math.floor(v._3(p) * 1e6 + 0.5).toLong).sum
+        q.toDouble / vs.length / 1e6
+      }
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = rows.map { case (id, l, v) =>
+      val own = math.floor(cos(v, cents(l)) * 1e6).toLong
+      val other = math.floor(
+        cents.collect { case (ol, c) if ol != l => cos(v, c) }.max * 1e6).toLong
+      (id, l, own, other, own - other)
+    }.sortBy(t => (t._5, t._1)).take(15).toSeq
+    assert(got === want, "label margins diverged from the JVM replay")
+    // a single-label corpus has no 'other' centroid — loud
+    assert(intercept[IllegalArgumentException] {
+      Similarity.labelMargin(e.filter(col("label") === 0))
+    }.getMessage.contains("two labels"))
+  }
 }
