@@ -337,7 +337,25 @@ object PlanDump {
         "are ONE max aggregate over 256 keys with map-side combine — " +
         "distinct counting whose shuffle carries at most m rows per " +
         "partition. The countDistinct beside it is the eval truth, " +
-        "not the scale path."))
+        "not the scale path."),
+    "sim_centroid_outliers" ->
+      ("Centroid-prototypicality outliers: after the train pass, " +
+        "scoring is MAP-ONLY — native nearest-cell assignment, a " +
+        "broadcast join against the centroid-count-sized table, one " +
+        "native cosine per row — finished by TakeOrdered(20). The " +
+        "corpus never shuffles on the serving path."),
+    "sim_label_margin" ->
+      ("Label-margin mislabel suspects: the centroid pass is ONE " +
+        "(label, pos) shuffle of dim x L cells; scoring is MAP-ONLY " +
+        "against L centroid literals riding the plan (own-label " +
+        "cosine via a lazy coalesce-of-whens, best-other via " +
+        "greatest), finished by TakeOrdered(k). Margins are integer " +
+        "micro differences — no float boundary of their own."),
+    "q_kanon_audit" ->
+      ("k-anonymity audit: ONE map-side-combined aggregate on the " +
+        "quasi-identifier key, then a class-count-sized histogram " +
+        "re-aggregation — re-identification risk for a 100 TB corpus " +
+        "priced at one shuffle of (QI, count) rows."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

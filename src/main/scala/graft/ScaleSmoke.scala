@@ -24,6 +24,13 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // a K=20 session accumulates tens of GB of shuffle files across
+      // ~50 timed blocks; they are only reclaimed when their
+      // ShuffleDependency objects are GC'd, and a single-JVM session
+      // under memory headroom may not GC for the whole run — the
+      // driver-side periodic GC bounds on-disk spill at roughly one
+      // block's working set instead of the session's sum
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
@@ -154,7 +161,11 @@ object ScaleSmoke {
     // grow with today's window volume
     val driftRef = TextAnalysis.referenceTermStats(docs1, "text", topK = 64)
 
-    val results = Seq(
+    // iteration aid: SPARK_GRAFT_SCALE_ONLY=scd2 skips the carried
+    // blocks and runs only the SCD2 fold session (a failed new block
+    // should not cost a full-session rerun to re-measure)
+    val onlyScd2 = sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("scd2")
+    val results = (if (onlyScd2) Seq.empty[(String, Double, Long)] else Seq(
       time("minhash_lsh_1x") {
         Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 64, 16, 3, 0.5)
           .queryExecution.toRdd.count() },
@@ -651,7 +662,67 @@ object ScaleSmoke {
       time(s"bm25_probe_champ_${k}x") {
         Retrieval.bm25TopKFromIndex(spark, s"ss_bm25_${k}x_ch64", bm25Probes,
           "query_id", "qterms", 10).queryExecution.toRdd.count() }
-    )
+    )) ++ {
+      // SCD2 fold: per-fold cost must be SNAPSHOT-sized, not
+      // history-sized. The history lives in the lakehouse layout the
+      // operator documents (partitioned by is_current); each fold
+      // appends the newly-closed rows to the dead partition and
+      // rewrites ONLY the current partition — already-closed history
+      // is untouched storage the fold's scans prune. Snapshots use
+      // the adversarial maximum churn (every id's payload moves every
+      // version, so every fold closes the whole slice and the dead
+      // partition grows a full snapshot per fold). Timed: the fold at
+      // depth 2 vs the SAME fold at depth k+1 (dead partition ~k
+      // snapshots deep) — flat ratio = the claim measured.
+      val hdir = java.nio.file.Files
+        .createTempDirectory("ss-scd2").toString
+      def snapAt(v: Long) = ev1.select(col("event_id").as("id"),
+        concat(col("event_type"), lit("_"), lit(v)).as("payload"))
+      def foldStep(v: Long): Unit = {
+        // partition discovery infers the is_current directory values
+        // as STRING — cast back to the operator's boolean contract
+        val hist = spark.read.parquet(hdir)
+          .select(col("id"), col("payload"), col("valid_from"),
+            col("valid_to"), col("is_current").cast("boolean").as("is_current"))
+        val folded = graft.operators.Quality.scd2Apply(
+          hist, snapAt(v), "id", "payload", v)
+        // the lakehouse write set: newly-closed rows append to the
+        // dead partition; the current partition is rewritten. Both
+        // are materialized BEFORE the overwrite of the partition
+        // they read from.
+        val newClosed = folded
+          .filter(!col("is_current") && col("valid_to") === lit(v))
+          .drop("is_current")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        newClosed.count()
+        val newCur = folded.filter(col("is_current")).drop("is_current")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        newCur.count()
+        newClosed.write.mode("append").parquet(s"$hdir/is_current=false")
+        newCur.write.mode("overwrite").parquet(s"$hdir/is_current=true")
+        newClosed.unpersist(blocking = false)
+        newCur.unpersist(blocking = false)
+      }
+      graft.operators.Quality.scd2Init(snapAt(0), "id", "payload", 0L)
+        .drop("is_current")
+        .write.mode("overwrite").parquet(s"$hdir/is_current=true")
+      foldStep(1) // depth-1 bootstrap (untimed, like the index builds)
+      val r1 = time("scd2_fold_1x") { foldStep(2); v1 }
+      (3L to k.toLong).foreach(foldStep) // grow the dead partition
+      val rk = time(s"scd2_fold_${k}x") { foldStep(k + 1L); v1 }
+      // negative control: materializing the FULL folded history
+      // (what a consumer that ignores the layout pays) is
+      // history-sized — the cost the current-slice fold avoids
+      val rf = time(s"scd2_fold_full_${k}x") {
+        graft.operators.Quality.scd2Apply(
+            spark.read.parquet(hdir).select(col("id"), col("payload"),
+              col("valid_from"), col("valid_to"),
+              col("is_current").cast("boolean").as("is_current")),
+            snapAt(k + 2L), "id", "payload", k + 2L)
+          .queryExecution.toRdd.count()
+      }
+      Seq(r1, rk, rf)
+    }
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
     val byName = results.map { case (n, s, _) => n -> s }.toMap
@@ -669,12 +740,14 @@ object ScaleSmoke {
         "ivf_sq8_topk", "pack_ffd", "bloom_decontam",
         "decontam_two_tier", "cms_heavy", "hll_distinct",
         "bm25_build", "bm25_append", "bm25_champ_derive",
-        "bm25_probe_exact", "bm25_probe_champ").foreach { base =>
+        "bm25_probe_exact", "bm25_probe_champ", "scd2_fold").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }
     for (a <- byName.get(s"ivf_topk_${k}x"); b <- byName.get(s"ivf_fixed16_${k}x"))
       println(f"[scale]   ivf fixed-16 cells is ${b / a}%.1fx slower than sqrt-scaled cells at ${k}x")
+    for (a <- byName.get(s"scd2_fold_${k}x"); b <- byName.get(s"scd2_fold_full_${k}x"))
+      println(f"[scale]   scd2 full-history materialization is ${b / a}%.1fx the current-slice fold at ${k}x depth")
     spark.stop()
   }
 }
