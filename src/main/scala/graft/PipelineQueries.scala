@@ -2184,6 +2184,45 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     }),
 
+    // ---- INCREMENTAL exact dedup: gate a day's arrivals against the
+    //      persisted fingerprint index of everything ever ingested —
+    //      map-only digest probe, fps table read only for flagged
+    //      texts. The delta mixes genuinely-new docs, re-submissions
+    //      of indexed texts, and in-batch duplicates; dup_of names
+    //      the surviving id in every case ----
+    "dedup_index_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val dupArrivals = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(dupArrivals)
+      val prefix = graft.operators.DedupIndex.dedupIndexCached(
+        base, "doc_id", "text")
+      graft.operators.DedupIndex.gateNewDocs(s, prefix, delta,
+          "doc_id", "text")
+        .select(col("id"), col("is_dup"), col("dup_of"))
+        .orderBy(col("id"))
+    }),
+
+    // ---- the gated append: after folding the delta's survivors in,
+    //      the index's survivor set is exactly arrival-order
+    //      keep-first dedup over base-then-delta (an indexed text's
+    //      keep_id never moves; new texts keep their first delta id) ----
+    "dedup_index_appended" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val dupArrivals = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(dupArrivals)
+      val prefix = graft.operators.DedupIndex.dedupAppendCached(
+        base, delta, "doc_id", "text")
+      s.table(s"${prefix}_fps")
+        .select(col("text_md5"), col("keep_id"))
+        .orderBy(col("text_md5"))
+    }),
+
     // ---- decontamination: flag eval-split documents sharing any word
     //      8-gram with the train split. Shingle STRINGS join directly
     //      (portable; at 100 TB the same plan runs over shingle
@@ -2980,6 +3019,41 @@ object PipelineQueries {
          SELECT id, label, own_micro, other_micro,
            own_micro - other_micro AS margin_micro
          FROM agg ORDER BY margin_micro ASC, id ASC LIMIT 20""",
+    "dedup_index_gate" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         bk AS (SELECT text, MIN(doc_id) AS keep_id FROM base GROUP BY text),
+         delta AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+         dd AS (
+           SELECT doc_id, text,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+             MIN(doc_id) OVER (PARTITION BY text) AS first_id
+           FROM delta)
+         SELECT dd.doc_id AS id,
+           (bk.keep_id IS NOT NULL OR dd.rn > 1) AS is_dup,
+           COALESCE(bk.keep_id,
+             CASE WHEN dd.rn > 1 THEN dd.first_id END) AS dup_of
+         FROM dd LEFT JOIN bk USING (text) ORDER BY id""",
+    "dedup_index_appended" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         bk AS (SELECT text, MIN(doc_id) AS keep_id FROM base GROUP BY text),
+         delta AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+         dnew AS (
+           SELECT d.text, MIN(d.doc_id) AS keep_id FROM delta d
+           WHERE NOT EXISTS (SELECT 1 FROM bk WHERE bk.text = d.text)
+           GROUP BY d.text),
+         fps AS (
+           SELECT text, keep_id FROM bk
+           UNION ALL SELECT text, keep_id FROM dnew)
+         SELECT md5(text) AS text_md5, keep_id
+         FROM fps ORDER BY text_md5""",
     "q_kanon_audit" ->
       """WITH c AS (
            SELECT lang, source, CAST(count(*) AS BIGINT) AS k

@@ -355,7 +355,15 @@ object PlanDump {
       ("k-anonymity audit: ONE map-side-combined aggregate on the " +
         "quasi-identifier key, then a class-count-sized histogram " +
         "re-aggregation — re-identification risk for a 100 TB corpus " +
-        "priced at one shuffle of (QI, count) rows."))
+        "priced at one shuffle of (QI, count) rows."),
+    "dedup_index_gate" ->
+      ("Incremental dedup gate: the batch shuffles ONCE on its own " +
+        "text key (the in-batch first-occurrence window); the digest " +
+        "probe is a map-only filter over plan-literal Bloom words; " +
+        "the fps table appears ONLY as the flagged-md5 semi-join's " +
+        "build side (two columns), and not at all when the digest " +
+        "clears the batch — dedup against everything ever ingested " +
+        "at a cost independent of how much was ever ingested."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -161,11 +161,14 @@ object ScaleSmoke {
     // grow with today's window volume
     val driftRef = TextAnalysis.referenceTermStats(docs1, "text", topK = 64)
 
-    // iteration aid: SPARK_GRAFT_SCALE_ONLY=scd2 skips the carried
-    // blocks and runs only the SCD2 fold session (a failed new block
-    // should not cost a full-session rerun to re-measure)
-    val onlyScd2 = sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("scd2")
-    val results = (if (onlyScd2) Seq.empty[(String, Double, Long)] else Seq(
+    // iteration aid: SPARK_GRAFT_SCALE_ONLY=scd2|r11 skips the carried
+    // blocks and runs only the named new-block section (a failed new
+    // block should not cost a full-session rerun to re-measure)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+    val runMain = only.isEmpty
+    val runDedup = only.isEmpty || only.contains("r11")
+    val runScd2 = only.isEmpty || only.contains("scd2") || only.contains("r11")
+    val results = (if (!runMain) Seq.empty[(String, Double, Long)] else Seq(
       time("minhash_lsh_1x") {
         Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 64, 16, 3, 0.5)
           .queryExecution.toRdd.count() },
@@ -662,7 +665,48 @@ object ScaleSmoke {
       time(s"bm25_probe_champ_${k}x") {
         Retrieval.bm25TopKFromIndex(spark, s"ss_bm25_${k}x_ch64", bm25Probes,
           "query_id", "qterms", 10).queryExecution.toRdd.count() }
-    )) ++ {
+    )) ++ (if (!runDedup) Seq.empty[(String, Double, Long)] else Seq(
+      // DEDUP-INDEX gate: a fixed 500-doc batch gated against a 1x vs
+      // 20x historical fingerprint index. The CLEAN batch (texts in
+      // neither corpus) must be corpus-FLAT — the digest clears it
+      // map-only and the fps table is never read. The DIRTY batch
+      // (all re-submissions) pays the tier-2 confirm: one read of the
+      // fps table's (md5, keep_id) projection — index-sized but
+      // two-column, the honest worst case the digest exists to make
+      // rare.
+      {
+        Seq("ss_dd_1x", s"ss_dd_${k}x").foreach { p =>
+          Seq("fps", "fpdigest", "stats").foreach(s =>
+            graft.operators.Bucketing.dropTableAndLocation(spark, s"${p}_$s"))
+        }
+        time("dedup_build_1x") {
+          graft.operators.DedupIndex.buildDedupIndex(
+            docs1, "doc_id", "text", "ss_dd_1x"); n1 }
+      },
+      time(s"dedup_build_${k}x") {
+        graft.operators.DedupIndex.buildDedupIndex(
+          docsK, "doc_id", "text", s"ss_dd_${k}x"); nK },
+      time("dedup_gate_clean_1x") {
+        graft.operators.DedupIndex.gateNewDocs(spark, "ss_dd_1x",
+          docs1.limit(500).select((col("doc_id") + 60000000L).as("doc_id"),
+            concat(col("text"), lit(" cleannew")).as("text")),
+          "doc_id", "text").queryExecution.toRdd.count() },
+      time(s"dedup_gate_clean_${k}x") {
+        graft.operators.DedupIndex.gateNewDocs(spark, s"ss_dd_${k}x",
+          docs1.limit(500).select((col("doc_id") + 60000000L).as("doc_id"),
+            concat(col("text"), lit(" cleannew")).as("text")),
+          "doc_id", "text").queryExecution.toRdd.count() },
+      time("dedup_gate_dirty_1x") {
+        graft.operators.DedupIndex.gateNewDocs(spark, "ss_dd_1x",
+          docs1.limit(500).select((col("doc_id") + 70000000L).as("doc_id"),
+            col("text")),
+          "doc_id", "text").queryExecution.toRdd.count() },
+      time(s"dedup_gate_dirty_${k}x") {
+        graft.operators.DedupIndex.gateNewDocs(spark, s"ss_dd_${k}x",
+          docsK.limit(500).select((col("doc_id") + 80000000L).as("doc_id"),
+            col("text")),
+          "doc_id", "text").queryExecution.toRdd.count() }
+    )) ++ (if (!runScd2) Seq.empty[(String, Double, Long)] else {
       // SCD2 fold: per-fold cost must be SNAPSHOT-sized, not
       // history-sized. The history lives in the lakehouse layout the
       // operator documents (partitioned by is_current); each fold
@@ -722,7 +766,7 @@ object ScaleSmoke {
           .queryExecution.toRdd.count()
       }
       Seq(r1, rk, rf)
-    }
+    })
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
     val byName = results.map { case (n, s, _) => n -> s }.toMap
@@ -740,7 +784,8 @@ object ScaleSmoke {
         "ivf_sq8_topk", "pack_ffd", "bloom_decontam",
         "decontam_two_tier", "cms_heavy", "hll_distinct",
         "bm25_build", "bm25_append", "bm25_champ_derive",
-        "bm25_probe_exact", "bm25_probe_champ", "scd2_fold").foreach { base =>
+        "bm25_probe_exact", "bm25_probe_champ", "scd2_fold",
+        "dedup_build", "dedup_gate_clean", "dedup_gate_dirty").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

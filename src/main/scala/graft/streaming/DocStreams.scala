@@ -576,4 +576,44 @@ object DocStreams {
         .foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
     }
   }
+
+  /** Live exact-dedup index maintenance — the streaming driver of
+    * [[graft.operators.DedupIndex]]: each micro-batch is GATED
+    * against everything ever ingested (map-only digest probe; the
+    * fps table is read only when the digest flags something) and only
+    * the batch's new distinct texts are appended — O(batch) work, the
+    * historical corpus is never re-read. The batch's rows, annotated
+    * with (is_dup, dup_of), go wherever the caller's sink routes them;
+    * this class maintains the INDEX side.
+    *
+    * Exactly-once follows the [[IvfIndexMaintainer]] ledger
+    * discipline (appends are in-place, so the lineage ledger + the
+    * intent marker are the idempotence record): a retried batchId is
+    * recognized and skipped before any write. An all-dup batch
+    * appends nothing and writes no ledger entry — a retry simply
+    * re-gates to the same empty survivor set, so idempotence holds
+    * without a record. The cloned-session cache hazard is the same
+    * as IVF's and handled the same way.
+    */
+  final class DedupIndexMaintainer(spark: org.apache.spark.sql.SparkSession,
+                                   prefix: String, idCol: String,
+                                   textCol: String) {
+    import graft.operators.{DedupIndex, IvfIndex}
+
+    def appendBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batch.isEmpty) return
+      val sp = batch.sparkSession
+      val tag = s"b$batchId"
+      if (IvfIndex.lineageHasTag(sp, prefix, tag)) return // retry: done
+      val survivors = DedupIndex.gateNewDocs(sp, prefix, batch, idCol, textCol)
+        .filter(!col("is_dup")).select(col("id"))
+      val newDocs = batch.join(
+        survivors.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+      if (!newDocs.isEmpty)
+        DedupIndex.appendToDedupIndex(sp, prefix, newDocs, idCol, textCol,
+          lineageTag = tag)
+      Seq("fps", "fpdigest", "stats")
+        .foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
+    }
+  }
 }

@@ -829,6 +829,56 @@ class StreamingSpec extends AnyFunSuite {
     }.getMessage.contains("STALE"))
   }
 
+  test("streaming dedup-index maintenance: gate + append across micro-batches") {
+    import graft.operators.DedupIndex
+    import graft.streaming.DocStreams
+    val prefix = "sdd_mnt"
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix))
+      .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _))
+    DedupIndex.buildDedupIndex(
+      Seq((1L, "base-one"), (2L, "base-two")).toDF("doc_id", "text"),
+      "doc_id", "text", prefix)
+    // three chronological micro-batches with IN-batch, CROSS-batch and
+    // vs-INDEX duplicate arrivals
+    val batches = Seq(
+      Seq((10L, "alpha"), (11L, "beta"), (12L, "alpha")), // in-batch dup
+      Seq((20L, "alpha"), (21L, "gamma")),                // cross-batch dup
+      Seq((30L, "base-two"), (31L, "delta"))              // vs-index dup
+    )
+    val dir = java.nio.file.Files.createTempDirectory("graft-ddstream").toString
+    var seen = Set.empty[String]
+    val base = new java.io.File(dir).lastModified()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-"))
+      files.filterNot(f => seen(f.getName))
+        .foreach(_.setLastModified(base + (i + 1) * 60000L))
+      seen ++= files.map(_.getName)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val m = new DocStreams.DedupIndexMaintainer(spark, prefix,
+      "doc_id", "text")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream.foreachBatch(m.appendBatch _).start()
+    try q.processAllAvailable() finally q.stop()
+    // arrival-order keep-first: base keeps win, first arrivals win
+    val got = spark.table(s"${prefix}_fps")
+      .select("keep_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(1L, 2L, 10L, 11L, 21L, 31L),
+      "streamed index diverged from arrival-order keep-first")
+    // a FRESH maintainer instance replaying batch 0 is a ledger-only
+    // no-op: same fps rows, nothing re-appended
+    val m2 = new DocStreams.DedupIndexMaintainer(spark, prefix,
+      "doc_id", "text")
+    m2.appendBatch(batches.head.toDF("doc_id", "text"), 0L)
+    assert(spark.table(s"${prefix}_fps").count() === 6L,
+      "batch-0 replay must append nothing")
+  }
+
   test("streaming IVF index maintenance: micro-batch appends answer like a full rebuild") {
     import graft.operators.{IvfIndex, Similarity}
     import graft.streaming.DocStreams
