@@ -2184,6 +2184,40 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     }),
 
+    // ---- near-dup gate from the PERSISTED LSH index: row-for-row
+    //      the inline cross-pairs answer (dedup_minhash_cross), but
+    //      the historical corpus is never re-signatured — the probe
+    //      reads postings + shingle sets for colliding buckets only.
+    //      Signature params come from the index's own stats ----
+    "dedup_neardup_idx" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val prefix = graft.operators.NearDupIndex.nearDupIndexCached(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleWidth = 3, portable = true)
+      graft.operators.NearDupIndex.gateNearDups(s, prefix,
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("delta_id"), col("corpus_id"))
+    }),
+
+    // ---- O(delta) near-dup index maintenance: the corpus arrives in
+    //      two folds (build + append); the gate over the grown index
+    //      must be bit-identical to the inline cross-pairs against
+    //      the whole corpus — the append is invisible ----
+    "dedup_neardup_idx_append" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val c1 = corpus.filter(col("doc_id") % 4 =!= 1)
+      val c2 = corpus.filter(col("doc_id") % 4 === 1)
+      val prefix = graft.operators.NearDupIndex.nearDupAppendCached(
+        c1, c2, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleWidth = 3, portable = true)
+      graft.operators.NearDupIndex.gateNearDups(s, prefix,
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("delta_id"), col("corpus_id"))
+    }),
+
     // ---- INCREMENTAL exact dedup: gate a day's arrivals against the
     //      persisted fingerprint index of everything ever ingested —
     //      map-only digest probe, fps table read only for flagged
@@ -7260,6 +7294,12 @@ object PipelineQueries {
     */
   val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "sim_topk_ivf_loaded" -> oracleSqlBase("sim_topk_ivf"),
+    // persisted near-dup index: the gate (and the gate over a
+    // built-then-appended index) answers row-for-row the inline
+    // cross-pairs query — the index layout and the append fold are
+    // invisible to the oracle
+    "dedup_neardup_idx" -> oracleSqlBase("dedup_minhash_cross"),
+    "dedup_neardup_idx_append" -> oracleSqlBase("dedup_minhash_cross"),
     // persisted assignments: same centroids, same chain, floats
     // round-trip parquet — the index layout is invisible
     "sim_topk_ivf_idx" -> oracleSqlBase("sim_topk_ivf"),

@@ -363,7 +363,15 @@ object PlanDump {
         "the fps table appears ONLY as the flagged-md5 semi-join's " +
         "build side (two columns), and not at all when the digest " +
         "clears the batch — dedup against everything ever ingested " +
-        "at a cost independent of how much was ever ingested."))
+        "at a cost independent of how much was ever ingested."),
+    "dedup_neardup_idx" ->
+      ("Near-dup gate from the persisted LSH index: delta signatures " +
+        "are one map-only native pass; the (band, bucket) Bloom " +
+        "prefilter drops never-seen buckets before anything touches " +
+        "the index; surviving buckets hash-join the postings and " +
+        "candidates verify by exact Jaccard against the sets table — " +
+        "the historical corpus is never re-signatured and never " +
+        "read beyond the colliding buckets' rows."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

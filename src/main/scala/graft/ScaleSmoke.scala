@@ -705,7 +705,39 @@ object ScaleSmoke {
         graft.operators.DedupIndex.gateNewDocs(spark, s"ss_dd_${k}x",
           docsK.limit(500).select((col("doc_id") + 80000000L).as("doc_id"),
             col("text")),
-          "doc_id", "text").queryExecution.toRdd.count() }
+          "doc_id", "text").queryExecution.toRdd.count() },
+
+      // NEAR-DUP index gate: same fixed-batch discipline for the LSH
+      // tier — a batch whose buckets the index has never seen is
+      // cleared by the map-only digest; colliding buckets pay
+      // postings + sets reads for the collisions only.
+      {
+        Seq("ss_nd_1x", s"ss_nd_${k}x").foreach { p =>
+          Seq("buckets", "sets", "bkdigest", "stats").foreach(s =>
+            graft.operators.Bucketing.dropTableAndLocation(spark, s"${p}_$s"))
+        }
+        time("neardup_build_1x") {
+          graft.operators.NearDupIndex.buildNearDupIndex(
+            docs1, "doc_id", "text", "ss_nd_1x"); n1 }
+      },
+      time(s"neardup_build_${k}x") {
+        graft.operators.NearDupIndex.buildNearDupIndex(
+          docsK, "doc_id", "text", s"ss_nd_${k}x"); nK },
+      // the probe batch's texts are vowel-rewritten so their shingles
+      // (and so their buckets) exist in NEITHER corpus — the CLEAN
+      // batch whose cost must not grow with the index
+      time("neardup_gate_1x") {
+        graft.operators.NearDupIndex.gateNearDups(spark, "ss_nd_1x",
+          docs1.limit(500).select((col("doc_id") + 90000000L).as("doc_id"),
+            translate(col("text"), "aeiou", "qqqqq").as("text")),
+          "doc_id", "text", threshold = 0.8)
+          .queryExecution.toRdd.count() },
+      time(s"neardup_gate_${k}x") {
+        graft.operators.NearDupIndex.gateNearDups(spark, s"ss_nd_${k}x",
+          docs1.limit(500).select((col("doc_id") + 90000000L).as("doc_id"),
+            translate(col("text"), "aeiou", "qqqqq").as("text")),
+          "doc_id", "text", threshold = 0.8)
+          .queryExecution.toRdd.count() }
     )) ++ (if (!runScd2) Seq.empty[(String, Double, Long)] else {
       // SCD2 fold: per-fold cost must be SNAPSHOT-sized, not
       // history-sized. The history lives in the lakehouse layout the
@@ -785,7 +817,8 @@ object ScaleSmoke {
         "decontam_two_tier", "cms_heavy", "hll_distinct",
         "bm25_build", "bm25_append", "bm25_champ_derive",
         "bm25_probe_exact", "bm25_probe_champ", "scd2_fold",
-        "dedup_build", "dedup_gate_clean", "dedup_gate_dirty").foreach { base =>
+        "dedup_build", "dedup_gate_clean", "dedup_gate_dirty",
+        "neardup_build", "neardup_gate").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }
