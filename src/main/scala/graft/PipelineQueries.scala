@@ -2184,6 +2184,53 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     }),
 
+    // ---- the ONLINE ingest-gate flagship (the streaming twin of the
+    //      q_curation_v3 offline flagship): a day's arrivals flow
+    //      through all four admission gates in one declarative plan —
+    //      exact-dup vs the persisted fingerprint index (+ in-batch
+    //      first-occurrence), near-dup vs the persisted LSH index,
+    //      exact 8-gram decontamination vs the benchmark panel (the
+    //      two-tier bloom+confirm whose ANSWER is exact), and the
+    //      quality floor. Every gate is individually oracle-checked
+    //      elsewhere; this locks the composition ----
+    "q_ingest_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val arrivals = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val ref = docs.filter(col("doc_id") % 20 === 0)
+      val ddPrefix = graft.operators.DedupIndex.dedupIndexCached(
+        base, "doc_id", "text")
+      val ndPrefix = graft.operators.NearDupIndex.nearDupIndexCached(
+        base, "doc_id", "text", portable = true)
+      val exact = graft.operators.DedupIndex.gateNewDocs(s, ddPrefix,
+          arrivals, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("is_dup").as("exact_dup"))
+      val near = graft.operators.NearDupIndex.gateNearDups(s, ndPrefix,
+          arrivals, "doc_id", "text", threshold = 0.5)
+        .select(col("delta_id").as("doc_id")).distinct()
+        .withColumn("__nd", lit(true))
+      val words = Bloom.buildBloomWords(ref, "text", mBits = 1 << 15,
+        kHashes = 4, shingleW = 8)
+      val contam = Bloom.decontaminateExact(arrivals, ref, "doc_id", "text",
+          words, mBits = 1 << 15, kHashes = 4, shingleW = 8)
+        .select(col("id").as("doc_id"), col("contaminated"))
+      val quality = arrivals.select(col("doc_id"),
+        (floor(TextAnalysis.qualityScoreRaw(col("text")) * lit(10000.0)
+          + lit(0.5)).cast(LongType) < 5000L).as("low_quality"))
+      exact.join(near, Seq("doc_id"), "left")
+        .withColumn("near_dup", coalesce(col("__nd"), lit(false)))
+        .drop("__nd")
+        .join(contam, Seq("doc_id"))
+        .join(quality, Seq("doc_id"))
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+          col("contaminated"), col("low_quality"),
+          (!col("exact_dup") && !col("near_dup") && !col("contaminated") &&
+            !col("low_quality")).as("admit"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- near-dup gate from the PERSISTED LSH index: row-for-row
     //      the inline cross-pairs answer (dedup_minhash_cross), but
     //      the historical corpus is never re-signatured — the probe
@@ -3053,6 +3100,126 @@ object PipelineQueries {
          SELECT id, label, own_micro, other_micro,
            own_micro - other_micro AS margin_micro
          FROM agg ORDER BY margin_micro ASC, id ASC LIMIT 20""",
+    // Composition of four individually-proven replays: the exact-dup
+    // window+join (dedup_index_gate), the MinHash cross replay
+    // (dedup_minhash_cross, arrivals-vs-base), the exact shared-8gram
+    // semi-join (text_decontam_two_tier), and the quality formula
+    // (q_curation_pipeline).
+    "q_ingest_gate" ->
+      """WITH arr AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+         base AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         bk0 AS (SELECT text, MIN(doc_id) AS keep_id FROM base GROUP BY text),
+         dd0 AS (
+           SELECT doc_id, text,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM arr),
+         ex AS (
+           SELECT dd0.doc_id,
+             (bk0.keep_id IS NOT NULL OR dd0.rn > 1) AS exact_dup
+           FROM dd0 LEFT JOIN bk0 USING (text)),
+         u AS (
+           SELECT doc_id, text, TRUE AS is_delta FROM arr
+           UNION ALL SELECT doc_id, text, FALSE FROM base),
+         t3 AS (
+           SELECT doc_id, is_delta,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM u),
+         hs AS (
+           SELECT doc_id, is_delta, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007))) AS sh
+           FROM t3),
+         sg AS (
+           SELECT doc_id, is_delta, sh,
+             list_transform(range(0, 64), j ->
+               list_min(list_transform(sh, x ->
+                 (((j + 1) * 1000003 + 12345) % 2147483647 * x
+                   + ((j + 1) * 999983 + 54321) % 2147483647) % 2147483647))) AS sig
+           FROM hs),
+         bkb AS (
+           SELECT doc_id, is_delta, b.band AS band,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_slice(sig, b.band * 4 + 1, b.band * 4 + 4)),
+               (a, x) -> (a * 1000003 + x) % 1000000007) AS bucket
+           FROM sg, (SELECT unnest(range(0, 16)) AS band) b),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS delta_id, y.doc_id AS corpus_id
+           FROM bkb x JOIN bkb y
+             ON x.band = y.band AND x.bucket = y.bucket
+             AND x.is_delta AND NOT y.is_delta),
+         nv AS (
+           SELECT DISTINCT c.delta_id
+           FROM cand c JOIN hs a ON a.doc_id = c.delta_id
+             JOIN hs b ON b.doc_id = c.corpus_id AND NOT b.is_delta
+           WHERE a.is_delta AND
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               >= 0.5),
+         t8 AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM arr),
+         h8 AS (
+           SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 7),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 8), ' '))
+             END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007))) AS sh
+           FROM t8),
+         tr AS (
+           SELECT string_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE doc_id % 20 = 0),
+         r8 AS (
+           SELECT DISTINCT unnest(list_distinct(list_transform(
+             CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 7),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 8), ' '))
+             END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007)))) AS h
+           FROM tr),
+         ct AS (
+           SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+           FROM (SELECT doc_id, unnest(sh) AS h FROM h8) c
+           JOIN r8 USING (h) GROUP BY c.doc_id),
+         q AS (
+           SELECT doc_id,
+             least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0) AS len_score,
+             least((CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                 t -> t IN ('the','a','an','of','to','and','in','is','it','for','on','with'))) AS DOUBLE) /
+               CAST(NULLIF(len(string_split_regex(trim(text), '\s+')), 0) AS DOUBLE)) * 5.0, 1.0) AS stop_score,
+             least(coalesce(CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) /
+               CAST(NULLIF(length(text), 0) AS DOUBLE), 0.0) * 2.0, 1.0) AS punct_penalty
+           FROM arr),
+         sc AS (
+           SELECT doc_id,
+             CAST(floor(((len_score * 0.5 + stop_score * 0.4) * (1.0 - punct_penalty * 0.5) + 0.1)
+               * 10000.0 + 0.5) AS BIGINT) AS q4
+           FROM q)
+         SELECT ex.doc_id, ex.exact_dup,
+           (nv.delta_id IS NOT NULL) AS near_dup,
+           COALESCE(ct.n_shared, 0) > 0 AS contaminated,
+           sc.q4 < 5000 AS low_quality,
+           (NOT ex.exact_dup AND nv.delta_id IS NULL
+             AND COALESCE(ct.n_shared, 0) = 0 AND sc.q4 >= 5000) AS admit
+         FROM ex
+         LEFT JOIN nv ON nv.delta_id = ex.doc_id
+         LEFT JOIN ct ON ct.doc_id = ex.doc_id
+         JOIN sc ON sc.doc_id = ex.doc_id
+         ORDER BY ex.doc_id""",
     "dedup_index_gate" ->
       """WITH base AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),

@@ -616,4 +616,33 @@ object DocStreams {
         .foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
     }
   }
+
+  /** Live near-dup index maintenance — the LSH twin of
+    * [[DedupIndexMaintainer]]: every micro-batch's docs are appended
+    * to the persisted signature index (an index RECORDS what exists;
+    * whether a near-dup batch row is admitted downstream is the
+    * caller's gate policy via
+    * [[graft.operators.NearDupIndex.gateNearDups]]). Appends are
+    * per-doc signature facts — exact by construction — and
+    * exactly-once rests on the same lineage-ledger batchId tags +
+    * intent marker as the other in-place maintainers. The id guard
+    * inside the append refuses replayed rows that somehow bypass the
+    * ledger.
+    */
+  final class NearDupIndexMaintainer(spark: org.apache.spark.sql.SparkSession,
+                                     prefix: String, idCol: String,
+                                     textCol: String) {
+    import graft.operators.{IvfIndex, NearDupIndex}
+
+    def appendBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batch.isEmpty) return
+      val sp = batch.sparkSession
+      val tag = s"b$batchId"
+      if (IvfIndex.lineageHasTag(sp, prefix, tag)) return // retry: done
+      NearDupIndex.appendToNearDupIndex(sp, prefix, batch, idCol, textCol,
+        lineageTag = tag)
+      Seq("buckets", "sets", "bkdigest", "stats")
+        .foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
+    }
+  }
 }

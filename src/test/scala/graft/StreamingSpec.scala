@@ -879,6 +879,49 @@ class StreamingSpec extends AnyFunSuite {
       "batch-0 replay must append nothing")
   }
 
+  test("streaming near-dup index maintenance: gates served mid-stream stay exact") {
+    import graft.operators.{Dedup, NearDupIndex}
+    import graft.streaming.DocStreams
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(300).cache()
+    docs.count()
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val arriving = docs.filter(col("doc_id") % 3 =!= 0)
+    val prefix = "snd_mnt"
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix))
+      .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _))
+    NearDupIndex.buildNearDupIndex(base, "doc_id", "text", prefix,
+      portable = true)
+    val src = java.nio.file.Files.createTempDirectory("graft-ndmnt").toString
+    arriving.repartition(3).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val m = new DocStreams.NearDupIndexMaintainer(spark, prefix,
+      "doc_id", "text")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.foreachBatch(m.appendBatch _).start()
+    try q.processAllAvailable() finally q.stop()
+    // the maintained index gates a probe panel exactly like the
+    // inline cross-pairs over the whole corpus
+    val probes = docs.limit(60)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("delta_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = rows(NearDupIndex.gateNearDups(spark, prefix, probes,
+      "doc_id", "text", threshold = 0.5))
+    val want = rows(Dedup.minhashNearDupPairsCross(probes, docs,
+      "doc_id", "text", threshold = 0.5, portable = true))
+    assert(want.nonEmpty && got === want,
+      "streamed near-dup index diverged from the inline cross")
+    // a replayed batch id is a ledger-only no-op
+    val n1 = spark.table(s"${prefix}_sets").count()
+    m.appendBatch(arriving.limit(5), 0L)
+    assert(spark.table(s"${prefix}_sets").count() === n1,
+      "batch-0 replay must append nothing")
+  }
+
   test("streaming IVF index maintenance: micro-batch appends answer like a full rebuild") {
     import graft.operators.{IvfIndex, Similarity}
     import graft.streaming.DocStreams
