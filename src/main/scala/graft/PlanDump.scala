@@ -371,7 +371,16 @@ object PlanDump {
         "the index; surviving buckets hash-join the postings and " +
         "candidates verify by exact Jaccard against the sets table — " +
         "the historical corpus is never re-signatured and never " +
-        "read beyond the colliding buckets' rows."))
+        "read beyond the colliding buckets' rows."),
+    "q_ingest_gate" ->
+      ("The online ingest flagship: four admission gates in ONE " +
+        "declarative plan — the exact-dup gate's digest probe, the " +
+        "near-dup gate's bucket prefilter, the two-tier decontam's " +
+        "map-only Bloom + flagged-sliver confirm, and the map-only " +
+        "quality floor — meeting in arrival-sized joins. Every " +
+        "corpus-scale artifact (fps, postings, sets, panel bits) " +
+        "enters as a persisted index or plan literal; the arrivals " +
+        "batch is the only thing that flows."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -224,15 +224,21 @@ object IvfIndex {
       assigned.select(col("id").as("doc_id"))
         .write.mode("append").saveAsTable(s"${prefix}_ids")
       val nDelta = assigned.count()
+      // digest RE-SIZED for the grown count at every append (the
+      // discipline the dedup/near-dup indexes and BM25 compaction
+      // follow): the digest is rebuilt from the ids table anyway, so
+      // an index that outgrows its build-time sizing gets its FP
+      // rate back instead of degrading until a full rebuild
+      val newMBits = Retrieval.digestSizing(row.getAs[Long]("n_vecs") + nDelta)
       Retrieval.writeIdDigest(spark, prefix,
         Bloom.buildLongKeyBloom(spark.table(s"${prefix}_ids"), "doc_id",
-          mBits, digestK))
+          newMBits, digestK))
       Bucketing.dropTableAndLocation(spark, s"${prefix}_stats")
       spark.range(1).select(
           lit(row.getAs[Long]("n_vecs") + nDelta).as("n_vecs"),
           lit(centroids.length).as("n_cells"),
           lit(s"${row.getAs[String]("lineage")}+$entry").as("lineage"),
-          lit(mBits).as("digest_mbits"),
+          lit(newMBits).as("digest_mbits"),
           lit(digestK).as("digest_k"),
           lit(row.getAs[Long]("centroid_fp")).as("centroid_fp"))
         .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
