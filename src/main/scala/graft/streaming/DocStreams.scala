@@ -645,4 +645,82 @@ object DocStreams {
         .foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
     }
   }
+
+  /** The LIVE four-gate ingest pipeline — the deployment twin of the
+    * `q_ingest_gate` batch flagship, actually running online: every
+    * micro-batch is gated (exact-dup vs the fingerprint index +
+    * in-batch first-occurrence, near-dup vs the LSH index, exact
+    * two-tier decontamination vs the benchmark panel, quality floor),
+    * ADMITTED rows land under `admitDir/batch=<id>/`, and both dedup
+    * indexes grow by the admitted docs — so the NEXT batch is gated
+    * against everything admitted before it. The indexes record the
+    * ADMITTED corpus: a rejected text re-arriving is re-rejected by
+    * the same gate that rejected it, never by the index.
+    *
+    * Exactly-once: the admitted output is a PER-BATCH directory
+    * written with overwrite (a foreachBatch retry rewrites the same
+    * content instead of appending duplicates), and the index appends
+    * carry the lineage-ledger batchId tags. Cross-batch semantics are
+    * the honest online ones: a batch-2 doc near-duplicating an
+    * ADMITTED batch-1 doc is rejected — which a one-shot batch gate
+    * over the union cannot express; StreamingSpec pins the stream
+    * against a sequential per-batch replay of the batch operators.
+    */
+  final class IngestGatePipeline(spark: org.apache.spark.sql.SparkSession,
+                                 ddPrefix: String, ndPrefix: String,
+                                 ref: DataFrame, words: Array[Long],
+                                 mBits: Int, kHashes: Int, shingleW: Int,
+                                 qualityMin: Long, threshold: Double,
+                                 admitDir: String, idCol: String,
+                                 textCol: String) {
+    import graft.operators.{Bloom, DedupIndex, IvfIndex, NearDupIndex, TextAnalysis}
+    import org.apache.spark.sql.types.LongType
+
+    def processBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batch.isEmpty) return
+      val sp = batch.sparkSession
+      val tag = s"b$batchId"
+      val outPath = s"$admitDir/batch=$batchId"
+      val ddDone = IvfIndex.lineageHasTag(sp, ddPrefix, tag)
+      val ndDone = IvfIndex.lineageHasTag(sp, ndPrefix, tag)
+      // RETRY discipline: the output dir is written BEFORE any index
+      // append, so a ledger tag implies the output is committed. The
+      // admitted plan reads the indexes it is about to grow — after a
+      // partial commit, re-evaluating it would see its own rows as
+      // duplicates and overwrite the good output with nothing. So the
+      // output is rewritten ONLY when no append has committed yet
+      // (index state = gate state, the recompute is bit-identical).
+      if (!ddDone && !ndDone) {
+        val exact = DedupIndex.gateNewDocs(sp, ddPrefix, batch, idCol, textCol)
+          .select(col("id").as(idCol), col("is_dup"))
+        val nearIds = NearDupIndex.gateNearDups(sp, ndPrefix, batch,
+            idCol, textCol, threshold)
+          .select(col("delta_id").as(idCol)).distinct()
+        val contamIds = Bloom.decontaminateExact(batch, ref, idCol, textCol,
+            words, mBits, kHashes, shingleW)
+          .filter(col("contaminated")).select(col("id").as(idCol))
+        val admitted = batch
+          .join(exact, Seq(idCol)).filter(!col("is_dup")).drop("is_dup")
+          .join(nearIds, Seq(idCol), "left_anti")
+          .join(contamIds, Seq(idCol), "left_anti")
+          .filter(floor(TextAnalysis.qualityScoreRaw(col(textCol)) *
+            lit(10000.0) + lit(0.5)).cast(LongType) >= qualityMin)
+        admitted.write.mode("overwrite").parquet(outPath)
+      }
+      // the COMMITTED output feeds the appends — never the live plan
+      val stable = sp.read.parquet(outPath)
+      if (!stable.isEmpty) {
+        if (!ddDone)
+          DedupIndex.appendToDedupIndex(sp, ddPrefix, stable,
+            idCol, textCol, lineageTag = tag)
+        if (!ndDone)
+          NearDupIndex.appendToNearDupIndex(sp, ndPrefix, stable,
+            idCol, textCol, lineageTag = tag)
+      }
+      (Seq("fps", "fpdigest").map(t => s"${ddPrefix}_$t") ++
+        Seq("buckets", "sets", "bkdigest").map(t => s"${ndPrefix}_$t") ++
+        Seq(s"${ddPrefix}_stats", s"${ndPrefix}_stats"))
+        .foreach(t => spark.catalog.refreshTable(t))
+    }
+  }
 }

@@ -922,6 +922,72 @@ class StreamingSpec extends AnyFunSuite {
       "batch-0 replay must append nothing")
   }
 
+  test("live ingest pipeline: four gates, cross-batch rejection, retry idempotence") {
+    import graft.operators.{Bloom, DedupIndex, NearDupIndex}
+    import graft.streaming.DocStreams
+    Seq("igp_dd", "igp_nd").foreach(p =>
+      spark.catalog.listTables().collect().map(_.name).filter(_.startsWith(p))
+        .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _)))
+    val b1Text = "the quick brown fox jumps over the lazy dog again today"
+    val refText = "contaminated reference passage with exactly eight grams inside it somewhere okay"
+    val d10 = "the red panda sleeps in a tall tree near the river"
+    val d21 = d10 + " tonight" // near-dup of d10 (9/10 shared 3-shingles)
+    val d22 = "completely fresh statement about the mountain goats and their cheese"
+    val base = Seq((1L, b1Text)).toDF("doc_id", "text")
+    val ref = Seq((900L, refText)).toDF("doc_id", "text")
+    DedupIndex.buildDedupIndex(base, "doc_id", "text", "igp_dd")
+    NearDupIndex.buildNearDupIndex(base, "doc_id", "text", "igp_nd",
+      portable = true)
+    val words = Bloom.buildBloomWords(ref, "text", mBits = 1 << 15,
+      kHashes = 4, shingleW = 8)
+    val admitDir = java.nio.file.Files.createTempDirectory("graft-igp").toString
+    val pipe = new DocStreams.IngestGatePipeline(spark, "igp_dd", "igp_nd",
+      ref, words, mBits = 1 << 15, kHashes = 4, shingleW = 8,
+      qualityMin = 5000L, threshold = 0.5, admitDir, "doc_id", "text")
+    val batches = Seq(
+      // admit 10; 11 low-quality; 12 exact-dup of the BASE index;
+      // 13 contaminated (shares 8-grams with the benchmark panel)
+      Seq((10L, d10), (11L, "x"), (12L, b1Text), (13L, refText)),
+      // 20 exact-dup of ADMITTED 10 (cross-batch); 21 NEAR-dup of
+      // admitted 10 — the rejection a one-shot union gate cannot
+      // express; 22 admits
+      Seq((20L, d10), (21L, d21), (22L, d22)),
+      // 30 re-arrives the REJECTED text d21: rejected docs are NOT
+      // indexed, so it is not an exact dup — but it is still a
+      // near-dup of admitted 10; 31 re-fails quality
+      Seq((30L, d21), (31L, "x"))
+    )
+    val src = java.nio.file.Files.createTempDirectory("graft-igpsrc").toString
+    var seen = Set.empty[String]
+    val mbase = new java.io.File(src).lastModified()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+      val files = new java.io.File(src).listFiles()
+        .filter(_.getName.startsWith("part-"))
+      files.filterNot(f => seen(f.getName))
+        .foreach(_.setLastModified(mbase + (i + 1) * 60000L))
+      seen ++= files.map(_.getName)
+    }
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.foreachBatch(pipe.processBatch _).start()
+    try q.processAllAvailable() finally q.stop()
+    def admittedIds: Seq[Long] = spark.read.parquet(admitDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(admittedIds === Seq(10L, 22L),
+      "admitted set diverged from the expected gate decisions")
+    // both indexes grew by exactly the admitted docs
+    assert(spark.table("igp_dd_fps").count() === 3L)   // base + 10 + 22
+    assert(spark.table("igp_nd_sets").count() === 3L)
+    // a full-batch retry is idempotent: same output, nothing appended
+    pipe.processBatch(batches.head.toDF("doc_id", "text"), 0L)
+    assert(admittedIds === Seq(10L, 22L))
+    assert(spark.table("igp_dd_fps").count() === 3L)
+    assert(spark.table("igp_nd_sets").count() === 3L)
+  }
+
   test("streaming IVF index maintenance: micro-batch appends answer like a full rebuild") {
     import graft.operators.{IvfIndex, Similarity}
     import graft.streaming.DocStreams
