@@ -146,9 +146,11 @@ object DedupIndex {
   }
 
   /** Append the gated survivors of a delta in O(delta): one
-    * fps-append of the batch's new distinct texts, a digest rebuild
-    * from the appended table (n_fps longs — the only index-sized
-    * touch, and it is the CHEAP column), stats/ledger update. The
+    * fps-append of the batch's new distinct texts, a digest grown by
+    * OR-union of the delta's Bloom words into the stored words
+    * ([[Bloom.orUnionWords]]; the full fp column is re-scanned only
+    * on a [[Retrieval.digestSizing]] resize boundary), stats/ledger
+    * update. The
     * two-tier disjointness guard refuses re-submitted texts loudly —
     * the same "append is for NEW rows" contract as the other index
     * families — and the intent marker brackets the non-atomic fold
@@ -189,12 +191,18 @@ object DedupIndex {
       fps.write.mode("append").saveAsTable(s"${prefix}_fps")
       val nDelta = fps.count()
       val nTotal = meta.nFps + nDelta
-      // re-sized for the grown count at every append — the digest is
-      // rebuilt from the fps table's fp column (n_fps longs)
+      // re-sized for the grown count at every append; same mBits →
+      // O(delta) union into the already-read words, resize boundary →
+      // the one full fp-column rebuild
       val mBits = Retrieval.digestSizing(nTotal)
-      writeDigest(spark, prefix,
-        Bloom.buildLongKeyBloom(spark.table(s"${prefix}_fps"), "fp",
-          mBits, meta.k))
+      val newWords =
+        if (mBits == meta.mBits)
+          Bloom.orUnionWords(words,
+            Bloom.buildLongKeyBloom(fps, "fp", mBits, meta.k))
+        else
+          Bloom.buildLongKeyBloom(spark.table(s"${prefix}_fps"), "fp",
+            mBits, meta.k)
+      writeDigest(spark, prefix, newWords)
       Bucketing.dropTableAndLocation(spark, s"${prefix}_stats")
       spark.range(1).select(
           lit(nTotal).as("n_fps"),
@@ -231,14 +239,20 @@ object DedupIndex {
     val have = Seq("fps", "fpdigest", "stats")
       .forall(s => spark.catalog.tableExists(s"${prefix}_$s"))
     if (!have) buildDedupIndex(base, idCol, textCol, prefix, lineage = baseFp)
-    val lineage = spark.table(s"${prefix}_stats").head().getAs[String]("lineage")
-    if (!IvfIndex.lineageHasFingerprint(lineage, deltaFp)) {
+    // the ledger key is the FULL delta's fingerprint carried as the
+    // entry's TAG — the appended rows are the gated survivors, whose
+    // own fingerprint differs whenever the delta held a dup, so tag
+    // membership (not fp membership) is what makes a second call a
+    // ledger hit. An all-dup delta appends nothing and leaves no
+    // entry: the retry re-gates, which is O(delta) and answer-stable.
+    if (!IvfIndex.lineageHasTag(spark, prefix, deltaFp)) {
       val survivors = gateNewDocs(spark, prefix, delta, idCol, textCol)
         .filter(!col("is_dup")).select(col("id"))
       val newDocs = delta.join(
         survivors.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
       if (!newDocs.isEmpty)
-        appendToDedupIndex(spark, prefix, newDocs, idCol, textCol)
+        appendToDedupIndex(spark, prefix, newDocs, idCol, textCol,
+          lineageTag = deltaFp)
     }
     prefix
   }

@@ -155,10 +155,14 @@ object NearDupIndex {
   /** Append NEW docs in O(delta): their buckets and shingle sets land
     * beside the existing postings (per-doc facts — probe answers over
     * build(base)+append(delta) are identical to build(base ∪ delta)),
-    * the bucket digest is rebuilt from the buckets table's key column,
-    * and the fold is bracketed by the intent marker. The id guard
-    * refuses a corpus_id already in the sets table (an id collision
-    * would fork verification).
+    * the bucket digest grows by OR-union of the DELTA's Bloom words
+    * into the stored words ([[Bloom.orUnionWords]] — bit-identical to
+    * a full rebuild because word contributions are per-key pure; a
+    * full postings scan happens only when the digest crosses a
+    * [[Retrieval.digestSizing]] resize boundary), and the fold is
+    * bracketed by the intent marker. The id guard refuses a corpus_id
+    * already in the sets table (an id collision would fork
+    * verification).
     */
   def appendToNearDupIndex(spark: SparkSession, prefix: String,
                            newDocs: DataFrame, idCol: String, textCol: String,
@@ -185,10 +189,25 @@ object NearDupIndex {
     sets.write.mode("append").saveAsTable(s"${prefix}_sets")
     val nTotal = spark.table(s"${prefix}_sets").count()
     val mBits = Retrieval.digestSizing(nTotal * m.bands)
-    writeDigest(spark, prefix, Bloom.buildLongKeyBloom(
-      spark.table(s"${prefix}_buckets")
-        .select(bucketKey(col("band"), col("bucket")).as("bk")),
-      "bk", mBits, m.k))
+    val newWords =
+      if (mBits == m.mBits) {
+        // O(delta) path: union the delta's words into the stored digest
+        // (postings are corpus×bands rows — the one column a per-append
+        // rebuild must never re-scan)
+        val deltaKeys = buckets
+          .select(bucketKey(col("band"), col("bucket")).as("bk"))
+        val deltaWords =
+          if (deltaKeys.isEmpty) new Array[Long](mBits / 64)
+          else Bloom.buildLongKeyBloom(deltaKeys, "bk", mBits, m.k)
+        Bloom.orUnionWords(readDigest(spark, prefix, m.mBits), deltaWords)
+      } else
+        // resize boundary: the one full-postings rebuild, amortized
+        // log-many times over an index's lifetime
+        Bloom.buildLongKeyBloom(
+          spark.table(s"${prefix}_buckets")
+            .select(bucketKey(col("band"), col("bucket")).as("bk")),
+          "bk", mBits, m.k)
+    writeDigest(spark, prefix, newWords)
     Bucketing.dropTableAndLocation(spark, s"${prefix}_stats")
     spark.range(1).select(
         lit(nTotal).as("n_docs"),
@@ -229,7 +248,12 @@ object NearDupIndex {
     val spark = base.sparkSession
     val baseFp = IndexStore.corpusFingerprint(base, Seq(idCol, textCol))
     val deltaFp = IndexStore.corpusFingerprint(delta, Seq(idCol, textCol))
-    val prefix = s"ndidx_v1_${baseFp}_plus_${deltaFp}_h${numHashes}b$bands"
+    // every signature param is part of the key — same corpora under
+    // different (shingleWidth, seed, portable) must NOT resolve to the
+    // same cached index, or the second caller would silently probe
+    // with the first caller's hashing
+    val prefix = s"ndidx_v1_${baseFp}_plus_${deltaFp}_h${numHashes}b$bands" +
+      s"w${shingleWidth}s${seed}p$portable"
     val have = Seq("buckets", "sets", "bkdigest", "stats")
       .forall(s => spark.catalog.tableExists(s"${prefix}_$s"))
     if (!have) buildNearDupIndex(base, idCol, textCol, prefix, numHashes,

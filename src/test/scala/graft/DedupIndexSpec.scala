@@ -101,4 +101,67 @@ class DedupIndexSpec extends AnyFunSuite {
       === prefix)
     assert(spark.table(s"${prefix}_fps").count() === n1)
   }
+
+  test("dirty-delta cached append is a ledger hit on the second call") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(60).cache()
+    docs.count()
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    // delta re-submits base texts under new ids AND brings new docs:
+    // the appended survivors' fingerprint differs from the delta's, so
+    // ledger idempotence must key on the DELTA fingerprint as a tag
+    val delta = docs.filter(col("doc_id") % 2 === 1).unionByName(
+      base.limit(5).select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+    val prefix = DedupIndex.dedupAppendCached(base, delta, "doc_id", "text")
+    val deltaFp = graft.operators.IndexStore.corpusFingerprint(
+      delta, Seq("doc_id", "text"))
+    assert(graft.operators.IvfIndex.lineageHasTag(spark, prefix, deltaFp),
+      "the fold's ledger entry must be findable by the FULL delta's " +
+        "fingerprint, or every retry silently re-gates")
+    val lineage1 = spark.table(s"${prefix}_stats").head()
+      .getAs[String]("lineage")
+    assert(DedupIndex.dedupAppendCached(base, delta, "doc_id", "text")
+      === prefix)
+    assert(spark.table(s"${prefix}_stats").head().getAs[String]("lineage")
+      === lineage1, "a ledger-hit retry must not write a second entry")
+  }
+
+  private def digestWords(table: String): Seq[(Long, Long)] =
+    spark.table(table).orderBy("idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("append digest union == fresh-build digest (no resize crossed)") {
+    cleanup("ddu"); cleanup("ddv")
+    val base = spark.range(0, 50)
+      .selectExpr("id as doc_id", "concat('text body ', id) as text")
+    val delta = spark.range(50, 80)
+      .selectExpr("id as doc_id", "concat('text body ', id) as text")
+    DedupIndex.buildDedupIndex(base, "doc_id", "text", "ddu")
+    DedupIndex.appendToDedupIndex(spark, "ddu", delta, "doc_id", "text")
+    DedupIndex.buildDedupIndex(base.unionByName(delta), "doc_id", "text", "ddv")
+    assert(spark.table("ddu_stats").head().getAs[Int]("digest_mbits")
+      === spark.table("ddv_stats").head().getAs[Int]("digest_mbits"))
+    assert(digestWords("ddu_fpdigest") === digestWords("ddv_fpdigest"),
+      "O(delta) OR-union digest diverged from a full rebuild")
+    cleanup("ddu"); cleanup("ddv")
+  }
+
+  test("append digest across a resize boundary == fresh-build digest") {
+    cleanup("ddr"); cleanup("dds")
+    // 16 bits/key: the floor 2^20 holds to 65536 keys; 61k base + 9k
+    // delta crosses it, forcing the full-rebuild branch
+    val base = spark.range(0, 61000)
+      .selectExpr("id as doc_id", "concat('row ', id) as text")
+    val delta = spark.range(61000, 70000)
+      .selectExpr("id as doc_id", "concat('row ', id) as text")
+    DedupIndex.buildDedupIndex(base, "doc_id", "text", "ddr")
+    val before = spark.table("ddr_stats").head().getAs[Int]("digest_mbits")
+    DedupIndex.appendToDedupIndex(spark, "ddr", delta, "doc_id", "text")
+    val after = spark.table("ddr_stats").head().getAs[Int]("digest_mbits")
+    assert(after === before * 2, s"expected a resize, got $before -> $after")
+    DedupIndex.buildDedupIndex(base.unionByName(delta), "doc_id", "text", "dds")
+    assert(digestWords("ddr_fpdigest") === digestWords("dds_fpdigest"),
+      "resize-boundary rebuild diverged from a fresh build")
+    cleanup("ddr"); cleanup("dds")
+  }
 }

@@ -66,6 +66,67 @@ class NearDupIndexSpec extends AnyFunSuite {
     }.getMessage.contains("re-submits"))
   }
 
+  test("cached append prefixes are distinct per signature params") {
+    val d = docs.limit(40).cache(); d.count()
+    val c1 = d.filter(col("doc_id") % 2 === 0)
+    val c2 = d.filter(col("doc_id") % 2 === 1)
+    // same corpora, different shingleWidth / seed / portable must NOT
+    // collide on one cached index (the probe would silently use the
+    // first call's hashing)
+    val p1 = NearDupIndex.nearDupAppendCached(c1, c2, "doc_id", "text",
+      portable = true)
+    val p2 = NearDupIndex.nearDupAppendCached(c1, c2, "doc_id", "text",
+      shingleWidth = 4, portable = true)
+    val p3 = NearDupIndex.nearDupAppendCached(c1, c2, "doc_id", "text",
+      seed = 7L, portable = true)
+    assert(Set(p1, p2, p3).size === 3,
+      "signature params missing from the cache key")
+    // and each serves an index whose recorded params match the request
+    assert(spark.table(s"${p2}_stats").head().getAs[Int]("shingle_w") === 4)
+    assert(spark.table(s"${p3}_stats").head().getAs[Long]("seed") === 7L)
+  }
+
+  private def digestWords(table: String): Seq[(Long, Long)] =
+    spark.table(table).orderBy("idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("append digest union == fresh-build digest (no resize crossed)") {
+    cleanup("ndu"); cleanup("ndv")
+    val mk = (a: Long, b: Long) => spark.range(a, b).selectExpr(
+      "id as doc_id",
+      "concat('alpha w', id, ' beta w', id + 1, ' gamma w', id + 2, ' end') as text")
+    val base = mk(0L, 60L); val delta = mk(60L, 90L)
+    NearDupIndex.buildNearDupIndex(base, "doc_id", "text", "ndu",
+      portable = true)
+    NearDupIndex.appendToNearDupIndex(spark, "ndu", delta, "doc_id", "text")
+    NearDupIndex.buildNearDupIndex(base.unionByName(delta), "doc_id", "text",
+      "ndv", portable = true)
+    assert(digestWords("ndu_bkdigest") === digestWords("ndv_bkdigest"),
+      "O(delta) OR-union digest diverged from a full rebuild")
+    cleanup("ndu"); cleanup("ndv")
+  }
+
+  test("append digest across a resize boundary == fresh-build digest") {
+    cleanup("ndr"); cleanup("nds")
+    // keys = nDocs * bands; bands=64 puts the 2^20 floor's 65536-key
+    // boundary at 1024 docs — 1000 base + 200 delta crosses it
+    val mk = (a: Long, b: Long) => spark.range(a, b).selectExpr(
+      "id as doc_id",
+      "concat('tok', id, ' tok', id + 1, ' tok', id + 2, ' tok', id + 3) as text")
+    val base = mk(0L, 1000L); val delta = mk(1000L, 1200L)
+    NearDupIndex.buildNearDupIndex(base, "doc_id", "text", "ndr",
+      numHashes = 64, bands = 64, portable = true)
+    val before = spark.table("ndr_stats").head().getAs[Int]("digest_mbits")
+    NearDupIndex.appendToNearDupIndex(spark, "ndr", delta, "doc_id", "text")
+    val after = spark.table("ndr_stats").head().getAs[Int]("digest_mbits")
+    assert(after === before * 2, s"expected a resize, got $before -> $after")
+    NearDupIndex.buildNearDupIndex(base.unionByName(delta), "doc_id", "text",
+      "nds", numHashes = 64, bands = 64, portable = true)
+    assert(digestWords("ndr_bkdigest") === digestWords("nds_bkdigest"),
+      "resize-boundary rebuild diverged from a fresh build")
+    cleanup("ndr"); cleanup("nds")
+  }
+
   test("all-new batch skips the index; empty delta and torn intent are loud") {
     cleanup("ndh")
     NearDupIndex.buildNearDupIndex(
