@@ -1005,6 +1005,57 @@ object PipelineQueries {
       Similarity.recallReport(truth, approx)
     }),
 
+    // ---- RETRAIN tier: the drifted deployment above (base-trained
+    //      frozen centroids + appended delta) retrains from the
+    //      index's OWN vectors into a new fingerprinted child index,
+    //      and the probe answers must equal a fresh full-corpus
+    //      build — training init is an order-insensitive seeded hash
+    //      pick and the portable mean is integer-exact, so
+    //      append-then-retrain replays as one fresh training over
+    //      the union. Oracle: sim_topk_ivf's full replay, verbatim ----
+    "sim_topk_ivf_retrain" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val base = e.filter(col("vec_id") % 5 =!= 0)
+      val delta = e.filter(col("vec_id") % 5 === 0)
+      val baseCents = Similarity.trainIvfCentroids(base,
+        nCentroids = Similarity.suggestedCentroids(base.count()), dim = 64,
+        iterations = 1, portable = true)
+      val drifted = IvfIndex.ivfAppendCached(base, delta, "vec_id",
+        "embedding", baseCents, portable = true)
+      val (rt, cents) = IvfIndex.ivfRetrainCached(s, drifted,
+        nCentroids = Similarity.suggestedCentroids(e.count()),
+        portable = true)
+      IvfIndex.ivfTopKFromIndex(s, rt, e, k = 1, cents, nProbe = 4,
+          portable = true)
+        .select(col("query_id"), col("id").as("nn_id"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ---- recall AFTER retrain: the remediation card that closes the
+    //      drift loop — sim_recall_ivf_append measures what freezing
+    //      costs, this row proves retraining gives it back (it must
+    //      land exactly on sim_recall_ivf's fresh-index recall) ----
+    "sim_recall_ivf_retrain" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val base = e.filter(col("vec_id") % 5 =!= 0)
+      val delta = e.filter(col("vec_id") % 5 === 0)
+      val truth = Similarity.bruteForceTopK(
+          e.repartition(s.sparkContext.defaultParallelism), e, k = 1)
+        .select(col("query_id"), col("id").as("nn_id"))
+      val baseCents = Similarity.trainIvfCentroids(base,
+        nCentroids = Similarity.suggestedCentroids(base.count()), dim = 64,
+        iterations = 1, portable = true)
+      val drifted = IvfIndex.ivfAppendCached(base, delta, "vec_id",
+        "embedding", baseCents, portable = true)
+      val (rt, cents) = IvfIndex.ivfRetrainCached(s, drifted,
+        nCentroids = Similarity.suggestedCentroids(e.count()),
+        portable = true)
+      val approx = IvfIndex.ivfTopKFromIndex(s, rt, e, k = 1, cents,
+          nProbe = 4, portable = true)
+        .select(col("query_id"), col("id").as("nn_id"))
+      Similarity.recallReport(truth, approx)
+    }),
+
     // ---- matryoshka truncation eval: recall@1 when search uses only
     //      the first 16 / 32 of 64 embedding dimensions (the
     //      dimension-vs-quality trade of prefix-truncatable
@@ -7470,6 +7521,12 @@ object PipelineQueries {
     // persisted assignments: same centroids, same chain, floats
     // round-trip parquet — the index layout is invisible
     "sim_topk_ivf_idx" -> oracleSqlBase("sim_topk_ivf"),
+    // retrain resets the drifted deployment to fresh-build geometry:
+    // order-insensitive init + integer-exact portable means make
+    // retrained centroids equal full-corpus training, so BOTH rows
+    // replay as the fresh-index oracles verbatim
+    "sim_topk_ivf_retrain" -> oracleSqlBase("sim_topk_ivf"),
+    "sim_recall_ivf_retrain" -> oracleSqlBase("sim_recall_ivf"),
     "sim_recall_matryoshka" ->
       """WITH bf AS (
            SELECT a.vec_id AS query_id,

@@ -226,13 +226,19 @@ object IvfIndex {
       val nDelta = assigned.count()
       // digest RE-SIZED for the grown count at every append (the
       // discipline the dedup/near-dup indexes and BM25 compaction
-      // follow): the digest is rebuilt from the ids table anyway, so
-      // an index that outgrows its build-time sizing gets its FP
-      // rate back instead of degrading until a full rebuild
+      // follow); same mBits → O(delta) union of the delta ids' words
+      // into the already-read digest, resize boundary → the one full
+      // ids-column rebuild that restores the sized FP rate
       val newMBits = Retrieval.digestSizing(row.getAs[Long]("n_vecs") + nDelta)
-      Retrieval.writeIdDigest(spark, prefix,
-        Bloom.buildLongKeyBloom(spark.table(s"${prefix}_ids"), "doc_id",
-          newMBits, digestK))
+      val newWords =
+        if (newMBits == mBits)
+          Bloom.orUnionWords(words,
+            Bloom.buildLongKeyBloom(assigned.select(col("id").as("doc_id")),
+              "doc_id", mBits, digestK))
+        else
+          Bloom.buildLongKeyBloom(spark.table(s"${prefix}_ids"), "doc_id",
+            newMBits, digestK)
+      Retrieval.writeIdDigest(spark, prefix, newWords)
       Bucketing.dropTableAndLocation(spark, s"${prefix}_stats")
       spark.range(1).select(
           lit(row.getAs[Long]("n_vecs") + nDelta).as("n_vecs"),
@@ -244,6 +250,95 @@ object IvfIndex {
         .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
       Bucketing.dropTableAndLocation(spark, s"${prefix}_intent") // commit
     } finally assigned.unpersist(blocking = false)
+  }
+
+  /** Retrain tier — the IVF analog of [[Retrieval.compactBm25Index]]:
+    * when the recall-drift card (`sim_recall_ivf_append`) says the
+    * frozen centroids have drifted too far from the grown corpus,
+    * train FRESH centroids from the index's own vectors, re-assign
+    * everything, and write a complete new fingerprinted index under
+    * `newPrefix`. The live index serves untouched until the new one
+    * is complete — a crash mid-retrain loses only the retrain (the
+    * same crash-safety argument as BM25 compaction, which is why an
+    * in-place retrain is refused). The new index's lineage records
+    * the retrain as a chain continuation, and its centroid set is
+    * persisted beside it (`{newPrefix}_centroids`) so serving can
+    * recover the geometry without the trainer — validated against
+    * the stats fingerprint on load.
+    *
+    * Training reads (id, vec) straight from the assignments table:
+    * init is an order-insensitive seeded hash pick and the portable
+    * mean update is integer-exact, so retrained centroids equal
+    * [[Similarity.trainIvfCentroids]] over the same rows however
+    * they arrived — append-then-retrain is oracle-replayable as
+    * one fresh training over the union corpus.
+    */
+  def retrainIvfIndex(spark: SparkSession, prefix: String, newPrefix: String,
+                      nCentroids: Int, iterations: Int = 1,
+                      seed: Long = 42L, portable: Boolean = false,
+                      digestK: Int = Retrieval.DefaultDigestK): Array[Array[Float]] = {
+    require(newPrefix != prefix,
+      "retrain must write a NEW index prefix — the live index serves " +
+        "until the retrained one is complete, and a crash mid-retrain " +
+        "must leave it untouched (the compactBm25Index discipline)")
+    require(nCentroids > 0, "nCentroids must be positive")
+    requireNotTorn(spark, prefix, "retrainIvfIndex")
+    val old = spark.table(s"${prefix}_stats").head()
+    val vecs = spark.table(s"${prefix}_assign")
+      .select(col("id"), col("vec"))
+    val dim = vecs.select(size(col("vec"))).head().getInt(0)
+    val cents = Similarity.trainIvfCentroids(vecs, nCentroids, dim,
+      iterations, idCol = "id", vecCol = "vec", seed = seed,
+      portable = portable)
+    buildIvfIndex(vecs, "id", "vec", cents, newPrefix, portable,
+      lineage = s"${old.getAs[String]("lineage")}" +
+        s">retrain(c$nCentroids,i$iterations,s$seed)",
+      digestK = digestK)
+    writeCentroidsTable(spark, newPrefix, cents)
+    cents
+  }
+
+  private def writeCentroidsTable(spark: SparkSession, prefix: String,
+                                  cents: Array[Array[Float]]): Unit = {
+    import spark.implicits._
+    Bucketing.dropTableAndLocation(spark, s"${prefix}_centroids")
+    cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+      .toDF("cell", "cvec").coalesce(1)
+      .write.mode("overwrite").saveAsTable(s"${prefix}_centroids")
+  }
+
+  /** Load the centroid set persisted beside a retrained index,
+    * validated against the stats table's centroid fingerprint — a
+    * centroids table that drifted from the assignments (partial
+    * write, manual edit) is refused, never served.
+    */
+  def loadIndexCentroids(spark: SparkSession, prefix: String): Array[Array[Float]] = {
+    val out = spark.table(s"${prefix}_centroids").orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+    val st = spark.table(s"${prefix}_stats").head()
+    require(st.getAs[Long]("centroid_fp") == centroidFingerprint(out),
+      s"centroids table ${prefix}_centroids does not match the index's " +
+        "recorded centroid fingerprint — refusing to serve a geometry " +
+        "the assignments were not built with")
+    out
+  }
+
+  /** Retrain-once gate: the retrained index lives under a params-keyed
+    * child prefix of the index it retrains, so a retry (or a second
+    * session) serves the existing retrained index instead of training
+    * again. Returns (newPrefix, centroids).
+    */
+  def ivfRetrainCached(spark: SparkSession, prefix: String, nCentroids: Int,
+                       iterations: Int = 1, seed: Long = 42L,
+                       portable: Boolean = false): (String, Array[Array[Float]]) = {
+    val newPrefix = s"${prefix}_rtc${nCentroids}i${iterations}s$seed"
+    val have = Seq("assign", "ids", "iddigest", "stats", "centroids")
+      .forall(s => spark.catalog.tableExists(s"${newPrefix}_$s"))
+    val cents =
+      if (have) loadIndexCentroids(spark, newPrefix)
+      else retrainIvfIndex(spark, prefix, newPrefix, nCentroids, iterations,
+        seed, portable)
+    (newPrefix, cents)
   }
 
   /** True when the index's lineage already records a fold tagged

@@ -550,8 +550,21 @@ object DocStreams {
                                  prefix: String, idCol: String,
                                  vecCol: String,
                                  centroids: Array[Array[Float]],
-                                 portable: Boolean = false) {
+                                 portable: Boolean = false,
+                                 retrainEveryAppends: Int = 0,
+                                 retrainCentroids: Int = 0) {
     import graft.operators.IvfIndex
+
+    // the serving pointer: appends target the CURRENT index; a
+    // retrain flips it to the retrained child prefix, and subsequent
+    // batches assign with the FRESH centroids. Probes read these
+    // through servingPrefix/servingCentroidSet.
+    @volatile private var serving: String = prefix
+    @volatile private var servingCents: Array[Array[Float]] = centroids
+    private var appendsSinceRetrain = 0
+
+    def servingPrefix: String = serving
+    def servingCentroidSet: Array[Array[Float]] = servingCents
 
     def appendBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (batch.isEmpty) return
@@ -569,12 +582,38 @@ object DocStreams {
       // table names, which no session has cached.
       val sp = batch.sparkSession
       val tag = s"b$batchId"
-      if (IvfIndex.lineageHasTag(sp, prefix, tag)) return // retry: done
-      IvfIndex.appendToIvfIndex(sp, prefix, batch, idCol, vecCol,
-        centroids, portable, lineageTag = tag)
+      // the retrained child's lineage CONTAINS the parent chain, so a
+      // retried pre-retrain batchId still ledger-hits after the flip
+      if (IvfIndex.lineageHasTag(sp, serving, tag)) return // retry: done
+      IvfIndex.appendToIvfIndex(sp, serving, batch, idCol, vecCol,
+        servingCents, portable, lineageTag = tag)
       Seq("assign", "ids", "stats", "iddigest")
-        .foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
+        .foreach(t => spark.catalog.refreshTable(s"${serving}_$t"))
+      appendsSinceRetrain += 1
+      if (retrainEveryAppends > 0 && appendsSinceRetrain >= retrainEveryAppends)
+        retrainNow(sp)
     }
+
+    /** Retrain the serving index from its own vectors and flip the
+      * serving pointer — called automatically every
+      * `retrainEveryAppends` folds, or directly by a drift monitor
+      * when the `sim_recall_ivf_append`-style card crosses its
+      * threshold (the measurement that makes retraining a policy,
+      * not a guess). Idempotent via [[IvfIndex.ivfRetrainCached]]:
+      * a crashed-then-retried retrain serves the already-built child.
+      */
+    def retrainNow(sp: org.apache.spark.sql.SparkSession = spark): Unit =
+      synchronized {
+        val n = if (retrainCentroids > 0) retrainCentroids
+                else servingCents.length
+        val (np, nc) = IvfIndex.ivfRetrainCached(sp, serving, n,
+          portable = portable)
+        serving = np
+        servingCents = nc
+        appendsSinceRetrain = 0
+        Seq("assign", "ids", "stats", "iddigest", "centroids")
+          .foreach(t => spark.catalog.refreshTable(s"${np}_$t"))
+      }
   }
 
   /** Live exact-dedup index maintenance — the streaming driver of

@@ -140,6 +140,108 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.centroidFingerprint(a) !== IvfIndex.centroidFingerprint(b))
   }
 
+  test("retrain equals a fresh full-corpus build; the drifted index is untouched") {
+    val e = emb.limit(400).cache(); e.count()
+    val base = e.filter(col("vec_id") % 4 =!= 0)
+    val delta = e.filter(col("vec_id") % 4 === 0)
+    val baseCents = Similarity.trainIvfCentroids(base,
+      nCentroids = 8, dim = 64, iterations = 1, portable = true)
+    val drifted = IvfIndex.ivfAppendCached(base, delta, "vec_id",
+      "embedding", baseCents, portable = true)
+    val statsBefore = spark.table(s"${drifted}_stats").head()
+    val (rt, cents) = IvfIndex.ivfRetrainCached(spark, drifted,
+      nCentroids = 8, portable = true)
+    // the retrained child equals a one-shot build over the full corpus
+    // at the SAME retrained centroids: training from the index's own
+    // (id, vec) rows is order-insensitive and integer-exact, so the
+    // centroids equal full-corpus training too
+    val fresh = Similarity.trainIvfCentroids(e, nCentroids = 8, dim = 64,
+      iterations = 1, portable = true)
+    assert(IvfIndex.centroidFingerprint(cents) ===
+      IvfIndex.centroidFingerprint(fresh),
+      "retrained centroids diverged from fresh full-corpus training")
+    cleanup("ivfrtref")
+    IvfIndex.buildIvfIndex(e, "vec_id", "embedding", fresh, "ivfrtref")
+    def assignRows(t: String) = spark.table(s"${t}_assign")
+      .select(col("id"), col("cell")).orderBy("id").collect().toSeq
+    assert(assignRows(rt) === assignRows("ivfrtref"),
+      "retrained assignments diverge from the fresh build")
+    // the DRIFTED index still serves, bit-identical stats — a crash
+    // mid-retrain could never have torn it
+    assert(spark.table(s"${drifted}_stats").head() === statsBefore)
+    // lineage chains through the retrain record
+    assert(spark.table(s"${rt}_stats").head().getAs[String]("lineage")
+      .contains(">retrain("))
+    // cached retrain is idempotent: second call loads, same prefix
+    val statsRt = spark.table(s"${rt}_stats").head()
+    val (rt2, cents2) = IvfIndex.ivfRetrainCached(spark, drifted,
+      nCentroids = 8, portable = true)
+    assert(rt2 === rt && spark.table(s"${rt}_stats").head() === statsRt)
+    assert(IvfIndex.centroidFingerprint(cents2) ===
+      IvfIndex.centroidFingerprint(cents))
+    // in-place retrain is refused; a tampered centroids table is loud
+    assert(intercept[IllegalArgumentException] {
+      IvfIndex.retrainIvfIndex(spark, drifted, drifted, 8)
+    }.getMessage.contains("NEW index prefix"))
+    spark.table(s"${rt}_centroids")
+      .withColumn("cvec", transform(col("cvec"), x => x + lit(1.0f)))
+      .write.mode("overwrite").format("noop").save() // exercise plan only
+    import spark.implicits._
+    val tampered = spark.table(s"${rt}_centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_ + 1.0f)))
+    tampered.toSeq.toDF("cell", "cvec").write.mode("overwrite")
+      .saveAsTable(s"${rt}_centroids_tmp")
+    spark.sql(s"DROP TABLE ${rt}_centroids")
+    spark.sql(s"ALTER TABLE ${rt}_centroids_tmp RENAME TO ${rt}_centroids")
+    assert(intercept[IllegalArgumentException] {
+      IvfIndex.loadIndexCentroids(spark, rt)
+    }.getMessage.contains("fingerprint"))
+    cleanup("ivfrtref")
+  }
+
+  private def digestWords(table: String): Seq[(Long, Long)] =
+    spark.table(table).orderBy("idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("append digest union == fresh-build digest (no resize crossed)") {
+    cleanup("ivfdu"); cleanup("ivfdv")
+    val e = emb.limit(300).cache(); e.count()
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    val delta = e.filter(col("vec_id") % 3 === 0)
+    val cents = Similarity.trainIvfCentroids(base,
+      nCentroids = 8, dim = 64, iterations = 1)
+    IvfIndex.buildIvfIndex(base, "vec_id", "embedding", cents, "ivfdu")
+    IvfIndex.appendToIvfIndex(spark, "ivfdu", delta, "vec_id", "embedding",
+      cents)
+    IvfIndex.buildIvfIndex(e, "vec_id", "embedding", cents, "ivfdv")
+    assert(digestWords("ivfdu_iddigest") === digestWords("ivfdv_iddigest"),
+      "O(delta) OR-union digest diverged from a full rebuild")
+    cleanup("ivfdu"); cleanup("ivfdv")
+  }
+
+  test("append digest across a resize boundary == fresh-build digest") {
+    cleanup("ivfdr"); cleanup("ivfds")
+    // synthetic 4-dim vectors: 61k base + 9k delta crosses the 2^20
+    // floor's 65536-id boundary, forcing the full-rebuild branch
+    val mk = (a: Long, b: Long) => spark.range(a, b).select(
+      col("id").as("vec_id"),
+      array((col("id") % 7).cast("float"), (col("id") % 5).cast("float"),
+        (col("id") % 3).cast("float"), lit(1.0f)).as("embedding"))
+    val base = mk(0L, 61000L); val delta = mk(61000L, 70000L)
+    val cents = Array(Array(0f, 0f, 0f, 1f), Array(6f, 4f, 2f, 1f))
+    IvfIndex.buildIvfIndex(base, "vec_id", "embedding", cents, "ivfdr")
+    val before = spark.table("ivfdr_stats").head().getAs[Int]("digest_mbits")
+    IvfIndex.appendToIvfIndex(spark, "ivfdr", delta, "vec_id", "embedding",
+      cents)
+    val after = spark.table("ivfdr_stats").head().getAs[Int]("digest_mbits")
+    assert(after === before * 2, s"expected a resize, got $before -> $after")
+    IvfIndex.buildIvfIndex(base.unionByName(delta), "vec_id", "embedding",
+      cents, "ivfds")
+    assert(digestWords("ivfdr_iddigest") === digestWords("ivfds_iddigest"),
+      "resize-boundary rebuild diverged from a fresh build")
+    cleanup("ivfdr"); cleanup("ivfds")
+  }
+
   test("probe plan prunes to the probed cells' partitions") {
     val e = emb.limit(400).cache(); e.count()
     val cents = Similarity.trainIvfCentroids(e,

@@ -1044,6 +1044,74 @@ class StreamingSpec extends AnyFunSuite {
       "restarted maintainer re-appended a ledgered batch")
   }
 
+  test("mid-stream IVF retrain: serving flips to a fresh-geometry child index") {
+    import graft.operators.{IvfIndex, Similarity}
+    import graft.streaming.DocStreams
+    val emb = Tables.table(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(300).cache()
+    emb.count()
+    val base = emb.filter(col("vec_id") % 3 === 0)
+    val arriving = emb.filter(col("vec_id") % 3 =!= 0)
+    val cents = Similarity.trainIvfCentroids(base, nCentroids = 8, dim = 64,
+      iterations = 1, portable = true)
+    val prefix = "sivf_rt"
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix))
+      .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _))
+    IvfIndex.buildIvfIndex(base, "vec_id", "embedding", cents, prefix,
+      portable = true)
+    val src = java.nio.file.Files.createTempDirectory("graft-ivfrt").toString
+    arriving.repartition(3).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    // retrain after every 3 appends: fires once, at the end of the
+    // 3-file stream — the drift-policy hook exercised mid-pipeline
+    val m = new DocStreams.IvfIndexMaintainer(spark, prefix, "vec_id",
+      "embedding", cents, portable = true, retrainEveryAppends = 3)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.foreachBatch(m.appendBatch _).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(m.servingPrefix !== prefix, "retrain tick did not fire")
+    // the serving index now answers exactly like a one-shot rebuild
+    // over the full corpus at fresh full-corpus-trained centroids
+    val fresh = Similarity.trainIvfCentroids(emb, nCentroids = 8, dim = 64,
+      iterations = 1, portable = true)
+    assert(IvfIndex.centroidFingerprint(m.servingCentroidSet) ===
+      IvfIndex.centroidFingerprint(fresh),
+      "mid-stream retrain diverged from fresh training over the union")
+    val want = Similarity.ivfTopK(emb, emb, k = 1, fresh, nProbe = 4,
+        portable = true)
+      .select(col("query_id"), col("id"), col("cos"))
+      .orderBy(col("query_id")).collect()
+    val got = IvfIndex.ivfTopKFromIndex(spark, m.servingPrefix, emb, k = 1,
+        m.servingCentroidSet, nProbe = 4, portable = true)
+      .select(col("query_id"), col("id"), col("cos"))
+      .orderBy(col("query_id")).collect()
+    assert(want.nonEmpty && want.sameElements(got),
+      "post-retrain serving index diverged from the rebuild")
+    // the recall-drift card resets: post-retrain recall equals the
+    // fresh-index recall (identical geometry, identical assignments)
+    val truth = Similarity.bruteForceTopK(emb, emb, k = 1)
+      .select(col("query_id"), col("id").as("nn_id"))
+    val after = IvfIndex.ivfTopKFromIndex(spark, m.servingPrefix, emb, k = 1,
+        m.servingCentroidSet, nProbe = 4, portable = true)
+      .select(col("query_id"), col("id").as("nn_id"))
+    val freshIdx = IvfIndex.ivfIndexCached(emb, "vec_id", "embedding", fresh,
+      portable = true)
+    val freshRun = IvfIndex.ivfTopKFromIndex(spark, freshIdx, emb, k = 1,
+        fresh, nProbe = 4, portable = true)
+      .select(col("query_id"), col("id").as("nn_id"))
+    assert(Similarity.recallReport(truth, after).head() ===
+      Similarity.recallReport(truth, freshRun).head(),
+      "drift card did not reset to the fresh-index recall after retrain")
+    // a pre-retrain batchId retried AFTER the flip still ledger-hits:
+    // the child's lineage contains the parent chain
+    val rowsBefore = spark.table(s"${m.servingPrefix}_assign").count()
+    m.appendBatch(spark.read.parquet(src).limit(5), 0L)
+    assert(spark.table(s"${m.servingPrefix}_assign").count() === rowsBefore,
+      "retried pre-retrain batch re-appended into the retrained child")
+  }
+
   test("typed Aggregator (WeightedMean) matches the declarative formulation") {
     import graft.functions.TypedAgg
     val ds = events.limit(5000)
