@@ -1834,6 +1834,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- JPEG SOF metadata: dimensions/channels/precision from the
+    //      frame header marker walk (APPn/COM/DQT skipped by length)
+    //      — no entropy decode; every field formula-predictable from
+    //      the fixture geometry ----
+    "multimodal_decode_jpeg" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "jpeg")
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+          new graft.operators.Multimodal.PureJvmCodec())
+        .select(col("id").as("doc_id"),
+          col("decoded.meta.width").as("width"),
+          col("decoded.meta.height").as("height"),
+          element_at(col("decoded.features"), 3).cast(LongType).as("channels"),
+          element_at(col("decoded.features"), 4).cast(LongType).as("bits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- document fingerprinting: portable code-point polynomial
     //      hashes (whole-text rolling fp + winnowing count), exactly
     //      reproduced by the DuckDB oracle via list folds. The
@@ -4657,6 +4674,13 @@ object PipelineQueries {
            CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
            CAST(2000 + doc_id % 4096 AS BIGINT) AS n_samples,
            CAST(64 + doc_id % 8 AS BIGINT) AS bitrate_kbps
+         FROM documents ORDER BY doc_id""",
+    "multimodal_decode_jpeg" ->
+      """SELECT doc_id,
+           CAST(16 + doc_id % 240 AS INTEGER) AS width,
+           CAST(16 + doc_id % 180 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+           CAST(8 AS BIGINT) AS bits
          FROM documents ORDER BY doc_id""",
     "multimodal_features" ->
       """SELECT doc_id,

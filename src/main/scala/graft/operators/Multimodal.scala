@@ -450,16 +450,86 @@ object Multimodal {
       val rate = le32(p + 12)
       val nominal = le32(p + 20)
       if (channels <= 0 || rate <= 0) return null
-      var last = b.length - 27
-      while (last > 0 && !isCapture(last)) last -= 1
+      // FORWARD page walk for the last granule: each page's extent is
+      // derived from its own segment table, so an 'OggS\0' byte run
+      // INSIDE a packet payload can never be mistaken for a page
+      // header (the reverse-scan hazard: a payload-embedded capture
+      // pattern would have its neighbors read as a garbage granule).
+      // Still O(pages), no packet decode; trailing garbage stops the
+      // walk and the last COMPLETE page's granule stands.
       var granule = 0L
-      i = 0
-      while (i < 8) { granule |= (b(last + 6 + i) & 0xFFL) << (8 * i); i += 1 }
-      if (granule < 0) granule = 0L // -1 granule = "no packets finish here"
+      var off = 0
+      var walking = true
+      while (walking && isCapture(off)) {
+        val ns = b(off + 26) & 0xFF
+        if (off + 27 + ns > b.length) walking = false
+        else {
+          var pay = 0
+          var j = 0
+          while (j < ns) { pay += b(off + 27 + j) & 0xFF; j += 1 }
+          val end = off + 27 + ns + pay
+          if (end > b.length) walking = false
+          else {
+            var g = 0L
+            var k = 0
+            while (k < 8) { g |= (b(off + 6 + k) & 0xFFL) << (8 * k); k += 1 }
+            if (g >= 0) granule = g // -1 = "no packets finish here"
+            off = end
+          }
+        }
+      }
       val durationMs = granule * 1000L / rate
       val meta = Row("ogg", 0, 0, 1, durationMs)
       (meta, Array[Float](channels.toFloat, rate.toFloat, granule.toFloat,
         (nominal / 1000).toFloat, 0f, 0f, 0f))
+    }
+
+    /** JPEG SOF metadata — dimensions / channels / sample precision
+      * from the frame header, no entropy decode (the corpus-audit
+      * tier, same mold as [[decodeFlacMeta]]): walk the marker
+      * stream from SOI, skipping APPn/COM/DQT/DHT/... segments by
+      * their big-endian lengths, to the first SOFn (any frame type
+      * except DHT C4 / JPG C8 / DAC CC, which share the Cx range but
+      * are not frames). A marker stream that reaches SOS or EOI
+      * before any SOF, a fill-byte run off the end, a length field
+      * past the buffer, or a canvas over the pixel cap is a null,
+      * never a guess. Features: (width, height, channels,
+      * precision_bits, 0, 0, 0).
+      */
+    private def decodeJpegMeta(b: Array[Byte]): (Row, Array[Float]) = {
+      if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8)
+        return null
+      var pos = 2
+      while (pos + 2 <= b.length) {
+        if ((b(pos) & 0xFF) != 0xFF) return null
+        // fill bytes: any number of FFs may pad before a marker code
+        while (pos + 1 < b.length && (b(pos + 1) & 0xFF) == 0xFF) pos += 1
+        if (pos + 2 > b.length) return null
+        val marker = b(pos + 1) & 0xFF
+        if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) pos += 2 // standalone
+        else if (marker == 0xD9 || marker == 0xDA) return null // EOI/SOS before SOF
+        else {
+          if (pos + 4 > b.length) return null
+          val len = ((b(pos + 2) & 0xFF) << 8) | (b(pos + 3) & 0xFF)
+          if (len < 2 || pos + 2 + len > b.length) return null
+          val isSof = marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+          if (isSof) {
+            if (len < 8) return null
+            val precision = b(pos + 4) & 0xFF
+            val h = ((b(pos + 5) & 0xFF) << 8) | (b(pos + 6) & 0xFF)
+            val w = ((b(pos + 7) & 0xFF) << 8) | (b(pos + 8) & 0xFF)
+            val nc = b(pos + 9) & 0xFF
+            if (w <= 0 || h <= 0 || nc <= 0 || len != 8 + 3 * nc) return null
+            if (w.toLong * h > MaxImagePixels) return null // bomb guard
+            return (Row("jpeg", w, h, 1, 0L),
+              Array[Float](w.toFloat, h.toFloat, nc.toFloat,
+                precision.toFloat, 0f, 0f, 0f))
+          }
+          pos += 2 + len
+        }
+      }
+      null
     }
 
     /** Pixel cap for compressed formats: a crafted IHDR/SOF claiming
@@ -524,7 +594,17 @@ object Multimodal {
           case "mp3" => decodeMp3Meta(bytes)
           case "flac" => decodeFlacMeta(bytes)
           case "ogg" => decodeOggMeta(bytes)
-          case "png" | "jpg" | "jpeg" => decodeImageIo(bytes, fmt)
+          case "png" => decodeImageIo(bytes, fmt)
+          case "jpg" | "jpeg" =>
+            // two tiers: full pixel decode when the entropy stream is
+            // intact (features from actual pixels), else the SOF
+            // metadata walk — a header-complete but payload-less or
+            // payload-torn JPEG still yields dimensions/channels for
+            // the corpus audit instead of vanishing as null
+            val full =
+              try decodeImageIo(bytes, fmt)
+              catch { case scala.util.control.NonFatal(_) => null }
+            if (full != null) full else decodeJpegMeta(bytes)
           case _     => fallback.decode(bytes, format)
         }
       } catch {
@@ -854,6 +934,47 @@ object Multimodal {
     page(0x02, 0L, 0, id) ++ page(0x04, totalSamples, 1, Array.emptyByteArray)
   }
 
+  /** Header-complete JPEG fixture: SOI, an APP0/JFIF segment, a COM
+    * segment and a DQT stub (so the SOF walk has real segments to
+    * skip), then a baseline SOF0 carrying the given geometry, then
+    * EOI — no entropy-coded scan, which is exactly the shape the
+    * metadata tier exists for (ImageIO cannot decode it; the SOF
+    * walk must). Every SOF field is a pure function of the params,
+    * so an external engine predicts the decode without a JPEG
+    * library.
+    */
+  def buildJpegMeta(w: Int, h: Int, channels: Int): Array[Byte] = {
+    require(w > 0 && w < 65536 && h > 0 && h < 65536 &&
+      channels >= 1 && channels <= 4, "bad jpeg fixture params")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(code: Int): Unit = { out.write(0xFF); out.write(code) }
+    def seg(code: Int, body: Array[Byte]): Unit = {
+      m(code)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xFF); out.write(len & 0xFF)
+      out.write(body, 0, body.length)
+    }
+    m(0xD8) // SOI
+    seg(0xE0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xFE, "graft fixture".getBytes("US-ASCII")) // COM
+    seg(0xDB, new Array[Byte](65)) // DQT: pq/tq byte + 64 zero entries
+    val sof = new Array[Byte](6 + 3 * channels)
+    sof(0) = 8 // precision bits
+    sof(1) = ((h >> 8) & 0xFF).toByte; sof(2) = (h & 0xFF).toByte
+    sof(3) = ((w >> 8) & 0xFF).toByte; sof(4) = (w & 0xFF).toByte
+    sof(5) = channels.toByte
+    var c = 0
+    while (c < channels) {
+      sof(6 + 3 * c) = (c + 1).toByte // component id
+      sof(7 + 3 * c) = 0x11           // 1x1 sampling
+      sof(8 + 3 * c) = 0              // quant table 0
+      c += 1
+    }
+    seg(0xC0, sof) // SOF0 (baseline)
+    m(0xD9)        // EOI
+    out.toByteArray
+  }
+
   /** Deterministic media fixtures from an id column: REAL BMP/PPM/WAV
     * bytes whose dimensions, pixels and samples follow documented
     * id-indexed formulas, so an external engine can predict what a
@@ -902,6 +1023,9 @@ object Multimodal {
             channels = (1 + id % 2).toInt,
             nominalBps = (64000L + 1000L * (id % 8)).toInt,
             totalSamples = 2000 + id % 4096)
+          case "jpeg" => buildJpegMeta((16 + id % 240).toInt,
+            (16 + id % 180).toInt,
+            channels = if (id % 5 == 0) 1 else 3)
           case other => throw new IllegalArgumentException(
             s"synthMediaBlobs: unknown format $other")
         }

@@ -209,6 +209,50 @@ class MultimodalActionsSpec extends AnyFunSuite {
     assert(codec.decode(badVer, "ogg") === null)
   }
 
+  test("PureJvmCodec: JPEG SOF marker walk — dimensions/channels, loud nulls") {
+    val codec = new Multimodal.PureJvmCodec()
+    val b = Multimodal.buildJpegMeta(640, 480, 3)
+    val (meta, f) = codec.decode(b, "jpeg")
+    assert(meta.getString(0) === "jpeg")
+    assert(meta.getInt(1) === 640 && meta.getInt(2) === 480)
+    assert(f(0) === 640f && f(1) === 480f && f(2) === 3f && f(3) === 8f)
+    // grayscale single-component frame
+    val g = codec.decode(Multimodal.buildJpegMeta(31, 17, 1), "jpg")
+    assert(g._2(2) === 1f && g._1.getInt(1) === 31 && g._1.getInt(2) === 17)
+    // truncation anywhere in the marker stream is a null, never a guess
+    assert(codec.decode(b.take(3), "jpeg") === null)
+    assert(codec.decode(b.take(20), "jpeg") === null)  // mid-APP0
+    assert(codec.decode(b.take(b.length - 12), "jpeg") === null) // mid-SOF
+    // bad magic / mislabeled blob
+    val badMagic = b.clone(); badMagic(1) = 0x00
+    assert(codec.decode(badMagic, "jpeg") === null)
+    assert(codec.decode(Multimodal.buildPng(4, 3, _ => 1), "jpeg") === null)
+    // a marker byte that is not FF-led breaks the walk loudly
+    val badMarker = b.clone(); badMarker(2) = 0x00
+    assert(codec.decode(badMarker, "jpeg") === null)
+    // SOS/EOI arriving before any SOF: no frame header to serve
+    val sosFirst = b.clone()
+    // overwrite the APP0 marker code with SOS (length bytes follow)
+    sosFirst(3) = 0xDA.toByte
+    assert(codec.decode(sosFirst, "jpeg") === null)
+    // decompression-bomb guard: a 65k x 65k SOF canvas is refused
+    // before anything downstream can size a buffer from it
+    val bomb = Multimodal.buildJpegMeta(65535, 65535, 3)
+    assert(codec.decode(bomb, "jpeg") === null)
+    // a REAL entropy-complete JPEG still takes the pixel path: write
+    // one through ImageIO and confirm features come from pixels (7
+    // elements, sum_rgb > 0 — the meta tier would put 0 at index 5)
+    val img = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(y => (0 until 5).foreach(x =>
+      img.setRGB(x, y, 0x808080)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val real = codec.decode(bos.toByteArray, "jpg")
+    assert(real._1.getInt(1) === 5 && real._1.getInt(2) === 4)
+    assert(real._2(5) > 0f, "real JPEG must decode pixels, not fall to meta")
+  }
+
   test("PureJvmCodec: malformed media decodes to null; unknown formats hit the stub") {
     val codec = new Multimodal.PureJvmCodec()
     val good = Multimodal.buildBmp(4, 4, _ => 1)
