@@ -1426,29 +1426,13 @@ object PipelineQueries {
     // ---- sessionized funnel: of sessions containing a click, the
     //      share that also purchase at-or-after the first click
     //      (sessionize → conditional aggregation; all exact) ----
-    "events_funnel" -> ((s, d) => {
-      val byUser = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val sess = t(s, d, "events")
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("is_new",
-          when(col("prev_ts").isNull ||
-            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800L, 1L)
-            .otherwise(0L))
-        .withColumn("session_id", sum(col("is_new")).over(
-          byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)))
-      sess.groupBy(col("user_id"), col("session_id"))
-        .agg(
-          min(when(col("event_type") === "click", col("ts"))).as("first_click"),
-          max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
-        .filter(col("first_click").isNotNull)
-        .select(col("user_id"), col("session_id"),
-          (col("last_purchase").isNotNull &&
-            col("last_purchase") >= col("first_click")).as("converted"))
+    "events_funnel" -> ((s, d) =>
+      // ONE definition both modes: EventStreams.funnelBatch is the
+      // sessionize + per-session conversion fold whose streaming twin
+      // (funnelStream) emits the same verdicts from per-actor state
+      EventStreams.funnelBatch(t(s, d, "events"), gapSeconds = 1800L)
         .groupBy(col("converted")).agg(count(lit(1)).as("n_sessions"))
-        .orderBy(col("converted"))
-    }),
+        .orderBy(col("converted"))),
 
     // ---- windowed EXACT active actors (batch mode of the streaming
     //      engagement monitor; one definition both modes — streaming

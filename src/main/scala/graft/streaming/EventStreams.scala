@@ -286,4 +286,168 @@ object EventStreams {
           closed.result().iterator
       }
   }
+
+  /** Per-session funnel verdict emitted when a session closes. */
+  final case class FunnelVerdict(user_id: Long, session_id: Long,
+                                 converted: Boolean)
+
+  /** Open funnel-session state: the running session counter, the
+    * session's last event time (whole timestamp — gap tests truncate
+    * to seconds like the batch twin, bounds keep full precision),
+    * and the conversion extremes folded so far.
+    */
+  final case class OpenFunnel(seq: Long, end: java.sql.Timestamp,
+                              firstStart: Option[java.sql.Timestamp],
+                              lastEnd: Option[java.sql.Timestamp])
+
+  /** Batch funnel: sessionize (the [[sessionizeBatch]] gap
+    * definition), then per session fold the earliest `startType` and
+    * latest `endType` timestamps; sessions containing a start convert
+    * iff the last end is at-or-after the first start. One definition,
+    * both modes — the oracle-checked `events_funnel` row is this plus
+    * a count by verdict, and [[funnelStream]] emits the same
+    * per-session verdicts from per-actor ordered-step state.
+    */
+  def funnelBatch(events: DataFrame, gapSeconds: Long,
+                  startType: String = "click",
+                  endType: String = "purchase"): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(when(col("event_type") === startType, col("ts"))).as("first_start"),
+        max(when(col("event_type") === endType, col("ts"))).as("last_end"))
+      .filter(col("first_start").isNotNull)
+      .select(col("user_id"), col("session_id"),
+        (col("last_end").isNotNull &&
+          col("last_end") >= col("first_start")).as("converted"))
+  }
+
+  /** Streaming twin of [[funnelBatch]]: per-actor ordered-step state
+    * (the [[sessionizeStream]] mold) — the open session carries only
+    * its counter, last event time, and the two conversion extremes,
+    * never the events. A verdict is emitted when a later event
+    * closes the session; sessions without a `startType` event close
+    * silently (the batch filter), and each actor's final still-open
+    * session stays in state — with chronologically arriving batches
+    * the emitted verdicts are the batch result minus those, the
+    * StreamingSpec claim.
+    */
+  def funnelStream(events: Dataset[Event], gapSeconds: Long,
+                   startType: String = "click",
+                   endType: String = "purchase"): Dataset[FunnelVerdict] = {
+    import events.sparkSession.implicits._
+    def secs(t: java.sql.Timestamp): Long = Math.floorDiv(t.getTime, 1000L)
+    def le(a: java.sql.Timestamp, b: java.sql.Timestamp): Boolean =
+      a.getTime < b.getTime || (a.getTime == b.getTime && a.getNanos <= b.getNanos)
+    def opened(seq: Long, e: Event): OpenFunnel = OpenFunnel(seq, e.ts,
+      if (e.event_type == startType) Some(e.ts) else None,
+      if (e.event_type == endType) Some(e.ts) else None)
+    def absorb(o: OpenFunnel, e: Event): OpenFunnel = OpenFunnel(o.seq,
+      if (le(e.ts, o.end)) o.end else e.ts,
+      if (e.event_type == startType)
+        Some(o.firstStart.filter(c => le(c, e.ts)).getOrElse(e.ts))
+      else o.firstStart,
+      if (e.event_type == endType)
+        Some(o.lastEnd.filter(p => le(e.ts, p)).getOrElse(e.ts))
+      else o.lastEnd)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenFunnel, FunnelVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[OpenFunnel]) =>
+          val sorted = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var open = state.getOption
+          val out = List.newBuilder[FunnelVerdict]
+          def close(o: OpenFunnel): Unit =
+            o.firstStart.foreach(fs => out += FunnelVerdict(userId, o.seq,
+              o.lastEnd.exists(pe => le(fs, pe))))
+          sorted.foreach { e =>
+            open = open match {
+              case Some(o) if secs(e.ts) - secs(o.end) <= gapSeconds =>
+                Some(absorb(o, e))
+              case Some(o) =>
+                close(o); Some(opened(o.seq + 1, e))
+              case None => Some(opened(1L, e))
+            }
+          }
+          open.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** One distinct (actor, period) activity fact, tagged with the
+    * actor's cohort (their first-seen period).
+    */
+  final case class CohortFact(actor: Long, cohort: Long, period: Long)
+
+  /** Per-actor cohort state: the cohort period plus every period
+    * already emitted — bounded by periods-per-actor (days/weeks of
+    * the retention window), never by events.
+    */
+  final case class ActorPeriods(cohort: Long, seen: List[Long])
+
+  /** Streaming half of cohort retention: per-actor state emits one
+    * [[CohortFact]] the FIRST time the actor is active in a period —
+    * the incremental heavy lift (event-stream → distinct
+    * (actor, period) facts) that [[graft.operators.Temporal
+    * .cohortRetention]]'s `distinct()` does as a corpus-wide shuffle
+    * per run. With chronologically arriving batches the actor's first
+    * event fixes their cohort, exactly the batch `min(period)`.
+    * The finishing table ([[cohortRetentionFromFacts]]) is a
+    * bounded-cardinality aggregation over cohort×offset — recompute
+    * it per tick in the sink; the facts stream is what must never be
+    * recomputed from raw events.
+    */
+  def cohortFactsStream(events: Dataset[Event],
+                        periodSeconds: Long): Dataset[CohortFact] = {
+    import events.sparkSession.implicits._
+    require(periodSeconds > 0, "periodSeconds must be positive")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ActorPeriods, CohortFact](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (actor: Long, rows: Iterator[Event], state: GroupState[ActorPeriods]) =>
+          val periods = rows
+            .map(e => Math.floorDiv(Math.floorDiv(e.ts.getTime, 1000L),
+              periodSeconds))
+            .toSeq.distinct.sorted
+          var st = state.getOption.getOrElse(
+            ActorPeriods(periods.head, Nil))
+          val fresh = periods.filterNot(st.seen.contains)
+          st = st.copy(seen = st.seen ++ fresh)
+          state.update(st)
+          fresh.iterator.map(p => CohortFact(actor, st.cohort, p))
+      }
+  }
+
+  /** The batch-finishing aggregation over [[cohortFactsStream]]'s
+    * facts: cohort sizes from the offset-0 facts (every actor emits
+    * their cohort period first), per-(cohort, offset) counts (facts
+    * are distinct by construction), and the exact integer
+    * micro-fraction — column-for-column [[graft.operators.Temporal
+    * .cohortRetention]].
+    */
+  def cohortRetentionFromFacts(facts: DataFrame): DataFrame =
+    // join-free: the cohort size IS the offset-0 count (every actor's
+    // first fact is their cohort period), read back via a window over
+    // the already-aggregated cohort×offset table — which also keeps a
+    // memory-sink facts table (whose leaf plan does not dedup
+    // attributes on self-join) usable directly
+    facts
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .withColumn("n_cohort",
+        max(when(col("offset") === 0, col("n_active")))
+          .over(Window.partitionBy(col("cohort"))))
+      .select(col("cohort"), col("offset"), col("n_active"), col("n_cohort"),
+        expr("n_active * 1000000 div n_cohort").as("retention_micro"))
+      .orderBy(col("cohort"), col("offset"))
 }

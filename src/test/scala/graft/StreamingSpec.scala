@@ -1292,6 +1292,118 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private def chronoSlices(ev: org.apache.spark.sql.DataFrame, n: Int,
+                           tag: String): (String, org.apache.spark.sql.DataFrame) = {
+    // stream a table as n chronological micro-batches: separate files
+    // with strictly increasing mtimes so the file source processes
+    // them in event-time order, like a real ingest
+    val dir = java.nio.file.Files.createTempDirectory(tag).toString
+    val sliced = ev.withColumn("slice",
+      ntile(n).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id")))).cache()
+    var seen = Set.empty[String]
+    val base = new java.io.File(dir).lastModified()
+    for (i <- 1 to n) {
+      sliced.filter(col("slice") === i).drop("slice")
+        .coalesce(1).write.mode("append").parquet(dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-"))
+      files.filterNot(f => seen(f.getName))
+        .foreach(_.setLastModified(base + i * 60000L))
+      seen ++= files.map(_.getName)
+    }
+    (dir, sliced)
+  }
+
+  test("streaming funnel equals the batch funnel verdict-for-verdict") {
+    val ev = Tables.table(spark, TestSpark.sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).cache()
+    ev.count()
+    // batch truth: the oracle-checked events_funnel definition minus
+    // its final count — per-session verdicts
+    val batch = EventStreams.funnelBatch(ev, gapSeconds = 86400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // at end-of-stream each user's LAST session (funnel-worthy or
+    // not) is still open in state; everything else must be emitted
+    val lastSession = EventStreams.sessionizeBatch(ev, gapSeconds = 86400)
+      .groupBy(col("user_id")).agg(max(col("session_id")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantClosed = batch.filter(t => lastSession(t._1) != t._2).toSet
+    assert(wantClosed.nonEmpty, "test data produced no closeable verdicts")
+    assert(wantClosed.exists(_._3) && wantClosed.exists(!_._3),
+      "test data must exercise both verdicts")
+    val (dir, sliced) = chronoSlices(ev, 4, "graft-funnel")
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[EventStreams.Event]
+    val q = EventStreams.funnelStream(stream, gapSeconds = 86400)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnelmem").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select user_id, session_id, converted from funnelmem")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(got === wantClosed,
+        "streamed funnel verdicts diverged from the batch funnel")
+      // the claim is only interesting if verdicts straddle slices:
+      // some emitted session must span a micro-batch boundary
+      val bounds = sliced.groupBy(col("slice")).agg(max(col("ts")).as("m"))
+        .collect().map(_.getTimestamp(1).getTime).sorted.dropRight(1)
+      val spans = EventStreams.sessionizeBatch(ev, gapSeconds = 86400)
+        .collect().exists { r =>
+          val s = r.getTimestamp(2).getTime; val e = r.getTimestamp(3).getTime
+          lastSession(r.getLong(0)) != r.getLong(1) &&
+            bounds.exists(b => s <= b && e > b)
+        }
+      assert(spans, "no emitted session spans a micro-batch boundary")
+    } finally q.stop()
+  }
+
+  test("streaming cohort facts rebuild the batch retention table row-for-row") {
+    val ev = Tables.table(spark, TestSpark.sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).cache()
+    ev.count()
+    val periodSeconds = 7L * 86400L
+    // batch truth: the oracle-checked events_cohort_retention operator
+    val want = graft.operators.Temporal.cohortRetention(ev, "user_id", "ts",
+        periodSeconds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(want.exists(_._2 > 0), "test data has no retention past offset 0")
+    val (dir, sliced) = chronoSlices(ev, 4, "graft-cohort")
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[EventStreams.Event]
+    val q = EventStreams.cohortFactsStream(stream, periodSeconds)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cohortmem").start()
+    try {
+      q.processAllAvailable()
+      val facts = spark.sql("select actor, cohort, period from cohortmem")
+      // each (actor, period) fact is emitted EXACTLY once across the
+      // whole stream — the state's whole point
+      assert(facts.count() === facts.distinct().count(),
+        "duplicate cohort facts emitted across micro-batches")
+      val got = EventStreams.cohortRetentionFromFacts(facts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(got === want,
+        "retention table from streamed facts diverged from batch")
+      // actors must span micro-batches for the claim to bite: some
+      // actor is active in different periods in different slices
+      val spanning = sliced
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / periodSeconds).as("p"),
+          col("slice"))
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("p")).as("np"), countDistinct(col("slice")).as("ns"))
+        .filter(col("np") > 1 && col("ns") > 1).count()
+      assert(spanning > 0, "no actor spans micro-batches with >1 period")
+    } finally q.stop()
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) closes sessions on gap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     Seq(
