@@ -764,20 +764,19 @@ object ScaleSmoke {
           hist, snapAt(v), "id", "payload", v)
         // the lakehouse write set: newly-closed rows append to the
         // dead partition; the current partition is rewritten. Both
-        // are materialized BEFORE the overwrite of the partition
-        // they read from.
+        // writes mutate directories their own lineage READS, so both
+        // are localCheckpoint()ed first — checkpointing SEVERS the
+        // lineage (a cache-evicted persist() would recompute from the
+        // partially overwritten source and corrupt the fixture;
+        // pinning must not depend on eviction policy)
         val newClosed = folded
           .filter(!col("is_current") && col("valid_to") === lit(v))
           .drop("is_current")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        newClosed.count()
+          .localCheckpoint()
         val newCur = folded.filter(col("is_current")).drop("is_current")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        newCur.count()
+          .localCheckpoint()
         newClosed.write.mode("append").parquet(s"$hdir/is_current=false")
         newCur.write.mode("overwrite").parquet(s"$hdir/is_current=true")
-        newClosed.unpersist(blocking = false)
-        newCur.unpersist(blocking = false)
       }
       graft.operators.Quality.scd2Init(snapAt(0), "id", "payload", 0L)
         .drop("is_current")

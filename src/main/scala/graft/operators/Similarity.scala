@@ -842,15 +842,21 @@ object Similarity {
                   labelCol: String = "label", idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, "k must be positive")
+    // a null label has no "own" centroid: scoring it would produce a
+    // null margin, and nulls-first ascending sort would let unlabeled
+    // rows crowd the k worst-margin slots — drop them from centroids
+    // AND from scoring (an unlabeled row is not a mislabel SUSPECT)
     val cents = Embeddings.meanPoolVectors(vecs, labelCol, vecCol)
       .collect().map(r => (r.get(0), r.getSeq[Double](1)))
+      .filter(_._1 != null)
     require(cents.length >= 2,
       "labelMargin needs at least two labels (no 'other' centroid otherwise)")
     val own = coalesce(cents.map { case (l, c) =>
       when(col(labelCol) === lit(l), cosineHof(col(vecCol), typedLit(c))) }: _*)
     val other = greatest(cents.map { case (l, c) =>
       when(col(labelCol) =!= lit(l), cosineHof(col(vecCol), typedLit(c))) }: _*)
-    vecs.select(col(idCol).as("id"), col(labelCol).as("label"),
+    vecs.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("id"), col(labelCol).as("label"),
         floor(own * lit(1000000.0)).cast(LongType).as("own_micro"),
         floor(other * lit(1000000.0)).cast(LongType).as("other_micro"))
       .withColumn("margin_micro", col("own_micro") - col("other_micro"))

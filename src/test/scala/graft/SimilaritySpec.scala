@@ -467,5 +467,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Similarity.labelMargin(e.filter(col("label") === 0))
     }.getMessage.contains("two labels"))
+    // null labels are excluded from centroids AND from scoring: an
+    // unlabeled row is not a mislabel suspect, and its null margin
+    // must not crowd the k worst slots via nulls-first ordering
+    val withNulls = e.unionByName(
+      e.limit(3).select(col("vec_id") + 500000L,
+        lit(null).cast("int").as("label"), col("embedding"))
+        .toDF("vec_id", "label", "embedding"))
+    val gotN = Similarity.labelMargin(withNulls, k = 15).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(gotN === want,
+      "null-label rows leaked into the margin card or its centroids")
   }
 }
