@@ -87,9 +87,26 @@ object DedupIndex {
       .write.mode("overwrite").saveAsTable(s"${prefix}_fpdigest")
   }
 
+  /** O(delta) digest maintenance (the [[NearDupIndex]] discipline):
+    * only the delta's nonzero words append as rows; [[readDigest]]
+    * OR-folds per idx — exact because Bloom bits only turn on. Full
+    * rewrites happen at build and resize only, compacting the
+    * appended rows away.
+    */
+  private def appendDigestWords(spark: SparkSession, prefix: String,
+                                deltaWords: Array[Long]): Unit = {
+    import spark.implicits._
+    val nz = deltaWords.zipWithIndex
+      .collect { case (w, i) if w != 0L => (i.toLong, w) }
+    if (nz.nonEmpty)
+      nz.toSeq.toDF("idx", "word").coalesce(1)
+        .write.mode("append").saveAsTable(s"${prefix}_fpdigest")
+  }
+
   private def readDigest(spark: SparkSession, prefix: String,
                          mBits: Int): Array[Long] = {
-    val rows = spark.table(s"${prefix}_fpdigest").collect()
+    val rows = spark.table(s"${prefix}_fpdigest")
+      .groupBy(col("idx")).agg(bit_or(col("word")).as("word")).collect()
     val words = new Array[Long](mBits / 64)
     require(rows.length == words.length,
       s"fp digest ${prefix}_fpdigest has ${rows.length} words, expected ${words.length}")
@@ -147,8 +164,8 @@ object DedupIndex {
 
   /** Append the gated survivors of a delta in O(delta): one
     * fps-append of the batch's new distinct texts, a digest grown by
-    * OR-union of the delta's Bloom words into the stored words
-    * ([[Bloom.orUnionWords]]; the full fp column is re-scanned only
+    * APPENDING the delta's nonzero Bloom words as rows
+    * ([[appendDigestWords]]; the full fp column is re-scanned only
     * on a [[Retrieval.digestSizing]] resize boundary), stats/ledger
     * update. The
     * two-tier disjointness guard refuses re-submitted texts loudly —
@@ -192,17 +209,17 @@ object DedupIndex {
       val nDelta = fps.count()
       val nTotal = meta.nFps + nDelta
       // re-sized for the grown count at every append; same mBits →
-      // O(delta) union into the already-read words, resize boundary →
-      // the one full fp-column rebuild
+      // append only the delta's nonzero words (the stored digest is
+      // never touched), resize boundary → the one full fp-column
+      // rebuild
       val mBits = Retrieval.digestSizing(nTotal)
-      val newWords =
-        if (mBits == meta.mBits)
-          Bloom.orUnionWords(words,
-            Bloom.buildLongKeyBloom(fps, "fp", mBits, meta.k))
-        else
+      if (mBits == meta.mBits)
+        appendDigestWords(spark, prefix,
+          Bloom.buildLongKeyBloom(fps, "fp", mBits, meta.k))
+      else
+        writeDigest(spark, prefix,
           Bloom.buildLongKeyBloom(spark.table(s"${prefix}_fps"), "fp",
-            mBits, meta.k)
-      writeDigest(spark, prefix, newWords)
+            mBits, meta.k))
       Bucketing.dropTableAndLocation(spark, s"${prefix}_stats")
       spark.range(1).select(
           lit(nTotal).as("n_fps"),

@@ -226,19 +226,19 @@ object IvfIndex {
       val nDelta = assigned.count()
       // digest RE-SIZED for the grown count at every append (the
       // discipline the dedup/near-dup indexes and BM25 compaction
-      // follow); same mBits → O(delta) union of the delta ids' words
-      // into the already-read digest, resize boundary → the one full
-      // ids-column rebuild that restores the sized FP rate
+      // follow); same mBits → append only the delta ids' nonzero
+      // words (the stored digest is never touched), resize boundary →
+      // the one full ids-column rebuild that restores the sized FP
+      // rate and compacts the appended word rows
       val newMBits = Retrieval.digestSizing(row.getAs[Long]("n_vecs") + nDelta)
-      val newWords =
-        if (newMBits == mBits)
-          Bloom.orUnionWords(words,
-            Bloom.buildLongKeyBloom(assigned.select(col("id").as("doc_id")),
-              "doc_id", mBits, digestK))
-        else
+      if (newMBits == mBits)
+        Retrieval.appendIdDigestWords(spark, prefix,
+          Bloom.buildLongKeyBloom(assigned.select(col("id").as("doc_id")),
+            "doc_id", mBits, digestK))
+      else
+        Retrieval.writeIdDigest(spark, prefix,
           Bloom.buildLongKeyBloom(spark.table(s"${prefix}_ids"), "doc_id",
-            newMBits, digestK)
-      Retrieval.writeIdDigest(spark, prefix, newWords)
+            newMBits, digestK))
       Bucketing.dropTableAndLocation(spark, s"${prefix}_stats")
       spark.range(1).select(
           lit(row.getAs[Long]("n_vecs") + nDelta).as("n_vecs"),

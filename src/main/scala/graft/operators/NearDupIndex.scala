@@ -68,9 +68,27 @@ object NearDupIndex {
       .write.mode("overwrite").saveAsTable(s"${prefix}_bkdigest")
   }
 
+  /** O(delta) digest maintenance: only the DELTA's nonzero words are
+    * APPENDED as rows — [[readDigest]] OR-folds per idx, and Bloom
+    * bits only ever turn on, so the fold is order-free and exact. A
+    * full-array rewrite (mBits/64 rows — corpus-sized at 16 bits/key)
+    * happens only at build and on resize boundaries, which also
+    * compacts the appended rows away.
+    */
+  private def appendDigestWords(spark: SparkSession, prefix: String,
+                                deltaWords: Array[Long]): Unit = {
+    import spark.implicits._
+    val nz = deltaWords.zipWithIndex
+      .collect { case (w, i) if w != 0L => (i.toLong, w) }
+    if (nz.nonEmpty)
+      nz.toSeq.toDF("idx", "word").coalesce(1)
+        .write.mode("append").saveAsTable(s"${prefix}_bkdigest")
+  }
+
   private def readDigest(spark: SparkSession, prefix: String,
                          mBits: Int): Array[Long] = {
-    val rows = spark.table(s"${prefix}_bkdigest").collect()
+    val rows = spark.table(s"${prefix}_bkdigest")
+      .groupBy(col("idx")).agg(bit_or(col("word")).as("word")).collect()
     val words = new Array[Long](mBits / 64)
     require(rows.length == words.length,
       s"bucket digest ${prefix}_bkdigest has ${rows.length} words, expected ${words.length}")
@@ -155,14 +173,14 @@ object NearDupIndex {
   /** Append NEW docs in O(delta): their buckets and shingle sets land
     * beside the existing postings (per-doc facts — probe answers over
     * build(base)+append(delta) are identical to build(base ∪ delta)),
-    * the bucket digest grows by OR-union of the DELTA's Bloom words
-    * into the stored words ([[Bloom.orUnionWords]] — bit-identical to
-    * a full rebuild because word contributions are per-key pure; a
-    * full postings scan happens only when the digest crosses a
-    * [[Retrieval.digestSizing]] resize boundary), and the fold is
-    * bracketed by the intent marker. The id guard refuses a corpus_id
-    * already in the sets table (an id collision would fork
-    * verification).
+    * the bucket digest grows by APPENDING the delta's nonzero Bloom
+    * words as rows ([[appendDigestWords]] — the read-side OR-fold is
+    * bit-identical to a full rebuild because word contributions are
+    * per-key pure and bits only turn on; a full postings scan happens
+    * only when the digest crosses a [[Retrieval.digestSizing]] resize
+    * boundary), and the fold is bracketed by the intent marker. The
+    * id guard refuses a corpus_id already in the sets table (an id
+    * collision would fork verification).
     */
   def appendToNearDupIndex(spark: SparkSession, prefix: String,
                            newDocs: DataFrame, idCol: String, textCol: String,
@@ -189,25 +207,25 @@ object NearDupIndex {
     sets.write.mode("append").saveAsTable(s"${prefix}_sets")
     val nTotal = spark.table(s"${prefix}_sets").count()
     val mBits = Retrieval.digestSizing(nTotal * m.bands)
-    val newWords =
-      if (mBits == m.mBits) {
-        // O(delta) path: union the delta's words into the stored digest
-        // (postings are corpus×bands rows — the one column a per-append
-        // rebuild must never re-scan)
-        val deltaKeys = buckets
-          .select(bucketKey(col("band"), col("bucket")).as("bk"))
-        val deltaWords =
-          if (deltaKeys.isEmpty) new Array[Long](mBits / 64)
-          else Bloom.buildLongKeyBloom(deltaKeys, "bk", mBits, m.k)
-        Bloom.orUnionWords(readDigest(spark, prefix, m.mBits), deltaWords)
-      } else
-        // resize boundary: the one full-postings rebuild, amortized
-        // log-many times over an index's lifetime
-        Bloom.buildLongKeyBloom(
-          spark.table(s"${prefix}_buckets")
-            .select(bucketKey(col("band"), col("bucket")).as("bk")),
-          "bk", mBits, m.k)
-    writeDigest(spark, prefix, newWords)
+    if (mBits == m.mBits) {
+      // O(delta) path: append only the delta's nonzero words — the
+      // stored digest is never read, let alone rewritten (postings
+      // are corpus×bands rows and the word array is corpus-sized at
+      // 16 bits/key; a per-append touch of either is the cost this
+      // index must not pay)
+      val deltaKeys = buckets
+        .select(bucketKey(col("band"), col("bucket")).as("bk"))
+      if (!deltaKeys.isEmpty)
+        appendDigestWords(spark, prefix,
+          Bloom.buildLongKeyBloom(deltaKeys, "bk", mBits, m.k))
+    } else
+      // resize boundary: the one full-postings rebuild, amortized
+      // log-many times over an index's lifetime (also compacts the
+      // appended word rows away)
+      writeDigest(spark, prefix, Bloom.buildLongKeyBloom(
+        spark.table(s"${prefix}_buckets")
+          .select(bucketKey(col("band"), col("bucket")).as("bk")),
+        "bk", mBits, m.k))
     Bucketing.dropTableAndLocation(spark, s"${prefix}_stats")
     spark.range(1).select(
         lit(nTotal).as("n_docs"),

@@ -210,18 +210,35 @@ object Retrieval {
       .write.mode("overwrite").saveAsTable(s"${prefix}_iddigest")
   }
 
+  /** O(delta) digest maintenance for the in-place families
+    * ([[IvfIndex]]): only the delta's nonzero words append as rows;
+    * [[readIdDigest]] OR-folds per idx — exact because Bloom bits
+    * only turn on. Full rewrites happen at build and resize only,
+    * compacting the appended rows away. (BM25's segmented chain never
+    * needs this: each segment carries its own delta-sized digest.)
+    */
+  private[operators] def appendIdDigestWords(spark: SparkSession,
+                                             prefix: String,
+                                             deltaWords: Array[Long]): Unit = {
+    import spark.implicits._
+    val nz = deltaWords.zipWithIndex
+      .collect { case (w, i) if w != 0L => (i.toLong, w) }
+    if (nz.nonEmpty)
+      nz.toSeq.toDF("idx", "word").coalesce(1)
+        .write.mode("append").saveAsTable(s"${prefix}_iddigest")
+  }
+
   private[operators] def readIdDigest(spark: SparkSession, prefix: String,
                            mBits: Int): Array[Long] = {
-    val rows = spark.table(s"${prefix}_iddigest").collect()
+    val rows = spark.table(s"${prefix}_iddigest")
+      .groupBy(col("idx")).agg(bit_or(col("word")).as("word")).collect()
     val words = new Array[Long](mBits / 64)
-    val seen = new Array[Boolean](words.length)
     require(rows.length == words.length,
       s"id digest ${prefix}_iddigest has ${rows.length} words, expected ${words.length}")
     rows.foreach { r =>
       val i = r.getLong(0)
-      require(i >= 0 && i < words.length && !seen(i.toInt),
-        s"id digest ${prefix}_iddigest has duplicate or out-of-range word index $i")
-      seen(i.toInt) = true
+      require(i >= 0 && i < words.length,
+        s"id digest ${prefix}_iddigest has out-of-range word index $i")
       words(i.toInt) = r.getLong(1)
     }
     words

@@ -127,7 +127,10 @@ class DedupIndexSpec extends AnyFunSuite {
   }
 
   private def digestWords(table: String): Seq[(Long, Long)] =
-    spark.table(table).orderBy("idx").collect()
+    // the SEMANTIC digest: appended delta-word rows OR-fold per idx
+    // (exactly what the index's own readDigest does)
+    spark.table(table).groupBy(col("idx"))
+      .agg(bit_or(col("word")).as("word")).orderBy("idx").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
 
   test("append digest union == fresh-build digest (no resize crossed)") {
