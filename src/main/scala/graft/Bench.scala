@@ -10,6 +10,26 @@ import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
   * query's Spark jobs are cancelled via its job group and the query
   * records -1 — one pathological plan cannot eat the whole round.
   */
+/** Per-run throwaway warehouse dirs for the driver mains (Bench and
+  * Verify). Each run gets an empty dir under java.io.tmpdir, deleted
+  * on JVM exit — session state can no longer leak between rounds or
+  * between mains through cwd's spark-warehouse.
+  * SPARK_GRAFT_WAREHOUSE overrides (local debugging of artifacts).
+  */
+object BenchWarehouse {
+  def freshDir(tag: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_wh_${tag}_")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(p.toFile)
+      }
+      p.toString
+    })
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,6 +40,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fresh per-run warehouse: the default cwd spark-warehouse
+      // accumulates index artifacts across rounds AND across
+      // Verify/ScaleSmoke runs (measured 566 MB / 540 tables by round
+      // 11), so "cold" bench numbers depended on what earlier runs
+      // left behind — stale-dir stats during writes, and cached-index
+      // queries silently skipping their build when a prior run's
+      // table happened to survive. A throwaway dir makes every bench
+      // run start from the SAME empty state: pass 1 is honestly cold
+      // (builds included), pass 2 honestly warm.
+      .config("spark.sql.warehouse.dir", BenchWarehouse.freshDir("bench"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

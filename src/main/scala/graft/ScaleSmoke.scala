@@ -24,6 +24,10 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fresh per-run warehouse (see [[BenchWarehouse]]): K=20 index
+      // builds write GBs of managed tables — they must not pile up in
+      // cwd's spark-warehouse across runs or leak into Bench's state
+      .config("spark.sql.warehouse.dir", BenchWarehouse.freshDir("scale"))
       // a K=20 session accumulates tens of GB of shuffle files across
       // ~50 timed blocks; they are only reclaimed when their
       // ShuffleDependency objects are GC'd, and a single-JVM session
@@ -168,6 +172,7 @@ object ScaleSmoke {
     val runMain = only.isEmpty
     val runDedup = only.isEmpty || only.contains("r11")
     val runScd2 = only.isEmpty || only.contains("scd2") || only.contains("r11")
+    val runR12 = only.isEmpty || only.contains("r12")
     val results = (if (!runMain) Seq.empty[(String, Double, Long)] else Seq(
       time("minhash_lsh_1x") {
         Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 64, 16, 3, 0.5)
@@ -797,6 +802,105 @@ object ScaleSmoke {
           .queryExecution.toRdd.count()
       }
       Seq(r1, rk, rf)
+    }) ++ (if (!runR12) Seq.empty[(String, Double, Long)] else {
+      // ROUND-12 blocks: (a) FIXED-delta appends for the three
+      // in-place index families — with the O(delta) digest union an
+      // append's cost must be corpus-FLAT, the BM25 template
+      // (bm25_append 1.0x is the bar); (b) the COMPOSED four-gate
+      // ingest flagship (q_ingest_gate's exact plan) against a 1x vs
+      // Kx admitted history — each gate is individually proven
+      // corpus-FLAT for a clean batch, this measures that the
+      // composition inherits it.
+      import graft.operators.{DedupIndex, NearDupIndex, IvfIndex}
+      // indexes for the section, built untimed (builds are timed in
+      // the round-11 blocks; these exist to be gated/appended against)
+      Seq("ss_ig_dd_1x", s"ss_ig_dd_${k}x", "ss_ig_nd_1x", s"ss_ig_nd_${k}x",
+          "ss_ig_ivf_1x", s"ss_ig_ivf_${k}x").foreach { p =>
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(_.startsWith(p))
+          .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _))
+      }
+      DedupIndex.buildDedupIndex(docs1, "doc_id", "text", "ss_ig_dd_1x")
+      DedupIndex.buildDedupIndex(docsK, "doc_id", "text", s"ss_ig_dd_${k}x")
+      NearDupIndex.buildNearDupIndex(docs1, "doc_id", "text", "ss_ig_nd_1x")
+      NearDupIndex.buildNearDupIndex(docsK, "doc_id", "text", s"ss_ig_nd_${k}x")
+      val igCents = Similarity.trainIvfCentroids(emb1,
+        nCentroids = Similarity.suggestedCentroids(e1), dim = 64, iterations = 1)
+      IvfIndex.buildIvfIndex(emb1, "vec_id", "embedding", igCents, "ss_ig_ivf_1x")
+      IvfIndex.buildIvfIndex(embK, "vec_id", "embedding", igCents,
+        s"ss_ig_ivf_${k}x")
+      // the composed gate: a fixed 500-doc CLEAN batch (vowel-
+      // rewritten texts — novel shingles for both corpora) through
+      // exact-dup, near-dup, decontamination (fixed reference panel:
+      // benchmark suites do not grow with the archive) and the
+      // quality floor, in ONE plan
+      val igBatch = docs1.limit(500)
+        .select((col("doc_id") + 95000000L).as("doc_id"),
+          translate(col("text"), "aeiou", "qqqqq").as("text"))
+        .cache()
+      igBatch.count()
+      val igRef = docs1.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("text"))
+      val igWords = graft.operators.Bloom.buildBloomWords(igRef, "text",
+        mBits = 1 << 15, kHashes = 4, shingleW = 8)
+      def composedGate(ddPrefix: String, ndPrefix: String): Long = {
+        val exact = DedupIndex.gateNewDocs(spark, ddPrefix, igBatch,
+            "doc_id", "text")
+          .select(col("id").as("doc_id"), col("is_dup").as("exact_dup"))
+        val near = NearDupIndex.gateNearDups(spark, ndPrefix, igBatch,
+            "doc_id", "text", threshold = 0.5)
+          .select(col("delta_id").as("doc_id")).distinct()
+          .withColumn("__nd", lit(true))
+        val contam = graft.operators.Bloom.decontaminateExact(igBatch, igRef,
+            "doc_id", "text", igWords, mBits = 1 << 15, kHashes = 4,
+            shingleW = 8)
+          .select(col("id").as("doc_id"), col("contaminated"))
+        val quality = igBatch.select(col("doc_id"),
+          (floor(TextAnalysis.qualityScoreRaw(col("text")) * lit(10000.0)
+            + lit(0.5)).cast(org.apache.spark.sql.types.LongType) < 5000L)
+            .as("low_quality"))
+        exact.join(near, Seq("doc_id"), "left")
+          .withColumn("near_dup", coalesce(col("__nd"), lit(false)))
+          .drop("__nd")
+          .join(contam, Seq("doc_id"))
+          .join(quality, Seq("doc_id"))
+          .select(col("doc_id"),
+            (!col("exact_dup") && !col("near_dup") && !col("contaminated") &&
+              !col("low_quality")).as("admit"))
+          .queryExecution.toRdd.count()
+      }
+      val gates = Seq(
+        time("ingest_gate_1x") { composedGate("ss_ig_dd_1x", "ss_ig_nd_1x") },
+        time(s"ingest_gate_${k}x") {
+          composedGate(s"ss_ig_dd_${k}x", s"ss_ig_nd_${k}x") })
+      // FIXED-delta appends, timed AFTER the gates (appends mutate):
+      // 500 new texts / vectors folded into the 1x vs Kx index — the
+      // O(delta) claim measured
+      def ddDelta(off: Long) = docs1.limit(500)
+        .select((col("doc_id") + off).as("doc_id"),
+          concat(col("text"), lit(s" apnew$off")).as("text"))
+      def ivfDelta(off: Long) = emb1.limit(500)
+        .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+      val appends = Seq(
+        time("dedup_append_1x") {
+          DedupIndex.appendToDedupIndex(spark, "ss_ig_dd_1x",
+            ddDelta(96000000L), "doc_id", "text"); 500L },
+        time(s"dedup_append_${k}x") {
+          DedupIndex.appendToDedupIndex(spark, s"ss_ig_dd_${k}x",
+            ddDelta(96000000L), "doc_id", "text"); 500L },
+        time("neardup_append_1x") {
+          NearDupIndex.appendToNearDupIndex(spark, "ss_ig_nd_1x",
+            ddDelta(97000000L), "doc_id", "text"); 500L },
+        time(s"neardup_append_${k}x") {
+          NearDupIndex.appendToNearDupIndex(spark, s"ss_ig_nd_${k}x",
+            ddDelta(97000000L), "doc_id", "text"); 500L },
+        time("ivf_append_1x") {
+          IvfIndex.appendToIvfIndex(spark, "ss_ig_ivf_1x",
+            ivfDelta(98000000L), "vec_id", "embedding", igCents); 500L },
+        time(s"ivf_append_${k}x") {
+          IvfIndex.appendToIvfIndex(spark, s"ss_ig_ivf_${k}x",
+            ivfDelta(98000000L), "vec_id", "embedding", igCents); 500L })
+      gates ++ appends
     })
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
@@ -817,7 +921,9 @@ object ScaleSmoke {
         "bm25_build", "bm25_append", "bm25_champ_derive",
         "bm25_probe_exact", "bm25_probe_champ", "scd2_fold",
         "dedup_build", "dedup_gate_clean", "dedup_gate_dirty",
-        "neardup_build", "neardup_gate").foreach { base =>
+        "neardup_build", "neardup_gate",
+        "ingest_gate", "dedup_append", "neardup_append",
+        "ivf_append").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

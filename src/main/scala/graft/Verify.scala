@@ -110,6 +110,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fresh per-run warehouse (see [[BenchWarehouse]]): a Verify run
+      // must not inherit index tables a prior run/round left in cwd's
+      // spark-warehouse, nor leave 100s of MB behind for Bench to
+      // trip over
+      .config("spark.sql.warehouse.dir", BenchWarehouse.freshDir("verify"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // per-query wall-clock budget (mirrors Bench): one pathological
