@@ -502,6 +502,32 @@ object PipelineQueries {
         .orderBy(col("zbucket"))
     }),
 
+    // ---- zone-map pruning audit: the same rows under a range-
+    //      clustered vs a hashed file layout, each file's min/max
+    //      envelope (= its parquet footer stats), and which files a
+    //      range predicate must read. The contrast quantifies why
+    //      layout work pays at scan time: clustered reads
+    //      O(selectivity) of the files, hashed reads all of them ----
+    "q_zonemap_prune" -> ((s, d) =>
+      Layout.zoneMapAudit(t(s, d, "documents"), col("doc_id"), nFiles = 32)
+        .orderBy(col("layout"), col("file_id"))),
+
+    // ---- small-file compaction planner: manifest = per-(source,
+    //      hash-file) byte totals; per partition, files below the
+    //      size floor are FFD-packed into target-capacity output
+    //      groups (bytes DESC, file_id ASC placement — deterministic,
+    //      so the oracle unrolls the identical greedy), big files
+    //      keep grp = -1 ----
+    "q_compaction_plan" -> ((s, d) => {
+      val manifest = t(s, d, "documents")
+        .groupBy(col("source"),
+          pmod(Frames.portableHash(col("doc_id"), 11L), lit(64L)).as("file_id"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      Layout.compactionPlan(manifest, "source", "file_id", "bytes",
+          targetDiv = 4L, smallDiv = 4L)
+        .orderBy(col("partition"), col("file_id"))
+    }),
+
     // ---- epoch assembly: deterministic shuffle THEN token-budget
     //      sequence packing in shuffled order — the reproducible
     //      "which 512-token training sequence does each doc land in
@@ -5768,6 +5794,86 @@ object PipelineQueries {
            min(ck) AS min_ck, max(ck) AS max_ck,
            min(od) AS min_od, max(od) AS max_od
          FROM k GROUP BY 1 ORDER BY 1""",
+    "q_zonemap_prune" ->
+      """WITH b AS (
+           SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+         p AS (
+           SELECT mn, mx, mx - mn AS span,
+             mn + (mx - mn) * 25 // 100 AS lo,
+             mn + (mx - mn) * 35 // 100 AS hi
+           FROM b),
+         h1 AS (
+           SELECT doc_id,
+             ((((doc_id + 97) % 1000000007) * ((doc_id + 97) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+           FROM documents),
+         lf AS (
+           SELECT d.doc_id AS k, 'clustered' AS layout,
+             ((d.doc_id - p.mn) * 32) // (p.span + 1) AS file_id
+           FROM documents d, p
+           UNION ALL
+           SELECT h1.doc_id AS k, 'hashed' AS layout,
+             ((v * v) % 1000000007) % 32 AS file_id
+           FROM h1),
+         z AS (
+           SELECT layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+             min(k) AS min_key, max(k) AS max_key
+           FROM lf GROUP BY 1, 2)
+         SELECT layout, file_id, n_rows, min_key, max_key,
+           NOT (max_key < p.lo OR min_key > p.hi) AS must_read
+         FROM z, p ORDER BY layout, file_id""",
+    "q_compaction_plan" ->
+      """WITH RECURSIVE h1 AS (
+           SELECT source, n_chars,
+             ((((doc_id + 11) % 1000000007) * ((doc_id + 11) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+           FROM documents),
+         m AS (
+           SELECT source AS partition,
+             CAST(((v * v) % 1000000007) % 64 AS BIGINT) AS file_id,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes
+           FROM h1 GROUP BY 1, 2),
+         caps AS (
+           SELECT partition, SUM(bytes) // 4 + 1 AS cap,
+             (SUM(bytes) // 4 + 1) // 4 AS floor_b
+           FROM m GROUP BY 1),
+         ord AS (
+           SELECT m.partition, m.file_id, m.bytes, c.cap,
+             CAST(ROW_NUMBER() OVER (PARTITION BY m.partition
+               ORDER BY m.bytes DESC, m.file_id) AS BIGINT) AS rn
+           FROM m JOIN caps c ON c.partition = m.partition
+           WHERE m.bytes < c.floor_b),
+         ffd AS (
+           SELECT partition, CAST(0 AS BIGINT) AS rn,
+                  CAST(NULL AS BIGINT) AS file_id,
+                  CAST(NULL AS BIGINT) AS bytes, CAST(NULL AS BIGINT) AS grp,
+                  CAST([] AS BIGINT[]) AS rem
+           FROM (SELECT DISTINCT partition FROM ord)
+           UNION ALL
+           SELECT partition, rn, file_id, bytes,
+             CASE WHEN pos = 0 THEN CAST(len(rem0) AS BIGINT)
+                  ELSE pos - 1 END AS grp,
+             CASE WHEN pos = 0 THEN list_append(rem0, cap - bytes)
+                  ELSE list_concat(list_concat(
+                         rem0[1:CAST(pos - 1 AS INTEGER)],
+                         [rem0[CAST(pos AS INTEGER)] - bytes]),
+                         rem0[CAST(pos + 1 AS INTEGER):len(rem0)]) END AS rem
+           FROM (
+             SELECT f.partition AS partition, f.rn + 1 AS rn,
+                    o.file_id AS file_id, o.bytes AS bytes, o.cap AS cap,
+                    f.rem AS rem0,
+                    CAST(COALESCE(list_position(
+                      list_transform(f.rem, r -> r >= o.bytes), true), 0)
+                      AS BIGINT) AS pos
+             FROM ffd f JOIN ord o
+               ON o.partition = f.partition AND o.rn = f.rn + 1))
+         SELECT partition, file_id, bytes, grp FROM (
+           SELECT partition, file_id, bytes, grp FROM ffd WHERE rn > 0
+           UNION ALL
+           SELECT m.partition, m.file_id, m.bytes, CAST(-1 AS BIGINT) AS grp
+           FROM m JOIN caps c ON c.partition = m.partition
+           WHERE m.bytes >= c.floor_b)
+         ORDER BY partition, file_id""",
     "q_shuffle_shards" ->
       """WITH h AS (
            SELECT doc_id,

@@ -140,6 +140,125 @@ object Layout {
       .withColumn(bucketCol, shiftright(col(keyCol), 2 * bits - bucketBits))
   }
 
+  /** Zone-map pruning audit: the quantified case for layout work.
+    *
+    * Simulates the same rows written under two file layouts — RANGE-
+    * CLUSTERED on the key (file = linear key bucket, the layout a
+    * sorted write produces) vs HASHED (file = portable hash of the
+    * key, the layout an unsorted shuffle produces) — computes each
+    * file's zone map (min/max of the key, exactly what a parquet
+    * footer stores), and marks which files a range predicate
+    * `key BETWEEN lo AND hi` must read (`must_read` = the file's
+    * [min,max] envelope intersects [lo,hi]). The contrast IS the
+    * pruning evidence: clustered layouts read O(selectivity) of the
+    * files, hashed layouts read ALL of them — at 100 TB that is the
+    * difference between scanning 3 files and 3,000.
+    *
+    * The predicate bounds are fractions of the observed key span
+    * (`lo = min + span·loNum/den`, integer math), so the audit is
+    * scale-factor-invariant and the oracle replays it exactly.
+    * Plan shape: one min/max stats pass (single row to the driver,
+    * inlined as literals), then ONE corpus scan — both layouts'
+    * (layout, file) rows come off a 2-way explode of the same row,
+    * aggregated by the 2·nFiles grouping keys with map-side partials.
+    */
+  def zoneMapAudit(df: DataFrame, key: Column, nFiles: Int,
+                   loNum: Long = 25, hiNum: Long = 35, den: Long = 100,
+                   seed: Long = 97L): DataFrame = {
+    require(nFiles >= 2, "need at least two files")
+    require(den > 0 && loNum >= 0 && hiNum >= loNum && hiNum <= den,
+      "predicate fractions must satisfy 0 <= loNum <= hiNum <= den")
+    val r = df.agg(min(key.cast(LongType)), max(key.cast(LongType))).head()
+    require(!r.anyNull, "zoneMapAudit: input is empty or the key is all-null")
+    val (minK, maxK) = (r.getLong(0), r.getLong(1))
+    val span = maxK - minK
+    require(span <= (1L << 53) / nFiles,
+      s"zoneMapAudit: key span $span x $nFiles files exceeds the " +
+        "exact-arithmetic bound (2^53) — pre-scale the key")
+    val lo = minK + span * loNum / den
+    val hi = minK + span * hiNum / den
+    val k = key.cast(LongType)
+    val clustered = intDiv((k - lit(minK)) * lit(nFiles.toLong), lit(span + 1))
+    val hashed = pmod(Frames.portableHash(k, seed), lit(nFiles.toLong))
+    df.select(k.as("k"),
+        explode(array(
+          struct(lit("clustered").as("layout"), clustered.as("file_id")),
+          struct(lit("hashed").as("layout"), hashed.as("file_id")))).as("lf"))
+      .groupBy(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+      .withColumn("must_read",
+        !(col("max_key") < lit(lo) || col("min_key") > lit(hi)))
+  }
+
+  /** Small-file compaction planner: per-partition first-fit-decreasing
+    * bin packing of the files below a size floor into target-size
+    * output groups — the OPTIMIZE/compact planning pass every
+    * lakehouse table needs once streaming writers start leaving
+    * thousands of KB-sized files per partition.
+    *
+    * The manifest is (partition, file_id, bytes) rows. Per partition:
+    * target group capacity C = partition_bytes/targetDiv + 1 and
+    * small-file floor T = C/smallDiv (integer math — both derived
+    * from the data, so the plan is scale-invariant and replayable);
+    * files with bytes >= T keep `grp` = -1 (already big enough to
+    * leave alone); smaller files are FFD-packed (bytes DESC, file_id
+    * ASC placement order — the same deterministic greedy as
+    * [[Frames.packSequencesFfd]], so an external engine replays the
+    * exact assignment) into groups 0,1,2,… of capacity C. Every small
+    * file fits an empty group by construction (T <= C).
+    *
+    * Scale shape: one manifest-sized shuffle for the per-partition
+    * totals, then one groupByKey over PARTITIONS — each task buffers
+    * one partition's FILE LIST (not its data; bounded by
+    * maxFilesPerPartition, default 4M files = 64 MB of task memory),
+    * and the plan's output is manifest-sized. The files themselves
+    * are never read: this is the planner, the rewrite executes it.
+    */
+  def compactionPlan(manifest: DataFrame, partCol: String, fileCol: String,
+                     bytesCol: String, targetDiv: Long = 4L,
+                     smallDiv: Long = 4L,
+                     maxFilesPerPartition: Long = 4000000L): DataFrame = {
+    require(targetDiv > 0 && smallDiv > 0, "divisors must be positive")
+    require(maxFilesPerPartition > 0, "maxFilesPerPartition must be positive")
+    val spark = manifest.sparkSession
+    import spark.implicits._
+    val totals = manifest.groupBy(col(partCol))
+      .agg(sum(col(bytesCol).cast(LongType)).as("__tot"))
+    val rows = manifest
+      .join(broadcast(totals), Seq(partCol))
+      .select(col(partCol).cast(StringType).as("partition"),
+        col(fileCol).cast(LongType).as("file_id"),
+        col(bytesCol).cast(LongType).as("bytes"),
+        (intDiv(col("__tot"), lit(targetDiv)) + lit(1L)).as("cap"))
+      .as[(String, Long, Long, Long)]
+    rows.groupByKey(_._1).flatMapGroups { (part, it) =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+      var over = false
+      while (it.hasNext && !over) {
+        buf += it.next()
+        if (buf.length > maxFilesPerPartition) over = true
+      }
+      if (over) throw new IllegalStateException(
+        s"compactionPlan: partition '$part' exceeds maxFilesPerPartition=" +
+          s"$maxFilesPerPartition manifest rows — split the partition or raise " +
+          "the bound (each task buffers one partition's file list)")
+      val cap = buf.head._4
+      val floor = cap / smallDiv
+      val files = buf.toArray.sortBy { case (_, id, b, _) => (-b, id) }
+      val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      files.iterator.map { case (_, id, b, _) =>
+        if (b >= floor) (part, id, b, -1L)
+        else {
+          var i = 0
+          while (i < rem.length && rem(i) < b) i += 1
+          if (i == rem.length) rem += (cap - b) else rem(i) -= b
+          (part, id, b, i.toLong)
+        }
+      }
+    }.toDF("partition", "file_id", "bytes", "grp")
+  }
+
   /** Write `df` parquet clustered by the Z-order of two dimensions:
     * range-partition on the key (equal-size files via the range
     * sampler), sort within each file so row-group stats are tight,

@@ -192,4 +192,83 @@ class LayoutSpec extends AnyFunSuite {
       assert(zFrac > cFrac + 0.2, "z-order must beat the control by a wide margin")
     } finally { rmrf(zDir); rmrf(cDir) }
   }
+
+  test("zoneMapAudit: clustered layout prunes, hashed layout reads everything") {
+    val df = (0L until 100L).toDF("k")
+    val audit = Layout.zoneMapAudit(df, col("k"), nFiles = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    val clustered = audit.filter(_._1 == "clustered").sortBy(_._2)
+    val hashed = audit.filter(_._1 == "hashed")
+    // both layouts partition the rows
+    assert(clustered.map(_._3).sum === 100L)
+    assert(hashed.map(_._3).sum === 100L)
+    // clustered files are DISJOINT key ranges covering [0, 99]
+    assert(clustered.map(_._2) === Array(0L, 1L, 2L, 3L))
+    for (Array(a, b) <- clustered.sliding(2))
+      assert(a._5 < b._4, s"clustered envelopes must be disjoint: $a vs $b")
+    // predicate is k in [min + span/4, min + 35*span/100] = [24, 34]:
+    // only clustered file 0 ([0,24]) and file 1 ([25,49]) intersect it
+    assert(clustered.map(f => f._2 -> f._6).toMap ===
+      Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
+    // hashed envelopes all straddle the predicate -> zero files pruned
+    assert(hashed.forall(_._6),
+      "every hashed file must be read — that's the point of the audit")
+  }
+
+  test("zoneMapAudit refuses empty/all-null input loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      Layout.zoneMapAudit(Seq.empty[Long].toDF("k"), col("k"), nFiles = 4)
+    }
+    assert(ex.getMessage.contains("empty"))
+  }
+
+  test("compactionPlan: deterministic FFD per partition, big files kept") {
+    // one partition, targetDiv=2 smallDiv=1: tot=42 -> cap=22, floor=22,
+    // every file small. FFD (bytes DESC, id ASC) into capacity 22:
+    // 9,8 -> g0 (rem 5); 7 -> g1 (15); 6 -> g1 (9); 5 -> g0 (0);
+    // 4 -> g1 (5); 3 -> g1 (2)
+    val m = Seq(("a", 1L, 9L), ("a", 2L, 8L), ("a", 3L, 7L), ("a", 4L, 6L),
+      ("a", 5L, 5L), ("a", 6L, 4L), ("a", 7L, 3L))
+      .toDF("part", "fid", "bytes")
+    val plan = Layout.compactionPlan(m, "part", "fid", "bytes",
+        targetDiv = 2L, smallDiv = 1L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(plan === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 0L, 6L -> 1L, 7L -> 1L))
+    // defaults (targetDiv=4, smallDiv=4): tot=42 -> cap=11, floor=2 ->
+    // everything >= 2 bytes keeps grp = -1 (big enough to leave alone)
+    val keep = Layout.compactionPlan(m, "part", "fid", "bytes")
+      .collect().map(_.getLong(3))
+    assert(keep.forall(_ === -1L))
+  }
+
+  test("compactionPlan: caps derive per partition; invariant under input partitioning") {
+    val m = (1L to 20L).map(i => ("p" + (i % 3), i, i * 10L))
+      .toDF("part", "fid", "bytes")
+    val a = Layout.compactionPlan(m, "part", "fid", "bytes")
+      .orderBy("partition", "file_id").collect().toSeq
+    val b = Layout.compactionPlan(m.repartition(13), "part", "fid", "bytes")
+      .orderBy("partition", "file_id").collect().toSeq
+    assert(a === b, "plan must not depend on the input's physical partitioning")
+    // every packed group fits its partition's capacity
+    val grouped = a.map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    for (((part, grp), files) <- grouped.filter(_._3 >= 0)
+           .groupBy(t => (t._1, t._3))) {
+      val tot = grouped.filter(_._1 == part).map(_._2).sum
+      val cap = tot / 4 + 1
+      assert(files.map(_._2).sum <= cap,
+        s"group $grp in $part overflows capacity $cap")
+    }
+  }
+
+  test("compactionPlan refuses an oversized partition file list loudly") {
+    val m = (1L to 50L).map(i => ("p", i, 10L)).toDF("part", "fid", "bytes")
+    val ex = intercept[Exception] {
+      Layout.compactionPlan(m, "part", "fid", "bytes",
+        maxFilesPerPartition = 10L).collect()
+    }
+    assert(ex.getMessage.contains("maxFilesPerPartition") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxFilesPerPartition")))
+  }
 }
