@@ -502,6 +502,22 @@ object PipelineQueries {
         .orderBy(col("zbucket"))
     }),
 
+    // ---- 2-D pruning audit: the OPTIMIZE ZORDER case quantified.
+    //      The same orders rows under z-order buckets vs a ck-sorted
+    //      vs an od-sorted layout; per-file 2-D envelopes and which
+    //      files a conjunctive range predicate must read. Z-order
+    //      reads ~sel(ck)·sel(od) of the files; each single-dim sort
+    //      reads the full stripe of its unsorted dimension ----
+    "q_zorder_prune" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .withColumn("ck", col("o_custkey").cast(LongType))
+        .withColumn("od", datediff(col("o_orderdate").cast(DateType),
+          lit("1970-01-01").cast(DateType)).cast(LongType))
+      Layout.zorderPruneAudit(o, col("ck"), col("od"),
+          bits = 16, bucketBits = 6)
+        .orderBy(col("layout"), col("file_id"))
+    }),
+
     // ---- zone-map pruning audit: the same rows under a range-
     //      clustered vs a hashed file layout, each file's min/max
     //      envelope (= its parquet footer stats), and which files a
@@ -5794,6 +5810,54 @@ object PipelineQueries {
            min(ck) AS min_ck, max(ck) AS max_ck,
            min(od) AS min_od, max(od) AS max_od
          FROM k GROUP BY 1 ORDER BY 1""",
+    "q_zorder_prune" ->
+      """WITH base AS (
+           SELECT o_custkey AS a,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS b
+           FROM orders),
+         bd AS (
+           SELECT min(a) AS min_a, max(a) AS max_a,
+                  min(b) AS min_b, max(b) AS max_b
+           FROM base),
+         p AS (
+           SELECT min_a, max_a, min_b, max_b,
+             min_a + (max_a - min_a) * 25 // 100 AS lo_a,
+             min_a + (max_a - min_a) * 35 // 100 AS hi_a,
+             min_b + (max_b - min_b) * 40 // 100 AS lo_b,
+             min_b + (max_b - min_b) * 60 // 100 AS hi_b
+           FROM bd),
+         qz AS (
+           SELECT a, b,
+             CASE WHEN max_a = min_a THEN 0
+               ELSE ((a - min_a) * 65535) // (max_a - min_a) END AS qa,
+             CASE WHEN max_b = min_b THEN 0
+               ELSE ((b - min_b) * 65535) // (max_b - min_b) END AS qb,
+             ((a - min_a) * 64) // (max_a - min_a + 1) AS fa,
+             ((b - min_b) * 64) // (max_b - min_b + 1) AS fb
+           FROM base, bd),
+         k AS (
+           SELECT a, b, fa, fb,
+             CAST(list_sum(list_transform(range(0, 16),
+               i -> (((qa >> i) & 1) << (2*i)) + (((qb >> i) & 1) << (2*i+1))))
+             AS BIGINT) >> 26 AS zb
+           FROM qz),
+         lf AS (
+           SELECT a, b, 'zorder' AS layout, zb AS file_id FROM k
+           UNION ALL
+           SELECT a, b, 'sorted_a' AS layout, fa AS file_id FROM k
+           UNION ALL
+           SELECT a, b, 'sorted_b' AS layout, fb AS file_id FROM k),
+         z AS (
+           SELECT layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+             min(a) AS min_a, max(a) AS max_a,
+             min(b) AS min_b, max(b) AS max_b
+           FROM lf GROUP BY 1, 2)
+         SELECT layout, file_id, n_rows,
+           z.min_a AS min_a, z.max_a AS max_a,
+           z.min_b AS min_b, z.max_b AS max_b,
+           NOT (z.max_a < p.lo_a OR z.min_a > p.hi_a OR
+                z.max_b < p.lo_b OR z.min_b > p.hi_b) AS must_read
+         FROM z, p ORDER BY layout, file_id""",
     "q_zonemap_prune" ->
       """WITH b AS (
            SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),

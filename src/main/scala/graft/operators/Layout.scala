@@ -191,6 +191,63 @@ object Layout {
         !(col("max_key") < lit(lo) || col("min_key") > lit(hi)))
   }
 
+  /** Two-dimensional pruning audit: [[zoneMapAudit]]'s lesson taken to
+    * the layout [[zorderKeyed]] exists to produce. The same rows under
+    * THREE layouts — Z-ORDER buckets (file = the Morton key's top
+    * bits), SORTED_A (file = linear bucket of dimension a: perfect
+    * pruning on a, none on b), SORTED_B (the mirror) — each file's 2-D
+    * min/max envelope, and which files a conjunctive range predicate
+    * `a BETWEEN .. AND b BETWEEN ..` must read (a file is skipped
+    * when EITHER dimension's envelope misses its range — exactly the
+    * parquet footer stats test). The numbers make the OPTIMIZE ZORDER
+    * case: z-order reads ~sel(a)·sel(b) of the files; a single-dim
+    * sort reads the full stripe of its unsorted dimension.
+    *
+    * Predicate bounds are integer fractions of each dimension's
+    * observed span (scale-invariant, oracle-replayable). Plan shape:
+    * one 4-stat bounds pass, then ONE corpus scan — all three
+    * layouts' rows come off a 3-way explode, aggregated by
+    * 3·2^bucketBits grouping keys with map-side partials.
+    */
+  def zorderPruneAudit(df: DataFrame, dimA: Column, dimB: Column,
+                       bits: Int = 16, bucketBits: Int = 6,
+                       loNumA: Long = 25, hiNumA: Long = 35,
+                       loNumB: Long = 40, hiNumB: Long = 60,
+                       den: Long = 100): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 2 * bits, "bucketBits out of range")
+    require(den > 0 && loNumA >= 0 && hiNumA >= loNumA && hiNumA <= den &&
+      loNumB >= 0 && hiNumB >= loNumB && hiNumB <= den,
+      "predicate fractions must satisfy 0 <= lo <= hi <= den")
+    val (minA, maxA, minB, maxB) = bounds2(df, dimA, dimB)
+    val nFiles = 1L << bucketBits
+    require(maxA - minA <= (1L << 53) / nFiles &&
+      maxB - minB <= (1L << 53) / nFiles,
+      "zorderPruneAudit: dimension span x files exceeds the exact-arithmetic bound")
+    val loA = minA + (maxA - minA) * loNumA / den
+    val hiA = minA + (maxA - minA) * hiNumA / den
+    val loB = minB + (maxB - minB) * loNumB / den
+    val hiB = minB + (maxB - minB) * hiNumB / den
+    val a = dimA.cast(LongType)
+    val b = dimB.cast(LongType)
+    val zb = shiftright(mortonInterleave2(
+      quantizeLinear(dimA, minA, maxA, bits),
+      quantizeLinear(dimB, minB, maxB, bits), bits), 2 * bits - bucketBits)
+    val fa = intDiv((a - lit(minA)) * lit(nFiles), lit(maxA - minA + 1))
+    val fb = intDiv((b - lit(minB)) * lit(nFiles), lit(maxB - minB + 1))
+    df.select(a.as("a"), b.as("b"),
+        explode(array(
+          struct(lit("zorder").as("layout"), zb.as("file_id")),
+          struct(lit("sorted_a").as("layout"), fa.as("file_id")),
+          struct(lit("sorted_b").as("layout"), fb.as("file_id")))).as("lf"))
+      .groupBy(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+      .withColumn("must_read",
+        !(col("max_a") < lit(loA) || col("min_a") > lit(hiA) ||
+          col("max_b") < lit(loB) || col("min_b") > lit(hiB)))
+  }
+
   /** Small-file compaction planner: per-partition first-fit-decreasing
     * bin packing of the files below a size floor into target-size
     * output groups — the OPTIMIZE/compact planning pass every

@@ -216,6 +216,26 @@ class LayoutSpec extends AnyFunSuite {
       "every hashed file must be read — that's the point of the audit")
   }
 
+  test("zorderPruneAudit: z-order reads sel(a)x sel(b) files, single-dim sorts read full stripes") {
+    // 64x64 uniform grid: spans 0..63 on both dims. Predicate defaults:
+    // a in [63*25//100, 63*35//100] = [15, 22], b in [25, 37].
+    // sorted_a files are single-a stripes -> exactly a in 15..22 read (8);
+    // sorted_b -> b in 25..37 (13); z-order cells are 8x8 rectangles ->
+    // acell {1,2} x bcell {3,4} = 4 files read.
+    val grid = (for { a <- 0L until 64L; b <- 0L until 64L } yield (a, b))
+      .toDF("a", "b")
+    val audit = Layout.zorderPruneAudit(grid, col("a"), col("b"),
+        bits = 16, bucketBits = 6)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(7)))
+    val byLayout = audit.groupBy(_._1)
+    // each layout partitions all 4096 rows
+    for ((_, rows) <- byLayout) assert(rows.map(_._2).sum === 4096L)
+    def readCount(l: String) = byLayout(l).count(_._3)
+    assert(readCount("sorted_a") === 8)
+    assert(readCount("sorted_b") === 13)
+    assert(readCount("zorder") === 4)
+  }
+
   test("zoneMapAudit refuses empty/all-null input loudly") {
     val ex = intercept[IllegalArgumentException] {
       Layout.zoneMapAudit(Seq.empty[Long].toDF("k"), col("k"), nFiles = 4)
