@@ -380,7 +380,24 @@ object PlanDump {
         "quality floor — meeting in arrival-sized joins. Every " +
         "corpus-scale artifact (fps, postings, sets, panel bits) " +
         "enters as a persisted index or plan literal; the arrivals " +
-        "batch is the only thing that flows."))
+        "batch is the only thing that flows."),
+    "q_zorder_prune" ->
+      ("2-D pruning audit: after the one-row bounds pass, all three " +
+        "layouts' (layout, file) rows come off ONE corpus scan via a " +
+        "codegen'd 3-way explode — the envelope aggregate groups on " +
+        "3 x 64 keys with map-side partials, so the single exchange " +
+        "carries at most 192 rows per task regardless of corpus " +
+        "size. The must_read column is a literal-bounds projection " +
+        "over the aggregate — the audit costs one scan, the layout " +
+        "decision it informs saves thousands."),
+    "q_compaction_plan" ->
+      ("Compaction planner: the corpus collapses FIRST to the " +
+        "(partition, file) manifest — the one corpus-keyed, " +
+        "map-side-combined shuffle; per-partition capacities " +
+        "broadcast back onto manifest rows, and the FFD fold runs " +
+        "per PARTITION over its file LIST (bounded, loud guard) — " +
+        "the files themselves are never read. Output is " +
+        "manifest-sized; no corpus-scale sort anywhere."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
