@@ -180,10 +180,13 @@ object Layout {
     val k = key.cast(LongType)
     val clustered = intDiv((k - lit(minK)) * lit(nFiles.toLong), lit(span + 1))
     val hashed = pmod(Frames.portableHash(k, seed), lit(nFiles.toLong))
-    df.select(k.as("k"),
+    // file ids precomputed in a Project (see [[zorderPruneAudit]]:
+    // expressions inlined into a Generate lose subexpression sharing)
+    df.select(k.as("k"), clustered.as("__fc"), hashed.as("__fh"))
+      .select(col("k"),
         explode(array(
-          struct(lit("clustered").as("layout"), clustered.as("file_id")),
-          struct(lit("hashed").as("layout"), hashed.as("file_id")))).as("lf"))
+          struct(lit("clustered").as("layout"), col("__fc").as("file_id")),
+          struct(lit("hashed").as("layout"), col("__fh").as("file_id")))).as("lf"))
       .groupBy(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("k")).as("min_key"), max(col("k")).as("max_key"))
@@ -234,11 +237,18 @@ object Layout {
       quantizeLinear(dimB, minB, maxB, bits), bits), 2 * bits - bucketBits)
     val fa = intDiv((a - lit(minA)) * lit(nFiles), lit(maxA - minA + 1))
     val fb = intDiv((b - lit(minB)) * lit(nFiles), lit(maxB - minB + 1))
+    // file ids are computed in a PROJECT before the explode: inside a
+    // Generate the Morton expression would be inlined per struct with
+    // no common-subexpression elimination (the quantize terms repeat
+    // 2x per bit), knocking the hot path out of efficient codegen —
+    // measured ~4x slower than this shape on the orders audit
     df.select(a.as("a"), b.as("b"),
+        zb.as("__zb"), fa.as("__fa"), fb.as("__fb"))
+      .select(col("a"), col("b"),
         explode(array(
-          struct(lit("zorder").as("layout"), zb.as("file_id")),
-          struct(lit("sorted_a").as("layout"), fa.as("file_id")),
-          struct(lit("sorted_b").as("layout"), fb.as("file_id")))).as("lf"))
+          struct(lit("zorder").as("layout"), col("__zb").as("file_id")),
+          struct(lit("sorted_a").as("layout"), col("__fa").as("file_id")),
+          struct(lit("sorted_b").as("layout"), col("__fb").as("file_id")))).as("lf"))
       .groupBy(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("a")).as("min_a"), max(col("a")).as("max_a"),
