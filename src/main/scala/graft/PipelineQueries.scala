@@ -1663,6 +1663,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- INCREMENTAL near-dup clustering: the corpus arrives in
+    //      three folds (build + two appends); resolved cluster
+    //      assignments must equal the batch closure over the whole
+    //      corpus's verified LSH pair graph — merges found through
+    //      the persisted index and propagated via representatives,
+    //      never a corpus-wide recomputation ----
+    "dedup_cluster_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val prefix = graft.operators.ClusterIndex.clusterAppendCached(
+        docs.filter(col("doc_id") % 3 === 0),
+        Seq(docs.filter(col("doc_id") % 3 === 1),
+          docs.filter(col("doc_id") % 3 === 2)),
+        "doc_id", "text", threshold = 0.5, portable = true)
+      graft.operators.ClusterIndex.resolvedMembers(s, prefix)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- gap-based sessionization (batch twin of the streaming op) ----
     "events_sessionize" -> ((s, d) =>
       EventStreams.sessionizeBatch(t(s, d, "events"), gapSeconds = 1800)
@@ -4514,6 +4531,54 @@ object PipelineQueries {
                ORDER BY s.quality_q4 DESC, c.doc_id) AS rk
            FROM comp c JOIN scored s USING (doc_id))
          SELECT doc_id, quality_q4 FROM best WHERE rk = 1 ORDER BY doc_id""",
+    "dedup_cluster_incremental" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         hs AS (
+           SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007))) AS sh
+           FROM t),
+         sg AS (
+           SELECT doc_id, sh,
+             list_transform(range(0, 64), j ->
+               list_min(list_transform(sh, x ->
+                 (((j + 1) * 1000003 + 12345) % 2147483647 * x
+                   + ((j + 1) * 999983 + 54321) % 2147483647) % 2147483647))) AS sig
+           FROM hs),
+         bk AS (
+           SELECT doc_id, b.band AS band,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_slice(sig, b.band * 4 + 1, b.band * 4 + 4)),
+               (a, x) -> (a * 1000003 + x) % 1000000007) AS bucket
+           FROM sg, (SELECT unnest(range(0, 16)) AS band) b),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bk x JOIN bk y
+             ON x.band = y.band AND x.bucket = y.bucket
+             AND x.doc_id < y.doc_id),
+         p AS (
+           SELECT c.id_a, c.id_b
+           FROM cand c JOIN hs a ON a.doc_id = c.id_a
+                       JOIN hs b ON b.doc_id = c.id_b
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5),
+         e AS (
+           SELECT id_a AS src, id_b AS dst FROM p
+           UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r2.id, e.dst FROM reach r2 JOIN e ON e.src = r2.r)
+         SELECT id AS doc_id, MIN(r) AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
     "dedup_minhash_cross" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,

@@ -173,6 +173,7 @@ object ScaleSmoke {
     val runDedup = only.isEmpty || only.contains("r11")
     val runScd2 = only.isEmpty || only.contains("scd2") || only.contains("r11")
     val runR12 = only.isEmpty || only.contains("r12")
+    val runR12b = only.isEmpty || only.contains("r12b")
     val results = (if (!runMain) Seq.empty[(String, Double, Long)] else Seq(
       time("minhash_lsh_1x") {
         Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 64, 16, 3, 0.5)
@@ -901,6 +902,31 @@ object ScaleSmoke {
           IvfIndex.appendToIvfIndex(spark, s"ss_ig_ivf_${k}x",
             ivfDelta(98000000L), "vec_id", "embedding", igCents); 500L })
       gates ++ appends
+    }) ++ (if (!runR12b) Seq.empty[(String, Double, Long)] else {
+      // incremental CLUSTERING index: a fixed 500-doc delta (vowel-
+      // rewritten — novel shingles, so a CLEAN batch: the honest
+      // steady-state case where the gate clears everything and no
+      // members scan happens) folded into a 1x vs Kx clustered
+      // corpus. The O(batch) claim measured — assignments for the
+      // batch at a cost independent of how much was ever clustered.
+      import graft.operators.ClusterIndex
+      Seq("ss_cl_1x", s"ss_cl_${k}x").foreach { p =>
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(_.startsWith(p))
+          .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _))
+      }
+      ClusterIndex.buildClusterIndex(docs1, "doc_id", "text", "ss_cl_1x")
+      ClusterIndex.buildClusterIndex(docsK, "doc_id", "text", s"ss_cl_${k}x")
+      def clDelta(off: Long) = docs1.limit(500)
+        .select((col("doc_id") + off).as("doc_id"),
+          translate(col("text"), "aeiou", "zzzzz").as("text"))
+      Seq(
+        time("cluster_append_1x") {
+          ClusterIndex.appendToClusterIndex(spark, "ss_cl_1x",
+            clDelta(99000000L), "doc_id", "text"); 500L },
+        time(s"cluster_append_${k}x") {
+          ClusterIndex.appendToClusterIndex(spark, s"ss_cl_${k}x",
+            clDelta(99000000L), "doc_id", "text"); 500L })
     })
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
@@ -923,7 +949,7 @@ object ScaleSmoke {
         "dedup_build", "dedup_gate_clean", "dedup_gate_dirty",
         "neardup_build", "neardup_gate",
         "ingest_gate", "dedup_append", "neardup_append",
-        "ivf_append").foreach { base =>
+        "ivf_append", "cluster_append").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

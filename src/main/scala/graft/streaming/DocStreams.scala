@@ -685,6 +685,35 @@ object DocStreams {
     }
   }
 
+  /** Streaming maintainer for the incremental near-dup CLUSTERING
+    * index: each micro-batch's docs are folded into the persisted
+    * cluster assignments ([[graft.operators.ClusterIndex
+    * .appendToClusterIndex]] — edges through the embedded LSH index,
+    * merges via representatives), so `resolvedMembers` always answers
+    * with what a from-scratch batch closure over everything streamed
+    * so far would assign. Exactly-once via the lineage-ledger batchId
+    * tag (a foreachBatch retry of a fully-applied batch is a no-op;
+    * a crash mid-fold leaves the intent marker, which refuses further
+    * work loudly rather than serving a half-merged clustering).
+    */
+  final class ClusterIndexMaintainer(spark: org.apache.spark.sql.SparkSession,
+                                     prefix: String, idCol: String,
+                                     textCol: String) {
+    import graft.operators.ClusterIndex
+
+    def appendBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batch.isEmpty) return
+      val sp = batch.sparkSession
+      val tag = s"b$batchId"
+      if (ClusterIndex.lineageHasTag(sp, prefix, tag)) return // retry: done
+      ClusterIndex.appendToClusterIndex(sp, prefix, batch, idCol, textCol,
+        lineageTag = tag)
+      Seq("members", "remap", "stats", "nd_buckets", "nd_sets",
+        "nd_bkdigest", "nd_stats")
+        .foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
+    }
+  }
+
   /** The LIVE four-gate ingest pipeline — the deployment twin of the
     * `q_ingest_gate` batch flagship, actually running online: every
     * micro-batch is gated (exact-dup vs the fingerprint index +

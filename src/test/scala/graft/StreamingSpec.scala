@@ -922,6 +922,49 @@ class StreamingSpec extends AnyFunSuite {
       "batch-0 replay must append nothing")
   }
 
+  test("streamed cluster index == batch closure over everything streamed") {
+    import graft.operators.{ClusterIndex, Dedup}
+    import graft.streaming.DocStreams
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(300).cache()
+    docs.count()
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val arriving = docs.filter(col("doc_id") % 3 =!= 0)
+    val prefix = "scl_mnt"
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix))
+      .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _))
+    ClusterIndex.buildClusterIndex(base, "doc_id", "text", prefix,
+      threshold = 0.5, portable = true)
+    val src = java.nio.file.Files.createTempDirectory("graft-clmnt").toString
+    arriving.repartition(3).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val m = new DocStreams.ClusterIndexMaintainer(spark, prefix,
+      "doc_id", "text")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.foreachBatch(m.appendBatch _).start()
+    try q.processAllAvailable() finally q.stop()
+    // streamed assignments == from-scratch batch closure over the
+    // full corpus (micro-batch boundaries are invisible)
+    val got = ClusterIndex.resolvedMembers(spark, prefix)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5, portable = true)
+    val want = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(want.values.toSet.size < want.size,
+      "test slice produced no clusters at all")
+    assert(got === want,
+      "streamed clustering diverged from the batch closure")
+    // a replayed batch id is a ledger-only no-op
+    val n1 = spark.table(s"${prefix}_members").count()
+    m.appendBatch(arriving.limit(5), 0L)
+    assert(spark.table(s"${prefix}_members").count() === n1,
+      "batch-0 replay must append nothing")
+  }
+
   test("live ingest pipeline: four gates, cross-batch rejection, retry idempotence") {
     import graft.operators.{Bloom, DedupIndex, NearDupIndex}
     import graft.streaming.DocStreams
