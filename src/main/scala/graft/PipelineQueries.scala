@@ -1261,6 +1261,32 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     }),
 
+    // ---- binary (1-bit sign) quantization: Hamming shortlist over
+    //      packed sign words + exact re-rank — the 32x-compression
+    //      end of the quantization ladder ----
+    "sim_topk_sign" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.signTopK(e.repartition(s.sparkContext.defaultParallelism), e,
+          k = 1, shortlist = Similarity.suggestedShortlist(e.count(), 1),
+          dim = 64)
+        .select(col("query_id"), col("id").as("nn_id"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ---- recall@10 for sign-bit Hamming vs exact truth — the
+    //      quantization ladder's last rung measured ----
+    "sim_recall_sign" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val truth = Similarity.bruteForceTopK(
+          e.repartition(s.sparkContext.defaultParallelism), e, k = 10)
+        .select(col("query_id"), col("id").as("nn_id"))
+      val approx = Similarity.signTopK(
+          e.repartition(s.sparkContext.defaultParallelism), e, k = 10,
+          shortlist = Similarity.suggestedShortlist(e.count(), 10), dim = 64)
+        .select(col("query_id"), col("id").as("nn_id"))
+      Similarity.recallReport(truth, approx)
+    }),
+
     // ---- recall@10 for the SQ8 index vs exact truth — completes the
     //      recall tuning matrix (IVF / LSH / PQ / IVF-PQ / SQ8) ----
     "sim_recall_sq8" -> ((s, d) => {
@@ -4243,6 +4269,66 @@ object PipelineQueries {
            JOIN embeddings qe ON qe.vec_id = s.query_id
            JOIN embeddings ce ON ce.vec_id = s.id)
          SELECT query_id, id AS nn_id FROM rr WHERE rk = 1 ORDER BY query_id""",
+    "sim_topk_sign" ->
+      """WITH sc AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS id,
+             len(list_filter(range(0, 64),
+               i -> (a.embedding[i+1] > 0) <> (b.embedding[i+1] > 0))) AS h
+           FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+         short AS (
+           SELECT query_id, id FROM (
+             SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY h ASC, id) AS rk
+             FROM sc)
+           WHERE rk <= (SELECT greatest(4, CAST(ceil(2.0 *
+             sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) FROM embeddings)),
+         rr AS (
+           SELECT s.query_id, s.id,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC,
+                 s.id) AS rk
+           FROM short s
+           JOIN embeddings qe ON qe.vec_id = s.query_id
+           JOIN embeddings ce ON ce.vec_id = s.id)
+         SELECT query_id, id AS nn_id FROM rr WHERE rk = 1 ORDER BY query_id""",
+    "sim_recall_sign" ->
+      """WITH sc AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS id,
+             len(list_filter(range(0, 64),
+               i -> (a.embedding[i+1] > 0) <> (b.embedding[i+1] > 0))) AS h
+           FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+         short AS (
+           SELECT query_id, id FROM (
+             SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY h ASC, id) AS rk
+             FROM sc)
+           WHERE rk <= (SELECT greatest(40, CAST(ceil(2.0 *
+             sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) FROM embeddings)),
+         rr AS (
+           SELECT s.query_id, s.id,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC,
+                 s.id) AS rk
+           FROM short s
+           JOIN embeddings qe ON qe.vec_id = s.query_id
+           JOIN embeddings ce ON ce.vec_id = s.id),
+         sg AS (SELECT query_id, id AS nn_id FROM rr WHERE rk <= 10),
+         bf0 AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                 b.vec_id) AS rk
+           FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+         bf AS (SELECT query_id, nn_id FROM bf0 WHERE rk <= 10),
+         m AS (SELECT count(*) AS n_matched
+               FROM bf JOIN sg USING (query_id, nn_id)),
+         tt AS (SELECT count(*) AS n_truth FROM bf)
+         SELECT CAST(m.n_matched AS BIGINT) AS n_matched,
+           CAST(tt.n_truth AS BIGINT) AS n_truth,
+           CAST(m.n_matched * 1000000 // tt.n_truth AS BIGINT) AS recall_micro
+         FROM m, tt""",
     "sim_recall_sq8" ->
       """WITH z AS (
            SELECT vec_id,

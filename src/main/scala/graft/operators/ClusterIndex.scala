@@ -245,6 +245,38 @@ object ClusterIndex {
     Bucketing.dropTableAndLocation(spark, s"${prefix}_intent") // commit
   }
 
+  /** Maintenance tick (the BM25-compaction analog): fold the remap
+    * INTO members — every member row rewritten at its resolved id,
+    * remap emptied. One O(members) pass, paid when an operator
+    * chooses to (merge-heavy epochs grow the remap broadcast; folding
+    * resets the read path to a bare table scan). Answers are
+    * invariant by construction: [[resolvedMembers]] before ==
+    * members-as-written after; the fold is bracketed by the intent
+    * marker, and the lineage records a `compact{n}` entry so the
+    * ledger shows when the rewrite happened.
+    */
+  def compactClusterIndex(spark: SparkSession, prefix: String): Unit = {
+    requireNotTorn(spark, prefix, "compactClusterIndex")
+    val m = readMeta(spark, prefix)
+    val resolved = resolvedMembers(spark, prefix)
+      // sever lineage from the table being overwritten (the scd2
+      // fold lesson: a cache eviction mid-overwrite would recompute
+      // from a half-written source)
+      .localCheckpoint(true)
+    Bucketing.dropTableAndLocation(spark, s"${prefix}_intent")
+    spark.range(1).select(lit(s"compact:${m.nDocs}").as("entry"),
+        lit(m.nDocs).as("n_docs_before"))
+      .write.mode("overwrite").saveAsTable(s"${prefix}_intent")
+    Bucketing.dropTableAndLocation(spark, s"${prefix}_members")
+    resolved.write.mode("overwrite").saveAsTable(s"${prefix}_members")
+    Bucketing.dropTableAndLocation(spark, s"${prefix}_remap")
+    spark.range(0).select(lit(0L).as("old_cid"), lit(0L).as("new_cid"))
+      .write.mode("overwrite").saveAsTable(s"${prefix}_remap")
+    writeStats(spark, prefix, m.nDocs,
+      s"${m.lineage}+compact${m.nDocs}", m.threshold)
+    Bucketing.dropTableAndLocation(spark, s"${prefix}_intent") // commit
+  }
+
   /** Lineage-ledger membership (maintainer idempotence — mirrors
     * [[IvfIndex.lineageHasTag]]).
     */

@@ -732,6 +732,62 @@ object Similarity {
     graft.functions.NativeFunctions.cosineSim(
       transform(a, _.cast(FloatType)), transform(b, _.cast(FloatType)))
 
+  /** Binary (1-bit sign) quantized ANN — the extreme end of the
+    * quantization ladder (float32 -> int8 SQ -> PQ -> 1 bit): each
+    * vector keeps only its per-dimension SIGN, packed into two 32-bit
+    * words per 64 dims, and candidates are ranked by Hamming
+    * similarity — `bit_count(xor)` over the packed words, the
+    * cheapest per-pair scorer that exists (two long ops per 64 dims;
+    * 32x smaller than float32, the memory-bandwidth win binary
+    * embeddings are deployed for). The `shortlist` best Hamming
+    * candidates are re-scored with exact float cosine
+    * ([[exactRerank]]).
+    *
+    * Packing is a per-ROW map-only fold (the HOF cost the sqTopK
+    * kernel lesson warns about lands once per row here, never per
+    * pair); the per-PAIR hot path is pure codegen'd long arithmetic.
+    * Two words instead of one: the fold is acc*2+bit, and a 64-bit
+    * accumulator would overflow the sign bit under ANSI arithmetic —
+    * 32-bit halves stay exact. The Hamming score is surfaced as
+    * (d - 2h)/d (the standard cosine proxy; d a power of two keeps
+    * the double exact) so ranking and the external SQL replay share
+    * one deterministic (score DESC, id ASC) order, ties included.
+    *
+    * Scale shape: quantization map-only; scoring is a broadcast
+    * nested-loop over 16 bytes/vector; exact re-rank touches
+    * queries x shortlist rows. Self-ANN stays quadratic in
+    * candidates by construction — at corpus scale bound candidates
+    * with IVF cells first and keep this as the within-cell scorer.
+    */
+  def signTopK(corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
+               dim: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               excludeSelf: Boolean = true): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    require(dim >= 1 && dim <= 64 && Integer.bitCount(dim) == 1,
+      "signTopK packs one 64-dim block into two words; power-of-two dim <= 64")
+    val half = dim / 2
+    def packWord(v: Column, from: Int, until: Int): Column =
+      aggregate(
+        transform(typedLit((from until until).toList),
+          i => when(element_at(asDouble(v), i + 1) > 0.0, 1L).otherwise(0L)),
+        lit(0L), (acc, b) => acc * 2L + b)
+    def packed(df: DataFrame, idAs: String, w1: String, w2: String) =
+      df.select(col(idCol).as(idAs),
+        packWord(col(vecCol), 0, half).as(w1),
+        packWord(col(vecCol), half, dim).as(w2))
+    val c = packed(corpus, "id", "c1", "c2")
+    val q = broadcast(packed(queries, "query_id", "q1", "q2"))
+    val joined = c.join(q,
+      if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+    val h = bit_count(col("q1").bitwiseXOR(col("c1"))) +
+      bit_count(col("q2").bitwiseXOR(col("c2")))
+    val scored = joined.select(col("query_id"), col("id"),
+      ((lit(dim) - lit(2) * h).cast(DoubleType) / lit(dim.toDouble)).as("cos"))
+    val short = topKPerKey(scored, shortlist).select(col("query_id"), col("id"))
+    exactRerank(short, corpus, queries, k, idCol, vecCol)
+  }
+
   /** The composed corpus-scale SQ8 index, IVF-SQ8: coarse-cell
     * probing bounds the candidate set (~nProbe/cells of the corpus),
     * int8 code-space cosine ranks it 4x cheaper than float scan, and

@@ -139,6 +139,40 @@ class ClusterIndexSpec extends AnyFunSuite {
     cleanup("t_clcl")
   }
 
+  test("compaction folds the remap into members; answers invariant; appends keep working") {
+    cleanup("t_clcp")
+    val base = Seq(
+      (100L, aText), (200L, bText), (300L, cText)
+    ).toDF("doc_id", "text")
+    ClusterIndex.buildClusterIndex(base, "doc_id", "text", "t_clcp",
+      threshold = 0.3, bands = FixtureBands, portable = true)
+    ClusterIndex.appendToClusterIndex(spark, "t_clcp",
+      Seq((400L, aText + " " + bText)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val before = assignments("t_clcp")
+    assert(spark.table("t_clcp_remap").count() > 0, "merge must leave a remap row")
+    ClusterIndex.compactClusterIndex(spark, "t_clcp")
+    assert(assignments("t_clcp") === before,
+      "compaction changed answers")
+    assert(spark.table("t_clcp_remap").count() === 0,
+      "compaction must empty the remap")
+    // members now carry resolved ids directly
+    val raw = spark.table("t_clcp_members")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(raw === before, "members must be rewritten at resolved ids")
+    // the index keeps working: a post-compaction merge is correct
+    ClusterIndex.appendToClusterIndex(spark, "t_clcp",
+      Seq((500L, bText + " " + cText)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val after = assignments("t_clcp")
+    assert(Set(100L, 200L, 300L, 400L, 500L).map(after) === Set(100L))
+    assert(after === batchTruth(base
+        .union(Seq((400L, aText + " " + bText)).toDF("doc_id", "text"))
+        .union(Seq((500L, bText + " " + cText)).toDF("doc_id", "text")),
+      threshold = 0.3, bands = FixtureBands))
+    cleanup("t_clcp")
+  }
+
   test("torn intent marker refuses reads and appends loudly") {
     cleanup("t_cltorn")
     val d = docs.limit(40).cache(); d.count()

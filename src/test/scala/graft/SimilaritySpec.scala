@@ -280,6 +280,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r8 > r4, s"on this corpus 8 probes should strictly beat 4: $r4 -> $r8")
   }
 
+  test("signTopK: full shortlist degenerates to brute force; packed Hamming matches per-dim count") {
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings").limit(200)
+      .cache()
+    val n = e.count().toInt
+    // with shortlist = corpus size the exact re-rank sees everything,
+    // so the answer must equal brute force regardless of sign packing
+    val exact = Similarity.bruteForceTopK(e, e, k = 1)
+      .select("query_id", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sign = Similarity.signTopK(e, e, k = 1, shortlist = n, dim = 64)
+      .select("query_id", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sign === exact, "full-shortlist signTopK must equal brute force")
+    // partitioning-invariance: the shortlist's (score DESC, id ASC)
+    // order is total, so a different physical layout cannot change
+    // the answer even through Hamming's heavy ties
+    val sign13 = Similarity.signTopK(e.repartition(13), e, k = 1,
+        shortlist = Similarity.suggestedShortlist(n.toLong, 1), dim = 64)
+      .select("query_id", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sign3 = Similarity.signTopK(e.repartition(3), e, k = 1,
+        shortlist = Similarity.suggestedShortlist(n.toLong, 1), dim = 64)
+      .select("query_id", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sign13 === sign3,
+      "signTopK must not depend on the input's physical partitioning")
+  }
+
   test("native PqAdcTable matches the HOF table formulation") {
     val e = Tables.table(spark, TestSpark.sfDir, "embeddings").limit(30)
     val cbs = Similarity.trainPqCodebooks(e, m = 8, ksub = 16, dim = 64, portable = true)
