@@ -1920,6 +1920,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- GIF logical-screen-descriptor decode: LE dims + global
+    //      color table size from the packed byte — the remaining
+    //      common crawl image format beside PNG/BMP/JPEG ----
+    "multimodal_decode_gif" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "gif")
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+          new graft.operators.Multimodal.PureJvmCodec())
+        .select(col("id").as("doc_id"),
+          col("decoded.meta.width").as("width"),
+          col("decoded.meta.height").as("height"),
+          element_at(col("decoded.features"), 3).cast(LongType).as("palette"),
+          element_at(col("decoded.features"), 4).cast(LongType).as("version"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- document fingerprinting: portable code-point polynomial
     //      hashes (whole-text rolling fp + winnowing count), exactly
     //      reproduced by the DuckDB oracle via list folds. The
@@ -4851,6 +4867,13 @@ object PipelineQueries {
            CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
            CAST(2000 + doc_id % 4096 AS BIGINT) AS n_samples,
            CAST(64 + doc_id % 8 AS BIGINT) AS bitrate_kbps
+         FROM documents ORDER BY doc_id""",
+    "multimodal_decode_gif" ->
+      """SELECT doc_id,
+           CAST(8 + doc_id % 200 AS INTEGER) AS width,
+           CAST(8 + doc_id % 160 AS INTEGER) AS height,
+           CAST(1 << CAST(1 + doc_id % 8 AS INTEGER) AS BIGINT) AS palette,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 87 ELSE 89 END AS BIGINT) AS version
          FROM documents ORDER BY doc_id""",
     "multimodal_decode_jpeg" ->
       """SELECT doc_id,

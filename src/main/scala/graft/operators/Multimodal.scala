@@ -532,6 +532,37 @@ object Multimodal {
       null
     }
 
+    /** GIF87a/GIF89a header decode — the logical screen descriptor
+      * right after the 6-byte magic: width/height as LITTLE-endian
+      * u16 (GIF is the one LE format in this tier — BMP aside — the
+      * others are network order), then the packed byte whose bit 7
+      * flags a global color table and whose low 3 bits n size it as
+      * 2^(n+1) entries. Same audit-tier contract as the JPEG walk:
+      * truncation, bad magic, or zero dims null out; features carry
+      * (w, h, palette entries, version87|89, gct flag, 0, 0).
+      */
+    private def decodeGifMeta(b: Array[Byte]): (Row, Array[Float]) = {
+      if (b.length < 13) return null
+      val magicOk = b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+        b(2) == 'F'.toByte && b(3) == '8'.toByte &&
+        (b(4) == '7'.toByte || b(4) == '9'.toByte) && b(5) == 'a'.toByte
+      if (!magicOk) return null
+      val version = if (b(4) == '7'.toByte) 87 else 89
+      val w = (b(6) & 0xFF) | ((b(7) & 0xFF) << 8)
+      val h = (b(8) & 0xFF) | ((b(9) & 0xFF) << 8)
+      if (w <= 0 || h <= 0) return null
+      if (w.toLong * h > MaxImagePixels) return null // bomb guard
+      val packed = b(10) & 0xFF
+      val hasGct = (packed & 0x80) != 0
+      val palette = if (hasGct) 1 << ((packed & 0x07) + 1) else 0
+      // a declared global color table must actually fit in the blob
+      // (3 bytes per entry after the 13-byte header)
+      if (hasGct && 13 + 3 * palette > b.length) return null
+      (Row("gif", w, h, 1, 0L),
+        Array[Float](w.toFloat, h.toFloat, palette.toFloat,
+          version.toFloat, if (hasGct) 1f else 0f, 0f, 0f))
+    }
+
     /** Pixel cap for compressed formats: a crafted IHDR/SOF claiming
       * a billion-pixel canvas must be rejected BEFORE any pixel
       * buffer is allocated (the decompression-bomb guard — the same
@@ -594,6 +625,7 @@ object Multimodal {
           case "mp3" => decodeMp3Meta(bytes)
           case "flac" => decodeFlacMeta(bytes)
           case "ogg" => decodeOggMeta(bytes)
+          case "gif" => decodeGifMeta(bytes)
           case "png" => decodeImageIo(bytes, fmt)
           case "jpg" | "jpeg" =>
             // two tiers: full pixel decode when the entropy stream is
@@ -990,6 +1022,29 @@ object Multimodal {
     * recomputes the same features from the formulas — a wrong stride,
     * row order or channel order fails the hash.
     */
+  /** Minimal valid GIF: magic + logical screen descriptor + (optional)
+    * global color table + trailer. `palBits` in [1,8] sizes the table
+    * at 2^palBits entries (the descriptor's low 3 bits store
+    * palBits-1); `v89` picks GIF89a vs GIF87a.
+    */
+  def buildGif(w: Int, h: Int, palBits: Int, v89: Boolean): Array[Byte] = {
+    require(w > 0 && w < 65536 && h > 0 && h < 65536 &&
+      palBits >= 1 && palBits <= 8, "bad gif fixture params")
+    val pal = 1 << palBits
+    val out = new Array[Byte](13 + 3 * pal + 1)
+    val magic = if (v89) "GIF89a" else "GIF87a"
+    magic.getBytes("US-ASCII").copyToArray(out)
+    out(6) = (w & 0xFF).toByte; out(7) = ((w >> 8) & 0xFF).toByte
+    out(8) = (h & 0xFF).toByte; out(9) = ((h >> 8) & 0xFF).toByte
+    out(10) = (0x80 | ((palBits - 1) & 0x07)).toByte // GCT flag + size
+    out(11) = 0 // background color index
+    out(12) = 0 // aspect
+    var i = 0
+    while (i < 3 * pal) { out(13 + i) = ((i * 11) % 256).toByte; i += 1 }
+    out(out.length - 1) = 0x3B.toByte // trailer
+    out
+  }
+
   def synthMediaBlobs(df: DataFrame, idCol: String, format: String): DataFrame = {
     val outSchema = StructType(Seq(StructField("id", LongType),
       StructField("bytes", BinaryType), StructField("format", StringType)))
@@ -1026,6 +1081,8 @@ object Multimodal {
           case "jpeg" => buildJpegMeta((16 + id % 240).toInt,
             (16 + id % 180).toInt,
             channels = if (id % 5 == 0) 1 else 3)
+          case "gif" => buildGif((8 + id % 200).toInt, (8 + id % 160).toInt,
+            palBits = (1 + id % 8).toInt, v89 = id % 3 != 0)
           case other => throw new IllegalArgumentException(
             s"synthMediaBlobs: unknown format $other")
         }

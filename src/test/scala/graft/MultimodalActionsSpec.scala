@@ -347,6 +347,36 @@ class MultimodalActionsSpec extends AnyFunSuite {
     assert(rows(2).getStruct(3).getAs[Array[Byte]](0).length === 8) // short stays
   }
 
+  test("PureJvmCodec: GIF logical screen descriptor — LE dims, palette size, loud nulls") {
+    val codec = new Multimodal.PureJvmCodec()
+    val b = Multimodal.buildGif(320, 200, palBits = 5, v89 = true)
+    val (meta, f) = codec.decode(b, "gif")
+    assert(meta.getString(0) === "gif")
+    assert(meta.getInt(1) === 320 && meta.getInt(2) === 200)
+    assert(f(0) === 320f && f(1) === 200f)
+    assert(f(2) === 32f, "palette = 2^palBits entries")
+    assert(f(3) === 89f && f(4) === 1f)
+    // GIF87a variant
+    val g87 = codec.decode(Multimodal.buildGif(7, 9, 1, v89 = false), "gif")
+    assert(g87._2(3) === 87f && g87._2(2) === 2f)
+    // dims are LITTLE endian: width 0x0140 must not read as 0x4001
+    assert(meta.getInt(1) !== 0x4001)
+    // truncation: header cut, and a declared GCT the blob can't hold
+    assert(codec.decode(b.take(5), "gif") === null)
+    assert(codec.decode(b.take(12), "gif") === null)
+    assert(codec.decode(b.take(13 + 10), "gif") === null) // mid-GCT
+    // bad magic / mislabeled blob
+    val badMagic = b.clone(); badMagic(4) = '8'.toByte
+    assert(codec.decode(badMagic, "gif") === null)
+    assert(codec.decode(Multimodal.buildPng(4, 3, _ => 1), "gif") === null)
+    // zero dims refused
+    val zeroW = b.clone(); zeroW(6) = 0; zeroW(7) = 0
+    assert(codec.decode(zeroW, "gif") === null)
+    // bomb guard: 65535 x 65535 logical screen refused
+    val bomb = Multimodal.buildGif(65535, 65535, 1, v89 = true)
+    assert(codec.decode(bomb, "gif") === null)
+  }
+
   test("codec close() fires even when a limit abandons the iterator early") {
     MultimodalActionsSpec.opens.set(0)
     MultimodalActionsSpec.closes.set(0)
