@@ -1706,6 +1706,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- first/last-touch conversion attribution: per purchase, the
+    //      touch that started and the touch that closed the journey
+    //      within a 1h lookback — one actor-keyed shuffle, RANGE-frame
+    //      extrema, no conversions x touches join blowup ----
+    "events_attribution" -> ((s, d) =>
+      Temporal.attributionFirstLast(t(s, d, "events"), "user_id", "ts",
+          "event_type", "event_id", convType = "purchase",
+          touchTypes = Seq("click", "view", "signup"),
+          windowSeconds = 3600L)
+        .orderBy(col("conv_id"))),
+
     // ---- gap-based sessionization (batch twin of the streaming op) ----
     "events_sessionize" -> ((s, d) =>
       EventStreams.sessionizeBatch(t(s, d, "events"), gapSeconds = 1800)
@@ -3932,6 +3943,32 @@ object PipelineQueries {
            SELECT r2.id, e.dst FROM reach r2 JOIN e ON e.src = r2.r)
          SELECT id AS doc_id, MIN(r) AS canonical_id
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "events_attribution" ->
+      """WITH c AS (
+           SELECT event_id, user_id, epoch_us(ts) AS us
+           FROM events WHERE event_type = 'purchase'),
+         t AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+           FROM events WHERE event_type IN ('click', 'view', 'signup')),
+         j AS (
+           SELECT c.event_id AS conv_id, t.event_id AS tid,
+             t.event_type AS ttp,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+               ORDER BY t.us ASC, t.event_id ASC) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+               ORDER BY t.us DESC, t.event_id DESC) AS rl
+           FROM c JOIN t ON t.user_id = c.user_id
+             AND t.us BETWEEN c.us - 3600000000 AND c.us),
+         f AS (SELECT conv_id, tid AS first_touch_id,
+                 ttp AS first_touch_type FROM j WHERE rf = 1),
+         l AS (SELECT conv_id, tid AS last_touch_id,
+                 ttp AS last_touch_type FROM j WHERE rl = 1)
+         SELECT c.event_id AS conv_id, c.user_id AS actor,
+           f.first_touch_id, f.first_touch_type,
+           l.last_touch_id, l.last_touch_type
+         FROM c LEFT JOIN f ON f.conv_id = c.event_id
+                LEFT JOIN l ON l.conv_id = c.event_id
+         ORDER BY conv_id""",
     "events_sessionize" ->
       """WITH w AS (
            SELECT user_id, ts, event_id,

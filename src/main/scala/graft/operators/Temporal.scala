@@ -184,4 +184,52 @@ object Temporal {
         expr("n_active * 1000000 div n_cohort").as("retention_micro"))
       .orderBy(col("cohort"), col("offset"))
   }
+
+  /** First/last-touch conversion attribution — the standard
+    * marketing-analytics question: for every CONVERSION event, which
+    * preceding TOUCH (within a lookback window) gets the credit?
+    * First-touch credits the touch that STARTED the journey, last-
+    * touch the one that closed it; both are returned per conversion
+    * (ids and types; null when no touch fell in the window).
+    *
+    * Semantics are total and engine-independent: a touch qualifies
+    * when `conv.ts - window <= touch.ts <= conv.ts` (microsecond
+    * arithmetic on the actual timestamps — no second truncation);
+    * first = min, last = max by (ts_us, event_id), so equal-timestamp
+    * touches break ties by id identically everywhere.
+    *
+    * Scale shape: ONE shuffle (by the actor key) and no join — every
+    * event row computes its trailing-window touch extrema with two
+    * conditional struct aggregates over a RANGE frame [-window, 0]
+    * on event-time micros (state = one struct per frame bound, the
+    * shape a RANGE window keeps incremental), then conversions are
+    * filtered out. The classic join formulation (conversions x
+    * touches per user) is what the oracle replays; this plan never
+    * materializes the pair blowup a bursty user would create.
+    */
+  def attributionFirstLast(events: DataFrame, actorCol: String,
+                           tsCol: String, typeCol: String, idCol: String,
+                           convType: String, touchTypes: Seq[String],
+                           windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "touchTypes must be non-empty and must not include the conversion type")
+    val tsUs = unix_micros(col(tsCol))
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    val touchStruct = when(isTouch,
+      struct(tsUs.as("us"), col(idCol).cast("long").as("id"),
+        col(typeCol).as("tp")))
+    val w = Window.partitionBy(col(actorCol)).orderBy(tsUs)
+      .rangeBetween(-windowSeconds * 1000000L, 0L)
+    events
+      .withColumn("__first", min(touchStruct).over(w))
+      .withColumn("__last", max(touchStruct).over(w))
+      .filter(col(typeCol) === convType)
+      .select(col(idCol).cast("long").as("conv_id"),
+        col(actorCol).as("actor"),
+        col("__first.id").as("first_touch_id"),
+        col("__first.tp").as("first_touch_type"),
+        col("__last.id").as("last_touch_id"),
+        col("__last.tp").as("last_touch_type"))
+  }
 }

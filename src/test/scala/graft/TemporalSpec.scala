@@ -257,4 +257,43 @@ class TemporalSpec extends AnyFunSuite {
       (1L, 0L) -> ((1L, 1L, 1000000L)),
       (1L, 2L) -> ((1L, 1L, 1000000L))))
   }
+
+  test("attributionFirstLast: window bound, ties by id, no-touch nulls, post-conv excluded") {
+    import java.sql.Timestamp
+    def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+    // user 1: touch at t=0 (click), touch at t=100 (view), conv at
+    // t=150 with window 120 -> t=0 OUTSIDE (150-120=30), first=last
+    // window touch differs: first in-window = t=100 view... craft
+    // richer: add a signup at t=100 too (same ts, larger id) to pin
+    // the tie-break; a click at t=200 AFTER the conversion must not
+    // attribute. user 2: conversion with no touches -> nulls.
+    val ev = Seq(
+      (1L, 1L, "click", ts(0)),
+      (2L, 1L, "view", ts(100)),
+      (3L, 1L, "signup", ts(100)),
+      (4L, 1L, "purchase", ts(150)),
+      (5L, 1L, "click", ts(200)),
+      (6L, 2L, "purchase", ts(50)),
+      // user 3: both touches inside the window, distinct ts
+      (7L, 3L, "click", ts(10)),
+      (8L, 3L, "view", ts(60)),
+      (9L, 3L, "purchase", ts(100))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Temporal.attributionFirstLast(ev, "user_id", "ts",
+        "event_type", "event_id", "purchase",
+        Seq("click", "view", "signup"), windowSeconds = 120L)
+      .collect().map(r => r.getLong(0) -> (
+        (if (r.isNullAt(2)) -1L else r.getLong(2)),
+        Option(r.getString(3)).getOrElse(""),
+        (if (r.isNullAt(4)) -1L else r.getLong(4)),
+        Option(r.getString(5)).getOrElse(""))).toMap
+    // conv 4: t=0 click is outside [30, 150]; the t=100 pair ties on
+    // ts -> first breaks to id 2 (view), last to id 3 (signup); the
+    // t=200 click is after the conversion and never counts
+    assert(out(4L) === ((2L, "view", 3L, "signup")))
+    // conv 6: no touches at all -> all-null credit
+    assert(out(6L) === ((-1L, "", -1L, "")))
+    // conv 9: first = click@10, last = view@60
+    assert(out(9L) === ((7L, "click", 8L, "view")))
+  }
 }
