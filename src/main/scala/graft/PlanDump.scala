@@ -390,6 +390,21 @@ object PlanDump {
         "size. The must_read column is a literal-bounds projection " +
         "over the aggregate — the audit costs one scan, the layout " +
         "decision it informs saves thousands."),
+    "events_attribution" ->
+      ("Attribution: ONE Exchange (the user-key shuffle) feeds a " +
+        "single WindowExec computing both touch extrema as RANGE-" +
+        "frame struct aggregates — the conversions x touches join a " +
+        "bursty user would blow up never exists in this plan; the " +
+        "conversion filter projects after the window. State per " +
+        "frame bound is one struct, the incremental shape RANGE " +
+        "windows keep."),
+    "sim_topk_sign" ->
+      ("Sign-bit ANN: packing is a map-only Project over the corpus " +
+        "scan (the HOF fold runs once per ROW); the candidate scorer " +
+        "is a BroadcastNestedLoopJoin over 16 bytes/vector whose " +
+        "Hamming is two codegen'd xor/bit_count pairs — no HOF in " +
+        "the quadratic path — and the exact re-rank equi-joins full " +
+        "vectors for only query x shortlist rows."),
     "q_compaction_plan" ->
       ("Compaction planner: the corpus collapses FIRST to the " +
         "(partition, file) manifest — the one corpus-keyed, " +

@@ -222,8 +222,8 @@ object Temporal {
     val w = Window.partitionBy(col(actorCol)).orderBy(tsUs)
       .rangeBetween(-windowSeconds * 1000000L, 0L)
     events
-      .withColumn("__first", min(touchStruct).over(w))
-      .withColumn("__last", max(touchStruct).over(w))
+      .select(col("*"), min(touchStruct).over(w).as("__first"),
+        max(touchStruct).over(w).as("__last"))
       .filter(col(typeCol) === convType)
       .select(col(idCol).cast("long").as("conv_id"),
         col(actorCol).as("actor"),
