@@ -703,4 +703,46 @@ class PlanShapeSpec extends AnyFunSuite {
     val shuffled = plan(o.hint("shuffle_hash").join(li, Seq("o_orderkey")))
     assert(shuffled.contains("ShuffledHashJoin"), s"shuffle_hash hint ignored:\n$shuffled")
   }
+
+  test("zone-map audits plan ONE corpus scan and one tiny-key aggregate exchange") {
+    import graft.operators.Layout
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val p1 = plan(Layout.zoneMapAudit(docs, col("doc_id"), nFiles = 32))
+    assert(countOccurrences(p1, "Scan parquet") === 1,
+      s"both layouts must come off one scan:\n$p1")
+    assert(countOccurrences(p1, "Exchange") === 1,
+      s"expected only the 2x32-key aggregate exchange:\n$p1")
+    assert(!p1.contains("Join"), s"the audit must not plan a join:\n$p1")
+    val orders = Tables.table(spark, TestSpark.sfDir, "orders")
+    val o2 = orders
+      .withColumn("ck", col("o_custkey").cast("long"))
+      .withColumn("od", datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long"))
+    val p2 = plan(Layout.zorderPruneAudit(o2, col("ck"), col("od")))
+    assert(countOccurrences(p2, "Scan parquet") === 1,
+      s"all three layouts must come off one scan:\n$p2")
+    assert(countOccurrences(p2, "Exchange") === 1,
+      s"expected only the 3x64-key aggregate exchange:\n$p2")
+    // the Morton key must be computed in a Project BEFORE the explode
+    // (inside the Generate it loses subexpression sharing — measured
+    // ~4x slower); the Generate's plan line must not carry the
+    // interleave's shiftleft chain
+    val gen = p2.linesIterator.find(_.contains("Generate")).getOrElse("")
+    assert(!gen.contains("shiftleft"),
+      s"Morton key leaked into the Generate:\n$gen")
+  }
+
+  test("attribution plans ONE actor exchange and ONE window (no touch join)") {
+    val ev = Tables.table(spark, TestSpark.sfDir, "events")
+    val df = Temporal.attributionFirstLast(ev, "user_id", "ts",
+      "event_type", "event_id", "purchase", Seq("click", "view"), 3600L)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"attribution must not plan a join:\n$p")
+    val exec = df.queryExecution.executedPlan
+    assert(allWindows(exec).size === 1,
+      s"both extrema must share one WindowExec:\n$p")
+    assert(countOccurrences(p, "Exchange") === 1,
+      s"expected only the actor-key shuffle:\n$p")
+  }
 }
