@@ -384,6 +384,61 @@ object EventStreams {
       }
   }
 
+  final case class Attribution(conv_id: Long, actor: Long,
+                               first_touch_id: Option[Long],
+                               first_touch_type: Option[String],
+                               last_touch_id: Option[Long],
+                               last_touch_type: Option[String])
+
+  /** Per-actor attribution state: the touches inside ONE lookback
+    * window (us, event_id, type) — pruned against the newest event
+    * time on every arrival, so state is bounded by an actor's touch
+    * rate x the window, never by stream length.
+    */
+  final case class TouchWindow(touches: List[(Long, Long, String)])
+
+  /** Streaming twin of [[graft.operators.Temporal
+    * .attributionFirstLast]]: per-actor state holds the lookback
+    * window's touches; each CONVERSION emits its first/last-touch
+    * credit the moment it is processed — identical to the batch
+    * RANGE-frame answer when events arrive in event-time order
+    * (micro-batches are sorted internally; cross-batch reordering
+    * needs the watermark buffer the other twins also presuppose).
+    * Ties break by (us, event_id) exactly like the batch operator.
+    */
+  def attributionStream(events: Dataset[Event], convType: String,
+                        touchTypes: Set[String],
+                        windowSeconds: Long): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    val winUs = windowSeconds * 1000000L
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + (t.getNanos / 1000L)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchWindow, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[TouchWindow]) =>
+          val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var buf = state.getOption.map(_.touches).getOrElse(Nil)
+          val out = List.newBuilder[Attribution]
+          sorted.foreach { e =>
+            val eus = us(e.ts)
+            buf = buf.filter(_._1 >= eus - winUs)
+            if (touchTypes(e.event_type))
+              buf = buf :+ ((eus, e.event_id, e.event_type))
+            else if (e.event_type == convType) {
+              val valid = buf.filter(t => t._1 <= eus)
+              val first = valid.minByOption(t => (t._1, t._2))
+              val last = valid.maxByOption(t => (t._1, t._2))
+              out += Attribution(e.event_id, userId,
+                first.map(_._2), first.map(_._3),
+                last.map(_._2), last.map(_._3))
+            }
+          }
+          state.update(TouchWindow(buf))
+          out.result().iterator
+      }
+  }
+
   /** One distinct (actor, period) activity fact, tagged with the
     * actor's cohort (their first-seen period).
     */

@@ -1403,6 +1403,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming attribution equals the batch RANGE-frame answer credit-for-credit") {
+    import graft.operators.Temporal
+    val ev = Tables.table(spark, TestSpark.sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).cache()
+    ev.count()
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) -> (
+      (if (r.isNullAt(2)) -1L else r.getLong(2)),
+      Option(r.getString(3)).getOrElse(""),
+      (if (r.isNullAt(4)) -1L else r.getLong(4)),
+      Option(r.getString(5)).getOrElse(""))
+    val batch = Temporal.attributionFirstLast(ev, "user_id", "ts",
+        "event_type", "event_id", "purchase", Seq("click", "view", "signup"),
+        windowSeconds = 86400L)
+      .collect().map(key).toMap
+    assert(batch.nonEmpty && batch.values.exists(_._1 >= 0) &&
+      batch.values.exists(_._1 < 0),
+      "test data must exercise both credited and uncredited conversions")
+    val (dir, sliced) = chronoSlices(ev, 16, "graft-attr")
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[EventStreams.Event]
+    val q = EventStreams.attributionStream(stream, "purchase",
+        Set("click", "view", "signup"), windowSeconds = 86400L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attrmem").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("""select conv_id, actor, first_touch_id,
+          first_touch_type, last_touch_id, last_touch_type from attrmem""")
+        .collect().map(key).toMap
+      assert(got === batch,
+        "streamed attribution diverged from the batch RANGE-frame answer")
+      // the claim is only interesting if some conversion's credited
+      // touch arrived in an EARLIER micro-batch
+      val sliceOf = sliced.select(col("event_id"), col("slice"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val crossBatch = batch.exists { case (cid, (fid, _, _, _)) =>
+        fid >= 0 && sliceOf(fid) < sliceOf(cid)
+      }
+      assert(crossBatch, "no credit spans a micro-batch boundary")
+    } finally q.stop()
+  }
+
   test("streaming cohort facts rebuild the batch retention table row-for-row") {
     val ev = Tables.table(spark, TestSpark.sfDir, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
