@@ -991,6 +991,22 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("source"), col("k"))
         .orderBy(col("doc_id"))),
 
+    // ---- l-diversity audit: k-anonymity's companion — a k-safe
+    //      class with ONE sensitive value still discloses it
+    //      (homogeneity attack); histogram of distinct-sensitive
+    //      counts per QI class ----
+    "q_ldiv_audit" -> ((s, d) =>
+      graft.operators.Quality.lDiversityAudit(
+        t(s, d, "documents"), Seq("source"), "lang").orderBy(col("l"))),
+
+    // ---- l-diversity suppression: rows in classes holding < lMin
+    //      distinct sensitive values are dropped; l rides along ----
+    "q_ldiv_suppress" -> ((s, d) =>
+      graft.operators.Quality.lDiversitySuppress(
+          t(s, d, "documents"), Seq("source"), "lang", lMin = 5)
+        .select(col("doc_id"), col("source"), col("lang"), col("l"))
+        .orderBy(col("doc_id"))),
+
     // ---- greedy k-center coreset: 8 maximally-diverse embedding
     //      rows by farthest-first selection (seed = min id; then
     //      argmin of max-cosine-to-selected, ties to smallest id, on
@@ -3426,6 +3442,21 @@ object PipelineQueries {
          SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
            CAST(k * count(*) AS BIGINT) AS n_rows
          FROM c GROUP BY k ORDER BY k""",
+    "q_ldiv_audit" ->
+      """WITH c AS (
+           SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS l,
+             CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY source)
+         SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(n) AS BIGINT) AS n_rows
+         FROM c GROUP BY l ORDER BY l""",
+    "q_ldiv_suppress" ->
+      """WITH c AS (
+           SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS l
+           FROM documents GROUP BY source)
+         SELECT d.doc_id, d.source, d.lang, c.l
+         FROM documents d JOIN c ON c.source = d.source
+         WHERE c.l >= 5 ORDER BY d.doc_id""",
     "q_kanon_suppress" ->
       """WITH c AS (
            SELECT doc_id, lang, source,

@@ -276,6 +276,50 @@ object Quality {
     df.withColumn("k", count(lit(1)).over(w)).filter(col("k") >= kMin)
   }
 
+  /** Distinct l-diversity audit — k-anonymity's necessary companion:
+    * a class can be large (k-safe) yet carry ONE sensitive value, so
+    * membership alone discloses it (the homogeneity attack). Output:
+    * one row per distinct l (= distinct sensitive values in a QI
+    * class) with how many classes and rows sit at that diversity.
+    * Nulls in the sensitive column are ignored by the distinct count
+    * (both engines' COUNT(DISTINCT) semantics — documented, not
+    * accidental); null QI values group as VALUES like the k-audit.
+    *
+    * Scale: one QI-key shuffle with map-side partial distinct, then
+    * a class-count-sized histogram re-aggregation.
+    */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "lDiversityAudit: no quasi-identifier columns")
+    require(!qiCols.contains(sensitiveCol),
+      "lDiversityAudit: sensitive column cannot be a quasi-identifier")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("l"),
+        count(lit(1)).as("__n"))
+      .groupBy(col("l")).agg(count(lit(1)).as("n_classes"),
+        sum(col("__n")).as("n_rows"))
+  }
+
+  /** l-diversity suppression: drop every row whose QI class holds
+    * fewer than `lMin` distinct sensitive values; the class's l rides
+    * along for the audit trail. One shuffle, NO join: the distinct
+    * count is size(collect_set) over the QI window — state per class
+    * is the sensitive DOMAIN within it (bounded by the attribute's
+    * cardinality, never by class size).
+    */
+  def lDiversitySuppress(df: DataFrame, qiCols: Seq[String],
+                         sensitiveCol: String, lMin: Long): DataFrame = {
+    require(qiCols.nonEmpty, "lDiversitySuppress: no quasi-identifier columns")
+    require(lMin >= 1, "lMin must be positive")
+    require(!qiCols.contains(sensitiveCol),
+      "lDiversitySuppress: sensitive column cannot be a quasi-identifier")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols.map(col): _*)
+    df.withColumn("l",
+        size(collect_set(col(sensitiveCol)).over(w)).cast("long"))
+      .filter(col("l") >= lMin)
+  }
+
   /** Loud snapshot-uniqueness guard: one snapshot-sized aggregate —
     * the price of never silently forking an id's SCD timeline.
     */

@@ -160,4 +160,28 @@ class QualitySpec extends AnyFunSuite {
       Quality.kAnonymityAudit(df, Seq.empty)
     }.getMessage.contains("quasi-identifier"))
   }
+
+  test("l-diversity: homogeneity caught, suppression carries l, nulls ignored") {
+    // class A: 4 rows, ONE sensitive value (k-safe, l-unsafe — the
+    // homogeneity attack row); class B: 3 rows, 3 values; class C has
+    // a null sensitive value that must NOT count toward l
+    val df = Seq(
+      ("A", "s1"), ("A", "s1"), ("A", "s1"), ("A", "s1"),
+      ("B", "s1"), ("B", "s2"), ("B", "s3"),
+      ("C", "s1"), ("C", null)
+    ).toDF("qi", "sens")
+    val audit = Quality.lDiversityAudit(df, Seq("qi"), "sens")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit === Map(1L -> ((2L, 6L)), 3L -> ((1L, 3L))),
+      s"audit histogram wrong: $audit")
+    val kept = Quality.lDiversitySuppress(df, Seq("qi"), "sens", lMin = 2)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(kept.forall(_._1 == "B") && kept.length === 3 &&
+      kept.forall(_._2 === 3L),
+      s"only the 3-diverse class may survive lMin=2: ${kept.toSeq}")
+    // sensitive column may not double as a QI
+    assert(intercept[IllegalArgumentException] {
+      Quality.lDiversityAudit(df, Seq("sens"), "sens")
+    }.getMessage.contains("quasi-identifier"))
+  }
 }
