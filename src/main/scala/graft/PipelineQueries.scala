@@ -1722,6 +1722,39 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- top converting paths: per gap-session, the ordered
+    //      event-type path (capped at 8 steps), aggregated into
+    //      (path, sessions, conversions, micro-rate) — the "which
+    //      journeys convert" card. One user shuffle for sessions,
+    //      one path shuffle for the histogram; the per-session sort
+    //      is array_sort over a collected struct list (bounded by
+    //      the cap after slicing, collected per session) ----
+    "events_top_paths" -> ((s, d) => {
+      val us = unix_micros(col("ts"))
+      val wu = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+      val sess = t(s, d, "events")
+        .withColumn("__new",
+          when(us - lag(us, 1).over(wu) > lit(1800L * 1000000L) ||
+            lag(us, 1).over(wu).isNull, 1L).otherwise(0L))
+        .withColumn("__sid", sum(col("__new")).over(
+          Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val paths = sess.groupBy(col("user_id"), col("__sid"))
+        .agg(
+          concat_ws(">", slice(transform(
+            array_sort(collect_list(struct(us.as("us"),
+              col("event_id").as("id"), col("event_type").as("tp")))),
+            x => x.getField("tp")), 1, 8)).as("path"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("__conv"))
+      paths.groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("__conv")).as("n_converted"))
+        .select(col("path"), col("n_sessions"), col("n_converted"),
+          expr("n_converted * 1000000 div n_sessions").as("conv_micro"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(50)
+    }),
+
     // ---- first/last-touch conversion attribution: per purchase, the
     //      touch that started and the touch that closed the journey
     //      within a 1h lookback — one actor-keyed shuffle, RANGE-frame
@@ -3974,6 +4007,35 @@ object PipelineQueries {
            SELECT r2.id, e.dst FROM reach r2 JOIN e ON e.src = r2.r)
          SELECT id AS doc_id, MIN(r) AS canonical_id
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "events_top_paths" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         w AS (
+           SELECT *, CASE WHEN lag(us) OVER
+               (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+             OR us - lag(us) OVER
+               (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+             THEN 1 ELSE 0 END AS is_new
+           FROM e),
+         s AS (
+           SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+             ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+           FROM w),
+         p AS (
+           SELECT user_id, sid,
+             array_to_string(list_slice(
+               list(event_type ORDER BY us, event_id), 1, 8), '>') AS path,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS conv
+           FROM s GROUP BY user_id, sid),
+         h AS (
+           SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(conv) AS BIGINT) AS n_converted
+           FROM p GROUP BY path)
+         SELECT path, n_sessions, n_converted,
+           CAST(n_converted * 1000000 // n_sessions AS BIGINT) AS conv_micro
+         FROM h ORDER BY n_sessions DESC, path LIMIT 50""",
     "events_attribution" ->
       """WITH c AS (
            SELECT event_id, user_id, epoch_us(ts) AS us
