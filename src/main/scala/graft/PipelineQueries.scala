@@ -1007,6 +1007,24 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("lang"), col("l"))
         .orderBy(col("doc_id"))),
 
+    // ---- t-closeness audit: the privacy trio's third leg — a
+    //      k-safe, l-diverse class still leaks by SKEW when its
+    //      sensitive distribution diverges from the corpus's; total
+    //      variation per class in exact integer micro-units
+    //      (Σ|c(v)·N − g(v)·n| / (2·n·N), DECIMAL(38,0) products) ----
+    "q_tclose_audit" -> ((s, d) =>
+      graft.operators.Quality.tClosenessAudit(
+        t(s, d, "documents"), Seq("source"), "lang").orderBy(col("source"))),
+
+    // ---- t-closeness suppression: rows in classes farther than
+    //      tMax from the corpus-wide sensitive distribution are
+    //      dropped; t_micro rides along ----
+    "q_tclose_suppress" -> ((s, d) =>
+      graft.operators.Quality.tClosenessSuppress(
+          t(s, d, "documents"), Seq("source"), "lang", tMaxMicro = 120000L)
+        .select(col("doc_id"), col("source"), col("lang"), col("t_micro"))
+        .orderBy(col("doc_id"))),
+
     // ---- greedy k-center coreset: 8 maximally-diverse embedding
     //      rows by farthest-first selection (seed = min id; then
     //      argmin of max-cosine-to-selected, ties to smallest id, on
@@ -1994,6 +2012,81 @@ object PipelineQueries {
           element_at(col("decoded.features"), 3).cast(LongType).as("palette"),
           element_at(col("decoded.features"), 4).cast(LongType).as("version"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- ISO-BMFF (MP4) box walk: the video tier — mvhd
+    //      timescale/duration and the first nonzero tkhd 16.16 dims,
+    //      both FullBox versions exercised by the fixture (id%4==0
+    //      builds the 64-bit v1 layout); duration_ms is the
+    //      cross-version invariant the oracle predicts ----
+    "multimodal_decode_mp4" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "mp4")
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+          new graft.operators.Multimodal.PureJvmCodec())
+        .select(col("id").as("doc_id"),
+          col("decoded.meta.width").as("width"),
+          col("decoded.meta.height").as("height"),
+          col("decoded.meta.duration_ms").as("dur_ms"),
+          element_at(col("decoded.features"), 3).cast(LongType).as("n_tracks"),
+          element_at(col("decoded.features"), 4).cast(LongType).as("timescale"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- WebP RIFF decode: all three first-chunk layouts (lossy
+    //      VP8 sync walk, lossless VP8L bit-packing, extended VP8X
+    //      24-bit canvas), variant cycled by the fixture ----
+    "multimodal_decode_webp" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "webp")
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+          new graft.operators.Multimodal.PureJvmCodec())
+        .select(col("id").as("doc_id"),
+          col("decoded.meta.width").as("width"),
+          col("decoded.meta.height").as("height"),
+          element_at(col("decoded.features"), 3).cast(LongType).as("variant"),
+          element_at(col("decoded.features"), 4).cast(LongType).as("alpha"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- TIFF IFD walk in BOTH byte orders (fixture alternates
+    //      II/MM by id parity; a one-sided parser fails half the
+    //      corpus) with mixed SHORT/LONG value fields ----
+    "multimodal_decode_tiff" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "tiff")
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+          new graft.operators.Multimodal.PureJvmCodec())
+        .select(col("id").as("doc_id"),
+          col("decoded.meta.width").as("width"),
+          col("decoded.meta.height").as("height"),
+          element_at(col("decoded.features"), 3).cast(LongType).as("spp"),
+          element_at(col("decoded.features"), 4).cast(LongType).as("big_endian"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- video frame sampling: MP4 duration → synthetic 25 fps
+    //      frame count → 4 evenly-spread indices via
+    //      sampleFrameIndices, exploded to one row per sampled frame
+    //      (the pure-plan half of video sampling; the per-frame
+    //      decode goes back through decodeMedia). Fixture durations
+    //      are all > 160 ms so the long-video branch is the one the
+    //      oracle predicts; the short-video passthrough is
+    //      ScalaTest-covered ----
+    "multimodal_frame_sample" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "mp4")
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+          new graft.operators.Multimodal.PureJvmCodec())
+        .select(col("id").as("doc_id"),
+          expr("decoded.meta.duration_ms div 40").cast(IntegerType)
+            .as("nf"))
+        .select(col("doc_id"), col("nf"),
+          explode(graft.operators.Multimodal.sampleFrameIndices(
+            col("nf"), 4)).as("fi"))
+        .select(col("doc_id"), col("nf").cast(LongType).as("n_frames"),
+          col("fi").cast(LongType).as("frame_idx"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
     // ---- document fingerprinting: portable code-point polynomial
@@ -3497,6 +3590,49 @@ object PipelineQueries {
            FROM documents)
          SELECT doc_id, lang, source, k FROM c
          WHERE k >= 3 ORDER BY doc_id""",
+    "q_tclose_audit" ->
+      """WITH b AS (SELECT source, lang FROM documents WHERE lang IS NOT NULL),
+         cv AS (SELECT source, lang, CAST(COUNT(*) AS HUGEINT) AS cnt
+                FROM b GROUP BY 1, 2),
+         cls AS (SELECT source, CAST(SUM(cnt) AS HUGEINT) AS n
+                 FROM cv GROUP BY 1),
+         gv AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS gcnt
+                FROM b GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn FROM b),
+         grid AS (
+           SELECT c.source, c.n, g.gcnt, t.nn,
+             COALESCE(v.cnt, CAST(0 AS HUGEINT)) AS cnt
+           FROM cls c CROSS JOIN gv g CROSS JOIN tot t
+           LEFT JOIN cv v
+             ON v.source IS NOT DISTINCT FROM c.source AND v.lang = g.lang)
+         SELECT source, CAST(n AS BIGINT) AS n,
+           CAST((CAST(1000000 AS HUGEINT) * SUM(ABS(cnt * nn - gcnt * n)))
+             // (CAST(2 AS HUGEINT) * n * nn) AS BIGINT) AS t_micro
+         FROM grid GROUP BY source, n, nn ORDER BY source""",
+    "q_tclose_suppress" ->
+      """WITH b AS (SELECT source, lang FROM documents WHERE lang IS NOT NULL),
+         cv AS (SELECT source, lang, CAST(COUNT(*) AS HUGEINT) AS cnt
+                FROM b GROUP BY 1, 2),
+         cls AS (SELECT source, CAST(SUM(cnt) AS HUGEINT) AS n
+                 FROM cv GROUP BY 1),
+         gv AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS gcnt
+                FROM b GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn FROM b),
+         grid AS (
+           SELECT c.source, c.n, g.gcnt, t.nn,
+             COALESCE(v.cnt, CAST(0 AS HUGEINT)) AS cnt
+           FROM cls c CROSS JOIN gv g CROSS JOIN tot t
+           LEFT JOIN cv v
+             ON v.source IS NOT DISTINCT FROM c.source AND v.lang = g.lang),
+         card AS (
+           SELECT source, CAST(n AS BIGINT) AS n,
+             CAST((CAST(1000000 AS HUGEINT) * SUM(ABS(cnt * nn - gcnt * n)))
+               // (CAST(2 AS HUGEINT) * n * nn) AS BIGINT) AS t_micro
+           FROM grid GROUP BY source, n, nn)
+         SELECT d.doc_id, d.source, d.lang, c.t_micro
+         FROM documents d
+         JOIN card c ON c.source IS NOT DISTINCT FROM d.source
+         WHERE c.t_micro <= 120000 ORDER BY d.doc_id""",
     "text_bm25_gate" ->
       """WITH ctoks AS (
            SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
@@ -5012,6 +5148,40 @@ object PipelineQueries {
            CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
            CAST(8 AS BIGINT) AS bits
          FROM documents ORDER BY doc_id""",
+    "multimodal_decode_mp4" ->
+      """SELECT doc_id,
+           CAST(16 + doc_id % 304 AS INTEGER) AS width,
+           CAST(16 + doc_id % 176 AS INTEGER) AS height,
+           CAST((10000 + doc_id % 90000) * 1000
+             // (1000 * (1 + doc_id % 3)) AS BIGINT) AS dur_ms,
+           CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+           CAST(1000 * (1 + doc_id % 3) AS BIGINT) AS timescale
+         FROM documents ORDER BY doc_id""",
+    "multimodal_decode_webp" ->
+      """SELECT doc_id,
+           CAST(8 + doc_id % 300 AS INTEGER) AS width,
+           CAST(8 + doc_id % 200 AS INTEGER) AS height,
+           CAST(doc_id % 3 AS BIGINT) AS variant,
+           CAST(CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 = 1
+             THEN 1 ELSE 0 END AS BIGINT) AS alpha
+         FROM documents ORDER BY doc_id""",
+    "multimodal_decode_tiff" ->
+      """SELECT doc_id,
+           CAST(8 + doc_id % 500 AS INTEGER) AS width,
+           CAST(8 + doc_id % 400 AS INTEGER) AS height,
+           CAST(1 + doc_id % 4 AS BIGINT) AS spp,
+           CAST(doc_id % 2 AS BIGINT) AS big_endian
+         FROM documents ORDER BY doc_id""",
+    "multimodal_frame_sample" ->
+      """WITH m AS (
+           SELECT doc_id,
+             ((10000 + doc_id % 90000) * 1000
+               // (1000 * (1 + doc_id % 3))) // 40 AS n_frames
+           FROM documents)
+         SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(r.i * n_frames // 4 AS BIGINT) AS frame_idx
+         FROM m, range(4) r(i)
+         ORDER BY doc_id, frame_idx""",
     "multimodal_features" ->
       """SELECT doc_id,
            CASE WHEN octet_length(encode(substr(text, 1, 256))) = 0

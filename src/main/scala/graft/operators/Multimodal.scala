@@ -563,6 +563,228 @@ object Multimodal {
           version.toFloat, if (hasGct) 1f else 0f, 0f, 0f))
     }
 
+    /** ISO-BMFF (MP4/MOV) metadata walk — the video tier. Top-level
+      * boxes are (u32 BE size, 4cc type) headers skipped by length;
+      * size==1 upgrades to a u64 largesize, size==0 means
+      * to-end-of-blob. Inside `moov` we read `mvhd` (timescale +
+      * duration in timescale units → duration_ms) and scan each
+      * `trak`'s `tkhd` (16.16 fixed-point presentation width/height;
+      * audio tracks carry zeros, so the first NONZERO pair wins).
+      * Both v0 (u32 times) and v1 (u64 times) FullBox layouts are
+      * handled. No sample tables are touched — this is the same
+      * header-audit contract as the JPEG/FLAC walks: corrupt sizes,
+      * missing moov/mvhd, or a canvas past the pixel cap null out.
+      * Features: (w, h, n_tracks, timescale, duration_units, 0, 0);
+      * meta.n_frames carries the track count (frame counts live in
+      * sample tables a metadata audit must not pay to read).
+      */
+    private def decodeMp4Meta(b: Array[Byte]): (Row, Array[Float]) = {
+      def beInt(off: Int): Long =
+        ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+          ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+      def beLong(off: Int): Long = (beInt(off) << 32) | beInt(off + 4)
+      def fourcc(off: Int): String =
+        new String(b, off, 4, "US-ASCII")
+      // (payloadStart, boxEnd) for the box whose header starts at off,
+      // or null when the header is torn / the size is absurd
+      def boxBounds(off: Int, limit: Int): (Int, Int) = {
+        if (off + 8 > limit) return null
+        val sz = beInt(off)
+        if (sz == 0) (off + 8, limit) // to-end
+        else if (sz == 1) {
+          if (off + 16 > limit) return null
+          val lsz = beLong(off + 8)
+          if (lsz < 16 || lsz > (limit - off).toLong) null
+          else (off + 16, off + lsz.toInt)
+        } else if (sz < 8 || sz > (limit - off).toLong) null
+        else (off + 8, off + sz.toInt)
+      }
+      if (b.length < 16 || fourcc(4) != "ftyp") return null
+      var timescale = 0L
+      var durationUnits = -1L
+      var nTracks = 0
+      var w = 0
+      var h = 0
+      var pos = 0
+      while (pos + 8 <= b.length) {
+        val bb = boxBounds(pos, b.length)
+        if (bb == null) return null
+        val (payload, end) = bb
+        if (fourcc(pos + 4) == "moov") {
+          var cpos = payload
+          while (cpos + 8 <= end) {
+            val cb = boxBounds(cpos, end)
+            if (cb == null) return null
+            val (cpl, cend) = cb
+            fourcc(cpos + 4) match {
+              case "mvhd" =>
+                if (cpl + 4 > cend) return null
+                val v = b(cpl) & 0xFF
+                if (v == 1) {
+                  if (cpl + 32 > cend) return null
+                  timescale = beInt(cpl + 20)
+                  durationUnits = beLong(cpl + 24)
+                } else {
+                  if (cpl + 20 > cend) return null
+                  timescale = beInt(cpl + 12)
+                  durationUnits = beInt(cpl + 16)
+                }
+              case "trak" =>
+                nTracks += 1
+                var tpos = cpl
+                while (tpos + 8 <= cend) {
+                  val tb = boxBounds(tpos, cend)
+                  if (tb == null) return null
+                  val (tpl, tend) = tb
+                  if (fourcc(tpos + 4) == "tkhd") {
+                    if (tpl + 4 > tend) return null
+                    val tv = b(tpl) & 0xFF
+                    val wOff = if (tv == 1) tpl + 88 else tpl + 76
+                    if (wOff + 8 > tend) return null
+                    // 16.16 fixed point; fractional dims never appear
+                    // in practice — truncate toward the integer part
+                    val tw = (beInt(wOff) >> 16).toInt
+                    val th = (beInt(wOff + 4) >> 16).toInt
+                    if (w == 0 && h == 0 && tw > 0 && th > 0) {
+                      w = tw; h = th
+                    }
+                  }
+                  tpos = tend
+                }
+              case _ => () // udta/iods/free… skipped by length
+            }
+            cpos = cend
+          }
+        }
+        pos = end
+      }
+      if (timescale <= 0L || durationUnits < 0L || nTracks == 0) return null
+      if (w.toLong * h > MaxImagePixels) return null // bomb guard
+      if (durationUnits > Long.MaxValue / 1000L) return null
+      val durMs = durationUnits * 1000L / timescale
+      (Row("mp4", w, h, nTracks, durMs),
+        Array[Float](w.toFloat, h.toFloat, nTracks.toFloat,
+          timescale.toFloat, durationUnits.toFloat, 0f, 0f))
+    }
+
+    /** WebP metadata decode — RIFF container ("RIFF" + LE u32 size +
+      * "WEBP"), then ONE of the three first-chunk layouts:
+      *   VP8␣ (lossy):   3-byte frame tag, 0x9D012A sync, then LE u16
+      *                   pairs whose low 14 bits are width/height;
+      *   VP8L (lossless): 0x2F signature then a LE u32 packing
+      *                   width-1 (14 bits), height-1 (14 bits), an
+      *                   alpha bit, and a 3-bit version that MUST be
+      *                   zero;
+      *   VP8X (extended): flags byte (bit 4 = alpha) + 24-bit LE
+      *                   canvas width-1 / height-1.
+      * Features: (w, h, variant 0|1|2, alpha, 0, 0, 0). Torn
+      * container, wrong sync/signature, or nonzero VP8L version null
+      * out — same loudness contract as the rest of the tier.
+      */
+    private def decodeWebpMeta(b: Array[Byte]): (Row, Array[Float]) = {
+      if (b.length < 20) return null
+      if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return null
+      if (b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P') return null
+      val riffSize = leInt(b, 4).toLong & 0xFFFFFFFFL
+      if (riffSize + 8 > b.length) return null // declared size must fit
+      val tag = new String(b, 12, 4, "US-ASCII")
+      val csize = leInt(b, 16).toLong & 0xFFFFFFFFL
+      val p = 20
+      if (p + csize > b.length) return null
+      var w = 0; var h = 0; var variant = -1; var alpha = 0
+      tag match {
+        case "VP8 " =>
+          if (csize < 10) return null
+          if ((b(p + 3) & 0xFF) != 0x9D || (b(p + 4) & 0xFF) != 0x01 ||
+            (b(p + 5) & 0xFF) != 0x2A) return null
+          w = leShort(b, p + 6) & 0x3FFF
+          h = leShort(b, p + 8) & 0x3FFF
+          variant = 0
+        case "VP8L" =>
+          if (csize < 5 || (b(p) & 0xFF) != 0x2F) return null
+          val bits = leInt(b, p + 1).toLong & 0xFFFFFFFFL
+          w = ((bits & 0x3FFF) + 1).toInt
+          h = (((bits >> 14) & 0x3FFF) + 1).toInt
+          alpha = ((bits >> 28) & 0x1).toInt
+          if (((bits >> 29) & 0x7) != 0) return null // version must be 0
+          variant = 1
+        case "VP8X" =>
+          if (csize < 10) return null
+          val flags = b(p) & 0xFF
+          alpha = (flags >> 4) & 0x1
+          def le24(off: Int): Int = (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+            ((b(off + 2) & 0xFF) << 16)
+          w = le24(p + 4) + 1
+          h = le24(p + 7) + 1
+          variant = 2
+        case _ => return null
+      }
+      if (w <= 0 || h <= 0) return null
+      if (w.toLong * h > MaxImagePixels) return null // bomb guard
+      (Row("webp", w, h, 1, 0L),
+        Array[Float](w.toFloat, h.toFloat, variant.toFloat, alpha.toFloat,
+          0f, 0f, 0f))
+    }
+
+    /** TIFF IFD-0 metadata walk, BOTH byte orders ("II" little / "MM"
+      * big — the one format in this tier where endianness is data,
+      * not spec). Header: order mark, magic 42, u32 offset to IFD0;
+      * IFD: u16 entry count then 12-byte entries (tag, type, count,
+      * value-or-offset). SHORT(3)/LONG(4) values with count==1 are
+      * read inline from the value field — left-justified, so a
+      * big-endian SHORT sits in the field's FIRST two bytes (getting
+      * this wrong is the classic TIFF parser bug the spec warns
+      * about). Tags read: 256 width, 257 height, 277 samples/pixel.
+      * Features: (w, h, spp, endian 0|1, n_entries, 0, 0).
+      */
+    private def decodeTiffMeta(b: Array[Byte]): (Row, Array[Float]) = {
+      if (b.length < 8) return null
+      val le =
+        if (b(0) == 'I' && b(1) == 'I') true
+        else if (b(0) == 'M' && b(1) == 'M') false
+        else return null
+      def u16(off: Int): Int =
+        if (le) leShort(b, off)
+        else ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+      def u32(off: Int): Long =
+        if (le) leInt(b, off).toLong & 0xFFFFFFFFL
+        else ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+          ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+      if (u16(2) != 42) return null
+      val ifd = u32(4)
+      if (ifd < 8 || ifd + 2 > b.length) return null
+      val off0 = ifd.toInt
+      val n = u16(off0)
+      if (n <= 0 || off0 + 2 + 12 * n + 4 > b.length) return null
+      var w = 0L; var h = 0L; var spp = 1L
+      var i = 0
+      while (i < n) {
+        val e = off0 + 2 + 12 * i
+        val tag = u16(e)
+        val typ = u16(e + 2)
+        val count = u32(e + 4)
+        // inline scalar reads only: SHORT is left-justified in the
+        // 4-byte value field regardless of byte order
+        val v: Long =
+          if (count != 1L) -1L
+          else if (typ == 3) u16(e + 8).toLong
+          else if (typ == 4) u32(e + 8)
+          else -1L
+        if (v >= 0) tag match {
+          case 256 => w = v
+          case 257 => h = v
+          case 277 => spp = v
+          case _   => ()
+        }
+        i += 1
+      }
+      if (w <= 0 || h <= 0) return null
+      if (w * h > MaxImagePixels) return null // bomb guard
+      (Row("tiff", w.toInt, h.toInt, 1, 0L),
+        Array[Float](w.toFloat, h.toFloat, spp.toFloat,
+          if (le) 0f else 1f, n.toFloat, 0f, 0f))
+    }
+
     /** Pixel cap for compressed formats: a crafted IHDR/SOF claiming
       * a billion-pixel canvas must be rejected BEFORE any pixel
       * buffer is allocated (the decompression-bomb guard — the same
@@ -626,6 +848,9 @@ object Multimodal {
           case "flac" => decodeFlacMeta(bytes)
           case "ogg" => decodeOggMeta(bytes)
           case "gif" => decodeGifMeta(bytes)
+          case "mp4" | "mov" | "m4v" => decodeMp4Meta(bytes)
+          case "webp" => decodeWebpMeta(bytes)
+          case "tiff" | "tif" => decodeTiffMeta(bytes)
           case "png" => decodeImageIo(bytes, fmt)
           case "jpg" | "jpeg" =>
             // two tiers: full pixel decode when the entropy stream is
@@ -1045,6 +1270,141 @@ object Multimodal {
     out
   }
 
+  /** Minimal ISO-BMFF blob: ftyp + a `free` box (exercises the
+    * skip-by-length path) + moov{mvhd, nTracks×trak{tkhd}, udta}.
+    * The FIRST trak carries the video dimensions (16.16 fixed); the
+    * rest are audio-like all-zero-dims tracks. `v1` selects the
+    * 64-bit FullBox layout for both mvhd and tkhd.
+    */
+  def buildMp4(w: Int, h: Int, timescale: Int, durationUnits: Long,
+               nTracks: Int, v1: Boolean): Array[Byte] = {
+    require(w > 0 && w < 65536 && h > 0 && h < 65536 && timescale > 0 &&
+      durationUnits >= 0 && nTracks >= 1, "bad mp4 fixture params")
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+    val mvhd = {
+      val times =
+        if (v1) Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+          be32(timescale.toLong) ++ be64(durationUnits)
+        else Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+          be32(timescale.toLong) ++ be32(durationUnits)
+      // rate(4) volume(2) reserved(10) matrix(36) predefined(24) next(4)
+      box("mvhd", times ++ be32(0x00010000L) ++ Array[Byte](1, 0) ++
+        new Array[Byte](10) ++ identityMatrix ++ new Array[Byte](24) ++
+        be32(nTracks + 1L))
+    }
+    def tkhd(tw: Int, th: Int, trackId: Int): Array[Byte] = {
+      val head =
+        if (v1) Array[Byte](1, 0, 0, 7) ++ be64(0) ++ be64(0) ++
+          be32(trackId.toLong) ++ be32(0) ++ be64(durationUnits)
+        else Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++
+          be32(trackId.toLong) ++ be32(0) ++ be32(durationUnits)
+      box("tkhd", head ++ new Array[Byte](8) ++ // reserved
+        Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++  // layer/alt/volume/res
+        identityMatrix ++
+        be32(tw.toLong << 16) ++ be32(th.toLong << 16))
+    }
+    val traks = (1 to nTracks).map { t =>
+      box("trak", tkhd(if (t == 1) w else 0, if (t == 1) h else 0, t))
+    }
+    val udta = box("udta", box("name", "graft fixture".getBytes("US-ASCII")))
+    val moov = box("moov", (Seq(mvhd) ++ traks :+ udta).reduce(_ ++ _))
+    out.write(box("ftyp", "isom".getBytes("US-ASCII") ++ be32(512) ++
+      "isom".getBytes("US-ASCII")))
+    out.write(box("free", new Array[Byte](12)))
+    out.write(moov)
+    out.toByteArray
+  }
+
+  private val identityMatrix: Array[Byte] = {
+    val m = new Array[Byte](36)
+    m(1) = 1  // entry 0 = 0x00010000 ([0,0])
+    m(17) = 1 // entry 4 = 0x00010000 ([1,1])
+    m(32) = 0x40 // entry 8 = 0x40000000 ([2,2])
+    m
+  }
+
+  /** Minimal WebP: RIFF/WEBP + one of VP8␣ (lossy, variant 0),
+    * VP8L (lossless, variant 1), VP8X (extended canvas, variant 2).
+    * Lossy carries no alpha bit; the others take `alpha`.
+    */
+  def buildWebp(w: Int, h: Int, variant: Int, alpha: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0 && variant >= 0 && variant <= 2, "bad webp params")
+    require(variant != 0 || (w <= 0x3FFF && h <= 0x3FFF), "lossy dims are 14-bit")
+    require(variant != 1 || (w <= 0x4000 && h <= 0x4000), "vp8l dims-1 are 14-bit")
+    def le32(v: Long): Array[Byte] = Array((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val (tag, payload) = variant match {
+      case 0 =>
+        val p = new Array[Byte](10)
+        // 3-byte frame tag: keyframe, version 0, show_frame — exact
+        // bits unread by the metadata walk; zeros are a valid keyframe
+        p(3) = 0x9D.toByte; p(4) = 0x01; p(5) = 0x2A
+        p(6) = (w & 0xFF).toByte; p(7) = ((w >> 8) & 0x3F).toByte
+        p(8) = (h & 0xFF).toByte; p(9) = ((h >> 8) & 0x3F).toByte
+        ("VP8 ", p)
+      case 1 =>
+        val bits = (w - 1).toLong | ((h - 1).toLong << 14) |
+          (if (alpha) 1L << 28 else 0L)
+        ("VP8L", Array(0x2F.toByte) ++ le32(bits))
+      case _ =>
+        val p = new Array[Byte](10)
+        if (alpha) p(0) = 0x10
+        p(4) = ((w - 1) & 0xFF).toByte
+        p(5) = (((w - 1) >> 8) & 0xFF).toByte
+        p(6) = (((w - 1) >> 16) & 0xFF).toByte
+        p(7) = ((h - 1) & 0xFF).toByte
+        p(8) = (((h - 1) >> 8) & 0xFF).toByte
+        p(9) = (((h - 1) >> 16) & 0xFF).toByte
+        ("VP8X", p)
+    }
+    val chunk = tag.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload
+    "RIFF".getBytes("US-ASCII") ++ le32(4L + chunk.length) ++
+      "WEBP".getBytes("US-ASCII") ++ chunk
+  }
+
+  /** Minimal single-IFD TIFF in either byte order: header, then an
+    * IFD with width/height/bits/compression/samples-per-pixel
+    * entries (tag-sorted, as the spec requires) and a zero next-IFD
+    * pointer. SHORT values are left-justified in the value field —
+    * the detail the parser's test matrix exists to catch.
+    */
+  def buildTiff(w: Int, h: Int, spp: Int, bigEndian: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0 && spp >= 1 && spp <= 8, "bad tiff params")
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (bigEndian) { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+      else { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Long): Unit =
+      if (bigEndian) {
+        out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+        out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+      } else {
+        out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+        out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+      }
+    def entryShort(tag: Int, v: Int): Unit = {
+      w16(tag); w16(3); w32(1L)
+      w16(v); w16(0) // SHORT left-justified in the 4-byte field
+    }
+    def entryLong(tag: Int, v: Long): Unit = { w16(tag); w16(4); w32(1L); w32(v) }
+    out.write(if (bigEndian) 'M' else 'I'); out.write(if (bigEndian) 'M' else 'I')
+    w16(42)
+    w32(8L) // IFD0 right after the header
+    w16(5)  // entry count
+    entryLong(256, w.toLong)  // ImageWidth as LONG
+    entryShort(257, h)        // ImageLength as SHORT (mixed types on purpose)
+    entryShort(258, 8)        // BitsPerSample
+    entryShort(259, 1)        // Compression: none
+    entryShort(277, spp)      // SamplesPerPixel
+    w32(0L) // next IFD
+    out.toByteArray
+  }
+
   def synthMediaBlobs(df: DataFrame, idCol: String, format: String): DataFrame = {
     val outSchema = StructType(Seq(StructField("id", LongType),
       StructField("bytes", BinaryType), StructField("format", StringType)))
@@ -1083,6 +1443,15 @@ object Multimodal {
             channels = if (id % 5 == 0) 1 else 3)
           case "gif" => buildGif((8 + id % 200).toInt, (8 + id % 160).toInt,
             palBits = (1 + id % 8).toInt, v89 = id % 3 != 0)
+          case "mp4" => buildMp4((16 + id % 304).toInt, (16 + id % 176).toInt,
+            timescale = (1000L * (1 + id % 3)).toInt,
+            durationUnits = 10000 + id % 90000,
+            nTracks = (1 + id % 3).toInt, v1 = id % 4 == 0)
+          case "webp" => buildWebp((8 + id % 300).toInt, (8 + id % 200).toInt,
+            variant = (id % 3).toInt,
+            alpha = id % 3 != 0 && id % 2 == 1)
+          case "tiff" => buildTiff((8 + id % 500).toInt, (8 + id % 400).toInt,
+            spp = (1 + id % 4).toInt, bigEndian = id % 2 == 1)
           case other => throw new IllegalArgumentException(
             s"synthMediaBlobs: unknown format $other")
         }

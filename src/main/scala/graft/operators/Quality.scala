@@ -320,6 +320,80 @@ object Quality {
       .filter(col("l") >= lMin)
   }
 
+  /** t-closeness audit — the third leg of the privacy trio (after
+    * k-anonymity and l-diversity): a class can be large AND diverse
+    * yet still leak by SKEW — if 90% of one source's docs are one
+    * language while the corpus is uniform, membership in the class
+    * shifts an attacker's posterior. Per QI class, the distance
+    * between the class's sensitive-value distribution and the GLOBAL
+    * distribution; for an unordered attribute the t-closeness EMD
+    * degenerates to total variation, ½·Σ|p(v) − q(v)|.
+    *
+    * Arithmetic is EXACT: with class size n, corpus size N, class
+    * counts c(v) and global counts g(v), ½·Σ|c(v)/n − g(v)/N| =
+    * Σ|c(v)·N − g(v)·n| / (2·n·N) — numerator and denominator are
+    * integers, carried as DECIMAL(38,0) (a 100 TB corpus overflows
+    * the i64 product), and the published `t_micro` is the integer
+    * floor of 10⁶·t, so the oracle reproduces it bit-for-bit with no
+    * float-summation-order hazard. Null sensitive values are
+    * excluded from both distributions (the l-diversity convention);
+    * null QI values are VALUES.
+    *
+    * Scale: one (QI, value) shuffle, then class-count-sized work —
+    * the grid is classes × |sensitive domain| with the domain side
+    * broadcast; nothing corpus-sized flows past the first partial
+    * aggregation.
+    */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "tClosenessAudit: no quasi-identifier columns")
+    require(!qiCols.contains(sensitiveCol),
+      "tClosenessAudit: sensitive column cannot be a quasi-identifier")
+    val dec = DecimalType(38, 0)
+    val base = df.filter(col(sensitiveCol).isNotNull)
+      .select((qiCols.map(col) :+ col(sensitiveCol).as("__s")): _*)
+    val cv = base.groupBy((qiCols.map(col) :+ col("__s")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val cls = cv.groupBy(qiCols.map(col): _*).agg(sum(col("__cnt")).as("n"))
+    val gv = base.groupBy(col("__s")).agg(count(lit(1)).as("__gcnt"))
+    val tot = gv.agg(sum(col("__gcnt")).cast(dec).as("__N"))
+    // null-safe match on the QI key: null QI values are VALUES (they
+    // form a class), so a plain equi-join would zero their counts
+    val cvR = cv.toDF((qiCols.map("__r_" + _) :+ "__rs" :+ "__cnt"): _*)
+    val onQi = qiCols.map(q => col(q) <=> col("__r_" + q)).reduce(_ && _)
+    val grid = cls
+      .crossJoin(broadcast(gv))                 // classes × domain
+      .crossJoin(broadcast(tot))                // singleton total
+      .join(broadcast(cvR), onQi && col("__s") === col("__rs"), "left")
+      .withColumn("__c", coalesce(col("__cnt"), lit(0L)).cast(dec))
+    val diff = abs(col("__c") * col("__N") -
+      col("__gcnt").cast(dec) * col("n").cast(dec))
+    grid.groupBy((qiCols.map(col) :+ col("n") :+ col("__N")): _*)
+      .agg(sum(diff).as("__t_num"))
+      .select((qiCols.map(col) :+ col("n").cast("long").as("n") :+
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * __t_num) DIV " +
+          "(CAST(2 AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) * __N) " +
+          "AS BIGINT)").as("t_micro")): _*)
+  }
+
+  /** t-closeness suppression: drop every row whose QI class sits
+    * farther than `tMaxMicro` (micro-units of total variation) from
+    * the corpus-wide sensitive distribution; `t_micro` rides along
+    * for the audit trail. The class card from [[tClosenessAudit]] is
+    * classes-sized, so it re-enters as a broadcast build side — the
+    * corpus flows exactly once.
+    */
+  def tClosenessSuppress(df: DataFrame, qiCols: Seq[String],
+                         sensitiveCol: String, tMaxMicro: Long): DataFrame = {
+    require(tMaxMicro >= 0, "tMaxMicro must be non-negative")
+    val card = tClosenessAudit(df, qiCols, sensitiveCol)
+      .filter(col("t_micro") <= tMaxMicro)
+      .select((qiCols.map(q => col(q).as("__r_" + q)) :+ col("t_micro")): _*)
+    val onQi = qiCols.map(q => col(q) <=> col("__r_" + q)).reduce(_ && _)
+    df.join(broadcast(card), onQi, "inner")
+      .drop(qiCols.map("__r_" + _): _*)
+  }
+
   /** Loud snapshot-uniqueness guard: one snapshot-sized aggregate —
     * the price of never silently forking an id's SCD timeline.
     */

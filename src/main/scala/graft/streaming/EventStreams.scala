@@ -483,6 +483,59 @@ object EventStreams {
       }
   }
 
+  /** One first-order Markov transition observed for an actor: the
+    * (previous event type → this event type) edge in time order.
+    */
+  final case class TransitionFact(user_id: Long, prev_type: String,
+                                  event_type: String)
+
+  /** Per-actor last-event marker — the ONLY state the streaming
+    * transition counter needs: O(1) per actor, independent of
+    * history length.
+    */
+  final case class LastEvent(tsUs: Long, eventId: Long, eventType: String)
+
+  /** Streaming twin of the batch `events_transitions` lag-window:
+    * per-actor state carries just the LAST event; each micro-batch
+    * sorts its per-actor slice by (ts, event_id) — the batch twin's
+    * exact lag order — and emits one [[TransitionFact]] per
+    * consecutive pair, including the pair that SPANS the batch
+    * boundary (the edge a per-batch window recomputation would
+    * either miss or double-count). Chronological micro-batch arrival
+    * is assumed, like [[cohortFactsStream]]; the finishing
+    * aggregation ([[transitionsFromFacts]]) is a bounded
+    * type×type matrix recomputed per tick in the sink.
+    */
+  def transitionFactsStream(events: Dataset[Event]): Dataset[TransitionFact] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransitionFact](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[LastEvent]) =>
+          def us(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          val out = List.newBuilder[TransitionFact]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach(p => out += TransitionFact(userId, p.eventType,
+              e.event_type))
+            prev = Some(LastEvent(us(e.ts), e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Finishing aggregation over [[transitionFactsStream]] facts:
+    * the first-order Markov matrix, column-for-column the batch
+    * `events_transitions` result.
+    */
+  def transitionsFromFacts(facts: DataFrame): DataFrame =
+    facts.groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("event_type"))
+
   /** The batch-finishing aggregation over [[cohortFactsStream]]'s
     * facts: cohort sizes from the offset-0 facts (every actor emits
     * their cohort period first), per-(cohort, offset) counts (facts

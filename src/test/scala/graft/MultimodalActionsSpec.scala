@@ -377,6 +377,95 @@ class MultimodalActionsSpec extends AnyFunSuite {
     assert(codec.decode(bomb, "gif") === null)
   }
 
+  test("PureJvmCodec: MP4 box walk — mvhd v0/v1, first nonzero tkhd, loud nulls") {
+    val codec = new Multimodal.PureJvmCodec()
+    val b = Multimodal.buildMp4(640, 360, timescale = 1000,
+      durationUnits = 90000L, nTracks = 2, v1 = false)
+    val (meta, f) = codec.decode(b, "mp4")
+    assert(meta.getString(0) === "mp4")
+    assert(meta.getInt(1) === 640 && meta.getInt(2) === 360)
+    assert(meta.getInt(3) === 2, "n_frames slot carries track count")
+    assert(meta.getLong(4) === 90000L, "90000 units at 1000 Hz = 90000 ms")
+    assert(f(2) === 2f && f(3) === 1000f && f(4) === 90000f)
+    // v1 (64-bit FullBox) layout must land the same duration_ms
+    val v1 = codec.decode(Multimodal.buildMp4(640, 360, 3000, 270000L, 1,
+      v1 = true), "mp4")
+    assert(v1._1.getLong(4) === 90000L && v1._1.getInt(1) === 640)
+    // .mov/.m4v dispatch aliases hit the same walk
+    assert(codec.decode(b, "mov")._1.getInt(1) === 640)
+    // truncation at every structural depth nulls out
+    assert(codec.decode(b.take(7), "mp4") === null)
+    assert(codec.decode(b.take(40), "mp4") === null)    // mid-moov
+    assert(codec.decode(b.take(b.length - 4), "mp4") === null) // torn moov
+    // first box must be ftyp
+    val noFtyp = b.clone(); noFtyp(4) = 'x'.toByte
+    assert(codec.decode(noFtyp, "mp4") === null)
+    // a box size smaller than its own header is refused
+    val badSize = b.clone(); badSize(0) = 0; badSize(1) = 0; badSize(2) = 0; badSize(3) = 4
+    assert(codec.decode(badSize, "mp4") === null)
+    // odd timescale: duration_ms is integer-truncated from mvhd units
+    val audio = codec.decode(Multimodal.buildMp4(1, 1, 8000, 16001L, 1,
+      v1 = false), "mp4")
+    assert(audio._1.getLong(4) === 2000L, "16001*1000/8000 truncates to 2000")
+  }
+
+  test("PureJvmCodec: WebP — VP8 lossy sync, VP8L bit-packing, VP8X canvas") {
+    val codec = new Multimodal.PureJvmCodec()
+    val lossy = codec.decode(Multimodal.buildWebp(320, 240, 0, alpha = false), "webp")
+    assert(lossy._1.getString(0) === "webp")
+    assert(lossy._1.getInt(1) === 320 && lossy._1.getInt(2) === 240)
+    assert(lossy._2(2) === 0f && lossy._2(3) === 0f)
+    val ll = codec.decode(Multimodal.buildWebp(1, 1, 1, alpha = true), "webp")
+    assert(ll._1.getInt(1) === 1 && ll._1.getInt(2) === 1, "VP8L stores dims-1")
+    assert(ll._2(2) === 1f && ll._2(3) === 1f)
+    val x = codec.decode(Multimodal.buildWebp(70000, 2, 2, alpha = false), "webp")
+    assert(x._1.getInt(1) === 70000, "VP8X canvas is 24-bit — beyond u16")
+    assert(x._2(2) === 2f)
+    // corrupted VP8 sync code nulls
+    val b = Multimodal.buildWebp(320, 240, 0, alpha = false)
+    val badSync = b.clone(); badSync(23) = 0
+    assert(codec.decode(badSync, "webp") === null)
+    // VP8L nonzero version nulls (reserved by spec)
+    val lb = Multimodal.buildWebp(5, 5, 1, alpha = false)
+    val badVer = lb.clone(); badVer(24) = (badVer(24) | 0xE0).toByte
+    assert(codec.decode(badVer, "webp") === null)
+    // RIFF size larger than the blob, wrong magic, truncation
+    val badRiff = b.clone(); badRiff(4) = 0x7F.toByte; badRiff(5) = 0x7F.toByte
+    assert(codec.decode(badRiff, "webp") === null)
+    val notWebp = b.clone(); notWebp(8) = 'A'.toByte
+    assert(codec.decode(notWebp, "webp") === null)
+    assert(codec.decode(b.take(19), "webp") === null)
+    // bomb guard: VP8X can declare a giga-canvas — refused
+    assert(codec.decode(Multimodal.buildWebp(1 << 20, 1 << 12, 2,
+      alpha = false), "webp") === null)
+  }
+
+  test("PureJvmCodec: TIFF IFD walk — both byte orders, mixed SHORT/LONG") {
+    val codec = new Multimodal.PureJvmCodec()
+    val le = codec.decode(Multimodal.buildTiff(800, 600, 3, bigEndian = false), "tiff")
+    assert(le._1.getString(0) === "tiff")
+    assert(le._1.getInt(1) === 800 && le._1.getInt(2) === 600)
+    assert(le._2(2) === 3f && le._2(3) === 0f && le._2(4) === 5f)
+    val be = codec.decode(Multimodal.buildTiff(800, 600, 1, bigEndian = true), "tif")
+    assert(be._1.getInt(1) === 800 && be._1.getInt(2) === 600,
+      "big-endian SHORT is left-justified in the value field")
+    assert(be._2(3) === 1f)
+    // wrong magic / torn IFD / truncation
+    val b = Multimodal.buildTiff(800, 600, 3, bigEndian = false)
+    val badMagic = b.clone(); badMagic(2) = 43
+    assert(codec.decode(badMagic, "tiff") === null)
+    assert(codec.decode(b.take(7), "tiff") === null)
+    assert(codec.decode(b.take(b.length - 6), "tiff") === null) // mid-entries
+    val badIfd = b.clone(); badIfd(4) = 0x7F.toByte
+    assert(codec.decode(badIfd, "tiff") === null)
+    // a file with no width/height tags is refused
+    val pngBytes = Multimodal.buildPng(4, 3, _ => 1)
+    assert(codec.decode(pngBytes, "tiff") === null)
+    // bomb guard
+    assert(codec.decode(Multimodal.buildTiff(65000, 65000, 1,
+      bigEndian = false), "tiff") === null)
+  }
+
   test("codec close() fires even when a limit abandons the iterator early") {
     MultimodalActionsSpec.opens.set(0)
     MultimodalActionsSpec.closes.set(0)

@@ -184,4 +184,38 @@ class QualitySpec extends AnyFunSuite {
       Quality.lDiversityAudit(df, Seq("sens"), "sens")
     }.getMessage.contains("quasi-identifier"))
   }
+
+  test("t-closeness: skew in exact micro-units; null QI is a class, null sensitive excluded") {
+    // global (nulls excluded): s1=6, s2=2, s3=2, N=10
+    //   A (n=4, p=(3,1,0)/4):      Σ|c·N−g·n| = 6+2+8  = 16 → 16/80 = 0.20
+    //   B (n=4, p=(1,1,2)/4):      Σ       = 14+2+12 = 28 → 28/80 = 0.35
+    //   null QI (n=2, p=(2,0,0)/2): Σ       = 8+4+4   = 16 → 16/40 = 0.40
+    val df = Seq(
+      ("A", "s1"), ("A", "s1"), ("A", "s1"), ("A", "s2"), ("A", null),
+      ("B", "s1"), ("B", "s2"), ("B", "s3"), ("B", "s3"),
+      (null, "s1"), (null, "s1")
+    ).toDF("qi", "sens")
+    val audit = Quality.tClosenessAudit(df, Seq("qi"), "sens")
+      .collect()
+      .map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(audit === Map(Some("A") -> ((4L, 200000L)),
+      Some("B") -> ((4L, 350000L)), None -> ((2L, 400000L))),
+      s"audit card wrong: $audit")
+    // suppression at tMax=0.2: only class A survives; its null-sens
+    // row is kept too (distance is a CLASS property), carrying t_micro
+    val kept = Quality.tClosenessSuppress(df, Seq("qi"), "sens",
+        tMaxMicro = 200000L)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(kept.length === 5 && kept.forall(_._1 == "A") &&
+      kept.forall(_._2 === 200000L),
+      s"only class A may survive tMax=0.2: ${kept.toSeq}")
+    // a uniform corpus is distance zero everywhere
+    val uniform = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y"))
+      .toDF("qi", "sens")
+    val zero = Quality.tClosenessAudit(uniform, Seq("qi"), "sens").collect()
+    assert(zero.forall(_.getLong(2) === 0L))
+    assert(intercept[IllegalArgumentException] {
+      Quality.tClosenessAudit(df, Seq("sens"), "sens")
+    }.getMessage.contains("quasi-identifier"))
+  }
 }

@@ -1491,6 +1491,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transition facts rebuild the batch Markov matrix row-for-row") {
+    val ev = Tables.table(spark, TestSpark.sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).cache()
+    ev.count()
+    // batch truth: the oracle-checked events_transitions lag-window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val want = ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(want.nonEmpty, "test data has no transitions")
+    val (dir, sliced) = chronoSlices(ev, 4, "graft-trans")
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[EventStreams.Event]
+    val q = EventStreams.transitionFactsStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("transmem").start()
+    try {
+      q.processAllAvailable()
+      val facts = spark.sql("select user_id, prev_type, event_type from transmem")
+      // exactly one fact per consecutive pair: total = events - actors
+      val nActors = ev.select(col("user_id")).distinct().count()
+      assert(facts.count() === ev.count() - nActors,
+        "fact count must be events minus one per actor")
+      val got = EventStreams.transitionsFromFacts(facts)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got === want,
+        "streamed transition matrix diverged from the batch lag-window")
+      // the boundary pair must actually span micro-batches somewhere
+      val sliceOf = sliced.select(col("event_id"), col("slice"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val pairsSpan = ev.withColumn("prev_id", lag(col("event_id"), 1).over(w))
+        .filter(col("prev_id").isNotNull)
+        .select(col("prev_id"), col("event_id"))
+        .collect().exists(r => sliceOf(r.getLong(0)) != sliceOf(r.getLong(1)))
+      assert(pairsSpan, "no consecutive pair spans a micro-batch boundary")
+    } finally q.stop()
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) closes sessions on gap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     Seq(
