@@ -337,6 +337,41 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // ---- unigram-LM (SentencePiece-family) tokenizer: the OTHER
+    //      tokenizer family beside BPE — a trained piece inventory
+    //      (all chars + top-64 substrings, floor-micro ln scores)
+    //      segmented per word by an integer Viterbi (native codegen
+    //      expression, ties to the longer piece). The oracle retrains
+    //      the vocab in SQL and replays the DP with a recursive CTE
+    //      carrying a 4-slot sliding dp window ----
+    "text_unigram_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = TextAnalysis.trainUnigramVocab(docs, "text",
+        topK = 64, maxPieceLen = 4)
+      docs.select(col("doc_id"),
+          size(filter(TextAnalysis.tokens(col("text")), w => w =!= ""))
+            .cast(LongType).as("n_words"),
+          TextAnalysis.unigramTokenCount(col("text"), vocab).as("n_pieces"),
+          TextAnalysis.unigramScoreSum(col("text"), vocab).as("sum_lp_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- served unigram tokenize: the vocab loads from the
+    //      fingerprint-keyed parquet artifact (trained+saved on first
+    //      run, validated at every load) — same train-once contract
+    //      as the BPE artifact; same oracle as text_unigram_tokens ----
+    "text_unigram_tokens_served" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = IndexStore.unigramVocabCached(docs, "text",
+        topK = 64, maxPieceLen = 4, baseDir = artifactDir)
+      docs.select(col("doc_id"),
+          size(filter(TextAnalysis.tokens(col("text")), w => w =!= ""))
+            .cast(LongType).as("n_words"),
+          TextAnalysis.unigramTokenCount(col("text"), vocab).as("n_pieces"),
+          TextAnalysis.unigramScoreSum(col("text"), vocab).as("sum_lp_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- DSIR-style importance log-weights: hashed-bigram bucket
     //      distributions (portable poly hash mod 1024), target =
     //      src0 docs, raw = the rest; per-occurrence quantized
@@ -3788,6 +3823,82 @@ object PipelineQueries {
          best_micro - worst_micro AS spread_micro
        FROM diag ORDER BY query_id"""),
     "text_bpe_merges" -> bpeOracleSql(6),
+    "text_unigram_tokens" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(trim(text), '\s+'), t -> t <> '')) AS w
+           FROM documents),
+         words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM toks GROUP BY w),
+         cand AS (
+           SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+             SELECT cnt, unnest([substr(w, st, l)
+               FOR st IN range(1, len(w) - CAST(l AS BIGINT) + 2)]) AS p
+             FROM words, (VALUES (1), (2), (3), (4)) lt(l)
+             WHERE len(w) >= l) u
+           GROUP BY p),
+         chars AS (SELECT p, n FROM cand WHERE len(p) = 1),
+         multi AS (SELECT p, n FROM cand WHERE len(p) > 1
+                   ORDER BY n DESC, p LIMIT 64),
+         vocab AS (SELECT p, n FROM chars UNION ALL SELECT p, n FROM multi),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM vocab),
+         sc AS (SELECT p, CAST(floor(ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+                  * 1000000) AS BIGINT) AS s
+                FROM vocab, tot),
+         m AS (
+           SELECT pos.w AS w, pos.e AS e, len(v.p) AS l, v.s AS s
+           FROM (SELECT w, unnest(range(1, len(w) + 1)) AS e FROM words) pos
+           JOIN sc v ON len(v.p) <= pos.e
+             AND v.p = substr(pos.w, pos.e - len(v.p) + 1, len(v.p))),
+         rec AS (
+           SELECT w, CAST(0 AS BIGINT) AS i,
+             CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS n0,
+             CAST(NULL AS BIGINT) AS s1, CAST(NULL AS BIGINT) AS n1,
+             CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS n2,
+             CAST(NULL AS BIGINT) AS s3, CAST(NULL AS BIGINT) AS n3
+           FROM words
+           UNION ALL
+           SELECT w, i,
+             greatest(coalesce(c1, -4611686018427387904),
+               coalesce(c2, -4611686018427387904),
+               coalesce(c3, -4611686018427387904),
+               coalesce(c4, -4611686018427387904)) AS s0,
+             CASE
+               WHEN c4 IS NOT NULL AND c4 >= coalesce(c1, c4)
+                 AND c4 >= coalesce(c2, c4) AND c4 >= coalesce(c3, c4)
+                 THEN pn3 + 1
+               WHEN c3 IS NOT NULL AND c3 >= coalesce(c1, c3)
+                 AND c3 >= coalesce(c2, c3)
+                 THEN pn2 + 1
+               WHEN c2 IS NOT NULL AND c2 >= coalesce(c1, c2)
+                 THEN pn1 + 1
+               ELSE pn0 + 1 END AS n0,
+             ps0 AS s1, pn0 AS n1, ps1 AS s2, pn1 AS n2, ps2 AS s3, pn2 AS n3
+           FROM (
+             SELECT r.w AS w, r.i + 1 AS i,
+               r.s0 + m1.s AS c1, r.s1 + m2.s AS c2,
+               r.s2 + m3.s AS c3, r.s3 + m4.s AS c4,
+               r.s0 AS ps0, r.n0 AS pn0, r.s1 AS ps1, r.n1 AS pn1,
+               r.s2 AS ps2, r.n2 AS pn2, r.n3 AS pn3
+             FROM rec r
+             LEFT JOIN m m1 ON m1.w = r.w AND m1.e = r.i + 1 AND m1.l = 1
+             LEFT JOIN m m2 ON m2.w = r.w AND m2.e = r.i + 1 AND m2.l = 2
+             LEFT JOIN m m3 ON m3.w = r.w AND m3.e = r.i + 1 AND m3.l = 3
+             LEFT JOIN m m4 ON m4.w = r.w AND m4.e = r.i + 1 AND m4.l = 4
+             WHERE r.i < len(r.w)) q),
+         card AS (SELECT w, n0 AS npieces, s0 AS lp
+                  FROM rec WHERE i = len(w)),
+         agg AS (
+           SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(c.npieces) AS BIGINT) AS n_pieces,
+             CAST(SUM(c.lp) AS BIGINT) AS sum_lp_micro
+           FROM toks t JOIN card c ON c.w = t.w GROUP BY t.doc_id)
+         SELECT d.doc_id,
+           CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+           CAST(COALESCE(a.sum_lp_micro, 0) AS BIGINT) AS sum_lp_micro
+         FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "text_bpe_tokens" -> bpeTokensOracleSql(6),
     "text_bpe_fertility" -> bpeFertilityOracleSql(6),
     "q_curation_pipeline" ->
@@ -8235,6 +8346,7 @@ object PipelineQueries {
     "sim_topk_ivfpq_loaded" -> oracleSqlBase("sim_topk_ivfpq"),
     "sim_topk_ivfsq8_loaded" -> oracleSqlBase("sim_topk_ivfsq8"),
     "text_bpe_tokens_served" -> oracleSqlBase("text_bpe_tokens"),
+    "text_unigram_tokens_served" -> oracleSqlBase("text_unigram_tokens"),
     "text_bloom_decontam_served" -> oracleSqlBase("text_bloom_decontam"),
     // sketch state round-trips parquet exactly (longs/ints), and both
     // merges are exact (CMS cell-sum, HLL bucket-max), so the served

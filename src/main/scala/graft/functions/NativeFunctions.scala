@@ -155,4 +155,16 @@ object NativeFunctions {
     */
   def bpeSegmentWord(word: Column, merges: Seq[String]): Column =
     GraftSqlShims.column(BpeSegmentWord(GraftSqlShims.expression(word), merges))
+
+  /** Viterbi unigram-LM segmentation of one word; framed piece string. */
+  def unigramSegmentWord(word: Column, vocab: Seq[(String, Long)],
+                         maxLen: Int, unkMicro: Long): Column =
+    GraftSqlShims.column(UnigramSegmentWord(GraftSqlShims.expression(word),
+      vocab, maxLen, unkMicro))
+
+  /** Total micro log-prob of one word's Viterbi segmentation. */
+  def unigramScoreWord(word: Column, vocab: Seq[(String, Long)],
+                       maxLen: Int, unkMicro: Long): Column =
+    GraftSqlShims.column(UnigramScoreWord(GraftSqlShims.expression(word),
+      vocab, maxLen, unkMicro))
 }

@@ -293,6 +293,63 @@ object IndexStore {
     loadBpeMerges(spark, path)
   }
 
+  /** Persist a trained unigram-LM piece vocabulary (piece, micro
+    * log-prob score) — the SentencePiece-family tokenizer artifact
+    * beside the BPE merge list.
+    */
+  def saveUnigramVocab(spark: SparkSession, vocab: Seq[(String, Long)],
+                       path: String): Unit = {
+    import spark.implicits._
+    require(vocab.nonEmpty, "no vocab to save")
+    vocab.toDF("piece", "score_micro")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load + revalidate a unigram vocab: non-null non-empty pieces,
+    * each unique, strictly negative micro scores (a zero or positive
+    * log-prob could never come from training), and at least one
+    * single-char piece (without the char tier the Viterbi can dead-end
+    * on an unreachable position). Order is canonical (piece ASC) so
+    * the expression payload is deterministic regardless of file order.
+    */
+  def loadUnigramVocab(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val rows = spark.read.parquet(path)
+      .select(col("piece"), col("score_micro").cast("long"))
+      .collect()
+    require(rows.nonEmpty, s"unigram vocab artifact at $path is empty")
+    val out = rows.map { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"unigram vocab artifact at $path has a null piece or score")
+      val p = r.getString(0)
+      require(p.nonEmpty, s"unigram vocab artifact at $path has an empty piece")
+      require(r.getLong(1) < 0L,
+        s"unigram vocab artifact piece '$p' has a non-negative score")
+      (p, r.getLong(1))
+    }.toSeq
+    require(out.map(_._1).distinct.length == out.length,
+      s"unigram vocab artifact at $path has duplicate pieces")
+    require(out.exists(_._1.length == 1),
+      s"unigram vocab artifact at $path lacks single-char pieces")
+    out.sortBy(_._1)
+  }
+
+  /** Train-once unigram vocab — [[bpeMergesCached]]'s contract for
+    * the other tokenizer family; prefix carries every training param
+    * so two calls with different (topK, maxPieceLen) never alias.
+    */
+  def unigramVocabCached(corpus: DataFrame, textCol: String, topK: Int,
+                         maxPieceLen: Int, baseDir: String): Seq[(String, Long)] = {
+    require(topK > 0 && maxPieceLen >= 1, "bad unigram vocab params")
+    val spark = corpus.sparkSession
+    val fp = corpusFingerprint(corpus, Seq(textCol))
+    val path = s"$baseDir/univoc_${fp}_k${topK}l$maxPieceLen"
+    if (!exists(path))
+      saveUnigramVocab(spark,
+        TextAnalysis.trainUnigramVocab(corpus, textCol, topK, maxPieceLen), path)
+    loadUnigramVocab(spark, path)
+  }
+
   // ---------------------------------------------------------------
   // Sketch state: CMS counter grids (j INT, pos LONG, cnt LONG) and
   // HLL register tables (bucket LONG, mj INT). This is the state a

@@ -476,6 +476,87 @@ object TextAnalysis {
       lit(0L),
       (acc, s) => acc + size(bpeSymbols(s)).cast("long"))
 
+  /** Train a unigram-LM (SentencePiece-family) piece vocabulary — the
+    * OTHER tokenizer family beside BPE: instead of greedy merges, a
+    * piece inventory with log-probs that a Viterbi decode segments
+    * against. Deterministic, SQL-replayable derivation:
+    *
+    *  - candidate pieces = every substring of length 1..`maxPieceLen`
+    *    of every distinct word, at EVERY start position, weighted by
+    *    the word's corpus count (the substring stream runs over the
+    *    Zipf-small DISTINCT-word table, never per occurrence);
+    *  - ALL single-char pieces are kept (segmentability guarantee);
+    *    multi-char pieces keep the top `topK` by (count DESC, piece
+    *    ASC) — an exact global top-K over the candidate histogram;
+    *  - score(p) = floor(10⁶·ln(cnt(p)/total)) with total = Σ counts
+    *    over the SELECTED vocab — the same exact-integer-rational ln
+    *    discipline as [[unigramLogProb]], replayed by DuckDB
+    *    bit-for-bit.
+    *
+    * Scale: one word-key shuffle for the histogram, one piece-key
+    * shuffle for the candidate counts (both distinct-key sized), a
+    * TakeOrdered top-K, and a charset-bounded single-char collect —
+    * the returned vocab is driver-sized by construction (topK +
+    * |charset|). Returned sorted by piece for a deterministic
+    * expression payload.
+    */
+  def trainUnigramVocab(df: DataFrame, textCol: String, topK: Int = 64,
+                        maxPieceLen: Int = 4): Seq[(String, Long)] = {
+    require(topK > 0 && maxPieceLen >= 1, "bad unigram vocab params")
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val cand = words
+      .select(col("cnt"), explode(flatten(
+        transform(sequence(lit(1), least(length(col("w")), lit(maxPieceLen))),
+          l => transform(sequence(lit(1), length(col("w")) - l + 1,
+              lit(1)),
+            st => col("w").substr(st, l))))).as("p"))
+      .groupBy(col("p")).agg(sum(col("cnt")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chars = cand.filter(length(col("p")) === 1).collect()
+    val multi = cand.filter(length(col("p")) > 1)
+      .orderBy(col("n").desc, col("p")).limit(topK).collect()
+    cand.unpersist(blocking = false)
+    val sel = (chars ++ multi).map(r => (r.getString(0), r.getLong(1)))
+    val total = sel.map(_._2).sum
+    require(total > 0, "trainUnigramVocab: empty corpus")
+    sel.sortBy(_._1).map { case (p, n) =>
+      (p, math.floor(math.log(n.toDouble / total.toDouble) * 1000000.0).toLong)
+    }.toSeq
+  }
+
+  /** Score floor for a code point unseen at training time: only
+    * reachable when segmenting text OUTSIDE the training corpus —
+    * documented serving degradation, never an oracle path.
+    */
+  val UnigramUnkMicro: Long = -40000000L
+
+  /** Viterbi piece count per document under a trained unigram vocab:
+    * total pieces across the document's words ([[bpeTokenCount]]'s
+    * shape for the other tokenizer family).
+    */
+  def unigramTokenCount(text: Column, vocab: Seq[(String, Long)],
+                        maxPieceLen: Int = 4): Column =
+    aggregate(
+      transform(tokens(text), w =>
+        graft.functions.NativeFunctions.unigramSegmentWord(
+          w, vocab, maxPieceLen, UnigramUnkMicro)),
+      lit(0L),
+      (acc, s) => acc + size(bpeSymbols(s)).cast("long"))
+
+  /** Total Viterbi micro log-prob per document (sum over words) —
+    * the unigram-LM analog of [[unigramLogProb]]'s corpus score, but
+    * over LEARNED pieces instead of whole tokens.
+    */
+  def unigramScoreSum(text: Column, vocab: Seq[(String, Long)],
+                      maxPieceLen: Int = 4): Column =
+    aggregate(
+      filter(tokens(text), w => w =!= ""),
+      lit(0L),
+      (acc, w) => acc + graft.functions.NativeFunctions.unigramScoreWord(
+        w, vocab, maxPieceLen, UnigramUnkMicro))
+
   /** Gopher-style document quality rules (Rae et al. 2021,
     * arXiv:2112.11446 §A1.1), as one map-only struct of exact integer
     * signals plus the composed pass flag. Every signal is an integer

@@ -130,6 +130,53 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(served === inline)
   }
 
+  test("unigram vocab artifact round-trips canonically and serves identical cards") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val trained = graft.operators.TextAnalysis.trainUnigramVocab(
+      docs, "text", topK = 16, maxPieceLen = 3)
+    val path = tmpDir() + "/univoc"
+    IndexStore.saveUnigramVocab(spark, trained, path)
+    val loaded = IndexStore.loadUnigramVocab(spark, path)
+    assert(loaded === trained, "canonical piece order must survive the round trip")
+    val base = tmpDir()
+    val v1 = IndexStore.unigramVocabCached(docs, "text", 16, 3, base)
+    val v2 = IndexStore.unigramVocabCached(docs, "text", 16, 3, base)
+    assert(v1 === trained && v2 === v1)
+    // different params must NOT alias to the same artifact
+    val v3 = IndexStore.unigramVocabCached(docs, "text", 8, 3, base)
+    assert(v3.count(_._1.length > 1) <= 8)
+    // served piece counts equal inline-trained counts exactly
+    val inline = docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.unigramTokenCount(col("text"), trained, 3).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val served = docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.unigramTokenCount(col("text"), v2, 3).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served === inline)
+  }
+
+  test("malformed unigram vocab artifacts fail loudly at load") {
+    val path = tmpDir() + "/baduni"
+    def write(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("piece", "score_micro").write.mode("overwrite").parquet(path)
+    write(Seq(("a", -100L), ("a", -200L)))       // duplicate piece
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadUnigramVocab(spark, path)
+    }.getMessage.contains("duplicate"))
+    write(Seq(("a", 0L)))                        // non-negative score
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadUnigramVocab(spark, path)
+    }.getMessage.contains("non-negative"))
+    write(Seq(("ab", -100L)))                    // no single-char tier
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadUnigramVocab(spark, path)
+    }.getMessage.contains("single-char"))
+    write(Seq(("", -100L)))                      // empty piece
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadUnigramVocab(spark, path)
+    }.getMessage.contains("empty piece"))
+  }
+
   test("malformed BPE artifacts fail loudly at load") {
     val path = tmpDir() + "/badbpe"
     def write(rows: Seq[(Int, String, Long)]): Unit =

@@ -897,4 +897,71 @@ class TextAnalysisSpec extends AnyFunSuite {
       TextAnalysis.zipfSlopeCard(docs, "text", topV = 1)
     }.getMessage.contains("at least 2"))
   }
+
+  test("unigram Viterbi: max-likelihood split, longer-piece tie rule, surrogate safety") {
+    import graft.functions.UnigramViterbi
+    // hand-built vocab: "ab" is much likelier than a·b separately, so
+    // Viterbi must take the 2-char piece; score arithmetic is integer
+    val vocab = Seq(("a", -3000000L), ("b", -3000000L), ("c", -2000000L),
+      ("ab", -2500000L), ("bc", -5500000L))
+    val m = UnigramViterbi.buildScoreMap(vocab)
+    val r1 = UnigramViterbi.decode("abc", m, 4, -40000000L)
+    // candidates: a|b|c = -8e6, ab|c = -4.5e6, a|bc = -8.5e6 → ab|c
+    assert(r1.pieces.toSeq === Seq("ab", "c") && r1.scoreMicro === -4500000L)
+    // tie: make a|b exactly equal ab — the LONGER last piece must win
+    val tie = UnigramViterbi.buildScoreMap(
+      Seq(("a", -2000000L), ("b", -2000000L), ("ab", -4000000L)))
+    val r2 = UnigramViterbi.decode("ab", tie, 4, -40000000L)
+    assert(r2.pieces.toSeq === Seq("ab"), "tie must resolve to the longer piece")
+    // unknown char degrades to the unk-scored single char, never throws
+    val r3 = UnigramViterbi.decode("axb", m, 4, -40000000L)
+    assert(r3.pieces.toSeq === Seq("a", "x", "b") &&
+      r3.scoreMicro === -46000000L)
+    // surrogate pair stays one piece
+    val emoji = new String(Character.toChars(0x1F600))
+    val r4 = UnigramViterbi.decode(emoji + "a",
+      UnigramViterbi.buildScoreMap(Seq((emoji, -1000000L), ("a", -1000000L))),
+      4, -40000000L)
+    assert(r4.pieces.toSeq === Seq(emoji, "a"))
+  }
+
+  test("unigram vocab training: every char kept, topK bound, pieces re-concatenate") {
+    val docs = Seq((1L, "banana bandana"), (2L, "ban ban banana"),
+      (3L, "cabana")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.trainUnigramVocab(docs, "text",
+      topK = 8, maxPieceLen = 4)
+    val pieces = vocab.map(_._1).toSet
+    // segmentability guarantee: every corpus char is a piece
+    assert(Set("a", "b", "c", "d", "n").subsetOf(pieces))
+    assert(vocab.count(_._1.length > 1) <= 8, "topK bound violated")
+    assert(vocab.forall(_._2 < 0L), "log-probs must be negative micro")
+    // frequent substrings make the cut ("an" appears everywhere)
+    assert(pieces.contains("an"))
+    // applying the tokenizer: pieces re-concatenate to each word, and
+    // the score expression equals the sum of the chosen pieces' scores
+    val scoreOf = vocab.toMap
+    val seg = docs.select(
+        explode(filter(TextAnalysis.tokens(col("text")), w => w =!= "")).as("w"))
+      .select(col("w"),
+        graft.functions.NativeFunctions.unigramSegmentWord(col("w"), vocab, 4,
+          TextAnalysis.UnigramUnkMicro).as("framed"),
+        graft.functions.NativeFunctions.unigramScoreWord(col("w"), vocab, 4,
+          TextAnalysis.UnigramUnkMicro).as("lp"))
+      .collect()
+    seg.foreach { r =>
+      val ps = r.getString(1).split("").filter(_.nonEmpty).toSeq
+      assert(ps.mkString("") === r.getString(0), "pieces must re-concatenate")
+      assert(ps.map(scoreOf).sum === r.getLong(2),
+        "score expression must equal the sum of chosen piece scores")
+    }
+    // per-doc card: n_pieces <= total chars, >= n_words
+    val card = docs.select(col("doc_id"),
+        size(filter(TextAnalysis.tokens(col("text")), w => w =!= ""))
+          .cast("long").as("n_words"),
+        TextAnalysis.unigramTokenCount(col("text"), vocab).as("n_pieces"))
+      .collect()
+    card.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), "at least one piece per word")
+    }
+  }
 }
