@@ -671,6 +671,18 @@ object PipelineQueries {
           col("g.n_stop_distinct"), col("g.pass"))
         .orderBy(col("doc_id"))),
 
+    // ---- C4-style line-level cleaning card: terminal-punct +
+    //      min-words line keeps, sentence floor over KEPT text,
+    //      lorem-ipsum/brace page drops — integer/boolean signals
+    //      replayed verbatim by the oracle ----
+    "text_c4_rules" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.c4Signals(col("text")).as("c"))
+        .select(col("doc_id"), col("c.n_lines"), col("c.n_kept_lines"),
+          col("c.n_sentences_kept"), col("c.has_lorem"), col("c.has_brace"),
+          col("c.pass"))
+        .orderBy(col("doc_id"))),
+
     // ---- exact duplicated-substring spans (Lee et al. 2022 shape):
     //      maximal token regions covered by corpus-duplicated 8-token
     //      windows, merged per doc by gaps-and-islands ----
@@ -6933,6 +6945,30 @@ object PipelineQueries {
          JOIN docs2 d2 USING (doc_id)
          LEFT JOIN pk USING (doc_id)
          ORDER BY c.doc_id""",
+    "text_c4_rules" ->
+      """WITH c AS (
+           SELECT doc_id,
+             string_split(text, chr(10)) AS lines,
+             list_filter(string_split(text, chr(10)), l ->
+               len(list_filter(string_split_regex(trim(l), '\s+'),
+                 w -> w <> '')) >= 5
+               AND regexp_matches(rtrim(l), '[.!?"]$')) AS kept,
+             (lower(text) LIKE '%lorem ipsum%') AS has_lorem,
+             (text LIKE '%{%') AS has_brace
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept_lines,
+             CAST(COALESCE(list_sum(list_transform(kept,
+               l -> len(regexp_extract_all(l, '[.!?]')))), 0) AS BIGINT)
+               AS n_sentences_kept,
+             has_lorem, has_brace
+           FROM c)
+         SELECT doc_id, n_lines, n_kept_lines, n_sentences_kept,
+           has_lorem, has_brace,
+           (n_sentences_kept >= 3 AND NOT has_lorem AND NOT has_brace) AS pass
+         FROM s ORDER BY doc_id""",
     "text_gopher_rules" ->
       """WITH g AS (
            SELECT doc_id,

@@ -611,6 +611,41 @@ object TextAnalysis {
       nStop.as("n_stop_distinct"), pass.as("pass"))
   }
 
+  /** C4-style line-level cleaning signals (Raffel et al. 2020,
+    * arXiv:1910.10683 §2.2) — the OTHER famous web-filter family
+    * beside [[gopherSignals]], and the line-granular one: C4 keeps
+    * only lines that end in terminal punctuation AND hold at least
+    * `minLineWords` words, then drops any page whose kept text has
+    * fewer than `minSentences` sentences, mentions "lorem ipsum", or
+    * contains a curly brace (code leak-through). One map-only struct
+    * of exact integer/boolean signals — counts and substring tests
+    * only, no float anywhere — so an external engine replays the rule
+    * set bit-for-bit:
+    *
+    *  - n_lines, n_kept_lines (terminal-punct + ≥ minLineWords)
+    *  - n_sentences_kept ([.!?] occurrences within KEPT lines — the
+    *    sentence proxy applied after line filtering, as C4 does)
+    *  - has_lorem (case-insensitive), has_brace, pass
+    */
+  def c4Signals(text: Column, minLineWords: Long = 5L,
+                minSentences: Long = 3L): Column = {
+    val lines = split(text, "\n", -1)
+    val nLines = size(lines).cast(LongType)
+    def lineWords(l: Column): Column =
+      size(filter(split(trim(l), "\\s+"), w => w =!= "")).cast(LongType)
+    val kept = filter(lines, l =>
+      lineWords(l) >= minLineWords && rtrim(l).rlike("[.!?\"]$"))
+    val nKept = size(kept).cast(LongType)
+    val sentKept = aggregate(kept, lit(0L),
+      (a, l) => a + regexp_count(l, lit("[.!?]")).cast(LongType))
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    val pass = sentKept >= minSentences && !hasLorem && !hasBrace
+    struct(nLines.as("n_lines"), nKept.as("n_kept_lines"),
+      sentKept.as("n_sentences_kept"), hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"), pass.as("pass"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
     * arXiv:1911.00359): score each document by its mean per-token
     * corpus log-probability (the [[unigramLogProb]] perplexity proxy,

@@ -898,6 +898,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     }.getMessage.contains("at least 2"))
   }
 
+  test("C4 rules: line keeps, sentence floor over kept text, page drops") {
+    val good = (1 to 3).map(i => s"this line has enough words number $i.")
+      .mkString("\n")
+    val df = Seq(
+      (1L, good),                                    // 3 kept lines, 3 sentences
+      (2L, good + "\nshort line"),                   // extra line dropped (no punct, <5 words)
+      (3L, "one good sentence right here today.\nanother good sentence right here."),
+      (4L, good + " lorem ipsum"),                   // lorem kill
+      (5L, good.replace("number", "{number")),       // brace kill
+      (6L, "no terminal punctuation on this line\nnor here either")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.c4Signals(col("text")).as("c"))
+      .select(col("doc_id"), col("c.n_lines"), col("c.n_kept_lines"),
+        col("c.n_sentences_kept"), col("c.has_lorem"), col("c.has_brace"),
+        col("c.pass"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(got(1L) === ((3L, 3L, 3L, false, false, true)))
+    assert(got(2L) === ((4L, 3L, 3L, false, false, true)),
+      "the short unpunctuated line must be dropped, page still passes")
+    assert(got(3L) === ((2L, 2L, 2L, false, false, false)),
+      "two sentences is below the C4 floor")
+    assert(got(4L)._4 === true && got(4L)._6 === false, "lorem ipsum kills the page")
+    assert(got(5L)._5 === true && got(5L)._6 === false, "curly brace kills the page")
+    assert(got(6L) === ((2L, 0L, 0L, false, false, false)),
+      "no kept lines -> zero sentences -> fail")
+  }
+
   test("unigram Viterbi: max-likelihood split, longer-piece tie rule, surrogate safety") {
     import graft.functions.UnigramViterbi
     // hand-built vocab: "ab" is much likelier than a·b separately, so
