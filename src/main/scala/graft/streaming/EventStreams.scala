@@ -483,6 +483,80 @@ object EventStreams {
       }
   }
 
+  /** One closed gap-session's journey: the first-8-steps event-type
+    * path plus whether the session converted anywhere along it.
+    */
+  final case class PathFact(user_id: Long, path: String, converted: Boolean)
+
+  /** Open session-path state: last event time (micros), the first
+    * `maxSteps` event types, and the conversion flag — bounded by
+    * maxSteps, never by session length.
+    */
+  final case class OpenPath(endUs: Long, types: List[String],
+                            converted: Boolean)
+
+  /** Streaming twin of the batch `events_top_paths` sessionizer:
+    * per-actor state carries ONE open session (micros-precision gap,
+    * exactly the batch lag test); a later event past the gap closes
+    * it and emits its [[PathFact]]. The path keeps the first
+    * `maxSteps` types in (us, event_id) order — the batch
+    * slice(array_sort(...), 1, 8) — while the conversion flag folds
+    * over the WHOLE session. Each actor's final still-open session
+    * stays in state; with chronological batches the emitted facts are
+    * the batch session table minus those (the StreamingSpec claim).
+    * The finishing histogram is [[topPathsFromFacts]], recomputed per
+    * tick in the sink over the bounded distinct-path table.
+    */
+  def pathFactsStream(events: Dataset[Event], gapSeconds: Long,
+                      convType: String = "purchase",
+                      maxSteps: Int = 8): Dataset[PathFact] = {
+    import events.sparkSession.implicits._
+    require(gapSeconds > 0 && maxSteps > 0, "bad path-session params")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenPath, PathFact](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[OpenPath]) =>
+          def us(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          val gapUs = gapSeconds * 1000000L
+          val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var open = state.getOption
+          val out = List.newBuilder[PathFact]
+          sorted.foreach { e =>
+            val eus = us(e.ts)
+            open match {
+              case Some(o) if eus - o.endUs <= gapUs =>
+                open = Some(OpenPath(eus,
+                  if (o.types.size < maxSteps) o.types :+ e.event_type
+                  else o.types,
+                  o.converted || e.event_type == convType))
+              case Some(o) =>
+                out += PathFact(userId, o.types.mkString(">"), o.converted)
+                open = Some(OpenPath(eus, List(e.event_type),
+                  e.event_type == convType))
+              case None =>
+                open = Some(OpenPath(eus, List(e.event_type),
+                  e.event_type == convType))
+            }
+          }
+          open.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Finishing aggregation over [[pathFactsStream]] facts: the
+    * top-paths conversion histogram, column-for-column the batch
+    * `events_top_paths` result shape.
+    */
+  def topPathsFromFacts(facts: DataFrame, limit: Int = 50): DataFrame =
+    facts.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+      .select(col("path"), col("n_sessions"), col("n_converted"),
+        expr("n_converted * 1000000 div n_sessions").as("conv_micro"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(limit)
+
   /** One first-order Markov transition observed for an actor: the
     * (previous event type → this event type) edge in time order.
     */

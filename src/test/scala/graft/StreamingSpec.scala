@@ -1536,6 +1536,75 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming path facts equal the batch session paths minus each actor's open tail") {
+    val ev = Tables.table(spark, TestSpark.sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).cache()
+    ev.count()
+    // batch truth: the oracle-checked events_top_paths session table
+    val us = unix_micros(col("ts"))
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(us, col("event_id"))
+    val sess = ev
+      .withColumn("__new",
+        when(us - lag(us, 1).over(wu) > lit(1800L * 1000000L) ||
+          lag(us, 1).over(wu).isNull, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        wu.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(
+        concat_ws(">", slice(transform(
+          array_sort(collect_list(struct(us.as("us"),
+            col("event_id").as("id"), col("event_type").as("tp")))),
+          x => x.getField("tp")), 1, 8)).as("path"),
+        max(when(col("event_type") === "purchase", true).otherwise(false))
+          .as("conv"))
+    val lastSid = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    val want = sess
+      .withColumn("__maxsid", max(col("__sid")).over(lastSid))
+      .filter(col("__sid") < col("__maxsid")) // open tails stay in state
+      .select(col("user_id"), col("path"), col("conv"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(want.nonEmpty, "test data closes no sessions")
+    val (dir, sliced) = chronoSlices(ev, 16, "graft-paths")
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[EventStreams.Event]
+    val q = EventStreams.pathFactsStream(stream, gapSeconds = 1800L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pathmem").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select user_id, path, converted from pathmem")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      assert(got === want,
+        "streamed closed-session paths diverged from the batch session table")
+      // histogram shape matches the batch top-paths columns
+      val hist = EventStreams.topPathsFromFacts(
+        spark.sql("select path, converted from pathmem")).collect()
+      assert(hist.nonEmpty && hist.forall(r =>
+        r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1)))
+      // a session must span micro-batches for the claim to bite
+      val sliceOf = sliced.select(col("event_id"), col("slice"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val spanning = ev
+        .withColumn("__new",
+          when(us - lag(us, 1).over(wu) > lit(1800L * 1000000L) ||
+            lag(us, 1).over(wu).isNull, 1L).otherwise(0L))
+        .withColumn("__sid", sum(col("__new")).over(
+          wu.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .select(col("user_id"), col("__sid"), col("event_id"))
+        .collect().groupBy(r => (r.getLong(0), r.getLong(1)))
+        .exists(_._2.map(r => sliceOf(r.getLong(2))).distinct.size > 1)
+      assert(spanning, "no session spans a micro-batch boundary")
+    } finally q.stop()
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) closes sessions on gap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     Seq(
