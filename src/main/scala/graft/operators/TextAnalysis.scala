@@ -646,6 +646,21 @@ object TextAnalysis {
       hasBrace.as("has_brace"), pass.as("pass"))
   }
 
+  /** zlib compression ratio in micro-units — the cheap
+    * repetition/randomness proxy beside the rule cards (see
+    * [[graft.functions.DeflateRatioMicro]]). Null/empty text → null;
+    * otherwise floor(10⁶·deflate_len/raw_len). Filter policy belongs
+    * to the caller: drop ratio ≲ 0.25·10⁶ as boilerplate/spam, flag
+    * ratio near 10⁶ as non-text. Map-only; NOT oracle-replayable
+    * (deflate output is engine-specific) — ScalaTest-verified.
+    */
+  def compressionRatioMicro(text: Column, level: Int = 6): Column =
+    when(text.isNotNull && length(text) > 0,
+      org.apache.spark.sql.GraftSqlShims.column(
+        graft.functions.DeflateRatioMicro(
+          org.apache.spark.sql.GraftSqlShims.expression(text), level)))
+      .otherwise(lit(null).cast(LongType))
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
     * arXiv:1911.00359): score each document by its mean per-token
     * corpus log-probability (the [[unigramLogProb]] perplexity proxy,

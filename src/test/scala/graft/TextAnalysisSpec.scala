@@ -898,6 +898,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     }.getMessage.contains("at least 2"))
   }
 
+  test("compression ratio: repetition compresses, prose less, randomness least; null guard") {
+    val repetitive = ("lorem " * 400).trim
+    val prose = (1 to 60).map(i =>
+      s"sentence $i carries ${i * 37 % 101} distinct items and some variety.").mkString(" ")
+    val rnd = new scala.util.Random(42)
+    val noise = Array.fill(2400)((rnd.nextInt(94) + 33).toChar).mkString
+    val df = Seq((1L, repetitive), (2L, prose), (3L, noise), (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.compressionRatioMicro(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got(4L) === -1L && got(5L) === -1L, "empty/null text must be null")
+    assert(got(1L) < got(2L) && got(2L) < got(3L),
+      s"monotonicity violated: $got")
+    assert(got(1L) < 100000L, "pure repetition must compress below 0.1")
+    assert(got(3L) > 800000L, "uniform random text must barely compress")
+    // deterministic: same input, same ratio, any partitioning
+    val again = df.repartition(7).select(col("doc_id"),
+        TextAnalysis.compressionRatioMicro(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(again === got)
+    // matches a direct java.util.zip computation bit-for-bit
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(prose.getBytes("UTF-8")); d.finish()
+    val buf = new Array[Byte](1 << 16)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    d.end()
+    assert(got(2L) === n * 1000000L / prose.getBytes("UTF-8").length)
+  }
+
   test("C4 rules: line keeps, sentence floor over kept text, page drops") {
     val good = (1 to 3).map(i => s"this line has enough words number $i.")
       .mkString("\n")
