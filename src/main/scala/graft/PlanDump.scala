@@ -412,7 +412,35 @@ object PlanDump {
         "broadcast back onto manifest rows, and the FFD fold runs " +
         "per PARTITION over its file LIST (bounded, loud guard) — " +
         "the files themselves are never read. Output is " +
-        "manifest-sized; no corpus-scale sort anywhere."))
+        "manifest-sized; no corpus-scale sort anywhere."),
+    "q_tclose_audit" ->
+      ("t-closeness: the corpus collapses to (QI, value) counts in " +
+        "ONE map-side-combined shuffle; everything after is " +
+        "classes x domain — the domain histogram, the singleton " +
+        "total and the class-value counts all enter as " +
+        "BroadcastHashJoin build sides, so no corpus-sized row " +
+        "crosses an Exchange again. DECIMAL(38,0) products keep the " +
+        "distance exact where a 100 TB corpus would overflow i64."),
+    "text_unigram_tokens" ->
+      ("Unigram tokenizer: training runs over the DISTINCT-word " +
+        "table (word-key shuffle, then a piece-key shuffle of the " +
+        "substring stream — both Zipf-small), top-K via " +
+        "TakeOrderedAndProject; the apply side is a single map-only " +
+        "Project over the corpus scan — the Viterbi is one codegen'd " +
+        "expression per word, vocab in a driver-held map, " +
+        "no join and no shuffle in the segmentation path."),
+    "multimodal_decode_mp4" ->
+      ("Video metadata tier: blob synthesis and the ISO-BMFF box " +
+        "walk are consecutive map-only stages over the id scan " +
+        "(MapPartitions -> Project), so decode runs where the bytes " +
+        "are; the only Exchange is the output ordering's range " +
+        "partitioning. Sample tables are never read — the plan's " +
+        "cost is header bytes, not media bytes."),
+    "text_c4_rules" ->
+      ("C4 rule card: one map-only Project over the corpus scan — " +
+        "line split, kept-line filter, sentence count and the two " +
+        "substring tests all fuse into a single WholeStageCodegen " +
+        "span; the only Exchange is the output ordering."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -733,6 +733,50 @@ class PlanShapeSpec extends AnyFunSuite {
       s"Morton key leaked into the Generate:\n$gen")
   }
 
+  test("t-closeness audit plans broadcast-only joins after one corpus shuffle") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val df = graft.operators.Quality.tClosenessAudit(docs, Seq("source"), "lang")
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin"),
+      s"every grid attachment must broadcast:\n$p")
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 1 &&
+      countOccurrences(p, "BroadcastNestedLoopJoin") >= 1,
+      s"domain histogram + singleton total must enter as broadcasts:\n$p")
+    // the corpus flows through exactly one partial-aggregated shuffle;
+    // everything downstream is classes x domain sized
+    assert(countOccurrences(p, "Scan parquet") <= 4,
+      s"corpus must not rescan per grid side:\n$p")
+  }
+
+  test("unigram tokenizer apply path is map-only (vocab rides in the expression)") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val vocab = graft.operators.TextAnalysis.trainUnigramVocab(
+      docs, "text", topK = 8, maxPieceLen = 3)
+    val df = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.unigramTokenCount(col("text"), vocab, 3).as("n"),
+      graft.operators.TextAnalysis.unigramScoreSum(col("text"), vocab, 3).as("lp"))
+    val p = plan(df)
+    assert(!p.contains("Join"), s"segmentation must not join a vocab table:\n$p")
+    assert(countOccurrences(p, "Exchange") === 0,
+      s"segmentation must not shuffle:\n$p")
+  }
+
+  test("C4 rule card and mp4 decode are single-pass map-only plans") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val c4 = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.c4Signals(col("text")).as("c"))
+    val pc = plan(c4)
+    assert(!pc.contains("Join") && countOccurrences(pc, "Exchange") === 0,
+      s"C4 signals must be one map stage:\n$pc")
+    val blobs = graft.operators.Multimodal.synthMediaBlobs(
+      docs.select(col("doc_id")), "doc_id", "mp4")
+    val dec = graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+      new graft.operators.Multimodal.PureJvmCodec())
+    val pd = plan(dec)
+    assert(!pd.contains("Join") && countOccurrences(pd, "Exchange") === 0,
+      s"decode must run where the bytes are:\n$pd")
+  }
+
   test("attribution plans ONE actor exchange and ONE window (no touch join)") {
     val ev = Tables.table(spark, TestSpark.sfDir, "events")
     val df = Temporal.attributionFirstLast(ev, "user_id", "ts",
