@@ -174,6 +174,7 @@ object ScaleSmoke {
     val runScd2 = only.isEmpty || only.contains("scd2") || only.contains("r11")
     val runR12 = only.isEmpty || only.contains("r12")
     val runR12b = only.isEmpty || only.contains("r12b")
+    val runR12c = only.isEmpty || only.contains("r12c")
     val results = (if (!runMain) Seq.empty[(String, Double, Long)] else Seq(
       time("minhash_lsh_1x") {
         Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 64, 16, 3, 0.5)
@@ -927,6 +928,33 @@ object ScaleSmoke {
         time(s"cluster_append_${k}x") {
           ClusterIndex.appendToClusterIndex(spark, s"ss_cl_${k}x",
             clDelta(99000000L), "doc_id", "text"); 500L })
+    }) ++ (if (!runR12c) Seq.empty[(String, Double, Long)] else {
+      // unigram tokenizer: TRAINING runs over the distinct-word table
+      // (occurrence histogram is the only corpus-sized shuffle;
+      // replicas add ~2 marker words each, so distinct words grow
+      // slowly) — expected well below K. The APPLY side with a FIXED
+      // pre-trained vocab is map-only — the honest linear shape a
+      // per-row kernel must show. C4 signals likewise.
+      val uniVocab = TextAnalysis.trainUnigramVocab(docs1, "text", 64, 4)
+      Seq(
+        time("unigram_train_1x") {
+          TextAnalysis.trainUnigramVocab(docs1, "text", 64, 4).length.toLong },
+        time(s"unigram_train_${k}x") {
+          TextAnalysis.trainUnigramVocab(docsK, "text", 64, 4).length.toLong },
+        time("unigram_apply_1x") {
+          docs1.select(
+            TextAnalysis.unigramTokenCount(col("text"), uniVocab).as("n"))
+            .agg(sum(col("n"))).queryExecution.toRdd.count() },
+        time(s"unigram_apply_${k}x") {
+          docsK.select(
+            TextAnalysis.unigramTokenCount(col("text"), uniVocab).as("n"))
+            .agg(sum(col("n"))).queryExecution.toRdd.count() },
+        time("c4_rules_1x") {
+          docs1.select(TextAnalysis.c4Signals(col("text")).as("c"))
+            .queryExecution.toRdd.count() },
+        time(s"c4_rules_${k}x") {
+          docsK.select(TextAnalysis.c4Signals(col("text")).as("c"))
+            .queryExecution.toRdd.count() })
     })
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
@@ -949,7 +977,8 @@ object ScaleSmoke {
         "dedup_build", "dedup_gate_clean", "dedup_gate_dirty",
         "neardup_build", "neardup_gate",
         "ingest_gate", "dedup_append", "neardup_append",
-        "ivf_append", "cluster_append").foreach { base =>
+        "ivf_append", "cluster_append",
+        "unigram_train", "unigram_apply", "c4_rules").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }
