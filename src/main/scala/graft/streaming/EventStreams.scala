@@ -557,6 +557,50 @@ object EventStreams {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(limit)
 
+  /** Per-actor EWMA snapshot emitted after each micro-batch that
+    * touched the actor: the running recursive fold's current value.
+    */
+  final case class EwmaSnapshot(user_id: Long, n_events: Long,
+                                ewma_value: Double)
+
+  /** Streaming twin of the batch `events_ewma` recursive fold — the
+    * one aggregation family NO SQL window expresses (each step
+    * multiplies the previous result), which makes it the family that
+    * benefits MOST from streaming state: the batch form must re-fold
+    * every actor's full history per run, while the state carries just
+    * (n, current ewma) and folds only the batch's arrivals.
+    *
+    * Exact equality, not approximate: both modes fold the identical
+    * op sequence (acc·(1−α) + v·α in (ts, event_id) order — batches
+    * arriving chronologically concatenate to the batch sort), so the
+    * IEEE doubles are bit-equal, the same argument the DuckDB oracle
+    * for `events_ewma` rests on. Emits one snapshot per touched actor
+    * per micro-batch; the latest snapshot is the batch answer.
+    */
+  def ewmaStream(events: Dataset[Event], alpha: Double = 0.5)
+      : Dataset[EwmaSnapshot] = {
+    import events.sparkSession.implicits._
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaSnapshot, EwmaSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[EwmaSnapshot]) =>
+          def us(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(
+            EwmaSnapshot(userId, 0L, Double.NaN))
+          sorted.foreach { e =>
+            val v =
+              if (st.n_events == 0L) e.value
+              else st.ewma_value * (1.0 - alpha) + e.value * alpha
+            st = EwmaSnapshot(userId, st.n_events + 1L, v)
+          }
+          state.update(st)
+          Iterator.single(st)
+      }
+  }
+
   /** One first-order Markov transition observed for an actor: the
     * (previous event type → this event type) edge in time order.
     */

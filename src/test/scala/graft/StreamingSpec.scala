@@ -1605,6 +1605,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EWMA snapshots land bit-equal to the batch recursive fold") {
+    val ev = Tables.table(spark, TestSpark.sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).cache()
+    ev.count()
+    // batch truth: the oracle-checked events_ewma fold (alpha = 0.5)
+    val want = ev
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+        .as("evs"))
+      .select(col("user_id"), size(col("evs")).cast("long").as("n"),
+        aggregate(col("evs"), lit(Double.NaN),
+          (acc, e) => when(isnan(acc), e.getField("value"))
+            .otherwise(acc * lit(0.5) + e.getField("value") * lit(0.5)))
+          .as("ewma"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val (dir, _) = chronoSlices(ev, 8, "graft-ewma")
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[EventStreams.Event]
+    val q = EventStreams.ewmaStream(stream, alpha = 0.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewmamem").start()
+    try {
+      q.processAllAvailable()
+      val snaps = spark.sql("select user_id, n_events, ewma_value from ewmamem")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // the latest snapshot per actor (n is monotone) IS the batch row,
+      // bit-equal doubles included — both modes fold the identical
+      // IEEE op sequence in the identical order
+      val got = snaps.groupBy(_._1).map { case (u, s) =>
+        val last = s.maxBy(_._2); u -> ((last._2, last._3)) }
+      assert(got === want, "streamed EWMA diverged from the batch fold")
+      // state did its job: actors touched in k batches emit k snapshots,
+      // and at least one actor spans multiple batches
+      assert(snaps.groupBy(_._1).exists(_._2.length > 1),
+        "no actor folded across micro-batches")
+    } finally q.stop()
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) closes sessions on gap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     Seq(
