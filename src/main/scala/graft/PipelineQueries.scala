@@ -683,6 +683,16 @@ object PipelineQueries {
           col("c.pass"))
         .orderBy(col("doc_id"))),
 
+    // ---- Bloom file-skipping audit: the point-lookup leg of the
+    //      layout trio (zone maps = ranges, z-order = conjunctive
+    //      ranges, per-file Blooms = equality probes). min/max prunes
+    //      a hashed layout not at all; the Bloom tier stays selective
+    //      under either layout — quantified per probe key ----
+    "q_bloom_skip_audit" -> ((s, d) =>
+      graft.operators.Layout.bloomSkipAudit(
+          t(s, d, "documents"), col("doc_id"))
+        .orderBy(col("layout"), col("probe_key"))),
+
     // ---- exact duplicated-substring spans (Lee et al. 2022 shape):
     //      maximal token regions covered by corpus-duplicated 8-token
     //      windows, merged per doc by gaps-and-islands ----
@@ -6945,6 +6955,70 @@ object PipelineQueries {
          JOIN docs2 d2 USING (doc_id)
          LEFT JOIN pk USING (doc_id)
          ORDER BY c.doc_id""",
+    "q_bloom_skip_audit" ->
+      """WITH b AS (SELECT CAST(MIN(doc_id) AS BIGINT) AS mn,
+                  CAST(MAX(doc_id) AS BIGINT) AS mx FROM documents),
+         hh AS (SELECT doc_id AS k,
+                  (doc_id + 97) % 1000000007 AS a1 FROM documents),
+         fh AS (SELECT k,
+                  (((a1 * a1 % 1000000007 * 1000003 + 54321) % 1000000007)
+                   * ((a1 * a1 % 1000000007 * 1000003 + 54321) % 1000000007)
+                   % 1000000007) % 16 AS file_h
+                FROM hh),
+         lay AS (
+           SELECT d.doc_id AS k, 'clustered' AS layout,
+             (d.doc_id - b.mn) * 16 // (b.mx - b.mn + 1) AS file_id
+           FROM documents d, b
+           UNION ALL
+           SELECT f.k, 'hashed', f.file_h FROM fh f),
+         stats AS (SELECT layout, file_id, MIN(k) AS mnk, MAX(k) AS mxk
+                   FROM lay GROUP BY 1, 2),
+         pos AS (
+           SELECT DISTINCT layout, file_id,
+             ((k % 1000000007) + i.i *
+               (((k % 1000000007) * (k % 1000000007) % 1000000007
+                 * 1000003 + 54321) % 1000000007)) % 1000000007 % 4096 AS pos
+           FROM lay, (SELECT unnest(range(1, 5)) AS i) i),
+         pr AS (
+           SELECT DISTINCT b.mn + (b.mx - b.mn) * f.f // 100 AS probe_key
+           FROM b, (VALUES (13), (37), (61), (83)) f(f)
+           UNION
+           SELECT b.mx + g.g FROM b, (VALUES (1), (2), (3), (4)) g(g)),
+         prf AS (
+           SELECT p.probe_key,
+             EXISTS(SELECT 1 FROM documents d
+                    WHERE d.doc_id = p.probe_key) AS present
+           FROM pr p),
+         ppos AS (
+           SELECT DISTINCT probe_key,
+             ((probe_key % 1000000007) + i.i *
+               (((probe_key % 1000000007) * (probe_key % 1000000007)
+                 % 1000000007 * 1000003 + 54321) % 1000000007))
+               % 1000000007 % 4096 AS pos
+           FROM pr, (SELECT unnest(range(1, 5)) AS i) i),
+         need AS (SELECT probe_key, COUNT(*) AS need FROM ppos GROUP BY 1),
+         bh AS (
+           SELECT x.layout, x.probe_key, COUNT(*) AS n_files_bloom FROM (
+             SELECT s.layout, s.file_id, pp.probe_key, COUNT(*) AS got
+             FROM pos s JOIN ppos pp ON pp.pos = s.pos
+             GROUP BY 1, 2, 3) x
+           JOIN need n ON n.probe_key = x.probe_key AND x.got = n.need
+           GROUP BY 1, 2),
+         rh AS (
+           SELECT s.layout, p.probe_key, COUNT(*) AS n_files_range
+           FROM stats s, pr p
+           WHERE p.probe_key BETWEEN s.mnk AND s.mxk
+           GROUP BY 1, 2),
+         grid AS (
+           SELECT l.layout, p.probe_key, p.present
+           FROM (VALUES ('clustered'), ('hashed')) l(layout), prf p)
+         SELECT g.layout, CAST(g.probe_key AS BIGINT) AS probe_key, g.present,
+           CAST(COALESCE(bh.n_files_bloom, 0) AS BIGINT) AS n_files_bloom,
+           CAST(COALESCE(rh.n_files_range, 0) AS BIGINT) AS n_files_range
+         FROM grid g
+         LEFT JOIN bh ON bh.layout = g.layout AND bh.probe_key = g.probe_key
+         LEFT JOIN rh ON rh.layout = g.layout AND rh.probe_key = g.probe_key
+         ORDER BY g.layout, g.probe_key""",
     "text_c4_rules" ->
       """WITH c AS (
            SELECT doc_id,

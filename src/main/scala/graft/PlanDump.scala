@@ -440,7 +440,15 @@ object PlanDump {
       ("C4 rule card: one map-only Project over the corpus scan — " +
         "line split, kept-line filter, sentence count and the two " +
         "substring tests all fuse into a single WholeStageCodegen " +
-        "span; the only Exchange is the output ordering."))
+        "span; the only Exchange is the output ordering."),
+    "q_bloom_skip_audit" ->
+      ("Bloom file-skipping audit (the point-lookup leg of the " +
+        "layout trio): the corpus flows through a 2-way layout " +
+        "explode into the file-stats aggregate and a xk position " +
+        "explode into the per-file distinct position sets — both " +
+        "map-side-combined into file/position-bounded groups; " +
+        "every probe-side join (positions, needs, grid) broadcasts. " +
+        "Nothing corpus-sized joins anything corpus-sized."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

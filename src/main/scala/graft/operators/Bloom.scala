@@ -38,7 +38,7 @@ object Bloom {
     * [[graft.functions.BloomShingleHits]]): h1 = h mod p, h2 =
     * square-mix(h1), pos_i = (h1 + i·h2) mod p mod mBits.
     */
-  private def posColumns(h: Column, mBits: Int, kHashes: Int): Seq[Column] = {
+  private[operators] def posColumns(h: Column, mBits: Int, kHashes: Int): Seq[Column] = {
     val h1 = pmod(h, lit(P))
     val h2 = pmod(pmod(h1 * h1, lit(P)) * lit(1000003L) + lit(54321L), lit(P))
     (1 to kHashes).map(i =>

@@ -212,6 +212,106 @@ object Layout {
     * layouts' rows come off a 3-way explode, aggregated by
     * 3·2^bucketBits grouping keys with map-side partials.
     */
+  /** Bloom file-skipping audit — the POINT-LOOKUP leg of the layout
+    * trio (zone maps prune ranges, z-order prunes conjunctive ranges,
+    * per-file Blooms prune equality probes — the Delta/Iceberg
+    * bloom-filter column story, quantified). The same rows under a
+    * range-CLUSTERED vs a HASHED file layout; per file, a portable
+    * Bloom position set over the key (the [[Bloom]] module's
+    * double-square mixer, so an external engine replays every bit)
+    * plus the min/max envelope; then for each probe key — a grid of
+    * span-fraction keys plus `nAbsent` guaranteed-absent keys — how
+    * many files each pruning tier must read:
+    *
+    *  - `n_files_range`: files whose [min,max] admits the probe — ~1
+    *    under CLUSTERED, ALL files under HASHED (every file spans the
+    *    domain: min/max stats are useless exactly where hashing put
+    *    the rows);
+    *  - `n_files_bloom`: files whose Bloom has all k probe positions
+    *    set — ~(1 + fp·nFiles) under EITHER layout; the Bloom is the
+    *    tier that stays selective when the layout can't be.
+    *
+    * Plan: one 2-stat bounds pass, one presence semi-probe, then ONE
+    * corpus scan exploded 2 ways for file stats and once more (×k
+    * positions) for the per-file position sets; probe-side work is
+    * probes × files — bounded. Scale-safe: nothing corpus-sized joins
+    * anything corpus-sized.
+    */
+  def bloomSkipAudit(df: DataFrame, key: Column, nFiles: Int = 16,
+                     mBits: Int = 4096, kHashes: Int = 4,
+                     probeFracs: Seq[Long] = Seq(13L, 37L, 61L, 83L),
+                     den: Long = 100L, nAbsent: Int = 4,
+                     seed: Long = 97L): DataFrame = {
+    require(nFiles >= 2, "need at least two files")
+    require(mBits >= 64 && kHashes >= 1 && kHashes <= 8, "bad bloom params")
+    require(probeFracs.nonEmpty && probeFracs.forall(f => f >= 0 && f <= den),
+      "probe fractions must sit in [0, den]")
+    val spark = df.sparkSession
+    val r = df.agg(min(key.cast(LongType)), max(key.cast(LongType))).head()
+    require(!r.anyNull, "bloomSkipAudit: input is empty or the key is all-null")
+    val (minK, maxK) = (r.getLong(0), r.getLong(1))
+    val span = maxK - minK
+    require(span <= (1L << 53) / nFiles,
+      "bloomSkipAudit: key span x files exceeds the exact-arithmetic bound")
+    val k = key.cast(LongType)
+    val clustered = intDiv((k - lit(minK)) * lit(nFiles.toLong), lit(span + 1))
+    val hashed = pmod(Frames.portableHash(k, seed), lit(nFiles.toLong))
+    val layered = df
+      .select(k.as("k"), clustered.as("__fc"), hashed.as("__fh"))
+      .select(col("k"), explode(array(
+        struct(lit("clustered").as("layout"), col("__fc").as("file_id")),
+        struct(lit("hashed").as("layout"), col("__fh").as("file_id")))).as("lf"))
+      .select(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"),
+        col("k"))
+    val fileStats = layered.groupBy(col("layout"), col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+    val filePos = layered
+      .select(col("layout"), col("file_id"),
+        explode(array(Bloom.posColumns(col("k"), mBits, kHashes): _*)).as("pos"))
+      .distinct()
+    // probe keys: span-fraction grid (present iff the key exists) +
+    // guaranteed-absent keys past the max
+    val gridKeys = probeFracs.map(f => minK + span * f / den)
+    val absentKeys = (1 to nAbsent).map(i => maxK + i.toLong)
+    import spark.implicits._
+    val probes = (gridKeys ++ absentKeys).distinct.toDF("probe_key")
+    val presentSet = df.select(k.as("probe_key"))
+      .join(broadcast(probes), Seq("probe_key"), "left_semi")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val probesFlagged = (gridKeys ++ absentKeys).distinct
+      .map(p => (p, presentSet.contains(p))).toDF("probe_key", "present")
+    val probePos = probesFlagged
+      .select(col("probe_key"),
+        explode(array(Bloom.posColumns(col("probe_key"), mBits, kHashes): _*))
+          .as("pos"))
+      .distinct()
+    val probeNPos = probePos.groupBy(col("probe_key"))
+      .agg(count(lit(1)).as("__need"))
+    val bloomHits = filePos
+      .join(broadcast(probePos), Seq("pos"))
+      .groupBy(col("layout"), col("file_id"), col("probe_key"))
+      .agg(count(lit(1)).as("__got"))
+      .join(broadcast(probeNPos), Seq("probe_key"))
+      .filter(col("__got") === col("__need"))
+      .groupBy(col("layout"), col("probe_key"))
+      .agg(count(lit(1)).as("n_files_bloom"))
+    val rangeHits = fileStats
+      .crossJoin(broadcast(probesFlagged.select(col("probe_key"))))
+      .filter(col("probe_key") >= col("min_key") &&
+        col("probe_key") <= col("max_key"))
+      .groupBy(col("layout"), col("probe_key"))
+      .agg(count(lit(1)).as("n_files_range"))
+    val grid = Seq("clustered", "hashed").toDF("layout")
+      .crossJoin(probesFlagged)
+    grid
+      .join(bloomHits, Seq("layout", "probe_key"), "left")
+      .join(rangeHits, Seq("layout", "probe_key"), "left")
+      .select(col("layout"), col("probe_key"), col("present"),
+        coalesce(col("n_files_bloom"), lit(0L)).as("n_files_bloom"),
+        coalesce(col("n_files_range"), lit(0L)).as("n_files_range"))
+  }
+
   def zorderPruneAudit(df: DataFrame, dimA: Column, dimB: Column,
                        bits: Int = 16, bucketBits: Int = 6,
                        loNumA: Long = 25, hiNumA: Long = 35,

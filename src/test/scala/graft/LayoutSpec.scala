@@ -236,6 +236,37 @@ class LayoutSpec extends AnyFunSuite {
     assert(readCount("zorder") === 4)
   }
 
+  test("bloomSkipAudit: blooms prune point probes where hashed min/max cannot") {
+    val df = (0L until 1000L).toDF("k")
+    val audit = Layout.bloomSkipAudit(df, col("k"), nFiles = 8,
+        mBits = 4096, kHashes = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4)))
+    assert(audit.length === 16, "2 layouts x 8 probes")
+    val present = audit.filter(_._3)
+    val absent = audit.filterNot(_._3)
+    assert(present.length === 8 && absent.length === 8,
+      "the grid probes of a dense domain all exist; the +max ones never do")
+    // range tier: clustered admits exactly 1 file; hashed admits ALL —
+    // every hashed file spans the whole domain
+    assert(present.filter(_._1 == "clustered").forall(_._5 === 1L))
+    assert(present.filter(_._1 == "hashed").forall(_._5 === 8L))
+    // bloom tier: the present key's home file always hits (no false
+    // negatives), and false positives stay far below the file count
+    assert(present.forall(_._4 >= 1L), "bloom can never miss a present key")
+    assert(present.forall(_._4 <= 3L),
+      s"fp blowout: ${present.mkString(", ")}")
+    // absent keys: range prunes trivially (past max); bloom may
+    // false-positive but never fabricates a range hit
+    assert(absent.forall(_._5 === 0L))
+    assert(absent.forall(_._4 <= 3L))
+    // loud on empties
+    assert(intercept[IllegalArgumentException] {
+      Layout.bloomSkipAudit(spark.emptyDataFrame.withColumn("k", lit(1L))
+        .filter(lit(false)), col("k"))
+    }.getMessage.contains("empty"))
+  }
+
   test("zoneMapAudit refuses empty/all-null input loudly") {
     val ex = intercept[IllegalArgumentException] {
       Layout.zoneMapAudit(Seq.empty[Long].toDF("k"), col("k"), nFiles = 4)
