@@ -1082,6 +1082,18 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("lang"), col("t_micro"))
         .orderBy(col("doc_id"))),
 
+    // ---- DP count release (plumbing): per-key counts + two-sided
+    //      geometric (discrete Laplace) noise from the inverse CDF,
+    //      clamped at zero — the publication step after the privacy
+    //      audits. Noise here is SEEDED-deterministic (replayable;
+    //      NOT actually private — the documented stub; production
+    //      swaps in a CSPRNG draw) ----
+    "q_dp_counts" -> ((s, d) =>
+      graft.operators.Quality.dpNoisyCounts(
+          t(s, d, "documents"), Seq("lang", "source"),
+          epsilon = 0.5, seed = 7L)
+        .orderBy(col("lang"), col("source"))),
+
     // ---- greedy k-center coreset: 8 maximally-diverse embedding
     //      rows by farthest-first selection (seed = min id; then
     //      argmin of max-cosine-to-selected, ties to smallest id, on
@@ -3647,6 +3659,40 @@ object PipelineQueries {
            FROM documents)
          SELECT doc_id, lang, source, k FROM c
          WHERE k >= 3 ORDER BY doc_id""",
+    "q_dp_counts" ->
+      """WITH c AS (
+           SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+         h AS (
+           SELECT lang, source, n,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(
+                 COALESCE(lang, chr(1)) || chr(31) || COALESCE(source, chr(1)),
+                 ''), ch -> ch <> ''),
+                 ch -> CAST(unicode(ch) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007) AS hh
+           FROM c),
+         z AS (
+           SELECT lang, source, n,
+             ((((hh + 7) % 1000000007) * ((hh + 7) % 1000000007)
+               % 1000000007 * 1000003 + 54321) % 1000000007) AS m1,
+             ((((hh + 8) % 1000000007) * ((hh + 8) % 1000000007)
+               % 1000000007 * 1000003 + 54321) % 1000000007) AS m2
+           FROM h),
+         w AS (
+           SELECT lang, source, n,
+             (m1 * m1) % 1000000007 AS ph1,
+             (m2 * m2) % 1000000007 AS ph2
+           FROM z),
+         nz AS (
+           SELECT lang, source, n,
+             (CASE WHEN ph2 % 2 = 0 THEN 1 ELSE -1 END)
+               * CAST(FLOOR(ln(CAST(ph1 + 1 AS DOUBLE) / 1000000008.0)
+                 / (-0.5)) AS BIGINT) AS noise
+           FROM w)
+         SELECT lang, source, n, noise,
+           GREATEST(CAST(0 AS BIGINT), n + noise) AS n_noisy
+         FROM nz ORDER BY lang, source""",
     "q_tclose_audit" ->
       """WITH b AS (SELECT source, lang FROM documents WHERE lang IS NOT NULL),
          cv AS (SELECT source, lang, CAST(COUNT(*) AS HUGEINT) AS cnt

@@ -394,6 +394,47 @@ object Quality {
       .drop(qiCols.map("__r_" + _): _*)
   }
 
+  /** Differentially-private count release — the publication step after
+    * the k-anonymity/l-diversity/t-closeness audits: per-key counts
+    * plus two-sided geometric noise (the discrete Laplace mechanism;
+    * ε-DP for counting queries at the released granularity), clamped
+    * at zero. Noise magnitude is the geometric inverse-CDF
+    * floor(ln(u)/ln(α)) with α = e^(−ε), i.e. floor(ln(u)/−ε), sign
+    * from an independent hash bit.
+    *
+    * THE CAVEAT, stated loudly: `u` here is a SEEDED DETERMINISTIC
+    * uniform derived from the key's portable fingerprint — which
+    * makes the release replayable by the oracle and the tests, and
+    * makes it NOT actually private (deterministic noise can be
+    * inverted by anyone holding the seed). This is the mechanism's
+    * PLUMBING — schema, clamping, inverse-CDF arithmetic, integer
+    * exactness — with the randomness stubbed the same way the
+    * multimodal codecs stub their decoders; a production release
+    * swaps the hash-uniform for a CSPRNG draw and nothing else
+    * changes. ln/division stay portable by the repo's
+    * exact-integer-rational-to-double discipline.
+    *
+    * Scale: ONE key shuffle (the count), map-only noise.
+    */
+  def dpNoisyCounts(df: DataFrame, keyCols: Seq[String], epsilon: Double,
+                    seed: Long): DataFrame = {
+    require(keyCols.nonEmpty, "dpNoisyCounts: no key columns")
+    require(epsilon > 0, "epsilon must be positive")
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val keyStr = concat_ws("\u001F",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*)
+    val h = TextAnalysis.polyFingerprint(keyStr)
+    val p = Frames.HashP
+    val u = (pmod(Frames.portableHash(h, seed), lit(p)) + lit(1L))
+      .cast("double") / lit((p + 1).toDouble)
+    val mag = floor(log(u) / lit(-epsilon)).cast("long")
+    val sign = when(pmod(Frames.portableHash(h, seed + 1), lit(2L)) === 0L,
+      lit(1L)).otherwise(lit(-1L))
+    counts
+      .withColumn("noise", sign * mag)
+      .withColumn("n_noisy", greatest(lit(0L), col("n") + col("noise")))
+  }
+
   /** Loud snapshot-uniqueness guard: one snapshot-sized aggregate —
     * the price of never silently forking an id's SCD timeline.
     */

@@ -263,8 +263,14 @@ class MultimodalActionsSpec extends AnyFunSuite {
     assert(codec.decode(bpp8, "bmp") === null)
     assert(codec.decode("nonsense".getBytes, "wav") === null)
     assert(codec.decode("P5 2 2 255 ".getBytes, "ppm") === null) // P5 != P6
-    val viaStub = codec.decode("opaque".getBytes, "mp4")
+    // mkv has no real decoder in the tier (yet) — it must fall through
+    // to the deterministic stub; mp4/webp/tiff used to sit here and
+    // graduated to real box/RIFF/IFD walks
+    val viaStub = codec.decode("opaque".getBytes, "mkv")
     assert(viaStub != null && viaStub._2.length === 16)          // stub dim
+    // and the same garbage bytes under the REAL mp4 decoder are a
+    // loud null, not a stub answer
+    assert(codec.decode("opaque".getBytes, "mp4") === null)
   }
 
   test("PureJvmCodec: PNG via ImageIO decodes to the same features as the equivalent PPM") {

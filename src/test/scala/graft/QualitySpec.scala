@@ -185,6 +185,50 @@ class QualitySpec extends AnyFunSuite {
     }.getMessage.contains("quasi-identifier"))
   }
 
+  test("dpNoisyCounts: inverse-CDF noise replays from the seed, clamps at zero") {
+    val df = Seq(("en", "a"), ("en", "a"), ("en", "a"), ("fr", "b"),
+      ("fr", "b"), ("zh", "c")).toDF("lang", "source")
+    val got = Quality.dpNoisyCounts(df, Seq("lang", "source"),
+        epsilon = 0.5, seed = 7L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // replay the mechanism in plain JVM arithmetic
+    val P = 1000000007L
+    def poly(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, b) => (a * 1000003L + b) % P)
+    def portable(h: Long, seed: Long): Long = {
+      val h1 = ((h + seed) % P + P) % P
+      val h2 = (h1 * h1 % P * 1000003L + 54321L) % P
+      h2 * h2 % P
+    }
+    def expected(lang: String, source: String, n: Long): (Long, Long, Long) = {
+      val hh = poly(lang + "" + source)
+      val u = (portable(hh, 7L) % P + 1).toDouble / (P + 1).toDouble
+      val mag = math.floor(math.log(u) / -0.5).toLong
+      val sign = if (portable(hh, 8L) % 2 == 0) 1L else -1L
+      val noise = sign * mag
+      (n, noise, math.max(0L, n + noise))
+    }
+    assert(got(("en", "a")) === expected("en", "a", 3L))
+    assert(got(("fr", "b")) === expected("fr", "b", 2L))
+    assert(got(("zh", "c")) === expected("zh", "c", 1L))
+    // clamping: released counts can never go negative
+    assert(got.values.forall(_._3 >= 0L))
+    // deterministic under repartitioning; different seed → different release
+    val again = Quality.dpNoisyCounts(df.repartition(5),
+        Seq("lang", "source"), 0.5, 7L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(again === got)
+    val other = Quality.dpNoisyCounts(df, Seq("lang", "source"), 0.5, 99L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(other !== got.map { case (k, v) => k -> v._2 },
+      "a different seed must move the noise somewhere")
+    assert(intercept[IllegalArgumentException] {
+      Quality.dpNoisyCounts(df, Seq.empty, 0.5, 7L)
+    }.getMessage.contains("key columns"))
+  }
+
   test("t-closeness: skew in exact micro-units; null QI is a class, null sensitive excluded") {
     // global (nulls excluded): s1=6, s2=2, s3=2, N=10
     //   A (n=4, p=(3,1,0)/4):      Σ|c·N−g·n| = 6+2+8  = 16 → 16/80 = 0.20
