@@ -30,6 +30,17 @@ object PipelineQueries {
   private val artifactDir: String =
     sys.props("java.io.tmpdir") + "/graft-index-artifacts/v1"
 
+  /** DDSketch accuracy for the quantile queries: α = 1% →
+    * γ = 1.01/0.99. The ln(γ) divisor and midpoint constant are
+    * inlined into the oracle SQL as JVM-printed doubles so both
+    * engines parse identical IEEE values ([[graft.operators.Quantiles]]).
+    */
+  private val ddGamma: Double = graft.operators.Quantiles.gammaFor(0.01)
+  private val ddLnG: String =
+    graft.operators.Quantiles.sqlDouble(math.log(ddGamma))
+  private val ddMidC: String =
+    graft.operators.Quantiles.sqlDouble(100.0 * 2.0 / (1.0 + ddGamma))
+
   /** The round-8 flagship composition, parameterized by corpus so
     * ScaleSmoke can drive it on replicated data: source health gate ->
     * Gopher rule + repetition gates -> trained-quality median keep ->
@@ -775,6 +786,56 @@ object PipelineQueries {
         .orderBy(col("delta_id"), col("corpus_id"))
     }),
 
+    // ---- edit-distance similarity self-join (entity resolution /
+    //      fuzzy key matching): all customer-name pairs within
+    //      Levenshtein 1, found through the q-gram prefix filter —
+    //      an equi-join on each string's q·d+1 rarest grams — never
+    //      the all-pairs product the naive form is. COMPLETE, unlike
+    //      q_fuzzy_pairs' first-token blocking (a heuristic that
+    //      misses pairs differing in their first word by design).
+    //      Verification is exact, so the oracle replays the whole
+    //      filter+verify composition gram-for-gram ----
+    "dedup_edit_join" -> ((s, d) =>
+      graft.operators.EditSimilarity.editSimilarityJoin(
+          t(s, d, "customer").select(col("c_custkey").as("id"),
+            col("c_name").as("s")),
+          "id", "s", maxDist = 1, q = 3)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // ---- PERSISTED edit-similarity index, gated (the daily-arrivals
+    //      entity-resolution shape): the %5==0 customers play today's
+    //      batch, the rest the admitted master data. TRUE edit-
+    //      distance semantics — the one-sided prefix filter is
+    //      complete under any term order because the index stores
+    //      FULL gram sets — so the oracle is an honest brute-force
+    //      cross join, a stronger check than replaying the filter ----
+    "dedup_editidx_gate" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val prefix = graft.operators.EditIndex.editIndexCached(
+        cust.filter(col("id") % 5 =!= 0), "id", "name", maxDist = 1, q = 3)
+      graft.operators.EditIndex.gateEditMatches(s, prefix,
+          cust.filter(col("id") % 5 === 0), "id", "name")
+        .orderBy(col("delta_id"), col("index_id"))
+    }),
+
+    // ---- the same gate after an O(delta) APPEND: the master data is
+    //      built from 3/4 of the corpus side and the last quarter is
+    //      folded in via appendToEditIndex — the gate answer must be
+    //      row-for-row the dedup_editidx_gate answer (append ≡
+    //      rebuild; shares its oracle) ----
+    "dedup_editidx_append" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val corp = cust.filter(col("id") % 5 =!= 0)
+      val prefix = graft.operators.EditIndex.editAppendCached(
+        corp.filter(col("id") % 4 =!= 1), corp.filter(col("id") % 4 === 1),
+        "id", "name", maxDist = 1, q = 3)
+      graft.operators.EditIndex.gateEditMatches(s, prefix,
+          cust.filter(col("id") % 5 === 0), "id", "name")
+        .orderBy(col("delta_id"), col("index_id"))
+    }),
+
     // ---- token-budget sequence packing (concatenate-then-chunk
     //      pretraining batch assembly): which 512-token training
     //      sequence each doc starts in, at what offset, spanning how
@@ -946,6 +1007,25 @@ object PipelineQueries {
         nCentroids = Similarity.suggestedCentroids(e.count()), dim = 64, iterations = 1,
         portable = true)
       Similarity.ivfTopK(e, e, k = 1, cents, nProbe = 4, portable = true)
+        .select(col("query_id"), col("id").as("nn_id"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ---- FILTERED ANN (the production "nearest WITHIN a metadata
+    //      predicate" shape): pure composition — cell assignment is a
+    //      per-row map over centroids, so pre-filtering the corpus
+    //      side changes nothing about where survivors land, and the
+    //      predicate pushes into the corpus parquet scan BEFORE any
+    //      vector work (PlanShapeSpec pins PushedFilters). Queries
+    //      whose probed cells hold no eligible neighbor drop out on
+    //      both engines ----
+    "sim_topk_ivf_filtered" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = Similarity.trainIvfCentroids(e,
+        nCentroids = Similarity.suggestedCentroids(e.count()), dim = 64,
+        iterations = 1, portable = true)
+      Similarity.ivfTopK(e.filter(col("label") < 5), e, k = 1, cents,
+          nProbe = 4, portable = true)
         .select(col("query_id"), col("id").as("nn_id"))
         .orderBy(col("query_id"))
     }),
@@ -1675,6 +1755,47 @@ object PipelineQueries {
             .as("p99_within_rank_bounds"))
         .orderBy(col("event_type"))),
 
+    // ---- portable DDSketch quantiles (relative-error, mergeable,
+    //      fully replayable — unlike percentile_approx above): p50 /
+    //      p90 / p99 / p999 of extended price from a geometric-bucket
+    //      count table a few hundred rows long. The only corpus
+    //      shuffle is map-side combined to sketch size ----
+    "q_ddsketch_quantiles" -> ((s, d) =>
+      graft.operators.Quantiles.ddQuantiles(
+          graft.operators.Quantiles.ddSketch(
+            t(s, d, "lineitem"), "l_extendedprice", ddGamma),
+          ddGamma, Seq(500000L, 900000L, 990000L, 999000L))
+        .orderBy(col("q_micro"))),
+
+    // ---- DDSketch mergeability, oracle-pinned: 8 supplier-shard
+    //      sketches folded back together must answer EXACTLY like the
+    //      one-shot global sketch (bucket counts add) — the property
+    //      that makes the sketch deployable per-executor / per-day
+    //      and foldable later. Shares q_ddsketch_quantiles' oracle ----
+    "q_ddsketch_merged" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val shards = (0 until 8).map(i =>
+        graft.operators.Quantiles.ddSketch(
+          li.filter(pmod(col("l_suppkey"), lit(8)) === i),
+          "l_extendedprice", ddGamma))
+      graft.operators.Quantiles.ddQuantiles(
+          graft.operators.Quantiles.mergeSketches(shards),
+          ddGamma, Seq(500000L, 900000L, 990000L, 999000L))
+        .orderBy(col("q_micro"))
+    }),
+
+    // ---- per-window DDSketch (the streaming-shaped read): hourly
+    //      p50/p90 of event value from per-window sketches — state is
+    //      windows x buckets, the monitoring card a live pipeline
+    //      keeps where a full sort per window is unpayable ----
+    "events_ddsketch_windowed" -> ((s, d) =>
+      graft.operators.Quantiles.ddQuantiles(
+          graft.operators.Quantiles.ddSketch(
+            t(s, d, "events").withColumn("w", date_trunc("hour", col("ts"))),
+            "value", ddGamma, groupCols = Seq("w")),
+          ddGamma, Seq(500000L, 900000L), groupCols = Seq("w"))
+        .orderBy(col("w"), col("q_micro"))),
+
     // ---- text analysis: token counts + quality signals ----
     "text_stats" -> ((s, d) =>
       t(s, d, "documents")
@@ -2102,6 +2223,63 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- JPEG EXIF orientation: APP1-embedded TIFF IFD walked in
+    //      BOTH byte orders (fixture alternates II/MM by parity) with
+    //      a LONG-typed decoy tag the reader must skip — the rotate-
+    //      before-pixel-work metadata a crawled-image pipeline must
+    //      honor ----
+    "multimodal_decode_exif" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "jpeg_exif")
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+          new graft.operators.Multimodal.PureJvmCodec())
+        .select(col("id").as("doc_id"),
+          col("decoded.meta.width").as("width"),
+          col("decoded.meta.height").as("height"),
+          element_at(col("decoded.features"), 5).cast(LongType)
+            .as("orientation"),
+          element_at(col("decoded.features"), 6).cast(LongType)
+            .as("byte_order"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- WebM/Matroska EBML walk: the OTHER web video container —
+    //      vint-coded elements instead of fixed boxes; Info timescale
+    //      + float Duration -> dur_ms, first video TrackEntry's
+    //      pixel dims; id%3==0 fixtures use wide size-vints AND an
+    //      unknown-length Segment (the streamed-Matroska shape) ----
+    "multimodal_decode_webm" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "webm")
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+          new graft.operators.Multimodal.PureJvmCodec())
+        .select(col("id").as("doc_id"),
+          col("decoded.meta.width").as("width"),
+          col("decoded.meta.height").as("height"),
+          col("decoded.meta.duration_ms").as("dur_ms"),
+          element_at(col("decoded.features"), 3).cast(LongType).as("n_tracks"),
+          element_at(col("decoded.features"), 4).cast(LongType).as("timescale"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- AVIF/HEIF meta walk: the still-image side of ISO-BMFF —
+    //      ispe spatial extents + pixi channels/depth out of
+    //      meta→iprp→ipco, all three admitted brands cycled by the
+    //      fixture (id%3: avif / mif1 / heic) ----
+    "multimodal_decode_avif" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "avif")
+      graft.operators.Multimodal.decodeMedia(blobs, "bytes", "format",
+          new graft.operators.Multimodal.PureJvmCodec())
+        .select(col("id").as("doc_id"),
+          col("decoded.meta.width").as("width"),
+          col("decoded.meta.height").as("height"),
+          element_at(col("decoded.features"), 3).cast(LongType).as("channels"),
+          element_at(col("decoded.features"), 4).cast(LongType).as("depth"),
+          element_at(col("decoded.features"), 5).cast(LongType).as("brand"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- WebP RIFF decode: all three first-chunk layouts (lossy
     //      VP8 sync walk, lossless VP8L bit-packing, extended VP8X
     //      24-bit canvas), variant cycled by the fixture ----
@@ -2317,6 +2495,24 @@ object PipelineQueries {
         graft.operators.Hll.mergeRegisters(ra, rb), m = 256)
     }),
 
+    // ---- KMV theta-sketch overlap card: per source pair, distinct /
+    //      union / INTERSECTION / Jaccard estimates of shared
+    //      vocabulary from 256-value sketches — the set algebra HLL
+    //      cannot do — beside their exact truths (the eval-card
+    //      mold). The sketch path's only corpus-width work is one
+    //      (source, hash) distinct + a bounded-heap agg; every pair
+    //      estimate runs on k-sized rows. The pair list itself is a
+    //      broadcast nested-loop over the per-source card (sources x
+    //      sources, dozens of rows). Small sources at sf0.001 hold
+    //      fewer than k distinct tokens, exercising the exact-
+    //      degradation branch the oracle also replays ----
+    "text_kmv_overlap" -> ((s, d) =>
+      graft.operators.Kmv.overlapCard(
+          t(s, d, "documents").select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("term")),
+          "source", "term", k = 256)
+        .orderBy(col("src_a"), col("src_b"))),
+
     // ---- corpus-weighted term ranking: top-3 tokens per document by
     //      tf x (N/df). The score is one exact IEEE division of
     //      integers (no transcendentals), so ranking and value are
@@ -2379,6 +2575,21 @@ object PipelineQueries {
           slice(TextAnalysis.cleanTokens(col("text")), 1, 5).as("qterms"))
       Retrieval.bm25TopK(docs, "doc_id", "text",
           probes, "query_id", "qterms", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- pseudo-relevance-feedback expansion (RM3 family): probe ->
+    //      top-5 docs vote their 3 heaviest NEW terms (exact-integer
+    //      tf weights, token ties) -> the expanded query rescored
+    //      through the identical BM25 chain. The oracle replays BOTH
+    //      passes and the expansion vote ----
+    "text_bm25_prf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val probes = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(TextAnalysis.cleanTokens(col("text")), 1, 5).as("qterms"))
+      Retrieval.bm25TopKExpanded(docs, "doc_id", "text",
+          probes, "query_id", "qterms", k = 10, kFb = 5, nExpand = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3844,6 +4055,50 @@ object PipelineQueries {
          FROM m""",
     "text_bm25_topk" -> (bm25OracleCtes +
       "\n SELECT query_id, rank, doc_id, score_micro, n_terms FROM topk ORDER BY query_id, rank"),
+    "text_bm25_prf" -> (bm25OracleCtes +
+      """,
+       fb AS (SELECT query_id, doc_id FROM topk WHERE rank <= 5),
+       expw AS (
+         SELECT f.query_id, tf.token, CAST(SUM(tf.tf) AS BIGINT) AS w
+         FROM fb f JOIN tf ON tf.doc_id = f.doc_id
+         GROUP BY 1, 2),
+       expq AS (
+         SELECT query_id, token FROM (
+           SELECT e.query_id, e.token,
+             ROW_NUMBER() OVER (PARTITION BY e.query_id
+               ORDER BY e.w DESC, e.token) AS r
+           FROM expw e
+           WHERE NOT EXISTS (
+             SELECT 1 FROM qt q
+             WHERE q.query_id = e.query_id AND q.token = e.token))
+         WHERE r <= 3),
+       qt2 AS (
+         SELECT query_id, token FROM qt
+         UNION
+         SELECT query_id, token FROM expq),
+       cand2 AS (
+         SELECT q.query_id, tf.doc_id, tf.tf, f.df FROM qt2 q
+         JOIN dfreq f USING (token) JOIN tf ON tf.token = q.token),
+       term2 AS (
+         SELECT c.query_id, c.doc_id,
+           CAST(floor(
+             ln(1.0 + (CAST(s.n_docs AS DOUBLE) - c.df + 0.5) / (CAST(c.df AS DOUBLE) + 0.5)) *
+             (CAST(c.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+             (CAST(c.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * ((1.0 - CAST(0.75 AS DOUBLE)) +
+               CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE) * s.n_docs / s.total_tokens)) *
+             1000000.0) AS BIGINT) AS ts_micro
+         FROM cand2 c JOIN dl l USING (doc_id) CROSS JOIN stats s),
+       perdoc2 AS (
+         SELECT query_id, doc_id, CAST(SUM(ts_micro) AS BIGINT) AS score_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+         FROM term2 GROUP BY 1, 2),
+       ranked2 AS (
+         SELECT query_id, doc_id, score_micro, n_terms,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+         FROM perdoc2),
+       topk2 AS (
+         SELECT query_id, rank, doc_id, score_micro, n_terms FROM ranked2 WHERE rank <= 10)
+       SELECT query_id, rank, doc_id, score_micro, n_terms FROM topk2 ORDER BY query_id, rank"""),
     "text_bm25_topk_bigpanel" -> (bm25OracleCtesMod(5) +
       "\n SELECT query_id, rank, doc_id, score_micro, n_terms FROM topk ORDER BY query_id, rank"),
     "text_bm25_topk_champion" -> (bm25OracleCtes + bm25ChampionChain(64, "2") +
@@ -5014,6 +5269,143 @@ object PipelineQueries {
            TRUE AS hll_within_3sigma, TRUE AS p50_within_rank_bounds,
            TRUE AS p99_within_rank_bounds
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_ddsketch_quantiles" ->
+      s"""WITH v AS (
+           SELECT l_extendedprice AS x FROM lineitem
+           WHERE l_extendedprice > 0),
+         sk AS (
+           SELECT CAST(CEIL(ln(x) / $ddLnG) AS BIGINT) AS bucket,
+             COUNT(*) AS cnt
+           FROM v GROUP BY 1),
+         c AS (
+           SELECT bucket, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+           FROM sk),
+         q AS (
+           SELECT CAST(unnest([500000, 900000, 990000, 999000]) AS BIGINT)
+             AS q_micro),
+         hit AS (
+           SELECT q.q_micro, c.bucket, c.cnt, c.cum, c.n,
+             ROW_NUMBER() OVER (PARTITION BY q.q_micro ORDER BY c.bucket) AS rn
+           FROM q JOIN c ON c.cum > (q.q_micro * (c.n - 1)) // 1000000)
+         SELECT q_micro, (q_micro * (n - 1)) // 1000000 AS rank_k,
+           bucket, cnt, cum, n,
+           CAST(FLOOR($ddMidC * exp(CAST(bucket AS DOUBLE) * $ddLnG))
+             AS BIGINT) AS est_cents
+         FROM hit WHERE rn = 1 ORDER BY q_micro""",
+    "events_ddsketch_windowed" ->
+      s"""WITH v AS (
+           SELECT date_trunc('hour', ts) AS w, value AS x FROM events
+           WHERE value > 0),
+         sk AS (
+           SELECT w, CAST(CEIL(ln(x) / $ddLnG) AS BIGINT) AS bucket,
+             COUNT(*) AS cnt
+           FROM v GROUP BY 1, 2),
+         c AS (
+           SELECT w, bucket, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY w ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY w) AS BIGINT) AS n
+           FROM sk),
+         q AS (
+           SELECT CAST(unnest([500000, 900000]) AS BIGINT) AS q_micro),
+         hit AS (
+           SELECT c.w, q.q_micro, c.bucket, c.cnt, c.cum, c.n,
+             ROW_NUMBER() OVER (PARTITION BY c.w, q.q_micro
+               ORDER BY c.bucket) AS rn
+           FROM q JOIN c ON c.cum > (q.q_micro * (c.n - 1)) // 1000000)
+         SELECT w, q_micro, (q_micro * (n - 1)) // 1000000 AS rank_k,
+           bucket, cnt, cum, n,
+           CAST(FLOOR($ddMidC * exp(CAST(bucket AS DOUBLE) * $ddLnG))
+             AS BIGINT) AS est_cents
+         FROM hit WHERE rn = 1 ORDER BY w, q_micro""",
+    "text_kmv_overlap" ->
+      """WITH tt AS (
+           SELECT DISTINCT source AS grp,
+             unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM documents),
+         h AS (
+           SELECT DISTINCT grp,
+             ((fp * fp % 1000000007) * 1000003 + 54321) % 1000000007 AS u
+           FROM (
+             SELECT grp, list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(term, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007) AS fp
+             FROM tt)),
+         sk AS (
+           SELECT grp, u, rn FROM (
+             SELECT grp, u,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY u) AS rn
+             FROM h) WHERE rn <= 256),
+         per AS (
+           SELECT grp, COUNT(*) AS m, MAX(u) AS theta,
+             CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+               ELSE 255000001785 // MAX(u) END AS est
+           FROM sk GROUP BY grp),
+         prs AS (
+           SELECT a.grp AS src_a, b.grp AS src_b, a.est AS est_a,
+             b.est AS est_b
+           FROM per a JOIN per b ON a.grp < b.grp),
+         side AS (
+           SELECT p.src_a, p.src_b, s.u,
+             MAX(CASE WHEN s.grp = p.src_a THEN 1 ELSE 0 END) AS has_a,
+             MAX(CASE WHEN s.grp = p.src_b THEN 1 ELSE 0 END) AS has_b
+           FROM prs p JOIN sk s ON s.grp = p.src_a OR s.grp = p.src_b
+           GROUP BY 1, 2, 3),
+         ranked AS (
+           SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY u) AS rn,
+             COUNT(*) OVER (PARTITION BY src_a, src_b) AS m_u
+           FROM side),
+         th AS (
+           SELECT src_a, src_b, u AS theta FROM ranked WHERE rn = 256),
+         ks AS (
+           SELECT r.src_a, r.src_b,
+             CAST(MAX(m_u) AS BIGINT) AS m_union,
+             COALESCE(MAX(t.theta), 1000000007) AS theta,
+             CAST(SUM(CASE WHEN has_a = 1 AND has_b = 1
+               AND u < COALESCE(t.theta, 1000000007)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_ib,
+             CAST(SUM(CASE WHEN has_a = 1 AND has_b = 0
+               AND u < COALESCE(t.theta, 1000000007)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_ab,
+             CAST(SUM(CASE WHEN has_a = 0 AND has_b = 1
+               AND u < COALESCE(t.theta, 1000000007)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_ba
+           FROM ranked r LEFT JOIN th t USING (src_a, src_b)
+           GROUP BY 1, 2),
+         eg AS (SELECT grp, COUNT(*) AS exact_n FROM tt GROUP BY grp),
+         ei AS (
+           SELECT a.grp AS src_a, b.grp AS src_b, COUNT(*) AS exact_inter
+           FROM tt a JOIN tt b ON a.term = b.term AND a.grp < b.grp
+           GROUP BY 1, 2)
+         SELECT p.src_a, p.src_b, p.est_a, p.est_b,
+           CASE WHEN k.m_union < 256 THEN k.m_union
+             ELSE 255000001785 // k.theta END AS est_union,
+           CASE WHEN k.theta = 1000000007 THEN k.n_ib
+             ELSE k.n_ib * 1000000007 // k.theta END AS est_inter,
+           CASE WHEN k.theta = 1000000007 THEN k.n_ab
+             ELSE k.n_ab * 1000000007 // k.theta END AS est_a_minus_b,
+           CASE WHEN k.theta = 1000000007 THEN k.n_ba
+             ELSE k.n_ba * 1000000007 // k.theta END AS est_b_minus_a,
+           k.n_ib * 1000000 // LEAST(256, k.m_union) AS jacc_micro,
+           ea.exact_n AS exact_a, eb.exact_n AS exact_b,
+           ea.exact_n + eb.exact_n - COALESCE(i.exact_inter, 0) AS exact_union,
+           COALESCE(i.exact_inter, 0) AS exact_inter,
+           ea.exact_n - COALESCE(i.exact_inter, 0) AS exact_a_minus_b,
+           eb.exact_n - COALESCE(i.exact_inter, 0) AS exact_b_minus_a,
+           COALESCE(i.exact_inter, 0) * 1000000
+             // (ea.exact_n + eb.exact_n - COALESCE(i.exact_inter, 0))
+             AS exact_jacc_micro
+         FROM prs p
+         JOIN ks k USING (src_a, src_b)
+         JOIN eg ea ON ea.grp = p.src_a
+         JOIN eg eb ON eb.grp = p.src_b
+         LEFT JOIN ei i USING (src_a, src_b)
+         ORDER BY p.src_a, p.src_b""",
     "dedup_cluster_best" ->
       """WITH RECURSIVE t AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -5126,6 +5518,56 @@ object PipelineQueries {
            SELECT r2.id, e.dst FROM reach r2 JOIN e ON e.src = r2.r)
          SELECT id AS doc_id, MIN(r) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "dedup_editidx_gate" ->
+      """WITH delta AS (
+           SELECT c_custkey AS delta_id, c_name AS s FROM customer
+           WHERE c_custkey % 5 = 0 AND c_name IS NOT NULL),
+         corp AS (
+           SELECT c_custkey AS index_id, c_name AS s FROM customer
+           WHERE c_custkey % 5 <> 0 AND c_name IS NOT NULL)
+         SELECT d.delta_id, c.index_id,
+           CAST(levenshtein(d.s, c.s) AS BIGINT) AS dist
+         FROM delta d JOIN corp c
+           ON abs(length(d.s) - length(c.s)) <= 1
+           AND levenshtein(d.s, c.s) <= 1
+         ORDER BY delta_id, index_id""",
+    "dedup_edit_join" ->
+      """WITH strs AS (
+           SELECT c_custkey AS id, c_name AS s FROM customer
+           WHERE c_name IS NOT NULL),
+         g AS (
+           SELECT id, s, list_distinct(CASE WHEN length(s) < 3 THEN [s]
+             ELSE list_transform(range(1, length(s) - 1), i -> s[i:i+2])
+             END) AS grams
+           FROM strs),
+         gl AS (SELECT id, s, unnest(grams) AS gram FROM g),
+         freq AS (SELECT gram, COUNT(*) AS f FROM gl GROUP BY gram),
+         ng AS (SELECT id, len(grams) AS n_grams FROM g),
+         pref AS (
+           SELECT id, s, gram FROM (
+             SELECT gl.id, gl.s, gl.gram,
+               ROW_NUMBER() OVER (PARTITION BY gl.id
+                 ORDER BY f.f, gl.gram) AS rn
+             FROM gl JOIN freq f USING (gram)
+             WHERE gl.id IN (SELECT id FROM ng WHERE n_grams >= 4))
+           WHERE rn <= 4),
+         cand AS (
+           SELECT DISTINCT a.id AS a_id, a.s AS a_s, b.id AS b_id, b.s AS b_s
+           FROM pref a JOIN pref b ON a.gram = b.gram AND a.id < b.id
+             AND abs(length(a.s) - length(b.s)) <= 1),
+         shorts AS (
+           SELECT g.id, g.s FROM g JOIN ng USING (id) WHERE n_grams < 4),
+         short_pairs AS (
+           SELECT DISTINCT LEAST(a.id, b.id) AS a_id,
+             CASE WHEN a.id < b.id THEN a.s ELSE b.s END AS a_s,
+             GREATEST(a.id, b.id) AS b_id,
+             CASE WHEN a.id < b.id THEN b.s ELSE a.s END AS b_s
+           FROM shorts a JOIN strs b ON a.id <> b.id
+             AND abs(length(a.s) - length(b.s)) <= 1),
+         allc AS (SELECT * FROM cand UNION ALL SELECT * FROM short_pairs)
+         SELECT a_id, b_id, CAST(levenshtein(a_s, b_s) AS BIGINT) AS dist
+         FROM allc WHERE levenshtein(a_s, b_s) <= 1
+         ORDER BY a_id, b_id""",
     "dedup_minhash_cross" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
@@ -5335,6 +5777,30 @@ object PipelineQueries {
              // (1000 * (1 + doc_id % 3)) AS BIGINT) AS dur_ms,
            CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
            CAST(1000 * (1 + doc_id % 3) AS BIGINT) AS timescale
+         FROM documents ORDER BY doc_id""",
+    "multimodal_decode_exif" ->
+      """SELECT doc_id,
+           CAST(16 + doc_id % 240 AS INTEGER) AS width,
+           CAST(16 + doc_id % 180 AS INTEGER) AS height,
+           CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+           CAST(1 + doc_id % 2 AS BIGINT) AS byte_order
+         FROM documents ORDER BY doc_id""",
+    "multimodal_decode_webm" ->
+      """SELECT doc_id,
+           CAST(16 + doc_id % 624 AS INTEGER) AS width,
+           CAST(16 + doc_id % 344 AS INTEGER) AS height,
+           CAST((30000 + doc_id % 90000) * (500000 * (1 + doc_id % 2))
+             // 1000000 AS BIGINT) AS dur_ms,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_tracks,
+           CAST(500000 * (1 + doc_id % 2) AS BIGINT) AS timescale
+         FROM documents ORDER BY doc_id""",
+    "multimodal_decode_avif" ->
+      """SELECT doc_id,
+           CAST(8 + doc_id % 320 AS INTEGER) AS width,
+           CAST(8 + doc_id % 240 AS INTEGER) AS height,
+           CAST(1 + doc_id % 4 AS BIGINT) AS channels,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 10 ELSE 8 END AS BIGINT) AS depth,
+           CAST(doc_id % 3 AS BIGINT) AS brand
          FROM documents ORDER BY doc_id""",
     "multimodal_decode_webp" ->
       """SELECT doc_id,
@@ -8430,7 +8896,20 @@ object PipelineQueries {
     * path too — any save/load corruption shows up as a hash mismatch.
     */
   val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // DDSketch shard-merge ≡ one-shot global sketch (bucket counts
+    // add), so the merged query answers against the global oracle
+    "q_ddsketch_merged" -> oracleSqlBase("q_ddsketch_quantiles"),
     "sim_topk_ivf_loaded" -> oracleSqlBase("sim_topk_ivf"),
+    // edit-index append ≡ rebuild: the gate over build(3/4)+append(1/4)
+    // answers against the same brute-force truth as the one-shot build
+    "dedup_editidx_append" -> oracleSqlBase("dedup_editidx_gate"),
+    // filtered ANN: identical assignment/probe chain, candidates
+    // restricted to the predicate's survivors
+    "sim_topk_ivf_filtered" -> patched(oracleSqlBase("sim_topk_ivf"),
+      "assign AS (SELECT vec_id AS id, cell FROM a2 WHERE rk = 1)," ->
+        ("assign AS (SELECT a2.vec_id AS id, a2.cell FROM a2 " +
+          "JOIN embeddings le ON le.vec_id = a2.vec_id " +
+          "WHERE a2.rk = 1 AND le.label < 5),")),
     // persisted near-dup index: the gate (and the gate over a
     // built-then-appended index) answers row-for-row the inline
     // cross-pairs query — the index layout and the append fold are

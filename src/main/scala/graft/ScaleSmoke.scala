@@ -175,6 +175,7 @@ object ScaleSmoke {
     val runR12 = only.isEmpty || only.contains("r12")
     val runR12b = only.isEmpty || only.contains("r12b")
     val runR12c = only.isEmpty || only.contains("r12c")
+    val runR12d = only.isEmpty || only.contains("r12d")
     val results = (if (!runMain) Seq.empty[(String, Double, Long)] else Seq(
       time("minhash_lsh_1x") {
         Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 64, 16, 3, 0.5)
@@ -955,6 +956,78 @@ object ScaleSmoke {
         time(s"c4_rules_${k}x") {
           docsK.select(TextAnalysis.c4Signals(col("text")).as("c"))
             .queryExecution.toRdd.count() })
+    }) ++ (if (!runR12d) Seq.empty[(String, Double, Long)] else {
+      // round-12d: edit-similarity join, KMV sketching, DDSketch.
+      //
+      // Customer-name replicas are rebuilt with a per-replica DOUBLE
+      // letter tag inside the digits ("Customer#AA0014999"): every
+      // cross-replica pair differs in >= 2 positions (tags differ in
+      // both chars), so d=1 near-pairs grow exactly K-fold. Gram
+      // DENSITY also grows K-fold, which is the honest stress for the
+      // prefix filter: its candidate cost is sum_g C(cnt_g, 2), and
+      // digit 3-grams are a ~10^3-entry vocabulary that saturates —
+      // at K-fold density a fixed q=3's candidates grow ~K^2. The
+      // deployable answer is scaling gram length with corpus density
+      // (q ~ log(N)): q=5's ~10^5-gram space keeps groups small, so
+      // the q5 rows are the Kx-vs-1x claim measured, with the q3 1x
+      // row as the small-corpus baseline the shipped query uses.
+      import graft.operators.{EditSimilarity, Kmv, Quantiles}
+      def custNames(df: DataFrame, tag: String, off: Long): DataFrame =
+        df.select((col("c_custkey") + lit(off)).as("id"),
+          format_string(s"Customer#$tag%07d", col("c_custkey")).as("s"))
+      val custRaw = Tables.table(spark, sfDir, "customer")
+      val cust1 = custNames(custRaw, "AA", 0L).cache()
+      cust1.count()
+      val custK = (0 until k).map { r =>
+        val tag = ('A' + (r % 26)).toChar.toString * 2
+        custNames(custRaw, tag, r * offset)
+      }.reduce(_ unionByName _).repartition(32).cache()
+      custK.count()
+      val gamma = Quantiles.gammaFor(0.01)
+      val li1 = Tables.table(spark, sfDir, "lineitem")
+        .select(col("l_extendedprice")).cache()
+      li1.count()
+      val liK = (0 until k).map(_ => li1).reduce(_ unionByName _)
+        .repartition(32).cache()
+      liK.count()
+      def langTerms(df: DataFrame) = df.select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val ddr = Seq(
+        time("edit_join_1x") {
+          EditSimilarity.editSimilarityJoin(cust1, "id", "s", 1, 3)
+            .queryExecution.toRdd.count() },
+        time("edit_join_q5_1x") {
+          EditSimilarity.editSimilarityJoin(cust1, "id", "s", 1, 5)
+            .queryExecution.toRdd.count() },
+        time(s"edit_join_q5_${k}x") {
+          EditSimilarity.editSimilarityJoin(custK, "id", "s", 1, 5)
+            .queryExecution.toRdd.count() },
+        // KMV: the sketch+estimate path only (the deployable side —
+        // the overlap card's exact columns are the eval harness, not
+        // the 100 TB plan). One vocab-sized distinct, then k-sized
+        // bounded-heap state per group.
+        time("kmv_sketch_1x") {
+          Kmv.kmvEstimates(Kmv.kmvSketch(langTerms(docs1), "lang", "term",
+            256), 256).queryExecution.toRdd.count() },
+        time(s"kmv_sketch_${k}x") {
+          Kmv.kmvEstimates(Kmv.kmvSketch(langTerms(docsK), "lang", "term",
+            256), 256).queryExecution.toRdd.count() },
+        // DDSketch: the row count RETURNED is the sketch size — the
+        // bounded-state claim is that it stays put while input grows
+        // K-fold; the quantile read runs on sketch-sized rows only
+        time("ddsketch_1x") {
+          Quantiles.ddSketch(li1, "l_extendedprice", gamma)
+            .queryExecution.toRdd.count() },
+        time(s"ddsketch_${k}x") {
+          Quantiles.ddSketch(liK, "l_extendedprice", gamma)
+            .queryExecution.toRdd.count() },
+        time(s"ddsketch_read_${k}x") {
+          Quantiles.ddQuantiles(
+            Quantiles.ddSketch(liK, "l_extendedprice", gamma), gamma,
+            Seq(500000L, 900000L, 990000L, 999000L))
+            .queryExecution.toRdd.count() })
+      Seq(cust1, custK, li1, liK).foreach(_.unpersist(blocking = false))
+      ddr
     })
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
@@ -978,7 +1051,8 @@ object ScaleSmoke {
         "neardup_build", "neardup_gate",
         "ingest_gate", "dedup_append", "neardup_append",
         "ivf_append", "cluster_append",
-        "unigram_train", "unigram_apply", "c4_rules").foreach { base =>
+        "unigram_train", "unigram_apply", "c4_rules",
+        "edit_join_q5", "kmv_sketch", "ddsketch").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

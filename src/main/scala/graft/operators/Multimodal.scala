@@ -493,12 +493,56 @@ object Multimodal {
       * are not frames). A marker stream that reaches SOS or EOI
       * before any SOF, a fill-byte run off the end, a length field
       * past the buffer, or a canvas over the pixel cap is a null,
-      * never a guess. Features: (width, height, channels,
-      * precision_bits, 0, 0, 0).
+      * never a guess.
+      *
+      * EXIF: an APP1 segment opening "Exif\0\0" carries an embedded
+      * TIFF whose IFD-0 tag 274 is the ORIENTATION a crawler must
+      * honor before any pixel work (both byte orders; SHORT left-
+      * justified in the value field — the [[decodeTiffMeta]] rule).
+      * EXIF is an optional attachment, so a torn/malformed one
+      * degrades to orientation 0 ("absent" — EXIF's valid range is
+      * 1..8) rather than nulling an otherwise-sound image; the SOF
+      * contract above stays the loud tier. Features: (width, height,
+      * channels, precision_bits, orientation 0|1..8, exif_byte_order
+      * 0=none|1=II|2=MM, 0).
       */
     private def decodeJpegMeta(b: Array[Byte]): (Row, Array[Float]) = {
       if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8)
         return null
+      var orient = 0
+      var exifOrder = 0
+      // parse the APP1-embedded TIFF in [t0, end); any structural slip
+      // leaves (orient, exifOrder) at absent
+      def readExif(t0: Int, end: Int): Unit = {
+        if (t0 + 8 > end) return
+        val le =
+          if (b(t0) == 'I' && b(t0 + 1) == 'I') true
+          else if (b(t0) == 'M' && b(t0 + 1) == 'M') false
+          else return
+        def u16(o: Int): Int =
+          if (le) (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+          else ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+        def u32(o: Int): Long =
+          if (le) (u16(o) & 0xFFFFL) | ((u16(o + 2) & 0xFFFFL) << 16)
+          else ((u16(o) & 0xFFFFL) << 16) | (u16(o + 2) & 0xFFFFL)
+        if (u16(t0 + 2) != 42) return
+        val ifd = u32(t0 + 4)
+        if (ifd < 8 || t0 + ifd + 2 > end) return
+        val i0 = t0 + ifd.toInt
+        val n = u16(i0)
+        if (i0 + 2 + 12 * n > end) return
+        var i = 0
+        while (i < n) {
+          val e = i0 + 2 + 12 * i
+          // tag 274 (Orientation), type 3 (SHORT), count 1; SHORT is
+          // left-justified in the value field in BOTH byte orders
+          if (u16(e) == 274 && u16(e + 2) == 3 && u32(e + 4) == 1L) {
+            val v = u16(e + 8)
+            if (v >= 1 && v <= 8) { orient = v; exifOrder = if (le) 1 else 2 }
+          }
+          i += 1
+        }
+      }
       var pos = 2
       while (pos + 2 <= b.length) {
         if ((b(pos) & 0xFF) != 0xFF) return null
@@ -512,6 +556,10 @@ object Multimodal {
           if (pos + 4 > b.length) return null
           val len = ((b(pos + 2) & 0xFF) << 8) | (b(pos + 3) & 0xFF)
           if (len < 2 || pos + 2 + len > b.length) return null
+          if (marker == 0xE1 && len >= 8 &&
+            b(pos + 4) == 'E' && b(pos + 5) == 'x' && b(pos + 6) == 'i' &&
+            b(pos + 7) == 'f' && b(pos + 8) == 0 && b(pos + 9) == 0)
+            readExif(pos + 10, pos + 2 + len)
           val isSof = marker >= 0xC0 && marker <= 0xCF &&
             marker != 0xC4 && marker != 0xC8 && marker != 0xCC
           if (isSof) {
@@ -524,7 +572,7 @@ object Multimodal {
             if (w.toLong * h > MaxImagePixels) return null // bomb guard
             return (Row("jpeg", w, h, 1, 0L),
               Array[Float](w.toFloat, h.toFloat, nc.toFloat,
-                precision.toFloat, 0f, 0f, 0f))
+                precision.toFloat, orient.toFloat, exifOrder.toFloat, 0f))
           }
           pos += 2 + len
         }
@@ -785,6 +833,231 @@ object Multimodal {
           if (le) 0f else 1f, n.toFloat, 0f, 0f))
     }
 
+    /** AVIF/HEIF metadata walk — the modern-crawl IMAGE side of the
+      * ISO-BMFF family ([[decodeMp4Meta]] is the movie side; the
+      * difference is that still images hang their properties off a
+      * `meta` FULLBOX, not `moov`): brand-checked `ftyp`, then
+      * meta → iprp → ipco, reading the first `ispe` (image spatial
+      * extents: u32 width/height after the FullBox header) and, when
+      * present, `pixi` (u8 channel count + per-channel bit depth).
+      * Same audit-tier contract: unknown brand, torn boxes at any
+      * depth, a missing ispe, zero dims, or a canvas past the pixel
+      * cap null out; a missing pixi only zeroes channels/depth (it is
+      * optional in the wild). No item payloads (mdat) are touched.
+      * Features: (w, h, channels, bit_depth, brand 0=avif|1=mif1|
+      * 2=heic, 0, 0).
+      */
+    private def decodeAvifMeta(b: Array[Byte]): (Row, Array[Float]) = {
+      def beInt(off: Int): Long =
+        ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+          ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+      def beLong(off: Int): Long = (beInt(off) << 32) | beInt(off + 4)
+      def fourcc(off: Int): String = new String(b, off, 4, "US-ASCII")
+      // (payloadStart, boxEnd) — the decodeMp4Meta discipline: null on
+      // torn headers or sizes that escape the enclosing box
+      def boxBounds(off: Int, limit: Int): (Int, Int) = {
+        if (off + 8 > limit) return null
+        val sz = beInt(off)
+        if (sz == 0) (off + 8, limit)
+        else if (sz == 1) {
+          if (off + 16 > limit) return null
+          val lsz = beLong(off + 8)
+          if (lsz < 16 || lsz > (limit - off).toLong) null
+          else (off + 16, off + lsz.toInt)
+        } else if (sz < 8 || sz > (limit - off).toLong) null
+        else (off + 8, off + sz.toInt)
+      }
+      if (b.length < 16 || fourcc(4) != "ftyp") return null
+      val brand = fourcc(8) match {
+        case "avif" | "avis" => 0
+        case "mif1" => 1
+        case "heic" | "heix" => 2
+        case _ => return null
+      }
+      var w = 0L; var h = 0L
+      var channels = 0; var depth = 0
+      var sawIspe = false
+      // first ispe/pixi win — HEIF collections may carry per-item
+      // properties; the audit reads the primary (first-listed) ones
+      def walkIpco(from: Int, to: Int): Boolean = {
+        var p = from
+        while (p + 8 <= to) {
+          val pb = boxBounds(p, to)
+          if (pb == null) return false
+          val (ppl, pend) = pb
+          fourcc(p + 4) match {
+            case "ispe" if !sawIspe =>
+              if (ppl + 12 > pend) return false // FullBox vf + w + h
+              w = beInt(ppl + 4); h = beInt(ppl + 8)
+              sawIspe = true
+            case "pixi" if channels == 0 =>
+              if (ppl + 5 > pend) return false
+              val n = b(ppl + 4) & 0xFF
+              if (ppl + 5 + n > pend) return false
+              channels = n
+              if (n > 0) depth = b(ppl + 5) & 0xFF
+            case _ => ()
+          }
+          p = pend
+        }
+        true
+      }
+      def walkIprp(from: Int, to: Int): Boolean = {
+        var p = from
+        while (p + 8 <= to) {
+          val pb = boxBounds(p, to)
+          if (pb == null) return false
+          if (fourcc(p + 4) == "ipco" && !walkIpco(pb._1, pb._2)) return false
+          p = pb._2
+        }
+        true
+      }
+      var pos = 0
+      while (pos + 8 <= b.length) {
+        val bb = boxBounds(pos, b.length)
+        if (bb == null) return null
+        val (payload, end) = bb
+        if (fourcc(pos + 4) == "meta") {
+          if (payload + 4 > end) return null // meta is a FullBox
+          var cpos = payload + 4
+          while (cpos + 8 <= end) {
+            val cb = boxBounds(cpos, end)
+            if (cb == null) return null
+            if (fourcc(cpos + 4) == "iprp" && !walkIprp(cb._1, cb._2))
+              return null
+            cpos = cb._2
+          }
+        }
+        pos = end
+      }
+      if (!sawIspe || w <= 0 || h <= 0) return null
+      if (w * h > MaxImagePixels) return null // bomb guard
+      (Row("avif", w.toInt, h.toInt, 1, 0L),
+        Array[Float](w.toFloat, h.toFloat, channels.toFloat,
+          depth.toFloat, brand.toFloat, 0f, 0f))
+    }
+
+    /** WebM/Matroska (EBML) metadata walk — the OTHER web video
+      * container beside ISO-BMFF ([[decodeMp4Meta]]): variable-length
+      * integers instead of fixed box headers. Element = (ID vint with
+      * its length marker KEPT, size vint with the marker STRIPPED,
+      * payload); an all-ones size means unknown-length (streamed
+      * Matroska writes its Segment that way) and extends to the
+      * enclosing limit. We check the EBML magic + DocType
+      * webm/matroska, then inside Segment read Info's TimecodeScale
+      * (uint ns/tick, default 1e6) and Duration (IEEE float32/64 in
+      * ticks), and each Tracks/TrackEntry's Video PixelWidth/Height
+      * (first nonzero wins — audio entries carry no Video element).
+      * Cluster payloads are skipped by size, never parsed. Loudness:
+      * bad magic/DocType, torn vints, sizes escaping the parent, a
+      * missing Info/Duration, or a pixel-bomb canvas null out.
+      * Features: (w, h, n_tracks, timecode_scale, duration_ticks
+      * (truncated), 0, 0).
+      */
+    private def decodeWebmMeta(b: Array[Byte]): (Row, Array[Float]) = {
+      // returns (value, nextOffset) or null on a torn/oversized vint;
+      // keepMarker distinguishes ID reads from size reads
+      def vint(off: Int, limit: Int, keepMarker: Boolean): (Long, Int) = {
+        if (off >= limit) return null
+        val first = b(off) & 0xFF
+        if (first == 0) return null // > 8-byte vint: not EBML
+        val n = Integer.numberOfLeadingZeros(first) - 24 + 1 // 1..8
+        if (off + n > limit) return null
+        var v = (if (keepMarker) first else first ^ (1 << (8 - n))).toLong
+        var i = 1
+        while (i < n) { v = (v << 8) | (b(off + i) & 0xFFL); i += 1 }
+        (v, off + n)
+      }
+      // size whose value bits are ALL ones = unknown length
+      def isUnknown(size: Long, encodedLen: Int): Boolean =
+        size == (1L << (7 * encodedLen)) - 1
+      def uint(from: Int, to: Int): Long = {
+        if (to - from > 8) return -1L
+        var v = 0L; var i = from
+        while (i < to) { v = (v << 8) | (b(i) & 0xFFL); i += 1 }
+        v
+      }
+      def float(from: Int, to: Int): Double = (to - from) match {
+        case 4 => java.lang.Float.intBitsToFloat(uint(from, to).toInt).toDouble
+        case 8 => java.lang.Double.longBitsToDouble(uint(from, to))
+        case _ => Double.NaN
+      }
+      // walk `limit`-bounded children, calling f(id, payloadFrom,
+      // payloadTo); returns false on structural violation
+      def walk(from: Int, limit: Int)(f: (Long, Int, Int) => Boolean): Boolean = {
+        var p = from
+        while (p < limit) {
+          val idR = vint(p, limit, keepMarker = true)
+          if (idR == null) return false
+          val szStart = idR._2
+          val szR = vint(szStart, limit, keepMarker = false)
+          if (szR == null) return false
+          val encLen = szR._2 - szStart
+          val end =
+            if (isUnknown(szR._1, encLen)) limit
+            else if (szR._1 > (limit - szR._2).toLong) return false
+            else szR._2 + szR._1.toInt
+          if (!f(idR._1, szR._2, end)) return false
+          p = end
+        }
+        true
+      }
+      if (b.length < 8) return null
+      var docTypeOk = false
+      var scale = 1000000L // EBML default: 1 ms ticks
+      var dur = Double.NaN
+      var w = 0L; var h = 0L
+      var nTracks = 0
+      val ok = walk(0, b.length) {
+        case (0x1A45DFA3L, f, t) => // EBML header
+          walk(f, t) {
+            case (0x4282L, df, dt) => // DocType
+              val s = new String(b, df, dt - df, "US-ASCII")
+              docTypeOk = s == "webm" || s == "matroska"
+              true
+            case _ => true
+          }
+        case (0x18538067L, f, t) => // Segment
+          walk(f, t) {
+            case (0x1549A966L, inf, int) => // Info
+              walk(inf, int) {
+                case (0x2AD7B1L, sf, st) =>
+                  scale = uint(sf, st); scale > 0
+                case (0x4489L, df, dt) =>
+                  dur = float(df, dt); !dur.isNaN && dur >= 0
+                case _ => true
+              }
+            case (0x1654AE6BL, trf, trt) => // Tracks
+              walk(trf, trt) {
+                case (0xAEL, tef, tet) => // TrackEntry
+                  nTracks += 1
+                  walk(tef, tet) {
+                    case (0xE0L, vf, vt) => // Video
+                      walk(vf, vt) {
+                        case (0xB0L, pf, pt) =>
+                          if (w == 0L) w = uint(pf, pt); w >= 0
+                        case (0xBAL, pf, pt) =>
+                          if (h == 0L) h = uint(pf, pt); h >= 0
+                        case _ => true
+                      }
+                    case _ => true
+                  }
+                case _ => true
+              }
+            case _ => true // Clusters/SeekHead/etc: skipped by size
+          }
+        case _ => true
+      }
+      if (!ok || !docTypeOk) return null
+      if (dur.isNaN || scale <= 0L || nTracks == 0) return null
+      if (w <= 0L || h <= 0L) return null
+      if (w * h > MaxImagePixels) return null // bomb guard
+      val durMs = (dur * scale / 1e6).toLong
+      (Row("webm", w.toInt, h.toInt, nTracks, durMs),
+        Array[Float](w.toFloat, h.toFloat, nTracks.toFloat,
+          scale.toFloat, dur.toFloat, 0f, 0f))
+    }
+
     /** Pixel cap for compressed formats: a crafted IHDR/SOF claiming
       * a billion-pixel canvas must be rejected BEFORE any pixel
       * buffer is allocated (the decompression-bomb guard — the same
@@ -849,6 +1122,8 @@ object Multimodal {
           case "ogg" => decodeOggMeta(bytes)
           case "gif" => decodeGifMeta(bytes)
           case "mp4" | "mov" | "m4v" => decodeMp4Meta(bytes)
+          case "avif" | "heic" | "heif" => decodeAvifMeta(bytes)
+          case "webm" | "mkv" => decodeWebmMeta(bytes)
           case "webp" => decodeWebpMeta(bytes)
           case "tiff" | "tif" => decodeTiffMeta(bytes)
           case "png" => decodeImageIo(bytes, fmt)
@@ -1200,9 +1475,12 @@ object Multimodal {
     * so an external engine predicts the decode without a JPEG
     * library.
     */
-  def buildJpegMeta(w: Int, h: Int, channels: Int): Array[Byte] = {
+  def buildJpegMeta(w: Int, h: Int, channels: Int,
+                    orientation: Int = 0,
+                    exifBigEndian: Boolean = false): Array[Byte] = {
     require(w > 0 && w < 65536 && h > 0 && h < 65536 &&
-      channels >= 1 && channels <= 4, "bad jpeg fixture params")
+      channels >= 1 && channels <= 4 &&
+      orientation >= 0 && orientation <= 8, "bad jpeg fixture params")
     val out = new java.io.ByteArrayOutputStream()
     def m(code: Int): Unit = { out.write(0xFF); out.write(code) }
     def seg(code: Int, body: Array[Byte]): Unit = {
@@ -1213,6 +1491,28 @@ object Multimodal {
     }
     m(0xD8) // SOI
     seg(0xE0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    if (orientation > 0) {
+      // APP1 "Exif\0\0" + embedded TIFF: IFD-0 with software tag 305
+      // (a LONG-typed decoy the reader must skip) and orientation 274
+      // (SHORT, left-justified value field), tag-sorted as TIFF asks
+      val tiff = new java.io.ByteArrayOutputStream()
+      def p16(v: Int): Unit =
+        if (exifBigEndian) { tiff.write((v >> 8) & 0xFF); tiff.write(v & 0xFF) }
+        else { tiff.write(v & 0xFF); tiff.write((v >> 8) & 0xFF) }
+      def p32(v: Long): Unit =
+        if (exifBigEndian) { p16(((v >> 16) & 0xFFFF).toInt); p16((v & 0xFFFF).toInt) }
+        else { p16((v & 0xFFFF).toInt); p16(((v >> 16) & 0xFFFF).toInt) }
+      val oc = if (exifBigEndian) 'M' else 'I'
+      tiff.write(oc); tiff.write(oc)
+      p16(42); p32(8L) // IFD-0 right after the header
+      p16(2)           // two entries
+      p16(274); p16(3); p32(1L) // orientation, SHORT x1
+      p16(orientation); p16(0)  // left-justified SHORT value
+      p16(305); p16(4); p32(1L); p32(7L) // software: LONG decoy
+      p32(0L) // next-IFD pointer
+      seg(0xE1, "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
+        tiff.toByteArray)
+    }
     seg(0xFE, "graft fixture".getBytes("US-ASCII")) // COM
     seg(0xDB, new Array[Byte](65)) // DQT: pq/tq byte + 64 zero entries
     val sof = new Array[Byte](6 + 3 * channels)
@@ -1318,6 +1618,91 @@ object Multimodal {
     out.write(box("free", new Array[Byte](12)))
     out.write(moov)
     out.toByteArray
+  }
+
+  /** Minimal WebM (EBML/Matroska): header with DocType "webm", then
+    * a Segment holding Info (TimecodeScale ns/tick + Duration as a
+    * BE float64 in ticks), Tracks (one video TrackEntry with
+    * PixelWidth/Height plus `nTracks-1` audio entries carrying no
+    * Video element), and an opaque Cluster the parser must skip by
+    * size. `wideSizes` stresses the vint layer: sizes are encoded in
+    * 2 bytes where 1 would do (legal EBML) and the Segment itself is
+    * written UNKNOWN-length (the streamed-Matroska shape: size vint
+    * all-ones, payload to end).
+    */
+  def buildWebm(w: Int, h: Int, timecodeScaleNs: Long, durationTicks: Double,
+                nTracks: Int, wideSizes: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0 && timecodeScaleNs > 0 && durationTicks >= 0 &&
+      nTracks >= 1, "bad webm fixture params")
+    def beBytes(v: Long, n: Int): Array[Byte] =
+      (1 to n).map(i => ((v >> (8 * (n - i))) & 0xFF).toByte).toArray
+    def idBytes(id: Long): Array[Byte] = {
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+      beBytes(id, n)
+    }
+    def sizeVint(sz: Int, wide: Boolean): Array[Byte] = {
+      require(sz <= 0x3FFE, "fixture sizes are <= 2-byte vints")
+      if (!wide && sz < 0x7F) Array((0x80 | sz).toByte)
+      else Array((0x40 | (sz >> 8)).toByte, (sz & 0xFF).toByte)
+    }
+    def el(id: Long, body: Array[Byte], wide: Boolean = false): Array[Byte] =
+      idBytes(id) ++ sizeVint(body.length, wide) ++ body
+    def uintBody(v: Long): Array[Byte] = {
+      val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+      beBytes(v, n)
+    }
+    val header = el(0x1A45DFA3L,
+      el(0x4282L, "webm".getBytes("US-ASCII"), wideSizes))
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, uintBody(timecodeScaleNs)) ++
+        el(0x4489L, beBytes(
+          java.lang.Double.doubleToLongBits(durationTicks), 8), wideSizes))
+    val video = el(0xAEL,
+      el(0x83L, uintBody(1L)) ++
+        el(0xE0L, el(0xB0L, uintBody(w.toLong), wideSizes) ++
+          el(0xBAL, uintBody(h.toLong))))
+    val audios = (2 to nTracks).map(_ =>
+      el(0xAEL, el(0x83L, uintBody(2L)) ++ el(0x86L,
+        "A_OPUS".getBytes("US-ASCII"))))
+    val tracks = el(0x1654AE6BL, (video +: audios).reduce(_ ++ _))
+    val cluster = el(0x1F43B675L, Array.fill[Byte](6)(0x5A))
+    val segBody = info ++ tracks ++ cluster
+    val segment =
+      if (wideSizes) // unknown-length Segment: all-ones 1-byte size
+        idBytes(0x18538067L) ++ Array(0xFF.toByte) ++ segBody
+      else el(0x18538067L, segBody)
+    header ++ segment
+  }
+
+  /** Minimal AVIF/HEIF: brand-carrying ftyp, then a meta FullBox
+    * holding hdlr('pict') and iprp/ipco with one ispe (spatial
+    * extents) and one pixi (channel count + per-channel depth), then
+    * a token mdat. Brand 0=avif, 1=mif1, 2=heic — the three the
+    * parser admits.
+    */
+  def buildAvif(w: Int, h: Int, channels: Int, depth: Int,
+                brand: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && channels >= 1 && channels <= 8 &&
+      depth >= 1 && depth <= 16 && brand >= 0 && brand <= 2,
+      "bad avif fixture params")
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+    def fullbox(typ: String, body: Array[Byte]): Array[Byte] =
+      box(typ, Array[Byte](0, 0, 0, 0) ++ body)
+    val brandStr = Seq("avif", "mif1", "heic")(brand)
+    val ftyp = box("ftyp", brandStr.getBytes("US-ASCII") ++ be32(0) ++
+      (brandStr + "mif1miaf").getBytes("US-ASCII"))
+    val hdlr = fullbox("hdlr", be32(0) ++ "pict".getBytes("US-ASCII") ++
+      new Array[Byte](13)) // reserved(12) + empty name NUL
+    val ispe = fullbox("ispe", be32(w.toLong) ++ be32(h.toLong))
+    val pixi = fullbox("pixi", Array(channels.toByte) ++
+      Array.fill(channels)(depth.toByte))
+    val meta = fullbox("meta",
+      hdlr ++ box("iprp", box("ipco", ispe ++ pixi)))
+    val mdat = box("mdat", Array[Byte](0x42))
+    ftyp ++ meta ++ mdat
   }
 
   private val identityMatrix: Array[Byte] = {
@@ -1441,12 +1826,25 @@ object Multimodal {
           case "jpeg" => buildJpegMeta((16 + id % 240).toInt,
             (16 + id % 180).toInt,
             channels = if (id % 5 == 0) 1 else 3)
+          case "jpeg_exif" => buildJpegMeta((16 + id % 240).toInt,
+            (16 + id % 180).toInt, channels = 3,
+            orientation = (1 + id % 8).toInt,
+            exifBigEndian = id % 2 == 1)
           case "gif" => buildGif((8 + id % 200).toInt, (8 + id % 160).toInt,
             palBits = (1 + id % 8).toInt, v89 = id % 3 != 0)
           case "mp4" => buildMp4((16 + id % 304).toInt, (16 + id % 176).toInt,
             timescale = (1000L * (1 + id % 3)).toInt,
             durationUnits = 10000 + id % 90000,
             nTracks = (1 + id % 3).toInt, v1 = id % 4 == 0)
+          case "webm" => buildWebm((16 + id % 624).toInt, (16 + id % 344).toInt,
+            timecodeScaleNs = 500000L * (1 + id % 2),
+            durationTicks = (30000 + id % 90000).toDouble,
+            nTracks = (1 + id % 2).toInt,
+            wideSizes = id % 3 == 0)
+          case "avif" => buildAvif((8 + id % 320).toInt, (8 + id % 240).toInt,
+            channels = (1 + id % 4).toInt,
+            depth = if (id % 4 == 3) 10 else 8,
+            brand = (id % 3).toInt)
           case "webp" => buildWebp((8 + id % 300).toInt, (8 + id % 200).toInt,
             variant = (id % 3).toInt,
             alpha = id % 3 != 0 && id % 2 == 1)
@@ -1455,9 +1853,13 @@ object Multimodal {
           case other => throw new IllegalArgumentException(
             s"synthMediaBlobs: unknown format $other")
         }
-        // the G.711/ADPCM variants are WAV containers — the decoder
-        // dispatches on the container format, not the synth key
-        val fmtOut = if (format.startsWith("wav")) "wav" else format
+        // the G.711/ADPCM variants are WAV containers, and the EXIF
+        // variant is a JPEG — the decoder dispatches on the container
+        // format, not the synth key
+        val fmtOut =
+          if (format.startsWith("wav")) "wav"
+          else if (format == "jpeg_exif") "jpeg"
+          else format
         Row(id, bytes, fmtOut)
       }
     }(Encoders.row(outSchema))

@@ -106,6 +106,56 @@ object Retrieval {
         col("score_micro"), col("n_terms"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (the RM3-family loop):
+    * run the probe, treat each query's top `kFb` documents as
+    * implicit relevance feedback, add the `nExpand` heaviest terms
+    * the query did NOT already contain (weight = total tf across the
+    * feedback set — exact integers, ties on token, so the expansion
+    * set is engine-independent), and score the expanded query through
+    * the IDENTICAL BM25 chain. The recall loop for underspecified
+    * curation probes: feedback documents vote vocabulary the
+    * original two-word query missed.
+    *
+    * Cost shape: two [[bm25TopK]] passes plus one feedback join —
+    * the feedback set is queries × kFb rows (panel-sized, broadcast
+    * into the tf table the same way the probe panel is), and the
+    * expansion ranking windows over per-query feedback vocabularies
+    * (≤ kFb documents' distinct terms), never the corpus. Queries
+    * whose probe matched nothing keep their original terms.
+    */
+  def bm25TopKExpanded(docs: DataFrame, idCol: String, textCol: String,
+                       queries: DataFrame, qidCol: String, qtermsCol: String,
+                       k: Int, kFb: Int = 5, nExpand: Int = 3,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(kFb > 0, "kFb must be positive")
+    require(nExpand >= 0, "nExpand must be non-negative")
+    val fb = bm25TopK(docs, idCol, textCol, queries, qidCol, qtermsCol,
+        kFb, k1, b)
+      .select(col("query_id"), col("doc_id"))
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.cleanTokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val qt = queries.select(col(qidCol).as("query_id"),
+        explode(col(qtermsCol)).as("token"))
+      .distinct()
+    val expWeights = tf.join(broadcast(fb), Seq("doc_id"))
+      .groupBy(col("query_id"), col("token"))
+      .agg(sum(col("tf")).as("w"))
+    val newTerms = expWeights.join(qt, Seq("query_id", "token"), "left_anti")
+    val byWeight = Window.partitionBy(col("query_id"))
+      .orderBy(col("w").desc, col("token"))
+    val expansion = newTerms
+      .withColumn("r", row_number().over(byWeight))
+      .filter(col("r") <= nExpand)
+      .select(col("query_id"), col("token"))
+    val expanded = qt.unionByName(expansion)
+      .groupBy(col("query_id"))
+      .agg(collect_list(col("token")).as("qterms_expanded"))
+    bm25TopK(docs, idCol, textCol, expanded, "query_id", "qterms_expanded",
+      k, k1, b)
+  }
+
   /** Build the PERSISTED BM25 inverted index — the build-once side of
     * the deployment split [[bm25TopK]] folds into every run. Three
     * catalog tables under `prefix`:

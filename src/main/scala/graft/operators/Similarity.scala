@@ -649,6 +649,13 @@ object Similarity {
     * scores only those members. Equi-join on cell id — the corpus is
     * touched ~nProbe/nCentroids per query batch. Recall grows with
     * nProbe; exactness is bruteForceTopK's job.
+    *
+    * FILTERED search ("nearest WITHIN a metadata predicate") is pure
+    * composition: pass `corpus.filter(pred)` — assignment is a
+    * per-row map over the centroids, so pre-filtering changes
+    * nothing about where survivors land, and the predicate pushes
+    * into the corpus parquet scan BEFORE any vector work (pinned in
+    * PlanShapeSpec; oracle-checked as sim_topk_ivf_filtered).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroids: Array[Array[Float]], nProbe: Int = 4,

@@ -685,6 +685,35 @@ object DocStreams {
     }
   }
 
+  /** Live edit-similarity (entity-resolution) index maintenance — the
+    * fuzzy-key twin of [[DedupIndexMaintainer]]: each micro-batch's
+    * records are appended to the persisted gram index
+    * ([[graft.operators.EditIndex]] — full gram sets + strings +
+    * SUM-folded freq hints + gram digest, all O(batch)); whether an
+    * arriving record that fuzzy-matches history is admitted is the
+    * caller's policy via [[graft.operators.EditIndex
+    * .gateEditMatches]], exactly like the near-dup maintainer's
+    * split. Exactly-once rests on the shared lineage-ledger batchId
+    * tags + intent marker; the id guard inside the append refuses
+    * replayed rows that somehow bypass the ledger.
+    */
+  final class EditIndexMaintainer(spark: org.apache.spark.sql.SparkSession,
+                                  prefix: String, idCol: String,
+                                  strCol: String) {
+    import graft.operators.{EditIndex, IvfIndex}
+
+    def appendBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batch.isEmpty) return
+      val sp = batch.sparkSession
+      val tag = s"b$batchId"
+      if (IvfIndex.lineageHasTag(sp, prefix, tag)) return // retry: done
+      EditIndex.appendToEditIndex(sp, prefix, batch, idCol, strCol,
+        lineageTag = tag)
+      Seq("grams", "strs", "gramfreq", "gdigest", "stats")
+        .foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
+    }
+  }
+
   /** Streaming maintainer for the incremental near-dup CLUSTERING
     * index: each micro-batch's docs are folded into the persisted
     * cluster assignments ([[graft.operators.ClusterIndex

@@ -112,6 +112,34 @@ object EventStreams {
         col("w.end").as("window_end"), col("n_active"))
   }
 
+  /** Per-window DDSketch counts ([[graft.operators.Quantiles]]) — the
+    * sketch IS a windowed count aggregate over (window, geometric
+    * bucket), so the streaming form is the classic incremental agg
+    * with state bounded by windows × buckets (a few hundred rows per
+    * window regardless of event volume), never a per-value buffer.
+    * Quantile reads ([[graft.operators.Quantiles.ddQuantiles]]) run
+    * on the emitted sketch rows and are therefore IDENTICAL between
+    * the streamed and batch sketches — the stream≡batch argument is
+    * count-aggregate associativity, the same as
+    * [[streamingWindowedAgg]]'s.
+    */
+  def ddSketchWindowedBatch(events: DataFrame, gamma: Double,
+                            windowLen: String): DataFrame =
+    events.filter(col("value") > 0)
+      .groupBy(window(col("ts"), windowLen).as("w"),
+        graft.operators.Quantiles.ddBucket(col("value"), gamma).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("bucket"), col("cnt"))
+
+  /** Streaming twin of [[ddSketchWindowedBatch]]: watermark bounds
+    * which windows stay open; append mode emits each closed window's
+    * final sketch rows exactly once.
+    */
+  def ddSketchWindowedStream(events: DataFrame, gamma: Double,
+                             windowLen: String, watermark: String): DataFrame =
+    ddSketchWindowedBatch(events.withWatermark("ts", watermark), gamma,
+      windowLen)
+
   /** Streaming twin of Dedup.lineDedup's suppression stage: explode
     * each arriving document into (id, pos, line) rows and emit only
     * lines whose exact text has not been seen within the watermark —

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.EditSimilarity
+
+class EditSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def brute(df: DataFrame, maxDist: Int): Set[(Long, Long, Long)] = {
+    val a = df.select(col("id").as("a_id"), col("s").as("a_s"))
+    val b = df.select(col("id").as("b_id"), col("s").as("b_s"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("a_s"), col("b_s")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("a_id", "b_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def joined(df: DataFrame, maxDist: Int, q: Int = 3): Set[(Long, Long, Long)] =
+    EditSimilarity.editSimilarityJoin(df, "id", "s", maxDist, q).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  // the adversarial panel: substitutions, inserts, deletes, repeats
+  // (distinct-gram collapse), degenerate shorts, empty, unicode,
+  // plus far-apart strings that must NOT pair
+  private lazy val panel = Seq(
+    1L -> "wikidata analytics engine",
+    2L -> "wikidata analytics enginX",     // 1 sub of 1
+    3L -> "wikidat analytics engine",      // 1 del of 1
+    4L -> "wikidata aanalytics engine",    // 1 ins of 1
+    5L -> "wikidata analytics",            // far from 1 (7 dels)
+    6L -> "aaaaaaaaaaaaaaaa",              // 1 distinct gram
+    7L -> "aaaaaaaaaaaaaaab",              // 1 sub of 6, 3 distinct grams
+    8L -> "aaaaaaaaaaaaaab",               // 1 del of 7
+    9L -> "ab",                            // shorter than q
+    10L -> "ba",                           // 2 subs of 9
+    11L -> "",                             // empty
+    12L -> "b",                            // 1 ins of 11, 1 from 9? no: dist 1 to ""
+    13L -> "café résumé",   // unicode
+    14L -> "cafe résumé",        // 1 sub of 13
+    15L -> "totally different string here"
+  ).toDF("id", "s")
+
+  test("== brute force on the adversarial panel, d=1") {
+    assert(joined(panel, 1) === brute(panel, 1))
+  }
+
+  test("== brute force on the adversarial panel, d=2") {
+    assert(joined(panel, 2) === brute(panel, 2))
+  }
+
+  test("== brute force at q=2 and q=4 (filter completeness is q-independent)") {
+    assert(joined(panel, 1, q = 2) === brute(panel, 1))
+    assert(joined(panel, 2, q = 4) === brute(panel, 2))
+  }
+
+  test("maxDist=0 finds exactly the exact-duplicate pairs") {
+    val df = Seq(1L -> "same", 2L -> "same", 3L -> "Same", 4L -> "same ")
+      .toDF("id", "s")
+    assert(joined(df, 0) === Set((1L, 2L, 0L)))
+  }
+
+  test("no self-pairs, a_id < b_id, null strings dropped") {
+    val df = Seq((1L, "abc"), (2L, "abc"), (3L, null))
+      .toDF("id", "s")
+    val r = joined(df, 1)
+    assert(r === Set((1L, 2L, 0L)))
+  }
+
+  test("deterministic under repartition") {
+    val r1 = joined(panel.repartition(13), 1)
+    val r2 = joined(panel.repartition(1), 1)
+    assert(r1 === r2)
+  }
+
+  test("customer names at sf0.001: == brute force on real data") {
+    val cust = Tables.table(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    assert(joined(cust, 1) === brute(cust, 1))
+  }
+}

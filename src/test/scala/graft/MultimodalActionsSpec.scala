@@ -263,14 +263,15 @@ class MultimodalActionsSpec extends AnyFunSuite {
     assert(codec.decode(bpp8, "bmp") === null)
     assert(codec.decode("nonsense".getBytes, "wav") === null)
     assert(codec.decode("P5 2 2 255 ".getBytes, "ppm") === null) // P5 != P6
-    // mkv has no real decoder in the tier (yet) — it must fall through
-    // to the deterministic stub; mp4/webp/tiff used to sit here and
-    // graduated to real box/RIFF/IFD walks
-    val viaStub = codec.decode("opaque".getBytes, "mkv")
+    // avi has no real decoder in the tier (yet) — it must fall through
+    // to the deterministic stub; mp4/webp/tiff/mkv used to sit here
+    // and graduated to real box/RIFF/IFD/EBML walks
+    val viaStub = codec.decode("opaque".getBytes, "avi")
     assert(viaStub != null && viaStub._2.length === 16)          // stub dim
-    // and the same garbage bytes under the REAL mp4 decoder are a
-    // loud null, not a stub answer
+    // and the same garbage bytes under the REAL mp4/mkv decoders are
+    // loud nulls, not stub answers
     assert(codec.decode("opaque".getBytes, "mp4") === null)
+    assert(codec.decode("opaque".getBytes, "mkv") === null)
   }
 
   test("PureJvmCodec: PNG via ImageIO decodes to the same features as the equivalent PPM") {
@@ -413,6 +414,158 @@ class MultimodalActionsSpec extends AnyFunSuite {
     val audio = codec.decode(Multimodal.buildMp4(1, 1, 8000, 16001L, 1,
       v1 = false), "mp4")
     assert(audio._1.getLong(4) === 2000L, "16001*1000/8000 truncates to 2000")
+  }
+
+  test("PureJvmCodec: JPEG EXIF orientation in both byte orders; torn EXIF degrades, not nulls") {
+    val codec = new Multimodal.PureJvmCodec()
+    for (o <- 1 to 8; be <- Seq(false, true)) {
+      val r = codec.decode(
+        Multimodal.buildJpegMeta(100, 80, 3, orientation = o,
+          exifBigEndian = be), "jpeg")
+      assert(r._1.getInt(1) === 100 && r._1.getInt(2) === 80)
+      assert(r._2(4) === o.toFloat, s"o=$o be=$be")
+      assert(r._2(5) === (if (be) 2f else 1f))
+    }
+    // no EXIF segment: orientation absent (0), image still decodes
+    val plain = codec.decode(Multimodal.buildJpegMeta(100, 80, 3), "jpeg")
+    assert(plain._2(4) === 0f && plain._2(5) === 0f)
+    // torn EXIF (TIFF truncated mid-IFD by shrinking the APP1 length)
+    // degrades to absent — an optional attachment must not null a
+    // structurally sound image
+    val b = Multimodal.buildJpegMeta(100, 80, 3, orientation = 6)
+    val app1 = b.indexOfSlice("Exif".getBytes("US-ASCII")) - 4 // marker pos
+    assert((b(app1) & 0xFF) === 0xFF && (b(app1 + 1) & 0xFF) === 0xE1)
+    val torn = b.clone()
+    // keep "Exif\0\0" + TIFF header + IFD count, cut the entries: the
+    // walk sees a count whose entries escape the segment
+    torn(app1 + 2) = 0; torn(app1 + 3) = 18
+    // splice out the now-orphaned tail so the next marker follows the
+    // shortened segment
+    val spliced = torn.take(app1 + 2 + 18) ++ b.drop(app1 + 2 +
+      (((b(app1 + 2) & 0xFF) << 8) | (b(app1 + 3) & 0xFF)))
+    val t = codec.decode(spliced, "jpeg")
+    assert(t !== null, "torn EXIF must not null the image")
+    assert(t._2(4) === 0f, "torn EXIF reads as absent")
+    // out-of-range orientation value reads as absent
+    val bad = b.clone()
+    val oIdx = { // value field of tag 274 (II): after tag,type,count
+      val tiff0 = app1 + 10
+      tiff0 + 8 + 2 + 8 // header + count + (tag 2, type 2, count 4)
+    }
+    bad(oIdx) = 9 // invalid: EXIF range is 1..8
+    val rb = codec.decode(bad, "jpeg")
+    assert(rb._2(4) === 0f)
+  }
+
+  test("PureJvmCodec: WebM — EBML vints, unknown-length Segment, float duration") {
+    val codec = new Multimodal.PureJvmCodec()
+    // minimal + wide-vint/unknown-Segment encodings of the same movie
+    // must decode identically
+    Seq(false, true).foreach { wide =>
+      val r = codec.decode(Multimodal.buildWebm(640, 360, 1000000L,
+        25000.0, 2, wideSizes = wide), "webm")
+      assert(r._1.getString(0) === "webm", s"wide=$wide")
+      assert(r._1.getInt(1) === 640 && r._1.getInt(2) === 360)
+      assert(r._1.getInt(3) === 2 && r._1.getLong(4) === 25000L)
+      assert(r._2(3) === 1000000f)
+    }
+    // non-default timescale: 500000 ns ticks halve the ms duration,
+    // odd tick counts truncate
+    val halfTick = codec.decode(Multimodal.buildWebm(64, 48, 500000L,
+      30001.0, 1, wideSizes = false), "mkv")
+    assert(halfTick._1.getLong(4) === 15000L)
+    // float32 duration path (fixture writes float64): hand-build
+    def el(id: Array[Byte], body: Array[Byte]): Array[Byte] =
+      id ++ Array((0x80 | body.length).toByte) ++ body
+    val f32 = java.lang.Float.floatToIntBits(2500f)
+    val info32 = el(Array(0x15, 0x49, 0xA9, 0x66).map(_.toByte),
+      el(Array(0x44.toByte, 0x89.toByte), Array(
+        (f32 >> 24).toByte, (f32 >> 16).toByte, (f32 >> 8).toByte, f32.toByte)))
+    val base = Multimodal.buildWebm(32, 24, 1000000L, 1.0, 1, wideSizes = false)
+    // splice: header + segment(id+size) rebuilt with info32 + tracks
+    // is overkill — instead decode a fresh build and check default
+    // timescale applies when TimecodeScale is absent
+    val headerOnly = base.take(
+      4 + 1 + (2 + 1 + 4)) // EBML el: id(4) size(1) docEl(id 2 + size 1 + "webm")
+    val tracksStart = base.indexOfSlice(Seq(0x16, 0x54, 0xAE, 0x6B).map(_.toByte))
+    val tracksBytes = base.drop(tracksStart)
+    val segBody = info32 ++ tracksBytes
+    val seg = Array(0x18, 0x53, 0x80, 0x67).map(_.toByte) ++
+      Array((0x80 | segBody.length).toByte) ++ segBody
+    val spliced = codec.decode(headerOnly ++ seg, "webm")
+    assert(spliced._1.getLong(4) === 2500L,
+      "float32 duration + default 1e6 timescale")
+    // audio-only movie (no Video element anywhere) nulls: no dims
+    val audioOnly = {
+      val b = Multimodal.buildWebm(8, 8, 1000000L, 100.0, 1, wideSizes = false)
+      // blank the Video element id (0xE0) into a skipped unknown id
+      val i = b.indexOfSlice(Seq(0xE0.toByte))
+      b.updated(i, 0xEC.toByte) // Void element: legal, ignored
+    }
+    assert(codec.decode(audioOnly, "webm") === null)
+    // bad DocType, truncation, torn size vint
+    val badDoc = Multimodal.buildWebm(8, 8, 1000000L, 100.0, 1, false)
+    val di = badDoc.indexOfSlice("webm".getBytes("US-ASCII"))
+    badDoc(di) = 'x'.toByte
+    assert(codec.decode(badDoc, "webm") === null)
+    val ok = Multimodal.buildWebm(8, 8, 1000000L, 100.0, 1, false)
+    assert(codec.decode(ok.take(ok.length - 3), "webm") === null)
+    // a child size escaping its parent nulls (corrupt Info size)
+    val esc = ok.clone()
+    val infoIdx = esc.indexOfSlice(Seq(0x15, 0x49, 0xA9, 0x66).map(_.toByte))
+    esc(infoIdx + 4) = 0xFE.toByte // size 0x7E > remaining payload
+    assert(codec.decode(esc, "webm") === null)
+    // bomb guard: giga-canvas refused
+    assert(codec.decode(Multimodal.buildWebm(1 << 14, 1 << 13, 1000000L,
+      10.0, 1, false), "webm") === null)
+  }
+
+  test("PureJvmCodec: AVIF — ispe/pixi out of meta/iprp/ipco, all three brands") {
+    val codec = new Multimodal.PureJvmCodec()
+    Seq(0, 1, 2).foreach { brand =>
+      val r = codec.decode(Multimodal.buildAvif(512, 384, 3, 8, brand), "avif")
+      assert(r._1.getString(0) === "avif")
+      assert(r._1.getInt(1) === 512 && r._1.getInt(2) === 384)
+      assert(r._2(2) === 3f && r._2(3) === 8f && r._2(4) === brand.toFloat)
+    }
+    // heic alias dispatches to the same walk
+    val alias = codec.decode(Multimodal.buildAvif(16, 16, 1, 10, 2), "heic")
+    assert(alias._1.getInt(1) === 16 && alias._2(3) === 10f)
+    val b = Multimodal.buildAvif(512, 384, 3, 8, 0)
+    // unknown major brand nulls
+    val badBrand = b.clone(); badBrand(8) = 'x'.toByte
+    assert(codec.decode(badBrand, "avif") === null)
+    // truncation anywhere inside the meta tree nulls (torn ipco)
+    assert(codec.decode(b.take(b.length - 20), "avif") === null)
+    // a box size escaping its parent nulls
+    val badSize = b.clone(); badSize(0) = 0; badSize(1) = 0
+    badSize(2) = 0; badSize(3) = 4
+    assert(codec.decode(badSize, "avif") === null)
+    // missing ispe (ipco holds only pixi) nulls; missing pixi only
+    // zeroes channels/depth
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(t: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ t.getBytes("US-ASCII") ++ body
+    def fullbox(t: String, body: Array[Byte]): Array[Byte] =
+      box(t, Array[Byte](0, 0, 0, 0) ++ body)
+    val ftyp = box("ftyp", "avif".getBytes("US-ASCII") ++ be32(0) ++
+      "avifmif1".getBytes("US-ASCII"))
+    val pixiOnly = ftyp ++ fullbox("meta",
+      box("iprp", box("ipco", fullbox("pixi", Array[Byte](1, 8)))))
+    assert(codec.decode(pixiOnly, "avif") === null)
+    val ispeOnly = ftyp ++ fullbox("meta",
+      box("iprp", box("ipco", fullbox("ispe", be32(24) ++ be32(18)))))
+    val io = codec.decode(ispeOnly, "avif")
+    assert(io._1.getInt(1) === 24 && io._1.getInt(2) === 18)
+    assert(io._2(2) === 0f && io._2(3) === 0f)
+    // zero dims and giga-canvas refused
+    val zero = ftyp ++ fullbox("meta",
+      box("iprp", box("ipco", fullbox("ispe", be32(0) ++ be32(18)))))
+    assert(codec.decode(zero, "avif") === null)
+    val bomb = ftyp ++ fullbox("meta",
+      box("iprp", box("ipco", fullbox("ispe", be32(1 << 20) ++ be32(1 << 12)))))
+    assert(codec.decode(bomb, "avif") === null)
   }
 
   test("PureJvmCodec: WebP — VP8 lossy sync, VP8L bit-packing, VP8X canvas") {

@@ -667,6 +667,13 @@ class PlanShapeSpec extends AnyFunSuite {
       // weights come from the artifact instead of inline training) —
       // same two bounded windows as q_curation_v3
       "q_curation_v3_served" -> 2,
+      // ddQuantiles' cumulative walk + total run over the SKETCH —
+      // bounded at log_gamma(max/min) geometric buckets (a few
+      // hundred rows for any physical quantity at alpha = 1%)
+      // regardless of corpus size; two window sites (cum + n)
+      "q_ddsketch_quantiles" -> 2,
+      // the identical sketch-sized reads over the shard-merged sketch
+      "q_ddsketch_merged" -> 2,
       // unimaxAllocation's rank / prefix-sum / prefix-AND windows run
       // over ONE ROW PER SOURCE (dozens-to-thousands, bounded by
       // construction — the corpus collapses in the token-count
@@ -775,6 +782,62 @@ class PlanShapeSpec extends AnyFunSuite {
     val pd = plan(dec)
     assert(!pd.contains("Join") && countOccurrences(pd, "Exchange") === 0,
       s"decode must run where the bytes are:\n$pd")
+  }
+
+  test("edit-similarity join: every join is equi (no cartesian/nested-loop), levenshtein after the filter") {
+    val cust = Tables.table(spark, TestSpark.sfDir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val df = graft.operators.EditSimilarity.editSimilarityJoin(
+      cust, "id", "s", maxDist = 1, q = 3)
+    val p = plan(df)
+    // the whole point of the prefix filter: the naive form is a
+    // cartesian product; the plan must never contain one
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join leaked:\n$p")
+  }
+
+  test("DDSketch: one map-side-combined aggregate, quantile reads join the sketch to a broadcast panel") {
+    val li = Tables.table(spark, TestSpark.sfDir, "lineitem")
+    val gamma = graft.operators.Quantiles.gammaFor(0.01)
+    val sk = graft.operators.Quantiles.ddSketch(li, "l_extendedprice", gamma)
+    val ps = plan(sk)
+    // partial_count before the exchange = map-side combine to
+    // sketch-sized rows per partition
+    assert(ps.contains("partial_count") || ps.contains("partial count"),
+      s"sketch agg must partial-aggregate:\n$ps")
+    assert(countOccurrences(ps, "Exchange") === 1,
+      s"sketch is one bucket-keyed shuffle:\n$ps")
+    val q = graft.operators.Quantiles.ddQuantiles(sk, gamma, Seq(500000L))
+    val pq = plan(q)
+    assert(pq.contains("BroadcastNestedLoopJoin") ||
+      pq.contains("BroadcastHashJoin"),
+      s"the quantile panel must broadcast:\n$pq")
+  }
+
+  test("KMV sketch: bounded-heap topk_rows aggregates with map-side partials") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val terms = docs.select(col("source"),
+      explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+    val sk = graft.operators.Kmv.kmvSketch(terms, "source", "term", 64)
+    val p = plan(sk)
+    assert(p.contains("topk_rows"), s"native heap agg missing:\n$p")
+    assert(p.contains("partial_topk_rows") || p.contains("partial topk_rows"),
+      s"heap must partial-aggregate before the shuffle:\n$p")
+    // no window sort of the vocab stream anywhere in the sketch path
+    assert(!p.contains("Window"), s"sketch must not window-sort:\n$p")
+  }
+
+  test("filtered ANN: the metadata predicate pushes into the corpus parquet scan") {
+    import graft.operators.Similarity
+    val e = Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.trainIvfCentroids(e, nCentroids = 16, dim = 64,
+      iterations = 1, portable = true)
+    val df = Similarity.ivfTopK(e.filter(col("label") < 5), e, k = 1, cents,
+      nProbe = 4, portable = true)
+    val p = plan(df)
+    assert(p.contains("LessThan(label,5)"),
+      s"label predicate must reach the scan:\n$p")
   }
 
   test("attribution plans ONE actor exchange and ONE window (no touch join)") {

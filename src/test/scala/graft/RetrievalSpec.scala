@@ -55,6 +55,53 @@ class RetrievalSpec extends AnyFunSuite {
     got.foreach { case (key, v) => assert(v === want(key), s"pair $key") }
   }
 
+  test("bm25TopKExpanded: feedback terms pull in docs the raw query cannot reach") {
+    // doc 1 is the only original match for "alpha"; it also carries
+    // "shared" (thrice — the heaviest feedback term), which doc 2
+    // carries too. doc 3 shares nothing. After expansion, doc 2 must
+    // enter the results; before it, it cannot.
+    val docs = Seq(
+      (1L, "alpha shared shared shared filler"),
+      (2L, "shared shared other words here"),
+      (3L, "completely unrelated text body")).toDF("doc_id", "text")
+    val probes = Seq((100L, Seq("alpha"))).toDF("query_id", "qterms")
+    val plain = Retrieval.bm25TopK(docs, "doc_id", "text",
+      probes, "query_id", "qterms", k = 10).collect()
+    assert(plain.map(_.getLong(2)).toSet === Set(1L))
+    val exp = Retrieval.bm25TopKExpanded(docs, "doc_id", "text",
+      probes, "query_id", "qterms", k = 10, kFb = 1, nExpand = 1).collect()
+    assert(exp.map(_.getLong(2)).toSet === Set(1L, 2L),
+      "expansion must recall doc 2 via the voted term")
+    // the expanded run must equal bm25TopK over the manually expanded
+    // query (original + the heaviest new feedback term, "shared")
+    val manual = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq((100L, Seq("alpha", "shared"))).toDF("query_id", "qterms"),
+        "query_id", "qterms", k = 10)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(exp.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      === manual)
+  }
+
+  test("bm25TopKExpanded: nExpand=0 degenerates to plain bm25TopK; no-match queries keep original terms") {
+    val docs = docsDf.limit(60).select("doc_id", "text")
+    val probes = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(trim(col("text")), "\\s+"), 1, 5).as("qterms"))
+    val a = Retrieval.bm25TopKExpanded(docs, "doc_id", "text",
+        probes, "query_id", "qterms", k = 5, kFb = 3, nExpand = 0)
+      .collect().map(_.toSeq).toSet
+    val b = Retrieval.bm25TopK(docs, "doc_id", "text",
+        probes, "query_id", "qterms", k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    // a query matching nothing survives both passes empty (no crash,
+    // no rows)
+    val ghost = Seq((999L, Seq("zzz_not_in_corpus")))
+      .toDF("query_id", "qterms")
+    assert(Retrieval.bm25TopKExpanded(docs, "doc_id", "text",
+      ghost, "query_id", "qterms", k = 5).isEmpty)
+  }
+
   test("ranks are dense 1..k, scores non-increasing, ties on doc_id") {
     val docs = docsDf.select("doc_id", "text")
     val probes = docs.filter(col("doc_id") % 50 === 0)

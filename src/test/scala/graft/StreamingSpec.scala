@@ -85,6 +85,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed DDSketch matches batch sketch AND quantile reads") {
+    import graft.operators.Quantiles
+    val gamma = Quantiles.gammaFor(0.01)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ddsk").toString
+    events.select("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(4).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStreams.ddSketchWindowedStream(stream, gamma, "1 hour",
+        watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ddsk").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("select * from ddsk")
+      val batch = EventStreams.ddSketchWindowedBatch(events, gamma, "1 hour")
+      val sKey = streamed.collect()
+        .map(r => (r.get(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+      val bKey = batch.collect()
+        .map(r => (r.get(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+      assert(sKey.nonEmpty, "append mode emitted no closed windows")
+      // every closed window's sketch rows are count-identical to batch
+      // (an event landing in an earlier micro-batch must fold into the
+      // same (window, bucket) cell)
+      sKey.foreach { case (k, n) => assert(bKey(k) === n, s"cell $k") }
+      // quantile reads over the streamed sketch == reads over the
+      // batch sketch for every closed window (the read is a pure
+      // function of the sketch rows)
+      val closed = sKey.keys.map(_._1).toSet
+      val fromStream = Quantiles.ddQuantiles(
+          streamed.withColumnRenamed("window_start", "w"), gamma,
+          Seq(500000L, 900000L), groupCols = Seq("w"))
+        .collect()
+        .map(r => (r.get(0).toString, r.getLong(1)) -> r.getLong(7)).toMap
+      val fromBatch = Quantiles.ddQuantiles(
+          batch.withColumnRenamed("window_start", "w"), gamma,
+          Seq(500000L, 900000L), groupCols = Seq("w"))
+        .collect()
+        .map(r => (r.get(0).toString, r.getLong(1)) -> r.getLong(7)).toMap
+      fromStream.filter(k => closed(k._1._1)).foreach { case (k, est) =>
+        assert(fromBatch(k) === est, s"quantile $k")
+      }
+    } finally q.stop()
+  }
+
   test("streaming source-health windows match the batch definition exactly") {
     import graft.operators.TextAnalysis
     import graft.streaming.DocStreams
@@ -876,6 +922,54 @@ class StreamingSpec extends AnyFunSuite {
       "doc_id", "text")
     m2.appendBatch(batches.head.toDF("doc_id", "text"), 0L)
     assert(spark.table(s"${prefix}_fps").count() === 6L,
+      "batch-0 replay must append nothing")
+  }
+
+  test("streaming edit-index maintenance: gate == brute cross after the stream drains") {
+    import graft.operators.EditIndex
+    import graft.streaming.DocStreams
+    val cust = Tables.table(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("s")).cache()
+    cust.count()
+    val base = cust.filter(col("id") % 3 === 0)
+    val arriving = cust.filter(col("id") % 3 =!= 0 && col("id") % 5 =!= 0)
+    val probes = cust.filter(col("id") % 3 =!= 0 && col("id") % 5 === 0)
+      .select((col("id") + 5000000L).as("id"), col("s"))
+    val prefix = "sed_mnt"
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix))
+      .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _))
+    EditIndex.buildEditIndex(base, "id", "s", prefix, maxDist = 1, q = 3)
+    val src = java.nio.file.Files.createTempDirectory("graft-edmnt").toString
+    arriving.repartition(3).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val m = new DocStreams.EditIndexMaintainer(spark, prefix, "id", "s")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.foreachBatch(m.appendBatch _).start()
+    try q.processAllAvailable() finally q.stop()
+    // the maintained index answers a probe exactly like a brute cross
+    // against everything streamed (base + arrivals)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("delta_id", "index_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val admitted = base.unionByName(arriving)
+    val want = probes.select(col("id").as("delta_id"), col("s").as("ds"))
+      .join(admitted.select(col("id").as("index_id"), col("s").as("cs")),
+        levenshtein(col("ds"), col("cs")) <= 1)
+      .withColumn("dist", levenshtein(col("ds"), col("cs")).cast("long"))
+      .select("delta_id", "index_id", "dist")
+      .orderBy("delta_id", "index_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = rows(EditIndex.gateEditMatches(spark, prefix, probes, "id", "s"))
+    assert(want.nonEmpty && got === want,
+      "streamed edit index diverged from the brute cross")
+    // replaying the first batch through a fresh maintainer instance
+    // is a ledger no-op
+    val n0 = spark.table(s"${prefix}_strs").count()
+    val m2 = new DocStreams.EditIndexMaintainer(spark, prefix, "id", "s")
+    m2.appendBatch(arriving.limit(5), 0L) // tag b0 is in the ledger
+    assert(spark.table(s"${prefix}_strs").count() === n0,
       "batch-0 replay must append nothing")
   }
 
