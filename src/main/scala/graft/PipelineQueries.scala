@@ -1755,6 +1755,16 @@ object PipelineQueries {
             .as("p99_within_rank_bounds"))
         .orderBy(col("event_type"))),
 
+    // ---- Benford first-digit audit: the fabricated-data detector —
+    //      leading-digit distribution of extended price vs the
+    //      log10(1+1/d) law, exact integer counts/micro-rates, one
+    //      9-key map-side-combined aggregate. Expectations are
+    //      precomputed micro literals shared verbatim with the
+    //      oracle ----
+    "q_benford_audit" -> ((s, d) =>
+      Quality.benfordAudit(t(s, d, "lineitem"), "l_extendedprice")
+        .orderBy(col("digit"))),
+
     // ---- portable DDSketch quantiles (relative-error, mergeable,
     //      fully replayable — unlike percentile_approx above): p50 /
     //      p90 / p99 / p999 of extended price from a geometric-bucket
@@ -5269,6 +5279,28 @@ object PipelineQueries {
            TRUE AS hll_within_3sigma, TRUE AS p50_within_rank_bounds,
            TRUE AS p99_within_rank_bounds
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_benford_audit" -> {
+      val vals = graft.operators.Quality.benfordExpectedMicro
+        .map { case (d, e) => s"($d, $e)" }.mkString(", ")
+      s"""WITH expd AS (
+           SELECT CAST(digit AS BIGINT) AS digit,
+             CAST(exp_micro AS BIGINT) AS exp_micro
+           FROM (VALUES $vals) AS t(digit, exp_micro)),
+         v AS (
+           SELECT l_extendedprice AS x FROM lineitem
+           WHERE l_extendedprice > 0),
+         dg AS (
+           SELECT CAST(FLOOR(x / POWER(10.0, FLOOR(LOG10(x)))) AS BIGINT)
+             AS digit, COUNT(*) AS n_d
+           FROM v GROUP BY 1),
+         j AS (
+           SELECT e.digit, CAST(COALESCE(d.n_d, 0) AS BIGINT) AS n_d,
+             e.exp_micro
+           FROM expd e LEFT JOIN dg d USING (digit)),
+         t AS (SELECT *, CAST(SUM(n_d) OVER () AS BIGINT) AS n FROM j)
+         SELECT digit, n_d, n, n_d * 1000000 // n AS obs_micro, exp_micro,
+           abs(n_d * 1000000 // n - exp_micro) AS dev_micro
+         FROM t WHERE n > 0 ORDER BY digit""" },
     "q_ddsketch_quantiles" ->
       s"""WITH v AS (
            SELECT l_extendedprice AS x FROM lineitem

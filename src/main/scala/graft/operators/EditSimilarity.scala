@@ -89,18 +89,29 @@ object EditSimilarity {
     val freq = gl.groupBy("gram").agg(count(lit(1)).as("f"))
     val byRarity = Window.partitionBy(col("id"))
       .orderBy(col("f"), col("gram")) // total: grams distinct per id
+    // materialization barrier: the self-join references this subtree
+    // TWICE — without the persist Catalyst re-plans (and re-EXECUTES)
+    // the gram explode + freq aggregate + rarity window per side (the
+    // q_curation_v3 lesson). State is prefixLen rows per string; the
+    // caller's clearCache cadence reclaims it (the LSH-family
+    // internal-persist contract).
     val pref = gl.filter(col("n_grams") >= prefixLen)
       .join(freq, Seq("gram"))
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= prefixLen)
       .select(col("id"), col("s"), col("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // no intermediate distinct: a pair sharing several prefix grams is
+    // verified that many times (levenshtein on bounded-length strings
+    // is cheaper than exchanging candidate rows to dedup them first);
+    // the output distinct below collapses multiplicity on the final
+    // match set, which is orders of magnitude smaller
     val cand = pref.select(col("id").as("a_id"), col("s").as("a_s"), col("gram"))
       .join(pref.select(col("id").as("b_id"), col("s").as("b_s"), col("gram")),
         Seq("gram"))
       .filter(col("a_id") < col("b_id") &&
         abs(length(col("a_s")) - length(col("b_s"))) <= maxDist)
       .select(col("a_id"), col("a_s"), col("b_id"), col("b_s"))
-      .distinct()
     // degenerate tier: <= q·d distinct grams -> exact length-band
     // equi-join against everything (2d+1 keys per degenerate string)
     val shortSide = withGrams.filter(col("n_grams") < prefixLen)
@@ -118,13 +129,16 @@ object EditSimilarity {
         greatest(col("x_id"), col("y_id")).as("b_id"),
         when(col("x_id") < col("y_id"), col("y_s"))
           .otherwise(col("x_s")).as("b_s"))
-      .distinct()
-    // tiers are disjoint by construction (cand: both sides have
-    // >= prefixLen grams; shortCand: at least one side has fewer),
-    // so the union needs no final distinct
+    // one distinct at the very end: tiers are disjoint by
+    // construction (cand: both sides have >= prefixLen grams;
+    // shortCand: at least one side has fewer), so this only collapses
+    // within-tier multiplicity (shared prefix grams / double-found
+    // short-short pairs) — and it runs on the MATCH set, after the
+    // distance filter has discarded the candidate bulk
     cand.unionByName(shortCand)
       .withColumn("dist", levenshtein(col("a_s"), col("b_s")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist"))
+      .distinct()
   }
 }

@@ -435,6 +435,52 @@ object Quality {
       .withColumn("n_noisy", greatest(lit(0L), col("n") + col("noise")))
   }
 
+  /** Benford first-digit audit — the cheap fabricated-data detector
+    * for naturally-occurring positive magnitudes (prices, counts,
+    * durations spanning orders of magnitude): the leading decimal
+    * digit of organic data follows log10(1 + 1/d); synthetic,
+    * clamped, or copy-pasted columns don't. One 9-key map-side-
+    * combined aggregate regardless of corpus size.
+    *
+    * digit(x) = floor(x / 10^floor(log10 x)) — transcendentals stay
+    * per-row and the published numbers are exact integers (counts
+    * and micro-rates), so the oracle replays the card bit-for-bit.
+    * The Benford expectations are data-independent and inlined as
+    * precomputed micro literals on BOTH engines ([[benfordExpectedMicro]]).
+    *
+    * Output per digit 1..9 (digits with zero rows still appear):
+    * (digit, n_d, n, obs_micro = n_d·10^6 div n, exp_micro,
+    * dev_micro = |obs − exp|). Values ≤ 0 are excluded by contract.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = df.filter(col(valueCol) > 0)
+      .select(floor(col(valueCol).cast("double") /
+        pow(lit(10.0), floor(log10(col(valueCol).cast("double")))))
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+    val frame = benfordExpectedMicro.toSeq
+      .map { case (d, e) => (d, e) }.toDF("digit", "exp_micro")
+    frame.join(digits, Seq("digit"), "left")
+      .withColumn("n_d", coalesce(col("n_d"), lit(0L)))
+      .withColumn("n", sum(col("n_d")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("n") > 0)
+      .select(col("digit"), col("n_d"), col("n"),
+        expr("n_d * 1000000L div n").as("obs_micro"),
+        col("exp_micro"),
+        abs(expr("n_d * 1000000L div n") - col("exp_micro")).as("dev_micro"))
+  }
+
+  /** floor(10^6 · log10(1 + 1/d)) for d = 1..9, precomputed so both
+    * engines read identical integers rather than re-deriving them
+    * through their own log implementations.
+    */
+  val benfordExpectedMicro: Seq[(Long, Long)] =
+    (1 to 9).map(d =>
+      d.toLong -> math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)
+
   /** Loud snapshot-uniqueness guard: one snapshot-sized aggregate —
     * the price of never silently forking an id's SCD timeline.
     */

@@ -667,6 +667,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // weights come from the artifact instead of inline training) —
       // same two bounded windows as q_curation_v3
       "q_curation_v3_served" -> 2,
+      // benfordAudit's total runs over the 9-row digit card — the
+      // input collapsed in the 9-key aggregate before the window
+      "q_benford_audit" -> 1,
       // ddQuantiles' cumulative walk + total run over the SKETCH —
       // bounded at log_gamma(max/min) geometric buckets (a few
       // hundred rows for any physical quantity at alpha = 1%)

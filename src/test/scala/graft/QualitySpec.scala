@@ -23,6 +23,35 @@ class QualitySpec extends AnyFunSuite {
     assert(b.getLong(4) === -325L && b.getLong(5) === 1050L)
   }
 
+  test("benfordAudit: exact digit counts, zero-digit rows kept, non-positives dropped") {
+    val df = Seq(1.0, 19.0, 23.0, 999.0, 4321.0, 150000.0, -5.0, 0.0)
+      .toDF("x")
+    val r = Quality.benfordAudit(df, "x").orderBy("digit").collect()
+    assert(r.length === 9, "all nine digits must appear")
+    val byDigit = r.map(x => x.getLong(0) ->
+      (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(5))).toMap
+    // digits: 1,1,2,9,4,1 — six positive values
+    assert(byDigit(1L)._1 === 3L && byDigit(2L)._1 === 1L &&
+      byDigit(4L)._1 === 1L && byDigit(9L)._1 === 1L)
+    assert(byDigit(3L)._1 === 0L && byDigit(7L)._1 === 0L)
+    assert(r.forall(_.getLong(2) === 6L), "n counts positives only")
+    // obs_micro is exact integer division; dev is vs the precomputed
+    // expectation table
+    assert(byDigit(1L)._3 === 3L * 1000000L / 6L)
+    val exp = Quality.benfordExpectedMicro.toMap
+    assert(byDigit(1L)._4 === math.abs(500000L - exp(1L)))
+    // a Benford-conforming synthetic set scores low total deviation:
+    // x = 10^(i/N) has log-uniform mantissas by construction
+    val conf = (0 until 4000).map(i => math.pow(10.0, i / 4000.0 * 3.0))
+      .toDF("x")
+    val dev = Quality.benfordAudit(conf, "x")
+      .agg(sum("dev_micro")).head().getLong(0)
+    assert(dev < 30000L, s"log-uniform data must be near-Benford, got $dev")
+    // empty input: no rows (n = 0 guard)
+    assert(Quality.benfordAudit(df.filter(col("x") < 0 && col("x") > 0),
+      "x").isEmpty)
+  }
+
   test("checkConstraints: null predicate is a violation, all checks one pass") {
     val df = Seq[(java.lang.Double, String)](
       (1.0, "A"), (99.0, "N"), (null, "R"), (5.0, null))
