@@ -295,6 +295,73 @@ object PipelineQueries {
         .orderBy(col("rank"))
     }),
 
+    // ---- WordPiece training (the THIRD tokenizer family: BERT's
+    //      likelihood-ratio merges): same loop as BPE, argmax by the
+    //      exact-quantized score n_ab·10^12 div (n_a·n_b) — the pair
+    //      whose fusion most increases unigram-model likelihood.
+    //      Oracle replays every round including the per-round symbol
+    //      counts ----
+    "text_wordpiece_merges" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.trainWordpieceMerges(t(s, d, "documents"), "text",
+          merges = 8)
+        .zipWithIndex.map { case ((pair, sq), i) =>
+          (i + 1L, pair.replace("\u001F", " "), sq) }
+        .toDF("rank", "pair", "score_q")
+        .orderBy(col("rank"))
+    }),
+
+    // ---- WordPiece encode: greedy longest-match-first segmentation
+    //      under the induced vocab (chars + fused pieces), '##'
+    //      continuation decoration, BERT's whole-word [UNK] rule —
+    //      exercised on EVERY row by a guaranteed-unknown suffix
+    //      word. The oracle replays train + vocab + the greedy cursor
+    //      walk ----
+    "text_wordpiece_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mergePairs = TextAnalysis.trainWordpieceMerges(docs, "text",
+        merges = 8).map(_._1)
+      val vocab = TextAnalysis.wordpieceVocab(docs, "text", mergePairs)
+      val maxLen = vocab.map(p => p.codePointCount(0, p.length)).max
+      val sep = java.util.regex.Pattern.quote("\u001F")
+      docs.select(col("doc_id"),
+          TextAnalysis.wordpieceSegment(concat(col("text"), lit(" 文")),
+            vocab, maxLen).as("segs"))
+        .select(col("doc_id"),
+          size(col("segs")).cast(LongType).as("n_words"),
+          aggregate(col("segs"), lit(0L), (acc, seg) =>
+            acc + size(filter(split(seg, sep), x => x =!= ""))).as("n_pieces"),
+          aggregate(col("segs"), lit(0L), (acc, seg) =>
+            acc + when(seg === lit("\u001F[UNK]\u001F"), 1L).otherwise(0L))
+            .as("n_unk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- served WordPiece encode: the merge list loads from the
+    //      fingerprint-keyed parquet artifact (the BPE artifact
+    //      contract with the likelihood trainer); strings round-trip
+    //      parquet exactly, so it shares text_wordpiece_tokens'
+    //      oracle ----
+    "text_wordpiece_tokens_served" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mergePairs = IndexStore.wordpieceMergesCached(docs, "text",
+        nMerges = 8, baseDir = artifactDir)
+      val vocab = TextAnalysis.wordpieceVocab(docs, "text", mergePairs)
+      val maxLen = vocab.map(p => p.codePointCount(0, p.length)).max
+      val sep = java.util.regex.Pattern.quote("\u001F")
+      docs.select(col("doc_id"),
+          TextAnalysis.wordpieceSegment(concat(col("text"), lit(" 文")),
+            vocab, maxLen).as("segs"))
+        .select(col("doc_id"),
+          size(col("segs")).cast(LongType).as("n_words"),
+          aggregate(col("segs"), lit(0L), (acc, seg) =>
+            acc + size(filter(split(seg, sep), x => x =!= ""))).as("n_pieces"),
+          aggregate(col("segs"), lit(0L), (acc, seg) =>
+            acc + when(seg === lit("\u001F[UNK]\u001F"), 1L).otherwise(0L))
+            .as("n_unk"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- BPE encode: per-doc token counts after applying the 6
     //      learned merges (train + apply, both oracle-replayed) ----
     "text_bpe_tokens" -> ((s, d) => {
@@ -3339,6 +3406,107 @@ object PipelineQueries {
         COALESCE(chr(31) || replace((SELECT p FROM m$r), chr(31), chr(31) || chr(31)) || chr(31), chr(30)),
         COALESCE(chr(31) || replace((SELECT p FROM m$r), chr(31), '') || chr(31), ''))"""
 
+  /** WordPiece training replay: [[bpeTrainCtes]]' round structure
+    * with the likelihood-ratio argmax — each round adds a symbol-
+    * count CTE and scores pairs as n_ab·10^12 // (n_a·n_b), ties on
+    * pair ASC (the exact quantized objective
+    * [[graft.operators.TextAnalysis.trainWordpieceMerges]] declares).
+    * Starts WITH RECURSIVE so the tokens oracle can append its
+    * cursor-walk CTE.
+    */
+  private def wordpieceTrainCtes(rounds: Int): String = {
+    val init =
+      """WITH RECURSIVE v0 AS MATERIALIZED (
+           SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+             chr(31) || array_to_string(list_filter(string_split(w, ''), c -> c <> ''),
+               chr(31) || chr(31)) || chr(31) AS syms
+           FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+           WHERE w <> '' AND strpos(w, chr(31)) = 0 GROUP BY w)"""
+    val roundCtes = (0 until rounds).map { r =>
+      s""",
+         s$r AS MATERIALIZED (SELECT cnt, list_filter(string_split(syms, chr(31)), x -> x <> '') AS ss FROM v$r),
+         c$r AS MATERIALIZED (SELECT sym, CAST(SUM(cnt) AS BIGINT) AS ns FROM (
+             SELECT cnt, unnest(ss) AS sym FROM s$r) GROUP BY sym),
+         e$r AS (SELECT cnt, unnest(CASE WHEN len(ss) > 1
+             THEN list_transform(range(1, len(ss)), i -> ss[i] || chr(31) || ss[i+1])
+             ELSE []::VARCHAR[] END) AS p FROM s$r),
+         p$r AS MATERIALIZED (SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM e$r GROUP BY p),
+         m$r AS MATERIALIZED (SELECT p, n, score_q FROM (
+             SELECT pr.p, pr.n,
+               pr.n * 1000000000000 // (ca.ns * cb.ns) AS score_q
+             FROM p$r pr
+             JOIN c$r ca ON ca.sym = string_split(pr.p, chr(31))[1]
+             JOIN c$r cb ON cb.sym = string_split(pr.p, chr(31))[2])
+           ORDER BY score_q DESC, p LIMIT 1),
+         v${r + 1} AS MATERIALIZED (SELECT cnt, ${bpeMergeExpr("syms", r)} AS syms FROM v$r)"""
+    }.mkString
+    init + roundCtes
+  }
+
+  /** The learned WordPiece merge list as rows. */
+  private def wordpieceMergesOracleSql(rounds: Int): String = {
+    val sel = (0 until rounds).map { r =>
+      s"SELECT ${r + 1} AS rank, replace((SELECT p FROM m$r), chr(31), ' ') AS pair, (SELECT score_q FROM m$r) AS score_q"
+    }.mkString("\n UNION ALL ")
+    s"""${wordpieceTrainCtes(rounds)}
+       SELECT CAST(rank AS BIGINT) AS rank, pair,
+         CAST(score_q AS BIGINT) AS score_q
+       FROM ($sel) WHERE pair IS NOT NULL ORDER BY rank"""
+  }
+
+  /** Per-doc WordPiece piece counts: the induced vocab (every corpus
+    * char + each merge's fused piece), a precomputed match table, and
+    * the greedy longest-match cursor walk as a recursive CTE (one
+    * path per word — greedy has no ties). Each doc's text gets the
+    * guaranteed-unknown ' 文' suffix word so the [UNK] rule is
+    * exercised on every row.
+    */
+  private def wordpieceTokensOracleSql(rounds: Int): String = {
+    val vocabSel = (0 until rounds).map { r =>
+      s"SELECT replace(p, chr(31), '') AS p FROM m$r"
+    }.mkString("\n UNION ")
+    s"""${wordpieceTrainCtes(rounds)},
+       wpv AS MATERIALIZED (
+         SELECT DISTINCT c AS p FROM (
+           SELECT unnest(list_filter(string_split(w, ''), c -> c <> '')) AS c
+           FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+                 FROM documents)
+           WHERE w <> '' AND strpos(w, chr(31)) = 0)
+         UNION
+         $vocabSel),
+       tok AS (SELECT doc_id,
+           unnest(string_split_regex(trim(text || ' 文'), '\\s+')) AS w
+         FROM documents),
+       words AS (SELECT DISTINCT w FROM tok),
+       pos AS (SELECT w, unnest(range(1, len(w) + 1)) AS st FROM words),
+       mm AS (
+         SELECT pos.w, pos.st, len(v.p) AS l FROM pos JOIN wpv v
+           ON len(v.p) <= len(pos.w) - pos.st + 1
+           AND v.p = substr(pos.w, pos.st, len(v.p))),
+       best AS MATERIALIZED (SELECT w, st, MAX(l) AS l FROM mm GROUP BY w, st),
+       walk AS (
+         SELECT w, CAST(1 AS BIGINT) AS st, CAST(0 AS BIGINT) AS np
+         FROM words
+         UNION ALL
+         SELECT r.w, r.st + b.l, r.np + 1
+         FROM walk r JOIN best b ON b.w = r.w AND b.st = r.st
+         WHERE r.st <= len(r.w)),
+       card AS (
+         SELECT w.w,
+           COALESCE(MAX(CASE WHEN k.st = len(w.w) + 1 THEN k.np END), 1)
+             AS npieces,
+           CASE WHEN MAX(CASE WHEN k.st = len(w.w) + 1 THEN k.np END)
+             IS NULL THEN 1 ELSE 0 END AS unk
+         FROM words w LEFT JOIN walk k ON k.w = w.w
+         GROUP BY w.w),
+       agg AS (
+         SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(c.npieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(c.unk) AS BIGINT) AS n_unk
+         FROM tok t JOIN card c ON c.w = t.w GROUP BY t.doc_id)
+       SELECT doc_id, n_words, n_pieces, n_unk FROM agg ORDER BY doc_id"""
+  }
+
   private def bpeTrainCtes(rounds: Int): String = {
     val init =
       """WITH v0 AS (
@@ -4156,6 +4324,9 @@ object PipelineQueries {
          best_micro - worst_micro AS spread_micro
        FROM diag ORDER BY query_id"""),
     "text_bpe_merges" -> bpeOracleSql(6),
+    "text_wordpiece_merges" -> wordpieceMergesOracleSql(8),
+    "text_wordpiece_tokens" -> wordpieceTokensOracleSql(8),
+    "text_wordpiece_tokens_served" -> wordpieceTokensOracleSql(8),
     "text_unigram_tokens" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, unnest(list_filter(

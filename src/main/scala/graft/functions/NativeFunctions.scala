@@ -156,6 +156,12 @@ object NativeFunctions {
   def bpeSegmentWord(word: Column, merges: Seq[String]): Column =
     GraftSqlShims.column(BpeSegmentWord(GraftSqlShims.expression(word), merges))
 
+  /** Greedy longest-match WordPiece segmentation; framed piece string. */
+  def wordpieceSegmentWord(word: Column, vocab: Seq[String],
+                           maxLen: Int): Column =
+    GraftSqlShims.column(WordpieceSegmentWord(GraftSqlShims.expression(word),
+      vocab, maxLen))
+
   /** Viterbi unigram-LM segmentation of one word; framed piece string. */
   def unigramSegmentWord(word: Column, vocab: Seq[(String, Long)],
                          maxLen: Int, unkMicro: Long): Column =

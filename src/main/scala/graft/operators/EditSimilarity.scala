@@ -35,13 +35,20 @@ import org.apache.spark.sql.functions._
   * lengths and equi-joined on length — bounded by how many degenerate
   * strings exist, never by the corpus.
   *
-  * q is the DENSITY knob: candidate cost is Σ_g C(cnt_g, 2) and
-  * per-gram counts grow with the corpus, so gram length should grow
-  * ~log(corpus) to keep the rarest grams discriminating (a 10^3-entry
-  * digit-trigram space saturates at ~10^5 rows; q=5's 10^5-entry
-  * space holds to ~10^7). Completeness holds at EVERY q (the lemma is
-  * q-independent), so the knob trades only cost — ScaleSmoke's r12d
-  * block measures q=3 vs q=5 at 20x density.
+  * Candidate cost is Σ_g C(cnt_g, 2) over prefix grams, so it scales
+  * with how many strings SHARE rare grams. Corpus growth that brings
+  * new vocabulary (new entity populations) grows candidates linearly
+  * (ScaleSmoke r12d measures this at 20x with gram-disjoint
+  * replicas); growth that densifies the SAME gram vocabulary (ever
+  * more lookalikes) grows candidates quadratically at ANY q — and on
+  * low-entropy keys (zero-padded ids) longer grams do NOT help:
+  * their padding-run grams stay corpus-common at every q (measured:
+  * q=5 on zero-padded names is 5x slower than q=3 because a 6-entry
+  * prefix is forced to include mega-common grams). The deployable
+  * remedies for shared-structure keys are normalization (strip
+  * constant prefixes/padding) or a higher-entropy blocking key.
+  * Completeness holds at EVERY q (the lemma is q-independent), so
+  * all such tuning trades only cost.
   *
   * Plan shape (the 100 TB audit): one distinct-gram explode (map-only,
   * <= len rows per string), one map-side-combinable gram-frequency

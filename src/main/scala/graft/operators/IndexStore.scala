@@ -293,6 +293,24 @@ object IndexStore {
     loadBpeMerges(spark, path)
   }
 
+  /** Train-once WordPiece merges — the BPE artifact contract
+    * (format, fingerprint keying, load-time validation) with the
+    * likelihood-objective trainer; score_q rides in the cnt slot
+    * (positive at any corpus the int64 quantization admits), so the
+    * loader's checks apply unchanged.
+    */
+  def wordpieceMergesCached(corpus: DataFrame, textCol: String, nMerges: Int,
+                            baseDir: String): Seq[String] = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = corpus.sparkSession
+    val fp = corpusFingerprint(corpus, Seq(textCol))
+    val path = s"$baseDir/wordpiece_${fp}_m$nMerges"
+    if (!exists(path))
+      saveBpeMerges(spark,
+        TextAnalysis.trainWordpieceMerges(corpus, textCol, nMerges), path)
+    loadBpeMerges(spark, path)
+  }
+
   /** Persist a trained unigram-LM piece vocabulary (piece, micro
     * log-prob score) — the SentencePiece-family tokenizer artifact
     * beside the BPE merge list.

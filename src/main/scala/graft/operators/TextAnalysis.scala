@@ -459,6 +459,101 @@ object TextAnalysis {
     transform(tokens(text), w =>
       graft.functions.NativeFunctions.bpeSegmentWord(w, merges))
 
+  /** WordPiece-objective tokenizer training (Schuster & Nakajima 2012;
+    * BERT's tokenizer) — the THIRD tokenizer family beside BPE
+    * (count-greedy merges) and unigram-LM (Viterbi over a scored
+    * inventory): the SAME merge loop as [[trainBpeMerges]], but each
+    * round fuses the pair maximizing the LIKELIHOOD ratio
+    * count(ab) / (count(a)·count(b)) — the fusion that most increases
+    * corpus likelihood under a unigram model — rather than raw count
+    * (raw count loves fusing two independently-common symbols; the
+    * ratio demands they co-occur beyond chance). The score is
+    * quantized exactly: score_q = n_ab·10^12 div (n_a·n_b) with ties
+    * on pair ASC — a total, engine-portable objective the oracle
+    * replays round-for-round. Symbol counts are the CURRENT round's
+    * (merges applied), like the pair counts. int64 holds n·10^12 up
+    * to ~9·10^6 total tokens; beyond that move the quantization to
+    * DECIMAL(38,0).
+    *
+    * Scale shape is [[trainBpeMerges]]'s plus one symbol-count
+    * aggregate per round (both map-side combined over the DISTINCT
+    * word vocabulary, never the corpus).
+    *
+    * Returns (pair-with-separator, score_q) in training order.
+    */
+  def trainWordpieceMerges(df: DataFrame, textCol: String,
+                           merges: Int): Seq[(String, Long)] = {
+    require(merges > 0, "merges must be positive")
+    val vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains(BpeSep))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), bpeCharSyms(col("w")).as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = Seq.newBuilder[(String, Long)]
+    var applied = List.empty[String]
+    var r = 0
+    var exhausted = false
+    while (r < merges && !exhausted) {
+      val symsCol = applied.reverse.foldLeft(col("syms"))(bpeApplyMerge)
+      val ss = bpeSymbols(symsCol)
+      val symCnt = vocab.select(col("cnt"), explode(ss).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("cnt")).as("ns"))
+      val top = vocab
+        .select(col("cnt"),
+          explode(when(size(ss) > 1,
+            transform(sequence(lit(0), size(ss) - 2),
+              i => struct(
+                concat(element_at(ss, i + 1), lit(BpeSep),
+                  element_at(ss, i + 2)).as("p"),
+                element_at(ss, i + 1).as("a"),
+                element_at(ss, i + 2).as("b"))))
+            .otherwise(array().cast(
+              "array<struct<p:string,a:string,b:string>>"))).as("e"))
+        .groupBy(col("e.p").as("p"), col("e.a").as("a"), col("e.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .join(symCnt.select(col("sym").as("a"), col("ns").as("na")), Seq("a"))
+        .join(symCnt.select(col("sym").as("b"), col("ns").as("nb")), Seq("b"))
+        .withColumn("score_q", expr("n * 1000000000000L div (na * nb)"))
+        .orderBy(col("score_q").desc, col("p"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        out += ((top(0).getAs[String]("p"), top(0).getAs[Long]("score_q")))
+        applied = top(0).getAs[String]("p") :: applied
+      }
+      r += 1
+    }
+    vocab.unpersist(blocking = false)
+    out.result()
+  }
+
+  /** Segmentation vocabulary induced by a WordPiece merge list: every
+    * single code point seen in training (the segmentability floor,
+    * exactly [[trainUnigramVocab]]'s guarantee) plus each merge's
+    * fused piece. Driver-sized: alphabet + merge count.
+    */
+  def wordpieceVocab(df: DataFrame, textCol: String,
+                     mergePairs: Seq[String]): Seq[String] = {
+    val chars = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains(BpeSep))
+      .select(explode(bpeSymbols(bpeCharSyms(col("w")))).as("c"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    (chars ++ mergePairs.map(_.replace(BpeSep, ""))).distinct.sorted
+  }
+
+  /** Greedy longest-match-first WordPiece segmentation of a text
+    * column under an induced vocab — one framed piece string per
+    * whitespace token ([[graft.functions.WordpieceGreedy]]; the
+    * deployed simplification is documented there: one position-
+    * independent vocab, '##' as output decoration). Map-only; the
+    * vocab rides in the expression like the BPE merge list.
+    */
+  def wordpieceSegment(text: Column, vocab: Seq[String],
+                       maxPieceLen: Int): Column =
+    transform(tokens(text), w =>
+      graft.functions.NativeFunctions.wordpieceSegmentWord(w, vocab,
+        maxPieceLen))
+
   /** The literal-replace-chain formulation of [[bpeSegment]]: one
     * whole-symbol framed replace per merge, exactly the op sequence
     * the DuckDB oracle replays. Reference semantics for tests; use

@@ -130,6 +130,23 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(served === inline)
   }
 
+  test("WordPiece merge artifact: cached serve == inline training, order intact") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val trained = graft.operators.TextAnalysis
+      .trainWordpieceMerges(docs, "text", 4)
+    val base = tmpDir()
+    val m1 = IndexStore.wordpieceMergesCached(docs, "text", 4, base)
+    val m2 = IndexStore.wordpieceMergesCached(docs, "text", 4, base)
+    assert(m1 === trained.map(_._1), "training order must survive")
+    assert(m2 === m1, "second call must serve the artifact")
+    // the induced vocab (and so every segmentation) is identical
+    val vIn = graft.operators.TextAnalysis
+      .wordpieceVocab(docs, "text", trained.map(_._1))
+    val vSrv = graft.operators.TextAnalysis
+      .wordpieceVocab(docs, "text", m2)
+    assert(vSrv === vIn)
+  }
+
   test("unigram vocab artifact round-trips canonically and serves identical cards") {
     val docs = Tables.table(spark, TestSpark.sfDir, "documents")
     val trained = graft.operators.TextAnalysis.trainUnigramVocab(

@@ -1011,7 +1011,7 @@ class TextAnalysisSpec extends AnyFunSuite {
           TextAnalysis.UnigramUnkMicro).as("lp"))
       .collect()
     seg.foreach { r =>
-      val ps = r.getString(1).split("").filter(_.nonEmpty).toSeq
+      val ps = r.getString(1).split("\u001F").filter(_.nonEmpty).toSeq
       assert(ps.mkString("") === r.getString(0), "pieces must re-concatenate")
       assert(ps.map(scoreOf).sum === r.getLong(2),
         "score expression must equal the sum of chosen piece scores")
@@ -1025,5 +1025,55 @@ class TextAnalysisSpec extends AnyFunSuite {
     card.foreach { r =>
       assert(r.getLong(2) >= r.getLong(1), "at least one piece per word")
     }
+  }
+
+  test("trainWordpieceMerges: likelihood ratio beats raw count, exact hand-computed rounds") {
+    // "low"x3, "lower", "lowest": BPE would merge (l,o) first (count
+    // 5); the likelihood objective merges (s,t) — count 1 but
+    // P(st)=1.0 given either part — then ties (e,r)/(e,st) at 5e11
+    // break on pair ASC to (e,r)
+    val df = Seq("low low low lower lowest").toDF("text")
+    val m = TextAnalysis.trainWordpieceMerges(df, "text", 2)
+    assert(m.map(_._1) === Seq("s\u001Ft", "e\u001Fr"))
+    assert(m.head._2 === 1000000000000L, "P(st | s, t) = 1 exactly")
+    assert(m(1)._2 === 500000000000L)
+  }
+
+  test("WordpieceGreedy: longest-match-first, ## decoration, whole-word UNK") {
+    import graft.functions.WordpieceGreedy
+    val vocab = WordpieceGreedy.buildVocabSet(
+      Seq("l", "o", "w", "e", "r", "s", "t", "st", "er", "lowe"))
+    def dec(w: String) = WordpieceGreedy.decode(w, vocab, 4).toSeq
+    // greedy takes "lowe" (len 4) over "l": longest match wins even
+    // when it forces more pieces later
+    assert(dec("lower") === Seq("lowe", "##r"))
+    assert(dec("lowest") === Seq("lowe", "##st"))
+    assert(dec("st") === Seq("st"))
+    assert(dec("") === Seq())
+    // any unmatched position degrades the WHOLE word (BERT's rule)
+    assert(dec("lowx") === Seq("[UNK]"))
+    assert(dec("xlow") === Seq("[UNK]"))
+    // surrogate pairs stay whole
+    val v2 = WordpieceGreedy.buildVocabSet(Seq("😀", "a"))
+    assert(WordpieceGreedy.decode("a😀", v2, 1).toSeq ===
+      Seq("a", "##😀"))
+  }
+
+  test("wordpieceSegment: corpus-trained vocab segments the corpus with zero UNK") {
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = TextAnalysis.trainWordpieceMerges(docs, "text", 4).map(_._1)
+    val vocab = TextAnalysis.wordpieceVocab(docs, "text", pairs)
+    val maxLen = vocab.map(p => p.codePointCount(0, p.length)).max
+    val segs = docs.select(
+      TextAnalysis.wordpieceSegment(col("text"), vocab, maxLen).as("segs"))
+    val unk = segs.select(explode(col("segs")).as("s"))
+      .filter(col("s").contains("[UNK]")).count()
+    assert(unk === 0L, "training keeps every corpus char")
+    // pieces re-concatenate to the word (strip framing and ##)
+    val w = "lowest"
+    val back = graft.functions.WordpieceGreedy.decode(w,
+      graft.functions.WordpieceGreedy.buildVocabSet(vocab), maxLen)
+      .map(_.stripPrefix("##")).mkString
+    assert(back === w || back === "[UNK]")
   }
 }
