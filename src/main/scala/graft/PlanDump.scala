@@ -448,7 +448,48 @@ object PlanDump {
         "explode into the per-file distinct position sets — both " +
         "map-side-combined into file/position-bounded groups; " +
         "every probe-side join (positions, needs, grid) broadcasts. " +
-        "Nothing corpus-sized joins anything corpus-sized."))
+        "Nothing corpus-sized joins anything corpus-sized."),
+    "dedup_edit_join" ->
+      ("Edit-similarity self-join: the gram/freq/rarity prefix table " +
+        "is an InMemoryRelation consumed by BOTH join sides (without " +
+        "it Catalyst re-executes the subtree per side); the candidate " +
+        "join keys on rare grams only, levenshtein verifies BEFORE " +
+        "any exchange, and the one post-verify distinct carries " +
+        "match-set-sized rows. No cartesian, no nested loop — " +
+        "pinned in PlanShapeSpec."),
+    "dedup_editidx_gate" ->
+      ("Persisted edit-index gate: the batch's flagged prefix grams " +
+        "BROADCAST into the postings scan; the denormalized (s, len) " +
+        "columns let the length band and exact levenshtein run in the " +
+        "same map stage — candidates never shuffle, the index is " +
+        "touched only behind the Bloom digest prefilter, and an " +
+        "all-novel batch reads no postings at all."),
+    "q_ddsketch_quantiles" ->
+      ("DDSketch: one bucket-keyed aggregate with partial_count " +
+        "before the single corpus Exchange (the sketch IS the " +
+        "map-side-combine result); quantile reads join the " +
+        "few-hundred-row sketch to a broadcast panel, with the " +
+        "cumulative walk windowing over sketch rows only " +
+        "(allowlisted bounded global window)."),
+    "text_kmv_overlap" ->
+      ("KMV theta sketch: one (group, hash) distinct, then the " +
+        "bounded-heap partial_topk_rows reduces every map task to " +
+        "<= k rows per group before the shuffle — never a vocab " +
+        "window sort; all pair set-algebra runs on k-sized sketch " +
+        "rows behind broadcast pair panels; only the eval card's " +
+        "exact columns touch corpus-width data."),
+    "text_wordpiece_tokens" ->
+      ("WordPiece encode: the greedy longest-match segmentation is " +
+        "one map-only codegen'd expression pass (vocab rides in the " +
+        "expression); training rounds each plan one pair-count and " +
+        "one symbol-count aggregate over the DISTINCT word table, " +
+        "both map-side combined."),
+    "text_bm25_prf" ->
+      ("Pseudo-relevance feedback: two bm25TopK passes share the " +
+        "broadcast-probe-into-tf shape; between them the feedback " +
+        "set (queries x kFb rows) broadcasts into the tf table and " +
+        "the expansion vote windows over per-query feedback " +
+        "vocabularies — panel-sized state end to end."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

