@@ -841,6 +841,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- b-bit minwise hashing eval card: the signature-compression
+    //      ladder measured per LSH-candidate pair — exact Jaccard vs
+    //      the full 64-slot estimate vs the bias-corrected b=4 and
+    //      b=1 estimates (64/b-fold smaller signatures), all exact
+    //      integer micro-units the oracle replays slot-for-slot ----
+    "dedup_bbit_eval" -> ((s, d) =>
+      Dedup.bbitMinhashCard(t(s, d, "documents"), "doc_id", "text",
+          numHashes = 64, bands = 16, shingleWidth = 3, portable = true,
+          bits = Seq(4, 1))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- cross-corpus near-dup pairs (the daily-ingest shape): the
     //      doc_id%5==0 slice plays today's delta, the rest the
     //      historical corpus; pairs only BETWEEN the sides ----
@@ -5771,6 +5782,62 @@ object PipelineQueries {
          SELECT a_id, b_id, CAST(levenshtein(a_s, b_s) AS BIGINT) AS dist
          FROM allc WHERE levenshtein(a_s, b_s) <= 1
          ORDER BY a_id, b_id""",
+    "dedup_bbit_eval" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         hs AS (
+           SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007))) AS sh
+           FROM t),
+         sg AS (
+           SELECT doc_id, sh,
+             list_transform(range(0, 64), j ->
+               list_min(list_transform(sh, x ->
+                 (((j + 1) * 1000003 + 12345) % 2147483647 * x
+                   + ((j + 1) * 999983 + 54321) % 2147483647) % 2147483647))) AS sig
+           FROM hs),
+         bk AS (
+           SELECT doc_id, b.band AS band,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_slice(sig, b.band * 4 + 1, b.band * 4 + 4)),
+               (a, x) -> (a * 1000003 + x) % 1000000007) AS bucket
+           FROM sg, (SELECT unnest(range(0, 16)) AS band) b),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bk x JOIN bk y
+             ON x.band = y.band AND x.bucket = y.bucket
+             AND x.doc_id < y.doc_id),
+         p AS (
+           SELECT c.id_a, c.id_b, a.sh AS sh_a, a.sig AS sig_a,
+             b.sh AS sh_b, b.sig AS sig_b
+           FROM cand c JOIN sg a ON a.doc_id = c.id_a
+           JOIN sg b ON b.doc_id = c.id_b),
+         m AS (
+           SELECT id_a, id_b,
+             CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS i,
+             CAST(len(sh_a) + len(sh_b)
+               - len(list_intersect(sh_a, sh_b)) AS BIGINT) AS u,
+             CAST(len(list_filter(range(1, 65),
+               j -> sig_a[j] = sig_b[j])) AS BIGINT) AS mf,
+             CAST(len(list_filter(range(1, 65),
+               j -> sig_a[j] % 16 = sig_b[j] % 16)) AS BIGINT) AS m4,
+             CAST(len(list_filter(range(1, 65),
+               j -> sig_a[j] % 2 = sig_b[j] % 2)) AS BIGINT) AS m1
+           FROM p)
+         SELECT id_a, id_b,
+           i * 1000000 // u AS jacc_micro,
+           mf * 1000000 // 64 AS est_full_micro,
+           greatest(0, (m4 * 16 - 64) * 1000000 // 960) AS est_b4_micro,
+           greatest(0, (m1 * 2 - 64) * 1000000 // 64) AS est_b1_micro
+         FROM m WHERE u > 0 ORDER BY id_a, id_b""",
     "dedup_minhash_cross" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,

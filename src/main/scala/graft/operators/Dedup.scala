@@ -346,6 +346,65 @@ object Dedup {
     bandCandidates(lshSignatureBase(df, idCol, textCol, numHashes, bands,
       shingleWidth, seed, portable))
 
+  /** b-bit minwise hashing evaluation card (Li & König, WWW 2010) —
+    * the signature-COMPRESSION ladder: keeping only the lowest b bits
+    * of each minhash slot shrinks stored signatures 64/b-fold (b=1:
+    * 64 hashes in one machine word), at the price that unrelated
+    * minima now collide with probability ~2^-b. The unbiased
+    * correction Ĵ = (E_b − 2^-b)/(1 − 2^-b) — here in exact integer
+    * micro-units: (matches·2^b − H)·10^6 div (H·(2^b − 1)), clamped
+    * at 0 — recovers Jaccard with variance that grows as b falls;
+    * this card puts the exact Jaccard, the full-width estimate and
+    * each b-bit estimate side by side per LSH-candidate pair, so a
+    * deployment picks its bits/accuracy point from measurement (the
+    * recallReport discipline applied to signature width). Per-pair
+    * math is HOFs over 64-slot arrays on candidate rows only; all
+    * integers, so the oracle replays every estimate bit-for-bit.
+    * Pairs whose shingle-set union is empty (two empty texts) are
+    * excluded — Jaccard is undefined there.
+    */
+  def bbitMinhashCard(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 64, bands: Int = 16,
+                      shingleWidth: Int = 3, seed: Long = 42L,
+                      portable: Boolean = false,
+                      bits: Seq[Int] = Seq(4, 1)): DataFrame = {
+    require(bits.nonEmpty && bits.forall(b => b >= 1 && b <= 16),
+      s"bits must be in [1,16], got $bits")
+    val base = lshSignatureBase(df, idCol, textCol, numHashes, bands,
+      shingleWidth, seed, portable)
+    val cand = bandCandidates(base)
+    val withSides = cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
+      .filter(col("uni") > 0)
+      .withColumn("mf", expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1L, 0L)), " +
+          "0L, (a, v) -> a + v)"))
+    val withBits = bits.foldLeft(withSides) { (acc, b) =>
+      val mask = 1L << b
+      acc.withColumn(s"m$b", expr(
+        s"aggregate(zip_with(sig_a, sig_b, (x, y) -> " +
+          s"IF(x % ${mask}L = y % ${mask}L, 1L, 0L)), 0L, (a, v) -> a + v)"))
+    }
+    val estCols = bits.map { b =>
+      val scale = 1L << b
+      greatest(lit(0L), expr(
+        s"(m$b * ${scale}L - $numHashes) * 1000000L div " +
+          s"(${numHashes.toLong * (scale - 1)}L)"))
+        .as(s"est_b${b}_micro")
+    }
+    withBits.select(Seq(col("id_a"), col("id_b"),
+      expr("inter * 1000000L div uni").as("jacc_micro"),
+      expr(s"mf * 1000000L div $numHashes").as("est_full_micro")) ++
+      estCols: _*)
+  }
+
   /** Static reference-corpus index for the streaming ingest gate
     * ([[graft.streaming.DocStreams.nearDupGateStream]]): the corpus
     * reduced to a (band, bucket, corpus_id) bucket table plus a

@@ -337,4 +337,38 @@ class DedupSpec extends AnyFunSuite {
     assert(ps.exists { case (a, b) => docLevel(a) != docLevel(b) },
       "expected at least one leaking pair under the naive doc-level split")
   }
+
+  test("bbitMinhashCard: identical texts estimate exactly 1e6; bounds and determinism") {
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    val card = Dedup.bbitMinhashCard(docs, "doc_id", "text",
+      portable = true, bits = Seq(4, 1))
+    val rows = card.collect()
+    assert(rows.nonEmpty, "the corpus carries near-dup candidates")
+    rows.foreach { r =>
+      Seq("jacc_micro", "est_full_micro", "est_b4_micro", "est_b1_micro")
+        .foreach { c =>
+          val v = r.getAs[Long](c)
+          assert(v >= 0L && v <= 1000000L, s"$c = $v out of [0, 1e6]")
+        }
+      // compression only ADDS collision noise: b-bit matches can
+      // never be fewer than full-width matches, so after the bias
+      // correction est_b >= is not guaranteed — but exact 1e6 pairs
+      // must survive every width
+      if (r.getAs[Long]("jacc_micro") == 1000000L) {
+        assert(r.getAs[Long]("est_full_micro") === 1000000L)
+        assert(r.getAs[Long]("est_b4_micro") === 1000000L)
+        assert(r.getAs[Long]("est_b1_micro") === 1000000L)
+      }
+    }
+    // the full-width estimate tracks exact Jaccard on real pairs
+    val mae = rows.map(r => math.abs(r.getAs[Long]("est_full_micro") -
+      r.getAs[Long]("jacc_micro"))).sum / rows.length
+    assert(mae < 250000L, s"full-minhash MAE $mae too high")
+    // deterministic under repartition
+    val again = Dedup.bbitMinhashCard(docs.repartition(17), "doc_id", "text",
+        portable = true, bits = Seq(4, 1))
+      .collect().map(_.toSeq).toSet
+    assert(again === rows.map(_.toSeq).toSet)
+  }
 }
