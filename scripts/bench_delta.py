@@ -30,14 +30,18 @@ import sys
 
 
 def load_queries(path):
-    """Return (per-query map, total, n_queries) from either a raw
-    one-line bench JSON or a driver BENCH_r{N}.json wrapper."""
+    """Return (per-query map, total, n_queries, basis) from either a
+    raw one-line bench JSON or a driver BENCH_r{N}.json wrapper.
+    Artifacts written after the round-13 build/serve split carry a
+    "total_cold" key and their "queries" map holds SERVE (pass-2)
+    times; older artifacts' maps are COLD (pass-1) times."""
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d and isinstance(d["parsed"], dict):
         d = d["parsed"]
     qs = {k: v for k, v in d.get("queries", {}).items() if v is not None and v >= 0}
-    return qs, d.get("value"), d.get("n_queries")
+    basis = "serve" if "total_cold" in d else "cold"
+    return qs, d.get("value"), d.get("n_queries"), basis
 
 
 def main():
@@ -51,8 +55,8 @@ def main():
     ap.add_argument("--out", default="BENCH_DELTA.md")
     args = ap.parse_args()
 
-    prior, p_total, p_n = load_queries(args.prior)
-    cur, c_total, c_n = load_queries(args.current)
+    prior, p_total, p_n, p_basis = load_queries(args.prior)
+    cur, c_total, c_n, c_basis = load_queries(args.current)
 
     common = sorted(set(prior) & set(cur))
     added = sorted(set(cur) - set(prior))
@@ -72,10 +76,17 @@ def main():
     carried_cur = sum(cur[q] for q in common)
 
     lines = []
-    lines.append("# BENCH_DELTA — per-query cold-time diff")
+    lines.append("# BENCH_DELTA — per-query time diff")
     lines.append("")
-    lines.append(f"prior: `{args.prior}` (total {p_total}s, {p_n} queries) → "
-                 f"current: `{args.current}` (total {c_total}s, {c_n} queries)")
+    lines.append(f"prior: `{args.prior}` (total {p_total}s, {p_n} queries, "
+                 f"{p_basis} basis) → "
+                 f"current: `{args.current}` (total {c_total}s, {c_n} queries, "
+                 f"{c_basis} basis)")
+    if p_basis != c_basis:
+        lines.append(f"NOTE: bases differ ({p_basis} vs {c_basis}) — the "
+                     "round-13 build/serve split moved the queries map to "
+                     "serve times; this one transition round compares "
+                     f"prior {p_basis} against current {c_basis}.")
     lines.append(f"compared: {len(common)} common queries "
                  f"(carried sum {carried_prior:.1f}s → {carried_cur:.1f}s, "
                  f"{carried_cur / carried_prior:.2f}x)" if carried_prior > 0 else

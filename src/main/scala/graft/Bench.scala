@@ -145,19 +145,29 @@ object Bench {
       System.gc()
       name -> (if (ok) elapsed else -1.0)
     }
-    // Two back-to-back timed passes (round-4 advice): this host's
-    // full-run totals historically swing ±60%; publishing both totals
-    // in the same artifact shows the within-session spread so a
-    // one-off swing stops reading as a regression. The official
-    // "value" stays pass 1 (comparable with earlier rounds);
-    // SPARK_GRAFT_BENCH_RUNS=1 restores the single-pass budget.
+    // BUILD/SERVE SPLIT (round-12 verdict task 3). The hermetic
+    // warehouse makes pass 1 honestly COLD: it pays every one-time
+    // index/tokenizer-artifact build (plus residual JIT). Pass 2 runs
+    // the identical queries against the artifacts pass 1 left in the
+    // warehouse — the SERVE cost, the number that corresponds to a
+    // deployed pipeline's steady state and the only number comparable
+    // round-over-round. So:
+    //   - headline "value"  = serve total (pass 2),
+    //   - "total_cold"      = pass-1 total (builds included),
+    //   - per-query maps: "queries" (serve), and in BENCH_SELF.json
+    //     also "queries_cold" and "queries_build" (max(0, cold−serve),
+    //     the one-time build share attributable to each query).
+    // SPARK_GRAFT_BENCH_RUNS=1 collapses serve=cold (single pass);
+    // passes beyond 2 are published as totals_rerun spread evidence.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = timedPass()
+    val cold = timedPass()
     // each rerun records its own failure count: a query that fails only
     // in a rerun would otherwise be silently dropped from that pass's
     // total, making the rerun look FASTER than pass 1 (round-7 advice)
-    val rerunStats: Seq[(Double, Int)] = (2 to nRuns).map { _ =>
-      val pass = timedPass()
+    val rerunPasses: Seq[Seq[(String, Double)]] =
+      (2 to nRuns).map(_ => timedPass())
+    val serve = rerunPasses.headOption.getOrElse(cold)
+    val rerunStats: Seq[(Double, Int)] = rerunPasses.map { pass =>
       (pass.map(_._2).filter(_ >= 0).sum, pass.count(_._2 < 0))
     }
     pool.shutdownNow()
@@ -166,13 +176,20 @@ object Bench {
     def fmt(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // full per-query map -> BENCH_SELF.json only. The 113-query map in
+    def qmap(rows: Seq[(String, Double)]): String =
+      rows.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    val coldMap = cold.toMap
+    val build = serve.map { case (k, s) =>
+      val c = coldMap.getOrElse(k, -1.0)
+      k -> (if (s >= 0 && c >= 0) math.max(0.0, c - s) else -1.0)
+    }
+    val coldTotal = cold.map(_._2).filter(_ >= 0).sum
+    val serveTotal = serve.map(_._2).filter(_ >= 0).sum
+    // full per-query maps -> BENCH_SELF.json only. The 113-query map in
     // one stdout line overflowed the driver's tail capture in round 2
     // ("parsed": null — the round lost its official number), so stdout
-    // gets a COMPACT line: the total plus a fixed headline subset.
+    // gets a COMPACT line: the totals plus a fixed headline subset.
     // serializer for the rerun stats; `cap` bounds how many passes the
     // deliberately-compact stdout line carries — a large
     // SPARK_GRAFT_BENCH_RUNS must not overflow the driver's tail
@@ -188,7 +205,11 @@ object Bench {
         s""","totals_rerun":[${kept.map(s => fmt(s._1)).mkString(",")}]""" +
           s""","n_failed_rerun":[${kept.map(_._2).mkString(",")}]""" + omitted
       }
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)}${rerunJson(Int.MaxValue)}}"""
+    val shared = s""""unit":"sec","sf":"$sfDir","n_queries":${serve.size}""" +
+      s""","n_failed":${serve.count(_._2 < 0)}""" +
+      s""","total_cold":${fmt(coldTotal)},"n_failed_cold":${cold.count(_._2 < 0)}""" +
+      s""","serve_equals_cold":${rerunPasses.isEmpty}"""
+    val full = s"""{"metric":"total","value":${fmt(serveTotal)},$shared,"queries":${qmap(serve)},"queries_cold":${qmap(cold)},"queries_build":${qmap(build)}${rerunJson(Int.MaxValue)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -196,10 +217,10 @@ object Bench {
       "dedup_minhash_lsh", "sim_topk_ivf", "text_bpe_tokens",
       "q_window_suite", "events_sessionize", "q_curation_pipeline",
       "q_curation_v2", "q_curation_v3")
-    val resultMap = results.toMap
-    val hq = headline.flatMap(n => resultMap.get(n).map(v => "\"" + n + "\":" + fmt(v)))
+    val serveMap = serve.toMap
+    val hq = headline.flatMap(n => serveMap.get(n).map(v => "\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)}${rerunJson(8)}}"""
+    val compact = s"""{"metric":"total","value":${fmt(serveTotal)},$shared,"queries":$hq${rerunJson(8)}}"""
     spark.stop()
     // LAST line on stdout, nothing after it
     println(compact)

@@ -2134,6 +2134,37 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- PIXEL-TIER image hashing (dHash + aHash over a shared
+    //      9×8 integer luma grid): BMP near-dup fixtures (groups of
+    //      4 ids share a base image modulo a top-left-pixel nudge)
+    //      are decoded through the real ImageIO reader and hashed
+    //      with all-integer arithmetic — the oracle re-derives every
+    //      bit of both 64-bit words from the pixel formula alone ----
+    "multimodal_dhash" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+          t(s, d, "documents").select(col("doc_id")), "doc_id", "bmp_near")
+        .withColumn("format", lit("bmp")) // fixture label -> payload format
+      graft.operators.ImageHash.imageHashes(blobs, "id", "bytes", "format")
+        .select(col("id").as("doc_id"), col("dhash"), col("ahash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- image near-dup pairing over the dHash words: banded-
+    //      Hamming equi-join (4×16-bit bands; pigeonhole-complete
+    //      for dist <= 3) + codegen bit_count(xor) verify — never
+    //      all-pairs. Oracle is an honest brute-force Hamming join
+    //      over formula-derived hashes, the stronger check ----
+    "multimodal_dhash_pairs" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+          t(s, d, "documents").select(col("doc_id")), "doc_id", "bmp_near")
+        .withColumn("format", lit("bmp")) // fixture label -> payload format
+      val hashes = graft.operators.ImageHash.imageHashes(
+        blobs, "id", "bytes", "format")
+      graft.operators.ImageHash.dhashPairs(hashes, "id", "dhash",
+          maxBits = 3, nBands = 4)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ---- REAL audio decode (RIFF/WAVE chunk walk, PCM-16 LE
     //      samples): same synth-then-parse-then-predict scheme ----
     "multimodal_decode_wav" -> ((s, d) => {
@@ -3756,6 +3787,65 @@ object PipelineQueries {
     * loudly if a target no longer matches — a silent no-op patch
     * would ship an oracle that tests the WRONG semantics.
     */
+  /** Shared CTE prefix for the pixel-hash oracles: re-derives the
+    * bmp_near fixture's 9×8 integer luma grid and both 64-bit hashes
+    * (dHash gradient bits, aHash above-mean bits) from the pixel
+    * formula alone — every step integer ((299r+587g+114b)//1000
+    * luma, area-mapped cell means, bit 63 folded in as the signed
+    * two's-complement minimum so the word lands in BIGINT exactly
+    * like the JVM's 1L<<63.
+    */
+  private def imageDhashOracle(select: String): String =
+    s"""WITH p AS (
+         SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
+         FROM documents),
+       d AS (
+         SELECT doc_id, base, v,
+           4 + base % 13 AS w, 3 + base % 11 AS h
+         FROM p),
+       lum AS (
+         SELECT doc_id, w, h,
+           list_transform(range(0, w * h), i ->
+             (299 * (((base * 31 + (3*i + 0) * 7) % 256 +
+                 CASE WHEN 3*i + 0 < 3 THEN v ELSE 0 END) % 256)
+            + 587 * (((base * 31 + (3*i + 1) * 7) % 256 +
+                 CASE WHEN 3*i + 1 < 3 THEN v ELSE 0 END) % 256)
+            + 114 * (((base * 31 + (3*i + 2) * 7) % 256 +
+                 CASE WHEN 3*i + 2 < 3 THEN v ELSE 0 END) % 256)) // 1000)
+           AS lm
+         FROM d),
+       grid AS (
+         SELECT doc_id, w, h,
+           list_transform(range(0, 72), gi ->
+             CAST(list_sum(list_transform(
+               range((gi // 9) * h // 8,
+                 greatest((gi // 9) * h // 8 + 1, ((gi // 9) + 1) * h // 8)),
+               y -> list_sum(list_transform(
+                 range((gi % 9) * w // 9,
+                   greatest((gi % 9) * w // 9 + 1, ((gi % 9) + 1) * w // 9)),
+                 x -> lm[y * w + x + 1]))))
+             // ((greatest((gi // 9) * h // 8 + 1, ((gi // 9) + 1) * h // 8)
+                 - (gi // 9) * h // 8)
+               * (greatest((gi % 9) * w // 9 + 1, ((gi % 9) + 1) * w // 9)
+                 - (gi % 9) * w // 9)) AS BIGINT))
+           AS g
+         FROM lum),
+       hashes AS (
+         SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 63), b ->
+             CASE WHEN g[(b // 8) * 9 + (b % 8) + 2] >
+                       g[(b // 8) * 9 + (b % 8) + 1]
+               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
+           + CASE WHEN g[7 * 9 + 7 + 2] > g[7 * 9 + 7 + 1]
+               THEN -9223372036854775807 - 1 ELSE 0 END AS dhash,
+           CAST(list_sum(list_transform(range(0, 63), b ->
+             CASE WHEN g[(b // 8) * 9 + (b % 8) + 1] > list_sum(g) // 72
+               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
+           + CASE WHEN g[7 * 9 + 7 + 1] > list_sum(g) // 72
+               THEN -9223372036854775807 - 1 ELSE 0 END AS ahash
+         FROM grid)
+       $select"""
+
   private def patched(sql: String, subs: (String, String)*): String =
     subs.foldLeft(sql) { case (acc, (from, to)) =>
       require(acc.contains(from), s"oracle patch target missing: $from")
@@ -5472,7 +5562,8 @@ object PipelineQueries {
            SELECT l_extendedprice AS x FROM lineitem
            WHERE l_extendedprice > 0),
          dg AS (
-           SELECT CAST(FLOOR(x / POWER(10.0, FLOOR(LOG10(x)))) AS BIGINT)
+           SELECT LEAST(GREATEST(
+               CAST(FLOOR(x / POWER(10.0, FLOOR(LOG10(x)))) AS BIGINT), 1), 9)
              AS digit, COUNT(*) AS n_d
            FROM v GROUP BY 1),
          j AS (
@@ -5605,7 +5696,7 @@ object PipelineQueries {
              ELSE k.n_ab * 1000000007 // k.theta END AS est_a_minus_b,
            CASE WHEN k.theta = 1000000007 THEN k.n_ba
              ELSE k.n_ba * 1000000007 // k.theta END AS est_b_minus_a,
-           k.n_ib * 1000000 // LEAST(256, k.m_union) AS jacc_micro,
+           k.n_ib * 1000000 // LEAST(255, k.m_union) AS jacc_micro,
            ea.exact_n AS exact_a, eb.exact_n AS exact_b,
            ea.exact_n + eb.exact_n - COALESCE(i.exact_inter, 0) AS exact_union,
            COALESCE(i.exact_inter, 0) AS exact_inter,
@@ -5750,37 +5841,18 @@ object PipelineQueries {
            SELECT c_custkey AS id, c_name AS s FROM customer
            WHERE c_name IS NOT NULL),
          g AS (
-           SELECT id, s, list_distinct(CASE WHEN length(s) < 3 THEN [s]
-             ELSE list_transform(range(1, length(s) - 1), i -> s[i:i+2])
-             END) AS grams
+           SELECT id, s, list_distinct(list_prepend(s,
+             list_transform(range(1, length(s) + 1),
+               i -> substr(s, 1, i - 1) || substr(s, i + 1, length(s)))))
+             AS vars
            FROM strs),
-         gl AS (SELECT id, s, unnest(grams) AS gram FROM g),
-         freq AS (SELECT gram, COUNT(*) AS f FROM gl GROUP BY gram),
-         ng AS (SELECT id, len(grams) AS n_grams FROM g),
-         pref AS (
-           SELECT id, s, gram FROM (
-             SELECT gl.id, gl.s, gl.gram,
-               ROW_NUMBER() OVER (PARTITION BY gl.id
-                 ORDER BY f.f, gl.gram) AS rn
-             FROM gl JOIN freq f USING (gram)
-             WHERE gl.id IN (SELECT id FROM ng WHERE n_grams >= 4))
-           WHERE rn <= 4),
+         gl AS (SELECT id, s, unnest(vars) AS v FROM g),
          cand AS (
            SELECT DISTINCT a.id AS a_id, a.s AS a_s, b.id AS b_id, b.s AS b_s
-           FROM pref a JOIN pref b ON a.gram = b.gram AND a.id < b.id
-             AND abs(length(a.s) - length(b.s)) <= 1),
-         shorts AS (
-           SELECT g.id, g.s FROM g JOIN ng USING (id) WHERE n_grams < 4),
-         short_pairs AS (
-           SELECT DISTINCT LEAST(a.id, b.id) AS a_id,
-             CASE WHEN a.id < b.id THEN a.s ELSE b.s END AS a_s,
-             GREATEST(a.id, b.id) AS b_id,
-             CASE WHEN a.id < b.id THEN b.s ELSE a.s END AS b_s
-           FROM shorts a JOIN strs b ON a.id <> b.id
-             AND abs(length(a.s) - length(b.s)) <= 1),
-         allc AS (SELECT * FROM cand UNION ALL SELECT * FROM short_pairs)
+           FROM gl a JOIN gl b ON a.v = b.v AND a.id < b.id
+             AND abs(length(a.s) - length(b.s)) <= 1)
          SELECT a_id, b_id, CAST(levenshtein(a_s, b_s) AS BIGINT) AS dist
-         FROM allc WHERE levenshtein(a_s, b_s) <= 1
+         FROM cand WHERE levenshtein(a_s, b_s) <= 1
          ORDER BY a_id, b_id""",
     "dedup_bbit_eval" ->
       """WITH t AS (
@@ -5895,6 +5967,14 @@ object PipelineQueries {
            CAST(list_sum(px) AS BIGINT) AS sum_rgb,
            CAST(list_max(px) AS BIGINT) AS max_chan
          FROM f ORDER BY doc_id""",
+    "multimodal_dhash" -> imageDhashOracle(
+      """SELECT doc_id, dhash, ahash FROM hashes ORDER BY doc_id"""),
+    "multimodal_dhash_pairs" -> imageDhashOracle(
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         ORDER BY a_id, b_id"""),
     "multimodal_decode_wav" ->
       """WITH p AS (
            SELECT doc_id, 32 + doc_id % 96 AS n FROM documents),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,6 +62,35 @@ import org.apache.spark.sql.functions._
   * EditSimilaritySpec across substitutions, indels, repeats,
   * degenerate shorts and unicode.
   *
+  * THE LOW-ENTROPY-KEY REMEDY (strategy = "deletion", the default for
+  * maxDist <= 2): on shared-structure keys (zero-padded ids, constant
+  * prefixes) the gram space SATURATES — every "rare" gram is still
+  * corpus-common, so candidates densify quadratically at any q (the
+  * analysis above). The deletion-neighborhood scheme (Bocek et al.
+  * 2007 "Fast Similarity Search in Large Dictionaries"; popularized
+  * as SymSpell) swaps the blocking key from a q-char window to the
+  * WHOLE STRING MINUS UP TO d CHARACTERS:
+  *
+  *   - D_d(x) = { x with any <= d characters deleted } (including x
+  *     itself). If ed(x,y) <= d, fix an optimal alignment: delete
+  *     from x its substituted+deleted characters (<= d of them) and
+  *     from y its substituted+inserted characters (<= d) — the
+  *     remainders are the SAME string, so D_d(x) ∩ D_d(y) ≠ ∅.
+  *     Completeness holds for every d, any alphabet, any length —
+  *     including the short strings the gram lemma abandons, so this
+  *     tier has NO degenerate fallback.
+  *   - The key carries all of the string's entropy except d chars:
+  *     two strings collide only if they really are within a few
+  *     edits (or a 64-bit hash collision, which the exact verify
+  *     absorbs). Saturated gram vocabularies are irrelevant.
+  *   - Cost: |x|·d variant keys per string (len+1 at d=1), each a
+  *     64-bit xxhash — the postings table is (len·d)× the corpus,
+  *     the join is a hash equi-join whose per-key cardinality is the
+  *     number of GENUINE lookalikes, never the gram-share count.
+  *     The trade is key count growing as C(len, d): right for keys/
+  *     names/titles at d <= 2, wrong for long texts or large d —
+  *     which is what the q-gram tier remains for.
+  *
   * Returns (a_id, b_id, dist) with a_id < b_id, dist <= maxDist,
   * one row per qualifying pair (self-pairs excluded). Reference has
   * no counterpart (extension track); cf. josh/wikidatabots's exact
@@ -69,10 +98,96 @@ import org.apache.spark.sql.functions._
   */
 object EditSimilarity {
 
+  /** Strategy resolution shared with [[EditIndex]]: deletion
+    * neighborhoods win while the variant count C(len, d) stays
+    * name-key-sized; grams take over for larger radii.
+    */
+  def resolveStrategy(strategy: String, maxDist: Int): String =
+    strategy match {
+      case "auto" => if (maxDist <= 2) "deletion" else "qgram"
+      case s @ ("qgram" | "deletion") =>
+        require(s != "deletion" || maxDist <= 2,
+          s"editSimilarity: strategy 'deletion' supports maxDist <= 2 " +
+            s"(variant count grows as C(len, d)); got $maxDist — use 'qgram'")
+        s
+      case other => throw new IllegalArgumentException(
+        s"editSimilarity: unknown strategy '$other' (auto|qgram|deletion)")
+    }
+
+  /** All variants of `s` with up to `maxDist` characters deleted
+    * (including `s` itself), distinct — the deletion-neighborhood
+    * blocking keys. Pure column expression, map-side codegen.
+    */
+  def deletionVariants(s: Column, maxDist: Int): Column = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"deletionVariants: maxDist $maxDist outside 1..2")
+    val del1 = when(length(s) >= 1,
+      transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+      .otherwise(array().cast("array<string>"))
+    val base = concat(array(s), del1)
+    if (maxDist == 1) array_distinct(base)
+    else {
+      // delete positions i < j: s[1..i-1] ++ s[i+1..j-1] ++ s[j+1..]
+      val del2 = when(length(s) >= 2,
+        flatten(transform(sequence(lit(1), length(s) - 1),
+          i => transform(sequence(i + 1, length(s)),
+            j => concat(s.substr(lit(1), i - 1),
+              s.substr(i + 1, j - i - 1),
+              s.substr(j + 1, length(s)))))))
+        .otherwise(array().cast("array<string>"))
+      array_distinct(concat(base, del2))
+    }
+  }
+
   def editSimilarityJoin(df: DataFrame, idCol: String, strCol: String,
-                         maxDist: Int, q: Int = 3): DataFrame = {
+                         maxDist: Int, q: Int = 3,
+                         strategy: String = "auto"): DataFrame = {
     require(maxDist >= 0, s"editSimilarityJoin: maxDist $maxDist < 0")
     require(q >= 1, s"editSimilarityJoin: q $q < 1")
+    if (maxDist == 0) {
+      // ed = 0 is an exact self-join on the string itself
+      val strs = df.select(col(idCol).as("id"), col(strCol).as("s"))
+        .filter(col("s").isNotNull)
+      return strs.select(col("id").as("a_id"), col("s"))
+        .join(strs.select(col("id").as("b_id"), col("s")), Seq("s"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), lit(0L).as("dist"))
+        .distinct()
+    }
+    resolveStrategy(strategy, maxDist) match {
+      case "deletion" => deletionJoin(df, idCol, strCol, maxDist)
+      case _ => qgramJoin(df, idCol, strCol, maxDist, q)
+    }
+  }
+
+  /** Deletion-neighborhood self-join: explode each string to its
+    * variant-key hashes, hash equi-join, exact verify, distinct.
+    * One map-only explode per side, one equi-join shuffle keyed on
+    * 64-bit hashes (collisions only ADD candidates — the levenshtein
+    * verify absorbs them), the final distinct on match-set-sized
+    * rows. No windows, no frequency table, no degenerate tier.
+    */
+  private def deletionJoin(df: DataFrame, idCol: String, strCol: String,
+                           maxDist: Int): DataFrame = {
+    val keys = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("id"), col("s"),
+        explode(deletionVariants(col("s"), maxDist)).as("v"))
+      .select(col("id"), col("s"), xxhash64(col("v")).as("vk"))
+    keys.select(col("id").as("a_id"), col("s").as("a_s"), col("vk"))
+      .join(keys.select(col("id").as("b_id"), col("s").as("b_s"), col("vk")),
+        Seq("vk"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(length(col("a_s")) - length(col("b_s"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("a_s"), col("b_s")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+      .distinct()
+  }
+
+  private def qgramJoin(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int, q: Int): DataFrame = {
     val prefixLen = q * maxDist + 1
     val strs = df
       .select(col(idCol).as("id"), col(strCol).as("s"))
@@ -142,10 +257,18 @@ object EditSimilarity {
     // within-tier multiplicity (shared prefix grams / double-found
     // short-short pairs) — and it runs on the MATCH set, after the
     // distance filter has discarded the candidate bulk
-    cand.unionByName(shortCand)
+    val result = cand.unionByName(shortCand)
       .withColumn("dist", levenshtein(col("a_s"), col("b_s")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist"))
       .distinct()
+      // eager checkpoint materializes the (match-set-sized) result
+      // NOW, so the internal gram-prefix cache can be released
+      // deterministically instead of leaning on a caller clearCache
+      // cadence; lineage is severed, so the unpersist below can never
+      // trigger a recompute of the uncached subtree
+      .localCheckpoint()
+    pref.unpersist(blocking = false)
+    result
   }
 }

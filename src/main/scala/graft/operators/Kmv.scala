@@ -145,7 +145,11 @@ object Kmv {
           .otherwise(expr(s"n_ab * ${P}L div theta")).as("est_a_minus_b"),
         when(col("theta") === P, col("n_ba"))
           .otherwise(expr(s"n_ba * ${P}L div theta")).as("est_b_minus_a"),
-        expr(s"n_ib * 1000000L div least(CAST($k AS BIGINT), m_union)")
+        // saturated denominator is k-1 (only hashes strictly below θ —
+        // the union's k-th smallest — are effective samples), matching
+        // est_inter/est_union's P/θ-over-(k-1) convention; unsaturated
+        // (θ = P) it degrades to m_union
+        expr(s"n_ib * 1000000L div least(CAST(${k - 1} AS BIGINT), m_union)")
           .as("jacc_micro"))
     // exact side: per-group distinct counts and pairwise intersections
     val exactG = terms.groupBy(col("grp")).agg(count(lit(1)).as("exact_n"))

@@ -1799,6 +1799,18 @@ object Multimodal {
         val bytes = format match {
           case "bmp" => buildBmp((4 + id % 13).toInt, (3 + id % 11).toInt,
             k => ((id * 31L + k * 7L) % 256L).toInt)
+          // near-dup panel for the pixel-hash tier: ids in the same
+          // base group (id div 4) share dims and pixel formula except
+          // a variant-sized nudge on the top-left pixel — hashes land
+          // identical or a few bits apart WITHIN a group, far across
+          // groups, so dhash pairing has real structure to find and
+          // the oracle can predict every bit from (base, variant)
+          case "bmp_near" =>
+            val base = id / 4
+            val v = id % 4
+            buildBmp((4 + base % 13).toInt, (3 + base % 11).toInt,
+              k => (((base * 31L + k * 7L) % 256L +
+                (if (k < 3) v else 0L)) % 256L).toInt)
           case "ppm" => buildPpm((4 + id % 13).toInt, (3 + id % 11).toInt,
             k => ((id * 31L + k * 7L) % 256L).toInt)
           case "png" => buildPng((4 + id % 13).toInt, (3 + id % 11).toInt,

@@ -455,10 +455,15 @@ object Quality {
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // clamp into 1..9: floating-point digit extraction can land a
+    // stray 0/10 bucket near exact powers of ten (floor(log10 x)
+    // rounding low/high); clamping keeps every filtered row inside
+    // the nine released buckets so n accounts for all positive rows
+    // instead of silently dropping out-of-range digits at the join
     val digits = df.filter(col(valueCol) > 0)
-      .select(floor(col(valueCol).cast("double") /
+      .select(least(greatest(floor(col(valueCol).cast("double") /
         pow(lit(10.0), floor(log10(col(valueCol).cast("double")))))
-        .cast("long").as("digit"))
+        .cast("long"), lit(1L)), lit(9L)).as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
     val frame = benfordExpectedMicro.toSeq
       .map { case (d, e) => (d, e) }.toDF("digit", "exp_micro")

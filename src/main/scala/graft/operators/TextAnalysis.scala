@@ -489,6 +489,19 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), bpeCharSyms(col("w")).as("syms"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // enforce the int64 envelope the scaladoc documents: score_q =
+    // n·10^12 div (na·nb) wraps silently once symbol occurrences
+    // exceed ~9.2e6 (n·10^12 > 2^63; na·nb overflows near ~3e9) —
+    // fail loudly instead of training on wrapped scores. The initial
+    // char-symbol total bounds every later round (merges only shrink
+    // per-word symbol counts), so one pre-loop aggregate suffices.
+    val totalSyms = vocab
+      .agg(coalesce(sum(col("cnt") * size(bpeSymbols(col("syms")))), lit(0L)))
+      .head().getLong(0)
+    require(totalSyms <= 9200000L,
+      s"trainWordpieceMerges: corpus has $totalSyms symbol occurrences; " +
+        "the int64-quantized merge score n*10^12 div (na*nb) wraps beyond " +
+        "~9.2e6 — migrate score_q to DECIMAL(38,0) before training at this scale")
     val out = Seq.newBuilder[(String, Long)]
     var applied = List.empty[String]
     var r = 0

@@ -19,8 +19,10 @@ class EditSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
   }
 
-  private def joined(df: DataFrame, maxDist: Int, q: Int = 3): Set[(Long, Long, Long)] =
-    EditSimilarity.editSimilarityJoin(df, "id", "s", maxDist, q).collect()
+  private def joined(df: DataFrame, maxDist: Int, q: Int = 3,
+                     strategy: String = "auto"): Set[(Long, Long, Long)] =
+    EditSimilarity.editSimilarityJoin(df, "id", "s", maxDist, q, strategy)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
   // the adversarial panel: substitutions, inserts, deletes, repeats
@@ -44,17 +46,37 @@ class EditSimilaritySpec extends AnyFunSuite {
     15L -> "totally different string here"
   ).toDF("id", "s")
 
-  test("== brute force on the adversarial panel, d=1") {
-    assert(joined(panel, 1) === brute(panel, 1))
+  for (strat <- Seq("deletion", "qgram")) {
+    test(s"[$strat] == brute force on the adversarial panel, d=1") {
+      assert(joined(panel, 1, strategy = strat) === brute(panel, 1))
+    }
+
+    test(s"[$strat] == brute force on the adversarial panel, d=2") {
+      assert(joined(panel, 2, strategy = strat) === brute(panel, 2))
+    }
+
+    test(s"[$strat] no self-pairs, a_id < b_id, null strings dropped") {
+      val df = Seq((1L, "abc"), (2L, "abc"), (3L, null))
+        .toDF("id", "s")
+      assert(joined(df, 1, strategy = strat) === Set((1L, 2L, 0L)))
+    }
+
+    test(s"[$strat] deterministic under repartition") {
+      val r1 = joined(panel.repartition(13), 1, strategy = strat)
+      val r2 = joined(panel.repartition(1), 1, strategy = strat)
+      assert(r1 === r2)
+    }
+
+    test(s"[$strat] customer names at sf0.001: == brute force on real data") {
+      val cust = Tables.table(spark, "/root/testdata/sf0.001", "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("s"))
+      assert(joined(cust, 1, strategy = strat) === brute(cust, 1))
+    }
   }
 
-  test("== brute force on the adversarial panel, d=2") {
-    assert(joined(panel, 2) === brute(panel, 2))
-  }
-
-  test("== brute force at q=2 and q=4 (filter completeness is q-independent)") {
-    assert(joined(panel, 1, q = 2) === brute(panel, 1))
-    assert(joined(panel, 2, q = 4) === brute(panel, 2))
+  test("== brute force at q=2 and q=4 (qgram completeness is q-independent)") {
+    assert(joined(panel, 1, q = 2, strategy = "qgram") === brute(panel, 1))
+    assert(joined(panel, 2, q = 4, strategy = "qgram") === brute(panel, 2))
   }
 
   test("maxDist=0 finds exactly the exact-duplicate pairs") {
@@ -63,22 +85,43 @@ class EditSimilaritySpec extends AnyFunSuite {
     assert(joined(df, 0) === Set((1L, 2L, 0L)))
   }
 
-  test("no self-pairs, a_id < b_id, null strings dropped") {
-    val df = Seq((1L, "abc"), (2L, "abc"), (3L, null))
-      .toDF("id", "s")
-    val r = joined(df, 1)
-    assert(r === Set((1L, 2L, 0L)))
+  test("auto resolves to deletion at d<=2, qgram above; deletion refuses d>2") {
+    assert(EditSimilarity.resolveStrategy("auto", 1) === "deletion")
+    assert(EditSimilarity.resolveStrategy("auto", 2) === "deletion")
+    assert(EditSimilarity.resolveStrategy("auto", 3) === "qgram")
+    assertThrows[IllegalArgumentException] {
+      EditSimilarity.resolveStrategy("deletion", 3)
+    }
+    assertThrows[IllegalArgumentException] {
+      EditSimilarity.resolveStrategy("nonsense", 1)
+    }
   }
 
-  test("deterministic under repartition") {
-    val r1 = joined(panel.repartition(13), 1)
-    val r2 = joined(panel.repartition(1), 1)
-    assert(r1 === r2)
+  test("deletion variants: exact neighborhood, distinct, empty-safe") {
+    val out = Seq(("abc", 0)).toDF("s", "z")
+      .select(EditSimilarity.deletionVariants(col("s"), 1).as("v"))
+      .head().getSeq[String](0).toSet
+    assert(out === Set("abc", "bc", "ac", "ab"))
+    val out2 = Seq(("abc", 0)).toDF("s", "z")
+      .select(EditSimilarity.deletionVariants(col("s"), 2).as("v"))
+      .head().getSeq[String](0).toSet
+    assert(out2 === Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+    val empty = Seq(("", 0)).toDF("s", "z")
+      .select(EditSimilarity.deletionVariants(col("s"), 2).as("v"))
+      .head().getSeq[String](0).toSet
+    assert(empty === Set(""))
+    // repeats collapse via distinct
+    val rep = Seq(("aaa", 0)).toDF("s", "z")
+      .select(EditSimilarity.deletionVariants(col("s"), 1).as("v"))
+      .head().getSeq[String](0).toSet
+    assert(rep === Set("aaa", "aa"))
   }
 
-  test("customer names at sf0.001: == brute force on real data") {
-    val cust = Tables.table(spark, "/root/testdata/sf0.001", "customer")
-      .select(col("c_custkey").as("id"), col("c_name").as("s"))
-    assert(joined(cust, 1) === brute(cust, 1))
+  test("qgram path releases its internal cache deterministically") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    joined(panel, 1, strategy = "qgram")
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      "gram-prefix cache must be unpersisted after materialization " +
+        "(+1 allowed for the localCheckpoint result itself)")
   }
 }
