@@ -1089,6 +1089,23 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     }),
 
+    // ---- IVF cell-imbalance card (probe-latency-skew twin of the
+    //      recall-drift card): per-cell population, exact-integer
+    //      share and the oversized work-list splitOversizedCells
+    //      consumes. Portable training lets the oracle retrain the
+    //      identical centroids and replay assignment + the card ----
+    "sim_ivf_cell_skew" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = Similarity.trainIvfCentroids(e,
+        nCentroids = Similarity.suggestedCentroids(e.count()), dim = 64,
+        iterations = 1, portable = true)
+      Similarity.ivfCellSkew(e, "vec_id", "embedding", cents,
+          oversizeFactor = 2, portable = true)
+        .select(col("cell").cast(LongType).as("cell"), col("n"),
+          col("n_total"), col("expected"), col("skew_micro"), col("oversized"))
+        .orderBy(col("cell"))
+    }),
+
     // ---- FILTERED ANN (the production "nearest WITHIN a metadata
     //      predicate" shape): pure composition — cell assignment is a
     //      per-row map over centroids, so pre-filtering the corpus
@@ -1251,6 +1268,23 @@ object PipelineQueries {
           t(s, d, "documents"), Seq("lang", "source"),
           epsilon = 0.5, seed = 7L)
         .orderBy(col("lang"), col("source"))),
+
+    // ---- DP sum/mean release with per-contributor bounding: clamp
+    //      order totals (cents), keep <= 3 rows per customer per
+    //      status (ranked by clamped value — sensitivity bounded at
+    //      maxPerActor·clampHi), then geometric noise at scale Δ/ε
+    //      on the sum and 1/ε on the count; mean = post-processing
+    //      of the two releases. Same seeded-replayable (NOT private)
+    //      noise stub as q_dp_counts ----
+    "q_dp_sum" -> ((s, d) =>
+      graft.operators.Quality.dpNoisySum(
+          t(s, d, "orders").select(col("o_orderstatus"), col("o_custkey"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast(LongType)
+              .as("cents")),
+          Seq("o_orderstatus"), "o_custkey", "cents",
+          clampLo = 0L, clampHi = 30000000L, maxPerActor = 3,
+          epsilon = 0.5, seed = 11L)
+        .orderBy(col("o_orderstatus"))),
 
     // ---- greedy k-center coreset: 8 maximally-diverse embedding
     //      rows by farthest-first selection (seed = min id; then
@@ -4183,6 +4217,58 @@ object PipelineQueries {
          SELECT lang, source, n, noise,
            GREATEST(CAST(0 AS BIGINT), n + noise) AS n_noisy
          FROM nz ORDER BY lang, source""",
+    "q_dp_sum" ->
+      """WITH v AS (
+           SELECT o_orderstatus AS st, o_custkey,
+             LEAST(GREATEST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
+               0), 30000000) AS cv
+           FROM orders),
+         b AS (
+           SELECT st, cv,
+             ROW_NUMBER() OVER (PARTITION BY st, o_custkey ORDER BY cv) AS rn
+           FROM v),
+         s AS (
+           SELECT st, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(SUM(cv) AS BIGINT) AS sum_clamped
+           FROM b WHERE rn <= 3 GROUP BY st),
+         h AS (
+           SELECT st, n_kept, sum_clamped,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(COALESCE(st, chr(1)), ''),
+                 ch -> ch <> ''),
+                 ch -> CAST(unicode(ch) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007) AS hh
+           FROM s),
+         z AS (
+           SELECT st, n_kept, sum_clamped,
+             ((((hh + 11) % 1000000007) * ((hh + 11) % 1000000007)
+               % 1000000007 * 1000003 + 54321) % 1000000007) AS m1,
+             ((((hh + 12) % 1000000007) * ((hh + 12) % 1000000007)
+               % 1000000007 * 1000003 + 54321) % 1000000007) AS m2,
+             ((((hh + 13) % 1000000007) * ((hh + 13) % 1000000007)
+               % 1000000007 * 1000003 + 54321) % 1000000007) AS m3,
+             ((((hh + 14) % 1000000007) * ((hh + 14) % 1000000007)
+               % 1000000007 * 1000003 + 54321) % 1000000007) AS m4
+           FROM h),
+         w AS (
+           SELECT st, n_kept, sum_clamped,
+             (m1 * m1) % 1000000007 AS ph1, (m2 * m2) % 1000000007 AS ph2,
+             (m3 * m3) % 1000000007 AS ph3, (m4 * m4) % 1000000007 AS ph4
+           FROM z),
+         nz AS (
+           SELECT st, n_kept, sum_clamped,
+             sum_clamped + (CASE WHEN ph2 % 2 = 0 THEN 1 ELSE -1 END)
+               * CAST(FLOOR(ln(CAST(ph1 + 1 AS DOUBLE) / 1000000008.0)
+                 * 90000000.0 / (-0.5)) AS BIGINT) AS sum_noisy,
+             GREATEST(CAST(0 AS BIGINT),
+               n_kept + (CASE WHEN ph4 % 2 = 0 THEN 1 ELSE -1 END)
+                 * CAST(FLOOR(ln(CAST(ph3 + 1 AS DOUBLE) / 1000000008.0)
+                   / (-0.5)) AS BIGINT)) AS n_noisy
+           FROM w)
+         SELECT st AS o_orderstatus, n_kept, sum_clamped, sum_noisy, n_noisy,
+           GREATEST(CAST(0 AS BIGINT), sum_noisy) * 1000000
+             // GREATEST(CAST(1 AS BIGINT), n_noisy) AS mean_micro
+         FROM nz ORDER BY o_orderstatus""",
     "q_tclose_audit" ->
       """WITH b AS (SELECT source, lang FROM documents WHERE lang IS NOT NULL),
          cv AS (SELECT source, lang, CAST(COUNT(*) AS HUGEINT) AS cnt
@@ -6507,6 +6593,58 @@ object PipelineQueries {
            JOIN embeddings qe ON qe.vec_id = c.query_id
            JOIN embeddings ce ON ce.vec_id = c.id)
          SELECT query_id, id AS nn_id FROM ranked WHERE rk = 1 ORDER BY query_id""",
+    "sim_ivf_cell_skew" ->
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+         hx AS (
+           SELECT vec_id, embedding,
+             ((((vec_id + 42) % 1000000007) * ((vec_id + 42) % 1000000007))
+               % 1000000007 * 1000003 + 54321) % 1000000007 AS v
+           FROM embeddings),
+         init AS (
+           SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY (v * v) % 1000000007, vec_id) - 1 AS cell
+           FROM hx
+           QUALIFY cell < (SELECT greatest(16, CAST(ceil(sqrt(cnt)) AS BIGINT)) FROM n)),
+         a0 AS (
+           SELECT e.vec_id, i.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, i.embedding) DESC, i.cell) AS rk
+           FROM embeddings e CROSS JOIN init i),
+         a1 AS (SELECT vec_id, cell FROM a0 WHERE rk = 1),
+         q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+           FROM embeddings),
+         mp AS (
+           SELECT a1.cell, p.pos,
+             CAST(floor(CAST(sum(p.qx) AS DOUBLE) / count(*)) AS BIGINT) AS mq
+           FROM a1 JOIN q USING (vec_id),
+             LATERAL (SELECT unnest(qv) AS qx, generate_subscripts(qv, 1) AS pos) p
+           GROUP BY a1.cell, p.pos),
+         upd AS (
+           SELECT cell, list_transform(array_agg(mq ORDER BY pos),
+             m -> CAST(m / 1048576.0 AS FLOAT)) AS cv
+           FROM mp GROUP BY cell),
+         cents AS (
+           SELECT i.cell, COALESCE(u.cv, i.embedding) AS cv
+           FROM init i LEFT JOIN upd u USING (cell)),
+         a2 AS (
+           SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cell) AS rk
+           FROM embeddings e CROSS JOIN cents c),
+         assign AS (SELECT vec_id AS id, cell FROM a2 WHERE rk = 1),
+         sizes AS (
+           SELECT c.cell, CAST(COUNT(a.id) AS BIGINT) AS n
+           FROM cents c LEFT JOIN assign a USING (cell) GROUP BY c.cell),
+         tot AS (
+           SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS ncells
+           FROM sizes)
+         SELECT s.cell, s.n, t.n_total, t.n_total // t.ncells AS expected,
+           s.n * 1000000 // t.n_total AS skew_micro,
+           s.n > 2 * (t.n_total // t.ncells) AS oversized
+         FROM sizes s, tot t ORDER BY s.cell""",
     "sim_recall_ivf" ->
       """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
          hx AS (

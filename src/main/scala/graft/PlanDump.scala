@@ -450,20 +450,36 @@ object PlanDump {
         "every probe-side join (positions, needs, grid) broadcasts. " +
         "Nothing corpus-sized joins anything corpus-sized."),
     "dedup_edit_join" ->
-      ("Edit-similarity self-join: the gram/freq/rarity prefix table " +
-        "is an InMemoryRelation consumed by BOTH join sides (without " +
-        "it Catalyst re-executes the subtree per side); the candidate " +
-        "join keys on rare grams only, levenshtein verifies BEFORE " +
-        "any exchange, and the one post-verify distinct carries " +
-        "match-set-sized rows. No cartesian, no nested loop — " +
-        "pinned in PlanShapeSpec."),
+      ("Edit-similarity self-join (deletion-neighborhood default at " +
+        "d<=1): each side is one map-only explode of the string's " +
+        "<=len+1 deletion-variant hashes; the candidate join is a " +
+        "plain hash equi-join on 64-bit keys whose per-key rows are " +
+        "genuine lookalikes (whole-string entropy — saturated gram " +
+        "vocabularies cannot densify it); levenshtein verifies " +
+        "BEFORE any exchange and the one post-verify distinct " +
+        "carries match-set-sized rows. No window, no freq table, no " +
+        "cartesian — pinned in PlanShapeSpec."),
     "dedup_editidx_gate" ->
-      ("Persisted edit-index gate: the batch's flagged prefix grams " +
-        "BROADCAST into the postings scan; the denormalized (s, len) " +
-        "columns let the length band and exact levenshtein run in the " +
-        "same map stage — candidates never shuffle, the index is " +
-        "touched only behind the Bloom digest prefilter, and an " +
-        "all-novel batch reads no postings at all."),
+      ("Persisted edit-index gate (deletion strategy): the batch's " +
+        "digest-flagged variant hashes BROADCAST into the postings " +
+        "scan; the denormalized (s, len) columns let the length band " +
+        "and exact levenshtein run in the same map stage — " +
+        "candidates never shuffle, the index is touched only behind " +
+        "the Bloom digest prefilter, and an all-novel batch reads no " +
+        "postings at all (SCALE r13: gate 2.1x / append 1.0x at 20x " +
+        "corpus)."),
+    "multimodal_dhash_pairs" ->
+      ("Pixel-hash image near-dup: hashing is one mapPartitions over " +
+        "the blobs (map-only, 8 bytes out per image); pairing " +
+        "explodes each 64-bit word into 4 16-bit bands and " +
+        "equi-joins on (band, value) — the pigeonhole-complete " +
+        "Hamming blocking — verified by codegen bit_count(xor) " +
+        "before the match-set distinct. Never all-pairs."),
+    "sim_ivf_cell_skew" ->
+      ("IVF cell-imbalance card: one map-only nearest-cell " +
+        "assignment (broadcast centroids), one cell-keyed " +
+        "map-side-combined count, and the card math windows over " +
+        "nCells rows only (allowlisted bounded global window)."),
     "q_ddsketch_quantiles" ->
       ("DDSketch: one bucket-keyed aggregate with partial_count " +
         "before the single corpus Exchange (the sketch IS the " +

@@ -176,6 +176,7 @@ object ScaleSmoke {
     val runR12b = only.isEmpty || only.contains("r12b")
     val runR12c = only.isEmpty || only.contains("r12c")
     val runR12d = only.isEmpty || only.contains("r12d")
+    val runR13 = only.isEmpty || only.contains("r13")
     val results = (if (!runMain) Seq.empty[(String, Double, Long)] else Seq(
       time("minhash_lsh_1x") {
         Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 64, 16, 3, 0.5)
@@ -1035,6 +1036,82 @@ object ScaleSmoke {
             .queryExecution.toRdd.count() })
       Seq(cust1, custK, li1, liK).foreach(_.unpersist(blocking = false))
       ddr
+    }) ++ (if (!runR13) Seq.empty[(String, Double, Long)] else {
+      // ROUND-13: the edit INDEX family gets the gate/append-vs-
+      // corpus rows every other index family already has, measured
+      // on the deletion-neighborhood strategy that replaced
+      // saturated-gram probing for small radii. Replica names
+      // translate digits into replica-private code-point blocks (the
+      // r12d shape): index size grows exactly K-fold while replicas
+      // share no deletion-variant key. Probe and append batches
+      // translate into PROBE-private blocks — clean batches sharing
+      // no variant key with ANY index: the Bloom digest must drop
+      // every probe key map-side, so gate and append cost must stay
+      // corpus-FLAT (the bm25_append 1.0x template). The one-shot
+      // edit join is also re-measured on BOTH strategies so the
+      // deletion-tier win over saturated grams is a recorded number,
+      // not a claim.
+      import graft.operators.{EditIndex, EditSimilarity}
+      def names13(df: DataFrame, r: Int, off: Long): DataFrame = {
+        val alphabet =
+          if (r == 0) "0123456789"
+          else (0 until 10).map(d => (0x4E00 + r * 10 + d).toChar).mkString
+        df.select((col("c_custkey") + lit(off)).as("id"),
+          translate(format_string("Customer#%09d", col("c_custkey")),
+            "0123456789", alphabet).as("s"))
+      }
+      val custRaw13 = Tables.table(spark, sfDir, "customer")
+      val ed1 = names13(custRaw13, 0, 0L).cache()
+      val edN = ed1.count()
+      val edK = (0 until k).map(r => names13(custRaw13, r, r * offset))
+        .reduce(_ unionByName _).repartition(32).cache()
+      edK.count()
+      // clean probe/append batches: digits into batch-private blocks
+      def batch13(codeBase: Int, off: Long): DataFrame =
+        custRaw13.limit(500)
+          .select((col("c_custkey") + lit(off)).as("id"),
+            translate(format_string("Customer#%09d", col("c_custkey")),
+              "0123456789",
+              (0 until 10).map(d => (codeBase + d).toChar).mkString).as("s"))
+      val probe13 = batch13(0x3400, 93000000L).cache()
+      probe13.count()
+      Seq("ss_ed_1x", s"ss_ed_${k}x").foreach { p =>
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(_.startsWith(p))
+          .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _))
+      }
+      val edr = Seq(
+        time("editidx_build_1x") {
+          EditIndex.buildEditIndex(ed1, "id", "s", "ss_ed_1x", 1, 3); edN },
+        time(s"editidx_build_${k}x") {
+          EditIndex.buildEditIndex(edK, "id", "s", s"ss_ed_${k}x", 1, 3)
+          edN * k },
+        time("editidx_gate_1x") {
+          EditIndex.gateEditMatches(spark, "ss_ed_1x", probe13, "id", "s")
+            .queryExecution.toRdd.count() },
+        time(s"editidx_gate_${k}x") {
+          EditIndex.gateEditMatches(spark, s"ss_ed_${k}x", probe13, "id", "s")
+            .queryExecution.toRdd.count() },
+        time("editidx_append_1x") {
+          EditIndex.appendToEditIndex(spark, "ss_ed_1x",
+            batch13(0x3500, 94000000L), "id", "s"); 500L },
+        time(s"editidx_append_${k}x") {
+          EditIndex.appendToEditIndex(spark, s"ss_ed_${k}x",
+            batch13(0x3500, 94000000L), "id", "s"); 500L },
+        time("edit_join_del_1x") {
+          EditSimilarity.editSimilarityJoin(ed1, "id", "s", 1,
+            strategy = "deletion").queryExecution.toRdd.count() },
+        time(s"edit_join_del_${k}x") {
+          EditSimilarity.editSimilarityJoin(edK, "id", "s", 1,
+            strategy = "deletion").queryExecution.toRdd.count() },
+        time("edit_join_qgram_1x") {
+          EditSimilarity.editSimilarityJoin(ed1, "id", "s", 1,
+            strategy = "qgram").queryExecution.toRdd.count() },
+        time(s"edit_join_qgram_${k}x") {
+          EditSimilarity.editSimilarityJoin(edK, "id", "s", 1,
+            strategy = "qgram").queryExecution.toRdd.count() })
+      Seq(ed1, edK, probe13).foreach(_.unpersist(blocking = false))
+      edr
     })
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
@@ -1059,7 +1136,9 @@ object ScaleSmoke {
         "ingest_gate", "dedup_append", "neardup_append",
         "ivf_append", "cluster_append",
         "unigram_train", "unigram_apply", "c4_rules",
-        "edit_join", "kmv_sketch", "ddsketch").foreach { base =>
+        "edit_join", "kmv_sketch", "ddsketch",
+        "editidx_build", "editidx_gate", "editidx_append",
+        "edit_join_del", "edit_join_qgram").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

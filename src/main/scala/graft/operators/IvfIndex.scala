@@ -298,6 +298,76 @@ object IvfIndex {
     cents
   }
 
+  /** Cell-SPLIT remediation — the [[Similarity.ivfCellSkew]] card's
+    * fix, beside retrain (which fixes centroid DRIFT, not size skew:
+    * a Zipf-clustered corpus keeps some cells huge under fresh
+    * centroids, and an oversized cell is every probing query's tail
+    * latency). Each cell whose population exceeds
+    * oversizeFactor·(n_total div n_cells) — and has at least 2
+    * members — is split via LOCAL 2-means over its own vectors
+    * (seeded per cell, so the split is deterministic and portable
+    * under the same discipline as training); survivors keep their
+    * centroids. The whole corpus is then re-assigned against the
+    * expanded centroid set into a complete NEW fingerprinted index
+    * under `newPrefix` — the live index serves untouched until the
+    * split index is whole (the retrain/compaction crash-safety
+    * discipline; an in-place split is refused). Passing `centroids`
+    * is validated against the stats fingerprint exactly like append,
+    * so a split can never run with a geometry the assignments were
+    * not built with.
+    *
+    * Returns the expanded centroid set (also persisted beside the
+    * new index). With no oversized cells the result is a verbatim
+    * re-build — the contract "newPrefix holds a complete index"
+    * holds unconditionally.
+    */
+  def splitOversizedCells(spark: SparkSession, prefix: String,
+                          newPrefix: String,
+                          centroids: Array[Array[Float]],
+                          oversizeFactor: Int = 2, seed: Long = 42L,
+                          portable: Boolean = false,
+                          digestK: Int = Retrieval.DefaultDigestK): Array[Array[Float]] = {
+    require(newPrefix != prefix,
+      "splitOversizedCells must write a NEW index prefix (the retrain " +
+        "crash-safety discipline: the live index serves until the split " +
+        "index is complete)")
+    require(oversizeFactor >= 1, "oversizeFactor must be >= 1")
+    requireNotTorn(spark, prefix, "splitOversizedCells")
+    val stats = spark.table(s"${prefix}_stats")
+    val old = stats.head()
+    requireCentroidsMatch(old, stats.columns, prefix, centroids)
+    val vecs = spark.table(s"${prefix}_assign")
+      .select(col("id"), col("vec"), col("cell"))
+    val dim = vecs.select(size(col("vec"))).head().getInt(0)
+    val sizes = vecs.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = sizes.values.sum
+    val expected = total / centroids.length
+    val oversized = centroids.indices.filter { c =>
+      val n = sizes.getOrElse(c, 0L)
+      n > oversizeFactor * expected && n >= 2L
+    }.toSet
+    val kept = centroids.indices.filterNot(oversized)
+      .map(centroids(_)).toArray
+    // local 2-means per oversized cell, in cell order — children are
+    // appended after the kept centroids, so the expanded list (and
+    // every tie-break over it) is deterministic
+    val children = centroids.indices.filter(oversized).flatMap { c =>
+      Similarity.trainIvfCentroids(
+        vecs.filter(col("cell") === c).select(col("id"), col("vec")),
+        nCentroids = 2, dim = dim, iterations = 1,
+        idCol = "id", vecCol = "vec", seed = seed + c, portable = portable)
+    }.toArray
+    val expanded = kept ++ children
+    buildIvfIndex(vecs.select(col("id"), col("vec")), "id", "vec", expanded,
+      newPrefix, portable,
+      lineage = s"${old.getAs[String]("lineage")}" +
+        s">split(f$oversizeFactor,s$seed,${oversized.size}cells)",
+      digestK = digestK)
+    writeCentroidsTable(spark, newPrefix, expanded)
+    expanded
+  }
+
   private def writeCentroidsTable(spark: SparkSession, prefix: String,
                                   cents: Array[Array[Float]]): Unit = {
     import spark.implicits._

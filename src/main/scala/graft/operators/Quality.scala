@@ -435,6 +435,89 @@ object Quality {
       .withColumn("n_noisy", greatest(lit(0L), col("n") + col("noise")))
   }
 
+  /** DP-style noisy SUM/MEAN release with per-contributor bounding —
+    * the step between the k-anon/l-div/t-close audits and publishing
+    * any numeric aggregate ([[dpNoisyCounts]] covers counting
+    * queries; sums need SENSITIVITY control first):
+    *
+    *   1. clamp every value into [clampLo, clampHi] (outliers can no
+    *      longer dominate the release),
+    *   2. keep at most `maxPerActor` rows per (key, actor) — ranked
+    *      by clamped value ASC, a total order whose ties are harmless
+    *      because tied rows contribute identical values — so one
+    *      actor's influence on any key's sum is bounded by
+    *      Δ = maxPerActor · max(|clampLo|, |clampHi|),
+    *   3. add two-sided geometric noise with the scale widened by Δ
+    *      (the geometric mechanism calibrated to the bounded
+    *      sensitivity: α = e^(−ε/Δ)), clamp the released count at
+    *      zero, and derive the mean from the NOISY sum over the
+    *      NOISY count (post-processing — releasing both costs the
+    *      two budgets already spent, no more).
+    *
+    * Values must be pre-quantized integers (cents/micros — the
+    * repo's exact-integer discipline); everything through the clamp
+    * and bound is integer-exact, and the noise magnitude reuses
+    * [[dpNoisyCounts]]'s seeded inverse-CDF plumbing — including its
+    * loudly-stated caveat: the SEEDED uniform makes the release
+    * replayable (oracle, tests, the sensitivity spec) and therefore
+    * NOT actually private; production swaps in a CSPRNG draw and
+    * nothing else changes.
+    *
+    * Output per key: (keyCols..., n_kept, sum_clamped, sum_noisy,
+    * n_noisy, mean_micro = max(0, sum_noisy)·10^6 div max(1, n_noisy)).
+    *
+    * Scale: one (key, actor) shuffle for the bound, one key shuffle
+    * for the release — no joins, map-only noise.
+    */
+  def dpNoisySum(df: DataFrame, keyCols: Seq[String], actorCol: String,
+                 valueCol: String, clampLo: Long, clampHi: Long,
+                 maxPerActor: Int, epsilon: Double, seed: Long): DataFrame = {
+    require(keyCols.nonEmpty, "dpNoisySum: no key columns")
+    require(epsilon > 0, "epsilon must be positive")
+    require(clampLo <= clampHi, s"dpNoisySum: clampLo $clampLo > clampHi $clampHi")
+    require(maxPerActor >= 1, "maxPerActor must be >= 1")
+    val delta = maxPerActor * math.max(math.abs(clampLo), math.abs(clampHi))
+    require(delta > 0, "dpNoisySum: zero sensitivity (clamp range is {0}) — " +
+      "the release would be exact; widen the clamp or use dpNoisyCounts")
+    val clamped = df.select(
+      (keyCols.map(col) :+ col(actorCol).as("__actor") :+
+        least(greatest(col(valueCol).cast("long"), lit(clampLo)),
+          lit(clampHi)).as("__v")): _*)
+    val byActor = org.apache.spark.sql.expressions.Window.partitionBy(
+      (keyCols.map(col) :+ col("__actor")): _*).orderBy(col("__v"))
+    val bounded = clamped
+      .withColumn("__rn", row_number().over(byActor))
+      .filter(col("__rn") <= maxPerActor)
+    val sums = bounded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), sum(col("__v")).as("sum_clamped"))
+    val keyStr = concat_ws("\u001F",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*)
+    val h = TextAnalysis.polyFingerprint(keyStr)
+    val p = Frames.HashP
+    def draw(sd: Long): Column =
+      (pmod(Frames.portableHash(h, sd), lit(p)) + lit(1L))
+        .cast("double") / lit((p + 1).toDouble)
+    // sum noise at scale Δ/ε, count noise at scale 1/ε — identical
+    // expression shape on both engines so the floored doubles agree
+    val sumMag = floor(log(draw(seed)) * lit(delta.toDouble) / lit(-epsilon))
+      .cast("long")
+    val sumSign = when(pmod(Frames.portableHash(h, seed + 1), lit(2L)) === 0L,
+      lit(1L)).otherwise(lit(-1L))
+    val cntMag = floor(log(draw(seed + 2)) / lit(-epsilon)).cast("long")
+    val cntSign = when(pmod(Frames.portableHash(h, seed + 3), lit(2L)) === 0L,
+      lit(1L)).otherwise(lit(-1L))
+    sums
+      .withColumn("sum_noisy", col("sum_clamped") + sumSign * sumMag)
+      .withColumn("n_noisy",
+        greatest(lit(0L), col("n_kept") + cntSign * cntMag))
+      // mean is post-processing of the two releases; the numerator is
+      // clamped at zero like the count so the integer division stays
+      // on non-negative operands (Spark `div` truncates toward zero,
+      // DuckDB `//` floors — they agree only above zero)
+      .withColumn("mean_micro",
+        expr("greatest(0L, sum_noisy) * 1000000L div greatest(1L, n_noisy)"))
+  }
+
   /** Benford first-digit audit — the cheap fabricated-data detector
     * for naturally-occurring positive magnitudes (prices, counts,
     * durations spanning orders of magnitude): the leading decimal

@@ -280,6 +280,42 @@ object Similarity {
   def suggestedCentroids(corpusSize: Long): Int =
     math.max(16, math.ceil(math.sqrt(corpusSize.toDouble)).toInt)
 
+  /** IVF cell-imbalance card — the probe-latency-skew twin of the
+    * recall-drift card: retrain fixes centroid DRIFT, but a
+    * Zipf-clustered corpus makes some cells huge even with fresh
+    * centroids, and a probe touching an oversized cell pays its size
+    * (the straggler cell IS the probe's tail latency at scale). One
+    * map-only assignment + one cell-keyed count; every published
+    * number is an exact integer so the oracle replays the card from
+    * its retrained centroids. Zero-member cells appear with n = 0 —
+    * dead cells are the card's other finding (wasted probe budget).
+    *
+    * Output per cell: (cell, n, n_total, expected = n_total div
+    * nCells, skew_micro = n·10^6 div n_total, oversized = n >
+    * oversizeFactor·expected). `oversized` rows are the
+    * [[IvfIndex.splitOversizedCells]] work-list.
+    */
+  def ivfCellSkew(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[Array[Float]], oversizeFactor: Int = 2,
+                  portable: Boolean = false): DataFrame = {
+    require(oversizeFactor >= 1, "oversizeFactor must be >= 1")
+    import graft.functions.NativeFunctions.nearestCells
+    val spark = corpus.sparkSession
+    val counts = corpus.select(
+        element_at(nearestCells(col(vecCol), centroids, 1, portable), 1)
+          .as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val allCells = spark.range(centroids.length.toLong)
+      .select(col("id").cast("int").as("cell"))
+    allCells.join(counts, Seq("cell"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy())) // nCells rows
+      .withColumn("expected", expr(s"n_total div ${centroids.length}L"))
+      .withColumn("skew_micro", expr("n * 1000000L div n_total"))
+      .withColumn("oversized", col("n") > lit(oversizeFactor) * col("expected"))
+  }
+
   /** LSH sizing law: planes ∝ log2(corpus) keeps expected bucket
     * occupancy — and the per-bucket self-join — constant per row.
     */

@@ -709,7 +709,10 @@ object DocStreams {
       if (IvfIndex.lineageHasTag(sp, prefix, tag)) return // retry: done
       EditIndex.appendToEditIndex(sp, prefix, batch, idCol, strCol,
         lineageTag = tag)
-      Seq("grams", "strs", "gramfreq", "gdigest", "stats")
+      // refresh whichever tables the index's strategy materialized
+      // (deletion: dels; qgram: grams + gramfreq)
+      Seq("dels", "grams", "strs", "gramfreq", "gdigest", "stats")
+        .filter(t => sp.catalog.tableExists(s"${prefix}_$t"))
         .foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
     }
   }

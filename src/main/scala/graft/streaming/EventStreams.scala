@@ -682,6 +682,197 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("prev_type"), col("event_type"))
 
+  /** One normalized engagement fact from the composed live pipeline:
+    * the tagged union the six twins' outputs flatten into so they can
+    * ride ONE streaming query. `k`/`v` carry each kind's payload in a
+    * deterministic string encoding (doubles as raw IEEE bits, so the
+    * encoding never rounds): funnel (k=session, v=converted),
+    * attribution (k=conv id, v="fid:ftype>lid:ltype" with -1/"" for
+    * uncredited), cohort (k=cohort period, v=active period), path
+    * (k=path, v=converted), ewma (k=n_events, v=rawLongBits(value)),
+    * transition (k=prev type, v=type).
+    */
+  final case class EngagementFact(kind: String, user_id: Long,
+                                  k: String, v: String)
+
+  private def encodeAttr(a: Attribution): EngagementFact =
+    EngagementFact("attribution", a.actor, a.conv_id.toString,
+      s"${a.first_touch_id.getOrElse(-1L)}:${a.first_touch_type.getOrElse("")}" +
+        s">${a.last_touch_id.getOrElse(-1L)}:${a.last_touch_type.getOrElse("")}")
+
+  /** THE COMPOSED LIVE PIPELINE (round-13): admitted docs' events
+    * through ALL SIX engagement twins — funnel, attribution, cohort
+    * retention facts, session paths, EWMA, Markov transitions — in
+    * ONE streaming query, the way the four-gate ingest composes its
+    * batch gates in one plan. Spark 4's multi-stateful-operator
+    * support lets the six flatMapGroupsWithState branches run as
+    * parallel legs of a single union: one source scan, one
+    * checkpoint, one sink, state co-partitioned per actor.
+    *
+    * `admittedActors` is the admission output of the ingest gates
+    * (one id column) — STATIC relative to the stream, so the
+    * admission filter is a broadcastable stream-static semi-join
+    * ahead of every stateful leg: rejected actors' events never
+    * enter any state store.
+    *
+    * Scale shape: all six legs key state by the SAME actor column,
+    * so the plan pays ONE shuffle per leg over admitted events only;
+    * per-actor state stays the per-twin bounded state documented on
+    * each twin. StreamingSpec proves the composition end-to-end
+    * against [[engagementFactsBatch]].
+    */
+  def engagementFactsStream(events: Dataset[Event],
+                            admittedActors: DataFrame, actorIdCol: String,
+                            gapSeconds: Long = 1800L,
+                            startType: String = "click",
+                            convType: String = "purchase",
+                            touchTypes: Set[String] = Set("click", "view", "signup"),
+                            lookbackSeconds: Long = 86400L,
+                            periodSeconds: Long = 86400L,
+                            alpha: Double = 0.5): Dataset[EngagementFact] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val admitted = events
+      .join(broadcast(admittedActors
+        .select(col(actorIdCol).cast("long").as("user_id")).distinct()),
+        Seq("user_id"), "left_semi")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event]
+    val funnel = funnelStream(admitted, gapSeconds, startType, convType)
+      .map(f => EngagementFact("funnel", f.user_id, f.session_id.toString,
+        f.converted.toString))
+    val attr = attributionStream(admitted, convType, touchTypes,
+      lookbackSeconds).map(encodeAttr)
+    val cohort = cohortFactsStream(admitted, periodSeconds)
+      .map(c => EngagementFact("cohort", c.actor, c.cohort.toString,
+        c.period.toString))
+    val paths = pathFactsStream(admitted, gapSeconds, convType)
+      .map(p => EngagementFact("path", p.user_id, p.path, p.converted.toString))
+    val ewma = ewmaStream(admitted, alpha)
+      .map(s => EngagementFact("ewma", s.user_id, s.n_events.toString,
+        java.lang.Double.doubleToRawLongBits(s.ewma_value).toString))
+    val trans = transitionFactsStream(admitted)
+      .map(t => EngagementFact("transition", t.user_id, t.prev_type,
+        t.event_type))
+    funnel.union(attr).union(cohort).union(paths).union(ewma).union(trans)
+  }
+
+  /** Batch twin of [[engagementFactsStream]], composed from the
+    * INDEPENDENT batch operators (lag/RANGE windows and HOF folds —
+    * not the streaming fold code), so the stream≡batch comparison in
+    * StreamingSpec is a genuine cross-implementation check:
+    * [[funnelBatch]], [[graft.operators.Temporal
+    * .attributionFirstLast]], the distinct-(actor, period) cohort
+    * derivation, the `events_top_paths` session-path window, the
+    * `events_ewma` aggregate() fold, and the `events_transitions`
+    * lag pairs.
+    *
+    * Batch semantics close EVERY session; `excludeOpenTail = true`
+    * drops each actor's LAST session's funnel and path facts — what
+    * a stream has necessarily not yet emitted at end-of-input — so
+    * the spec compares equal sets. EWMA emits one final snapshot per
+    * actor (the stream's LATEST snapshot).
+    */
+  def engagementFactsBatch(events: DataFrame, admittedActors: DataFrame,
+                           actorIdCol: String,
+                           gapSeconds: Long = 1800L,
+                           startType: String = "click",
+                           convType: String = "purchase",
+                           touchTypes: Set[String] = Set("click", "view", "signup"),
+                           lookbackSeconds: Long = 86400L,
+                           periodSeconds: Long = 86400L,
+                           alpha: Double = 0.5,
+                           excludeOpenTail: Boolean = false): Dataset[EngagementFact] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events
+      .join(broadcast(admittedActors
+        .select(col(actorIdCol).cast("long").as("user_id")).distinct()),
+        Seq("user_id"), "left_semi")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .cache()
+    val lastSid = sessionizeBatch(ev, gapSeconds)
+      .groupBy(col("user_id")).agg(max(col("session_id")).as("__last_sid"))
+    def dropTail(df: DataFrame, sidCol: String): DataFrame =
+      if (!excludeOpenTail) df
+      else df.join(lastSid, Seq("user_id"))
+        .filter(col(sidCol) =!= col("__last_sid")).drop("__last_sid")
+    val funnel = dropTail(funnelBatch(ev, gapSeconds, startType, convType),
+        "session_id")
+      .select(lit("funnel").as("kind"), col("user_id"),
+        col("session_id").cast("string").as("k"),
+        col("converted").cast("string").as("v"))
+    val attr = graft.operators.Temporal.attributionFirstLast(ev, "user_id",
+        "ts", "event_type", "event_id", convType, touchTypes.toSeq.sorted,
+        lookbackSeconds)
+      .as[(Long, Long, Option[Long], Option[String], Option[Long], Option[String])]
+      .map { case (cid, actor, fid, ftp, lid, ltp) =>
+        encodeAttr(Attribution(cid, actor, fid, ftp, lid, ltp)) }
+    val cohort = ev
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / lit(periodSeconds)).cast("long")
+          .as("period"))
+      .distinct()
+      .withColumn("cohort", min(col("period")).over(
+        Window.partitionBy(col("user_id"))))
+      .select(lit("cohort").as("kind"), col("user_id"),
+        col("cohort").cast("string").as("k"),
+        col("period").cast("string").as("v"))
+    // session paths: the events_top_paths window derivation kept at
+    // per-session granularity (micros gap, first-8 types, whole-
+    // session conversion fold)
+    val us = unix_micros(col("ts"))
+    val wu = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+    val sess = ev
+      .withColumn("__new",
+        when(us - lag(us, 1).over(wu) > lit(gapSeconds * 1000000L) ||
+          lag(us, 1).over(wu).isNull, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = dropTail(
+      sess.groupBy(col("user_id"), col("__sid"))
+        .agg(
+          concat_ws(">", slice(transform(
+            array_sort(collect_list(struct(us.as("us"),
+              col("event_id").as("id"), col("event_type").as("tp")))),
+            x => x.getField("tp")), 1, 8)).as("path"),
+          max(when(col("event_type") === convType, 1L).otherwise(0L))
+            .as("__conv")), "__sid")
+      .select(lit("path").as("kind"), col("user_id"), col("path").as("k"),
+        (col("__conv") === 1L).cast("string").as("v"))
+    val ewma = ev
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("value")))).as("evs"))
+      .select(col("user_id"), size(col("evs")).cast("long").as("n"),
+        aggregate(col("evs"), lit(Double.NaN),
+          (acc, e) => when(isnan(acc), e.getField("value"))
+            .otherwise(acc * lit(1.0 - alpha) + e.getField("value") * lit(alpha)))
+          .as("val"))
+      .as[(Long, Long, Double)]
+      .map { case (u, n, v) => EngagementFact("ewma", u, n.toString,
+        java.lang.Double.doubleToRawLongBits(v).toString) }
+    val trans = ev
+      .withColumn("__prev", lag(col("event_type"), 1).over(wu))
+      .filter(col("__prev").isNotNull)
+      .select(lit("transition").as("kind"), col("user_id"),
+        col("__prev").as("k"), col("event_type").as("v"))
+    // eager checkpoint (fact-set-sized) so the internal events cache
+    // can be released deterministically — the editSimilarityJoin
+    // cleanup discipline
+    val out = funnel.as[EngagementFact]
+      .union(attr)
+      .union(cohort.as[EngagementFact])
+      .union(paths.as[EngagementFact])
+      .union(ewma)
+      .union(trans.as[EngagementFact])
+      .localCheckpoint()
+    ev.unpersist(blocking = false)
+    out
+  }
+
   /** The batch-finishing aggregation over [[cohortFactsStream]]'s
     * facts: cohort sizes from the offset-0 facts (every actor emits
     * their cohort period first), per-(cohort, offset) counts (facts

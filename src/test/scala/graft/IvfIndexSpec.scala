@@ -245,6 +245,77 @@ class IvfIndexSpec extends AnyFunSuite {
     cleanup("ivfdr"); cleanup("ivfds")
   }
 
+  test("splitOversizedCells: card flags the hot cell; split == fresh build; recall not worse") {
+    Seq("ivfsk", "ivfsksp", "ivfskref").foreach(cleanup)
+    val e0 = emb.limit(300).select(col("vec_id"), col("embedding"))
+      .cache(); e0.count()
+    // skewed corpus: 300 organic vectors + 150 exact copies of one —
+    // the Zipf-hot-cell shape retrain cannot fix (fresh centroids
+    // still put all copies in one cell)
+    val hot = e0.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val copies = spark.range(150)
+      .select((col("id") + 900000L).as("vec_id"),
+        typedLit(hot).as("embedding"))
+    val skew = e0.unionByName(copies).cache(); skew.count()
+    val cents = Similarity.trainIvfCentroids(skew, nCentroids = 8, dim = 64,
+      iterations = 1, idCol = "vec_id", vecCol = "embedding", portable = true)
+    IvfIndex.buildIvfIndex(skew, "vec_id", "embedding", cents, "ivfsk",
+      portable = true)
+    // the card flags at least the hot cell, covers every cell, and
+    // its integer accounting closes
+    val card = Similarity.ivfCellSkew(skew, "vec_id", "embedding", cents,
+      oversizeFactor = 2, portable = true).collect()
+    assert(card.length === cents.length)
+    assert(card.map(_.getAs[Long]("n")).sum === 450L)
+    assert(card.exists(_.getAs[Boolean]("oversized")), "hot cell not flagged")
+    val maxBefore = card.map(_.getAs[Long]("n")).max
+    // split: expanded centroids, new index under a NEW prefix
+    val expanded = IvfIndex.splitOversizedCells(spark, "ivfsk", "ivfsksp",
+      cents, oversizeFactor = 2, seed = 7L, portable = true)
+    assert(expanded.length > cents.length, "no cell was split")
+    // equivalence: the split index == a fresh one-shot build over the
+    // same vectors at the SAME expanded centroid set
+    IvfIndex.buildIvfIndex(skew, "vec_id", "embedding", expanded, "ivfskref",
+      portable = true)
+    def assignRows(t: String) = spark.table(s"${t}_assign")
+      .select(col("id"), col("cell")).orderBy("id").collect().toSeq
+    assert(assignRows("ivfsksp") === assignRows("ivfskref"),
+      "split assignments diverge from the fresh build")
+    // the max cell shrank (the split's whole point)
+    val sizesAfter = spark.table("ivfsksp_assign").groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).collect().map(_.getAs[Long]("n"))
+    assert(sizesAfter.max < maxBefore,
+      s"split did not shrink the hot cell: ${sizesAfter.max} vs $maxBefore")
+    // recall unchanged-or-better on a fixed panel (exact truth from
+    // brute force; ANN truth from each index at the same probe budget)
+    val panel = e0.filter(col("vec_id") % 10 === 0).cache(); panel.count()
+    val truth = Similarity.bruteForceTopK(skew, panel, k = 1)
+      .select(col("query_id"), col("id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recall(prefix: String, cs: Array[Array[Float]]): Double = {
+      val got = IvfIndex.ivfTopKFromIndex(spark, prefix, panel, k = 1, cs,
+          nProbe = 2)
+        .select(col("query_id"), col("id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      truth.count { case (q, nn) => got.get(q).contains(nn) }.toDouble /
+        truth.size
+    }
+    val before = recall("ivfsk", cents)
+    val after = recall("ivfsksp", expanded)
+    assert(after >= before,
+      s"split degraded recall: $before -> $after")
+    // guards: in-place split refused; foreign centroid set refused
+    assert(intercept[IllegalArgumentException] {
+      IvfIndex.splitOversizedCells(spark, "ivfsk", "ivfsk", cents)
+    }.getMessage.contains("NEW index prefix"))
+    assert(intercept[IllegalArgumentException] {
+      IvfIndex.splitOversizedCells(spark, "ivfsk", "ivfsksp2", expanded)
+    }.getMessage.contains("centroid"))
+    Seq(e0, skew, panel).foreach(_.unpersist(blocking = false))
+    Seq("ivfsk", "ivfsksp", "ivfskref").foreach(cleanup)
+  }
+
   test("probe plan prunes to the probed cells' partitions") {
     val e = emb.limit(400).cache(); e.count()
     val cents = Similarity.trainIvfCentroids(e,

@@ -690,7 +690,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_unimax_select" -> 3,
       // the Zipf rank window runs over the top-64 terms AFTER the
       // TakeOrdered cut — 64 rows by construction
-      "text_zipf_slope" -> 1)
+      "text_zipf_slope" -> 1,
+      // the cell-skew card's n_total runs over nCells rows (the
+      // corpus collapsed in the cell-keyed count BEFORE the window)
+      "sim_ivf_cell_skew" -> 1)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val wins = allWindows(fn(spark, TestSpark.sfDir).queryExecution.sparkPlan)
@@ -790,14 +793,36 @@ class PlanShapeSpec extends AnyFunSuite {
   test("edit-similarity join: every join is equi (no cartesian/nested-loop), levenshtein after the filter") {
     val cust = Tables.table(spark, TestSpark.sfDir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("s"))
-    val df = graft.operators.EditSimilarity.editSimilarityJoin(
-      cust, "id", "s", maxDist = 1, q = 3)
+    for (strat <- Seq("deletion", "qgram")) {
+      val df = graft.operators.EditSimilarity.editSimilarityJoin(
+        cust, "id", "s", maxDist = 1, q = 3, strategy = strat)
+      val p = plan(df)
+      // the whole point of both candidate filters: the naive form is
+      // a cartesian product; the plan must never contain one
+      assert(!p.contains("CartesianProduct"), s"[$strat] cartesian leaked:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"[$strat] non-equi join leaked:\n$p")
+      // the deletion tier needs no frequency table and no rarity
+      // window — candidate generation must stay window-free
+      if (strat == "deletion")
+        assert(!p.contains("Window"), s"[deletion] window leaked:\n$p")
+    }
+  }
+
+  test("image dhash pairing: banded equi-join, no cartesian, map-only hashing") {
+    val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        Tables.table(spark, TestSpark.sfDir, "documents").select(col("doc_id")),
+        "doc_id", "bmp_near")
+      .withColumn("format", lit("bmp"))
+    val hashes = graft.operators.ImageHash.imageHashes(
+      blobs, "id", "bytes", "format")
+    val df = graft.operators.ImageHash.dhashPairs(hashes, "id", "dhash",
+      maxBits = 3, nBands = 4)
     val p = plan(df)
-    // the whole point of the prefix filter: the naive form is a
-    // cartesian product; the plan must never contain one
     assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      s"non-equi join leaked:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi leaked:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"band join must be equi:\n$p")
   }
 
   test("DDSketch: one map-side-combined aggregate, quantile reads join the sketch to a broadcast panel") {

@@ -214,6 +214,42 @@ class QualitySpec extends AnyFunSuite {
     }.getMessage.contains("quasi-identifier"))
   }
 
+  test("dpNoisySum: one actor's rows perturb the release by at most Δ") {
+    // clampHi=100, maxPerActor=2 -> Δ=200. Identical seed means the
+    // per-key noise cancels in the difference, so |release(spiked) −
+    // release(base)| per key is EXACTLY the clamped-bounded
+    // contribution of the extra actor — which must be <= Δ no matter
+    // how many or how huge the actor's raw rows are.
+    val base = Seq(("A", 1L, 40L), ("A", 1L, 60L), ("A", 2L, 80L),
+      ("B", 3L, 10L), ("B", 4L, 990L)).toDF("k", "actor", "v")
+    val spike = Seq(("A", 99L, 1000000L), ("A", 99L, 500000L),
+      ("A", 99L, 250000L), ("A", 99L, 125000L)).toDF("k", "actor", "v")
+    def release(df: org.apache.spark.sql.DataFrame) =
+      Quality.dpNoisySum(df, Seq("k"), "actor", "v",
+          clampLo = 0L, clampHi = 100L, maxPerActor = 2,
+          epsilon = 0.5, seed = 5L)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val b = release(base)
+    val s = release(base.unionByName(spike))
+    assert(math.abs(s("A") - b("A")) <= 200L,
+      s"actor influence ${s("A") - b("A")} exceeds sensitivity 200")
+    assert(s("B") === b("B"), "untouched key must release identically")
+    // clamping caps each kept value: 4 huge rows -> 2 kept at 100 each
+    assert(s("A") - b("A") === 200L)
+    // deterministic under repartition; mean clamps at zero operands
+    val all = Quality.dpNoisySum(base.repartition(7), Seq("k"), "actor", "v",
+      0L, 100L, 2, 0.5, 5L).collect()
+    assert(all.map(r => r.getString(0) -> r.getLong(3)).toMap === b)
+    all.foreach { r =>
+      assert(r.getLong(4) >= 0L, "n_noisy must clamp at zero")
+      assert(r.getLong(5) >= 0L, "mean_micro must stay non-negative")
+    }
+    // degenerate clamp range refused (release would be exact)
+    assert(intercept[IllegalArgumentException] {
+      Quality.dpNoisySum(base, Seq("k"), "actor", "v", 0L, 0L, 2, 0.5, 5L)
+    }.getMessage.contains("sensitivity"))
+  }
+
   test("dpNoisyCounts: inverse-CDF noise replays from the seed, clamps at zero") {
     val df = Seq(("en", "a"), ("en", "a"), ("en", "a"), ("fr", "b"),
       ("fr", "b"), ("zh", "c")).toDF("lang", "source")

@@ -1760,4 +1760,75 @@ class StreamingSpec extends AnyFunSuite {
       assert(closed.head.n_events === 2 && closed.head.sum_value === 5.0)
     } finally q.stop()
   }
+
+  test("composed engagement pipeline: six twins in ONE query over admitted actors, stream == batch") {
+    import graft.operators.{Bucketing, DedupIndex}
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("engidx"))
+      .foreach(Bucketing.dropTableAndLocation(spark, _))
+    // admission: the ingest-gate shape — an exact-dedup index over a
+    // historical doc corpus gates the full doc set; admitted = docs
+    // whose text was never admitted before. Built so some event
+    // actors are admitted and some rejected.
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    DedupIndex.buildDedupIndex(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", "engidx")
+    val admitted = DedupIndex.gateNewDocs(spark, "engidx", docs,
+        "doc_id", "text")
+      .filter(!col("is_dup")).select(col("id")).cache()
+    val admittedIds = admitted.collect().map(_.getLong(0)).toSet
+    val ev = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value")).cache()
+    ev.count()
+    val actors = ev.select(col("user_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert((actors -- admittedIds).nonEmpty && (actors & admittedIds).nonEmpty,
+      "fixture must admit some actors and reject others")
+    def bag(rows: Seq[(String, Long, String, String)]) =
+      rows.groupBy(identity).view.mapValues(_.size).toMap
+    // batch twin (independent operators), open tails excluded for the
+    // session kinds; ewma compared separately (stream snapshots per
+    // micro-batch, latest == batch)
+    val batchAll = EventStreams.engagementFactsBatch(ev, admitted, "id",
+        excludeOpenTail = true)
+      .collect().map(f => (f.kind, f.user_id, f.k, f.v)).toSeq
+    val batchEwma = batchAll.filter(_._1 == "ewma")
+    val batchRest = bag(batchAll.filterNot(_._1 == "ewma"))
+    // the composed SINGLE streaming query
+    val (dir, _) = chronoSlices(ev, 6, "graft-engage")
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[EventStreams.Event]
+    val q = EventStreams.engagementFactsStream(stream, admitted, "id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("engagemem").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select kind, user_id, k, v from engagemem")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getString(3))).toSeq
+      // every kind produced facts — the composition exercised all legs
+      val kinds = got.map(_._1).toSet
+      assert(kinds === Set("funnel", "attribution", "cohort", "path",
+        "ewma", "transition"), s"missing legs: $kinds")
+      // rejected actors never entered any state store
+      assert(got.forall(f => admittedIds(f._2)),
+        "a rejected actor's events leaked into the composed pipeline")
+      // non-ewma kinds: exact multiset equality with the batch twin
+      assert(bag(got.filterNot(_._1 == "ewma")) === batchRest,
+        "composed stream facts diverged from the batch composition")
+      // ewma: the LATEST snapshot per actor equals the batch fold
+      // (bit-exact: v is the raw IEEE long)
+      val latest = got.filter(_._1 == "ewma")
+        .groupBy(_._2).values.map(_.maxBy(_._3.toLong)).toSet
+      assert(latest === batchEwma.toSet,
+        "latest streamed EWMA snapshots diverged from the batch fold")
+    } finally q.stop()
+    admitted.unpersist(blocking = false)
+    ev.unpersist(blocking = false)
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("engidx"))
+      .foreach(Bucketing.dropTableAndLocation(spark, _))
+  }
 }
