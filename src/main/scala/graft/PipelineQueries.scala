@@ -2179,8 +2179,23 @@ object PipelineQueries {
           t(s, d, "documents").select(col("doc_id")), "doc_id", "bmp_near")
         .withColumn("format", lit("bmp")) // fixture label -> payload format
       graft.operators.ImageHash.imageHashes(blobs, "id", "bytes", "format")
-        .select(col("id").as("doc_id"), col("dhash"), col("ahash"))
+        .select(col("id").as("doc_id"), col("dhash"), col("ahash"),
+          col("phash"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- pHash near-dup pairing: the DCT-tier hash through the
+    //      same banded-Hamming blocking — frequency-domain structure
+    //      where dHash reads local gradients. Brute-force oracle ----
+    "multimodal_phash_pairs" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+          t(s, d, "documents").select(col("doc_id")), "doc_id", "bmp_near")
+        .withColumn("format", lit("bmp")) // fixture label -> payload format
+      val hashes = graft.operators.ImageHash.imageHashes(
+        blobs, "id", "bytes", "format")
+      graft.operators.ImageHash.dhashPairs(hashes, "id", "phash",
+          maxBits = 3, nBands = 4)
+        .orderBy(col("a_id"), col("b_id"))
     }),
 
     // ---- image near-dup pairing over the dHash words: banded-
@@ -2197,6 +2212,42 @@ object PipelineQueries {
       graft.operators.ImageHash.dhashPairs(hashes, "id", "dhash",
           maxBits = 3, nBands = 4)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- PERSISTED image near-dup index, gated (the daily crawl
+    //      shape): %5==0 images play today's batch, the rest the
+    //      admitted archive; banded-Hamming postings + band digest,
+    //      verification exact bit_count(xor). Brute-force oracle ----
+    "dedup_imageidx_gate" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+          t(s, d, "documents").select(col("doc_id")), "doc_id", "bmp_near")
+        .withColumn("format", lit("bmp"))
+      val hashes = graft.operators.ImageHash.imageHashes(
+          blobs, "id", "bytes", "format")
+        .filter(col("dhash").isNotNull).select(col("id"), col("dhash"))
+      val prefix = graft.operators.ImageHashIndex.imageIndexCached(
+        hashes.filter(col("id") % 5 =!= 0), "id", "dhash")
+      graft.operators.ImageHashIndex.gateImageMatches(s, prefix,
+          hashes.filter(col("id") % 5 === 0), "id", "dhash")
+        .orderBy(col("delta_id"), col("index_id"))
+    }),
+
+    // ---- the same gate after an O(delta) APPEND (append ≡ rebuild;
+    //      shares the oracle) ----
+    "dedup_imageidx_append" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+          t(s, d, "documents").select(col("doc_id")), "doc_id", "bmp_near")
+        .withColumn("format", lit("bmp"))
+      val hashes = graft.operators.ImageHash.imageHashes(
+          blobs, "id", "bytes", "format")
+        .filter(col("dhash").isNotNull).select(col("id"), col("dhash"))
+      val corp = hashes.filter(col("id") % 5 =!= 0)
+      val prefix = graft.operators.ImageHashIndex.imageAppendCached(
+        corp.filter(col("id") % 4 =!= 1), corp.filter(col("id") % 4 === 1),
+        "id", "dhash")
+      graft.operators.ImageHashIndex.gateImageMatches(s, prefix,
+          hashes.filter(col("id") % 5 === 0), "id", "dhash")
+        .orderBy(col("delta_id"), col("index_id"))
     }),
 
     // ---- REAL audio decode (RIFF/WAVE chunk walk, PCM-16 LE
@@ -3829,6 +3880,15 @@ object PipelineQueries {
     * two's-complement minimum so the word lands in BIGINT exactly
     * like the JVM's 1L<<63.
     */
+  /** Quantized DCT basis (8×32) as a DuckDB list-of-lists literal —
+    * JVM-computed once, shared verbatim by both engines (the
+    * benfordExpectedMicro discipline).
+    */
+  private lazy val dctBasisSql: String =
+    graft.operators.ImageHash.dctBasisQ
+      .map(_.mkString("[", ", ", "]"))
+      .mkString("[", ",\n           ", "]")
+
   private def imageDhashOracle(select: String): String =
     s"""WITH p AS (
          SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
@@ -3864,7 +3924,7 @@ object PipelineQueries {
                  - (gi % 9) * w // 9)) AS BIGINT))
            AS g
          FROM lum),
-       hashes AS (
+       hashes89 AS (
          SELECT doc_id,
            CAST(list_sum(list_transform(range(0, 63), b ->
              CASE WHEN g[(b // 8) * 9 + (b % 8) + 2] >
@@ -3877,7 +3937,47 @@ object PipelineQueries {
                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
            + CASE WHEN g[7 * 9 + 7 + 1] > list_sum(g) // 72
                THEN -9223372036854775807 - 1 ELSE 0 END AS ahash
-         FROM grid)
+         FROM grid),
+       bs AS (SELECT $dctBasisSql AS t),
+       grid32 AS (
+         SELECT doc_id, w, h,
+           list_transform(range(0, 1024), gi ->
+             CAST(list_sum(list_transform(
+               range((gi // 32) * h // 32,
+                 greatest((gi // 32) * h // 32 + 1, ((gi // 32) + 1) * h // 32)),
+               y -> list_sum(list_transform(
+                 range((gi % 32) * w // 32,
+                   greatest((gi % 32) * w // 32 + 1, ((gi % 32) + 1) * w // 32)),
+                 x -> lm[y * w + x + 1]))))
+             // ((greatest((gi // 32) * h // 32 + 1, ((gi // 32) + 1) * h // 32)
+                 - (gi // 32) * h // 32)
+               * (greatest((gi % 32) * w // 32 + 1, ((gi % 32) + 1) * w // 32)
+                 - (gi % 32) * w // 32)) AS BIGINT))
+           AS g32
+         FROM lum),
+       sgrid AS (
+         SELECT doc_id, g32,
+           list_transform(range(0, 8), u ->
+             list_transform(range(0, 32), y ->
+               list_sum(list_transform(range(0, 32), x ->
+                 t[u + 1][x + 1] * g32[y * 32 + x + 1]))))
+           AS sv
+         FROM grid32, bs),
+       dct AS (
+         SELECT doc_id,
+           list_transform(range(0, 64), b ->
+             list_sum(list_transform(range(0, 32), y ->
+               t[(b // 8) + 1][y + 1] * sv[(b % 8) + 1][y + 1])))
+           AS dv
+         FROM sgrid, bs),
+       hashes32 AS (
+         SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 63), b ->
+             CASE WHEN dv[b + 1] > list_sort(dv)[32]
+               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
+           + CASE WHEN dv[64] > list_sort(dv)[32]
+               THEN -9223372036854775807 - 1 ELSE 0 END AS phash
+         FROM dct)
        $select"""
 
   private def patched(sql: String, subs: (String, String)*): String =
@@ -6054,13 +6154,28 @@ object PipelineQueries {
            CAST(list_max(px) AS BIGINT) AS max_chan
          FROM f ORDER BY doc_id""",
     "multimodal_dhash" -> imageDhashOracle(
-      """SELECT doc_id, dhash, ahash FROM hashes ORDER BY doc_id"""),
+      """SELECT a.doc_id, a.dhash, a.ahash, b.phash
+         FROM hashes89 a JOIN hashes32 b USING (doc_id)
+         ORDER BY a.doc_id"""),
     "multimodal_dhash_pairs" -> imageDhashOracle(
       """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
-         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         FROM hashes89 a JOIN hashes89 b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
          ORDER BY a_id, b_id"""),
+    "multimodal_phash_pairs" -> imageDhashOracle(
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
+         FROM hashes32 a JOIN hashes32 b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         ORDER BY a_id, b_id"""),
+    "dedup_imageidx_gate" -> imageDhashOracle(
+      """SELECT a.doc_id AS delta_id, b.doc_id AS index_id,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
+         FROM hashes89 a, hashes89 b
+         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+           AND bit_count(xor(a.dhash, b.dhash)) <= 3
+         ORDER BY delta_id, index_id"""),
     "multimodal_decode_wav" ->
       """WITH p AS (
            SELECT doc_id, 32 + doc_id % 96 AS n FROM documents),
@@ -9391,6 +9506,7 @@ object PipelineQueries {
     // edit-index append ≡ rebuild: the gate over build(3/4)+append(1/4)
     // answers against the same brute-force truth as the one-shot build
     "dedup_editidx_append" -> oracleSqlBase("dedup_editidx_gate"),
+    "dedup_imageidx_append" -> oracleSqlBase("dedup_imageidx_gate"),
     // filtered ANN: identical assignment/probe chain, candidates
     // restricted to the predicate's survivors
     "sim_topk_ivf_filtered" -> patched(oracleSqlBase("sim_topk_ivf"),

@@ -480,6 +480,13 @@ object PlanDump {
         "assignment (broadcast centroids), one cell-keyed " +
         "map-side-combined count, and the card math windows over " +
         "nCells rows only (allowlisted bounded global window)."),
+    "dedup_imageidx_gate" ->
+      ("Persisted image near-dup index gate: the batch's " +
+        "digest-flagged band keys BROADCAST into the band-postings " +
+        "scan; the denormalized hash lets bit_count(xor) verify in " +
+        "the same map stage — candidates never shuffle, and the one " +
+        "exchange carries match-set-sized rows into the final " +
+        "distinct."),
     "q_ddsketch_quantiles" ->
       ("DDSketch: one bucket-keyed aggregate with partial_count " +
         "before the single corpus Exchange (the sketch IS the " +

@@ -11,15 +11,20 @@ import org.apache.spark.sql.types._
   * re-encoded, resized, or metadata-stripped hashes differently as
   * bytes but identically as pixels).
   *
-  * Two classic hashes over one shared 9×8 integer luma grid:
+  * Three classic hashes, all integer:
   *
   *   - dHash (difference hash, Krawetz's public formulation): bit
-  *     (r, c) = [cell(r, c+1) > cell(r, c)] — 8 horizontal-gradient
-  *     comparisons per row × 8 rows = 64 bits. Gradients survive
-  *     brightness/contrast shifts better than absolute levels.
+  *     (r, c) = [cell(r, c+1) > cell(r, c)] over a 9×8 luma grid —
+  *     8 horizontal-gradient comparisons per row × 8 rows = 64 bits.
+  *     Gradients survive brightness/contrast shifts better than
+  *     absolute levels.
   *   - aHash (average hash): bit = [cell > mean of all 72 cells] on
   *     the same grid (64 of the 72 cells — the left 8×8 block — keep
   *     the word at 64 bits).
+  *   - pHash (DCT hash): 32×32 luma grid → quantized-integer 2-D
+  *     DCT-II → 8×8 low-frequency block, bit = coeff > the block's
+  *     lower median. Frequency structure survives blurs and small
+  *     shifts that flip dHash's local gradients.
   *
   * EVERYTHING IS INTEGER — ITU-R BT.601 luma as (299r+587g+114b)
   * div 1000, area-mapped grid cells as sum div count — so the DuckDB
@@ -58,14 +63,45 @@ object ImageHash {
 
   private val MaxImagePixels = 64L << 20
 
-  /** Decoded luma grid (GridRows × GridCols, row-major, values
-    * 0..255) or null on any decode failure. Integer area mapping:
-    * cell (r, c) averages pixels x in [c·w/9, max(c·w/9+1, (c+1)·w/9))
-    * (likewise rows over h/8) — every cell is nonempty at any image
-    * size, and images smaller than the grid sample overlapping
-    * windows deterministically.
+  /** pHash working grid: 32×32 luma, DCT'd down to the 8×8
+    * low-frequency block.
     */
-  def lumaGrid(bytes: Array[Byte], format: String): Array[Int] = {
+  val PhashGrid = 32
+  val PhashBlock = 8
+
+  /** Quantized DCT-II basis: T(u)(x) = floor(cos(π(2x+1)u/64)·2^14
+    * + 0.5). Computed ONCE here and inlined verbatim into the oracle
+    * SQL (the benfordExpectedMicro discipline), so no engine
+    * re-derives a transcendental — every downstream product and sum
+    * is exact int64 (|coeff| <= 255·32·32·2^28 < 2^47).
+    */
+  lazy val dctBasisQ: Array[Array[Long]] =
+    Array.tabulate(PhashBlock, PhashGrid)((u, x) =>
+      math.floor(math.cos(math.Pi * (2 * x + 1) * u / (2.0 * PhashGrid))
+        * 16384.0 + 0.5).toLong)
+
+  /** Decoded luma grid (`rows` × `cols`, row-major, values 0..255)
+    * or null on any decode failure. Integer area mapping: cell
+    * (r, c) averages pixels x in [c·w/cols, max(c·w/cols+1,
+    * (c+1)·w/cols)) (likewise rows over h/rows) — every cell is
+    * nonempty at any image size, and images smaller than the grid
+    * sample overlapping windows deterministically.
+    */
+  def lumaGrid(bytes: Array[Byte], format: String): Array[Int] =
+    lumaGridDims(bytes, format, GridCols, GridRows)
+
+  def lumaGridDims(bytes: Array[Byte], format: String,
+                   cols: Int, rows: Int): Array[Int] = {
+    val img = decodeToImage(bytes, format)
+    if (img == null) null else gridFromImage(img, cols, rows)
+  }
+
+  /** Hardened decode to a pixel-addressable image, shared by every
+    * hash: magic/format agreement, header-dims bomb guard BEFORE
+    * read() allocates, null (never throw) on parser failure.
+    */
+  private def decodeToImage(bytes: Array[Byte],
+                            format: String): java.awt.image.BufferedImage = {
     if (bytes == null || bytes.isEmpty) return null
     val fmt = if (format == null) "" else format.toLowerCase
     val isPng = bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 &&
@@ -92,39 +128,45 @@ object ImageHash {
         val w = reader.getWidth(0)
         val h = reader.getHeight(0)
         if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) return null
-        val img = reader.read(0)
-        val grid = new Array[Int](GridRows * GridCols)
-        var r = 0
-        while (r < GridRows) {
-          val y0 = r * h / GridRows
-          val y1 = math.max(y0 + 1, (r + 1) * h / GridRows)
-          var c = 0
-          while (c < GridCols) {
-            val x0 = c * w / GridCols
-            val x1 = math.max(x0 + 1, (c + 1) * w / GridCols)
-            var sum = 0L
-            var y = y0
-            while (y < y1) {
-              var x = x0
-              while (x < x1) {
-                val p = img.getRGB(x, y)
-                val lum = (299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) +
-                  114 * (p & 0xFF)) / 1000
-                sum += lum
-                x += 1
-              }
-              y += 1
-            }
-            grid(r * GridCols + c) = (sum / ((y1 - y0).toLong * (x1 - x0))).toInt
-            c += 1
-          }
-          r += 1
-        }
-        grid
+        reader.read(0)
       } finally reader.dispose()
     } catch {
       case scala.util.control.NonFatal(_) => null
     } finally if (iis != null) iis.close()
+  }
+
+  private def gridFromImage(img: java.awt.image.BufferedImage,
+                            cols: Int, rows: Int): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val grid = new Array[Int](rows * cols)
+    var r = 0
+    while (r < rows) {
+      val y0 = r * h / rows
+      val y1 = math.max(y0 + 1, (r + 1) * h / rows)
+      var c = 0
+      while (c < cols) {
+        val x0 = c * w / cols
+        val x1 = math.max(x0 + 1, (c + 1) * w / cols)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            val lum = (299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) +
+              114 * (p & 0xFF)) / 1000
+            sum += lum
+            x += 1
+          }
+          y += 1
+        }
+        grid(r * cols + c) = (sum / ((y1 - y0).toLong * (x1 - x0))).toInt
+        c += 1
+      }
+      r += 1
+    }
+    grid
   }
 
   /** 64-bit difference hash; null on decode failure. Bit r·8+c is
@@ -132,7 +174,10 @@ object ImageHash {
     */
   def dhash64(bytes: Array[Byte], format: String): java.lang.Long = {
     val g = lumaGrid(bytes, format)
-    if (g == null) return null
+    if (g == null) null else java.lang.Long.valueOf(dhashFromGrid(g))
+  }
+
+  private def dhashFromGrid(g: Array[Int]): Long = {
     var hash = 0L
     var r = 0
     while (r < GridRows) {
@@ -144,7 +189,7 @@ object ImageHash {
       }
       r += 1
     }
-    java.lang.Long.valueOf(hash)
+    hash
   }
 
   /** 64-bit average hash over the left 8×8 block of the shared grid;
@@ -152,7 +197,10 @@ object ImageHash {
     */
   def ahash64(bytes: Array[Byte], format: String): java.lang.Long = {
     val g = lumaGrid(bytes, format)
-    if (g == null) return null
+    if (g == null) null else java.lang.Long.valueOf(ahashFromGrid(g))
+  }
+
+  private def ahashFromGrid(g: Array[Int]): Long = {
     var total = 0L
     var i = 0
     while (i < g.length) { total += g(i); i += 1 }
@@ -167,12 +215,73 @@ object ImageHash {
       }
       r += 1
     }
-    java.lang.Long.valueOf(hash)
+    hash
   }
 
-  /** (id, dhash, ahash) per image — map-only, one row per input,
-    * null hashes for undecodable blobs (kept, so corpus accounting
-    * stays complete; filter downstream).
+  /** 64-bit perceptual hash (pHash, the DCT family): 32×32 luma
+    * grid → quantized-integer 2-D DCT-II → the 8×8 low-frequency
+    * block (DC included) → bit b set iff coeff(u = b mod 8,
+    * v = b div 8) exceeds the block's LOWER MEDIAN (the 32nd
+    * smallest of the 64 — a total integer rule, no float mean).
+    * Frequency-domain structure survives blurs and small spatial
+    * shifts that flip dHash's local gradients — the robust end of
+    * the perceptual ladder, at 32×32·64 multiply-adds per image
+    * (separable: two 8×32 passes). All arithmetic int64-exact, so
+    * the oracle replays every coefficient from the fixture formula.
+    */
+  def phash64(bytes: Array[Byte], format: String): java.lang.Long = {
+    val g = lumaGridDims(bytes, format, PhashGrid, PhashGrid)
+    if (g == null) null else java.lang.Long.valueOf(phashFromGrid(g))
+  }
+
+  private def phashFromGrid(g: Array[Int]): Long = {
+    // S(u)(y) = Σ_x T(u)(x)·g(y·32 + x)  (row transform)
+    val s = Array.ofDim[Long](PhashBlock, PhashGrid)
+    var u = 0
+    while (u < PhashBlock) {
+      var y = 0
+      while (y < PhashGrid) {
+        var acc = 0L
+        var x = 0
+        while (x < PhashGrid) {
+          acc += dctBasisQ(u)(x) * g(y * PhashGrid + x)
+          x += 1
+        }
+        s(u)(y) = acc
+        y += 1
+      }
+      u += 1
+    }
+    // D(v·8 + u) = Σ_y T(v)(y)·S(u)(y)  (column transform)
+    val d = new Array[Long](64)
+    var v = 0
+    while (v < PhashBlock) {
+      var uu = 0
+      while (uu < PhashBlock) {
+        var acc = 0L
+        var y = 0
+        while (y < PhashGrid) {
+          acc += dctBasisQ(v)(y) * s(uu)(y)
+          y += 1
+        }
+        d(v * PhashBlock + uu) = acc
+        uu += 1
+      }
+      v += 1
+    }
+    val median = d.sorted.apply(31)
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (d(b) > median) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** (id, dhash, ahash, phash) per image — map-only, one row per
+    * input, null hashes for undecodable blobs (kept, so corpus
+    * accounting stays complete; filter downstream).
     */
   def imageHashes(df: DataFrame, idCol: String, bytesCol: String,
                   formatCol: String): DataFrame = {
@@ -183,14 +292,25 @@ object ImageHash {
     val outSchema = StructType(Seq(
       StructField("id", LongType),
       StructField("dhash", LongType),
-      StructField("ahash", LongType)))
+      StructField("ahash", LongType),
+      StructField("phash", LongType)))
     df.mapPartitions { rows =>
       rows.map { row =>
         val id = row.getLong(idIdx)
         val bytes =
           if (row.isNullAt(bytesIdx)) null else row.getAs[Array[Byte]](bytesIdx)
         val fmt = if (row.isNullAt(formatIdx)) null else row.getString(formatIdx)
-        Row(id, dhash64(bytes, fmt), ahash64(bytes, fmt))
+        // decode ONCE per image; both grids sample the same pixels
+        val img = decodeToImage(bytes, fmt)
+        if (img == null) Row(id, null, null, null)
+        else {
+          val g = gridFromImage(img, GridCols, GridRows)
+          Row(id,
+            java.lang.Long.valueOf(dhashFromGrid(g)),
+            java.lang.Long.valueOf(ahashFromGrid(g)),
+            java.lang.Long.valueOf(phashFromGrid(
+              gridFromImage(img, PhashGrid, PhashGrid))))
+        }
       }
     }(Encoders.row(outSchema))
   }

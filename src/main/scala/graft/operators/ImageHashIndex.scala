@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Persisted IMAGE near-dup index — the pixel-tier member of the
+  * serve-many index family beside [[DedupIndex]] (exact text),
+  * [[NearDupIndex]] (near-dup text), [[EditIndex]] (fuzzy keys) and
+  * [[IvfIndex]] (vectors): "is any of today's crawled images within
+  * Hamming d of an image EVER admitted?" answered from 8-byte
+  * perceptual hashes ([[ImageHash]]) without re-decoding, let alone
+  * re-reading, the historical corpus.
+  *
+  * The index stores HASHES, not pixels — the caller chooses the tier
+  * (dHash for speed, pHash for robustness) when hashing; the index
+  * is hash-agnostic. Blocking is [[ImageHash.dhashPairs]]'s banded
+  * Hamming scheme persisted: each 64-bit word splits into `nBands`
+  * equal bands, and by pigeonhole any pair within maxBits < nBands
+  * shares at least one exact band value, so the probe is a per-band
+  * equi-join — never all-pairs.
+  *
+  * Tables under a prefix:
+  *   - `{prefix}_hashes` (id, hash) — admitted hashes: the id-clash
+  *     guard and rebuild source;
+  *   - `{prefix}_bands` (bk, id, hash) — band postings with the full
+  *     hash DENORMALIZED (the BM25-postings trick): verification
+  *     (`bit_count(xor)`) runs map-side behind the broadcast probe,
+  *     candidates never shuffle. bk packs (band, value) into one
+  *     long: band·2^16 + value;
+  *   - `{prefix}_bdigest` — Bloom words over bk: the map-only
+  *     prefilter. NOTE the honest caveat: band values live in a
+  *     16-bit space, so once the index holds ≳ nBands·65536 rows
+  *     most probe keys exist SOMEWHERE and the digest stops
+  *     clearing batches — unlike the text digests (open hash
+  *     spaces). Cost then rests on the band join's per-key lists,
+  *     which stay ~n/65536 per band value under uniform hashes;
+  *   - `{prefix}_stats` — n_images, max_bits, n_bands, digest
+  *     params, lineage ledger; probes read params from here so a
+  *     gate can never band differently than the build did;
+  *   - `{prefix}_intent` — torn-append marker (shared discipline).
+  */
+object ImageHashIndex {
+
+  private def requireNotTorn(spark: SparkSession, prefix: String,
+                             op: String): Unit =
+    require(!spark.catalog.tableExists(s"${prefix}_intent"),
+      s"$op: image index $prefix has a pending append intent marker " +
+        s"(${prefix}_intent) — a prior append crashed mid-fold; rebuild " +
+        "the index (or restore a consistent snapshot) first.")
+
+  private case class Meta(nImages: Long, maxBits: Int, nBands: Int,
+                          lineage: String, mBits: Int, k: Int)
+
+  private def readMeta(spark: SparkSession, prefix: String): Meta = {
+    val r = spark.table(s"${prefix}_stats").head()
+    Meta(r.getAs[Long]("n_images"), r.getAs[Int]("max_bits"),
+      r.getAs[Int]("n_bands"), r.getAs[String]("lineage"),
+      r.getAs[Int]("digest_mbits"), r.getAs[Int]("digest_k"))
+  }
+
+  /** (id, hash) projection with the loud id/hash contract: null ids
+    * or hashes would silently defeat the clash guard and pair
+    * reporting, so they raise ([[EditIndex]]'s discipline); callers
+    * filter undecodable images (null hashes from [[ImageHash
+    * .imageHashes]]) explicitly first — dropping them here silently
+    * would misreport corpus accounting.
+    */
+  private def keyed(df: DataFrame, idCol: String,
+                    hashCol: String): DataFrame =
+    df.select(
+      when(col(idCol).isNull || col(idCol).try_cast(LongType).isNull,
+        raise_error(concat(lit(s"ImageHashIndex: id column '$idCol' value '"),
+          coalesce(col(idCol).cast("string"), lit("NULL")),
+          lit("' is not castable to LONG — ids must be non-null integers"))))
+        .otherwise(col(idCol).try_cast(LongType)).as("id"),
+      when(col(hashCol).isNull,
+        raise_error(concat(lit(s"ImageHashIndex: null hash for id '"),
+          col(idCol).cast("string"),
+          lit(s"' — filter undecodable images before indexing"))))
+        .otherwise(col(hashCol).cast(LongType)).as("hash"))
+
+  /** (bk, id, hash) band postings of a keyed frame. */
+  private def banded(k: DataFrame, nBands: Int): DataFrame = {
+    val bandBits = 64 / nBands
+    k.select(explode(array((0 until nBands).map(j =>
+        (lit(j.toLong * 65536L) + shiftrightunsigned(col("hash"), j * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))).as(s"b$j")): _*)).as("bk"),
+      col("id"), col("hash"))
+  }
+
+  private def writeDigest(spark: SparkSession, prefix: String,
+                          words: Array[Long]): Unit = {
+    import spark.implicits._
+    Bucketing.dropTableAndLocation(spark, s"${prefix}_bdigest")
+    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq
+      .toDF("idx", "word").coalesce(1)
+      .write.mode("overwrite").saveAsTable(s"${prefix}_bdigest")
+  }
+
+  private def appendDigestWords(spark: SparkSession, prefix: String,
+                                deltaWords: Array[Long]): Unit = {
+    import spark.implicits._
+    val nz = deltaWords.zipWithIndex
+      .collect { case (w, i) if w != 0L => (i.toLong, w) }
+    if (nz.nonEmpty)
+      nz.toSeq.toDF("idx", "word").coalesce(1)
+        .write.mode("append").saveAsTable(s"${prefix}_bdigest")
+  }
+
+  private def readDigest(spark: SparkSession, prefix: String,
+                         mBits: Int): Array[Long] = {
+    val rows = spark.table(s"${prefix}_bdigest")
+      .groupBy(col("idx")).agg(bit_or(col("word")).as("word")).collect()
+    val words = new Array[Long](mBits / 64)
+    require(rows.length == words.length,
+      s"band digest ${prefix}_bdigest has ${rows.length} words, expected ${words.length}")
+    rows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  private def writeStats(spark: SparkSession, prefix: String, nImages: Long,
+                         maxBits: Int, nBands: Int, lineage: String,
+                         mBits: Int, digestK: Int): Unit = {
+    Bucketing.dropTableAndLocation(spark, s"${prefix}_stats")
+    spark.range(1).select(
+        lit(nImages).as("n_images"), lit(maxBits).as("max_bits"),
+        lit(nBands).as("n_bands"), lit(lineage).as("lineage"),
+        lit(mBits).as("digest_mbits"), lit(digestK).as("digest_k"))
+      .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
+  }
+
+  def buildImageIndex(hashes: DataFrame, idCol: String, hashCol: String,
+                      prefix: String, maxBits: Int = 3, nBands: Int = 4,
+                      lineage: String = "full", digestK: Int = 4): Unit = {
+    require(nBands >= 1 && 64 % nBands == 0,
+      s"buildImageIndex: nBands $nBands must divide 64")
+    require(maxBits >= 0 && maxBits < nBands,
+      s"buildImageIndex: maxBits $maxBits needs nBands > maxBits " +
+        "(pigeonhole completeness)")
+    val spark = hashes.sparkSession
+    val k = keyed(hashes, idCol, hashCol)
+    Bucketing.dropTableAndLocation(spark, s"${prefix}_hashes")
+    k.write.mode("overwrite").saveAsTable(s"${prefix}_hashes")
+    Bucketing.dropTableAndLocation(spark, s"${prefix}_bands")
+    banded(spark.table(s"${prefix}_hashes"), nBands)
+      .write.mode("overwrite").saveAsTable(s"${prefix}_bands")
+    val nImages = spark.table(s"${prefix}_hashes").count()
+    val mBits = Retrieval.digestSizing(nImages * nBands)
+    writeDigest(spark, prefix, Bloom.buildLongKeyBloom(
+      spark.table(s"${prefix}_bands").select(col("bk")).distinct(),
+      "bk", mBits, digestK))
+    writeStats(spark, prefix, nImages, maxBits, nBands, lineage, mBits,
+      digestK)
+    Bucketing.dropTableAndLocation(spark, s"${prefix}_intent")
+  }
+
+  /** All (delta_id, index_id, dist <= maxBits) pairs between a probe
+    * batch's hashes and everything ever admitted — the oracle
+    * replays this as a brute-force Hamming cross join (the banded
+    * filter is pigeonhole-complete, verification exact).
+    *
+    * Plan shape: delta band keys are delta-sized × nBands; the
+    * digest drops keys the index has never seen; survivors BROADCAST
+    * into the band-postings scan whose denormalized hash lets
+    * `bit_count(xor)` verify MAP-SIDE — candidates never shuffle,
+    * and the one exchange carries match-set-sized rows into the
+    * final distinct.
+    */
+  def gateImageMatches(spark: SparkSession, prefix: String,
+                       delta: DataFrame, idCol: String,
+                       hashCol: String): DataFrame = {
+    requireNotTorn(spark, prefix, "gateImageMatches")
+    val m = readMeta(spark, prefix)
+    val dk = banded(keyed(delta, idCol, hashCol), m.nBands)
+      .select(col("bk"), col("id").as("delta_id"),
+        col("hash").as("delta_hash"))
+    val words = readDigest(spark, prefix, m.mBits)
+    val flagged = dk.filter(Bloom.longKeyBloomMayContain(
+      col("bk"), words, m.mBits, m.k))
+    if (flagged.isEmpty)
+      spark.range(0).select(lit(0L).as("delta_id"),
+        lit(0L).as("index_id"), lit(0L).as("dist"))
+    else broadcast(flagged)
+      .join(spark.table(s"${prefix}_bands")
+        .select(col("bk"), col("id").as("index_id"),
+          col("hash").as("index_hash")), Seq("bk"))
+      .withColumn("dist",
+        bit_count(col("delta_hash").bitwiseXOR(col("index_hash")))
+          .cast(LongType))
+      .filter(col("dist") <= m.maxBits)
+      .select(col("delta_id"), col("index_id"), col("dist"))
+      .distinct()
+  }
+
+  /** Append NEW images in O(delta): hashes + band postings land
+    * beside the existing tables, the band digest grows by the
+    * delta's nonzero Bloom words (full rebuild only at a
+    * [[Retrieval.digestSizing]] resize boundary), the fold is
+    * bracketed by the intent marker, and re-submitted ids are
+    * refused (an id collision would fork verification).
+    */
+  def appendToImageIndex(spark: SparkSession, prefix: String,
+                         newImgs: DataFrame, idCol: String, hashCol: String,
+                         lineageTag: String = ""): Unit = {
+    require(!newImgs.isEmpty, "appendToImageIndex: delta is empty — " +
+      "nothing to append (guard upstream, or skip the fold)")
+    requireNotTorn(spark, prefix, "appendToImageIndex")
+    val m = readMeta(spark, prefix)
+    val deltaFp = IndexStore.corpusFingerprint(newImgs, Seq(idCol, hashCol))
+    val entry = if (lineageTag.nonEmpty) s"$lineageTag:$deltaFp" else deltaFp
+    val k = keyed(newImgs, idCol, hashCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val clash = spark.table(s"${prefix}_hashes")
+        .join(k.select(col("id")), Seq("id"), "left_semi")
+        .select(col("id")).limit(1).collect()
+      require(clash.isEmpty,
+        s"appendToImageIndex: delta re-submits image id " +
+          s"${clash.headOption.map(_.get(0)).getOrElse("")} already in " +
+          s"$prefix — append is for NEW images; rebuild to replace")
+      Bucketing.dropTableAndLocation(spark, s"${prefix}_intent")
+      spark.range(1).select(lit(entry).as("entry"),
+          lit(m.nImages).as("n_images_before"))
+        .write.mode("overwrite").saveAsTable(s"${prefix}_intent")
+      k.write.mode("append").saveAsTable(s"${prefix}_hashes")
+      val bands = banded(k, m.nBands)
+      bands.write.mode("append").saveAsTable(s"${prefix}_bands")
+      val nTotal = m.nImages + k.count()
+      val mBits = Retrieval.digestSizing(nTotal * m.nBands)
+      if (mBits == m.mBits)
+        appendDigestWords(spark, prefix, Bloom.buildLongKeyBloom(
+          bands.select(col("bk")).distinct(), "bk", mBits, m.k))
+      else // resize boundary: the one full-postings rebuild
+        writeDigest(spark, prefix, Bloom.buildLongKeyBloom(
+          spark.table(s"${prefix}_bands").select(col("bk")).distinct(),
+          "bk", mBits, m.k))
+      writeStats(spark, prefix, nTotal, m.maxBits, m.nBands,
+        s"${m.lineage}+$entry", mBits, m.k)
+      Bucketing.dropTableAndLocation(spark, s"${prefix}_intent") // commit
+    } finally k.unpersist(blocking = false)
+  }
+
+  private val Tables = Seq("hashes", "bands", "bdigest", "stats")
+
+  /** Build-once gate keyed by hash-corpus fingerprint + params. */
+  def imageIndexCached(hashes: DataFrame, idCol: String, hashCol: String,
+                       maxBits: Int = 3, nBands: Int = 4,
+                       namespace: String = "imgidx_v1"): String = {
+    val spark = hashes.sparkSession
+    val fp = IndexStore.corpusFingerprint(hashes, Seq(idCol, hashCol))
+    val prefix = s"${namespace}_${fp}_d${maxBits}b$nBands"
+    val have = Tables.forall(s => spark.catalog.tableExists(s"${prefix}_$s"))
+    if (!have) buildImageIndex(hashes, idCol, hashCol, prefix, maxBits,
+      nBands, lineage = fp)
+    prefix
+  }
+
+  /** Build-once gate for the appended composite, idempotent via the
+    * lineage ledger (the [[EditIndex.editAppendCached]] shape).
+    */
+  def imageAppendCached(base: DataFrame, delta: DataFrame,
+                        idCol: String, hashCol: String,
+                        maxBits: Int = 3, nBands: Int = 4): String = {
+    val spark = base.sparkSession
+    val baseFp = IndexStore.corpusFingerprint(base, Seq(idCol, hashCol))
+    val deltaFp = IndexStore.corpusFingerprint(delta, Seq(idCol, hashCol))
+    val prefix = s"imgidx_v1_${baseFp}_plus_${deltaFp}_d${maxBits}b$nBands"
+    val have = Tables.forall(s => spark.catalog.tableExists(s"${prefix}_$s"))
+    if (!have) buildImageIndex(base, idCol, hashCol, prefix, maxBits, nBands,
+      lineage = baseFp)
+    val lineage = spark.table(s"${prefix}_stats").head()
+      .getAs[String]("lineage")
+    if (!IvfIndex.lineageHasFingerprint(lineage, deltaFp))
+      appendToImageIndex(spark, prefix, delta, idCol, hashCol)
+    prefix
+  }
+}

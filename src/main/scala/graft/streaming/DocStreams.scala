@@ -685,6 +685,33 @@ object DocStreams {
     }
   }
 
+  /** Live image near-dup index maintenance — the pixel-tier twin of
+    * [[DedupIndexMaintainer]]: each micro-batch's (id, hash) rows
+    * (hashed upstream by [[graft.operators.ImageHash.imageHashes]];
+    * undecodables filtered by the caller) append to the persisted
+    * banded-Hamming index ([[graft.operators.ImageHashIndex]]).
+    * Admission policy stays the caller's via `gateImageMatches`;
+    * exactly-once rests on the shared lineage-ledger batchId tags +
+    * intent marker, with the id guard refusing replayed rows that
+    * somehow bypass the ledger.
+    */
+  final class ImageIndexMaintainer(spark: org.apache.spark.sql.SparkSession,
+                                   prefix: String, idCol: String,
+                                   hashCol: String) {
+    import graft.operators.{ImageHashIndex, IvfIndex}
+
+    def appendBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batch.isEmpty) return
+      val sp = batch.sparkSession
+      val tag = s"b$batchId"
+      if (IvfIndex.lineageHasTag(sp, prefix, tag)) return // retry: done
+      ImageHashIndex.appendToImageIndex(sp, prefix, batch, idCol, hashCol,
+        lineageTag = tag)
+      Seq("hashes", "bands", "bdigest", "stats")
+        .foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
+    }
+  }
+
   /** Live edit-similarity (entity-resolution) index maintenance — the
     * fuzzy-key twin of [[DedupIndexMaintainer]]: each micro-batch's
     * records are appended to the persisted gram index

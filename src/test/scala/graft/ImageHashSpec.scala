@@ -16,22 +16,23 @@ class ImageHashSpec extends AnyFunSuite {
     ImageHash.imageHashes(blobs, "id", "bytes", "format")
   }
 
-  test("dhashPairs == brute-force Hamming join (d=3 and d=2)") {
-    val hashes = fixtureHashes(200).filter(col("dhash").isNotNull)
-    for (maxBits <- Seq(2, 3)) {
-      val got = ImageHash.dhashPairs(hashes, "id", "dhash", maxBits, nBands = 4)
+  test("dhashPairs == brute-force Hamming join (d=3 and d=2; dhash and phash)") {
+    val hashes = fixtureHashes(200).filter(col("dhash").isNotNull).cache()
+    for (hcol <- Seq("dhash", "phash"); maxBits <- Seq(2, 3)) {
+      val got = ImageHash.dhashPairs(hashes, "id", hcol, maxBits, nBands = 4)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      val a = hashes.select(col("id").as("a_id"), col("dhash").as("a_h"))
-      val b = hashes.select(col("id").as("b_id"), col("dhash").as("b_h"))
+      val a = hashes.select(col("id").as("a_id"), col(hcol).as("a_h"))
+      val b = hashes.select(col("id").as("b_id"), col(hcol).as("b_h"))
       val brute = a.join(b, col("a_id") < col("b_id"))
         .withColumn("dist",
           bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("long"))
         .filter(col("dist") <= maxBits)
         .select("a_id", "b_id", "dist").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      assert(got === brute, s"maxBits=$maxBits")
+      assert(got === brute, s"$hcol maxBits=$maxBits")
       assert(brute.nonEmpty, "fixture must exercise real near-dup pairs")
     }
+    hashes.unpersist(blocking = false)
   }
 
   test("same pixels through BMP and PNG containers hash identically") {
@@ -42,7 +43,9 @@ class ImageHashSpec extends AnyFunSuite {
     val png = Multimodal.buildPng(12, 9, pix)
     assert(ImageHash.dhash64(bmp, "bmp") === ImageHash.dhash64(png, "png"))
     assert(ImageHash.ahash64(bmp, "bmp") === ImageHash.ahash64(png, "png"))
+    assert(ImageHash.phash64(bmp, "bmp") === ImageHash.phash64(png, "png"))
     assert(ImageHash.dhash64(bmp, "bmp") != null)
+    assert(ImageHash.phash64(bmp, "bmp") != null)
   }
 
   test("near-identical images land within a few bits; unrelated far apart") {
@@ -55,6 +58,12 @@ class ImageHashSpec extends AnyFunSuite {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(h1, h2) <= 4, s"nudge moved ${ham(h1, h2)} bits")
     assert(ham(h1, h3) > 8, s"unrelated only ${ham(h1, h3)} bits apart")
+    // the DCT tier shows the same near/far structure
+    val p1 = ImageHash.phash64(Multimodal.buildBmp(16, 12, base), "bmp")
+    val p2 = ImageHash.phash64(Multimodal.buildBmp(16, 12, nudged), "bmp")
+    val p3 = ImageHash.phash64(Multimodal.buildBmp(16, 12, other), "bmp")
+    assert(ham(p1, p2) <= 8, s"phash nudge moved ${ham(p1, p2)} bits")
+    assert(ham(p1, p3) > 8, s"phash unrelated only ${ham(p1, p3)} bits apart")
   }
 
   test("decompression bomb: huge header dims rejected before decode") {
