@@ -177,6 +177,7 @@ object ScaleSmoke {
     val runR12c = only.isEmpty || only.contains("r12c")
     val runR12d = only.isEmpty || only.contains("r12d")
     val runR13 = only.isEmpty || only.contains("r13")
+    val runR13b = only.isEmpty || only.contains("r13b")
     val results = (if (!runMain) Seq.empty[(String, Double, Long)] else Seq(
       time("minhash_lsh_1x") {
         Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 64, 16, 3, 0.5)
@@ -1112,6 +1113,65 @@ object ScaleSmoke {
             strategy = "qgram").queryExecution.toRdd.count() })
       Seq(ed1, edK, probe13).foreach(_.unpersist(blocking = false))
       edr
+    }) ++ (if (!runR13b) Seq.empty[(String, Double, Long)] else {
+      // ROUND-13b: the IMAGE index's corpus-vs-delta rows. Replica
+      // images come from disjoint doc-id ranges (bmp_near bases
+      // differ → pixel content differs → hashes differ), so index
+      // size grows K-fold without K-clique match growth. The probe
+      // batch is FIXED (500 images from an id range outside both
+      // corpora). The honest expectation is NOT digest-cleared
+      // corpus-FLAT like the text families: band values live in a
+      // 16-bit space, so at 20x (1.5M band rows over 4×65536 keys)
+      // most probe keys exist somewhere and cost rests on the band
+      // join's per-key lists (~n/65536) — expected mildly
+      // superlinear-in-K verification volume, measured here.
+      import graft.operators.{ImageHash, ImageHashIndex, Multimodal}
+      def imgHashes(ids: DataFrame): DataFrame =
+        ImageHash.imageHashes(
+            Multimodal.synthMediaBlobs(ids, "doc_id", "bmp_near")
+              .withColumn("format", lit("bmp")),
+            "id", "bytes", "format")
+          .filter(col("dhash").isNotNull).select(col("id"), col("dhash"))
+      val im1 = imgHashes(docs1.select(col("doc_id"))).cache()
+      val imN = im1.count()
+      val imK = imgHashes(
+        (0 until k).map(r => docs1.select((col("doc_id") + lit(r * offset))
+          .as("doc_id"))).reduce(_ unionByName _).repartition(32))
+        .cache()
+      imK.count()
+      val imProbe = imgHashes(spark.range(500)
+        .select((col("id") + 77000000L).as("doc_id"))).cache()
+      imProbe.count()
+      Seq("ss_im_1x", s"ss_im_${k}x").foreach { p =>
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(_.startsWith(p))
+          .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _))
+      }
+      val imr = Seq(
+        time("imageidx_build_1x") {
+          ImageHashIndex.buildImageIndex(im1, "id", "dhash", "ss_im_1x")
+          imN },
+        time(s"imageidx_build_${k}x") {
+          ImageHashIndex.buildImageIndex(imK, "id", "dhash", s"ss_im_${k}x")
+          imN * k },
+        time("imageidx_gate_1x") {
+          ImageHashIndex.gateImageMatches(spark, "ss_im_1x", imProbe,
+            "id", "dhash").queryExecution.toRdd.count() },
+        time(s"imageidx_gate_${k}x") {
+          ImageHashIndex.gateImageMatches(spark, s"ss_im_${k}x", imProbe,
+            "id", "dhash").queryExecution.toRdd.count() },
+        time("imageidx_append_1x") {
+          ImageHashIndex.appendToImageIndex(spark, "ss_im_1x",
+            imgHashes(spark.range(500)
+              .select((col("id") + 78000000L).as("doc_id"))),
+            "id", "dhash"); 500L },
+        time(s"imageidx_append_${k}x") {
+          ImageHashIndex.appendToImageIndex(spark, s"ss_im_${k}x",
+            imgHashes(spark.range(500)
+              .select((col("id") + 78000000L).as("doc_id"))),
+            "id", "dhash"); 500L })
+      Seq(im1, imK, imProbe).foreach(_.unpersist(blocking = false))
+      imr
     })
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
@@ -1138,7 +1198,8 @@ object ScaleSmoke {
         "unigram_train", "unigram_apply", "c4_rules",
         "edit_join", "kmv_sketch", "ddsketch",
         "editidx_build", "editidx_gate", "editidx_append",
-        "edit_join_del", "edit_join_qgram").foreach { base =>
+        "edit_join_del", "edit_join_qgram",
+        "imageidx_build", "imageidx_gate", "imageidx_append").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

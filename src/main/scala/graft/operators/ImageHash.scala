@@ -325,8 +325,10 @@ object ImageHash {
     */
   def dhashPairs(hashes: DataFrame, idCol: String, hashCol: String,
                  maxBits: Int = 3, nBands: Int = 4): DataFrame = {
-    require(nBands >= 1 && 64 % nBands == 0,
-      s"dhashPairs: nBands $nBands must divide 64")
+    require(nBands >= 2 && 64 % nBands == 0,
+      s"dhashPairs: nBands $nBands must divide 64 and be >= 2 (a " +
+        "single 64-bit band is exact-duplicate matching — and 1L<<64 " +
+        "wraps, so the band mask would silently zero out)")
     require(maxBits >= 0 && maxBits < nBands,
       s"dhashPairs: maxBits $maxBits needs nBands > maxBits for the " +
         s"pigeonhole completeness guarantee (got $nBands bands)")

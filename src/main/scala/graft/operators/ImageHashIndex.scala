@@ -80,11 +80,15 @@ object ImageHashIndex {
           lit(s"' — filter undecodable images before indexing"))))
         .otherwise(col(hashCol).cast(LongType)).as("hash"))
 
-  /** (bk, id, hash) band postings of a keyed frame. */
+  /** (bk, id, hash) band postings of a keyed frame. bk packs
+    * (band, value) collision-free: value < 2^bandBits <= 2^32 (the
+    * nBands >= 2 floor), so the band index shifted past bit 48
+    * can never alias another band's value range.
+    */
   private def banded(k: DataFrame, nBands: Int): DataFrame = {
     val bandBits = 64 / nBands
     k.select(explode(array((0 until nBands).map(j =>
-        (lit(j.toLong * 65536L) + shiftrightunsigned(col("hash"), j * bandBits)
+        (lit(j.toLong << 48) + shiftrightunsigned(col("hash"), j * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1))).as(s"b$j")): _*)).as("bk"),
       col("id"), col("hash"))
   }
@@ -133,8 +137,10 @@ object ImageHashIndex {
   def buildImageIndex(hashes: DataFrame, idCol: String, hashCol: String,
                       prefix: String, maxBits: Int = 3, nBands: Int = 4,
                       lineage: String = "full", digestK: Int = 4): Unit = {
-    require(nBands >= 1 && 64 % nBands == 0,
-      s"buildImageIndex: nBands $nBands must divide 64")
+    require(nBands >= 2 && 64 % nBands == 0,
+      s"buildImageIndex: nBands $nBands must divide 64 and be >= 2 " +
+        "(a single 64-bit band is exact-duplicate matching — use a " +
+        "plain equi-join on the hash)")
     require(maxBits >= 0 && maxBits < nBands,
       s"buildImageIndex: maxBits $maxBits needs nBands > maxBits " +
         "(pigeonhole completeness)")

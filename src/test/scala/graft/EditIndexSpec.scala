@@ -97,6 +97,26 @@ class EditIndexSpec extends AnyFunSuite {
       (11L, 5L, 0L), (11L, 4L, 1L)))
   }
 
+  test("[deletion] maxDist=2 gate == brute-force cross truth (two-deletion variants)") {
+    cleanup("ed2")
+    val cust = Tables.table(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val corp = cust.filter(col("id") % 5 =!= 0)
+    val delta = cust.filter(col("id") % 5 === 0)
+    EditIndex.buildEditIndex(corp, "id", "s", "ed2", maxDist = 2, q = 3,
+      strategy = "deletion")
+    val truth = delta.select(col("id").as("delta_id"), col("s").as("ds"))
+      .join(corp.select(col("id").as("index_id"), col("s").as("cs")),
+        levenshtein(col("ds"), col("cs")) <= 2)
+      .withColumn("dist", levenshtein(col("ds"), col("cs")).cast("long"))
+      .select("delta_id", "index_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gateSet("ed2", delta) === truth)
+    // d=2 must find strictly more than d=1 on this fixture
+    assert(truth.exists(_._3 === 2L), "fixture must exercise dist-2 matches")
+    cleanup("ed2")
+  }
+
   test("torn intent marker refuses gate and append loudly") {
     cleanup("edt")
     val corp = Seq((1L, "hello world")).toDF("id", "s")

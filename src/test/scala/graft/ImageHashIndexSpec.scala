@@ -51,6 +51,18 @@ class ImageHashIndexSpec extends AnyFunSuite {
     cleanup("img")
   }
 
+  test("nBands=2 (32-bit band values): gate == brute truth — bk packing is collision-free") {
+    cleanup("imw")
+    val hashes = fixtureHashes(200).cache(); hashes.count()
+    val corp = hashes.filter(col("id") % 5 =!= 0)
+    val delta = hashes.filter(col("id") % 5 === 0)
+    ImageHashIndex.buildImageIndex(corp, "id", "dhash", "imw",
+      maxBits = 1, nBands = 2)
+    assert(gateSet("imw", delta) === bruteCross(delta, corp, 1))
+    hashes.unpersist(blocking = false)
+    cleanup("imw")
+  }
+
   test("append ≡ rebuild: gate answers identical after an O(delta) fold") {
     cleanup("ima")
     cleanup("imb")

@@ -105,7 +105,7 @@ class ImageHashSpec extends AnyFunSuite {
     assert(out === Map(1L -> false, 2L -> true, 3L -> true))
   }
 
-  test("pigeonhole guard: maxBits >= nBands refused loudly") {
+  test("pigeonhole guard: maxBits >= nBands and degenerate bands refused loudly") {
     val hashes = fixtureHashes(8)
     assertThrows[IllegalArgumentException] {
       ImageHash.dhashPairs(hashes, "id", "dhash", maxBits = 4, nBands = 4)
@@ -113,5 +113,26 @@ class ImageHashSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       ImageHash.dhashPairs(hashes, "id", "dhash", maxBits = 1, nBands = 7)
     }
+    assertThrows[IllegalArgumentException] {
+      ImageHash.dhashPairs(hashes, "id", "dhash", maxBits = 0, nBands = 1)
+    }
+  }
+
+  test("banding == brute force at every legal band width (2/8/32 bands)") {
+    val hashes = fixtureHashes(120).filter(col("dhash").isNotNull).cache()
+    val a = hashes.select(col("id").as("a_id"), col("dhash").as("a_h"))
+    val b = hashes.select(col("id").as("b_id"), col("dhash").as("b_h"))
+    for ((nBands, maxBits) <- Seq((2, 1), (8, 5), (32, 9))) {
+      val got = ImageHash.dhashPairs(hashes, "id", "dhash", maxBits, nBands)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = a.join(b, col("a_id") < col("b_id"))
+        .withColumn("dist",
+          bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("long"))
+        .filter(col("dist") <= maxBits)
+        .select("a_id", "b_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === brute, s"nBands=$nBands maxBits=$maxBits")
+    }
+    hashes.unpersist(blocking = false)
   }
 }
