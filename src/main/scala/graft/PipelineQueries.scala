@@ -2096,6 +2096,25 @@ object PipelineQueries {
           windowSeconds = 3600L)
         .orderBy(col("conv_id"))),
 
+    // ---- the COMPOSED engagement pipeline's batch twin, oracle-
+    //      checked end to end: a dedup-shaped admission (docs whose
+    //      text was never in the %3==0 corpus) filters the actors,
+    //      then all six engagement twins' facts union into one
+    //      normalized table — funnel verdicts, attribution credits,
+    //      cohort facts, session paths, micro-floored EWMA, Markov
+    //      transitions. The streaming form of the same composition
+    //      is StreamingSpec's stream ≡ batch claim ----
+    "events_engagement_batch" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 3 === 0).select(col("text"))
+      val admitted = docs.join(corpus, Seq("text"), "left_anti")
+        .select(col("doc_id").as("id"))
+      graft.streaming.EventStreams.engagementFactsBatch(
+          t(s, d, "events"), admitted, "id", ewmaEncoding = "micro")
+        .toDF()
+        .orderBy(col("kind"), col("user_id"), col("k"), col("v"))
+    }),
+
     // ---- gap-based sessionization (batch twin of the streaming op) ----
     "events_sessionize" -> ((s, d) =>
       EventStreams.sessionizeBatch(t(s, d, "events"), gapSeconds = 1800)
@@ -5074,6 +5093,117 @@ object PipelineQueries {
          SELECT path, n_sessions, n_converted,
            CAST(n_converted * 1000000 // n_sessions AS BIGINT) AS conv_micro
          FROM h ORDER BY n_sessions DESC, path LIMIT 50""",
+    "events_engagement_batch" ->
+      """WITH corp AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+         adm AS (
+           SELECT doc_id AS id FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM corp c WHERE c.text = d.text)),
+         ev AS (
+           SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value
+           FROM events e
+           WHERE EXISTS (SELECT 1 FROM adm a WHERE a.id = e.user_id)),
+         fw AS (
+           SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM ev),
+         fsx AS (
+           SELECT user_id, ts, event_type, event_id,
+             CAST(SUM(CASE WHEN prev_ts IS NULL
+                 OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+           FROM fw),
+         fagg AS (
+           SELECT user_id, sid,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS fstart,
+             MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS lend
+           FROM fsx GROUP BY 1, 2),
+         funnel AS (
+           SELECT 'funnel' AS kind, user_id, CAST(sid AS VARCHAR) AS k,
+             CAST(lend IS NOT NULL AND lend >= fstart AS VARCHAR) AS v
+           FROM fagg WHERE fstart IS NOT NULL),
+         ac AS (
+           SELECT event_id, user_id, epoch_us(ts) AS us
+           FROM ev WHERE event_type = 'purchase'),
+         at2 AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+           FROM ev WHERE event_type IN ('click', 'view', 'signup')),
+         aj AS (
+           SELECT c.event_id AS conv_id, t.event_id AS tid, t.event_type AS ttp,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+               ORDER BY t.us ASC, t.event_id ASC) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+               ORDER BY t.us DESC, t.event_id DESC) AS rl
+           FROM ac c JOIN at2 t ON t.user_id = c.user_id
+             AND t.us BETWEEN c.us - 86400000000 AND c.us),
+         af AS (SELECT conv_id, tid AS fid, ttp AS ftp FROM aj WHERE rf = 1),
+         al AS (SELECT conv_id, tid AS lid, ttp AS ltp FROM aj WHERE rl = 1),
+         attr AS (
+           SELECT 'attribution' AS kind, c.user_id AS user_id,
+             CAST(c.event_id AS VARCHAR) AS k,
+             CAST(COALESCE(f.fid, -1) AS VARCHAR) || ':' ||
+               COALESCE(f.ftp, '') || '>' ||
+               CAST(COALESCE(l.lid, -1) AS VARCHAR) || ':' ||
+               COALESCE(l.ltp, '') AS v
+           FROM ac c LEFT JOIN af f ON f.conv_id = c.event_id
+                     LEFT JOIN al l ON l.conv_id = c.event_id),
+         cper AS (
+           SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS period
+           FROM ev),
+         coh AS (
+           SELECT 'cohort' AS kind, user_id,
+             CAST(MIN(period) OVER (PARTITION BY user_id) AS VARCHAR) AS k,
+             CAST(period AS VARCHAR) AS v
+           FROM cper),
+         pw AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS pus
+           FROM ev),
+         psx AS (
+           SELECT user_id, event_id, event_type, us,
+             CAST(SUM(CASE WHEN pus IS NULL OR us - pus > 1800000000
+               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+           FROM pw),
+         pagg AS (
+           SELECT user_id, sid,
+             array_to_string(list_slice(
+               list(event_type ORDER BY us, event_id), 1, 8), '>') AS path,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+           FROM psx GROUP BY 1, 2),
+         paths AS (
+           SELECT 'path' AS kind, user_id, path AS k,
+             CAST(conv = 1 AS VARCHAR) AS v
+           FROM pagg),
+         eper AS (
+           SELECT user_id, COUNT(*) AS n,
+             list(value ORDER BY ts, event_id) AS vs
+           FROM ev GROUP BY user_id),
+         ew AS (
+           SELECT 'ewma' AS kind, user_id, CAST(n AS VARCHAR) AS k,
+             CAST(CAST(floor(list_reduce(vs,
+               (acc, x) -> acc * 0.5 + x * 0.5) * 1000000.0) AS BIGINT)
+               AS VARCHAR) AS v
+           FROM eper),
+         tw AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS ptp
+           FROM ev),
+         trans AS (
+           SELECT 'transition' AS kind, user_id, ptp AS k, event_type AS v
+           FROM tw WHERE ptp IS NOT NULL),
+         allf AS (
+           SELECT * FROM funnel UNION ALL SELECT * FROM attr
+           UNION ALL SELECT * FROM coh UNION ALL SELECT * FROM paths
+           UNION ALL SELECT * FROM ew UNION ALL SELECT * FROM trans)
+         SELECT kind, user_id, k, v FROM allf
+         ORDER BY kind, user_id, k, v""",
     "events_attribution" ->
       """WITH c AS (
            SELECT event_id, user_id, epoch_us(ts) AS us

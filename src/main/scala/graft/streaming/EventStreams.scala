@@ -783,7 +783,12 @@ object EventStreams {
                            lookbackSeconds: Long = 86400L,
                            periodSeconds: Long = 86400L,
                            alpha: Double = 0.5,
-                           excludeOpenTail: Boolean = false): Dataset[EngagementFact] = {
+                           excludeOpenTail: Boolean = false,
+                           ewmaEncoding: String = "bits"): Dataset[EngagementFact] = {
+    require(ewmaEncoding == "bits" || ewmaEncoding == "micro",
+      s"engagementFactsBatch: ewmaEncoding '$ewmaEncoding' (bits|micro) — " +
+        "bits is the lossless raw-IEEE form the stream comparison uses; " +
+        "micro (floor(v*10^6)) is the oracle-portable form")
     val spark = events.sparkSession
     import spark.implicits._
     val ev = events
@@ -793,14 +798,22 @@ object EventStreams {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .cache()
-    val lastSid = sessionizeBatch(ev, gapSeconds)
+    // each session kind excludes its open tail under ITS OWN session
+    // numbering: funnel sessions break on the SECONDS gap
+    // (sessionizeBatch ≡ funnelStream's floorDiv(ms, 1000) test),
+    // path sessions on the MICROS gap — an event pair straddling the
+    // second boundary (e.g. 1800.5 s apart at gap 1800) splits one
+    // numbering but not the other, so sharing one last-sid table
+    // would drop the wrong session
+    val lastFunnelSid = sessionizeBatch(ev, gapSeconds)
       .groupBy(col("user_id")).agg(max(col("session_id")).as("__last_sid"))
-    def dropTail(df: DataFrame, sidCol: String): DataFrame =
+    def dropTail(df: DataFrame, sidCol: String,
+                 lastSid: DataFrame): DataFrame =
       if (!excludeOpenTail) df
       else df.join(lastSid, Seq("user_id"))
         .filter(col(sidCol) =!= col("__last_sid")).drop("__last_sid")
     val funnel = dropTail(funnelBatch(ev, gapSeconds, startType, convType),
-        "session_id")
+        "session_id", lastFunnelSid)
       .select(lit("funnel").as("kind"), col("user_id"),
         col("session_id").cast("string").as("k"),
         col("converted").cast("string").as("v"))
@@ -831,6 +844,8 @@ object EventStreams {
           lag(us, 1).over(wu).isNull, 1L).otherwise(0L))
       .withColumn("__sid", sum(col("__new")).over(
         wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val lastPathSid = sess.groupBy(col("user_id"))
+      .agg(max(col("__sid")).as("__last_sid"))
     val paths = dropTail(
       sess.groupBy(col("user_id"), col("__sid"))
         .agg(
@@ -839,7 +854,7 @@ object EventStreams {
               col("event_id").as("id"), col("event_type").as("tp")))),
             x => x.getField("tp")), 1, 8)).as("path"),
           max(when(col("event_type") === convType, 1L).otherwise(0L))
-            .as("__conv")), "__sid")
+            .as("__conv")), "__sid", lastPathSid)
       .select(lit("path").as("kind"), col("user_id"), col("path").as("k"),
         (col("__conv") === 1L).cast("string").as("v"))
     val ewma = ev
@@ -853,7 +868,8 @@ object EventStreams {
           .as("val"))
       .as[(Long, Long, Double)]
       .map { case (u, n, v) => EngagementFact("ewma", u, n.toString,
-        java.lang.Double.doubleToRawLongBits(v).toString) }
+        if (ewmaEncoding == "micro") math.floor(v * 1e6).toLong.toString
+        else java.lang.Double.doubleToRawLongBits(v).toString) }
     val trans = ev
       .withColumn("__prev", lag(col("event_type"), 1).over(wu))
       .filter(col("__prev").isNotNull)
