@@ -4382,7 +4382,7 @@ object PipelineQueries {
              GREATEST(CAST(0 AS BIGINT),
                n_kept + (CASE WHEN ph4 % 2 = 0 THEN 1 ELSE -1 END)
                  * CAST(FLOOR(ln(CAST(ph3 + 1 AS DOUBLE) / 1000000008.0)
-                   / (-0.5)) AS BIGINT)) AS n_noisy
+                   * 3.0 / (-0.5)) AS BIGINT)) AS n_noisy
            FROM w)
          SELECT st AS o_orderstatus, n_kept, sum_clamped, sum_noisy, n_noisy,
            GREATEST(CAST(0 AS BIGINT), sum_noisy) * 1000000

@@ -447,12 +447,12 @@ object Quality {
     *      because tied rows contribute identical values — so one
     *      actor's influence on any key's sum is bounded by
     *      Δ = maxPerActor · max(|clampLo|, |clampHi|),
-    *   3. add two-sided geometric noise with the scale widened by Δ
-    *      (the geometric mechanism calibrated to the bounded
-    *      sensitivity: α = e^(−ε/Δ)), clamp the released count at
-    *      zero, and derive the mean from the NOISY sum over the
-    *      NOISY count (post-processing — releasing both costs the
-    *      two budgets already spent, no more).
+    *   3. add two-sided geometric noise calibrated to the bounded
+    *      sensitivities — Δ/ε on the sum, maxPerActor/ε on the count
+    *      (one actor still owns up to maxPerActor KEPT rows) — clamp
+    *      the released count at zero, and derive the mean from the
+    *      NOISY sum over the NOISY count (post-processing — releasing
+    *      both costs the two budgets already spent, no more).
     *
     * Values must be pre-quantized integers (cents/micros — the
     * repo's exact-integer discipline); everything through the clamp
@@ -497,13 +497,17 @@ object Quality {
     def draw(sd: Long): Column =
       (pmod(Frames.portableHash(h, sd), lit(p)) + lit(1L))
         .cast("double") / lit((p + 1).toDouble)
-    // sum noise at scale Δ/ε, count noise at scale 1/ε — identical
-    // expression shape on both engines so the floored doubles agree
+    // sum noise at scale Δ/ε; count noise at scale maxPerActor/ε —
+    // after per-actor bounding one actor still owns up to maxPerActor
+    // KEPT rows, so the released count's sensitivity is maxPerActor,
+    // not 1. Identical expression shape on both engines so the
+    // floored doubles agree.
     val sumMag = floor(log(draw(seed)) * lit(delta.toDouble) / lit(-epsilon))
       .cast("long")
     val sumSign = when(pmod(Frames.portableHash(h, seed + 1), lit(2L)) === 0L,
       lit(1L)).otherwise(lit(-1L))
-    val cntMag = floor(log(draw(seed + 2)) / lit(-epsilon)).cast("long")
+    val cntMag = floor(log(draw(seed + 2)) * lit(maxPerActor.toDouble) /
+      lit(-epsilon)).cast("long")
     val cntSign = when(pmod(Frames.portableHash(h, seed + 3), lit(2L)) === 0L,
       lit(1L)).otherwise(lit(-1L))
     sums
