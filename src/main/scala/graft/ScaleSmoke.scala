@@ -178,6 +178,7 @@ object ScaleSmoke {
     val runR12d = only.isEmpty || only.contains("r12d")
     val runR13 = only.isEmpty || only.contains("r13")
     val runR13b = only.isEmpty || only.contains("r13b")
+    val runR13c = only.isEmpty || only.contains("r13c")
     val results = (if (!runMain) Seq.empty[(String, Double, Long)] else Seq(
       time("minhash_lsh_1x") {
         Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 64, 16, 3, 0.5)
@@ -1172,6 +1173,33 @@ object ScaleSmoke {
             "id", "dhash"); 500L })
       Seq(im1, imK, imProbe).foreach(_.unpersist(blocking = false))
       imr
+    }) ++ (if (!runR13c) Seq.empty[(String, Double, Long)] else {
+      // ROUND-13c: the composed engagement pipeline's batch twin at
+      // 1x vs Kx events. Event replicas carry DISJOINT user ranges
+      // (the evK shape), so per-actor series stay constant and only
+      // actor count grows — the honest linear shape for a
+      // composition of actor-keyed windows; all actors admitted (the
+      // admission semi-join is measured as part of the plan).
+      import graft.streaming.EventStreams
+      def admitted(ev: DataFrame) =
+        ev.select(col("user_id").as("id")).distinct()
+      Seq(
+        time("engagement_batch_1x") {
+          EventStreams.engagementFactsBatch(
+            Tables.table(spark, sfDir, "events")
+              .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value")),
+            admitted(ev1), "id").queryExecution.toRdd.count() },
+        time(s"engagement_batch_${k}x") {
+          val evKv = (0 until k).map { r =>
+            Tables.table(spark, sfDir, "events")
+              .select((col("event_id") + lit(r * offset)).as("event_id"),
+                col("ts"),
+                (col("user_id") + lit(r * offset)).as("user_id"),
+                col("event_type"), col("value"))
+          }.reduce(_ unionByName _).repartition(32)
+          EventStreams.engagementFactsBatch(evKv, admitted(evKv), "id")
+            .queryExecution.toRdd.count() })
     })
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
@@ -1199,7 +1227,8 @@ object ScaleSmoke {
         "edit_join", "kmv_sketch", "ddsketch",
         "editidx_build", "editidx_gate", "editidx_append",
         "edit_join_del", "edit_join_qgram",
-        "imageidx_build", "imageidx_gate", "imageidx_append").foreach { base =>
+        "imageidx_build", "imageidx_gate", "imageidx_append",
+        "engagement_batch").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }
