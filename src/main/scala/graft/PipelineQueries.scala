@@ -297,10 +297,11 @@ object PipelineQueries {
 
     // ---- WordPiece training (the THIRD tokenizer family: BERT's
     //      likelihood-ratio merges): same loop as BPE, argmax by the
-    //      exact-quantized score n_ab·10^12 div (n_a·n_b) — the pair
-    //      whose fusion most increases unigram-model likelihood.
-    //      Oracle replays every round including the per-round symbol
-    //      counts ----
+    //      exact-quantized score n_ab·10^12 div (n_a·n_b), computed
+    //      in DECIMAL(38,0) intermediates (oracle: HUGEINT — same
+    //      exact integers) so BIGINT-scale corpora train without the
+    //      old ~9.2e6-symbol int64 wrap. Oracle replays every round
+    //      including the per-round symbol counts ----
     "text_wordpiece_merges" -> ((s, d) => {
       import s.implicits._
       TextAnalysis.trainWordpieceMerges(t(s, d, "documents"), "text",
@@ -2235,19 +2236,24 @@ object PipelineQueries {
 
     // ---- PERSISTED image near-dup index, gated (the daily crawl
     //      shape): %5==0 images play today's batch, the rest the
-    //      admitted archive; banded-Hamming postings + band digest,
-    //      verification exact bit_count(xor). Brute-force oracle ----
+    //      admitted archive; banded-Hamming postings over the
+    //      128-bit dhash‖phash concatenation (4×32-bit bands — band
+    //      keyspace 2^32, so the digest never saturates at realistic
+    //      corpus sizes) + band digest; verification is the exact
+    //      COMBINED distance bit_count(d⊕d')+bit_count(p⊕p').
+    //      Brute-force oracle ----
     "dedup_imageidx_gate" -> ((s, d) => {
       val blobs = graft.operators.Multimodal.synthMediaBlobs(
           t(s, d, "documents").select(col("doc_id")), "doc_id", "bmp_near")
         .withColumn("format", lit("bmp"))
       val hashes = graft.operators.ImageHash.imageHashes(
           blobs, "id", "bytes", "format")
-        .filter(col("dhash").isNotNull).select(col("id"), col("dhash"))
+        .filter(col("dhash").isNotNull && col("phash").isNotNull)
+        .select(col("id"), col("dhash"), col("phash"))
       val prefix = graft.operators.ImageHashIndex.imageIndexCached(
-        hashes.filter(col("id") % 5 =!= 0), "id", "dhash")
+        hashes.filter(col("id") % 5 =!= 0), "id", "dhash", "phash")
       graft.operators.ImageHashIndex.gateImageMatches(s, prefix,
-          hashes.filter(col("id") % 5 === 0), "id", "dhash")
+          hashes.filter(col("id") % 5 === 0), "id", "dhash", "phash")
         .orderBy(col("delta_id"), col("index_id"))
     }),
 
@@ -2259,13 +2265,14 @@ object PipelineQueries {
         .withColumn("format", lit("bmp"))
       val hashes = graft.operators.ImageHash.imageHashes(
           blobs, "id", "bytes", "format")
-        .filter(col("dhash").isNotNull).select(col("id"), col("dhash"))
+        .filter(col("dhash").isNotNull && col("phash").isNotNull)
+        .select(col("id"), col("dhash"), col("phash"))
       val corp = hashes.filter(col("id") % 5 =!= 0)
       val prefix = graft.operators.ImageHashIndex.imageAppendCached(
         corp.filter(col("id") % 4 =!= 1), corp.filter(col("id") % 4 === 1),
-        "id", "dhash")
+        "id", "dhash", "phash")
       graft.operators.ImageHashIndex.gateImageMatches(s, prefix,
-          hashes.filter(col("id") % 5 === 0), "id", "dhash")
+          hashes.filter(col("id") % 5 === 0), "id", "dhash", "phash")
         .orderBy(col("delta_id"), col("index_id"))
     }),
 
@@ -3579,7 +3586,8 @@ object PipelineQueries {
          p$r AS MATERIALIZED (SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM e$r GROUP BY p),
          m$r AS MATERIALIZED (SELECT p, n, score_q FROM (
              SELECT pr.p, pr.n,
-               pr.n * 1000000000000 // (ca.ns * cb.ns) AS score_q
+               CAST(pr.n AS HUGEINT) * 1000000000000
+                 // (CAST(ca.ns AS HUGEINT) * CAST(cb.ns AS HUGEINT)) AS score_q
              FROM p$r pr
              JOIN c$r ca ON ca.sym = string_split(pr.p, chr(31))[1]
              JOIN c$r cb ON cb.sym = string_split(pr.p, chr(31))[2])
@@ -6301,10 +6309,13 @@ object PipelineQueries {
          ORDER BY a_id, b_id"""),
     "dedup_imageidx_gate" -> imageDhashOracle(
       """SELECT a.doc_id AS delta_id, b.doc_id AS index_id,
-           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
-         FROM hashes89 a, hashes89 b
-         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-           AND bit_count(xor(a.dhash, b.dhash)) <= 3
+           CAST(bit_count(xor(a.dhash, b.dhash))
+              + bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS dist
+         FROM hashes89 a, hashes89 b, hashes32 pa, hashes32 pb
+         WHERE pa.doc_id = a.doc_id AND pb.doc_id = b.doc_id
+           AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+           AND bit_count(xor(a.dhash, b.dhash))
+             + bit_count(xor(pa.phash, pb.phash)) <= 3
          ORDER BY delta_id, index_id"""),
     "multimodal_decode_wav" ->
       """WITH p AS (

@@ -1120,19 +1120,20 @@ object ScaleSmoke {
       // differ → pixel content differs → hashes differ), so index
       // size grows K-fold without K-clique match growth. The probe
       // batch is FIXED (500 images from an id range outside both
-      // corpora). The honest expectation is NOT digest-cleared
-      // corpus-FLAT like the text families: band values live in a
-      // 16-bit space, so at 20x (1.5M band rows over 4×65536 keys)
-      // most probe keys exist somewhere and cost rests on the band
-      // join's per-key lists (~n/65536) — expected mildly
-      // superlinear-in-K verification volume, measured here.
+      // corpora). Since r14 the bands cover the 128-bit dhash‖phash
+      // concatenation (4×32-bit band values): the band keyspace is
+      // 2^32, so a clean probe batch digest-clears corpus-FLAT like
+      // the text families — the r13 16-bit saturation regime
+      // (~262k rows) no longer exists; the r14 block below measures
+      // clearing against an index past the OLD saturation point.
       import graft.operators.{ImageHash, ImageHashIndex, Multimodal}
       def imgHashes(ids: DataFrame): DataFrame =
         ImageHash.imageHashes(
             Multimodal.synthMediaBlobs(ids, "doc_id", "bmp_near")
               .withColumn("format", lit("bmp")),
             "id", "bytes", "format")
-          .filter(col("dhash").isNotNull).select(col("id"), col("dhash"))
+          .filter(col("dhash").isNotNull && col("phash").isNotNull)
+          .select(col("id"), col("dhash"), col("phash"))
       val im1 = imgHashes(docs1.select(col("doc_id"))).cache()
       val imN = im1.count()
       val imK = imgHashes(
@@ -1150,27 +1151,28 @@ object ScaleSmoke {
       }
       val imr = Seq(
         time("imageidx_build_1x") {
-          ImageHashIndex.buildImageIndex(im1, "id", "dhash", "ss_im_1x")
+          ImageHashIndex.buildImageIndex(im1, "id", "dhash", "phash", "ss_im_1x")
           imN },
         time(s"imageidx_build_${k}x") {
-          ImageHashIndex.buildImageIndex(imK, "id", "dhash", s"ss_im_${k}x")
+          ImageHashIndex.buildImageIndex(imK, "id", "dhash", "phash",
+            s"ss_im_${k}x")
           imN * k },
         time("imageidx_gate_1x") {
           ImageHashIndex.gateImageMatches(spark, "ss_im_1x", imProbe,
-            "id", "dhash").queryExecution.toRdd.count() },
+            "id", "dhash", "phash").queryExecution.toRdd.count() },
         time(s"imageidx_gate_${k}x") {
           ImageHashIndex.gateImageMatches(spark, s"ss_im_${k}x", imProbe,
-            "id", "dhash").queryExecution.toRdd.count() },
+            "id", "dhash", "phash").queryExecution.toRdd.count() },
         time("imageidx_append_1x") {
           ImageHashIndex.appendToImageIndex(spark, "ss_im_1x",
             imgHashes(spark.range(500)
               .select((col("id") + 78000000L).as("doc_id"))),
-            "id", "dhash"); 500L },
+            "id", "dhash", "phash"); 500L },
         time(s"imageidx_append_${k}x") {
           ImageHashIndex.appendToImageIndex(spark, s"ss_im_${k}x",
             imgHashes(spark.range(500)
               .select((col("id") + 78000000L).as("doc_id"))),
-            "id", "dhash"); 500L })
+            "id", "dhash", "phash"); 500L })
       Seq(im1, imK, imProbe).foreach(_.unpersist(blocking = false))
       imr
     }) ++ (if (!runR13c) Seq.empty[(String, Double, Long)] else {

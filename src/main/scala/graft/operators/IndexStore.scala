@@ -296,7 +296,8 @@ object IndexStore {
   /** Train-once WordPiece merges — the BPE artifact contract
     * (format, fingerprint keying, load-time validation) with the
     * likelihood-objective trainer; score_q rides in the cnt slot
-    * (positive at any corpus the int64 quantization admits), so the
+    * (always positive, and always int64-sized: score_q ≤ 10^12 since
+    * every pair occurrence is an occurrence of each side), so the
     * loader's checks apply unchanged.
     */
   def wordpieceMergesCached(corpus: DataFrame, textCol: String, nMerges: Int,

@@ -397,6 +397,14 @@ object TextAnalysis {
     * throughout — an external SQL engine replays every round
     * bit-for-bit.
     *
+    * Integer-ceiling audit (r14): the argmax ranks RAW int64 pair
+    * counts — no product, no quantization — so the trainer is exact
+    * up to 2^63-1 total pair occurrences (~9.2e18 tokens), i.e. no
+    * practical ceiling. [[trainWordpieceMerges]]'s ratio score is the
+    * one that needed DECIMAL intermediates; [[trainUnigramVocab]]'s
+    * micro-ln scores are double-based by declared policy (no integer
+    * product to wrap).
+    *
     * Returns the merge list in training order:
     * (pair-with-separator, summed count at merge time).
     */
@@ -471,9 +479,13 @@ object TextAnalysis {
     * quantized exactly: score_q = n_ab·10^12 div (n_a·n_b) with ties
     * on pair ASC — a total, engine-portable objective the oracle
     * replays round-for-round. Symbol counts are the CURRENT round's
-    * (merges applied), like the pair counts. int64 holds n·10^12 up
-    * to ~9·10^6 total tokens; beyond that move the quantization to
-    * DECIMAL(38,0).
+    * (merges applied), like the pair counts. The intermediate
+    * products compute in DECIMAL(38,0) (the oracle uses HUGEINT —
+    * identical exact integers), so no count a BIGINT can hold wraps
+    * the score: n·10^12 needs ≤ 38 digits for n ≤ 10^25 and
+    * n_a·n_b ≤ (2^63)^2 < 10^38. The QUOTIENT always fits int64
+    * because n_a ≥ n_ab and n_b ≥ n_ab (every occurrence of the
+    * pair is an occurrence of each side), so score_q ≤ 10^12.
     *
     * Scale shape is [[trainBpeMerges]]'s plus one symbol-count
     * aggregate per round (both map-side combined over the DISTINCT
@@ -489,19 +501,6 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), bpeCharSyms(col("w")).as("syms"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // enforce the int64 envelope the scaladoc documents: score_q =
-    // n·10^12 div (na·nb) wraps silently once symbol occurrences
-    // exceed ~9.2e6 (n·10^12 > 2^63; na·nb overflows near ~3e9) —
-    // fail loudly instead of training on wrapped scores. The initial
-    // char-symbol total bounds every later round (merges only shrink
-    // per-word symbol counts), so one pre-loop aggregate suffices.
-    val totalSyms = vocab
-      .agg(coalesce(sum(col("cnt") * size(bpeSymbols(col("syms")))), lit(0L)))
-      .head().getLong(0)
-    require(totalSyms <= 9200000L,
-      s"trainWordpieceMerges: corpus has $totalSyms symbol occurrences; " +
-        "the int64-quantized merge score n*10^12 div (na*nb) wraps beyond " +
-        "~9.2e6 — migrate score_q to DECIMAL(38,0) before training at this scale")
     val out = Seq.newBuilder[(String, Long)]
     var applied = List.empty[String]
     var r = 0
@@ -526,7 +525,14 @@ object TextAnalysis {
         .agg(sum(col("cnt")).as("n"))
         .join(symCnt.select(col("sym").as("a"), col("ns").as("na")), Seq("a"))
         .join(symCnt.select(col("sym").as("b"), col("ns").as("nb")), Seq("b"))
-        .withColumn("score_q", expr("n * 1000000000000L div (na * nb)"))
+        // DECIMAL(38,0) intermediates: n·10^12 and na·nb both exceed
+        // int64 once symbol occurrences pass ~9.2e6 / ~3e9, which a
+        // real corpus does by sf1. The quotient is ≤ 10^12 (na ≥ n,
+        // nb ≥ n), so the int64 `div` result never overflows — the
+        // ScaleSmoke r14 row trains past the old int64 refusal point.
+        .withColumn("score_q", expr(
+          "cast(n as decimal(25,0)) * 1000000000000 div " +
+            "(cast(na as decimal(19,0)) * cast(nb as decimal(19,0)))"))
         .orderBy(col("score_q").desc, col("p"))
         .limit(1).collect()
       if (top.isEmpty) exhausted = true

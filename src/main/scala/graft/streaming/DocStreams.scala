@@ -686,10 +686,11 @@ object DocStreams {
   }
 
   /** Live image near-dup index maintenance — the pixel-tier twin of
-    * [[DedupIndexMaintainer]]: each micro-batch's (id, hash) rows
-    * (hashed upstream by [[graft.operators.ImageHash.imageHashes]];
-    * undecodables filtered by the caller) append to the persisted
-    * banded-Hamming index ([[graft.operators.ImageHashIndex]]).
+    * [[DedupIndexMaintainer]]: each micro-batch's (id, dhash, phash)
+    * rows (hashed upstream by [[graft.operators.ImageHash
+    * .imageHashes]]; undecodables filtered by the caller) append to
+    * the persisted banded-Hamming index
+    * ([[graft.operators.ImageHashIndex]], 128-bit dhash‖phash bands).
     * Admission policy stays the caller's via `gateImageMatches`;
     * exactly-once rests on the shared lineage-ledger batchId tags +
     * intent marker, with the id guard refusing replayed rows that
@@ -697,7 +698,7 @@ object DocStreams {
     */
   final class ImageIndexMaintainer(spark: org.apache.spark.sql.SparkSession,
                                    prefix: String, idCol: String,
-                                   hashCol: String) {
+                                   dhashCol: String, phashCol: String) {
     import graft.operators.{ImageHashIndex, IvfIndex}
 
     def appendBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
@@ -705,8 +706,8 @@ object DocStreams {
       val sp = batch.sparkSession
       val tag = s"b$batchId"
       if (IvfIndex.lineageHasTag(sp, prefix, tag)) return // retry: done
-      ImageHashIndex.appendToImageIndex(sp, prefix, batch, idCol, hashCol,
-        lineageTag = tag)
+      ImageHashIndex.appendToImageIndex(sp, prefix, batch, idCol, dhashCol,
+        phashCol, lineageTag = tag)
       Seq("hashes", "bands", "bdigest", "stats")
         .foreach(t => spark.catalog.refreshTable(s"${prefix}_$t"))
     }

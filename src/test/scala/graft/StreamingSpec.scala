@@ -1843,38 +1843,45 @@ class StreamingSpec extends AnyFunSuite {
         spark.range(240L).select(col("id").as("doc_id")), "doc_id", "bmp_near")
       .withColumn("format", lit("bmp"))
     val hashes = ImageHash.imageHashes(blobs, "id", "bytes", "format")
-      .filter(col("dhash").isNotNull).select(col("id"), col("dhash"))
+      .filter(col("dhash").isNotNull && col("phash").isNotNull)
+      .select(col("id"), col("dhash"), col("phash"))
       .cache()
     hashes.count()
     val base = hashes.filter(col("id") % 3 === 0)
     val arriving = hashes.filter(col("id") % 3 =!= 0 && col("id") % 5 =!= 0)
     val probes = hashes.filter(col("id") % 3 =!= 0 && col("id") % 5 === 0)
-      .select((col("id") + 5000000L).as("id"), col("dhash"))
-    ImageHashIndex.buildImageIndex(base, "id", "dhash", prefix)
+      .select((col("id") + 5000000L).as("id"), col("dhash"), col("phash"))
+    ImageHashIndex.buildImageIndex(base, "id", "dhash", "phash", prefix)
     val src = java.nio.file.Files.createTempDirectory("graft-immnt").toString
     arriving.repartition(3).write.mode("overwrite").parquet(src)
     val schema = spark.read.parquet(src).schema
-    val m = new DocStreams.ImageIndexMaintainer(spark, prefix, "id", "dhash")
+    val m = new DocStreams.ImageIndexMaintainer(spark, prefix, "id", "dhash",
+      "phash")
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
       .writeStream.foreachBatch(m.appendBatch _).start()
     try q.processAllAvailable() finally q.stop()
     val indexed = base.unionByName(arriving)
-    val truth = probes.select(col("id").as("delta_id"), col("dhash").as("dh"))
-      .join(indexed.select(col("id").as("index_id"), col("dhash").as("ch")),
-        bit_count(col("dh").bitwiseXOR(col("ch"))) <= 3)
+    val truth = probes.select(col("id").as("delta_id"), col("dhash").as("dh"),
+        col("phash").as("ph"))
+      .join(indexed.select(col("id").as("index_id"), col("dhash").as("ch"),
+          col("phash").as("cp")),
+        (bit_count(col("dh").bitwiseXOR(col("ch")))
+          + bit_count(col("ph").bitwiseXOR(col("cp")))) <= 3)
       .withColumn("dist",
-        bit_count(col("dh").bitwiseXOR(col("ch"))).cast("long"))
+        (bit_count(col("dh").bitwiseXOR(col("ch")))
+          + bit_count(col("ph").bitwiseXOR(col("cp")))).cast("long"))
       .select("delta_id", "index_id", "dist").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val got = ImageHashIndex.gateImageMatches(spark, prefix, probes,
-        "id", "dhash")
+        "id", "dhash", "phash")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === truth, "streamed image index diverged from brute truth")
     assert(truth.nonEmpty, "fixture must exercise real matches")
     // batch-0 replay through a fresh maintainer appends nothing
     val statsBefore = spark.table(s"${prefix}_stats").head()
-    val m2 = new DocStreams.ImageIndexMaintainer(spark, prefix, "id", "dhash")
+    val m2 = new DocStreams.ImageIndexMaintainer(spark, prefix, "id", "dhash",
+      "phash")
     m2.appendBatch(arriving.limit(5), 0L)
     assert(spark.table(s"${prefix}_stats").head() === statsBefore,
       "replayed batch must be a no-op")

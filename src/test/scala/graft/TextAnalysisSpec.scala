@@ -1039,6 +1039,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m(1)._2 === 500000000000L)
   }
 
+  test("trainWordpieceMerges: DECIMAL intermediates survive counts that wrap int64") {
+    // 10M occurrences of the word "ab": the first round's pair (a,b)
+    // has n = na = nb = 10^7, so the OLD int64 product n·10^12 = 10^19
+    // > 2^63 would have wrapped negative (and the pre-r14 guard
+    // refused the corpus outright at ~9.2e6 symbols). The DECIMAL(38,0)
+    // path computes the exact quotient 10^19 / (10^7·10^7) = 10^5.
+    val big = spark.range(10000000L).select(lit("ab").as("text"))
+    val m = TextAnalysis.trainWordpieceMerges(big, "text", 1)
+    assert(m === Seq(("a\u001Fb", 100000L)))
+  }
+
   test("WordpieceGreedy: longest-match-first, ## decoration, whole-word UNK") {
     import graft.functions.WordpieceGreedy
     val vocab = WordpieceGreedy.buildVocabSet(
