@@ -2276,6 +2276,35 @@ object PipelineQueries {
         .orderBy(col("delta_id"), col("index_id"))
     }),
 
+    // ---- audio spectral fingerprint (the near-dup family's audio
+    //      member): WAV samples → 256 area-mapped buckets (8 windows
+    //      × 32 points) → per-window quantized-integer DCT (the
+    //      pHash basis) → lower-median sign fold to one 64-bit word.
+    //      The oracle replays samples, buckets, every DCT
+    //      coefficient and the median rule bit-for-bit ----
+    "multimodal_audiohash" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "wav")
+      graft.operators.AudioHash.audioHashes(blobs, "id", "bytes", "format")
+        .select(col("id").as("doc_id"), col("audiohash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- audio near-dup pairing over the spectral fingerprints:
+    //      the banded-Hamming machinery reused verbatim on the
+    //      wav_near panel (groups of 4 clips sharing a sample
+    //      formula up to a first-samples nudge). Brute-force
+    //      Hamming oracle over SQL-derived fingerprints ----
+    "multimodal_audiohash_pairs" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "wav_near")
+      val hashes = graft.operators.AudioHash.audioHashes(
+        blobs, "id", "bytes", "format")
+      graft.operators.AudioHash.audiohashPairs(hashes, "id", "audiohash",
+          maxBits = 3, nBands = 4)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ---- REAL audio decode (RIFF/WAVE chunk walk, PCM-16 LE
     //      samples): same synth-then-parse-then-predict scheme ----
     "multimodal_decode_wav" -> ((s, d) => {
@@ -4004,6 +4033,52 @@ object PipelineQueries {
                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
            + CASE WHEN dv[64] > list_sort(dv)[32]
                THEN -9223372036854775807 - 1 ELSE 0 END AS phash
+         FROM dct)
+       $select"""
+
+  /** Audio spectral-fingerprint replay: fixture sample formula → 256
+    * area-mapped bucket means (integer division truncates toward zero
+    * in BOTH engines) → per-window DCT through the SAME inlined
+    * quantized basis the pHash oracle uses → lower-median sign fold,
+    * bit 63 as the signed minimum. `sampleExpr` is the fixture's
+    * sample formula over `i` (and the near-panel's base/v columns);
+    * `nExpr` its length formula.
+    */
+  private def audioHashOracle(select: String, nExpr: String,
+                              sampleExpr: String): String =
+    s"""WITH p AS (
+         SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
+         FROM documents),
+       smp AS (
+         SELECT doc_id, n,
+           list_transform(range(0, n), i -> $sampleExpr) AS s
+         FROM (SELECT doc_id, base, v, $nExpr AS n FROM p)),
+       buck AS (
+         SELECT doc_id,
+           list_transform(range(0, 256), tt ->
+             CAST(list_sum(list_transform(
+               range(tt * n // 256,
+                 greatest(tt * n // 256 + 1, (tt + 1) * n // 256)),
+               i -> s[i + 1]))
+             // (greatest(tt * n // 256 + 1, (tt + 1) * n // 256)
+                 - tt * n // 256) AS BIGINT))
+           AS pb
+         FROM smp),
+       bs AS (SELECT $dctBasisSql AS t),
+       dct AS (
+         SELECT doc_id,
+           list_transform(range(0, 64), b ->
+             list_sum(list_transform(range(0, 32), j ->
+               t[(b % 8) + 1][j + 1] * pb[(b // 8) * 32 + j + 1])))
+           AS dv
+         FROM buck, bs),
+       ah AS (
+         SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 63), b ->
+             CASE WHEN dv[b + 1] > list_sort(dv)[32]
+               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
+           + CASE WHEN dv[64] > list_sort(dv)[32]
+               THEN -9223372036854775807 - 1 ELSE 0 END AS audiohash
          FROM dct)
        $select"""
 
@@ -6317,6 +6392,19 @@ object PipelineQueries {
            AND bit_count(xor(a.dhash, b.dhash))
              + bit_count(xor(pa.phash, pb.phash)) <= 3
          ORDER BY delta_id, index_id"""),
+    "multimodal_audiohash" -> audioHashOracle(
+      "SELECT doc_id, audiohash FROM ah ORDER BY doc_id",
+      nExpr = "32 + doc_id % 96",
+      sampleExpr = "(doc_id * 7919 + i * 2503) % 65536 - 32768"),
+    "multimodal_audiohash_pairs" -> audioHashOracle(
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.audiohash, b.audiohash)) AS BIGINT) AS dist
+         FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.audiohash, b.audiohash)) <= 3
+         ORDER BY a_id, b_id""",
+      nExpr = "32 + base % 96",
+      sampleExpr = """((base * 7919 + i * 2503) % 65536 +
+        CASE WHEN i < 3 THEN v ELSE 0 END) % 65536 - 32768"""),
     "multimodal_decode_wav" ->
       """WITH p AS (
            SELECT doc_id, 32 + doc_id % 96 AS n FROM documents),

@@ -65,6 +65,141 @@ object Multimodal {
     }
   }
 
+  private def wavLeInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def wavLeShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  /** G.711 mu-law byte -> 16-bit linear PCM (the public Sun/ITU
+    * reference arithmetic; pure function, so the oracle replays the
+    * same expression over the fixture's byte formula).
+    */
+  private[operators] def mulawToLinear(uIn: Int): Int = {
+    val u = ~uIn & 0xFF
+    var t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law byte -> 16-bit linear PCM (same provenance). */
+  private[operators] def alawToLinear(aIn: Int): Int = {
+    val a = aIn ^ 0x55
+    var t = (a & 0x0F) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  private val AdpcmStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val AdpcmIndexAdj: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** RIFF/WAVE chunk walk + per-format sample decode, streamed into
+    * `add` — the ONE definition of WAV decoding, shared by
+    * [[PureJvmCodec]]'s feature fold and [[AudioHash]]'s spectral
+    * fingerprint (which buffers the samples it frames). Handles
+    * audioFormat 1 (16-bit PCM), 6 (A-law), 7 (mu-law) and 0x11
+    * (IMA ADPCM, mono). Returns (channels, rate), or null on any
+    * structural violation — bad lengths, truncated blocks, unknown
+    * codes — or when the PRE-DECODE sample count (known exactly from
+    * the chunk walk: dataLen/2 for PCM-16, dataLen for G.711,
+    * blocks·(1 + 2·(blockAlign−4)) for ADPCM) exceeds `maxSamples`,
+    * the audio analog of the image decoder's decompression-bomb
+    * guard: nothing is decoded, let alone buffered, for a blob that
+    * claims more samples than the caller will hold. ADPCM with >1
+    * channel degrades to null (interleaved stereo words are out of
+    * scope).
+    */
+  private[operators] def walkWavSamples(b: Array[Byte], maxSamples: Long)
+                                       (add: Int => Unit): (Int, Int) = {
+    if (b == null || b.length < 44 || b(0) != 'R' || b(1) != 'I' ||
+      b(2) != 'F' || b(3) != 'F' || b(8) != 'W' || b(9) != 'A' ||
+      b(10) != 'V' || b(11) != 'E') return null
+    var pos = 12
+    var audioFormat = 0
+    var channels = 0
+    var rate = 0
+    var bits = 0
+    var blockAlign = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (pos + 8 <= b.length) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val len = wavLeInt(b, pos + 4)
+      if (len < 0 || pos + 8 + len > b.length) return null
+      if (id == "fmt ") {
+        if (len < 16) return null
+        audioFormat = wavLeShort(b, pos + 8)
+        channels = wavLeShort(b, pos + 10)
+        rate = wavLeInt(b, pos + 12)
+        blockAlign = wavLeShort(b, pos + 20)
+        bits = wavLeShort(b, pos + 22)
+      } else if (id == "data") {
+        dataOff = pos + 8
+        dataLen = len
+      }
+      pos += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || dataOff < 0) return null
+    audioFormat match {
+      case 1 => // 16-bit linear PCM
+        if (bits != 16) return null
+        val n = dataLen / 2
+        if (n > maxSamples) return null
+        var i = 0
+        while (i < n) { add(wavLeShort(b, dataOff + i * 2).toShort.toInt); i += 1 }
+      case 6 | 7 => // G.711 A-law / mu-law: one byte per sample
+        if (bits != 8) return null
+        if (dataLen > maxSamples) return null
+        val dec: Int => Int = if (audioFormat == 6) alawToLinear else mulawToLinear
+        var i = 0
+        while (i < dataLen) { add(dec(b(dataOff + i) & 0xFF)); i += 1 }
+      case 0x11 => // IMA ADPCM, mono blocks of blockAlign bytes
+        if (channels != 1 || blockAlign < 5 || bits != 4) return null
+        if (dataLen.toLong / blockAlign * (1L + 2L * (blockAlign - 4)) >
+          maxSamples) return null
+        var blk = dataOff
+        while (blk + blockAlign <= dataOff + dataLen) {
+          // 4-byte block header: int16 predictor (= sample 0), index
+          var pred = wavLeShort(b, blk).toShort.toInt
+          var idx = b(blk + 2) & 0xFF
+          if (idx > 88) return null
+          add(pred)
+          var i = 0
+          val nNibbles = (blockAlign - 4) * 2
+          while (i < nNibbles) {
+            val byte = b(blk + 4 + (i >> 1)) & 0xFF
+            val nib = if ((i & 1) == 0) byte & 0x0F else (byte >> 4) & 0x0F
+            val step = AdpcmStep(idx)
+            var diff = step >> 3
+            if ((nib & 1) != 0) diff += step >> 2
+            if ((nib & 2) != 0) diff += step >> 1
+            if ((nib & 4) != 0) diff += step
+            pred = if ((nib & 8) != 0) pred - diff else pred + diff
+            if (pred > 32767) pred = 32767
+            if (pred < -32768) pred = -32768
+            idx += AdpcmIndexAdj(nib)
+            if (idx < 0) idx = 0
+            if (idx > 88) idx = 88
+            add(pred)
+            i += 1
+          }
+          blk += blockAlign
+        }
+      case _ => return null
+    }
+    (channels, rate)
+  }
+
   /** Real pure-JVM decoder for the formats that need no external
     * library — BMP (24-bit uncompressed), PPM (P6 binary), WAV (PCM
     * 16-bit) — with the deterministic stub as fallback for everything
@@ -205,120 +340,18 @@ object Multimodal {
       }
     }
 
-    /** G.711 mu-law byte -> 16-bit linear PCM (the public Sun/ITU
-      * reference arithmetic; pure function, so the oracle replays the
-      * same expression over the fixture's byte formula).
-      */
-    private def mulawToLinear(uIn: Int): Int = {
-      val u = ~uIn & 0xFF
-      var t = ((u & 0x0F) << 3) + 0x84
-      t <<= (u & 0x70) >> 4
-      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
-    }
-
-    /** G.711 A-law byte -> 16-bit linear PCM (same provenance). */
-    private def alawToLinear(aIn: Int): Int = {
-      val a = aIn ^ 0x55
-      var t = (a & 0x0F) << 4
-      val seg = (a & 0x70) >> 4
-      if (seg == 0) t += 8
-      else { t += 0x108; if (seg > 1) t <<= seg - 1 }
-      if ((a & 0x80) != 0) t else -t
-    }
-
-    private val AdpcmStep: Array[Int] = Array(
-      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
-      41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
-      190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
-      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
-      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
-      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
-      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
-    private val AdpcmIndexAdj: Array[Int] =
-      Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
-
-    /** RIFF/WAVE parser + per-format decoders. Handles audioFormat 1
-      * (16-bit PCM), 6 (A-law), 7 (mu-law) and 0x11 (IMA ADPCM,
-      * mono). Every decoded path feeds the same [[SampleAcc]] fold,
-      * so the feature row is format-independent: (channels, rate,
-      * samples/channel, first, last, sum|s|, zero crossings). ADPCM
-      * with >1 channel degrades to null (interleaved stereo words
-      * are out of scope), as does any structural violation — bad
-      * lengths, truncated blocks, unknown codes.
+    /** RIFF/WAVE decode through the shared object-level walker
+      * ([[Multimodal.walkWavSamples]] — also the sample source for
+      * [[AudioHash]]'s spectral fingerprint): every codec path feeds
+      * the same [[SampleAcc]] fold, so the feature row is
+      * format-independent: (channels, rate, samples/channel, first,
+      * last, sum|s|, zero crossings).
       */
     private def decodeWav(b: Array[Byte]): (Row, Array[Float]) = {
-      if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F'
-        || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
-      var pos = 12
-      var audioFormat = 0
-      var channels = 0
-      var rate = 0
-      var bits = 0
-      var blockAlign = 0
-      var dataOff = -1
-      var dataLen = 0
-      while (pos + 8 <= b.length) {
-        val id = new String(b, pos, 4, "US-ASCII")
-        val len = leInt(b, pos + 4)
-        if (len < 0 || pos + 8 + len > b.length) return null
-        if (id == "fmt ") {
-          if (len < 16) return null
-          audioFormat = leShort(b, pos + 8)
-          channels = leShort(b, pos + 10)
-          rate = leInt(b, pos + 12)
-          blockAlign = leShort(b, pos + 20)
-          bits = leShort(b, pos + 22)
-        } else if (id == "data") {
-          dataOff = pos + 8
-          dataLen = len
-        }
-        pos += 8 + len + (len & 1) // RIFF chunks are word-aligned
-      }
-      if (channels <= 0 || rate <= 0 || dataOff < 0) return null
       val acc = new SampleAcc
-      audioFormat match {
-        case 1 => // 16-bit linear PCM
-          if (bits != 16) return null
-          val n = dataLen / 2
-          var i = 0
-          while (i < n) { acc.add(leShort(b, dataOff + i * 2).toShort.toInt); i += 1 }
-        case 6 | 7 => // G.711 A-law / mu-law: one byte per sample
-          if (bits != 8) return null
-          val dec: Int => Int = if (audioFormat == 6) alawToLinear else mulawToLinear
-          var i = 0
-          while (i < dataLen) { acc.add(dec(b(dataOff + i) & 0xFF)); i += 1 }
-        case 0x11 => // IMA ADPCM, mono blocks of blockAlign bytes
-          if (channels != 1 || blockAlign < 5 || bits != 4) return null
-          var blk = dataOff
-          while (blk + blockAlign <= dataOff + dataLen) {
-            // 4-byte block header: int16 predictor (= sample 0), index
-            var pred = leShort(b, blk).toShort.toInt
-            var idx = b(blk + 2) & 0xFF
-            if (idx > 88) return null
-            acc.add(pred)
-            var i = 0
-            val nNibbles = (blockAlign - 4) * 2
-            while (i < nNibbles) {
-              val byte = b(blk + 4 + (i >> 1)) & 0xFF
-              val nib = if ((i & 1) == 0) byte & 0x0F else (byte >> 4) & 0x0F
-              val step = AdpcmStep(idx)
-              var diff = step >> 3
-              if ((nib & 1) != 0) diff += step >> 2
-              if ((nib & 2) != 0) diff += step >> 1
-              if ((nib & 4) != 0) diff += step
-              pred = if ((nib & 8) != 0) pred - diff else pred + diff
-              if (pred > 32767) pred = 32767
-              if (pred < -32768) pred = -32768
-              idx += AdpcmIndexAdj(nib)
-              if (idx < 0) idx = 0
-              if (idx > 88) idx = 88
-              acc.add(pred)
-              i += 1
-            }
-            blk += blockAlign
-          }
-        case _ => return null
-      }
+      val cr = walkWavSamples(b, Long.MaxValue)(acc.add)
+      if (cr == null) return null
+      val (channels, rate) = cr
       val n = acc.n
       val durationMs = n * 1000L / channels / rate
       val meta = Row("wav", 0, 0, 1, durationMs)
@@ -1817,6 +1850,19 @@ object Multimodal {
             k => ((id * 31L + k * 7L) % 256L).toInt)
           case "wav" => buildWav(8000, (32 + id % 96).toInt,
             i => (((id * 7919L + i * 2503L) % 65536L) - 32768L).toInt)
+          // near-dup panel for the audio-fingerprint tier (the
+          // bmp_near shape in sample space): ids in the same base
+          // group (id div 4) share length and sample formula except a
+          // variant-sized nudge on the first 3 samples — fingerprints
+          // land identical or a few bits apart WITHIN a group, far
+          // across groups, and the oracle predicts every bit from
+          // (base, variant)
+          case "wav_near" =>
+            val base = id / 4
+            val v = id % 4
+            buildWav(8000, (32 + base % 96).toInt,
+              i => ((((base * 7919L + i * 2503L) % 65536L +
+                (if (i < 3) v else 0L)) % 65536L) - 32768L).toInt)
           case "wav_mulaw" => buildWavG711(8000, (32 + id % 96).toInt,
             aLaw = false, i => ((id * 131L + i * 29L) % 256L).toInt)
           case "wav_alaw" => buildWavG711(8000, (32 + id % 96).toInt,
