@@ -881,6 +881,22 @@ object PipelineQueries {
           "id", "s", maxDist = 1, q = 3)
         .orderBy(col("a_id"), col("b_id"))),
 
+    // ---- the FastSS-pruned deletion join at d=2: variants generate
+    //      from the first 12 chars only (79 keys per string instead
+    //      of 172 — the truncation lemma keeps completeness at every
+    //      prefix length). c_name's entropy sits in its trailing
+    //      digits, so the documented remedy applies: key on
+    //      reverse(name) — levenshtein is reversal-invariant, so the
+    //      pair set and distances are exactly the unreversed ones.
+    //      The oracle replays truncation, variant generation, and
+    //      the exact verify ----
+    "dedup_edit_join_pruned" -> ((s, d) =>
+      graft.operators.EditSimilarity.editSimilarityJoin(
+          t(s, d, "customer").select(col("c_custkey").as("id"),
+            reverse(col("c_name")).as("s")),
+          "id", "s", maxDist = 2, strategy = "deletion", prefixLen = 12)
+        .orderBy(col("a_id"), col("b_id"))),
+
     // ---- PERSISTED edit-similarity index, gated (the daily-arrivals
     //      entity-resolution shape): the %5==0 customers play today's
     //      batch, the rest the admitted master data. TRUE edit-
@@ -6252,6 +6268,31 @@ object PipelineQueries {
              AND abs(length(a.s) - length(b.s)) <= 1)
          SELECT a_id, b_id, CAST(levenshtein(a_s, b_s) AS BIGINT) AS dist
          FROM cand WHERE levenshtein(a_s, b_s) <= 1
+         ORDER BY a_id, b_id""",
+    "dedup_edit_join_pruned" ->
+      """WITH strs AS (
+           SELECT c_custkey AS id, reverse(c_name) AS s FROM customer
+           WHERE c_name IS NOT NULL),
+         g AS (
+           SELECT id, s, substr(s, 1, 12) AS p FROM strs),
+         vv AS (
+           SELECT id, s, list_distinct(list_concat(
+             list_prepend(p,
+               list_transform(range(1, length(p) + 1),
+                 i -> substr(p, 1, i - 1) || substr(p, i + 1, length(p)))),
+             flatten(list_transform(range(1, length(p)),
+               i -> list_transform(range(i + 1, length(p) + 1),
+                 j -> substr(p, 1, i - 1) || substr(p, i + 1, j - i - 1)
+                   || substr(p, j + 1, length(p)))))))
+             AS vars
+           FROM g),
+         gl AS (SELECT id, s, unnest(vars) AS v FROM vv),
+         cand AS (
+           SELECT DISTINCT a.id AS a_id, a.s AS a_s, b.id AS b_id, b.s AS b_s
+           FROM gl a JOIN gl b ON a.v = b.v AND a.id < b.id
+             AND abs(length(a.s) - length(b.s)) <= 2)
+         SELECT a_id, b_id, CAST(levenshtein(a_s, b_s) AS BIGINT) AS dist
+         FROM cand WHERE levenshtein(a_s, b_s) <= 2
          ORDER BY a_id, b_id""",
     "dedup_bbit_eval" ->
       """WITH t AS (

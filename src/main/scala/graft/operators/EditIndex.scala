@@ -62,13 +62,19 @@ object EditIndex {
 
   private case class Meta(nStrs: Long, q: Int, maxDist: Int,
                           lineage: String, mBits: Int, k: Int,
-                          strategy: String)
+                          strategy: String, prefixLen: Int)
 
   private def readMeta(spark: SparkSession, prefix: String): Meta = {
-    val r = spark.table(s"${prefix}_stats").head()
+    val t = spark.table(s"${prefix}_stats")
+    val r = t.head()
+    // del_prefix_len arrived with the FastSS prefix-pruning tier;
+    // pre-existing stats rows read as 0 (unpruned), the behavior
+    // those indexes were built with
+    val pl = if (t.columns.contains("del_prefix_len"))
+      r.getAs[Int]("del_prefix_len") else 0
     Meta(r.getAs[Long]("n_strs"), r.getAs[Int]("q"), r.getAs[Int]("max_dist"),
       r.getAs[String]("lineage"), r.getAs[Int]("digest_mbits"),
-      r.getAs[Int]("digest_k"), r.getAs[String]("strategy"))
+      r.getAs[Int]("digest_k"), r.getAs[String]("strategy"), pl)
   }
 
   /** (id, s, len, grams) projection shared by build and gate — one
@@ -93,10 +99,17 @@ object EditIndex {
           .otherwise(transform(sequence(lit(0), col("len") - q),
             i => col("s").substr(i + lit(1), lit(q))))))
 
-  /** (vk, id, s, len) deletion-variant postings of a keyed frame. */
-  private def variantKeys(k: DataFrame, maxDist: Int): DataFrame =
+  /** (vk, id, s, len) deletion-variant postings of a keyed frame;
+    * `prefixLen` > 0 prunes generation to the string's first
+    * prefixLen chars ([[EditSimilarity.deletionVariants]]'s FastSS
+    * tier — the param is persisted in stats so probes can never key
+    * differently than the build did).
+    */
+  private def variantKeys(k: DataFrame, maxDist: Int,
+                          prefixLen: Int): DataFrame =
     k.select(col("id"), col("s"), col("len"),
-        explode(EditSimilarity.deletionVariants(col("s"), maxDist)).as("v"))
+        explode(EditSimilarity.deletionVariants(col("s"), maxDist,
+          prefixLen)).as("v"))
       .select(xxhash64(col("v")).as("vk"), col("id"), col("s"), col("len"))
 
   private def writeDigest(spark: SparkSession, prefix: String,
@@ -131,20 +144,21 @@ object EditIndex {
 
   private def writeStats(spark: SparkSession, prefix: String, nStrs: Long,
                          q: Int, maxDist: Int, lineage: String,
-                         mBits: Int, digestK: Int, strategy: String): Unit = {
+                         mBits: Int, digestK: Int, strategy: String,
+                         prefixLen: Int): Unit = {
     Bucketing.dropTableAndLocation(spark, s"${prefix}_stats")
     spark.range(1).select(
         lit(nStrs).as("n_strs"), lit(q).as("q"), lit(maxDist).as("max_dist"),
         lit(lineage).as("lineage"),
         lit(mBits).as("digest_mbits"), lit(digestK).as("digest_k"),
-        lit(strategy).as("strategy"))
+        lit(strategy).as("strategy"), lit(prefixLen).as("del_prefix_len"))
       .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
   }
 
   def buildEditIndex(corpus: DataFrame, idCol: String, strCol: String,
                      prefix: String, maxDist: Int = 1, q: Int = 3,
                      lineage: String = "full", digestK: Int = 4,
-                     strategy: String = "auto"): Unit = {
+                     strategy: String = "auto", prefixLen: Int = 0): Unit = {
     require(maxDist >= 0 && q >= 1, "bad edit-index params")
     val strat = EditSimilarity.resolveStrategy(strategy, math.max(maxDist, 1))
     val spark = corpus.sparkSession
@@ -155,7 +169,7 @@ object EditIndex {
     val nStrs = spark.table(s"${prefix}_strs").count()
     if (strat == "deletion") {
       Bucketing.dropTableAndLocation(spark, s"${prefix}_dels")
-      variantKeys(k, math.max(maxDist, 1))
+      variantKeys(k, math.max(maxDist, 1), prefixLen)
         .write.mode("overwrite").saveAsTable(s"${prefix}_dels")
       val nPostings = spark.table(s"${prefix}_dels").count()
       val mBits = Retrieval.digestSizing(nPostings)
@@ -163,7 +177,7 @@ object EditIndex {
         spark.table(s"${prefix}_dels").select(col("vk")).distinct(),
         "vk", mBits, digestK))
       writeStats(spark, prefix, nStrs, q, maxDist, lineage, mBits, digestK,
-        strat)
+        strat, prefixLen)
     } else {
       val grams = k.select(col("id"), col("s"), col("len"),
         explode(col("grams")).as("gram"))
@@ -180,7 +194,7 @@ object EditIndex {
           .select(gramKey(col("gram")).as("gk")).distinct(),
         "gk", mBits, digestK))
       writeStats(spark, prefix, nStrs, q, maxDist, lineage, mBits, digestK,
-        strat)
+        strat, prefixLen)
     }
     Bucketing.dropTableAndLocation(spark, s"${prefix}_intent")
   }
@@ -216,7 +230,7 @@ object EditIndex {
       lit(0L).as("index_id"), lit(0L).as("dist"))
     if (m.strategy == "deletion") {
       val dk = variantKeys(keyed(delta, idCol, strCol, m.q),
-        math.max(m.maxDist, 1))
+        math.max(m.maxDist, 1), m.prefixLen)
         .select(col("vk"), col("id").as("delta_id"),
           col("s").as("delta_s"), col("len").as("delta_len"))
       val words = readDigest(spark, prefix, m.mBits)
@@ -332,7 +346,7 @@ object EditIndex {
         .write.mode("append").saveAsTable(s"${prefix}_strs")
       val nTotal = m.nStrs + k.count()
       if (m.strategy == "deletion") {
-        val dels = variantKeys(k, math.max(m.maxDist, 1))
+        val dels = variantKeys(k, math.max(m.maxDist, 1), m.prefixLen)
         dels.write.mode("append").saveAsTable(s"${prefix}_dels")
         val nPostings = spark.table(s"${prefix}_dels").count()
         val mBits = Retrieval.digestSizing(nPostings)
@@ -344,7 +358,7 @@ object EditIndex {
             spark.table(s"${prefix}_dels").select(col("vk")).distinct(),
             "vk", mBits, m.k))
         writeStats(spark, prefix, nTotal, m.q, m.maxDist,
-          s"${m.lineage}+$entry", mBits, m.k, m.strategy)
+          s"${m.lineage}+$entry", mBits, m.k, m.strategy, m.prefixLen)
       } else {
         val grams = k.select(col("id"), col("s"), col("len"),
           explode(col("grams")).as("gram"))
@@ -371,7 +385,7 @@ object EditIndex {
           folded.write.mode("overwrite").saveAsTable(s"${prefix}_gramfreq")
         }
         writeStats(spark, prefix, nTotal, m.q, m.maxDist,
-          s"${m.lineage}+$entry", mBits, m.k, m.strategy)
+          s"${m.lineage}+$entry", mBits, m.k, m.strategy, m.prefixLen)
       }
       Bucketing.dropTableAndLocation(spark, s"${prefix}_intent") // commit
     } finally k.unpersist(blocking = false)
@@ -385,15 +399,17 @@ object EditIndex {
   def editIndexCached(corpus: DataFrame, idCol: String, strCol: String,
                       maxDist: Int = 1, q: Int = 3,
                       namespace: String = "edidx_v1",
-                      strategy: String = "auto"): String = {
+                      strategy: String = "auto",
+                      prefixLen: Int = 0): String = {
     val spark = corpus.sparkSession
     val strat = EditSimilarity.resolveStrategy(strategy, math.max(maxDist, 1))
     val fp = IndexStore.corpusFingerprint(corpus, Seq(idCol, strCol))
-    val prefix = s"${namespace}_${fp}_q${q}d${maxDist}_$strat"
+    val pl = if (prefixLen > 0) s"p$prefixLen" else ""
+    val prefix = s"${namespace}_${fp}_q${q}d$maxDist${pl}_$strat"
     val have = tablesFor(strat)
       .forall(s => spark.catalog.tableExists(s"${prefix}_$s"))
     if (!have) buildEditIndex(corpus, idCol, strCol, prefix, maxDist, q,
-      lineage = fp, strategy = strat)
+      lineage = fp, strategy = strat, prefixLen = prefixLen)
     prefix
   }
 

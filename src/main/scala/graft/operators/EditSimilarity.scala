@@ -117,24 +117,62 @@ object EditSimilarity {
   /** All variants of `s` with up to `maxDist` characters deleted
     * (including `s` itself), distinct — the deletion-neighborhood
     * blocking keys. Pure column expression, map-side codegen.
+    *
+    * FASTSS PREFIX PRUNING (`prefixLen` > 0): variants are generated
+    * from the first `prefixLen` characters ONLY (the string is
+    * truncated BEFORE deletion — SymSpell's prefix indexing), cutting
+    * the postings per string from C(len, <= d)+1 to
+    * C(prefixLen, <= d)+1 — at d=2 on len-18 keys with prefixLen=12,
+    * 172 -> 79 keys, and the saving compounds with length.
+    *
+    * COMPLETENESS (the two-sided truncation lemma): if ed(x, y) <= d
+    * then D_d(x↾ℓ) ∩ D_d(y↾ℓ) ≠ ∅ for EVERY ℓ >= 1 (↾ℓ = first ℓ
+    * chars). Proof: the untruncated lemma gives a common string c
+    * reached by deleting position sets Sx from x (|Sx| <= d) and Sy
+    * from y (|Sy| <= d). Deleting Sx ∩ [1..ℓ] from x↾ℓ yields the
+    * first ℓ−|Sx ∩ [1..ℓ]| characters of c; likewise for y — both
+    * are PREFIXES of c, so one is a prefix of the other, differing by
+    * k = ||Sx ∩ [1..ℓ]| − |Sy ∩ [1..ℓ]|| trailing characters. The
+    * longer side deletes its last k kept characters too, for a total
+    * of max(|Sx ∩ [1..ℓ]|, |Sy ∩ [1..ℓ]|) <= d deletions per side —
+    * so the SHORTER prefix of c is a common member of both truncated
+    * neighborhoods. Verification stays the exact levenshtein on the
+    * FULL strings (it always was — key equality never implied a
+    * distance bound), so pruning trades candidate discrimination,
+    * never correctness.
+    *
+    * THE TRADE: the key now carries only the prefix's entropy.
+    * Corpora whose strings share a constant PREFIX (zero-padded ids,
+    * "Customer#…") collapse onto few keys and verify quadratically —
+    * for those, normalize first (strip the constant prefix) or key on
+    * `reverse(s)` (levenshtein is reversal-invariant, so pairs and
+    * distances are unchanged; the ScaleSmoke r14 block measures
+    * exactly this shape). prefixLen <= 0 keeps the whole string (no
+    * pruning — the default).
     */
-  def deletionVariants(s: Column, maxDist: Int): Column = {
+  def deletionVariants(s: Column, maxDist: Int,
+                       prefixLen: Int = 0): Column = {
     require(maxDist >= 1 && maxDist <= 2,
       s"deletionVariants: maxDist $maxDist outside 1..2")
-    val del1 = when(length(s) >= 1,
-      transform(sequence(lit(1), length(s)),
-        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+    require(prefixLen <= 0 || prefixLen > maxDist,
+      s"deletionVariants: prefixLen $prefixLen must exceed maxDist " +
+        s"$maxDist (a prefix the budget can fully delete keys everything " +
+        "to the empty string)")
+    val p = if (prefixLen > 0) s.substr(lit(1), lit(prefixLen)) else s
+    val del1 = when(length(p) >= 1,
+      transform(sequence(lit(1), length(p)),
+        i => concat(p.substr(lit(1), i - 1), p.substr(i + 1, length(p)))))
       .otherwise(array().cast("array<string>"))
-    val base = concat(array(s), del1)
+    val base = concat(array(p), del1)
     if (maxDist == 1) array_distinct(base)
     else {
-      // delete positions i < j: s[1..i-1] ++ s[i+1..j-1] ++ s[j+1..]
-      val del2 = when(length(s) >= 2,
-        flatten(transform(sequence(lit(1), length(s) - 1),
-          i => transform(sequence(i + 1, length(s)),
-            j => concat(s.substr(lit(1), i - 1),
-              s.substr(i + 1, j - i - 1),
-              s.substr(j + 1, length(s)))))))
+      // delete positions i < j: p[1..i-1] ++ p[i+1..j-1] ++ p[j+1..]
+      val del2 = when(length(p) >= 2,
+        flatten(transform(sequence(lit(1), length(p) - 1),
+          i => transform(sequence(i + 1, length(p)),
+            j => concat(p.substr(lit(1), i - 1),
+              p.substr(i + 1, j - i - 1),
+              p.substr(j + 1, length(p)))))))
         .otherwise(array().cast("array<string>"))
       array_distinct(concat(base, del2))
     }
@@ -142,7 +180,8 @@ object EditSimilarity {
 
   def editSimilarityJoin(df: DataFrame, idCol: String, strCol: String,
                          maxDist: Int, q: Int = 3,
-                         strategy: String = "auto"): DataFrame = {
+                         strategy: String = "auto",
+                         prefixLen: Int = 0): DataFrame = {
     require(maxDist >= 0, s"editSimilarityJoin: maxDist $maxDist < 0")
     require(q >= 1, s"editSimilarityJoin: q $q < 1")
     if (maxDist == 0) {
@@ -156,7 +195,7 @@ object EditSimilarity {
         .distinct()
     }
     resolveStrategy(strategy, maxDist) match {
-      case "deletion" => deletionJoin(df, idCol, strCol, maxDist)
+      case "deletion" => deletionJoin(df, idCol, strCol, maxDist, prefixLen)
       case _ => qgramJoin(df, idCol, strCol, maxDist, q)
     }
   }
@@ -169,11 +208,11 @@ object EditSimilarity {
     * rows. No windows, no frequency table, no degenerate tier.
     */
   private def deletionJoin(df: DataFrame, idCol: String, strCol: String,
-                           maxDist: Int): DataFrame = {
+                           maxDist: Int, prefixLen: Int): DataFrame = {
     val keys = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
       .select(col("id"), col("s"),
-        explode(deletionVariants(col("s"), maxDist)).as("v"))
+        explode(deletionVariants(col("s"), maxDist, prefixLen)).as("v"))
       .select(col("id"), col("s"), xxhash64(col("v")).as("vk"))
     keys.select(col("id").as("a_id"), col("s").as("a_s"), col("vk"))
       .join(keys.select(col("id").as("b_id"), col("s").as("b_s"), col("vk")),

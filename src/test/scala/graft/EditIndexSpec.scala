@@ -117,6 +117,39 @@ class EditIndexSpec extends AnyFunSuite {
     cleanup("ed2")
   }
 
+  test("[deletion] FastSS-pruned index (prefixLen persisted): gate and append == brute truth") {
+    cleanup("edp")
+    cleanup("edpa")
+    // entropy-trailing names -> the documented remedy: reverse(s)
+    // (levenshtein is reversal-invariant); prune variants to the
+    // first 12 chars of the reversed string. prefixLen rides in
+    // stats, so the gate's probe keys band exactly like the build.
+    val cust = Tables.table(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_custkey").as("id"), reverse(col("c_name")).as("s"))
+    val corp = cust.filter(col("id") % 5 =!= 0)
+    val delta = cust.filter(col("id") % 5 === 0)
+    EditIndex.buildEditIndex(corp, "id", "s", "edp", maxDist = 2,
+      strategy = "deletion", prefixLen = 12)
+    assert(spark.table("edp_stats").head().getAs[Int]("del_prefix_len")
+      === 12)
+    val truth = delta.select(col("id").as("delta_id"), col("s").as("ds"))
+      .join(corp.select(col("id").as("index_id"), col("s").as("cs")),
+        levenshtein(col("ds"), col("cs")) <= 2)
+      .withColumn("dist", levenshtein(col("ds"), col("cs")).cast("long"))
+      .select("delta_id", "index_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gateSet("edp", delta) === truth)
+    assert(truth.nonEmpty)
+    // append inherits the persisted prefixLen: fold ≡ rebuild
+    EditIndex.buildEditIndex(corp.filter(col("id") % 4 =!= 1), "id", "s",
+      "edpa", maxDist = 2, strategy = "deletion", prefixLen = 12)
+    EditIndex.appendToEditIndex(spark, "edpa",
+      corp.filter(col("id") % 4 === 1), "id", "s")
+    assert(gateSet("edpa", delta) === truth)
+    cleanup("edp")
+    cleanup("edpa")
+  }
+
   test("torn intent marker refuses gate and append loudly") {
     cleanup("edt")
     val corp = Seq((1L, "hello world")).toDF("id", "s")

@@ -20,8 +20,10 @@ class EditSimilaritySpec extends AnyFunSuite {
   }
 
   private def joined(df: DataFrame, maxDist: Int, q: Int = 3,
-                     strategy: String = "auto"): Set[(Long, Long, Long)] =
-    EditSimilarity.editSimilarityJoin(df, "id", "s", maxDist, q, strategy)
+                     strategy: String = "auto",
+                     prefixLen: Int = 0): Set[(Long, Long, Long)] =
+    EditSimilarity.editSimilarityJoin(df, "id", "s", maxDist, q, strategy,
+        prefixLen)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
@@ -115,6 +117,40 @@ class EditSimilaritySpec extends AnyFunSuite {
       .select(EditSimilarity.deletionVariants(col("s"), 1).as("v"))
       .head().getSeq[String](0).toSet
     assert(rep === Set("aaa", "aa"))
+  }
+
+  test("FastSS prefix pruning: == brute force at every prefixLen, d=1 and d=2") {
+    // the truncation lemma says completeness holds at EVERY l — sweep
+    // small l so the panel's edits land beyond, at, and inside the
+    // prefix boundary (the adversarial cases for a pruned generator)
+    for (pl <- Seq(3, 4, 7, 12); d <- Seq(1, 2)) {
+      assert(joined(panel, d, strategy = "deletion", prefixLen = pl)
+        === brute(panel, d), s"prefixLen=$pl d=$d diverged from brute force")
+    }
+  }
+
+  test("FastSS prefix pruning on real data: customer names reversed, d=2") {
+    // c_name carries its entropy in the trailing digits, so the
+    // documented remedy applies: key on reverse(s) (levenshtein is
+    // reversal-invariant — identical pairs and distances), prune to
+    // the first 12 chars of the reversed string
+    val cust = Tables.table(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_custkey").as("id"), reverse(col("c_name")).as("s"))
+    assert(joined(cust, 2, strategy = "deletion", prefixLen = 12)
+      === brute(cust, 2))
+  }
+
+  test("prefix pruning cuts variant counts; degenerate prefixLen refused") {
+    val n = Seq(("abcdefghijklmnopqr", 0)).toDF("s", "z")
+    def count(pl: Int): Int = n
+      .select(size(EditSimilarity.deletionVariants(col("s"), 2, pl)).as("c"))
+      .head().getInt(0)
+    assert(count(0) === 1 + 18 + 18 * 17 / 2) // 172 unpruned (distinct: all)
+    assert(count(12) === 1 + 12 + 12 * 11 / 2) // 79: only prefix positions
+    // a prefix the budget can fully delete would key everything to ""
+    assertThrows[IllegalArgumentException] {
+      n.select(EditSimilarity.deletionVariants(col("s"), 2, 2)).head()
+    }
   }
 
   test("qgram path releases its internal cache deterministically") {
