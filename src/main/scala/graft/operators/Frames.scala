@@ -120,8 +120,17 @@ object Frames {
     * collapsed the affine Rademacher planes — see RademacherBuckets).
     */
   private[graft] val HashP = 1000000007L
-  def portableHash(id: Column, seed: Long): Column = {
-    val h1 = pmod(id.cast("long") + lit(seed), lit(HashP))
+  def portableHash(id: Column, seed: Long): Column =
+    portableHash(id, lit(seed))
+
+  /** Column-seed overload: the same mixer with the seed supplied per
+    * row — what lets ONE pass hash under many seeds (e.g. the grouped
+    * IVF cell split, where each oversized cell trains under seed+cell
+    * but all cells share one job). portableHash(id, s) ==
+    * portableHash(id, lit(s)) by construction.
+    */
+  def portableHash(id: Column, seed: Column): Column = {
+    val h1 = pmod(id.cast("long") + seed.cast("long"), lit(HashP))
     val h2 = pmod(pmod(h1 * h1, lit(HashP)) * lit(1000003L) + lit(54321L), lit(HashP))
     pmod(h2 * h2, lit(HashP))
   }

@@ -307,7 +307,13 @@ object IvfIndex {
     * members — is split via LOCAL 2-means over its own vectors
     * (seeded per cell, so the split is deterministic and portable
     * under the same discipline as training); survivors keep their
-    * centroids. The whole corpus is then re-assigned against the
+    * centroids. ALL oversized cells train in ONE grouped pass (the
+    * trainPqCodebooks discipline: one windowed init job + one
+    * cell-keyed Lloyd aggregation, element-identical to per-cell
+    * training under seed+cell — IvfIndexSpec pins both the equality
+    * and the O(1)-jobs shape), so a Zipf corpus with dozens of hot
+    * cells pays a fixed job budget, not dozens of sequential
+    * launches. The whole corpus is then re-assigned against the
     * expanded centroid set into a complete NEW fingerprinted index
     * under `newPrefix` — the live index serves untouched until the
     * split index is whole (the retrain/compaction crash-safety
@@ -338,7 +344,6 @@ object IvfIndex {
     requireCentroidsMatch(old, stats.columns, prefix, centroids)
     val vecs = spark.table(s"${prefix}_assign")
       .select(col("id"), col("vec"), col("cell"))
-    val dim = vecs.select(size(col("vec"))).head().getInt(0)
     val sizes = vecs.groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = sizes.values.sum
@@ -349,15 +354,91 @@ object IvfIndex {
     }.toSet
     val kept = centroids.indices.filterNot(oversized)
       .map(centroids(_)).toArray
-    // local 2-means per oversized cell, in cell order — children are
-    // appended after the kept centroids, so the expanded list (and
-    // every tie-break over it) is deterministic
-    val children = centroids.indices.filter(oversized).flatMap { c =>
-      Similarity.trainIvfCentroids(
-        vecs.filter(col("cell") === c).select(col("id"), col("vec")),
-        nCentroids = 2, dim = dim, iterations = 1,
-        idCol = "id", vecCol = "vec", seed = seed + c, portable = portable)
-    }.toArray
+    // GROUPED 2-means over all oversized cells at once — element-
+    // identical to training each cell alone under seed+cell (the
+    // trainPqCodebooks discipline: the grouping column rides through
+    // init and mean update, every per-group computation is untouched)
+    // but O(1) driver-blocking jobs per split tick instead of two per
+    // oversized cell. Children are appended after the kept centroids
+    // in cell order, so the expanded list (and every tie-break over
+    // it) stays deterministic.
+    val ovCells = centroids.indices.filter(oversized)
+    val children: Array[Array[Float]] =
+      if (ovCells.isEmpty) Array.empty
+      else {
+        import graft.functions.NativeFunctions.nearestCells
+        val ovVecs = vecs
+          .filter(col("cell").isin(ovCells.map(Int.box): _*))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // grouped init: each cell's 2 lowest rows under ITS OWN
+          // seeded hash order (seed + cell as a column seed) — the
+          // exact rows per-cell trainIvfCentroids' orderBy+limit(2)
+          // picks. Oversized implies n >= 2, so both ranks exist.
+          val hashCol =
+            if (portable)
+              Frames.portableHash(col("id"), lit(seed) + col("cell").cast("long"))
+            else xxhash64(lit(seed) + col("cell").cast("long"), col("id"))
+          val byHash = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cell")).orderBy(hashCol, col("id"))
+          val inits: Map[Int, Array[Array[Float]]] = ovVecs
+            .withColumn("rn", row_number().over(byHash))
+            .filter(col("rn") <= 2)
+            .select(col("cell"), col("rn"), col("vec"))
+            .collect()
+            .groupBy(_.getInt(0))
+            .map { case (c, rows) =>
+              c -> rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray) }
+          // one grouped Lloyd step: the child argmax is a CASE over
+          // oversized cells, each branch the SAME 2-entry nearestCells
+          // call per-cell training runs — one map-only pass, one
+          // aggregation job for every cell's means together
+          val childCol = ovCells.tail.foldLeft(
+            when(col("cell") === ovCells.head,
+              element_at(nearestCells(col("vec"), inits(ovCells.head), 1,
+                portable), 1))) { (acc, c) =>
+            acc.when(col("cell") === c,
+              element_at(nearestCells(col("vec"), inits(c), 1, portable), 1))
+          }
+          val assigned = ovVecs.select(col("cell"), col("vec"),
+            childCol.as("child"))
+          val means: Map[(Int, Int), Array[Float]] =
+            (if (portable)
+              assigned
+                .select(col("cell"), col("child"),
+                  posexplode(transform(col("vec"),
+                    x => floor(x.cast("double") * lit(1048576.0))
+                      .cast("long"))).as(Seq("pos", "qx")))
+                .groupBy(col("cell"), col("child"), col("pos"))
+                .agg(floor(sum(col("qx")).cast("double") / count(lit(1)))
+                  .cast("long").as("mq"))
+                .groupBy(col("cell"), col("child"))
+                .agg(sort_array(collect_list(struct(col("pos"), col("mq"))))
+                  .as("ps"))
+                .select(col("cell"), col("child"), transform(col("ps"),
+                  p => (p.getField("mq").cast("double") / lit(1048576.0))
+                    .cast("float")).as("cv"))
+            else
+              assigned
+                .select(col("cell"), col("child"),
+                  posexplode(col("vec")).as(Seq("pos", "x")))
+                .groupBy(col("cell"), col("child"), col("pos"))
+                .agg(avg(col("x")).as("mx"))
+                .groupBy(col("cell"), col("child"))
+                .agg(sort_array(collect_list(struct(col("pos"), col("mx"))))
+                  .as("ps"))
+                .select(col("cell"), col("child"), transform(col("ps"),
+                  p => p.getField("mx").cast("float")).as("cv")))
+            .collect()
+            .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
+            .toMap
+          // per cell: child 0 then 1, an empty child keeping its init
+          // (trainIvfCentroids' getOrElse fallback)
+          ovCells.flatMap { c =>
+            Seq(0, 1).map(j => means.getOrElse((c, j), inits(c)(j)))
+          }.toArray
+        } finally ovVecs.unpersist(blocking = false)
+      }
     val expanded = kept ++ children
     buildIvfIndex(vecs.select(col("id"), col("vec")), "id", "vec", expanded,
       newPrefix, portable,

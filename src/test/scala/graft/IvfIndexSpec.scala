@@ -316,6 +316,83 @@ class IvfIndexSpec extends AnyFunSuite {
     Seq("ivfsk", "ivfsksp", "ivfskref").foreach(cleanup)
   }
 
+  test("grouped split: children == per-cell 2-means reference; jobs O(1) in oversized-cell count") {
+    Seq("ivfgs", "ivfgssp").foreach(cleanup)
+    // THREE hot cells, deterministically: centroids train on the
+    // ORGANIC corpus alone, then the hot vectors are picked one from
+    // each of three distinct cells — their copies land exactly in
+    // those cells (same vector, same argmax), so the grouped pass has
+    // guaranteed multi-cell work and the job-count assertion has
+    // something to catch
+    val e0 = emb.limit(300).select(col("vec_id"), col("embedding"))
+      .cache(); e0.count()
+    val cents = Similarity.trainIvfCentroids(e0, nCentroids = 8, dim = 64,
+      iterations = 1, idCol = "vec_id", vecCol = "embedding", portable = true)
+    import graft.functions.NativeFunctions.nearestCells
+    val hots = e0.select(col("vec_id"), col("embedding"),
+        element_at(nearestCells(col("embedding"), cents, 1, portable = true),
+          1).as("cell"))
+      .orderBy(col("cell"), col("vec_id"))
+      .collect().groupBy(_.getInt(2)).toSeq.sortBy(_._1).take(3)
+      .map(_._2.head.getSeq[Float](1))
+    assert(hots.size === 3, "organic corpus must populate >= 3 cells")
+    val copies = hots.zipWithIndex.map { case (h, i) =>
+      spark.range(150).select((col("id") + lit(900000L + i * 10000L))
+        .as("vec_id"), typedLit(h.toSeq).as("embedding"))
+    }.reduce(_ unionByName _)
+    val skew = e0.unionByName(copies).cache(); skew.count()
+    IvfIndex.buildIvfIndex(skew, "vec_id", "embedding", cents, "ivfgs",
+      portable = true)
+    // reference: the pre-grouping formulation — one trainIvfCentroids
+    // per oversized cell under seed+cell, children in cell order
+    val assign = spark.table("ivfgs_assign")
+    val sizes = assign.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expect = sizes.values.sum / cents.length
+    val ovCells = cents.indices.filter { c =>
+      val n = sizes.getOrElse(c, 0L); n > expect && n >= 2L }
+    assert(ovCells.size >= 2, s"fixture must make >= 2 hot cells: $ovCells")
+    val refChildren = ovCells.flatMap { c =>
+      Similarity.trainIvfCentroids(
+        assign.filter(col("cell") === c).select(col("id"), col("vec")),
+        nCentroids = 2, dim = 64, iterations = 1,
+        idCol = "id", vecCol = "vec", seed = 7L + c, portable = true)
+    }
+    // count driver-blocking jobs during the grouped split
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val expanded = try {
+      val r = IvfIndex.splitOversizedCells(spark, "ivfgs", "ivfgssp",
+        cents, oversizeFactor = 1, seed = 7L, portable = true)
+      Thread.sleep(1000L) // let queued JobStart events drain
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // children (the tail beyond the kept centroids) must be element-
+    // identical to the sequential per-cell reference
+    val kept = cents.indices.filterNot(ovCells.contains).size
+    val gotChildren = expanded.drop(kept)
+    assert(gotChildren.length === refChildren.length)
+    gotChildren.zip(refChildren).zipWithIndex.foreach { case ((g, r), i) =>
+      assert(g.toSeq === r.toSeq, s"child $i diverged from per-cell training")
+    }
+    // job bound: init + assignment-means + sizes + the build's own
+    // jobs — a FIXED budget (~19 measured), not 2 extra jobs per
+    // oversized cell. The pre-grouping loop paid one init collect +
+    // one means collect PER CELL (~23 jobs at this fixture's 3 hot
+    // cells), so this bound separates the two shapes while leaving
+    // slack for scheduler jitter.
+    assert(jobs.get() <= 21,
+      s"split ran ${jobs.get()} jobs — expected an O(1) budget, " +
+        "not O(oversized cells)")
+    Seq(e0, skew).foreach(_.unpersist(blocking = false))
+    Seq("ivfgs", "ivfgssp").foreach(cleanup)
+  }
+
   test("probe plan prunes to the probed cells' partitions") {
     val e = emb.limit(400).cache(); e.count()
     val cents = Similarity.trainIvfCentroids(e,
