@@ -1290,8 +1290,9 @@ object PipelineQueries {
     //      order totals (cents), keep <= 3 rows per customer per
     //      status (ranked by clamped value — sensitivity bounded at
     //      maxPerActor·clampHi), then geometric noise at scale Δ/ε
-    //      on the sum and 1/ε on the count; mean = post-processing
-    //      of the two releases. Same seeded-replayable (NOT private)
+    //      on the sum and maxPerActor/ε on the count (an actor owns
+    //      up to maxPerActor KEPT rows); mean = post-processing of
+    //      the two releases. Same seeded-replayable (NOT private)
     //      noise stub as q_dp_counts ----
     "q_dp_sum" -> ((s, d) =>
       graft.operators.Quality.dpNoisySum(
@@ -1302,6 +1303,56 @@ object PipelineQueries {
           clampLo = 0L, clampHi = 30000000L, maxPerActor = 3,
           epsilon = 0.5, seed = 11L)
         .orderBy(col("o_orderstatus"))),
+
+    // ---- DP BUDGET LEDGER card: a scripted release sequence against
+    //      one table under a 1.0-ε (10^6 µ) sequential-composition
+    //      cap — counts at ε=0.4 admitted, a sum at ε=0.3 admitted
+    //      (cumulative 700000µ), then a third release at ε=0.5
+    //      REFUSED loudly (1200000µ > cap; the refusal is asserted,
+    //      then recorded as the card's admitted=false row). Spends
+    //      are release-id idempotent, so bench's cold+serve replay
+    //      lands on the identical card. n_keys ties each admitted
+    //      release to the data it published ----
+    "q_dp_budget" -> ((s, d) => {
+      import graft.operators.Quality
+      val docs = t(s, d, "documents")
+      val ledger = "dp_ledger_v1"
+      val cap = 1000000L
+      val r1 = Quality.dpNoisyCountsBudgeted(docs, Seq("lang", "source"),
+        epsilon = 0.4, seed = 7L, ledger, "corpus_v1",
+        "r1_lang_source_counts", cap)
+      val n1 = r1.count()
+      val r2 = Quality.dpNoisySumBudgeted(
+        t(s, d, "orders").select(col("o_orderstatus"), col("o_custkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast(LongType)
+            .as("cents")),
+        Seq("o_orderstatus"), "o_custkey", "cents",
+        clampLo = 0L, clampHi = 30000000L, maxPerActor = 3,
+        epsilon = 0.3, seed = 11L, ledger, "corpus_v1", "r2_status_sum", cap)
+      val n2 = r2.count()
+      val refused =
+        try {
+          Quality.dpNoisyCountsBudgeted(docs, Seq("lang"), epsilon = 0.5,
+            seed = 7L, ledger, "corpus_v1", "r3_lang_counts", cap)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(refused, "q_dp_budget: the over-cap release must be refused")
+      import s.implicits._
+      val nKeys = Seq(("r1_lang_source_counts", n1), ("r2_status_sum", n2))
+        .toDF("release_id", "n_keys")
+      Quality.dpLedgerCard(s, ledger)
+        .filter(col("table_id") === "corpus_v1")
+        .join(nKeys, Seq("release_id"))
+        .select(col("seq"), col("release_id"), col("mechanism"),
+          col("eps_micro"), col("delta"), col("n_keys"),
+          col("cum_eps_micro"), lit(true).as("admitted"))
+        .unionByName(s.range(1).select(lit(3L).as("seq"),
+          lit("r3_lang_counts").as("release_id"), lit("counts").as("mechanism"),
+          lit(500000L).as("eps_micro"), lit(1L).as("delta"),
+          lit(0L).as("n_keys"), lit(700000L).as("cum_eps_micro"),
+          lit(false).as("admitted")))
+        .orderBy(col("seq"))
+    }),
 
     // ---- greedy k-center coreset: 8 maximally-diverse embedding
     //      rows by farthest-first selection (seed = min id; then
@@ -4401,6 +4452,26 @@ object PipelineQueries {
            FROM documents)
          SELECT doc_id, lang, source, k FROM c
          WHERE k >= 3 ORDER BY doc_id""",
+    "q_dp_budget" ->
+      """WITH nk AS (
+           SELECT
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT DISTINCT lang, source FROM documents)) AS n1,
+             (SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+               FROM orders) AS n2)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS seq,
+             'r1_lang_source_counts' AS release_id, 'counts' AS mechanism,
+             CAST(400000 AS BIGINT) AS eps_micro, CAST(1 AS BIGINT) AS delta,
+             n1 AS n_keys, CAST(400000 AS BIGINT) AS cum_eps_micro,
+             true AS admitted FROM nk
+           UNION ALL
+           SELECT 2, 'r2_status_sum', 'sum', 300000, 90000000, n2,
+             700000, true FROM nk
+           UNION ALL
+           SELECT 3, 'r3_lang_counts', 'counts', 500000, 1, 0,
+             700000, false FROM nk)
+         ORDER BY seq""",
     "q_dp_counts" ->
       """WITH c AS (
            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n

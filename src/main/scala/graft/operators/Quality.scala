@@ -522,6 +522,110 @@ object Quality {
         expr("greatest(0L, sum_noisy) * 1000000L div greatest(1L, n_noisy)"))
   }
 
+  /** DP BUDGET LEDGER — the missing piece between "a release" and "a
+    * release POLICY": [[dpNoisyCounts]]/[[dpNoisySum]] each spend
+    * (ε, Δ) per call, and under sequential composition the privacy
+    * loss against one table is the SUM of the ε's ever spent on it.
+    * The ledger is a tiny catalog table recording every release —
+    * (seq, table_id, release_id, mechanism, eps_micro, delta) — and
+    * [[dpLedgerSpend]] refuses LOUDLY once a spend would push a
+    * table's cumulative ε past the caller's cap: the (ε·10^6)-integer
+    * arithmetic is exact, so "at the cap" admits and "one micro-ε
+    * over" refuses, deterministically.
+    *
+    * Idempotency: re-spending an already-recorded (table_id,
+    * release_id) is a no-op success — the lineage-ledger replay
+    * discipline ([[IvfIndex.lineageHasTag]]), so a retried pipeline
+    * stage never double-charges the budget it already spent.
+    *
+    * Scale: the ledger is releases-sized (driver-bounded by policy —
+    * a cap of ε=1 at ε≥0.01 per release holds ≤ 100 rows), read with
+    * one tiny scan per spend; no corpus data ever enters it.
+    */
+  def dpLedgerSpend(spark: org.apache.spark.sql.SparkSession,
+                    ledgerTable: String, tableId: String, releaseId: String,
+                    mechanism: String, epsilon: Double, delta: Long,
+                    epsCapMicro: Long): Unit = synchronized {
+    require(epsilon > 0, "epsilon must be positive")
+    require(epsCapMicro > 0, "epsCapMicro must be positive")
+    require(tableId.nonEmpty && releaseId.nonEmpty && mechanism.nonEmpty,
+      "dpLedgerSpend: tableId, releaseId and mechanism must be non-empty")
+    // nearest-micro quantization: floor would turn 0.3 into 299999µ
+    // through the binary representation; rint keeps decimal policy
+    // numbers exact at the ledger grain
+    val epsMicro = math.rint(epsilon * 1e6).toLong
+    require(epsMicro >= 1,
+      s"dpLedgerSpend: epsilon $epsilon below the 10^-6 ledger grain")
+    val (spent, maxSeq, dup) =
+      if (!spark.catalog.tableExists(ledgerTable)) (0L, 0L, false)
+      else {
+        val rows = spark.table(ledgerTable)
+          .filter(col("table_id") === tableId)
+          .select(col("seq"), col("release_id"), col("eps_micro")).collect()
+        (rows.map(_.getAs[Long]("eps_micro")).sum,
+          spark.table(ledgerTable).agg(coalesce(max(col("seq")), lit(0L)))
+            .head().getLong(0),
+          rows.exists(_.getAs[String]("release_id") == releaseId))
+      }
+    if (dup) return // replay: the budget was already charged
+    require(spent + epsMicro <= epsCapMicro,
+      s"dpLedgerSpend: release '$releaseId' (ε=${epsMicro}µ) on table " +
+        s"'$tableId' would spend ${spent + epsMicro}µ of the ${epsCapMicro}µ " +
+        s"cap (already spent: ${spent}µ over prior releases) — the table's " +
+        "privacy budget is exhausted; raise the policy cap deliberately or " +
+        "stop releasing")
+    spark.range(1).select(
+        lit(maxSeq + 1L).as("seq"), lit(tableId).as("table_id"),
+        lit(releaseId).as("release_id"), lit(mechanism).as("mechanism"),
+        lit(epsMicro).as("eps_micro"), lit(delta).as("delta"))
+      .coalesce(1)
+      .write.mode("append").saveAsTable(ledgerTable)
+  }
+
+  /** The ledger as an audit card: every release in seq order with the
+    * running cumulative spend per table — what a release-review reads
+    * and the oracle replays.
+    */
+  def dpLedgerCard(spark: org.apache.spark.sql.SparkSession,
+                   ledgerTable: String): DataFrame = {
+    val byTable = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("table_id")).orderBy(col("seq"))
+    spark.table(ledgerTable)
+      .withColumn("cum_eps_micro", sum(col("eps_micro")).over(byTable))
+      .select(col("seq"), col("table_id"), col("release_id"),
+        col("mechanism"), col("eps_micro"), col("delta"),
+        col("cum_eps_micro"))
+  }
+
+  /** [[dpNoisyCounts]] behind the ledger: the spend is charged (and
+    * the cap enforced) BEFORE any release computes. Same output.
+    */
+  def dpNoisyCountsBudgeted(df: DataFrame, keyCols: Seq[String],
+                            epsilon: Double, seed: Long, ledgerTable: String,
+                            tableId: String, releaseId: String,
+                            epsCapMicro: Long): DataFrame = {
+    dpLedgerSpend(df.sparkSession, ledgerTable, tableId, releaseId,
+      mechanism = "counts", epsilon = epsilon, delta = 1L,
+      epsCapMicro = epsCapMicro)
+    dpNoisyCounts(df, keyCols, epsilon, seed)
+  }
+
+  /** [[dpNoisySum]] behind the ledger — Δ recorded is the bounded
+    * sum sensitivity maxPerActor · max(|lo|, |hi|).
+    */
+  def dpNoisySumBudgeted(df: DataFrame, keyCols: Seq[String],
+                         actorCol: String, valueCol: String, clampLo: Long,
+                         clampHi: Long, maxPerActor: Int, epsilon: Double,
+                         seed: Long, ledgerTable: String, tableId: String,
+                         releaseId: String, epsCapMicro: Long): DataFrame = {
+    val delta = maxPerActor * math.max(math.abs(clampLo), math.abs(clampHi))
+    dpLedgerSpend(df.sparkSession, ledgerTable, tableId, releaseId,
+      mechanism = "sum", epsilon = epsilon, delta = delta,
+      epsCapMicro = epsCapMicro)
+    dpNoisySum(df, keyCols, actorCol, valueCol, clampLo, clampHi,
+      maxPerActor, epsilon, seed)
+  }
+
   /** Benford first-digit audit — the cheap fabricated-data detector
     * for naturally-occurring positive magnitudes (prices, counts,
     * durations spanning orders of magnitude): the leading decimal

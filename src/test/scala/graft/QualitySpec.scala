@@ -294,6 +294,48 @@ class QualitySpec extends AnyFunSuite {
     }.getMessage.contains("key columns"))
   }
 
+  test("DP budget ledger: cumulative spend, loud exhaustion, idempotent replay, per-table isolation") {
+    val ledger = "dpl_spec"
+    graft.operators.Bucketing.dropTableAndLocation(spark, ledger)
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 1L, 30L))
+      .toDF("k", "actor", "v")
+    val cap = 1000000L // ε = 1.0 in micro units
+    // two releases through the budgeted wrappers: 400000µ + 300000µ
+    Quality.dpNoisyCountsBudgeted(df, Seq("k"), epsilon = 0.4, seed = 1L,
+      ledger, "t1", "rel1", cap).collect()
+    Quality.dpNoisySumBudgeted(df, Seq("k"), "actor", "v", 0L, 100L, 2,
+      epsilon = 0.3, seed = 2L, ledger, "t1", "rel2", cap).collect()
+    val card = Quality.dpLedgerCard(spark, ledger)
+      .orderBy("seq").collect()
+    assert(card.map(_.getAs[Long]("eps_micro")).toSeq
+      === Seq(400000L, 300000L))
+    assert(card.last.getAs[Long]("cum_eps_micro") === 700000L)
+    assert(card.last.getAs[Long]("delta") === 200L) // 2 · max(|0|,|100|)
+    // exhaustion: 700000 + 500000 > cap refuses LOUDLY, spends nothing
+    val ex = intercept[IllegalArgumentException] {
+      Quality.dpLedgerSpend(spark, ledger, "t1", "rel3", "counts",
+        epsilon = 0.5, delta = 1L, epsCapMicro = cap)
+    }
+    assert(ex.getMessage.contains("budget is exhausted"))
+    assert(spark.table(ledger).count() === 2L)
+    // exactly-at-cap admits (integer arithmetic: 700000 + 300000 == cap)
+    Quality.dpLedgerSpend(spark, ledger, "t1", "rel4", "counts",
+      epsilon = 0.3, delta = 1L, epsCapMicro = cap)
+    assert(spark.table(ledger).count() === 3L)
+    // replaying an admitted release id is a no-op, never double-charges
+    Quality.dpLedgerSpend(spark, ledger, "t1", "rel1", "counts",
+      epsilon = 0.4, delta = 1L, epsCapMicro = cap)
+    assert(spark.table(ledger).count() === 3L)
+    // a DIFFERENT table spends from its own budget
+    Quality.dpLedgerSpend(spark, ledger, "t2", "rel1", "counts",
+      epsilon = 0.9, delta = 1L, epsCapMicro = cap)
+    val cum = Quality.dpLedgerCard(spark, ledger)
+      .groupBy("table_id").agg(max("cum_eps_micro").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cum === Map("t1" -> 1000000L, "t2" -> 900000L))
+    graft.operators.Bucketing.dropTableAndLocation(spark, ledger)
+  }
+
   test("t-closeness: skew in exact micro-units; null QI is a class, null sensitive excluded") {
     // global (nulls excluded): s1=6, s2=2, s3=2, N=10
     //   A (n=4, p=(3,1,0)/4):      Σ|c·N−g·n| = 6+2+8  = 16 → 16/80 = 0.20
