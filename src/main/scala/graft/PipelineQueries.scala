@@ -6048,10 +6048,11 @@ object PipelineQueries {
            SELECT l_extendedprice AS x FROM lineitem
            WHERE l_extendedprice > 0),
          dg AS (
-           SELECT LEAST(GREATEST(
-               CAST(FLOOR(x / POWER(10.0, FLOOR(LOG10(x)))) AS BIGINT), 1), 9)
+           SELECT CASE WHEN d0 > 9 THEN 1 WHEN d0 < 1 THEN 9 ELSE d0 END
              AS digit, COUNT(*) AS n_d
-           FROM v GROUP BY 1),
+           FROM (SELECT CAST(FLOOR(x / POWER(10.0, FLOOR(LOG10(x))))
+                   AS BIGINT) AS d0 FROM v)
+           GROUP BY 1),
          j AS (
            SELECT e.digit, CAST(COALESCE(d.n_d, 0) AS BIGINT) AS n_d,
              e.exp_micro
@@ -7098,7 +7099,7 @@ object PipelineQueries {
              CAST(COUNT(*) AS BIGINT) AS ncells
            FROM sizes)
          SELECT s.cell, s.n, t.n_total, t.n_total // t.ncells AS expected,
-           s.n * 1000000 // t.n_total AS skew_micro,
+           s.n * 1000000 // greatest(1, t.n_total) AS skew_micro,
            s.n > 2 * (t.n_total // t.ncells) AS oversized
          FROM sizes s, tot t ORDER BY s.cell""",
     "sim_recall_ivf" ->

@@ -225,6 +225,16 @@ object EditSimilarity {
       .distinct()
   }
 
+  /** NOTE the execution contract: this path ends in an EAGER
+    * localCheckpoint — the full query runs at CALL time and the
+    * returned frame is the materialized (match-set-sized) result
+    * held in executor storage, not a lazy plan. That is what lets
+    * the internal gram-prefix cache release deterministically; the
+    * trade is that on a cluster with dynamic allocation the blocks
+    * are non-reliable (an executor decommission loses them and they
+    * cannot recompute — re-call the join). Callers needing a lazy
+    * frame or reliable storage should persist the result themselves.
+    */
   private def qgramJoin(df: DataFrame, idCol: String, strCol: String,
                         maxDist: Int, q: Int): DataFrame = {
     val prefixLen = q * maxDist + 1

@@ -109,10 +109,22 @@ object ImageHash {
     val isJpg = bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF &&
       (bytes(1) & 0xFF) == 0xD8 && (bytes(2) & 0xFF) == 0xFF
     val isBmp = bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte
+    val isGif = bytes.length >= 6 && bytes(0) == 'G'.toByte &&
+      bytes(1) == 'I'.toByte && bytes(2) == 'F'.toByte &&
+      bytes(3) == '8'.toByte &&
+      (bytes(4) == '7'.toByte || bytes(4) == '9'.toByte) &&
+      bytes(5) == 'a'.toByte
+    val isTiff = bytes.length >= 4 &&
+      ((bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte &&
+        bytes(2) == 42.toByte && bytes(3) == 0.toByte) ||
+       (bytes(0) == 'M'.toByte && bytes(1) == 'M'.toByte &&
+        bytes(2) == 0.toByte && bytes(3) == 42.toByte))
     fmt match {
       case "png" if !isPng => return null
       case "jpg" | "jpeg" if !isJpg => return null
       case "bmp" if !isBmp => return null
+      case "gif" if !isGif => return null
+      case "tiff" | "tif" if !isTiff => return null
       case "png" | "jpg" | "jpeg" | "bmp" | "gif" | "tiff" | "tif" => ()
       case _ => return null
     }

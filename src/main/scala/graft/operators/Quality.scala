@@ -646,15 +646,21 @@ object Quality {
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // clamp into 1..9: floating-point digit extraction can land a
-    // stray 0/10 bucket near exact powers of ten (floor(log10 x)
-    // rounding low/high); clamping keeps every filtered row inside
-    // the nine released buckets so n accounts for all positive rows
-    // instead of silently dropping out-of-range digits at the join
+    // RENORMALIZE stray buckets instead of clamping: floating-point
+    // digit extraction can land a 10 (floor(log10 x) rounded LOW at a
+    // power of ten — the true leading digit is 1, the exponent was
+    // one too small) or a 0 (rounded HIGH just below a power of ten —
+    // the true digit is 9). Mapping 10->1 and 0->9 restores the TRUE
+    // digit, keeps every positive row inside the nine released
+    // buckets, and makes the card robust to the two engines rounding
+    // the same edge value differently (both roundings land on the
+    // same renormalized digit)
+    val d0 = floor(col(valueCol).cast("double") /
+      pow(lit(10.0), floor(log10(col(valueCol).cast("double")))))
+      .cast("long")
     val digits = df.filter(col(valueCol) > 0)
-      .select(least(greatest(floor(col(valueCol).cast("double") /
-        pow(lit(10.0), floor(log10(col(valueCol).cast("double")))))
-        .cast("long"), lit(1L)), lit(9L)).as("digit"))
+      .select(when(d0 > 9, lit(1L)).when(d0 < 1, lit(9L)).otherwise(d0)
+        .as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
     val frame = benfordExpectedMicro.toSeq
       .map { case (d, e) => (d, e) }.toDF("digit", "exp_micro")

@@ -312,7 +312,10 @@ object Similarity {
       .withColumn("n_total", sum(col("n")).over(
         org.apache.spark.sql.expressions.Window.partitionBy())) // nCells rows
       .withColumn("expected", expr(s"n_total div ${centroids.length}L"))
-      .withColumn("skew_micro", expr("n * 1000000L div n_total"))
+      // greatest(1, ·): an EMPTY corpus yields an all-zero card (every
+      // cell dead, skew 0) instead of a divide-by-zero error under
+      // ANSI mode — the card stays readable for the degenerate input
+      .withColumn("skew_micro", expr("n * 1000000L div greatest(1L, n_total)"))
       .withColumn("oversized", col("n") > lit(oversizeFactor) * col("expected"))
   }
 

@@ -877,7 +877,12 @@ object EventStreams {
         col("__prev").as("k"), col("event_type").as("v"))
     // eager checkpoint (fact-set-sized) so the internal events cache
     // can be released deterministically — the editSimilarityJoin
-    // cleanup discipline
+    // cleanup discipline. EXECUTION CONTRACT: the composition runs at
+    // CALL time and the returned Dataset is a materialized,
+    // lineage-severed result in non-reliable executor storage (an
+    // executor decommission under dynamic allocation loses it and it
+    // cannot recompute — re-call); callers needing laziness or
+    // reliable storage should persist the result themselves
     val out = funnel.as[EngagementFact]
       .union(attr)
       .union(cohort.as[EngagementFact])

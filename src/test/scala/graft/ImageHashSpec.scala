@@ -89,6 +89,13 @@ class ImageHashSpec extends AnyFunSuite {
     val bmp = Multimodal.buildBmp(4, 4, _ => 7)
     assert(ImageHash.dhash64(bmp, "png") === null)    // BMP labeled png
     assert(ImageHash.dhash64(bmp, "webp") === null)   // unsupported format
+    // gif/tiff magic checks: a mislabeled blob must not flow to
+    // whatever reader ImageIO sniffs (the declared-format contract)
+    assert(ImageHash.dhash64(bmp, "gif") === null)    // BMP labeled gif
+    assert(ImageHash.dhash64(bmp, "tiff") === null)   // BMP labeled tiff
+    assert(ImageHash.dhash64(bmp, "tif") === null)
+    assert(ImageHash.dhash64(
+      Multimodal.buildGif(8, 8, palBits = 2, v89 = true), "tiff") === null)
     assert(ImageHash.dhash64(Array.fill[Byte](64)(0x41), "bmp") === null)
     assert(ImageHash.dhash64(Array.empty[Byte], "bmp") === null)
     assert(ImageHash.dhash64(null, "bmp") === null)

@@ -393,6 +393,16 @@ class IvfIndexSpec extends AnyFunSuite {
     Seq("ivfgs", "ivfgssp").foreach(cleanup)
   }
 
+  test("ivfCellSkew on an empty corpus: all-zero card, no divide-by-zero") {
+    val cents = Array(Array.fill(4)(0.5f), Array.fill(4)(-0.5f))
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val card = Similarity.ivfCellSkew(empty, "vec_id", "embedding", cents)
+      .orderBy("cell").collect()
+    assert(card.length === 2)
+    assert(card.forall(r => r.getAs[Long]("n") === 0L &&
+      r.getAs[Long]("skew_micro") === 0L && !r.getAs[Boolean]("oversized")))
+  }
+
   test("probe plan prunes to the probed cells' partitions") {
     val e = emb.limit(400).cache(); e.count()
     val cents = Similarity.trainIvfCentroids(e,
