@@ -512,7 +512,27 @@ object PlanDump {
         "broadcast-probe-into-tf shape; between them the feedback " +
         "set (queries x kFb rows) broadcasts into the tf table and " +
         "the expansion vote windows over per-query feedback " +
-        "vocabularies — panel-sized state end to end."))
+        "vocabularies — panel-sized state end to end."),
+    "multimodal_audiohash_pairs" ->
+      ("Audio near-dup pairing: decode + framed-DCT fingerprint is ONE " +
+        "map-only mapPartitions pass (8 bytes out per clip); pairing " +
+        "reuses the banded-Hamming equi-join — the shuffle carries " +
+        "(id, band, value) words, verification is the codegen " +
+        "bit_count(xor), never all-pairs and never the audio bytes."),
+    "dedup_edit_join_pruned" ->
+      ("FastSS-pruned deletion join at d=2: the variant explode is " +
+        "map-only and 2.8x smaller than the unpruned neighborhood " +
+        "(C(12,<=2)+1 vs C(len,<=2)+1 keys per string); the one " +
+        "exchange is the hash equi-join on 64-bit variant keys; exact " +
+        "levenshtein verifies on the joined rows. Same pair set as " +
+        "unpruned by the truncation lemma — the plan just ships fewer " +
+        "postings."),
+    "q_dp_budget" ->
+      ("DP budget card: the ledger is a releases-sized catalog table " +
+        "(driver-bounded by policy), each spend one tiny scan + one " +
+        "1-row append; the released aggregates keep dpNoisyCounts/" +
+        "dpNoisySum's one-key-shuffle shapes. Nothing here grows with " +
+        "the corpus — by construction a BUDGET is small."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -179,6 +179,7 @@ object ScaleSmoke {
     val runR13 = only.isEmpty || only.contains("r13")
     val runR13b = only.isEmpty || only.contains("r13b")
     val runR13c = only.isEmpty || only.contains("r13c")
+    val runR14 = only.isEmpty || only.contains("r14")
     val results = (if (!runMain) Seq.empty[(String, Double, Long)] else Seq(
       time("minhash_lsh_1x") {
         Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 64, 16, 3, 0.5)
@@ -1202,6 +1203,110 @@ object ScaleSmoke {
           }.reduce(_ unionByName _).repartition(32)
           EventStreams.engagementFactsBatch(evKv, admitted(evKv), "id")
             .queryExecution.toRdd.count() })
+    }) ++ (if (!runR14) Seq.empty[(String, Double, Long)] else {
+      // ROUND-14 blocks.
+      //
+      // (a) WordPiece training past the OLD int64 refusal point: the
+      // r13 code hard-refused corpora beyond ~9.2e6 symbol
+      // occurrences (the int64-quantized merge score wrapped); the
+      // DECIMAL(38,0) migration removed the ceiling. The Kx corpus
+      // sits far past it — assert that, then train. Cost is
+      // distinct-word-bounded (replication grows counts, not the
+      // vocab), so the honest expectation is ~FLAT in K.
+      import graft.operators.{AudioHash, EditSimilarity, ImageHashIndex, Multimodal}
+      def symCount(docs: DataFrame): Long = docs
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .agg(coalesce(sum(length(col("w"))), lit(0L))).head().getLong(0)
+      val symsK = symCount(docsK)
+      require(symsK > 9200000L,
+        s"r14 wordpiece block: Kx corpus has $symsK symbol occurrences — " +
+          "must exceed the OLD 9.2e6 int64 refusal point to prove the lift")
+      println(s"[scale] r14 wordpiece: Kx corpus symbol occurrences = $symsK" +
+        " (old code refused beyond 9200000)")
+      val wpr = Seq(
+        time("wordpiece_train_1x") {
+          TextAnalysis.trainWordpieceMerges(docs1, "text", 2).size.toLong },
+        time(s"wordpiece_train_${k}x") {
+          TextAnalysis.trainWordpieceMerges(docsK, "text", 2).size.toLong })
+      // (b) image index past the OLD band saturation point: 16-bit
+      // bands saturated the band digest at ~nBands·65536 ≈ 262k
+      // images, after which every clean probe paid ~n/65536 postings
+      // per key. The r14 32-bit dhash‖phash bands put saturation at
+      // ~1.7e10, so a CLEAN batch against a 300k-hash index (past the
+      // OLD point) must digest-clear: gate cost ~ the probe's own
+      // banding, candidates 0, and FLAT vs a 15k-hash index. Hashes
+      // are synthetic 64-bit mixes (the index is hash-agnostic); the
+      // clean batch draws from a disjoint mix domain.
+      def synthHashes(lo: Long, hi: Long, dom: String): DataFrame =
+        spark.range(lo, hi).select(col("id"),
+          xxhash64(col("id"), lit(dom)).as("dhash"),
+          xxhash64(col("id"), lit(dom), lit("p")).as("phash"))
+      Seq("ss_im14s", "ss_im14b").foreach { p =>
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(_.startsWith(p))
+          .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _))
+      }
+      val probe14 = synthHashes(0L, 500L, "clean").cache(); probe14.count()
+      val imr14 = Seq(
+        time("imageidx14_build_15k") {
+          ImageHashIndex.buildImageIndex(synthHashes(0L, 15000L, "idx"),
+            "id", "dhash", "phash", "ss_im14s"); 15000L },
+        time("imageidx14_build_300k") {
+          ImageHashIndex.buildImageIndex(synthHashes(0L, 300000L, "idx"),
+            "id", "dhash", "phash", "ss_im14b"); 300000L },
+        time("imageidx14_gate_15k") {
+          ImageHashIndex.gateImageMatches(spark, "ss_im14s",
+            probe14, "id", "dhash", "phash").queryExecution.toRdd.count() },
+        time("imageidx14_gate_300k") {
+          ImageHashIndex.gateImageMatches(spark, "ss_im14b",
+            probe14, "id", "dhash", "phash").queryExecution.toRdd.count() })
+      probe14.unpersist(blocking = false)
+      // (c) FastSS prefix pruning at d=2: postings per string drop
+      // from C(len,<=2)+1 to C(12,<=2)+1. Names carry entropy in
+      // their trailing digits, so the documented remedy applies —
+      // key on reverse(s) (levenshtein is reversal-invariant). Rows:
+      // postings counts pruned vs unpruned, then the d=2 join both
+      // ways at 1x (same pair set by completeness).
+      val custR = Tables.table(spark, sfDir, "customer")
+        .select(col("c_custkey").as("id"),
+          reverse(format_string("Customer#%09d", col("c_custkey"))).as("s"))
+        .cache()
+      val nCust = custR.count()
+      def postings(pl: Int): Long = custR.select(explode(
+        EditSimilarity.deletionVariants(col("s"), 2, pl)).as("v")).count()
+      val postU = postings(0)
+      val postP = postings(12)
+      println(f"[scale] r14 fastss postings at d=2: unpruned $postU%d, " +
+        f"pruned(12) $postP%d (${postU.toDouble / postP}%.1fx fewer) " +
+        f"over $nCust%d names")
+      val edr14 = Seq(
+        time("edit_join_d2_unpruned") {
+          EditSimilarity.editSimilarityJoin(custR, "id", "s", 2,
+            strategy = "deletion").queryExecution.toRdd.count() },
+        time("edit_join_d2_pruned12") {
+          EditSimilarity.editSimilarityJoin(custR, "id", "s", 2,
+            strategy = "deletion", prefixLen = 12)
+            .queryExecution.toRdd.count() })
+      custR.unpersist(blocking = false)
+      // (d) audio fingerprint (map-only) + banded pairing at 1x/Kx:
+      // replicas use disjoint doc-id ranges, so base groups (id div 4)
+      // never span replicas — pair counts grow exactly K-fold, the
+      // linear shape.
+      def audioPairs(ids: DataFrame): Long = {
+        val blobs = Multimodal.synthMediaBlobs(ids, "doc_id", "wav_near")
+        val hashes = AudioHash.audioHashes(blobs, "id", "bytes", "format")
+        AudioHash.audiohashPairs(hashes, "id", "audiohash", 3, 4)
+          .queryExecution.toRdd.count()
+      }
+      val aur = Seq(
+        time("audiohash_pairs_1x") {
+          audioPairs(docs1.select(col("doc_id"))) },
+        time(s"audiohash_pairs_${k}x") {
+          audioPairs((0 until k).map(r => docs1.select(
+              (col("doc_id") + lit(r * offset)).as("doc_id")))
+            .reduce(_ unionByName _).repartition(32)) })
+      wpr ++ imr14 ++ edr14 ++ aur
     })
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
@@ -1230,7 +1335,8 @@ object ScaleSmoke {
         "editidx_build", "editidx_gate", "editidx_append",
         "edit_join_del", "edit_join_qgram",
         "imageidx_build", "imageidx_gate", "imageidx_append",
-        "engagement_batch").foreach { base =>
+        "engagement_batch", "wordpiece_train",
+        "audiohash_pairs").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }
@@ -1238,6 +1344,10 @@ object ScaleSmoke {
       println(f"[scale]   ivf fixed-16 cells is ${b / a}%.1fx slower than sqrt-scaled cells at ${k}x")
     for (a <- byName.get(s"scd2_fold_${k}x"); b <- byName.get(s"scd2_fold_full_${k}x"))
       println(f"[scale]   scd2 full-history materialization is ${b / a}%.1fx the current-slice fold at ${k}x depth")
+    for (a <- byName.get("imageidx14_gate_15k"); b <- byName.get("imageidx14_gate_300k"))
+      println(f"[scale]   imageidx clean-gate at 300k hashes (past the OLD 262k saturation) is ${b / a}%.1fx the 15k gate (digest-cleared => ~1x)")
+    for (a <- byName.get("edit_join_d2_unpruned"); b <- byName.get("edit_join_d2_pruned12"))
+      println(f"[scale]   fastss pruned(12) d=2 join runs in ${b / a}%.2fx the unpruned time")
     spark.stop()
   }
 }

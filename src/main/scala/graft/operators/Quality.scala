@@ -557,8 +557,14 @@ object Quality {
     require(epsMicro >= 1,
       s"dpLedgerSpend: epsilon $epsilon below the 10^-6 ledger grain")
     val (spent, maxSeq, dup) =
-      if (!spark.catalog.tableExists(ledgerTable)) (0L, 0L, false)
-      else {
+      if (!spark.catalog.tableExists(ledgerTable)) {
+        // a fresh session with an in-memory catalog can meet a STALE
+        // ledger location left by a previous session (the metadata is
+        // gone, the directory is not) — saveAsTable would refuse the
+        // location; this session's ledger starts empty, so clear it
+        Bucketing.dropTableAndLocation(spark, ledgerTable)
+        (0L, 0L, false)
+      } else {
         val rows = spark.table(ledgerTable)
           .filter(col("table_id") === tableId)
           .select(col("seq"), col("release_id"), col("eps_micro")).collect()

@@ -336,6 +336,22 @@ class QualitySpec extends AnyFunSuite {
     graft.operators.Bucketing.dropTableAndLocation(spark, ledger)
   }
 
+  test("DP ledger survives a stale location left by a previous session") {
+    // an in-memory catalog forgets the table between sessions but the
+    // warehouse directory survives — the first spend of a new session
+    // must clear it instead of tripping LOCATION_ALREADY_EXISTS
+    val ledger = "dpl_stale"
+    graft.operators.Bucketing.dropTableAndLocation(spark, ledger)
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+      .getPath
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(wh, ledger))
+    Quality.dpLedgerSpend(spark, ledger, "t", "r1", "counts",
+      epsilon = 0.5, delta = 1L, epsCapMicro = 1000000L)
+    assert(spark.table(ledger).count() === 1L)
+    graft.operators.Bucketing.dropTableAndLocation(spark, ledger)
+  }
+
   test("t-closeness: skew in exact micro-units; null QI is a class, null sensitive excluded") {
     // global (nulls excluded): s1=6, s2=2, s3=2, N=10
     //   A (n=4, p=(3,1,0)/4):      Σ|c·N−g·n| = 6+2+8  = 16 → 16/80 = 0.20
