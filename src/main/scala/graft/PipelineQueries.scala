@@ -889,11 +889,15 @@ object PipelineQueries {
     //      reverse(name) — levenshtein is reversal-invariant, so the
     //      pair set and distances are exactly the unreversed ones.
     //      The oracle replays truncation, variant generation, and
-    //      the exact verify ----
+    //      the exact verify. The %5 slice keeps the d=2 output
+    //      bench-sized (the FULL-corpus d=2 pair set is genuinely
+    //      ~quadratic in lookalikes — 4M pairs at sf0.1, a 2-minute
+    //      row; ScaleSmoke r14 measures that full-corpus form) ----
     "dedup_edit_join_pruned" -> ((s, d) =>
       graft.operators.EditSimilarity.editSimilarityJoin(
-          t(s, d, "customer").select(col("c_custkey").as("id"),
-            reverse(col("c_name")).as("s")),
+          t(s, d, "customer").filter(col("c_custkey") % 5 === 0)
+            .select(col("c_custkey").as("id"),
+              reverse(col("c_name")).as("s")),
           "id", "s", maxDist = 2, strategy = "deletion", prefixLen = 12)
         .orderBy(col("a_id"), col("b_id"))),
 
@@ -2353,8 +2357,48 @@ object PipelineQueries {
       val blobs = graft.operators.Multimodal.synthMediaBlobs(
         t(s, d, "documents").select(col("doc_id")), "doc_id", "wav")
       graft.operators.AudioHash.audioHashes(blobs, "id", "bytes", "format")
-        .select(col("id").as("doc_id"), col("audiohash"))
+        .select(col("id").as("doc_id"), col("audiohash"), col("envhash"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- PERSISTED audio near-dup index, gated: the two audio words
+    //      (envelope gradients ‖ spectral signs — amplitude dynamics
+    //      and frequency structure are independent views) form the
+    //      same 128-bit two-word shape as dhash‖phash, so the index
+    //      IS ImageHashIndex reused verbatim: 4×32-bit bands, band
+    //      digest, combined-distance verify, O(delta) appends.
+    //      Brute-force combined-distance oracle ----
+    "dedup_audioidx_gate" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "wav_near")
+      val hashes = graft.operators.AudioHash.audioHashes(
+          blobs, "id", "bytes", "format")
+        .filter(col("audiohash").isNotNull && col("envhash").isNotNull)
+        .select(col("id"), col("envhash"), col("audiohash"))
+      val prefix = graft.operators.ImageHashIndex.imageIndexCached(
+        hashes.filter(col("id") % 5 =!= 0), "id", "envhash", "audiohash",
+        namespace = "audidx_v1")
+      graft.operators.ImageHashIndex.gateImageMatches(s, prefix,
+          hashes.filter(col("id") % 5 === 0), "id", "envhash", "audiohash")
+        .orderBy(col("delta_id"), col("index_id"))
+    }),
+
+    // ---- the same gate after an O(delta) APPEND (append ≡ rebuild;
+    //      shares the oracle) ----
+    "dedup_audioidx_append" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "wav_near")
+      val hashes = graft.operators.AudioHash.audioHashes(
+          blobs, "id", "bytes", "format")
+        .filter(col("audiohash").isNotNull && col("envhash").isNotNull)
+        .select(col("id"), col("envhash"), col("audiohash"))
+      val corp = hashes.filter(col("id") % 5 =!= 0)
+      val prefix = graft.operators.ImageHashIndex.imageAppendCached(
+        corp.filter(col("id") % 4 =!= 1), corp.filter(col("id") % 4 === 1),
+        "id", "envhash", "audiohash", namespace = "audidx_v1")
+      graft.operators.ImageHashIndex.gateImageMatches(s, prefix,
+          hashes.filter(col("id") % 5 === 0), "id", "envhash", "audiohash")
+        .orderBy(col("delta_id"), col("index_id"))
     }),
 
     // ---- audio near-dup pairing over the spectral fingerprints:
@@ -4146,7 +4190,29 @@ object PipelineQueries {
                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
            + CASE WHEN dv[64] > list_sort(dv)[32]
                THEN -9223372036854775807 - 1 ELSE 0 END AS audiohash
-         FROM dct)
+         FROM dct),
+       ebuck AS (
+         SELECT doc_id,
+           list_transform(range(0, 65), tt ->
+             CAST(list_sum(list_transform(
+               range(tt * n // 65,
+                 greatest(tt * n // 65 + 1, (tt + 1) * n // 65)),
+               i -> abs(CAST(s[i + 1] AS BIGINT))))
+             // (greatest(tt * n // 65 + 1, (tt + 1) * n // 65)
+                 - tt * n // 65) AS BIGINT))
+           AS qb
+         FROM smp),
+       eh AS (
+         SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 63), b ->
+             CASE WHEN qb[b + 2] > qb[b + 1]
+               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
+           + CASE WHEN qb[65] > qb[64]
+               THEN -9223372036854775807 - 1 ELSE 0 END AS envhash
+         FROM ebuck),
+       ahx AS (
+         SELECT a.doc_id, a.audiohash, e.envhash
+         FROM ah a JOIN eh e ON a.doc_id = e.doc_id)
        $select"""
 
   private def patched(sql: String, subs: (String, String)*): String =
@@ -6344,7 +6410,7 @@ object PipelineQueries {
     "dedup_edit_join_pruned" ->
       """WITH strs AS (
            SELECT c_custkey AS id, reverse(c_name) AS s FROM customer
-           WHERE c_name IS NOT NULL),
+           WHERE c_name IS NOT NULL AND c_custkey % 5 = 0),
          g AS (
            SELECT id, s, substr(s, 1, 12) AS p FROM strs),
          vv AS (
@@ -6506,9 +6572,21 @@ object PipelineQueries {
              + bit_count(xor(pa.phash, pb.phash)) <= 3
          ORDER BY delta_id, index_id"""),
     "multimodal_audiohash" -> audioHashOracle(
-      "SELECT doc_id, audiohash FROM ah ORDER BY doc_id",
+      "SELECT doc_id, audiohash, envhash FROM ahx ORDER BY doc_id",
       nExpr = "32 + doc_id % 96",
       sampleExpr = "(doc_id * 7919 + i * 2503) % 65536 - 32768"),
+    "dedup_audioidx_gate" -> audioHashOracle(
+      """SELECT a.doc_id AS delta_id, b.doc_id AS index_id,
+           CAST(bit_count(xor(a.envhash, b.envhash))
+              + bit_count(xor(a.audiohash, b.audiohash)) AS BIGINT) AS dist
+         FROM ahx a, ahx b
+         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+           AND bit_count(xor(a.envhash, b.envhash))
+             + bit_count(xor(a.audiohash, b.audiohash)) <= 3
+         ORDER BY delta_id, index_id""",
+      nExpr = "32 + base % 96",
+      sampleExpr = """((base * 7919 + i * 2503) % 65536 +
+        CASE WHEN i < 3 THEN v ELSE 0 END) % 65536 - 32768"""),
     "multimodal_audiohash_pairs" -> audioHashOracle(
       """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            CAST(bit_count(xor(a.audiohash, b.audiohash)) AS BIGINT) AS dist
@@ -9849,6 +9927,7 @@ object PipelineQueries {
     // answers against the same brute-force truth as the one-shot build
     "dedup_editidx_append" -> oracleSqlBase("dedup_editidx_gate"),
     "dedup_imageidx_append" -> oracleSqlBase("dedup_imageidx_gate"),
+    "dedup_audioidx_append" -> oracleSqlBase("dedup_audioidx_gate"),
     // filtered ANN: identical assignment/probe chain, candidates
     // restricted to the predicate's survivors
     "sim_topk_ivf_filtered" -> patched(oracleSqlBase("sim_topk_ivf"),

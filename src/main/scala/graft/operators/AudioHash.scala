@@ -69,6 +69,23 @@ object AudioHash {
     else java.lang.Long.valueOf(hashFromSamples(samples))
   }
 
+  /** 64-bit ENVELOPE fingerprint — the second, independent audio
+    * word (dHash's gradient rule in amplitude space, where
+    * [[audiohash64]] is pHash's spectral rule): mean |sample| over 65
+    * area-mapped buckets, bit t set iff bucket t+1's envelope exceeds
+    * bucket t's. Amplitude DYNAMICS are what the spectral signs
+    * ignore, so the pair (envhash, audiohash) is a 128-bit two-view
+    * fingerprint — exactly the dhash‖phash shape, which is what lets
+    * the persisted AUDIO near-dup index reuse [[ImageHashIndex]]
+    * verbatim (hash-agnostic, 4×32-bit bands, no digest-saturation
+    * caveat) with combined-distance semantics.
+    */
+  def envhash64(bytes: Array[Byte]): java.lang.Long = {
+    val samples = decodeSamples(bytes)
+    if (samples == null || samples.length == 0) null
+    else java.lang.Long.valueOf(envhashFromSamples(samples))
+  }
+
   private def decodeSamples(bytes: Array[Byte]): Array[Int] = {
     val buf = new scala.collection.mutable.ArrayBuilder.ofInt
     val cr = Multimodal.walkWavSamples(bytes, MaxSamples)(buf += _)
@@ -124,11 +141,36 @@ object AudioHash {
     hash
   }
 
-  /** (id, audiohash) per clip — map-only, one row per input, null
-    * hashes for undecodable blobs (kept, so corpus accounting stays
-    * complete; filter downstream). Only the `wav` container carries a
-    * sample tier (mp3/flac/ogg stay metadata-tier by declared scope);
-    * other formats degrade to null.
+  /** The amplitude-envelope fold behind [[envhash64]]. */
+  private[operators] def envhashFromSamples(s: Array[Int]): Long = {
+    val n = s.length
+    val nb = 64 + 1 // adjacent compares: one extra bucket yields 64 bits
+    val q = new Array[Long](nb)
+    var t = 0
+    while (t < nb) {
+      val i0 = t * n / nb
+      val i1 = math.max(i0 + 1, (t + 1) * n / nb)
+      var sum = 0L
+      var i = i0
+      while (i < i1) { sum += math.abs(s(i).toLong); i += 1 }
+      q(t) = sum / (i1 - i0)
+      t += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (q(b + 1) > q(b)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** (id, audiohash, envhash) per clip — map-only, one row per input
+    * with ONE decode feeding both words, null hashes for undecodable
+    * blobs (kept, so corpus accounting stays complete; filter
+    * downstream). Only the `wav` container carries a sample tier
+    * (mp3/flac/ogg stay metadata-tier by declared scope); other
+    * formats degrade to null.
     */
   def audioHashes(df: DataFrame, idCol: String, bytesCol: String,
                   formatCol: String): DataFrame = {
@@ -138,16 +180,22 @@ object AudioHash {
     val formatIdx = schema.fieldIndex(formatCol)
     val outSchema = StructType(Seq(
       StructField("id", LongType),
-      StructField("audiohash", LongType)))
+      StructField("audiohash", LongType),
+      StructField("envhash", LongType)))
     df.mapPartitions { rows =>
       rows.map { row =>
         val id = row.getLong(idIdx)
         val bytes =
           if (row.isNullAt(bytesIdx)) null else row.getAs[Array[Byte]](bytesIdx)
         val fmt = if (row.isNullAt(formatIdx)) null else row.getString(formatIdx)
-        val h = if (fmt == null || fmt.toLowerCase != "wav") null
-          else audiohash64(bytes)
-        Row(id, h)
+        if (fmt == null || fmt.toLowerCase != "wav") Row(id, null, null)
+        else {
+          val samples = decodeSamples(bytes)
+          if (samples == null || samples.length == 0) Row(id, null, null)
+          else Row(id,
+            java.lang.Long.valueOf(hashFromSamples(samples)),
+            java.lang.Long.valueOf(envhashFromSamples(samples)))
+        }
       }
     }(Encoders.row(outSchema))
   }

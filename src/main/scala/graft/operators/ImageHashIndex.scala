@@ -307,13 +307,14 @@ object ImageHashIndex {
     */
   def imageAppendCached(base: DataFrame, delta: DataFrame,
                         idCol: String, dhashCol: String, phashCol: String,
-                        maxBits: Int = 3, nBands: Int = 4): String = {
+                        maxBits: Int = 3, nBands: Int = 4,
+                        namespace: String = "imgidx_v2"): String = {
     val spark = base.sparkSession
     val baseFp = IndexStore.corpusFingerprint(base,
       Seq(idCol, dhashCol, phashCol))
     val deltaFp = IndexStore.corpusFingerprint(delta,
       Seq(idCol, dhashCol, phashCol))
-    val prefix = s"imgidx_v2_${baseFp}_plus_${deltaFp}_d${maxBits}b$nBands"
+    val prefix = s"${namespace}_${baseFp}_plus_${deltaFp}_d${maxBits}b$nBands"
     val have = Tables.forall(s => spark.catalog.tableExists(s"${prefix}_$s"))
     if (!have) buildImageIndex(base, idCol, dhashCol, phashCol, prefix,
       maxBits, nBands, lineage = baseFp)

@@ -49,6 +49,45 @@ class AudioHashSpec extends AnyFunSuite {
     val hMu = AudioHash.audiohash64(g711)
     assert(hPcm != null && hMu != null)
     assert(hPcm === hMu, "container must not leak into the fingerprint")
+    assert(AudioHash.envhash64(pcm) === AudioHash.envhash64(g711),
+      "container must not leak into the envelope word either")
+  }
+
+  test("persisted audio index (ImageHashIndex reused on envhash‖audiohash): gate == brute combined truth") {
+    import graft.operators.{Bucketing, ImageHashIndex}
+    def cleanup(p: String): Unit =
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith(p))
+        .foreach(Bucketing.dropTableAndLocation(spark, _))
+    cleanup("aud")
+    val blobs = Multimodal.synthMediaBlobs(
+      spark.range(300L).select(col("id").as("doc_id")), "doc_id", "wav_near")
+    val hashes = AudioHash.audioHashes(blobs, "id", "bytes", "format")
+      .filter(col("audiohash").isNotNull && col("envhash").isNotNull)
+      .select(col("id"), col("envhash"), col("audiohash")).cache()
+    hashes.count()
+    val corp = hashes.filter(col("id") % 5 =!= 0)
+    val delta = hashes.filter(col("id") % 5 === 0)
+    ImageHashIndex.buildImageIndex(corp, "id", "envhash", "audiohash",
+      "aud", maxBits = 3, nBands = 4)
+    val truth = delta.select(col("id").as("delta_id"), col("envhash").as("de"),
+        col("audiohash").as("da"))
+      .join(corp.select(col("id").as("index_id"), col("envhash").as("ce"),
+          col("audiohash").as("ca")),
+        (bit_count(col("de").bitwiseXOR(col("ce")))
+          + bit_count(col("da").bitwiseXOR(col("ca")))) <= 3)
+      .withColumn("dist",
+        (bit_count(col("de").bitwiseXOR(col("ce")))
+          + bit_count(col("da").bitwiseXOR(col("ca")))).cast("long"))
+      .select("delta_id", "index_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = ImageHashIndex.gateImageMatches(spark, "aud", delta,
+        "id", "envhash", "audiohash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === truth)
+    assert(truth.nonEmpty, "the near panel must exercise real index matches")
+    hashes.unpersist(blocking = false)
+    cleanup("aud")
   }
 
   test("ADPCM and A-law fixtures fingerprint non-null and deterministically") {
