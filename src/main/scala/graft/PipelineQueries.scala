@@ -889,13 +889,15 @@ object PipelineQueries {
     //      reverse(name) — levenshtein is reversal-invariant, so the
     //      pair set and distances are exactly the unreversed ones.
     //      The oracle replays truncation, variant generation, and
-    //      the exact verify. The %5 slice keeps the d=2 output
+    //      the exact verify. The %7 slice keeps the d=2 output
     //      bench-sized (the FULL-corpus d=2 pair set is genuinely
     //      ~quadratic in lookalikes — 4M pairs at sf0.1, a 2-minute
-    //      row; ScaleSmoke r14 measures that full-corpus form) ----
+    //      row; ScaleSmoke r14 measures that full-corpus form) and,
+    //      unlike a %5/%10 slice, keeps LAST-digit variety so the
+    //      reversed prefix retains its leading entropy ----
     "dedup_edit_join_pruned" -> ((s, d) =>
       graft.operators.EditSimilarity.editSimilarityJoin(
-          t(s, d, "customer").filter(col("c_custkey") % 5 === 0)
+          t(s, d, "customer").filter(col("c_custkey") % 7 === 0)
             .select(col("c_custkey").as("id"),
               reverse(col("c_name")).as("s")),
           "id", "s", maxDist = 2, strategy = "deletion", prefixLen = 12)
@@ -6410,7 +6412,7 @@ object PipelineQueries {
     "dedup_edit_join_pruned" ->
       """WITH strs AS (
            SELECT c_custkey AS id, reverse(c_name) AS s FROM customer
-           WHERE c_name IS NOT NULL AND c_custkey % 5 = 0),
+           WHERE c_name IS NOT NULL AND c_custkey % 7 = 0),
          g AS (
            SELECT id, s, substr(s, 1, 12) AS p FROM strs),
          vv AS (
