@@ -227,6 +227,18 @@ object Retrieval {
     * k=4), as a power of two in [2^20, 2^26]. Above the cap (4M+
     * docs in one segment) the FP rate degrades gracefully — flagged
     * ids only pay the exact ids-table confirm, never correctness.
+    *
+    * THE CAP IS A DESIGN CONTRACT shared by every index family that
+    * sizes its digest here (BM25 ids, dedup fingerprints, near-dup
+    * buckets, edit variants, image/audio band keys): a digest is a
+    * bounded FAST PATH (≤ 8 MB — it must broadcast and read in one
+    * tiny scan), never the scale guarantee. Past digest capacity a
+    * clean batch falls through to the key-keyed postings equi-join,
+    * whose cost rests on PER-KEY POSTING SPARSITY — open 64-bit hash
+    * keyspaces (text/edit families) and 32-bit band values
+    * (image/audio) keep those lists match-shaped at any realistic
+    * corpus; that sparsity, not the digest, is what must hold at
+    * 100 TB.
     */
   private[operators] def digestSizing(nDocs: Long): Int = {
     var m = DefaultDigestMBits.toLong
