@@ -90,6 +90,22 @@ class AudioHashSpec extends AnyFunSuite {
     cleanup("aud")
   }
 
+  test("2x upsampling (sample duplication) leaves both fingerprint words unchanged") {
+    // area-mapping normalizes the time axis: bucket t of a 2n-sample
+    // clip covers exactly twice the range of bucket t at n samples,
+    // so duplicating every sample (nearest-neighbor resampling to 2x
+    // the rate) reproduces every bucket mean — the fingerprint hears
+    // the waveform, not the sample rate. Holds EXACTLY when buckets
+    // tile evenly; this is the designed robustness the near-dup use
+    // case needs (the same clip re-encoded at a different rate).
+    val n = 256 * 65 // multiple of both grid sizes: buckets tile exactly
+    def s(i: Int): Int = ((i * 2503 + 7919) % 65536) - 32768
+    val base = Multimodal.buildWav(8000, n, s)
+    val up2 = Multimodal.buildWav(16000, 2 * n, i => s(i / 2))
+    assert(AudioHash.audiohash64(base) === AudioHash.audiohash64(up2))
+    assert(AudioHash.envhash64(base) === AudioHash.envhash64(up2))
+  }
+
   test("ADPCM and A-law fixtures fingerprint non-null and deterministically") {
     val blobs = Multimodal.synthMediaBlobs(
       spark.range(40L).select(col("id").as("doc_id")), "doc_id", "wav_adpcm")
