@@ -1832,6 +1832,64 @@ class StreamingSpec extends AnyFunSuite {
       .foreach(Bucketing.dropTableAndLocation(spark, _))
   }
 
+  test("streaming AUDIO-index maintenance: the image maintainer folds audio words unchanged") {
+    // the persisted audio index IS ImageHashIndex over
+    // (envhash, audiohash); this pins the claim that the streaming
+    // maintainer needs no audio-specific code — micro-batched audio
+    // hashes fold exactly-once and the gate equals brute combined
+    // truth over everything streamed
+    import graft.streaming.DocStreams
+    import graft.operators.{AudioHash, ImageHashIndex, Multimodal}
+    val prefix = "saud_mnt"
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix))
+      .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _))
+    val blobs = Multimodal.synthMediaBlobs(
+      spark.range(240L).select(col("id").as("doc_id")), "doc_id", "wav_near")
+    val hashes = AudioHash.audioHashes(blobs, "id", "bytes", "format")
+      .filter(col("audiohash").isNotNull && col("envhash").isNotNull)
+      .select(col("id"), col("envhash"), col("audiohash"))
+      .cache()
+    hashes.count()
+    val base = hashes.filter(col("id") % 3 === 0)
+    val arriving = hashes.filter(col("id") % 3 =!= 0 && col("id") % 5 =!= 0)
+    val probes = hashes.filter(col("id") % 3 =!= 0 && col("id") % 5 === 0)
+      .select((col("id") + 5000000L).as("id"), col("envhash"),
+        col("audiohash"))
+    ImageHashIndex.buildImageIndex(base, "id", "envhash", "audiohash",
+      prefix)
+    val src = java.nio.file.Files.createTempDirectory("graft-audmnt").toString
+    arriving.repartition(3).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val m = new DocStreams.ImageIndexMaintainer(spark, prefix, "id",
+      "envhash", "audiohash")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.foreachBatch(m.appendBatch _).start()
+    try q.processAllAvailable() finally q.stop()
+    val indexed = base.unionByName(arriving)
+    val truth = probes.select(col("id").as("delta_id"),
+        col("envhash").as("pe"), col("audiohash").as("pa"))
+      .join(indexed.select(col("id").as("index_id"),
+          col("envhash").as("ce"), col("audiohash").as("ca")),
+        (bit_count(col("pe").bitwiseXOR(col("ce")))
+          + bit_count(col("pa").bitwiseXOR(col("ca")))) <= 3)
+      .withColumn("dist",
+        (bit_count(col("pe").bitwiseXOR(col("ce")))
+          + bit_count(col("pa").bitwiseXOR(col("ca")))).cast("long"))
+      .select("delta_id", "index_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = ImageHashIndex.gateImageMatches(spark, prefix, probes,
+        "id", "envhash", "audiohash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === truth, "streamed audio index diverged from brute truth")
+    assert(truth.nonEmpty, "fixture must exercise real matches")
+    hashes.unpersist(blocking = false)
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix))
+      .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _))
+  }
+
   test("streaming image-index maintenance: gate == brute cross after the stream drains") {
     import graft.streaming.DocStreams
     import graft.operators.{ImageHash, ImageHashIndex, Multimodal}
