@@ -102,11 +102,15 @@ object AudioHash {
     // 1-D area mapping: integer division truncates toward zero in
     // BOTH engines (JVM / and DuckDB //), so negative bucket means
     // replay exactly
+    // bucket bounds in Long: t·n overflows Int past n ≈ 2^31/256 ≈
+    // 8.39M samples, which MaxSamples=16M admits (≈2 min of 44.1 kHz
+    // stereo) — Int form crashed there; Long form matches the BIGINT
+    // oracle at every admissible n
     val p = new Array[Long](nBuckets)
     var t = 0
     while (t < nBuckets) {
-      val i0 = t * n / nBuckets
-      val i1 = math.max(i0 + 1, (t + 1) * n / nBuckets)
+      val i0 = (t.toLong * n / nBuckets).toInt
+      val i1 = math.max(i0 + 1, ((t + 1).toLong * n / nBuckets).toInt)
       var sum = 0L
       var i = i0
       while (i < i1) { sum += s(i); i += 1 }
@@ -148,8 +152,10 @@ object AudioHash {
     val q = new Array[Long](nb)
     var t = 0
     while (t < nb) {
-      val i0 = t * n / nb
-      val i1 = math.max(i0 + 1, (t + 1) * n / nb)
+      // same Long form as hashFromSamples — 65·16M fits Int but the
+      // two folds stay symmetric by contract
+      val i0 = (t.toLong * n / nb).toInt
+      val i1 = math.max(i0 + 1, ((t + 1).toLong * n / nb).toInt)
       var sum = 0L
       var i = i0
       while (i < i1) { sum += math.abs(s(i).toLong); i += 1 }

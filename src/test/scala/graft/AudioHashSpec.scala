@@ -143,6 +143,38 @@ class AudioHashSpec extends AnyFunSuite {
       .filter(col("audiohash").isNotNull).count() === 0L)
   }
 
+  test("clips in the 8.4M–16.7M sample window hash without failure (Long bucket bounds)") {
+    // t·n in Int overflows past n = 2^31/256 ≈ 8.39M, a length
+    // MaxSamples=16M explicitly admits (~2 min of 44.1 kHz stereo);
+    // the Int form crashed with ArrayIndexOutOfBounds here. The fold
+    // must stay a total function over every admissible n.
+    val n = 9_000_000
+    def s(i: Int): Int = ((i * 2503 + 7919) % 65536) - 32768
+    val blob = Multimodal.buildWav(44100, n, s)
+    val h1 = AudioHash.audiohash64(blob)
+    val e1 = AudioHash.envhash64(blob)
+    assert(h1 != null && e1 != null)
+    assert(h1 === AudioHash.audiohash64(blob), "fold must be deterministic")
+  }
+
+  test("a crafted chunk declaring len near 2^31 degrades to null, not a task failure") {
+    // Int bound check `pos + 8 + len > b.length` wraps negative for
+    // len = 0x7FFFFFF0, passing the check and then wrapping pos — a
+    // ~60-byte hostile blob crashed the walker. Contract: null on any
+    // structural violation.
+    def le32(v: Int): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    val bomb =
+      "RIFF".getBytes("US-ASCII") ++ le32(52) ++ "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+        Array[Byte](1, 0, 1, 0) ++ le32(8000) ++ le32(16000) ++
+        Array[Byte](2, 0, 16, 0) ++
+        "data".getBytes("US-ASCII") ++ le32(0x7FFFFFF0) ++
+        Array.fill[Byte](8)(0)
+    assert(AudioHash.audiohash64(bomb) == null)
+    assert(AudioHash.envhash64(bomb) == null)
+  }
+
   test("the near panel's variant nudge lands a few bits apart, groups stay far") {
     val blobs = Multimodal.synthMediaBlobs(
       spark.range(40L).select(col("id").as("doc_id")), "doc_id", "wav_near")
