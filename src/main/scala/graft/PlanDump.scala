@@ -513,6 +513,14 @@ object PlanDump {
         "set (queries x kFb rows) broadcasts into the tf table and " +
         "the expansion vote windows over per-query feedback " +
         "vocabularies — panel-sized state end to end."),
+    "multimodal_videohash_pairs" ->
+      ("Video near-dup pairing: Y4M decode + windowed-DCT fingerprint " +
+        "is ONE map-only mapPartitions pass (16 bytes out per clip, " +
+        "per-task state capped at 33 longs per frame by the walker's " +
+        "frame guard); pairing reuses the banded-Hamming equi-join — " +
+        "the shuffle carries (id, band, value) words, verification is " +
+        "the codegen bit_count(xor), never all-pairs and never the " +
+        "frame bytes."),
     "multimodal_audiohash_pairs" ->
       ("Audio near-dup pairing: decode + framed-DCT fingerprint is ONE " +
         "map-only mapPartitions pass (8 bytes out per clip); pairing " +

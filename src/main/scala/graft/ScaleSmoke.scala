@@ -180,6 +180,7 @@ object ScaleSmoke {
     val runR13b = only.isEmpty || only.contains("r13b")
     val runR13c = only.isEmpty || only.contains("r13c")
     val runR14 = only.isEmpty || only.contains("r14")
+    val runR15 = only.isEmpty || only.contains("r15")
     val results = (if (!runMain) Seq.empty[(String, Double, Long)] else Seq(
       time("minhash_lsh_1x") {
         Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 64, 16, 3, 0.5)
@@ -1307,6 +1308,46 @@ object ScaleSmoke {
               (col("doc_id") + lit(r * offset)).as("doc_id")))
             .reduce(_ unionByName _).repartition(32)) })
       wpr ++ imr14 ++ edr14 ++ aur
+    }) ++ (if (!runR15) Seq.empty[(String, Double, Long)] else {
+      import graft.operators.{Dedup, Multimodal, VideoHash}
+      // ROUND-15: (a) video fingerprint (map-only Y4M decode +
+      // windowed DCT) + banded pairing at 1x/Kx — the audio shape on
+      // the frame tier; replicas use disjoint doc-id ranges so base
+      // groups (id div 4) never span replicas.
+      def videoPairs(ids: DataFrame): Long = {
+        val blobs = Multimodal.synthMediaBlobs(ids, "doc_id", "y4m_near")
+        val hashes = VideoHash.videoHashes(blobs, "id", "bytes", "format")
+        VideoHash.vidhashPairs(hashes, "id", "vidhash", 3, 4)
+          .queryExecution.toRdd.count()
+      }
+      val vid = Seq(
+        time("videohash_pairs_1x") {
+          videoPairs(docs1.select(col("doc_id"))) },
+        time(s"videohash_pairs_${k}x") {
+          videoPairs((0 until k).map(r => docs1.select(
+              (col("doc_id") + lit(r * offset)).as("doc_id")))
+            .reduce(_ unionByName _).repartition(32)) })
+      // (b) connected components FORCED onto the distributed
+      // min-label-propagation path: a 6M-edge chain graph (chains of
+      // 12 vertices) exceeds the 5M-edge driver cap, so the dispatch
+      // in connectedComponents takes the propagation loop — the
+      // 100 TB closure path, which DedupSpec asserts correct but no
+      // scale row had ever timed. Truth is analytic: every vertex's
+      // component is its chain head (id - id % 12), checked exactly.
+      val ccN = 6545456L // ceil(6M edges / 11 per chain) * 12 vertices
+      val ccVerts = spark.range(ccN).select(col("id"))
+      val ccEdges = spark.range(ccN)
+        .filter(col("id") % 12 =!= 11 && col("id") + 1 < ccN)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val cc = Seq(
+        time("cc_propagation_6m") {
+          val labels = Dedup.connectedComponents(ccVerts, ccEdges)
+          val wrong = labels.filter(
+            col("component") =!= col("id") - col("id") % 12).count()
+          require(wrong == 0L,
+            s"cc propagation mislabeled $wrong of $ccN chain vertices")
+          ccN })
+      vid ++ cc
     })
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")
@@ -1336,7 +1377,7 @@ object ScaleSmoke {
         "edit_join_del", "edit_join_qgram",
         "imageidx_build", "imageidx_gate", "imageidx_append",
         "engagement_batch", "wordpiece_train",
-        "audiohash_pairs").foreach { base =>
+        "audiohash_pairs", "videohash_pairs").foreach { base =>
       for (a <- byName.get(s"${base}_1x"); b <- byName.get(s"${base}_${k}x"))
         println(f"[scale]   $base%-24s ${b / a}%6.1fx at ${k}x data")
     }

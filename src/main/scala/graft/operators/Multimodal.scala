@@ -135,7 +135,10 @@ object Multimodal {
     while (pos + 8 <= b.length) {
       val id = new String(b, pos, 4, "US-ASCII")
       val len = wavLeInt(b, pos + 4)
-      if (len < 0 || pos + 8 + len > b.length) return null
+      // bound check in Long: a declared len near 2^31 makes the Int
+      // sum wrap negative, passing the check and then wrapping pos —
+      // a ~60-byte crafted blob must degrade to null, not crash
+      if (len < 0 || pos.toLong + 8 + len > b.length) return null
       if (id == "fmt ") {
         if (len < 16) return null
         audioFormat = wavLeShort(b, pos + 8)
@@ -147,7 +150,9 @@ object Multimodal {
         dataOff = pos + 8
         dataLen = len
       }
-      pos += 8 + len + (len & 1) // RIFF chunks are word-aligned
+      // advance in Long too (pos+8+len <= b.length proved above, so
+      // the +1 alignment pad keeps the result within Int range)
+      pos = (pos.toLong + 8 + len + (len & 1)).toInt // word-aligned
     }
     if (channels <= 0 || rate <= 0 || dataOff < 0) return null
     audioFormat match {
@@ -1304,6 +1309,143 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Uncompressed YUV4MPEG2 (Y4M) motion fixture, colorspace `Cmono`
+    * (one full-resolution luma plane per frame, no chroma): the
+    * plain-text stream header, then `nFrames` frames each introduced
+    * by its own `FRAME\n` marker — the mplayer/ffmpeg interchange
+    * format, fully public and byte-deterministic. `lum(f, y, x)` in
+    * [0, 255] supplies the luma plane, so the oracle replays every
+    * pixel from the fixture formula (the buildBmp/buildWav
+    * discipline lifted to the time axis).
+    */
+  def buildY4m(w: Int, h: Int, fpsNum: Int, fpsDen: Int, nFrames: Int,
+               lum: (Int, Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && fpsNum > 0 && fpsDen > 0 && nFrames >= 0,
+      "bad y4m fixture params")
+    val header =
+      s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 Cmono\n".getBytes("US-ASCII")
+    val frameMark = "FRAME\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + nFrames * (frameMark.length + w * h))
+    header.copyToArray(out, 0)
+    var pos = header.length
+    var f = 0
+    while (f < nFrames) {
+      frameMark.copyToArray(out, pos)
+      pos += frameMark.length
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(pos) = (lum(f, y, x) & 0xFF).toByte; pos += 1; x += 1 }
+        y += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** Y4M stream walk, streaming each frame's LUMA plane into
+    * `onFrame(w, h, frameIdx, lumaOffsetInBlob)` — the ONE definition of
+    * Y4M decoding, shared by [[VideoHash]]'s spatiotemporal
+    * fingerprint. Handles colorspaces `Cmono` (luma only), `C420*`
+    * (chroma subsampled 2×2, skipped) and `C444` (full chroma,
+    * skipped) — the fingerprint is luma-tier by design, matching
+    * [[ImageHash]]'s BT.601 luma reduction. Returns
+    * (w, h, nFrames, fpsNum, fpsDen), or null on any structural
+    * violation — bad magic, malformed header tokens, truncated
+    * frames — or when the PRE-DECODE total luma sample count
+    * (nFrames·w·h, known exactly from the frame geometry and the
+    * remaining byte count before any pixel is touched) exceeds
+    * `maxLuma`, or the frame count exceeds `maxFrames` (the
+    * decompression-bomb guards: VideoHash buffers O(nFrames)
+    * reduced accumulators, so both axes are capped). All byte
+    * arithmetic in Long — a crafted W/H near 2^31 must degrade to
+    * null, never wrap (the walkWavSamples contract).
+    */
+  private[operators] def walkY4mFrames(b: Array[Byte], maxLuma: Long,
+                                       maxFrames: Int)
+                                      (onFrame: (Int, Int, Int, Int) => Unit)
+      : (Int, Int, Int, Int, Int) = {
+    val magic = "YUV4MPEG2"
+    if (b == null || b.length < magic.length + 1) return null
+    var i = 0
+    while (i < magic.length) {
+      if (b(i) != magic.charAt(i).toByte) return null
+      i += 1
+    }
+    // header line: space-separated parameter tokens up to '\n'
+    var hdrEnd = magic.length
+    while (hdrEnd < b.length && b(hdrEnd) != '\n') hdrEnd += 1
+    if (hdrEnd >= b.length) return null
+    var w = -1L
+    var h = -1L
+    var fpsNum = -1L
+    var fpsDen = -1L
+    var chromaPerLuma = -1 // chroma bytes per luma byte, ×4 (mono=0, 420=2, 444=8)
+    var p = magic.length
+    while (p < hdrEnd) {
+      if (b(p) != ' ') return null
+      p += 1
+      var tEnd = p
+      while (tEnd < hdrEnd && b(tEnd) != ' ') tEnd += 1
+      if (tEnd == p) return null
+      val tok = new String(b, p, tEnd - p, "US-ASCII")
+      def num(s: String): Long =
+        if (s.nonEmpty && s.forall(c => c >= '0' && c <= '9') && s.length <= 10)
+          s.toLong else -1L
+      tok.charAt(0) match {
+        case 'W' => w = num(tok.substring(1))
+        case 'H' => h = num(tok.substring(1))
+        case 'F' =>
+          val parts = tok.substring(1).split(":", -1)
+          if (parts.length != 2) return null
+          fpsNum = num(parts(0)); fpsDen = num(parts(1))
+        case 'C' =>
+          val cs = tok.substring(1)
+          chromaPerLuma =
+            if (cs == "mono") 0
+            else if (cs.startsWith("420")) 2
+            else if (cs == "444") 8
+            else return null // 422/alpha variants out of declared scope
+        case 'I' | 'A' | 'X' => () // interlacing / aspect / comments: ignored
+        case _ => return null
+      }
+      p = tEnd
+    }
+    if (chromaPerLuma < 0) chromaPerLuma = 2 // spec default is 420
+    if (w <= 0 || h <= 0 || fpsNum <= 0 || fpsDen <= 0) return null
+    if (w > (1L << 20) || h > (1L << 20)) return null
+    val lumaBytes = w * h // <= 2^40, exact in Long
+    val frameBytes = lumaBytes + lumaBytes * chromaPerLuma / 4
+    val frameMark = 6L // "FRAME\n"
+    // pre-decode bomb guard: frame count is exact from the byte
+    // budget (every frame costs frameMark + frameBytes, parameters
+    // on FRAME lines only add bytes), so cap BEFORE touching pixels
+    val remaining = b.length.toLong - (hdrEnd + 1)
+    val maxPossibleFrames = remaining / (frameMark + frameBytes)
+    if (maxPossibleFrames > maxFrames ||
+      maxPossibleFrames * lumaBytes > maxLuma) return null
+    var pos = (hdrEnd + 1).toLong
+    var f = 0
+    while (pos < b.length) {
+      // FRAME marker with optional parameters up to '\n'
+      if (pos + 6 > b.length) return null
+      if (b(pos.toInt) != 'F' || b(pos.toInt + 1) != 'R' ||
+        b(pos.toInt + 2) != 'A' || b(pos.toInt + 3) != 'M' ||
+        b(pos.toInt + 4) != 'E') return null
+      var fe = pos + 5
+      while (fe < b.length && b(fe.toInt) != '\n') fe += 1
+      if (fe >= b.length) return null
+      pos = fe + 1
+      if (pos + frameBytes > b.length) return null
+      onFrame(w.toInt, h.toInt, f, pos.toInt)
+      pos += frameBytes
+      f += 1
+      if (f > maxFrames) return null // params-free recount exceeded: hostile
+    }
+    if (f == 0) return null
+    (w.toInt, h.toInt, f, fpsNum.toInt, fpsDen.toInt)
+  }
+
   /** Mono PCM-16 WAV at `rate` Hz; `sample(i)` in [-32768, 32767]. */
   def buildWav(rate: Int, n: Int, sample: Int => Int): Array[Byte] = {
     require(rate > 0 && n >= 0, "rate must be positive")
@@ -1872,6 +2014,28 @@ object Multimodal {
             index = (id % 89L).toInt,
             nNibbles = (16 + 2 * (id % 8L)).toInt,
             nibAt = i => ((id * 13L + i * 5L) % 16L).toInt)
+          case "y4m" =>
+            val (w, h) = ((8 + id % 5).toInt, (6 + id % 3).toInt)
+            buildY4m(w, h, (12 + id % 3).toInt, 1, (8 + id % 9).toInt,
+              (f, y, x) =>
+                ((id * 31L + (f.toLong * h * w + y.toLong * w + x) * 7L)
+                  % 256L).toInt)
+          // near-dup panel for the video-fingerprint tier (the
+          // wav_near shape in pixel-time space): ids in the same base
+          // group (id div 4) share geometry and luma formula except a
+          // variant-sized nudge on the first 3 pixels of frame 0 —
+          // fingerprints land identical or a few bits apart WITHIN a
+          // group, far across groups, and the oracle predicts every
+          // bit from (base, variant)
+          case "y4m_near" =>
+            val base = id / 4
+            val v = id % 4
+            val (w, h) = ((8 + base % 5).toInt, (6 + base % 3).toInt)
+            buildY4m(w, h, (12 + base % 3).toInt, 1, (8 + base % 9).toInt,
+              (f, y, x) => {
+                val i = f.toLong * h * w + y.toLong * w + x
+                ((base * 31L + i * 7L + (if (i < 3) v else 0L)) % 256L).toInt
+              })
           case "mp3" => buildMp3(nFrames = (2 + id % 4L).toInt,
             brIdx = 9, srIdx = 0)
           case "flac" => buildFlac(rate = (8000L * (1 + id % 3)).toInt,
@@ -1916,6 +2080,7 @@ object Multimodal {
         // format, not the synth key
         val fmtOut =
           if (format.startsWith("wav")) "wav"
+          else if (format.startsWith("y4m")) "y4m"
           else if (format == "jpeg_exif") "jpeg"
           else format
         Row(id, bytes, fmtOut)
