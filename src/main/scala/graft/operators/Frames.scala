@@ -16,6 +16,20 @@ object Frames {
 
   private val log = LoggerFactory.getLogger(getClass)
 
+  /** Global window over a frame that is PROVABLY TINY (an already-
+    * aggregated histogram, a per-bucket totals table, a topK slice —
+    * never a corpus). A bare `Window.orderBy` is semantically right
+    * here but trips WindowExec's "No Partition Defined" warning on
+    * every run, burying real regressions in bench-log noise; keying
+    * the partition on a constant clusters the same single bounded
+    * partition without the alarm, and centralizes the boundedness
+    * contract: call sites MUST only pass frames whose cardinality is
+    * fixed by construction (score cardinality, bucket count, topV,
+    * day span — never row count).
+    */
+  def tinyWindow(orderCols: Column*): org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(lit(0)).orderBy(orderCols: _*)
+
   /** Bulk-rename all columns with a prefix (Polars
     * `pl.all().name.prefix(...)`, wd_opencritic.py:96,138,180).
     */
@@ -310,7 +324,7 @@ object Frames {
     val sizes = docs.groupBy(col(sourceCol).as("source"))
       .agg(sum(tokenCount.cast("long")).as("n_tokens"))
       .withColumn("cap", col("n_tokens") * lit(epochCap))
-    val w = Window.orderBy(col("cap").asc, col("source").asc)
+    val w = tinyWindow(col("cap").asc, col("source").asc) // source-cardinality frame
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = sizes
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -472,9 +486,9 @@ object Frames {
     val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
     val local = b.withColumn("local_cum", sum(col("n")).over(w))
     val totals = b.groupBy(col("bucket")).agg(sum(col("n")).as("tot"))
-    // one row per bucket — the un-partitioned window is over a
-    // frame that is already tiny
-    val wb = Window.orderBy(col("bucket"))
+    // one row per bucket — the global window is over a frame that
+    // is already tiny
+    val wb = tinyWindow(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals
       .withColumn("prev", coalesce(sum(col("tot")).over(wb), lit(0L)))
