@@ -59,8 +59,19 @@ object PipelineQueries {
     * exactly, so the served pipeline is bit-identical to the inline
     * one (q_curation_v3_served shares q_curation_v3's oracle).
     */
+  /** `langSeedProfiles`: when set (the v4 variant), stage (C)'s
+    * quality-seed label comes from the TRAINED language classifier
+    * applied to the augmented corpus — the curation pipeline derives
+    * its language instead of trusting an upstream column (real crawl
+    * curation has no trusted lang). Mutually exclusive with the
+    * served-weights artifact (the two parameterize the same stage).
+    */
   def curationV3(raw: DataFrame,
-                 weightsArtifactDir: Option[String] = None): DataFrame = {
+                 weightsArtifactDir: Option[String] = None,
+                 langSeedProfiles: Option[Seq[(String, Array[Long])]] = None)
+      : DataFrame = {
+    require(weightsArtifactDir.isEmpty || langSeedProfiles.isEmpty,
+      "served weights and derived-lang seeding parameterize the same stage")
       val template = "the modern data pipeline gathers raw web documents " +
         "and filters them with care because quality matters more than " +
         "volume for training large models so each stage removes noise " +
@@ -121,7 +132,18 @@ object PipelineQueries {
               .coalesce(1).write.mode("overwrite").parquet(path)
           spark.read.parquet(path)
         case None =>
-          TextAnalysis.trainBucketWeights(aug, "text", col("lang") === "en", 256)
+          langSeedProfiles match {
+            case Some(ps) =>
+              // derive the language per augmented doc (one map-only
+              // scoring pass) and seed training from the PREDICTION
+              TextAnalysis.trainBucketWeights(
+                aug.join(TextAnalysis.langIdTrained(aug, "doc_id", "text", ps)
+                  .select(col("doc_id"), col("lang_pred")), Seq("doc_id")),
+                "text", col("lang_pred") === "en", 256)
+            case None =>
+              TextAnalysis.trainBucketWeights(aug, "text",
+                col("lang") === "en", 256)
+          }
       }
       val weights = TextAnalysis.loadWeights(weightsFrame, 256)
       val scoredAll = TextAnalysis.hashedLinearScore(passDocs, "doc_id", "text",
@@ -132,7 +154,7 @@ object PipelineQueries {
             .cast(LongType))
       val qHist = scoredAll.groupBy(col("score_q")).agg(count(lit(1)).as("c"))
       val qCum = qHist.withColumn("cum",
-        sum(col("c")).over(Window.orderBy(col("score_q"))))
+        sum(col("c")).over(Frames.tinyWindow(col("score_q"))))
       val qCut = qCum.crossJoin(broadcast(qHist.agg(sum(col("c")).as("n"))))
         .agg(min(when(col("cum") * 2L >= col("n"), col("score_q"))).as("cut"))
       val kept = passDocs.join(
@@ -737,6 +759,25 @@ object PipelineQueries {
     "q_curation_v3_served" -> ((s, d) =>
       curationV3(t(s, d, "documents"), weightsArtifactDir = Some(artifactDir))
         .orderBy(col("doc_id"))),
+
+    // ---- the DERIVED-LANGUAGE flagship: identical composition, but
+    //      stage (C)'s quality seed comes from the trained char-3-gram
+    //      language classifier applied to the augmented corpus (real
+    //      crawl curation derives its language; it never has a
+    //      trusted lang column). The classifier trains on the
+    //      deterministic multilingual panel's split; the oracle
+    //      replays panel, profiles, per-doc argmax AND the whole v3
+    //      chain downstream of the re-seeded weights ----
+    "q_curation_v4" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val panel = TextAnalysis.synthLangDocs(docs.select(col("doc_id")),
+        "doc_id")
+      val profiles = TextAnalysis.loadLangProfiles(
+        TextAnalysis.trainLangProfiles(
+          panel.filter(col("doc_id") % 5 =!= 0), "text", "lang", 1024), 1024)
+      curationV3(docs, langSeedProfiles = Some(profiles))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- Gopher-style quality rule set: exact integer signals +
     //      cross-multiplied threshold tests, replayed verbatim by the
@@ -2038,6 +2079,44 @@ object PipelineQueries {
         .select(col("doc_id"), TextAnalysis.langIdFused(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // ---- TRAINED language ID: char-3-gram frequency profiles
+    //      (integer micro-weights — no logs, no floats) fitted on
+    //      the deterministic multilingual panel's train split
+    //      (doc_id % 5 ≠ 0), applied as one map-only scoring pass to
+    //      every panel doc. The panel is synthesized in-plan from
+    //      public stopword lists (the synthMediaBlobs discipline —
+    //      the testdata lang column is measured-uncorrelated with
+    //      its text); the oracle replays panel, training counts,
+    //      every profile weight and every argmax ----
+    "text_langid_trained" -> ((s, d) => {
+      val panel = TextAnalysis.synthLangDocs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id")
+      val profiles = TextAnalysis.loadLangProfiles(
+        TextAnalysis.trainLangProfiles(
+          panel.filter(col("doc_id") % 5 =!= 0), "text", "lang", 1024), 1024)
+      TextAnalysis.langIdTrained(panel, "doc_id", "text", profiles)
+        .join(panel.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("lang_pred"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- SERVED trained language ID: the profiles load from the
+    //      fingerprint-keyed parquet model artifact (trained+saved on
+    //      first run, validated loudly at every load) — integer
+    //      weights round-trip parquet exactly, so served shares the
+    //      inline query's oracle bit-for-bit ----
+    "text_langid_trained_served" -> ((s, d) => {
+      val panel = TextAnalysis.synthLangDocs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id")
+      val profiles = IndexStore.langProfilesCached(
+        panel.filter(col("doc_id") % 5 =!= 0), "text", "lang", 1024,
+        artifactDir)
+      TextAnalysis.langIdTrained(panel, "doc_id", "text", profiles)
+        .join(panel.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("lang_pred"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- sliding-window aggregation (rows-only; overlapping
     //      windows are asserted against tumbling totals in tests) ----
     "events_sliding_window" -> ((s, d) =>
@@ -2414,6 +2493,76 @@ object PipelineQueries {
       val hashes = graft.operators.AudioHash.audioHashes(
         blobs, "id", "bytes", "format")
       graft.operators.AudioHash.audiohashPairs(hashes, "id", "audiohash",
+          maxBits = 3, nBands = 4)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- video spatiotemporal fingerprint (the near-dup family's
+    //      LAST modality): Y4M luma frames → 8 temporal windows × 32
+    //      area-mapped spatial cells → per-window quantized-integer
+    //      DCT (the shared pHash basis) → lower-median sign fold to
+    //      one 64-bit word, plus the 65-bucket brightness-envelope
+    //      word. The oracle replays pixels, window-cell means, every
+    //      DCT coefficient and both sign rules bit-for-bit ----
+    "multimodal_videohash" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "y4m")
+      graft.operators.VideoHash.videoHashes(blobs, "id", "bytes", "format")
+        .select(col("id").as("doc_id"), col("vidhash"), col("envhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- PERSISTED video near-dup index, gated: the two video words
+    //      (brightness dynamics ‖ windowed spatial-frequency signs —
+    //      independent views) form the same 128-bit two-word shape
+    //      as dhash‖phash, so the index IS ImageHashIndex reused
+    //      verbatim: 4×32-bit bands, band digest, combined-distance
+    //      verify, O(delta) appends. Brute-force combined-distance
+    //      oracle ----
+    "dedup_vididx_gate" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "y4m_near")
+      val hashes = graft.operators.VideoHash.videoHashes(
+          blobs, "id", "bytes", "format")
+        .filter(col("vidhash").isNotNull && col("envhash").isNotNull)
+        .select(col("id"), col("envhash"), col("vidhash"))
+      val prefix = graft.operators.ImageHashIndex.imageIndexCached(
+        hashes.filter(col("id") % 5 =!= 0), "id", "envhash", "vidhash",
+        namespace = "vididx_v1")
+      graft.operators.ImageHashIndex.gateImageMatches(s, prefix,
+          hashes.filter(col("id") % 5 === 0), "id", "envhash", "vidhash")
+        .orderBy(col("delta_id"), col("index_id"))
+    }),
+
+    // ---- the same gate after an O(delta) APPEND (append ≡ rebuild;
+    //      shares the oracle) ----
+    "dedup_vididx_append" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "y4m_near")
+      val hashes = graft.operators.VideoHash.videoHashes(
+          blobs, "id", "bytes", "format")
+        .filter(col("vidhash").isNotNull && col("envhash").isNotNull)
+        .select(col("id"), col("envhash"), col("vidhash"))
+      val corp = hashes.filter(col("id") % 5 =!= 0)
+      val prefix = graft.operators.ImageHashIndex.imageAppendCached(
+        corp.filter(col("id") % 4 =!= 1), corp.filter(col("id") % 4 === 1),
+        "id", "envhash", "vidhash", namespace = "vididx_v1")
+      graft.operators.ImageHashIndex.gateImageMatches(s, prefix,
+          hashes.filter(col("id") % 5 === 0), "id", "envhash", "vidhash")
+        .orderBy(col("delta_id"), col("index_id"))
+    }),
+
+    // ---- video near-dup pairing over the spatiotemporal
+    //      fingerprints: the banded-Hamming machinery reused verbatim
+    //      on the y4m_near panel (groups of 4 clips sharing a luma
+    //      formula up to a first-pixels nudge). Brute-force Hamming
+    //      oracle over SQL-derived fingerprints ----
+    "multimodal_videohash_pairs" -> ((s, d) => {
+      val blobs = graft.operators.Multimodal.synthMediaBlobs(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "y4m_near")
+      val hashes = graft.operators.VideoHash.videoHashes(
+        blobs, "id", "bytes", "format")
+      graft.operators.VideoHash.vidhashPairs(hashes, "id", "vidhash",
           maxBits = 3, nBands = 4)
         .orderBy(col("a_id"), col("b_id"))
     }),
@@ -3454,7 +3603,7 @@ object PipelineQueries {
       val grid = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
       val series = grid.join(sparse, Seq("day"), "left")
-      val wAll = Window.orderBy(col("day"))
+      val wAll = Frames.tinyWindow(col("day")) // day-span-sized series
       val back = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val fwd = wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       series
@@ -4216,6 +4365,221 @@ object PipelineQueries {
          SELECT a.doc_id, a.audiohash, e.envhash
          FROM ah a JOIN eh e ON a.doc_id = e.doc_id)
        $select"""
+
+  /** DuckDB replay of [[graft.operators.VideoHash]]: per doc the
+    * full luma list (frame-major, then row-major), 8 temporal
+    * windows × 32 spatial cells of integer means, the shared 8×32
+    * quantized DCT basis per window, the lower-median sign fold
+    * (vidhash), and the 65-bucket brightness-envelope gradient fold
+    * (envhash) — every product and truncation exact BIGINT, so the
+    * oracle predicts both words bit-for-bit from the fixture
+    * formulas. Geometry and luma expressions are parameters (the
+    * plain `y4m` panel keys on doc_id; `y4m_near` on base/v).
+    */
+  private def videoHashOracle(select: String, wExpr: String, hExpr: String,
+                              fExpr: String, lumExpr: String): String = {
+    // area-map bucket bounds, replayed verbatim at each use site:
+    // [i·n/g, greatest(i·n/g + 1, (i+1)·n/g)) — the nonempty-cell rule
+    def lo(i: String, n: String, g: Int) = s"(($i) * ($n) // $g)"
+    def hi(i: String, n: String, g: Int) =
+      s"greatest(${lo(i, n, g)} + 1, ((($i) + 1) * ($n) // $g))"
+    val (f0, f1) = (lo("tt // 32", "fn", 8), hi("tt // 32", "fn", 8))
+    val (y0, y1) = (lo("(tt % 32) // 8", "h", 4), hi("(tt % 32) // 8", "h", 4))
+    val (x0, x1) = (lo("tt % 8", "w", 8), hi("tt % 8", "w", 8))
+    val (e0, e1) = (lo("tt", "fn", 65), hi("tt", "fn", 65))
+    s"""WITH p AS (
+         SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
+         FROM documents),
+       smp AS (
+         SELECT doc_id, w, h, fn,
+           list_transform(range(0, fn * h * w), i -> $lumExpr) AS s
+         FROM (SELECT doc_id, base, v, $wExpr AS w, $hExpr AS h,
+                 $fExpr AS fn FROM p)),
+       buck AS (
+         SELECT doc_id,
+           list_transform(range(0, 256), tt ->
+             CAST(list_sum(list_transform(range($f0, $f1), f ->
+               list_sum(list_transform(range($y0, $y1), y ->
+                 list_sum(list_transform(range($x0, $x1), x ->
+                   s[f * h * w + y * w + x + 1]))))))
+             // (($f1 - $f0) * ($y1 - $y0) * ($x1 - $x0)) AS BIGINT))
+           AS pb
+         FROM smp),
+       bs AS (SELECT $dctBasisSql AS t),
+       dct AS (
+         SELECT doc_id,
+           list_transform(range(0, 64), b ->
+             list_sum(list_transform(range(0, 32), j ->
+               t[(b % 8) + 1][j + 1] * pb[(b // 8) * 32 + j + 1])))
+           AS dv
+         FROM buck, bs),
+       vh AS (
+         SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 63), b ->
+             CASE WHEN dv[b + 1] > list_sort(dv)[32]
+               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
+           + CASE WHEN dv[64] > list_sort(dv)[32]
+               THEN -9223372036854775807 - 1 ELSE 0 END AS vidhash
+         FROM dct),
+       ebuck AS (
+         SELECT doc_id,
+           list_transform(range(0, 65), tt ->
+             CAST(list_sum(list_transform(range($e0, $e1), f ->
+               list_sum(list_slice(s, f * h * w + 1, (f + 1) * h * w))))
+             // (($e1 - $e0) * h * w) AS BIGINT))
+           AS qb
+         FROM smp),
+       eh AS (
+         SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 63), b ->
+             CASE WHEN qb[b + 2] > qb[b + 1]
+               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
+           + CASE WHEN qb[65] > qb[64]
+               THEN -9223372036854775807 - 1 ELSE 0 END AS envhash
+         FROM ebuck),
+       vhx AS (
+         SELECT a.doc_id, a.vidhash, e.envhash
+         FROM vh a JOIN eh e ON a.doc_id = e.doc_id)
+       $select"""
+  }
+
+  /** DuckDB replay of the trained char-3-gram language classifier:
+    * the synthetic multilingual panel (langs/wordlists inlined from
+    * the ONE Scala definition — the dctBasisSql discipline), the
+    * train-split profile counts and integer micro-weights, and the
+    * per-doc argmax over the four profile dot-products — all exact
+    * BIGINT, no float anywhere.
+    */
+  private lazy val langIdTrainedOracle: String = {
+    val wl = "[" + TextAnalysis.LangPanelWords.map(_._2.mkString("['", "', '", "']"))
+      .mkString(", ") + "]"
+    val ls = TextAnalysis.LangPanelWords.map(_._1).mkString("['", "', '", "']")
+    s"""WITH wl AS (SELECT $wl AS w, $ls AS langs),
+       panel AS (
+         SELECT doc_id, CAST(doc_id % 4 AS INT) + 1 AS li,
+           30 + doc_id % 20 AS nw
+         FROM documents),
+       txt AS (
+         SELECT doc_id, langs[li] AS lang,
+           lower(array_to_string(list_transform(range(0, nw),
+             j -> w[li][CAST((doc_id * 7 + j * 13) % 24 AS INT) + 1]), ' '))
+           AS t
+         FROM panel, wl),
+       grams AS (
+         SELECT doc_id,
+           list_transform(range(1, greatest(len(t) - 1, 1)),
+             i -> substring(t, CAST(i AS INT), 3)) AS gs
+         FROM txt),
+       occ AS (
+         SELECT doc_id,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(list_filter(string_split(u.g, ''), c -> c <> ''),
+               c -> CAST(unicode(c) AS BIGINT))),
+             (a, b) -> (a * 1000003 + b) % 1000000007) % 1024 AS BIGINT)
+           AS bucket
+         FROM grams, LATERAL (SELECT unnest(gs) AS g) u),
+       cnt AS (
+         SELECT t.lang, o.bucket, CAST(count(*) AS BIGINT) AS c
+         FROM occ o JOIN txt t USING (doc_id)
+         WHERE o.doc_id % 5 <> 0 GROUP BY 1, 2),
+       tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tc FROM cnt GROUP BY 1),
+       prof AS (
+         SELECT c.lang AS cl, c.bucket, c.c * 1000000 // t.tc AS wm
+         FROM cnt c JOIN tot t USING (lang)),
+       sc AS (
+         SELECT o.doc_id, p.cl, CAST(sum(p.wm) AS BIGINT) AS s
+         FROM occ o JOIN prof p USING (bucket) GROUP BY 1, 2),
+       allsc AS (
+         SELECT t.doc_id, t.lang, l.cl, COALESCE(sc.s, 0) AS s
+         FROM txt t CROSS JOIN (SELECT unnest(langs) AS cl FROM wl) l
+         LEFT JOIN sc ON sc.doc_id = t.doc_id AND sc.cl = l.cl),
+       best AS (
+         SELECT doc_id, lang, CAST(max(s) AS BIGINT) AS score
+         FROM allsc GROUP BY 1, 2),
+       pred AS (
+         SELECT a.doc_id, min(a.cl) AS lp
+         FROM allsc a JOIN best b USING (doc_id)
+         WHERE a.s = b.score GROUP BY 1)
+       SELECT b.doc_id, b.lang,
+         CASE WHEN b.score > 0 THEN p.lp ELSE 'und' END AS lang_pred,
+         b.score
+       FROM best b JOIN pred p USING (doc_id) ORDER BY b.doc_id"""
+  }
+
+  /** The language-derivation CTE chain injected into the v4 flagship
+    * oracle: the trained-classifier replay (panel, profiles) from
+    * [[langIdTrainedOracle]], then the same scoring fold applied to
+    * the AUGMENTED corpus's text — yielding one (doc_id, lang_pred)
+    * row per aug doc for the re-seeded quality stage.
+    */
+  private lazy val langIdPredCtes: String = {
+    val wl = "[" + TextAnalysis.LangPanelWords.map(_._2.mkString("['", "', '", "']"))
+      .mkString(", ") + "]"
+    val ls = TextAnalysis.LangPanelWords.map(_._1).mkString("['", "', '", "']")
+    s"""lwl AS (SELECT $wl AS w, $ls AS langs),
+         lpan AS (
+           SELECT doc_id, CAST(doc_id % 4 AS INT) + 1 AS li,
+             30 + doc_id % 20 AS nw
+           FROM documents),
+         ltxt AS (
+           SELECT doc_id, langs[li] AS lang,
+             lower(array_to_string(list_transform(range(0, nw),
+               j -> w[li][CAST((doc_id * 7 + j * 13) % 24 AS INT) + 1]), ' '))
+             AS t
+           FROM lpan, lwl),
+         lgr AS (
+           SELECT doc_id,
+             list_transform(range(1, greatest(len(t) - 1, 1)),
+               i -> substring(t, CAST(i AS INT), 3)) AS gs
+           FROM ltxt),
+         locc AS (
+           SELECT doc_id,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(u.g, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007) % 1024 AS BIGINT)
+             AS bucket
+           FROM lgr, LATERAL (SELECT unnest(gs) AS g) u),
+         lcnt AS (
+           SELECT t.lang, o.bucket, CAST(count(*) AS BIGINT) AS c
+           FROM locc o JOIN ltxt t USING (doc_id)
+           WHERE o.doc_id % 5 <> 0 GROUP BY 1, 2),
+         ltot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tc FROM lcnt GROUP BY 1),
+         lprof AS (
+           SELECT c.lang AS cl, c.bucket, c.c * 1000000 // t.tc AS wm
+           FROM lcnt c JOIN ltot t USING (lang)),
+         lagt AS (SELECT doc_id, lower(text) AS t FROM aug),
+         lagr AS (
+           SELECT doc_id,
+             list_transform(range(1, greatest(len(t) - 1, 1)),
+               i -> substring(t, CAST(i AS INT), 3)) AS gs
+           FROM lagt),
+         laocc AS (
+           SELECT doc_id,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(u.g, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007) % 1024 AS BIGINT)
+             AS bucket
+           FROM lagr, LATERAL (SELECT unnest(gs) AS g) u),
+         lsc AS (
+           SELECT o.doc_id, p.cl, CAST(sum(p.wm) AS BIGINT) AS s
+           FROM laocc o JOIN lprof p USING (bucket) GROUP BY 1, 2),
+         lall AS (
+           SELECT a.doc_id, l.cl, COALESCE(lsc.s, 0) AS s
+           FROM aug a CROSS JOIN (SELECT unnest(langs) AS cl FROM lwl) l
+           LEFT JOIN lsc ON lsc.doc_id = a.doc_id AND lsc.cl = l.cl),
+         lbest AS (SELECT doc_id, CAST(max(s) AS BIGINT) AS bs
+                   FROM lall GROUP BY 1),
+         lminc AS (
+           SELECT a.doc_id, min(a.cl) AS lp
+           FROM lall a JOIN lbest b USING (doc_id)
+           WHERE a.s = b.bs GROUP BY 1),
+         lpred AS (
+           SELECT b.doc_id,
+             CASE WHEN b.bs > 0 THEN m.lp ELSE 'und' END AS lang_pred
+           FROM lbest b JOIN lminc m USING (doc_id)),"""
+  }
 
   private def patched(sql: String, subs: (String, String)*): String =
     subs.foldLeft(sql) { case (acc, (from, to)) =>
@@ -6598,6 +6962,34 @@ object PipelineQueries {
       nExpr = "32 + base % 96",
       sampleExpr = """((base * 7919 + i * 2503) % 65536 +
         CASE WHEN i < 3 THEN v ELSE 0 END) % 65536 - 32768"""),
+    "multimodal_videohash" -> videoHashOracle(
+      "SELECT doc_id, vidhash, envhash FROM vhx ORDER BY doc_id",
+      wExpr = "8 + doc_id % 5", hExpr = "6 + doc_id % 3",
+      fExpr = "8 + doc_id % 9",
+      lumExpr = "(doc_id * 31 + i * 7) % 256"),
+    "dedup_vididx_gate" -> videoHashOracle(
+      """SELECT a.doc_id AS delta_id, b.doc_id AS index_id,
+           CAST(bit_count(xor(a.envhash, b.envhash))
+              + bit_count(xor(a.vidhash, b.vidhash)) AS BIGINT) AS dist
+         FROM vhx a, vhx b
+         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+           AND bit_count(xor(a.envhash, b.envhash))
+             + bit_count(xor(a.vidhash, b.vidhash)) <= 3
+         ORDER BY delta_id, index_id""",
+      wExpr = "8 + base % 5", hExpr = "6 + base % 3",
+      fExpr = "8 + base % 9",
+      lumExpr = """(base * 31 + i * 7 +
+        CASE WHEN i < 3 THEN v ELSE 0 END) % 256"""),
+    "multimodal_videohash_pairs" -> videoHashOracle(
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.vidhash, b.vidhash)) AS BIGINT) AS dist
+         FROM vh a JOIN vh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.vidhash, b.vidhash)) <= 3
+         ORDER BY a_id, b_id""",
+      wExpr = "8 + base % 5", hExpr = "6 + base % 3",
+      fExpr = "8 + base % 9",
+      lumExpr = """(base * 31 + i * 7 +
+        CASE WHEN i < 3 THEN v ELSE 0 END) % 256"""),
     "multimodal_decode_wav" ->
       """WITH p AS (
            SELECT doc_id, 32 + doc_id % 96 AS n FROM documents),
@@ -8908,6 +9300,7 @@ object PipelineQueries {
                 WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
                 ELSE 'fr' END AS lang_pred
          FROM s ORDER BY doc_id""",
+    "text_langid_trained" -> langIdTrainedOracle,
     "events_gapfill" ->
       """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
          daily AS (SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2),
@@ -9930,6 +10323,20 @@ object PipelineQueries {
     "dedup_editidx_append" -> oracleSqlBase("dedup_editidx_gate"),
     "dedup_imageidx_append" -> oracleSqlBase("dedup_imageidx_gate"),
     "dedup_audioidx_append" -> oracleSqlBase("dedup_audioidx_gate"),
+    "dedup_vididx_append" -> oracleSqlBase("dedup_vididx_gate"),
+    // served language profiles ≡ inline: integer micro-weights
+    // round-trip parquet exactly
+    "text_langid_trained_served" -> oracleSqlBase("text_langid_trained"),
+    // v4 flagship: the v3 chain with stage (C)'s seed label replaced
+    // by the classifier's DERIVED language — inject the full
+    // classifier replay (panel → profiles → per-aug-doc argmax) and
+    // rebind qtok's lang to the prediction
+    "q_curation_v4" -> patched(oracleSqlBase("q_curation_v3"),
+      "hsh AS (SELECT doc_id, source, md5(text) AS h FROM aug)," ->
+        (langIdPredCtes +
+          "\n         hsh AS (SELECT doc_id, source, md5(text) AS h FROM aug),"),
+      "SELECT a.doc_id, a.lang," -> "SELECT a.doc_id, lpred.lang_pred AS lang,",
+      "FROM aug a)," -> "FROM aug a JOIN lpred USING (doc_id)),"),
     // filtered ANN: identical assignment/probe chain, candidates
     // restricted to the predicate's survivors
     "sim_topk_ivf_filtered" -> patched(oracleSqlBase("sim_topk_ivf"),

@@ -293,6 +293,25 @@ object IndexStore {
     loadBpeMerges(spark, path)
   }
 
+  /** Train-once language profiles — the BPE artifact contract for
+    * the char-n-gram language classifier: fingerprint-keyed parquet
+    * of (lang, bucket, w_micro) rows, trained+saved on first run,
+    * validated LOUDLY at every load (the loadLangProfiles checks).
+    * Integer weights round-trip parquet exactly, so a served
+    * classifier scores bit-identically to the inline one.
+    */
+  def langProfilesCached(panel: DataFrame, textCol: String, langCol: String,
+                         d: Int, baseDir: String)
+      : Seq[(String, Array[Long])] = {
+    val spark = panel.sparkSession
+    val fp = corpusFingerprint(panel, Seq(langCol, textCol))
+    val path = s"$baseDir/langprof_${fp}_d$d"
+    if (!exists(path))
+      TextAnalysis.trainLangProfiles(panel, textCol, langCol, d)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    TextAnalysis.loadLangProfiles(spark.read.parquet(path), d)
+  }
+
   /** Train-once WordPiece merges — the BPE artifact contract
     * (format, fingerprint keying, load-time validation) with the
     * likelihood-objective trainer; score_q rides in the cnt slot

@@ -139,6 +139,147 @@ object TextAnalysis {
     }
   }
 
+  // ---- TRAINED language ID: char-n-gram frequency profiles ----
+
+  /** Languages and wordlists for the deterministic multilingual
+    * PANEL the trained classifier is fitted and evaluated on. The
+    * driver testdata's `lang` column is synthetic-uncorrelated with
+    * its text (measured: every language draws from one shared
+    * vocabulary), so — exactly like the media fixtures — the panel
+    * synthesizes language-bearing text in-plan from public stopword
+    * lists, and the oracle replays the same formula. 24 words per
+    * language, langs in sorted order (the tie-break order).
+    */
+  val LangPanelWords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+      "eine", "zu", "von", "auf", "für", "über", "aber", "auch", "wenn",
+      "wir", "sie", "haben", "werden", "durch", "schön", "müssen"),
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "was", "for", "that",
+      "with", "they", "at", "be", "this", "have", "from", "one", "had",
+      "word", "but", "not", "what", "all", "were"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "ser", "se", "no",
+      "haber", "por", "con", "su", "para", "como", "estar", "tener", "más",
+      "pero", "sus", "año", "también", "está"),
+    "fr" -> Seq("le", "de", "un", "être", "et", "à", "il", "avoir", "ne",
+      "je", "son", "que", "se", "qui", "dans", "en", "du", "elle", "au",
+      "pour", "pas", "vous", "par", "sur"))
+
+  /** Deterministic multilingual panel: lang = langs[id mod 4],
+    * 30 + id mod 20 words, word j = wordlist[(id·7 + j·13) mod 24] —
+    * a pure formula of the id, replayed verbatim by the oracle (the
+    * synthMediaBlobs discipline for text).
+    */
+  def synthLangDocs(df: DataFrame, idCol: String): DataFrame = {
+    val langs = LangPanelWords.map(_._1)
+    val wordArrays = LangPanelWords.map { case (_, ws) =>
+      array(ws.map(lit): _*) }
+    df.select(col(idCol).cast(LongType).as("doc_id"))
+      .withColumn("li", pmod(col("doc_id"), lit(4L)).cast("int"))
+      .select(col("doc_id"),
+        element_at(array(langs.map(lit): _*), col("li") + 1).as("lang"),
+        array_join(
+          transform(sequence(lit(0L), lit(29L) + pmod(col("doc_id"), lit(20L))),
+            j => element_at(element_at(array(wordArrays: _*), col("li") + 1),
+              pmod(col("doc_id") * 7L + j * 13L, lit(24L)).cast("int") + 1)),
+          " ").as("text"))
+  }
+
+  /** Sliding character n-grams (spaces included — word boundaries
+    * carry language signal, the Cavnar–Trenkle padding insight).
+    * Empty array below n chars; `text` must be a BOUND column (the
+    * wordGrams contract — the lambda re-evaluates it per element).
+    */
+  def charGrams(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+
+  /** One-pass training for the char-n-gram language profiles: per
+    * (language, hashed-gram bucket), the integer micro-frequency
+    * weight count·10^6 div total(language) — a per-language
+    * frequency profile, INTEGER-EXACT end to end (the trained-filter
+    * discipline: no logs, no floats, so the oracle replays every
+    * weight). Emits the model ARTIFACT as (lang, bucket, w_micro)
+    * rows — ≤ langs·d — ready to write to parquet and reload with
+    * [[loadLangProfiles]].
+    *
+    * Scale shape: one map pass (gram explode → O(gram) native hash)
+    * into a (langs·d)-cardinality groupBy — map-side partials cap
+    * every task's output, so the shuffle moves KBs regardless of
+    * corpus size; the per-language totals ride a partitioned window
+    * over the aggregate (bounded, langs·d rows).
+    */
+  def trainLangProfiles(df: DataFrame, textCol: String, langCol: String,
+                        d: Int, n: Int = 3): DataFrame = {
+    require(d > 0 && n > 0, "need positive bucket count and gram width")
+    val counts = df
+      .select(col(langCol).as("lang"), lower(col(textCol)).as("t"))
+      .select(col("lang"), explode(charGrams(col("t"), n)).as("g"))
+      .select(col("lang"),
+        pmod(graft.functions.NativeFunctions.polyFingerprint(col("g")),
+          lit(d.toLong)).as("bucket"))
+      .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("tc", sum(col("c")).over(
+        Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("bucket"),
+        expr("c * 1000000 div tc").as("w_micro"))
+  }
+
+  /** Load trained language profiles from a model-artifact frame
+    * ((lang, bucket, w_micro) rows) — KB-sized, collected once and
+    * bound into [[langIdTrained]] as plan literals. Malformed
+    * artifacts fail LOUDLY (the loadWeights contract); langs return
+    * sorted (the deterministic tie-break order).
+    */
+  def loadLangProfiles(artifact: DataFrame, d: Int)
+      : Seq[(String, Array[Long])] = {
+    require(d > 0, "need at least one weight bucket")
+    val rows = artifact.select(col("lang").cast(StringType),
+      col("bucket").cast(LongType), col("w_micro").cast(LongType)).collect()
+    val seen = scala.collection.mutable.Set.empty[(String, Long)]
+    val byLang = scala.collection.mutable.Map.empty[String, Array[Long]]
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+        "language-profile artifact has a null lang, bucket or weight")
+      val (lang, b, w) = (r.getString(0), r.getLong(1), r.getLong(2))
+      require(b >= 0 && b < d, s"profile bucket $b outside [0, $d)")
+      require(w >= 0, s"profile weight $w negative — not a frequency")
+      require(seen.add((lang, b)), s"duplicate profile bucket ($lang, $b)")
+      byLang.getOrElseUpdate(lang, Array.fill(d)(0L))(b.toInt) = w
+    }
+    require(byLang.nonEmpty, "language-profile artifact is empty")
+    byLang.toSeq.sortBy(_._1)
+  }
+
+  /** Trained language ID — one map-only scoring pass: per language,
+    * the doc's gram stream dotted with that language's frequency
+    * profile (each term an O(gram) native hash + an O(1)
+    * literal-array lookup, the [[linearScoreExpr]] shape ×
+    * languages); prediction = argmax, ties to the sorted-first
+    * language, 'und' when no gram hits any profile. Integer sums end
+    * to end — the oracle replays every score.
+    */
+  def langIdTrained(df: DataFrame, idCol: String, textCol: String,
+                    profiles: Seq[(String, Array[Long])],
+                    n: Int = 3): DataFrame = {
+    require(profiles.nonEmpty, "need at least one language profile")
+    val sorted = profiles.sortBy(_._1)
+    val scored = df
+      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("t"))
+      .select(col("doc_id"), charGrams(col("t"), n).as("gs"))
+      .select(col("doc_id") +: sorted.zipWithIndex.map { case ((_, ws), i) =>
+        linearScoreExpr(col("gs"), ws).as(s"s_$i") }: _*)
+    val best = sorted.indices.map(i => col(s"s_$i")).reduce(greatest(_, _))
+    val pred = sorted.zipWithIndex.foldRight(lit("und"): Column) {
+      case (((lang, _), i), acc) =>
+        when(col(s"s_$i") === col("score") && col("score") > 0L, lit(lang))
+          .otherwise(acc)
+    }
+    scored.withColumn("score", best)
+      .select(col("doc_id"), pred.as("lang_pred"), col("score"))
+  }
+
   /** Gopher-style repetition signals: fraction of duplicate lines and
     * the most-frequent-token share — high values mark boilerplate /
     * template spam. Both SQL-expressible for the oracle; the token
@@ -1754,7 +1895,7 @@ object TextAnalysis {
       .select(explode(cleanTokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token")).limit(topV)
-    val w = Window.orderBy(col("freq").desc, col("token"))
+    val w = Frames.tinyWindow(col("freq").desc, col("token")) // topV-sized frame
     val xy = freq.withColumn("rank", row_number().over(w).cast(LongType))
       .select(
         floor(log(col("rank").cast(DoubleType)) * lit(1000.0))

@@ -1087,4 +1087,60 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(_.stripPrefix("##")).mkString
     assert(back === w || back === "[UNK]")
   }
+
+  test("trained lang-ID: held-out accuracy on the multilingual panel >= 95%") {
+    val panel = TextAnalysis.synthLangDocs(
+      spark.range(400L).select(col("id").as("doc_id")), "doc_id")
+    val profiles = TextAnalysis.loadLangProfiles(
+      TextAnalysis.trainLangProfiles(
+        panel.filter(col("doc_id") % 5 =!= 0), "text", "lang", 1024), 1024)
+    assert(profiles.map(_._1) === Seq("de", "en", "es", "fr"))
+    val heldOut = TextAnalysis.langIdTrained(
+        panel.filter(col("doc_id") % 5 === 0), "doc_id", "text", profiles)
+      .join(panel.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val n = heldOut.count()
+    val hits = heldOut.filter(col("lang_pred") === col("lang")).count()
+    assert(n === 80L)
+    assert(hits * 100L >= n * 95L,
+      s"held-out accuracy ${hits}/$n below the 95% contract")
+  }
+
+  test("trained lang-ID: empty/gramless text predicts 'und', scoring is deterministic") {
+    import spark.implicits._
+    val panel = TextAnalysis.synthLangDocs(
+      spark.range(100L).select(col("id").as("doc_id")), "doc_id")
+    val profiles = TextAnalysis.loadLangProfiles(
+      TextAnalysis.trainLangProfiles(panel, "text", "lang", 1024), 1024)
+    val odd = Seq((1L, ""), (2L, "zz"), (3L, "das ist ein schöner tag und wir müssen gehen"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langIdTrained(odd, "doc_id", "text", profiles)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) === "und") // below gram width
+    assert(out(0).getLong(2) === 0L)
+    assert(out(2).getString(1) === "de")
+    val again = TextAnalysis.langIdTrained(odd, "doc_id", "text", profiles)
+      .orderBy("doc_id").collect()
+    assert(out.toSeq === again.toSeq)
+  }
+
+  test("loadLangProfiles: malformed artifacts fail loudly, valid ones round-trip") {
+    import spark.implicits._
+    val good = Seq(("en", 3L, 10L), ("de", 3L, 7L), ("en", 5L, 2L))
+      .toDF("lang", "bucket", "w_micro")
+    val ps = TextAnalysis.loadLangProfiles(good, 8)
+    assert(ps.map(_._1) === Seq("de", "en"))
+    assert(ps.toMap.apply("en").toSeq === Seq(0L, 0L, 0L, 10L, 0L, 2L, 0L, 0L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadLangProfiles(
+        Seq(("en", 9L, 1L)).toDF("lang", "bucket", "w_micro"), 8)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadLangProfiles(
+        Seq(("en", 2L, 1L), ("en", 2L, 3L)).toDF("lang", "bucket", "w_micro"), 8)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadLangProfiles(
+        Seq(("en", 2L, -4L)).toDF("lang", "bucket", "w_micro"), 8)
+    }
+  }
 }
