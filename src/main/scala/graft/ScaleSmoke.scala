@@ -1309,7 +1309,7 @@ object ScaleSmoke {
             .reduce(_ unionByName _).repartition(32)) })
       wpr ++ imr14 ++ edr14 ++ aur
     }) ++ (if (!runR15) Seq.empty[(String, Double, Long)] else {
-      import graft.operators.{Dedup, Multimodal, VideoHash}
+      import graft.operators.{Dedup, EditSimilarity, Multimodal, VideoHash}
       // ROUND-15: (a) video fingerprint (map-only Y4M decode +
       // windowed DCT) + banded pairing at 1x/Kx — the audio shape on
       // the frame tier; replicas use disjoint doc-id ranges so base
@@ -1347,7 +1347,32 @@ object ScaleSmoke {
           require(wrong == 0L,
             s"cc propagation mislabeled $wrong of $ccN chain vertices")
           ccN })
-      vid ++ cc
+      // (c) the edit-join verify tier: char-count L1 prefilter on vs
+      // off over the SAME r14 d=2 corpus shape (reversed zero-padded
+      // names, prefixLen=12) — both runs use the banded threshold
+      // Levenshtein; the delta isolates what the prefilter rejects
+      // before the DP. Pair counts asserted identical (the filter is
+      // a necessary condition, never a drop).
+      val custR15 = Tables.table(spark, sfDir, "customer")
+        .select(col("c_custkey").as("id"),
+          reverse(format_string("Customer#%09d", col("c_custkey"))).as("s"))
+        .cache()
+      custR15.count()
+      var pairsOff = 0L
+      var pairsOn = 0L
+      val ed15 = Seq(
+        time("edit_verify_d2_nofilter") {
+          pairsOff = EditSimilarity.editSimilarityJoin(custR15, "id", "s", 2,
+            strategy = "deletion", prefixLen = 12, verifyPrefilter = false)
+            .queryExecution.toRdd.count(); pairsOff },
+        time("edit_verify_d2_l1filter") {
+          pairsOn = EditSimilarity.editSimilarityJoin(custR15, "id", "s", 2,
+            strategy = "deletion", prefixLen = 12, verifyPrefilter = true)
+            .queryExecution.toRdd.count(); pairsOn })
+      require(pairsOff == pairsOn,
+        s"edit verify prefilter changed the pair set: $pairsOff vs $pairsOn")
+      custR15.unpersist(blocking = false)
+      vid ++ cc ++ ed15
     })
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")

@@ -34,6 +34,23 @@ object NativeFunctions {
   def polyFingerprint(text: Column): Column =
     GraftSqlShims.column(PolyFingerprint(GraftSqlShims.expression(text)))
 
+  /** Packed 16-nibble-lane folded character-count signature (one
+    * long) for the edit-join L1 prefilter.
+    */
+  def charCountSig(text: Column): Column =
+    GraftSqlShims.column(CharCountSig(GraftSqlShims.expression(text)))
+
+  /** L1 distance between two [[charCountSig]] words — 16 codegen'd
+    * shift/mask/abs terms; `<= 2·d` is necessary for ed <= d.
+    */
+  def charSigL1(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    (0 until 16).map { k =>
+      abs(shiftrightunsigned(a, 4 * k).bitwiseAND(lit(15L)) -
+        shiftrightunsigned(b, 4 * k).bitwiseAND(lit(15L)))
+    }.reduce(_ + _)
+  }
+
   /** Distinct xxhash64 w-shingle hashes of a token array, one pass. */
   def shingleHashes(tokens: Column, w: Int): Column =
     GraftSqlShims.column(ShingleHashes(GraftSqlShims.expression(tokens), w))

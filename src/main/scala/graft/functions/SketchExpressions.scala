@@ -874,3 +874,44 @@ case class HyperplaneBuckets(child: Expression, dim: Int, numPlanes: Int,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Packed folded character-count signature for the edit-join verify
+  * prefilter: 16 nibble lanes in one long, lane = codePoint & 15,
+  * each lane the SATURATING (cap 15) count of the string's code
+  * points landing in it. The L1 distance between two signatures
+  * (computed caller-side from pure shift/mask/abs builtins) lower-
+  * bounds Σ_c |f_a(c) − f_b(c)| — one edit operation changes at most
+  * two unit counts, so L1(sig_a, sig_b) ≤ 2·ed(a, b): `L1 ≤ 2d` is a
+  * NECESSARY condition for ed ≤ d, rejecting candidates for a few
+  * integer ops before the O(len·d) banded Levenshtein runs. Folding
+  * and saturation only ever SHRINK the L1 (|min(x,15) − min(y,15)| ≤
+  * |x − y|; triangle inequality over folded classes), so the filter
+  * is always sound — it can pass a non-match (Levenshtein rejects
+  * it) but never drop a match.
+  */
+case class CharCountSig(child: Expression)
+    extends UnaryExpression with SelfComputeCodegen {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "charcount_sig"
+
+  def compute(u: UTF8String): Long = {
+    val s = u.toString
+    var sig = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val shift = (cp & 15) << 2
+      if (((sig >>> shift) & 15L) < 15L) sig += 1L << shift
+      i += Character.charCount(cp)
+    }
+    sig
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(compute(v.asInstanceOf[UTF8String]))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

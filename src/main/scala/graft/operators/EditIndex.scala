@@ -244,8 +244,8 @@ object EditIndex {
           Seq("vk"))
         .filter(abs(col("delta_len") - col("index_len")) <= m.maxDist)
         .withColumn("dist",
-          levenshtein(col("delta_s"), col("index_s")).cast(LongType))
-        .filter(col("dist") <= m.maxDist)
+          levenshtein(col("delta_s"), col("index_s"), m.maxDist).cast(LongType))
+        .filter(col("dist") >= 0L)
         .select(col("delta_id"), col("index_id"), col("dist"))
         .distinct()
     } else {
@@ -283,8 +283,8 @@ object EditIndex {
             Seq("gram"))
           .filter(abs(col("delta_len") - col("index_len")) <= m.maxDist)
           .withColumn("dist",
-            levenshtein(col("delta_s"), col("index_s")).cast(LongType))
-          .filter(col("dist") <= m.maxDist)
+            levenshtein(col("delta_s"), col("index_s"), m.maxDist).cast(LongType))
+          .filter(col("dist") >= 0L)
           .select(col("delta_id"), col("index_id"), col("dist"))
       val shorts = dd.filter(col("n_grams") < prefixLen)
         .select(col("id").as("delta_id"), col("s").as("delta_s"),
@@ -297,8 +297,8 @@ object EditIndex {
             .select(col("id").as("index_id"), col("s").as("index_s"),
               col("len")), Seq("len"))
           .withColumn("dist",
-            levenshtein(col("delta_s"), col("index_s")).cast(LongType))
-          .filter(col("dist") <= m.maxDist)
+            levenshtein(col("delta_s"), col("index_s"), m.maxDist).cast(LongType))
+          .filter(col("dist") >= 0L)
           .select(col("delta_id"), col("index_id"), col("dist"))
       // tiers are disjoint (a delta string is long xor degenerate); the
       // distinct collapses shared-prefix-gram multiplicity within the

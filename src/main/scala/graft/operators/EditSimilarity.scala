@@ -178,10 +178,18 @@ object EditSimilarity {
     }
   }
 
+  /** `verifyPrefilter`: gate each candidate through the packed
+    * character-count L1 bound (L1(sig_a, sig_b) <= 2·d is necessary
+    * for ed <= d — [[graft.functions.CharCountSig]]) before the
+    * banded Levenshtein. Sound at any setting (the bound only
+    * rejects provable non-matches); the toggle exists so ScaleSmoke
+    * can measure the verify tier both ways on identical pair sets.
+    */
   def editSimilarityJoin(df: DataFrame, idCol: String, strCol: String,
                          maxDist: Int, q: Int = 3,
                          strategy: String = "auto",
-                         prefixLen: Int = 0): DataFrame = {
+                         prefixLen: Int = 0,
+                         verifyPrefilter: Boolean = true): DataFrame = {
     require(maxDist >= 0, s"editSimilarityJoin: maxDist $maxDist < 0")
     require(q >= 1, s"editSimilarityJoin: q $q < 1")
     if (maxDist == 0) {
@@ -195,8 +203,9 @@ object EditSimilarity {
         .distinct()
     }
     resolveStrategy(strategy, maxDist) match {
-      case "deletion" => deletionJoin(df, idCol, strCol, maxDist, prefixLen)
-      case _ => qgramJoin(df, idCol, strCol, maxDist, q)
+      case "deletion" =>
+        deletionJoin(df, idCol, strCol, maxDist, prefixLen, verifyPrefilter)
+      case _ => qgramJoin(df, idCol, strCol, maxDist, q, verifyPrefilter)
     }
   }
 
@@ -208,19 +217,35 @@ object EditSimilarity {
     * rows. No windows, no frequency table, no degenerate tier.
     */
   private def deletionJoin(df: DataFrame, idCol: String, strCol: String,
-                           maxDist: Int, prefixLen: Int): DataFrame = {
+                           maxDist: Int, prefixLen: Int,
+                           verifyPrefilter: Boolean): DataFrame = {
+    // the signature is computed ONCE per input row (before the
+    // variant explode replicates it) — 8 bytes carried per side
     val keys = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
       .select(col("id"), col("s"),
+        graft.functions.NativeFunctions.charCountSig(col("s")).as("sig"),
         explode(deletionVariants(col("s"), maxDist, prefixLen)).as("v"))
-      .select(col("id"), col("s"), xxhash64(col("v")).as("vk"))
-    keys.select(col("id").as("a_id"), col("s").as("a_s"), col("vk"))
-      .join(keys.select(col("id").as("b_id"), col("s").as("b_s"), col("vk")),
-        Seq("vk"))
+      .select(col("id"), col("s"), col("sig"), xxhash64(col("v")).as("vk"))
+    val cand = keys
+      .select(col("id").as("a_id"), col("s").as("a_s"),
+        col("sig").as("a_sig"), col("vk"))
+      .join(keys.select(col("id").as("b_id"), col("s").as("b_s"),
+        col("sig").as("b_sig"), col("vk")), Seq("vk"))
       .filter(col("a_id") < col("b_id") &&
         abs(length(col("a_s")) - length(col("b_s"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("a_s"), col("b_s")).cast("long"))
-      .filter(col("dist") <= maxDist)
+    val gated =
+      if (verifyPrefilter)
+        cand.filter(graft.functions.NativeFunctions.charSigL1(
+          col("a_sig"), col("b_sig")) <= 2L * maxDist)
+      else cand
+    // threshold Levenshtein: the banded O(len·d) early-exit DP
+    // (returns −1 past the threshold) — distances on kept rows are
+    // identical to the full DP's
+    gated
+      .withColumn("dist",
+        levenshtein(col("a_s"), col("b_s"), maxDist).cast("long"))
+      .filter(col("dist") >= 0L)
       .select(col("a_id"), col("b_id"), col("dist"))
       .distinct()
   }
@@ -236,11 +261,14 @@ object EditSimilarity {
     * frame or reliable storage should persist the result themselves.
     */
   private def qgramJoin(df: DataFrame, idCol: String, strCol: String,
-                        maxDist: Int, q: Int): DataFrame = {
+                        maxDist: Int, q: Int,
+                        verifyPrefilter: Boolean): DataFrame = {
     val prefixLen = q * maxDist + 1
     val strs = df
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
+      .withColumn("sig",
+        graft.functions.NativeFunctions.charCountSig(col("s")))
     // distinct q-grams per string; strings shorter than q contribute
     // themselves as their single gram (they are always in the
     // degenerate tier below, but the gram keeps frequency totals and
@@ -251,7 +279,7 @@ object EditSimilarity {
           .otherwise(transform(sequence(lit(0), length(col("s")) - q),
             i => col("s").substr(i + lit(1), lit(q))))))
       .withColumn("n_grams", size(col("grams")))
-    val gl = withGrams.select(col("id"), col("s"), col("n_grams"),
+    val gl = withGrams.select(col("id"), col("s"), col("sig"), col("n_grams"),
       explode(col("grams")).as("gram"))
     // global gram document-frequency: the total order the prefix
     // filter sorts by. Computed over ALL strings (the oracle replays
@@ -270,45 +298,61 @@ object EditSimilarity {
       .join(freq, Seq("gram"))
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= prefixLen)
-      .select(col("id"), col("s"), col("gram"))
+      .select(col("id"), col("s"), col("sig"), col("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // no intermediate distinct: a pair sharing several prefix grams is
     // verified that many times (levenshtein on bounded-length strings
     // is cheaper than exchanging candidate rows to dedup them first);
     // the output distinct below collapses multiplicity on the final
     // match set, which is orders of magnitude smaller
-    val cand = pref.select(col("id").as("a_id"), col("s").as("a_s"), col("gram"))
-      .join(pref.select(col("id").as("b_id"), col("s").as("b_s"), col("gram")),
-        Seq("gram"))
+    val cand = pref.select(col("id").as("a_id"), col("s").as("a_s"),
+        col("sig").as("a_sig"), col("gram"))
+      .join(pref.select(col("id").as("b_id"), col("s").as("b_s"),
+        col("sig").as("b_sig"), col("gram")), Seq("gram"))
       .filter(col("a_id") < col("b_id") &&
         abs(length(col("a_s")) - length(col("b_s"))) <= maxDist)
-      .select(col("a_id"), col("a_s"), col("b_id"), col("b_s"))
+      .select(col("a_id"), col("a_s"), col("a_sig"),
+        col("b_id"), col("b_s"), col("b_sig"))
     // degenerate tier: <= q·d distinct grams -> exact length-band
     // equi-join against everything (2d+1 keys per degenerate string)
     val shortSide = withGrams.filter(col("n_grams") < prefixLen)
       .select(col("id").as("x_id"), col("s").as("x_s"),
+        col("sig").as("x_sig"),
         explode(sequence(length(col("s")) - maxDist,
           length(col("s")) + maxDist)).as("lb"))
     val shortCand = shortSide
       .join(strs.select(col("id").as("y_id"), col("s").as("y_s"),
-        length(col("s")).as("lb")), Seq("lb"))
+        col("sig").as("y_sig"), length(col("s")).as("lb")), Seq("lb"))
       .filter(col("x_id") =!= col("y_id"))
       .select(
         least(col("x_id"), col("y_id")).as("a_id"),
         when(col("x_id") < col("y_id"), col("x_s"))
           .otherwise(col("y_s")).as("a_s"),
+        when(col("x_id") < col("y_id"), col("x_sig"))
+          .otherwise(col("y_sig")).as("a_sig"),
         greatest(col("x_id"), col("y_id")).as("b_id"),
         when(col("x_id") < col("y_id"), col("y_s"))
-          .otherwise(col("x_s")).as("b_s"))
+          .otherwise(col("x_s")).as("b_s"),
+        when(col("x_id") < col("y_id"), col("y_sig"))
+          .otherwise(col("x_sig")).as("b_sig"))
     // one distinct at the very end: tiers are disjoint by
     // construction (cand: both sides have >= prefixLen grams;
     // shortCand: at least one side has fewer), so this only collapses
     // within-tier multiplicity (shared prefix grams / double-found
     // short-short pairs) — and it runs on the MATCH set, after the
     // distance filter has discarded the candidate bulk
-    val result = cand.unionByName(shortCand)
-      .withColumn("dist", levenshtein(col("a_s"), col("b_s")).cast("long"))
-      .filter(col("dist") <= maxDist)
+    val allCand = cand.unionByName(shortCand)
+    val gated =
+      if (verifyPrefilter)
+        allCand.filter(graft.functions.NativeFunctions.charSigL1(
+          col("a_sig"), col("b_sig")) <= 2L * maxDist)
+      else allCand
+    // threshold Levenshtein: banded O(len·d) early-exit DP, −1 past
+    // the threshold — kept-row distances identical to the full DP's
+    val result = gated
+      .withColumn("dist",
+        levenshtein(col("a_s"), col("b_s"), maxDist).cast("long"))
+      .filter(col("dist") >= 0L)
       .select(col("a_id"), col("b_id"), col("dist"))
       .distinct()
       // eager checkpoint materializes the (match-set-sized) result

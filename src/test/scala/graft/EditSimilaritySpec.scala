@@ -140,6 +140,47 @@ class EditSimilaritySpec extends AnyFunSuite {
       === brute(cust, 2))
   }
 
+  test("verify prefilter on == off == brute on panel and real names, both strategies") {
+    // the L1 bound is a necessary condition: toggling it must never
+    // change the pair set, only the verify-tier cost
+    for (strat <- Seq("deletion", "qgram"); d <- Seq(1, 2)) {
+      val off = EditSimilarity.editSimilarityJoin(panel, "id", "s", d,
+          strategy = strat, verifyPrefilter = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val on = EditSimilarity.editSimilarityJoin(panel, "id", "s", d,
+          strategy = strat, verifyPrefilter = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(on === off, s"[$strat d=$d] prefilter changed the pair set")
+      assert(on === brute(panel, d), s"[$strat d=$d] diverged from brute")
+    }
+  }
+
+  test("charCountSig: L1 bound holds (L1 <= 2·ed) on every panel pair") {
+    // property check of the filter's soundness lemma over all pairs
+    val sigs = panel.select(col("id"), col("s"),
+        graft.functions.NativeFunctions.charCountSig(col("s")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def l1(a: Long, b: Long): Long =
+      (0 until 16).map(k => math.abs(((a >>> (4 * k)) & 15L) -
+        ((b >>> (4 * k)) & 15L))).sum
+    def ed(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    for (Seq((_, sa, ga), (_, sb, gb)) <- sigs.toSeq.combinations(2))
+      assert(l1(ga, gb) <= 2L * ed(sa, sb),
+        s"L1 bound violated for '$sa' vs '$sb'")
+  }
+
   test("prefix pruning cuts variant counts; degenerate prefixLen refused") {
     val n = Seq(("abcdefghijklmnopqr", 0)).toDF("s", "z")
     def count(pl: Int): Int = n
