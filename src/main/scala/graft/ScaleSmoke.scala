@@ -181,6 +181,7 @@ object ScaleSmoke {
     val runR13c = only.isEmpty || only.contains("r13c")
     val runR14 = only.isEmpty || only.contains("r14")
     val runR15 = only.isEmpty || only.contains("r15")
+    val runR15b = only.isEmpty || only.contains("r15b")
     val results = (if (!runMain) Seq.empty[(String, Double, Long)] else Seq(
       time("minhash_lsh_1x") {
         Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 64, 16, 3, 0.5)
@@ -1373,6 +1374,44 @@ object ScaleSmoke {
         s"edit verify prefilter changed the pair set: $pairsOff vs $pairsOn")
       custR15.unpersist(blocking = false)
       vid ++ cc ++ ed15
+    }) ++ (if (!runR15b) Seq.empty[(String, Double, Long)] else {
+      // ROUND-15b: the BLOCKED, PARTITIONED digest past the old
+      // broadcast ceiling. r14's literal-array digest capped at 2^26
+      // bits (8 MB broadcast) and so saturated near 4M keys — clean
+      // batches then fell through to the postings join. The r15 word
+      // TABLE is join-probed, so a 5M-image index (20M band keys —
+      // 5x the old saturation) sizes its digest to 2^29 bits and a
+      // clean probe batch must still gate to ZERO candidates.
+      import graft.operators.ImageHashIndex
+      def synthHashes15(lo: Long, hi: Long, dom: String): DataFrame =
+        spark.range(lo, hi).select(col("id"),
+          xxhash64(col("id"), lit(dom)).as("dhash"),
+          xxhash64(col("id"), lit(dom), lit("p")).as("phash"))
+      Seq("ss_im15s", "ss_im15b").foreach { p =>
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(_.startsWith(p))
+          .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _))
+      }
+      val probe15 = synthHashes15(0L, 500L, "clean").cache(); probe15.count()
+      val dg = Seq(
+        time("blockdigest_build_1m") {
+          ImageHashIndex.buildImageIndex(synthHashes15(0L, 1250000L, "idx"),
+            "id", "dhash", "phash", "ss_im15s"); 1250000L },
+        time("blockdigest_build_5m") {
+          ImageHashIndex.buildImageIndex(synthHashes15(0L, 5000000L, "idx"),
+            "id", "dhash", "phash", "ss_im15b"); 5000000L },
+        time("blockdigest_gate_1m") {
+          ImageHashIndex.gateImageMatches(spark, "ss_im15s",
+            probe15, "id", "dhash", "phash").queryExecution.toRdd.count() },
+        time("blockdigest_gate_5m") {
+          ImageHashIndex.gateImageMatches(spark, "ss_im15b",
+            probe15, "id", "dhash", "phash").queryExecution.toRdd.count() })
+      val mb = spark.table("ss_im15b_stats").head().getAs[Int]("digest_mbits")
+      println(f"[scale] r15b 5m-image digest sized to 2^${
+        (math.log(mb.toDouble) / math.log(2.0)).round}%d bits " +
+        f"(old cap 2^26) — clean gates above must be 0-candidate rows")
+      probe15.unpersist(blocking = false)
+      dg
     })
 
     println("[scale] ratios (Kx time / 1x time; linear operators stay near or below K):")

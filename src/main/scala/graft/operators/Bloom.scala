@@ -96,6 +96,97 @@ object Bloom {
     buildWordsFromHashes(keys.select(col(keyCol).cast("long").as("h")),
       mBits, kHashes, "bloom build: key set is empty")
 
+  // ---- BLOCKED, PARTITIONED long-key digest ----------------------
+  //
+  // The literal-array digest above must collect to the driver and
+  // broadcast inside an expression, which is what forced the 2^26
+  // (8 MB) cap on every index family's fast path. The blocked form
+  // removes both ceilings:
+  //
+  //   - REGISTER-BLOCKED: all kHashes probe bits land in ONE 64-bit
+  //     word (word index from a second squaring round of the mixer —
+  //     decorrelated from the in-word positions, the
+  //     RademacherBuckets lesson), so a probe is one word lookup +
+  //     one mask compare regardless of mBits. At the same ~16
+  //     bits/key budget the FP rate stays in the same regime as the
+  //     spread form (word loads concentrate: FP ≈ (load/64)^k with
+  //     load ≈ 16·(64/16) bits ≈ 0.25 → ~0.4% at k=4 vs 0.24%) —
+  //     the digest is a prefilter, so FP only costs confirms, never
+  //     correctness.
+  //   - PARTITIONED: the digest LIVES as (idx, word) rows and is
+  //     probed by an equi-join on the word index — Catalyst
+  //     broadcasts it while it is small and shuffles past the
+  //     broadcast threshold, so mBits can grow to [[MaxBlockedMBits]]
+  //     (2^30 bits = 128 MB = ~64M keys at 16 bits/key) with no
+  //     driver collect anywhere on the build OR probe path.
+  //
+  // Append ≡ rebuild still holds: a key's (idx, word-mask)
+  // contribution is a pure function of (key, mBits, kHashes), so
+  // bit_or-folding appended delta rows with the base rows is
+  // bit-equal to a from-scratch build at the same params.
+
+  val MaxBlockedMBits: Long = 1L << 30
+
+  private def checkBlockedParams(mBits: Long, kHashes: Int): Unit = {
+    require(mBits >= 64 && mBits % 64 == 0 && mBits <= MaxBlockedMBits &&
+      (mBits & (mBits - 1)) == 0,
+      s"blocked digest mBits must be a 64-multiple power of two in [64, 2^30], got $mBits")
+    require(kHashes >= 1 && kHashes <= 8, s"kHashes must be in [1, 8], got $kHashes")
+  }
+
+  /** Word index of a key's block: a THIRD mixing round (h2 squared
+    * again) so block choice is decorrelated from the in-word bit
+    * positions, which consume h1/h2.
+    */
+  private def blockedWordIdx(key: Column, mBits: Long): Column = {
+    val h1 = pmod(key.cast("long"), lit(P))
+    val h2 = pmod(pmod(h1 * h1, lit(P)) * lit(1000003L) + lit(54321L), lit(P))
+    val h3 = pmod(pmod(h2 * h2, lit(P)) * lit(1000003L) + lit(54321L), lit(P))
+    pmod(h3, lit(mBits / 64))
+  }
+
+  /** OR of the key's kHashes in-word bits: bit_i = (h1 + i·h2) mod 64. */
+  private def blockedWordMask(key: Column, kHashes: Int): Column = {
+    val h1 = pmod(key.cast("long"), lit(P))
+    val h2 = pmod(pmod(h1 * h1, lit(P)) * lit(1000003L) + lit(54321L), lit(P))
+    (1 to kHashes).map(i =>
+      call_function("shiftleft", lit(1L),
+        pmod(h1 + lit(i.toLong) * h2, lit(64L)).cast("int")))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** The digest as (idx, word) NONZERO rows — one map-side-combined
+    * aggregate over ≤ mBits/64 groups, never collected. Loud on an
+    * empty key set (an all-zero digest would "clear" every probe).
+    */
+  def blockedDigestDf(keys: DataFrame, keyCol: String, mBits: Long,
+                      kHashes: Int): DataFrame = {
+    checkBlockedParams(mBits, kHashes)
+    val df = keys
+      .select(blockedWordIdx(col(keyCol), mBits).as("idx"),
+        blockedWordMask(col(keyCol), kHashes).as("mask"))
+      .groupBy(col("idx")).agg(bit_or(col("mask")).as("word"))
+    df
+  }
+
+  /** Keep only the rows whose `key` is POSSIBLY in the digest (all k
+    * in-word bits set) — the join-form probe: LEFT join on the word
+    * index (missing word = definitely absent), one mask compare.
+    * `digest` is the (idx, word) frame, possibly carrying appended
+    * duplicate idx rows — folded here, lazily.
+    */
+  def blockedDigestFlagged(df: DataFrame, key: Column, digest: DataFrame,
+                           mBits: Long, kHashes: Int): DataFrame = {
+    checkBlockedParams(mBits, kHashes)
+    val folded = digest.groupBy(col("idx")).agg(bit_or(col("word")).as("word"))
+    df.withColumn("__d_idx", blockedWordIdx(key, mBits))
+      .withColumn("__d_mask", blockedWordMask(key, kHashes))
+      .join(folded, col("__d_idx") === col("idx"), "left")
+      .filter(col("word").isNotNull &&
+        col("word").bitwiseAND(col("__d_mask")) === col("__d_mask"))
+      .drop("__d_idx", "__d_mask", "idx", "word")
+  }
+
   /** Bitwise OR of two digest word arrays built at the SAME (mBits,
     * kHashes): because each key's word contributions are a pure
     * function of (key, mBits, kHashes), the union of a stored digest

@@ -66,7 +66,7 @@ object DedupIndex {
     val nFps = spark.table(s"${prefix}_fps").count()
     val mBits = Retrieval.digestSizing(nFps)
     writeDigest(spark, prefix,
-      Bloom.buildLongKeyBloom(spark.table(s"${prefix}_fps"), "fp",
+      Bloom.blockedDigestDf(spark.table(s"${prefix}_fps"), "fp",
         mBits, digestK))
     Bucketing.dropTableAndLocation(spark, s"${prefix}_stats")
     spark.range(1).select(
@@ -79,40 +79,20 @@ object DedupIndex {
   }
 
   private def writeDigest(spark: SparkSession, prefix: String,
-                          words: Array[Long]): Unit = {
-    import spark.implicits._
+                          digest: org.apache.spark.sql.DataFrame): Unit = {
     Bucketing.dropTableAndLocation(spark, s"${prefix}_fpdigest")
-    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq
-      .toDF("idx", "word").coalesce(1)
-      .write.mode("overwrite").saveAsTable(s"${prefix}_fpdigest")
+    digest.write.mode("overwrite").saveAsTable(s"${prefix}_fpdigest")
   }
 
   /** O(delta) digest maintenance (the [[NearDupIndex]] discipline):
-    * only the delta's nonzero words append as rows; [[readDigest]]
-    * OR-folds per idx — exact because Bloom bits only turn on. Full
-    * rewrites happen at build and resize only, compacting the
+    * only the delta's nonzero words append as rows; the probe's
+    * bit_or fold per idx is exact because Bloom bits only turn on.
+    * Full rewrites happen at build and resize only, compacting the
     * appended rows away.
     */
   private def appendDigestWords(spark: SparkSession, prefix: String,
-                                deltaWords: Array[Long]): Unit = {
-    import spark.implicits._
-    val nz = deltaWords.zipWithIndex
-      .collect { case (w, i) if w != 0L => (i.toLong, w) }
-    if (nz.nonEmpty)
-      nz.toSeq.toDF("idx", "word").coalesce(1)
-        .write.mode("append").saveAsTable(s"${prefix}_fpdigest")
-  }
-
-  private def readDigest(spark: SparkSession, prefix: String,
-                         mBits: Int): Array[Long] = {
-    val rows = spark.table(s"${prefix}_fpdigest")
-      .groupBy(col("idx")).agg(bit_or(col("word")).as("word")).collect()
-    val words = new Array[Long](mBits / 64)
-    require(rows.length == words.length,
-      s"fp digest ${prefix}_fpdigest has ${rows.length} words, expected ${words.length}")
-    rows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
-    words
-  }
+                                delta: org.apache.spark.sql.DataFrame): Unit =
+    delta.write.mode("append").saveAsTable(s"${prefix}_fpdigest")
 
   private case class Meta(nFps: Long, lineage: String, mBits: Int, k: Int)
 
@@ -142,10 +122,9 @@ object DedupIndex {
     val dd = keyed(delta, idCol, textCol)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__first_id", first(col("id")).over(w))
-    val words = readDigest(spark, prefix, meta.mBits)
-    val mayHave = Bloom.longKeyBloomMayContain(col("fp"), words,
-      meta.mBits, meta.k)
-    val flagged = dd.filter(mayHave).select(col("text_md5")).distinct()
+    val flagged = Bloom.blockedDigestFlagged(dd, col("fp"),
+        spark.table(s"${prefix}_fpdigest"), meta.mBits, meta.k)
+      .select(col("text_md5")).distinct()
     val hits =
       if (flagged.isEmpty)
         spark.emptyDataFrame
@@ -187,10 +166,8 @@ object DedupIndex {
       .agg(min(col("id")).as("keep_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val words = readDigest(spark, prefix, meta.mBits)
-      val flagged = fps
-        .filter(Bloom.longKeyBloomMayContain(col("fp"), words,
-          meta.mBits, meta.k))
+      val flagged = Bloom.blockedDigestFlagged(fps, col("fp"),
+          spark.table(s"${prefix}_fpdigest"), meta.mBits, meta.k)
         .select(col("text_md5"))
       if (!flagged.isEmpty) {
         val clash = spark.table(s"${prefix}_fps")
@@ -215,10 +192,10 @@ object DedupIndex {
       val mBits = Retrieval.digestSizing(nTotal)
       if (mBits == meta.mBits)
         appendDigestWords(spark, prefix,
-          Bloom.buildLongKeyBloom(fps, "fp", mBits, meta.k))
+          Bloom.blockedDigestDf(fps, "fp", mBits, meta.k))
       else
         writeDigest(spark, prefix,
-          Bloom.buildLongKeyBloom(spark.table(s"${prefix}_fps"), "fp",
+          Bloom.blockedDigestDf(spark.table(s"${prefix}_fps"), "fp",
             mBits, meta.k))
       Bucketing.dropTableAndLocation(spark, s"${prefix}_stats")
       spark.range(1).select(

@@ -113,34 +113,14 @@ object EditIndex {
       .select(xxhash64(col("v")).as("vk"), col("id"), col("s"), col("len"))
 
   private def writeDigest(spark: SparkSession, prefix: String,
-                          words: Array[Long]): Unit = {
-    import spark.implicits._
+                          digest: DataFrame): Unit = {
     Bucketing.dropTableAndLocation(spark, s"${prefix}_gdigest")
-    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq
-      .toDF("idx", "word").coalesce(1)
-      .write.mode("overwrite").saveAsTable(s"${prefix}_gdigest")
+    digest.write.mode("overwrite").saveAsTable(s"${prefix}_gdigest")
   }
 
   private def appendDigestWords(spark: SparkSession, prefix: String,
-                                deltaWords: Array[Long]): Unit = {
-    import spark.implicits._
-    val nz = deltaWords.zipWithIndex
-      .collect { case (w, i) if w != 0L => (i.toLong, w) }
-    if (nz.nonEmpty)
-      nz.toSeq.toDF("idx", "word").coalesce(1)
-        .write.mode("append").saveAsTable(s"${prefix}_gdigest")
-  }
-
-  private def readDigest(spark: SparkSession, prefix: String,
-                         mBits: Int): Array[Long] = {
-    val rows = spark.table(s"${prefix}_gdigest")
-      .groupBy(col("idx")).agg(bit_or(col("word")).as("word")).collect()
-    val words = new Array[Long](mBits / 64)
-    require(rows.length == words.length,
-      s"gram digest ${prefix}_gdigest has ${rows.length} words, expected ${words.length}")
-    rows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
-    words
-  }
+                                delta: DataFrame): Unit =
+    delta.write.mode("append").saveAsTable(s"${prefix}_gdigest")
 
   private def writeStats(spark: SparkSession, prefix: String, nStrs: Long,
                          q: Int, maxDist: Int, lineage: String,
@@ -173,7 +153,7 @@ object EditIndex {
         .write.mode("overwrite").saveAsTable(s"${prefix}_dels")
       val nPostings = spark.table(s"${prefix}_dels").count()
       val mBits = Retrieval.digestSizing(nPostings)
-      writeDigest(spark, prefix, Bloom.buildLongKeyBloom(
+      writeDigest(spark, prefix, Bloom.blockedDigestDf(
         spark.table(s"${prefix}_dels").select(col("vk")).distinct(),
         "vk", mBits, digestK))
       writeStats(spark, prefix, nStrs, q, maxDist, lineage, mBits, digestK,
@@ -189,7 +169,7 @@ object EditIndex {
         .write.mode("overwrite").saveAsTable(s"${prefix}_gramfreq")
       val nGramRows = spark.table(s"${prefix}_grams").count()
       val mBits = Retrieval.digestSizing(nGramRows)
-      writeDigest(spark, prefix, Bloom.buildLongKeyBloom(
+      writeDigest(spark, prefix, Bloom.blockedDigestDf(
         spark.table(s"${prefix}_grams")
           .select(gramKey(col("gram")).as("gk")).distinct(),
         "gk", mBits, digestK))
@@ -233,9 +213,8 @@ object EditIndex {
         math.max(m.maxDist, 1), m.prefixLen)
         .select(col("vk"), col("id").as("delta_id"),
           col("s").as("delta_s"), col("len").as("delta_len"))
-      val words = readDigest(spark, prefix, m.mBits)
-      val flagged = dk.filter(Bloom.longKeyBloomMayContain(
-        col("vk"), words, m.mBits, m.k))
+      val flagged = Bloom.blockedDigestFlagged(dk, col("vk"),
+        spark.table(s"${prefix}_gdigest"), m.mBits, m.k)
       if (flagged.isEmpty) empty
       else broadcast(flagged)
         .join(spark.table(s"${prefix}_dels")
@@ -266,9 +245,8 @@ object EditIndex {
         .withColumn("rn", row_number().over(byRarity))
         .filter(col("rn") <= prefixLen)
         .select(col("delta_id"), col("delta_s"), col("delta_len"), col("gram"))
-      val words = readDigest(spark, prefix, m.mBits)
-      val flagged = pref.filter(Bloom.longKeyBloomMayContain(
-        gramKey(col("gram")), words, m.mBits, m.k))
+      val flagged = Bloom.blockedDigestFlagged(pref, gramKey(col("gram")),
+        spark.table(s"${prefix}_gdigest"), m.mBits, m.k)
       // probe = broadcast of the (batch-sized) flagged prefix grams into
       // the postings scan; verification is MAP-SIDE on the denormalized
       // (s, len) — no candidate-sized exchange, no strings fetch. A pair
@@ -351,10 +329,10 @@ object EditIndex {
         val nPostings = spark.table(s"${prefix}_dels").count()
         val mBits = Retrieval.digestSizing(nPostings)
         if (mBits == m.mBits)
-          appendDigestWords(spark, prefix, Bloom.buildLongKeyBloom(
+          appendDigestWords(spark, prefix, Bloom.blockedDigestDf(
             dels.select(col("vk")).distinct(), "vk", mBits, m.k))
         else // resize boundary: the one full-postings rebuild
-          writeDigest(spark, prefix, Bloom.buildLongKeyBloom(
+          writeDigest(spark, prefix, Bloom.blockedDigestDf(
             spark.table(s"${prefix}_dels").select(col("vk")).distinct(),
             "vk", mBits, m.k))
         writeStats(spark, prefix, nTotal, m.q, m.maxDist,
@@ -368,13 +346,13 @@ object EditIndex {
         val nGramRows = spark.table(s"${prefix}_grams").count()
         val mBits = Retrieval.digestSizing(nGramRows)
         if (mBits == m.mBits)
-          appendDigestWords(spark, prefix, Bloom.buildLongKeyBloom(
+          appendDigestWords(spark, prefix, Bloom.blockedDigestDf(
             grams.select(gramKey(col("gram")).as("gk")).distinct(),
             "gk", mBits, m.k))
         else {
           // resize boundary: the one full-postings rebuild; also
           // compact the SUM-folded freq rows
-          writeDigest(spark, prefix, Bloom.buildLongKeyBloom(
+          writeDigest(spark, prefix, Bloom.blockedDigestDf(
             spark.table(s"${prefix}_grams")
               .select(gramKey(col("gram")).as("gk")).distinct(),
             "gk", mBits, m.k))

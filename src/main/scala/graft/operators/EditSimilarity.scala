@@ -182,14 +182,21 @@ object EditSimilarity {
     * character-count L1 bound (L1(sig_a, sig_b) <= 2·d is necessary
     * for ed <= d — [[graft.functions.CharCountSig]]) before the
     * banded Levenshtein. Sound at any setting (the bound only
-    * rejects provable non-matches); the toggle exists so ScaleSmoke
-    * can measure the verify tier both ways on identical pair sets.
+    * rejects provable non-matches, spec-asserted), but OFF by
+    * default: ScaleSmoke r15 measured the d=2 full-corpus verify
+    * tier at 63 s without vs 106 s with the filter — on match-dense
+    * candidate sets (the self-join norm: candidates come from
+    * variant-key equality, so most ARE matches) the filter rejects
+    * almost nothing and its signature carry + 16-term compare is
+    * pure overhead, while the banded threshold Levenshtein is
+    * already O(len·d). Turn it on only for collision-heavy keys
+    * where most candidates are non-matches.
     */
   def editSimilarityJoin(df: DataFrame, idCol: String, strCol: String,
                          maxDist: Int, q: Int = 3,
                          strategy: String = "auto",
                          prefixLen: Int = 0,
-                         verifyPrefilter: Boolean = true): DataFrame = {
+                         verifyPrefilter: Boolean = false): DataFrame = {
     require(maxDist >= 0, s"editSimilarityJoin: maxDist $maxDist < 0")
     require(q >= 1, s"editSimilarityJoin: q $q < 1")
     if (maxDist == 0) {
@@ -219,12 +226,15 @@ object EditSimilarity {
   private def deletionJoin(df: DataFrame, idCol: String, strCol: String,
                            maxDist: Int, prefixLen: Int,
                            verifyPrefilter: Boolean): DataFrame = {
-    // the signature is computed ONCE per input row (before the
-    // variant explode replicates it) — 8 bytes carried per side
+    // when the prefilter is on, the signature is computed ONCE per
+    // input row (before the variant explode replicates it) — 8 bytes
+    // carried per side; when off, nothing is computed or carried
+    val sigCol =
+      if (verifyPrefilter) graft.functions.NativeFunctions.charCountSig(col("s"))
+      else lit(0L)
     val keys = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
-      .select(col("id"), col("s"),
-        graft.functions.NativeFunctions.charCountSig(col("s")).as("sig"),
+      .select(col("id"), col("s"), sigCol.as("sig"),
         explode(deletionVariants(col("s"), maxDist, prefixLen)).as("v"))
       .select(col("id"), col("s"), col("sig"), xxhash64(col("v")).as("vk"))
     val cand = keys
@@ -268,7 +278,9 @@ object EditSimilarity {
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
       .withColumn("sig",
-        graft.functions.NativeFunctions.charCountSig(col("s")))
+        if (verifyPrefilter)
+          graft.functions.NativeFunctions.charCountSig(col("s"))
+        else lit(0L))
     // distinct q-grams per string; strings shorter than q contribute
     // themselves as their single gram (they are always in the
     // degenerate tier below, but the gram keeps frequency totals and

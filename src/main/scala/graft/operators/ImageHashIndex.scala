@@ -135,34 +135,14 @@ object ImageHashIndex {
       .cast(LongType)
 
   private def writeDigest(spark: SparkSession, prefix: String,
-                          words: Array[Long]): Unit = {
-    import spark.implicits._
+                          digest: DataFrame): Unit = {
     Bucketing.dropTableAndLocation(spark, s"${prefix}_bdigest")
-    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq
-      .toDF("idx", "word").coalesce(1)
-      .write.mode("overwrite").saveAsTable(s"${prefix}_bdigest")
+    digest.write.mode("overwrite").saveAsTable(s"${prefix}_bdigest")
   }
 
   private def appendDigestWords(spark: SparkSession, prefix: String,
-                                deltaWords: Array[Long]): Unit = {
-    import spark.implicits._
-    val nz = deltaWords.zipWithIndex
-      .collect { case (w, i) if w != 0L => (i.toLong, w) }
-    if (nz.nonEmpty)
-      nz.toSeq.toDF("idx", "word").coalesce(1)
-        .write.mode("append").saveAsTable(s"${prefix}_bdigest")
-  }
-
-  private def readDigest(spark: SparkSession, prefix: String,
-                         mBits: Int): Array[Long] = {
-    val rows = spark.table(s"${prefix}_bdigest")
-      .groupBy(col("idx")).agg(bit_or(col("word")).as("word")).collect()
-    val words = new Array[Long](mBits / 64)
-    require(rows.length == words.length,
-      s"band digest ${prefix}_bdigest has ${rows.length} words, expected ${words.length}")
-    rows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
-    words
-  }
+                                delta: DataFrame): Unit =
+    delta.write.mode("append").saveAsTable(s"${prefix}_bdigest")
 
   private def writeStats(spark: SparkSession, prefix: String, nImages: Long,
                          maxBits: Int, nBands: Int, lineage: String,
@@ -189,7 +169,7 @@ object ImageHashIndex {
       .write.mode("overwrite").saveAsTable(s"${prefix}_bands")
     val nImages = spark.table(s"${prefix}_hashes").count()
     val mBits = Retrieval.digestSizing(nImages * nBands)
-    writeDigest(spark, prefix, Bloom.buildLongKeyBloom(
+    writeDigest(spark, prefix, Bloom.blockedDigestDf(
       spark.table(s"${prefix}_bands").select(col("bk")).distinct(),
       "bk", mBits, digestK))
     writeStats(spark, prefix, nImages, maxBits, nBands, lineage, mBits,
@@ -219,9 +199,8 @@ object ImageHashIndex {
     val dk = banded(keyed(delta, idCol, dhashCol, phashCol), m.nBands)
       .select(col("bk"), col("id").as("delta_id"),
         col("dhash").as("delta_dhash"), col("phash").as("delta_phash"))
-    val words = readDigest(spark, prefix, m.mBits)
-    val flagged = dk.filter(Bloom.longKeyBloomMayContain(
-      col("bk"), words, m.mBits, m.k))
+    val flagged = Bloom.blockedDigestFlagged(dk, col("bk"),
+      spark.table(s"${prefix}_bdigest"), m.mBits, m.k)
     if (flagged.isEmpty)
       spark.range(0).select(lit(0L).as("delta_id"),
         lit(0L).as("index_id"), lit(0L).as("dist"))
@@ -274,10 +253,10 @@ object ImageHashIndex {
       val nTotal = m.nImages + k.count()
       val mBits = Retrieval.digestSizing(nTotal * m.nBands)
       if (mBits == m.mBits)
-        appendDigestWords(spark, prefix, Bloom.buildLongKeyBloom(
+        appendDigestWords(spark, prefix, Bloom.blockedDigestDf(
           bands.select(col("bk")).distinct(), "bk", mBits, m.k))
       else // resize boundary: the one full-postings rebuild
-        writeDigest(spark, prefix, Bloom.buildLongKeyBloom(
+        writeDigest(spark, prefix, Bloom.blockedDigestDf(
           spark.table(s"${prefix}_bands").select(col("bk")).distinct(),
           "bk", mBits, m.k))
       writeStats(spark, prefix, nTotal, m.maxBits, m.nBands,

@@ -108,7 +108,7 @@ object IvfIndex {
     val nVecs = spark.table(s"${prefix}_ids").count()
     val mBits = Retrieval.digestSizing(nVecs)
     Retrieval.writeIdDigest(spark, prefix,
-      Bloom.buildLongKeyBloom(spark.table(s"${prefix}_ids"), "doc_id",
+      Bloom.blockedDigestDf(spark.table(s"${prefix}_ids"), "doc_id",
         mBits, digestK))
     Bucketing.dropTableAndLocation(spark, s"${prefix}_stats")
     spark.range(1).select(
@@ -196,9 +196,8 @@ object IvfIndex {
     val assigned = assign(deltaVecs, idCol, vecCol, centroids, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val words = Retrieval.readIdDigest(spark, prefix, mBits)
-      val flagged = assigned
-        .filter(Bloom.longKeyBloomMayContain(col("id"), words, mBits, digestK))
+      val flagged = Bloom.blockedDigestFlagged(assigned, col("id"),
+          Retrieval.idDigestDf(spark, prefix), mBits, digestK)
         .select(col("id").as("doc_id"))
       if (!flagged.isEmpty) {
         val clash = spark.table(s"${prefix}_ids")
@@ -233,11 +232,11 @@ object IvfIndex {
       val newMBits = Retrieval.digestSizing(row.getAs[Long]("n_vecs") + nDelta)
       if (newMBits == mBits)
         Retrieval.appendIdDigestWords(spark, prefix,
-          Bloom.buildLongKeyBloom(assigned.select(col("id").as("doc_id")),
+          Bloom.blockedDigestDf(assigned.select(col("id").as("doc_id")),
             "doc_id", mBits, digestK))
       else
         Retrieval.writeIdDigest(spark, prefix,
-          Bloom.buildLongKeyBloom(spark.table(s"${prefix}_ids"), "doc_id",
+          Bloom.blockedDigestDf(spark.table(s"${prefix}_ids"), "doc_id",
             newMBits, digestK))
       Bucketing.dropTableAndLocation(spark, s"${prefix}_stats")
       spark.range(1).select(

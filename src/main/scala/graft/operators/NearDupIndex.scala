@@ -60,41 +60,21 @@ object NearDupIndex {
   }
 
   private def writeDigest(spark: SparkSession, prefix: String,
-                          words: Array[Long]): Unit = {
-    import spark.implicits._
+                          digest: DataFrame): Unit = {
     Bucketing.dropTableAndLocation(spark, s"${prefix}_bkdigest")
-    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq
-      .toDF("idx", "word").coalesce(1)
-      .write.mode("overwrite").saveAsTable(s"${prefix}_bkdigest")
+    digest.write.mode("overwrite").saveAsTable(s"${prefix}_bkdigest")
   }
 
   /** O(delta) digest maintenance: only the DELTA's nonzero words are
-    * APPENDED as rows — [[readDigest]] OR-folds per idx, and Bloom
-    * bits only ever turn on, so the fold is order-free and exact. A
-    * full-array rewrite (mBits/64 rows — corpus-sized at 16 bits/key)
+    * APPENDED as rows — the probe's bit_or fold per idx is exact
+    * because Bloom bits only ever turn on, so the fold is order-free.
+    * A full rewrite (mBits/64 rows — corpus-sized at 16 bits/key)
     * happens only at build and on resize boundaries, which also
     * compacts the appended rows away.
     */
   private def appendDigestWords(spark: SparkSession, prefix: String,
-                                deltaWords: Array[Long]): Unit = {
-    import spark.implicits._
-    val nz = deltaWords.zipWithIndex
-      .collect { case (w, i) if w != 0L => (i.toLong, w) }
-    if (nz.nonEmpty)
-      nz.toSeq.toDF("idx", "word").coalesce(1)
-        .write.mode("append").saveAsTable(s"${prefix}_bkdigest")
-  }
-
-  private def readDigest(spark: SparkSession, prefix: String,
-                         mBits: Int): Array[Long] = {
-    val rows = spark.table(s"${prefix}_bkdigest")
-      .groupBy(col("idx")).agg(bit_or(col("word")).as("word")).collect()
-    val words = new Array[Long](mBits / 64)
-    require(rows.length == words.length,
-      s"bucket digest ${prefix}_bkdigest has ${rows.length} words, expected ${words.length}")
-    rows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
-    words
-  }
+                                delta: DataFrame): Unit =
+    delta.write.mode("append").saveAsTable(s"${prefix}_bkdigest")
 
   def buildNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
                         prefix: String, numHashes: Int = 64, bands: Int = 16,
@@ -110,7 +90,7 @@ object NearDupIndex {
     sets.write.mode("overwrite").saveAsTable(s"${prefix}_sets")
     val nDocs = spark.table(s"${prefix}_sets").count()
     val mBits = Retrieval.digestSizing(nDocs * bands)
-    writeDigest(spark, prefix, Bloom.buildLongKeyBloom(
+    writeDigest(spark, prefix, Bloom.blockedDigestDf(
       spark.table(s"${prefix}_buckets")
         .select(bucketKey(col("band"), col("bucket")).as("bk")),
       "bk", mBits, digestK))
@@ -146,9 +126,9 @@ object NearDupIndex {
       m.numHashes, m.bands, m.shingleWidth, m.seed, m.portable)
     val deltaBuckets = db.select(col("corpus_id").as("delta_id"),
       col("band"), col("bucket"))
-    val words = readDigest(spark, prefix, m.mBits)
-    val flagged = deltaBuckets.filter(Bloom.longKeyBloomMayContain(
-      bucketKey(col("band"), col("bucket")), words, m.mBits, m.k))
+    val flagged = Bloom.blockedDigestFlagged(deltaBuckets,
+      bucketKey(col("band"), col("bucket")),
+      spark.table(s"${prefix}_bkdigest"), m.mBits, m.k)
     val empty = spark.range(0).select(lit(0L).as("delta_id"),
       lit(0L).as("corpus_id"), lit(0.0).as("jaccard"))
     if (flagged.isEmpty) empty
@@ -217,12 +197,12 @@ object NearDupIndex {
         .select(bucketKey(col("band"), col("bucket")).as("bk"))
       if (!deltaKeys.isEmpty)
         appendDigestWords(spark, prefix,
-          Bloom.buildLongKeyBloom(deltaKeys, "bk", mBits, m.k))
+          Bloom.blockedDigestDf(deltaKeys, "bk", mBits, m.k))
     } else
       // resize boundary: the one full-postings rebuild, amortized
       // log-many times over an index's lifetime (also compacts the
       // appended word rows away)
-      writeDigest(spark, prefix, Bloom.buildLongKeyBloom(
+      writeDigest(spark, prefix, Bloom.blockedDigestDf(
         spark.table(s"${prefix}_buckets")
           .select(bucketKey(col("band"), col("bucket")).as("bk")),
         "bk", mBits, m.k))

@@ -209,7 +209,7 @@ object Retrieval {
       val mBits = digestSizing(nDocs)
       writeIdTable(spark, prefix, dl.select(col("doc_id")))
       writeIdDigest(spark, prefix,
-        Bloom.buildLongKeyBloom(dl, "doc_id", mBits, digestK))
+        Bloom.blockedDigestDf(dl, "doc_id", mBits, digestK))
       Bucketing.dropTableAndLocation(spark, s"${prefix}_stats")
       spark.range(1).select(
           lit(nDocs).as("n_docs"),
@@ -223,26 +223,30 @@ object Retrieval {
     } finally tf.unpersist(blocking = false)
   }
 
-  /** Digest bit-count for an id set: ~16 bits/doc (FP ≈ 0.24% at
-    * k=4), as a power of two in [2^20, 2^26]. Above the cap (4M+
-    * docs in one segment) the FP rate degrades gracefully — flagged
-    * ids only pay the exact ids-table confirm, never correctness.
+  /** Digest bit-count for an id set: ~16 bits/doc, as a power of two
+    * in [2^20, 2^30]. Above the cap (64M+ keys in one segment) the
+    * FP rate degrades gracefully — flagged ids only pay the exact
+    * ids-table confirm, never correctness.
     *
     * THE CAP IS A DESIGN CONTRACT shared by every index family that
     * sizes its digest here (BM25 ids, dedup fingerprints, near-dup
-    * buckets, edit variants, image/audio band keys): a digest is a
-    * bounded FAST PATH (≤ 8 MB — it must broadcast and read in one
-    * tiny scan), never the scale guarantee. Past digest capacity a
-    * clean batch falls through to the key-keyed postings equi-join,
-    * whose cost rests on PER-KEY POSTING SPARSITY — open 64-bit hash
+    * buckets, edit variants, image/audio/video band keys) — but
+    * since the r15 migration to the BLOCKED, PARTITIONED digest
+    * ([[Bloom.blockedDigestDf]]) the binding constraint is no longer
+    * an 8 MB broadcast literal: the word table is equi-JOINED at
+    * probe time (Catalyst broadcasts it while small, shuffles past
+    * the threshold), so the cap sits at 2^30 bits = 128 MB = ~64M
+    * keys, 16× the old saturation point. Past even that, a clean
+    * batch falls through to the key-keyed postings equi-join, whose
+    * cost rests on PER-KEY POSTING SPARSITY — open 64-bit hash
     * keyspaces (text/edit families) and 32-bit band values
-    * (image/audio) keep those lists match-shaped at any realistic
-    * corpus; that sparsity, not the digest, is what must hold at
-    * 100 TB.
+    * (image/audio/video) keep those lists match-shaped at any
+    * realistic corpus; that sparsity, not the digest, is what must
+    * hold at 100 TB.
     */
   private[operators] def digestSizing(nDocs: Long): Int = {
     var m = DefaultDigestMBits.toLong
-    while (m < 16L * nDocs && m < (1L << 26)) m <<= 1
+    while (m < 16L * nDocs && m < Bloom.MaxBlockedMBits) m <<= 1
     m.toInt
   }
 
@@ -257,54 +261,37 @@ object Retrieval {
       .write.mode("overwrite").saveAsTable(s"${prefix}_ids")
   }
 
-  /** The per-segment doc-id membership digest ([[Bloom.buildLongKeyBloom]]
-    * words) as a tiny catalog table — what lets an append GUARD
-    * against doc re-submission by probing mBits/8 bytes instead of
-    * scanning the base postings.
+  /** The per-segment doc-id membership digest
+    * ([[Bloom.blockedDigestDf]] rows) as a catalog table — what lets
+    * an append GUARD against doc re-submission by probing the word
+    * table instead of scanning the base postings. PARTITIONED: the
+    * table is joined at probe time, never collected, so it has no
+    * broadcast ceiling (the r14 2^26 cap is gone).
     */
   private[operators] def writeIdDigest(spark: SparkSession, prefix: String,
-                            words: Array[Long]): Unit = {
-    import spark.implicits._
+                            digest: DataFrame): Unit = {
     Bucketing.dropTableAndLocation(spark, s"${prefix}_iddigest")
-    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq
-      .toDF("idx", "word")
-      .coalesce(1)
-      .write.mode("overwrite").saveAsTable(s"${prefix}_iddigest")
+    digest.write.mode("overwrite").saveAsTable(s"${prefix}_iddigest")
   }
 
   /** O(delta) digest maintenance for the in-place families
     * ([[IvfIndex]]): only the delta's nonzero words append as rows;
-    * [[readIdDigest]] OR-folds per idx — exact because Bloom bits
+    * the probe's bit_or fold per idx is exact because Bloom bits
     * only turn on. Full rewrites happen at build and resize only,
     * compacting the appended rows away. (BM25's segmented chain never
     * needs this: each segment carries its own delta-sized digest.)
     */
   private[operators] def appendIdDigestWords(spark: SparkSession,
                                              prefix: String,
-                                             deltaWords: Array[Long]): Unit = {
-    import spark.implicits._
-    val nz = deltaWords.zipWithIndex
-      .collect { case (w, i) if w != 0L => (i.toLong, w) }
-    if (nz.nonEmpty)
-      nz.toSeq.toDF("idx", "word").coalesce(1)
-        .write.mode("append").saveAsTable(s"${prefix}_iddigest")
-  }
+                                             delta: DataFrame): Unit =
+    delta.write.mode("append").saveAsTable(s"${prefix}_iddigest")
 
-  private[operators] def readIdDigest(spark: SparkSession, prefix: String,
-                           mBits: Int): Array[Long] = {
-    val rows = spark.table(s"${prefix}_iddigest")
-      .groupBy(col("idx")).agg(bit_or(col("word")).as("word")).collect()
-    val words = new Array[Long](mBits / 64)
-    require(rows.length == words.length,
-      s"id digest ${prefix}_iddigest has ${rows.length} words, expected ${words.length}")
-    rows.foreach { r =>
-      val i = r.getLong(0)
-      require(i >= 0 && i < words.length,
-        s"id digest ${prefix}_iddigest has out-of-range word index $i")
-      words(i.toInt) = r.getLong(1)
-    }
-    words
-  }
+  /** The stored digest as its lazy (idx, word) frame; probe with
+    * [[Bloom.blockedDigestFlagged]], which folds appended rows.
+    */
+  private[operators] def idDigestDf(spark: SparkSession,
+                                    prefix: String): DataFrame =
+    spark.table(s"${prefix}_iddigest")
 
   /** Incremental index maintenance: fold a DELTA of NEW documents
     * into an existing index without re-reading the old corpus — the
@@ -376,14 +363,15 @@ object Retrieval {
     try {
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // ---- disjointness guard, tier 1: map-only probe of the base
-      //      digests over the DELTA ids — zero base-sized reads ----
-      val baseWords = meta.segments
-        .map(p => readIdDigest(spark, p, meta.digestMBits))
-        .reduce((a, b) => a.zip(b).map { case (x, y) => x | y })
-      val flagged = dl
-        .filter(Bloom.longKeyBloomMayContain(col("doc_id"), baseWords,
-          meta.digestMBits, meta.digestK))
+      // ---- disjointness guard, tier 1: join-probe of the base
+      //      digests over the DELTA ids — zero base-sized reads; the
+      //      segment digest union is a lazy bit_or fold inside the
+      //      probe, never a driver collect ----
+      val baseDigest = meta.segments
+        .map(p => idDigestDf(spark, p))
+        .reduce(_ unionByName _)
+      val flagged = Bloom.blockedDigestFlagged(dl, col("doc_id"),
+          baseDigest, meta.digestMBits, meta.digestK)
         .select(col("doc_id"))
       // ---- tier 2: ONLY Bloom-possible ids (FP-rate x delta of
       //      them) pay an exact confirm — against the n_docs-long
@@ -407,7 +395,7 @@ object Retrieval {
         s"${newPrefix}_termstats", "token", buckets, Seq("token"))
       writeIdTable(spark, newPrefix, dl.select(col("doc_id")))
       writeIdDigest(spark, newPrefix,
-        Bloom.buildLongKeyBloom(dl, "doc_id", meta.digestMBits, meta.digestK))
+        Bloom.blockedDigestDf(dl, "doc_id", meta.digestMBits, meta.digestK))
       Bucketing.dropTableAndLocation(spark, s"${newPrefix}_stats")
       dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
         .select(
@@ -458,7 +446,7 @@ object Retrieval {
     // ids + same params => bit-equal to a from-scratch build's digest
     val mBits = digestSizing(meta.nDocs)
     writeIdDigest(spark, newPrefix,
-      Bloom.buildLongKeyBloom(spark.table(s"${newPrefix}_ids"), "doc_id",
+      Bloom.blockedDigestDf(spark.table(s"${newPrefix}_ids"), "doc_id",
         mBits, meta.digestK))
     Bucketing.dropTableAndLocation(spark, s"${newPrefix}_stats")
     spark.range(1).select(
