@@ -3338,6 +3338,52 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the CURATION ADMISSION gate, composed: the batch twin of
+    //      the streaming curation flagship
+    //      (DocStreams.CurationStreamPipeline — StreamingSpec pins
+    //      the stream row-equal to a sequential per-batch replay of
+    //      exactly these operators). Arrivals are gated by (B) the
+    //      Gopher health rules, (C) the TRAINED hashed-linear quality
+    //      keep under weights learned from the BASE corpus (the
+    //      frozen-artifact discipline — a stream cannot retrain per
+    //      batch), and (D) the exact-dup fingerprint index gate
+    //      (+ in-batch keep-first) and the near-dup LSH index gate.
+    //      Every stage replays in the oracle ----
+    "q_curation_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = docs.filter(col("doc_id") % 5 =!= 0)
+      val arrivals = docs.filter(col("doc_id") % 5 === 0)
+      val weights = TextAnalysis.loadWeights(
+        TextAnalysis.trainBucketWeights(base, "text",
+          col("lang") === "en", 256), 256)
+      val ddPrefix = graft.operators.DedupIndex.dedupIndexCached(
+        base, "doc_id", "text")
+      val ndPrefix = graft.operators.NearDupIndex.nearDupIndexCached(
+        base, "doc_id", "text", portable = true)
+      val health = arrivals.select(col("doc_id"),
+          TextAnalysis.gopherSignals(col("text")).as("g"))
+        .select(col("doc_id"), col("g.pass").as("health_pass"))
+      val qual = TextAnalysis.hashedLinearScore(arrivals, "doc_id", "text",
+          weights)
+        .select(col("id").as("doc_id"), (col("score") >= 0L).as("quality_keep"))
+      val exact = graft.operators.DedupIndex.gateNewDocs(s, ddPrefix,
+          arrivals, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("is_dup").as("exact_dup"))
+      val near = graft.operators.NearDupIndex.gateNearDups(s, ndPrefix,
+          arrivals, "doc_id", "text", threshold = 0.5)
+        .select(col("delta_id").as("doc_id")).distinct()
+        .withColumn("__nd", lit(true))
+      health.join(qual, Seq("doc_id")).join(exact, Seq("doc_id"))
+        .join(near, Seq("doc_id"), "left")
+        .withColumn("near_dup", coalesce(col("__nd"), lit(false)))
+        .drop("__nd")
+        .select(col("doc_id"), col("health_pass"), col("quality_keep"),
+          col("exact_dup"), col("near_dup"),
+          (col("health_pass") && col("quality_keep") && !col("exact_dup") &&
+            !col("near_dup")).as("admit"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- near-dup gate from the PERSISTED LSH index: row-for-row
     //      the inline cross-pairs answer (dedup_minhash_cross), but
     //      the historical corpus is never re-signatured — the probe
@@ -10348,6 +10394,140 @@ object PipelineQueries {
     // built-then-appended index) answers row-for-row the inline
     // cross-pairs query — the index layout and the append fold are
     // invisible to the oracle
+    // the composed admission gate: exact-dup (text keep-first vs base
+    // + in-batch), the portable LSH cross chain (the minhash_cross
+    // fragments on the %5 split), the Gopher rule card over arrivals,
+    // and the trained hashed-linear keep with weights fitted on the
+    // BASE corpus only — every stage a proven oracle fragment
+    "q_curation_gate" ->
+      """WITH arr AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         bk0 AS (SELECT text, MIN(doc_id) AS keep_id FROM base GROUP BY text),
+         dd0 AS (
+           SELECT doc_id, text,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM arr),
+         ex AS (
+           SELECT dd0.doc_id,
+             (bk0.keep_id IS NOT NULL OR dd0.rn > 1) AS exact_dup
+           FROM dd0 LEFT JOIN bk0 USING (text)),
+         u AS (
+           SELECT doc_id, text, TRUE AS is_delta FROM arr
+           UNION ALL SELECT doc_id, text, FALSE FROM base),
+         t3 AS (
+           SELECT doc_id, is_delta,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM u),
+         hs AS (
+           SELECT doc_id, is_delta, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007))) AS sh
+           FROM t3),
+         sg AS (
+           SELECT doc_id, is_delta, sh,
+             list_transform(range(0, 64), j ->
+               list_min(list_transform(sh, x ->
+                 (((j + 1) * 1000003 + 12345) % 2147483647 * x
+                   + ((j + 1) * 999983 + 54321) % 2147483647) % 2147483647))) AS sig
+           FROM hs),
+         bkb AS (
+           SELECT doc_id, is_delta, b.band AS band,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_slice(sig, b.band * 4 + 1, b.band * 4 + 4)),
+               (a, x) -> (a * 1000003 + x) % 1000000007) AS bucket
+           FROM sg, (SELECT unnest(range(0, 16)) AS band) b),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS delta_id, y.doc_id AS corpus_id
+           FROM bkb x JOIN bkb y
+             ON x.band = y.band AND x.bucket = y.bucket
+             AND x.is_delta AND NOT y.is_delta),
+         nv AS (
+           SELECT DISTINCT c.delta_id
+           FROM cand c JOIN hs a ON a.doc_id = c.delta_id
+             JOIN hs b ON b.doc_id = c.corpus_id AND NOT b.is_delta
+           WHERE a.is_delta AND
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               >= 0.5),
+         gg AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+               w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_len,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+             CAST(floor(CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE)
+               / 3.0) AS BIGINT) AS n_ell_occ,
+             string_split(text, chr(10)) AS lines,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM arr),
+         gs2 AS (
+           SELECT doc_id, n_words,
+             CASE WHEN n_words > 0
+               THEN CAST(floor(CAST(sum_len * 10000 AS DOUBLE) /
+                 CAST(n_words AS DOUBLE)) AS BIGINT) ELSE 0 END AS wlen_q4,
+             n_hash + n_ell_occ AS n_symbol,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+               l -> substr(ltrim(l), 1, 1) IN ('-', '*', chr(8226)))) AS BIGINT)
+               AS n_bullet_lines,
+             CAST(len(list_filter(lines,
+               l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), chr(8230))))
+               AS BIGINT) AS n_ellipsis_lines,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+               AS BIGINT) AS n_alpha_words,
+             CAST(len(list_intersect(list_distinct(toks),
+               ['the','a','an','of','to','and','in','is','it','for','on','with']))
+               AS BIGINT) AS n_stop_distinct
+           FROM gg),
+         hp AS (
+           SELECT doc_id,
+             (n_words >= 50 AND n_words <= 100000 AND
+              wlen_q4 >= 30000 AND wlen_q4 <= 100000 AND
+              n_symbol * 10 <= n_words AND
+              n_bullet_lines * 10 <= n_lines * 9 AND
+              n_ellipsis_lines * 10 <= n_lines * 3 AND
+              n_alpha_words * 10 >= n_words * 8 AND
+              n_stop_distinct >= 2) AS health_pass
+           FROM gs2),
+         qtok AS (
+           SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         qocc AS (
+           SELECT t.doc_id, t.lang,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(u2.tok, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 1000000007) % 256 AS BIGINT) AS bucket
+           FROM qtok t, LATERAL (SELECT unnest(t.ts) AS tok) u2),
+         qw AS (
+           SELECT bucket,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE -1 END) AS BIGINT) AS weight
+           FROM qocc WHERE doc_id % 5 <> 0 GROUP BY bucket),
+         qsc AS (
+           SELECT o.doc_id, CAST(sum(qw.weight) AS BIGINT) AS score
+           FROM qocc o JOIN qw USING (bucket)
+           WHERE o.doc_id % 5 = 0 GROUP BY o.doc_id),
+         ql AS (
+           SELECT a.doc_id, COALESCE(qsc.score, 0) >= 0 AS quality_keep
+           FROM arr a LEFT JOIN qsc USING (doc_id))
+         SELECT a.doc_id, hp.health_pass, ql.quality_keep, ex.exact_dup,
+           (nv.delta_id IS NOT NULL) AS near_dup,
+           (hp.health_pass AND ql.quality_keep AND NOT ex.exact_dup
+             AND nv.delta_id IS NULL) AS admit
+         FROM arr a
+         JOIN hp ON hp.doc_id = a.doc_id
+         JOIN ql ON ql.doc_id = a.doc_id
+         JOIN ex ON ex.doc_id = a.doc_id
+         LEFT JOIN nv ON nv.delta_id = a.doc_id
+         ORDER BY a.doc_id""",
     "dedup_neardup_idx" -> oracleSqlBase("dedup_minhash_cross"),
     "dedup_neardup_idx_append" -> oracleSqlBase("dedup_minhash_cross"),
     // persisted assignments: same centroids, same chain, floats

@@ -774,6 +774,80 @@ object DocStreams {
     }
   }
 
+  /** The LIVE curation flagship — the composed micro-batched twin of
+    * the `q_curation_gate` batch row, running the curation DAG's
+    * admission stages online per batch:
+    *
+    *   (B) per-doc HEALTH gate — the Gopher rule set
+    *       ([[graft.operators.TextAnalysis.gopherSignals]].pass);
+    *   (C) TRAINED quality keep — the hashed-linear score under the
+    *       FROZEN weights artifact passed at construction (the
+    *       deployed train-once/serve-many shape: a stream must not
+    *       retrain per batch), keep = score >= 0 (the
+    *       text_quality_trained decision rule);
+    *   (D) exact-dup gate vs the fingerprint index (+ in-batch
+    *       keep-first) and near-dup gate vs the LSH index;
+    *   admitted rows land under `admitDir/batch=<id>/` and BOTH
+    *   indexes grow by them — so the NEXT batch is gated against
+    *   everything admitted before it (the cross-batch semantics a
+    *   one-shot union gate cannot express).
+    *
+    * Exactly-once follows [[IngestGatePipeline]]'s discipline
+    * verbatim: per-batch overwrite output written before any append,
+    * lineage-ledger batchId tags on both index folds, and the
+    * committed output (never the live plan) feeding the appends.
+    * StreamingSpec pins the stream row-equal to a sequential
+    * per-batch replay of the batch operators over the same arrivals.
+    */
+  final class CurationStreamPipeline(spark: org.apache.spark.sql.SparkSession,
+                                     ddPrefix: String, ndPrefix: String,
+                                     weights: Array[Long], threshold: Double,
+                                     admitDir: String, idCol: String,
+                                     textCol: String) {
+    import graft.operators.{DedupIndex, IvfIndex, NearDupIndex, TextAnalysis}
+
+    def processBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batch.isEmpty) return
+      val sp = batch.sparkSession
+      val tag = s"b$batchId"
+      val outPath = s"$admitDir/batch=$batchId"
+      val ddDone = IvfIndex.lineageHasTag(sp, ddPrefix, tag)
+      val ndDone = IvfIndex.lineageHasTag(sp, ndPrefix, tag)
+      if (!ddDone && !ndDone) {
+        val healthy = batch
+          .withColumn("__g", TextAnalysis.gopherSignals(col(textCol)))
+          .filter(col("__g.pass")).drop("__g")
+        val quality = TextAnalysis.hashedLinearScore(healthy, idCol, textCol,
+            weights)
+          .filter(col("score") >= 0L)
+          .select(col("id").as(idCol))
+        val exact = DedupIndex.gateNewDocs(sp, ddPrefix, batch, idCol, textCol)
+          .select(col("id").as(idCol), col("is_dup"))
+        val nearIds = NearDupIndex.gateNearDups(sp, ndPrefix, batch,
+            idCol, textCol, threshold)
+          .select(col("delta_id").as(idCol)).distinct()
+        val admitted = healthy
+          .join(quality, Seq(idCol))
+          .join(exact, Seq(idCol)).filter(!col("is_dup")).drop("is_dup")
+          .join(nearIds, Seq(idCol), "left_anti")
+        admitted.write.mode("overwrite").parquet(outPath)
+      }
+      val stable = sp.read.parquet(outPath)
+      if (!stable.isEmpty) {
+        if (!ddDone)
+          DedupIndex.appendToDedupIndex(sp, ddPrefix, stable,
+            idCol, textCol, lineageTag = tag)
+        if (!ndDone)
+          NearDupIndex.appendToNearDupIndex(sp, ndPrefix, stable,
+            idCol, textCol, lineageTag = tag)
+      }
+      (Seq("fps", "fpdigest").map(t => s"${ddPrefix}_$t") ++
+        Seq("buckets", "sets", "bkdigest").map(t => s"${ndPrefix}_$t") ++
+        Seq(s"${ddPrefix}_stats", s"${ndPrefix}_stats"))
+        .foreach(t => spark.catalog.refreshTable(t))
+    }
+  }
+
   /** The LIVE four-gate ingest pipeline — the deployment twin of the
     * `q_ingest_gate` batch flagship, actually running online: every
     * micro-batch is gated (exact-dup vs the fingerprint index +

@@ -1948,4 +1948,124 @@ class StreamingSpec extends AnyFunSuite {
       .filter(_.startsWith(prefix))
       .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _))
   }
+  test("streaming curation flagship == sequential batch-operator replay; gates fire; retry idempotent") {
+    import graft.operators.{DedupIndex, NearDupIndex, TextAnalysis}
+    import graft.streaming.DocStreams
+    Seq("csp_dd", "csp_nd", "csq_dd", "csq_nd").foreach(p =>
+      spark.catalog.listTables().collect().map(_.name).filter(_.startsWith(p))
+        .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _)))
+    // health-passing docs: 60 distinct alpha words + stopwords per
+    // name, pairwise shingle-disjoint across names
+    def passText(name: String): String =
+      ((0 until 56).map(j => s"w$name$j") ++ Seq("the", "a", "of", "to"))
+        .mkString(" ")
+    val A = passText("alpha"); val B = passText("bravo")
+    val C = passText("charlie"); val D = passText("delta")
+    // fails ONLY the trained-quality gate: health-shaped (50+ words,
+    // stopwords, clean lengths) but built from the seed's negative
+    // token, whose bucket weight is deeply negative by construction
+    val Q = "the a " + Seq.fill(48)("zzzqq").mkString(" ")
+    // positive seed carries 10x the negative's occurrence mass, so a
+    // hashed-bucket collision between zzzqq and a w-token can never
+    // flip an admitted doc's sign (each token's weight stays >= -30
+    // against a +10-per-token baseline)
+    val seed = ((0 until 10).map(i =>
+        (5000L + i, Seq(A, B, C, D).mkString(" "), true)) :+
+        ((5100L, Seq.fill(40)("zzzqq").mkString(" "), false)))
+      .toDF("doc_id", "text", "label")
+    val weights = TextAnalysis.loadWeights(
+      TextAnalysis.trainBucketWeights(seed, "text", col("label"), 256), 256)
+    val base = Seq((1L, A)).toDF("doc_id", "text")
+    DedupIndex.buildDedupIndex(base, "doc_id", "text", "csp_dd")
+    NearDupIndex.buildNearDupIndex(base, "doc_id", "text", "csp_nd",
+      portable = true)
+    val admitDir = java.nio.file.Files.createTempDirectory("graft-csp").toString
+    val pipe = new DocStreams.CurationStreamPipeline(spark, "csp_dd",
+      "csp_nd", weights, threshold = 0.5, admitDir, "doc_id", "text")
+    val batches = Seq(
+      // 10 admits; 11 health-fails; 12 exact-dups the BASE; 13
+      // quality-fails (health-shaped by construction)
+      Seq((10L, B), (11L, "x"), (12L, A), (13L, Q)),
+      // 20 exact-dups ADMITTED 10 (cross-batch); 21 near-dups
+      // admitted 10; 22 admits
+      Seq((20L, B), (21L, B + " tonight"), (22L, C)),
+      // 30 re-arrives the REJECTED near-dup text: not exact (rejected
+      // docs are never indexed) but still near-dup of admitted 10;
+      // 31 admits
+      Seq((30L, B + " tonight"), (31L, D))
+    )
+    val src = java.nio.file.Files.createTempDirectory("graft-cspsrc").toString
+    var seen = Set.empty[String]
+    val mbase = new java.io.File(src).lastModified()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+      val files = new java.io.File(src).listFiles()
+        .filter(_.getName.startsWith("part-"))
+      files.filterNot(f => seen(f.getName))
+        .foreach(_.setLastModified(mbase + (i + 1) * 60000L))
+      seen ++= files.map(_.getName)
+    }
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.foreachBatch(pipe.processBatch _).start()
+    try q.processAllAvailable() finally q.stop()
+    def admittedIds: Seq[Long] = spark.read.parquet(admitDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // ROW-EQUAL to the sequential per-batch replay of the SAME batch
+    // operators over the same arrivals (fresh indexes, same base)
+    DedupIndex.buildDedupIndex(base, "doc_id", "text", "csq_dd")
+    NearDupIndex.buildNearDupIndex(base, "doc_id", "text", "csq_nd",
+      portable = true)
+    var expected = Seq.empty[Long]
+    batches.foreach { rows =>
+      val batch = rows.toDF("doc_id", "text")
+      val healthy = batch
+        .withColumn("g", TextAnalysis.gopherSignals(col("text")))
+        .filter(col("g.pass")).drop("g")
+      val qual = TextAnalysis.hashedLinearScore(healthy, "doc_id", "text",
+          weights)
+        .filter(col("score") >= 0L).select(col("id").as("doc_id"))
+      val exact = DedupIndex.gateNewDocs(spark, "csq_dd", batch,
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("is_dup"))
+      val near = NearDupIndex.gateNearDups(spark, "csq_nd", batch,
+          "doc_id", "text", 0.5)
+        .select(col("delta_id").as("doc_id")).distinct()
+      // eager localCheckpoint, not cache: the appends below WRITE the
+      // tables this plan reads, and Spark re-caches invalidated plans
+      // against the grown index (emptying the batch) — lineage must
+      // be severed first (the pipeline's committed-output discipline)
+      val admitted = healthy.join(qual, Seq("doc_id"))
+        .join(exact, Seq("doc_id")).filter(!col("is_dup")).drop("is_dup")
+        .join(near, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      if (!admitted.isEmpty) {
+        DedupIndex.appendToDedupIndex(spark, "csq_dd", admitted,
+          "doc_id", "text")
+        NearDupIndex.appendToNearDupIndex(spark, "csq_nd", admitted,
+          "doc_id", "text")
+      }
+      expected ++= admitted.select("doc_id").collect().map(_.getLong(0))
+      admitted.unpersist(blocking = false)
+    }
+    assert(admittedIds === expected.sorted,
+      "stream diverged from the sequential batch-operator replay")
+    // every gate provably fired: hand-reasoned admissions
+    assert(admittedIds === Seq(10L, 22L, 31L))
+    // indexes grew by exactly the admitted docs
+    assert(spark.table("csp_dd_fps").count() === 4L) // base + 10 + 22 + 31
+    assert(spark.table("csp_nd_sets").count() === 4L)
+    // full-batch retry is idempotent (ledger-driven, fresh instance)
+    val pipe2 = new DocStreams.CurationStreamPipeline(spark, "csp_dd",
+      "csp_nd", weights, threshold = 0.5, admitDir, "doc_id", "text")
+    pipe2.processBatch(batches.head.toDF("doc_id", "text"), 0L)
+    assert(admittedIds === Seq(10L, 22L, 31L))
+    assert(spark.table("csp_dd_fps").count() === 4L)
+    assert(spark.table("csp_nd_sets").count() === 4L)
+    Seq("csp_dd", "csp_nd", "csq_dd", "csq_nd").foreach(p =>
+      spark.catalog.listTables().collect().map(_.name).filter(_.startsWith(p))
+        .foreach(graft.operators.Bucketing.dropTableAndLocation(spark, _)))
+  }
 }
