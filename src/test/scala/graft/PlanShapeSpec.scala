@@ -667,6 +667,14 @@ class PlanShapeSpec extends AnyFunSuite {
       // weights come from the artifact instead of inline training) —
       // same two bounded windows as q_curation_v3
       "q_curation_v3_served" -> 2,
+      // the derived-language flagship is the identical composition
+      // (stage (C)'s seed label comes from the trained char-3-gram
+      // classifier — a map-only scoring join, no new window) — the
+      // same two bounded v3 windows, verified by plan diff
+      // (plans/r15/q_curation_v{3,4}_green_check.txt: identical
+      // Window operator sets). The interrupted build round added the
+      // query without extending this allowlist.
+      "q_curation_v4" -> 2,
       // benfordAudit's total runs over the 9-row digit card — the
       // input collapsed in the 9-key aggregate before the window
       "q_benford_audit" -> 1,
