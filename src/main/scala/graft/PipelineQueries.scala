@@ -346,14 +346,23 @@ object PipelineQueries {
         merges = 8).map(_._1)
       val vocab = TextAnalysis.wordpieceVocab(docs, "text", mergePairs)
       val maxLen = vocab.map(p => p.codePointCount(0, p.length)).max
-      val sep = java.util.regex.Pattern.quote("\u001F")
       docs.select(col("doc_id"),
           TextAnalysis.wordpieceSegment(concat(col("text"), lit(" 文")),
             vocab, maxLen).as("segs"))
         .select(col("doc_id"),
           size(col("segs")).cast(LongType).as("n_words"),
+          // n_pieces from the framing alone: pieces are sep-framed
+          // with TWO separators between adjacent pieces and one at
+          // each end (UnigramViterbi.frame), pieces are never empty
+          // and never contain the separator, so a p-piece segment
+          // holds exactly 2p separator chars - count = sepChars >> 1.
+          // Identical integers to the old per-segment regex
+          // split+filter (equality pinned in TextAnalysisSpec),
+          // without allocating a split array per segment.
           aggregate(col("segs"), lit(0L), (acc, seg) =>
-            acc + size(filter(split(seg, sep), x => x =!= ""))).as("n_pieces"),
+            acc + shiftright(length(seg) -
+              length(replace(seg, lit("\u001F"), lit(""))), 1)
+              .cast(LongType)).as("n_pieces"),
           aggregate(col("segs"), lit(0L), (acc, seg) =>
             acc + when(seg === lit("\u001F[UNK]\u001F"), 1L).otherwise(0L))
             .as("n_unk"))
@@ -371,14 +380,23 @@ object PipelineQueries {
         nMerges = 8, baseDir = artifactDir)
       val vocab = TextAnalysis.wordpieceVocab(docs, "text", mergePairs)
       val maxLen = vocab.map(p => p.codePointCount(0, p.length)).max
-      val sep = java.util.regex.Pattern.quote("\u001F")
       docs.select(col("doc_id"),
           TextAnalysis.wordpieceSegment(concat(col("text"), lit(" 文")),
             vocab, maxLen).as("segs"))
         .select(col("doc_id"),
           size(col("segs")).cast(LongType).as("n_words"),
+          // n_pieces from the framing alone: pieces are sep-framed
+          // with TWO separators between adjacent pieces and one at
+          // each end (UnigramViterbi.frame), pieces are never empty
+          // and never contain the separator, so a p-piece segment
+          // holds exactly 2p separator chars - count = sepChars >> 1.
+          // Identical integers to the old per-segment regex
+          // split+filter (equality pinned in TextAnalysisSpec),
+          // without allocating a split array per segment.
           aggregate(col("segs"), lit(0L), (acc, seg) =>
-            acc + size(filter(split(seg, sep), x => x =!= ""))).as("n_pieces"),
+            acc + shiftright(length(seg) -
+              length(replace(seg, lit("\u001F"), lit(""))), 1)
+              .cast(LongType)).as("n_pieces"),
           aggregate(col("segs"), lit(0L), (acc, seg) =>
             acc + when(seg === lit("\u001F[UNK]\u001F"), 1L).otherwise(0L))
             .as("n_unk"))
@@ -449,11 +467,15 @@ object PipelineQueries {
       val docs = t(s, d, "documents")
       val vocab = TextAnalysis.trainUnigramVocab(docs, "text",
         topK = 64, maxPieceLen = 4)
+      // ONE Viterbi DP per word (r15): count and score come from the
+      // same decode — identical integers to the old two-pass pair
       docs.select(col("doc_id"),
           size(filter(TextAnalysis.tokens(col("text")), w => w =!= ""))
             .cast(LongType).as("n_words"),
-          TextAnalysis.unigramTokenCount(col("text"), vocab).as("n_pieces"),
-          TextAnalysis.unigramScoreSum(col("text"), vocab).as("sum_lp_micro"))
+          TextAnalysis.unigramPieceStatsAgg(col("text"), vocab).as("u"))
+        .select(col("doc_id"), col("n_words"),
+          col("u.n_pieces").as("n_pieces"),
+          col("u.lp_micro").as("sum_lp_micro"))
         .orderBy(col("doc_id"))
     }),
 
@@ -465,11 +487,14 @@ object PipelineQueries {
       val docs = t(s, d, "documents")
       val vocab = IndexStore.unigramVocabCached(docs, "text",
         topK = 64, maxPieceLen = 4, baseDir = artifactDir)
+      // ONE Viterbi DP per word (r15) — see text_unigram_tokens
       docs.select(col("doc_id"),
           size(filter(TextAnalysis.tokens(col("text")), w => w =!= ""))
             .cast(LongType).as("n_words"),
-          TextAnalysis.unigramTokenCount(col("text"), vocab).as("n_pieces"),
-          TextAnalysis.unigramScoreSum(col("text"), vocab).as("sum_lp_micro"))
+          TextAnalysis.unigramPieceStatsAgg(col("text"), vocab).as("u"))
+        .select(col("doc_id"), col("n_words"),
+          col("u.n_pieces").as("n_pieces"),
+          col("u.lp_micro").as("sum_lp_micro"))
         .orderBy(col("doc_id"))
     }),
 

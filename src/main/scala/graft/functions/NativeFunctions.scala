@@ -190,4 +190,13 @@ object NativeFunctions {
                        maxLen: Int, unkMicro: Long): Column =
     GraftSqlShims.column(UnigramScoreWord(GraftSqlShims.expression(word),
       vocab, maxLen, unkMicro))
+
+  /** ONE Viterbi decode per word returning both tokenizer outputs —
+    * struct(n_pieces, lp_micro) — where the count+score projection
+    * previously ran the identical DP twice.
+    */
+  def unigramPieceStats(word: Column, vocab: Seq[(String, Long)],
+                        maxLen: Int, unkMicro: Long): Column =
+    GraftSqlShims.column(UnigramPieceStats(GraftSqlShims.expression(word),
+      vocab, maxLen, unkMicro))
 }

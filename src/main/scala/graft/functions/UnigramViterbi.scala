@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared Viterbi decode for the unigram-LM (SentencePiece-family)
@@ -142,6 +142,36 @@ case class UnigramScoreWord(child: Expression, vocab: Seq[(String, Long)],
 
   def compute(u: UTF8String): Long =
     UnigramViterbi.decode(u.toString, scoreMap, maxLen, unkMicro).scoreMicro
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Both tokenizer outputs of ONE Viterbi decode —
+  * struct(n_pieces: long, lp_micro: long). [[UnigramSegmentWord]] and
+  * [[UnigramScoreWord]] run the identical DP; a projection that wants
+  * the piece count AND the score paid it twice per word. Values are
+  * the same integers by construction (same decode); equality with the
+  * two-pass form is pinned in TextAnalysisSpec. An empty word decodes
+  * to (0, 0) — exactly the old pair's contribution (the count path
+  * framed zero pieces; the score path filtered empties out).
+  */
+case class UnigramPieceStats(child: Expression, vocab: Seq[(String, Long)],
+                             maxLen: Int, unkMicro: Long)
+    extends UnaryExpression with SelfComputeCodegen {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pieces", LongType, nullable = false),
+    StructField("lp_micro", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "unigram_piece_stats"
+
+  @transient private lazy val scoreMap = UnigramViterbi.buildScoreMap(vocab)
+
+  def compute(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val r = UnigramViterbi.decode(u.toString, scoreMap, maxLen, unkMicro)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](r.pieces.length.toLong, r.scoreMicro))
+  }
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

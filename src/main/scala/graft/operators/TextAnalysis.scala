@@ -649,21 +649,32 @@ object TextAnalysis {
     while (r < merges && !exhausted) {
       val symsCol = applied.reverse.foldLeft(col("syms"))(bpeApplyMerge)
       val ss = bpeSymbols(symsCol)
-      val symCnt = vocab.select(col("cnt"), explode(ss).as("sym"))
-        .groupBy(col("sym")).agg(sum(col("cnt")).as("ns"))
-      val top = vocab
+      // ONE vocab scan per round (was two: a symbol-count explode AND
+      // a separate pair explode — 16 aggregate passes for 8 rounds).
+      // Every symbol position i emits one entry: its symbol as `a`,
+      // and for non-final positions the adjacent pair as (p, b).
+      // Grouping the entries by (a, p, b) yields the pair counts
+      // directly (p determines a and b), and the symbol counts fall
+      // out of the SAME small aggregated frame by re-summing over `a`
+      // — every symbol occurrence is exactly one entry's left side.
+      // All counts are the identical integers the two-pass form
+      // produced, so the argmax and the oracle replay are unchanged.
+      val cells = vocab
         .select(col("cnt"),
-          explode(when(size(ss) > 1,
-            transform(sequence(lit(0), size(ss) - 2),
-              i => struct(
+          explode(transform(sequence(lit(0), size(ss) - 1),
+            i => struct(
+              element_at(ss, i + 1).as("a"),
+              when(i < size(ss) - 1,
                 concat(element_at(ss, i + 1), lit(BpeSep),
-                  element_at(ss, i + 2)).as("p"),
-                element_at(ss, i + 1).as("a"),
-                element_at(ss, i + 2).as("b"))))
-            .otherwise(array().cast(
-              "array<struct<p:string,a:string,b:string>>"))).as("e"))
-        .groupBy(col("e.p").as("p"), col("e.a").as("a"), col("e.b").as("b"))
+                  element_at(ss, i + 2))).as("p"),
+              when(i < size(ss) - 1, element_at(ss, i + 2)).as("b")))).as("e"))
+        .groupBy(col("e.a").as("a"), col("e.p").as("p"), col("e.b").as("b"))
         .agg(sum(col("cnt")).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val symCnt = cells.groupBy(col("a").as("sym"))
+        .agg(sum(col("n")).as("ns"))
+      val top = cells.filter(col("p").isNotNull)
+        .select(col("p"), col("a"), col("b"), col("n"))
         .join(symCnt.select(col("sym").as("a"), col("ns").as("na")), Seq("a"))
         .join(symCnt.select(col("sym").as("b"), col("ns").as("nb")), Seq("b"))
         // DECIMAL(38,0) intermediates: n·10^12 and na·nb both exceed
@@ -676,6 +687,7 @@ object TextAnalysis {
             "(cast(na as decimal(19,0)) * cast(nb as decimal(19,0)))"))
         .orderBy(col("score_q").desc, col("p"))
         .limit(1).collect()
+      cells.unpersist(blocking = false)
       if (top.isEmpty) exhausted = true
       else {
         out += ((top(0).getAs[String]("p"), top(0).getAs[Long]("score_q")))
@@ -811,6 +823,25 @@ object TextAnalysis {
       lit(0L),
       (acc, w) => acc + graft.functions.NativeFunctions.unigramScoreWord(
         w, vocab, maxPieceLen, UnigramUnkMicro))
+
+  /** Per-document struct(n_pieces, lp_micro) from ONE Viterbi decode
+    * per word — the exact integers of
+    * ([[unigramTokenCount]], [[unigramScoreSum]]) (equality pinned in
+    * TextAnalysisSpec) at half the DP cost: the two-column projection
+    * ran the identical per-word DP twice, once to frame pieces and
+    * once to score them. Empty words contribute (0, 0) — what the old
+    * pair's zero-piece framing and empties filter produced.
+    */
+  def unigramPieceStatsAgg(text: Column, vocab: Seq[(String, Long)],
+                           maxPieceLen: Int = 4): Column =
+    aggregate(
+      transform(tokens(text), w =>
+        graft.functions.NativeFunctions.unigramPieceStats(w, vocab,
+          maxPieceLen, UnigramUnkMicro)),
+      struct(lit(0L).as("n_pieces"), lit(0L).as("lp_micro")),
+      (acc, s) => struct(
+        (acc.getField("n_pieces") + s.getField("n_pieces")).as("n_pieces"),
+        (acc.getField("lp_micro") + s.getField("lp_micro")).as("lp_micro")))
 
   /** Gopher-style document quality rules (Rae et al. 2021,
     * arXiv:2112.11446 §A1.1), as one map-only struct of exact integer

@@ -1027,6 +1027,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("unigramPieceStatsAgg: one-decode struct equals the two-pass count+score pair") {
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val vocab = TextAnalysis.trainUnigramVocab(docs, "text",
+      topK = 64, maxPieceLen = 4)
+    val both = docs.select(
+      TextAnalysis.unigramTokenCount(col("text"), vocab).as("n_old"),
+      TextAnalysis.unigramScoreSum(col("text"), vocab).as("lp_old"),
+      TextAnalysis.unigramPieceStatsAgg(col("text"), vocab).as("u"))
+    assert(both.filter(col("n_old") =!= col("u.n_pieces") ||
+      col("lp_old") =!= col("u.lp_micro")).count() === 0L)
+    // edge rows: empty text and whitespace-only text contribute (0, 0)
+    val edge = Seq("", "   ", "one").toDF("text").select(
+      TextAnalysis.unigramTokenCount(col("text"), vocab).as("n_old"),
+      TextAnalysis.unigramScoreSum(col("text"), vocab).as("lp_old"),
+      TextAnalysis.unigramPieceStatsAgg(col("text"), vocab).as("u"))
+    assert(edge.filter(col("n_old") =!= col("u.n_pieces") ||
+      col("lp_old") =!= col("u.lp_micro")).count() === 0L)
+  }
+
   test("trainWordpieceMerges: likelihood ratio beats raw count, exact hand-computed rounds") {
     // "low"x3, "lower", "lowest": BPE would merge (l,o) first (count
     // 5); the likelihood objective merges (s,t) — count 1 but
@@ -1068,6 +1087,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     val v2 = WordpieceGreedy.buildVocabSet(Seq("😀", "a"))
     assert(WordpieceGreedy.decode("a😀", v2, 1).toSeq ===
       Seq("a", "##😀"))
+  }
+
+  test("wordpiece n_pieces: separator-count formula equals split+filter on the corpus") {
+    // the r15 optimization counts pieces from the framing (2p separator
+    // chars for p pieces) instead of regex-splitting every segment;
+    // pin the two formulas equal over the real corpus INCLUDING the
+    // guaranteed-[UNK] suffix word the declared query appends
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = TextAnalysis.trainWordpieceMerges(docs, "text", 4).map(_._1)
+    val vocab = TextAnalysis.wordpieceVocab(docs, "text", pairs)
+    val maxLen = vocab.map(p => p.codePointCount(0, p.length)).max
+    val sepQ = java.util.regex.Pattern.quote("\u001F")
+    val both = docs.select(col("doc_id"),
+        TextAnalysis.wordpieceSegment(
+          concat(col("text"), lit(" \u6587")), vocab, maxLen).as("segs"))
+      .select(
+        aggregate(col("segs"), lit(0L), (acc, seg) =>
+          acc + size(filter(split(seg, sepQ), x => x =!= ""))).as("old"),
+        aggregate(col("segs"), lit(0L), (acc, seg) =>
+          acc + shiftright(length(seg) -
+            length(replace(seg, lit("\u001F"), lit(""))), 1)
+            .cast(org.apache.spark.sql.types.LongType)).as("nw"))
+    assert(both.filter(col("old") =!= col("nw")).count() === 0L)
+    assert(both.agg(sum(col("old"))).head.getLong(0) > 0L)
   }
 
   test("wordpieceSegment: corpus-trained vocab segments the corpus with zero UNK") {
