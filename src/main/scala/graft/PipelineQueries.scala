@@ -146,15 +146,23 @@ object PipelineQueries {
           }
       }
       val weights = TextAnalysis.loadWeights(weightsFrame, 256)
+      // scoredAll has THREE consumers (the histogram under qCum, the
+      // corpus total under qCut, and the keep join) — without the
+      // persist each consumer re-tokenizes and re-scores the cached
+      // passDocs text, and the whole scoring subtree (two global
+      // windows included) is triplicated in the plan. State is three
+      // narrow columns per post-gate doc (id-table-sized, the surv
+      // policy); the r16 plan dump carries ONE scoring chain.
       val scoredAll = TextAnalysis.hashedLinearScore(passDocs, "doc_id", "text",
           weights)
         .filter(col("n_tokens") > 0L)
         .withColumn("score_q",
           floor(col("score").cast(DoubleType) / col("n_tokens").cast(DoubleType))
             .cast(LongType))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qHist = scoredAll.groupBy(col("score_q")).agg(count(lit(1)).as("c"))
       val qCum = qHist.withColumn("cum",
-        sum(col("c")).over(Frames.tinyWindow(col("score_q"))))
+        sum(col("c")).over(Frames.tinyWindow(col("score_q"), col("score_q"))))
       val qCut = qCum.crossJoin(broadcast(qHist.agg(sum(col("c")).as("n"))))
         .agg(min(when(col("cum") * 2L >= col("n"), col("score_q"))).as("cut"))
       val kept = passDocs.join(
@@ -3674,7 +3682,7 @@ object PipelineQueries {
       val grid = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
       val series = grid.join(sparse, Seq("day"), "left")
-      val wAll = Frames.tinyWindow(col("day")) // day-span-sized series
+      val wAll = Frames.tinyWindow(col("day"), col("day")) // day-span-sized series
       val back = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val fwd = wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       series

@@ -71,6 +71,22 @@ object NativeFunctions {
   def shingleStrings(tokens: Column, w: Int): Column =
     GraftSqlShims.column(ShingleStrings(GraftSqlShims.expression(tokens), w))
 
+  /** Occurrence counts of a literal term list over a token array,
+    * one pass: array<int>, entry i = count of tokens equal to
+    * terms(i).
+    */
+  def termFreqs(tokens: Column, terms: Seq[String]): Column =
+    GraftSqlShims.column(TermFreqs(GraftSqlShims.expression(tokens), terms))
+
+  /** Per-language trained char-n-gram profile scores over lowercased
+    * text, one pass: each gram hashed once, every profile's bucket
+    * weight accumulated — array<long>, one entry per profile.
+    */
+  def langProfileScores(text: Column, profiles: Seq[Array[Long]],
+                        n: Int): Column =
+    GraftSqlShims.column(LangProfileScores(GraftSqlShims.expression(text),
+      profiles.map(_.toSeq), n))
+
   /** Bucket histogram of portable poly w-shingle hashes, one pass:
     * array<struct<b,k>> ascending by bucket (DSIR feature cells).
     */

@@ -241,6 +241,127 @@ case class LangIdHeuristic(child: Expression,
     copy(child = newChild)
 }
 
+/** One-pass TRAINED language-ID scoring over (already-lowercased)
+  * text: every char n-gram hashes once with the portable code-point
+  * polynomial fold, and its bucket's weight is added to EVERY
+  * language's accumulator — array<long> of per-language scores out.
+  * Bit-identical to the HOF formulation (per language,
+  * aggregate(transform(charGrams(t, n), g ->
+  * ws[pmod(polyFingerprint(g), d)]))) asserted in TextAnalysisSpec,
+  * but that tree materializes the gram array (one substring per
+  * position) and then hashes every gram once PER LANGUAGE through an
+  * interpreted lambda chain — ~4x the hash work plus O(len) string
+  * allocations per row. Texts shorter than n code points score 0 for
+  * every language (the empty-gram-array aggregate). Scores stay far
+  * from Long overflow: |w| <= 1e6 and grams/doc bounded by text
+  * length.
+  */
+case class LangProfileScores(child: Expression, profiles: Seq[Seq[Long]],
+                             n: Int)
+    extends UnaryExpression with SelfComputeCodegen {
+
+  require(n >= 1, "gram width must be >= 1")
+  require(profiles.nonEmpty, "need at least one language profile")
+  require(profiles.forall(_.length == profiles.head.length),
+    "all language profiles must share one bucket count")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "lang_profile_scores"
+
+  @transient private lazy val ws: Array[Array[Long]] =
+    profiles.map(_.toArray).toArray
+  @transient private lazy val d: Long = profiles.head.length.toLong
+
+  def compute(u: UTF8String): ArrayData = {
+    val s = u.toString
+    // code points (surrogate pairs stay whole — the charGrams/substr
+    // code-point semantics)
+    val cps = new Array[Int](s.length)
+    var cpN = 0
+    var off = 0
+    while (off < s.length) {
+      val cp = s.codePointAt(off)
+      cps(cpN) = cp
+      cpN += 1
+      off += Character.charCount(cp)
+    }
+    val nLangs = ws.length
+    val scores = new Array[Long](nLangs)
+    var st = 0
+    val last = cpN - n
+    while (st <= last) {
+      // polyFold over exactly this window's code points — the same
+      // (acc*1000003 + cp) mod 1e9+7 PolyFingerprint computes on the
+      // materialized gram string
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        acc = (acc * 1000003L + cps(st + j)) % 1000000007L
+        j += 1
+      }
+      val b = (acc % d).toInt // polyFold is non-negative
+      var l = 0
+      while (l < nLangs) {
+        scores(l) += ws(l)(b)
+        l += 1
+      }
+      st += 1
+    }
+    new GenericArrayData(scores)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Occurrence counts of a LITERAL term list over an array<string> of
+  * tokens, one hashmap pass: out(i) = count of tokens equal to
+  * terms(i). Bit-identical to `size(filter(ts, t -> t = term))` per
+  * term (null tokens never match — SQL equality), but that HOF chain
+  * re-walks the token array once per (probe, term); a BM25 gate panel
+  * probes tens of terms, so the per-doc cost was O(terms · len)
+  * interpreted lambdas instead of this single O(len) pass.
+  */
+case class TermFreqs(child: Expression, terms: Seq[String])
+    extends UnaryExpression with SelfComputeCodegen {
+
+  require(terms.nonEmpty, "need at least one term")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "term_freqs"
+
+  @transient private lazy val idx: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](terms.length * 2)
+    terms.zipWithIndex.foreach { case (t, i) =>
+      if (!m.containsKey(t)) m.put(t, i)
+    }
+    m
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val counts = new Array[Int](terms.length)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val j = idx.get(arr.getUTF8String(i).toString)
+        if (j != null) counts(j) += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct word w-shingle STRINGS over an array<string> of tokens,
   * one pass, first-occurrence order — the string-keyed sibling of
   * [[ShingleHashes]] for operators whose join keys must stay portable

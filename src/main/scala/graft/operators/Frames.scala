@@ -26,9 +26,30 @@ object Frames {
     * contract: call sites MUST only pass frames whose cardinality is
     * fixed by construction (score cardinality, bucket count, topV,
     * day span — never row count).
+    *
+    * The key must be NON-FOLDABLE: the r15 `lit(0)` was constant-
+    * folded away, leaving partitionSpec empty — plan unchanged,
+    * warning still firing. `pmod(xxhash64(keyCol), 1)` is 0 on every
+    * row (so still ONE bounded partition, identical window results)
+    * but depends on a column, so it survives the optimizer and
+    * WindowExec sees a real partition key. `keyCol` is any plain
+    * column of the frame (callers pass it explicitly because order
+    * columns may carry SortOrder markers, which cannot be hashed).
     */
-  def tinyWindow(orderCols: Column*): org.apache.spark.sql.expressions.WindowSpec =
-    Window.partitionBy(lit(0)).orderBy(orderCols: _*)
+  def tinyWindow(keyCol: Column,
+                 orderCols: Column*): org.apache.spark.sql.expressions.WindowSpec = {
+    require(orderCols.nonEmpty, "tinyWindow needs at least one order column" +
+      " (use tinyWindowTotal for unordered whole-frame totals)")
+    Window.partitionBy(pmod(xxhash64(keyCol), lit(1L))).orderBy(orderCols: _*)
+  }
+
+  /** Unordered [[tinyWindow]] — a whole-frame total over a provably
+    * tiny frame. Takes any column of the frame to derive the same
+    * non-foldable constant partition key (value irrelevant: every row
+    * keys to 0, one bounded partition).
+    */
+  def tinyWindowTotal(keyCol: Column): org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(pmod(xxhash64(keyCol), lit(1L)))
 
   /** Bulk-rename all columns with a prefix (Polars
     * `pl.all().name.prefix(...)`, wd_opencritic.py:96,138,180).
@@ -324,7 +345,7 @@ object Frames {
     val sizes = docs.groupBy(col(sourceCol).as("source"))
       .agg(sum(tokenCount.cast("long")).as("n_tokens"))
       .withColumn("cap", col("n_tokens") * lit(epochCap))
-    val w = tinyWindow(col("cap").asc, col("source").asc) // source-cardinality frame
+    val w = tinyWindow(col("source"), col("cap").asc, col("source").asc) // source-cardinality frame
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = sizes
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -488,7 +509,7 @@ object Frames {
     val totals = b.groupBy(col("bucket")).agg(sum(col("n")).as("tot"))
     // one row per bucket — the global window is over a frame that
     // is already tiny
-    val wb = tinyWindow(col("bucket"))
+    val wb = tinyWindow(col("bucket"), col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals
       .withColumn("prev", coalesce(sum(col("tot")).over(wb), lit(0L)))

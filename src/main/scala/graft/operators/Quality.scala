@@ -673,7 +673,7 @@ object Quality {
     frame.join(digits, Seq("digit"), "left")
       .withColumn("n_d", coalesce(col("n_d"), lit(0L)))
       .withColumn("n", sum(col("n_d")).over(
-        Frames.tinyWindow())) // 9-digit card
+        Frames.tinyWindowTotal(col("digit")))) // 9-digit card
       .filter(col("n") > 0)
       .select(col("digit"), col("n_d"), col("n"),
         expr("n_d * 1000000L div n").as("obs_micro"),

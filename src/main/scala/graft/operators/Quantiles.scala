@@ -95,9 +95,14 @@ object Quantiles {
     val spark = sketch.sparkSession
     import spark.implicits._
     val part = groupCols.map(col)
-    val cumW = Window.partitionBy(part: _*).orderBy(col("bucket"))
+    // ungrouped reads: the same bounded single partition, but through
+    // a non-foldable constant key (Frames.tinyWindow) so WindowExec
+    // does not warn on every sketch read
+    val cumW = (if (part.isEmpty) Frames.tinyWindow(col("bucket"), col("bucket"))
+                else Window.partitionBy(part: _*).orderBy(col("bucket")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totW = Window.partitionBy(part: _*)
+    val totW = if (part.isEmpty) Frames.tinyWindowTotal(col("bucket"))
+               else Window.partitionBy(part: _*)
     val cum = sketch
       .withColumn("cum", sum(col("cnt")).over(cumW))
       .withColumn("n", sum(col("cnt")).over(totW))

@@ -310,7 +310,7 @@ object Similarity {
     allCells.join(counts, Seq("cell"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
       .withColumn("n_total", sum(col("n")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy())) // nCells rows
+        Frames.tinyWindowTotal(col("cell")))) // nCells rows
       .withColumn("expected", expr(s"n_total div ${centroids.length}L"))
       // greatest(1, ·): an EMPTY corpus yields an all-zero card (every
       // cell dead, skew 0) instead of a divide-by-zero error under
@@ -720,9 +720,10 @@ object Similarity {
     * symmetric-int8 quantized ([[Embeddings.quantizeInt8]] — 4x
     * smaller than float32, the codes column is what a deployed index
     * keeps hot); candidates are ranked by CODE-SPACE cosine over the
-    * code arrays through the native codegen'd kernel ([[codeCosine]]
-    * — every elementwise product and partial sum an exact integer in
-    * double, so the fixed op sequence is bit-portable and an external
+    * per-row float-cast code arrays through the native codegen'd
+    * kernel ([[graft.functions.CosineSimilarity]] — every elementwise
+    * product and partial sum an exact integer in double, so the fixed
+    * op sequence is bit-portable and an external
     * SQL engine replays the shortlist ranking exactly). The `shortlist` best
     * code-space candidates per query are then re-scored with exact
     * float cosine on the full vectors ([[exactRerank]] — an equi-join
@@ -748,36 +749,46 @@ object Similarity {
     def codeNormSq(codes: Column): Column =
       aggregate(codes, lit(0L), (a, c) =>
         a + c.cast(LongType) * c.cast(LongType))
+    // the int8->float cast is hoisted to the PER-ROW projections: a
+    // `transform` lambda is a CodegenFallback higher-order function,
+    // so leaving it inside the per-PAIR score projection (the old
+    // codeCosine shape) interpreted two lambdas and allocated two
+    // arrays for every one of the N_c x N_q candidate pairs — the
+    // dominant cost of the whole query (measured ~20x the fused
+    // kernel). Casting once per row feeds the native codegen'd
+    // cosine kernel identical float values, so every score — and the
+    // shortlist — is bit-identical.
     val c = Embeddings.quantizeInt8(corpus, vecCol)
-      .select(col(idCol).as("id"), col("codes").as("cc"),
+      .select(col(idCol).as("id"),
+        transform(col("codes"), _.cast(FloatType)).as("ccf"),
         codeNormSq(col("codes")).as("nc"))
     val q = broadcast(Embeddings.quantizeInt8(queries, vecCol)
-      .select(col(idCol).as("query_id"), col("codes").as("qc"),
+      .select(col(idCol).as("query_id"),
+        transform(col("codes"), _.cast(FloatType)).as("qcf"),
         codeNormSq(col("codes")).as("nq")))
     val joined = c.join(q,
       if (excludeSelf) col("id") =!= col("query_id") else lit(true))
     val scored = joined.select(col("query_id"), col("id"),
       when(col("nq") === 0L || col("nc") === 0L, lit(-2.0))
-        .otherwise(codeCosine(col("qc"), col("cc"))).as("cos"))
+        .otherwise(graft.functions.NativeFunctions.cosineSim(
+          col("qcf"), col("ccf"))).as("cos"))
     val short = topKPerKey(scored, shortlist).select(col("query_id"), col("id"))
     exactRerank(short, corpus, queries, k, idCol, vecCol)
   }
 
-  /** Code-space cosine through the native codegen'd kernel: int8
+  /** Code-space cosine (the int8 tiers' shortlist scorer): int8
     * codes cast to float are EXACT (|c| <= 127), every product and
     * partial sum stays an exact integer in double (dot <= 127²·dim <
-    * 2^53), so the kernel's fixed op sequence produces the same bits
-    * in any engine — DuckDB's list_cosine_similarity replays it
-    * bit-for-bit (the same pairing every exact re-rank relies on).
-    * An earlier formulation used a zip_with/aggregate integer-dot
-    * HOF: semantically identical, but the per-pair lambda interpreter
-    * made the quadratic recall row ~10x slower than this kernel
-    * (PROFILE.md round 8).
+    * 2^53), so the native kernel's fixed op sequence produces the
+    * same bits in any engine — DuckDB's list_cosine_similarity
+    * replays it bit-for-bit (the same pairing every exact re-rank
+    * relies on). Two lessons are baked into the call sites: the dot
+    * itself through [[graft.functions.CosineSimilarity]], not a
+    * zip_with/aggregate HOF (~10x slower interpreted, PROFILE.md
+    * round 8), and the int8->float cast hoisted to the per-ROW
+    * projections, never per pair (`transform` is an interpreted
+    * CodegenFallback — r16).
     */
-  private def codeCosine(a: Column, b: Column): Column =
-    graft.functions.NativeFunctions.cosineSim(
-      transform(a, _.cast(FloatType)), transform(b, _.cast(FloatType)))
-
   /** Binary (1-bit sign) quantized ANN — the extreme end of the
     * quantization ladder (float32 -> int8 SQ -> PQ -> 1 bit): each
     * vector keeps only its per-dimension SIGN, packed into two 32-bit
@@ -852,14 +863,20 @@ object Similarity {
     def codeNormSq(codes: Column): Column =
       aggregate(codes, lit(0L), (a, c) =>
         a + c.cast(LongType) * c.cast(LongType))
+    // int8->float cast hoisted to the per-row projections — the
+    // sqTopK rule: a per-pair `transform` lambda is interpreted and
+    // allocates per candidate pair; per-row casting feeds the native
+    // kernel identical floats at a per-ROW cost
     val c = Embeddings.quantizeInt8(corpus, vecCol)
-      .select(col(idCol).as("id"), col("codes").as("cc"),
+      .select(col(idCol).as("id"),
+        transform(col("codes"), _.cast(FloatType)).as("ccf"),
         codeNormSq(col("codes")).as("nc"),
         element_at(nearestCells(col(vecCol), coarse, 1, portable), 1).as("cell"))
     val probes = queries.select(col(idCol).as("query_id"),
       explode(nearestCells(col(vecCol), coarse, nProbe, portable)).as("cell"))
     val qcodes = Embeddings.quantizeInt8(queries, vecCol)
-      .select(col(idCol).as("query_id"), col("codes").as("qc"),
+      .select(col(idCol).as("query_id"),
+        transform(col("codes"), _.cast(FloatType)).as("qcf"),
         codeNormSq(col("codes")).as("nq"))
     // probes and codes broadcast SEPARATELY (the ivfPqTopK rule):
     // attaching the dim-long query codes to the exploded probe rows
@@ -869,7 +886,8 @@ object Similarity {
       .join(broadcast(qcodes), Seq("query_id"))
       .select(col("query_id"), col("id"),
         when(col("nq") === 0L || col("nc") === 0L, lit(-2.0))
-          .otherwise(codeCosine(col("qc"), col("cc"))).as("cos"))
+          .otherwise(graft.functions.NativeFunctions.cosineSim(
+            col("qcf"), col("ccf"))).as("cos"))
     val short = topKPerKey(scored, shortlist).select(col("query_id"), col("id"))
     exactRerank(short, corpus, queries, k, idCol, vecCol)
   }

@@ -265,6 +265,40 @@ object TextAnalysis {
                     n: Int = 3): DataFrame = {
     require(profiles.nonEmpty, "need at least one language profile")
     val sorted = profiles.sortBy(_._1)
+    // one native pass per row: every gram hashed ONCE and looked up in
+    // all profiles (the HOF twin below re-hashed the gram array once
+    // per language through interpreted lambdas — ~n_langs x the hash
+    // work plus a materialized gram-string array per row). The ss
+    // array is referenced once per language downstream; CollapseProject
+    // keeps multi-referenced non-cheap projections separate, so the
+    // scorer runs once per row.
+    val scored = df
+      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("t"))
+      .select(col("doc_id"),
+        graft.functions.NativeFunctions.langProfileScores(col("t"),
+          sorted.map(_._2), n).as("ss"))
+      .select(col("doc_id") +: sorted.indices.map(i =>
+        element_at(col("ss"), i + 1).as(s"s_$i")): _*)
+    val best = sorted.indices.map(i => col(s"s_$i")).reduce(greatest(_, _))
+    val pred = sorted.zipWithIndex.foldRight(lit("und"): Column) {
+      case (((lang, _), i), acc) =>
+        when(col(s"s_$i") === col("score") && col("score") > 0L, lit(lang))
+          .otherwise(acc)
+    }
+    scored.withColumn("score", best)
+      .select(col("doc_id"), pred.as("lang_pred"), col("score"))
+  }
+
+  /** HOF reference formulation of [[langIdTrained]] — the semantics
+    * the native one-pass scorer is asserted identical to
+    * (TextAnalysisSpec).
+    */
+  private[graft] def langIdTrainedHof(df: DataFrame, idCol: String,
+                                      textCol: String,
+                                      profiles: Seq[(String, Array[Long])],
+                                      n: Int = 3): DataFrame = {
+    require(profiles.nonEmpty, "need at least one language profile")
+    val sorted = profiles.sortBy(_._1)
     val scored = df
       .select(col(idCol).as("doc_id"), lower(col(textCol)).as("t"))
       .select(col("doc_id"), charGrams(col("t"), n).as("gs"))
@@ -1926,7 +1960,7 @@ object TextAnalysis {
       .select(explode(cleanTokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token")).limit(topV)
-    val w = Frames.tinyWindow(col("freq").desc, col("token")) // topV-sized frame
+    val w = Frames.tinyWindow(col("token"), col("freq").desc, col("token")) // topV-sized frame
     val xy = freq.withColumn("rank", row_number().over(w).cast(LongType))
       .select(
         floor(log(col("rank").cast(DoubleType)) * lit(1000.0))

@@ -373,29 +373,42 @@ object DocStreams {
     require(panel.map(_._1).distinct.size == panel.size,
       "probe ids must be unique")
     val probeTerms = panel.flatMap(_._2).distinct
-    val corpusToks = corpus.select(
-      TextAnalysis.cleanTokens(col(textCol)).as("cts"))
-    val statsRow = corpusToks
-      .select(size(col("cts")).cast(LongType).as("dl"))
-      .agg(count(lit(1)), sum(col("dl"))).head()
+    val termIdx: Map[String, Int] = probeTerms.zipWithIndex.toMap
+    // ONE reference-corpus pass for n_docs, total_tokens AND every
+    // panel term's df (df = docs whose one-pass term-frequency vector
+    // is positive at that term — identical to the old distinct-token
+    // explode, which walked the whole vocabulary per doc and cost a
+    // SECOND corpus tokenize next to the stats pass)
+    val corpusTf = corpus
+      .select(TextAnalysis.cleanTokens(col(textCol)).as("cts"))
+      .select(size(col("cts")).cast(LongType).as("dl"),
+        graft.functions.NativeFunctions.termFreqs(col("cts"), probeTerms)
+          .as("tf"))
+    val aggs = count(lit(1)).as("n_docs") +:
+      sum(col("dl")).as("total_tokens") +:
+      probeTerms.indices.map(i =>
+        sum(when(element_at(col("tf"), i + 1) > 0, 1L).otherwise(0L))
+          .as(s"df_$i"))
+    val statsRow = corpusTf.agg(aggs.head, aggs.tail: _*).head()
     val nDocs = statsRow.getLong(0)
     require(nDocs > 0, "reference corpus must be non-empty")
     val totalTokens = statsRow.getLong(1)
-    val dfMap: Map[String, Long] = corpusToks
-      .select(explode(array_distinct(col("cts"))).as("token"))
-      .filter(col("token").isin(probeTerms: _*))
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfMap: Map[String, Long] = probeTerms.zipWithIndex
+      .map { case (t, i) => t -> statsRow.getLong(2 + i) }
+      .filter(_._2 > 0L).toMap
 
-    // one term's micro score from the arriving doc's bound token
-    // array; terms the reference never saw contribute 0 (no df -> no
-    // calibrated idf) rather than a made-up weight
+    // one term's micro score from the arriving doc's one-pass term-
+    // frequency vector (the old formulation ran a filter-HOF token-
+    // array walk per (probe, term) — O(panel terms · doc length)
+    // interpreted lambdas per doc); terms the reference never saw
+    // contribute 0 (no df -> no calibrated idf) rather than a made-up
+    // weight
     def termScore(term: String): Column = dfMap.get(term) match {
       case None => lit(0L)
       case Some(df) =>
         val idf = math.log(1.0 +
           (nDocs.toDouble - df + 0.5) / (df.toDouble + 0.5))
-        val tf = size(filter(col("__ts"), t => t === lit(term)))
+        val tf = element_at(col("__tf"), termIdx(term) + 1)
           .cast(DoubleType)
         floor(lit(idf) * (tf * lit(k1 + 1.0)) /
           (tf + lit(k1) * (lit(1.0 - b) +
@@ -409,6 +422,8 @@ object DocStreams {
     val base = withWm.select(col(idCol).as("id"), col(tsCol).as("ts"),
         TextAnalysis.cleanTokens(col(textCol)).as("__ts"))
       .withColumn("__dl", size(col("__ts")).cast(DoubleType))
+      .withColumn("__tf",
+        graft.functions.NativeFunctions.termFreqs(col("__ts"), probeTerms))
     // best probe per doc: array_max over (score, -probe_id) structs —
     // lexicographic struct order gives max score, ties to smallest id
     val scoreStructs = panel.map { case (pid, terms) =>

@@ -1148,6 +1148,68 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"held-out accuracy ${hits}/$n below the 95% contract")
   }
 
+  test("trained lang-ID: native one-pass scorer == HOF formulation on real docs and edge rows") {
+    // the r16 native LangProfileScores must be value-identical to the
+    // per-language charGrams+linearScoreExpr chain it replaced —
+    // including empty/short/unicode/supplementary-codepoint/null rows
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (100001L, ""), (100002L, "zz"), (100003L, "ßÆ😀é x"),
+        (100004L, null.asInstanceOf[String]),
+        (100005L, "das ist ein schöner tag und wir müssen gehen"))
+        .toDF("doc_id", "text"))
+    val panel = TextAnalysis.synthLangDocs(
+      spark.range(200L).select(col("id").as("doc_id")), "doc_id")
+    val profiles = TextAnalysis.loadLangProfiles(
+      TextAnalysis.trainLangProfiles(panel, "text", "lang", 1024), 1024)
+    val native = TextAnalysis.langIdTrained(docs, "doc_id", "text", profiles)
+      .orderBy("doc_id").collect().toSeq
+    val hof = TextAnalysis.langIdTrainedHof(docs, "doc_id", "text", profiles)
+      .orderBy("doc_id").collect().toSeq
+    assert(native === hof)
+  }
+
+  test("wordpiece greedy: trie decode == hash-probe decode on trained vocab and adversarial words") {
+    import graft.functions.WordpieceGreedy
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+    val vocab = TextAnalysis.wordpieceVocab(docs, "text",
+      TextAnalysis.trainWordpieceMerges(docs, "text", merges = 8).map(_._1))
+    val maxLen = vocab.map(p => p.codePointCount(0, p.length)).max
+    val set = WordpieceGreedy.buildVocabSet(vocab)
+    val trie = WordpieceGreedy.buildTrie(vocab)
+    val words = docs.select(explode(TextAnalysis.cleanTokens(col("text"))).as("w"))
+      .distinct().collect().map(_.getString(0)).toSeq ++
+      Seq("", "a", "ß", "😀ab", "zzzzzz…", "ab😀cd")
+    words.foreach { w =>
+      assert(WordpieceGreedy.decodeTrie(w, trie, maxLen).toSeq ===
+        WordpieceGreedy.decode(w, set, maxLen).toSeq,
+        s"trie decode diverged on '$w'")
+    }
+  }
+
+  test("termFreqs: one-pass counts == size(filter) per term, null/empty rows match") {
+    import graft.functions.NativeFunctions
+    val terms = Seq("the", "und", "zz", "é")
+    val rows = Seq(
+      (1L, Seq("the", "the", "und", "x")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("é", "the", null)),
+      (4L, null.asInstanceOf[Seq[String]]))
+    val df = rows.toDF("id", "ts")
+    val native = df.select(col("id"),
+        NativeFunctions.termFreqs(col("ts"), terms).as("tf"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[Int](1).toSeq))
+    val hof = df.select(col("id") +: terms.zipWithIndex.map { case (t, i) =>
+        size(filter(col("ts"), x => x === lit(t))).as(s"c_$i") }: _*)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null
+        else terms.indices.map(i => r.getInt(i + 1)).toSeq))
+    assert(native.toSeq === hof.toSeq)
+  }
+
   test("trained lang-ID: empty/gramless text predicts 'und', scoring is deterministic") {
     import spark.implicits._
     val panel = TextAnalysis.synthLangDocs(
