@@ -71,6 +71,14 @@ object NativeFunctions {
   def shingleStrings(tokens: Column, w: Int): Column =
     GraftSqlShims.column(ShingleStrings(GraftSqlShims.expression(tokens), w))
 
+  /** Per-position w-token window MD5 anchors (lowercase hex) over a
+    * token array, one pass — the duplicated-span detector's anchor
+    * map. Empty array below w tokens.
+    */
+  def windowAnchorHashes(tokens: Column, w: Int): Column =
+    GraftSqlShims.column(
+      WindowAnchorHashes(GraftSqlShims.expression(tokens), w))
+
   /** Occurrence counts of a literal term list over a token array,
     * one pass: array<int>, entry i = count of tokens equal to
     * terms(i).

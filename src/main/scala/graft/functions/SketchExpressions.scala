@@ -317,6 +317,74 @@ case class LangProfileScores(child: Expression, profiles: Seq[Seq[Long]],
     copy(child = newChild)
 }
 
+/** Per-position w-token window MD5 anchors over an array<string> of
+  * tokens, one pass: out(i) = lowercase-hex
+  * md5(tokens(i..i+w) joined with U+0001) for i = 0..n-w — exactly
+  * `transform(sequence(0, n-w), i -> md5(array_join(slice(ts, i+1, w),
+  * "\\u0001")))` (null tokens skipped with their separator, the
+  * array_join rule), but without the interpreted transform lambda,
+  * the per-window slice array and the per-window join string Column
+  * chain — the dominant map-side cost of the duplicated-span
+  * detector/cutter (one MD5 per token position over the whole
+  * corpus). Shorter-than-w arrays yield an empty array (the callers'
+  * `when(size >= w, …)` guard, folded in).
+  */
+case class WindowAnchorHashes(child: Expression, w: Int)
+    extends UnaryExpression with SelfComputeCodegen {
+
+  require(w >= 1, "window width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "window_anchor_hashes"
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sep = Array[Byte](1)
+    val out = new Array[Any](n - w + 1)
+    var s = 0
+    while (s <= n - w) {
+      md.reset()
+      var first = true
+      var j = s
+      while (j < s + w) {
+        if (toks(j) != null) {
+          if (!first) md.update(sep)
+          md.update(toks(j))
+          first = false
+        }
+        j += 1
+      }
+      val dig = md.digest()
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HexChars((dig(b) >> 4) & 0xF)
+        hex(2 * b + 1) = HexChars(dig(b) & 0xF)
+        b += 1
+      }
+      out(s) = UTF8String.fromString(new String(hex))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Occurrence counts of a LITERAL term list over an array<string> of
   * tokens, one hashmap pass: out(i) = count of tokens equal to
   * terms(i). Bit-identical to `size(filter(ts, t -> t = term))` per

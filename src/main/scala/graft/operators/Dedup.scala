@@ -181,16 +181,29 @@ object Dedup {
     * span emit no rows. Used for contamination audits and as the cut
     * list for span-level dedup (remove, not drop-the-doc).
     */
+  /** HOF reference formulation of the window-anchor map — the
+    * semantics [[graft.functions.WindowAnchorHashes]] is asserted
+    * identical to (DedupSpec).
+    */
+  private[graft] def anchorHashesHof(ts: Column, minLen: Int): Column =
+    when(size(ts) >= minLen,
+      transform(sequence(lit(0), size(ts) - minLen),
+        i => md5(array_join(slice(ts, i + 1, lit(minLen)), "\u0001"))))
+      .otherwise(array().cast("array<string>"))
+
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       minLen: Int = 8): DataFrame = {
     require(minLen >= 1, "minLen must be positive")
+    // anchor map through the native one-pass hasher (r16): the HOF
+    // formulation (kept as [[anchorHashesHof]], equality-tested)
+    // built every window through an interpreted transform lambda plus
+    // a slice array and a join string per position -- the dominant
+    // map-side cost of the whole detector
     val pos = df.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("ts"))
       .select(col("id"), posexplode(
-        when(size(col("ts")) >= minLen,
-          transform(sequence(lit(0), size(col("ts")) - minLen),
-            i => md5(array_join(slice(col("ts"), i + 1, lit(minLen)), "\u0001"))))
-          .otherwise(array().cast("array<string>"))).as(Seq("pos", "h")))
+        graft.functions.NativeFunctions.windowAnchorHashes(
+          col("ts"), minLen)).as(Seq("pos", "h")))
     val dup = pos.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1L).select(col("h"))
     val kept = pos.join(dup, Seq("h"), "left_semi").select(col("id"), col("pos"))
@@ -232,13 +245,12 @@ object Dedup {
     require(minLen >= 1, "minLen must be positive")
     val toks = df.select(col(idCol).as("id"),
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("tpos", "tok")))
+    // native one-pass anchor map -- the duplicatedSpans shape
     val pos = df.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("ts"))
       .select(col("id"), posexplode(
-        when(size(col("ts")) >= minLen,
-          transform(sequence(lit(0), size(col("ts")) - minLen),
-            i => md5(array_join(slice(col("ts"), i + 1, lit(minLen)), "\u0001"))))
-          .otherwise(array().cast("array<string>"))).as(Seq("pos", "h")))
+        graft.functions.NativeFunctions.windowAnchorHashes(
+          col("ts"), minLen)).as(Seq("pos", "h")))
     // per duplicated anchor: the globally-first (id, pos) occurrence
     val firsts = pos.groupBy(col("h"))
       .agg(count(lit(1)).as("c"), min(struct(col("id"), col("pos"))).as("w"))

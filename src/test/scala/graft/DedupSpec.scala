@@ -371,4 +371,27 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(again === rows.map(_.toSeq).toSet)
   }
+
+  test("windowAnchorHashes: native one-pass anchors == md5/slice/join HOF on real docs and edges") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (900001L, ""), (900002L, "one two"), (900003L, "a b c d e f g h i"),
+        (900004L, null.asInstanceOf[String]),
+        (900005L, "caf\u00e9 \ud83d\ude00 tok tok tok tok tok tok tok tok"))
+        .toDF("doc_id", "text"))
+    for (w <- Seq(1, 3, 8)) {
+      val ts = TextAnalysis.tokens(col("text"))
+      val native = docs.select(col("doc_id"),
+          graft.functions.NativeFunctions.windowAnchorHashes(ts, w).as("a"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[String](1).toSeq))
+      val hof = docs.select(col("doc_id"),
+          Dedup.anchorHashesHof(ts, w).as("a"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[String](1).toSeq))
+      assert(native.toSeq === hof.toSeq, s"anchor mismatch at w=$w")
+    }
+  }
 }
